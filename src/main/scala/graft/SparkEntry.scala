@@ -1,5 +1,8 @@
 package graft
 
+import graft.operators.TaxiQueries
+import graft.oracle.OracleSql
+import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,10 +17,15 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q1_pickup_hotspots")(spark, "/root/testdata/sf0.001")
 
   private def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Shared Q1/Q2 prefix: synthetic trip events (SURVEY.md §1.2 wire
+    * schema) filtered to valid NYC trips (operators F1/F2/F3). */
+  private def nycTrips(s: SparkSession, dir: String): DataFrame =
+    TaxiQueries.validNycTrips(SyntheticTrips.fromEvents(s, dir))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -29,7 +37,17 @@ object SparkEntry {
           sum(col("l_extendedprice")).as("sum_base_price"),
           avg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-    })
+    }),
+    // Reference Q1 (ProcessTaxiStream.java:96-106): operators
+    // F1-F3, M2 (geohash-6), K1/W1 (key × 10-min tumbling window),
+    // A1 (COUNT), F4 (HAVING >= 2), timestamp = window end − 1 ms.
+    "q1_pickup_hotspots" -> ((s, dir) =>
+      TaxiQueries.q1PickupHotspots(nycTrips(s, dir))),
+    // Reference Q2 (ProcessTaxiStream.java:109-136): FM1 (airport
+    // classify, JFK precedence, floored minutes), K2/W2, A2
+    // (SUM + AVG with count>1 guard).
+    "q2_airport_durations" -> ((s, dir) =>
+      TaxiQueries.q2AirportDurations(nycTrips(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,6 +60,8 @@ object SparkEntry {
         |       avg(l_discount) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pickup_hotspots" -> OracleSql.q1PickupHotspots,
+    "q2_airport_durations" -> OracleSql.q2AirportDurations
   )
 }

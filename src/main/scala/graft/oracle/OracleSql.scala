@@ -1,0 +1,181 @@
+package graft.oracle
+
+import graft.geo.{Geofences, Geohash}
+import graft.sources.SyntheticTrips
+
+/** DuckDB-side mirror of the Spark engine's query semantics, generated
+  * programmatically from the SAME constants the Spark side uses
+  * ([[SyntheticTrips]] anchors, [[Geofences]] cell lists, [[Geohash]]
+  * index formula). Every arithmetic term is emitted in the exact
+  * evaluation order of the Spark expressions so the driver's DuckDB
+  * oracle hash-matches bit-for-bit (doubles included).
+  *
+  * Geohash in SQL uses the same direct index formula as
+  * [[Geohash.encode]] (Geohash.scala:32-49): floor-scaled lat/lon
+  * indexes, Morton bit-interleave (lon first), base-32. The
+  * interleave is expressed with the standard bit-spread identity
+  * (x | x<<16 ... & 0x5555...), which equals the loop in
+  * Geohash.interleave for any index that fits 32 bits.
+  */
+object OracleSql {
+
+  // ---- bit-spread (Morton) helpers -------------------------------------
+
+  private val spreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8  -> 0x00FF00FF00FF00FFL,
+    4  -> 0x0F0F0F0F0F0F0F0FL,
+    2  -> 0x3333333333333333L,
+    1  -> 0x5555555555555555L)
+
+  /** SQL column chain computing spread(col): bit i → bit 2i. Returns
+    * (cte columns text, final column name). */
+  private def spreadCols(src: String, out: String): Seq[String] = {
+    var cur = src
+    spreadSteps.zipWithIndex.map { case ((sh, mask), i) =>
+      val name = if (i == spreadSteps.size - 1) out else s"${out}_$i"
+      val t = s"(($cur | ($cur << $sh)) & $mask) AS $name"
+      cur = name
+      t
+    }
+  }
+
+  /** floor-scaled index with clamp — mirrors Geohash.index. */
+  private def idxExpr(v: String, off: String, span: String,
+      bits: Int): String = {
+    val n = 1L << bits
+    s"LEAST(GREATEST(CAST(FLOOR((($v + $off) / $span) * $n.0) AS BIGINT), 0), ${n - 1})"
+  }
+
+  private val Alpha = Geohash.Alphabet
+
+  /** base-32 string of `code` at `precision` chars. */
+  private def base32Expr(code: String, precision: Int): String =
+    (0 until precision).map { k =>
+      val sh = 5 * (precision - 1 - k)
+      s"substring('$Alpha', CAST((($code >> $sh) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  private def dblList(xs: Seq[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]")
+
+  // ---- synthetic trip derivation (mirror of SyntheticTrips.derive) -----
+
+  import SyntheticTrips._
+
+  private def anchorPick(anchors: IndexedSeq[Anchor], idx: String,
+      low: Anchor => Double, span: Anchor => Double, u: String): String =
+    s"${dblList(anchors.map(low))}[CAST($idx + 1 AS INT)] + " +
+      s"${dblList(anchors.map(span))}[CAST($idx + 1 AS INT)] * $u"
+
+  /** CTEs deriving the trip-event table from `events`, then filtering
+    * to valid NYC trips (operators F1/F2/F3) and attaching
+    * pickup geohash-6 and dropoff geohash-7 (prefix property gives
+    * every coarser precision by substring). Ends with CTE `nyc`. */
+  def validNycTripsCtes: String = {
+    // precision 6: 15 lon bits + 15 lat bits, lat at even positions
+    // precision 7: 18 lon bits + 17 lat bits, lon at even positions
+    val pLon = spreadCols("plon_i", "plon_s")
+    val pLat = spreadCols("plat_i", "plat_s")
+    val dLon = spreadCols("dlon_i", "dlon_s")
+    val dLat = spreadCols("dlat_i", "dlat_s")
+    val spread = (pLon ++ pLat ++ dLon ++ dLat).mkString(",\n    ")
+    s"""WITH raw AS (
+  SELECT event_id AS uid FROM events
+), trip AS (
+  SELECT
+    uid AS trip_id,
+    CASE WHEN uid % 25 = 1 THEN 'watermark' ELSE 'trip' END AS type,
+    CASE WHEN uid % 97 = 0 THEN 95.0 ELSE
+      ${anchorPick(pickupAnchors, "(uid * 2654435761) % 21", _.latLow, _.latSpan, "(CAST((uid * 31) % 97 AS DOUBLE) / 97.0)")}
+    END AS pickup_lat,
+    CASE WHEN uid % 97 = 0 THEN 200.0 ELSE
+      ${anchorPick(pickupAnchors, "(uid * 2654435761) % 21", _.lonLow, _.lonSpan, "(CAST((uid * 37) % 89 AS DOUBLE) / 89.0)")}
+    END AS pickup_lon,
+    CASE WHEN (uid * 40503) % 100 < 15 THEN
+      ${anchorPick(jfkAnchors, "(uid * 97) % 8", _.latLow, _.latSpan, "(CAST((uid * 41) % 83 AS DOUBLE) / 83.0)")}
+    WHEN (uid * 40503) % 100 < 30 THEN
+      ${anchorPick(lgaAnchors, "(uid * 97) % 10", _.latLow, _.latSpan, "(CAST((uid * 41) % 83 AS DOUBLE) / 83.0)")}
+    ELSE
+      ${anchorPick(nycDropAnchors, "(uid * 97) % 20", _.latLow, _.latSpan, "(CAST((uid * 41) % 83 AS DOUBLE) / 83.0)")}
+    END AS dropoff_lat,
+    CASE WHEN (uid * 40503) % 100 < 15 THEN
+      ${anchorPick(jfkAnchors, "(uid * 97) % 8", _.lonLow, _.lonSpan, "(CAST((uid * 43) % 79 AS DOUBLE) / 79.0)")}
+    WHEN (uid * 40503) % 100 < 30 THEN
+      ${anchorPick(lgaAnchors, "(uid * 97) % 10", _.lonLow, _.lonSpan, "(CAST((uid * 43) % 79 AS DOUBLE) / 79.0)")}
+    ELSE
+      ${anchorPick(nycDropAnchors, "(uid * 97) % 20", _.lonLow, _.lonSpan, "(CAST((uid * 43) % 79 AS DOUBLE) / 79.0)")}
+    END AS dropoff_lon,
+    CAST((uid * 53) % 10000 AS DOUBLE) / 100.0 AS total_amount,
+    ($T0Millis + (uid * 262147) % ${NWindows * WindowMillis}) - 60000 - (uid * 104729) % 5400000 AS pickup_ms,
+    $T0Millis + (uid * 262147) % ${NWindows * WindowMillis} AS dropoff_ms
+  FROM raw
+), valid AS (
+  SELECT * FROM trip
+  WHERE type = 'trip'
+    AND abs(pickup_lat) <= 90.0 AND abs(pickup_lon) <= 180.0
+    AND abs(dropoff_lat) <= 90.0 AND abs(dropoff_lon) <= 180.0
+), gidx AS (
+  SELECT *,
+    ${idxExpr("pickup_lon", "180.0", "360.0", 15)} AS plon_i,
+    ${idxExpr("pickup_lat", "90.0", "180.0", 15)} AS plat_i,
+    ${idxExpr("dropoff_lon", "180.0", "360.0", 18)} AS dlon_i,
+    ${idxExpr("dropoff_lat", "90.0", "180.0", 17)} AS dlat_i
+  FROM valid
+), gspread AS (
+  SELECT *,
+    $spread
+  FROM gidx
+), ghash AS (
+  SELECT *,
+    ${base32Expr("((plon_s << 1) | plat_s)", 6)} AS pickup_gh6,
+    ${base32Expr("(dlon_s | (dlat_s << 1))", 7)} AS dropoff_gh7
+  FROM gspread
+), nyc AS (
+  SELECT * FROM ghash
+  WHERE substring(pickup_gh6, 1, 4) IN ${sqlList(Geofences.nycCells)}
+    AND substring(dropoff_gh7, 1, 4) IN ${sqlList(Geofences.nycCells)}
+)"""
+  }
+
+  /** Q1 — pickup hot spots (mirror of TaxiQueries.q1PickupHotspots). */
+  def q1PickupHotspots: String =
+    s"""$validNycTripsCtes
+SELECT pickup_gh6 AS location,
+       COUNT(*) AS pickup_count,
+       (dropoff_ms // 600000 + 1) * 600000 - 1 AS timestamp
+FROM nyc
+GROUP BY pickup_gh6, dropoff_ms // 600000
+HAVING COUNT(*) >= 2"""
+
+  /** Q2 — airport trip durations (mirror of
+    * TaxiQueries.q2AirportDurations; JFK precedence, floored integer
+    * minutes, HAVING count > 1, avg = double(sum)/count). */
+  def q2AirportDurations: String = {
+    val jfk6 = Geofences.jfkCells.filter(_.length == 6)
+    val lga6 = Geofences.lgaCells.filter(_.length == 6)
+    val lga7 = Geofences.lgaCells.filter(_.length == 7)
+    s"""$validNycTripsCtes
+, classified AS (
+  SELECT *,
+    CASE WHEN substring(dropoff_gh7, 1, 6) IN ${sqlList(jfk6)} THEN 'JFK'
+         WHEN substring(dropoff_gh7, 1, 6) IN ${sqlList(lga6)}
+           OR dropoff_gh7 IN ${sqlList(lga7)} THEN 'LGA'
+    END AS airport_code,
+    CAST(FLOOR((dropoff_ms - pickup_ms) / 60000) AS BIGINT) AS duration_min
+  FROM nyc
+)
+SELECT pickup_gh6 AS location,
+       airport_code,
+       CAST(SUM(duration_min) AS BIGINT) AS sum_trip_duration,
+       CAST(SUM(duration_min) AS DOUBLE) / COUNT(*) AS avg_trip_duration,
+       (dropoff_ms // 600000 + 1) * 600000 - 1 AS timestamp
+FROM classified
+WHERE airport_code IS NOT NULL
+GROUP BY pickup_gh6, airport_code, dropoff_ms // 600000
+HAVING COUNT(*) > 1"""
+  }
+}

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * need trip records derivable with *bit-identical* arithmetic in
   * both engines. This object is the single spec: the Spark side
   * ([[SyntheticTrips.fromEvents]]) and the oracle side
-  * (graft.oracle.OracleSql) both follow it term for term.
+  * ([[graft.oracle.OracleSql.validNycTripsCtes]]) both follow it term
+  * for term.
   *
   * Derivation (uid = event_id, all integer/IEEE-double ops):
   *  - type     = 'watermark' if uid % 25 = 1 else 'trip'        (F1)
@@ -69,9 +70,15 @@ object SyntheticTrips {
     * pickup_datetime/dropoff_datetime (TimestampType, UTC).
     * Only the `event_id` column is read from parquet (column
     * pruning — the scan stays 1-column at any scale). */
-  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.parquet stores `ts` as TIMESTAMP(NANOS); Spark rejects the
+    // file schema outright without this legacy flag even though only
+    // `event_id` is selected. Runtime-settable, so set it here where
+    // any session (driver-created included) passes through.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     derive(spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id")))
+  }
 
   def derive(events: DataFrame): DataFrame = {
     val uid = col("event_id")
