@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TaxiQueries
+import graft.operators.{EventsQueries, TaxiQueries}
 import graft.oracle.OracleSql
 import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -47,7 +47,11 @@ object SparkEntry {
     // classify, JFK precedence, floored minutes), K2/W2, A2
     // (SUM + AVG with count>1 guard).
     "q2_airport_durations" -> ((s, dir) =>
-      TaxiQueries.q2AirportDurations(nycTrips(s, dir)))
+      TaxiQueries.q2AirportDurations(nycTrips(s, dir))),
+    // K1/W1/A1/F4 on the native events fixture: per-type 1-hour
+    // tumbling event-time windows with a HAVING guard.
+    "q3_events_window" -> ((s, dir) =>
+      EventsQueries.hourlyTypeStats(EventsQueries.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +66,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q1_pickup_hotspots" -> OracleSql.q1PickupHotspots,
-    "q2_airport_durations" -> OracleSql.q2AirportDurations
+    "q2_airport_durations" -> OracleSql.q2AirportDurations,
+    "q3_events_window" -> OracleSql.eventsHourlyTypeStats
   )
 }

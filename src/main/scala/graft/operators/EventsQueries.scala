@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Windowed event-time analytics over the native `events` fixture
+  * table (TESTDATA.md) — the same operator shapes as the taxi
+  * pipeline (SURVEY.md §2.1 rows K1/W1/A1/F4: key × tumbling
+  * event-time window → COUNT/SUM/AVG → HAVING), exercised on a real
+  * parquet event stream rather than the synthetic trip derivation.
+  */
+object EventsQueries {
+
+  /** events.parquet with `ts` (TIMESTAMP(NANOS) on disk) exposed as
+    * both nano-long and ms-precision timestamp. Scan prunes to the
+    * referenced columns only. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      // integer DIV, not `/`: nano values (~1.7e18) lose precision in
+      // a double division
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+  }
+
+  /** Per event-type × 1-hour tumbling window: count, sum and average
+    * of `value`, windows with fewer than 2 events suppressed;
+    * timestamp = window end − 1 ms (the reference's
+    * `TimeWindow.maxTimestamp` idiom, ProcessTaxiStream.java:104). */
+  def hourlyTypeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), window(col("event_time"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .filter(col("n_events") >= 2)
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        (unix_millis(col("window.end")) - 1).as("timestamp"))
+}

@@ -178,4 +178,24 @@ WHERE airport_code IS NOT NULL
 GROUP BY pickup_gh6, airport_code, dropoff_ms // 600000
 HAVING COUNT(*) > 1"""
   }
+
+  /** Mirror of [[graft.operators.EventsQueries.hourlyTypeStats]]:
+    * 1-hour tumbling windows on the native events table. DuckDB reads
+    * `ts` as TIMESTAMP_NS; epoch_ns // 1e6 matches Spark's
+    * `ts DIV 1000000` on the nanosAsLong long. AVG is written as
+    * SUM/COUNT to mirror Spark's Average (sum ÷ count at finish). */
+  def eventsHourlyTypeStats: String =
+    """WITH e AS (
+  SELECT event_type, value,
+         (epoch_ns(ts) // 1000000) // 3600000 AS win
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value,
+       SUM(value) / COUNT(*) AS avg_value,
+       (win + 1) * 3600000 - 1 AS timestamp
+FROM e
+GROUP BY event_type, win
+HAVING COUNT(*) >= 2"""
 }
