@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventsQueries, TaxiQueries}
+import graft.operators.{Dedup, EventsQueries, TaxiQueries}
 import graft.oracle.OracleSql
 import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -51,8 +51,17 @@ object SparkEntry {
     // K1/W1/A1/F4 on the native events fixture: per-type 1-hour
     // tumbling event-time windows with a HAVING guard.
     "q3_events_window" -> ((s, dir) =>
-      EventsQueries.hourlyTypeStats(EventsQueries.events(s, dir)))
+      EventsQueries.hourlyTypeStats(EventsQueries.events(s, dir))),
+    // LLM-pipeline: exact dedup (content-hash groupBy) and
+    // MinHash-LSH near-dup pairs over the documents table.
+    "q4_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(documents(s, dir))),
+    "q5_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(documents(s, dir)))
   )
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,6 +76,8 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q1_pickup_hotspots" -> OracleSql.q1PickupHotspots,
     "q2_airport_durations" -> OracleSql.q2AirportDurations,
-    "q3_events_window" -> OracleSql.eventsHourlyTypeStats
+    "q3_events_window" -> OracleSql.eventsHourlyTypeStats,
+    "q4_dedup_exact" -> OracleSql.dedupExact,
+    "q5_dedup_minhash" -> OracleSql.dedupMinhash
   )
 }

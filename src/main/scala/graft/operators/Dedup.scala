@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators over the `documents` fixture
+  * table (TESTDATA.md) — the opening moves of the large-scale
+  * training-data pipeline surface: exact dedup (content-hash groupBy)
+  * and MinHash-LSH near-dup detection (shingle → minhash signature →
+  * banded bucket self-join → exact Jaccard on candidates).
+  *
+  * Scale design (100 TB): everything before the LSH join is row-local
+  * (codegen'd array expressions, no shuffle). Candidate generation is
+  * a single shuffle join on the band key — never an all-pairs
+  * product; bucket sizes are bounded by signature collisions, so cost
+  * tracks the true near-dup density. The exact-dedup path is one hash
+  * shuffle on the content digest.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31 − 1: modulus of the minhash permutations. */
+  val P: Long = 2147483647L
+
+  /** Number of minhash permutations and the LSH banding: 16 hashes in
+    * 8 bands × 2 rows ⇒ candidate-capture threshold ≈ (1/8)^(1/2) ≈
+    * 0.35 Jaccard. */
+  val NumHashes = 16
+  val NumBands = 8
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Final near-dup cut applied to exact Jaccard on candidates. */
+  val JaccardThreshold = 0.3
+
+  /** Deterministic (a, b) permutation params, a ∈ [1, P−1],
+    * b ∈ [0, P−1], from a fixed 64-bit LCG — shared with the DuckDB
+    * oracle generator so both engines run identical arithmetic. */
+  val perms: IndexedSeq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33
+    }
+    IndexedSeq.fill(NumHashes)((next() % (P - 1)) + 1 -> next() % P)
+  }
+
+  /** 60-bit content digest of a string column: first 15 hex digits of
+    * its MD5, read base-16 (mirrored in DuckDB by a list_reduce hex
+    * fold). Collision-safe enough for shingle hashing; exact dedup
+    * additionally keys on the full MD5. */
+  def digest60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: every doc mapped to the canonical (minimum) doc_id
+    * of its identical-content group. One shuffle on the MD5 digest. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val byContent = Window.partitionBy(col("content_hash"))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byContent))
+      .withColumn("dup_group_size", count(lit(1)).over(byContent))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** Distinct 3-word shingles of `text` (whitespace-tokenized), as
+    * 60-bit digests. Docs with fewer than 3 tokens are dropped.
+    * Row-local: array expressions only, no shuffle. */
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)))).as("shingles"))
+      .select(
+        col("doc_id"),
+        array_distinct(transform(col("shingles"), s => digest60(s)))
+          .as("hashes"))
+  }
+
+  /** MinHash signature column: array of NumHashes values,
+    * m_i = min over shingle hashes x of (a_i·(x mod P) + b_i) mod P. */
+  def signature(hashes: Column): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes,
+        x => (lit(a) * (x % P) + lit(b)) % P))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs: (doc_a < doc_b, jaccard) for
+    * every banded-signature candidate whose exact Jaccard (on the
+    * distinct shingle-hash sets) is ≥ [[JaccardThreshold]]. */
+  def minhashNearDups(docs: DataFrame): DataFrame = {
+    val hashed = shingleHashes(docs)
+    val sigs = hashed.select(col("doc_id"), col("hashes"),
+      signature(col("hashes")).as("sig"))
+
+    // 8 rows per doc: (band, k1, k2) — the band key for the LSH join.
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map { j =>
+        struct(
+          element_at(col("sig"), 2 * j + 1).as("k1"),
+          element_at(col("sig"), 2 * j + 2).as("k2"))
+      }: _*)).as(Seq("band", "key")))
+
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    val cand = a.join(b,
+        a("band") === b("band") && a("key") === b("key") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    val ha = hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha"))
+    val hb = hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Brute-force exact-Jaccard pairs (reference implementation for
+    * recall tests — all-pairs, small inputs ONLY; the production path
+    * is [[minhashNearDups]]). */
+  def bruteForceNearDups(docs: DataFrame): DataFrame = {
+    val hashed = shingleHashes(docs)
+    val a = hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+}

@@ -198,4 +198,73 @@ SELECT event_type,
 FROM e
 GROUP BY event_type, win
 HAVING COUNT(*) >= 2"""
+
+  // ---- LLM-pipeline operator mirrors -----------------------------------
+
+  import graft.operators.Dedup
+
+  /** DuckDB fold computing the same 60-bit digest as
+    * [[graft.operators.Dedup.digest60]]: first 15 hex chars of MD5,
+    * base-16. */
+  private def digest60Sql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5($e), 1, 15), ''), " +
+      s"c -> strpos('0123456789abcdef', c) - 1)), (a, b) -> a * 16 + b)"
+
+  /** Mirror of [[graft.operators.Dedup.exactDedup]]. */
+  def dedupExact: String =
+    """SELECT doc_id,
+       md5(text) AS content_hash,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS dup_group_size,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+  /** Shared CTEs: tokens → distinct 3-word shingles → distinct 60-bit
+    * shingle digests (mirror of [[graft.operators.Dedup.shingleHashes]]). */
+  private def shingleCtes: String =
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM d WHERE len(w) >= 3
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+           x -> ${digest60Sql("x")})) AS hashes
+  FROM s
+)"""
+
+  /** Mirror of [[graft.operators.Dedup.minhashNearDups]] — identical
+    * permutation constants ([[Dedup.perms]]), banding and Jaccard cut. */
+  def dedupMinhash: String = {
+    val sigCols = Dedup.perms.map { case (a, b) =>
+      s"list_min(list_transform(hashes, x -> ($a * (x % ${Dedup.P}) + $b) % ${Dedup.P}))"
+    }.mkString("[", ",\n           ", "]")
+    s"""$shingleCtes
+, sig AS (
+  SELECT doc_id, hashes,
+         $sigCols AS m
+  FROM h
+), bands AS (
+  SELECT doc_id, band, m[2*band+1] AS k1, m[2*band+2] AS k2
+  FROM sig, (SELECT unnest(range(${Dedup.NumBands})) AS band)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+         len(list_distinct(list_concat(x.hashes, y.hashes))) AS jaccard
+FROM cand c
+JOIN h x ON x.doc_id = c.doc_a
+JOIN h y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+        len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
+  }
 }

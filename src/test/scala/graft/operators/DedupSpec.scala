@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup maps every doc to a canonical id") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 500)
+    // canonical id is always <= doc_id, and non-duplicates map to self
+    out.foreach { r =>
+      val (id, canon) = (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"))
+      assert(canon <= id)
+      if (!r.getAs[Boolean]("is_duplicate")) assert(canon == id)
+    }
+  }
+
+  test("minhash-LSH pairs are a subset of brute-force pairs (no false positives)") {
+    val lsh = Dedup.minhashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForceNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute),
+      s"LSH invented pairs: ${lsh.diff(brute)}")
+  }
+
+  test("minhash-LSH recall vs brute force >= 0.9 on sf0.001") {
+    val lsh = Dedup.minhashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForceNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no near-dup pairs to test recall on")
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} lsh=${lsh.size} recall=$recall")
+    assert(recall >= 0.9)
+  }
+
+  test("signature arithmetic: minhash of identical docs is identical") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.shingleHashes(two)
+      .select(Dedup.signature(org.apache.spark.sql.functions.col("hashes")))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == Dedup.NumHashes)
+  }
+}
