@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventsQueries, TaxiQueries}
+import graft.operators.{Dedup, EventsQueries, TaxiQueries, TextAnalysis}
 import graft.oracle.OracleSql
 import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -57,7 +57,15 @@ object SparkEntry {
     "q4_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(documents(s, dir))),
     "q5_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(documents(s, dir)))
+      Dedup.minhashNearDups(documents(s, dir))),
+    // LLM-pipeline: per-doc text statistics / quality scoring,
+    // stopword-profile language id, SimHash near-dup pairs.
+    "q6_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(documents(s, dir))),
+    "q7_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(documents(s, dir))),
+    "q8_simhash_dups" -> ((s, dir) =>
+      TextAnalysis.simhashDups(documents(s, dir)))
   )
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -78,6 +86,9 @@ object SparkEntry {
     "q2_airport_durations" -> OracleSql.q2AirportDurations,
     "q3_events_window" -> OracleSql.eventsHourlyTypeStats,
     "q4_dedup_exact" -> OracleSql.dedupExact,
-    "q5_dedup_minhash" -> OracleSql.dedupMinhash
+    "q5_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q6_text_stats" -> OracleSql.textStats,
+    "q7_lang_id" -> OracleSql.langId,
+    "q8_simhash_dups" -> OracleSql.simhashDups
   )
 }

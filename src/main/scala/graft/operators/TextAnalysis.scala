@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` fixture table: per-doc statistics and quality scoring,
+  * stopword-profile language identification, and SimHash
+  * near-duplicate fingerprinting with banded Hamming candidate
+  * generation.
+  *
+  * Scale design: stats, lang-id and the simhash fingerprint are pure
+  * row-local array expressions (no shuffle, whole-stage codegen); the
+  * simhash pair search shuffles once on the 8-bit band key —
+  * pigeonhole over 4 bands guarantees capture of all pairs with
+  * Hamming distance ≤ 3 and probabilistically captures up to
+  * [[TextAnalysis.HammingMax]].
+  */
+object TextAnalysis {
+
+  /** English-ish stopword profile used by the quality score. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
+    "for", "on", "with", "as", "at", "by", "from", "or", "be", "this")
+
+  /** Stopword profiles for language scoring (deterministic order). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that",
+      "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit",
+      "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "de", "en",
+      "por", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "il",
+      "au", "sur"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def arrLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  private def sumInts(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** Per-document statistics, BPE-ish token estimate, rolling
+    * fingerprint and a deterministic quality score in [0, 1]. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_tokens"),
+        sumInts(transform(col("w"), t => length(t).cast("long")))
+          .as("sum_token_chars"),
+        size(filter(col("w"), t => array_contains(arrLit(stopwords), t)))
+          .cast("long").as("n_stopwords"),
+        length(col("text")).cast("long").as("n_chars"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
+        Dedup.digest60(col("text")).as("fingerprint"))
+      .select(
+        col("*"),
+        (col("sum_token_chars").cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        (col("n_stopwords").cast("double") / col("n_tokens"))
+          .as("stopword_ratio"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"))
+      .select(
+        col("*"),
+        (least(col("n_tokens") / 50.0, lit(1.0)) * col("distinct_ratio") *
+          (lit(1.0) - lit(0.5) * col("stopword_ratio")))
+          .as("quality_score"))
+      .drop("distinct_ratio")
+
+  /** Stopword-profile language id: per-language match ratio, winner
+    * by maximum score with profile-order precedence on ties. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), tokens.as("w"))
+      .select(Seq(col("doc_id")) ++ langProfiles.map { case (code, words) =>
+        (size(filter(col("w"), t => array_contains(arrLit(words), t)))
+          .cast("double") / size(col("w"))).as(s"score_$code")
+      }: _*)
+    val codes = langProfiles.map(_._1)
+    // precedence CASE: first profile whose score >= all later ones
+    val guess = codes.init.zipWithIndex.foldRight(
+        lit(codes.last): Column) { case ((code, i), elseCol) =>
+      val later = codes.drop(i + 1)
+      val isMax = later.map(c => col(s"score_$code") >= col(s"score_$c"))
+        .reduce(_ && _)
+      when(isMax, code).otherwise(elseCol)
+    }
+    scored.select(
+      Seq(col("doc_id")) ++ codes.map(c => col(s"score_$c")) :+
+        guess.as("lang_guess"): _*)
+  }
+
+  /** SimHash bit width (matches the 60-bit digest; top bits unused),
+    * band split and the Hamming cut for the pair search. 4 bands of
+    * 15 bits ⇒ guaranteed capture of every pair with Hamming ≤ 3. */
+  val SimHashBits = 60
+  val SimBands = 4
+  val BandBits: Int = SimHashBits / SimBands
+  val HammingMax = 3
+
+  /** Frequency-weighted SimHash of the token stream: bit b is set
+    * iff Σ_tokens (2·bit_b(digest60(t)) − 1) > 0. Row-local. */
+  def simhash(w: Column): Column = {
+    val hs = transform(w, t => Dedup.digest60(t))
+    (0 until SimHashBits).map { b =>
+      when(sumInts(transform(hs,
+        x => (shiftright(x, b) % 2) * 2L - 1L)) > 0, 1L << b)
+        .otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  def simhashDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), simhash(col("w")).as("simhash"))
+
+  /** Near-dup pairs by SimHash: candidates share at least one of
+    * [[SimBands]] 15-bit bands (pigeonhole: guaranteed capture for
+    * Hamming ≤ 3), verified with an exact popcount cut at
+    * [[HammingMax]]. One shuffle on the band key; never all-pairs. */
+  def simhashDups(docs: DataFrame): DataFrame = {
+    val sims = simhashDocs(docs)
+    val bands = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map { j =>
+        shiftright(col("simhash"), BandBits * j) % (1 << BandBits)
+      }: _*)).as(Seq("band", "key")))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("key"))
+    a.join(b,
+        a("band") === b("band") && a("key") === b("key") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sim_a ^ sim_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+}

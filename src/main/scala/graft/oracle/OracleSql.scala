@@ -267,4 +267,94 @@ JOIN h y ON y.doc_id = c.doc_b
 WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
   }
+
+  import graft.operators.TextAnalysis
+
+  /** Mirror of [[TextAnalysis.textStats]]. */
+  def textStats: String = {
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    s"""WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    len(list_distinct(w)) AS n_distinct_tokens,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(w, t -> CAST(length(t) AS BIGINT))),
+      (a, b) -> a + b) AS sum_token_chars,
+    len(list_filter(w, t -> list_contains($stops, t))) AS n_stopwords,
+    length(text) AS n_chars,
+    CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+    ${digest60Sql("text")} AS fingerprint
+  FROM d
+), ratios AS (
+  SELECT *,
+    CAST(sum_token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+    CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+    CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio
+  FROM base
+)
+SELECT * EXCLUDE (distinct_ratio),
+       LEAST(n_tokens / 50.0, 1.0) * distinct_ratio *
+         (1.0 - 0.5 * stopword_ratio) AS quality_score
+FROM ratios"""
+  }
+
+  /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
+  def langId: String = {
+    val scoreCols = TextAnalysis.langProfiles.map { case (code, words) =>
+      val lst = sqlList(words).replace("(", "[").replace(")", "]")
+      s"CAST(len(list_filter(w, t -> list_contains($lst, t))) AS DOUBLE) " +
+        s"/ len(w) AS score_$code"
+    }.mkString(",\n    ")
+    val codes = TextAnalysis.langProfiles.map(_._1)
+    val guess = codes.init.zipWithIndex.map { case (code, i) =>
+      val cond = codes.drop(i + 1)
+        .map(c => s"score_$code >= score_$c").mkString(" AND ")
+      s"WHEN $cond THEN '$code'"
+    }.mkString("CASE ", " ", s" ELSE '${codes.last}' END")
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id,
+    $scoreCols
+  FROM d
+)
+SELECT doc_id, ${codes.map(c => s"score_$c").mkString(", ")},
+       $guess AS lang_guess
+FROM scored"""
+  }
+
+  /** Mirror of [[TextAnalysis.simhashDups]]: 32-bit SimHash, 4×8-bit
+    * bands, exact popcount cut. */
+  def simhashDups: String = {
+    val simTerms = (0 until TextAnalysis.SimHashBits).map { b =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, x -> ((x >> $b) % 2) * 2 - 1)), " +
+        s"(a, b) -> a + b) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" +\n      ")
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(w, t -> ${digest60Sql("t")}) AS hs
+  FROM d
+), sim AS (
+  SELECT doc_id,
+    $simTerms AS simhash
+  FROM h
+), bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (${TextAnalysis.BandBits} * band)) % ${1 << TextAnalysis.BandBits} AS key
+  FROM sim, (SELECT unnest(range(${TextAnalysis.SimBands})) AS band)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM pairs WHERE hamming <= ${TextAnalysis.HammingMax}"""
+  }
 }
