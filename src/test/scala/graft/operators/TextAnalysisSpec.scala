@@ -24,7 +24,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     val df = Seq(
       (1L, "the cat and the dog"),     // en
       (2L, "der hund und die katze"),  // de
-      (3L, "x y z")                    // no matches anywhere -> en by precedence
+      (3L, "qq ww zz")                 // no matches anywhere -> en by precedence
     ).toDF("doc_id", "text")
     val out = TextAnalysis.langId(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
