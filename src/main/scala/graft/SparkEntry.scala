@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventsQueries, TaxiQueries, TextAnalysis}
+import graft.operators.{Dedup, EventsQueries, Similarity, TaxiQueries, TextAnalysis}
 import graft.oracle.OracleSql
 import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -65,7 +65,14 @@ object SparkEntry {
     "q7_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(documents(s, dir))),
     "q8_simhash_dups" -> ((s, dir) =>
-      TextAnalysis.simhashDups(documents(s, dir)))
+      TextAnalysis.simhashDups(documents(s, dir))),
+    // LLM-pipeline: similarity search over embeddings — exact
+    // brute-force cosine top-k baseline and the LSH-bucketed scale
+    // path (random hyperplane sign bits, banded candidate join).
+    "q9_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, dir))),
+    "q10_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Similarity.embeddings(s, dir)))
   )
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -89,6 +96,8 @@ object SparkEntry {
     "q5_dedup_minhash" -> OracleSql.dedupMinhash,
     "q6_text_stats" -> OracleSql.textStats,
     "q7_lang_id" -> OracleSql.langId,
-    "q8_simhash_dups" -> OracleSql.simhashDups
+    "q8_simhash_dups" -> OracleSql.simhashDups,
+    "q9_ann_brute" -> OracleSql.annBruteForce,
+    "q10_ann_lsh" -> OracleSql.annLsh
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture table
+  * (vec_id, embedding: array<float>[64], label).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. The query side is tiny and broadcast, so the plan is
+  *    scan × BroadcastNestedLoopJoin with no shuffle of the corpus;
+  *    per-query cost is linear in corpus size.
+  *  - [[lshTopK]]: random-hyperplane LSH — the scale path. Corpus
+  *    vectors hash to [[SimilarityParams.NumBands]] bucket keys;
+  *    candidates are bucket collisions only, so per-query cost tracks
+  *    bucket occupancy, not corpus size. Recall measured in
+  *    SimilaritySpec.
+  *
+  * All vector arithmetic is sequential-fold double expressions
+  * (mirrored term-for-term by the DuckDB oracle — summation order
+  * matters for bit-exact doubles).
+  */
+object SimilarityParams {
+  val Dim = 64
+  val TopK = 10
+  val NumQueryVectors = 10
+
+  /** Hyperplane count and banding: 24 sign bits in 8 bands × 3 bits.
+    * Tuned for weakly-clustered corpora (this fixture's true top-10
+    * sit at cosine ≈ 0.3, i.e. ~0.6 per-bit sign agreement → ≈ 0.85
+    * expected recall@10). On real embedding corpora with neighbor
+    * cosine ≥ 0.7 the same structure gives ≥ 0.99 recall with far
+    * smaller candidate sets; band count/width are the knobs. */
+  val NumPlanes = 24
+  val NumBands = 8
+  val BitsPerBand: Int = NumPlanes / NumBands
+
+  /** Deterministic ±1 hyperplane matrix from a fixed 64-bit LCG —
+    * shared with the DuckDB oracle generator. */
+  val planes: IndexedSeq[IndexedSeq[Int]] = {
+    var x = 0x2545F4914F6CDD1DL
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33
+    }
+    IndexedSeq.fill(NumPlanes, Dim)(if ((next() & 1L) == 0L) 1 else -1)
+  }
+}
+
+object Similarity {
+  import SimilarityParams._
+
+  /** Sequential left-fold sum of a double array (order-stable). */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** embeddings.parquet with the float vector cast to double and its
+    * L2 norm attached (row-local; scan prunes to 2 columns). */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(fsum(transform(col("v"), x => x * x))))
+
+  private def queries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+
+  private def cosine: Column =
+    (fsum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+      (col("qnorm") * col("norm"))).as("cosine")
+
+  private def topK(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+
+  /** Exact cosine top-k of every query vector against the corpus. */
+  def bruteForceTopK(emb: DataFrame): DataFrame =
+    topK(broadcast(queries(emb)).crossJoin(emb)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine))
+
+  /** Sign-bit LSH band keys for a vector column: NumBands ints, band
+    * j packing the sign bits of hyperplanes [j·BitsPerBand, ...). */
+  def bandKeys(v: Column): Seq[Column] =
+    (0 until NumBands).map { j =>
+      (0 until BitsPerBand).map { t =>
+        val p = planes(j * BitsPerBand + t)
+        val dot = fsum(zip_with(
+          array(p.map(lit(_)): _*), v, (pi, x) => pi * x))
+        when(dot >= 0.0, lit(1 << t)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+
+  /** Approximate cosine top-k: candidates = corpus vectors sharing at
+    * least one LSH band bucket with the query; exact cosine + rank on
+    * the candidate set only. */
+  def lshTopK(emb: DataFrame): DataFrame = {
+    def banded(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("*"),
+        posexplode(array(bandKeys(col(if (idCol == "query_id") "qv" else "v"))
+          .map(_.cast("int")): _*)).as(Seq("band", "key")))
+
+    val qb = banded(queries(emb), "query_id")
+    val cb = banded(emb, "vec_id")
+      .select(col("vec_id"), col("v"), col("norm"), col("band"), col("key"))
+
+    val cand = qb.join(cb,
+        qb("band") === cb("band") && qb("key") === cb("key") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("vec_id"), col("v"), col("norm"))
+      .distinct()
+
+    topK(cand.withColumn("cosine", cosine))
+  }
+}

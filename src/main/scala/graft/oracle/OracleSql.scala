@@ -357,4 +357,85 @@ FROM scored"""
 )
 SELECT * FROM pairs WHERE hamming <= ${TextAnalysis.HammingMax}"""
   }
+
+  import graft.operators.SimilarityParams
+
+  /** Sequential left-fold double sum — the DuckDB twin of
+    * Similarity.fsum (summation order must match for bit-exact
+    * doubles). */
+  private def fsumSql(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (a, b) -> a + b)"
+
+  private def embCtes: String =
+    s"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(${fsumSql("list_transform(v, x -> x * x)")}) AS nrm
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < ${SimilarityParams.NumQueryVectors}
+)"""
+
+  private def dotSql(a: String, b: String): String =
+    fsumSql(s"list_transform(range(1, ${SimilarityParams.Dim + 1}), " +
+      s"i -> $a[i] * $b[i])")
+
+  /** Mirror of [[graft.operators.Similarity.bruteForceTopK]]. */
+  def annBruteForce: String =
+    s"""$embCtes
+, p AS (
+  SELECT query_id, vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM q, n
+  WHERE vec_id <> query_id
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= ${SimilarityParams.TopK}"""
+
+  /** Mirror of [[graft.operators.Similarity.lshTopK]] — identical
+    * hyperplane matrix ([[SimilarityParams.planes]]) and banding. */
+  def annLsh: String = {
+    import SimilarityParams._
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until BitsPerBand).map { t =>
+        val p = planes(j * BitsPerBand + t)
+        val lst = p.mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    def bandCte(src: String, id: String, vcol: String): String =
+      (0 until NumBands).map { j =>
+        s"SELECT $id, $vcol, $j AS band, ${keyExpr(vcol, j)} AS key FROM $src"
+      }.mkString("\n  UNION ALL\n  ")
+    s"""$embCtes
+, qb AS (
+  ${bandCte("q", "query_id, qn", "qv")}
+), cb AS (
+  ${bandCte("n", "vec_id, nrm", "v")}
+), cand AS (
+  SELECT query_id, qv, qn, vec_id, v, nrm
+  FROM qb JOIN cb USING (band, key)
+  WHERE vec_id <> query_id
+  GROUP BY ALL
+), p AS (
+  SELECT query_id, vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM cand
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
 }

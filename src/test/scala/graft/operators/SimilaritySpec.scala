@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
+
+  private lazy val emb =
+    Similarity.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("brute-force top-k: k rows per query, self excluded, rank ordered by cosine") {
+    val rows = Similarity.bruteForceTopK(emb).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == SimilarityParams.NumQueryVectors)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length == SimilarityParams.TopK)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == qid))
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      val cosines = byRank.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb))
+    val lsh = pairs(Similarity.lshTopK(emb))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} lsh=${lsh.size} recall@10=$recall")
+    assert(recall >= 0.7, s"recall@10 $recall below floor")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq((100L, Array.tabulate(64)(i => (i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = one.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val v = df.select(col("v"), col("norm")).collect()(0)
+    val arr = v.getSeq[Double](0)
+    val dot = arr.foldLeft(0.0)((a, x) => a + x * x)
+    assert(math.abs(dot / (v.getDouble(1) * v.getDouble(1)) - 1.0) < 1e-12)
+  }
+}
