@@ -72,8 +72,21 @@ object SparkEntry {
     "q9_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir))),
     "q10_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Similarity.embeddings(s, dir)))
+      Similarity.lshTopK(Similarity.embeddings(s, dir))),
+    // S2: strict JSON wire codec over the committed reference-format
+    // fixture (FIXTURES.md §A) — malformed line skipped, type
+    // dispatch, ISO-8601 timestamps to epoch ms.
+    "q11_wire_codec" -> ((s, _) =>
+      graft.io.EventCodec.trips(graft.io.EventCodec.parseEvents(
+          s.read.text(TinyFixturePath).toDF("value")))
+        .toDF()
+        .select(col("trip_id"), col("pickup_lat"), col("pickup_lon"),
+          col("dropoff_lat"), col("dropoff_lon"), col("total_amount"),
+          unix_millis(col("pickup_datetime")).as("pickup_ms"),
+          unix_millis(col("dropoff_datetime")).as("dropoff_ms")))
   )
+
+  val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -98,6 +111,19 @@ object SparkEntry {
     "q7_lang_id" -> OracleSql.langId,
     "q8_simhash_dups" -> OracleSql.simhashDups,
     "q9_ann_brute" -> OracleSql.annBruteForce,
-    "q10_ann_lsh" -> OracleSql.annLsh
+    "q10_ann_lsh" -> OracleSql.annLsh,
+    "q11_wire_codec" ->
+      s"""SELECT trip_id, pickup_lat, pickup_lon, dropoff_lat, dropoff_lon,
+         |       total_amount,
+         |       epoch_ms(CAST(pickup_datetime AS TIMESTAMP)) AS pickup_ms,
+         |       epoch_ms(CAST(dropoff_datetime AS TIMESTAMP)) AS dropoff_ms
+         |FROM read_json('$TinyFixturePath',
+         |  format='newline_delimited', ignore_errors=true,
+         |  columns={type:'VARCHAR', trip_id:'BIGINT',
+         |           pickup_datetime:'TIMESTAMPTZ', dropoff_datetime:'TIMESTAMPTZ',
+         |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
+         |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
+         |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})
+         |WHERE type = 'trip'""".stripMargin
   )
 }
