@@ -58,7 +58,7 @@ object FixtureGen {
       trip(8, 95.0, 200.0, bLat, bLon, t("00:03:00.000"), t("00:16:00.000"), 1.0),
       trip(9, xLat, xLon, bLat, bLon, t("00:04:00.000"), t("00:17:00.000"), 2.0),
       trip(10, aLat, aLon, 0.0, 0.0, t("00:05:00.000"), t("00:18:00.000"), 3.0),
-      """{"malformed line — must be skipped by the codec""",
+      """{"malformed line - must be skipped by the codec""",
       trip(11, aLat, aLon, bLat, bLon, t("00:12:00.000"), t("00:20:00.000"), 7.0),
       trip(12, aLat, aLon, bLat, bLon, t("00:13:00.000"), t("00:20:00.000"), 8.0),
       wm(t("00:20:00.000")))
