@@ -1,0 +1,133 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Buffered, idempotent bulk-index sink — the Spark-first counterpart
+  * of the reference's Elasticsearch sink
+  * (ElasticsearchJestSink.java:45-155): buffer documents, bulk-flush
+  * at ≥ [[BulkIndexer.DefaultMaxDocs]] docs or
+  * ≥ [[BulkIndexer.DefaultMaxAgeMs]] ms (their :62), flush fully at
+  * batch end (their flush-on-checkpoint, :139-148).
+  *
+  * Two deliberate upgrades over the reference:
+  *  - its FIXME at ElasticsearchJestSink.java:98 (single-action
+  *    failures inside a bulk response are silently dropped) is fixed:
+  *    failed actions are retried per-doc up to `maxRetries`, then the
+  *    task fails — giving at-least-once delivery;
+  *  - document ids are DETERMINISTIC (sha1 of the key columns), so
+  *    Spark's task/batch retries upgrade at-least-once to
+  *    effectively-once on any idempotent store.
+  */
+final case class IndexDoc(id: String, source: String)
+
+/** Pluggable bulk transport (the offline stand-in for an HTTP bulk
+  * endpoint). Must be constructible on executors. */
+trait BulkTransport extends Serializable {
+  /** Index a bulk of docs; per-doc success flags, same order. */
+  def bulkIndex(docs: Seq[IndexDoc]): Seq[Boolean]
+}
+
+/** Local-directory "index": one JSON file per doc id, written via
+  * temp-file + atomic move — re-delivery overwrites identically, so
+  * the index is idempotent by construction. */
+class LocalDirTransport(dir: String) extends BulkTransport {
+  override def bulkIndex(docs: Seq[IndexDoc]): Seq[Boolean] = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    docs.map { d =>
+      try {
+        val tmp = Files.createTempFile(base, s".${d.id}", ".tmp")
+        Files.writeString(tmp, d.source + "\n")
+        Files.move(tmp, base.resolve(s"${d.id}.json"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+}
+
+object BulkIndexer {
+  val DefaultMaxDocs = 500
+  val DefaultMaxAgeMs = 5000L
+}
+
+/** Per-partition buffering indexer. Not thread-safe (one instance per
+  * task, like the reference's per-subtask sink). */
+class BulkIndexer(
+    transport: BulkTransport,
+    maxDocs: Int = BulkIndexer.DefaultMaxDocs,
+    maxAgeMs: Long = BulkIndexer.DefaultMaxAgeMs,
+    maxRetries: Int = 3,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[IndexDoc]
+  private var oldestMs: Long = -1L
+  private var flushedDocs = 0L
+
+  def add(doc: IndexDoc): Unit = {
+    if (buffer.isEmpty) oldestMs = now()
+    buffer += doc
+    if (buffer.size >= maxDocs || now() - oldestMs >= maxAgeMs) flush()
+  }
+
+  /** Drain the buffer, retrying individual failed actions — the fix
+    * for the reference's bulk-partial-failure FIXME. Throws after
+    * `maxRetries` so the task (not the data) carries the failure. */
+  def flush(): Unit = {
+    var pending: Seq[IndexDoc] = buffer.toSeq
+    buffer.clear()
+    oldestMs = -1L
+    var attempt = 0
+    while (pending.nonEmpty) {
+      if (attempt > maxRetries)
+        throw new java.io.IOException(
+          s"bulk index failed for ${pending.size} docs after $maxRetries retries")
+      val ok = transport.bulkIndex(pending)
+      flushedDocs += ok.count(identity)
+      pending = pending.zip(ok).collect { case (d, false) => d }
+      attempt += 1
+    }
+  }
+
+  def totalFlushed: Long = flushedDocs
+}
+
+object BulkIndexSink {
+
+  /** Deterministic doc id: sha1 over the key column values — the
+    * hash(key, window) identity that makes re-delivery idempotent. */
+  def withDocId(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.withColumn("_id",
+        sha1(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)))
+      .withColumn("_source",
+        to_json(struct(df.columns.map(col): _*)))
+
+  /** Write a (batch or foreachBatch) DataFrame through buffered bulk
+    * indexing; one indexer per partition, full flush at partition end
+    * (= flush-on-checkpoint for streaming). */
+  def write(df: DataFrame, keyCols: Seq[String],
+      transport: BulkTransport,
+      maxDocs: Int = BulkIndexer.DefaultMaxDocs,
+      maxAgeMs: Long = BulkIndexer.DefaultMaxAgeMs): Unit =
+    withDocId(df, keyCols)
+      .select(col("_id"), col("_source"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val indexer = new BulkIndexer(transport, maxDocs, maxAgeMs)
+        rows.foreach(r => indexer.add(IndexDoc(r.getString(0), r.getString(1))))
+        indexer.flush()
+      }
+
+  /** foreachBatch hook for `writeStream` (SK1 wiring): e.g.
+    * {{{
+    * StreamingTaxi.writer(q1, cp).foreachBatch(
+    *   BulkIndexSink.foreachBatchWriter(Seq("location", "timestamp"),
+    *     new LocalDirTransport(indexDir))).start()
+    * }}} */
+  def foreachBatchWriter(keyCols: Seq[String], transport: BulkTransport)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => write(batch, keyCols, transport)
+}
