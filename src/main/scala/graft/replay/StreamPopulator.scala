@@ -1,0 +1,206 @@
+package graft.replay
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPInputStream
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Replay/ingest tooling — the engine's counterpart of the
+  * reference's producer module (SURVEY.md §2.3):
+  *
+  *  - [[TaxiEventReader]]: multi-file line scan with gzip
+  *    auto-detection and bad-line skip (R1,
+  *    TaxiEventReader.java:32-145) plus timestamp seek (R2, :52-70);
+  *  - [[AdaptTime]]: the three time-adaptation modes (R4,
+  *    AdaptTimeOption.java:18-22, producer TripEvent.java:45-82);
+  *  - [[StreamPopulator]]: speed-up pacing (R3,
+  *    StreamPopulator.java:143-161, MIN_SLEEP :44), watermark
+  *    broadcast to every output partition (R5/R6,
+  *    WatermarkTracker.java:57-91 — with synchronous file writes the
+  *    low watermark of un-acked events degenerates to the timestamp
+  *    of the last written event), progress statistics (R9,
+  *    StreamPopulator.java:200-210).
+  *
+  * R7 (KPL backpressure semaphore) and R8 (Kinesis writer) are
+  * Kinesis-specific and intentionally absent: file-partition output
+  * is synchronous, and the streaming engine reads the partition files
+  * as its source (StreamingTaxi.fromJsonFiles).
+  */
+object ReplayJson {
+  val mapper = new ObjectMapper()
+
+  private val isoFmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  def parseIso(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+  def toIso(ms: Long): String =
+    isoFmt.format(java.time.Instant.ofEpochMilli(ms))
+
+  /** Event timestamp of a wire line: dropoff time for trips,
+    * watermark time for control records (TripEvent.java:41-43,
+    * WatermarkEvent.java:29-31). None = unparseable (skip). */
+  def timestampOf(line: String): Option[Long] =
+    try {
+      val n = mapper.readTree(line)
+      n.path("type").asText() match {
+        case "trip" => Some(parseIso(n.path("dropoff_datetime").asText()))
+        case "watermark" => Some(parseIso(n.path("watermark").asText()))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+}
+
+/** R1 + R2: iterate (line, eventTimeMs) over files sorted by name,
+  * transparently gunzipping (magic-byte detection), skipping
+  * unparseable lines with a counter. */
+class TaxiEventReader(files: Seq[Path]) extends Iterator[(String, Long)] {
+  def this(dir: String) = this(
+    Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
+      .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString).toSeq)
+
+  private var skipped = 0L
+  private val lines: Iterator[String] = files.iterator.flatMap { p =>
+    val raw = Files.newInputStream(p)
+    val in = new java.io.PushbackInputStream(raw, 2)
+    val b1 = in.read(); val b2 = in.read()
+    if (b2 != -1) in.unread(b2)
+    if (b1 != -1) in.unread(b1)
+    val stream =
+      if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(in) else in
+    val r = new BufferedReader(new InputStreamReader(stream, "UTF-8"))
+    Iterator.continually(r.readLine()).takeWhile(_ != null)
+  }
+
+  private var nextEvent: Option[(String, Long)] = advance()
+
+  private def advance(): Option[(String, Long)] = {
+    while (lines.hasNext) {
+      val l = lines.next()
+      ReplayJson.timestampOf(l) match {
+        case Some(ts) => return Some((l, ts))
+        case None => skipped += 1 // bad line: skip with a warning count
+      }
+    }
+    None
+  }
+
+  override def hasNext: Boolean = nextEvent.isDefined
+  override def next(): (String, Long) = {
+    val e = nextEvent.get
+    nextEvent = advance()
+    e
+  }
+
+  /** R2: skip forward until event time >= t. */
+  def seek(t: Long): Unit =
+    while (nextEvent.exists(_._2 < t)) nextEvent = advance()
+
+  def skippedLines: Long = skipped
+}
+
+/** R4: the three time-adaptation modes. */
+object AdaptTime {
+  sealed trait Mode
+  /** Replay timestamps as-is. */
+  case object Original extends Mode
+  /** Shift all timestamps by (invocation time − dataset epoch) —
+    * preserves inter-event gaps and durations. */
+  final case class Invocation(datasetEpochMs: Long, nowMs: Long) extends Mode
+  /** Rewrite dropoff to "now", preserving the trip duration. */
+  final case class Ingestion(nowMs: () => Long) extends Mode
+
+  def adapt(line: String, eventTs: Long, mode: Mode): String = mode match {
+    case Original => line
+    case Invocation(epoch, now) => shift(line, now - epoch)
+    case Ingestion(now) => shift(line, now() - eventTs)
+  }
+
+  private def shift(line: String, deltaMs: Long): String = {
+    val n = ReplayJson.mapper.readTree(line).asInstanceOf[ObjectNode]
+    def bump(field: String): Unit = if (n.hasNonNull(field))
+      n.put(field, ReplayJson.toIso(
+        ReplayJson.parseIso(n.get(field).asText()) + deltaMs))
+    bump("pickup_datetime"); bump("dropoff_datetime"); bump("watermark")
+    ReplayJson.mapper.writeValueAsString(n)
+  }
+}
+
+/** R3 + R6 + R9: replay a directory of wire-format files into
+  * `partitions` output files at `speedup`× real time, broadcasting a
+  * watermark line to every partition each `watermarkEveryMs` of wall
+  * time or `watermarkEveryEvents` events (StreamPopulator.java:39-41),
+  * logging progress every `statsEveryMs`. */
+class StreamPopulator(
+    inputDir: String,
+    outputDir: String,
+    partitions: Int = 4,
+    speedup: Double = 6480.0, // reference default, StreamPopulator.java:107
+    adaptMode: AdaptTime.Mode = AdaptTime.Original,
+    watermarkEveryMs: Long = 5000L,
+    watermarkEveryEvents: Long = 100000L,
+    statsEveryMs: Long = 60000L,
+    sleep: Long => Unit = Thread.sleep,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  val MinSleepMs = 5L // StreamPopulator.java:44
+
+  private val writers: IndexedSeq[BufferedWriter] = {
+    Files.createDirectories(Paths.get(outputDir))
+    (0 until partitions).map(i => Files.newBufferedWriter(
+      Paths.get(outputDir, f"part-$i%05d.jsonl")))
+  }
+
+  private def emitWatermark(ts: Long): Unit = {
+    val line = s"""{"type": "watermark", "watermark": "${ReplayJson.toIso(ts)}"}"""
+    writers.foreach { w => w.write(line); w.newLine() }
+  }
+
+  /** Replay everything at the configured pace; returns (events,
+    * skipped lines). */
+  def populate(seekTo: Option[Long] = None): (Long, Long) = {
+    val reader = new TaxiEventReader(inputDir)
+    seekTo.foreach(reader.seek)
+    var t0Log = -1L
+    var t0Sys = -1L
+    var events = 0L
+    var lastWmWall = now()
+    var lastWmEvents = 0L
+    var lastStats = now()
+    var lastTs = -1L
+    for ((line, ts) <- reader) {
+      if (t0Log < 0) { t0Log = ts; t0Sys = now() }
+      // pacing: wait until (wall elapsed)×speedup reaches event offset
+      var wait = ((ts - t0Log) / speedup - (now() - t0Sys)).toLong
+      while (wait > 0) { sleep(math.max(wait, MinSleepMs)); wait =
+        ((ts - t0Log) / speedup - (now() - t0Sys)).toLong }
+      val out = AdaptTime.adapt(line, ts, adaptMode)
+      val p = math.floorMod(out.hashCode, partitions)
+      writers(p).write(out); writers(p).newLine()
+      events += 1
+      lastTs = ts
+      if (now() - lastWmWall >= watermarkEveryMs ||
+          events - lastWmEvents >= watermarkEveryEvents) {
+        emitWatermark(adaptMode match {
+          case AdaptTime.Original => ts
+          case AdaptTime.Invocation(epoch, n0) => ts + (n0 - epoch)
+          case AdaptTime.Ingestion(n) => n()
+        })
+        lastWmWall = now(); lastWmEvents = events
+      }
+      if (now() - lastStats >= statsEveryMs) {
+        val rate = events * 1000.0 / math.max(1, now() - t0Sys)
+        println(f"[replay] $events events, $rate%.0f ev/s, replay lag " +
+          f"${(now() - t0Sys) - (ts - t0Log) / speedup}%.0f ms")
+        lastStats = now()
+      }
+    }
+    if (lastTs >= 0) emitWatermark(adaptMode match {
+      case AdaptTime.Original => lastTs
+      case AdaptTime.Invocation(epoch, n0) => lastTs + (n0 - epoch)
+      case AdaptTime.Ingestion(n) => n()
+    })
+    writers.foreach(_.close())
+    (events, reader.skippedLines)
+  }
+}
