@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * (image/audio/video) carried as opaque `binary` columns with typed
+  * metadata, processed by per-partition batch operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deliberate stub ([[Multimodal.decodeStub]]): a deterministic
+  * byte-histogram "embedding" stands in for a real
+  * decoder+feature-extractor. Everything around it — the schema, the
+  * typed Dataset API, mime sniffing, per-partition batching (decoder
+  * context initialized once per partition, the same shape a real
+  * model/codec handle needs), frame sampling — is real and tested.
+  *
+  * Scale design: all operators are mapPartitions (row-local, no
+  * shuffle); payload bytes never enter a shuffle key; metadata-only
+  * queries prune the binary column at the scan.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long, kind: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, mime: String, n_bytes: Long,
+      features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** Magic-byte mime sniffing (real logic, no decode needed). */
+  def sniffMime(payload: Array[Byte]): String = {
+    def startsWith(sig: Int*): Boolean =
+      payload.length >= sig.length &&
+        sig.zipWithIndex.forall { case (b, i) =>
+          (payload(i) & 0xff) == b }
+    if (startsWith(0x89, 'P', 'N', 'G')) "image/png"
+    else if (startsWith(0xff, 0xd8, 0xff)) "image/jpeg"
+    else if (startsWith('R', 'I', 'F', 'F')) "audio/wav"
+    else if (startsWith(0x00, 0x00, 0x00)) "video/mp4" // ftyp box stub
+    else "application/octet-stream"
+  }
+
+  /** STUB decoder: where a real pipeline would decode pixels/samples
+    * and run a feature model, we produce a deterministic normalized
+    * 16-bin byte histogram. Replace with a real codec behind the same
+    * (Iterator batch) signature. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    payload.foreach(b => hist((b & 0xff) / FeatureDim) += 1f)
+    val n = math.max(1, payload.length).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Per-partition feature extraction: the "decoder context" is
+    * created once per partition and reused across the partition's
+    * records — the batch shape a real model handle requires. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // real pipeline: val ctx = Decoder.open(...) — once per partition
+      val ctx = new StringBuilder // stand-in context (cheap, reusable)
+      records.map { r =>
+        ctx.clear() // proves per-record reuse of the partition context
+        MediaFeatures(r.media_id, r.kind, sniffMime(r.payload),
+          r.payload.length.toLong, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Deterministic frame sampler for chunked video payloads: split
+    * the payload into `frameBytes` chunks and keep every `stride`-th
+    * (the mapInPandas-style frame-sample stage, minus the codec). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (frame, i) if i % stride == 0 =>
+          (r.media_id, i, frame.length, sniffMime(r.payload)) }
+    }.toDF("media_id", "frame_index", "frame_bytes", "mime")
+  }
+
+  /** Metadata-only projection — binary column pruned at the scan
+    * (only `media_id`, `kind` and byte length are read/derived). */
+  def metadata(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"))
+}
