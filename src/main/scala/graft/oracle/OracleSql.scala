@@ -438,4 +438,79 @@ WHERE rank <= ${SimilarityParams.TopK}"""
 SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
   }
+
+  /** Mirror of [[graft.operators.Similarity.embeddingNearDups]]. */
+  def embedNearDups: String = {
+    import SimilarityParams._
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until BitsPerBand).map { t =>
+        val lst = planes(j * BitsPerBand + t).mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandCte = (0 until NumBands).map { j =>
+      s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$embCtes
+, bands AS (
+  $bandCte
+), cand AS (
+  SELECT a.vec_id AS vec_a, a.v AS qv, a.nrm AS qn,
+         b.vec_id AS vec_b, b.v AS v2, b.nrm AS n2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  GROUP BY ALL
+), p AS (
+  SELECT vec_a, vec_b,
+         ${dotSql("qv", "v2")} / (qn * n2) AS cosine
+  FROM cand
+)
+SELECT vec_a, vec_b, cosine FROM p
+WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
+  }
+
+  /** Mirror of [[graft.operators.RelationalQueries.ordersByNation]]. */
+  def ordersByNation: String =
+    """SELECT n_name, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice) AS sum_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority"""
+
+  /** Mirror of [[graft.operators.RelationalQueries.topUsers]]. */
+  def topUsers: String =
+    """WITH g AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+  FROM g
+)
+SELECT user_id, n_events, sum_value, rank FROM r WHERE rank <= 20"""
+
+  /** Mirror of [[graft.operators.RelationalQueries.userSessions]]:
+    * gaps-and-islands reconstruction of Spark's session_window —
+    * a new session starts when the gap to the previous event is
+    * >= the 2-hour timeout; session end = last event + timeout. */
+  def userSessions: String =
+    """WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ms, value FROM events
+), o AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w >= 7200000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ms) AS session_start_ms,
+       MAX(ms) + 7200000 AS session_end_ms,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM s GROUP BY user_id, sid"""
 }
