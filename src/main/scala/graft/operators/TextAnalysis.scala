@@ -103,20 +103,25 @@ object TextAnalysis {
   val BandBits: Int = SimHashBits / SimBands
   val HammingMax = 3
 
-  /** Frequency-weighted SimHash of the token stream: bit b is set
-    * iff Σ_tokens (2·bit_b(digest60(t)) − 1) > 0. Row-local. */
-  def simhash(w: Column): Column = {
-    val hs = transform(w, t => Dedup.digest60(t))
+  /** Frequency-weighted SimHash over a precomputed token-hash array:
+    * bit b is set iff Σ_tokens (2·bit_b(hash) − 1) > 0. Row-local.
+    * Takes the hash ARRAY (not the tokens) so the md5 digests are
+    * computed once per row, not once per bit — inlining the digest
+    * into all 60 bit terms was a 60× recompute (bench-visible). */
+  def simhashFromHashes(hs: Column): Column =
     (0 until SimHashBits).map { b =>
       when(sumInts(transform(hs,
         x => (shiftright(x, b) % 2) * 2L - 1L)) > 0, 1L << b)
         .otherwise(0L)
     }.reduce(_ + _)
-  }
 
   def simhashDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens.as("w"))
-      .select(col("doc_id"), simhash(col("w")).as("simhash"))
+      // separate projection: CollapseProject keeps the expensive
+      // multi-referenced digest array materialized once per row
+      .select(col("doc_id"),
+        transform(col("w"), t => Dedup.digest60(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
 
   /** Near-dup pairs by SimHash: candidates share at least one of
     * [[SimBands]] 15-bit bands (pigeonhole: guaranteed capture for
