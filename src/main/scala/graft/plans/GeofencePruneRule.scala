@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.geo.Geohash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.GeohashEncode
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule rewriting geofence membership tests
+  * `geohash_encode(lat, lon, p) IN (cell literals)` into a
+  * disjunction of bounding-box range predicates
+  * `lat >= a AND lat < b AND lon >= c AND lon < d` (one conjunct per
+  * cell).
+  *
+  * Semantics-preserving because a geohash cell IS its half-open
+  * bounding box under the index-formula encode ([[Geohash.bbox]];
+  * upper edges belong to the next cell, matching floor semantics).
+  * Cells touching the world boundary (lat 90 / lon 180), where encode
+  * CLAMPS and the box upper edge is closed, are left unrewritten —
+  * none of the reference fences touch it, but the rule must not
+  * assume that.
+  *
+  * Why: the rewritten predicate is 4 double comparisons per cell with
+  * no string building, base-32 encoding or allocation — cheaper per
+  * row at 100 TB, and range predicates over the raw columns are
+  * visible to Parquet min/max skipping when lat/lon are stored
+  * columns (the geohash string never is).
+  *
+  * Registered through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) — the
+  * engine's SparkSessionExtensions surface.
+  */
+object GeofencePruneRule extends Rule[LogicalPlan] {
+
+  private def boxPredicate(lat: Expression, lon: Expression,
+      cell: String): Option[Expression] = {
+    val b = Geohash.bbox(cell)
+    // clamped world edge would need closed upper bounds; bail out
+    if (b.latMax >= 90.0 || b.lonMax >= 180.0) None
+    else Some(And(
+      And(GreaterThanOrEqual(lat, Literal(b.latMin)),
+        LessThan(lat, Literal(b.latMax))),
+      And(GreaterThanOrEqual(lon, Literal(b.lonMin)),
+        LessThan(lon, Literal(b.lonMax)))))
+  }
+
+  private def cellStrings(list: Seq[Expression],
+      precision: Int): Option[Seq[String]] = {
+    val strs = list.collect {
+      case Literal(s: UTF8String, org.apache.spark.sql.types.StringType) =>
+        s.toString
+    }
+    if (strs.length == list.length && strs.forall(_.length == precision))
+      Some(strs)
+    else None
+  }
+
+  /** The rewrite duplicates `lat`/`lon` 2× per cell — a win for
+    * column references, a blow-up for derived expression trees. Only
+    * rewrite cheap-to-copy inputs. */
+  private def cheap(e: Expression): Boolean = e match {
+    case _: Attribute => true
+    case _: Literal => true
+    case c: Cast => cheap(c.child)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case in @ In(GeohashEncode(lat, lon, Literal(p: Int, _)), list)
+          if list.nonEmpty && cheap(lat) && cheap(lon) =>
+        (for {
+          cells <- cellStrings(list, p)
+          preds <- {
+            val ps = cells.map(boxPredicate(lat, lon, _))
+            if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+          }
+        } yield preds.reduce(Or)).getOrElse(in)
+    }
+}
+
+/** SparkSessionExtensions entry point: injects the geofence-pruning
+  * optimizer rule. Usable via config
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => GeofencePruneRule)
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.SparkSessionSpec
+import graft.functions.GeoFunctions
+import graft.geo.{Geofences, Geohash}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeofencePruneRuleSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+
+  /** Points straddling each NYC fence cell: center (in), just inside
+    * every edge, just outside every edge. */
+  private def probePoints: Seq[(Double, Double)] =
+    Geofences.nycCells.flatMap { c =>
+      val b = Geohash.bbox(c)
+      val eps = 1e-9
+      Seq(
+        (b.latCenter, b.lonCenter),
+        (b.latMin, b.lonMin),                      // lower edges inclusive
+        (b.latMax - eps, b.lonMax - eps),
+        (b.latMax, b.lonCenter),                   // upper edge -> next cell
+        (b.latMin - eps, b.lonCenter),
+        (b.latCenter, b.lonMax))
+    } ++ Seq((0.0, 0.0), (40.8, -74.0), (90.0, 180.0), (-90.0, -180.0))
+
+  private def fenced(df: DataFrame): DataFrame =
+    df.filter(GeoFunctions.near_nyc(col("lat"), col("lon")))
+
+  private def optimizedWithRule(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      GeofencePruneRule(df.queryExecution.analyzed))
+
+  test("rewritten fence predicate selects exactly the same rows") {
+    val df = probePoints.toDF("lat", "lon")
+    val original = fenced(df)
+    val rewritten = optimizedWithRule(original)
+    assert(rewritten.collect().toSet == original.collect().toSet)
+    assert(original.count() > 0)
+  }
+
+  test("rule eliminates geohash_encode from the fence predicate") {
+    val df = probePoints.toDF("lat", "lon")
+    val before = fenced(df).queryExecution.analyzed
+    val after = GeofencePruneRule(before)
+    def hasGeohash(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode]))
+    assert(hasGeohash(before))
+    assert(!after.exists(hasGeohash))
+  }
+
+  test("rule leaves derived (expensive) coordinate expressions alone") {
+    val df = Seq((1L, 40.8, -74.0)).toDF("id", "lat", "lon")
+      .select(col("id"),
+        (col("lat") * 2.0 - col("lat")).as("dlat"), col("lon"))
+    val filtered = df.filter(
+      GeoFunctions.near_nyc(col("dlat") + col("dlat") * 0.0, col("lon")))
+    val after = GeofencePruneRule(filtered.queryExecution.analyzed)
+    val stillHas = after.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode])))
+    assert(stillHas)
+  }
+
+  test("box membership equals encode membership for every fence cell") {
+    val cells = Geofences.nycCells ++ Geofences.jfkCells ++ Geofences.lgaCells
+    cells.foreach { c =>
+      val b = Geohash.bbox(c)
+      val eps = 1e-9
+      val pts = Seq(
+        (b.latCenter, b.lonCenter), (b.latMin, b.lonMin),
+        (b.latMax - eps, b.lonMin), (b.latMax, b.lonMax),
+        (b.latMin - eps, b.lonCenter), (b.latCenter, b.lonMax - eps))
+      pts.foreach { case (lat, lon) =>
+        val byBox = lat >= b.latMin && lat < b.latMax &&
+          lon >= b.lonMin && lon < b.lonMax
+        assert(Geohash.contains(c, lat, lon) == byBox,
+          s"cell $c point ($lat, $lon)")
+      }
+    }
+  }
+
+  test("extensions entry point registers the rule on a new session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // getOrCreate may return the shared session; only assert when we
+      // really got one with our extension injected
+      import s2.implicits._
+      val df = probePoints.toDF("lat", "lon")
+      val out = df.filter(GeoFunctions.near_nyc(col("lat"), col("lon")))
+      val viaRule = optimizedWithRule(out)
+      assert(out.collect().toSet == viaRule.collect().toSet)
+    } finally { /* shared-session safe: do not stop */ }
+  }
+}
