@@ -21,14 +21,19 @@ class StreamingTaxiSpec extends AnyFunSuite with SparkSessionSpec {
     scala.io.Source.fromFile("src/test/resources/trips_tiny.jsonl",
       "UTF-8").getLines().toSeq
 
-  /** A valid NYC trip far in the future — advances the heuristic
-    * watermark so earlier windows finalize and emit in append mode. */
+  /** A valid NYC→JFK trip far in the future — advances the heuristic
+    * watermark so earlier windows finalize and emit in append mode.
+    * The dropoff must be at an AIRPORT: Catalyst pushes Q2's
+    * `airport_code IS NOT NULL` below the EventTimeWatermark node
+    * (it doesn't reference the event-time column), so a flush row
+    * that fails any pushed-down filter never advances the watermark. */
   private def flushLine(iso: String): String = {
-    val b = graft.geo.Geohash.bbox(graft.geo.Geofences.nycCells.head)
-    val (lat, lon) = (b.latCenter, b.lonCenter)
+    val p = graft.geo.Geohash.bbox(graft.geo.Geofences.nycCells.head)
+    val d = graft.geo.Geohash.bbox(graft.geo.Geofences.jfkCells.head)
     s"""{"type": "trip", "trip_id": 999, "pickup_datetime": "$iso", """ +
-      s""""dropoff_datetime": "$iso", "pickup_lat": $lat, "pickup_lon": $lon, """ +
-      s""""dropoff_lat": $lat, "dropoff_lon": $lon, "total_amount": 1.0}"""
+      s""""dropoff_datetime": "$iso", "pickup_lat": ${p.latCenter}, """ +
+      s""""pickup_lon": ${p.lonCenter}, "dropoff_lat": ${d.latCenter}, """ +
+      s""""dropoff_lon": ${d.lonCenter}, "total_amount": 1.0}"""
   }
 
   test("file-source streaming decodes the wire fixture (S1+S2)") {
@@ -55,14 +60,44 @@ class StreamingTaxiSpec extends AnyFunSuite with SparkSessionSpec {
 
     ms.addData(fixtureLines: _*)
     query.processAllAvailable()
-    // advance the watermark past every fixture window
+    // advance the watermark past every fixture window; second flush
+    // forces a data-bearing batch so emission can't race
+    // processAllAvailable via the no-data batch
     ms.addData(flushLine("2016-02-01T00:00:00.000Z"))
+    query.processAllAvailable()
+    ms.addData(flushLine("2016-02-01T01:00:00.000Z"))
     query.processAllAvailable()
     query.stop()
 
     val streaming = spark.table("q1_stream")
       .select("location", "pickup_count", "timestamp").collect().toSet
     val batch = TaxiQueries.q1PickupHotspots(TaxiQueries.validNycTrips(
+        EventCodec.parseEvents(fixtureLines.toDF("value"))))
+      .collect().toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+
+  test("streaming Q2 equals batch Q2") {
+    val ms = MemoryStream[String]
+    val events = EventCodec.parseEvents(ms.toDF().toDF("value"))
+    val q2 = StreamingTaxi.q2(StreamingTaxi.tripStream(events))
+    val query = StreamingTaxi.writer(q2, tmp("cp"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .format("memory").queryName("q2_stream").start()
+    ms.addData(fixtureLines: _*)
+    query.processAllAvailable()
+    // two flush batches: the first advances the watermark, the second
+    // forces a data-bearing batch in which finalized windows emit
+    // (emission via a no-data batch races processAllAvailable)
+    ms.addData(flushLine("2016-02-01T00:00:00.000Z"))
+    query.processAllAvailable()
+    ms.addData(flushLine("2016-02-01T01:00:00.000Z"))
+    query.processAllAvailable()
+    query.stop()
+
+    val streaming = spark.table("q2_stream").collect().toSet
+    val batch = TaxiQueries.q2AirportDurations(TaxiQueries.validNycTrips(
         EventCodec.parseEvents(fixtureLines.toDF("value"))))
       .collect().toSet
     assert(streaming == batch)
