@@ -95,7 +95,12 @@ object SparkEntry {
     "q14_top_users" -> ((s, dir) =>
       RelationalQueries.topUsers(EventsQueries.events(s, dir))),
     "q15_sessions" -> ((s, dir) =>
-      RelationalQueries.userSessions(EventsQueries.events(s, dir)))
+      RelationalQueries.userSessions(EventsQueries.events(s, dir))),
+    // Grouping-sets and set-operation surfaces (SURVEY.md §2.4).
+    "q16_rollup" -> ((s, dir) =>
+      RelationalQueries.lineitemRollup(s, dir)),
+    "q17_set_ops" -> ((s, dir) =>
+      RelationalQueries.setOpsCustomers(s, dir))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -140,6 +145,17 @@ object SparkEntry {
     "q12_dedup_embed" -> OracleSql.embedNearDups,
     "q13_join_nation" -> OracleSql.ordersByNation,
     "q14_top_users" -> OracleSql.topUsers,
-    "q15_sessions" -> OracleSql.userSessions
+    "q15_sessions" -> OracleSql.userSessions,
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q17_set_ops" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
   )
 }

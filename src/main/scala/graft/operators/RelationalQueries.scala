@@ -40,6 +40,27 @@ object RelationalQueries {
         .cast("long"))
       .filter(col("rank") <= k)
 
+  /** Hierarchical rollup over lineitem flags: per (returnflag,
+    * linestatus), per returnflag subtotal, and grand total — the
+    * grouping-sets surface. */
+  def lineitemRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Set operations: customers holding open orders minus those who
+    * also placed a filled order — INTERSECT/EXCEPT surface. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("custkey"))
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val filled = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    cust.intersect(open).except(filled)
+  }
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */
