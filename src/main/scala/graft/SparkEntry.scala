@@ -100,7 +100,10 @@ object SparkEntry {
     "q16_rollup" -> ((s, dir) =>
       RelationalQueries.lineitemRollup(s, dir)),
     "q17_set_ops" -> ((s, dir) =>
-      RelationalQueries.setOpsCustomers(s, dir))
+      RelationalQueries.setOpsCustomers(s, dir)),
+    // n-gram member of the dedup family: char-5-gram MinHash-LSH.
+    "q18_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramNearDups(documents(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -156,6 +159,7 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q18_dedup_ngram" -> OracleSql.dedupNgram
   )
 }

@@ -84,6 +84,26 @@ object Dedup {
           .as("hashes"))
   }
 
+  /** Character n-gram width for the n-gram Jaccard dedup variant. */
+  val NGramChars = 5
+
+  /** Distinct character 5-gram digests — the n-gram member of the
+    * dedup family (robust to tokenization differences the word
+    * shingles miss). Row-local. */
+  def charNgramHashes(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= NGramChars)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), length(col("text")) - NGramChars),
+          i => col("text").substr(i + 1, lit(NGramChars))))
+          .as("grams"))
+      .select(
+        col("doc_id"),
+        array_distinct(transform(col("grams"), g => digest60(g)))
+          .as("hashes"))
+
   /** MinHash signature column: array of NumHashes values,
     * m_i = min over shingle hashes x of (a_i·(x mod P) + b_i) mod P. */
   def signature(hashes: Column): Column =
@@ -95,8 +115,15 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: (doc_a < doc_b, jaccard) for
     * every banded-signature candidate whose exact Jaccard (on the
     * distinct shingle-hash sets) is ≥ [[JaccardThreshold]]. */
-  def minhashNearDups(docs: DataFrame): DataFrame = {
-    val hashed = shingleHashes(docs)
+  def minhashNearDups(docs: DataFrame): DataFrame =
+    nearDupsFromHashes(shingleHashes(docs))
+
+  /** Same LSH pipeline over character 5-grams (q18). */
+  def ngramNearDups(docs: DataFrame): DataFrame =
+    nearDupsFromHashes(charNgramHashes(docs))
+
+  /** Shared LSH pipeline: (doc_id, hashes) → near-dup pairs. */
+  def nearDupsFromHashes(hashed: DataFrame): DataFrame = {
     val sigs = hashed.select(col("doc_id"), col("hashes"),
       signature(col("hashes")).as("sig"))
 

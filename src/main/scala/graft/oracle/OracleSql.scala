@@ -237,13 +237,39 @@ FROM documents"""
   FROM s
 )"""
 
+  /** Mirror of [[graft.operators.Dedup.charNgramHashes]]: distinct
+    * character 5-gram digests. */
+  private def ngramCtes: String = {
+    val n = Dedup.NGramChars
+    s"""WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= $n
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, length(text) - $n + 1),
+           i -> substr(text, CAST(i + 1 AS INT), $n))) AS grams
+  FROM d
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_transform(grams,
+           x -> ${digest60Sql("x")})) AS hashes
+  FROM g
+)"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.minhashNearDups]] — identical
     * permutation constants ([[Dedup.perms]]), banding and Jaccard cut. */
-  def dedupMinhash: String = {
+  def dedupMinhash: String = minhashPipeline(shingleCtes)
+
+  /** Mirror of [[graft.operators.Dedup.ngramNearDups]] (q18). */
+  def dedupNgram: String = minhashPipeline(ngramCtes)
+
+  /** Shared LSH mirror over any CTE chain ending in
+    * `h(doc_id, hashes)`. */
+  private def minhashPipeline(ctes: String): String = {
     val sigCols = Dedup.perms.map { case (a, b) =>
       s"list_min(list_transform(hashes, x -> ($a * (x % ${Dedup.P}) + $b) % ${Dedup.P}))"
     }.mkString("[", ",\n           ", "]")
-    s"""$shingleCtes
+    s"""$ctes
 , sig AS (
   SELECT doc_id, hashes,
          $sigCols AS m
