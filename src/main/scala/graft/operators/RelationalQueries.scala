@@ -30,15 +30,21 @@ object RelationalQueries {
   }
 
   /** Deterministic top-k: the 20 most active users by event count
-    * (count desc, user_id asc tie-break) — sort/limit surface. */
+    * (count desc, user_id asc tie-break). The k-cut runs as
+    * `orderBy().limit(k)` — Spark's TakeOrderedAndProject does a
+    * distributed per-partition top-k then merges k·partitions rows on
+    * the driver, instead of funnelling every group through the single
+    * partition a global row_number Window would need. The rank column
+    * is attached afterwards on the k-row result. */
   def topUsers(events: DataFrame, k: Int = 20): DataFrame =
     events
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_events").desc, col("user_id").asc))
         .cast("long"))
-      .filter(col("rank") <= k)
 
   /** Hierarchical rollup over lineitem flags: per (returnflag,
     * linestatus), per returnflag subtotal, and grand total — the
