@@ -70,6 +70,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real pipeline decodes and rescales pixels; the
+    * stand-in keeps every stride-th payload byte after the sniffed
+    * header, preserving the header so mime detection still works.
+    * Deterministic; the plumbing (typed in/out, row-local) is real. */
+  def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val header = math.min(4, payload.length)
+    payload.take(header) ++
+      payload.drop(header).grouped(stride).map(_.head).toArray
+  }
+
+  /** Per-partition resize stage (same batch shape as
+    * [[extractFeatures]]). */
+  def resize(media: Dataset[MediaRecord], stride: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map(r => r.copy(payload = resizeStub(r.payload, stride)))
+    }
+  }
+
   /** Deterministic frame sampler for chunked video payloads: split
     * the payload into `frameBytes` chunks and keep every `stride`-th
     * (the mapInPandas-style frame-sample stage, minus the codec). */

@@ -54,6 +54,16 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(frames.forall(_.getAs[Int]("frame_bytes") == 100))
   }
 
+  test("resize stub shrinks payloads, preserves mime header, stays typed") {
+    val resized = resize(media, stride = 4).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(sniffMime(r.payload) == sniffMime(o.payload)) // header kept
+      assert(r.payload.length < o.payload.length)
+      assert(r.payload.length == 4 + (o.payload.length - 4 + 3) / 4)
+    }
+  }
+
   test("metadata projection reads lengths without decoding") {
     val meta = metadata(media.toDF()).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
