@@ -1,7 +1,7 @@
 package graft.functions
 
-import graft.geo.Geofences
-import org.apache.spark.sql.graft.{Bridge, GeohashEncode}
+import graft.geo.{Geofences, Geohash}
+import org.apache.spark.sql.graft.{Bridge, GeohashCode, GeohashEncode}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -20,10 +20,18 @@ object GeoFunctions {
   def valid_coords(lat: Column, lon: Column): Column =
     abs(lat) <= 90.0 && abs(lon) <= 180.0
 
+  /** Integer cell code (the base-32 string's value) — allocation-free
+    * cell identity for fence predicates. */
+  def geohash_code(lat: Column, lon: Column, precision: Int): Column =
+    Bridge.column(GeohashCode(
+      Bridge.expression(lat),
+      Bridge.expression(lon),
+      Bridge.expression(lit(precision))))
+
   private def fence(cells: Seq[String], lat: Column,
       lon: Column): Column =
     cells.groupBy(_.length).toSeq.sortBy(_._1).map { case (len, cs) =>
-      geohash_encode(lat, lon, len).isin(cs: _*)
+      geohash_code(lat, lon, len).isin(cs.map(Geohash.cellCode): _*)
     }.reduce(_ || _)
 
   /** Point inside the 8-cell NYC fence (GeoUtils.java:40-43). */

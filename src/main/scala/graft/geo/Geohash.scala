@@ -29,15 +29,33 @@ object Geohash {
   /** Encode a WGS84 point to a geohash of `precision` characters.
     * Valid for |lat| <= 90, |lon| <= 180 (boundary values map to the
     * outermost cell). Precision 1..12. */
-  def encode(lat: Double, lon: Double, precision: Int): String = {
+  def encode(lat: Double, lon: Double, precision: Int): String =
+    toBase32(code(lat, lon, precision), precision)
+
+  /** The 5·precision-bit interleaved cell code — the integer a
+    * geohash string is the base-32 rendering of. Cheaper than
+    * [[encode]] (no string allocation); two points share a cell at
+    * `precision` iff their codes are equal. */
+  def code(lat: Double, lon: Double, precision: Int): Long = {
     require(precision >= 1 && precision <= 12,
       s"geohash precision must be in [1,12], got $precision")
     val nLon = lonBits(precision)
     val nLat = latBits(precision)
     val lonIdx = index(lon, 180.0, 360.0, nLon)
     val latIdx = index(lat, 90.0, 180.0, nLat)
-    val code = interleave(lonIdx, nLon, latIdx, nLat)
-    toBase32(code, precision)
+    interleave(lonIdx, nLon, latIdx, nLat)
+  }
+
+  /** Integer cell code of a geohash string (base-32 decode). */
+  def cellCode(gh: String): Long = {
+    var c = 0L
+    gh.foreach { ch =>
+      val v = charIndex.getOrElse(ch.toLower,
+        throw new IllegalArgumentException(
+          s"invalid geohash char '$ch' in \"$gh\""))
+      c = (c << 5) | v
+    }
+    c
   }
 
   /** floor((v+off)/span * 2^bits) clamped into [0, 2^bits). */
@@ -88,17 +106,12 @@ object Geohash {
   }
 
   /** Decode a geohash string to its bounding box. */
-  def bbox(gh: String): BBox = {
-    val precision = gh.length
+  def bbox(gh: String): BBox = bboxOfCode(cellCode(gh), gh.length)
+
+  /** Bounding box of an integer cell code at `precision`. */
+  def bboxOfCode(code: Long, precision: Int): BBox = {
     val nLon = lonBits(precision)
     val nLat = latBits(precision)
-    var code = 0L
-    gh.foreach { c =>
-      val v = charIndex.getOrElse(c.toLower,
-        throw new IllegalArgumentException(
-          s"invalid geohash char '$c' in \"$gh\""))
-      code = (code << 5) | v
-    }
     // de-interleave
     var lonIdx = 0L
     var latIdx = 0L

@@ -241,11 +241,12 @@ FROM documents"""
     * character 5-gram digests. */
   private def ngramCtes: String = {
     val n = Dedup.NGramChars
+    val s = Dedup.NGramStride
     s"""WITH d AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= $n
 ), g AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(0, length(text) - $n + 1),
+         list_distinct(list_transform(range(0, length(text) - $n + 1, $s),
            i -> substr(text, CAST(i + 1 AS INT), $n))) AS grams
   FROM d
 ), h AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graft.GeohashEncode
+import org.apache.spark.sql.graft.{GeohashCode, GeohashEncode}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule rewriting geofence membership tests
@@ -35,26 +35,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object GeofencePruneRule extends Rule[LogicalPlan] {
 
   private def boxPredicate(lat: Expression, lon: Expression,
-      cell: String): Option[Expression] = {
-    val b = Geohash.bbox(cell)
+      box: Geohash.BBox): Option[Expression] = {
     // clamped world edge would need closed upper bounds; bail out
-    if (b.latMax >= 90.0 || b.lonMax >= 180.0) None
+    if (box.latMax >= 90.0 || box.lonMax >= 180.0) None
     else Some(And(
-      And(GreaterThanOrEqual(lat, Literal(b.latMin)),
-        LessThan(lat, Literal(b.latMax))),
-      And(GreaterThanOrEqual(lon, Literal(b.lonMin)),
-        LessThan(lon, Literal(b.lonMax)))))
+      And(GreaterThanOrEqual(lat, Literal(box.latMin)),
+        LessThan(lat, Literal(box.latMax))),
+      And(GreaterThanOrEqual(lon, Literal(box.lonMin)),
+        LessThan(lon, Literal(box.lonMax)))))
   }
 
-  private def cellStrings(list: Seq[Expression],
-      precision: Int): Option[Seq[String]] = {
-    val strs = list.collect {
-      case Literal(s: UTF8String, org.apache.spark.sql.types.StringType) =>
-        s.toString
+  private def cellBoxes(list: Seq[Expression],
+      precision: Int): Option[Seq[Geohash.BBox]] = {
+    val boxes = list.collect {
+      case Literal(s: UTF8String, org.apache.spark.sql.types.StringType)
+          if s.toString.length == precision =>
+        Geohash.bbox(s.toString)
+      case Literal(code: Long, org.apache.spark.sql.types.LongType) =>
+        Geohash.bboxOfCode(code, precision)
     }
-    if (strs.length == list.length && strs.forall(_.length == precision))
-      Some(strs)
-    else None
+    if (boxes.length == list.length) Some(boxes) else None
   }
 
   /** The rewrite duplicates `lat`/`lon` 2× per cell — a win for
@@ -67,17 +67,24 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def rewrite(in: In, lat: Expression, lon: Expression,
+      p: Int, list: Seq[Expression]): Expression =
+    (for {
+      boxes <- cellBoxes(list, p)
+      preds <- {
+        val ps = boxes.map(boxPredicate(lat, lon, _))
+        if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+      }
+    } yield preds.reduce(Or)).getOrElse(in)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case in @ In(GeohashEncode(lat, lon, Literal(p: Int, _)), list)
           if list.nonEmpty && cheap(lat) && cheap(lon) =>
-        (for {
-          cells <- cellStrings(list, p)
-          preds <- {
-            val ps = cells.map(boxPredicate(lat, lon, _))
-            if (ps.forall(_.isDefined)) Some(ps.flatten) else None
-          }
-        } yield preds.reduce(Or)).getOrElse(in)
+        rewrite(in, lat, lon, p, list)
+      case in @ In(GeohashCode(lat, lon, Literal(p: Int, _)), list)
+          if list.nonEmpty && cheap(lat) && cheap(lon) =>
+        rewrite(in, lat, lon, p, list)
     }
 }
 

@@ -10,7 +10,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helpers invoked from generated code (must be statically
@@ -18,6 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GeohashOps {
   def encodeUTF8(lat: Double, lon: Double, precision: Int): UTF8String =
     UTF8String.fromString(Geohash.encode(lat, lon, precision))
+  def code(lat: Double, lon: Double, precision: Int): Long =
+    Geohash.code(lat, lon, precision)
 }
 
 /** `geohash_encode(lat, lon, precision)` as a native Catalyst
@@ -49,6 +52,95 @@ case class GeohashEncode(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): GeohashEncode = copy(f, s, t)
+}
+
+/** Runtime kernel for [[MinHashSignature]]: one tight JVM loop over
+  * the shingle-hash array computing all permutations — replaces
+  * NumHashes interpreted `transform(...)` lambdas (higher-order
+  * array functions never enter codegen), the hot path of MinHash
+  * dedup over a large corpus. */
+object MinHashOps {
+  def signature(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Array[Long], b: Array[Long], p: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val hm = hashes.getLong(j) % p
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * hm + b(i)) % p
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `minhash_signature(hashes)` — the k-permutation MinHash signature
+  * of a distinct shingle-hash array, with the permutation constants
+  * baked in. Identical arithmetic to the per-permutation
+  * `array_min(transform(...))` formulation (and to the DuckDB oracle
+  * mirror), but evaluated in one codegen'd loop. */
+case class MinHashSignature(child: Expression,
+    a: Seq[Long], b: Seq[Long], p: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def nullSafeEval(hashes: Any): Any =
+    MinHashOps.signature(
+      hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, h =>
+      s"org.apache.spark.sql.graft.MinHashOps.signature($h, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : MinHashSignature = copy(child = c)
+}
+
+/** `geohash_code(lat, lon, precision)` — the integer cell code the
+  * geohash string renders in base-32. The fence predicates
+  * (GeoFunctions.fence) compare these primitive longs instead of
+  * building per-row strings: no allocation, integer `IN`, same cell
+  * identity ([[Geohash.code]]). */
+case class GeohashCode(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "geohash_code"
+
+  override def nullSafeEval(lat: Any, lon: Any, prec: Any): Any =
+    GeohashOps.code(lat.asInstanceOf[Double],
+      lon.asInstanceOf[Double], prec.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, p) =>
+      s"org.apache.spark.sql.graft.GeohashOps.code($lat, $lon, $p)")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): GeohashCode = copy(f, s, t)
 }
 
 /** Column <-> Expression bridging for graft code. */

@@ -37,6 +37,23 @@ class GeohashExpressionSpec extends AnyFunSuite with SparkSessionSpec {
     assert(df.head().getString(0) == Geohash.encode(40.64, -73.77, 6))
   }
 
+  test("GeohashCode is the integer the string renders in base-32") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 100).map { _ =>
+      (rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180)
+    }
+    val rows = pts.toDF("lat", "lon")
+      .select($"lat", $"lon",
+        GeoFunctions.geohash_code($"lat", $"lon", 6).as("c6"),
+        GeoFunctions.geohash_encode($"lat", $"lon", 6).as("g6"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == Geohash.cellCode(r.getString(3)))
+      assert(r.getLong(2) == Geohash.code(r.getDouble(0), r.getDouble(1), 6))
+    }
+  }
+
   test("null propagation") {
     import spark.implicits._
     val df = Seq((Some(40.64), None: Option[Double]))

@@ -40,15 +40,18 @@ class GeofencePruneRuleSpec extends AnyFunSuite with SparkSessionSpec {
     assert(original.count() > 0)
   }
 
-  test("rule eliminates geohash_encode from the fence predicate") {
+  private def hasGeohashExpr(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    p.expressions.exists(_.exists(e =>
+      e.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode] ||
+        e.isInstanceOf[org.apache.spark.sql.graft.GeohashCode]))
+
+  test("rule eliminates geohash evaluation from the fence predicate") {
     val df = probePoints.toDF("lat", "lon")
     val before = fenced(df).queryExecution.analyzed
     val after = GeofencePruneRule(before)
-    def hasGeohash(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      p.expressions.exists(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode]))
-    assert(hasGeohash(before))
-    assert(!after.exists(hasGeohash))
+    assert(hasGeohashExpr(before))
+    assert(!after.exists(hasGeohashExpr))
   }
 
   test("rule leaves derived (expensive) coordinate expressions alone") {
@@ -58,9 +61,18 @@ class GeofencePruneRuleSpec extends AnyFunSuite with SparkSessionSpec {
     val filtered = df.filter(
       GeoFunctions.near_nyc(col("dlat") + col("dlat") * 0.0, col("lon")))
     val after = GeofencePruneRule(filtered.queryExecution.analyzed)
-    val stillHas = after.exists(_.expressions.exists(_.exists(
-      _.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode])))
-    assert(stillHas)
+    assert(after.exists(hasGeohashExpr))
+  }
+
+  test("string-form fences (geohash_encode IN cells) still rewrite") {
+    val df = probePoints.toDF("lat", "lon")
+    val strFence = df.filter(
+      GeoFunctions.geohash_encode(col("lat"), col("lon"), 4)
+        .isin(graft.geo.Geofences.nycCells: _*))
+    val after = GeofencePruneRule(strFence.queryExecution.analyzed)
+    assert(!after.exists(hasGeohashExpr))
+    val rewritten = org.apache.spark.sql.graft.Bridge.ofRows(spark, after)
+    assert(rewritten.collect().toSet == strFence.collect().toSet)
   }
 
   test("box membership equals encode membership for every fence cell") {
