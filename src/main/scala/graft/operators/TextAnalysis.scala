@@ -106,14 +106,13 @@ object TextAnalysis {
   /** Frequency-weighted SimHash over a precomputed token-hash array:
     * bit b is set iff Σ_tokens (2·bit_b(hash) − 1) > 0. Row-local.
     * Takes the hash ARRAY (not the tokens) so the md5 digests are
-    * computed once per row, not once per bit — inlining the digest
-    * into all 60 bit terms was a 60× recompute (bench-visible). */
-  def simhashFromHashes(hs: Column): Column =
-    (0 until SimHashBits).map { b =>
-      when(sumInts(transform(hs,
-        x => (shiftright(x, b) % 2) * 2L - 1L)) > 0, 1L << b)
-        .otherwise(0L)
-    }.reduce(_ + _)
+    * computed once per row, not once per bit; evaluated by the
+    * codegen'd [[org.apache.spark.sql.graft.SimHashExpr]] kernel
+    * (one pass) rather than 60 interpreted per-bit folds. */
+  def simhashFromHashes(hs: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SimHashExpr}
+    Bridge.column(SimHashExpr(Bridge.expression(hs), SimHashBits))
+  }
 
   def simhashDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens.as("w"))

@@ -116,6 +116,60 @@ case class MinHashSignature(child: Expression,
       : MinHashSignature = copy(child = c)
 }
 
+/** Runtime kernel for [[SimHashExpr]]: one pass over the token-hash
+  * array accumulating all bit counters — replaces `bits` interpreted
+  * aggregate() folds per row. */
+object SimHashOps {
+  def simhash(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int): Long = {
+    val counts = new Array[Long](bits)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < bits) {
+        counts(b) += ((h >> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+/** `simhash(hashes, bits)` — frequency-weighted SimHash of a
+  * token-hash array, codegen'd. Bit b is set iff
+  * Σ_tokens (2·bit_b(hash) − 1) > 0 — identical arithmetic to the
+  * per-bit fold formulation mirrored by the DuckDB oracle. */
+case class SimHashExpr(child: Expression, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(hashes: Any): Any =
+    SimHashOps.simhash(
+      hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"org.apache.spark.sql.graft.SimHashOps.simhash($h, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
 /** `geohash_code(lat, lon, precision)` — the integer cell code the
   * geohash string renders in base-32. The fence predicates
   * (GeoFunctions.fence) compare these primitive longs instead of
