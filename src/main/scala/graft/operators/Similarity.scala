@@ -51,10 +51,12 @@ object SimilarityParams {
 
 object Similarity {
   import SimilarityParams._
+  import org.apache.spark.sql.graft.{Bridge, DotProduct, HyperplaneBands}
 
-  /** Sequential left-fold sum of a double array (order-stable). */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd sequential-fold dot product (order-identical to the
+    * aggregate(zip_with(...)) formulation the oracle mirrors). */
+  private def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** embeddings.parquet with the float vector cast to double and its
     * L2 norm attached (row-local; scan prunes to 2 columns). */
@@ -62,7 +64,7 @@ object Similarity {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(fsum(transform(col("v"), x => x * x))))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   private def queries(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < NumQueryVectors)
@@ -70,7 +72,7 @@ object Similarity {
         col("norm").as("qnorm"))
 
   private def cosine: Column =
-    (fsum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+    (dot(col("qv"), col("v")) /
       (col("qnorm") * col("norm"))).as("cosine")
 
   private def topK(scored: DataFrame): DataFrame =
@@ -88,17 +90,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine))
 
-  /** Sign-bit LSH band keys for a vector column: NumBands ints, band
+  /** All sign-bit LSH band keys of a vector in one codegen'd pass
+    * over the baked hyperplane matrix — array of NumBands ints, band
     * j packing the sign bits of hyperplanes [j·BitsPerBand, ...). */
-  def bandKeys(v: Column): Seq[Column] =
-    (0 until NumBands).map { j =>
-      (0 until BitsPerBand).map { t =>
-        val p = planes(j * BitsPerBand + t)
-        val dot = fsum(zip_with(
-          array(p.map(lit(_)): _*), v, (pi, x) => pi * x))
-        when(dot >= 0.0, lit(1 << t)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
+  def bandKeysArray(v: Column): Column =
+    Bridge.column(HyperplaneBands(Bridge.expression(v),
+      planes.flatten, NumBands, BitsPerBand))
 
   /** Embedding-cosine near-duplicate threshold (data-driven for the
     * fixture: max pairwise cosine ≈ 0.51, 59 pairs ≥ 0.4 at sf0.01). */
@@ -108,10 +105,13 @@ object Similarity {
     * generation (any shared band) then exact cosine ≥
     * [[NearDupCosine]] — the embedding member of the dedup family.
     * One shuffle on the band key; never all-pairs. */
-  def embeddingNearDups(emb: DataFrame): DataFrame = {
+  def embeddingNearDups(emb0: DataFrame): DataFrame = {
+    // norm + band keys feed several consumers; persist like the
+    // dedup hash corpus
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = emb.select(col("vec_id"),
-      posexplode(array(bandKeys(col("v")).map(_.cast("int")): _*))
-        .as(Seq("band", "key")))
+      posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
     val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
     val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
     // distinct on the ID PAIR only (distinct over the vector arrays
@@ -133,11 +133,13 @@ object Similarity {
   /** Approximate cosine top-k: candidates = corpus vectors sharing at
     * least one LSH band bucket with the query; exact cosine + rank on
     * the candidate set only. */
-  def lshTopK(emb: DataFrame): DataFrame = {
+  def lshTopK(emb0: DataFrame): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(col("*"),
-        posexplode(array(bandKeys(col(if (idCol == "query_id") "qv" else "v"))
-          .map(_.cast("int")): _*)).as(Seq("band", "key")))
+        posexplode(bandKeysArray(col(if (idCol == "query_id") "qv" else "v")))
+          .as(Seq("band", "key")))
 
     val qb = banded(queries(emb), "query_id")
       .select(col("query_id"), col("band"), col("key"))

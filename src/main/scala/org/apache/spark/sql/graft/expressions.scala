@@ -8,7 +8,7 @@ package org.apache.spark.sql.graft
 import graft.geo.Geohash
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -168,6 +168,92 @@ case class SimHashExpr(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(c: Expression): SimHashExpr =
     copy(child = c)
+}
+
+/** Runtime kernels for the vector-similarity expressions. All sums
+  * are sequential left folds in element order — bit-identical to the
+  * `aggregate(zip_with(...))` formulation and to the DuckDB oracle's
+  * `list_reduce` mirror. */
+object VectorOps {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc = acc + a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Sign-bit LSH band keys: planes is the row-major flattened
+    * ±1 hyperplane matrix (numBands·bitsPerBand × dim). */
+  def bandKeys(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Int], numBands: Int, bitsPerBand: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = v.numElements()
+    val keys = new Array[Int](numBands)
+    var plane = 0
+    while (plane < numBands * bitsPerBand) {
+      var acc = 0.0
+      var i = 0
+      val off = plane * dim
+      while (i < dim) { acc = acc + planes(off + i) * v.getDouble(i); i += 1 }
+      if (acc >= 0.0) keys(plane / bitsPerBand) |= 1 << (plane % bitsPerBand)
+      plane += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
+/** `dot_product(a, b)` over double arrays, codegen'd sequential fold. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotProduct = copy(l, r)
+}
+
+/** `hyperplane_bands(v)` — all LSH band keys of a vector in one
+  * codegen'd pass over the baked ±1 hyperplane matrix. */
+case class HyperplaneBands(child: Expression, planes: Seq[Int],
+    numBands: Int, bitsPerBand: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  private lazy val planeArr = planes.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.bandKeys(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planeArr, numBands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planeArr, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.VectorOps.bandKeys($v, $ref, $numBands, $bitsPerBand)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : HyperplaneBands = copy(child = c)
 }
 
 /** `geohash_code(lat, lon, precision)` — the integer cell code the
