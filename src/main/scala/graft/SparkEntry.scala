@@ -101,9 +101,12 @@ object SparkEntry {
       RelationalQueries.lineitemRollup(s, dir)),
     "q17_set_ops" -> ((s, dir) =>
       RelationalQueries.setOpsCustomers(s, dir)),
-    // n-gram member of the dedup family: char-5-gram MinHash-LSH.
+    // n-gram member of the dedup family: char-8-gram MinHash-LSH.
     "q18_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramNearDups(documents(s, dir)))
+      Dedup.ngramNearDups(documents(s, dir))),
+    // Ranking/analytic window functions (row_number + lag).
+    "q19_user_activity" -> ((s, dir) =>
+      RelationalQueries.userActivity(EventsQueries.events(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -160,6 +163,18 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
-    "q18_dedup_ngram" -> OracleSql.dedupNgram
+    "q18_dedup_ngram" -> OracleSql.dedupNgram,
+    "q19_user_activity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CAST(row_number() OVER w AS BIGINT) AS rank,
+        |         ts_ms - lag(ts_ms, 1) OVER w AS gap_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_ms ASC, event_id ASC)
+        |)
+        |SELECT * FROM r WHERE rank <= 5""".stripMargin
   )
 }

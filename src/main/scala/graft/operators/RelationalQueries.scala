@@ -67,6 +67,20 @@ object RelationalQueries {
     cust.intersect(open).except(filled)
   }
 
+  /** Analytic window functions: each user's first five events with
+    * their per-user rank and the gap to the previous event
+    * (row_number + lag over a partitioned ordered window — the
+    * ranking/analytic surface, SURVEY.md §2.4). */
+  def userActivity(events: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */
