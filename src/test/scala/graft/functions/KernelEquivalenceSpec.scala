@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSessionSpec
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd kernels (MinHashSignature, SimHashExpr, DotProduct,
+  * HyperplaneBands) replaced interpreted higher-order-function
+  * formulations that the DuckDB oracle mirrors term-for-term. These
+  * tests pin kernel == fold-formulation on randomized inputs, so any
+  * future kernel edit that drifts from the oracle arithmetic fails
+  * here first. */
+class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private lazy val hashArrays: Seq[Seq[Long]] =
+    (1 to 50).map(_ => (1 to rnd.nextInt(120) + 1)
+      .map(_ => rnd.nextLong().abs % (1L << 60)))
+
+  test("MinHashSignature kernel == per-permutation fold formulation") {
+    val df = hashArrays.toDF("hashes")
+    val foldSig = array(Dedup.perms.map { case (a, b) =>
+      array_min(transform(col("hashes"),
+        x => (lit(a) * (x % Dedup.P) + lit(b)) % Dedup.P))
+    }: _*)
+    val rows = df.select(
+      Dedup.signature(col("hashes")).as("kernel"),
+      foldSig.as("fold")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("SimHashExpr kernel == per-bit fold formulation") {
+    val df = hashArrays.toDF("hs")
+    val foldSim = (0 until TextAnalysis.SimHashBits).map { b =>
+      when(aggregate(transform(col("hs"),
+        x => (shiftright(x, b) % 2) * 2L - 1L), lit(0L),
+        (acc, x) => acc + x) > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = df.select(
+      TextAnalysis.simhashFromHashes(col("hs")).as("kernel"),
+      foldSim.as("fold")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("DotProduct kernel == sequential zip_with fold, bit-exact") {
+    val vecs = (1 to 50).map(_ => (
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val kernel = Bridge.column(org.apache.spark.sql.graft.DotProduct(
+      Bridge.expression(col("a")), Bridge.expression(col("b"))))
+    df.select(kernel.as("k"), fold.as("f")).collect().foreach { r =>
+      // bit-exact, not approximately equal: the oracle depends on it
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("HyperplaneBands kernel == per-plane sign-bit fold formulation") {
+    import graft.operators.SimilarityParams._
+    val vecs = (1 to 30).map(_ => Seq.fill(Dim)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    val foldKeys = array((0 until NumBands).map { j =>
+      (0 until BitsPerBand).map { t =>
+        val p = planes(j * BitsPerBand + t)
+        val dot = aggregate(zip_with(array(p.map(lit(_)): _*), col("v"),
+          (pi, x) => pi * x), lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0.0, lit(1 << t)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val rows = df.select(
+      graft.operators.Similarity.bandKeysArray(col("v")).as("kernel"),
+      foldKeys.as("fold")).collect()
+    rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+}
