@@ -106,7 +106,11 @@ object SparkEntry {
       Dedup.ngramNearDups(documents(s, dir))),
     // Ranking/analytic window functions (row_number + lag).
     "q19_user_activity" -> ((s, dir) =>
-      RelationalQueries.userActivity(EventsQueries.events(s, dir)))
+      RelationalQueries.userActivity(EventsQueries.events(s, dir))),
+    // IVF variant of similarity search (inverted-file cells from a
+    // deterministic sampled-centroid quantizer, NProbe probing).
+    "q20_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Similarity.embeddings(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -175,6 +179,7 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id
         |                      ORDER BY ts_ms ASC, event_id ASC)
         |)
-        |SELECT * FROM r WHERE rank <= 5""".stripMargin
+        |SELECT * FROM r WHERE rank <= 5""".stripMargin,
+    "q20_ann_ivf" -> OracleSql.annIvf
   )
 }

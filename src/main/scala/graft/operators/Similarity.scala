@@ -130,6 +130,54 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** IVF coarse quantizer size and probe width. The "codebook" is a
+    * deterministic sample (the first NumCentroids corpus vectors) —
+    * a real deployment trains k-means; sampled centroids are the
+    * standard bootstrap and keep the oracle mirrorable. */
+  val NumCentroids = 16
+  val NProbe = 4
+
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+
+  /** Nearest `cut` centroids per vector (cosine, centroid-id
+    * tie-break). The centroid table is broadcast — assignment never
+    * shuffles the corpus. */
+  private def nearestCells(df: DataFrame, cents: DataFrame, idCol: String,
+      vCol: String, nCol: String, cut: Int): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        dot(col(vCol), col("cv")) / (col(nCol) * col("cnorm")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("c_cos").desc, col("centroid_id").asc)))
+      .filter(col("c_rank") <= cut)
+      .select(col(idCol), col("centroid_id").as("cell"))
+
+  /** IVF approximate top-k: corpus vectors live in their nearest
+    * centroid's cell; a query probes its NProbe nearest cells and
+    * ranks exact cosine over those cells only — per-query cost is
+    * ~NProbe/NumCentroids of the corpus, the inverted-file scale
+    * path. */
+  def ivfTopK(emb0: DataFrame): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = centroids(emb)
+    val corpusCells = nearestCells(emb, cents, "vec_id", "v", "norm", 1)
+    val q = queries(emb)
+    val queryCells = nearestCells(q, cents, "query_id", "qv", "qnorm", NProbe)
+    val candIds = queryCells.join(corpusCells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val cand = candIds
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")), "query_id")
+      .join(emb, "vec_id")
+    topK(cand.withColumn("cosine", cosine))
+  }
+
   /** Approximate cosine top-k: candidates = corpus vectors sharing at
     * least one LSH band bucket with the query; exact cosine + rank on
     * the candidate set only. */

@@ -466,6 +466,51 @@ SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfTopK]] — sampled
+    * centroids, nearest-cell assignment, NProbe query probing. */
+  def annIvf: String = {
+    import graft.operators.Similarity.{NProbe, NumCentroids}
+    import SimilarityParams.TopK
+    s"""$embCtes
+, cents AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnorm
+  FROM n WHERE vec_id < $NumCentroids
+), corpus_assign AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+           ${dotSql("v", "cv")} / (nrm * cnorm) DESC,
+           centroid_id ASC) AS c_rank
+  FROM n, cents
+), corpus_cells AS (
+  SELECT vec_id, centroid_id AS cell FROM corpus_assign WHERE c_rank = 1
+), query_assign AS (
+  SELECT query_id, centroid_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           ${dotSql("qv", "cv")} / (qn * cnorm) DESC,
+           centroid_id ASC) AS c_rank
+  FROM q, cents
+), query_cells AS (
+  SELECT query_id, centroid_id AS cell FROM query_assign
+  WHERE c_rank <= $NProbe
+), cand AS (
+  SELECT query_id, vec_id
+  FROM query_cells JOIN corpus_cells USING (cell)
+  WHERE vec_id <> query_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT query_id, vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM cand JOIN q USING (query_id) JOIN n USING (vec_id)
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.embeddingNearDups]]. */
   def embedNearDups: String = {
     import SimilarityParams._

@@ -32,6 +32,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     assert(recall >= 0.7, s"recall@10 $recall below floor")
   }
 
+  test("IVF top-k recall vs brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb))
+    val ivf = pairs(Similarity.ivfTopK(emb))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} ivf=${ivf.size} recall@10=$recall")
+    // near-random fixture vectors spread across cells; on clustered
+    // real corpora nprobe/16 probing retains far more
+    assert(recall >= 0.3, s"IVF recall@10 $recall below floor")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
