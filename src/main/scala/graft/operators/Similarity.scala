@@ -137,43 +137,44 @@ object Similarity {
   val NumCentroids = 16
   val NProbe = 4
 
-  private def centroids(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
-        col("norm").as("cnorm"))
-
-  /** Nearest `cut` centroids per vector (cosine, centroid-id
-    * tie-break). The centroid table is broadcast — assignment never
-    * shuffles the corpus. */
-  private def nearestCells(df: DataFrame, cents: DataFrame, idCol: String,
-      vCol: String, nCol: String, cut: Int): DataFrame =
-    df.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        dot(col(vCol), col("cv")) / (col(nCol) * col("cnorm")))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("c_cos").desc, col("centroid_id").asc)))
-      .filter(col("c_rank") <= cut)
-      .select(col(idCol), col("centroid_id").as("cell"))
+  /** The IVF codebook, collected to the driver (it is always
+    * driver-sized) and baked into the assignment expression:
+    * (flattened centroid matrix, norms, ids). */
+  private def codebook(emb: DataFrame): (Seq[Double], Seq[Double], Seq[Int]) = {
+    val rows = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect().sortBy(_.getLong(0))
+    (rows.toSeq.flatMap(_.getSeq[Double](1)),
+      rows.toSeq.map(_.getDouble(2)),
+      rows.toSeq.map(_.getLong(0).toInt))
+  }
 
   /** IVF approximate top-k: corpus vectors live in their nearest
     * centroid's cell; a query probes its NProbe nearest cells and
     * ranks exact cosine over those cells only — per-query cost is
     * ~NProbe/NumCentroids of the corpus, the inverted-file scale
-    * path. */
+    * path. Cell assignment is a codegen'd row-local expression with
+    * the codebook baked in (ZERO shuffle of the corpus — a
+    * crossJoin+Window assignment would shuffle 16× the corpus). */
   def ivfTopK(emb0: DataFrame): DataFrame = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = centroids(emb)
-    val corpusCells = nearestCells(emb, cents, "vec_id", "v", "norm", 1)
-    val q = queries(emb)
-    val queryCells = nearestCells(q, cents, "query_id", "qv", "qnorm", NProbe)
+    val (cents, cnorms, ids) = codebook(emb)
+    def cells(v: Column, n: Column, k: Int): Column =
+      Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(v), Bridge.expression(n), cents, cnorms, ids, k))
+
+    val corpusCells = emb.select(col("vec_id"),
+      element_at(cells(col("v"), col("norm"), 1), 1).as("cell"))
+    val queryCells = queries(emb).select(col("query_id"),
+      explode(cells(col("qv"), col("qnorm"), NProbe)).as("cell"))
     val candIds = queryCells.join(corpusCells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
     val cand = candIds
-      .join(q.select(col("query_id"), col("qv"), col("qnorm")), "query_id")
+      .join(queries(emb).select(col("query_id"), col("qv"), col("qnorm")),
+        "query_id")
       .join(emb, "vec_id")
     topK(cand.withColumn("cosine", cosine))
   }

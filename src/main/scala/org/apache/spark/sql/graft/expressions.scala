@@ -204,6 +204,82 @@ object VectorOps {
   }
 }
 
+/** Runtime kernel for [[NearestCentroids]]: cosine of the vector
+  * against every codebook centroid (same fold order as DotProduct),
+  * returning the ids of the `k` highest-cosine centroids, ties broken
+  * by ascending centroid id. */
+object IvfOps {
+  def nearestCentroids(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      norm: Double, cents: Array[Double], cnorms: Array[Double],
+      ids: Array[Int], k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = v.numElements()
+    val c = cnorms.length
+    val cos = new Array[Double](c)
+    var j = 0
+    while (j < c) {
+      var acc = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < dim) { acc = acc + v.getDouble(i) * cents(off + i); i += 1 }
+      cos(j) = acc / (norm * cnorms(j))
+      j += 1
+    }
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](c)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var j2 = 0
+      while (j2 < c) {
+        if (!used(j2) && (best < 0 || cos(j2) > cos(best) ||
+            (cos(j2) == cos(best) && ids(j2) < ids(best)))) best = j2
+        j2 += 1
+      }
+      used(best) = true
+      picked(p) = ids(best)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(picked)
+  }
+}
+
+/** `nearest_centroids(v, norm)` — ids of the k nearest (by cosine)
+  * codebook centroids, with the codebook baked in as a broadcast
+  * constant. Replaces a crossJoin + Window assignment: the IVF
+  * codebook is always driver-sized, so assignment is row-local with
+  * ZERO shuffle of the corpus. */
+case class NearestCentroids(left: Expression, right: Expression,
+    cents: Seq[Double], cnorms: Seq[Double], ids: Seq[Int], k: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val centArr = cents.toArray
+  private lazy val cnormArr = cnorms.toArray
+  private lazy val idArr = ids.toArray
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    IvfOps.nearestCentroids(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Double], centArr, cnormArr, idArr, k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", centArr, "double[]")
+    val nRef = ctx.addReferenceObj("ivfCnorms", cnormArr, "double[]")
+    val iRef = ctx.addReferenceObj("ivfIds", idArr, "int[]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"org.apache.spark.sql.graft.IvfOps.nearestCentroids($v, $n, $cRef, $nRef, $iRef, $k)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): NearestCentroids = copy(left = l, right = r)
+}
+
 /** `dot_product(a, b)` over double arrays, codegen'd sequential fold. */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
