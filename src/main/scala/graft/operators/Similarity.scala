@@ -37,16 +37,33 @@ object SimilarityParams {
   val NumBands = 8
   val BitsPerBand: Int = NumPlanes / NumBands
 
-  /** Deterministic ±1 hyperplane matrix from a fixed 64-bit LCG —
-    * shared with the DuckDB oracle generator. */
-  val planes: IndexedSeq[IndexedSeq[Int]] = {
-    var x = 0x2545F4914F6CDD1DL
+  /** Near-dup banding is WIDER than top-k banding: 6 bands × 8 bits.
+    * Random-pair band collision ≈ 6·0.5⁸ ≈ 2.3% — candidates stay
+    * ~linear in corpus size (3-bit bands collide for ~100% of random
+    * pairs: quadratic, measured 422 s at a 20k-vector probe). True
+    * embedding dups (cosine ≥ 0.9, sign-agreement ≈ 0.86) still
+    * collide with ≈ 87% probability in at least one band; the
+    * fixture's weak 0.4-cosine pairs are a worst case (recall
+    * measured in SimilaritySpec). */
+  val DedupNumBands = 6
+  val DedupBitsPerBand = 8
+  val DedupNumPlanes: Int = DedupNumBands * DedupBitsPerBand
+
+  private def planeMatrix(seed: Long, n: Int): IndexedSeq[IndexedSeq[Int]] = {
+    var x = seed
     def next(): Long = {
       x = x * 6364136223846793005L + 1442695040888963407L
       x >>> 33
     }
-    IndexedSeq.fill(NumPlanes, Dim)(if ((next() & 1L) == 0L) 1 else -1)
+    IndexedSeq.fill(n, Dim)(if ((next() & 1L) == 0L) 1 else -1)
   }
+
+  /** Deterministic ±1 hyperplane matrices from fixed 64-bit LCGs —
+    * shared with the DuckDB oracle generator. */
+  val planes: IndexedSeq[IndexedSeq[Int]] =
+    planeMatrix(0x2545F4914F6CDD1DL, NumPlanes)
+  val dedupPlanes: IndexedSeq[IndexedSeq[Int]] =
+    planeMatrix(0x9E3779B97F4A7C15L, DedupNumPlanes)
 }
 
 object Similarity {
@@ -97,6 +114,12 @@ object Similarity {
     Bridge.column(HyperplaneBands(Bridge.expression(v),
       planes.flatten, NumBands, BitsPerBand))
 
+  /** Band keys under the wider near-dup banding ([[DedupNumBands]] ×
+    * [[DedupBitsPerBand]]). */
+  def dedupBandKeysArray(v: Column): Column =
+    Bridge.column(HyperplaneBands(Bridge.expression(v),
+      dedupPlanes.flatten, DedupNumBands, DedupBitsPerBand))
+
   /** Embedding-cosine near-duplicate threshold (data-driven for the
     * fixture: max pairwise cosine ≈ 0.51, 59 pairs ≥ 0.4 at sf0.01). */
   val NearDupCosine = 0.4
@@ -111,7 +134,7 @@ object Similarity {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = emb.select(col("vec_id"),
-      posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
+      posexplode(dedupBandKeysArray(col("v"))).as(Seq("band", "key")))
     val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
     val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
     // distinct on the ID PAIR only (distinct over the vector arrays

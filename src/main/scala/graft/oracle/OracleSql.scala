@@ -511,15 +511,17 @@ SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
   }
 
-  /** Mirror of [[graft.operators.Similarity.embeddingNearDups]]. */
+  /** Mirror of [[graft.operators.Similarity.embeddingNearDups]] —
+    * the wider near-dup banding (DedupNumBands × DedupBitsPerBand). */
   def embedNearDups: String = {
     import SimilarityParams._
     def keyExpr(vcol: String, j: Int): String =
-      (0 until BitsPerBand).map { t =>
-        val lst = planes(j * BitsPerBand + t).mkString("[", ", ", "]")
+      (0 until DedupBitsPerBand).map { t =>
+        val lst = dedupPlanes(j * DedupBitsPerBand + t)
+          .mkString("[", ", ", "]")
         s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
       }.mkString("(", " + ", ")")
-    val bandCte = (0 until NumBands).map { j =>
+    val bandCte = (0 until DedupNumBands).map { j =>
       s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM n"
     }.mkString("\n  UNION ALL\n  ")
     s"""$embCtes
