@@ -51,6 +51,14 @@ object Dedup {
   def digest60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Element-wise [[digest60]] over a string array via the codegen'd
+    * kernel (a `transform` lambda would evaluate md5 interpreted per
+    * element). */
+  def digest60Array(arr: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, Digest60Array}
+    Bridge.column(Digest60Array(Bridge.expression(arr)))
+  }
+
   /** Exact dedup: every doc mapped to the canonical (minimum) doc_id
     * of its identical-content group. One shuffle on the MD5 digest. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -80,8 +88,7 @@ object Dedup {
             element_at(col("w"), i + 3)))).as("shingles"))
       .select(
         col("doc_id"),
-        array_distinct(transform(col("shingles"), s => digest60(s)))
-          .as("hashes"))
+        array_distinct(digest60Array(col("shingles"))).as("hashes"))
   }
 
   /** Character n-gram width and sampling stride for the n-gram
@@ -111,8 +118,7 @@ object Dedup {
           .as("grams"))
       .select(
         col("doc_id"),
-        array_distinct(transform(col("grams"), g => digest60(g)))
-          .as("hashes"))
+        array_distinct(digest60Array(col("grams"))).as("hashes"))
 
   /** MinHash signature column: array of NumHashes values,
     * m_i = min over shingle hashes x of (a_i·(x mod P) + b_i) mod P.

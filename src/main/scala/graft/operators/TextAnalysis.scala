@@ -118,8 +118,7 @@ object TextAnalysis {
     docs.select(col("doc_id"), tokens.as("w"))
       // separate projection: CollapseProject keeps the expensive
       // multi-referenced digest array materialized once per row
-      .select(col("doc_id"),
-        transform(col("w"), t => Dedup.digest60(t)).as("hs"))
+      .select(col("doc_id"), Dedup.digest60Array(col("w")).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
 
   /** Near-dup pairs by SimHash: candidates share at least one of

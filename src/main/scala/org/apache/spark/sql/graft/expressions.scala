@@ -204,6 +204,63 @@ object VectorOps {
   }
 }
 
+/** Runtime kernel for [[Digest60Array]]: md5 each element's UTF-8
+  * bytes, value of the first 15 hex digits (= the same 60-bit digest
+  * as `conv(substring(md5(s),1,15),16,10)`), one MessageDigest
+  * instance per thread. */
+object DigestOps {
+  private val md5 = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def digest60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
+    var acc = 0L
+    var k = 0
+    while (k < 7) { acc = acc * 256 + (bytes(k) & 0xff); k += 1 }
+    acc * 16 + ((bytes(7) & 0xff) >> 4)
+  }
+
+  def digest60Array(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = digest60(arr.getUTF8String(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `digest60_array(strings)` — element-wise 60-bit md5-prefix digest
+  * of a string array in one codegen'd pass (the interpreted
+  * `transform(arr, s -> conv(substring(md5(s),1,15),16,10))`
+  * equivalent; equality pinned in KernelEquivalenceSpec). */
+case class Digest60Array(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "digest60_array"
+
+  override def nullSafeEval(arr: Any): Any =
+    DigestOps.digest60Array(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.DigestOps.digest60Array($a)")
+
+  override protected def withNewChildInternal(c: Expression): Digest60Array =
+    copy(child = c)
+}
+
 /** Runtime kernel for [[NearestCentroids]]: cosine of the vector
   * against every codebook centroid (same fold order as DotProduct),
   * returning the ids of the `k` highest-cosine centroids, ties broken

@@ -45,6 +45,17 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("Digest60Array kernel == per-element conv(md5) formulation") {
+    val docs = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(30) + 1).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(20) + 1).mkString))
+    val df = docs.toDF("ss")
+    val rows = df.select(
+      Dedup.digest60Array(col("ss")).as("kernel"),
+      transform(col("ss"), s => Dedup.digest60(s)).as("fold")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("DotProduct kernel == sequential zip_with fold, bit-exact") {
     val vecs = (1 to 50).map(_ => (
       Seq.fill(64)(rnd.nextDouble() * 2 - 1),
