@@ -74,18 +74,15 @@ object Dedup {
     * 60-bit digests. Docs with fewer than 3 tokens are dropped.
     * Row-local: array expressions only, no shuffle. */
   def shingleHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
     val w = split(col("text"), " ")
     docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(
         col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ",
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3)))).as("shingles"))
+        array_distinct(Bridge.column(
+          WordShingles(Bridge.expression(col("w")), 3))).as("shingles"))
       .select(
         col("doc_id"),
         array_distinct(digest60Array(col("shingles"))).as("hashes"))
@@ -106,19 +103,19 @@ object Dedup {
   /** Distinct sampled character 5-gram digests — the n-gram member of
     * the dedup family (robust to tokenization differences the word
     * shingles miss). Row-local. */
-  def charNgramHashes(docs: DataFrame): DataFrame =
+  def charNgramHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, CharGrams}
     docs
       .filter(length(col("text")) >= NGramChars)
       .select(
         col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), length(col("text")) - NGramChars,
-            lit(NGramStride)),
-          i => col("text").substr(i + 1, lit(NGramChars))))
+        array_distinct(Bridge.column(CharGrams(
+          Bridge.expression(col("text")), NGramChars, NGramStride)))
           .as("grams"))
       .select(
         col("doc_id"),
         array_distinct(digest60Array(col("grams"))).as("hashes"))
+  }
 
   /** MinHash signature column: array of NumHashes values,
     * m_i = min over shingle hashes x of (a_i·(x mod P) + b_i) mod P.

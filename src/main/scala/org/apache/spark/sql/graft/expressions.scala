@@ -261,6 +261,82 @@ case class Digest60Array(child: Expression)
     copy(child = c)
 }
 
+/** Runtime kernels for shingle construction — the remaining
+  * interpreted stages of the dedup pipeline. String semantics match
+  * the `transform(...)` formulations exactly (concat_ws / substring
+  * over UTF-8 code points). */
+object ShingleOps {
+  private val Space = UTF8String.fromString(" ")
+
+  /** n-word shingles: concat_ws(" ", w[i..i+n-1]) for each window. */
+  def wordShingles(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = w.numElements()
+    val out = new Array[AnyRef](math.max(0, len - n + 1))
+    var i = 0
+    while (i + n <= len) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = w.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sampled character n-grams: substring(text, i+1, n) for
+    * i = 0, stride, 2·stride, … ≤ len−n (code-point semantics, same
+    * as Column.substr). */
+  def charGrams(text: UTF8String, n: Int, stride: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = text.numChars()
+    val count = if (len < n) 0 else (len - n) / stride + 1
+    val out = new Array[AnyRef](count)
+    var k = 0
+    while (k < count) {
+      out(k) = text.substringSQL(k * stride + 1, n)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(w)` — all n-word shingles of a token array in one
+  * codegen'd pass. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(w: Any): Any =
+    ShingleOps.wordShingles(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.ShingleOps.wordShingles($w, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** `char_grams(text)` — sampled character n-grams in one codegen'd
+  * pass. */
+case class CharGrams(child: Expression, n: Int, stride: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+  override def nullSafeEval(t: Any): Any =
+    ShingleOps.charGrams(t.asInstanceOf[UTF8String], n, stride)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.ShingleOps.charGrams($t, $n, $stride)")
+  override protected def withNewChildInternal(c: Expression): CharGrams =
+    copy(child = c)
+}
+
 /** Runtime kernel for [[NearestCentroids]]: cosine of the vector
   * against every codebook centroid (same fold order as DotProduct),
   * returning the ids of the `k` highest-cosine centroids, ties broken

@@ -56,6 +56,35 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("WordShingles kernel == transform(concat_ws) formulation") {
+    val docs = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(30) + 3).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString).mkString(" "))
+    val df = docs.toDF("text").select(split(col("text"), " ").as("w"))
+    val fold = transform(sequence(lit(0), size(col("w")) - 3),
+      i => concat_ws(" ", element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
+    val kernel = Bridge.column(org.apache.spark.sql.graft.WordShingles(
+      Bridge.expression(col("w")), 3))
+    df.select(kernel.as("k"), fold.as("f")).collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("CharGrams kernel == transform(substr) formulation") {
+    val docs = (1 to 40).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(100) + 8).mkString)
+    val df = docs.toDF("text")
+    val fold = transform(
+      sequence(lit(0), length(col("text")) - 8, lit(3)),
+      i => col("text").substr(i + 1, lit(8)))
+    val kernel = Bridge.column(org.apache.spark.sql.graft.CharGrams(
+      Bridge.expression(col("text")), 8, 3))
+    df.select(kernel.as("k"), fold.as("f")).collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("DotProduct kernel == sequential zip_with fold, bit-exact") {
     val vecs = (1 to 50).map(_ => (
       Seq.fill(64)(rnd.nextDouble() * 2 - 1),
