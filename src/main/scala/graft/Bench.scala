@@ -9,9 +9,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Absorb one-time session warmup (parquet reader init, codegen
+    // compiler, first shuffle, first window) OUTSIDE the measured
+    // loop — otherwise the alphabetically-first query is billed ~5 s
+    // of JVM warmup that belongs to no query (r2 measured q10 at
+    // 6.3 s in-harness vs 1.3 s in isolation for this reason).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("n_regionkey")).orderBy(col("n"))))
+        .write.format("noop").mode("overwrite").save()
+    }
     // Materialize the FULL result via a noop write: a bare .count()
     // would let Catalyst prune the aggregate expressions and
     // under-measure. Errors surface as negative sentinel times plus a
@@ -25,6 +41,10 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // operators persist intermediates (hashed corpora, normed
+      // embeddings) scoped to their own query; release them so caches
+      // don't pile up across the 21-query session and evict each other
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

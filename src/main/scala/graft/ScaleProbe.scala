@@ -1,13 +1,17 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity, SimilarityParams, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev diagnostic for scale behavior: replicate the documents /
   * embeddings corpus N× in memory (ids re-keyed to stay unique) and
   * measure the LLM-pipeline operators' wall time — evidence that the
-  * bucketed designs scale with corpus size, not pair count.
+  * bucketed designs scale with corpus size, not pair count. Also
+  * measures the ANN brute-force vs LSH crossover: brute force costs
+  * |Q| dot products per corpus vector while LSH costs a fixed
+  * NumPlanes per corpus vector plus a small candidate set per query,
+  * so LSH wins once the query batch outgrows ~NumPlanes queries.
   * `runMain graft.ScaleProbe [factor] [sfDir]`. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -18,6 +22,7 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,17 +39,6 @@ object ScaleProbe {
       .persist()
     println(s"[scale] documents: $n0 -> ${docs.count()} rows (${factor}x)")
 
-    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[scale] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
-
-    time("dedup_exact")(Dedup.exactDedup(docs))
-    time("dedup_minhash")(Dedup.minhashNearDups(docs))
-    time("simhash_dups")(TextAnalysis.simhashDups(docs))
-    time("text_stats")(TextAnalysis.textStats(docs))
-
     val emb0 = Similarity.embeddings(spark, sfDir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * factor + col("copy")).as("vec_id"),
@@ -52,10 +46,44 @@ object ScaleProbe {
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .persist()
-    println(s"[scale] embeddings: -> ${emb.count()} rows")
-    time("ann_lsh")(Similarity.lshTopK(emb))
+    val nVec = emb.count()
+    println(s"[scale] embeddings: -> $nVec rows")
+
+    def time(name: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s $sec%8.2f s")
+      // drop the measured operator's internal persists, then restore
+      // the two input corpora this probe keeps hot across measurements
+      spark.catalog.clearCache()
+      docs.persist(); emb.persist()
+      docs.count(); emb.count()
+      sec
+    }
+
+    time("dedup_exact")(Dedup.exactDedup(docs))
+    time("dedup_minhash")(Dedup.minhashNearDups(docs))
+    time("simhash_dups")(TextAnalysis.simhashDups(docs))
+    time("text_stats")(TextAnalysis.textStats(docs))
     time("ann_ivf")(Similarity.ivfTopK(emb))
     time("dedup_embed")(Similarity.embeddingNearDups(emb))
+
+    // candidates-per-query under the 6×8-bit banding: the number that
+    // must stay ≪ |corpus| for the LSH path to be a scale path
+    val candPerQuery = Similarity.lshCandidates(emb).count() /
+      SimilarityParams.NumQueryVectors.toDouble
+    println(f"[scale] lsh candidates/query: $candPerQuery%.0f of $nVec " +
+      f"(${100.0 * candPerQuery / nVec}%.1f%%)")
+    spark.catalog.clearCache(); docs.persist(); emb.persist()
+    docs.count(); emb.count()
+
+    // brute vs LSH crossover: same corpus, growing query batches
+    for (q <- Seq(10, 64, 256)) {
+      val b = time(s"ann_brute(q=$q)")(Similarity.bruteForceTopK(emb, q))
+      val l = time(s"ann_lsh(q=$q)")(Similarity.lshTopK(emb, q))
+      println(f"[scale] crossover q=$q: brute $b%.2f s vs lsh $l%.2f s")
+    }
     spark.stop()
   }
 }

@@ -100,9 +100,9 @@ object Dedup {
   val NGramChars = 8
   val NGramStride = 3
 
-  /** Distinct sampled character 5-gram digests — the n-gram member of
-    * the dedup family (robust to tokenization differences the word
-    * shingles miss). Row-local. */
+  /** Distinct sampled character [[NGramChars]]-gram digests (stride
+    * [[NGramStride]]) — the n-gram member of the dedup family (robust
+    * to tokenization differences the word shingles miss). Row-local. */
   def charNgramHashes(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, CharGrams}
     docs
@@ -133,7 +133,8 @@ object Dedup {
   def minhashNearDups(docs: DataFrame): DataFrame =
     nearDupsFromHashes(shingleHashes(docs))
 
-  /** Same LSH pipeline over character 5-grams (q18). */
+  /** Same LSH pipeline over sampled character [[NGramChars]]-grams
+    * (q18). */
   def ngramNearDups(docs: DataFrame): DataFrame =
     nearDupsFromHashes(charNgramHashes(docs))
 
@@ -158,12 +159,15 @@ object Dedup {
           element_at(col("sig"), 2 * j + 2).as("k2"))
       }: _*)).as(Seq("band", "key")))
 
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    // aliased self-sides: the join condition references qualified
+    // columns, not same-lineage Column objects (which only resolve
+    // via dataset-id disambiguation and break silently on refactors)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
     val cand = a.join(b,
-        a("band") === b("band") && a("key") === b("key") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
     val ha = hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha"))

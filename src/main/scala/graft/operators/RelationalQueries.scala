@@ -34,17 +34,30 @@ object RelationalQueries {
     * `orderBy().limit(k)` — Spark's TakeOrderedAndProject does a
     * distributed per-partition top-k then merges k·partitions rows on
     * the driver, instead of funnelling every group through the single
-    * partition a global row_number Window would need. The rank column
-    * is attached afterwards on the k-row result. */
-  def topUsers(events: DataFrame, k: Int = 20): DataFrame =
-    events
+    * partition a global row_number Window would need. Rank is then
+    * attached WITHIN the k-row result as 1 + the number of peers
+    * ordered ahead (a broadcast nested-loop join over k rows) — equal
+    * to the global rank because the k rows ARE the global top-k under
+    * the same ordering, and free of the global-Window single-partition
+    * funnel (and its WindowExec warning). */
+  def topUsers(events: DataFrame, k: Int = 20): DataFrame = {
+    val top = events
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .orderBy(col("n_events").desc, col("user_id").asc)
       .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_events").desc, col("user_id").asc))
-        .cast("long"))
+    val peers = broadcast(top.select(
+      col("user_id").as("p_user"), col("n_events").as("p_n")))
+    top.join(peers,
+        col("p_n") > col("n_events") ||
+          (col("p_n") === col("n_events") && col("p_user") < col("user_id")),
+        "left")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max(col("sum_value")).as("sum_value"),
+        (count(col("p_user")) + 1).as("rank"))
+  }
 
   /** Hierarchical rollup over lineitem flags: per (returnflag,
     * linestatus), per returnflag subtotal, and grand total — the

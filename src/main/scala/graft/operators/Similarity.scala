@@ -27,14 +27,27 @@ object SimilarityParams {
   val TopK = 10
   val NumQueryVectors = 10
 
-  /** Hyperplane count and banding: 24 sign bits in 8 bands × 3 bits.
-    * Tuned for weakly-clustered corpora (this fixture's true top-10
-    * sit at cosine ≈ 0.3, i.e. ~0.6 per-bit sign agreement → ≈ 0.85
-    * expected recall@10). On real embedding corpora with neighbor
-    * cosine ≥ 0.7 the same structure gives ≥ 0.99 recall with far
-    * smaller candidate sets; band count/width are the knobs. */
-  val NumPlanes = 24
-  val NumBands = 8
+  /** Hyperplane count and banding for ANN top-k: 48 sign bits in
+    * 6 bands × 8 bits — the same banding shape as the near-dup path
+    * below. Random-pair band collision ≈ 6·0.5⁸ ≈ 2.3%, so per-query
+    * candidates stay a small, corpus-size-independent fraction (the
+    * scale property; the earlier 8×3-bit banding collided for ~100%
+    * of RANDOM pairs, so each query's candidate set degenerated to
+    * the whole corpus — brute force with extra shuffles, measured
+    * 15× slower than [[Similarity.bruteForceTopK]] on the same data).
+    *
+    * The recall trade-off is measured in SimilaritySpec: this
+    * fixture's true top-10 sit at cosine ≈ 0.3 (near-random; sign
+    * agreement p = 1 − acos(0.3)/π ≈ 0.60 → expected recall@10
+    * 1−(1−p⁸)⁶ ≈ 0.09 — the honest number for sign-LSH over a
+    * structureless corpus). At the neighbor cosines real embedding
+    * corpora show, the same banding gives ≈ 0.46 recall at cosine
+    * 0.7, ≈ 0.87 at 0.9, ≈ 0.96 at 0.95. Recall widens by ADDING
+    * bands (OR-amplification, linear extra cost) — never by
+    * narrowing them below ~6 bits, which reopens the all-candidates
+    * failure mode. */
+  val NumPlanes = 48
+  val NumBands = 6
   val BitsPerBand: Int = NumPlanes / NumBands
 
   /** Near-dup banding is WIDER than top-k banding: 6 bands × 8 bits.
@@ -83,8 +96,9 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
-  private def queries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < NumQueryVectors)
+  private def queries(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame =
+    emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
 
@@ -101,9 +115,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("cosine"))
 
-  /** Exact cosine top-k of every query vector against the corpus. */
-  def bruteForceTopK(emb: DataFrame): DataFrame =
-    topK(broadcast(queries(emb)).crossJoin(emb)
+  /** Exact cosine top-k of every query vector against the corpus.
+    * Per-query cost is one corpus scan: O(|Q|·|corpus|) dot products
+    * plus the rank over |Q|·|corpus| scored rows — the crossover
+    * against [[lshTopK]] is measured in graft.ScaleProbe. */
+  def bruteForceTopK(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame =
+    topK(broadcast(queries(emb, numQueries)).crossJoin(emb)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine))
 
@@ -133,16 +151,21 @@ object Similarity {
     // dedup hash corpus
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the self-join sides carry explicit aliases so the join condition
+    // is unambiguous by construction (no reliance on dataset-id
+    // disambiguation of same-lineage columns, which
+    // spark.sql.analyzer.failAmbiguousSelfJoin exists to catch)
     val bands = emb.select(col("vec_id"),
       posexplode(dedupBandKeysArray(col("v"))).as(Seq("band", "key")))
-    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
-    val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
     // distinct on the ID PAIR only (distinct over the vector arrays
     // shuffles ~100× more bytes — bench-visible), then re-join the
     // vectors for the exact cosine verify
-    val candIds = a.join(b, a("band") === b("band") && a("key") === b("key") &&
-        col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
+    val candIds = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val va = emb.select(col("vec_id").as("vec_a"), col("v").as("qv"),
       col("norm").as("qnorm"))
@@ -202,32 +225,44 @@ object Similarity {
     topK(cand.withColumn("cosine", cosine))
   }
 
-  /** Approximate cosine top-k: candidates = corpus vectors sharing at
-    * least one LSH band bucket with the query; exact cosine + rank on
-    * the candidate set only. */
-  def lshTopK(emb0: DataFrame): DataFrame = {
-    val emb = emb0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("*"),
-        posexplode(bandKeysArray(col(if (idCol == "query_id") "qv" else "v")))
-          .as(Seq("band", "key")))
-
-    val qb = banded(queries(emb), "query_id")
-      .select(col("query_id"), col("band"), col("key"))
-    val cb = banded(emb, "vec_id")
-      .select(col("vec_id"), col("band"), col("key"))
-
+  /** LSH candidate (query_id, vec_id) pairs: corpus vectors sharing
+    * at least one band bucket with the query. Exposed so the spec and
+    * graft.ScaleProbe can measure candidates-per-query directly —
+    * the number that must stay ≪ |corpus| for the scale path to be
+    * worth its name. Aliased self-sides (see [[embeddingNearDups]]). */
+  def lshCandidates(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val qb = queries(emb, numQueries)
+      .select(col("query_id"),
+        posexplode(bandKeysArray(col("qv"))).as(Seq("band", "key")))
+      .alias("q")
+    val cb = emb
+      .select(col("vec_id"),
+        posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
+      .alias("c")
     // candidate IDs only through the join+distinct, vectors re-joined
     // after (avoids shuffling the arrays through the distinct)
-    val candIds = qb.join(cb,
-        qb("band") === cb("band") && qb("key") === cb("key") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
+    qb.join(cb,
+        col("q.band") === col("c.band") && col("q.key") === col("c.key") &&
+          col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id"))
       .distinct()
-    val cand = candIds
-      .join(queries(emb).select(col("query_id"), col("qv"), col("qnorm")),
-        "query_id")
+  }
+
+  /** Approximate cosine top-k: candidates = corpus vectors sharing at
+    * least one LSH band bucket with the query; exact cosine + rank on
+    * the candidate set only. Cost: NumPlanes row-local dots per
+    * corpus vector (amortized over ALL queries) + one band-key
+    * shuffle + |Q|·(2.3% of corpus) exact cosines — vs brute force's
+    * |Q| dots per corpus vector and |Q|·|corpus|-row rank. Crossover
+    * is at |Q| ≈ NumPlanes queries; measured in graft.ScaleProbe. */
+  def lshTopK(emb0: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(emb, numQueries)
+      .join(queries(emb, numQueries)
+        .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
       .join(emb, "vec_id")
 
     topK(cand.withColumn("cosine", cosine))

@@ -132,15 +132,16 @@ object TextAnalysis {
       posexplode(array((0 until SimBands).map { j =>
         shiftright(col("simhash"), BandBits * j) % (1 << BandBits)
       }: _*)).as(Seq("band", "key")))
-    val a = bands.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sim_a"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sim_b"), col("band"), col("key"))
+    // aliased self-sides (see Dedup.nearDupsFromHashes): qualified
+    // column references instead of same-lineage Column objects
+    val a = bands.alias("a")
+    val b = bands.alias("b")
     a.join(b,
-        a("band") === b("band") && a("key") === b("key") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sim_a ^ sim_b")).cast("long").as("hamming"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= HammingMax)
   }

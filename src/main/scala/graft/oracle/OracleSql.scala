@@ -238,7 +238,9 @@ FROM documents"""
 )"""
 
   /** Mirror of [[graft.operators.Dedup.charNgramHashes]]: distinct
-    * character 5-gram digests. */
+    * sampled character n-gram digests (width [[Dedup.NGramChars]],
+    * stride [[Dedup.NGramStride]] — the interpolated constants below
+    * are the single source of truth). */
   private def ngramCtes: String = {
     val n = Dedup.NGramChars
     val s = Dedup.NGramStride
@@ -353,8 +355,10 @@ SELECT doc_id, ${codes.map(c => s"score_$c").mkString(", ")},
 FROM scored"""
   }
 
-  /** Mirror of [[TextAnalysis.simhashDups]]: 32-bit SimHash, 4×8-bit
-    * bands, exact popcount cut. */
+  /** Mirror of [[TextAnalysis.simhashDups]]:
+    * [[TextAnalysis.SimHashBits]]-bit SimHash (60),
+    * [[TextAnalysis.SimBands]]×[[TextAnalysis.BandBits]]-bit bands
+    * (4×15), exact popcount cut at [[TextAnalysis.HammingMax]]. */
   def simhashDups: String = {
     val simTerms = (0 until TextAnalysis.SimHashBits).map { b =>
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -47,11 +47,18 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
 
   private def cellBoxes(list: Seq[Expression],
       precision: Int): Option[Seq[Geohash.BBox]] = {
+    // a code outside [0, 2^(5·precision)) can never equal a real cell
+    // code (the membership test is always false for it); de-interleaving
+    // only its low bits would fabricate a REAL bounding box and turn an
+    // always-false predicate into a sometimes-true one — bail out
+    if (precision < 1 || precision > 12) return None // 5·p must fit a Long
+    val maxCode = 1L << (5 * precision)
     val boxes = list.collect {
       case Literal(s: UTF8String, org.apache.spark.sql.types.StringType)
           if s.toString.length == precision =>
         Geohash.bbox(s.toString)
-      case Literal(code: Long, org.apache.spark.sql.types.LongType) =>
+      case Literal(code: Long, org.apache.spark.sql.types.LongType)
+          if 0 <= code && code < maxCode =>
         Geohash.bboxOfCode(code, precision)
     }
     if (boxes.length == list.length) Some(boxes) else None

@@ -16,6 +16,9 @@ object SparkSessionSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin the ambiguity check the aliased LSH self-joins satisfy
+      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

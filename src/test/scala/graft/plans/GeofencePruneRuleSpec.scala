@@ -93,6 +93,40 @@ class GeofencePruneRuleSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("rule is ACTIVE in the production Q1 plan (session-registered extension)") {
+    // the shared test session registers graft.plans.GraftExtensions
+    // exactly like the graded Verify/Bench sessions do — this asserts
+    // the rewrite fires in the real optimized plan, not just when the
+    // rule is applied by hand
+    val q1 = graft.SparkEntry.queries("q1_pickup_hotspots")(
+      spark, "/root/testdata/sf0.001")
+    val optimized = q1.queryExecution.optimizedPlan
+    assert(!optimized.exists(hasCodeExpr),
+      "integer-code fence predicates survived optimization — " +
+        "GeofencePruneRule is not active in the session")
+    // the location projection legitimately keeps GeohashEncode
+    assert(optimized.exists(p => p.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.GeohashEncode]))))
+  }
+
+  private def hasCodeExpr(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    p.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.GeohashCode]))
+
+  test("out-of-range cell codes are NOT rewritten (always-false stays false)") {
+    val df = probePoints.toDF("lat", "lon")
+    // -1 and 2^20 (= 2^(5·4)) can never equal a precision-4 cell code:
+    // the original predicate is always false; a naive rewrite would
+    // de-interleave their low bits into a REAL box and match rows
+    val bad = df.filter(
+      GeoFunctions.geohash_code(col("lat"), col("lon"), 4)
+        .isin(-1L, 1L << 20))
+    val after = GeofencePruneRule(bad.queryExecution.analyzed)
+    assert(after.exists(hasCodeExpr), "rule rewrote an out-of-range code")
+    assert(bad.count() == 0)
+  }
+
   test("extensions entry point registers the rule on a new session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
