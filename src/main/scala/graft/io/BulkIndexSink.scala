@@ -98,11 +98,17 @@ class BulkIndexer(
 
 object BulkIndexSink {
 
-  /** Deterministic doc id: sha1 over the key column values — the
-    * hash(key, window) identity that makes re-delivery idempotent. */
+  /** Deterministic doc id: sha1 over an UNAMBIGUOUS encoding of the
+    * key tuple — the hash(key, window) identity that makes
+    * re-delivery idempotent. The encoding is the JSON object of the
+    * key struct: field names + escaping make it injective per key
+    * set, where a plain delimiter-concat would collide distinct
+    * tuples (concat_ws skips NULLs, so (null,"x") vs ("x",null)
+    * collapse; unescaped delimiters make ("a|b","c") vs ("a","b|c")
+    * collide) and silently overwrite foreign documents. */
   def withDocId(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.withColumn("_id",
-        sha1(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)))
+        sha1(to_json(struct(keyCols.map(c => col(c).cast("string")): _*))))
       .withColumn("_source",
         to_json(struct(df.columns.map(col): _*)))
 

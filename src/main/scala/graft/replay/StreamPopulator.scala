@@ -55,9 +55,12 @@ object ReplayJson {
   * transparently gunzipping (magic-byte detection), skipping
   * unparseable lines with a counter. */
 class TaxiEventReader(files: Seq[Path]) extends Iterator[(String, Long)] {
-  def this(dir: String) = this(
-    Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
-      .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString).toSeq)
+  def this(dir: String) = this {
+    val listing = Files.list(Paths.get(dir))
+    try listing.toArray.map(_.asInstanceOf[Path])
+      .filter(Files.isRegularFile(_)).sortBy(_.getFileName.toString).toSeq
+    finally listing.close() // Files.list holds a directory handle
+  }
 
   private var skipped = 0L
   private val lines: Iterator[String] = files.iterator.flatMap { p =>
@@ -69,7 +72,19 @@ class TaxiEventReader(files: Seq[Path]) extends Iterator[(String, Long)] {
     val stream =
       if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(in) else in
     val r = new BufferedReader(new InputStreamReader(stream, "UTF-8"))
-    Iterator.continually(r.readLine()).takeWhile(_ != null)
+    // close each file's reader when its lines are exhausted — a long
+    // replay over many (possibly gzipped) files must not hold every
+    // file descriptor / native zlib handle until GC
+    new Iterator[String] {
+      private var line: String = read()
+      private def read(): String = {
+        val l = r.readLine()
+        if (l == null) r.close()
+        l
+      }
+      override def hasNext: Boolean = line != null
+      override def next(): String = { val l = line; line = read(); l }
+    }
   }
 
   private var nextEvent: Option[(String, Long)] = advance()

@@ -79,6 +79,24 @@ class BulkIndexSinkSpec extends AnyFunSuite with SparkSessionSpec {
     assert(content == """{"i": 3}""")
   }
 
+  test("doc ids never collide across distinct key tuples (nulls, delimiters)") {
+    import spark.implicits._
+    // adversarial tuples for a naive delimiter-concat id: null-shift
+    // pairs and delimiter-straddling pairs must all get DISTINCT ids
+    val rows = Seq(
+      (Option.empty[String], Option("x")),
+      (Option("x"), Option.empty[String]),
+      (Option("a|b"), Option("c")),
+      (Option("a"), Option("b|c")),
+      (Option("a"), Option("b")),
+      (Option.empty[String], Option.empty[String]))
+      .toDF("k1", "k2")
+    val ids = BulkIndexSink.withDocId(rows, Seq("k1", "k2"))
+      .select("_id").collect().map(_.getString(0))
+    assert(ids.distinct.length == ids.length,
+      s"id collision across distinct key tuples: ${ids.mkString(",")}")
+  }
+
   test("end-to-end: Q1 results land in the index with deterministic ids") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("bulk-e2e").toString
