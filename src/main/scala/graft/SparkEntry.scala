@@ -110,7 +110,13 @@ object SparkEntry {
     // IVF variant of similarity search (inverted-file cells from a
     // deterministic sampled-centroid quantizer, NProbe probing).
     "q20_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Similarity.embeddings(s, dir)))
+      Similarity.ivfTopK(Similarity.embeddings(s, dir))),
+    // Multimodal plumbing, codec-free slice (SURVEY.md §2 extension):
+    // binary payloads with magic headers → mime sniff, metadata
+    // projection, deterministic frame sampling — through the typed
+    // Dataset operators (Multimodal.mediaFromDocs/sampleFrames).
+    "q21_multimodal_meta" -> ((s, dir) =>
+      operators.Multimodal.multimodalMeta(documents(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -180,6 +186,7 @@ object SparkEntry {
         |                      ORDER BY ts_ms ASC, event_id ASC)
         |)
         |SELECT * FROM r WHERE rank <= 5""".stripMargin,
-    "q20_ann_ivf" -> OracleSql.annIvf
+    "q20_ann_ivf" -> OracleSql.annIvf,
+    "q21_multimodal_meta" -> OracleSql.multimodalMeta
   )
 }

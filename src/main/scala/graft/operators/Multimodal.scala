@@ -107,4 +107,49 @@ object Multimodal {
   def metadata(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("kind"),
       octet_length(col("payload")).cast("long").as("n_bytes"))
+
+  /** Frame size / sampling stride for the graded metadata query. */
+  val MetaFrameBytes = 32
+  val MetaFrameStride = 2
+
+  /** Deterministic media corpus derived from the `documents` table:
+    * payload = a real container magic header (cycled by doc_id % 4)
+    * prepended to the UTF-8 text bytes. This gives the codec-free
+    * multimodal paths (mime sniff, metadata, frame sampling) a
+    * DuckDB-mirrorable input without committing binary fixtures. */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sel = (id % 4).toInt
+        val kind = sel match {
+          case 0 | 1 => "image"
+          case 2 => "audio"
+          case _ => "video"
+        }
+        val header: Array[Byte] = sel match {
+          case 0 => Array(0x89.toByte, 'P', 'N', 'G')
+          case 1 => Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)
+          case 2 => Array[Byte]('R', 'I', 'F', 'F')
+          case _ => Array[Byte](0, 0, 0)
+        }
+        MediaRecord(id, kind, header ++ text.getBytes("UTF-8"))
+      }
+  }
+
+  /** The graded multimodal query (q21): per media record, the sniffed
+    * mime, payload byte length, and the frame-sampling summary
+    * (count + bytes of every [[MetaFrameStride]]-th
+    * [[MetaFrameBytes]]-byte chunk) — exactly the codec-free slice of
+    * the pipeline, exercised through the real typed operators
+    * ([[mediaFromDocs]] → [[sampleFrames]] + [[metadata]]). */
+  def multimodalMeta(docs: DataFrame): DataFrame = {
+    val media = mediaFromDocs(docs)
+    val frames = sampleFrames(media, MetaFrameBytes, MetaFrameStride)
+    val agg = frames.groupBy(col("media_id"), col("mime"))
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        sum(col("frame_bytes")).cast("long").as("sampled_bytes"))
+    metadata(media.toDF()).join(agg, "media_id")
+  }
 }

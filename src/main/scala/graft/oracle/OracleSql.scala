@@ -546,6 +546,50 @@ SELECT vec_a, vec_b, cosine FROM p
 WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
   }
 
+  /** Mirror of [[graft.operators.Multimodal.multimodalMeta]] (q21):
+    * the same deterministic media derivation (magic header by
+    * doc_id % 4 ++ UTF-8 text), mime by the same header→mime map the
+    * sniffer implements, and the frame sampling arithmetic of
+    * [[graft.operators.Multimodal.sampleFrames]] (chunks of
+    * MetaFrameBytes, keep every MetaFrameStride-th, last chunk
+    * ragged). */
+  def multimodalMeta: String = {
+    import graft.operators.Multimodal.{MetaFrameBytes, MetaFrameStride}
+    s"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+      WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3
+      END + octet_length(encode(text)) AS n_bytes
+  FROM documents
+), frames AS (
+  SELECT *, CAST(CEIL(n_bytes / $MetaFrameBytes.0) AS BIGINT) AS n_frames
+  FROM m
+), fidx AS (
+  SELECT media_id, mime, n_frames, n_bytes,
+         unnest(range(0, n_frames)) AS i
+  FROM frames
+), f AS (
+  SELECT media_id, mime,
+    CASE WHEN i = n_frames - 1 THEN n_bytes - $MetaFrameBytes * i
+         ELSE $MetaFrameBytes END AS frame_bytes
+  FROM fidx WHERE i % $MetaFrameStride = 0
+), agg AS (
+  SELECT media_id, mime,
+         COUNT(*) AS n_frames_sampled,
+         CAST(SUM(frame_bytes) AS BIGINT) AS sampled_bytes
+  FROM f GROUP BY media_id, mime
+)
+SELECT m.media_id, m.kind, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+       agg.mime, agg.n_frames_sampled, agg.sampled_bytes
+FROM m JOIN agg USING (media_id)"""
+  }
+
   /** Mirror of [[graft.operators.RelationalQueries.ordersByNation]]. */
   def ordersByNation: String =
     """SELECT n_name, o_orderpriority,

@@ -64,6 +64,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("multimodalMeta: hand-computed frame sampling over derived media") {
+    val docs = Seq(
+      (4L, "hello"),          // sel 0: png header (4B) -> 9 bytes, 1 frame
+      (1L, "x" * 70)          // sel 1: jpeg header (3B) -> 73 bytes, 3 frames
+    ).toDF("doc_id", "text")
+    val rows = Multimodal.multimodalMeta(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val png = rows(4L)
+    assert(png.getAs[String]("mime") == "image/png")
+    assert(png.getAs[String]("kind") == "image")
+    assert(png.getAs[Long]("n_bytes") == 9L)
+    assert(png.getAs[Long]("n_frames_sampled") == 1L) // only chunk 0
+    assert(png.getAs[Long]("sampled_bytes") == 9L)
+    val jpg = rows(1L)
+    assert(jpg.getAs[String]("mime") == "image/jpeg")
+    assert(jpg.getAs[Long]("n_bytes") == 73L)
+    // chunks of 32: [32, 32, 9]; stride 2 keeps 0 and 2 -> 32 + 9
+    assert(jpg.getAs[Long]("n_frames_sampled") == 2L)
+    assert(jpg.getAs[Long]("sampled_bytes") == 41L)
+  }
+
   test("metadata projection reads lengths without decoding") {
     val meta = metadata(media.toDF()).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
