@@ -176,23 +176,72 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** IVF coarse quantizer size and probe width. The "codebook" is a
-    * deterministic sample (the first NumCentroids corpus vectors) —
-    * a real deployment trains k-means; sampled centroids are the
-    * standard bootstrap and keep the oracle mirrorable. */
+  /** IVF coarse quantizer size, probe width, and k-means training
+    * knobs: centroids start as the first [[NumCentroids]] sample
+    * vectors and are refined by [[KMeansIters]] Lloyd iterations
+    * (cosine assignment, element-wise mean update) over a
+    * deterministic driver-sized sample (vec_id < [[TrainSample]]).
+    * At 100 TB the sample stays a bounded collect (a production
+    * deployment would swap in distributed minibatch k-means); the
+    * trained codebook is still baked into a row-local codegen'd
+    * assignment expression, so the corpus never shuffles. */
   val NumCentroids = 16
   val NProbe = 4
+  val KMeansIters = 3
+  val TrainSample = 512
 
-  /** The IVF codebook, collected to the driver (it is always
-    * driver-sized) and baked into the assignment expression:
-    * (flattened centroid matrix, norms, ids). */
-  private def codebook(emb: DataFrame): (Seq[Double], Seq[Double], Seq[Int]) = {
-    val rows = emb.filter(col("vec_id") < NumCentroids)
+  /** Deterministic Lloyd trainer. Every double operation is ordered
+    * identically to the DuckDB mirror (OracleSql.annIvf): dot
+    * products and norms are sequential left folds from 0.0; cell
+    * means accumulate members in ascending vec_id order and divide
+    * by the count; assignment ties break to the lowest centroid id;
+    * an emptied cell keeps its previous centroid. */
+  private[operators] def trainCentroids(
+      sample: IndexedSeq[(IndexedSeq[Double], Double)],
+      iters: Int): Array[Array[Double]] = {
+    var cents = sample.take(NumCentroids).map(_._1.toArray).toArray
+    for (_ <- 0 until iters) {
+      val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val sums = Array.fill(NumCentroids)(new Array[Double](Dim))
+      val counts = new Array[Long](NumCentroids)
+      sample.foreach { case (v, nrm) =>
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var j = 0
+        while (j < NumCentroids) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += v(i) * cents(j)(i); i += 1 }
+          val cos = d / (nrm * cnorms(j))
+          if (cos > bestCos) { bestCos = cos; best = j }
+          j += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < Dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(NumCentroids) { j =>
+        if (counts(j) == 0L) cents(j)
+        else Array.tabulate(Dim)(i => sums(j)(i) / counts(j).toDouble)
+      }
+    }
+    cents
+  }
+
+  /** The IVF codebook: Lloyd-trained centroids from a driver-sized
+    * sample, baked into the assignment expression as (flattened
+    * centroid matrix, norms, cell ids 0..NumCentroids−1). */
+  private def codebook(emb: DataFrame,
+      iters: Int): (Seq[Double], Seq[Double], Seq[Int]) = {
+    val sample = emb.filter(col("vec_id") < TrainSample)
       .select(col("vec_id"), col("v"), col("norm"))
       .collect().sortBy(_.getLong(0))
-    (rows.toSeq.flatMap(_.getSeq[Double](1)),
-      rows.toSeq.map(_.getDouble(2)),
-      rows.toSeq.map(_.getLong(0).toInt))
+      .map(r => (r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+      .toIndexedSeq
+    val cents = trainCentroids(sample, iters)
+    val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, 0 until NumCentroids)
   }
 
   /** IVF approximate top-k: corpus vectors live in their nearest
@@ -202,10 +251,21 @@ object Similarity {
     * path. Cell assignment is a codegen'd row-local expression with
     * the codebook baked in (ZERO shuffle of the corpus — a
     * crossJoin+Window assignment would shuffle 16× the corpus). */
-  def ivfTopK(emb0: DataFrame): DataFrame = {
+  /** Corpus→cell assignment under the trained codebook — exposed so
+    * the spec can measure inverted-list balance (max cell size bounds
+    * the per-probe scan cost at scale). */
+  def ivfCorpusCells(emb: DataFrame, iters: Int = KMeansIters): DataFrame = {
+    val (cents, cnorms, ids) = codebook(emb, iters)
+    emb.select(col("vec_id"),
+      element_at(Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        cents, cnorms, ids, 1)), 1).as("cell"))
+  }
+
+  def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters): DataFrame = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, cnorms, ids) = codebook(emb)
+    val (cents, cnorms, ids) = codebook(emb, iters)
     def cells(v: Column, n: Column, k: Int): Column =
       Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
         Bridge.expression(v), Bridge.expression(n), cents, cnorms, ids, k))

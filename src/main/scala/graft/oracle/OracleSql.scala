@@ -470,15 +470,52 @@ SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
   }
 
-  /** Mirror of [[graft.operators.Similarity.ivfTopK]] — sampled
-    * centroids, nearest-cell assignment, NProbe query probing. */
+  /** Mirror of [[graft.operators.Similarity.ivfTopK]] — k-means
+    * (Lloyd) centroid training unrolled to [[Similarity.KMeansIters]]
+    * iteration CTEs, then nearest-cell assignment and NProbe query
+    * probing. Bit-exactness with the driver-side trainer
+    * ([[Similarity.trainCentroids]]): dot products/norms are the same
+    * sequential 0.0-seeded folds, cell means fold members in
+    * ascending vec_id order (`list(v ORDER BY vec_id)`) and divide by
+    * the count, assignment ties break to the lowest centroid id, and
+    * an emptied cell keeps its previous centroid (LEFT JOIN +
+    * NULL-guarded CASE). */
   def annIvf: String = {
-    import graft.operators.Similarity.{NProbe, NumCentroids}
-    import SimilarityParams.TopK
+    import graft.operators.Similarity.{KMeansIters, NProbe, NumCentroids, TrainSample}
+    import SimilarityParams.{Dim, TopK}
+    val meanExpr =
+      s"list_transform(range(1, ${Dim + 1}), i -> " +
+        s"list_reduce(list_prepend(0.0, list_transform(g.vs, w -> w[i])), " +
+        s"(a, b) -> a + b) / CAST(g.cnt AS DOUBLE))"
+    def normExpr(cv: String) =
+      s"sqrt(${fsumSql(s"list_transform($cv, x -> x * x)")})"
+    val lloyd = (1 to KMeansIters).map { k =>
+      s""", a$k AS (
+  SELECT s.vec_id, s.v, s.nrm, c.centroid_id,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           ${dotSql("s.v", "c.cv")} / (s.nrm * c.cnorm) DESC,
+           c.centroid_id ASC) AS rnk
+  FROM samp s, c${k - 1} c
+), g$k AS (
+  SELECT centroid_id, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
+  FROM a$k WHERE rnk = 1 GROUP BY centroid_id
+), cm$k AS (
+  SELECT p.centroid_id,
+         CASE WHEN g.cnt IS NULL THEN p.cv ELSE $meanExpr END AS cv
+  FROM c${k - 1} p LEFT JOIN g$k g USING (centroid_id)
+), c$k AS (
+  SELECT centroid_id, cv, ${normExpr("cv")} AS cnorm FROM cm$k
+)"""
+    }.mkString
     s"""$embCtes
-, cents AS (
+, samp AS (
+  SELECT vec_id, v, nrm FROM n WHERE vec_id < $TrainSample
+), c0 AS (
   SELECT vec_id AS centroid_id, v AS cv, nrm AS cnorm
   FROM n WHERE vec_id < $NumCentroids
+)$lloyd
+, cents AS (
+  SELECT centroid_id, cv, cnorm FROM c$KMeansIters
 ), corpus_assign AS (
   SELECT vec_id, centroid_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY

@@ -52,17 +52,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"candidates/query $perQuery vs corpus $corpus — banding degenerated")
   }
 
-  test("IVF top-k recall vs brute force") {
+  test("IVF top-k recall vs brute force; k-means training uplift") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
         (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val brute = pairs(Similarity.bruteForceTopK(emb))
-    val ivf = pairs(Similarity.ivfTopK(emb))
-    val recall = ivf.intersect(brute).size.toDouble / brute.size
-    info(s"brute=${brute.size} ivf=${ivf.size} recall@10=$recall")
+    val untrained = pairs(Similarity.ivfTopK(emb, iters = 0))
+    val trained = pairs(Similarity.ivfTopK(emb))
+    val r0 = untrained.intersect(brute).size.toDouble / brute.size
+    val rT = trained.intersect(brute).size.toDouble / brute.size
+    info(s"recall@10: sampled centroids=$r0, " +
+      s"${Similarity.KMeansIters} Lloyd iters=$rT")
     // near-random fixture vectors spread across cells; on clustered
-    // real corpora nprobe/16 probing retains far more
-    assert(recall >= 0.3, s"IVF recall@10 $recall below floor")
+    // real corpora nprobe/16 probing retains far more. Training must
+    // stay near the sampled-centroid bootstrap's recall (uplift on a
+    // STRUCTURELESS fixture is not expected — k-means' win here is
+    // cell balance, asserted below; on clustered data it is recall).
+    assert(rT >= 0.3, s"IVF recall@10 $rT below floor")
+    assert(rT >= r0 - 0.1,
+      s"k-means training regressed recall: $r0 -> $rT")
+  }
+
+  test("k-means training balances the inverted lists (max cell size)") {
+    def maxCell(iters: Int): Long =
+      Similarity.ivfCorpusCells(emb, iters)
+        .groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .collect()(0).getLong(0)
+    val untrained = maxCell(0)
+    val trained = maxCell(Similarity.KMeansIters)
+    info(s"max inverted-list size: sampled=$untrained, trained=$trained " +
+      s"(corpus=${emb.count()}, ideal=${emb.count() / Similarity.NumCentroids})")
+    // the biggest cell bounds the per-probe scan cost at scale. On
+    // this structureless fixture the sampled bootstrap is already
+    // near-uniform (measured 42 vs 43 vs ideal 31), so training can
+    // only hold the line, not improve it — the guard is against Lloyd
+    // COLLAPSING cells (a classic k-means failure on bad seeds that
+    // would re-create the skew magnet); on clustered real corpora the
+    // same trainer is what turns a skewed bootstrap into balanced
+    // lists.
+    assert(trained <= math.ceil(untrained * 1.15).toLong,
+      s"k-means significantly increased inverted-list skew: " +
+        s"$untrained -> $trained")
   }
 
   test("cosine of a vector with itself is 1") {
