@@ -1,0 +1,161 @@
+package graft.app
+
+import graft.io.{BulkIndexSink, LocalDirTransport}
+import graft.replay.StreamPopulator
+import graft.streaming.{ProgressTelemetry, StreamingTaxi}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The end-to-end application: the Spark-first counterpart of the
+  * reference's `ProcessTaxiStream.main` (ProcessTaxiStream.java:64-167)
+  * plus its producer, wired as ONE runnable program:
+  *
+  *   wire-format input ─(replay: R1-R6 pacing + watermark lines)→
+  *   partition files ─(file streaming source S1 + strict codec S2)→
+  *   watermarked trip stream (P2/F1-F3) ─→ Q1 AND Q2 ─→
+  *   buffered idempotent bulk indexes (SK1), checkpointed (C1).
+  *
+  * '''Shared-prefix fan-out (SURVEY.md §7.5), decided''': Q1 and Q2
+  * run as TWO streaming queries over the one replayed file source.
+  * The alternative — a single query over a unioned keyspace
+  * (tag ∈ {Q1, Q2}, normalized key struct, split in the sink) — saves
+  * one source re-read but couples the two aggregations' watermark,
+  * state store and failure domain, and the sink must demultiplex
+  * heterogeneous schemas. A file (or Kinesis) source re-read is cheap
+  * and each query keeps independent checkpoints/state — on restart
+  * they recover independently, like the reference's two window
+  * operators inside one Flink job. The source files are read twice;
+  * the expensive parts (shuffle, state) are per-query either way.
+  *
+  * Index layout mirrors the reference's two document types
+  * (ProcessTaxiStream.java:159-160): `<indexDir>/pickup_count` keyed
+  * by (location, timestamp), `<indexDir>/trip_duration` keyed by
+  * (location, airport_code, timestamp) — deterministic doc ids make
+  * re-delivery after restart idempotent (effectively-once).
+  *
+  * CLI (reference flags at ProcessTaxiStream.java:65-71 and
+  * StreamPopulator.java:82-119):
+  * {{{
+  * runMain graft.app.ProcessTaxiStream \
+  *   --input <wire jsonl dir> --work <staging/checkpoint root> \
+  *   --index <index root> [--speedup N] [--partitions N] \
+  *   [--noeventtime] [--max-files-per-trigger N] [--once]
+  * }}}
+  */
+object ProcessTaxiStream {
+
+  final case class Config(
+      inputDir: String,
+      workDir: String,
+      indexDir: String,
+      eventTime: Boolean = true,            // --noeventtime toggles (C2)
+      speedup: Double = 6480.0,             // reference default
+      replayPartitions: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      once: Boolean = false,                // AvailableNow instead of 5 s
+      skipReplay: Boolean = false)          // restart onto existing files
+
+  final case class Summary(
+      replayedEvents: Long, skippedLines: Long,
+      pickupDocs: Long, durationDocs: Long, telemetry: String)
+
+  def parse(args: Array[String]): Config = {
+    def loop(cfg: Config, rest: List[String]): Config = rest match {
+      case "--input" :: v :: t => loop(cfg.copy(inputDir = v), t)
+      case "--work" :: v :: t => loop(cfg.copy(workDir = v), t)
+      case "--index" :: v :: t => loop(cfg.copy(indexDir = v), t)
+      case "--speedup" :: v :: t => loop(cfg.copy(speedup = v.toDouble), t)
+      case "--partitions" :: v :: t =>
+        loop(cfg.copy(replayPartitions = v.toInt), t)
+      case "--noeventtime" :: t => loop(cfg.copy(eventTime = false), t)
+      case "--max-files-per-trigger" :: v :: t =>
+        loop(cfg.copy(maxFilesPerTrigger = Some(v.toInt)), t)
+      case "--once" :: t => loop(cfg.copy(once = true), t)
+      case "--skip-replay" :: t => loop(cfg.copy(skipReplay = true), t)
+      case Nil => cfg
+      case other => throw new IllegalArgumentException(
+        s"unknown argument: ${other.head}")
+    }
+    val cfg = loop(Config("", "", ""), args.toList)
+    require(cfg.inputDir.nonEmpty && cfg.workDir.nonEmpty &&
+      cfg.indexDir.nonEmpty, "--input, --work and --index are required")
+    cfg
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, cfg)
+    println(s"[app] replayed=${s.replayedEvents} skipped=${s.skippedLines} " +
+      s"pickup_count docs=${s.pickupDocs} trip_duration docs=${s.durationDocs} " +
+      s"telemetry: ${s.telemetry}")
+    spark.stop()
+  }
+
+  /** Wire and run the whole pipeline; blocks until both queries
+    * terminate (with `once` that is when all replayed files are
+    * processed). Restart-safe: replay re-writes the same partition
+    * file names (the file source's checkpoint skips already-processed
+    * names) and the sinks' deterministic doc ids absorb re-delivered
+    * batches. */
+  def run(spark: SparkSession, cfg: Config): Summary = {
+    StreamingTaxi.configureStateStore(spark)
+    val telemetry = new ProgressTelemetry
+    spark.streams.addListener(telemetry)
+
+    // ---- producer half: replay wire input into partition files ----
+    val replayDir = s"${cfg.workDir}/replay"
+    val (events, skipped) =
+      if (cfg.skipReplay) (0L, 0L)
+      else new StreamPopulator(cfg.inputDir, replayDir,
+        partitions = cfg.replayPartitions, speedup = cfg.speedup,
+        statsEveryMs = 60000L).populate()
+
+    // ---- processor half: one source definition, two queries -------
+    def source: DataFrame = {
+      val r = spark.readStream
+      cfg.maxFilesPerTrigger.foreach(n =>
+        r.option("maxFilesPerTrigger", n.toString))
+      graft.io.EventCodec.parseEvents(
+        r.text(s"$replayDir/*.jsonl").toDF("value"))
+    }
+    def trips: DataFrame =
+      StreamingTaxi.tripStream(source, eventTime = cfg.eventTime)
+    val trigger =
+      if (cfg.once) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("5 seconds") // reference checkpoint cadence
+
+    val q1 = StreamingTaxi.writer(
+        StreamingTaxi.q1(trips), s"${cfg.workDir}/cp-q1", trigger)
+      .foreachBatch(BulkIndexSink.foreachBatchWriter(
+        Seq("location", "timestamp"),
+        new LocalDirTransport(s"${cfg.indexDir}/pickup_count")))
+      .queryName("q1_pickup_hotspots")
+      .start()
+    val q2 = StreamingTaxi.writer(
+        StreamingTaxi.q2(trips), s"${cfg.workDir}/cp-q2", trigger)
+      .foreachBatch(BulkIndexSink.foreachBatchWriter(
+        Seq("location", "airport_code", "timestamp"),
+        new LocalDirTransport(s"${cfg.indexDir}/trip_duration")))
+      .queryName("q2_airport_durations")
+      .start()
+    q1.awaitTermination()
+    q2.awaitTermination()
+    spark.streams.removeListener(telemetry)
+
+    def docs(sub: String): Long = {
+      val d = new java.io.File(s"${cfg.indexDir}/$sub")
+      if (!d.isDirectory) 0L
+      else d.listFiles().count(_.getName.endsWith(".json")).toLong
+    }
+    Summary(events, skipped, docs("pickup_count"), docs("trip_duration"),
+      telemetry.summary)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSessionSpec
+import graft.app.ProcessTaxiStream
+import graft.io.EventCodec
+import graft.sources.SyntheticTrips
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end application test (SURVEY.md §7.1): one program wiring
+  * replay → strict codec → watermarked trip stream → BOTH Q1 and Q2 →
+  * idempotent bulk indexes, then a restart over the same input. */
+class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
+
+  test("app populates both indexes and a restart re-indexes nothing") {
+    val wireDir = Files.createTempDirectory("app-wire").toString
+    val workDir = Files.createTempDirectory("app-work").toString
+    val indexDir = Files.createTempDirectory("app-index").toString
+
+    // wire-format input at sf0.01 (enough airport-trip density that
+    // Q2's count>1 windows emit from the early micro-batches)
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.01"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val cfg = ProcessTaxiStream.Config(
+      inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+      speedup = 1e12, replayPartitions = 4,
+      maxFilesPerTrigger = Some(1), once = true)
+
+    val first = ProcessTaxiStream.run(spark, cfg)
+    info(s"first run: $first")
+    assert(first.replayedEvents > 0)
+    assert(first.pickupDocs > 0, "pickup_count index is empty")
+    assert(first.durationDocs > 0, "trip_duration index is empty")
+
+    // restart: replay re-writes the same partition file names, the
+    // file source's checkpoint skips them, the sinks' deterministic
+    // ids would absorb any re-delivered batch — index must not change
+    val second = ProcessTaxiStream.run(spark, cfg)
+    info(s"second run: $second")
+    assert(second.pickupDocs == first.pickupDocs)
+    assert(second.durationDocs == first.durationDocs)
+  }
+
+  test("CLI parser covers the reference's flags") {
+    val cfg = ProcessTaxiStream.parse(Array(
+      "--input", "/in", "--work", "/w", "--index", "/idx",
+      "--speedup", "100", "--partitions", "2", "--noeventtime",
+      "--max-files-per-trigger", "3", "--once"))
+    assert(cfg == ProcessTaxiStream.Config("/in", "/w", "/idx",
+      eventTime = false, speedup = 100.0, replayPartitions = 2,
+      maxFilesPerTrigger = Some(3), once = true))
+    intercept[IllegalArgumentException] {
+      ProcessTaxiStream.parse(Array("--bogus"))
+    }
+    intercept[IllegalArgumentException] {
+      ProcessTaxiStream.parse(Array("--input", "/in"))
+    }
+  }
+}
