@@ -11,9 +11,12 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** B3 streaming bench (BASELINE.md): derive the wire-format event
   * stream at the given SF, replay it through the producer into
-  * partition files, then run streaming Q1 over the replayed
-  * partitions and report sustained events/s plus max micro-batch
-  * duration (the consumer-lag SLO analogue). One JSON line on stdout.
+  * partition files, then run streaming Q1 AND Q2 concurrently over
+  * the replayed partitions (the reference runs both windowed
+  * analytics in one job, ProcessTaxiStream.java:96-136; fan-out
+  * decision in graft.app.ProcessTaxiStream) and report sustained
+  * events/s plus per-query max micro-batch duration (the
+  * consumer-lag SLO analogue). One JSON line on stdout.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -45,27 +48,42 @@ object StreamBench {
       statsEveryMs = Long.MaxValue).populate()
     val replaySec = (System.nanoTime() - t0) / 1e9
 
-    // streaming Q1 over the replayed partitions, 2 files per batch
-    val stream = EventCodec.parseEvents(
+    // streaming Q1 + Q2 concurrently over the replayed partitions,
+    // 2 files per batch per query (each keeps its own source read,
+    // watermark and state — the production fan-out shape)
+    def stream = EventCodec.parseEvents(
       spark.readStream.option("maxFilesPerTrigger", "2")
         .text(s"$replayDir/*.jsonl").toDF("value"))
-    val q1 = StreamingTaxi.q1(StreamingTaxi.tripStream(stream))
     val t1 = System.nanoTime()
-    val query = StreamingTaxi.writer(q1, cpDir, Trigger.AvailableNow())
+    val query1 = StreamingTaxi.writer(
+        StreamingTaxi.q1(StreamingTaxi.tripStream(stream)),
+        s"$cpDir/q1", Trigger.AvailableNow())
       .format("memory").queryName("bench_q1").start()
-    query.awaitTermination()
+    val query2 = StreamingTaxi.writer(
+        StreamingTaxi.q2(StreamingTaxi.tripStream(stream)),
+        s"$cpDir/q2", Trigger.AvailableNow())
+      .format("memory").queryName("bench_q2").start()
+    query1.awaitTermination()
+    query2.awaitTermination()
     val streamWallSec = (System.nanoTime() - t1) / 1e9
 
-    val progress = query.recentProgress.toSeq
-    val inputRows = progress.map(_.numInputRows).sum
-    val maxBatchMs = progress.map(_.durationMs.getOrDefault("triggerExecution",
-      0L).toLong).maxOption.getOrElse(0L)
-    val evPerSec = inputRows / streamWallSec
+    def stats(q: org.apache.spark.sql.streaming.StreamingQuery) = {
+      val p = q.recentProgress.toSeq
+      (p.map(_.numInputRows).sum, p.size,
+        p.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+          .maxOption.getOrElse(0L))
+    }
+    val (rows1, batches1, maxMs1) = stats(query1)
+    val (rows2, batches2, maxMs2) = stats(query2)
+    // events/s = source events fully processed by BOTH queries per
+    // wall second (the job-level SLO view, not a per-query sum)
+    val evPerSec = math.min(rows1, rows2) / streamWallSec
     println(s"""{"metric":"stream_events_per_sec","value":$evPerSec,""" +
       s""""unit":"events/sec","replay_events":$events,""" +
       s""""replay_sec":$replaySec,"stream_wall_sec":$streamWallSec,""" +
-      s""""input_rows":$inputRows,"n_batches":${progress.size},""" +
-      s""""max_batch_ms":$maxBatchMs,"sf":"$sfDir"}""")
+      s""""q1_rows":$rows1,"q1_batches":$batches1,"q1_max_batch_ms":$maxMs1,""" +
+      s""""q2_rows":$rows2,"q2_batches":$batches2,"q2_max_batch_ms":$maxMs2,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
