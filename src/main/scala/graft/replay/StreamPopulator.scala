@@ -145,7 +145,18 @@ object AdaptTime {
   * `partitions` output files at `speedup`× real time, broadcasting a
   * watermark line to every partition each `watermarkEveryMs` of wall
   * time or `watermarkEveryEvents` events (StreamPopulator.java:39-41),
-  * logging progress every `statsEveryMs`. */
+  * logging progress every `statsEveryMs`.
+  *
+  * `maxOutstanding > 0` switches to the ASYNCHRONOUS write path —
+  * the full R7/R8 shape of the reference's KPL producer: records go
+  * through [[AsyncPartitionFileWriter]] (per-partition writer thread,
+  * record TTL), a fair [[BackpressureSemaphore]] bounds outstanding
+  * records (reference default 50,000), and the broadcast watermark is
+  * the genuine [[WatermarkTracker]] low watermark of un-acked events
+  * rather than the last-written timestamp the synchronous path
+  * degenerates to. Failed/expired records are counted in
+  * [[failedWrites]] and skipped (the reference skips throttling
+  * exceptions, StreamPopulator.java:189-198). */
 class StreamPopulator(
     inputDir: String,
     outputDir: String,
@@ -156,19 +167,62 @@ class StreamPopulator(
     watermarkEveryEvents: Long = 100000L,
     statsEveryMs: Long = 60000L,
     sleep: Long => Unit = Thread.sleep,
-    now: () => Long = () => System.currentTimeMillis()) {
+    now: () => Long = () => System.currentTimeMillis(),
+    maxOutstanding: Int = 0, // 0 = synchronous writes; reference KPL: 50000
+    recordTtlMs: Long = 300000L) { // KPL record TTL, StreamPopulator.java:65
 
   val MinSleepMs = 5L // StreamPopulator.java:44
 
-  private val writers: IndexedSeq[BufferedWriter] = {
+  private val failed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Records whose async write failed or out-aged the TTL (0 in
+    * synchronous mode). */
+  def failedWrites: Long = failed.get()
+
+  // exactly one of the two write paths is materialized per populator
+  private lazy val syncWriters: IndexedSeq[BufferedWriter] = {
     Files.createDirectories(Paths.get(outputDir))
     (0 until partitions).map(i => Files.newBufferedWriter(
       Paths.get(outputDir, f"part-$i%05d.jsonl")))
   }
+  private lazy val asyncBundle
+      : (AsyncPartitionFileWriter, BackpressureSemaphore, WatermarkTracker) =
+    (new AsyncPartitionFileWriter(outputDir, partitions, recordTtlMs, now),
+      new BackpressureSemaphore(maxOutstanding),
+      new WatermarkTracker)
+  private def async = maxOutstanding > 0
+
+  private def writeRecord(p: Int, line: String, eventTs: Long): Unit =
+    if (!async) { syncWriters(p).write(line); syncWriters(p).newLine() }
+    else {
+      val (w, sem, tracker) = asyncBundle
+      tracker.track(eventTs)
+      sem.acquire() // R7: block the producer at maxOutstanding
+      w.addRecord(p, line).whenComplete { (_, err) =>
+        sem.release()
+        tracker.complete(eventTs) // success OR failure un-tracks (R5)
+        if (err != null) failed.incrementAndGet()
+      }
+    }
+
+  /** The raw event-time base for the next watermark line: the current
+    * record's timestamp under synchronous writes (every prior record
+    * is durable), the tracker's un-acked low watermark under async
+    * (None until a first completion). */
+  private def watermarkBase(currentTs: Long): Option[Long] =
+    if (!async) Some(currentTs)
+    else Some(asyncBundle._3.watermark).filter(_ != Long.MinValue)
 
   private def emitWatermark(ts: Long): Unit = {
     val line = s"""{"type": "watermark", "watermark": "${ReplayJson.toIso(ts)}"}"""
-    writers.foreach { w => w.write(line); w.newLine() }
+    if (!async) syncWriters.foreach { w => w.write(line); w.newLine() }
+    else asyncBundle._1.broadcast(line) // ordered after queued records
+  }
+
+  private def adaptWm(rawTs: Long): Long = adaptMode match {
+    case AdaptTime.Original => rawTs
+    case AdaptTime.Invocation(epoch, n0) => rawTs + (n0 - epoch)
+    case AdaptTime.Ingestion(n) => n()
   }
 
   /** Replay everything at the configured pace; returns (events,
@@ -191,16 +245,12 @@ class StreamPopulator(
         ((ts - t0Log) / speedup - (now() - t0Sys)).toLong }
       val out = AdaptTime.adapt(line, ts, adaptMode)
       val p = math.floorMod(out.hashCode, partitions)
-      writers(p).write(out); writers(p).newLine()
+      writeRecord(p, out, ts)
       events += 1
       lastTs = ts
       if (now() - lastWmWall >= watermarkEveryMs ||
           events - lastWmEvents >= watermarkEveryEvents) {
-        emitWatermark(adaptMode match {
-          case AdaptTime.Original => ts
-          case AdaptTime.Invocation(epoch, n0) => ts + (n0 - epoch)
-          case AdaptTime.Ingestion(n) => n()
-        })
+        watermarkBase(ts).foreach(base => emitWatermark(adaptWm(base)))
         lastWmWall = now(); lastWmEvents = events
       }
       if (now() - lastStats >= statsEveryMs) {
@@ -210,12 +260,10 @@ class StreamPopulator(
         lastStats = now()
       }
     }
-    if (lastTs >= 0) emitWatermark(adaptMode match {
-      case AdaptTime.Original => lastTs
-      case AdaptTime.Invocation(epoch, n0) => lastTs + (n0 - epoch)
-      case AdaptTime.Ingestion(n) => n()
-    })
-    writers.foreach(_.close())
+    if (async) asyncBundle._1.flushSync() // drain before the final watermark
+    if (lastTs >= 0)
+      watermarkBase(lastTs).foreach(base => emitWatermark(adaptWm(base)))
+    if (!async) syncWriters.foreach(_.close()) else asyncBundle._1.close()
     (events, reader.skippedLines)
   }
 }
