@@ -116,7 +116,15 @@ object SparkEntry {
     // projection, deterministic frame sampling — through the typed
     // Dataset operators (Multimodal.mediaFromDocs/sampleFrames).
     "q21_multimodal_meta" -> ((s, dir) =>
-      operators.Multimodal.multimodalMeta(documents(s, dir)))
+      operators.Multimodal.multimodalMeta(documents(s, dir))),
+    // Skew mitigation: two-phase salted aggregation — phase 1 on
+    // (key, deterministic salt), phase 2 combines partials per key.
+    // Result is row-identical to the plain GROUP BY (the oracle runs
+    // the unsalted form; float partial-sum ordering differences live
+    // below the compare's %.9g canonicalization).
+    "q22_skew_salted" -> ((s, dir) =>
+      operators.Skew.saltedCountSum(
+        EventsQueries.events(s, dir), "user_id", "value", salts = 8))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -187,6 +195,9 @@ object SparkEntry {
         |)
         |SELECT * FROM r WHERE rank <= 5""".stripMargin,
     "q20_ann_ivf" -> OracleSql.annIvf,
-    "q21_multimodal_meta" -> OracleSql.multimodalMeta
+    "q21_multimodal_meta" -> OracleSql.multimodalMeta,
+    "q22_skew_salted" ->
+      """SELECT user_id, COUNT(*) AS n, SUM(value) AS total
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

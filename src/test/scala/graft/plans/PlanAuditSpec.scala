@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these plans survive
+  * a 100× scale-up, pinned as assertions so a refactor can't silently
+  * lose them — column pruning reaching the parquet scan, small dims
+  * broadcast instead of shuffled, exactly one exchange where one
+  * suffices, and whole-stage codegen over the hot row-local pipeline.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+  // exchanges are inserted by EnsureRequirements during executedPlan
+  // preparation (and AQE wraps the tree), so count them in the plan
+  // string — "Exchange hashpartitioning" is the shuffle marker;
+  // broadcast exchanges print as "BroadcastExchange" and don't match
+  private def shuffleCount(df: DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("column pruning reaches the documents scan (q4 reads doc_id+text only)") {
+    val s = scans(q("q4_dedup_exact"))
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("column pruning reaches the embeddings scan (q9 reads vec_id+embedding only)") {
+    val s = scans(q("q9_ann_brute"))
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("events scan prunes to the three referenced columns (q3)") {
+    val s = scans(q("q3_events_window"))
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("ts", "event_type", "value"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q13 joins the nation dim via broadcast, not a shuffle of the dim") {
+    val plan = q("q13_join_nation").queryExecution.sparkPlan
+    val broadcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.nonEmpty, "no BroadcastHashJoin in q13 plan")
+  }
+
+  test("q1 aggregates through exactly one exchange (partial+final agg)") {
+    // scan → codegen'd filter/project (geohash + rewritten fences) →
+    // partial agg → ONE hash exchange on (location, window) → final
+    // agg → HAVING; a second exchange would mean lost partial
+    // aggregation or a stray repartition
+    assert(shuffleCount(q("q1_pickup_hotspots")) == 1)
+  }
+
+  test("q22 salted aggregation shuffles once per phase, never more") {
+    // phase 1 exchange on (key, salt), phase 2 exchange on key
+    assert(shuffleCount(q("q22_skew_salted")) == 2)
+  }
+
+  test("q1's row-local pipeline runs inside whole-stage codegen") {
+    val df = q("q1_pickup_hotspots")
+    df.collect() // AQE finalizes (and codegen-annotates) the plan on execution
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with "[codegen id : n]"
+    assert(txt.contains("codegen id"), "no codegen span in q1 plan")
+    assert("""\(\d+\) Filter \[codegen id""".r.findFirstIn(txt).isDefined,
+      "the fence filter is not inside a codegen span")
+    assert("""\(\d+\) HashAggregate \[codegen id""".r.findFirstIn(txt).isDefined,
+      "the aggregation is not inside a codegen span")
+  }
+}
