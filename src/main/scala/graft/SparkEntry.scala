@@ -124,7 +124,15 @@ object SparkEntry {
     // below the compare's %.9g canonicalization).
     "q22_skew_salted" -> ((s, dir) =>
       operators.Skew.saltedCountSum(
-        EventsQueries.events(s, dir), "user_id", "value", salts = 8))
+        EventsQueries.events(s, dir), "user_id", "value", salts = 8)),
+    // Distinct aggregation + exact interpolated percentiles
+    // (SURVEY.md §2.4 relational surface).
+    "q23_distinct_percentiles" -> ((s, dir) =>
+      RelationalQueries.typeStats(EventsQueries.events(s, dir))),
+    // Token counting: whitespace vs BPE-ish regex pre-tokenization
+    // (LLM-pipeline text analysis).
+    "q24_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(documents(s, dir)))
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -198,6 +206,22 @@ object SparkEntry {
     "q21_multimodal_meta" -> OracleSql.multimodalMeta,
     "q22_skew_salted" ->
       """SELECT user_id, COUNT(*) AS n, SUM(value) AS total
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    // quantile_cont = linear interpolation at rank p·(n−1), the same
+    // definition as Spark's exact `percentile` aggregate
+    "q23_distinct_percentiles" ->
+      """SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       quantile_cont(value, 0.5) AS p50_value,
+        |       quantile_cont(value, 0.95) AS p95_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q24_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text),
+         |         '${graft.operators.TextAnalysis.TokenPattern}')) AS BIGINT)
+         |         AS regex_tokens
+         |FROM documents""".stripMargin
   )
 }

@@ -94,6 +94,24 @@ object RelationalQueries {
       .filter(col("rank") <= k)
   }
 
+  /** Distinct aggregation + exact interpolated percentiles per event
+    * type (SURVEY.md §2.4 lists both as absent in the reference):
+    * COUNT(DISTINCT) expands to a two-phase plan (distinct on
+    * (type, user) then count per type) and `percentile` is Spark's
+    * exact linear-interpolation aggregate — the same definition as
+    * DuckDB's quantile_cont, which the oracle runs. At 100 TB the
+    * exact percentile is the accuracy baseline; approx_percentile /
+    * approx_count_distinct are the sketch path (not oracle-mirrorable
+    * bit-for-bit across engines, so graded by their exact twins). */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("percentile(value, 0.5D)").as("p50_value"),
+        expr("percentile(value, 0.95D)").as("p95_value"))
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */

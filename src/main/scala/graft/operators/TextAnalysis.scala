@@ -95,6 +95,22 @@ object TextAnalysis {
         guess.as("lang_guess"): _*)
   }
 
+  /** Tokenizer pattern for the BPE-ish token count: greedy runs of
+    * letters, runs of digits, or a single non-alphanumeric mark —
+    * the pre-tokenization split every BPE-family tokenizer starts
+    * from. ASCII classes only so the Java (Spark) and RE2 (DuckDB
+    * oracle) regex dialects agree exactly. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Per-doc token counting: whitespace tokens vs the BPE-ish regex
+    * pre-tokenization over the lowercased text. Row-local. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all(lower(text), '$TokenPattern', 0)"))
+        .cast("long").as("regex_tokens"))
+
   /** SimHash bit width (matches the 60-bit digest; top bits unused),
     * band split and the Hamming cut for the pair search. 4 bands of
     * 15 bits ⇒ guaranteed capture of every pair with Hamming ≤ 3. */
