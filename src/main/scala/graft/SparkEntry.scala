@@ -132,7 +132,19 @@ object SparkEntry {
     // Token counting: whitespace vs BPE-ish regex pre-tokenization
     // (LLM-pipeline text analysis).
     "q24_token_count" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(documents(s, dir)))
+      TextAnalysis.tokenCounts(documents(s, dir))),
+    // Salted equi-join (hot-key mitigation): row-identical to the
+    // plain join the oracle runs, spread over (key, salt) reducers.
+    "q25_salted_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      operators.Skew.saltedJoin(orders, customer, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("sum_price"))
+    })
   )
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
@@ -222,6 +234,12 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(lower(text),
          |         '${graft.operators.TextAnalysis.TokenPattern}')) AS BIGINT)
          |         AS regex_tokens
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "q25_salted_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_orders,
+        |       SUM(o_totalprice) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
