@@ -262,7 +262,8 @@ object Similarity {
         cents, cnorms, ids, 1)), 1).as("cell"))
   }
 
-  def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters): DataFrame = {
+  def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters,
+      numQueries: Int = NumQueryVectors): DataFrame = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cents, cnorms, ids) = codebook(emb, iters)
@@ -272,15 +273,15 @@ object Similarity {
 
     val corpusCells = emb.select(col("vec_id"),
       element_at(cells(col("v"), col("norm"), 1), 1).as("cell"))
-    val queryCells = queries(emb).select(col("query_id"),
+    val queryCells = queries(emb, numQueries).select(col("query_id"),
       explode(cells(col("qv"), col("qnorm"), NProbe)).as("cell"))
     val candIds = queryCells.join(corpusCells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
     val cand = candIds
-      .join(queries(emb).select(col("query_id"), col("qv"), col("qnorm")),
-        "query_id")
+      .join(queries(emb, numQueries)
+        .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
       .join(emb, "vec_id")
     topK(cand.withColumn("cosine", cosine))
   }

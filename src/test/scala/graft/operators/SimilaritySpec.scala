@@ -96,6 +96,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
         s"$untrained -> $trained")
   }
 
+  test("clustered corpus: LSH recall is high; k-means IVF shows real uplift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Deterministic CLUSTERED corpus — the shape real embedding data
+    // has (the fixture is adversarially near-random): 16 centers, 32
+    // members each at cosine ≈ 0.9+ to their center. Ids are grouped
+    // BY CLUSTER, so the sampled-first-16 bootstrap sees ONLY cluster
+    // 0 — the adversarial seeding Lloyd training exists to fix.
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+
+    val nQ = 64 // queries span clusters 0 and 1
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val lsh = pairs(Similarity.lshTopK(cemb, nQ))
+    val ivf0 = pairs(Similarity.ivfTopK(cemb, iters = 0, numQueries = nQ))
+    val ivfT = pairs(Similarity.ivfTopK(cemb,
+      iters = Similarity.KMeansIters, numQueries = nQ))
+    def recall(s: Set[(Long, Long)]) =
+      s.intersect(brute).size.toDouble / brute.size
+    info(f"clustered recall@10: lsh=${recall(lsh)}%.2f " +
+      f"ivf untrained=${recall(ivf0)}%.2f trained=${recall(ivfT)}%.2f")
+    // sign-LSH at neighbor cosine ≈0.9: expected ≈0.87 under 6×8 bands
+    assert(recall(lsh) >= 0.6, s"clustered LSH recall ${recall(lsh)}")
+    // trained k-means must recover the true clusters the degenerate
+    // bootstrap missed — a real, measured uplift
+    assert(recall(ivfT) >= 0.8, s"trained IVF recall ${recall(ivfT)}")
+    assert(recall(ivfT) >= recall(ivf0) + 0.1,
+      s"no k-means uplift: ${recall(ivf0)} -> ${recall(ivfT)}")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
