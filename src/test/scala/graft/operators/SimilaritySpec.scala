@@ -96,6 +96,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
         s"$untrained -> $trained")
   }
 
+  test("multi-probe trades bounded candidate growth for recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb))
+    val r0 = pairs(Similarity.lshTopK(emb))
+        .intersect(brute).size.toDouble / brute.size
+    val r1 = pairs(Similarity.lshTopK(emb, multiProbe = 1))
+        .intersect(brute).size.toDouble / brute.size
+    val c0 = Similarity.lshCandidates(emb).count()
+    val c1 = Similarity.lshCandidates(emb, multiProbe = 1).count()
+    info(f"probe-0: recall=$r0%.2f cands=$c0; probe-1: recall=$r1%.2f cands=$c1")
+    // probe-1 explores 9× the buckets per query: recall must rise
+    // materially and candidates stay bounded (≈9× probe-0, still a
+    // fraction of all-pairs), preserving the scale property
+    assert(r1 >= r0 + 0.1, s"multi-probe gave no recall lift: $r0 -> $r1")
+    assert(c1 <= c0 * 12, s"multi-probe candidate blow-up: $c0 -> $c1")
+  }
+
   test("clustered corpus: LSH recall is high; k-means IVF shows real uplift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
