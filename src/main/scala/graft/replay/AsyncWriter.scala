@@ -21,9 +21,18 @@ class BackpressureSemaphore(val maxOutstanding: Int) {
   * submission; on completion, the watermark advances to the completed
   * event's timestamp ONLY if it is at or below every timestamp still
   * in flight — i.e. the watermark is always ≤ the event time of any
-  * record that may still complete. Under the synchronous file writes
-  * of [[StreamPopulator]]'s default mode this degenerates to the last
-  * written timestamp; the async mode exercises the genuine ordering. */
+  * record that may still complete — and catches up to the newest
+  * completion once the in-flight set drains.
+  *
+  * Contract: SUBMISSIONS are expected in non-decreasing event time
+  * (the replay reader is event-time-ordered, as is the reference's
+  * trip_id-ordered stream); completions may ack in any order. An
+  * emitted watermark is a promise — a producer that later submits an
+  * older event has made that event late, exactly as with Flink/Spark
+  * watermarks. Under the synchronous file writes of
+  * [[StreamPopulator]]'s default mode the tracker degenerates to the
+  * last written timestamp; the async mode exercises the genuine
+  * ordering. */
 class WatermarkTracker {
   private val inFlight = scala.collection.mutable.TreeMap.empty[Long, Int]
   private var maxCompleted = Long.MinValue

@@ -35,6 +35,39 @@ class AsyncReplaySpec extends AnyFunSuite {
     assert(t.watermark == 500L)
   }
 
+  test("watermark tracker invariants hold under random interleavings (property)") {
+    // deterministic pseudo-random interleavings modelling the real
+    // producer: submissions arrive in non-decreasing event time (the
+    // replay reader is event-time-ordered, like the reference's
+    // trip_id-ordered stream) while completions ack in ARBITRARY
+    // order (async writers race). After every step: (1) the watermark
+    // never exceeds an un-acked event's timestamp, (2) the watermark
+    // is monotone non-decreasing.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val t = new WatermarkTracker
+      val inFlight = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lastWm = Long.MinValue
+      var clock = 0L
+      for (_ <- 1 to 200) {
+        if (inFlight.isEmpty || rnd.nextBoolean()) {
+          clock += rnd.nextInt(5)
+          t.track(clock); inFlight += clock
+        } else {
+          val i = rnd.nextInt(inFlight.size)
+          val ts = inFlight.remove(i)
+          t.complete(ts)
+        }
+        val wm = t.watermark
+        val minInFlight = inFlight.minOption
+        assert(minInFlight.forall(wm <= _),
+          s"watermark $wm passed un-acked event $minInFlight")
+        assert(wm >= lastWm, s"watermark regressed $lastWm -> $wm")
+        lastWm = wm
+      }
+    }
+  }
+
   test("backpressure semaphore bounds outstanding records (R7)") {
     val dir = tmp("async-bp")
     val gate = new CountDownLatch(1)

@@ -117,4 +117,29 @@ class StreamEnrichmentSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out.count() == 9) // one row per distinct valid trip
     assert(out.select("trip_id").distinct().count() == 9)
   }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // plain dropDuplicates keeps every key forever — unbounded state
+    // on an unbounded stream. The WithinWatermark variant evicts keys
+    // once the watermark passes them: the configuration that survives
+    // at 100 TB, correct whenever re-deliveries arrive within the
+    // watermark delay (true for retry-based at-least-once sources).
+    val ms = MemoryStream[String]
+    val trips = TaxiQueries.validNycTrips(
+        EventCodec.parseEvents(ms.toDF().toDF("value")))
+      .withWatermark("dropoff_datetime", "10 seconds")
+      .dropDuplicatesWithinWatermark("trip_id")
+    val q = StreamingTaxi.writer(trips, tmp("cp"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .format("memory").queryName("dedup_wm_trips").start()
+
+    ms.addData(fixtureLines: _*) // full fixture + an immediate re-delivery
+    ms.addData(fixtureLines: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_wm_trips")
+    assert(out.count() == 9)
+    assert(out.select("trip_id").distinct().count() == 9)
+  }
 }
