@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate detection: the batch dedup
+  * family ([[graft.operators.Dedup.minhashNearDups]]) re-expressed
+  * over an UNBOUNDED document stream — the shape a training-data
+  * ingest pipeline needs (filter each incoming document against
+  * everything already accepted, continuously).
+  *
+  * Dataflow: the row-local stages are the batch operators verbatim
+  * (codegen'd shingle → digest → MinHash signature kernels work on a
+  * streaming DataFrame unchanged); the banded signature becomes the
+  * GROUPING KEY of a `flatMapGroupsWithState` operator whose state is
+  * the bucket's seen documents. A new document compares (exact
+  * Jaccard on the distinct shingle-hash sets) only against its own
+  * bucket's members — the same never-all-pairs property as the batch
+  * join, incrementally.
+  *
+  * A pair colliding in several bands is emitted once per band; the
+  * pair key (doc_a, doc_b) is deterministic, so any idempotent
+  * consumer (e.g. [[graft.io.BulkIndexSink]] keyed on the pair)
+  * absorbs the duplicates — StreamingDedupSpec compares pair SETS
+  * against the batch oracle operator.
+  *
+  * Scale notes: state per bucket is the member list (doc id + its
+  * distinct hash set), which is exactly the bucket occupancy the
+  * banding bounds; `stateTtl` evicts buckets untouched for the
+  * configured processing-time interval — the knob that keeps an
+  * infinite stream's state finite when dedup only needs to look back
+  * a bounded horizon.
+  */
+object StreamingDedup {
+
+  final case class BucketKey(band: Int, k1: Long, k2: Long)
+  final case class BucketDoc(doc_id: Long, hashes: Array[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Near-dup pairs over a streaming (doc_id, text) DataFrame.
+    * `stateTtlMs` <= 0 keeps bucket state forever (exact parity with
+    * the batch operator over a finite replay). */
+  def nearDupPairs(docs: DataFrame, stateTtlMs: Long = -1L)
+      : Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val sigs = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), col("hashes"),
+        Dedup.signature(col("hashes")).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("hashes"),
+      posexplode(array((0 until Dedup.NumBands).map { j =>
+        struct(
+          element_at(col("sig"), 2 * j + 1).as("k1"),
+          element_at(col("sig"), 2 * j + 2).as("k2"))
+      }: _*)).as(Seq("band", "key")))
+      .select(col("doc_id"), col("hashes"), col("band"),
+        col("key.k1"), col("key.k2"))
+      .as[(Long, Array[Long], Int, Long, Long)]
+
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    bands
+      .groupByKey { case (_, _, band, k1, k2) => BucketKey(band, k1, k2) }
+      .flatMapGroupsWithState[List[BucketDoc], NearDupPair](
+        OutputMode.Append, timeout) {
+        (_: BucketKey, rows: Iterator[(Long, Array[Long], Int, Long, Long)],
+            state: GroupState[List[BucketDoc]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupPair]
+            // deterministic intra-batch order so a batch's own pairs
+            // are emitted exactly once with doc_a < doc_b
+            for ((docId, hashes, _, _, _) <- rows.toSeq.sortBy(_._1)) {
+              if (!members.exists(_.doc_id == docId)) {
+                val h = hashes.toSet
+                members.foreach { m =>
+                  val inter = m.hashes.count(h.contains)
+                  val union = m.hashes.length + h.size - inter
+                  val j = inter.toDouble / union
+                  if (j >= Dedup.JaccardThreshold) {
+                    val (a, b) = if (m.doc_id < docId) (m.doc_id, docId)
+                      else (docId, m.doc_id)
+                    out += NearDupPair(a, b, j)
+                  }
+                }
+                members = BucketDoc(docId, hashes) :: members
+              }
+            }
+            state.update(members)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSessionSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming MinHash-LSH near-dup detection vs the batch operator:
+  * same pairs, same Jaccard values, with documents arriving across
+  * multiple micro-batches (late arrivals must still pair with
+  * documents accepted earlier — the state carries the buckets). */
+class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  test("streaming pairs == batch pairs, across micro-batches") {
+    val docsBatch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = Dedup.minhashNearDups(docsBatch).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(expected.nonEmpty)
+
+    val docs = docsBatch.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val ms = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.nearDupPairs(
+      ms.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sd-cp").toString)
+      .format("memory").queryName("stream_dups").start()
+
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*) // late docs must pair against batch-1 state
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_dups").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap // multi-band emits collapse
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(expected.keySet)}")
+    expected.foreach { case (pair, j) =>
+      assert(math.abs(got(pair) - j) < 1e-12, s"jaccard mismatch at $pair")
+    }
+  }
+
+  // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
+  // schedule continuous no-data micro-batches to fire timeouts, so
+  // `processAllAvailable` never settles — the TTL path is therefore
+  // exercised with a real ProcessingTime trigger in production, not
+  // in this parity-oriented spec (the NoTimeout path above covers the
+  // pairing logic; the timeout branch only removes state).
+}
