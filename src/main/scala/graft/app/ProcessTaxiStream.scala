@@ -111,12 +111,27 @@ object ProcessTaxiStream {
     spark.streams.addListener(telemetry)
 
     // ---- producer half: replay wire input into partition files ----
+    // In continuous mode the replay runs CONCURRENTLY with the
+    // queries (the reference's producer and Flink job run side by
+    // side; the paced replay and the 5 s trigger only mean something
+    // if the consumer is draining while the producer writes). In
+    // --once mode it runs first: AvailableNow snapshots the available
+    // files at query start, so racing the producer would silently
+    // truncate the run.
     val replayDir = s"${cfg.workDir}/replay"
-    val (events, skipped) =
-      if (cfg.skipReplay) (0L, 0L)
-      else new StreamPopulator(cfg.inputDir, replayDir,
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(replayDir))
+    val replayed = new java.util.concurrent.atomic.AtomicReference((0L, 0L))
+    def doReplay(): Unit = replayed.set(
+      new StreamPopulator(cfg.inputDir, replayDir,
         partitions = cfg.replayPartitions, speedup = cfg.speedup,
-        statsEveryMs = 60000L).populate()
+        statsEveryMs = 60000L).populate())
+    val replayThread: Option[Thread] =
+      if (cfg.skipReplay) None
+      else if (cfg.once) { doReplay(); None }
+      else {
+        val t = new Thread(() => doReplay(), "graft-replay")
+        t.setDaemon(true); t.start(); Some(t)
+      }
 
     // ---- processor half: one source definition, two queries -------
     def source: DataFrame = {
@@ -146,15 +161,24 @@ object ProcessTaxiStream {
         new LocalDirTransport(s"${cfg.indexDir}/trip_duration")))
       .queryName("q2_airport_durations")
       .start()
-    q1.awaitTermination()
-    q2.awaitTermination()
-    spark.streams.removeListener(telemetry)
+    try {
+      q1.awaitTermination()
+      q2.awaitTermination()
+    } finally {
+      // one query failing must not leave the sibling (or the
+      // listener) running in the session
+      if (q1.isActive) q1.stop()
+      if (q2.isActive) q2.stop()
+      replayThread.foreach(_.join(60000))
+      spark.streams.removeListener(telemetry)
+    }
 
     def docs(sub: String): Long = {
       val d = new java.io.File(s"${cfg.indexDir}/$sub")
       if (!d.isDirectory) 0L
       else d.listFiles().count(_.getName.endsWith(".json")).toLong
     }
+    val (events, skipped) = replayed.get()
     Summary(events, skipped, docs("pickup_count"), docs("trip_duration"),
       telemetry.summary)
   }

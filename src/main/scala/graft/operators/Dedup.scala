@@ -138,6 +138,24 @@ object Dedup {
   def ngramNearDups(docs: DataFrame): DataFrame =
     nearDupsFromHashes(charNgramHashes(docs))
 
+  /** The banded-signature layout — [[NumBands]] rows per doc of
+    * (doc_id, hashes, band, key(k1, k2)) — shared by the batch LSH
+    * join and the streaming bucket operator
+    * ([[graft.streaming.StreamingDedup]]); the signature packing
+    * (RowsPerBand values per band) lives ONLY here, so the two paths
+    * cannot drift apart. */
+  def bandedSignatures(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("doc_id"), col("hashes"),
+        signature(col("hashes")).as("sig"))
+      .select(
+        col("doc_id"), col("hashes"),
+        posexplode(array((0 until NumBands).map { j =>
+          struct(
+            element_at(col("sig"), 2 * j + 1).as("k1"),
+            element_at(col("sig"), 2 * j + 2).as("k2"))
+        }: _*)).as(Seq("band", "key")))
+
   /** Shared LSH pipeline: (doc_id, hashes) → near-dup pairs.
     * The hashed corpus feeds three consumers (signatures and both
     * sides of the Jaccard verify join); without persisting, each
@@ -147,17 +165,10 @@ object Dedup {
   def nearDupsFromHashes(hashed0: DataFrame): DataFrame = {
     val hashed = hashed0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = hashed.select(col("doc_id"), col("hashes"),
-      signature(col("hashes")).as("sig"))
-
-    // 8 rows per doc: (band, k1, k2) — the band key for the LSH join.
-    val bands = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until NumBands).map { j =>
-        struct(
-          element_at(col("sig"), 2 * j + 1).as("k1"),
-          element_at(col("sig"), 2 * j + 2).as("k2"))
-      }: _*)).as(Seq("band", "key")))
+    // band rows WITHOUT the hash arrays — the join must not shuffle
+    // them (the Jaccard verify re-joins the arrays afterwards)
+    val bands = bandedSignatures(hashed)
+      .select(col("doc_id"), col("band"), col("key"))
 
     // aliased self-sides: the join condition references qualified
     // columns, not same-lineage Column objects (which only resolve

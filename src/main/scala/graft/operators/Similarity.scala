@@ -199,16 +199,19 @@ object Similarity {
   private[operators] def trainCentroids(
       sample: IndexedSeq[(IndexedSeq[Double], Double)],
       iters: Int): Array[Array[Double]] = {
-    var cents = sample.take(NumCentroids).map(_._1.toArray).toArray
+    // a tiny corpus yields fewer than NumCentroids centroids — degrade
+    // gracefully like the sampled bootstrap did, don't index past k
+    val k = math.min(NumCentroids, sample.size)
+    var cents = sample.take(k).map(_._1.toArray).toArray
     for (_ <- 0 until iters) {
       val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-      val sums = Array.fill(NumCentroids)(new Array[Double](Dim))
-      val counts = new Array[Long](NumCentroids)
+      val sums = Array.fill(k)(new Array[Double](Dim))
+      val counts = new Array[Long](k)
       sample.foreach { case (v, nrm) =>
         var best = -1
         var bestCos = Double.NegativeInfinity
         var j = 0
-        while (j < NumCentroids) {
+        while (j < k) {
           var d = 0.0
           var i = 0
           while (i < Dim) { d += v(i) * cents(j)(i); i += 1 }
@@ -216,12 +219,16 @@ object Similarity {
           if (cos > bestCos) { bestCos = cos; best = j }
           j += 1
         }
-        val s = sums(best)
-        var i = 0
-        while (i < Dim) { s(i) += v(i); i += 1 }
-        counts(best) += 1
+        // best = -1 iff every cosine was NaN (zero-norm vector): skip
+        // the vector rather than corrupting an accumulator
+        if (best >= 0) {
+          val s = sums(best)
+          var i = 0
+          while (i < Dim) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
       }
-      cents = Array.tabulate(NumCentroids) { j =>
+      cents = Array.tabulate(k) { j =>
         if (counts(j) == 0L) cents(j)
         else Array.tabulate(Dim)(i => sums(j)(i) / counts(j).toDouble)
       }
@@ -241,16 +248,9 @@ object Similarity {
       .toIndexedSeq
     val cents = trainCentroids(sample, iters)
     val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-    (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, 0 until NumCentroids)
+    (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, cents.indices)
   }
 
-  /** IVF approximate top-k: corpus vectors live in their nearest
-    * centroid's cell; a query probes its NProbe nearest cells and
-    * ranks exact cosine over those cells only — per-query cost is
-    * ~NProbe/NumCentroids of the corpus, the inverted-file scale
-    * path. Cell assignment is a codegen'd row-local expression with
-    * the codebook baked in (ZERO shuffle of the corpus — a
-    * crossJoin+Window assignment would shuffle 16× the corpus). */
   /** Corpus→cell assignment under the trained codebook — exposed so
     * the spec can measure inverted-list balance (max cell size bounds
     * the per-probe scan cost at scale). */
@@ -262,6 +262,13 @@ object Similarity {
         cents, cnorms, ids, 1)), 1).as("cell"))
   }
 
+  /** IVF approximate top-k: corpus vectors live in their nearest
+    * centroid's cell; a query probes its NProbe nearest cells and
+    * ranks exact cosine over those cells only — per-query cost is
+    * ~NProbe/NumCentroids of the corpus, the inverted-file scale
+    * path. Cell assignment is a codegen'd row-local expression with
+    * the codebook baked in (ZERO shuffle of the corpus — a
+    * crossJoin+Window assignment would shuffle 16× the corpus). */
   def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters,
       numQueries: Int = NumQueryVectors): DataFrame = {
     val emb = emb0.persist(

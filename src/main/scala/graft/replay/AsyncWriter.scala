@@ -104,9 +104,11 @@ class AsyncPartitionFileWriter(
 
   /** Append a control line to EVERY partition, ordered after all
     * previously submitted records of each partition (the watermark
-    * broadcast path, R6). */
-  def broadcast(line: String): Unit =
-    (0 until partitions).foreach(p => addRecord(p, line))
+    * broadcast path, R6). Returns the per-partition futures — the
+    * caller must observe them (a dropped failure would leave one
+    * partition silently missing the control line). */
+  def broadcast(line: String): Seq[CompletableFuture[java.lang.Long]] =
+    (0 until partitions).map(p => addRecord(p, line))
 
   /** Block until every queued record is written, then flush. */
   def flushSync(): Unit = {

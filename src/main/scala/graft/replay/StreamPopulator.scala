@@ -217,6 +217,9 @@ class StreamPopulator(
     val line = s"""{"type": "watermark", "watermark": "${ReplayJson.toIso(ts)}"}"""
     if (!async) syncWriters.foreach { w => w.write(line); w.newLine() }
     else asyncBundle._1.broadcast(line) // ordered after queued records
+      .foreach(_.whenComplete { (_, err) =>
+        if (err != null) failed.incrementAndGet() // surface lost control lines
+      })
   }
 
   private def adaptWm(rawTs: Long): Long = adaptMode match {

@@ -45,16 +45,7 @@ object StreamingDedup {
   def nearDupPairs(docs: DataFrame, stateTtlMs: Long = -1L)
       : Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
-    val sigs = Dedup.shingleHashes(docs)
-      .select(col("doc_id"), col("hashes"),
-        Dedup.signature(col("hashes")).as("sig"))
-    val bands = sigs.select(
-      col("doc_id"), col("hashes"),
-      posexplode(array((0 until Dedup.NumBands).map { j =>
-        struct(
-          element_at(col("sig"), 2 * j + 1).as("k1"),
-          element_at(col("sig"), 2 * j + 2).as("k2"))
-      }: _*)).as(Seq("band", "key")))
+    val bands = Dedup.bandedSignatures(Dedup.shingleHashes(docs))
       .select(col("doc_id"), col("hashes"), col("band"),
         col("key.k1"), col("key.k2"))
       .as[(Long, Array[Long], Int, Long, Long)]
