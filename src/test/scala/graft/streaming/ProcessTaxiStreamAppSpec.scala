@@ -43,6 +43,44 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     assert(second.durationDocs == first.durationDocs)
   }
 
+  test("continuous mode: replay runs concurrently with the queries") {
+    val wireDir = Files.createTempDirectory("appc-wire").toString
+    val workDir = Files.createTempDirectory("appc-work").toString
+    val indexDir = Files.createTempDirectory("appc-index").toString
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.001"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val cfg = ProcessTaxiStream.Config(
+      inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+      speedup = 1e12, replayPartitions = 2,
+      maxFilesPerTrigger = Some(1), once = false) // ProcessingTime 5 s
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val running = Future(ProcessTaxiStream.run(spark, cfg))
+
+    // wait until the concurrently-replayed data flows through Q1 into
+    // the index, then stop the queries from outside (a service would
+    // run until signalled, which is exactly this)
+    val deadline = System.currentTimeMillis() + 120000
+    def pickupDocs = {
+      val d = new java.io.File(s"$indexDir/pickup_count")
+      if (d.isDirectory) d.listFiles().count(_.getName.endsWith(".json")) else 0
+    }
+    while (pickupDocs == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    assert(pickupDocs > 0, "no pickup docs appeared within the deadline")
+    spark.streams.active
+      .filter(q => Seq("q1_pickup_hotspots", "q2_airport_durations")
+        .contains(q.name))
+      .foreach(_.stop())
+    val summary = Await.result(running, 60.seconds)
+    info(s"continuous run: $summary")
+    assert(summary.replayedEvents > 0) // replay thread joined in finally
+    assert(summary.pickupDocs > 0)
+  }
+
   test("CLI parser covers the reference's flags") {
     val cfg = ProcessTaxiStream.parse(Array(
       "--input", "/in", "--work", "/w", "--index", "/idx",
