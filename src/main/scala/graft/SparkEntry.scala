@@ -133,6 +133,10 @@ object SparkEntry {
     // (LLM-pipeline text analysis).
     "q24_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(documents(s, dir))),
+    // Winnowing fingerprints (the MOSS algorithm): deterministic
+    // shared-substring guarantee — the 6th dedup family member.
+    "q26_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowNearDups(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -235,6 +239,7 @@ object SparkEntry {
          |         '${graft.operators.TextAnalysis.TokenPattern}')) AS BIGINT)
          |         AS regex_tokens
          |FROM documents""".stripMargin,
+    "q26_dedup_winnow" -> OracleSql.dedupWinnow,
     "q25_salted_join" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_orders,

@@ -297,6 +297,55 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
   }
 
+  /** Mirror of [[graft.operators.Dedup.winnowNearDups]] (q26): each
+    * gram's polynomial hash recomputed as a from-scratch left fold
+    * ((a·B + ord(char)) mod M — the same residue the Spark kernel
+    * maintains incrementally), window minima via list slicing
+    * (1-based inclusive on both ends, same elements as the kernel's
+    * windows), distinct fingerprints, doc-frequency-capped exact
+    * shared-fingerprint candidates, Jaccard cut. */
+  def dedupWinnow: String = {
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    val b = Dedup.WinnowBase
+    val m = Dedup.P
+    s"""WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= ${k + w - 1}
+), h AS (
+  SELECT doc_id,
+         list_transform(range(0, length(text) - $k + 1),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, ${k + 1}),
+               j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+             (a, c) -> (a * $b + c) % $m)) AS hs
+  FROM d
+), f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(hs) - $w + 1),
+           i -> list_min(hs[CAST(i + 1 AS INT):CAST(i + $w AS INT)]))) AS fps
+  FROM h
+), ex AS (
+  SELECT doc_id, unnest(fps) AS fp FROM f
+), rare AS (
+  SELECT ex.doc_id, ex.fp
+  FROM ex JOIN (
+    SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= ${Dedup.MaxFingerprintDf}
+  ) r USING (fp)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.fps, y.fps)) AS DOUBLE) /
+         len(list_distinct(list_concat(x.fps, y.fps))) AS jaccard
+FROM cand c
+JOIN f x ON x.doc_id = c.doc_a
+JOIN f y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.fps, y.fps)) AS DOUBLE) /
+        len(list_distinct(list_concat(x.fps, y.fps))) >= ${Dedup.WinnowJaccard}"""
+  }
+
   import graft.operators.TextAnalysis
 
   /** Mirror of [[TextAnalysis.textStats]]. */

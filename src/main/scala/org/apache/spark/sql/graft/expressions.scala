@@ -337,6 +337,109 @@ case class CharGrams(child: Expression, n: Int, stride: Int)
     copy(child = c)
 }
 
+/** Runtime kernel for the winnowing gram hashes: a true ROLLING
+  * polynomial hash — h(s[i..i+k−1]) = Σ s[j]·B^(k−1−j) mod M over
+  * UTF-16 code units, maintained incrementally (add the entering
+  * char, subtract the leaving char·B^(k−1)), so hashing every
+  * overlapping k-gram is one O(len) pass instead of O(len·k) digest
+  * work. M fits 31 bits so B·h never overflows a Long; the DuckDB
+  * oracle recomputes each gram's fold from scratch — mathematically
+  * the same residue, bit-identical. (For BMP text code units equal
+  * code points, matching SQL `ord`; the fixtures are ASCII.) */
+object RollingOps {
+  def rollingHashes(t: UTF8String, k: Int, base: Long, mod: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = t.toString
+    val len = s.length
+    val n = len - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * base % mod; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < len) {
+      h = (h * base + s.charAt(i)) % mod
+      if (i >= k - 1) {
+        out(i - k + 1) = h
+        // drop the window's leading char before the next shift
+        h = (h - s.charAt(i - k + 1) * pow % mod + mod) % mod
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `rolling_hashes(text)` — every overlapping k-gram's polynomial
+  * hash in one codegen'd rolling pass. */
+case class RollingHashes(child: Expression, k: Int, base: Long, mod: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+  override def nullSafeEval(t: Any): Any =
+    RollingOps.rollingHashes(t.asInstanceOf[UTF8String], k, base, mod)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.RollingOps.rollingHashes($t, $k, ${base}L, ${mod}L)")
+  override protected def withNewChildInternal(c: Expression): RollingHashes =
+    copy(child = c)
+}
+
+/** Runtime kernel for winnowing fingerprints: sliding-window minima
+  * over a long array (positional gram hashes) in one pass — the
+  * interpreted `transform(sequence(0, len−w), i → array_min(slice(hs,
+  * i+1, w)))` loop, collapsed (w·(len−w+1) slice allocations avoided
+  * per row). */
+object WinnowOps {
+  def windowMinima(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = hs.numElements()
+    val n = len - w + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var m = hs.getLong(i)
+      var j = 1
+      while (j < w) {
+        val v = hs.getLong(i + j)
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `window_minima(hashes)` — each length-`w` window's minimum, one
+  * codegen'd pass. */
+case class WindowMinima(child: Expression, w: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_minima"
+  override def nullSafeEval(arr: Any): Any =
+    WinnowOps.windowMinima(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.WinnowOps.windowMinima($a, $w)")
+  override protected def withNewChildInternal(c: Expression): WindowMinima =
+    copy(child = c)
+}
+
 /** Runtime kernel for [[NearestCentroids]]: cosine of the vector
   * against every codebook centroid (same fold order as DotProduct),
   * returning the ids of the `k` highest-cosine centroids, ties broken

@@ -56,6 +56,38 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("RollingHashes kernel == per-gram from-scratch fold formulation") {
+    val texts = (1 to 40).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(60) + 8).mkString)
+    val (k, b, m) = (8, 131L, 2147483647L)
+    val df = texts.toDF("text")
+    // from-scratch: each gram folds (a*B + charCode) % M from 0
+    val foldExpr = org.apache.spark.sql.functions.expr(
+      s"""transform(sequence(0, length(text) - $k),
+         |  i -> aggregate(
+         |    transform(sequence(1, $k), j -> ascii(substr(text, i + j, 1))),
+         |    0L, (a, c) -> (a * $b + CAST(c AS BIGINT)) % $m))""".stripMargin)
+    val kernel = Bridge.column(org.apache.spark.sql.graft.RollingHashes(
+      Bridge.expression(col("text")), k, b, m))
+    df.select(kernel.as("k"), foldExpr.as("f")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("WindowMinima kernel == transform(array_min(slice)) formulation") {
+    val arrays = (1 to 40).map(_ =>
+      Seq.fill(rnd.nextInt(30) + 4)(rnd.nextLong()))
+    val w = 4
+    val df = arrays.toDF("hs")
+    val fold = transform(sequence(lit(0), size(col("hs")) - w),
+      i => array_min(slice(col("hs"), i + 1, lit(w))))
+    val kernel = Bridge.column(org.apache.spark.sql.graft.WindowMinima(
+      Bridge.expression(col("hs")), w))
+    df.select(kernel.as("k"), fold.as("f")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("WordShingles kernel == transform(concat_ws) formulation") {
     val docs = (1 to 40).map(_ =>
       (1 to rnd.nextInt(30) + 3).map(_ =>

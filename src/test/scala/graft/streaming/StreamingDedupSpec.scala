@@ -60,4 +60,34 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
   // exercised with a real ProcessingTime trigger in production, not
   // in this parity-oriented spec (the NoTimeout path above covers the
   // pairing logic; the timeout branch only removes state).
+
+  test("row-local text operators run unchanged on a stream (quality filter)") {
+    // textStats/langId/tokenCounts are pure row-local expression
+    // pipelines — the streaming ingest filter "drop low-quality docs
+    // before they reach the corpus" is the same operator applied to a
+    // readStream DataFrame; results must equal the batch run.
+    val docsBatch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = graft.operators.TextAnalysis.textStats(docsBatch)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val ms = MemoryStream[(Long, String)]
+    val stream = graft.operators.TextAnalysis.textStats(
+      ms.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ts-cp").toString)
+      .format("memory").queryName("stream_quality").start()
+    ms.addData(docsBatch.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_quality")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
 }
