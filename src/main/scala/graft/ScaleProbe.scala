@@ -64,6 +64,7 @@ object ScaleProbe {
 
     time("dedup_exact")(Dedup.exactDedup(docs))
     time("dedup_minhash")(Dedup.minhashNearDups(docs))
+    time("dedup_winnow")(Dedup.winnowNearDups(docs))
     time("simhash_dups")(TextAnalysis.simhashDups(docs))
     time("text_stats")(TextAnalysis.textStats(docs))
     time("ann_ivf")(Similarity.ivfTopK(emb))

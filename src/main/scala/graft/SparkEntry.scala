@@ -137,6 +137,16 @@ object SparkEntry {
     // shared-substring guarantee — the 6th dedup family member.
     "q26_dedup_winnow" -> ((s, dir) =>
       Dedup.winnowNearDups(documents(s, dir))),
+    // Sliding (hopping) event-time windows — each event in 4
+    // overlapping 1 h windows hopping 15 min (SURVEY.md §2.4).
+    "q27_sliding_window" -> ((s, dir) =>
+      EventsQueries.slidingTypeStats(EventsQueries.events(s, dir))),
+    // CUBE grouping sets (rollup is q16; cube adds the per-linestatus
+    // margin rollup misses).
+    "q28_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -240,6 +250,28 @@ object SparkEntry {
          |         AS regex_tokens
          |FROM documents""".stripMargin,
     "q26_dedup_winnow" -> OracleSql.dedupWinnow,
+    // epoch-aligned hopping windows: every event belongs to exactly
+    // size/slide = 4 windows whose starts are the 4 slide-multiples
+    // at or below its timestamp
+    "q27_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         (epoch_ns(ts) // 1000000) // 900000 AS slot
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value, (slot - k) * 900000 AS win_start
+        |  FROM e, (SELECT unnest(range(4)) AS k)
+        |)
+        |SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       SUM(value) AS sum_value,
+        |       win_start + 3600000 - 1 AS timestamp
+        |FROM w GROUP BY event_type, win_start""".stripMargin,
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_orders,

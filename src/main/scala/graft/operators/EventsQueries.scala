@@ -23,6 +23,24 @@ object EventsQueries {
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 
+  /** Per event-type × 1-hour SLIDING window with a 15-minute hop
+    * (SURVEY.md §2.4 lists sliding windows absent in the reference):
+    * each event contributes to size/slide = 4 overlapping windows.
+    * Same output contract as the tumbling queries (timestamp =
+    * window end − 1 ms). */
+  def slidingTypeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        window(col("event_time"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+        (unix_millis(col("window.end")) - 1).as("timestamp"))
+
   /** Per event-type × 1-hour tumbling window: count, sum and average
     * of `value`, windows with fewer than 2 events suppressed;
     * timestamp = window end − 1 ms (the reference's
