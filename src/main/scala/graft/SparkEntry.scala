@@ -147,6 +147,13 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
+    // AS-OF join: purchases attributed to the latest prior click per
+    // user (single-shuffle carry-forward, no range-join explosion).
+    "q29_asof_join" -> ((s, dir) =>
+      RelationalQueries.asOfJoin(EventsQueries.events(s, dir))),
+    // Semi/anti join operators (q17 is the set-op twin).
+    "q30_semi_anti" -> ((s, dir) =>
+      RelationalQueries.semiAntiCustomers(s, dir)),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -272,6 +279,39 @@ object SparkEntry {
         |       COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // ROWS frame + IGNORE NULLS carry-forward mirrors the Spark
+    // last(ignoreNulls) window exactly; ref rows sort before probe
+    // rows at equal timestamps (at-or-before inclusive)
+    "q29_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+        |         event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), t AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe,
+        |         CASE WHEN event_type = 'click' THEN ts_ms END AS r_ts,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS r_id
+        |  FROM e
+        |), c AS (
+        |  SELECT *,
+        |         last_value(r_ts IGNORE NULLS) OVER win AS click_ts,
+        |         last_value(r_id IGNORE NULLS) OVER win AS click_id
+        |  FROM t WINDOW win AS (
+        |    PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, is_probe ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ms,
+        |       click_id, click_ts, ts_ms - click_ts AS gap_ms
+        |FROM c WHERE is_probe = 1 AND click_id IS NOT NULL""".stripMargin,
+    "q30_semi_anti" ->
+      """SELECT c_custkey AS custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_orders,

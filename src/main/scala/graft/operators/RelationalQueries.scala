@@ -112,6 +112,53 @@ object RelationalQueries {
         expr("percentile(value, 0.5D)").as("p50_value"),
         expr("percentile(value, 0.95D)").as("p95_value"))
 
+  /** AS-OF JOIN (the event-time join Spark has no operator for,
+    * SURVEY.md §2.4 / builder custom-operator list): for every probe
+    * event, the same user's most recent reference event at or before
+    * it — here purchases attributed to their latest prior click.
+    *
+    * Implemented the way it scales: union both sides tagged, ONE
+    * shuffle on the user key, an in-partition sort, and a
+    * carry-forward of the last reference row (`last(..., ignoreNulls)`
+    * over ROWS UNBOUNDED PRECEDING). A range-join formulation would
+    * explode each probe against every earlier reference before
+    * picking the max — quadratic per key; this is linear after the
+    * sort. At equal timestamps the reference sorts first, making
+    * "at-or-before" inclusive and deterministic (then event_id). */
+  def asOfJoin(events: DataFrame, probeType: String = "purchase",
+      refType: String = "click"): DataFrame = {
+    val t = events
+      .filter(col("event_type").isin(probeType, refType))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        (col("event_type") === probeType).cast("int").as("is_probe"),
+        when(col("event_type") === refType, col("ts_ms")).as("r_ts"),
+        when(col("event_type") === refType, col("event_id")).as("r_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("is_probe").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("click_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("click_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("click_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"), col("click_id"), col("click_ts"),
+        (col("ts_ms") - col("click_ts")).as("gap_ms"))
+  }
+
+  /** Semi/anti join surface (SURVEY.md §2.4): customers holding an
+    * open order and no filled order — the same predicate as q17's
+    * INTERSECT/EXCEPT but through LeftSemi/LeftAnti hash joins (which
+    * never materialize the right side's columns). */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val open = orders.filter(col("o_orderstatus") === "O")
+    val filled = orders.filter(col("o_orderstatus") === "F")
+    cust
+      .join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .join(filled, col("c_custkey") === filled("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+  }
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */
