@@ -27,10 +27,11 @@ object Bench {
         .withColumn("r", row_number().over(
           Window.partitionBy(col("n_regionkey")).orderBy(col("n"))))
         .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       // a warmup failure must not kill the bench — the measured loop
       // isolates per-query failures as -1.0 sentinels and must still
-      // emit the JSON line
+      // emit the JSON line. (Fatal VM errors still propagate: timings
+      // from a corrupted heap would be worse than no timings.)
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     // Materialize the FULL result via a noop write: a bare .count()

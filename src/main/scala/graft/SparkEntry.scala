@@ -144,7 +144,7 @@ object SparkEntry {
     // CUBE grouping sets (rollup is q16; cube adds the per-linestatus
     // margin rollup misses).
     "q28_cube" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
     // AS-OF join: purchases attributed to the latest prior click per

@@ -121,6 +121,7 @@ object ProcessTaxiStream {
     val replayDir = s"${cfg.workDir}/replay"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(replayDir))
     val replayed = new java.util.concurrent.atomic.AtomicReference((0L, 0L))
+    val replayError = new java.util.concurrent.atomic.AtomicReference[Throwable]
     def doReplay(): Unit = replayed.set(
       new StreamPopulator(cfg.inputDir, replayDir,
         partitions = cfg.replayPartitions, speedup = cfg.speedup,
@@ -129,7 +130,12 @@ object ProcessTaxiStream {
       if (cfg.skipReplay) None
       else if (cfg.once) { doReplay(); None }
       else {
-        val t = new Thread(() => doReplay(), "graft-replay")
+        val t = new Thread(() =>
+          try doReplay()
+          catch {
+            case _: InterruptedException => () // shutdown-interrupt: clean
+            case e: Throwable => replayError.set(e) // surfaced below
+          }, "graft-replay")
         t.setDaemon(true); t.start(); Some(t)
       }
 
@@ -162,14 +168,26 @@ object ProcessTaxiStream {
       .queryName("q2_airport_durations")
       .start()
     try {
-      q1.awaitTermination()
-      q2.awaitTermination()
+      // poll rather than block: a dead producer must fail the run
+      // instead of leaving queries waiting forever for data
+      while ((q1.isActive || q2.isActive) && replayError.get() == null) {
+        q1.awaitTermination(500)
+        q2.awaitTermination(500)
+      }
+      Option(replayError.get()).foreach(e =>
+        throw new IllegalStateException("replay producer failed", e))
     } finally {
-      // one query failing must not leave the sibling (or the
-      // listener) running in the session
+      // one side failing must not leave the sibling query, the
+      // producer thread, or the listener running in the session
       if (q1.isActive) q1.stop()
       if (q2.isActive) q2.stop()
-      replayThread.foreach(_.join(60000))
+      replayThread.foreach { t =>
+        if (t.isAlive) t.interrupt() // pacing sleep -> clean stop
+        t.join(10000)
+        if (t.isAlive) System.err.println(
+          "[app] replay thread still running after shutdown; " +
+            "replayed/skipped counts in the summary are incomplete")
+      }
       spark.streams.removeListener(telemetry)
     }
 

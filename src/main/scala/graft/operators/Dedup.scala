@@ -162,33 +162,46 @@ object Dedup {
     * consumer would recompute the whole shingle+digest stage (3× the
     * dominant row-local cost — bench-visible). MEMORY_AND_DISK so a
     * corpus larger than RAM spills instead of failing. */
+  /** Deduplicated (doc_a < doc_b) candidate pairs sharing a bucket:
+    * aliased self-sides so the join condition references qualified
+    * columns, not same-lineage Column objects (which only resolve via
+    * dataset-id disambiguation and break silently on refactors).
+    * `rows` = (doc_id, bucketCols...) with NO payload arrays — the
+    * join must not shuffle them. */
+  private def bucketPairs(rows: DataFrame,
+      bucketCols: Seq[String]): DataFrame = {
+    val a = rows.alias("a")
+    val b = rows.alias("b")
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    a.join(b, cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against each
+    * document's element set (`sets` = (doc_id, s: array)) — shared by
+    * every bucketed dedup variant so the verify semantics live in one
+    * place. */
+  private def jaccardVerified(candIds: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    candIds.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def nearDupsFromHashes(hashed0: DataFrame): DataFrame = {
     val hashed = hashed0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band rows WITHOUT the hash arrays — the join must not shuffle
-    // them (the Jaccard verify re-joins the arrays afterwards)
-    val bands = bandedSignatures(hashed)
-      .select(col("doc_id"), col("band"), col("key"))
-
-    // aliased self-sides: the join condition references qualified
-    // columns, not same-lineage Column objects (which only resolve
-    // via dataset-id disambiguation and break silently on refactors)
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    val ha = hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha"))
-    val hb = hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb"))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          size(array_union(col("ha"), col("hb")))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    val cand = bucketPairs(
+      bandedSignatures(hashed).select(col("doc_id"), col("band"), col("key")),
+      Seq("band", "key"))
+    jaccardVerified(cand,
+      hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold)
   }
 
   /** Winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
@@ -248,19 +261,8 @@ object Dedup {
         .filter(col("df") <= MaxFingerprintDf)
         .select(col("fp")),
       "fp")
-    val a = rare.alias("a")
-    val b = rare.alias("b")
-    val candIds = a.join(b,
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val fa = fp.select(col("doc_id").as("doc_a"), col("fps").as("fa"))
-    val fb = fp.select(col("doc_id").as("doc_b"), col("fps").as("fb"))
-    candIds.join(fa, "doc_a").join(fb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("fa"), col("fb"))).cast("double") /
-          size(array_union(col("fa"), col("fb")))).as("jaccard"))
-      .filter(col("jaccard") >= WinnowJaccard)
+    jaccardVerified(bucketPairs(rare, Seq("fp")),
+      fp.select(col("doc_id"), col("fps").as("s")), WinnowJaccard)
   }
 
   /** Brute-force exact-Jaccard pairs (reference implementation for

@@ -274,6 +274,14 @@ object Similarity {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cents, cnorms, ids) = codebook(emb, iters)
+    // a tiny corpus yields fewer centroids than NProbe (or none at
+    // all): probe what exists; an empty codebook has no cells and no
+    // neighbors
+    if (ids.isEmpty)
+      return topK(queries(emb, numQueries)
+        .filter(lit(false))
+        .select(col("query_id"), col("query_id").as("vec_id"))
+        .withColumn("cosine", lit(0.0)))
     def cells(v: Column, n: Column, k: Int): Column =
       Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
         Bridge.expression(v), Bridge.expression(n), cents, cnorms, ids, k))
@@ -281,7 +289,8 @@ object Similarity {
     val corpusCells = emb.select(col("vec_id"),
       element_at(cells(col("v"), col("norm"), 1), 1).as("cell"))
     val queryCells = queries(emb, numQueries).select(col("query_id"),
-      explode(cells(col("qv"), col("qnorm"), NProbe)).as("cell"))
+      explode(cells(col("qv"), col("qnorm"), math.min(NProbe, ids.size)))
+        .as("cell"))
     val candIds = queryCells.join(corpusCells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))

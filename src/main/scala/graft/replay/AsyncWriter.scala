@@ -77,11 +77,33 @@ class AsyncPartitionFileWriter(
     execFactory: () => ExecutorService = () => Executors.newSingleThreadExecutor())
     extends AutoCloseable {
 
-  private val writers: IndexedSeq[BufferedWriter] = {
-    Files.createDirectories(Paths.get(dir))
-    (0 until partitions).map(i => Files.newBufferedWriter(
-      Paths.get(dir, f"part-$i%05d.jsonl")))
+  Files.createDirectories(Paths.get(dir))
+
+  /** Per-partition segment state — only ever touched from that
+    * partition's single writer thread. Segments are written under a
+    * dot-prefixed `.tmp` name and PUBLISHED by atomic rename when the
+    * segment closes ([[rotate]]/[[close]]), so a tailing consumer
+    * globbing `*.jsonl` only ever lists complete, immutable files —
+    * Spark's file streaming source reads each path exactly once, so
+    * appending to a visible file silently loses data. */
+  private final class Seg(p: Int) {
+    var segment = 0
+    var writer: BufferedWriter = _
+    var tmp: java.nio.file.Path = _
+    def ensureOpen(): Unit = if (writer == null) {
+      tmp = Paths.get(dir, f".part-$p%05d-$segment%05d.jsonl.tmp")
+      writer = Files.newBufferedWriter(tmp)
+    }
+    def publish(): Unit = if (writer != null) {
+      writer.close()
+      Files.move(tmp, Paths.get(dir, f"part-$p%05d-$segment%05d.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writer = null
+      segment += 1
+    }
   }
+  private val segs = IndexedSeq.tabulate(partitions)(new Seg(_))
   private val execs = IndexedSeq.fill(partitions)(execFactory())
 
   /** Enqueue one line; the future completes with the write wall time
@@ -94,13 +116,28 @@ class AsyncPartitionFileWriter(
         f.completeExceptionally(new java.util.concurrent.TimeoutException(
           s"record exceeded ttl ${ttlMs} ms in partition $partition queue"))
       else try {
-        writers(partition).write(line)
-        writers(partition).newLine()
+        val s = segs(partition)
+        s.ensureOpen()
+        s.writer.write(line)
+        s.writer.newLine()
         f.complete(now())
       } catch { case e: Throwable => f.completeExceptionally(e) }
     }
     f
   }
+
+  /** Close and publish every partition's current segment; subsequent
+    * records open the next segment. Ordered after all queued records
+    * (runs on each partition's writer thread). */
+  def rotate(): Seq[CompletableFuture[java.lang.Long]] =
+    (0 until partitions).map { p =>
+      val f = new CompletableFuture[java.lang.Long]()
+      execs(p).execute { () =>
+        try { segs(p).publish(); f.complete(now()) }
+        catch { case e: Throwable => f.completeExceptionally(e) }
+      }
+      f
+    }
 
   /** Append a control line to EVERY partition, ordered after all
     * previously submitted records of each partition (the watermark
@@ -110,7 +147,7 @@ class AsyncPartitionFileWriter(
   def broadcast(line: String): Seq[CompletableFuture[java.lang.Long]] =
     (0 until partitions).map(p => addRecord(p, line))
 
-  /** Block until every queued record is written, then flush. */
+  /** Block until every queued record is written. */
   def flushSync(): Unit = {
     val barriers = execs.map { e =>
       val f = new CompletableFuture[Unit]()
@@ -118,13 +155,12 @@ class AsyncPartitionFileWriter(
       f
     }
     barriers.foreach(_.get(60, TimeUnit.SECONDS))
-    writers.foreach(_.flush())
   }
 
+  /** Publish all open segments and shut the writer threads down. */
   override def close(): Unit = {
-    flushSync()
+    rotate().foreach(_.get(60, TimeUnit.SECONDS))
     execs.foreach(_.shutdown())
     execs.foreach(_.awaitTermination(60, TimeUnit.SECONDS))
-    writers.foreach(_.close())
   }
 }

@@ -169,22 +169,61 @@ class StreamPopulator(
     sleep: Long => Unit = Thread.sleep,
     now: () => Long = () => System.currentTimeMillis(),
     maxOutstanding: Int = 0, // 0 = synchronous writes; reference KPL: 50000
-    recordTtlMs: Long = 300000L) { // KPL record TTL, StreamPopulator.java:65
+    recordTtlMs: Long = 300000L, // KPL record TTL, StreamPopulator.java:65
+    rotateEveryEvents: Long = 100000L) { // segment size (see SegmentWriters)
 
   val MinSleepMs = 5L // StreamPopulator.java:44
 
   private val failed = new java.util.concurrent.atomic.AtomicLong(0)
+  private val failedControl = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Records whose async write failed or out-aged the TTL (0 in
-    * synchronous mode). */
+  /** DATA records whose async write failed or out-aged the TTL (0 in
+    * synchronous mode). Watermark control lines are tracked
+    * separately in [[failedControlLines]] — a wedged partition must
+    * not make lost control lines read as lost data. */
   def failedWrites: Long = failed.get()
 
-  // exactly one of the two write paths is materialized per populator
-  private lazy val syncWriters: IndexedSeq[BufferedWriter] = {
+  /** Watermark control lines whose async broadcast failed. */
+  def failedControlLines: Long = failedControl.get()
+
+  /** Synchronous segmented writers: each partition writes segment
+    * files `part-PPPPP-SSSSS.jsonl`, authored under a dot-prefixed
+    * `.tmp` name and PUBLISHED by atomic rename when the segment
+    * rotates (every [[rotateEveryEvents]] events — event-count-based
+    * so a restarted replay reproduces the same segment names) or at
+    * close. A consumer globbing `*.jsonl` therefore only ever lists
+    * complete, immutable files — essential for Spark's file streaming
+    * source, which reads each path exactly once and silently drops
+    * content appended to an already-seen file. */
+  private final class SegmentWriters {
     Files.createDirectories(Paths.get(outputDir))
-    (0 until partitions).map(i => Files.newBufferedWriter(
-      Paths.get(outputDir, f"part-$i%05d.jsonl")))
+    private var segment = 0
+    private var open: IndexedSeq[(Path, BufferedWriter)] = openSegment()
+    private def openSegment(): IndexedSeq[(Path, BufferedWriter)] =
+      (0 until partitions).map { p =>
+        val tmp = Paths.get(outputDir, f".part-$p%05d-$segment%05d.jsonl.tmp")
+        (tmp, Files.newBufferedWriter(tmp))
+      }
+    def write(p: Int, line: String): Unit = {
+      val w = open(p)._2; w.write(line); w.newLine()
+    }
+    def writeAll(line: String): Unit =
+      (0 until partitions).foreach(write(_, line))
+    private def publish(): Unit = {
+      open.zipWithIndex.foreach { case ((tmp, w), p) =>
+        w.close()
+        Files.move(tmp,
+          Paths.get(outputDir, f"part-$p%05d-$segment%05d.jsonl"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rotate(): Unit = { publish(); segment += 1; open = openSegment() }
+    def close(): Unit = publish()
   }
+
+  // exactly one of the two write paths is materialized per populator
+  private lazy val syncWriters: SegmentWriters = new SegmentWriters
   private lazy val asyncBundle
       : (AsyncPartitionFileWriter, BackpressureSemaphore, WatermarkTracker) =
     (new AsyncPartitionFileWriter(outputDir, partitions, recordTtlMs, now),
@@ -193,7 +232,7 @@ class StreamPopulator(
   private def async = maxOutstanding > 0
 
   private def writeRecord(p: Int, line: String, eventTs: Long): Unit =
-    if (!async) { syncWriters(p).write(line); syncWriters(p).newLine() }
+    if (!async) syncWriters.write(p, line)
     else {
       val (w, sem, tracker) = asyncBundle
       tracker.track(eventTs)
@@ -215,12 +254,18 @@ class StreamPopulator(
 
   private def emitWatermark(ts: Long): Unit = {
     val line = s"""{"type": "watermark", "watermark": "${ReplayJson.toIso(ts)}"}"""
-    if (!async) syncWriters.foreach { w => w.write(line); w.newLine() }
+    if (!async) syncWriters.writeAll(line)
     else asyncBundle._1.broadcast(line) // ordered after queued records
       .foreach(_.whenComplete { (_, err) =>
-        if (err != null) failed.incrementAndGet() // surface lost control lines
+        if (err != null) failedControl.incrementAndGet()
       })
   }
+
+  private def rotateSegments(): Unit =
+    if (!async) syncWriters.rotate()
+    else asyncBundle._1.rotate().foreach(_.whenComplete { (_, err) =>
+      if (err != null) failedControl.incrementAndGet()
+    })
 
   private def adaptWm(rawTs: Long): Long = adaptMode match {
     case AdaptTime.Original => rawTs
@@ -251,6 +296,7 @@ class StreamPopulator(
       writeRecord(p, out, ts)
       events += 1
       lastTs = ts
+      if (events % rotateEveryEvents == 0L) rotateSegments()
       if (now() - lastWmWall >= watermarkEveryMs ||
           events - lastWmEvents >= watermarkEveryEvents) {
         watermarkBase(ts).foreach(base => emitWatermark(adaptWm(base)))
@@ -266,7 +312,7 @@ class StreamPopulator(
     if (async) asyncBundle._1.flushSync() // drain before the final watermark
     if (lastTs >= 0)
       watermarkBase(lastTs).foreach(base => emitWatermark(adaptWm(base)))
-    if (!async) syncWriters.foreach(_.close()) else asyncBundle._1.close()
+    if (!async) syncWriters.close() else asyncBundle._1.close()
     (events, reader.skippedLines)
   }
 }

@@ -94,7 +94,8 @@ class AsyncReplaySpec extends AnyFunSuite {
     producer.join(5000)
     assert(!producer.isAlive && submitted.get() == 5)
     w.close()
-    assert(Files.readAllLines(Paths.get(dir, "part-00000.jsonl")).size() == 5)
+    assert(Files.readAllLines(
+      Paths.get(dir, "part-00000-00000.jsonl")).size() == 5)
     assert(sem.outstanding == 0)
   }
 
@@ -119,7 +120,7 @@ class AsyncReplaySpec extends AnyFunSuite {
     val f2 = w.addRecord(0, """{"n": 2}""") // fresh record still writes
     assert(f2.get(5, TimeUnit.SECONDS) != null)
     w.close()
-    val lines = Files.readAllLines(Paths.get(dir, "part-00000.jsonl"))
+    val lines = Files.readAllLines(Paths.get(dir, "part-00000-00000.jsonl"))
     assert(lines.size() == 1 && lines.get(0).contains("\"n\": 2"))
   }
 
@@ -129,7 +130,7 @@ class AsyncReplaySpec extends AnyFunSuite {
       fixtureLines.mkString("", "\n", "\n"))
     def tripLines(dir: String): Seq[String] =
       (0 until 3).flatMap(i => Files.readAllLines(
-          Paths.get(dir, f"part-$i%05d.jsonl")).toArray.map(_.toString))
+          Paths.get(dir, f"part-$i%05d-00000.jsonl")).toArray.map(_.toString))
         .filter(_.contains("\"trip\"")).sorted
 
     val outSync = tmp("async-pop-sync")
@@ -146,7 +147,8 @@ class AsyncReplaySpec extends AnyFunSuite {
     // the low watermark of the fully-acked stream = max event time
     val maxTs = fixtureLines.flatMap(ReplayJson.timestampOf).max
     (0 until 3).foreach { i =>
-      val lines = Files.readAllLines(Paths.get(outAsync, f"part-$i%05d.jsonl"))
+      val lines = Files.readAllLines(
+        Paths.get(outAsync, f"part-$i%05d-00000.jsonl"))
       val last = lines.get(lines.size() - 1)
       assert(last.contains("\"watermark\""))
       assert(last.contains(ReplayJson.toIso(maxTs)))

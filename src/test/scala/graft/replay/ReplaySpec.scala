@@ -76,7 +76,7 @@ class ReplaySpec extends AnyFunSuite with SparkSessionSpec {
     val (events, skipped) = pop.populate()
     assert(events == 15 && skipped == 1)
     val parts = (0 until 3).map(i =>
-      Files.readAllLines(Paths.get(out, f"part-$i%05d.jsonl")))
+      Files.readAllLines(Paths.get(out, f"part-$i%05d-00000.jsonl")))
     // every partition ends with the final broadcast watermark
     parts.foreach { p =>
       assert(p.size() > 0)
@@ -85,6 +85,27 @@ class ReplaySpec extends AnyFunSuite with SparkSessionSpec {
     // every input trip line lands in exactly one partition
     val allOut = parts.flatMap(_.toArray.map(_.toString))
     assert(allOut.count(_.contains("\"trip\"")) == 12)
+  }
+
+  test("segment rotation publishes complete immutable files (tailing contract)") {
+    // Spark's file streaming source reads each path exactly ONCE, so
+    // a continuous replay must never append to a visible file: data
+    // is authored under .tmp names and published whole, per segment
+    val in = tmp("replay-rot-in")
+    val out = tmp("replay-rot-out")
+    Files.writeString(Paths.get(in, "a.jsonl"),
+      fixtureLines.mkString("", "\n", "\n"))
+    new StreamPopulator(in, out, partitions = 2, speedup = 1e12,
+      sleep = _ => (), statsEveryMs = Long.MaxValue,
+      rotateEveryEvents = 5).populate()
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.nonEmpty && files.forall(_.endsWith(".jsonl")),
+      s"unpublished tmp files left behind: ${files.mkString(",")}")
+    // 15 events with a segment every 5 -> several segments/partition
+    assert(files.count(_.startsWith("part-00000-")) >= 3)
+    val all = files.flatMap(f =>
+      Files.readAllLines(Paths.get(out, f)).toArray.map(_.toString))
+    assert(all.count(_.contains("\"trip\"")) == 12) // nothing lost
   }
 
   test("replayed partitions feed the engine end-to-end (R1→S2→Q1)") {
