@@ -157,6 +157,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"no k-means uplift: ${recall(ivf0)} -> ${recall(ivfT)}")
   }
 
+  test("IVF degrades gracefully on corpora smaller than the codebook") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def corpus(n: Int) =
+      (0 until n).map(i =>
+          (i.toLong, Seq.tabulate(64)(d => (i + d + 1).toDouble)))
+        .toDF("vec_id", "v")
+        .withColumn("norm", sqrt(aggregate(
+          transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    // 3 vectors < NumCentroids(16) and < NProbe(4): probe width and
+    // codebook clamp to what exists; every query still finds the
+    // other vectors
+    val small = Similarity.ivfTopK(corpus(3), numQueries = 3).collect()
+    assert(small.length == 6) // 3 queries × 2 neighbors each
+    // 1 vector: nothing to pair with, not a crash
+    assert(Similarity.ivfTopK(corpus(1), numQueries = 1).collect().isEmpty)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
