@@ -39,6 +39,10 @@ object StreamingDedup {
   final case class BucketDoc(doc_id: Long, hashes: Array[Long])
   final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
+  final case class VecBucketKey(band: Int, key: Int)
+  final case class BucketVec(vec_id: Long, v: Array[Double], norm: Double)
+  final case class VecNearDupPair(vec_a: Long, vec_b: Long, cosine: Double)
+
   /** Near-dup pairs over a streaming (doc_id, text) DataFrame.
     * `stateTtlMs` <= 0 keeps bucket state forever (exact parity with
     * the batch operator over a finite replay). */
@@ -80,6 +84,61 @@ object StreamingDedup {
                   }
                 }
                 members = BucketDoc(docId, hashes) :: members
+              }
+            }
+            state.update(members)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** The embedding member of the streaming dedup family
+    * ([[graft.operators.Similarity.embeddingNearDups]] over an
+    * unbounded vector stream): the codegen'd hyperplane band keys
+    * become the bucket grouping keys; a new vector exact-cosine
+    * verifies only against its own bucket's members. Same
+    * multi-band-emission / idempotent-consumer contract as
+    * [[nearDupPairs]]. Input: a streaming DataFrame shaped like
+    * [[graft.operators.Similarity.embeddings]] (vec_id, v, norm). */
+  def embeddingNearDupPairs(emb: DataFrame,
+      stateTtlMs: Long = -1L): Dataset[VecNearDupPair] = {
+    import emb.sparkSession.implicits._
+    import graft.operators.Similarity
+    val bands = emb.select(col("vec_id"), col("v"), col("norm"),
+        posexplode(Similarity.dedupBandKeysArray(col("v")))
+          .as(Seq("band", "key")))
+      .as[(Long, Array[Double], Double, Int, Int)]
+
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    bands
+      .groupByKey { case (_, _, _, band, key) => VecBucketKey(band, key) }
+      .flatMapGroupsWithState[List[BucketVec], VecNearDupPair](
+        OutputMode.Append, timeout) {
+        (_: VecBucketKey,
+            rows: Iterator[(Long, Array[Double], Double, Int, Int)],
+            state: GroupState[List[BucketVec]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[VecNearDupPair]
+            for ((vecId, v, norm, _, _) <- rows.toSeq.sortBy(_._1)) {
+              if (!members.exists(_.vec_id == vecId)) {
+                members.foreach { m =>
+                  var d = 0.0
+                  var i = 0
+                  while (i < v.length) { d += m.v(i) * v(i); i += 1 }
+                  val cos = d / (m.norm * norm)
+                  if (cos >= Similarity.NearDupCosine) {
+                    val (a, b) = if (m.vec_id < vecId) (m.vec_id, vecId)
+                      else (vecId, m.vec_id)
+                    out += VecNearDupPair(a, b, cos)
+                  }
+                }
+                members = BucketVec(vecId, v, norm) :: members
               }
             }
             state.update(members)

@@ -61,6 +61,43 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
   // in this parity-oriented spec (the NoTimeout path above covers the
   // pairing logic; the timeout branch only removes state).
 
+  test("streaming embedding near-dups == batch pairs, bit-equal cosines") {
+    val embBatch = graft.operators.Similarity
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val expected = graft.operators.Similarity.embeddingNearDups(embBatch)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(expected.nonEmpty)
+
+    val vecs = embBatch.select("vec_id", "v", "norm")
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val (first, second) = vecs.splitAt(vecs.length / 2)
+    val ms = MemoryStream[(Long, Array[Double], Double)]
+    val stream = StreamingDedup.embeddingNearDupPairs(
+      ms.toDF().toDF("vec_id", "v", "norm"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sed-cp").toString)
+      .format("memory").queryName("stream_vec_dups").start()
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_vec_dups").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(expected.keySet)}")
+    expected.foreach { case (pair, c) =>
+      assert(got(pair) == c, s"cosine not bit-equal at $pair")
+    }
+  }
+
   test("row-local text operators run unchanged on a stream (quality filter)") {
     // textStats/langId/tokenCounts are pure row-local expression
     // pipelines — the streaming ingest filter "drop low-quality docs
