@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Dev-only off-switch for A/B plan comparisons (driver runs default=on)
+      .config("spark.sql.extensions",
+        if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("off")) ""
+        else "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,7 +41,12 @@ object Bench {
     // would let Catalyst prune the aggregate expressions and
     // under-measure. Errors surface as negative sentinel times plus a
     // stderr line — a broken query must never bench as a fast one.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (unset in the driver's run = all queries).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -3,7 +3,7 @@ package graft.plans
 import graft.geo.Geohash
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.{GeohashCode, GeohashEncode}
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,15 +64,47 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
     if (boxes.length == list.length) Some(boxes) else None
   }
 
-  /** The rewrite duplicates `lat`/`lon` 2× per cell — a win for
-    * column references, a blow-up for derived expression trees. Only
-    * rewrite cheap-to-copy inputs. */
-  private def cheap(e: Expression): Boolean = e match {
-    case _: Attribute => true
+  /** The rewrite duplicates `lat`/`lon` 2× per cell (8-cell fence →
+    * 32 references). That is a win only when the copies are
+    * references to STORED columns — then the range predicates reach
+    * the Parquet scan as min/max skipping. If the attribute is an
+    * alias of a derived expression tree in a Project below, predicate
+    * pushdown later inlines one copy of that tree per reference and
+    * blows the generated code past the codegen limits (measured on the
+    * synthetic-trip fixture: q1 2.4 s → 3.8 s at sf0.1, with Spark
+    * falling back to interpreted filters and 2 MiB task binaries). So
+    * the guard is TRANSITIVE: trace the attribute through the plan
+    * below and accept only leaf-relation outputs (stored columns),
+    * literals, and casts/re-aliases of those. */
+  private def cheap(e: Expression, scope: Seq[LogicalPlan]): Boolean = e match {
     case _: Literal => true
-    case c: Cast => cheap(c.child)
+    case a: Attribute => cheapAttr(a, scope)
+    case c: Cast => cheap(c.child, scope)
     case _ => false
   }
+
+  private def cheapAttr(a: Attribute, scope: Seq[LogicalPlan]): Boolean =
+    scope.find(_.outputSet.contains(a)) match {
+      case None => false // unknown provenance — assume expensive
+      case Some(_: LeafNode) => true // stored/materialized column
+      case Some(p: Project) =>
+        p.projectList.find(_.exprId == a.exprId) match {
+          case Some(Alias(child, _)) => cheap(child, Seq(p.child))
+          case Some(attr: Attribute) => cheapAttr(attr, Seq(p.child))
+          case _ => false
+        }
+      case Some(agg: Aggregate) =>
+        // pushdown through Aggregate substitutes grouping-expr aliases
+        // the same way Project aliases substitute
+        agg.aggregateExpressions.find(_.exprId == a.exprId) match {
+          case Some(Alias(child, _)) => cheap(child, agg.children)
+          case Some(attr: Attribute) => cheapAttr(attr, agg.children)
+          case _ => false
+        }
+      case Some(other) if other.children.exists(_.outputSet.contains(a)) =>
+        cheapAttr(a, other.children) // pass-through node (Filter, Join, …)
+      case Some(_) => false // node-generated attribute (Window, Generate, …)
+    }
 
   private def rewrite(in: In, lat: Expression, lon: Expression,
       p: Int, list: Seq[Expression]): Expression =
@@ -85,13 +117,17 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
     } yield preds.reduce(Or)).getOrElse(in)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case in @ In(GeohashEncode(lat, lon, Literal(p: Int, _)), list)
-          if list.nonEmpty && cheap(lat) && cheap(lon) =>
-        rewrite(in, lat, lon, p, list)
-      case in @ In(GeohashCode(lat, lon, Literal(p: Int, _)), list)
-          if list.nonEmpty && cheap(lat) && cheap(lon) =>
-        rewrite(in, lat, lon, p, list)
+    plan.transform {
+      case node => node.transformExpressions {
+        case in @ In(GeohashEncode(lat, lon, Literal(p: Int, _)), list)
+            if list.nonEmpty && cheap(lat, node.children) &&
+              cheap(lon, node.children) =>
+          rewrite(in, lat, lon, p, list)
+        case in @ In(GeohashCode(lat, lon, Literal(p: Int, _)), list)
+            if list.nonEmpty && cheap(lat, node.children) &&
+              cheap(lon, node.children) =>
+          rewrite(in, lat, lon, p, list)
+      }
     }
 }
 
