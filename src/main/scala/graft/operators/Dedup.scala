@@ -245,23 +245,40 @@ object Dedup {
     * runs on the FULL fingerprint sets, so scores are unaffected. */
   val MaxFingerprintDf = 10
 
+  /** Candidate pairs by per-bucket enumeration, for buckets with a
+    * HARD size cap: one groupBy shuffle, then pairs generated
+    * row-locally inside each ≤ `maxBucket`-element bucket (sorted, so
+    * doc_a < doc_b holds by construction). Compared to the aliased
+    * self-join this is one shuffle instead of three (df-aggregation +
+    * two join sides) and moves no payload — but it concentrates each
+    * bucket into one row, so it is ONLY safe when the bucket size is
+    * bounded by construction (the size filter doubles as the
+    * rare-fingerprint cut). Uncapped LSH buckets keep the
+    * distributed self-join ([[bucketPairs]]). */
+  private def boundedBucketPairs(rows: DataFrame, bucketCol: String,
+      maxBucket: Int): DataFrame =
+    rows.groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
   /** Winnowing near-dup pairs: candidates share at least one RARE
     * winnowed fingerprint (doc frequency ≤ [[MaxFingerprintDf]] —
     * boilerplate suppression, the standard MOSS-era fix for common
     * substrings and this operator's hot-bucket skew mitigation),
-    * verified with Jaccard over the full fingerprint sets. Two
-    * shuffles: the fingerprint doc-frequency aggregation and the
-    * bucket self-join; never all-pairs on capped buckets. */
+    * verified with Jaccard over the full fingerprint sets. The df cap
+    * makes buckets bounded by construction, so candidate generation
+    * is the single-shuffle [[boundedBucketPairs]] (the df filter IS
+    * the bucket-size filter); never all-pairs. */
   def winnowNearDups(docs: DataFrame): DataFrame = {
     val fp = winnowFingerprints(docs).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = fp.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val rare = ex.join(
-      ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxFingerprintDf)
-        .select(col("fp")),
-      "fp")
-    jaccardVerified(bucketPairs(rare, Seq("fp")),
+    jaccardVerified(boundedBucketPairs(ex, "fp", MaxFingerprintDf),
       fp.select(col("doc_id"), col("fps").as("s")), WinnowJaccard)
   }
 
