@@ -154,6 +154,25 @@ object SparkEntry {
     // Semi/anti join operators (q17 is the set-op twin).
     "q30_semi_anti" -> ((s, dir) =>
       RelationalQueries.semiAntiCustomers(s, dir)),
+    // RANGE JOIN via bucket-and-refine: clicks within 5 minutes
+    // before each purchase, hash-joined on time buckets instead of
+    // the cartesian a naive inequality join would plan.
+    "q31_range_join" -> ((s, dir) =>
+      RelationalQueries.rangeJoinNearby(EventsQueries.events(s, dir))),
+    // Deterministic hash-based train/validation/test assignment
+    // (row-local, engine-independent, contamination-stable).
+    "q32_train_split" -> ((s, dir) =>
+      operators.Sampling.trainSplit(documents(s, dir))),
+    // TF-IDF top terms per document (tokenize -> tf -> df -> ln(N/df),
+    // partitioned rank window).
+    "q33_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(documents(s, dir))),
+    // Per-language quota sampling (domain mixing) by hash order.
+    "q34_quota_sample" -> ((s, dir) =>
+      operators.Sampling.quotaSample(documents(s, dir), "lang")),
+    // Semi-structured JSON column surface: $.k extraction + agg.
+    "q35_json_props" -> ((s, dir) =>
+      RelationalQueries.propsStats(EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -317,6 +336,11 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       SUM(o_totalprice) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q31_range_join" -> OracleSql.rangeJoinNearby,
+    "q32_train_split" -> OracleSql.trainSplit,
+    "q33_tfidf" -> OracleSql.tfidfTopTerms,
+    "q34_quota_sample" -> OracleSql.quotaSample,
+    "q35_json_props" -> OracleSql.propsStats
   )
 }

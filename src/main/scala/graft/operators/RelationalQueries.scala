@@ -159,6 +159,53 @@ object RelationalQueries {
       .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
   }
 
+  /** RANGE JOIN via bucket-and-refine (SURVEY.md §2.4 / builder
+    * custom-operator list): for every probe event, how many reference
+    * events (any user) fall in the preceding `windowMs` interval —
+    * here clicks in the 5 minutes before each purchase.
+    *
+    * A naive inequality join has no equi-key, so Spark plans a
+    * broadcast-nested-loop / cartesian — |probe|·|ref| comparisons.
+    * The scale path quantizes time into `windowMs` buckets: a
+    * reference in [t−w, t) can only live in the probe's bucket or the
+    * one before, so each probe probes exactly 2 bucket keys and the
+    * join becomes a HASH join on the bucket with a residual range
+    * filter. Work is |probe|·2 + matched pairs — linear, skew-bounded
+    * by true temporal density, and the same trick IS the stream-stream
+    * interval join's state layout. */
+  def rangeJoinNearby(events: DataFrame, probeType: String = "purchase",
+      refType: String = "click", windowMs: Long = 300000L): DataFrame = {
+    val probes = events.filter(col("event_type") === probeType)
+      .select(col("event_id"), col("ts_ms").as("p_ms"),
+        explode(array((col("ts_ms") / windowMs).cast("long"),
+          (col("ts_ms") / windowMs).cast("long") - 1)).as("bucket"))
+    val refs = events.filter(col("event_type") === refType)
+      .select(col("ts_ms").as("r_ms"),
+        (col("ts_ms") / windowMs).cast("long").as("bucket"))
+    probes
+      .join(refs,
+        probes("bucket") === refs("bucket") &&
+          col("r_ms") >= col("p_ms") - windowMs && col("r_ms") < col("p_ms"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("r_ms")).as("n_nearby"))
+  }
+
+  /** Semi-structured JSON surface: extract `$.k` from the `props`
+    * JSON column and aggregate per event type (get_json_object →
+    * JsonPath evaluation, row-local; one aggregation shuffle). */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */

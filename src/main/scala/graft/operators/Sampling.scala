@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-assembly operators for the
+  * training-data pipeline: hash-based train/validation/test
+  * assignment and per-group quota sampling (domain mixing). Both are
+  * keyed on explicit Knuth-hash arithmetic over `doc_id` rather than
+  * an engine hash function so the assignment is (a) reproducible
+  * across engines/versions — the DuckDB oracle runs the identical
+  * integer expressions — and (b) stable under re-runs and corpus
+  * growth: a document's split never changes when other documents are
+  * added, which is the property that keeps train/test contamination
+  * impossible across pipeline versions.
+  *
+  * Scale design (100 TB): the split is a pure row-local projection —
+  * no shuffle, no sampling pass, survives any partitioning. The quota
+  * sample shuffles once on the group key; the per-group
+  * `row_number` window never concentrates more than one GROUP per
+  * partition (there is no global ordering anywhere).
+  */
+object Sampling {
+
+  /** Knuth multiplicative-hash constant (2654435761 = 2^32·φ⁻¹) —
+    * the same mixer [[graft.sources.SyntheticTrips]] uses; products
+    * with any fixture id stay far inside Long range, so Spark and
+    * DuckDB (which ERRORS on BIGINT overflow rather than wrapping)
+    * compute identical values. */
+  val HashMult = 2654435761L
+
+  /** Per-mille split boundaries: [0,800) train, [800,900)
+    * validation, [900,1000) test. */
+  val TrainPerMille = 800
+  val ValPerMille = 900
+
+  /** Deterministic train/validation/test assignment: bucket =
+    * (doc_id·[[HashMult]]) mod 1000, thresholded at
+    * [[TrainPerMille]]/[[ValPerMille]]. Row-local; the assignment of
+    * a given doc_id is independent of every other row. */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") * HashMult % 1000).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPerMille, "train")
+          .when(col("bucket") < ValPerMille, "validation")
+          .otherwise("test"))
+
+  /** Per-group quota sampling (domain/language mixing): keep at most
+    * `quota` documents per `groupCol`, chosen by hash order — a
+    * deterministic stand-in for uniform-without-replacement that
+    * needs no global state. One shuffle on the group key; the window
+    * is partitioned (no single-partition funnel). */
+  def quotaSample(docs: DataFrame, groupCol: String,
+      quota: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), col(groupCol),
+        (col("doc_id") * HashMult % 1048576).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rn") <= quota)
+}

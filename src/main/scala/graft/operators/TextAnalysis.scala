@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over the
@@ -160,5 +161,45 @@ object TextAnalysis {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= HammingMax)
+  }
+
+  /** Top terms kept per document by TF-IDF. */
+  val TfidfTopK = 3
+
+  /** Word pattern for TF-IDF terms: lowercase ASCII letter runs only
+    * (shared Java/RE2 semantics, as [[TokenPattern]]). */
+  val WordPattern = "[a-z]+"
+
+  /** Per-document TF-IDF top-[[TfidfTopK]] terms: tf = term count in
+    * the doc, df = number of docs containing the term, idf =
+    * ln(N/df), ranked tfidf desc with a term-asc tie-break.
+    *
+    * Scale design: tokenize/explode is row-local; tf and df are two
+    * hash aggregations (df aggregates the already-distinct (doc,term)
+    * tf rows — never the raw token stream); the corpus size N joins
+    * in as a broadcast single-row aggregate, NOT a driver-side
+    * collect; the rank window is partitioned by doc_id. The ln(N/df)
+    * arguments here stay in a range where JVM `Math.log` and the
+    * oracle's libm `ln` agree within 1 ulp, which the driver's %.9g
+    * canonicalization absorbs (probed exhaustively for N ≤ 50000). */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = TfidfTopK): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)"))
+          .as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
   }
 }

@@ -721,4 +721,90 @@ SELECT user_id,
        COUNT(*) AS n_events,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
+
+  /** Mirror of [[graft.operators.RelationalQueries.rangeJoinNearby]]
+    * — DuckDB's IEJoin runs the inequality join directly; the
+    * bucket-and-refine plan must produce the identical match set. */
+  def rangeJoinNearby: String =
+    """WITH e AS (
+  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS ms FROM events
+), p AS (
+  SELECT event_id, ms FROM e WHERE event_type = 'purchase'
+), c AS (
+  SELECT ms FROM e WHERE event_type = 'click'
+)
+SELECT p.event_id, COUNT(c.ms) AS n_nearby
+FROM p LEFT JOIN c ON c.ms >= p.ms - 300000 AND c.ms < p.ms
+GROUP BY p.event_id"""
+
+  /** Mirror of [[graft.operators.Sampling.trainSplit]] — identical
+    * Knuth-hash integer arithmetic. */
+  def trainSplit: String = {
+    import graft.operators.Sampling._
+    s"""SELECT doc_id,
+       (doc_id * $HashMult) % 1000 AS bucket,
+       CASE WHEN (doc_id * $HashMult) % 1000 < $TrainPerMille THEN 'train'
+            WHEN (doc_id * $HashMult) % 1000 < $ValPerMille THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents"""
+  }
+
+  /** Mirror of [[graft.operators.Sampling.quotaSample]] (grouped by
+    * `lang`, quota 50). */
+  def quotaSample: String = {
+    import graft.operators.Sampling._
+    s"""WITH h AS (
+  SELECT doc_id, lang, (doc_id * $HashMult) % 1048576 AS h FROM documents
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+  FROM h
+)
+SELECT doc_id, lang, h, rn FROM r WHERE rn <= 50"""
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.tfidfTopTerms]]: same
+    * tokenization (lowercase ASCII letter runs), same tf/df/N
+    * aggregations, tfidf = tf · ln(N/df) with identical operand
+    * order, rank tie-broken by term. */
+  def tfidfTopTerms: String = {
+    val k = graft.operators.TextAnalysis.TfidfTopK
+    val pat = graft.operators.TextAnalysis.WordPattern
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
+  }
+
+  /** Mirror of [[graft.operators.RelationalQueries.propsStats]] —
+    * JSON `$$.k` extraction; DuckDB SUM(BIGINT) returns HUGEINT, so
+    * cast back to BIGINT. */
+  def propsStats: String =
+    """WITH j AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM j GROUP BY event_type"""
 }

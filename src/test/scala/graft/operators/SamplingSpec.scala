@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 2000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+
+  test("trainSplit lands near the 80/10/10 design proportions") {
+    val counts = Sampling.trainSplit(docs.select(col("doc_id")))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600L) < 100, counts.toString)
+    assert(math.abs(counts("validation") - 200L) < 60, counts.toString)
+    assert(math.abs(counts("test") - 200L) < 60, counts.toString)
+  }
+
+  test("trainSplit assignment is independent of the rest of the corpus") {
+    // contamination stability: the same doc_id maps to the same split
+    // whether it is scored inside the full corpus or alone
+    val full = Sampling.trainSplit(docs.select(col("doc_id")))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val subset = Sampling.trainSplit(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    assert(subset.nonEmpty)
+  }
+
+  test("quotaSample keeps at most the quota per group, deterministically") {
+    val out = Sampling.quotaSample(docs, "lang", quota = 40).cache()
+    val perGroup = out.groupBy("lang").count().as[(String, Long)].collect()
+    assert(perGroup.length == 3)
+    perGroup.foreach { case (_, n) => assert(n == 40) }
+    // deterministic: same ids on a re-run
+    val ids1 = out.select("doc_id").as[Long].collect().sorted
+    val ids2 = Sampling.quotaSample(docs, "lang", quota = 40)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids1.sameElements(ids2))
+    out.unpersist()
+  }
+
+  test("quotaSample returns whole groups smaller than the quota") {
+    val small = docs.filter(col("doc_id") <= 10)
+    assert(Sampling.quotaSample(small, "lang", quota = 40).count() == 10)
+  }
+}

@@ -7,6 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
   import spark.implicits._
 
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common"),
+      (4L, "delta common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, topK = 2)
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    // "common" appears in all 4 docs -> idf = ln(1) = 0: never beats
+    // a doc-unique term
+    assert(out(1L).head._2 == "alpha" && out(1L).head._4 == 1)
+    assert(out(2L).head._2 == "beta")
+    // "common" still surfaces as rank 2 (tfidf 0 beats nothing else)
+    assert(out(2L)(1)._2 == "common" && out(2L)(1)._4 == 4)
+    // tf counts repeats within the doc
+    assert(out(1L).head._3 == 3)
+  }
+
   test("textStats computes hand-checked values") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextAnalysis.textStats(df).collect()(0)
