@@ -173,6 +173,10 @@ object SparkEntry {
     // Semi-structured JSON column surface: $.k extraction + agg.
     "q35_json_props" -> ((s, dir) =>
       RelationalQueries.propsStats(EventsQueries.events(s, dir))),
+    // End-to-end preprocessing funnel: exact dedup -> quality cut ->
+    // language cut -> split, composed from the graded operators.
+    "q36_pipeline_funnel" -> ((s, dir) =>
+      operators.Pipeline.preprocessingFunnel(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -341,6 +345,7 @@ object SparkEntry {
     "q32_train_split" -> OracleSql.trainSplit,
     "q33_tfidf" -> OracleSql.tfidfTopTerms,
     "q34_quota_sample" -> OracleSql.quotaSample,
-    "q35_json_props" -> OracleSql.propsStats
+    "q35_json_props" -> OracleSql.propsStats,
+    "q36_pipeline_funnel" -> OracleSql.pipelineFunnel
   )
 }

@@ -807,4 +807,43 @@ SELECT event_type,
        MAX(k) AS max_k,
        COUNT(DISTINCT k) AS n_distinct_k
 FROM j GROUP BY event_type"""
+
+  /** Mirror of [[graft.operators.Pipeline.preprocessingFunnel]] —
+    * composes the component operators' oracle SQL verbatim (dedup,
+    * textStats, langId, trainSplit) so the formulas cannot drift from
+    * their individually-graded twins. DuckDB SUMs of ints are
+    * HUGEINT; cast back. */
+  def pipelineFunnel: String = {
+    import graft.operators.Pipeline._
+    s"""WITH dd AS ($dedupExact),
+ts AS ($textStats),
+li AS ($langId),
+sp AS ($trainSplit),
+f AS (
+  SELECT dd.doc_id,
+         NOT dd.is_duplicate AS keep_dedup,
+         ts.quality_score >= $QualityThreshold AS keep_quality,
+         li.lang_guess = '$KeepLang' AS keep_lang,
+         sp.split AS split
+  FROM dd
+  JOIN ts ON dd.doc_id = ts.doc_id
+  JOIN li ON dd.doc_id = li.doc_id
+  JOIN sp ON dd.doc_id = sp.doc_id
+)
+SELECT COUNT(*) AS n_raw,
+  CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_dedup,
+  CAST(SUM(CASE WHEN keep_dedup AND keep_quality THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_after_quality,
+  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+    AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+    AND split = 'validation' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_validation,
+  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+    AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM f"""
+  }
 }
