@@ -177,6 +177,16 @@ object SparkEntry {
     // language cut -> split, composed from the graded operators.
     "q36_pipeline_funnel" -> ((s, dir) =>
       operators.Pipeline.preprocessingFunnel(documents(s, dir))),
+    // PIVOT (explicit value list -> no discovery pass) and UNPIVOT
+    // (melt, row-local generator) surfaces.
+    "q37_pivot" -> ((s, dir) =>
+      RelationalQueries.docsPivot(documents(s, dir))),
+    "q38_unpivot" -> ((s, dir) =>
+      RelationalQueries.langScoresUnpivot(documents(s, dir))),
+    // Window FRAMES (ROWS BETWEEN) + distribution functions
+    // (ntile, percent_rank) — all partitioned windows.
+    "q39_rolling_window" -> ((s, dir) =>
+      RelationalQueries.rollingUserStats(EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -346,6 +356,9 @@ object SparkEntry {
     "q33_tfidf" -> OracleSql.tfidfTopTerms,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
-    "q36_pipeline_funnel" -> OracleSql.pipelineFunnel
+    "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,
+    "q37_pivot" -> OracleSql.docsPivot,
+    "q38_unpivot" -> OracleSql.langScoresUnpivot,
+    "q39_rolling_window" -> OracleSql.rollingUserStats
   )
 }

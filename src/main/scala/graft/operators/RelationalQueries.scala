@@ -206,6 +206,54 @@ object RelationalQueries {
         max(col("k")).as("max_k"),
         countDistinct(col("k")).as("n_distinct_k"))
 
+  /** Fixed language list for the pivot/unpivot pair — explicit values
+    * so the pivot needs NO discovery pass over the data (a second job
+    * at 100 TB) and the output schema is deterministic. */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** PIVOT surface: document counts per source, one column per
+    * language. Single aggregation shuffle on the group key; absent
+    * combinations surface as 0 (coalesced — Spark's pivot yields
+    * null there, the oracle's FILTER counts yield 0). */
+  def docsPivot(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        PivotLangs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+
+  /** UNPIVOT (melt) surface: the per-language lang-id score columns
+    * back to (doc_id, lang_code, score) rows — row-local generator,
+    * no shuffle. */
+  def langScoresUnpivot(docs: DataFrame): DataFrame =
+    TextAnalysis.langId(docs)
+      .unpivot(
+        Array(col("doc_id")),
+        TextAnalysis.langProfiles.map { case (c, _) => col(s"score_$c") }
+          .toArray,
+        "lang_code", "score")
+      .withColumn("lang_code", regexp_replace(col("lang_code"), "^score_", ""))
+
+  /** Window-FRAME surface (q19 covers lag/row_number; this grades
+    * explicit ROWS frames plus the distribution functions): per-user
+    * event sequence with a rolling 4-event sum/avg of `value`,
+    * quartile bucket (ntile) and percent_rank by value. All windows
+    * are partitioned by user — no global ordering anywhere. */
+  def rollingUserStats(events: DataFrame): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val frame = seq.rowsBetween(-3, Window.currentRow)
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("rolling_sum", sum(col("value")).over(frame))
+      .withColumn("rolling_avg", avg(col("value")).over(frame))
+      .withColumn("quartile", ntile(4).over(byValue).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(byValue))
+  }
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */

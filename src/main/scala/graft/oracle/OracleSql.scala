@@ -808,6 +808,44 @@ SELECT event_type,
        COUNT(DISTINCT k) AS n_distinct_k
 FROM j GROUP BY event_type"""
 
+  /** Mirror of [[graft.operators.RelationalQueries.docsPivot]] —
+    * conditional-aggregation form of the PIVOT (FILTER counts are 0
+    * for absent combos, matching the Spark side's coalesce). */
+  def docsPivot: String = {
+    val cols = graft.operators.RelationalQueries.PivotLangs.map { l =>
+      s"COUNT(*) FILTER (lang = '$l') AS n_$l"
+    }.mkString(",\n       ")
+    s"""SELECT source,
+       $cols
+FROM documents GROUP BY source"""
+  }
+
+  /** Mirror of [[graft.operators.RelationalQueries.langScoresUnpivot]]
+    * — UNION ALL form of the UNPIVOT over the langId scores. */
+  def langScoresUnpivot: String = {
+    val arms = graft.operators.TextAnalysis.langProfiles.map { case (c, _) =>
+      s"SELECT doc_id, '$c' AS lang_code, score_$c AS score FROM li"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH li AS ($langId)
+$arms"""
+  }
+
+  /** Mirror of [[graft.operators.RelationalQueries.rollingUserStats]]. */
+  def rollingUserStats: String =
+    """WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+)
+SELECT user_id, event_id, ts_ms, value,
+       SUM(value) OVER seq AS rolling_sum,
+       AVG(value) OVER seq AS rolling_avg,
+       CAST(ntile(4) OVER byv AS BIGINT) AS quartile,
+       percent_rank() OVER byv AS pct_rank
+FROM e
+WINDOW seq AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       byv AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)"""
+
   /** Mirror of [[graft.operators.Pipeline.preprocessingFunnel]] —
     * composes the component operators' oracle SQL verbatim (dedup,
     * textStats, langId, trainSplit) so the formulas cannot drift from

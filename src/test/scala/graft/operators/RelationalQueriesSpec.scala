@@ -36,6 +36,42 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pivot/unpivot round-trip: counts per (source, lang) survive") {
+    val docs = Seq(
+      (1L, "the the", "en", "web"),
+      (2L, "der und", "de", "web"),
+      (3L, "el y es", "es", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val p = RelationalQueries.docsPivot(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(p("web") == ((1L, 1L, 0L)))   // n_de, n_en, n_es
+    assert(p("books") == ((0L, 0L, 1L)))
+    val u = RelationalQueries.langScoresUnpivot(docs)
+    // 4 score rows per doc, lang_code prefix stripped
+    assert(u.count() == 12)
+    assert(u.select("lang_code").distinct().as[String].collect().sorted
+      .sameElements(Array("de", "en", "es", "fr")))
+  }
+
+  test("rollingUserStats frames and distribution functions") {
+    val events = Seq(
+      (10L, 1L, 1000L, 1.0), (10L, 2L, 2000L, 2.0),
+      (10L, 3L, 3000L, 3.0), (10L, 4L, 4000L, 4.0),
+      (10L, 5L, 5000L, 5.0), (20L, 6L, 1000L, 7.0))
+      .toDF("user_id", "event_id", "ts_ms", "value")
+    val out = RelationalQueries.rollingUserStats(events).collect()
+      .map(r => r.getLong(1) ->
+        (r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+      .toMap
+    assert(out(1L)._1 == 1.0)            // frame = first row only
+    assert(out(4L)._1 == 10.0)           // 1+2+3+4
+    assert(out(5L)._1 == 14.0)           // 2+3+4+5 (3 PRECEDING cap)
+    assert(out(5L)._2 == 3.5)
+    assert(out(1L)._3 == 1L && out(5L)._3 == 4L) // quartiles by value
+    assert(out(6L)._4 == 0.0)            // single-row partition
+  }
+
   test("propsStats extracts $.k and aggregates per type") {
     val events = Seq(
       ("click", """{"k": 5}"""),
