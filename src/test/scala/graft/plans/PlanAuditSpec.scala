@@ -18,8 +18,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
   private def q(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, sf)
 
-  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    // operators persist their corpora internally (released by the
+    // bench/verify sessions via clearCache); drop any cache another
+    // suite left behind so the audit sees the real file scan, not an
+    // InMemoryRelation that happens to be warm in this JVM
+    spark.catalog.clearCache()
     df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+  }
   // exchanges are inserted by EnsureRequirements during executedPlan
   // preparation (and AQE wraps the tree), so count them in the plan
   // string — "Exchange hashpartitioning" is the shuffle marker;
@@ -82,5 +88,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       "the fence filter is not inside a codegen span")
     assert("""\(\d+\) HashAggregate \[codegen id""".r.findFirstIn(txt).isDefined,
       "the aggregation is not inside a codegen span")
+  }
+
+  test("q33 broadcasts the corpus-size row; its rank window is partitioned") {
+    val plan = q("q33_tfidf").queryExecution.executedPlan.toString
+    // N joins in as a broadcast one-row aggregate, never a shuffle of tf
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.takeWhile(_ != '\n'))
+    // the rank window partitions by doc_id (no global-ordering funnel)
+    assert("""Window .*windowspecdefinition\(doc_id""".r
+      .findFirstIn(plan).isDefined, "rank window is not doc_id-partitioned")
+  }
+
+  test("q34's quota window is partitioned by the group key") {
+    val plan = q("q34_quota_sample").queryExecution.executedPlan.toString
+    assert("""Window .*windowspecdefinition\(lang""".r
+      .findFirstIn(plan).isDefined, "quota window is not lang-partitioned")
+  }
+
+  test("q32's split assignment plans no exchange at all (row-local)") {
+    assert(shuffleCount(q("q32_train_split")) == 0)
   }
 }
