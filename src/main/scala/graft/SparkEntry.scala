@@ -187,6 +187,11 @@ object SparkEntry {
     // (ntile, percent_rank) — all partitioned windows.
     "q39_rolling_window" -> ((s, dir) =>
       RelationalQueries.rollingUserStats(EventsQueries.events(s, dir))),
+    // Sketch aggregates (HLL++ distinct, approx percentile) next to
+    // their exact twins — rows-only (see rowsOnlyQueries); accuracy
+    // pinned vs the exact columns in RelationalQueriesSpec.
+    "q40_approx_sketches" -> ((s, dir) =>
+      RelationalQueries.typeStatsApprox(EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -205,6 +210,13 @@ object SparkEntry {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Queries with NO oracle mirror by design (driver records the
+    * weaker rows-only check): sketch estimates are deterministic for
+    * a dataset but implementation-specific, so a DuckDB HLL/t-digest
+    * would legitimately disagree; their accuracy is spec-pinned
+    * against the exact twin columns instead. */
+  val rowsOnlyQueries: Set[String] = Set("q40_approx_sketches")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

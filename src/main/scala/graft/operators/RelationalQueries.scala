@@ -112,6 +112,27 @@ object RelationalQueries {
         expr("percentile(value, 0.5D)").as("p50_value"),
         expr("percentile(value, 0.95D)").as("p95_value"))
 
+  /** Sketch-aggregate surface: HyperLogLog++ distinct counts and
+    * t-digest-style quantiles (`approx_count_distinct` /
+    * `approx_percentile`) next to their exact twins. At 100 TB these
+    * ARE the tools — the exact forms (q23) cost a distinct expansion
+    * and a full sort-by-key respectively; the sketches are one pass,
+    * constant memory, and merge associatively across partitions.
+    * Deterministic for a given dataset (HLL register merge is a
+    * max — partitioning-order independent), but the estimates are
+    * implementation-specific, so this entry is graded rows-only and
+    * the estimate error is pinned against the exact values in
+    * RelationalQueriesSpec instead of the cross-engine oracle. */
+  def typeStatsApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5D, 1000)").as("approx_p50"),
+        expr("percentile(value, 0.5D)").as("exact_p50"))
+
   /** AS-OF JOIN (the event-time join Spark has no operator for,
     * SURVEY.md §2.4 / builder custom-operator list): for every probe
     * event, the same user's most recent reference event at or before

@@ -18,7 +18,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkSessionSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
-    assert(q == o, s"rows-only queries (weaker check): ${q.diff(o)}")
+    // rows-only entries must be the documented, deliberate set — an
+    // operator silently losing its oracle is a correctness-gate hole
+    assert(q.diff(o) == SparkEntry.rowsOnlyQueries,
+      s"undocumented rows-only queries: ${q.diff(o).diff(SparkEntry.rowsOnlyQueries)}")
   }
 
   test("all graded queries return rows on the smoke fixture") {

@@ -72,6 +72,24 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(6L)._4 == 0.0)            // single-row partition
   }
 
+  test("sketch aggregates track their exact twins within tolerance") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.01")
+    val rows = RelationalQueries.typeStatsApprox(events).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (approxU, exactU) = (r.getLong(2), r.getLong(3))
+      // HLL++ default rsd = 5%; allow 3 sigma
+      assert(math.abs(approxU - exactU) <= math.max(3, 0.15 * exactU),
+        s"HLL estimate $approxU vs exact $exactU")
+      val (approxP, exactP) = (r.getDouble(4), r.getDouble(5))
+      // approx_percentile returns a genuine data value near the rank;
+      // values span ~[0, 20], tolerate a small rank slip
+      assert(math.abs(approxP - exactP) <= 0.5,
+        s"p50 estimate $approxP vs exact $exactP")
+    }
+  }
+
   test("propsStats extracts $.k and aggregates per type") {
     val events = Seq(
       ("click", """{"k": 5}"""),
