@@ -192,6 +192,10 @@ object SparkEntry {
     // pinned vs the exact columns in RelationalQueriesSpec.
     "q40_approx_sketches" -> ((s, dir) =>
       RelationalQueries.typeStatsApprox(EventsQueries.events(s, dir))),
+    // Repetition/quality-rule signals (Gopher/C4-style): longest
+    // token run, top-word mass, duplicate-2-gram fraction.
+    "q41_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -370,6 +374,7 @@ object SparkEntry {
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,
     "q37_pivot" -> OracleSql.docsPivot,
+    "q41_repetition" -> OracleSql.repetitionStats,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats
   )

@@ -163,6 +163,64 @@ object TextAnalysis {
       .filter(col("hamming") <= HammingMax)
   }
 
+  /** Longest equal-run length in an array via a row-local struct-state
+    * fold ((prev, run, best) per element). On a SORTED array this is
+    * the maximum element multiplicity. ~|arr| interpreted steps per
+    * row — same cost class as the other array folds here; no shuffle,
+    * no explode. */
+  private def longestRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val r = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), r.as("run"),
+          greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition signals (the Gopher/C4-style quality rules that gate
+    * real pretraining corpora): longest consecutive equal-token run,
+    * top-word mass fraction, and the duplicate-2-gram fraction. All
+    * row-local — the oracle mirrors with gaps-and-islands SQL, but at
+    * 100 TB the fold formulation is the one that never shuffles. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    val grams2 = Bridge.column(WordShingles(Bridge.expression(col("w")), 2))
+    docs
+      .select(col("doc_id"), tokens.as("w"))
+      .select(
+        col("doc_id"),
+        longestRun(col("w")).as("max_run"),
+        (longestRun(array_sort(col("w"))).cast("double") / size(col("w")))
+          .as("top_word_frac"),
+        when(size(col("w")) >= 2,
+          lit(1.0) - size(array_distinct(grams2)).cast("double") /
+            size(grams2))
+          .as("dup_2gram_frac"))
+  }
+
+  /** PII scrubbing patterns — ASCII-only classes so Java and RE2
+    * agree (emails, dashed/spaced phone numbers). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PhonePattern = "[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]"
+
+  /** PII scrub: count and redact emails/phone numbers (row-local
+    * regexp pipeline; the redaction placeholder keeps the text
+    * alignment-stable for downstream token counting). The fixture
+    * corpus contains no PII by construction, so this operator is
+    * spec-proven on crafted rows rather than oracle-graded. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$EmailPattern', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$PhonePattern', 0)"))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("clean_text"))
+
   /** Top terms kept per document by TF-IDF. */
   val TfidfTopK = 3
 

@@ -846,6 +846,49 @@ WINDOW seq AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        byv AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)"""
 
+  /** Mirror of [[graft.operators.TextAnalysis.repetitionStats]] —
+    * the row-local run fold re-expressed as gaps-and-islands
+    * (DuckDB's list_reduce mishandles struct accumulators, so the
+    * mirror uses bog-standard window SQL; values are identical). */
+  def repetitionStats: String =
+    """WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), t AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+  FROM d
+), b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER win = tok THEN 0 ELSE 1 END AS brk
+  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+), i AS (
+  SELECT doc_id, tok, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM b
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS len FROM i GROUP BY doc_id, grp
+), mr AS (
+  SELECT doc_id, MAX(len) AS max_run FROM runs GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+), tw AS (
+  SELECT doc_id, MAX(c) AS top_c FROM tf GROUP BY doc_id
+), g AS (
+  SELECT doc_id, len(w) AS n_tok,
+         CASE WHEN len(w) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(
+             range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+             / (len(w) - 1)
+         ELSE NULL END AS dup_2gram_frac
+  FROM d
+)
+SELECT mr.doc_id, mr.max_run,
+       CAST(tw.top_c AS DOUBLE) / g.n_tok AS top_word_frac,
+       g.dup_2gram_frac
+FROM mr
+JOIN tw ON mr.doc_id = tw.doc_id
+JOIN g ON mr.doc_id = g.doc_id"""
+
   /** Mirror of [[graft.operators.Pipeline.preprocessingFunnel]] —
     * composes the component operators' oracle SQL verbatim (dedup,
     * textStats, langId, trainSplit) so the formulas cannot drift from

@@ -7,6 +7,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
   import spark.implicits._
 
+  test("repetitionStats hand-checked: runs, top-word mass, dup 2-grams") {
+    val df = Seq(
+      (1L, "a a a b a a"),   // max_run 3; 'a' 5/6; 2-grams: aa,aa,ab,ba,aa -> 3 distinct of 5
+      (2L, "x y z w"),       // no repetition
+      (3L, "solo"))          // single token: dup frac NULL
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.get(3)))).toMap
+    assert(out(1L)._1 == 3)
+    assert(math.abs(out(1L)._2 - 5.0 / 6) < 1e-12)
+    assert(math.abs(out(1L)._3.get.asInstanceOf[Double] - (1.0 - 3.0 / 5)) < 1e-12)
+    assert(out(2L) == ((1L, 0.25, Some(0.0))))
+    assert(out(3L)._1 == 1L && out(3L)._3.isEmpty)
+  }
+
+  test("piiScrub counts and redacts emails and phone numbers") {
+    val df = Seq(
+      (1L, "mail bob@example.com or call 555-123-4567 now"),
+      (2L, "clean text only"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "mail <EMAIL> or call <PHONE> now")
+    assert(out(2L) == ((0L, 0L, "clean text only")))
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val df = Seq(
       (1L, "alpha alpha alpha common common"),
