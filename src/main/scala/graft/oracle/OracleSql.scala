@@ -244,18 +244,21 @@ FROM documents"""
   private def ngramCtes: String = {
     val n = Dedup.NGramChars
     val s = Dedup.NGramStride
+    val b = Dedup.WinnowBase
+    val m = Dedup.P
+    // polynomial gram hash — same fold the winnow mirror uses (the
+    // Spark side computes it with one rolling pass; per-position
+    // from-scratch folds give identical values)
     s"""WITH d AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= $n
-), g AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(0, length(text) - $n + 1, $s),
-           i -> substr(text, CAST(i + 1 AS INT), $n))) AS grams
-  FROM d
 ), h AS (
   SELECT doc_id,
-         list_distinct(list_transform(grams,
-           x -> ${digest60Sql("x")})) AS hashes
-  FROM g
+         list_distinct(list_transform(range(0, length(text) - $n + 1, $s),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, ${n + 1}),
+               j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+             (a, c) -> (a * $b + c) % $m))) AS hashes
+  FROM d
 )"""
   }
 

@@ -348,7 +348,14 @@ case class CharGrams(child: Expression, n: Int, stride: Int)
   * code points, matching SQL `ord`; the fixtures are ASCII.) */
 object RollingOps {
   def rollingHashes(t: UTF8String, k: Int, base: Long, mod: Long)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    rollingHashes(t, k, base, mod, 1)
+
+  /** `stride > 1` keeps only the hashes at positions 0, stride,
+    * 2·stride, … — the sampled n-gram variant; the rolling pass is
+    * O(len) either way, emission is just sparser. */
+  def rollingHashes(t: UTF8String, k: Int, base: Long, mod: Long,
+      stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = t.toString
     val len = s.length
     val n = len - k + 1
@@ -358,15 +365,16 @@ object RollingOps {
     var pow = 1L
     var i = 0
     while (i < k - 1) { pow = pow * base % mod; i += 1 }
-    val out = new Array[Long](n)
+    val out = new Array[Long]((n + stride - 1) / stride)
     var h = 0L
     i = 0
     while (i < len) {
       h = (h * base + s.charAt(i)) % mod
       if (i >= k - 1) {
-        out(i - k + 1) = h
+        val pos = i - k + 1
+        if (pos % stride == 0) out(pos / stride) = h
         // drop the window's leading char before the next shift
-        h = (h - s.charAt(i - k + 1) * pow % mod + mod) % mod
+        h = (h - s.charAt(pos) * pow % mod + mod) % mod
       }
       i += 1
     }
@@ -374,19 +382,20 @@ object RollingOps {
   }
 }
 
-/** `rolling_hashes(text)` — every overlapping k-gram's polynomial
-  * hash in one codegen'd rolling pass. */
-case class RollingHashes(child: Expression, k: Int, base: Long, mod: Long)
+/** `rolling_hashes(text)` — every `stride`-th overlapping k-gram's
+  * polynomial hash in one codegen'd rolling pass. */
+case class RollingHashes(child: Expression, k: Int, base: Long, mod: Long,
+    stride: Int = 1)
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_hashes"
   override def nullSafeEval(t: Any): Any =
-    RollingOps.rollingHashes(t.asInstanceOf[UTF8String], k, base, mod)
+    RollingOps.rollingHashes(t.asInstanceOf[UTF8String], k, base, mod, stride)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
-      s"org.apache.spark.sql.graft.RollingOps.rollingHashes($t, $k, ${base}L, ${mod}L)")
+      s"org.apache.spark.sql.graft.RollingOps.rollingHashes($t, $k, ${base}L, ${mod}L, $stride)")
   override protected def withNewChildInternal(c: Expression): RollingHashes =
     copy(child = c)
 }

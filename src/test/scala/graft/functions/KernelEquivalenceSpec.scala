@@ -74,6 +74,22 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("RollingHashes stride samples exactly positions 0, s, 2s, ...") {
+    val texts = (1 to 40).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(60) + 8).mkString)
+    val (k, b, m, s) = (8, 131L, 2147483647L, 3)
+    val df = texts.toDF("text")
+    val all = Bridge.column(org.apache.spark.sql.graft.RollingHashes(
+      Bridge.expression(col("text")), k, b, m))
+    val strided = Bridge.column(org.apache.spark.sql.graft.RollingHashes(
+      Bridge.expression(col("text")), k, b, m, s))
+    df.select(all.as("a"), strided.as("s")).collect().foreach { r =>
+      val expect = r.getSeq[Long](0).zipWithIndex
+        .collect { case (h, i) if i % s == 0 => h }
+      assert(r.getSeq[Long](1) == expect)
+    }
+  }
+
   test("WindowMinima kernel == transform(array_min(slice)) formulation") {
     val arrays = (1 to 40).map(_ =>
       Seq.fill(rnd.nextInt(30) + 4)(rnd.nextLong()))
