@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,13 +196,16 @@ object RelationalQueries {
     * interval join's state layout. */
   def rangeJoinNearby(events: DataFrame, probeType: String = "purchase",
       refType: String = "click", windowMs: Long = 300000L): DataFrame = {
+    // floor division (not cast-truncation, which rounds toward zero):
+    // pre-epoch timestamps would otherwise land one bucket high and
+    // silently miss matches — and the oracle's // floors
+    def bucket(ms: Column) = floor(ms / windowMs).cast("long")
     val probes = events.filter(col("event_type") === probeType)
       .select(col("event_id"), col("ts_ms").as("p_ms"),
-        explode(array((col("ts_ms") / windowMs).cast("long"),
-          (col("ts_ms") / windowMs).cast("long") - 1)).as("bucket"))
+        explode(array(bucket(col("ts_ms")),
+          bucket(col("ts_ms")) - 1)).as("bucket"))
     val refs = events.filter(col("event_type") === refType)
-      .select(col("ts_ms").as("r_ms"),
-        (col("ts_ms") / windowMs).cast("long").as("bucket"))
+      .select(col("ts_ms").as("r_ms"), bucket(col("ts_ms")).as("bucket"))
     probes
       .join(refs,
         probes("bucket") === refs("bucket") &&

@@ -28,6 +28,19 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out == Map(1L -> 2L, 6L -> 0L))
   }
 
+  test("rangeJoinNearby floors buckets for pre-epoch timestamps") {
+    val w = 300000L
+    // purchase just after a negative bucket edge; click just before
+    // the purchase, in the previous (more negative) bucket
+    val events = ev(
+      (1L, "purchase", -w + 1000L),  // bucket -1
+      (2L, "click", -w - 1000L),     // bucket -2, within [t-w, t)
+      (3L, "click", -2 * w - 1000L)) // outside the window
+    val out = RelationalQueries.rangeJoinNearby(events, windowMs = w)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L))
+  }
+
   test("rangeJoinNearby plans a hash join on the bucket, not a cartesian") {
     val events = ev((1L, "purchase", 1000000L), (2L, "click", 999999L))
     val plan = RelationalQueries.rangeJoinNearby(events)
