@@ -196,6 +196,12 @@ object SparkEntry {
     // token run, top-word mass, duplicate-2-gram fraction.
     "q41_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(documents(s, dir))),
+    // Connected components over the minhash near-dup pairs —
+    // pairwise matches -> dedup clusters with a canonical doc each
+    // (iterative min-label propagation; recursive-CTE oracle).
+    "q42_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Dedup.minhashNearDups(documents(s, dir))
+        .select(col("doc_a"), col("doc_b")))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -375,6 +381,7 @@ object SparkEntry {
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,
     "q37_pivot" -> OracleSql.docsPivot,
     "q41_repetition" -> OracleSql.repetitionStats,
+    "q42_dedup_clusters" -> OracleSql.dedupClusters,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats
   )

@@ -285,6 +285,57 @@ object Dedup {
       fp.select(col("doc_id"), col("fps").as("s")), WinnowJaccard)
   }
 
+  /** Connected components over a near-dup PAIR set — the step that
+    * turns pairwise matches into dedup decisions: every document in a
+    * component maps to the component's minimum doc_id (the canonical
+    * copy to keep). Iterative min-label propagation to a fixpoint:
+    * each round every node takes the min label among itself and its
+    * neighbors — monotone decreasing, so the label-sum is a
+    * convergence certificate (unchanged sum ⇔ fixpoint). Rounds
+    * needed = component diameter; near-dup components are small and
+    * shallow by construction (they are transitive closures of
+    * high-similarity pairs), so this terminates in a handful of
+    * joins. At 100 TB each round is one shuffle join of (edges ⋈
+    * labels) + a min-aggregation — the alternating-star optimizations
+    * of the CC literature drop in here if diameters ever grow.
+    * The driver-side loop only COUNTS for convergence; labels never
+    * collect. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round twice, so lineage doubles per iteration and the
+    // analyzer OOMs near diameter ~10 — checkpointing truncates the
+    // plan to the materialized blocks, keeping every round's plan
+    // constant-size
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("label"))
+      .first().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val updated = labels.union(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val newSum = updated.agg(org.apache.spark.sql.functions.sum("label"))
+        .first().getLong(0)
+      labels = updated
+      converged = newSum == sum
+      sum = newSum
+      iter += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical_id")))
+          .cast("long"))
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

@@ -849,6 +849,30 @@ WINDOW seq AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        byv AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)"""
 
+  /** Mirror of [[graft.operators.Dedup.dedupClusters]] over the
+    * minhash pairs (q5's oracle embedded verbatim): reachability via
+    * a recursive CTE — every label reachable from a node includes the
+    * component minimum, so MIN over reached labels = the canonical
+    * id, exactly what the iterative min-propagation converges to. */
+  def dedupClusters: String =
+    s"""WITH RECURSIVE hp AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhash)
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM hp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM hp
+), r AS (
+  SELECT a AS node, a AS label FROM e
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a
+), c AS (
+  SELECT node, MIN(label) AS canonical_id FROM r GROUP BY node
+)
+SELECT node AS doc_id, canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         AS cluster_size
+FROM c"""
+
   /** Mirror of [[graft.operators.TextAnalysis.repetitionStats]] —
     * the row-local run fold re-expressed as gaps-and-islands
     * (DuckDB's list_reduce mishandles struct accumulators, so the

@@ -49,4 +49,26 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == Dedup.NumHashes)
   }
+
+  test("dedupClusters: transitive pairs collapse to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3 (1-3 never paired),
+    // {7,9}, and 5 appears in no pair (not emitted)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      7L -> ((7L, 2L)), 9L -> ((7L, 2L))))
+  }
+
+  test("dedupClusters converges on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    val n = 12L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    assert(out.forall { case (_, canon, size) => canon == 1L && size == n })
+  }
 }
