@@ -329,6 +329,10 @@ object Dedup {
       sum = newSum
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[dedupClusters] iteration cap $maxIters hit " +
+        "before fixpoint — labels may span partial components " +
+        "(component diameter exceeds the cap; raise maxIters)")
     labels
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
       .withColumn("cluster_size",
