@@ -77,6 +77,10 @@ object ScaleProbe {
     time("simhash_dups")(TextAnalysis.simhashDups(docs))
     time("text_stats")(TextAnalysis.textStats(docs))
     time("tfidf")(TextAnalysis.tfidfTopTerms(docs))
+    time("repetition")(TextAnalysis.repetitionStats(docs))
+    time("funnel")(graft.operators.Pipeline.preprocessingFunnel(docs))
+    time("dedup_clusters")(Dedup.dedupClusters(
+      Dedup.minhashNearDups(docs).select(col("doc_a"), col("doc_b"))))
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →
     // Θ(n²) candidates) vs corpus-sized banding (w ≈ log₂(n/8): the
