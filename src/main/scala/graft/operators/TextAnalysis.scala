@@ -163,27 +163,22 @@ object TextAnalysis {
       .filter(col("hamming") <= HammingMax)
   }
 
-  /** Longest equal-run length in an array via a row-local struct-state
-    * fold ((prev, run, best) per element). On a SORTED array this is
-    * the maximum element multiplicity. ~|arr| interpreted steps per
-    * row — same cost class as the other array folds here; no shuffle,
-    * no explode. */
-  private def longestRun(arr: Column): Column =
-    aggregate(arr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val r = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), r.as("run"),
-          greatest(acc.getField("best"), r).as("best"))
-      },
-      acc => acc.getField("best"))
+  /** Longest equal-run length via the codegen'd
+    * [[org.apache.spark.sql.graft.LongestRun]] kernel (with
+    * `sortFirst` = maximum element multiplicity) — the interpreted
+    * struct-state fold formulation is pinned as its equivalence twin
+    * in KernelEquivalenceSpec. */
+  private def longestRun(arr: Column, sortFirst: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.{Bridge, LongestRun}
+    Bridge.column(LongestRun(Bridge.expression(arr), sortFirst))
+  }
 
   /** Repetition signals (the Gopher/C4-style quality rules that gate
     * real pretraining corpora): longest consecutive equal-token run,
     * top-word mass fraction, and the duplicate-2-gram fraction. All
-    * row-local — the oracle mirrors with gaps-and-islands SQL, but at
-    * 100 TB the fold formulation is the one that never shuffles. */
+    * row-local codegen'd kernels — the oracle mirrors with
+    * gaps-and-islands SQL, but at 100 TB the one-pass formulation is
+    * the one that never shuffles. */
   def repetitionStats(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, WordShingles}
     val grams2 = Bridge.column(WordShingles(Bridge.expression(col("w")), 2))
@@ -192,8 +187,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         longestRun(col("w")).as("max_run"),
-        (longestRun(array_sort(col("w"))).cast("double") / size(col("w")))
-          .as("top_word_frac"),
+        (longestRun(col("w"), sortFirst = true).cast("double") /
+          size(col("w"))).as("top_word_frac"),
         when(size(col("w")) >= 2,
           lit(1.0) - size(array_distinct(grams2)).cast("double") /
             size(grams2))
@@ -241,12 +236,20 @@ object TextAnalysis {
     * oracle's libm `ln` agree within 1 ulp, which the driver's %.9g
     * canonicalization absorbs (probed exhaustively for N ≤ 50000). */
   def tfidfTopTerms(docs: DataFrame, topK: Int = TfidfTopK): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)"))
-          .as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf is computed ROW-LOCALLY (sort + run-length-encode kernel):
+    // each document's token list never leaves its row, so the explode
+    // emits pre-aggregated (term, tf) pairs and the raw token stream
+    // is never shuffled — at 100 TB that shuffle IS the query
+    val tf = {
+      import org.apache.spark.sql.graft.{Bridge, TokenCounts}
+      docs
+        .select(col("doc_id"),
+          explode(Bridge.column(TokenCounts(Bridge.expression(
+            expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")))))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"),
+          col("tc.tf").as("tf"))
+    }
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(docFreq, "term")

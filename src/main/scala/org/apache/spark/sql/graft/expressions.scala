@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helpers invoked from generated code (must be statically
@@ -334,6 +334,104 @@ case class CharGrams(child: Expression, n: Int, stride: Int)
     defineCodeGen(ctx, ev, t =>
       s"org.apache.spark.sql.graft.ShingleOps.charGrams($t, $n, $stride)")
   override protected def withNewChildInternal(c: Expression): CharGrams =
+    copy(child = c)
+}
+
+/** Runtime kernels for the repetition quality rules and row-local
+  * term frequencies. Equality/ordering is binary UTF-8 — the same
+  * semantics as Spark string `===` and DuckDB varchar `=`, so the
+  * fold formulations and oracle SQL agree exactly. */
+object RunOps {
+  private def toArray(w: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Array[UTF8String] = {
+    val len = w.numElements()
+    val arr = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { arr(i) = w.getUTF8String(i); i += 1 }
+    arr
+  }
+
+  /** Longest run of consecutive equal strings; with `sortFirst` the
+    * array is sorted first (any total order works — equal elements
+    * become adjacent), making the result the maximum element
+    * multiplicity. One pass, no boxing beyond the refs. */
+  def longestRun(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      sortFirst: Boolean): Long = {
+    val arr = toArray(w)
+    if (arr.length == 0) return 0L
+    if (sortFirst) java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < arr.length) {
+      if (arr(i) == arr(i - 1) || arr(i).equals(arr(i - 1))) {
+        run += 1; if (run > best) best = run
+      } else run = 1L
+      i += 1
+    }
+    best
+  }
+
+  /** Row-local term frequencies: sort a copy, run-length encode to
+    * (term, tf) structs — the per-document half of a TF aggregation
+    * done without any shuffle (each document's token list never
+    * leaves its row). */
+  def tokenCounts(w: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = toArray(w)
+    java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length && arr(j).equals(arr(i))) j += 1
+      out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](arr(i), (j - i).toLong))
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `longest_run(w)` — longest consecutive equal-string run (or, with
+  * `sortFirst`, the max element multiplicity) in one codegen'd pass. */
+case class LongestRun(child: Expression, sortFirst: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "longest_run"
+  override def nullSafeEval(w: Any): Any =
+    RunOps.longestRun(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], sortFirst)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.RunOps.longestRun($w, $sortFirst)")
+  override protected def withNewChildInternal(c: Expression): LongestRun =
+    copy(child = c)
+}
+
+/** `token_counts(w)` — per-row (term, tf) pairs via sort +
+  * run-length encoding, codegen'd. */
+case class TokenCounts(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_counts"
+  override def nullSafeEval(w: Any): Any =
+    RunOps.tokenCounts(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.RunOps.tokenCounts($w)")
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
     copy(child = c)
 }
 

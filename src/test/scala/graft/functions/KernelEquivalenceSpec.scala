@@ -90,6 +90,47 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("LongestRun kernel == struct-state fold; sorted == max multiplicity") {
+    val arrays = (1 to 60).map(_ =>
+      Seq.fill(rnd.nextInt(40) + 1)(s"w${rnd.nextInt(5)}"))
+    arrays.foreach { a =>
+      def runOf(xs: Seq[String]): Long = {
+        var best = 1L; var run = 1L
+        xs.sliding(2).foreach {
+          case Seq(p, c) =>
+            if (p == c) { run += 1; best = math.max(best, run) } else run = 1L
+          case _ => ()
+        }
+        best
+      }
+      val df = Seq(Tuple1(a)).toDF("w")
+      val kernel = df.select(
+        Bridge.column(org.apache.spark.sql.graft.LongestRun(
+          Bridge.expression(col("w")), sortFirst = false)),
+        Bridge.column(org.apache.spark.sql.graft.LongestRun(
+          Bridge.expression(col("w")), sortFirst = true))).collect()(0)
+      assert(kernel.getLong(0) == runOf(a))
+      assert(kernel.getLong(1) ==
+        a.groupBy(identity).values.map(_.size).max.toLong)
+    }
+  }
+
+  test("TokenCounts kernel == explode + groupBy count") {
+    val arrays = (1 to 40).map(_ =>
+      Seq.fill(rnd.nextInt(50) + 1)(s"t${rnd.nextInt(8)}"))
+    arrays.foreach { a =>
+      val df = Seq(Tuple1(a)).toDF("w")
+      val pairs = df.select(explode(
+          Bridge.column(org.apache.spark.sql.graft.TokenCounts(
+            Bridge.expression(col("w"))))).as("tc"))
+        .select(col("tc.term"), col("tc.tf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = a.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+      assert(pairs == expect)
+    }
+  }
+
   test("WindowMinima kernel == transform(array_min(slice)) formulation") {
     val arrays = (1 to 40).map(_ =>
       Seq.fill(rnd.nextInt(30) + 4)(rnd.nextLong()))
