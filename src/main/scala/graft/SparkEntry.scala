@@ -202,6 +202,10 @@ object SparkEntry {
     "q42_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashNearDups(documents(s, dir))
         .select(col("doc_a"), col("doc_b")))),
+    // Benchmark contamination: per-doc n-gram overlap against the
+    // (broadcast) benchmark gram set — the decontamination step.
+    "q43_contamination" -> ((s, dir) =>
+      Dedup.benchmarkContamination(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -382,6 +386,7 @@ object SparkEntry {
     "q37_pivot" -> OracleSql.docsPivot,
     "q41_repetition" -> OracleSql.repetitionStats,
     "q42_dedup_clusters" -> OracleSql.dedupClusters,
+    "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats
   )

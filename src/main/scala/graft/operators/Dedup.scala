@@ -340,6 +340,44 @@ object Dedup {
           .cast("long"))
   }
 
+  /** Benchmark contamination detection — the decontamination step of
+    * a training-corpus build: for every training document, how many
+    * of its winnowed fingerprints appear anywhere in the benchmark
+    * (evaluation) set. Winnowing is the right primitive here, not
+    * stride-sampled grams: sampling is PHASE-sensitive (a benchmark
+    * passage embedded at an offset ≢ 0 mod stride shares no sampled
+    * grams), while winnowing guarantees any shared substring of ≥
+    * K + W − 1 chars yields a shared fingerprint at any offset. The
+    * benchmark stand-in is `doc_id < benchBelowId`; a real deployment
+    * passes the eval suite as the benchmark frame.
+    *
+    * Scale design: the benchmark side is SMALL by definition — its
+    * distinct fingerprint set broadcasts, so the corpus never
+    * shuffles for the join; fingerprinting is the row-local rolling +
+    * window-minima kernels; the only shuffle is the per-doc overlap
+    * count. */
+  def benchmarkContamination(docs: DataFrame,
+      benchBelowId: Long = 20L): DataFrame = {
+    val fp = winnowFingerprints(docs)
+    val bench = fp.filter(col("doc_id") < benchBelowId)
+      .select(explode(col("fps")).as("g")).distinct()
+    val corpus = fp.filter(col("doc_id") >= benchBelowId)
+    val shared = corpus
+      .select(col("doc_id"), explode(col("fps")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_fps"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fps"))
+          .as("frac_shared"))
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

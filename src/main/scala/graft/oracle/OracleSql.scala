@@ -307,7 +307,10 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
     * (1-based inclusive on both ends, same elements as the kernel's
     * windows), distinct fingerprints, doc-frequency-capped exact
     * shared-fingerprint candidates, Jaccard cut. */
-  def dedupWinnow: String = {
+  /** Shared winnow-fingerprint CTE chain (`d` → `h` → `f(doc_id,
+    * fps)`), used by both the winnow dedup and the contamination
+    * mirror. */
+  private def winnowFpCtes: String = {
     val k = Dedup.WinnowK
     val w = Dedup.WinnowW
     val b = Dedup.WinnowBase
@@ -327,7 +330,11 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
          list_distinct(list_transform(range(0, len(hs) - $w + 1),
            i -> list_min(hs[CAST(i + 1 AS INT):CAST(i + $w AS INT)]))) AS fps
   FROM h
-), ex AS (
+)"""
+  }
+
+  def dedupWinnow: String = {
+    s"""$winnowFpCtes, ex AS (
   SELECT doc_id, unnest(fps) AS fp FROM f
 ), rare AS (
   SELECT ex.doc_id, ex.fp
@@ -848,6 +855,29 @@ FROM e
 WINDOW seq AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        byv AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)"""
+
+  /** Mirror of [[graft.operators.Dedup.benchmarkContamination]] —
+    * the winnow-fingerprint CTE is the q26 chain verbatim; corpus
+    * fingerprint lists are distinct per doc and the benchmark set is
+    * distinct, so the post-join COUNT(*) equals the distinct
+    * shared-fingerprint count. */
+  def benchmarkContamination: String =
+    s"""$winnowFpCtes, bset AS (
+  SELECT DISTINCT unnest(fps) AS g FROM f WHERE doc_id < 20
+), corpus AS (
+  SELECT doc_id, fps FROM f WHERE doc_id >= 20
+), e AS (
+  SELECT doc_id, unnest(fps) AS g FROM corpus
+), s AS (
+  SELECT e.doc_id, COUNT(*) AS n_shared
+  FROM e JOIN bset USING (g) GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       len(c.fps) AS n_fps,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(c.fps)
+         AS frac_shared
+FROM corpus c LEFT JOIN s ON c.doc_id = s.doc_id"""
 
   /** Mirror of [[graft.operators.Dedup.dedupClusters]] over the
     * minhash pairs (q5's oracle embedded verbatim): reachability via

@@ -50,6 +50,23 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sigs(0).length == Dedup.NumHashes)
   }
 
+  test("benchmarkContamination flags shared substrings, zero for disjoint") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, bench),                                  // benchmark member
+      (30L, s"intro text then $bench and an outro"),// contains it whole
+      (31L, "completely unrelated words everywhere here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.benchmarkContamination(docs, benchBelowId = 20L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet == Set(30L, 31L)) // benchmark docs not scored
+    assert(out(30L)._1 > 0 && out(30L)._2 > 0.2,
+      s"containing doc scored ${out(30L)}")
+    assert(out(31L) == ((0L, 0.0)))
+  }
+
   test("dedupClusters: transitive pairs collapse to min-id components") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3 (1-3 never paired),
