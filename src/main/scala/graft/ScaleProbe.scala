@@ -46,12 +46,16 @@ object ScaleProbe {
     // probe measured the dup-explosion regime: 20 s at 10× where the
     // rotated corpus measures the scaling regime)
     val emb0 = Similarity.embeddings(spark, sfDir)
-    val dim = 64
+    val dim = SimilarityParams.Dim
+    // rotation offset wraps at dim: factors > dim reuse rotations (those
+    // copies become exact duplicates of their mod-dim twin — the probe
+    // is meaningful for factor <= dim)
+    val rot = col("copy") % dim
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * factor + col("copy")).as("vec_id"),
         concat(
-          slice(col("v"), col("copy") + 1, lit(dim) - col("copy")),
-          slice(col("v"), lit(1), col("copy"))).as("v"))
+          slice(col("v"), rot + 1, lit(dim) - rot),
+          slice(col("v"), lit(1), rot)).as("v"))
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .persist()

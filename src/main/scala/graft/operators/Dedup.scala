@@ -311,8 +311,13 @@ object Dedup {
       col("src").as("dst"))).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("label"))
-      .first().getLong(0)
+    // SUM over zero rows is null — an empty pair set must yield an
+    // empty cluster result, not an NPE in the convergence check
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.sum("label")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var sum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -322,8 +327,7 @@ object Dedup {
       val updated = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val newSum = updated.agg(org.apache.spark.sql.functions.sum("label"))
-        .first().getLong(0)
+      val newSum = labelSum(updated)
       labels = updated
       converged = newSum == sum
       sum = newSum
@@ -358,7 +362,11 @@ object Dedup {
     * count. */
   def benchmarkContamination(docs: DataFrame,
       benchBelowId: Long = 20L): DataFrame = {
-    val fp = winnowFingerprints(docs)
+    // the fingerprint frame feeds three plan branches (bench set,
+    // corpus explode, corpus sizes) — persist or the rolling +
+    // window-minima kernels run per branch
+    val fp = winnowFingerprints(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = fp.filter(col("doc_id") < benchBelowId)
       .select(explode(col("fps")).as("g")).distinct()
     val corpus = fp.filter(col("doc_id") >= benchBelowId)

@@ -25,10 +25,24 @@ object Sampling {
 
   /** Knuth multiplicative-hash constant (2654435761 = 2^32·φ⁻¹) —
     * the same mixer [[graft.sources.SyntheticTrips]] uses; products
-    * with any fixture id stay far inside Long range, so Spark and
-    * DuckDB (which ERRORS on BIGINT overflow rather than wrapping)
-    * compute identical values. */
+    * with any id < 2^31 stay inside Long range, so Spark and DuckDB
+    * (which ERRORS on BIGINT overflow rather than wrapping) compute
+    * identical values. Multiplicative hashing mixes into the HIGH
+    * bits of the product, so consumers must extract via integer
+    * division ([[mixed]]), never a small modulus: `(id·K) mod m`
+    * collapses to an affine map of `id mod m` — ids that are equal
+    * mod m (block-allocated producers, shard·10^k+seq schemes) would
+    * all land in the same split/rank band. */
   val HashMult = 2654435761L
+
+  /** High-bit extraction: (id·K) div 2^20 — integral division (Spark
+    * `DIV` truncates, DuckDB `//` floors; identical for the
+    * non-negative id domain). */
+  private[operators] def mixed(idCol: String) =
+    expr(s"($idCol * ${HashMult}L) DIV 1048576")
+
+  /** The oracle-side twin of [[mixed]]. */
+  def mixedSql(idExpr: String): String = s"(($idExpr * $HashMult) // 1048576)"
 
   /** Per-mille split boundaries: [0,800) train, [800,900)
     * validation, [900,1000) test. */
@@ -36,13 +50,15 @@ object Sampling {
   val ValPerMille = 900
 
   /** Deterministic train/validation/test assignment: bucket =
-    * (doc_id·[[HashMult]]) mod 1000, thresholded at
+    * [[mixed]](doc_id) mod 1000, thresholded at
     * [[TrainPerMille]]/[[ValPerMille]]. Row-local; the assignment of
-    * a given doc_id is independent of every other row. */
+    * a given doc_id is independent of every other row, and the
+    * high-bit extraction keeps block-allocated id schemes (ids equal
+    * mod 1000) from correlating with the split. */
   def trainSplit(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        (col("doc_id") * HashMult % 1000).as("bucket"))
+        (mixed("doc_id") % 1000).as("bucket"))
       .withColumn("split",
         when(col("bucket") < TrainPerMille, "train")
           .when(col("bucket") < ValPerMille, "validation")
@@ -57,7 +73,7 @@ object Sampling {
       quota: Int = 50): DataFrame =
     docs
       .select(col("doc_id"), col(groupCol),
-        (col("doc_id") * HashMult % 1048576).as("h"))
+        (mixed("doc_id") % 1048576).as("h"))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))

@@ -748,13 +748,14 @@ FROM p LEFT JOIN c ON c.ms >= p.ms - 300000 AND c.ms < p.ms
 GROUP BY p.event_id"""
 
   /** Mirror of [[graft.operators.Sampling.trainSplit]] — identical
-    * Knuth-hash integer arithmetic. */
+    * Knuth-hash integer arithmetic (high-bit extraction via `//`). */
   def trainSplit: String = {
     import graft.operators.Sampling._
+    val b = s"${mixedSql("doc_id")} % 1000"
     s"""SELECT doc_id,
-       (doc_id * $HashMult) % 1000 AS bucket,
-       CASE WHEN (doc_id * $HashMult) % 1000 < $TrainPerMille THEN 'train'
-            WHEN (doc_id * $HashMult) % 1000 < $ValPerMille THEN 'validation'
+       $b AS bucket,
+       CASE WHEN $b < $TrainPerMille THEN 'train'
+            WHEN $b < $ValPerMille THEN 'validation'
             ELSE 'test' END AS split
 FROM documents"""
   }
@@ -764,7 +765,7 @@ FROM documents"""
   def quotaSample: String = {
     import graft.operators.Sampling._
     s"""WITH h AS (
-  SELECT doc_id, lang, (doc_id * $HashMult) % 1048576 AS h FROM documents
+  SELECT doc_id, lang, ${mixedSql("doc_id")} % 1048576 AS h FROM documents
 ), r AS (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn

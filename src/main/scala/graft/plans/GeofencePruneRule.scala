@@ -3,7 +3,7 @@ package graft.plans
 import graft.geo.Geohash
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.{GeohashCode, GeohashEncode}
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,6 +100,16 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
           case Some(Alias(child, _)) => cheap(child, agg.children)
           case Some(attr: Attribute) => cheapAttr(attr, agg.children)
           case _ => false
+        }
+      case Some(u: Union) =>
+        // Union.output reuses the FIRST child's exprIds — tracing only
+        // there would certify a rewrite that blows up the other legs.
+        // Pushdown clones the predicate into EVERY leg, so the
+        // attribute's positional twin must be cheap in ALL of them.
+        u.output.indexWhere(_.exprId == a.exprId) match {
+          case -1 => false
+          case i => u.children.forall(c =>
+            i < c.output.length && cheapAttr(c.output(i), Seq(c)))
         }
       case Some(other) if other.children.exists(_.outputSet.contains(a)) =>
         cheapAttr(a, other.children) // pass-through node (Filter, Join, …)

@@ -283,22 +283,6 @@ object ShingleOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  /** Sampled character n-grams: substring(text, i+1, n) for
-    * i = 0, stride, 2·stride, … ≤ len−n (code-point semantics, same
-    * as Column.substr). */
-  def charGrams(text: UTF8String, n: Int, stride: Int)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val len = text.numChars()
-    val count = if (len < n) 0 else (len - n) / stride + 1
-    val out = new Array[AnyRef](count)
-    var k = 0
-    while (k < count) {
-      out(k) = text.substringSQL(k * stride + 1, n)
-      k += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
 }
 
 /** `word_shingles(w)` — all n-word shingles of a token array in one
@@ -317,23 +301,6 @@ case class WordShingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev, w =>
       s"org.apache.spark.sql.graft.ShingleOps.wordShingles($w, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles =
-    copy(child = c)
-}
-
-/** `char_grams(text)` — sampled character n-grams in one codegen'd
-  * pass. */
-case class CharGrams(child: Expression, n: Int, stride: Int)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "char_grams"
-  override def nullSafeEval(t: Any): Any =
-    ShingleOps.charGrams(t.asInstanceOf[UTF8String], n, stride)
-  override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t =>
-      s"org.apache.spark.sql.graft.ShingleOps.charGrams($t, $n, $stride)")
-  override protected def withNewChildInternal(c: Expression): CharGrams =
     copy(child = c)
 }
 
@@ -365,7 +332,7 @@ object RunOps {
     var run = 1L
     var i = 1
     while (i < arr.length) {
-      if (arr(i) == arr(i - 1) || arr(i).equals(arr(i - 1))) {
+      if (arr(i).equals(arr(i - 1))) {
         run += 1; if (run > best) best = run
       } else run = 1L
       i += 1

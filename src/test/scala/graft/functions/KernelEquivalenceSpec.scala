@@ -160,20 +160,6 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
-  test("CharGrams kernel == transform(substr) formulation") {
-    val docs = (1 to 40).map(_ =>
-      rnd.alphanumeric.take(rnd.nextInt(100) + 8).mkString)
-    val df = docs.toDF("text")
-    val fold = transform(
-      sequence(lit(0), length(col("text")) - 8, lit(3)),
-      i => col("text").substr(i + 1, lit(8)))
-    val kernel = Bridge.column(org.apache.spark.sql.graft.CharGrams(
-      Bridge.expression(col("text")), 8, 3))
-    df.select(kernel.as("k"), fold.as("f")).collect().foreach { r =>
-      assert(r.getSeq[String](0) == r.getSeq[String](1))
-    }
-  }
-
   test("DotProduct kernel == sequential zip_with fold, bit-exact") {
     val vecs = (1 to 50).map(_ => (
       Seq.fill(64)(rnd.nextDouble() * 2 - 1),

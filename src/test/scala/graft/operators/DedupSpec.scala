@@ -79,6 +79,12 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       7L -> ((7L, 2L)), 9L -> ((7L, 2L))))
   }
 
+  test("dedupClusters on an empty pair set returns an empty frame") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(none).count() == 0)
+  }
+
   test("dedupClusters converges on a long chain (diameter > 1 round)") {
     import spark.implicits._
     val n = 12L

@@ -75,6 +75,24 @@ class GeofencePruneRuleSpec extends AnyFunSuite with SparkSessionSpec {
     assert(rewritten.collect().toSet == strFence.collect().toSet)
   }
 
+  test("union with one derived-coordinate leg is NOT rewritten") {
+    // Union.output reuses the first leg's exprIds; pushdown clones the
+    // predicate into EVERY leg, so a cheap first leg must not certify
+    // a rewrite that inlines the second leg's derivation trees
+    val stored = probePoints.toDF("lat", "lon")
+    val derived = Seq((1L, 20.4, -37.0)).toDF("id", "l0", "lon")
+      .select((col("l0") * 2.0).as("lat"), col("lon"))
+    val fencedUnion = fenced(stored.union(derived))
+    val after = GeofencePruneRule(fencedUnion.queryExecution.analyzed)
+    assert(after.exists(hasGeohashExpr),
+      "union fence rewritten despite an expensive leg")
+    // both legs stored -> the rewrite fires
+    val bothStored = fenced(stored.union(probePoints.toDF("lat", "lon")))
+    val after2 = GeofencePruneRule(bothStored.queryExecution.analyzed)
+    assert(!after2.exists(hasGeohashExpr),
+      "all-stored union fence was not rewritten")
+  }
+
   test("box membership equals encode membership for every fence cell") {
     val cells = Geofences.nycCells ++ Geofences.jfkCells ++ Geofences.lgaCells
     cells.foreach { c =>
