@@ -955,16 +955,20 @@ JOIN g ON mr.doc_id = g.doc_id"""
   def pipelineFunnel: String = {
     import graft.operators.Pipeline._
     s"""WITH dd AS ($dedupExact),
+cl AS (SELECT * FROM ($dedupClusters)),
 ts AS ($textStats),
 li AS ($langId),
 sp AS ($trainSplit),
 f AS (
   SELECT dd.doc_id,
          NOT dd.is_duplicate AS keep_dedup,
+         NOT dd.is_duplicate
+           AND COALESCE(cl.canonical_id = dd.doc_id, TRUE) AS keep_nd,
          ts.quality_score >= $QualityThreshold AS keep_quality,
          li.lang_guess = '$KeepLang' AS keep_lang,
          sp.split AS split
   FROM dd
+  LEFT JOIN cl ON dd.doc_id = cl.doc_id
   JOIN ts ON dd.doc_id = ts.doc_id
   JOIN li ON dd.doc_id = li.doc_id
   JOIN sp ON dd.doc_id = sp.doc_id
@@ -972,16 +976,18 @@ f AS (
 SELECT COUNT(*) AS n_raw,
   CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
     AS n_after_dedup,
-  CAST(SUM(CASE WHEN keep_dedup AND keep_quality THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN keep_nd THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_neardup,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality THEN 1 ELSE 0 END)
     AS BIGINT) AS n_after_quality,
-  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
-  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
     AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
     AND split = 'validation' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_validation,
-  CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_lang
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
     AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
 FROM f"""
   }
