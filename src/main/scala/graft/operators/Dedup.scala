@@ -59,13 +59,26 @@ object Dedup {
     Bridge.column(Digest60Array(Bridge.expression(arr)))
   }
 
+  /** Content digest keying exact dedup — shared by [[exactDedup]] and
+    * the preprocessing funnel. */
+  def contentHashCol(text: Column): Column = md5(text)
+
+  /** Exact-dedup canonical id over a frame that already carries a
+    * `content_hash` column: the minimum doc_id of the
+    * identical-content group (one window shuffle on the digest).
+    * Shared by [[exactDedup]] and the funnel, which evaluates it over
+    * its own fused projection instead of joining a separate dedup
+    * branch. */
+  def canonicalIdCol: Column =
+    min(col("doc_id")).over(Window.partitionBy(col("content_hash")))
+
   /** Exact dedup: every doc mapped to the canonical (minimum) doc_id
     * of its identical-content group. One shuffle on the MD5 digest. */
   def exactDedup(docs: DataFrame): DataFrame = {
     val byContent = Window.partitionBy(col("content_hash"))
     docs
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .withColumn("canonical_id", min(col("doc_id")).over(byContent))
+      .select(col("doc_id"), contentHashCol(col("text")).as("content_hash"))
+      .withColumn("canonical_id", canonicalIdCol)
       .withColumn("dup_group_size", count(lit(1)).over(byContent))
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
   }

@@ -13,9 +13,22 @@ object EventsQueries {
 
   /** events.parquet with `ts` (TIMESTAMP(NANOS) on disk) exposed as
     * both nano-long and ms-precision timestamp. Scan prunes to the
-    * referenced columns only. */
+    * referenced columns only.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session (every graft entry point — Verify/Bench/Explain/
+    * StreamBench/specs — sets it at build). Asserted rather than
+    * silently set here: a hidden setter would mask a misconfigured
+    * caller whose OTHER nanos reads break. The one deliberate
+    * runtime setter lives in [[graft.sources.SyntheticTrips
+    * .fromEvents]], the seam the driver smoke-checks with a session
+    * we don't build. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .toBoolean,
+      "events.parquet stores ts as TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the session builder")
     spark.read.parquet(s"$sfDir/events.parquet")
       // integer DIV, not `/`: nano values (~1.7e18) lose precision in
       // a double division

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,21 @@ object Sampling {
   val TrainPerMille = 800
   val ValPerMille = 900
 
+  /** Per-mille split bucket as a row-local Column — shared by
+    * [[trainSplit]] and the preprocessing funnel
+    * ([[Pipeline.preprocessingFunnel]]) so the split gate evaluates
+    * inside any projection without a separate scan/join. */
+  def splitBucketCol(idCol: String = "doc_id"): Column =
+    mixed(idCol) % 1000
+
+  /** Split label from a per-mille bucket value (thresholds
+    * [[TrainPerMille]]/[[ValPerMille]]) — the one definition of the
+    * bucket→label mapping. */
+  def splitFromBucket(bucket: Column): Column =
+    when(bucket < TrainPerMille, "train")
+      .when(bucket < ValPerMille, "validation")
+      .otherwise("test")
+
   /** Deterministic train/validation/test assignment: bucket =
     * [[mixed]](doc_id) mod 1000, thresholded at
     * [[TrainPerMille]]/[[ValPerMille]]. Row-local; the assignment of
@@ -57,12 +72,8 @@ object Sampling {
     * mod 1000) from correlating with the split. */
   def trainSplit(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        (mixed("doc_id") % 1000).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPerMille, "train")
-          .when(col("bucket") < ValPerMille, "validation")
-          .otherwise("test"))
+      .select(col("doc_id"), splitBucketCol("doc_id").as("bucket"))
+      .withColumn("split", splitFromBucket(col("bucket")))
 
   /** Per-group quota sampling (domain/language mixing): keep at most
     * `quota` documents per `groupCol`, chosen by hash order — a

