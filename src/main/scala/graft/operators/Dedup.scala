@@ -301,52 +301,81 @@ object Dedup {
   /** Connected components over a near-dup PAIR set — the step that
     * turns pairwise matches into dedup decisions: every document in a
     * component maps to the component's minimum doc_id (the canonical
-    * copy to keep). Iterative min-label propagation to a fixpoint:
-    * each round every node takes the min label among itself and its
-    * neighbors — monotone decreasing, so the label-sum is a
-    * convergence certificate (unchanged sum ⇔ fixpoint). Rounds
-    * needed = component diameter; near-dup components are small and
-    * shallow by construction (they are transitive closures of
-    * high-similarity pairs), so this terminates in a handful of
-    * joins. At 100 TB each round is one shuffle join of (edges ⋈
-    * labels) + a min-aggregation — the alternating-star optimizations
-    * of the CC literature drop in here if diameters ever grow.
-    * The driver-side loop only COUNTS for convergence; labels never
-    * collect. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // localCheckpoint (not persist): each round's plan references the
-    // previous round twice, so lineage doubles per iteration and the
+    * copy to keep). Iterative FRONTIER min-label propagation to a
+    * fixpoint: each round only the nodes whose label changed last
+    * round message their neighbors, every node takes the min of its
+    * label and the incoming candidates, and an empty frontier
+    * certifies the fixpoint (labels are monotone decreasing and every
+    * decrease is re-broadcast). Rounds needed = component diameter;
+    * near-dup components are small and shallow by construction, and
+    * per-round shuffle cost tracks the still-ACTIVE region — a
+    * converged component costs nothing while a deep one finishes
+    * (spec-pinned on a diameter-60 path in DedupSpec). At 100 TB each
+    * round is one shuffle join of (edges ⋈ frontier) + a
+    * min-aggregation; pass `checkpointDir` for reliable `checkpoint()`
+    * storage that survives executor loss (default localCheckpoint is
+    * single-box), and each superseded round's checkpoint is released
+    * explicitly rather than waiting on ContextCleaner GC. The
+    * driver-side loop only COUNTS for convergence; labels never
+    * collect. `onRound` is a telemetry hook (iteration, frontier
+    * size). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = pairs.sparkSession
+    // Checkpoint (not persist): each round's plan references the
+    // previous round, so lineage doubles per iteration and the
     // analyzer OOMs near diameter ~10 — checkpointing truncates the
     // plan to the materialized blocks, keeping every round's plan
-    // constant-size
-    val edges = fwd.union(fwd.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
-    // SUM over zero rows is null — an empty pair set must yield an
-    // empty cluster result, not an NPE in the convergence check
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(org.apache.spark.sql.functions.sum("label")).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var sum = labelSum(labels)
+    // constant-size. Default is localCheckpoint (executor blocks, no
+    // recompute path on executor loss — fine for a single-box run);
+    // production passes `checkpointDir` and gets reliable
+    // `checkpoint()` storage an executor loss can re-read.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def chk(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = chk(fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))))
+    var labels = chk(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    // FRONTIER propagation: only nodes whose label changed last round
+    // send messages this round. Correctness invariant: every label a
+    // node ever holds is broadcast to its neighbors exactly once — at
+    // round 1 (all nodes start in the frontier) or at the round the
+    // node acquired it (label decreases enter the frontier) — so an
+    // empty frontier certifies the min-label fixpoint. Per-round
+    // shuffle cost tracks the still-active region, not the whole
+    // label set: converged components stop costing anything.
+    // the frontier is a constant-size filter over the (checkpointed)
+    // label frame — no checkpoint of its own needed
+    var frontier = labels
+    var frontierSize = frontier.count()
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val nbr = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+    while (frontierSize > 0 && iter < maxIters) {
+      onRound(iter, frontierSize)
+      val msgs = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val updated = labels.union(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val newSum = labelSum(updated)
+      val best = msgs.groupBy(col("node")).agg(min(col("label")).as("cand"))
+      val updated = chk(labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label")))
+            .as("label"),
+          (col("cand").isNotNull && col("cand") < col("label"))
+            .as("changed")))
+      // the new round is materialized (checkpoints are eager) — the
+      // superseded round's blocks/files can be released NOW instead
+      // of waiting on ContextCleaner GC
+      Bridge.releaseCheckpoint(labels)
       labels = updated
-      converged = newSum == sum
-      sum = newSum
+      frontier = updated.filter(col("changed"))
+        .select(col("node"), col("label"))
+      frontierSize = frontier.count()
       iter += 1
     }
-    if (!converged)
+    if (frontierSize > 0)
       System.err.println(s"[dedupClusters] iteration cap $maxIters hit " +
         "before fixpoint — labels may span partial components " +
         "(component diameter exceeds the cap; raise maxIters)")

@@ -674,6 +674,29 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Explicitly release the storage behind a checkpointed DataFrame
+    * (the direct result of `localCheckpoint()`/`checkpoint()`, before
+    * any further transformation): unpersists the materialized blocks
+    * and, for reliable checkpoints, deletes the checkpoint files.
+    * Iterative algorithms (label propagation) supersede each round's
+    * checkpoint with the next — without an explicit release the
+    * superseded blocks/files survive until ContextCleaner happens to
+    * GC the RDD, which at cluster scale is storage pressure with no
+    * upper bound. No-op for non-checkpoint plans. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = l.rdd
+        val sc = df.sparkSession.sparkContext
+        // getCheckpointFile is Some only for RELIABLE checkpoints
+        // (local checkpoints have no file to clean)
+        if (rdd.isCheckpointed && rdd.getCheckpointFile.isDefined)
+          org.apache.spark.rdd.ReliableRDDCheckpointData
+            .cleanCheckpoint(sc, rdd.id)
+        rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Execute a (possibly rule-rewritten) logical plan as a DataFrame —
     * used by plan-rule tests. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

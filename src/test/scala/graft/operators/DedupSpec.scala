@@ -94,4 +94,50 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out.length == n)
     assert(out.forall { case (_, canon, size) => canon == 1L && size == n })
   }
+
+  test("frontier propagation: active set shrinks as a deep component converges") {
+    import spark.implicits._
+    // a diameter-60 path PLUS 40 already-tight star components: the
+    // stars converge in one round, after which per-round work must
+    // track only the path's still-active frontier — the at-scale
+    // property that converged components stop costing shuffle rows
+    val path = (1L to 60L).map(i => (i, i + 1))
+    val stars = (0 until 40).flatMap { s =>
+      val base = 1000L + s * 10
+      (1 to 4).map(k => (base, base + k))
+    }
+    val pairs = (path ++ stars).toDF("doc_a", "doc_b")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Dedup.dedupClusters(pairs, maxIters = 80,
+      onRound = (_, f) => sizes += f)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 61L).forall(labels(_) == 1L), "path not fully labeled")
+    assert(labels(1004L) == 1000L)
+    // round 1 carries every node; within 3 rounds the stars are done
+    // and the frontier must drop to the path's active region
+    assert(sizes.head > 200, s"round sizes: $sizes")
+    assert(sizes.length > 20, "path converged suspiciously fast")
+    assert(sizes.drop(3).forall(_ <= 61),
+      s"frontier still carries converged components: $sizes")
+    // monotone-ish tail: the last rounds are a handful of nodes
+    assert(sizes.last <= 3, s"final frontier ${sizes.last}")
+  }
+
+  test("reliable-checkpoint mode: correct labels, superseded rounds released") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val chain = (1L to 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(chain, maxIters = 60,
+      checkpointDir = Some(dir)).collect()
+    assert(out.length == 31)
+    assert(out.forall(_.getLong(1) == 1L))
+    // ~30 rounds each checkpoint a frame; superseded ones are deleted
+    // eagerly, so only a bounded handful of rdd checkpoint dirs remain
+    val live = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(live <= 4,
+      s"$live rdd-* checkpoint dirs survive — superseded rounds not released")
+  }
 }
