@@ -206,6 +206,13 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // PII scrubbing (count + redact emails/phones) graded over the
+    // deterministic synthetic-PII corpus — the fixture text carries
+    // no PII by construction, so both engines inject it identically
+    // from doc_id arithmetic first.
+    "q44_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(TextAnalysis.withSyntheticPii(
+        documents(s, dir)))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -388,6 +395,7 @@ object SparkEntry {
     "q42_dedup_clusters" -> OracleSql.dedupClusters,
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
-    "q39_rolling_window" -> OracleSql.rollingUserStats
+    "q39_rolling_window" -> OracleSql.rollingUserStats,
+    "q44_pii_scrub" -> OracleSql.piiScrub
   )
 }

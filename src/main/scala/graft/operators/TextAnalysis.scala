@@ -226,11 +226,33 @@ object TextAnalysis {
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
   val PhonePattern = "[0-9][0-9][0-9][- ][0-9][0-9][0-9][- ][0-9][0-9][0-9][0-9]"
 
+  /** Deterministic PII synthesis over the fixture corpus: docs with
+    * doc_id ≡ 0 (mod 3) get an email appended, docs with doc_id ≡ 0
+    * (mod 5) a dashed phone number — pure integer arithmetic on
+    * doc_id, so the DuckDB oracle reconstructs the identical text and
+    * the scrub operator (q44) is gradeable even though the fixture
+    * corpus itself contains no PII by construction. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call "),
+            (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+            ((col("doc_id") * 7) % 900 + 100).cast("string"), lit("-"),
+            (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
   /** PII scrub: count and redact emails/phone numbers (row-local
     * regexp pipeline; the redaction placeholder keeps the text
-    * alignment-stable for downstream token counting). The fixture
-    * corpus contains no PII by construction, so this operator is
-    * spec-proven on crafted rows rather than oracle-graded. */
+    * alignment-stable for downstream token counting). Oracle-graded
+    * as q44 over the [[withSyntheticPii]] corpus; edge cases (PII at
+    * string boundaries, multiples per doc) are additionally
+    * spec-proven on crafted rows. */
   def piiScrub(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

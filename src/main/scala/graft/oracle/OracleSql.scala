@@ -991,4 +991,35 @@ SELECT COUNT(*) AS n_raw,
     AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
 FROM f"""
   }
+
+  /** Mirror of [[graft.operators.TextAnalysis.piiScrub]] over the
+    * [[graft.operators.TextAnalysis.withSyntheticPii]] corpus: the
+    * PII synthesis is pure integer arithmetic on doc_id (both engines
+    * build byte-identical text), the patterns are shared ASCII-class
+    * constants (Java and RE2 agree), and DuckDB's regexp_replace
+    * needs the explicit 'g' flag to match Spark's replace-all. */
+  def piiScrub: String = {
+    import graft.operators.TextAnalysis.{EmailPattern, PhonePattern}
+    s"""WITH p AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+      THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        || CAST((doc_id * 7) % 900 + 100 AS VARCHAR) || '-'
+        || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT)
+    AS n_phones,
+  regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+    '$PhonePattern', '<PHONE>', 'g') AS clean_text
+FROM p"""
+  }
 }
