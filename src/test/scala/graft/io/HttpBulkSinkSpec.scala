@@ -1,0 +1,166 @@
+package graft.io
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-process bulk-endpoint stub (JDK HttpServer): stores indexed
+  * docs, replies with the ES-style per-item status array, and injects
+  * failures — per-action (configurable status on a doc's first
+  * delivery, or always) and whole-request (plain 503) — so the HTTP
+  * transport's partial-failure parsing and the indexer's per-doc
+  * retry can be exercised over real HTTP. */
+class StubBulkServer(
+    failFirstDelivery: String => Boolean = _ => false,
+    alwaysFailIds: String => Boolean = _ => false,
+    var wholeRequestFailures: Int = 0) {
+
+  val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val deliveries = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  val requests = new AtomicInteger(0)
+  val requestSizes = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+
+  private val ActionId = """"_id"\s*:\s*"([^"]+)"""".r
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/_bulk", (ex: HttpExchange) => {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    requests.incrementAndGet()
+    if (wholeRequestFailures > 0) {
+      wholeRequestFailures -= 1
+      val msg = "service unavailable".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(503, msg.length)
+      ex.getResponseBody.write(msg)
+      ex.close()
+    } else {
+      // NDJSON: action line, source line, repeated
+      val lines = body.split("\n").filter(_.nonEmpty)
+      val pairs = lines.grouped(2).collect {
+        case Array(action, source) =>
+          val id = ActionId.findFirstMatchIn(action).get.group(1)
+          (id, source)
+      }.toSeq
+      requestSizes.add(pairs.size)
+      val items = pairs.map { case (id, source) =>
+        val n: Int = deliveries.merge(id, Int.box(1),
+          (a: Integer, b: Integer) => Int.box(a + b))
+        val status =
+          if (alwaysFailIds(id)) 500
+          else if (failFirstDelivery(id) && n == 1) 429
+          else { store.put(id, source); 200 }
+        s"""{"index":{"_id":"$id","status":$status}}"""
+      }
+      val resp = s"""{"errors":${items.exists(!_.contains("200"))},""" +
+        s""""items":[${items.mkString(",")}]}"""
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+  server.start()
+
+  def endpoint: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}/_bulk"
+  def stop(): Unit = server.stop(0)
+}
+
+/** The round-2 BulkIndexSinkSpec proves the buffering/retry semantics
+  * against an in-memory transport; this spec proves the same
+  * semantics OVER REAL HTTP — wire format, response parsing, partial
+  * bulk failure retried per-doc, idempotent re-delivery, batching
+  * thresholds, and transport-level failure handling. */
+class HttpBulkSinkSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def doc(i: Int) = IndexDoc(s"doc$i", s"""{"i":$i}""")
+
+  private def withServer[A](srv: StubBulkServer)(f: StubBulkServer => A): A =
+    try f(srv) finally srv.stop()
+
+  test("bulk round-trip: docs land in the index, statuses parsed in order") {
+    withServer(new StubBulkServer()) { srv =>
+      val t = new HttpBulkTransport(srv.endpoint)
+      val ok = t.bulkIndex((1 to 7).map(doc))
+      assert(ok == Seq.fill(7)(true))
+      assert(srv.store.size() == 7)
+      assert(srv.store.get("doc3") == """{"i":3}""")
+    }
+  }
+
+  test("partial bulk failure is retried per-doc, not per-bulk") {
+    val failing = Set("doc2", "doc5")
+    withServer(new StubBulkServer(failFirstDelivery = failing)) { srv =>
+      val idx = new BulkIndexer(new HttpBulkTransport(srv.endpoint),
+        maxDocs = 100, maxAgeMs = Long.MaxValue)
+      (1 to 6).foreach(i => idx.add(doc(i)))
+      idx.flush()
+      assert(srv.store.size() == 6, "every doc eventually indexed")
+      // the retry bulk carried ONLY the two failed actions
+      assert(srv.requestSizes.toArray.toSeq == Seq(6, 2),
+        s"request sizes ${srv.requestSizes}")
+      assert(srv.deliveries.get("doc2") == 2 && srv.deliveries.get("doc1") == 1)
+      assert(idx.totalFlushed == 6)
+    }
+  }
+
+  test("whole-request failure (503) fails every doc; indexer re-sends the bulk") {
+    withServer(new StubBulkServer(wholeRequestFailures = 1)) { srv =>
+      val idx = new BulkIndexer(new HttpBulkTransport(srv.endpoint),
+        maxDocs = 100, maxAgeMs = Long.MaxValue)
+      (1 to 4).foreach(i => idx.add(doc(i)))
+      idx.flush()
+      assert(srv.store.size() == 4)
+      assert(srv.requests.get() == 2) // failed whole bulk + full re-send
+      assert(srv.requestSizes.toArray.toSeq == Seq(4))
+    }
+  }
+
+  test("persistently failing action fails the task after maxRetries") {
+    withServer(new StubBulkServer(alwaysFailIds = Set("doc1"))) { srv =>
+      val idx = new BulkIndexer(new HttpBulkTransport(srv.endpoint),
+        maxDocs = 100, maxAgeMs = Long.MaxValue, maxRetries = 2)
+      idx.add(doc(1)); idx.add(doc(2))
+      val e = intercept[java.io.IOException](idx.flush())
+      assert(e.getMessage.contains("after 2 retries"))
+      assert(srv.store.size() == 1) // doc2 made it
+    }
+  }
+
+  test("unreachable endpoint reports all docs failed (no exception leak)") {
+    // port 1 refuses connections
+    val t = new HttpBulkTransport("http://127.0.0.1:1/_bulk",
+      connectTimeoutMs = 500, readTimeoutMs = 500)
+    assert(t.bulkIndex(Seq(doc(1), doc(2))) == Seq(false, false))
+  }
+
+  test("batching thresholds hold over HTTP: bulks of maxDocs + final drain") {
+    withServer(new StubBulkServer()) { srv =>
+      val idx = new BulkIndexer(new HttpBulkTransport(srv.endpoint),
+        maxDocs = 10, maxAgeMs = Long.MaxValue)
+      (1 to 35).foreach(i => idx.add(doc(i)))
+      idx.flush()
+      assert(srv.requestSizes.toArray.toSeq == Seq(10, 10, 10, 5))
+      assert(srv.store.size() == 35)
+    }
+  }
+
+  test("end-to-end: DataFrame through the HTTP sink, idempotent re-delivery") {
+    withServer(new StubBulkServer()) { srv =>
+      import spark.implicits._
+      val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      BulkIndexSink.write(df, Seq("k"), new HttpBulkTransport(srv.endpoint))
+      assert(srv.store.size() == 50)
+      val before = srv.store.values().toArray.toSet
+      // re-delivery (retried micro-batch): same ids, same content
+      BulkIndexSink.write(df, Seq("k"), new HttpBulkTransport(srv.endpoint))
+      assert(srv.store.size() == 50)
+      assert(srv.store.values().toArray.toSet == before)
+    }
+  }
+}
