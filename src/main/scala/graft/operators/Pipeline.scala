@@ -35,36 +35,38 @@ object Pipeline {
   /** Language cut: keep docs the stopword profiler calls this. */
   val KeepLang = "en"
 
-  def preprocessingFunnel(docs: DataFrame): DataFrame = {
-    // ONE scan computes every row-local gate as a column — quality,
-    // language and split are projections of the same shared Column
-    // builders the graded operators (q6/q7/q32) are built from, so the
-    // funnel can't drift from its components yet pays no re-scan and
-    // no join for them. Exact dedup's canonical-min is a window over
-    // the content digest evaluated on this same fused frame: one
-    // shuffle of the skinny flag columns instead of a separate branch
-    // + join.
-    val flags = docs
-      .select(
-        col("doc_id"),
-        Dedup.contentHashCol(col("text")).as("content_hash"),
-        (TextAnalysis.qualityScoreCol(col("text")) >= QualityThreshold)
-          .as("keep_quality"),
-        (TextAnalysis.langGuessCol(col("text")) === KeepLang)
-          .as("keep_lang"),
-        Sampling.splitFromBucket(Sampling.splitBucketCol("doc_id"))
-          .as("split"))
-      .withColumn("keep_dedup", col("doc_id") === Dedup.canonicalIdCol)
-      .drop("content_hash")
-    // near-dup stage: survivors are docs that are their own cluster
-    // canonical (docs in no near-dup pair are vacuously canonical —
-    // left join + coalesce(true)). This is the only genuine join
-    // branch: cluster labels come from the iterative pair
-    // propagation, which cannot be a row-local column.
-    val neardup = Dedup.dedupClusters(
-        Dedup.minhashNearDups(docs).select(col("doc_a"), col("doc_b")))
+  /** The fused row-local gate projection — quality, language and
+    * split evaluated as columns of ONE pass over (doc_id, text), each
+    * built from the same shared Column builders as its graded
+    * operator (q6/q7/q32), plus the content digest that keys exact
+    * dedup. Works identically on a batch or STREAMING frame (every
+    * gate is row-local), which is how
+    * [[graft.streaming.StreamingFunnel]] reuses it verbatim. */
+  def rowLocalFlags(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      Dedup.contentHashCol(col("text")).as("content_hash"),
+      (TextAnalysis.qualityScoreCol(col("text")) >= QualityThreshold)
+        .as("keep_quality"),
+      (TextAnalysis.langGuessCol(col("text")) === KeepLang)
+        .as("keep_lang"),
+      Sampling.splitFromBucket(Sampling.splitBucketCol("doc_id"))
+        .as("split"))
+
+  /** Near-dup keep flags from a pair set: a doc survives iff it is
+    * its own cluster canonical (docs in no pair are vacuously
+    * canonical via the rollup's left join + coalesce). Shared by the
+    * batch funnel and the streaming finalize. */
+  def clusterKeepFlags(pairs: DataFrame): DataFrame =
+    Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"),
         (col("doc_id") === col("canonical_id")).as("keep_nd"))
+
+  /** Final one-row survivor rollup over per-doc flags
+    * (doc_id, keep_dedup, keep_quality, keep_lang, split) left-joined
+    * with near-dup keep flags (doc_id, keep_nd) — the single join the
+    * funnel genuinely needs. */
+  def funnelRollup(flags: DataFrame, neardup: DataFrame): DataFrame = {
     val keepNd = col("keep_dedup") && coalesce(col("keep_nd"), lit(true))
     val kept = keepNd && col("keep_quality") && col("keep_lang")
     flags
@@ -80,5 +82,20 @@ object Pipeline {
         sum((kept && col("split") === "validation").cast("long"))
           .as("n_validation"),
         sum((kept && col("split") === "test").cast("long")).as("n_test"))
+  }
+
+  def preprocessingFunnel(docs: DataFrame): DataFrame = {
+    // ONE scan computes every row-local gate as a column; exact
+    // dedup's canonical-min is a window over the content digest
+    // evaluated on this same fused frame: one shuffle of the skinny
+    // flag columns instead of a separate branch + join.
+    val flags = rowLocalFlags(docs)
+      .withColumn("keep_dedup", col("doc_id") === Dedup.canonicalIdCol)
+      .drop("content_hash")
+    // near-dup stage is the only genuine join branch: cluster labels
+    // come from the iterative pair propagation, which cannot be a
+    // row-local column.
+    funnelRollup(flags,
+      clusterKeepFlags(Dedup.minhashNearDups(docs)))
   }
 }
