@@ -206,6 +206,11 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // Multi-probe LSH top-k (probe-1): the query-side recall knob —
+    // each query band also probes the Hamming-1 neighborhood of its
+    // key; corpus-side index layout identical to q10.
+    "q45_ann_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopK(Similarity.embeddings(s, dir), multiProbe = 1)),
     // PII scrubbing (count + redact emails/phones) graded over the
     // deterministic synthetic-PII corpus — the fixture text carries
     // no PII by construction, so both engines inject it identically
@@ -396,6 +401,7 @@ object SparkEntry {
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,
-    "q44_pii_scrub" -> OracleSql.piiScrub
+    "q44_pii_scrub" -> OracleSql.piiScrub,
+    "q45_ann_multiprobe" -> OracleSql.annLshMultiProbe
   )
 }

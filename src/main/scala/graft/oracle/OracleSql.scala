@@ -493,7 +493,16 @@ WHERE rank <= ${SimilarityParams.TopK}"""
 
   /** Mirror of [[graft.operators.Similarity.lshTopK]] — identical
     * hyperplane matrix ([[SimilarityParams.planes]]) and banding. */
-  def annLsh: String = {
+  def annLsh: String = annLshProbed(0)
+
+  /** Multi-probe variant (q45): identical pipeline, but each query
+    * band additionally probes every key within Hamming distance ≤
+    * `multiProbe` of its own — the query-side-only recall knob
+    * ([[graft.operators.Similarity.lshCandidates]]); the corpus CTE
+    * is untouched. */
+  def annLshMultiProbe: String = annLshProbed(1)
+
+  private def annLshProbed(multiProbe: Int): String = {
     import SimilarityParams._
     def keyExpr(vcol: String, j: Int): String =
       (0 until BitsPerBand).map { t =>
@@ -505,14 +514,25 @@ WHERE rank <= ${SimilarityParams.TopK}"""
       (0 until NumBands).map { j =>
         s"SELECT $id, $vcol, $j AS band, ${keyExpr(vcol, j)} AS key FROM $src"
       }.mkString("\n  UNION ALL\n  ")
+    // same flip-mask set as the Spark side: all masks of ≤ multiProbe
+    // bits over the band width
+    val flips = (0 until (1 << BitsPerBand))
+      .filter(m => Integer.bitCount(m) <= multiProbe)
+    val probeCte =
+      if (multiProbe <= 0) ""
+      else s""", qbp AS (
+  SELECT query_id, qv, qn, band, xor(key, m) AS key
+  FROM qb, (SELECT unnest(${flips.mkString("[", ", ", "]")}) AS m)
+)"""
+    val qSrc = if (multiProbe <= 0) "qb" else "qbp"
     s"""$embCtes
 , qb AS (
   ${bandCte("q", "query_id, qn", "qv")}
 ), cb AS (
   ${bandCte("n", "vec_id, nrm", "v")}
-), cand AS (
+)$probeCte, cand AS (
   SELECT query_id, qv, qn, vec_id, v, nrm
-  FROM qb JOIN cb USING (band, key)
+  FROM $qSrc JOIN cb USING (band, key)
   WHERE vec_id <> query_id
   GROUP BY ALL
 ), p AS (
