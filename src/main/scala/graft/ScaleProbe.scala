@@ -85,6 +85,10 @@ object ScaleProbe {
     time("funnel")(graft.operators.Pipeline.preprocessingFunnel(docs))
     time("dedup_clusters")(Dedup.dedupClusters(
       Dedup.minhashNearDups(docs).select(col("doc_a"), col("doc_b"))))
+    // benchmark set scales with the corpus (base ids < 20 across all
+    // copies), keeping the broadcast side proportionally sized
+    time("contamination")(Dedup.benchmarkContamination(docs,
+      benchBelowId = 20L * factor))
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →
     // Θ(n²) candidates) vs corpus-sized banding (w ≈ log₂(n/8): the

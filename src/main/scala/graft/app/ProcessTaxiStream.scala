@@ -1,6 +1,6 @@
 package graft.app
 
-import graft.io.{BulkIndexSink, LocalDirTransport}
+import graft.io.{BulkIndexSink, BulkTransport, HttpBulkTransport, LocalDirTransport}
 import graft.replay.StreamPopulator
 import graft.streaming.{ProgressTelemetry, StreamingTaxi}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -38,8 +38,8 @@ import org.apache.spark.sql.streaming.Trigger
   * {{{
   * runMain graft.app.ProcessTaxiStream \
   *   --input <wire jsonl dir> --work <staging/checkpoint root> \
-  *   --index <index root> [--speedup N] [--partitions N] \
-  *   [--noeventtime] [--max-files-per-trigger N] [--once]
+  *   --index <index root> [--http-index <base url>] [--speedup N] \
+  *   [--partitions N] [--noeventtime] [--max-files-per-trigger N] [--once]
   * }}}
   */
 object ProcessTaxiStream {
@@ -53,7 +53,11 @@ object ProcessTaxiStream {
       replayPartitions: Int = 8,
       maxFilesPerTrigger: Option[Int] = None,
       once: Boolean = false,                // AvailableNow instead of 5 s
-      skipReplay: Boolean = false)          // restart onto existing files
+      skipReplay: Boolean = false,          // restart onto existing files
+      // --http-index <base>: bulk-POST documents to
+      // <base>/<doc_type>/_bulk over HTTP (the reference's ES sink
+      // shape) instead of the local-dir index
+      httpIndex: Option[String] = None)
 
   final case class Summary(
       replayedEvents: Long, skippedLines: Long,
@@ -72,6 +76,8 @@ object ProcessTaxiStream {
         loop(cfg.copy(maxFilesPerTrigger = Some(v.toInt)), t)
       case "--once" :: t => loop(cfg.copy(once = true), t)
       case "--skip-replay" :: t => loop(cfg.copy(skipReplay = true), t)
+      case "--http-index" :: v :: t =>
+        loop(cfg.copy(httpIndex = Some(v)), t)
       case Nil => cfg
       case other => throw new IllegalArgumentException(
         s"unknown argument: ${other.head}")
@@ -153,18 +159,21 @@ object ProcessTaxiStream {
       if (cfg.once) Trigger.AvailableNow()
       else Trigger.ProcessingTime("5 seconds") // reference checkpoint cadence
 
+    def transportFor(docType: String): BulkTransport = cfg.httpIndex match {
+      case Some(base) => new HttpBulkTransport(s"$base/$docType/_bulk")
+      case None => new LocalDirTransport(s"${cfg.indexDir}/$docType")
+    }
     val q1 = StreamingTaxi.writer(
         StreamingTaxi.q1(trips), s"${cfg.workDir}/cp-q1", trigger)
       .foreachBatch(BulkIndexSink.foreachBatchWriter(
-        Seq("location", "timestamp"),
-        new LocalDirTransport(s"${cfg.indexDir}/pickup_count")))
+        Seq("location", "timestamp"), transportFor("pickup_count")))
       .queryName("q1_pickup_hotspots")
       .start()
     val q2 = StreamingTaxi.writer(
         StreamingTaxi.q2(trips), s"${cfg.workDir}/cp-q2", trigger)
       .foreachBatch(BulkIndexSink.foreachBatchWriter(
         Seq("location", "airport_code", "timestamp"),
-        new LocalDirTransport(s"${cfg.indexDir}/trip_duration")))
+        transportFor("trip_duration")))
       .queryName("q2_airport_durations")
       .start()
     try {

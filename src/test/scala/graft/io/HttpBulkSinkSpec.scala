@@ -23,11 +23,17 @@ class StubBulkServer(
   val deliveries = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   val requests = new AtomicInteger(0)
   val requestSizes = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+  /** Request paths seen — lets app-level tests assert per-doc-type
+    * endpoints (<base>/<type>/_bulk) were hit. */
+  val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val ActionId = """"_id"\s*:\s*"([^"]+)"""".r
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.createContext("/_bulk", (ex: HttpExchange) => {
+  // root context: serves any */_bulk path (single-index transport
+  // tests and the app's per-doc-type endpoints alike)
+  server.createContext("/", (ex: HttpExchange) => {
+    paths.add(ex.getRequestURI.getPath)
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
     requests.incrementAndGet()
@@ -66,8 +72,8 @@ class StubBulkServer(
   })
   server.start()
 
-  def endpoint: String =
-    s"http://127.0.0.1:${server.getAddress.getPort}/_bulk"
+  def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def endpoint: String = s"$base/_bulk"
   def stop(): Unit = server.stop(0)
 }
 

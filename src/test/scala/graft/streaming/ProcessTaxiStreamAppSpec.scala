@@ -81,6 +81,33 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     assert(summary.pickupDocs > 0)
   }
 
+  test("http-index mode: the pipeline bulk-POSTs both doc types over HTTP") {
+    val wireDir = Files.createTempDirectory("apph-wire").toString
+    val workDir = Files.createTempDirectory("apph-work").toString
+    val indexDir = Files.createTempDirectory("apph-index").toString
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.01"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val srv = new graft.io.StubBulkServer()
+    try {
+      val cfg = ProcessTaxiStream.Config(
+        inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+        speedup = 1e12, replayPartitions = 4,
+        maxFilesPerTrigger = Some(1), once = true,
+        httpIndex = Some(srv.base))
+      val s = ProcessTaxiStream.run(spark, cfg)
+      info(s"http run: $s, indexed=${srv.store.size()}")
+      assert(s.replayedEvents > 0)
+      assert(srv.store.size() > 0, "nothing indexed over HTTP")
+      assert(srv.paths.contains("/pickup_count/_bulk"))
+      assert(srv.paths.contains("/trip_duration/_bulk"))
+      // restart: deterministic ids make HTTP re-delivery idempotent
+      val before = srv.store.size()
+      ProcessTaxiStream.run(spark, cfg)
+      assert(srv.store.size() == before)
+    } finally srv.stop()
+  }
+
   test("CLI parser covers the reference's flags") {
     val cfg = ProcessTaxiStream.parse(Array(
       "--input", "/in", "--work", "/w", "--index", "/idx",
