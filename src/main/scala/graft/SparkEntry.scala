@@ -206,6 +206,17 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // Sequence packing: documents laid end-to-end per (split, shard)
+    // and cut into fixed-token-budget training packs — the
+    // concat-then-chunk batch-prep step, sharded so the prefix-sum
+    // window never funnels into one partition.
+    "q46_pack_sequences" -> ((s, dir) =>
+      operators.Sampling.packSequences(documents(s, dir))),
+    // Unigram-LM perplexity scoring (CCNet-style quality gate):
+    // per-doc average NLL under the corpus's own unigram
+    // distribution.
+    "q47_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramNll(documents(s, dir))),
     // Multi-probe LSH top-k (probe-1): the query-side recall knob —
     // each query band also probes the Hamming-1 neighborhood of its
     // key; corpus-side index layout identical to q10.
@@ -402,6 +413,8 @@ object SparkEntry {
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,
     "q44_pii_scrub" -> OracleSql.piiScrub,
-    "q45_ann_multiprobe" -> OracleSql.annLshMultiProbe
+    "q45_ann_multiprobe" -> OracleSql.annLshMultiProbe,
+    "q46_pack_sequences" -> OracleSql.packSequences,
+    "q47_perplexity" -> OracleSql.unigramNll
   )
 }

@@ -75,6 +75,45 @@ object Sampling {
       .select(col("doc_id"), splitBucketCol("doc_id").as("bucket"))
       .withColumn("split", splitFromBucket(col("bucket")))
 
+  /** Token budget of one packed training sequence and the shard
+    * count for distributed packing. */
+  val PackBudget = 512
+  val PackShards = 8
+
+  /** Sequence packing — the batch-prep step that turns a filtered
+    * corpus into fixed-token-budget training sequences: documents are
+    * laid end-to-end in doc_id order and cut into [[PackBudget]]-token
+    * packs (first-fit in order; a document straddling a boundary
+    * starts its pack's overflow, the standard concat-then-chunk
+    * scheme). Output: each doc's pack number and token offset within
+    * the pack, per (split, shard).
+    *
+    * Scale design (100 TB): a single global running sum would be a
+    * one-partition window funnel, so packing is SHARDED — each
+    * (split, shard) group packs independently (exactly how a
+    * multi-worker loader packs its own shard), keeping the prefix-sum
+    * window partitioned. Token counts are the row-local BPE-ish regex
+    * count; the only shuffle is the window's hash partition on
+    * (split, shard). */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+      shards: Int = PackShards): DataFrame = {
+    val counted = docs.select(
+      col("doc_id"),
+      splitFromBucket(splitBucketCol("doc_id")).as("split"),
+      (col("doc_id") % shards).as("shard"),
+      size(expr("regexp_extract_all(lower(text), '" +
+        TextAnalysis.TokenPattern + "', 0)")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("split"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"), col("split"), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) DIV $budget").as("pack_id"),
+        ((col("cum") - col("n_tok")) % budget).as("pack_offset"))
+  }
+
   /** Per-group quota sampling (domain/language mixing): keep at most
     * `quota` documents per `groupCol`, chosen by hash order — a
     * deterministic stand-in for uniform-without-replacement that

@@ -283,6 +283,43 @@ object TextAnalysis {
     * arguments here stay in a range where JVM `Math.log` and the
     * oracle's libm `ln` agree within 1 ulp, which the driver's %.9g
     * canonicalization absorbs (probed exhaustively for N ≤ 50000). */
+  /** Unigram-LM perplexity quality gate (the CCNet-style filter every
+    * large pretraining corpus build runs): score each document by the
+    * average negative log-likelihood of its tokens under the corpus's
+    * OWN unigram distribution — high-perplexity documents are the
+    * gibberish/boilerplate outliers, low are the repetitive ones.
+    *
+    * Scale design: identical shape to [[tfidfTopTerms]] — per-doc term
+    * counts come from the row-local [[org.apache.spark.sql.graft.TokenCounts]]
+    * kernel (the raw token stream never shuffles), corpus term counts
+    * are one hash aggregation of the pre-aggregated tf rows, and the
+    * corpus total joins in as a broadcast single-row aggregate. The
+    * per-doc NLL sum is order-scrambled double addition, absorbed by
+    * the compare's %.9g exactly like every other SUM. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts}
+    val tf = docs
+      .select(col("doc_id"),
+        explode(Bridge.column(TokenCounts(Bridge.expression(
+          expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")))))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    tf.join(ctf, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        sum(col("tf").cast("double") *
+          -log(col("ctf").cast("double") / col("total"))).as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        (col("nll_sum") / col("n_tok")).as("avg_nll"),
+        exp(col("nll_sum") / col("n_tok")).as("perplexity"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, topK: Int = TfidfTopK): DataFrame = {
     // tf is computed ROW-LOCALLY (sort + run-length-encode kernel):
     // each document's token list never leaves its row, so the explode

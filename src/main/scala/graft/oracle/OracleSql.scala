@@ -1012,6 +1012,66 @@ SELECT COUNT(*) AS n_raw,
 FROM f"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.packSequences]] — identical
+    * split arithmetic, shard = doc_id mod shards, prefix-sum window
+    * per (split, shard) ordered by doc_id; DuckDB window SUM(BIGINT)
+    * is HUGEINT, so the derived pack columns cast back. `//` and
+    * Spark `DIV` agree on the non-negative domain. */
+  def packSequences: String = {
+    import graft.operators.Sampling._
+    import graft.operators.TextAnalysis.TokenPattern
+    val b = s"${mixedSql("doc_id")} % 1000"
+    s"""WITH t AS (
+  SELECT doc_id,
+         CASE WHEN $b < $TrainPerMille THEN 'train'
+              WHEN $b < $ValPerMille THEN 'validation'
+              ELSE 'test' END AS split,
+         doc_id % $PackShards AS shard,
+         CAST(len(regexp_extract_all(lower(text), '$TokenPattern'))
+           AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, split, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, split, shard, n_tok,
+       CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_id,
+       CAST((cum - n_tok) % $PackBudget AS BIGINT) AS pack_offset
+FROM c"""
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.unigramNll]]: same
+    * tokenization as tfidf, ctf/total aggregations (HUGEINT→BIGINT
+    * casts), avg NLL = Σ tf·−ln(ctf/total) / n_tok — the sum is
+    * order-scrambled double addition absorbed by the compare's %.9g,
+    * and ln/exp agree with the JVM within ulps far below it. */
+  def unigramNll: String = {
+    val pat = graft.operators.TextAnalysis.WordPattern
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$pat')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), ctf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM ctf
+), d AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+         SUM(CAST(tf.tf AS DOUBLE) *
+             -ln(CAST(ctf.ctf AS DOUBLE) / tot.total)) AS nll_sum
+  FROM tf JOIN ctf USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tok,
+       nll_sum / n_tok AS avg_nll,
+       exp(nll_sum / n_tok) AS perplexity
+FROM d"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.piiScrub]] over the
     * [[graft.operators.TextAnalysis.withSyntheticPii]] corpus: the
     * PII synthesis is pure integer arithmetic on doc_id (both engines

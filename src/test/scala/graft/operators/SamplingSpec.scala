@@ -47,4 +47,31 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     val small = docs.filter(col("doc_id") <= 10)
     assert(Sampling.quotaSample(small, "lang", quota = 40).count() == 10)
   }
+
+  test("packSequences: packs are contiguous token ranges within each shard") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.packSequences(corpus).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+    assert(out.nonEmpty)
+    // within every (split, shard), replaying docs in id order must
+    // reproduce pack_id/pack_offset as a running token total — i.e.
+    // packs are exactly the budget-sized cuts of the concatenation
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach { case (_, _, _, nTok, packId, off) =>
+        assert(packId == cum / Sampling.PackBudget)
+        assert(off == cum % Sampling.PackBudget)
+        cum += nTok
+      }
+    }
+    // the concat-then-chunk scheme leaves no empty packs: every pack
+    // id up to the shard's last is populated
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val ids = rows.map(_._5).toSet
+      assert(ids == (0L to ids.max).toSet, "gap in pack ids")
+    }
+  }
 }

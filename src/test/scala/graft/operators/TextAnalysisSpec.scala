@@ -108,4 +108,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("unigramNll: rare-token docs score higher than common-token docs") {
+    import spark.implicits._
+    // corpus: "the" dominates; doc 3 is all rare tokens
+    val df = Seq(
+      (1L, "the the the the"),
+      (2L, "the the cat"),
+      (3L, "zyx qwv ptk")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("avg_nll"),
+          r.getAs[Double]("perplexity"))).toMap
+    assert(out(1L)._1 == 4)
+    // doc 1 = pure majority token -> lowest NLL; doc 3 = singletons ->
+    // highest; perplexity = exp(avg_nll) and p(the) = 6/10
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    assert(math.abs(out(1L)._2 - (-math.log(6.0 / 10.0))) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.exp(out(1L)._2)) < 1e-12)
+    assert(math.abs(out(3L)._2 - (-math.log(1.0 / 10.0))) < 1e-12)
+  }
 }
