@@ -206,6 +206,15 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // Fixed-window document chunking with overlap (context-window
+    // prep): row-local integer arithmetic + explode, no shuffle.
+    "q48_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(documents(s, dir))),
+    // Mixture resampling: downsample-only domain mixing to target
+    // language proportions (keeps the most-underrepresented language
+    // whole; hash-deterministic keep set).
+    "q49_mixture_resample" -> ((s, dir) =>
+      operators.Sampling.mixtureResample(documents(s, dir))),
     // Sequence packing: documents laid end-to-end per (split, shard)
     // and cut into fixed-token-budget training packs — the
     // concat-then-chunk batch-prep step, sharded so the prefix-sum
@@ -415,6 +424,8 @@ object SparkEntry {
     "q44_pii_scrub" -> OracleSql.piiScrub,
     "q45_ann_multiprobe" -> OracleSql.annLshMultiProbe,
     "q46_pack_sequences" -> OracleSql.packSequences,
-    "q47_perplexity" -> OracleSql.unigramNll
+    "q47_perplexity" -> OracleSql.unigramNll,
+    "q48_chunk_docs" -> OracleSql.chunkDocs,
+    "q49_mixture_resample" -> OracleSql.mixtureResample
   )
 }

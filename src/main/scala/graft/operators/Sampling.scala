@@ -114,6 +114,50 @@ object Sampling {
         ((col("cum") - col("n_tok")) % budget).as("pack_offset"))
   }
 
+  /** Target mixture shares for [[mixtureResample]] (the fixture's
+    * five languages; shares sum to 1). */
+  val MixtureTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Mixture resampling — downsample-only domain mixing to TARGET
+    * proportions (the step that turns a crawl's natural language mix
+    * into the training mix): the most-underrepresented language
+    * (relative to its target) is kept whole, every other language is
+    * hash-downsampled so the surviving corpus hits the target shares
+    * exactly in expectation. Complements [[quotaSample]] (absolute
+    * count caps) with ratio-based mixing.
+    *
+    * Scale design (100 TB): per-language counts and the corpus total
+    * are one aggregation each, broadcast back (|langs| rows); the
+    * keep decision is then row-local hash arithmetic — identical
+    * integer/double operation order in the DuckDB mirror, so the
+    * kept SET is deterministic and engine-independent. */
+  def mixtureResample(docs: DataFrame,
+      targets: Seq[(String, Double)] = MixtureTargets): DataFrame = {
+    val targetFrac = targets.foldRight(lit(0.0): Column) {
+      case ((l, f), e) => when(col("lang") === l, lit(f)).otherwise(e)
+    }
+    // tiny frames throughout: per-lang counts (|langs| rows), the
+    // 1-row total, the 1-row α — broadcast cross joins, no
+    // unpartitioned window
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val withRatio = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("ratio", col("n_lang") / (targetFrac * col("n_total")))
+    val alpha = withRatio.agg(min(col("ratio")).as("alpha"))
+    val counts = withRatio.crossJoin(broadcast(alpha))
+      .withColumn("keep_rate",
+        col("alpha") * targetFrac * col("n_total") / col("n_lang"))
+      .select(col("lang"), col("keep_rate"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        (mixed("doc_id") % 1048576).as("h"))
+      .join(broadcast(counts), "lang")
+      .filter(col("h") < col("keep_rate") * 1048576.0)
+      .select(col("doc_id"), col("lang"), col("h"), col("keep_rate"))
+  }
+
   /** Per-group quota sampling (domain/language mixing): keep at most
     * `quota` documents per `groupCol`, chosen by hash order — a
     * deterministic stand-in for uniform-without-replacement that

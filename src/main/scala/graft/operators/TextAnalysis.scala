@@ -264,6 +264,35 @@ object TextAnalysis {
         regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>").as("clean_text"))
 
+  /** Context-window chunking parameters: window size and overlap in
+    * characters (stride = size − overlap). */
+  val ChunkChars = 200
+  val ChunkOverlap = 40
+  val ChunkStride: Int = ChunkChars - ChunkOverlap
+
+  /** Fixed-window document chunking with overlap — the context-window
+    * prep step (RAG indexing / long-doc training): chunk i covers
+    * characters [i·stride, i·stride + size). Every document yields at
+    * least one chunk; the last chunk may run short. Pure row-local
+    * integer arithmetic + explode — no shuffle at any scale; the
+    * ceil-div numerator is clamped non-negative BEFORE the division
+    * so Spark's truncating DIV and DuckDB's flooring `//` agree. */
+  def chunkDocs(docs: DataFrame, size: Int = ChunkChars,
+      stride: Int = ChunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(0L, len - $size) + ${stride - 1}) DIV $stride"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("chunk_start"),
+        expr(s"substring(text, chunk_id * $stride + 1, $size)")
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+
   /** Top terms kept per document by TF-IDF. */
   val TfidfTopK = 3
 

@@ -1072,6 +1072,60 @@ SELECT doc_id, n_tok,
 FROM d"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.chunkDocs]] — identical
+    * integer chunk arithmetic (non-negative ceil-div numerator, so
+    * `//` and Spark's `DIV` agree) and 1-based substring windows. */
+  def chunkDocs: String = {
+    import graft.operators.TextAnalysis.{ChunkChars, ChunkStride}
+    s"""WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+), n AS (
+  SELECT doc_id, text, len,
+         1 + (GREATEST(0, len - $ChunkChars) + ${ChunkStride - 1})
+           // $ChunkStride AS n_chunks
+  FROM d
+), c AS (
+  SELECT doc_id, text, unnest(range(n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       chunk_id * $ChunkStride + 1 AS chunk_start,
+       substr(text, CAST(chunk_id * $ChunkStride + 1 AS INTEGER),
+         $ChunkChars) AS chunk_text,
+       CAST(length(substr(text,
+         CAST(chunk_id * $ChunkStride + 1 AS INTEGER), $ChunkChars))
+         AS BIGINT) AS chunk_len
+FROM c"""
+  }
+
+  /** Mirror of [[graft.operators.Sampling.mixtureResample]] —
+    * identical operation order for the ratio/α/keep-rate doubles
+    * (all inputs are identical integers, so the hash-threshold keep
+    * decision is bit-deterministic in both engines). */
+  def mixtureResample: String = {
+    import graft.operators.Sampling._
+    val tf = MixtureTargets.map { case (l, f) =>
+      s"WHEN lang = '$l' THEN $f"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH tot AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), cnt AS (
+  SELECT lang, COUNT(*) AS n_lang, ($tf) AS tf
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n_lang, tf, n_total,
+         n_lang / (tf * n_total) AS ratio
+  FROM cnt CROSS JOIN tot
+), a AS (
+  SELECT MIN(ratio) AS alpha FROM r
+), k AS (
+  SELECT lang, a.alpha * tf * n_total / n_lang AS keep_rate
+  FROM r CROSS JOIN a
+)
+SELECT doc_id, d.lang, ${mixedSql("doc_id")} % 1048576 AS h, keep_rate
+FROM documents d JOIN k ON d.lang = k.lang
+WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.piiScrub]] over the
     * [[graft.operators.TextAnalysis.withSyntheticPii]] corpus: the
     * PII synthesis is pure integer arithmetic on doc_id (both engines

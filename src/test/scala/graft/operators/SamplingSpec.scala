@@ -48,6 +48,32 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(Sampling.quotaSample(small, "lang", quota = 40).count() == 10)
   }
 
+  test("mixtureResample: kept corpus hits the target shares, argmin lang whole") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val natural = corpus.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.mixtureResample(corpus).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    // every language present; shares near the targets (hash sampling
+    // is +-few % at this corpus size)
+    Sampling.MixtureTargets.foreach { case (l, f) =>
+      assert(kept.contains(l), s"$l dropped entirely")
+      assert(math.abs(kept(l) / total - f) < 0.05,
+        s"$l share ${kept(l) / total} vs target $f")
+    }
+    // downsample-only: no language grows, and the binding
+    // (most-underrepresented) language is kept whole
+    kept.foreach { case (l, n) => assert(n <= natural(l)) }
+    val ratios = Sampling.MixtureTargets.map { case (l, f) =>
+      l -> natural(l) / (f * natural.values.sum)
+    }.toMap
+    val binding = ratios.minBy(_._2)._1
+    assert(kept(binding) == natural(binding),
+      s"binding lang $binding was downsampled")
+  }
+
   test("packSequences: packs are contiguous token ranges within each shard") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

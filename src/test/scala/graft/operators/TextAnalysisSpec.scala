@@ -109,6 +109,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("chunkDocs: overlapping windows cover the text exactly") {
+    import spark.implicits._
+    val text = ("a" * 529) // 529 chars: 1 + ceil((529-200)/160) = 4 chunks
+    val df = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len")))
+      .sortBy(t => (t._1, t._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._2) sameElements Array(0L, 1L, 2L, 3L))
+    assert(doc1.map(_._3) sameElements Array(1L, 161L, 321L, 481L))
+    // full windows except the last (529 - 480 = 49 chars)
+    assert(doc1.map(_._4) sameElements Array(200L, 200L, 200L, 49L))
+    // stride 160 < size 200 -> consecutive chunks overlap by 40
+    // and every char position is covered
+    assert(doc1.last._3 + doc1.last._4 - 1 == 529L)
+    // a short doc still yields exactly one (short) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 5L)))
+  }
+
   test("unigramNll: rare-token docs score higher than common-token docs") {
     import spark.implicits._
     // corpus: "the" dominates; doc 3 is all rare tokens
