@@ -110,6 +110,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(shuffleCount(q("q32_train_split")) == 0)
   }
 
+  test("q46 packing window is sharded, never a global-order funnel") {
+    val plan = q("q46_pack_sequences").queryExecution.executedPlan.toString
+    assert("""Window .*windowspecdefinition\(split[^,]*, shard""".r
+      .findFirstIn(plan).isDefined,
+      "pack prefix-sum window is not (split, shard)-partitioned")
+  }
+
+  test("q47 perplexity broadcasts the corpus total; no token-stream shuffle") {
+    val df = q("q47_perplexity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "corpus total is not broadcast")
+    // shuffles: tf pre-aggregated rows on term (join + ctf agg) and
+    // the per-doc NLL agg — the raw exploded token stream itself is
+    // pre-aggregated row-locally by the TokenCounts kernel, so no
+    // shuffle carries one-row-per-token data. 4 = term-join sides +
+    // ctf agg + doc agg at this plan shape; more means a lost
+    // pre-aggregation.
+    assert(shuffleCount(df) <= 4, s"q47 shuffles ${shuffleCount(df)}×")
+  }
+
+  test("q49 mixture keep-decision is row-local after broadcast rates") {
+    val plan = q("q49_mixture_resample").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "per-lang keep rates are not broadcast to the corpus join")
+  }
+
   test("q36 funnel fuses its row-local stages: ≤3 document scans, one join") {
     // The quality/lang/split gates are shared-builder COLUMNS of the
     // flag projection, not joined branches: the final plan must show
