@@ -206,6 +206,16 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // The custom whole-operator surface (LogicalPlan + SparkStrategy
+    // + SparkPlan via GraftExtensions): top-k per group as partial
+    // bounded heaps -> exchange of survivors only -> final rank,
+    // replacing the window plan that shuffles and sorts every row.
+    "q50_topk_operator" -> ((s, dir) => {
+      val e = EventsQueries.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      org.apache.spark.sql.graft.TopK.perGroup(e, Seq("event_type"),
+        Seq("value" -> false, "event_id" -> true), 3)
+    }),
     // Fixed-window document chunking with overlap (context-window
     // prep): row-local integer arithmetic + explode, no shuffle.
     "q48_chunk_docs" -> ((s, dir) =>
@@ -426,6 +436,18 @@ object SparkEntry {
     "q46_pack_sequences" -> OracleSql.packSequences,
     "q47_perplexity" -> OracleSql.unigramNll,
     "q48_chunk_docs" -> OracleSql.chunkDocs,
-    "q49_mixture_resample" -> OracleSql.mixtureResample
+    "q49_mixture_resample" -> OracleSql.mixtureResample,
+    // the custom operator's contract IS the window formulation — the
+    // oracle runs it directly
+    "q50_topk_operator" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, value,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+        |  FROM e
+        |)
+        |SELECT event_type, event_id, value, rank FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -142,10 +142,13 @@ object GeofencePruneRule extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point: injects the geofence-pruning
-  * optimizer rule. Usable via config
+  * optimizer rule and the top-k-per-group planner strategy
+  * ([[org.apache.spark.sql.graft.TopKStrategy]]). Usable via config
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GeofencePruneRule)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
+  }
 }
