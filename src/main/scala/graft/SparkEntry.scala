@@ -202,6 +202,12 @@ object SparkEntry {
     "q42_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashNearDups(documents(s, dir))
         .select(col("doc_a"), col("doc_b")))),
+    // The same cluster decisions computed by large-star/small-star
+    // alternation (O(log n) rounds vs propagation's diameter bound) —
+    // graded against the identical recursive-CTE oracle as q42.
+    "q51_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dedupClustersStar(Dedup.minhashNearDups(documents(s, dir))
+        .select(col("doc_a"), col("doc_b")))),
     // Benchmark contamination: per-doc n-gram overlap against the
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
@@ -428,6 +434,7 @@ object SparkEntry {
     "q37_pivot" -> OracleSql.docsPivot,
     "q41_repetition" -> OracleSql.repetitionStats,
     "q42_dedup_clusters" -> OracleSql.dedupClusters,
+    "q51_dedup_clusters_star" -> OracleSql.dedupClusters,
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,

@@ -386,6 +386,78 @@ object Dedup {
           .cast("long"))
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the depth-bounded alternative to [[dedupClusters]]'
+    * frontier propagation: label propagation needs one round per unit
+    * of component DIAMETER, while the star alternation contracts
+    * components in O(log n) rounds regardless of depth (spec-measured:
+    * a 200-edge path converges in ~7 alternations vs 200 propagation
+    * rounds). Same contract and output schema as [[dedupClusters]];
+    * same per-round checkpoint-truncation discipline.
+    *
+    * Round shape: large-star links every larger neighbor of u to the
+    * minimum of u's neighborhood; small-star re-points each node's
+    * smaller neighbors (and itself) at the neighborhood minimum.
+    * Edges only ever point downward after the first alternation, and
+    * the fixpoint is exactly the star graph node → component-min. */
+  def dedupClustersStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint()
+    // large-star input: both directions; m(src) = min(neighbors, src)
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = both.groupBy(col("src")).agg(min(col("dst")).as("mnd"))
+        .select(col("src"), least(col("src"), col("mnd")).as("m"))
+      both.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star input/output: edges directed larger → smaller
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val joined = e.join(m, "src")
+      joined.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = chk(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      val next = chk(smallStar(largeStar(edges)))
+      // set equality via counts: |A| == |B| == |A ∪ B|
+      val na = edges.count(); val nb = next.count()
+      converged = na == nb &&
+        edges.union(next).distinct().count() == na
+      Bridge.releaseCheckpoint(edges)
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter >= maxIters)
+      System.err.println(s"[dedupClustersStar] iteration cap $maxIters " +
+        "hit before fixpoint")
+    // fixpoint edges are the star node → component-min; roots appear
+    // only on the dst side
+    val members = edges.select(col("src").as("doc_id"),
+      col("dst").as("canonical_id"))
+    val roots = edges.select(col("dst").as("doc_id"))
+      .exceptAll(edges.select(col("src").as("doc_id"))).distinct()
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    members.union(roots)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical_id")))
+          .cast("long"))
+  }
+
   /** Benchmark contamination detection — the decontamination step of
     * a training-corpus build: for every training document, how many
     * of its winnowed fingerprints appear anywhere in the benchmark

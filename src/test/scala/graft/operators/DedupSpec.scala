@@ -123,6 +123,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sizes.last <= 3, s"final frontier ${sizes.last}")
   }
 
+  test("star alternation == label propagation; depth-bounded rounds on a deep path") {
+    import spark.implicits._
+    // a 200-edge path (diameter 200) + assorted components: the star
+    // alternation must converge in O(log n) alternations where
+    // propagation needs ~diameter rounds
+    val path = (1L to 200L).map(i => (i, i + 1))
+    val extra = Seq((500L, 501L), (501L, 502L), (900L, 910L))
+    val pairs = (path ++ extra).toDF("doc_a", "doc_b")
+    val viaProp = Dedup.dedupClusters(pairs, maxIters = 250).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaStar = Dedup.dedupClustersStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStar == viaProp)
+    assert(viaStar.count(_._2 == 1L) == 201)
+    // depth bound: well under the 50-iteration default cap that a
+    // diameter-200 path would blow through under propagation
+    val capped = Dedup.dedupClustersStar(pairs, maxIters = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == viaProp, "star alternation needed > 15 rounds")
+  }
+
   test("reliable-checkpoint mode: correct labels, superseded rounds released") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
