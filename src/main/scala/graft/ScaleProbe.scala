@@ -100,6 +100,25 @@ object ScaleProbe {
     time(s"dedup_embed($wideBits-bit)")(
       Similarity.embeddingNearDups(emb, wideBits))
 
+    // custom top-k operator vs the window plan it replaces, same
+    // query: top-3 per hash-group by norm desc. The window plan
+    // shuffles and sorts every row; the operator's partial heaps send
+    // <= k per (partition, group) through the exchange.
+    {
+      val grouped = emb.select((col("vec_id") % 64).as("g"),
+        col("vec_id"), col("norm"))
+      val wTopk = time("topk_window") {
+        grouped.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+            .orderBy(col("norm").desc, col("vec_id").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+      }
+      val oTopk = time("topk_operator")(
+        org.apache.spark.sql.graft.TopK.perGroup(grouped, Seq("g"),
+          Seq("norm" -> false, "vec_id" -> true), 3))
+      println(f"[scale] topk window $wTopk%.2f s vs operator $oTopk%.2f s")
+    }
+
     // candidates-per-query under the 6×8-bit banding: the number that
     // must stay ≪ |corpus| for the LSH path to be a scale path
     val candPerQuery = Similarity.lshCandidates(emb).count() /
