@@ -202,6 +202,11 @@ object SparkEntry {
     "q42_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.minhashNearDups(documents(s, dir))
         .select(col("doc_a"), col("doc_b")))),
+    // Incremental near-dup detection: the daily-ingest shape — only
+    // pairs involving the new batch (doc_id >= 400), the old×old
+    // quadrant is never re-examined.
+    "q52_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalNearDups(documents(s, dir))),
     // The same cluster decisions computed by large-star/small-star
     // alternation (O(log n) rounds vs propagation's diameter bound) —
     // graded against the identical recursive-CTE oracle as q42.
@@ -435,6 +440,7 @@ object SparkEntry {
     "q41_repetition" -> OracleSql.repetitionStats,
     "q42_dedup_clusters" -> OracleSql.dedupClusters,
     "q51_dedup_clusters_star" -> OracleSql.dedupClusters,
+    "q52_incremental_dedup" -> OracleSql.incrementalDedup,
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,

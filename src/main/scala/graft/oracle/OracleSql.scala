@@ -266,6 +266,14 @@ FROM documents"""
     * permutation constants ([[Dedup.perms]]), banding and Jaccard cut. */
   def dedupMinhash: String = minhashPipeline(shingleCtes)
 
+  /** Mirror of [[graft.operators.Dedup.incrementalNearDups]]: in an
+    * append-only corpus a pair involves a new doc iff its larger id
+    * is in the new batch, so the oracle is the full pair set filtered
+    * on doc_b. */
+  def incrementalDedup: String =
+    s"""SELECT * FROM ($dedupMinhash)
+WHERE doc_b >= ${graft.operators.Dedup.IncrementalFrom}"""
+
   /** Mirror of [[graft.operators.Dedup.ngramNearDups]] (q18). */
   def dedupNgram: String = minhashPipeline(ngramCtes)
 

@@ -123,6 +123,22 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sizes.last <= 3, s"final frontier ${sizes.last}")
   }
 
+  test("incremental dedup == full pair set restricted to the new batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = Dedup.IncrementalFrom
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val full = pairSet(Dedup.minhashNearDups(docs))
+    val expected = full.filter { case ((_, b), _) => b >= k }
+    val got = pairSet(Dedup.incrementalNearDups(docs, k))
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    // the old×old quadrant exists in the full set but never here
+    assert(full.exists { case ((_, b), _) => b < k })
+    assert(!got.keys.exists { case (_, b) => b < k })
+  }
+
   test("star alternation == label propagation; depth-bounded rounds on a deep path") {
     import spark.implicits._
     // a 200-edge path (diameter 200) + assorted components: the star

@@ -43,6 +43,25 @@ class TopKOperatorSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
   }
 
+  test("randomized equivalence with the window plan (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // duplicate order-values force tiebreak paths; k > some group
+    // sizes forces the under-full heap path
+    val rows = Seq.fill(3000)((rnd.nextInt(40).toLong,
+      rnd.nextInt(25).toDouble, rnd.nextLong())).distinct
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val viaOperator = TopK.perGroup(df, Seq("g"),
+      Seq("v" -> true, "id" -> false), 4)
+      .collect().map(_.toSeq).toSet
+    val viaWindow = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("v").asc, col("id").desc)).cast("long"))
+      .filter(col("rank") <= 4)
+      .collect().map(_.toSeq).toSet
+    assert(viaOperator == viaWindow)
+  }
+
   test("plans partial heap -> exchange -> final heap, like aggregation") {
     val df = TopK.perGroup(events, Seq("user_id"), Seq("ts_ms" -> true,
       "event_id" -> true), 5)
