@@ -1,6 +1,6 @@
 package graft.app
 
-import graft.io.{BulkIndexSink, BulkTransport, HttpBulkTransport, LocalDirTransport}
+import graft.io.{BulkIndexSink, BulkTransport, CountingTransport, HttpBulkTransport, LocalDirTransport}
 import graft.replay.StreamPopulator
 import graft.streaming.{ProgressTelemetry, StreamingTaxi}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -159,21 +159,31 @@ object ProcessTaxiStream {
       if (cfg.once) Trigger.AvailableNow()
       else Trigger.ProcessingTime("5 seconds") // reference checkpoint cadence
 
-    def transportFor(docType: String): BulkTransport = cfg.httpIndex match {
-      case Some(base) => new HttpBulkTransport(s"$base/$docType/_bulk")
-      case None => new LocalDirTransport(s"${cfg.indexDir}/$docType")
-    }
+    // HTTP mode has no local files for the summary to count, so each
+    // doc type's transport counts its delivered actions into an
+    // accumulator (re-delivered batches count again; the remote store
+    // stays idempotent regardless)
+    val pickupAcc = spark.sparkContext.longAccumulator("pickup_count_docs")
+    val durationAcc = spark.sparkContext.longAccumulator("trip_duration_docs")
+    def transportFor(docType: String,
+        acc: org.apache.spark.util.LongAccumulator): BulkTransport =
+      cfg.httpIndex match {
+        case Some(base) => new CountingTransport(
+          new HttpBulkTransport(s"$base/$docType/_bulk"), acc)
+        case None => new LocalDirTransport(s"${cfg.indexDir}/$docType")
+      }
     val q1 = StreamingTaxi.writer(
         StreamingTaxi.q1(trips), s"${cfg.workDir}/cp-q1", trigger)
       .foreachBatch(BulkIndexSink.foreachBatchWriter(
-        Seq("location", "timestamp"), transportFor("pickup_count")))
+        Seq("location", "timestamp"),
+        transportFor("pickup_count", pickupAcc)))
       .queryName("q1_pickup_hotspots")
       .start()
     val q2 = StreamingTaxi.writer(
         StreamingTaxi.q2(trips), s"${cfg.workDir}/cp-q2", trigger)
       .foreachBatch(BulkIndexSink.foreachBatchWriter(
         Seq("location", "airport_code", "timestamp"),
-        transportFor("trip_duration")))
+        transportFor("trip_duration", durationAcc)))
       .queryName("q2_airport_durations")
       .start()
     try {
@@ -200,13 +210,17 @@ object ProcessTaxiStream {
       spark.streams.removeListener(telemetry)
     }
 
-    def docs(sub: String): Long = {
-      val d = new java.io.File(s"${cfg.indexDir}/$sub")
-      if (!d.isDirectory) 0L
-      else d.listFiles().count(_.getName.endsWith(".json")).toLong
-    }
+    // local mode counts UNIQUE indexed files; http mode reports the
+    // accumulator's delivered-action counts (see CountingTransport)
+    def docs(sub: String, acc: org.apache.spark.util.LongAccumulator): Long =
+      if (cfg.httpIndex.isDefined) acc.value
+      else {
+        val d = new java.io.File(s"${cfg.indexDir}/$sub")
+        if (!d.isDirectory) 0L
+        else d.listFiles().count(_.getName.endsWith(".json")).toLong
+      }
     val (events, skipped) = replayed.get()
-    Summary(events, skipped, docs("pickup_count"), docs("trip_duration"),
-      telemetry.summary)
+    Summary(events, skipped, docs("pickup_count", pickupAcc),
+      docs("trip_duration", durationAcc), telemetry.summary)
   }
 }

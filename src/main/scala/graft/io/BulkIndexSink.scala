@@ -55,6 +55,20 @@ object BulkIndexer {
   val DefaultMaxAgeMs = 5000L
 }
 
+/** Decorator counting successfully indexed actions into a Spark
+  * accumulator — how a driver observes delivery volume through a
+  * remote transport (an HTTP index has no local files to count).
+  * Counts DELIVERED actions: an idempotently re-delivered batch
+  * counts again even though the store is unchanged. */
+class CountingTransport(inner: BulkTransport,
+    acc: org.apache.spark.util.LongAccumulator) extends BulkTransport {
+  override def bulkIndex(docs: Seq[IndexDoc]): Seq[Boolean] = {
+    val r = inner.bulkIndex(docs)
+    acc.add(r.count(identity).toLong)
+    r
+  }
+}
+
 /** Per-partition buffering indexer. Not thread-safe (one instance per
   * task, like the reference's per-subtask sink). */
 class BulkIndexer(

@@ -39,13 +39,65 @@ class HttpBulkTransport(
   // The response contract is the ES bulk shape
   // {"errors":b,"items":[{"index":{"_id":...,"status":s}},...]} with
   // items in request order; one status per item is all we consume.
-  private val StatusRe = """"status"\s*:\s*(\d+)""".r
+  //
+  // Statuses are extracted with a string- and depth-aware scan, NOT a
+  // flat regex: a per-item "error" object's reason text can echo the
+  // document source (which may contain the characters `"status": 200`)
+  // and the error object itself nests one level deeper — a flat match
+  // would over-count and flip the cardinality check. The item status
+  // key sits at exactly depth 4 (response object → items array → item
+  // object → action object) and never inside a string literal.
+  private[io] def itemStatuses(body: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var i = 0
+    var depth = 0
+    var inStr = false
+    var esc = false
+    val key = "\"status\""
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case '"' =>
+          if (depth == 4 && body.startsWith(key, i)) {
+            var j = i + key.length
+            while (j < body.length &&
+              (body.charAt(j) == ' ' || body.charAt(j) == ':')) j += 1
+            val start = j
+            while (j < body.length && body.charAt(j).isDigit) j += 1
+            if (j > start) out += body.substring(start, j).toInt
+          }
+          inStr = true
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Minimal JSON string escaping for the action line's `_id` — the
+    * sink's sha1 ids never need it, but the transport is public API
+    * and must not emit malformed NDJSON for ids carrying quotes or
+    * backslashes. */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   override def bulkIndex(docs: Seq[IndexDoc]): Seq[Boolean] = {
     if (docs.isEmpty) return Seq.empty
     try {
       val body = docs.iterator
-        .map(d => s"""{"index":{"_id":"${d.id}"}}""" + "\n" + d.source)
+        .map(d => s"""{"index":{"_id":"${jsonEscape(d.id)}"}}""" + "\n" +
+          d.source)
         .mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8)
       val conn = URI.create(endpoint).toURL.openConnection()
@@ -70,8 +122,7 @@ class HttpBulkTransport(
           val resp =
             try new String(in.readAllBytes(), StandardCharsets.UTF_8)
             finally in.close()
-          val statuses =
-            StatusRe.findAllMatchIn(resp).map(_.group(1).toInt).toSeq
+          val statuses = itemStatuses(resp)
           if (statuses.size != docs.size) docs.map(_ => false)
           else statuses.map(_ / 100 == 2)
         }

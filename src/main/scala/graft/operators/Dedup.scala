@@ -360,8 +360,19 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
       checkpointDir: Option[String] = None,
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // scope the checkpoint-dir mutation: restore whatever the caller
+    // had configured on the shared SparkContext before returning
+    val previousCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try propagateClusters(pairs, maxIters, checkpointDir.isDefined, onRound)
+    finally if (checkpointDir.isDefined)
+      previousCheckpointDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def propagateClusters(pairs: DataFrame, maxIters: Int,
+      reliable: Boolean, onRound: (Int, Long) => Unit): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val spark = pairs.sparkSession
     // Checkpoint (not persist): each round's plan references the
     // previous round, so lineage doubles per iteration and the
     // analyzer OOMs near diameter ~10 — checkpointing truncates the
@@ -370,9 +381,8 @@ object Dedup {
     // recompute path on executor loss — fine for a single-box run);
     // production passes `checkpointDir` and gets reliable
     // `checkpoint()` storage an executor loss can re-read.
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def chk(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = chk(fwd.union(fwd.select(col("dst").as("src"),
       col("src").as("dst"))))
@@ -417,6 +427,10 @@ object Dedup {
       System.err.println(s"[dedupClusters] iteration cap $maxIters hit " +
         "before fixpoint — labels may span partial components " +
         "(component diameter exceeds the cap; raise maxIters)")
+    // the returned labels frame is checkpoint-truncated and no longer
+    // references the edge set — release the algorithm's largest frame
+    // too, not just the superseded label rounds
+    Bridge.releaseCheckpoint(edges)
     labels
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
       .withColumn("cluster_size",
@@ -490,7 +504,15 @@ object Dedup {
     val roots = edges.select(col("dst").as("doc_id"))
       .exceptAll(edges.select(col("src").as("doc_id"))).distinct()
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
-    members.union(roots)
+    val clustered = members.union(roots)
+    // nodes whose only appearance is a self-pair carry no edge after
+    // the self-loop filter but are still their own singleton cluster
+    // — the contract [[dedupClusters]] honors, so this must too
+    val singletons = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .except(clustered.select(col("doc_id")))
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    clustered.union(singletons)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("canonical_id")))
           .cast("long"))

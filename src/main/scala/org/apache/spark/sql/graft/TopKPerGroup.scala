@@ -53,23 +53,25 @@ case class TopKPerGroup(
 }
 
 /** Physical top-k-per-group: bounded per-group heaps per partition.
-  * `partial = true` emits unranked survivors before the exchange;
-  * `partial = false` requires clustering on the group keys and emits
-  * the ranked rows. */
+  * The PARTIAL node (`rankAttr = None`) emits unranked survivors
+  * before the exchange and carries no rank attribute at all — a
+  * phantom rank field would register as a permanently missing input
+  * reference and mark the plan invalid; the FINAL node
+  * (`rankAttr = Some`) requires clustering on the group keys and
+  * emits the ranked rows. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    rankAttr: Attribute,
-    partial: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] =
-    if (partial) child.output else child.output :+ rankAttr
+  def partial: Boolean = rankAttr.isEmpty
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
-    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
@@ -83,7 +85,6 @@ case class TopKPerGroupExec(
     val g = groupExprs
     val o = order
     val limit = k
-    val isPartial = partial
     val rank = rankAttr
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
@@ -107,10 +108,10 @@ case class TopKPerGroupExec(
             heaps.put(key.copy(), heap)
         }
       }
-      if (isPartial) heaps.valuesIterator.flatMap(_.iterator)
+      if (rank.isEmpty) heaps.valuesIterator.flatMap(_.iterator)
       else {
-        val resultProj =
-          UnsafeProjection.create(childOutput :+ rank, childOutput :+ rank)
+        val resultProj = UnsafeProjection.create(
+          childOutput :+ rank.get, childOutput :+ rank.get)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         heaps.valuesIterator.flatMap { heap =>
@@ -131,9 +132,8 @@ case class TopKPerGroupExec(
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, rank, child) =>
-      TopKPerGroupExec(g, o, k, rank, partial = false,
-        TopKPerGroupExec(g, o, k, rank, partial = true,
-          planLater(child))) :: Nil
+      TopKPerGroupExec(g, o, k, Some(rank),
+        TopKPerGroupExec(g, o, k, None, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -138,6 +138,23 @@ class HttpBulkSinkSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("status parsing ignores error reasons that echo 'status' text") {
+    // a real ES failure item nests an error object whose reason can
+    // echo the document source — including the literal characters
+    // "status": 200 — and the error object sits one level deeper than
+    // the item status; only the 3 item statuses may be extracted
+    val t = new HttpBulkTransport("http://unused/_bulk")
+    val body =
+      """{"errors":true,"items":[
+        |{"index":{"_id":"a","status":200}},
+        |{"index":{"_id":"b","status":400,
+        |  "error":{"type":"mapper_parsing_exception",
+        |    "reason":"failed to parse [{\"note\":\"\\\"status\": 200 inside\"}]",
+        |    "caused_by":{"status":500}}}},
+        |{"index":{"_id":"c","status":201}}]}""".stripMargin
+    assert(t.itemStatuses(body) == Seq(200, 400, 201))
+  }
+
   test("unreachable endpoint reports all docs failed (no exception leak)") {
     // port 1 refuses connections
     val t = new HttpBulkTransport("http://127.0.0.1:1/_bulk",

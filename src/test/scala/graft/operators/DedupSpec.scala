@@ -160,6 +160,18 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(capped == viaProp, "star alternation needed > 15 rounds")
   }
 
+  test("star alternation keeps self-pair-only nodes as singleton clusters") {
+    import spark.implicits._
+    // node 5 appears ONLY as a self-pair: both algorithms must emit
+    // it as its own singleton cluster, not drop it
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    def result(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L))
+    assert(result(Dedup.dedupClusters(pairs)) == expected)
+    assert(result(Dedup.dedupClustersStar(pairs)) == expected)
+  }
+
   test("reliable-checkpoint mode: correct labels, superseded rounds released") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")

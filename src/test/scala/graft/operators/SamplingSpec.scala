@@ -93,11 +93,9 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
         cum += nTok
       }
     }
-    // the concat-then-chunk scheme leaves no empty packs: every pack
-    // id up to the shard's last is populated
-    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
-      val ids = rows.map(_._5).toSet
-      assert(ids == (0L to ids.max).toSet, "gap in pack ids")
-    }
+    // NOTE deliberately NOT asserted: gap-free pack ids. A document
+    // longer than 2× the budget legally starts past an entire pack
+    // (pack_id jumps by ≥ 2) — the running-total contract above is
+    // the complete specification.
   }
 }

@@ -98,6 +98,8 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
       val s = ProcessTaxiStream.run(spark, cfg)
       info(s"http run: $s, indexed=${srv.store.size()}")
       assert(s.replayedEvents > 0)
+      // the summary reports delivered-action counts in http mode
+      assert(s.pickupDocs > 0 && s.durationDocs > 0, s"summary: $s")
       assert(srv.store.size() > 0, "nothing indexed over HTTP")
       assert(srv.paths.contains("/pickup_count/_bulk"))
       assert(srv.paths.contains("/trip_duration/_bulk"))
