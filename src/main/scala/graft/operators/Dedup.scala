@@ -507,9 +507,12 @@ object Dedup {
     val clustered = members.union(roots)
     // nodes whose only appearance is a self-pair carry no edge after
     // the self-loop filter but are still their own singleton cluster
-    // — the contract [[dedupClusters]] honors, so this must too
-    val singletons = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // — the contract [[dedupClusters]] honors, so this must too. Only
+    // self-pair nodes can be affected (any non-self pair puts both
+    // ends in the edge set), so the repair scans just those, not the
+    // whole id universe.
+    val singletons = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
       .except(clustered.select(col("doc_id")))
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     clustered.union(singletons)
