@@ -314,6 +314,10 @@ object Dedup {
     * work per day instead of O(|corpus|²); in a deployment the
     * corpus-side banded signatures are a materialized index this
     * operator reads, not recomputes. */
+  /** Fixture split point for the graded incremental-dedup entry:
+    * doc_id ≥ 400 plays the newly-ingested batch. */
+  val IncrementalFrom = 400L
+
   def incrementalNearDups(docs: DataFrame,
       newFromId: Long = IncrementalFrom): DataFrame = {
     val hashed = shingleHashes(docs).persist(
@@ -331,10 +335,6 @@ object Dedup {
     jaccardVerified(cand,
       hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold)
   }
-
-  /** Fixture split point for the graded incremental-dedup entry:
-    * doc_id ≥ 400 plays the newly-ingested batch. */
-  val IncrementalFrom = 400L
 
   /** Connected components over a near-dup PAIR set — the step that
     * turns pairwise matches into dedup decisions: every document in a

@@ -44,6 +44,11 @@ object Sampling {
   /** The oracle-side twin of [[mixed]]. */
   def mixedSql(idExpr: String): String = s"(($idExpr * $HashMult) // 1048576)"
 
+  /** Mixed doc_id hash folded to a 20-bit band — the uniform unit
+    * shared by [[quotaSample]]'s ordering and [[mixtureResample]]'s
+    * keep threshold. */
+  private def hashBandCol: Column = mixed("doc_id") % 1048576
+
   /** Per-mille split boundaries: [0,800) train, [800,900)
     * validation, [900,1000) test. */
   val TrainPerMille = 800
@@ -101,8 +106,7 @@ object Sampling {
       col("doc_id"),
       splitFromBucket(splitBucketCol("doc_id")).as("split"),
       (col("doc_id") % shards).as("shard"),
-      size(expr("regexp_extract_all(lower(text), '" +
-        TextAnalysis.TokenPattern + "', 0)")).cast("long").as("n_tok"))
+      TextAnalysis.regexTokenCountCol.as("n_tok"))
     val w = Window.partitionBy(col("split"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -151,8 +155,7 @@ object Sampling {
         col("alpha") * targetFrac * col("n_total") / col("n_lang"))
       .select(col("lang"), col("keep_rate"))
     docs
-      .select(col("doc_id"), col("lang"),
-        (mixed("doc_id") % 1048576).as("h"))
+      .select(col("doc_id"), col("lang"), hashBandCol.as("h"))
       .join(broadcast(counts), "lang")
       .filter(col("h") < col("keep_rate") * 1048576.0)
       .select(col("doc_id"), col("lang"), col("h"), col("keep_rate"))
@@ -166,8 +169,7 @@ object Sampling {
   def quotaSample(docs: DataFrame, groupCol: String,
       quota: Int = 50): DataFrame =
     docs
-      .select(col("doc_id"), col(groupCol),
-        (mixed("doc_id") % 1048576).as("h"))
+      .select(col("doc_id"), col(groupCol), hashBandCol.as("h"))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))

@@ -129,14 +129,21 @@ object TextAnalysis {
     * oracle) regex dialects agree exactly. */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Row-local BPE-ish regex token count of a document — shared by
+    * [[tokenCounts]] and [[graft.operators.Sampling.packSequences]]
+    * (the packer budgets by this estimate). Operates on the implicit
+    * `text` column. */
+  def regexTokenCountCol: Column =
+    size(expr(s"regexp_extract_all(lower(text), '$TokenPattern', 0)"))
+      .cast("long")
+
   /** Per-doc token counting: whitespace tokens vs the BPE-ish regex
     * pre-tokenization over the lowercased text. Row-local. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(tokens).cast("long").as("ws_tokens"),
-      size(expr(s"regexp_extract_all(lower(text), '$TokenPattern', 0)"))
-        .cast("long").as("regex_tokens"))
+      regexTokenCountCol.as("regex_tokens"))
 
   /** SimHash bit width (matches the 60-bit digest; top bits unused),
     * band split and the Hamming cut for the pair search. 4 bands of
@@ -326,14 +333,7 @@ object TextAnalysis {
     * per-doc NLL sum is order-scrambled double addition, absorbed by
     * the compare's %.9g exactly like every other SUM. */
   def unigramNll(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.{Bridge, TokenCounts}
-    val tf = docs
-      .select(col("doc_id"),
-        explode(Bridge.column(TokenCounts(Bridge.expression(
-          expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")))))
-          .as("tc"))
-      .select(col("doc_id"), col("tc.term").as("term"),
-        col("tc.tf").as("tf"))
+    val tf = termFrequencies(docs)
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("total"))
     tf.join(ctf, "term")
@@ -349,21 +349,25 @@ object TextAnalysis {
         exp(col("nll_sum") / col("n_tok")).as("perplexity"))
   }
 
+  /** Pre-aggregated (doc_id, term, tf) rows via the row-local
+    * [[org.apache.spark.sql.graft.TokenCounts]] kernel — each
+    * document's token list never leaves its row, so the explode emits
+    * (term, tf) pairs and the raw token stream is never shuffled (at
+    * 100 TB that shuffle IS the query). Shared by [[tfidfTopTerms]]
+    * and [[unigramNll]]. */
+  private def termFrequencies(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts}
+    docs
+      .select(col("doc_id"),
+        explode(Bridge.column(TokenCounts(Bridge.expression(
+          expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")))))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, topK: Int = TfidfTopK): DataFrame = {
-    // tf is computed ROW-LOCALLY (sort + run-length-encode kernel):
-    // each document's token list never leaves its row, so the explode
-    // emits pre-aggregated (term, tf) pairs and the raw token stream
-    // is never shuffled — at 100 TB that shuffle IS the query
-    val tf = {
-      import org.apache.spark.sql.graft.{Bridge, TokenCounts}
-      docs
-        .select(col("doc_id"),
-          explode(Bridge.column(TokenCounts(Bridge.expression(
-            expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")))))
-            .as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"),
-          col("tc.tf").as("tf"))
-    }
+    val tf = termFrequencies(docs)
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(docFreq, "term")

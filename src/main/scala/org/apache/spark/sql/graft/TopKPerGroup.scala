@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -46,8 +46,7 @@ case class TopKPerGroup(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rank is CREATED here, not consumed — without this the analyzer
   // counts it as a missing input reference
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan)
       : TopKPerGroup = copy(child = newChild)
 }
@@ -70,8 +69,8 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
 
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
