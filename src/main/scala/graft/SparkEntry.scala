@@ -259,6 +259,25 @@ object SparkEntry {
     "q44_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(TextAnalysis.withSyntheticPii(
         documents(s, dir)))),
+    // REAL media decode, graded sample-exactly: synthesize a genuine
+    // RIFF/PCM WAV (q54) / binary PPM (q55) per document from doc_id
+    // arithmetic, decode it back with the pure-JVM parsers, and let
+    // the oracle recompute the expected facts from the same
+    // arithmetic — green rows prove the decoders invert the formats.
+    "q54_wav_decode" -> ((s, dir) =>
+      operators.Multimodal.wavDecodeStats(documents(s, dir))),
+    "q55_ppm_decode" -> ((s, dir) =>
+      operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // DataSourceV2 wire-format connector: the scan itself is the
+    // graded operator — type filter + amount cut pushed into the
+    // source (skipped before projection), columns pruned to the
+    // parser. Oracle reads the same JSONL through DuckDB.
+    "q53_wire_source" -> ((s, _) =>
+      s.read.format("wire-taxi").load(TinyFixturePath)
+        .filter(col("type") === "trip" && col("total_amount") >= 5.0)
+        .select(col("trip_id"), col("total_amount"),
+          unix_millis(col("pickup_datetime")).as("pickup_ms"),
+          unix_millis(col("dropoff_datetime")).as("dropoff_ms"))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -449,6 +468,8 @@ object SparkEntry {
     "q46_pack_sequences" -> OracleSql.packSequences,
     "q47_perplexity" -> OracleSql.unigramNll,
     "q48_chunk_docs" -> OracleSql.chunkDocs,
+    "q54_wav_decode" -> OracleSql.wavDecode,
+    "q55_ppm_decode" -> OracleSql.ppmDecode,
     "q49_mixture_resample" -> OracleSql.mixtureResample,
     // the custom operator's contract IS the window formulation — the
     // oracle runs it directly
@@ -461,6 +482,18 @@ object SparkEntry {
         |           ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
         |  FROM e
         |)
-        |SELECT event_type, event_id, value, rank FROM r WHERE rank <= 3""".stripMargin
+        |SELECT event_type, event_id, value, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q53_wire_source" ->
+      s"""SELECT trip_id, total_amount,
+         |       epoch_ms(CAST(pickup_datetime AS TIMESTAMP)) AS pickup_ms,
+         |       epoch_ms(CAST(dropoff_datetime AS TIMESTAMP)) AS dropoff_ms
+         |FROM read_json('$TinyFixturePath',
+         |  format='newline_delimited', ignore_errors=true,
+         |  columns={type:'VARCHAR', trip_id:'BIGINT',
+         |           pickup_datetime:'TIMESTAMPTZ', dropoff_datetime:'TIMESTAMPTZ',
+         |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
+         |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
+         |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})
+         |WHERE type = 'trip' AND total_amount >= 5.0""".stripMargin
   )
 }

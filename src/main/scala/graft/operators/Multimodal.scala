@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   * (image/audio/video) carried as opaque `binary` columns with typed
   * metadata, processed by per-partition batch operators.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
+  * Two container formats are decoded FOR REAL in pure JVM code —
+  * RIFF/WAV PCM ([[Multimodal.decodeWav]], chunk-walking parser) and
+  * binary PPM ([[Multimodal.decodePpm]], with a genuine
+  * nearest-neighbor [[Multimodal.resizePpmNearest]]) — both graded
+  * sample-exactly against the oracle (q54/q55). Formats that need
+  * native codecs the container lacks (JPEG/PNG/MP4) remain behind a
   * deliberate stub ([[Multimodal.decodeStub]]): a deterministic
-  * byte-histogram "embedding" stands in for a real
+  * byte-histogram "embedding" stands in for the
   * decoder+feature-extractor. Everything around it — the schema, the
   * typed Dataset API, mime sniffing, per-partition batching (decoder
   * context initialized once per partition, the same shape a real
@@ -135,6 +140,230 @@ object Multimodal {
         }
         MediaRecord(id, kind, header ++ text.getBytes("UTF-8"))
       }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codecs (pure JVM, no external libraries): RIFF/WAV PCM and
+  // binary PPM (P6). These upgrade the decode step from stub to real
+  // for the two container formats that need no native codec — the
+  // JPEG/PNG/MP4 paths remain behind [[decodeStub]] as documented.
+  // ---------------------------------------------------------------
+
+  /** Decoded PCM facts of a WAV payload. `sumAbs`/`peakAbs` are the
+    * amplitude aggregates the graded query checks sample-exactly. */
+  final case class WavInfo(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Int, peakAbs: Int, sumAbs: Long)
+
+  /** Encode 16-bit mono PCM as a canonical RIFF/WAVE file. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL WAV decoder: walks the RIFF chunk list (any chunk order,
+    * odd-size pad bytes honored), parses `fmt `, and aggregates the
+    * 16-bit PCM `data` samples. None = not a parseable PCM WAV. */
+  def decodeWav(payload: Array[Byte]): Option[WavInfo] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt // declared riff size (trust actual bounds instead)
+    if (tag() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val p = buf.position()
+          val audioFormat = buf.getShort
+          val channels = buf.getShort.toInt
+          val rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          val bits = buf.getShort.toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((channels, rate, bits))
+          buf.position(p + size)
+        case "data" =>
+          data = Some((buf.position(), size))
+          buf.position(buf.position() + size)
+        case _ =>
+          buf.position(buf.position() + size)
+      }
+      if (size % 2 == 1 && buf.remaining() > 0)
+        buf.position(buf.position() + 1) // RIFF pad byte
+    }
+    for ((channels, rate, bits) <- fmt; (off, len) <- data;
+        if bits == 16) yield {
+      val n = len / 2
+      var i = 0; var sum = 0L; var peak = 0
+      while (i < n) {
+        val a = math.abs(buf.getShort(off + 2 * i).toInt)
+        sum += a; if (a > peak) peak = a
+        i += 1
+      }
+      WavInfo(rate, channels, bits, n / channels, peak, sum)
+    }
+  }
+
+  /** Decoded binary-PPM image; `pixels` is row-major RGB. */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  def encodePpm(img: PpmImage): Array[Byte] =
+    s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII") ++
+      img.pixels
+
+  /** REAL PPM (P6) decoder: header tokenizer honoring whitespace
+    * runs and `#` comments, maxval 255, raw RGB payload. */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    var pos = 0
+    def skipSeparators(): Unit = {
+      var done = false
+      while (!done && pos < payload.length) {
+        val c = payload(pos).toChar
+        if (c == '#') { // comment runs to end of line
+          while (pos < payload.length && payload(pos).toChar != '\n') pos += 1
+        } else if (c.isWhitespace) pos += 1
+        else done = true
+      }
+    }
+    def token(): Option[String] = {
+      skipSeparators()
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace &&
+        payload(pos).toChar != '#') pos += 1
+      if (pos > start) Some(new String(payload, start, pos - start,
+        "US-ASCII")) else None
+    }
+    def intToken(): Option[Int] = token().flatMap(_.toIntOption)
+    for {
+      magic <- token() if magic == "P6"
+      w <- intToken() if w > 0
+      h <- intToken() if h > 0
+      maxval <- intToken() if maxval == 255
+      // exactly ONE whitespace byte separates maxval from raster
+      _ = { pos += 1 }
+      if payload.length - pos >= 3 * w * h
+    } yield PpmImage(w, h,
+      java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h))
+  }
+
+  /** REAL nearest-neighbor downscale: output pixel (x, y) samples
+    * source pixel (x*factor, y*factor). */
+  def resizePpmNearest(img: PpmImage, factor: Int): PpmImage = {
+    val w = (img.width + factor - 1) / factor
+    val h = (img.height + factor - 1) / factor
+    val out = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = 3 * (y * factor * img.width + x * factor)
+        val dst = 3 * (y * w + x)
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, out)
+  }
+
+  // Deterministic synthetic payloads from doc_id arithmetic — the
+  // same trick the PII corpus uses (q44): the DuckDB oracle computes
+  // the expected decode facts from the identical arithmetic, so a
+  // green row proves the decoder truly inverts the container format.
+  val WavRate = 8000
+
+  def wavSamplesOf(id: Long): Array[Short] = {
+    val n = (64 + id % 64).toInt
+    Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+  }
+
+  def ppmOf(id: Long): PpmImage = {
+    val w = (4 + id % 8).toInt
+    val h = (3 + id % 5).toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px(3 * (y * w + x) + c) =
+            ((id + 3 * x + 7 * y + 11 * c) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, px)
+  }
+
+  /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per
+    * document, then DECODE it back with the chunk-walking parser and
+    * report sample-exact amplitude aggregates. Row-local end-to-end
+    * (encode + decode never leave the partition). */
+  def wavDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val info = decodeWav(encodeWavPcm16(WavRate, wavSamplesOf(id)))
+          .getOrElse(sys.error(s"undecodable WAV for doc $id"))
+        (id, info.sampleRate, info.nSamples,
+          info.nSamples.toLong * 1000000L / WavRate,
+          info.peakAbs, info.sumAbs)
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_us",
+        "peak_abs", "sum_abs")
+  }
+
+  /** Graded PPM decode + resize (q55): synthesize a real P6 file,
+    * decode it, nearest-neighbor downscale ×2, re-ENCODE, re-DECODE,
+    * and report per-channel sums of both rasters. The resized raster
+    * goes through encode→decode again so the graded numbers cover the
+    * full codec round-trip. */
+  def ppmDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = decodePpm(encodePpm(ppmOf(id)))
+          .getOrElse(sys.error(s"undecodable PPM for doc $id"))
+        val resized = decodePpm(encodePpm(resizePpmNearest(img, 2)))
+          .getOrElse(sys.error(s"undecodable resized PPM for doc $id"))
+        def channelSum(p: PpmImage, c: Int): Long = {
+          var i = c; var s = 0L
+          while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 3 }
+          s
+        }
+        (id, img.width, img.height,
+          channelSum(img, 0), channelSum(img, 1), channelSum(img, 2),
+          resized.width, resized.height, channelSum(resized, 0))
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "r_width", "r_height", "r_sum_r")
   }
 
   /** The graded multimodal query (q21): per media record, the sniffed

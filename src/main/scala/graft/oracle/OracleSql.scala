@@ -1164,4 +1164,64 @@ SELECT doc_id,
     '$PhonePattern', '<PHONE>', 'g') AS clean_text
 FROM p"""
   }
+
+  /** q54 oracle — recomputes the WAV decoder's sample-exact facts
+    * from the same doc_id arithmetic that synthesized the PCM stream
+    * ([[graft.operators.Multimodal.wavSamplesOf]]): n = 64 + id%64
+    * samples, sample i = ((id*31 + i*7) % 2048) - 1024, 8 kHz mono
+    * 16-bit (duration_us = n * 125 exactly). */
+  def wavDecode: String = {
+    val rate = graft.operators.Multimodal.WavRate
+    s"""WITH au AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+amps AS (
+  SELECT a.doc_id, a.n,
+         ABS(((a.doc_id * 31 + r.i * 7) % 2048) - 1024) AS amp
+  FROM au a, LATERAL (SELECT unnest(range(0, a.n)) AS i) r
+)
+SELECT doc_id, $rate AS sample_rate, n AS n_samples,
+       n * (1000000 // $rate) AS duration_us,
+       MAX(amp) AS peak_abs, SUM(amp) AS sum_abs
+FROM amps GROUP BY doc_id, n"""
+  }
+
+  /** q55 oracle — recomputes the PPM decode + ×2 nearest-neighbor
+    * resize facts from [[graft.operators.Multimodal.ppmOf]]'s pixel
+    * arithmetic: w = 4 + id%8, h = 3 + id%5, channel c of pixel
+    * (x, y) = (id + 3x + 7y + 11c) % 256; the resized raster samples
+    * source pixel (2x, 2y) with dims ceil(w/2) × ceil(h/2). */
+  def ppmDecode: String =
+    """WITH im AS (
+  SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT i.doc_id, i.w, i.h,
+         (i.doc_id + 3 * x.x + 7 * y.y) % 256 AS r,
+         (i.doc_id + 3 * x.x + 7 * y.y + 11) % 256 AS g,
+         (i.doc_id + 3 * x.x + 7 * y.y + 22) % 256 AS b
+  FROM im i,
+       LATERAL (SELECT unnest(range(0, i.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, i.h)) AS y) y
+),
+base AS (
+  SELECT doc_id, w, h, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+),
+rim AS (
+  SELECT doc_id, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM im
+),
+rpx AS (
+  SELECT i.doc_id, i.rw, i.rh,
+         (i.doc_id + 3 * (2 * x.x) + 7 * (2 * y.y)) % 256 AS r
+  FROM rim i,
+       LATERAL (SELECT unnest(range(0, i.rw)) AS x) x,
+       LATERAL (SELECT unnest(range(0, i.rh)) AS y) y
+),
+rbase AS (
+  SELECT doc_id, rw, rh, SUM(r) AS r_sum_r
+  FROM rpx GROUP BY doc_id, rw, rh
+)
+SELECT b.doc_id, b.w AS width, b.h AS height,
+       b.sum_r, b.sum_g, b.sum_b,
+       r.rw AS r_width, r.rh AS r_height, r.r_sum_r
+FROM base b JOIN rbase r USING (doc_id)"""
 }

@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model.Events
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the reference's taxi wire format —
+  * newline-delimited snake_case JSON with a `type` discriminator
+  * (events/kinesis/Event.java:35-54), optionally gzipped per file
+  * (TaxiEventReader.java:84-118). This is the batch-source analogue
+  * of the reference's Kinesis consumer registration
+  * (ProcessTaxiStream.java:73-84): where Flink wires a SourceFunction
+  * by hand, Spark's connector API lets the engine register the wire
+  * format as a first-class table so every downstream optimization
+  * (filter pushdown, column pruning, partition parallelism) applies
+  * before a single line is parsed.
+  *
+  *   spark.read.format("wire-taxi").load(dir | file)
+  *
+  * Scale design:
+  *  - one InputPartition per file — gzip streams are not splittable,
+  *    so the file is the parallelism unit exactly as a Kinesis shard
+  *    is the reference's (a 100 TB corpus is many files, not one);
+  *  - column pruning reaches the parser: only requested fields are
+  *    extracted from each JsonNode, and rows are built directly as
+  *    InternalRow (no Row round-trip);
+  *  - pushed filters run against the parsed node BEFORE projection,
+  *    so a `type = 'trip'` scan never materializes watermark rows.
+  *    Every filter is also returned as residual for Spark to
+  *    re-check — the same belt-and-braces contract the built-in
+  *    Parquet source uses, so a semantics mismatch in the source can
+  *    drop rows at worst never corrupt results;
+  *  - malformed lines are skipped, matching the reader contract R1
+  *    (TaxiEventReader.java:136-141) and the codec's skip-malformed
+  *    layer (EventCodec.parseEvents).
+  */
+class WireTaxiSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wire-taxi"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Events.wireSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("wire-taxi requires a load path"))
+    new WireTaxiTable(path, schema)
+  }
+}
+
+class WireTaxiTable(path: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"wire-taxi:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WireTaxiScanBuilder(path, schema)
+}
+
+class WireTaxiScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WireTaxiFilters.supported)
+    filters // all residual: Spark re-evaluates (safe double-check)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new WireTaxiScan(path, required, pushed)
+}
+
+class WireTaxiScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"WireTaxiScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = java.nio.file.Paths.get(path)
+    val files =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.toString).toArray.sorted
+        finally listing.close()
+      } else Array(path)
+    files.map(f => WireTaxiPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WireTaxiReaderFactory(required, pushed)
+}
+
+case class WireTaxiPartition(file: String) extends InputPartition
+
+class WireTaxiReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WireTaxiPartitionReader(
+      partition.asInstanceOf[WireTaxiPartition].file, required, pushed)
+}
+
+/** Streams one wire file: gunzip by magic byte, parse each line with
+  * Jackson, drop lines failing the pushed filters, project the pruned
+  * schema straight into an InternalRow. */
+class WireTaxiPartitionReader(
+    file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val reader = {
+    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))
+    val in = new java.io.PushbackInputStream(raw, 2)
+    val b1 = in.read(); val b2 = in.read()
+    if (b2 != -1) in.unread(b2)
+    if (b1 != -1) in.unread(b1)
+    val stream =
+      if (b1 == 0x1f && b2 == 0x8b) new java.util.zip.GZIPInputStream(in)
+      else in
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(stream, "UTF-8"))
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      parse(line) match {
+        case Some(n) if pushed.forall(WireTaxiFilters.eval(_, n)) =>
+          row = project(n)
+          return true
+        case _ => // malformed or filtered at source: skip
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+
+  private def parse(line: String): Option[JsonNode] =
+    try {
+      val n = mapper.readTree(line)
+      if (n != null && n.isObject) Some(n) else None
+    } catch { case _: Exception => None }
+
+  private def project(n: JsonNode): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      values(i) = WireTaxiFilters.extract(n, required(i))
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+}
+
+/** Shared JSON-field extraction and source-side filter evaluation. */
+object WireTaxiFilters {
+
+  /** Typed value of a wire field, null when absent (matches the
+    * union-schema semantics of EventCodec.parseEvents). Timestamps
+    * become epoch MICROS, the InternalRow encoding of TimestampType. */
+  def extract(n: JsonNode, field: StructField): Any = {
+    val v = n.get(field.name)
+    if (v == null || v.isNull) return null
+    field.dataType match {
+      case StringType => UTF8String.fromString(v.asText())
+      case LongType => if (v.canConvertToLong) v.asLong() else null
+      case DoubleType => if (v.isNumber) v.asDouble() else null
+      case TimestampType =>
+        try {
+          val inst = java.time.Instant.parse(v.asText())
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        } catch { case _: Exception => null }
+      case other =>
+        throw new IllegalArgumentException(
+          s"wire-taxi: unsupported column type $other for ${field.name}")
+    }
+  }
+
+  /** Filters the source evaluates itself. Timestamp comparisons stay
+    * residual-only — Spark's session-zone parsing is the single
+    * source of truth for those. */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => comparable(a, v)
+    case GreaterThan(a, v) => comparable(a, v)
+    case GreaterThanOrEqual(a, v) => comparable(a, v)
+    case LessThan(a, v) => comparable(a, v)
+    case LessThanOrEqual(a, v) => comparable(a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(comparable(a, _))
+    case IsNotNull(_) | IsNull(_) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private def comparable(attr: String, value: Any): Boolean = value match {
+    case _: String => attr == "type"
+    case _: Long | _: Int | _: Double => numericCols(attr)
+    case _ => false
+  }
+
+  private val numericCols = Set("trip_id", "pickup_lat", "pickup_lon",
+    "dropoff_lat", "dropoff_lon", "total_amount")
+
+  /** SQL three-valued logic collapsed to keep/drop: a comparison on
+    * an absent field is false (the residual re-check agrees). */
+  def eval(f: Filter, n: JsonNode): Boolean = f match {
+    case EqualTo(a, v) => cmp(a, v, n).contains(0)
+    case GreaterThan(a, v) => cmp(a, v, n).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, n).exists(_ >= 0)
+    case LessThan(a, v) => cmp(a, v, n).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, v, n).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(a, v, n).contains(0))
+    case IsNotNull(a) => hasField(a, n)
+    case IsNull(a) => !hasField(a, n)
+    case And(l, r) => eval(l, n) && eval(r, n)
+    case Or(l, r) => eval(l, n) || eval(r, n)
+    case _ => true // unsupported never reaches here; keep = safe
+  }
+
+  private def hasField(attr: String, n: JsonNode): Boolean = {
+    val v = n.get(attr)
+    v != null && !v.isNull
+  }
+
+  /** compare(field, literal) → None when the field is absent or the
+    * node isn't of a comparable kind. */
+  private def cmp(attr: String, value: Any, n: JsonNode): Option[Int] = {
+    val v = n.get(attr)
+    if (v == null || v.isNull) return None
+    value match {
+      case s: String => if (v.isTextual) Some(v.asText().compareTo(s)) else None
+      case num: Long => numCmp(v, num.toDouble)
+      case num: Int => numCmp(v, num.toDouble)
+      case num: Double => numCmp(v, num)
+      case _ => None
+    }
+  }
+
+  private def numCmp(v: JsonNode, d: Double): Option[Int] =
+    if (v.isNumber) Some(java.lang.Double.compare(v.asDouble(), d)) else None
+}

@@ -90,4 +90,68 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
     assert(meta(3L) == 2004L && meta(4L) == 4096L)
   }
+
+  test("WAV codec round-trips known PCM samples") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val info = Multimodal.decodeWav(
+      Multimodal.encodeWavPcm16(44100, samples)).get
+    assert(info.sampleRate == 44100 && info.channels == 1)
+    assert(info.bitsPerSample == 16 && info.nSamples == 6)
+    assert(info.peakAbs == 32768)
+    assert(info.sumAbs == 0L + 1000 + 1000 + 32767 + 32768 + 7)
+  }
+
+  test("WAV decoder walks unknown chunks and RIFF pad bytes") {
+    // hand-build: RIFF / WAVE / LIST(3 bytes, odd -> pad) / fmt / data
+    val samples = Array[Short](5, -5)
+    val canonical = Multimodal.encodeWavPcm16(8000, samples)
+    val fmtAndData = java.util.Arrays.copyOfRange(canonical, 12,
+      canonical.length)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3B + pad
+    val riffLen = 4 + list.length + fmtAndData.length
+    val head = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII")).array()
+    val info = Multimodal.decodeWav(head ++ list ++ fmtAndData).get
+    assert(info.nSamples == 2 && info.sumAbs == 10L)
+  }
+
+  test("WAV decoder rejects non-PCM and truncated input") {
+    val wav = Multimodal.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    val nonPcm = wav.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("PPM codec round-trips and honors header comments") {
+    val img = Multimodal.PpmImage(2, 2,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val decoded = Multimodal.decodePpm(Multimodal.encodePpm(img)).get
+    assert(decoded.width == 2 && decoded.height == 2)
+    assert(decoded.pixels.toSeq == img.pixels.toSeq)
+    val withComment = ("P6\n# a comment line\n2 2\n255\n".getBytes(
+      "US-ASCII")) ++ img.pixels
+    val dc = Multimodal.decodePpm(withComment).get
+    assert(dc.width == 2 && dc.pixels.toSeq == img.pixels.toSeq)
+    // short raster / wrong maxval are rejected
+    assert(Multimodal.decodePpm(
+      Multimodal.encodePpm(img).dropRight(1)).isEmpty)
+    assert(Multimodal.decodePpm(
+      ("P6\n2 2\n65535\n".getBytes("US-ASCII")) ++ img.pixels ++
+        img.pixels).isEmpty)
+  }
+
+  test("nearest-neighbor resize samples pixels (x*f, y*f)") {
+    // 4x2 image whose red channel encodes the pixel's (x, y)
+    val px = new Array[Byte](3 * 4 * 2)
+    for (y <- 0 until 2; x <- 0 until 4) px(3 * (y * 4 + x)) =
+      (10 * y + x).toByte
+    val r = Multimodal.resizePpmNearest(Multimodal.PpmImage(4, 2, px), 2)
+    assert(r.width == 2 && r.height == 1)
+    assert(r.pixels(0) == 0 && r.pixels(3) == 2) // src (0,0), (2,0)
+  }
 }
