@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Global total-order row index WITHOUT a single-reducer window:
+    // range partition + per-partition offsets (the oracle's
+    // row_number() is exactly the plan this operator avoids).
+    "q57_global_index" -> ((s, dir) =>
+      operators.GlobalIndex.docGlobalIndex(documents(s, dir))),
     // Runtime join filtering: the lineitem side passes a Bloom
     // filter of the urgent orders' keys BEFORE the join shuffle; the
     // exact join removes false positives, so the result is
@@ -478,6 +483,11 @@ object SparkEntry {
     "q48_chunk_docs" -> OracleSql.chunkDocs,
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
+    "q57_global_index" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |         - 1 AS global_idx
+        |FROM documents""".stripMargin,
     "q56_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |       SUM(l_quantity) AS sum_qty,

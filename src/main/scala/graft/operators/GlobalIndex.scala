@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Global row indexing under a TOTAL order without a global sort
+  * funnel — the scalable form of `row_number() OVER (ORDER BY ...)`,
+  * which Spark's window operator executes in ONE partition (the
+  * classic 100 TB cliff: every row through a single reducer).
+  *
+  * Shape: range-repartition on the sort key (each partition owns a
+  * contiguous key range), sort within partitions, count rows per
+  * partition (a bounded collect — one long per partition), prefix-sum
+  * the counts into partition offsets, then stream each partition once
+  * adding `offset + local position`. Total cost: one range exchange +
+  * one tiny job; no single-reducer stage anywhere.
+  *
+  * The ranged frame is persisted before the counting pass:
+  * RangePartitioner SAMPLES its boundaries per evaluation, so the
+  * count job and the index job must observe the SAME materialized
+  * partitioning — recomputing would legally re-sample different
+  * boundaries and silently corrupt the offsets. (In a production
+  * layout job the ranged data is written out anyway — the persist IS
+  * that materialization.) Callers release it via the returned frame's
+  * lifecycle (`spark.catalog.clearCache()` or `unpersist`).
+  *
+  * The sort key must be a total order (append a unique tiebreaker
+  * column); ties would otherwise make the index nondeterministic.
+  */
+object GlobalIndex {
+
+  /** Number of range partitions for the graded query — at fixture
+    * scale this exercises the multi-partition path; a cluster run
+    * sizes it to data/parallelism. */
+  val Q57Partitions = 8
+
+  def globalRowIndex(df: DataFrame, sortCols: Seq[Column],
+      partitions: Int): DataFrame = {
+    // The range-partition id is BAKED INTO the cached rows (evaluated
+    // in the stage that fills the cache, whose task ids are the range
+    // partition ids). Downstream operators may be fused into
+    // differently-numbered tasks — a coalesce(1) sink collapses
+    // everything into task 0 — so reading TaskContext.getPartitionId
+    // at index-assignment time would silently mis-offset; the data
+    // column survives any narrow re-wiring.
+    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one row per partition: bounded by the partition count, never
+    // by the data
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](partitions)
+    var acc = 0L
+    var pid = 0
+    while (pid < partitions) {
+      offsets(pid) = acc
+      acc += counts.getOrElse(pid, 0L)
+      pid += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val pidIdx = df.schema.length // __pid sits after the user columns
+    val outSchema = df.schema.add("global_idx", LongType, nullable = false)
+    ranged.mapPartitions { rows =>
+      // a fused task may stream several source partitions back to
+      // back (each internally sorted); restart the counter at each
+      // partition boundary
+      var cur = -1
+      var i = 0L
+      rows.map { r =>
+        val p = r.getInt(pidIdx)
+        if (p != cur) { cur = p; i = bc.value(p) }
+        val out = Row.fromSeq(r.toSeq.dropRight(1) :+ i)
+        i += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Graded global index (q57): documents totally ordered by
+    * (n_chars, doc_id) — the layout step that gives every training
+    * document a stable global position (shard assignment, resumable
+    * data loading). Oracle: `row_number() OVER (ORDER BY ...) - 1`,
+    * which DuckDB runs directly and Spark would funnel through one
+    * reducer — the operator exists precisely to avoid that plan. */
+  def docGlobalIndex(docs: DataFrame): DataFrame =
+    globalRowIndex(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars"), col("doc_id")), Q57Partitions)
+}
