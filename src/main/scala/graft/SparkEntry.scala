@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Span-level duplication (sampled exact-substring dedup): how
+    // much of each document's text occurs verbatim elsewhere in the
+    // corpus — one rolling-hash pass + one gram-hash shuffle.
+    "q58_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(documents(s, dir))),
     // Global total-order row index WITHOUT a single-reducer window:
     // range partition + per-partition offsets (the oracle's
     // row_number() is exactly the plan this operator avoids).
@@ -483,6 +488,7 @@ object SparkEntry {
     "q48_chunk_docs" -> OracleSql.chunkDocs,
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
+    "q58_dup_spans" -> OracleSql.dupSpans,
     "q57_global_index" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)

@@ -563,6 +563,61 @@ object Dedup {
           .as("frac_shared"))
   }
 
+  /** Span-level duplication constants (q58): [[DupSpanK]]-char
+    * spans sampled every [[DupSpanStride]] positions — the sampled
+    * form of exact-substring duplicate detection (a la training-data
+    * substring dedup): fine enough to catch any duplicated run of
+    * ≥ K + stride − 1 chars, with 1/stride of the gram volume. */
+  val DupSpanK = 16
+  val DupSpanStride = 4
+
+  /** Per-document duplicated-SPAN statistics: how many of a doc's
+    * sampled [[DupSpanK]]-char spans also occur in at least one OTHER
+    * document. Where the doc-level families (minhash/simhash/winnow)
+    * decide "are these documents near-duplicates", this measures "how
+    * much of this document is duplicated text" — the gate used to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Scale design: the raw text never shuffles — one codegen'd
+    * rolling-hash pass reduces each doc to its sampled span hashes;
+    * the per-doc DISTINCT is row-local (array_distinct before the
+    * explode); then ONE hash-shuffle aggregation counts documents per
+    * span (map-side combine applies: per-doc-distinct grams make the
+    * count a distinct-doc count with a plain COUNT) and a co-
+    * partitioned left-semi join (same key as the aggregation — no
+    * second exchange of the gram stream) marks the duplicated spans.
+    * No all-pairs stage exists at any size. */
+  def duplicatedSpans(docs: DataFrame, k: Int = DupSpanK,
+      stride: Int = DupSpanStride): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, RollingHashes}
+    val hashed = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        array_distinct(Bridge.column(RollingHashes(
+          Bridge.expression(col("text")), k, WinnowBase, P, stride)))
+          .as("hs"))
+      .persist()
+    val grams = hashed
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    // per-doc-distinct grams => COUNT(*) per hash IS the distinct
+    // document count
+    val dupSpans = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val dupCounts = grams
+      .join(dupSpans, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    hashed
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          col("n_grams")).as("dup_ratio"))
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

@@ -1165,6 +1165,40 @@ SELECT doc_id,
 FROM p"""
   }
 
+  /** q58 oracle — mirror of
+    * [[graft.operators.Dedup.duplicatedSpans]]: per-doc-distinct
+    * sampled k-gram rolling hashes (positions 0, stride, 2·stride …),
+    * spans in ≥ 2 docs are duplicated, counts re-aggregated per doc. */
+  def dupSpans: String = {
+    val k = Dedup.DupSpanK
+    val s = Dedup.DupSpanStride
+    val b = Dedup.WinnowBase
+    val m = Dedup.P
+    s"""WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= $k
+), h AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(0, (length(text) - $k) // $s + 1),
+      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, ${k + 1}),
+          j -> CAST(ord(substr(text, CAST(i * $s + j AS INT), 1)) AS BIGINT))),
+        (a, c) -> (a * $b + c) % $m))) AS hs
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(hs) AS g FROM h
+), dup AS (
+  SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 2
+), dc AS (
+  SELECT ex.doc_id, COUNT(*) AS n_dup_grams
+  FROM ex JOIN dup USING (g) GROUP BY ex.doc_id
+)
+SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_grams,
+       COALESCE(dc.n_dup_grams, 0) AS n_dup_grams,
+       CAST(COALESCE(dc.n_dup_grams, 0) AS DOUBLE) / len(h.hs)
+         AS dup_ratio
+FROM h LEFT JOIN dc USING (doc_id)"""
+  }
+
   /** q54 oracle — recomputes the WAV decoder's sample-exact facts
     * from the same doc_id arithmetic that synthesized the PCM stream
     * ([[graft.operators.Multimodal.wavSamplesOf]]): n = 64 + id%64

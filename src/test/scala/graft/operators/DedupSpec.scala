@@ -172,6 +172,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(result(Dedup.dedupClustersStar(pairs)) == expected)
   }
 
+  test("duplicated spans: shared substrings counted, unique text zero") {
+    import spark.implicits._
+    val shared = "the exact same twenty-five chars run " * 2 // 74 chars
+    val corpus = Seq(
+      (1L, "left context AAA " + shared + " right tail one"),
+      (2L, "other prefix BBB " + shared + " different tail"),
+      (3L, "completely unrelated text with no repeats at all here"),
+      (4L, "short")) // below k: filtered out entirely
+      .toDF("doc_id", "text")
+    val rows = Dedup.duplicatedSpans(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!rows.contains(4L)) // length < k
+    assert(rows(3L)._2 == 0L && rows(3L)._3 == 0.0)
+    // docs 1 and 2 share a 74-char run: sampled 16-grams inside it
+    // collide, so both have duplicated spans but not all spans
+    assert(rows(1L)._2 > 0L && rows(2L)._2 > 0L)
+    assert(rows(1L)._2 < rows(1L)._1 && rows(2L)._2 < rows(2L)._1)
+    spark.catalog.clearCache()
+  }
+
   test("reliable-checkpoint mode: correct labels, superseded rounds released") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
