@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Exact heavy hitters: Count-Min-Sketch pre-filter (row-local,
+    // never undercounts) keeps the token tail out of the shuffle;
+    // the exact count after it matches the oracle's full GROUP BY.
+    "q59_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(documents(s, dir))),
     // Span-level duplication (sampled exact-substring dedup): how
     // much of each document's text occurs verbatim elsewhere in the
     // corpus — one rolling-hash pass + one gram-hash shuffle.
@@ -489,6 +494,20 @@ object SparkEntry {
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
     "q58_dup_spans" -> OracleSql.dupSpans,
+    "q59_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), tt AS (
+         |  SELECT token FROM t WHERE length(token) > 0
+         |), tot AS (
+         |  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) *
+         |    ${operators.TextAnalysis.HeavyFraction}) AS BIGINT)) AS thr
+         |  FROM tt
+         |)
+         |SELECT token, COUNT(*) AS n_occurrences
+         |FROM tt, tot
+         |GROUP BY token, tot.thr
+         |HAVING COUNT(*) >= tot.thr""".stripMargin,
     "q57_global_index" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)

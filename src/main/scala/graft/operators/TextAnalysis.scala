@@ -381,4 +381,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** Heavy-hitter constants (q59): a token is heavy when it carries
+    * ≥ [[HeavyFraction]] of all token occurrences; the sketch's
+    * overestimate is bounded by eps·N ≈ 0.1% of N, far under the 2%
+    * cut, so the candidate set stays tight. */
+  val HeavyFraction = 0.02
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** EXACT corpus heavy hitters via a Count-Min-Sketch pre-filter:
+    * tokens carrying ≥ `fraction` of all occurrences, with exact
+    * counts. One sketch pass (distributed aggregate, driver memory =
+    * the sketch's fixed width×depth table), then the token stream is
+    * filtered ROW-LOCALLY by the sketch estimate before the exact
+    * count — the long tail (most of the distinct mass) never enters
+    * the shuffle. CMS never undercounts, so the filter keeps a
+    * superset of the true heavy hitters and the exact HAVING makes
+    * the result identical to the oracle's full GROUP BY — the same
+    * provably-exact pre-filter contract as the Bloom join (q56). */
+  def heavyHitters(docs: DataFrame,
+      fraction: Double = HeavyFraction): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
+    val tokens = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .persist()
+    val total = tokens.count() // scalar action; reuses the persist
+    val threshold = math.max(1L, (total * fraction).toLong)
+    val cms = tokens.stat.countMinSketch(
+      "token", CmsEps, CmsConfidence, CmsSeed)
+    tokens
+      .filter(Bridge.column(CmsEstimate(
+        Bridge.expression(col("token")), cms)) >= threshold)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= threshold)
+  }
 }

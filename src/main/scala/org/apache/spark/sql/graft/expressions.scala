@@ -699,6 +699,43 @@ case class BloomMightContain(child: Expression,
       : BloomMightContain = copy(child = c)
 }
 
+/** Runtime helper for [[CmsEstimate]] (kept out of generated code
+  * templates so the Janino source stays a one-liner). */
+object CmsOps {
+  def estimate(cms: org.apache.spark.util.sketch.CountMinSketch,
+      s: UTF8String): Long = cms.estimateCount(s.toString)
+}
+
+/** `cms_estimate(token)` — Count-Min-Sketch frequency estimate of a
+  * string, the stream-side probe of the exact heavy-hitters operator
+  * (graft.operators.TextAnalysis.heavyHitters). Estimates NEVER
+  * undercount, so `cms_estimate(x) >= t` keeps a superset of the true
+  * ≥ t items and the exact count that follows sees every heavy
+  * hitter. Rides the plan as a reference object like
+  * [[BloomMightContain]]. */
+case class CmsEstimate(child: Expression,
+    cms: org.apache.spark.util.sketch.CountMinSketch)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(v: Any): Any =
+    CmsOps.estimate(cms, v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.CmsOps.estimate($ref, $v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : CmsEstimate = copy(child = c)
+}
+
 /** Column <-> Expression bridging for graft code. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSessionSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, length, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
@@ -147,5 +147,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(math.abs(out(1L)._2 - (-math.log(6.0 / 10.0))) < 1e-12)
     assert(math.abs(out(1L)._3 - math.exp(out(1L)._2)) < 1e-12)
     assert(math.abs(out(3L)._2 - (-math.log(1.0 / 10.0))) < 1e-12)
+  }
+
+  test("heavy hitters: sketch pre-filter reproduces the exact GROUP BY") {
+    import spark.implicits._
+    // 100 tokens: 'hot' x 40, 'warm' x 3 (above the 2% cut = 2),
+    // and 57 singletons (the tail the sketch filter drops early)
+    val text = (Seq.fill(40)("hot") ++ Seq.fill(3)("warm") ++
+      (1 to 57).map(i => s"tail$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 40L, "warm" -> 3L))
+    spark.catalog.clearCache()
+  }
+
+  test("heavy hitters match the plain aggregation on the fixture corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tokens = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = tokens.count()
+    val thr = math.max(1L, (total * TextAnalysis.HeavyFraction).toLong)
+    val exp = tokens.groupBy("token").count()
+      .filter(col("count") >= thr).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.nonEmpty)
+    spark.catalog.clearCache()
   }
 }
