@@ -89,6 +89,24 @@ object ScaleProbe {
     // copies), keeping the broadcast side proportionally sized
     time("contamination")(Dedup.benchmarkContamination(docs,
       benchBelowId = 20L * factor))
+    time("dup_spans")(Dedup.duplicatedSpans(docs))
+    time("heavy_hitters")(TextAnalysis.heavyHitters(docs))
+    time("global_index")(operators.GlobalIndex.docGlobalIndex(
+      docs.withColumn("n_chars", length(col("text")).cast("long"))))
+    // bloom join replicated with re-keyed orderkeys (join selectivity
+    // preserved across copies)
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .crossJoin(copies)
+        .select((col("l_orderkey") * factor + col("copy")).as("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .crossJoin(copies)
+        .select((col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
+          col("o_orderpriority"))
+      time("bloom_join")(
+        graft.operators.RuntimeFilter.bloomJoin(li, orders))
+    }
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →
     // Θ(n²) candidates) vs corpus-sized banding (w ≈ log₂(n/8): the

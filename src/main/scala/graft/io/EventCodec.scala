@@ -37,14 +37,22 @@ object EventCodec {
       .filter(col("e").isNotNull && col("e._corrupt").isNull)
       .select(col("e.*"))
       .drop("_corrupt")
-    if (!strict) parsed
-    else parsed.filter(
+    if (!strict) parsed else strictTyped(parsed)
+  }
+
+  /** The strict layer alone: well-formed events with a missing or
+    * unknown `type` RAISE (Event.java:41-52). Applied by
+    * [[parseEvents]] after its malformed-line skip, and directly to
+    * sources that already parse lines themselves (the wire-taxi
+    * connector drops malformed lines in its reader — R1 — so this is
+    * the only codec layer it still needs). */
+  def strictTyped(events: DataFrame): DataFrame =
+    events.filter(
       when(col("type").isNull,
         raise_error(lit("event without type field")))
       .when(!col("type").isin(Events.KnownTypes: _*),
         raise_error(concat(lit("unknown event type: "), col("type"))))
       .otherwise(lit(true)))
-  }
 
   /** Trip rows only, in the processor's TripEvent shape (F1 + M1:
     * type filter and typed downcast, ProcessTaxiStream.java:90-91). */

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,7 +68,8 @@ class WireTaxiTable(path: String, schema: StructType)
   override def name(): String = s"wire-taxi:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WireTaxiScanBuilder(path, schema)
 }
@@ -102,21 +104,93 @@ class WireTaxiScan(path: String, required: StructType, pushed: Array[Filter])
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new WireTaxiMicroBatchStream(path, required, pushed)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    WireTaxiFiles.list(path).map(f => WireTaxiPartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WireTaxiReaderFactory(required, pushed)
+}
+
+object WireTaxiFiles {
+  /** Name-sorted regular files under `path` (or `path` itself). */
+  def list(path: String): Array[String] = {
     val p = java.nio.file.Paths.get(path)
-    val files =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val listing = java.nio.file.Files.list(p)
-        try listing.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(_.toString).toArray.sorted
-        finally listing.close()
-      } else Array(path)
-    files.map(f => WireTaxiPartition(f): InputPartition)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).toArray.sorted
+      finally listing.close()
+    } else Array(path)
+  }
+}
+
+/** Stream offset: how many files of the name-sorted listing have been
+  * ingested. */
+case class WireTaxiOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+/** MICRO_BATCH_READ over the wire directory — the engine's streaming
+  * source analogue of the reference's Kinesis consumer registration
+  * (ProcessTaxiStream.java:73-84): each new file is a batch of shard
+  * records; the offset is the length of the ingested prefix of the
+  * name-sorted listing.
+  *
+  * Producer contract (matches the replay writer's `part-NNNNN`
+  * naming): files are appended with names that sort AFTER every
+  * existing file and are never rewritten — the same
+  * monotone-sequence-number contract a Kinesis shard gives its
+  * consumers. Offsets are then stable across restarts: prefix `n` of
+  * the sorted listing always denotes the same files. */
+class WireTaxiMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the target listing at query start so
+  // the run drains exactly that prefix (and the engine still runs the
+  // final no-data batch that flushes watermark-closed windows —
+  // sources without this support are wrapped and terminated early,
+  // losing that flush).
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(WireTaxiFiles.list(path).length)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    WireTaxiOffset(availableNowTarget.getOrElse(
+      WireTaxiFiles.list(path).length))
+
+  override def reportLatestOffset(): Offset =
+    WireTaxiOffset(WireTaxiFiles.list(path).length)
+
+  override def initialOffset(): Offset = WireTaxiOffset(0)
+
+  override def latestOffset(): Offset =
+    WireTaxiOffset(WireTaxiFiles.list(path).length)
+
+  override def deserializeOffset(json: String): Offset =
+    WireTaxiOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WireTaxiOffset].fileCount
+    val e = end.asInstanceOf[WireTaxiOffset].fileCount
+    WireTaxiFiles.list(path).slice(s, e)
+      .map(f => WireTaxiPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WireTaxiReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class WireTaxiPartition(file: String) extends InputPartition

@@ -160,4 +160,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(joins <= 1, s"funnel plans $joins joins — row-local stages joined:\n" +
       plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q57 global index plans no window operator and a range exchange") {
+    // the operator exists to REPLACE row_number() over a global ORDER
+    // BY — a Window node here means the single-reducer funnel is back
+    spark.catalog.clearCache()
+    val plan = q("q57_global_index").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "global index plan contains a window operator")
+    assert(plan.contains("rangepartitioning"),
+      "global index lost its range exchange")
+    spark.catalog.clearCache()
+  }
+
+  test("q58 dup spans: no all-pairs operator, bounded exchanges") {
+    spark.catalog.clearCache()
+    val df = q("q58_dup_spans")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "dup spans plan contains an all-pairs operator")
+    // gram agg + semi-join back + per-doc count + totals join: the
+    // gram stream must not shuffle more than these four
+    assert(shuffleCount(df) <= 4,
+      s"dup spans shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
+  test("q59 heavy hitters: sketch probe filters below the exact count") {
+    spark.catalog.clearCache()
+    val df = q("q59_heavy_hitters")
+    val plan = df.queryExecution.executedPlan.toString
+    val probeIdx = plan.indexOf("cms_estimate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(probeIdx >= 0, "cms_estimate probe missing from the plan")
+    assert(probeIdx > aggIdx, // parents print first: probe below agg
+      "sketch probe is not below the exact aggregation")
+    // one exchange for the exact count of the filtered stream
+    assert(shuffleCount(df) <= 1,
+      s"heavy hitters shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
 }

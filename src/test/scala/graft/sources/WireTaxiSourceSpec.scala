@@ -67,6 +67,61 @@ class WireTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("micro-batch stream ingests per file and resumes from checkpoint") {
+    val dir = Files.createTempDirectory("wiretaxi-stream")
+    val out = Files.createTempDirectory("wiretaxi-out").toString
+    val ckpt = Files.createTempDirectory("wiretaxi-ckpt").toString
+    Files.copy(Paths.get(fixture), dir.resolve("part-00000.jsonl"))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("wire-taxi").load(dir.toString)
+        .filter(col("type") === "trip")
+        .select("trip_id", "total_amount")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == 12) // trips in the fixture
+
+    // append a file whose name sorts after part-00000 (the producer
+    // contract); a restarted query must ingest ONLY the new file
+    Files.copy(Paths.get(fixture), dir.resolve("part-00001.jsonl"))
+    runOnce()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 24, "restart re-ingested or skipped files")
+    // every trip id exactly twice: no duplicates from re-reading file 0
+    val perId = rows.groupBy("trip_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perId == Set(2L))
+  }
+
+  test("streaming Q1 through the connector matches the text-source path") {
+    val dir = Files.createTempDirectory("wiretaxi-q1")
+    Files.copy(Paths.get(fixture), dir.resolve("part-00000.jsonl"))
+    def q1Of(events: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val out = Files.createTempDirectory("wiretaxi-q1-out").toString
+      val q = graft.operators.TaxiQueries.q1PickupHotspots(
+        graft.streaming.StreamingTaxi.tripStream(events))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("wiretaxi-q1-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect().map(_.toSeq).toSet
+    }
+    val viaConnector = q1Of(
+      graft.streaming.StreamingTaxi.fromWireSource(spark, dir.toString))
+    val viaText = q1Of(
+      graft.streaming.StreamingTaxi.fromJsonFiles(spark, dir.toString))
+    assert(viaConnector == viaText && viaConnector.nonEmpty)
+  }
+
   test("timestamps parse identically to the from_json codec path") {
     val a = viaSource.filter(col("type") === "trip")
       .select(unix_millis(col("dropoff_datetime"))).as[Long](
