@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Epoch-style weighted upsampling (the complement of q49's
+    // downsample-only mixing): whole copies + a hash-chosen
+    // fractional copy per language, entirely row-local.
+    "q60_upsample" -> ((s, dir) =>
+      operators.Sampling.upsampleMixture(documents(s, dir))),
     // Exact heavy hitters: Count-Min-Sketch pre-filter (row-local,
     // never undercounts) keeps the token tail out of the shuffle;
     // the exact count after it matches the oracle's full GROUP BY.
@@ -494,6 +499,7 @@ object SparkEntry {
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
     "q58_dup_spans" -> OracleSql.dupSpans,
+    "q60_upsample" -> OracleSql.upsampleMixture,
     "q59_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

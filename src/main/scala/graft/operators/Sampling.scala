@@ -174,4 +174,48 @@ object Sampling {
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
       .filter(col("rn") <= quota)
+
+  /** Per-language repetition weights for [[upsampleMixture]] — every
+    * fractional part is binary-exact (.0/.25/.5) so the
+    * hash-threshold comparison computes identically in Spark and
+    * DuckDB doubles. Weights must stay < [[UpsampleIdStride]]. */
+  val UpsampleWeights: Seq[(String, Double)] = Seq(
+    "en" -> 1.0, "de" -> 2.5, "es" -> 1.25, "fr" -> 3.0, "zh" -> 0.5)
+
+  /** sample_id = doc_id · stride + copy stays collision-free while
+    * max copies < stride. */
+  val UpsampleIdStride = 8L
+
+  /** Epoch-style weighted UPSAMPLING (q60) — the complement of
+    * [[mixtureResample]]'s downsample-only mixing: a language with
+    * weight 2.5 contributes ⌊2.5⌋ = 2 copies of every document plus a
+    * third copy for the hash-chosen 50% — how under-represented
+    * domains are repeated into a training mix without dropping
+    * anything else. Deterministic: the fractional copy reuses the
+    * Knuth-hash band, so the repeated SET is reproducible across
+    * engines and stable under corpus growth.
+    *
+    * Scale design (100 TB): entirely row-local — weight lookup is a
+    * CASE over the lang column, the copy fan-out is an explode of a
+    * bounded sequence (≤ ⌈max weight⌉ rows per doc); no shuffle, no
+    * per-group state, composes with any downstream partitioning. */
+  def upsampleMixture(docs: DataFrame,
+      weights: Seq[(String, Double)] = UpsampleWeights): DataFrame = {
+    val w = weights.foldRight(lit(0.0): Column) {
+      case ((l, f), e) => when(col("lang") === l, lit(f)).otherwise(e)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), w.as("weight"),
+        hashBandCol.as("h"))
+      .withColumn("n_copies",
+        floor(col("weight")).cast("long") +
+          when(col("h") <
+            (col("weight") - floor(col("weight"))) * 1048576.0, 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0) // sequence(0, -1) would descend
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .withColumn("sample_id",
+        col("doc_id") * UpsampleIdStride + col("copy"))
+  }
 }

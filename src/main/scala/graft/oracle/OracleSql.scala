@@ -1134,6 +1134,31 @@ FROM documents d JOIN k ON d.lang = k.lang
 WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
   }
 
+  /** q60 oracle — mirror of
+    * [[graft.operators.Sampling.upsampleMixture]]: identical CASE
+    * weights, Knuth-hash fractional copy, lateral range fan-out. */
+  def upsampleMixture: String = {
+    import graft.operators.Sampling._
+    val w = UpsampleWeights.map { case (l, f) =>
+      s"WHEN lang = '$l' THEN $f"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH w AS (
+  SELECT doc_id, lang, ($w) AS weight,
+         ${mixedSql("doc_id")} % 1048576 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(weight) AS BIGINT) +
+           (CASE WHEN h < (weight - FLOOR(weight)) * 1048576.0
+             THEN 1 ELSE 0 END) AS n_copies
+  FROM w
+)
+SELECT c.doc_id, c.lang, c.n_copies, r.i AS copy,
+       c.doc_id * $UpsampleIdStride + r.i AS sample_id
+FROM c, LATERAL (SELECT unnest(range(0, c.n_copies)) AS i) r
+WHERE c.n_copies > 0"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.piiScrub]] over the
     * [[graft.operators.TextAnalysis.withSyntheticPii]] corpus: the
     * PII synthesis is pure integer arithmetic on doc_id (both engines

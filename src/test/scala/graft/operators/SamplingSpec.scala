@@ -98,4 +98,34 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     // (pack_id jumps by ≥ 2) — the running-total contract above is
     // the complete specification.
   }
+
+  test("upsampling repeats by weight: whole copies + hash fraction") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.upsampleMixture(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // sample ids are collision-free
+    assert(out.map(_._5).distinct.length == out.length)
+    val copiesPerDoc = out.groupBy(_._1)
+      .map { case (id, rows) =>
+        assert(rows.map(_._4).sorted.toSeq ==
+          (0L until rows.length.toLong)) // dense copy indices
+        id -> (rows.head._2, rows.length)
+      }
+    val byLang = copiesPerDoc.values.groupBy(_._1)
+      .map { case (l, v) => l -> v.map(_._2).toSeq }
+    // en weight 1.0: exactly one copy each; fr 3.0: exactly three
+    assert(byLang("en").forall(_ == 1))
+    assert(byLang("fr").forall(_ == 3))
+    // de 2.5: every doc 2 or 3 copies, both actually occur
+    assert(byLang("de").forall(n => n == 2 || n == 3))
+    assert(byLang("de").toSet == Set(2, 3))
+    // zh 0.5: surviving docs have exactly one copy, and roughly half
+    // of the zh docs survive (hash-banded, not exact)
+    val zhTotal = docs.filter(col("lang") === "zh").count()
+    assert(byLang("zh").forall(_ == 1))
+    assert(byLang("zh").size > zhTotal / 4 &&
+      byLang("zh").size < 3 * zhTotal / 4)
+  }
 }
