@@ -40,6 +40,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   --input <wire jsonl dir> --work <staging/checkpoint root> \
   *   --index <index root> [--http-index <base url>] [--speedup N] \
   *   [--partitions N] [--noeventtime] [--max-files-per-trigger N] [--once]
+  *   [--wire-source]
   * }}}
   */
 object ProcessTaxiStream {
@@ -57,7 +58,11 @@ object ProcessTaxiStream {
       // --http-index <base>: bulk-POST documents to
       // <base>/<doc_type>/_bulk over HTTP (the reference's ES sink
       // shape) instead of the local-dir index
-      httpIndex: Option[String] = None)
+      httpIndex: Option[String] = None,
+      // --wire-source: read the replay files through the wire-taxi
+      // DataSourceV2 connector (per-file micro-batches, source-side
+      // parsing) instead of readStream.text + from_json
+      wireSource: Boolean = false)
 
   final case class Summary(
       replayedEvents: Long, skippedLines: Long,
@@ -78,6 +83,7 @@ object ProcessTaxiStream {
       case "--skip-replay" :: t => loop(cfg.copy(skipReplay = true), t)
       case "--http-index" :: v :: t =>
         loop(cfg.copy(httpIndex = Some(v)), t)
+      case "--wire-source" :: t => loop(cfg.copy(wireSource = true), t)
       case Nil => cfg
       case other => throw new IllegalArgumentException(
         s"unknown argument: ${other.head}")
@@ -150,8 +156,14 @@ object ProcessTaxiStream {
       val r = spark.readStream
       cfg.maxFilesPerTrigger.foreach(n =>
         r.option("maxFilesPerTrigger", n.toString))
-      graft.io.EventCodec.parseEvents(
-        r.text(s"$replayDir/*.jsonl").toDF("value"))
+      if (cfg.wireSource)
+        // the connector parses source-side and skips malformed lines
+        // (R1); the codec's strict unknown-type layer still applies
+        graft.io.EventCodec.strictTyped(
+          r.format("wire-taxi").load(replayDir))
+      else
+        graft.io.EventCodec.parseEvents(
+          r.text(s"$replayDir/*.jsonl").toDF("value"))
     }
     def trips: DataFrame =
       StreamingTaxi.tripStream(source, eventTime = cfg.eventTime)

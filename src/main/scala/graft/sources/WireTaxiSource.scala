@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,10 +72,12 @@ class WireTaxiTable(path: String, schema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WireTaxiScanBuilder(path, schema)
+    new WireTaxiScanBuilder(path, schema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-class WireTaxiScanBuilder(path: String, tableSchema: StructType)
+class WireTaxiScanBuilder(path: String, tableSchema: StructType,
+    maxFilesPerTrigger: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -90,13 +93,32 @@ class WireTaxiScanBuilder(path: String, tableSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new WireTaxiScan(path, required, pushed)
+  override def build(): Scan =
+    new WireTaxiScan(path, required, pushed, maxFilesPerTrigger)
 }
 
-class WireTaxiScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class WireTaxiScan(path: String, required: StructType,
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** On-disk bytes of the listed files — the size signal Catalyst's
+    * join planning consumes (gzipped files under-report their decoded
+    * size, the same conservative estimate built-in file sources
+    * give). Row count is unknowable without parsing; left empty. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = WireTaxiFiles.list(path).map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: Exception => 0L }
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"WireTaxiScan path=$path, ReadSchema: ${required.simpleString}, " +
@@ -106,7 +128,8 @@ class WireTaxiScan(path: String, required: StructType, pushed: Array[Filter])
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new WireTaxiMicroBatchStream(path, required, pushed)
+    new WireTaxiMicroBatchStream(path, required, pushed,
+      maxFilesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     WireTaxiFiles.list(path).map(f => WireTaxiPartition(f): InputPartition)
@@ -148,7 +171,7 @@ case class WireTaxiOffset(fileCount: Int) extends Offset {
   * consumers. Offsets are then stable across restarts: prefix `n` of
   * the sorted listing always denotes the same files. */
 class WireTaxiMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: pin the target listing at query start so
@@ -161,11 +184,20 @@ class WireTaxiMicroBatchStream(path: String, required: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(WireTaxiFiles.list(path).length)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    WireTaxiOffset(availableNowTarget.getOrElse(
-      WireTaxiFiles.list(path).length))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = availableNowTarget.getOrElse(
+      WireTaxiFiles.list(path).length)
+    val s = start.asInstanceOf[WireTaxiOffset].fileCount
+    limit match {
+      case mf: ReadMaxFiles =>
+        WireTaxiOffset(math.min(all, s + mf.maxFiles()))
+      case _ => WireTaxiOffset(all)
+    }
+  }
 
   override def reportLatestOffset(): Offset =
     WireTaxiOffset(WireTaxiFiles.list(path).length)

@@ -145,6 +145,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
         img.pixels).isEmpty)
   }
 
+  test("WAV round-trip holds over randomized PCM (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(200)
+      val rate = 1 + rnd.nextInt(48000)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val info = Multimodal.decodeWav(
+        Multimodal.encodeWavPcm16(rate, samples)).get
+      assert(info.nSamples == n && info.sampleRate == rate)
+      assert(info.sumAbs ==
+        samples.map(s => math.abs(s.toInt).toLong).sum)
+      assert(info.peakAbs ==
+        (if (n == 0) 0 else samples.map(s => math.abs(s.toInt)).max))
+    }
+  }
+
+  test("PPM round-trip and resize dims hold over randomized rasters") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val px = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val img = Multimodal.decodePpm(
+        Multimodal.encodePpm(Multimodal.PpmImage(w, h, px))).get
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px.toSeq)
+      val f = 1 + rnd.nextInt(4)
+      val r = Multimodal.resizePpmNearest(img, f)
+      assert(r.width == (w + f - 1) / f && r.height == (h + f - 1) / f)
+      assert(r.pixels(0) == px(0)) // (0,0) always samples source (0,0)
+    }
+  }
+
   test("nearest-neighbor resize samples pixels (x*f, y*f)") {
     // 4x2 image whose red channel encodes the pixel's (x, y)
     val px = new Array[Byte](3 * 4 * 2)

@@ -67,6 +67,18 @@ class WireTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("scan reports file-size statistics for join planning") {
+    val q = viaSource.filter(col("type") === "trip")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    val stats = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.sizeInBytes.getAsLong ==
+      Files.size(Paths.get(fixture)))
+    assert(!stats.numRows.isPresent) // unknowable without parsing
+  }
+
   test("micro-batch stream ingests per file and resumes from checkpoint") {
     val dir = Files.createTempDirectory("wiretaxi-stream")
     val out = Files.createTempDirectory("wiretaxi-out").toString
