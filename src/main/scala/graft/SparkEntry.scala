@@ -268,6 +268,14 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Exact one-pass numeric column profiling (long format).
+    "q61_profile" -> ((s, dir) =>
+      operators.Profiling.numericProfile(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
+    // Hourly resample + forward fill per user series (integer hour
+    // buckets end to end).
+    "q62_gap_fill" -> ((s, dir) =>
+      operators.Profiling.gapFillHourly(EventsQueries.events(s, dir))),
     // Epoch-style weighted upsampling (the complement of q49's
     // downsample-only mixing): whole copies + a hash-chosen
     // fractional copy per language, entirely row-local.
@@ -500,6 +508,8 @@ object SparkEntry {
     "q55_ppm_decode" -> OracleSql.ppmDecode,
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,
+    "q61_profile" -> OracleSql.numericProfile,
+    "q62_gap_fill" -> OracleSql.gapFillHourly,
     "q59_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -1224,6 +1224,40 @@ SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_grams,
 FROM h LEFT JOIN dc USING (doc_id)"""
   }
 
+  /** q61 oracle — one UNION ALL arm per profiled column, mirroring
+    * [[graft.operators.Profiling.numericProfile]]'s long format. */
+  def numericProfile: String =
+    graft.operators.Profiling.ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT($c) AS n_nulls,
+  COUNT(DISTINCT $c) AS n_distinct,
+  CAST(MIN($c) AS DOUBLE) AS min_value,
+  CAST(MAX($c) AS DOUBLE) AS max_value
+FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+
+  /** q62 oracle — mirror of
+    * [[graft.operators.Profiling.gapFillHourly]]: integer hour
+    * buckets, per-user lateral grid, IGNORE NULLS forward fill. */
+  def gapFillHourly: String =
+    """WITH o AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000) // 3600000 AS hour,
+         SUM(value) / COUNT(*) AS hour_avg
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM o GROUP BY 1
+), g AS (
+  SELECT s.user_id, r.h AS hour
+  FROM s, LATERAL (SELECT unnest(range(s.h0, s.h1 + 1)) AS h) r
+)
+SELECT g.user_id, g.hour,
+       last_value(o.hour_avg IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       o.hour_avg IS NOT NULL AS is_observed
+FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hour = o.hour"""
+
   /** q54 oracle — recomputes the WAV decoder's sample-exact facts
     * from the same doc_id arithmetic that synthesized the PCM stream
     * ([[graft.operators.Multimodal.wavSamplesOf]]): n = 64 + id%64

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+
+  test("numeric profile: exact counts, nulls, distincts, min/max") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, null), (2.0, 7.5), (null, 7.5))
+      .toDF("a", "b")
+    val rows = Profiling.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n_rows") == 4 && a.getAs[Long]("n_nulls") == 1)
+    assert(a.getAs[Long]("n_distinct") == 2)
+    assert(a.getAs[Double]("min_value") == 1.0 &&
+      a.getAs[Double]("max_value") == 2.0)
+    val b = rows("b")
+    assert(b.getAs[Long]("n_nulls") == 1 &&
+      b.getAs[Long]("n_distinct") == 2)
+    assert(b.getAs[Double]("max_value") == 7.5)
+  }
+
+  test("gap fill: empty hours carry the last observed hourly average") {
+    val H = 3600000L
+    // user 1: hours 10 (avg 2.0 of 1.0+3.0) and 13 (6.0); user 2: hour 5
+    val events = Seq(
+      (1L, 10 * H + 100, 1.0), (1L, 10 * H + 200, 3.0),
+      (1L, 13 * H + 1, 6.0),
+      (2L, 5 * H, 9.0))
+      .toDF("user_id", "ts_ms", "value")
+    val out = Profiling.gapFillHourly(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out((1L, 10L)) == (2.0, true))
+    assert(out((1L, 11L)) == (2.0, false)) // carried forward
+    assert(out((1L, 12L)) == (2.0, false))
+    assert(out((1L, 13L)) == (6.0, true))
+    assert(out((2L, 5L)) == (9.0, true))
+    assert(out.size == 5) // user 2's grid is a single hour
+  }
+}
