@@ -22,6 +22,7 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -106,6 +107,22 @@ object ScaleProbe {
           col("o_orderpriority"))
       time("bloom_join")(
         graft.operators.RuntimeFilter.bloomJoin(li, orders))
+    }
+    // exact profile over the replicated fact table (the Expand for
+    // five COUNT(DISTINCT)s is the scaling question)
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .crossJoin(copies)
+      time("profile")(graft.operators.Profiling.numericProfile(li))
+    }
+    // gap-fill with 10x the user series (user ids re-keyed; per-user
+    // span unchanged, so grid rows scale with the user count)
+    locally {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .crossJoin(copies)
+        .select((col("user_id") * factor + col("copy")).as("user_id"),
+          expr("ts DIV 1000000").as("ts_ms"), col("value"))
+      time("gap_fill")(graft.operators.Profiling.gapFillHourly(ev))
     }
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →

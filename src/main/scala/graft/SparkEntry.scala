@@ -330,6 +330,18 @@ object SparkEntry {
 
   val TinyFixturePath = "/root/repo/src/test/resources/trips_tiny.jsonl"
 
+  /** Shared DuckDB read of the wire fixture (q11 + q53 oracles): ONE
+    * column-spec for the wire schema so a schema change cannot drift
+    * between the two mirrors. */
+  private def wireReadJson: String =
+    s"""read_json('$TinyFixturePath',
+       |  format='newline_delimited', ignore_errors=true,
+       |  columns={type:'VARCHAR', trip_id:'BIGINT',
+       |           pickup_datetime:'TIMESTAMPTZ', dropoff_datetime:'TIMESTAMPTZ',
+       |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
+       |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
+       |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})""".stripMargin
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -366,13 +378,7 @@ object SparkEntry {
          |       total_amount,
          |       epoch_ms(CAST(pickup_datetime AS TIMESTAMP)) AS pickup_ms,
          |       epoch_ms(CAST(dropoff_datetime AS TIMESTAMP)) AS dropoff_ms
-         |FROM read_json('$TinyFixturePath',
-         |  format='newline_delimited', ignore_errors=true,
-         |  columns={type:'VARCHAR', trip_id:'BIGINT',
-         |           pickup_datetime:'TIMESTAMPTZ', dropoff_datetime:'TIMESTAMPTZ',
-         |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
-         |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
-         |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})
+         |FROM $wireReadJson
          |WHERE type = 'trip'""".stripMargin,
     "q12_dedup_embed" -> OracleSql.embedNearDups,
     "q13_join_nation" -> OracleSql.ordersByNation,
@@ -553,13 +559,7 @@ object SparkEntry {
       s"""SELECT trip_id, total_amount,
          |       epoch_ms(CAST(pickup_datetime AS TIMESTAMP)) AS pickup_ms,
          |       epoch_ms(CAST(dropoff_datetime AS TIMESTAMP)) AS dropoff_ms
-         |FROM read_json('$TinyFixturePath',
-         |  format='newline_delimited', ignore_errors=true,
-         |  columns={type:'VARCHAR', trip_id:'BIGINT',
-         |           pickup_datetime:'TIMESTAMPTZ', dropoff_datetime:'TIMESTAMPTZ',
-         |           pickup_lat:'DOUBLE', pickup_lon:'DOUBLE',
-         |           dropoff_lat:'DOUBLE', dropoff_lon:'DOUBLE',
-         |           total_amount:'DOUBLE', watermark:'TIMESTAMPTZ'})
+         |FROM $wireReadJson
          |WHERE type = 'trip' AND total_amount >= 5.0""".stripMargin
   )
 }

@@ -214,7 +214,7 @@ object Multimodal {
         buf.position(buf.position() + 1) // RIFF pad byte
     }
     for ((channels, rate, bits) <- fmt; (off, len) <- data;
-        if bits == 16) yield {
+        if bits == 16 && channels >= 1 && rate > 0) yield {
       val n = len / 2
       var i = 0; var sum = 0L; var peak = 0
       while (i < n) {
@@ -263,7 +263,9 @@ object Multimodal {
       maxval <- intToken() if maxval == 255
       // exactly ONE whitespace byte separates maxval from raster
       _ = { pos += 1 }
-      if payload.length - pos >= 3 * w * h
+      // Long math: 3*w*h overflows Int for adversarial headers, and a
+      // wrapped product would accept a tiny raster for a huge image
+      if 3L * w * h <= payload.length - pos
     } yield PpmImage(w, h,
       java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h))
   }

@@ -129,7 +129,7 @@ class WireTaxiScan(path: String, required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new WireTaxiMicroBatchStream(path, required, pushed,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, checkpointLocation)
 
   override def planInputPartitions(): Array[InputPartition] =
     WireTaxiFiles.list(path).map(f => WireTaxiPartition(f): InputPartition)
@@ -139,21 +139,28 @@ class WireTaxiScan(path: String, required: StructType,
 }
 
 object WireTaxiFiles {
-  /** Name-sorted regular files under `path` (or `path` itself). */
+  /** Name-sorted regular files under `path` (or `path` itself).
+    * Hidden and in-flight files — `.`/`_` prefixes, the Hadoop/Spark
+    * convention the replay writer's dot-temp files follow — are
+    * excluded, matching the built-in file sources. */
   def list(path: String): Array[String] = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
       val listing = java.nio.file.Files.list(p)
       try listing.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
+        .filter { f =>
+          val n = f.getFileName.toString
+          !n.startsWith(".") && !n.startsWith("_")
+        }
         .map(_.toString).toArray.sorted
       finally listing.close()
     } else Array(path)
   }
 }
 
-/** Stream offset: how many files of the name-sorted listing have been
-  * ingested. */
+/** Stream offset: how many files of the checkpointed DISCOVERY log
+  * have been ingested. */
 case class WireTaxiOffset(fileCount: Int) extends Offset {
   override def json(): String = fileCount.toString
 }
@@ -161,36 +168,78 @@ case class WireTaxiOffset(fileCount: Int) extends Offset {
 /** MICRO_BATCH_READ over the wire directory — the engine's streaming
   * source analogue of the reference's Kinesis consumer registration
   * (ProcessTaxiStream.java:73-84): each new file is a batch of shard
-  * records; the offset is the length of the ingested prefix of the
-  * name-sorted listing.
+  * records.
   *
-  * Producer contract (matches the replay writer's `part-NNNNN`
-  * naming): files are appended with names that sort AFTER every
-  * existing file and are never rewritten — the same
-  * monotone-sequence-number contract a Kinesis shard gives its
-  * consumers. Offsets are then stable across restarts: prefix `n` of
-  * the sorted listing always denotes the same files. */
+  * Offsets index a DISCOVERY LOG, not the raw listing: each
+  * latestOffset() appends newly-listed files to
+  * `<checkpoint>/wiretaxi-files.log` (driver-only writer, appended
+  * BEFORE the engine commits the batch, so the log is always a
+  * superset of committed offsets), and offset `n` always denotes the
+  * first n logged files. A multi-writer producer may therefore
+  * publish files in any name order — the replay writer interleaves
+  * `part-P-S` across partitions — without the prefix-of-a-sorted-
+  * listing races (duplicated or skipped files) a listing-based offset
+  * has. Files must still be immutable once visible; in-flight
+  * `.`/`_`-prefixed temp files are excluded by the shared lister. */
 class WireTaxiMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None,
+    checkpointLocation: String = "") extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
-  // Trigger.AvailableNow: pin the target listing at query start so
-  // the run drains exactly that prefix (and the engine still runs the
-  // final no-data batch that flushes watermark-closed windows —
-  // sources without this support are wrapped and terminated early,
-  // losing that flush).
+  private val logFile: Option[java.nio.file.Path] =
+    if (checkpointLocation.isEmpty) None
+    else {
+      val dir = java.nio.file.Paths.get(
+        checkpointLocation.stripPrefix("file:"))
+      java.nio.file.Files.createDirectories(dir)
+      Some(dir.resolve("wiretaxi-files.log"))
+    }
+
+  // discovery order (log order); restart reloads the committed log
+  private var seen: Vector[String] = logFile match {
+    case Some(f) if java.nio.file.Files.exists(f) =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala
+        .filter(_.nonEmpty).toVector
+    case _ => Vector.empty
+  }
+  private var seenSet: Set[String] = seen.toSet
+
+  /** List the directory and append not-yet-logged files (name-sorted
+    * within the discovery batch) to the log. Driver-only. */
+  private def discover(): Int = synchronized {
+    val fresh = WireTaxiFiles.list(path).filterNot(seenSet)
+    if (fresh.nonEmpty) {
+      logFile.foreach { f =>
+        java.nio.file.Files.write(f,
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            fresh.toSeq).asJava,
+          java.nio.charset.StandardCharsets.UTF_8,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      seen = seen ++ fresh
+      seenSet = seenSet ++ fresh
+    }
+    seen.length
+  }
+
+  // Trigger.AvailableNow: pin the target at query start so the run
+  // drains exactly that prefix (and the engine still runs the final
+  // no-data batch that flushes watermark-closed windows — sources
+  // without this support are wrapped and terminated early, losing
+  // that flush).
   private var availableNowTarget: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(WireTaxiFiles.list(path).length)
+    availableNowTarget = Some(discover())
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val all = availableNowTarget.getOrElse(
-      WireTaxiFiles.list(path).length)
+    val all = availableNowTarget.getOrElse(discover())
     val s = start.asInstanceOf[WireTaxiOffset].fileCount
     limit match {
       case mf: ReadMaxFiles =>
@@ -199,13 +248,11 @@ class WireTaxiMicroBatchStream(path: String, required: StructType,
     }
   }
 
-  override def reportLatestOffset(): Offset =
-    WireTaxiOffset(WireTaxiFiles.list(path).length)
+  override def reportLatestOffset(): Offset = WireTaxiOffset(discover())
 
   override def initialOffset(): Offset = WireTaxiOffset(0)
 
-  override def latestOffset(): Offset =
-    WireTaxiOffset(WireTaxiFiles.list(path).length)
+  override def latestOffset(): Offset = WireTaxiOffset(discover())
 
   override def deserializeOffset(json: String): Offset =
     WireTaxiOffset(json.trim.toInt)
@@ -214,7 +261,10 @@ class WireTaxiMicroBatchStream(path: String, required: StructType,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WireTaxiOffset].fileCount
     val e = end.asInstanceOf[WireTaxiOffset].fileCount
-    WireTaxiFiles.list(path).slice(s, e)
+    if (e > seen.length) discover()
+    require(e <= seen.length,
+      s"offset $e beyond the $path discovery log (${seen.length})")
+    seen.slice(s, e).toArray
       .map(f => WireTaxiPartition(f): InputPartition)
   }
 
@@ -305,13 +355,34 @@ object WireTaxiFilters {
       case LongType => if (v.canConvertToLong) v.asLong() else null
       case DoubleType => if (v.isNumber) v.asDouble() else null
       case TimestampType =>
-        try {
-          val inst = java.time.Instant.parse(v.asText())
-          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-        } catch { case _: Exception => null }
+        parseTimestampMicros(v.asText())
       case other =>
         throw new IllegalArgumentException(
           s"wire-taxi: unsupported column type $other for ${field.name}")
+    }
+  }
+
+  /** ISO-8601 with the same leniency the from_json codec path has
+    * for this engine's wire data: a space date/time separator and a
+    * missing zone designator (treated as UTC — every graft session
+    * pins spark.sql.session.timeZone=UTC) both parse instead of
+    * nulling, so --wire-source and the text path agree row for row.
+    * Returns epoch MICROS boxed, or null. */
+  def parseTimestampMicros(s: String): Any = {
+    def micros(inst: java.time.Instant): Any =
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    try micros(java.time.Instant.parse(s))
+    catch {
+      case _: Exception =>
+        try {
+          val t = s.trim.replace(' ', 'T')
+          val zoned = t.length > 10 &&
+            (t.endsWith("Z") || t.lastIndexOf('+') > 10 ||
+              t.lastIndexOf('-') > 10)
+          if (zoned) // +hh:mm offsets: ISO_INSTANT accepts only Z
+            micros(java.time.OffsetDateTime.parse(t).toInstant)
+          else micros(java.time.Instant.parse(t + "Z"))
+        } catch { case _: Exception => null }
     }
   }
 
@@ -368,12 +439,21 @@ object WireTaxiFilters {
     if (v == null || v.isNull) return None
     value match {
       case s: String => if (v.isTextual) Some(v.asText().compareTo(s)) else None
-      case num: Long => numCmp(v, num.toDouble)
-      case num: Int => numCmp(v, num.toDouble)
+      case num: Long => longCmp(v, num)
+      case num: Int => longCmp(v, num.toLong)
       case num: Double => numCmp(v, num)
       case _ => None
     }
   }
+
+  /** Integral literals compare through Long when the JSON value is
+    * integral too — a double round-trip would collapse neighbors
+    * above 2^53 and a row dropped at the source has no residual
+    * resurrection. */
+  private def longCmp(v: JsonNode, l: Long): Option[Int] =
+    if (v.isIntegralNumber && v.canConvertToLong)
+      Some(java.lang.Long.compare(v.asLong(), l))
+    else numCmp(v, l.toDouble)
 
   private def numCmp(v: JsonNode, d: Double): Option[Int] =
     if (v.isNumber) Some(java.lang.Double.compare(v.asDouble(), d)) else None

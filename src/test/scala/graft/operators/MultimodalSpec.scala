@@ -127,6 +127,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
   }
 
+  test("adversarial containers return None, never crash") {
+    // PPM header whose 3*w*h wraps Int: must not accept a tiny raster
+    val overflow = ("P6\n1431655766 1\n255\n".getBytes("US-ASCII")) ++
+      Array[Byte](1, 2)
+    assert(Multimodal.decodePpm(overflow).isEmpty)
+    val negWrap = ("P6\n715827883 1\n255\n".getBytes("US-ASCII")) ++
+      Array[Byte](1, 2)
+    assert(Multimodal.decodePpm(negWrap).isEmpty)
+    // WAV declaring zero channels: None, not a division crash
+    val wav = Multimodal.encodeWavPcm16(8000, Array[Short](1, 2))
+    val zeroCh = wav.clone()
+    zeroCh(22) = 0 // fmt channels (LE short at offset 22)
+    assert(Multimodal.decodeWav(zeroCh).isEmpty)
+  }
+
   test("PPM codec round-trips and honors header comments") {
     val img = Multimodal.PpmImage(2, 2,
       Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))

@@ -134,6 +134,68 @@ class WireTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     assert(viaConnector == viaText && viaConnector.nonEmpty)
   }
 
+  test("out-of-order file publication neither loses nor duplicates") {
+    // the replay writer publishes part-P-S interleaved across
+    // partitions: a later file may sort BEFORE an already-ingested
+    // one; the discovery log (not the sorted listing) defines offsets
+    val dir = Files.createTempDirectory("wiretaxi-ooo")
+    val out = Files.createTempDirectory("wiretaxi-ooo-out").toString
+    val ckpt = Files.createTempDirectory("wiretaxi-ooo-ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("wire-taxi").load(dir.toString)
+        .filter(col("type") === "trip").select("trip_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.copy(Paths.get(fixture), dir.resolve("part-00001-00000.jsonl"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 12)
+    // sorts BEFORE the ingested file
+    Files.copy(Paths.get(fixture), dir.resolve("part-00000-00001.jsonl"))
+    runOnce()
+    val perId = spark.read.parquet(out).groupBy("trip_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perId == Set(2L), s"loss or duplication: $perId")
+  }
+
+  test("hidden and in-flight temp files are excluded from listings") {
+    val dir = Files.createTempDirectory("wiretaxi-hidden")
+    Files.copy(Paths.get(fixture), dir.resolve("part-0.jsonl"))
+    Files.writeString(dir.resolve(".part-1.jsonl.tmp"), "{\"type\"")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    assert(WireTaxiFiles.list(dir.toString).length == 1)
+    assert(spark.read.format("wire-taxi").load(dir.toString)
+      .count() == 15)
+  }
+
+  test("lenient timestamps and exact long comparisons at the source") {
+    // no-zone / space-separated timestamps parse as UTC (the codec
+    // path's session-zone semantics — every graft session pins UTC)
+    val utc = java.time.Instant.parse("2016-01-01T00:05:00Z")
+    val micros = utc.getEpochSecond * 1000000L
+    assert(WireTaxiFilters.parseTimestampMicros(
+      "2016-01-01T00:05:00") == micros)
+    assert(WireTaxiFilters.parseTimestampMicros(
+      "2016-01-01 00:05:00") == micros)
+    assert(WireTaxiFilters.parseTimestampMicros(
+      "2016-01-01T05:05:00+05:00") == micros)
+    assert(WireTaxiFilters.parseTimestampMicros("not a time") == null)
+
+    // ids above 2^53: a double round-trip would collapse neighbors
+    // and drop the row AT THE SOURCE (no residual resurrection)
+    val dir = Files.createTempDirectory("wiretaxi-long")
+    val big = (1L << 53) + 1
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      s"""{"type": "trip", "trip_id": $big, "total_amount": 1.0}\n""")
+    val ids = spark.read.format("wire-taxi").load(dir.toString)
+      .filter(col("trip_id") > (1L << 53))
+      .select("trip_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(big))
+  }
+
   test("timestamps parse identically to the from_json codec path") {
     val a = viaSource.filter(col("type") === "trip")
       .select(unix_millis(col("dropoff_datetime"))).as[Long](
