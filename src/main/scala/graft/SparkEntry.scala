@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Z-order (Morton) layout key — pure codegen'd bit arithmetic,
+    // mirrored shift-for-shift by the oracle.
+    "q63_zorder" -> ((s, dir) =>
+      operators.Layout.zOrderKeys(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     // Exact one-pass numeric column profiling (long format).
     "q61_profile" -> ((s, dir) =>
       operators.Profiling.numericProfile(
@@ -516,6 +521,10 @@ object SparkEntry {
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,
     "q62_gap_fill" -> OracleSql.gapFillHourly,
+    "q63_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem""".stripMargin,
     "q59_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
