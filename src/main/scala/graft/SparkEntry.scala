@@ -268,6 +268,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // CEP-style sequence detection: click followed by purchase
+    // within the hour, per user — one partitioned window pass where
+    // the oracle runs the naive EXISTS time-range formulation.
+    "q64_event_sequence" -> ((s, dir) =>
+      EventsQueries.clickToPurchase(EventsQueries.events(s, dir))),
     // Z-order (Morton) layout key — pure codegen'd bit arithmetic,
     // mirrored shift-for-shift by the oracle.
     "q63_zorder" -> ((s, dir) =>
@@ -525,6 +530,27 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
          |FROM lineitem""".stripMargin,
+    "q64_event_sequence" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_ns(ts) // 1000000) AS ts_ms
+         |  FROM events
+         |), c AS (
+         |  SELECT user_id, ts_ms FROM e WHERE event_type = 'click'
+         |), conv AS (
+         |  SELECT c.user_id, c.ts_ms,
+         |    EXISTS (SELECT 1 FROM e p
+         |            WHERE p.user_id = c.user_id
+         |              AND p.event_type = 'purchase'
+         |              AND p.ts_ms >= c.ts_ms
+         |              AND p.ts_ms <= c.ts_ms +
+         |                ${operators.EventsQueries.SequenceWindowMs}) AS hit
+         |  FROM c
+         |)
+         |SELECT user_id, COUNT(*) AS n_clicks,
+         |       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_converted
+         |FROM conv GROUP BY user_id""".stripMargin,
     "q59_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -54,6 +54,45 @@ object EventsQueries {
         col("sum_value"),
         (unix_millis(col("window.end")) - 1).as("timestamp"))
 
+  /** Sequence-pattern constants of the graded funnel (q64). */
+  val SequenceWindowMs = 3600000L
+
+  /** CEP-style sequence detection (q64): per user, which `click`
+    * events are followed by a `purchase` within the window — the
+    * "A then B within T" pattern a Flink-CEP user would write, as a
+    * single partitioned window pass.
+    *
+    * Shape: traverse each user's events in DESCENDING time order
+    * keeping a running MIN of purchase timestamps — at any row that
+    * min IS the next purchase at-or-after the row. Equal-timestamp
+    * ties order purchases before clicks in the traversal so a
+    * same-millisecond purchase deterministically counts as a hit in
+    * both engines.
+    *
+    * Scale design: one window partitioned by user_id (no global
+    * ordering), one aggregation on the same key — two co-partitioned
+    * exchanges, versus the quadratic-per-user time-range self-join
+    * the pattern naively suggests (the oracle runs exactly that
+    * EXISTS formulation). */
+  def clickToPurchase(events: DataFrame,
+      windowMs: Long = SequenceWindowMs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc,
+        when(col("event_type") === "purchase", 0).otherwise(1).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("next_purchase_ts",
+        min(when(col("event_type") === "purchase", col("ts_ms"))).over(w))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("next_purchase_ts") >= col("ts_ms") &&
+          col("next_purchase_ts") - col("ts_ms") <= windowMs, 1L)
+          .otherwise(0L)).as("n_converted"))
+  }
+
   /** Per event-type × 1-hour tumbling window: count, sum and average
     * of `value`, windows with fewer than 2 events suppressed;
     * timestamp = window end − 1 ms (the reference's

@@ -118,4 +118,29 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out("click") == ((3L, Some(17L), Some(5L), Some(7L), 2L)))
     assert(out("view") == ((0L, None, None, None, 0L)))
   }
+
+  test("click→purchase sequence: window hits, misses, and ms ties") {
+    import spark.implicits._
+    val H = graft.operators.EventsQueries.SequenceWindowMs
+    val events = Seq(
+      // user 1: click at 1000 converts (purchase 30 min later);
+      // click at exactly-window-edge converts; click past edge not
+      (1L, "click", 1000L), (1L, "purchase", 1000L + H / 2),
+      (1L, "click", 5000000L), (1L, "purchase", 5000000L + H),
+      (1L, "click", 99999999L),
+      // user 2: purchase BEFORE the click only -> no conversion
+      (2L, "purchase", 500L), (2L, "click", 1000L),
+      // user 3: same-millisecond purchase counts (>= semantics)
+      (3L, "click", 7000L), (3L, "purchase", 7000L),
+      // user 4: no clicks at all -> absent from output
+      (4L, "purchase", 1L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val out = graft.operators.EventsQueries.clickToPurchase(events)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((1L, 1L)))
+    assert(!out.contains(4L))
+  }
 }
