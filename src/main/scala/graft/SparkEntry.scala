@@ -268,6 +268,10 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Cohort retention matrix: signup week × weeks-since-signup
+    // activity counts, all stages co-partitioned on user_id.
+    "q65_cohort_retention" -> ((s, dir) =>
+      EventsQueries.cohortRetention(EventsQueries.events(s, dir))),
     // CEP-style sequence detection: click followed by purchase
     // within the hour, per user — one partitioned window pass where
     // the oracle runs the naive EXISTS time-range formulation.
@@ -530,6 +534,23 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
          |FROM lineitem""".stripMargin,
+    "q65_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type,
+        |         (epoch_ns(ts) // 1000000) // 604800000 AS week
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(week) AS cohort_week
+        |  FROM w WHERE event_type = 'signup' GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT user_id, week FROM w
+        |)
+        |SELECT c.cohort_week,
+        |       a.week - c.cohort_week AS weeks_since_signup,
+        |       COUNT(DISTINCT c.user_id) AS n_active_users
+        |FROM cohorts c JOIN active a ON c.user_id = a.user_id
+        |WHERE a.week - c.cohort_week >= 0
+        |GROUP BY 1, 2""".stripMargin,
     "q64_event_sequence" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type,

@@ -93,6 +93,32 @@ object EventsQueries {
           .otherwise(0L)).as("n_converted"))
   }
 
+  /** Cohort retention (q65): users grouped by signup week, counted
+    * as active in each subsequent week they produced any event — the
+    * retention-matrix query behind every product dashboard. Weeks are
+    * integer epoch-week buckets (ts_ms DIV week-ms) end to end.
+    *
+    * Scale design: the signup-week reduction, the distinct
+    * (user, week) activity set, and the cohort join all key on
+    * user_id (co-partitioned, no re-shuffle between them); the final
+    * matrix aggregation keys on the tiny (cohort_week, offset) pair
+    * with a distinct-user count whose Expand shuffles at most the
+    * activity set — never the raw events. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekMs = 7L * 86400000L
+    val weeks = events.select(col("user_id"), col("event_type"),
+      expr(s"ts_ms DIV $weekMs").as("week"))
+    val cohorts = weeks.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = weeks.select(col("user_id"), col("week")).distinct()
+    cohorts.join(active, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since_signup"))
+      .filter(col("weeks_since_signup") >= 0)
+      .groupBy(col("cohort_week"), col("weeks_since_signup"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+  }
+
   /** Per event-type × 1-hour tumbling window: count, sum and average
     * of `value`, windows with fewer than 2 events suppressed;
     * timestamp = window end − 1 ms (the reference's

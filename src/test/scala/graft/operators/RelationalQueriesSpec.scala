@@ -143,4 +143,29 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 1L)))
     assert(!out.contains(4L))
   }
+
+  test("cohort retention counts distinct users per week offset") {
+    import spark.implicits._
+    val W = 7L * 86400000L
+    val events = Seq(
+      // users 1, 2 sign up week 0; 1 active weeks 0+1, 2 only week 0
+      (1L, "signup", 0L), (1L, "click", W + 5),
+      (2L, "signup", 100L), (2L, "view", 200L),
+      // user 3 signs up week 1, active weeks 1 and 3
+      (3L, "signup", W + 1), (3L, "click", 3 * W + 1),
+      // user 4 never signs up -> excluded entirely
+      (4L, "click", 0L),
+      // activity BEFORE signup doesn't create a negative offset
+      (5L, "view", 0L), (5L, "signup", W))
+      .toDF("user_id", "event_type", "ts_ms")
+    val out = graft.operators.EventsQueries.cohortRetention(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) == 2) // users 1 and 2 in week 0
+    assert(out((0L, 1L)) == 1) // only user 1 returns
+    assert(out((1L, 0L)) == 2) // users 3 and 5
+    assert(out((1L, 2L)) == 1) // user 3 in week 3
+    assert(!out.keys.exists(_._2 < 0))
+    assert(!out.contains((0L, 2L)))
+  }
 }
