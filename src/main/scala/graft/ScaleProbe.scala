@@ -115,14 +115,21 @@ object ScaleProbe {
         .crossJoin(copies)
       time("profile")(graft.operators.Profiling.numericProfile(li))
     }
-    // gap-fill with 10x the user series (user ids re-keyed; per-user
-    // span unchanged, so grid rows scale with the user count)
+    // event operators with 10x the user series (user ids re-keyed;
+    // per-user span unchanged, so state/grid scale with user count)
     locally {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
         .crossJoin(copies)
         .select((col("user_id") * factor + col("copy")).as("user_id"),
+          col("event_type"),
           expr("ts DIV 1000000").as("ts_ms"), col("value"))
+        .persist()
+      ev.count()
       time("gap_fill")(graft.operators.Profiling.gapFillHourly(ev))
+      time("event_sequence")(
+        graft.operators.EventsQueries.clickToPurchase(ev))
+      time("cohort_retention")(
+        graft.operators.EventsQueries.cohortRetention(ev))
     }
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →
