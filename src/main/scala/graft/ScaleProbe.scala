@@ -125,9 +125,13 @@ object ScaleProbe {
           expr("ts DIV 1000000").as("ts_ms"), col("value"))
         .persist()
       ev.count()
+      // time()'s clearCache drops ev too — re-warm it before each
+      // measurement so the three run against the same cached input
       time("gap_fill")(graft.operators.Profiling.gapFillHourly(ev))
+      ev.persist(); ev.count()
       time("event_sequence")(
         graft.operators.EventsQueries.clickToPurchase(ev))
+      ev.persist(); ev.count()
       time("cohort_retention")(
         graft.operators.EventsQueries.cohortRetention(ev))
     }

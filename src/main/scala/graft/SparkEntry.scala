@@ -280,8 +280,7 @@ object SparkEntry {
     // Z-order (Morton) layout key — pure codegen'd bit arithmetic,
     // mirrored shift-for-shift by the oracle.
     "q63_zorder" -> ((s, dir) =>
-      operators.Layout.zOrderKeys(
-        s.read.parquet(s"$dir/lineitem.parquet"))),
+      operators.Layout.zOrderKeys(lineitem(s, dir))),
     // Exact one-pass numeric column profiling (long format).
     "q61_profile" -> ((s, dir) =>
       operators.Profiling.numericProfile(
@@ -535,9 +534,10 @@ object SparkEntry {
          |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
          |FROM lineitem""".stripMargin,
     "q65_cohort_retention" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT user_id, event_type,
-        |         (epoch_ns(ts) // 1000000) // 604800000 AS week
+        |         (epoch_ns(ts) // 1000000) //
+        |           ${operators.EventsQueries.CohortWeekMs} AS week
         |  FROM events
         |), cohorts AS (
         |  SELECT user_id, MIN(week) AS cohort_week

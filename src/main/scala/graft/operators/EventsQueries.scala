@@ -57,6 +57,10 @@ object EventsQueries {
   /** Sequence-pattern constants of the graded funnel (q64). */
   val SequenceWindowMs = 3600000L
 
+  /** Cohort bucket width (q65) — interpolated into the oracle SQL so
+    * the two engines cannot diverge. */
+  val CohortWeekMs: Long = 7L * 86400000L
+
   /** CEP-style sequence detection (q64): per user, which `click`
     * events are followed by a `purchase` within the window — the
     * "A then B within T" pattern a Flink-CEP user would write, as a
@@ -82,6 +86,9 @@ object EventsQueries {
         when(col("event_type") === "purchase", 0).otherwise(1).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
+      // only the two pattern types can affect the result; dropping
+      // the rest before the window cuts its shuffle + sort volume
+      .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_type"), col("ts_ms"))
       .withColumn("next_purchase_ts",
         min(when(col("event_type") === "purchase", col("ts_ms"))).over(w))
@@ -105,9 +112,8 @@ object EventsQueries {
     * with a distinct-user count whose Expand shuffles at most the
     * activity set — never the raw events. */
   def cohortRetention(events: DataFrame): DataFrame = {
-    val weekMs = 7L * 86400000L
     val weeks = events.select(col("user_id"), col("event_type"),
-      expr(s"ts_ms DIV $weekMs").as("week"))
+      expr(s"ts_ms DIV $CohortWeekMs").as("week"))
     val cohorts = weeks.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val active = weeks.select(col("user_id"), col("week")).distinct()

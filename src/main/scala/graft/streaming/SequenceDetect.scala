@@ -53,18 +53,24 @@ object SequenceDetect {
         val st = state.getOption.getOrElse(SeqState(Nil, Nil))
         val wm = state.getCurrentWatermarkMs()
 
-        def live(ts: Long): Boolean = ts + windowMs >= wm
+        // a click stays matchable until wm passes its window end; a
+        // purchase only serves LATE clicks c <= p, and late rows below
+        // the watermark are dropped by the engine, so p < wm is
+        // unreachable — the tighter bound halves purchase state
+        def clickLive(ts: Long): Boolean = ts + windowMs >= wm
+        def purchaseLive(ts: Long): Boolean = ts >= wm
+        def expiries(clicks: List[Long], purchases: List[Long]) =
+          clicks.map(_ + windowMs) ++ purchases
 
         if (state.hasTimedOut) {
-          val kept = SeqState(st.pendingClicks.filter(live),
-            st.recentPurchases.filter(live))
+          val kept = SeqState(st.pendingClicks.filter(clickLive),
+            st.recentPurchases.filter(purchaseLive))
           if (kept.pendingClicks.isEmpty && kept.recentPurchases.isEmpty)
             state.remove()
           else {
             state.update(kept)
-            state.setTimeoutTimestamp(
-              (kept.pendingClicks ++ kept.recentPurchases).min
-                + windowMs + 1)
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              expiries(kept.pendingClicks, kept.recentPurchases).min + 1))
           }
           Iterator.empty
         } else {
@@ -90,13 +96,13 @@ object SequenceDetect {
               case _ => ()
             }
           }
-          pending = pending.filter(live)
-          purchases = purchases.filter(live)
+          pending = pending.filter(clickLive)
+          purchases = purchases.filter(purchaseLive)
           if (pending.isEmpty && purchases.isEmpty) state.remove()
           else {
             state.update(SeqState(pending, purchases))
             state.setTimeoutTimestamp(
-              math.max(wm + 1, (pending ++ purchases).min + windowMs + 1))
+              math.max(wm + 1, expiries(pending, purchases).min + 1))
           }
           out.iterator
         }

@@ -34,28 +34,21 @@ class LayoutSpec extends AnyFunSuite with SparkSessionSpec {
     // box in (a, b), where sorting by `a` alone leaves `b` unbounded
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
       yield (a.toLong, b.toLong)).toDF("a", "b")
-    def boxArea(df: org.apache.spark.sql.DataFrame): Long =
-      df.withColumn("pid", spark_partition_id())
+    // one aggregate per layout yields both pruning metrics: the
+    // bounding-box area sum and the worst per-partition b-range
+    def boxStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.withColumn("pid", spark_partition_id())
         .groupBy("pid")
         .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
-        .select(sum(expr("(ra + 1) * (rb + 1)")))
-        .collect()(0).getLong(0)
-    val zArea = boxArea(Layout.zorderLayout(grid, "a", "b", 16))
-    val aArea = boxArea(grid.repartitionByRange(16, col("a"))
+        .agg(sum(expr("(ra + 1) * (rb + 1)")), max("rb"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (zArea, zMaxB) = boxStats(Layout.zorderLayout(grid, "a", "b", 16))
+    val (aArea, aMaxB) = boxStats(grid.repartitionByRange(16, col("a"))
       .sortWithinPartitions(col("a")))
-    // 16 partitions of a 64x64 grid: z-order boxes ~16x16 (area 256)
-    // vs column-sort slabs 4x64 (area 256 * ... ) — same area here!
-    // The pruning difference shows in the RANGE of b: column-sorted
-    // partitions span all of b (range 63), z-ordered ones span ~16.
-    val zMaxB = Layout.zorderLayout(grid, "a", "b", 16)
-      .withColumn("pid", spark_partition_id())
-      .groupBy("pid").agg((max("b") - min("b")).as("rb"))
-      .agg(max("rb")).collect()(0).getLong(0)
-    val aMaxB = grid.repartitionByRange(16, col("a"))
-      .sortWithinPartitions(col("a"))
-      .withColumn("pid", spark_partition_id())
-      .groupBy("pid").agg((max("b") - min("b")).as("rb"))
-      .agg(max("rb")).collect()(0).getLong(0)
+    // min-max pruning on `b` is what z-order buys: column-sorted
+    // partitions span (nearly) all of b, z-ordered ones a fraction
     assert(zMaxB < aMaxB,
       s"z layout b-range $zMaxB not tighter than column sort $aMaxB")
     assert(zArea <= aArea)

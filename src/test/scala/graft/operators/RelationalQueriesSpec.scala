@@ -146,7 +146,7 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
 
   test("cohort retention counts distinct users per week offset") {
     import spark.implicits._
-    val W = 7L * 86400000L
+    val W = graft.operators.EventsQueries.CohortWeekMs
     val events = Seq(
       // users 1, 2 sign up week 0; 1 active weeks 0+1, 2 only week 0
       (1L, "signup", 0L), (1L, "click", W + 5),
