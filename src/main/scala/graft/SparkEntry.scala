@@ -268,6 +268,10 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // Inter-arrival gap statistics per user (lag window + same-key
+    // aggregation, exact integers).
+    "q66_event_gaps" -> ((s, dir) =>
+      EventsQueries.interArrivalStats(EventsQueries.events(s, dir))),
     // Cohort retention matrix: signup week × weeks-since-signup
     // activity counts, all stages co-partitioned on user_id.
     "q65_cohort_retention" -> ((s, dir) =>
@@ -533,6 +537,23 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z
          |FROM lineitem""".stripMargin,
+    "q66_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         (epoch_ns(ts) // 1000000) AS ts_ms
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |         ts_ms - lag(ts_ms) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts_ms ASC, event_id ASC) AS gap
+        |  FROM e
+        |)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       MIN(gap) AS min_gap_ms, MAX(gap) AS max_gap_ms,
+        |       SUM(gap) AS sum_gap_ms
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     "q65_cohort_retention" ->
       s"""WITH w AS (
         |  SELECT user_id, event_type,

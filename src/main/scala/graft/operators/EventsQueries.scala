@@ -125,6 +125,27 @@ object EventsQueries {
       .agg(countDistinct(col("user_id")).as("n_active_users"))
   }
 
+  /** Inter-arrival gaps (q66): per user, the time deltas between
+    * consecutive events (lag over the user's event-time order,
+    * event_id as the deterministic tiebreaker) reduced to exact
+    * count/min/max/sum — the activity-cadence profile behind
+    * session-gap tuning and bot detection. One partitioned window +
+    * one same-key aggregation; integers end to end. */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_ms"),
+        max(col("gap")).as("max_gap_ms"),
+        sum(col("gap")).as("sum_gap_ms"))
+  }
+
   /** Per event-type × 1-hour tumbling window: count, sum and average
     * of `value`, windows with fewer than 2 events suppressed;
     * timestamp = window end − 1 ms (the reference's

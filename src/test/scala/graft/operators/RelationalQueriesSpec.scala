@@ -168,4 +168,20 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!out.keys.exists(_._2 < 0))
     assert(!out.contains((0L, 2L)))
   }
+
+  test("inter-arrival gaps: exact deltas with event_id tiebreak") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, 100L), (1L, 2L, 400L), (1L, 3L, 1000L), // gaps 300, 600
+      (2L, 4L, 50L), // single event: no gap row
+      (3L, 6L, 10L), (3L, 5L, 10L)) // same ts: id order, gap 0
+      .toDF("user_id", "event_id", "ts_ms")
+    val out = graft.operators.EventsQueries.interArrivalStats(events)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 300L, 600L, 900L)))
+    assert(!out.contains(2L))
+    assert(out(3L) == ((1L, 0L, 0L, 0L)))
+  }
 }
