@@ -551,7 +551,7 @@ object SparkEntry {
         |)
         |SELECT user_id, COUNT(*) AS n_gaps,
         |       MIN(gap) AS min_gap_ms, MAX(gap) AS max_gap_ms,
-        |       SUM(gap) AS sum_gap_ms
+        |       CAST(SUM(gap) AS BIGINT) AS sum_gap_ms
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY user_id""".stripMargin,
     "q65_cohort_retention" ->

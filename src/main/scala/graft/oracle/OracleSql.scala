@@ -1273,7 +1273,7 @@ amps AS (
 )
 SELECT doc_id, $rate AS sample_rate, n AS n_samples,
        n * (1000000 // $rate) AS duration_us,
-       MAX(amp) AS peak_abs, SUM(amp) AS sum_abs
+       MAX(amp) AS peak_abs, CAST(SUM(amp) AS BIGINT) AS sum_abs
 FROM amps GROUP BY doc_id, n"""
   }
 
@@ -1296,7 +1296,10 @@ px AS (
        LATERAL (SELECT unnest(range(0, i.h)) AS y) y
 ),
 base AS (
-  SELECT doc_id, w, h, SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+  SELECT doc_id, w, h,
+         CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(g) AS BIGINT) AS sum_g,
+         CAST(SUM(b) AS BIGINT) AS sum_b
   FROM px GROUP BY doc_id, w, h
 ),
 rim AS (
@@ -1310,7 +1313,7 @@ rpx AS (
        LATERAL (SELECT unnest(range(0, i.rh)) AS y) y
 ),
 rbase AS (
-  SELECT doc_id, rw, rh, SUM(r) AS r_sum_r
+  SELECT doc_id, rw, rh, CAST(SUM(r) AS BIGINT) AS r_sum_r
   FROM rpx GROUP BY doc_id, rw, rh
 )
 SELECT b.doc_id, b.w AS width, b.h AS height,

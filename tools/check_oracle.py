@@ -4,9 +4,18 @@ part of the shipped library): run after `sbt "runMain graft.Verify
 <sfDir> <outDir>"`, compares each <outDir>/<name> parquet against the
 DuckDB oracle SQL in <outDir>/oracle_sql.json over the same tables.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+The comparison is TYPE-SENSITIVE, like the driver's hash: a DuckDB
+HUGEINT/DECIMAL column (e.g. an uncast SUM over integers) fails even
+when every value prints identically to Spark's BIGINT. Round 5 went
+red at the driver precisely because an earlier version of this tool
+stringified values and let the types collide.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--preflight]
+  --preflight: only run each oracle through DuckDB and flag any
+  HUGEINT/DECIMAL result column (the uncast-SUM footgun) without
+  needing Spark output to diff against.
 """
-import json, os, sys, math
+import json, os, sys, math, decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -18,6 +27,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(val):
     if val is None:
         return "NULL"
+    if isinstance(val, decimal.Decimal):
+        return f"dec:{val}"
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
@@ -29,12 +40,39 @@ def canon(val):
 
 def table_rows(tbl):
     cols = sorted(tbl.column_names)
+    types = {c: str(tbl.schema.field(c).type) for c in cols}
     data = [tbl.column(c).to_pylist() for c in cols]
     rows = sorted(tuple(canon(v) for v in row) for row in zip(*data))
-    return cols, rows
+    return cols, types, rows
 
 
-def main(sf_dir, out_dir):
+def is_widened(type_str):
+    return type_str.startswith("decimal") or type_str == "int128"
+
+
+def preflight(con, oracle):
+    """Run every oracle; flag HUGEINT/DECIMAL result columns."""
+    bad = 0
+    for name in sorted(oracle):
+        try:
+            sch = con.sql(oracle[name]).arrow().schema
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            bad += 1
+            continue
+        offenders = [f"{f.name}:{f.type}" for f in sch
+                     if is_widened(str(f.type))]
+        if offenders:
+            bad += 1
+            print(f"[FAIL] {name}: widened integer column(s) "
+                  f"{offenders} — add CAST(... AS BIGINT) in the oracle")
+        else:
+            print(f"[pass] {name}")
+    print(f"== preflight: {bad} oracle(s) with widened columns ==")
+    sys.exit(1 if bad else 0)
+
+
+def main(sf_dir, out_dir, pre=False):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -42,6 +80,8 @@ def main(sf_dir, out_dir):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if pre:
+        preflight(con, oracle)
     names = [d for d in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, d))]
     n_pass = n_fail = 0
@@ -57,10 +97,20 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        gc, gr = table_rows(got_tbl)
-        ec, er = table_rows(exp_tbl)
+        gc, gt, gr = table_rows(got_tbl)
+        ec, et, er = table_rows(exp_tbl)
+        # Only widening mismatches (one side HUGEINT/DECIMAL, the other
+        # not) are flagged: the driver proved sensitive to exactly that,
+        # and stricter equality (int32 vs int64, string vs
+        # large_string) would red-flag queries the driver passes.
+        type_diff = {c: (gt.get(c), et.get(c)) for c in set(gt) & set(et)
+                     if is_widened(gt[c]) != is_widened(et[c])}
         if gc != ec:
             print(f"[FAIL] {name}: schema mismatch spark={gc} duck={ec}")
+            n_fail += 1
+        elif type_diff:
+            print(f"[FAIL] {name}: column type mismatch "
+                  f"(spark, duck) = {type_diff}")
             n_fail += 1
         elif gr != er:
             n_fail += 1
@@ -77,4 +127,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(args[0], args[1], pre="--preflight" in sys.argv)
