@@ -187,11 +187,12 @@ object SparkEntry {
     // (ntile, percent_rank) — all partitioned windows.
     "q39_rolling_window" -> ((s, dir) =>
       RelationalQueries.rollingUserStats(EventsQueries.events(s, dir))),
-    // Sketch aggregates (HLL++ distinct, approx percentile) next to
-    // their exact twins — rows-only (see rowsOnlyQueries); accuracy
-    // pinned vs the exact columns in RelationalQueriesSpec.
+    // Sketch aggregates (HLL++ distinct, approx percentile) graded by
+    // their error BOUNDS: exact twins + within-bound booleans the
+    // oracle asserts literally TRUE (raw estimates additionally
+    // accuracy-pinned in RelationalQueriesSpec).
     "q40_approx_sketches" -> ((s, dir) =>
-      RelationalQueries.typeStatsApprox(EventsQueries.events(s, dir))),
+      RelationalQueries.typeStatsApproxChecked(EventsQueries.events(s, dir))),
     // Repetition/quality-rule signals (Gopher/C4-style): longest
     // token run, top-word mass, duplicate-2-gram fraction.
     "q41_repetition" -> ((s, dir) =>
@@ -363,11 +364,11 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Queries with NO oracle mirror by design (driver records the
-    * weaker rows-only check): sketch estimates are deterministic for
-    * a dataset but implementation-specific, so a DuckDB HLL/t-digest
-    * would legitimately disagree; their accuracy is spec-pinned
-    * against the exact twin columns instead. */
-  val rowsOnlyQueries: Set[String] = Set("q40_approx_sketches")
+    * weaker rows-only check). Empty since round 6: q40's sketches are
+    * now graded through bounded-error booleans
+    * ([[graft.operators.RelationalQueries.typeStatsApproxChecked]]),
+    * which ARE oracle-mirrorable. */
+  val rowsOnlyQueries: Set[String] = Set.empty
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -522,6 +523,15 @@ object SparkEntry {
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,
+    // Sketch bounds oracle: the exact aggregates are recomputed, the
+    // within-bound booleans asserted literally TRUE (see
+    // RelationalQueries.typeStatsApproxChecked).
+    "q40_approx_sketches" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       quantile_cont(value, 0.5) AS exact_p50,
+        |       TRUE AS users_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q44_pii_scrub" -> OracleSql.piiScrub,
     "q45_ann_multiprobe" -> OracleSql.annLshMultiProbe,
     "q46_pack_sequences" -> OracleSql.packSequences,

@@ -133,6 +133,40 @@ object RelationalQueries {
         expr("approx_percentile(value, 0.5D, 1000)").as("approx_p50"),
         expr("percentile(value, 0.5D)").as("exact_p50"))
 
+  /** Driver-checkable form of the sketch surface: the raw estimates
+    * are implementation-specific (no cross-engine oracle can mirror
+    * them bit-for-bit), but their error BOUNDS are a contract — so
+    * grade those. Emits the exact aggregates plus two booleans:
+    * `users_ok` = HLL estimate within 3×rsd (15% rel, floor 3 abs) of
+    * the exact distinct count; `p50_ok` = approx_percentile(0.5)
+    * inside the exact p45–p55 value band (rank tolerance 0.05 ≫ the
+    * sketch's guaranteed 1/accuracy = 0.001). The oracle recomputes
+    * the exact columns and asserts the booleans are literally TRUE,
+    * making the row hash-stable across engines while still failing if
+    * either sketch ever degrades past its bound. */
+  def typeStatsApproxChecked(events: DataFrame): DataFrame =
+    typeStatsApproxWide(events)
+      .select(
+        col("event_type"), col("n_events"),
+        col("exact_users"), col("exact_p50"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(3.0), lit(0.15) * col("exact_users")))
+          .as("users_ok"),
+        (col("approx_p50") >= col("p45") &&
+          col("approx_p50") <= col("p55")).as("p50_ok"))
+
+  private def typeStatsApproxWide(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5D, 1000)").as("approx_p50"),
+        expr("percentile(value, 0.45D)").as("p45"),
+        expr("percentile(value, 0.5D)").as("exact_p50"),
+        expr("percentile(value, 0.55D)").as("p55"))
+
   /** AS-OF JOIN (the event-time join Spark has no operator for,
     * SURVEY.md §2.4 / builder custom-operator list): for every probe
     * event, the same user's most recent reference event at or before

@@ -103,6 +103,19 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("typeStatsApproxChecked emits all-TRUE bound booleans") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.01")
+    val rows = RelationalQueries.typeStatsApproxChecked(events).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("users_ok")),
+        s"HLL out of bound for ${r.getString(0)}")
+      assert(r.getBoolean(r.fieldIndex("p50_ok")),
+        s"approx p50 out of p45-p55 band for ${r.getString(0)}")
+    }
+  }
+
   test("propsStats extracts $.k and aggregates per type") {
     val events = Seq(
       ("click", """{"k": 5}"""),
