@@ -210,14 +210,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  def nearDupsFromHashes(hashed0: DataFrame): DataFrame = {
+  def nearDupsFromHashes(hashed0: DataFrame): DataFrame =
+    nearDupsFromHashesWithHandle(hashed0)._1
+
+  /** [[nearDupsFromHashes]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted hash corpus (feeds both the banded
+    * candidate generation and the Jaccard verify sides, so it must
+    * outlive this call). */
+  def nearDupsFromHashesWithHandle(
+      hashed0: DataFrame): (DataFrame, graft.util.CacheHandle) = {
     val hashed = hashed0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bucketPairs(
       bandedSignatures(hashed).select(col("doc_id"), col("band"), col("key")),
       Seq("band", "key"))
-    jaccardVerified(cand,
-      hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold)
+    (jaccardVerified(cand,
+      hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold),
+      graft.util.CacheHandle(hashed))
   }
 
   /** Winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
@@ -290,12 +299,19 @@ object Dedup {
     * makes buckets bounded by construction, so candidate generation
     * is the single-shuffle [[boundedBucketPairs]] (the df filter IS
     * the bucket-size filter); never all-pairs. */
-  def winnowNearDups(docs: DataFrame): DataFrame = {
+  def winnowNearDups(docs: DataFrame): DataFrame =
+    winnowNearDupsWithHandle(docs)._1
+
+  /** [[winnowNearDups]] plus the [[graft.util.CacheHandle]] releasing
+    * the persisted fingerprint frame. */
+  def winnowNearDupsWithHandle(
+      docs: DataFrame): (DataFrame, graft.util.CacheHandle) = {
     val fp = winnowFingerprints(docs).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = fp.select(col("doc_id"), explode(col("fps")).as("fp"))
-    jaccardVerified(boundedBucketPairs(ex, "fp", MaxFingerprintDf),
-      fp.select(col("doc_id"), col("fps").as("s")), WinnowJaccard)
+    (jaccardVerified(boundedBucketPairs(ex, "fp", MaxFingerprintDf),
+      fp.select(col("doc_id"), col("fps").as("s")), WinnowJaccard),
+      graft.util.CacheHandle(fp))
   }
 
   /** Incremental near-dup detection — the daily-ingest shape: given
@@ -319,7 +335,13 @@ object Dedup {
   val IncrementalFrom = 400L
 
   def incrementalNearDups(docs: DataFrame,
-      newFromId: Long = IncrementalFrom): DataFrame = {
+      newFromId: Long = IncrementalFrom): DataFrame =
+    incrementalNearDupsWithHandle(docs, newFromId)._1
+
+  /** [[incrementalNearDups]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted shingle-hash corpus. */
+  def incrementalNearDupsWithHandle(docs: DataFrame,
+      newFromId: Long = IncrementalFrom): (DataFrame, graft.util.CacheHandle) = {
     val hashed = shingleHashes(docs).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandedSignatures(hashed)
@@ -332,8 +354,9 @@ object Dedup {
       .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
       .distinct()
-    jaccardVerified(cand,
-      hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold)
+    (jaccardVerified(cand,
+      hashed.select(col("doc_id"), col("hashes").as("s")), JaccardThreshold),
+      graft.util.CacheHandle(hashed))
   }
 
   /** Connected components over a near-dup PAIR set — the step that
@@ -538,7 +561,13 @@ object Dedup {
     * window-minima kernels; the only shuffle is the per-doc overlap
     * count. */
   def benchmarkContamination(docs: DataFrame,
-      benchBelowId: Long = 20L): DataFrame = {
+      benchBelowId: Long = 20L): DataFrame =
+    benchmarkContaminationWithHandle(docs, benchBelowId)._1
+
+  /** [[benchmarkContamination]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted fingerprint frame. */
+  def benchmarkContaminationWithHandle(docs: DataFrame,
+      benchBelowId: Long = 20L): (DataFrame, graft.util.CacheHandle) = {
     // the fingerprint frame feeds three plan branches (bench set,
     // corpus explode, corpus sizes) — persist or the rolling +
     // window-minima kernels run per branch
@@ -552,7 +581,7 @@ object Dedup {
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-    corpus
+    val out = corpus
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
       .join(shared, Seq("doc_id"), "left")
       .select(
@@ -561,6 +590,7 @@ object Dedup {
         col("n_fps"),
         (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fps"))
           .as("frac_shared"))
+    (out, graft.util.CacheHandle(fp))
   }
 
   /** Span-level duplication constants (q58): [[DupSpanK]]-char
@@ -588,7 +618,17 @@ object Dedup {
     * second exchange of the gram stream) marks the duplicated spans.
     * No all-pairs stage exists at any size. */
   def duplicatedSpans(docs: DataFrame, k: Int = DupSpanK,
-      stride: Int = DupSpanStride): DataFrame = {
+      stride: Int = DupSpanStride): DataFrame =
+    duplicatedSpansWithHandle(docs, k, stride)._1
+
+  /** [[duplicatedSpans]] plus the [[graft.util.CacheHandle]] releasing
+    * its persisted span-hash frame — the persist serves three
+    * consumers inside the returned frame's single DAG (span counting,
+    * the semi-join probe, and the per-doc totals), so it must outlive
+    * this call; a library caller releases it after consuming the
+    * result instead of `clearCache()`-ing the whole session. */
+  def duplicatedSpansWithHandle(docs: DataFrame, k: Int = DupSpanK,
+      stride: Int = DupSpanStride): (DataFrame, graft.util.CacheHandle) = {
     import org.apache.spark.sql.graft.{Bridge, RollingHashes}
     val hashed = docs
       .filter(length(col("text")) >= k)
@@ -609,13 +649,14 @@ object Dedup {
       .join(dupSpans, Seq("h"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_grams"))
-    hashed
+    val out = hashed
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
       .join(dupCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         (coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
           col("n_grams")).as("dup_ratio"))
+    (out, graft.util.CacheHandle(hashed))
   }
 
   /** Brute-force exact-Jaccard pairs (reference implementation for

@@ -23,8 +23,8 @@ import org.apache.spark.storage.StorageLevel
   * partitioning — recomputing would legally re-sample different
   * boundaries and silently corrupt the offsets. (In a production
   * layout job the ranged data is written out anyway — the persist IS
-  * that materialization.) Callers release it via the returned frame's
-  * lifecycle (`spark.catalog.clearCache()` or `unpersist`).
+  * that materialization.) Callers release it after their final action
+  * via [[globalRowIndexWithHandle]]'s [[graft.util.CacheHandle]].
   *
   * The sort key must be a total order (append a unique tiebreaker
   * column); ties would otherwise make the index nondeterministic.
@@ -37,7 +37,17 @@ object GlobalIndex {
   val Q57Partitions = 8
 
   def globalRowIndex(df: DataFrame, sortCols: Seq[Column],
-      partitions: Int): DataFrame = {
+      partitions: Int): DataFrame =
+    globalRowIndexWithHandle(df, sortCols, partitions)._1
+
+  /** [[globalRowIndex]] plus the [[graft.util.CacheHandle]] releasing
+    * the range-materialized frame. The persist is CORRECTNESS-bearing
+    * (see object doc: the sampled range boundaries must be observed
+    * identically by the count job and the index pass), so it cannot
+    * be dropped before the caller's final action; release the handle
+    * after consuming the result. */
+  def globalRowIndexWithHandle(df: DataFrame, sortCols: Seq[Column],
+      partitions: Int): (DataFrame, graft.util.CacheHandle) = {
     // The range-partition id is BAKED INTO the cached rows (evaluated
     // in the stage that fills the cache, whose task ids are the range
     // partition ids). Downstream operators may be fused into
@@ -65,7 +75,7 @@ object GlobalIndex {
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val pidIdx = df.schema.length // __pid sits after the user columns
     val outSchema = df.schema.add("global_idx", LongType, nullable = false)
-    ranged.mapPartitions { rows =>
+    val out = ranged.mapPartitions { rows =>
       // a fused task may stream several source partitions back to
       // back (each internally sorted); restart the counter at each
       // partition boundary
@@ -79,6 +89,7 @@ object GlobalIndex {
         out
       }
     }(Encoders.row(outSchema))
+    (out, graft.util.CacheHandle(ranged))
   }
 
   /** Graded global index (q57): documents totally ordered by

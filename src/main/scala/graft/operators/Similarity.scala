@@ -162,7 +162,13 @@ object Similarity {
     * [[NearDupCosine]] — the embedding member of the dedup family.
     * One shuffle on the band key; never all-pairs. */
   def embeddingNearDups(emb0: DataFrame,
-      bitsPerBand: Int = DedupBitsPerBand): DataFrame = {
+      bitsPerBand: Int = DedupBitsPerBand): DataFrame =
+    embeddingNearDupsWithHandle(emb0, bitsPerBand)._1
+
+  /** [[embeddingNearDups]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted embedding corpus. */
+  def embeddingNearDupsWithHandle(emb0: DataFrame,
+      bitsPerBand: Int = DedupBitsPerBand): (DataFrame, graft.util.CacheHandle) = {
     // norm + band keys feed several consumers; persist like the
     // dedup hash corpus
     val emb = emb0.persist(
@@ -187,10 +193,11 @@ object Similarity {
     val va = emb.select(col("vec_id").as("vec_a"), col("v").as("qv"),
       col("norm").as("qnorm"))
     val vb = emb.select(col("vec_id").as("vec_b"), col("v"), col("norm"))
-    candIds.join(va, "vec_a").join(vb, "vec_b")
+    val out = candIds.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cosine", cosine)
       .filter(col("cosine") >= NearDupCosine)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+    (out, graft.util.CacheHandle(emb))
   }
 
   /** IVF coarse quantizer size, probe width, and k-means training
@@ -287,18 +294,26 @@ object Similarity {
     * the codebook baked in (ZERO shuffle of the corpus — a
     * crossJoin+Window assignment would shuffle 16× the corpus). */
   def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters,
-      numQueries: Int = NumQueryVectors): DataFrame = {
+      numQueries: Int = NumQueryVectors): DataFrame =
+    ivfTopKWithHandle(emb0, iters, numQueries)._1
+
+  /** [[ivfTopK]] plus the [[graft.util.CacheHandle]] releasing the
+    * persisted embedding corpus (feeds codebook training, cell
+    * assignment, and the exact-cosine re-join). */
+  def ivfTopKWithHandle(emb0: DataFrame, iters: Int = KMeansIters,
+      numQueries: Int = NumQueryVectors): (DataFrame, graft.util.CacheHandle) = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val handle = graft.util.CacheHandle(emb)
     val (cents, cnorms, ids) = codebook(emb, iters)
     // a tiny corpus yields fewer centroids than NProbe (or none at
     // all): probe what exists; an empty codebook has no cells and no
     // neighbors
     if (ids.isEmpty)
-      return topK(queries(emb, numQueries)
+      return (topK(queries(emb, numQueries)
         .filter(lit(false))
         .select(col("query_id"), col("query_id").as("vec_id"))
-        .withColumn("cosine", lit(0.0)))
+        .withColumn("cosine", lit(0.0))), handle)
     def cells(v: Column, n: Column, k: Int): Column =
       Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
         Bridge.expression(v), Bridge.expression(n), cents, cnorms, ids, k))
@@ -316,7 +331,7 @@ object Similarity {
       .join(queries(emb, numQueries)
         .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
       .join(emb, "vec_id")
-    topK(cand.withColumn("cosine", cosine))
+    (topK(cand.withColumn("cosine", cosine)), handle)
   }
 
   /** LSH candidate (query_id, vec_id) pairs: corpus vectors sharing
@@ -373,7 +388,14 @@ object Similarity {
     * is at |Q| ≈ NumPlanes queries; measured in graft.ScaleProbe. */
   def lshTopK(emb0: DataFrame,
       numQueries: Int = NumQueryVectors,
-      multiProbe: Int = 0): DataFrame = {
+      multiProbe: Int = 0): DataFrame =
+    lshTopKWithHandle(emb0, numQueries, multiProbe)._1
+
+  /** [[lshTopK]] plus the [[graft.util.CacheHandle]] releasing the
+    * persisted embedding corpus. */
+  def lshTopKWithHandle(emb0: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      multiProbe: Int = 0): (DataFrame, graft.util.CacheHandle) = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(emb, numQueries, multiProbe)
@@ -381,6 +403,6 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
       .join(emb, "vec_id")
 
-    topK(cand.withColumn("cosine", cosine))
+    (topK(cand.withColumn("cosine", cosine)), graft.util.CacheHandle(emb))
   }
 }

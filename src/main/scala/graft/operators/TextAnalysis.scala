@@ -408,15 +408,26 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .persist()
-    val total = tokens.count() // scalar action; reuses the persist
-    val threshold = math.max(1L, (total * fraction).toLong)
-    val cms = tokens.stat.countMinSketch(
-      "token", CmsEps, CmsConfidence, CmsSeed)
-    tokens
-      .filter(Bridge.column(CmsEstimate(
-        Bridge.expression(col("token")), cms)) >= threshold)
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") >= threshold)
+    try {
+      val total = tokens.count() // scalar action; reuses the persist
+      val threshold = math.max(1L, (total * fraction).toLong)
+      val cms = tokens.stat.countMinSketch(
+        "token", CmsEps, CmsConfidence, CmsSeed)
+      tokens
+        .filter(Bridge.column(CmsEstimate(
+          Bridge.expression(col("token")), cms)) >= threshold)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= threshold)
+    } finally {
+      // Both eager consumers (count + sketch build) are done; the
+      // returned frame's final pass re-derives the token stream
+      // row-locally from docs instead of reading the cache. That is
+      // the right trade at every scale — an exploded token stream is
+      // LARGER than its corpus, exactly what you don't pin in
+      // executor memory at 100 TB — and it leaves no cache entry for
+      // the caller to leak.
+      tokens.unpersist(blocking = false)
+    }
   }
 }

@@ -139,10 +139,16 @@ class WireTaxiScan(path: String, required: StructType,
 }
 
 object WireTaxiFiles {
-  /** Name-sorted regular files under `path` (or `path` itself).
-    * Hidden and in-flight files — `.`/`_` prefixes, the Hadoop/Spark
-    * convention the replay writer's dot-temp files follow — are
-    * excluded, matching the built-in file sources. */
+  /** Name-sorted regular files under `path` (or `path` itself when it
+    * IS a regular file). Hidden and in-flight files — `.`/`_`
+    * prefixes, the Hadoop/Spark convention the replay writer's
+    * dot-temp files follow — are excluded, matching the built-in file
+    * sources. A nonexistent path yields an EMPTY listing — never the
+    * path itself: in streaming, discover() appends what this returns
+    * to the checkpointed discovery log, and a bogus "file" entry for a
+    * not-yet-created input directory would be replayed as a permanent
+    * per-batch failure on every restart. Empty means the source just
+    * waits for data, like the built-in file sources do. */
   def list(path: String): Array[String] = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
@@ -155,7 +161,8 @@ object WireTaxiFiles {
         }
         .map(_.toString).toArray.sorted
       finally listing.close()
-    } else Array(path)
+    } else if (java.nio.file.Files.isRegularFile(p)) Array(path)
+    else Array.empty
   }
 }
 
@@ -352,7 +359,14 @@ object WireTaxiFilters {
     if (v == null || v.isNull) return null
     field.dataType match {
       case StringType => UTF8String.fromString(v.asText())
-      case LongType => if (v.canConvertToLong) v.asLong() else null
+      // isIntegralNumber (not canConvertToLong): for floating-point
+      // nodes canConvertToLong only range-checks, silently truncating
+      // e.g. trip_id: 5.5 to 5 — diverging from both the from_json
+      // codec path (marks the record corrupt) and longCmp below
+      // (compares such nodes as doubles). Non-integral input is null
+      // here so extraction, pushed-filter eval, and the codec agree.
+      case LongType =>
+        if (v.isIntegralNumber && v.canConvertToLong) v.asLong() else null
       case DoubleType => if (v.isNumber) v.asDouble() else null
       case TimestampType =>
         parseTimestampMicros(v.asText())

@@ -196,6 +196,35 @@ class WireTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     assert(ids == Seq(big))
   }
 
+  test("nonexistent path lists empty, never itself") {
+    // a bogus 'file' entry for a not-yet-created directory would
+    // poison the streaming discovery log permanently (replayed as a
+    // per-batch failure on every restart)
+    assert(WireTaxiFiles.list("/no/such/dir-xyz").isEmpty)
+    assert(spark.read.format("wire-taxi").load("/no/such/dir-xyz")
+      .count() == 0)
+  }
+
+  test("fractional longs null out, matching pushed-filter eval") {
+    // canConvertToLong alone would truncate trip_id 5.5 to 5 — a row
+    // a pushed EqualTo(trip_id, 5) drops (longCmp compares 5.5 as a
+    // double) but an unfiltered scan would then show as trip_id=5.
+    // Non-integral input must read back null either way.
+    val dir = Files.createTempDirectory("wiretaxi-frac")
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"type": "trip", "trip_id": 5.5, "total_amount": 1.0}""" + "\n" +
+        """{"type": "trip", "trip_id": 5, "total_amount": 2.0}""" + "\n")
+    val unfiltered = spark.read.format("wire-taxi").load(dir.toString)
+      .select("trip_id").collect().map(r =>
+        if (r.isNullAt(0)) null else r.getLong(0)).toSet
+    assert(unfiltered == Set[Any](null, 5L))
+    val filtered = spark.read.format("wire-taxi").load(dir.toString)
+      .filter(col("trip_id") === 5L)
+      .select("trip_id", "total_amount").collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(5L))
+    assert(filtered.map(_.getDouble(1)).toSeq == Seq(2.0))
+  }
+
   test("timestamps parse identically to the from_json codec path") {
     val a = viaSource.filter(col("type") === "trip")
       .select(unix_millis(col("dropoff_datetime"))).as[Long](
