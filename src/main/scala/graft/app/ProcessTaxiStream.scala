@@ -40,7 +40,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   --input <wire jsonl dir> --work <staging/checkpoint root> \
   *   --index <index root> [--http-index <base url>] [--speedup N] \
   *   [--partitions N] [--noeventtime] [--max-files-per-trigger N] [--once]
-  *   [--wire-source]
+  *   [--wire-source] [--create-index] [--sigv4 <region>]
   * }}}
   */
 object ProcessTaxiStream {
@@ -62,7 +62,16 @@ object ProcessTaxiStream {
       // --wire-source: read the replay files through the wire-taxi
       // DataSourceV2 connector (per-file micro-batches, source-side
       // parsing) instead of readStream.text + from_json
-      wireSource: Boolean = false)
+      wireSource: Boolean = false,
+      // --create-index: idempotently PUT the reference's index
+      // mappings (geo_point location, date timestamp) onto the
+      // --http-index endpoint before streaming (the step the
+      // reference runs from EC2 user-data at stack boot)
+      createIndex: Boolean = false,
+      // --sigv4 <region>: SigV4-sign every HTTP index request with
+      // credentials from the standard AWS env vars (the reference
+      // sink's signed-client parity); service "es"
+      sigv4Region: Option[String] = None)
 
   final case class Summary(
       replayedEvents: Long, skippedLines: Long,
@@ -84,6 +93,8 @@ object ProcessTaxiStream {
       case "--http-index" :: v :: t =>
         loop(cfg.copy(httpIndex = Some(v)), t)
       case "--wire-source" :: t => loop(cfg.copy(wireSource = true), t)
+      case "--create-index" :: t => loop(cfg.copy(createIndex = true), t)
+      case "--sigv4" :: v :: t => loop(cfg.copy(sigv4Region = Some(v)), t)
       case Nil => cfg
       case other => throw new IllegalArgumentException(
         s"unknown argument: ${other.head}")
@@ -177,11 +188,32 @@ object ProcessTaxiStream {
     // stays idempotent regardless)
     val pickupAcc = spark.sparkContext.longAccumulator("pickup_count_docs")
     val durationAcc = spark.sparkContext.longAccumulator("trip_duration_docs")
+    // --sigv4: credentials from the standard AWS environment names
+    val signer: Option[graft.io.SigV4Signer] = cfg.sigv4Region.map { region =>
+      val access = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
+        throw new IllegalArgumentException(
+          "--sigv4 requires AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY"))
+      val secret = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY",
+        throw new IllegalArgumentException(
+          "--sigv4 requires AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY"))
+      graft.io.SigV4Signer(access, secret, region, "es",
+        sys.env.get("AWS_SESSION_TOKEN"))
+    }
+    // bootstrap BEFORE the first query starts: a mapping PUT after
+    // documents already auto-created the index would be rejected
+    (cfg.httpIndex, cfg.createIndex) match {
+      case (Some(base), true) =>
+        val created = graft.io.IndexBootstrap.ensureAll(base, signer)
+        println(s"[app] index bootstrap: created=${created.mkString(",")}")
+      case (None, true) => throw new IllegalArgumentException(
+        "--create-index requires --http-index")
+      case _ => ()
+    }
     def transportFor(docType: String,
         acc: org.apache.spark.util.LongAccumulator): BulkTransport =
       cfg.httpIndex match {
         case Some(base) => new CountingTransport(
-          new HttpBulkTransport(s"$base/$docType/_bulk"), acc)
+          new HttpBulkTransport(s"$base/$docType/_bulk", signer = signer), acc)
         case None => new LocalDirTransport(s"${cfg.indexDir}/$docType")
       }
     val q1 = StreamingTaxi.writer(

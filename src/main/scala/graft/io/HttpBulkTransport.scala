@@ -6,8 +6,10 @@ import java.nio.charset.StandardCharsets
 
 /** HTTP implementation of [[BulkTransport]] speaking the
   * newline-delimited bulk protocol of the reference's sink
-  * (ElasticsearchJestSink.java:91-136, its SigV4-signed Jest client
-  * minus the AWS signing): POST one action-metadata line plus one
+  * (ElasticsearchJestSink.java:91-136, its SigV4-signed client —
+  * pass a [[SigV4Signer]] for the same per-request signing, spec'd
+  * against the published AWS vectors): POST one action-metadata line
+  * plus one
   * source line per document to the bulk endpoint, parse the
   * per-action statuses out of the response, and report per-doc
   * success — which is exactly what the [[BulkIndexer]] needs to retry
@@ -34,7 +36,8 @@ import java.nio.charset.StandardCharsets
 class HttpBulkTransport(
     endpoint: String,
     connectTimeoutMs: Int = 5000,
-    readTimeoutMs: Int = 10000) extends BulkTransport {
+    readTimeoutMs: Int = 10000,
+    signer: Option[SigV4Signer] = None) extends BulkTransport {
 
   // The response contract is the ES bulk shape
   // {"errors":b,"items":[{"index":{"_id":...,"status":s}},...]} with
@@ -107,6 +110,14 @@ class HttpBulkTransport(
         conn.setReadTimeout(readTimeoutMs)
         conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", "application/x-ndjson")
+        // SigV4 (reference parity: the sink's SDK-signed client) —
+        // sign per request; the payload hash covers this exact body
+        signer.foreach { s =>
+          s.signedHeaders("POST", URI.create(endpoint), body,
+            java.time.Instant.now(),
+            Map("content-type" -> "application/x-ndjson"))
+            .foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        }
         conn.setFixedLengthStreamingMode(body.length)
         conn.setDoOutput(true)
         val out = conn.getOutputStream

@@ -1,0 +1,185 @@
+package graft.io
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 request signing, implemented from the
+  * public specification (canonical request → string-to-sign →
+  * HMAC-SHA256 key-derivation chain → Authorization header) with
+  * nothing but the JDK — the auth layer the reference's sink gets
+  * from its SDK-managed signed client
+  * (ElasticsearchJestSink.java:105-136, which wraps its HTTP client
+  * in an interceptor doing exactly this chain).
+  *
+  * Stateless and Serializable: executors sign each bulk request at
+  * send time with the derived per-day key recomputed on demand
+  * (derivation is four HMACs — nanoseconds against a network call).
+  *
+  * Verified in SigV4SignerSpec against the published AWS signature
+  * test-suite vectors (get-vanilla et al.).
+  *
+  * @param sessionToken temporary-credential session token, sent as
+  *        `X-Amz-Security-Token` and included in the signed headers
+  *        per the spec's temporary-credentials addendum.
+  */
+final case class SigV4Signer(
+    accessKey: String,
+    secretKey: String,
+    region: String,
+    service: String,
+    sessionToken: Option[String] = None) extends Serializable {
+
+  import SigV4Signer._
+
+  /** Headers to ADD to the request (the caller must send them
+    * verbatim): `Authorization`, `X-Amz-Date`, for temporary
+    * credentials `X-Amz-Security-Token`, and for S3 only
+    * `X-Amz-Content-Sha256` (other services cover the payload through
+    * the canonical request's trailing hash without the header — the
+    * header-set the published test vectors sign).
+    *
+    * @param extraHeaders headers the request will carry that should
+    *        be covered by the signature (e.g. Content-Type). Host is
+    *        derived from `uri` and always signed, as required.
+    */
+  def signedHeaders(
+      method: String,
+      uri: URI,
+      payload: Array[Byte],
+      now: Instant,
+      extraHeaders: Map[String, String] = Map.empty): Map[String, String] = {
+    val amzDate = AmzDateFormat.format(now)
+    val date = amzDate.substring(0, 8)
+    val payloadHash = hex(sha256(payload))
+
+    val host = {
+      val p = uri.getPort
+      if (p == -1) uri.getHost else s"${uri.getHost}:$p"
+    }
+    val contentShaHeader: Map[String, String] =
+      if (service == "s3") Map("x-amz-content-sha256" -> payloadHash)
+      else Map.empty
+    val toSign: Map[String, String] =
+      extraHeaders ++ Map(
+        "host" -> host,
+        "x-amz-date" -> amzDate) ++ contentShaHeader ++
+        sessionToken.map("x-amz-security-token" -> _)
+
+    // canonical headers: lowercase names, trimmed values with inner
+    // whitespace runs collapsed, sorted by name
+    val canonical = toSign.map { case (k, v) =>
+      k.toLowerCase -> v.trim.replaceAll("\\s+", " ")
+    }.toSeq.sortBy(_._1)
+    val signedHeaderNames = canonical.map(_._1).mkString(";")
+    val canonicalHeaders = canonical.map { case (k, v) => s"$k:$v\n" }.mkString
+
+    val canonicalRequest = Seq(
+      method.toUpperCase,
+      canonicalPath(uri),
+      canonicalQuery(uri),
+      canonicalHeaders,
+      signedHeaderNames,
+      payloadHash).mkString("\n")
+
+    val scope = s"$date/$region/$service/aws4_request"
+    val stringToSign = Seq(
+      Algorithm, amzDate, scope,
+      hex(sha256(canonicalRequest.getBytes(StandardCharsets.UTF_8))))
+      .mkString("\n")
+
+    val kSigning = Seq(date, region, service, "aws4_request")
+      .foldLeft(("AWS4" + secretKey).getBytes(StandardCharsets.UTF_8))(
+        (key, part) => hmacSha256(key, part))
+    val signature = hex(hmacSha256(kSigning, stringToSign))
+
+    Map(
+      "Authorization" -> (s"$Algorithm Credential=$accessKey/$scope, " +
+        s"SignedHeaders=$signedHeaderNames, Signature=$signature"),
+      "X-Amz-Date" -> amzDate) ++
+      (if (service == "s3") Map("X-Amz-Content-Sha256" -> payloadHash)
+       else Map.empty) ++
+      sessionToken.map("X-Amz-Security-Token" -> _)
+  }
+}
+
+object SigV4Signer {
+  val Algorithm = "AWS4-HMAC-SHA256"
+
+  private val AmzDateFormat =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(ZoneOffset.UTC)
+
+  private def sha256(bytes: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+
+  private def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  /** SigV4 URI encoding: unreserved characters pass through, every
+    * other byte of the UTF-8 encoding becomes uppercase %XX; '/' is
+    * encoded only when `encodeSlash` (path segments yes, the path
+    * separator no). */
+  private[io] def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val unreserved =
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+          c == '~'
+      if (unreserved || (c == '/' && !encodeSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical path: each already-decoded segment re-encoded once;
+    * empty path is "/". (General-service normalization; the S3
+    * no-normalize special case does not apply to this engine's
+    * endpoints.) */
+  private[io] def canonicalPath(uri: URI): String = {
+    val p = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/")
+    val norm = uri.normalize().getPath match {
+      case null | "" => "/"
+      case s => s
+    }
+    val chosen = if (norm.nonEmpty) norm else p
+    chosen.split("/", -1).map(uriEncode(_, encodeSlash = true))
+      .mkString("/") match {
+      case "" => "/"
+      case s => s
+    }
+  }
+
+  /** Canonical query: k/v pairs URI-encoded, sorted by encoded key
+    * then encoded value, joined k=v with '&'; a key with no '=' gets
+    * an empty value. */
+  private[io] def canonicalQuery(uri: URI): String =
+    Option(uri.getRawQuery).filter(_.nonEmpty).fold("") { raw =>
+      raw.split("&", -1).filter(_.nonEmpty).map { pair =>
+        val i = pair.indexOf('=')
+        val (k, v) = if (i < 0) (pair, "") else (pair.take(i), pair.drop(i + 1))
+        // raw query components arrive percent-encoded; decode then
+        // re-encode so the canonical form is single-encoded either way
+        (uriEncode(decode(k), encodeSlash = true),
+          uriEncode(decode(v), encodeSlash = true))
+      }.sortBy(kv => (kv._1, kv._2))
+        .map { case (k, v) => s"$k=$v" }
+        .mkString("&")
+    }
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), StandardCharsets.UTF_8)
+}

@@ -17,15 +17,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StubBulkServer(
     failFirstDelivery: String => Boolean = _ => false,
     alwaysFailIds: String => Boolean = _ => false,
-    var wholeRequestFailures: Int = 0) {
+    var wholeRequestFailures: Int = 0,
+    headAlways404: Boolean = false) {
 
   val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Index mappings PUT by bootstrap, keyed by request path
+    * (e.g. "/pickup_count"). */
+  val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val deliveries = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   val requests = new AtomicInteger(0)
   val requestSizes = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
   /** Request paths seen — lets app-level tests assert per-doc-type
     * endpoints (<base>/<type>/_bulk) were hit. */
   val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Last request's headers (lowercased names) — lets the SigV4 tests
+    * assert what a signed transport actually sent. */
+  @volatile var lastHeaders: Map[String, String] = Map.empty
 
   private val ActionId = """"_id"\s*:\s*"([^"]+)"""".r
 
@@ -34,10 +41,37 @@ class StubBulkServer(
   // tests and the app's per-doc-type endpoints alike)
   server.createContext("/", (ex: HttpExchange) => {
     paths.add(ex.getRequestURI.getPath)
+    lastHeaders = {
+      import scala.jdk.CollectionConverters._
+      ex.getRequestHeaders.asScala.map { case (k, v) =>
+        k.toLowerCase -> v.asScala.mkString(",")
+      }.toMap
+    }
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
     requests.incrementAndGet()
-    if (wholeRequestFailures > 0) {
+    val path = ex.getRequestURI.getPath
+    if (ex.getRequestMethod == "HEAD") {
+      // index-existence probe for IndexBootstrap; headAlways404
+      // simulates the probe racing another bootstrap's create
+      val found = !headAlways404 && mappings.containsKey(path)
+      ex.sendResponseHeaders(if (found) 200 else 404, -1)
+      ex.close()
+    } else if (ex.getRequestMethod == "PUT") {
+      // index creation; duplicate PUT answers the ES already-exists
+      // error so bootstrap idempotence can be exercised
+      if (mappings.putIfAbsent(path, body) != null) {
+        val msg = """{"error":{"type":"resource_already_exists_exception"}}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+      } else {
+        val msg = """{"acknowledged":true}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, msg.length)
+        ex.getResponseBody.write(msg)
+      }
+      ex.close()
+    } else if (wholeRequestFailures > 0) {
       wholeRequestFailures -= 1
       val msg = "service unavailable".getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(503, msg.length)
@@ -170,6 +204,58 @@ class HttpBulkSinkSpec extends AnyFunSuite with SparkSessionSpec {
       idx.flush()
       assert(srv.requestSizes.toArray.toSeq == Seq(10, 10, 10, 5))
       assert(srv.store.size() == 35)
+    }
+  }
+
+  test("index bootstrap creates both mappings once, idempotent on re-run") {
+    withServer(new StubBulkServer()) { srv =>
+      val created = IndexBootstrap.ensureAll(srv.base)
+      assert(created == Seq("pickup_count", "trip_duration"))
+      assert(srv.mappings.get("/pickup_count").contains("geo_point"))
+      assert(srv.mappings.get("/trip_duration").contains("airport_code"))
+      // second run: HEAD probes hit, nothing is re-PUT
+      assert(IndexBootstrap.ensureAll(srv.base).isEmpty)
+      assert(srv.mappings.size() == 2)
+    }
+  }
+
+  test("bootstrap treats a lost create race as success") {
+    // HEAD always misses (another bootstrap "won" between probe and
+    // PUT): the first PUT creates, the second gets the ES
+    // already-exists error, which must read as exists-now, not fail
+    withServer(new StubBulkServer(headAlways404 = true)) { srv =>
+      assert(IndexBootstrap.ensureIndex(srv.base, "pickup_count"))
+      assert(!IndexBootstrap.ensureIndex(srv.base, "pickup_count"))
+      assert(srv.mappings.size() == 1)
+    }
+  }
+
+  test("signed transport sends a verifiable SigV4 Authorization header") {
+    withServer(new StubBulkServer()) { srv =>
+      val signer = SigV4Signer("AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", "us-east-1", "es",
+        sessionToken = Some("SESTOKEN"))
+      val t = new HttpBulkTransport(srv.endpoint, signer = Some(signer))
+      assert(t.bulkIndex(Seq(doc(1))) == Seq(true))
+      val h = srv.lastHeaders
+      val auth = h("authorization")
+      assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/"))
+      assert(auth.contains("/us-east-1/es/aws4_request"))
+      // signed-header set covers content-type, host, date, and token
+      assert(auth.contains("SignedHeaders=content-type;host;" +
+        "x-amz-date;x-amz-security-token"))
+      assert(h.contains("x-amz-date") && h("x-amz-security-token") == "SESTOKEN")
+      // recompute the signature for the body + sent date: it must
+      // round-trip (the server side of SigV4 verification)
+      val body = ("""{"index":{"_id":"doc1"}}""" + "\n" +
+        """{"i":1}""" + "\n").getBytes(StandardCharsets.UTF_8)
+      val at = java.time.Instant.from(java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .parse(h("x-amz-date")))
+      val expect = signer.signedHeaders("POST",
+        java.net.URI.create(srv.endpoint), body, at,
+        Map("content-type" -> "application/x-ndjson"))("Authorization")
+      assert(auth == expect, "server-side recomputation must match")
     }
   }
 

@@ -132,6 +132,33 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     } finally srv.stop()
   }
 
+  test("create-index mode PUTs both mappings before streaming, once") {
+    val wireDir = Files.createTempDirectory("appb-wire").toString
+    val workDir = Files.createTempDirectory("appb-work").toString
+    val indexDir = Files.createTempDirectory("appb-index").toString
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.001"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val srv = new graft.io.StubBulkServer()
+    try {
+      val cfg = ProcessTaxiStream.Config(
+        inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+        speedup = 1e12, replayPartitions = 2,
+        maxFilesPerTrigger = Some(1), once = true,
+        httpIndex = Some(srv.base), createIndex = true)
+      val s = ProcessTaxiStream.run(spark, cfg)
+      assert(s.pickupDocs > 0)
+      // the reference's es-index.json mappings, per doc type
+      assert(srv.mappings.get("/pickup_count").contains("geo_point"))
+      assert(srv.mappings.get("/trip_duration").contains(
+        "airport_code"))
+      assert(srv.mappings.size() == 2)
+      // restart: bootstrap is idempotent, mappings are not re-PUT
+      ProcessTaxiStream.run(spark, cfg)
+      assert(srv.mappings.size() == 2)
+    } finally srv.stop()
+  }
+
   test("CLI parser covers the reference's flags") {
     val cfg = ProcessTaxiStream.parse(Array(
       "--input", "/in", "--work", "/w", "--index", "/idx",
@@ -140,6 +167,11 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     assert(cfg == ProcessTaxiStream.Config("/in", "/w", "/idx",
       eventTime = false, speedup = 100.0, replayPartitions = 2,
       maxFilesPerTrigger = Some(3), once = true))
+    val cfg2 = ProcessTaxiStream.parse(Array(
+      "--input", "/in", "--work", "/w", "--index", "/idx",
+      "--http-index", "http://h", "--create-index", "--sigv4", "eu-west-1"))
+    assert(cfg2.createIndex && cfg2.sigv4Region.contains("eu-west-1") &&
+      cfg2.httpIndex.contains("http://h"))
     intercept[IllegalArgumentException] {
       ProcessTaxiStream.parse(Array("--bogus"))
     }
