@@ -269,6 +269,11 @@ object SparkEntry {
       operators.Multimodal.wavDecodeStats(documents(s, dir))),
     "q55_ppm_decode" -> ((s, dir) =>
       operators.Multimodal.ppmDecodeStats(documents(s, dir))),
+    // PNG: zlib IDAT + CRC'd chunks + all five scanline filters,
+    // decoded back byte-exactly (the lossless-image member of the
+    // codec family).
+    "q67_png_decode" -> ((s, dir) =>
+      operators.Multimodal.pngDecodeStats(documents(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -539,6 +544,7 @@ object SparkEntry {
     "q48_chunk_docs" -> OracleSql.chunkDocs,
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
+    "q67_png_decode" -> OracleSql.pngDecode,
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,

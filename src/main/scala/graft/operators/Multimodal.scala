@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * (image/audio/video) carried as opaque `binary` columns with typed
   * metadata, processed by per-partition batch operators.
   *
-  * Two container formats are decoded FOR REAL in pure JVM code —
-  * RIFF/WAV PCM ([[Multimodal.decodeWav]], chunk-walking parser) and
+  * Three container formats are decoded FOR REAL in pure JVM code —
+  * RIFF/WAV PCM ([[Multimodal.decodeWav]], chunk-walking parser),
   * binary PPM ([[Multimodal.decodePpm]], with a genuine
-  * nearest-neighbor [[Multimodal.resizePpmNearest]]) — both graded
-  * sample-exactly against the oracle (q54/q55). Formats that need
-  * native codecs the container lacks (JPEG/PNG/MP4) remain behind a
+  * nearest-neighbor [[Multimodal.resizePpmNearest]]), and PNG
+  * ([[Multimodal.decodePng]]: chunk+CRC walk, java.util.zip INFLATE,
+  * all five scanline defilters) — graded sample-exactly against the
+  * oracle (q54/q55/q67). Formats that need entropy/DCT codecs the
+  * JDK lacks (JPEG/MP4) remain behind a
   * deliberate stub ([[Multimodal.decodeStub]]): a deterministic
   * byte-histogram "embedding" stands in for the
   * decoder+feature-extractor. Everything around it — the schema, the
@@ -143,10 +145,11 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // REAL codecs (pure JVM, no external libraries): RIFF/WAV PCM and
-  // binary PPM (P6). These upgrade the decode step from stub to real
-  // for the two container formats that need no native codec — the
-  // JPEG/PNG/MP4 paths remain behind [[decodeStub]] as documented.
+  // REAL codecs (pure JVM, no external libraries): RIFF/WAV PCM,
+  // binary PPM (P6), and PNG (zlib via java.util.zip). These upgrade
+  // the decode step from stub to real for the container formats the
+  // JDK can express — JPEG/MP4 (entropy/DCT) remain behind
+  // [[decodeStub]] as documented.
   // ---------------------------------------------------------------
 
   /** Decoded PCM facts of a WAV payload. `sumAbs`/`peakAbs` are the
@@ -292,6 +295,170 @@ object Multimodal {
     PpmImage(w, h, out)
   }
 
+  /** Decoded PNG image; `pixels` is row-major 8-bit RGB. */
+  final case class PngImage(width: Int, height: Int, pixels: Array[Byte])
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(typeAndData: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(typeAndData)
+    c.getValue.toInt
+  }
+
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val td = chunkType.getBytes("US-ASCII") ++ data
+    java.nio.ByteBuffer.allocate(8 + data.length + 4)
+      .putInt(data.length).put(td).putInt(crc32(td)).array()
+  }
+
+  /** Scanline bytes-per-pixel for truecolor 8-bit RGB. */
+  private val PngBpp = 3
+
+  /** REAL PNG encoder (truecolor 8-bit, non-interlaced): each
+    * scanline is FILTERED with type `y % 5` — None/Sub/Up/Average/
+    * Paeth all genuinely applied — then the filtered stream is
+    * zlib-DEFLATEd (java.util.zip) into IDAT, with real CRC32s on
+    * every chunk. Round-tripping therefore proves the decoder's
+    * inflate AND all five defilter paths, not just a happy path. */
+  def encodePng(img: PngImage): Array[Byte] = {
+    val stride = img.width * PngBpp
+    val raw = img.pixels
+    val filtered = new Array[Byte](img.height * (1 + stride))
+    var y = 0
+    while (y < img.height) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * stride + x) & 0xff
+        val left = if (x >= PngBpp) raw(y * stride + x - PngBpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= PngBpp)
+          raw((y - 1) * stride + x - PngBpp) & 0xff else 0
+        val predictor = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paethPredictor(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + x) = (cur - predictor).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(filtered)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG decoder (truecolor 8-bit, non-interlaced): verifies the
+    * signature and every chunk CRC, walks the chunk list, INFLATEs
+    * the concatenated IDAT stream (java.util.zip.Inflater — genuine
+    * zlib), and reverses all five scanline filters. None = not a PNG
+    * this decoder supports (other color types / interlacing / CRC or
+    * zlib corruption). JPEG/MP4 remain behind [[decodeStub]]: those
+    * need entropy/DCT codecs with no JDK implementation. */
+  def decodePng(payload: Array[Byte]): Option[PngImage] = {
+    if (payload.length < PngSignature.length + 12 ||
+      !payload.take(8).sameElements(PngSignature)) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(8)
+    var width = 0; var height = 0
+    var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended && buf.remaining() >= 12) {
+      val len = buf.getInt
+      if (len < 0 || len + 8 > buf.remaining()) return None
+      val td = new Array[Byte](4 + len)
+      buf.get(td)
+      val crc = buf.getInt
+      if (crc != crc32(td)) return None // corrupt chunk
+      val chunkType = new String(td, 0, 4, "US-ASCII")
+      chunkType match {
+        case "IHDR" =>
+          val h = java.nio.ByteBuffer.wrap(td, 4, len)
+          width = h.getInt; height = h.getInt
+          val bitDepth = h.get(); val colorType = h.get()
+          val interlace = td(4 + 12)
+          headerOk = width > 0 && height > 0 &&
+            bitDepth == 8 && colorType == 2 && interlace == 0
+          if (!headerOk) return None
+        case "IDAT" => idat.write(td, 4, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk: skip
+      }
+    }
+    if (!headerOk || !ended) return None
+    val stride = width * PngBpp
+    val expect = height * (1 + stride)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](expect)
+    try {
+      var off = 0
+      while (off < expect && !inflater.finished()) {
+        val n = inflater.inflate(filtered, off, expect - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+      if (off != expect) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // reverse the per-scanline filters in place into the raster
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = filtered(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= PngBpp) raw(y * stride + x - PngBpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= PngBpp)
+          raw((y - 1) * stride + x - PngBpp) & 0xff else 0
+        val predictor = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paethPredictor(left, up, ul)
+        }
+        raw(y * stride + x) = ((f + predictor) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(width, height, raw))
+  }
+
   // Deterministic synthetic payloads from doc_id arithmetic — the
   // same trick the PII corpus uses (q44): the DuckDB oracle computes
   // the expected decode facts from the identical arithmetic, so a
@@ -322,6 +489,53 @@ object Multimodal {
       y += 1
     }
     PpmImage(w, h, px)
+  }
+
+  /** Deterministic PNG raster per document: height ≥ 5 so every
+    * filter type (the encoder cycles `y % 5`) occurs in every
+    * payload. */
+  def pngOf(id: Long): PngImage = {
+    val w = (4 + id % 7).toInt
+    val h = (5 + id % 6).toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px(3 * (y * w + x) + c) =
+            ((id * 7 + 5 * x + 3 * y + 13 * c) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, px)
+  }
+
+  /** Graded PNG decode (q67): synthesize a REAL PNG per document
+    * (zlib-deflated IDAT, CRC'd chunks, all five scanline filters),
+    * decode it back through [[decodePng]], and report per-channel
+    * sums. A green row proves signature+chunk+CRC parsing, INFLATE,
+    * and every defilter path reproduced the raster byte-exactly.
+    * Row-local end-to-end. */
+  def pngDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = decodePng(encodePng(pngOf(id)))
+          .getOrElse(sys.error(s"undecodable PNG for doc $id"))
+        def channelSum(c: Int): Long = {
+          var i = c; var s = 0L
+          while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 3 }
+          s
+        }
+        (id, img.width, img.height,
+          channelSum(0), channelSum(1), channelSum(2))
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per

@@ -1320,4 +1320,29 @@ SELECT b.doc_id, b.w AS width, b.h AS height,
        b.sum_r, b.sum_g, b.sum_b,
        r.rw AS r_width, r.rh AS r_height, r.r_sum_r
 FROM base b JOIN rbase r USING (doc_id)"""
+
+  /** q67 oracle — recomputes the PNG decode facts from
+    * [[graft.operators.Multimodal.pngOf]]'s raster arithmetic:
+    * w = 4 + id%7, h = 5 + id%6, channel c of pixel (x, y) =
+    * (id*7 + 5x + 3y + 13c) % 256. The engine side round-trips the
+    * raster through a real zlib+filtered PNG encode/decode; equality
+    * with this direct recomputation proves the codec inverted it. */
+  def pngDecode: String =
+    """WITH im AS (
+  SELECT doc_id, 4 + doc_id % 7 AS w, 5 + doc_id % 6 AS h FROM documents
+),
+px AS (
+  SELECT i.doc_id, i.w, i.h,
+         (i.doc_id * 7 + 5 * x.x + 3 * y.y) % 256 AS r,
+         (i.doc_id * 7 + 5 * x.x + 3 * y.y + 13) % 256 AS g,
+         (i.doc_id * 7 + 5 * x.x + 3 * y.y + 26) % 256 AS b
+  FROM im i,
+       LATERAL (SELECT unnest(range(0, i.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, i.h)) AS y) y
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h"""
 }
