@@ -191,7 +191,8 @@ case class WireTaxiOffset(fileCount: Int) extends Offset {
 class WireTaxiMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter], maxFilesPerTrigger: Option[Int] = None,
     checkpointLocation: String = "") extends MicroBatchStream
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   private val logFile: Option[java.nio.file.Path] =
     if (checkpointLocation.isEmpty) None
@@ -280,6 +281,41 @@ class WireTaxiMicroBatchStream(path: String, required: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Kinesis-shaped admission metrics, surfaced per batch in
+    * `StreamingQueryProgress.sources[].metrics` (the engine analogue
+    * of the reference's only SLO — the consumer-lag alarm on
+    * GetRecords.IteratorAgeMilliseconds,
+    * cfn-templates/flink-refarch-infrastructure.yml:355-369):
+    *  - `pendingFiles`: discovered-but-unconsumed files ("shards
+    *    behind") at this progress point;
+    *  - `iteratorAgeMs`: now − modification time of the OLDEST
+    *    unconsumed file — how stale the next record to be admitted
+    *    already is. 0 when fully caught up; grows monotonically while
+    *    admission (maxFilesPerTrigger) throttles below the publish
+    *    rate, exactly like the Kinesis metric it mirrors. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[WireTaxiOffset].fileCount
+      else 0
+    val (pending, ageMs) = synchronized {
+      val pend = seen.length - consumed
+      val age =
+        if (pend <= 0) 0L
+        else {
+          val oldest = java.nio.file.Paths.get(seen(consumed))
+          try math.max(0L, System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(oldest).toMillis)
+          catch { case _: java.io.IOException => 0L } // racing deletion
+        }
+      (math.max(0, pend), age)
+    }
+    java.util.Map.of(
+      "pendingFiles", pending.toString,
+      "iteratorAgeMs", ageMs.toString)
+  }
 }
 
 case class WireTaxiPartition(file: String) extends InputPartition

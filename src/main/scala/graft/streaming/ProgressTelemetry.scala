@@ -15,6 +15,12 @@ class ProgressTelemetry extends StreamingQueryListener {
   val batches = new AtomicLong(0)
   val maxBatchMs = new AtomicLong(0)
   val lastWatermark = new AtomicReference[String]("")
+  /** Admission-lag SLO numbers from sources that report them (the
+    * wire connector's Kinesis-shaped `iteratorAgeMs`/`pendingFiles`,
+    * see WireTaxiMicroBatchStream.metrics): worst age seen and the
+    * latest pending count — the pair a lag alarm monitors. */
+  val maxIteratorAgeMs = new AtomicLong(0)
+  val lastPendingFiles = new AtomicLong(0)
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -27,6 +33,15 @@ class ProgressTelemetry extends StreamingQueryListener {
     val d = p.durationMs.getOrDefault("triggerExecution", 0L)
     maxBatchMs.getAndUpdate(m => math.max(m, d))
     Option(p.eventTime.get("watermark")).foreach(lastWatermark.set)
+    p.sources.foreach { s =>
+      val m = s.metrics
+      if (m != null) {
+        Option(m.get("iteratorAgeMs")).flatMap(_.toLongOption)
+          .foreach(a => maxIteratorAgeMs.getAndUpdate(x => math.max(x, a)))
+        Option(m.get("pendingFiles")).flatMap(_.toLongOption)
+          .foreach(lastPendingFiles.set)
+      }
+    }
   }
 
   override def onQueryTerminated(
@@ -34,5 +49,7 @@ class ProgressTelemetry extends StreamingQueryListener {
 
   def summary: String =
     s"rows=${totalRows.get} batches=${batches.get} " +
-      s"maxBatchMs=${maxBatchMs.get} watermark=${lastWatermark.get}"
+      s"maxBatchMs=${maxBatchMs.get} watermark=${lastWatermark.get} " +
+      s"maxIteratorAgeMs=${maxIteratorAgeMs.get} " +
+      s"pendingFiles=${lastPendingFiles.get}"
 }

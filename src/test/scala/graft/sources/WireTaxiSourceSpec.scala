@@ -111,6 +111,48 @@ class WireTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     assert(perId == Set(2L))
   }
 
+  test("throttled admission reports Kinesis-shaped iterator-age metrics") {
+    val dir = Files.createTempDirectory("wiretaxi-lag")
+    // three files published 60 s "ago": with 1-file-per-trigger
+    // admission the source is behind from the first batch, exactly
+    // the condition the reference's IteratorAge alarm monitors
+    val backdate = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    (0 to 2).foreach { i =>
+      val f = dir.resolve(f"part-$i%05d.jsonl")
+      Files.copy(Paths.get(fixture), f)
+      Files.setLastModifiedTime(f, backdate)
+    }
+    val telemetry = new graft.streaming.ProgressTelemetry
+    spark.streams.addListener(telemetry)
+    try {
+      val out = Files.createTempDirectory("wiretaxi-lag-out").toString
+      val q = spark.readStream.format("wire-taxi")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir.toString)
+        .filter(col("type") === "trip")
+        .select("trip_id", "total_amount")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("wiretaxi-lag-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener delivery is async: wait for the final batch's event
+      val deadline = System.currentTimeMillis() + 20000
+      while (telemetry.batches.get < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(telemetry.batches.get >= 3, "expected one batch per file")
+      // while throttled behind, the oldest unread file was ~60 s old
+      assert(telemetry.maxIteratorAgeMs.get >= 50000,
+        s"iterator age ${telemetry.maxIteratorAgeMs.get} ms not surfaced")
+      assert(telemetry.lastPendingFiles.get == 0,
+        "drained run must end caught up")
+      assert(telemetry.summary.contains("maxIteratorAgeMs="))
+    } finally spark.streams.removeListener(telemetry)
+  }
+
   test("streaming Q1 through the connector matches the text-source path") {
     val dir = Files.createTempDirectory("wiretaxi-q1")
     Files.copy(Paths.get(fixture), dir.resolve("part-00000.jsonl"))
