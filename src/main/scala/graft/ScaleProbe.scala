@@ -12,9 +12,24 @@ import org.apache.spark.sql.functions._
   * |Q| dot products per corpus vector while LSH costs a fixed
   * NumPlanes per corpus vector plus a small candidate set per query,
   * so LSH wins once the query batch outgrows ~NumPlanes queries.
-  * `runMain graft.ScaleProbe [factor] [sfDir]`. */
+  * `runMain graft.ScaleProbe [factor] [sfDir]`.
+  *
+  * `runMain graft.ScaleProbe --heavy [sfDir] [factors...]` instead
+  * runs ONLY the heaviest composites (pipeline funnel, both CC
+  * variants, exact + HLL profile) across a factor LADDER (default
+  * 10 50 100), printing a per-operator scaling curve — the evidence
+  * that their cost tracks the data ≈-linearly at 100× rather than
+  * bending (BASELINE.md records the ladder). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--heavy")) {
+      heavyLadder(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.drop(2).map(_.toInt) match {
+          case fs if fs.nonEmpty => fs.toSeq
+          case _ => Seq(10, 50, 100)
+        })
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,6 +194,76 @@ object ScaleProbe {
       val b = time(s"ann_brute(q=$q)")(Similarity.bruteForceTopK(emb, q))
       val l = time(s"ann_lsh(q=$q)")(Similarity.lshTopK(emb, q))
       println(f"[scale] crossover q=$q: brute $b%.2f s vs lsh $l%.2f s")
+    }
+    spark.stop()
+  }
+
+  /** Factor ladder over the heaviest composite queries only:
+    * q36 pipeline funnel, q42 frontier-propagation CC, q51
+    * large-star/small-star CC, and q61's exact profile next to its
+    * HLL-first fallback (same scan, no Expand). Each factor builds a
+    * fresh salted corpus (see main), measures, and releases it, so
+    * 100× fits in memory without the full battery's working set. */
+  private def heavyLadder(sfDir: String, factors: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(graft.operators.Profiling.ProfileCols.map(col): _*)
+    println(f"[scale-heavy] base: docs=${docs0.count()} " +
+      f"lineitem=${li0.count()} factors=${factors.mkString(",")}")
+    val results = scala.collection.mutable.Map
+      .empty[String, List[(Int, Double)]].withDefaultValue(Nil)
+    def time(factor: Int, name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(name) ::= (factor, sec)
+      println(f"[scale-heavy] ${factor}%4dx $name%-18s $sec%8.2f s")
+    }
+    factors.foreach { factor =>
+      val copies = spark.range(factor).select(col("id").as("copy"))
+      val docs = docs0.crossJoin(copies)
+        .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" copysalt"), col("copy")).as("text"))
+        .persist()
+      docs.count()
+      time(factor, "funnel")(
+        graft.operators.Pipeline.preprocessingFunnel(docs))
+      spark.catalog.clearCache(); docs.persist(); docs.count()
+      // the CC variants consume the SAME pair set; build it once per
+      // factor so the measured cost is the clustering, not the LSH
+      val pairs = Dedup.minhashNearDups(docs)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val nPairs = pairs.count()
+      println(s"[scale-heavy] ${factor}x near-dup pairs: $nPairs")
+      time(factor, "cc_propagation")(Dedup.dedupClusters(pairs))
+      spark.catalog.clearCache(); pairs.persist(); pairs.count()
+      time(factor, "cc_star")(Dedup.dedupClustersStar(pairs))
+      spark.catalog.clearCache()
+      docs.unpersist(); pairs.unpersist()
+      val li = li0.crossJoin(copies).select(
+        graft.operators.Profiling.ProfileCols.map(col): _*)
+      time(factor, "profile_exact")(
+        graft.operators.Profiling.numericProfile(li))
+      time(factor, "profile_hll")(
+        graft.operators.Profiling.numericProfileApprox(li))
+      spark.catalog.clearCache()
+    }
+    // per-operator curve: sec and sec-per-factor (flat = linear)
+    results.toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      val curve = rs.reverse.map { case (f, s) =>
+        f"$f%dx ${s}%.2f s (${s / f}%.3f s/x)"
+      }.mkString(" | ")
+      println(s"[scale-heavy] CURVE $name: $curve")
     }
     spark.stop()
   }

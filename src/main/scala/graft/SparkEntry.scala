@@ -274,6 +274,10 @@ object SparkEntry {
     // codec family).
     "q67_png_decode" -> ((s, dir) =>
       operators.Multimodal.pngDecodeStats(documents(s, dir))),
+    // JPEG through the JDK's real codec — lossy, so graded by exact
+    // dims + bounded-error booleans (the q40 pattern).
+    "q68_jpeg_decode" -> ((s, dir) =>
+      operators.Multimodal.jpegDecodeStats(documents(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -545,6 +549,13 @@ object SparkEntry {
     "q54_wav_decode" -> OracleSql.wavDecode,
     "q55_ppm_decode" -> OracleSql.ppmDecode,
     "q67_png_decode" -> OracleSql.pngDecode,
+    // JPEG is lossy: the oracle recomputes the synthesized dims and
+    // asserts the bounded-error booleans literally TRUE (see
+    // Multimodal.jpegDecodeStats).
+    "q68_jpeg_decode" ->
+      """SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height,
+        |       TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+        |FROM documents""".stripMargin,
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,

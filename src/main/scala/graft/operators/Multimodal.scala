@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * nearest-neighbor [[Multimodal.resizePpmNearest]]), and PNG
   * ([[Multimodal.decodePng]]: chunk+CRC walk, java.util.zip INFLATE,
   * all five scanline defilters) — graded sample-exactly against the
-  * oracle (q54/q55/q67). Formats that need entropy/DCT codecs the
-  * JDK lacks (JPEG/MP4) remain behind a
+  * oracle (q54/q55/q67). JPEG goes through the JDK's own javax.imageio
+  * codec ([[Multimodal.decodeJpeg]]) and, being lossy, is graded by
+  * error bounds (q68). Only MP4 (no JDK codec) remains behind a
   * deliberate stub ([[Multimodal.decodeStub]]): a deterministic
   * byte-histogram "embedding" stands in for the
   * decoder+feature-extractor. Everything around it — the schema, the
@@ -146,9 +147,8 @@ object Multimodal {
 
   // ---------------------------------------------------------------
   // REAL codecs (pure JVM, no external libraries): RIFF/WAV PCM,
-  // binary PPM (P6), and PNG (zlib via java.util.zip). These upgrade
-  // the decode step from stub to real for the container formats the
-  // JDK can express — JPEG/MP4 (entropy/DCT) remain behind
+  // binary PPM (P6), PNG (zlib via java.util.zip), and JPEG (the
+  // JDK's javax.imageio codec). Only MP4 remains behind
   // [[decodeStub]] as documented.
   // ---------------------------------------------------------------
 
@@ -459,6 +459,63 @@ object Multimodal {
     Some(PngImage(width, height, raw))
   }
 
+  /** REAL JPEG encode via the JDK's own codec (javax.imageio — Java
+    * SE, not an external library): row-major RGB → baseline JFIF at
+    * the given quality. JPEG is LOSSY, so unlike WAV/PPM/PNG the
+    * round-trip is graded by error BOUNDS (q68), not byte equality. */
+  def encodeJpeg(img: PpmImage, quality: Float = 0.9f): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = 3 * (y * img.width + x)
+        bi.setRGB(x, y,
+          ((img.pixels(i) & 0xff) << 16) |
+            ((img.pixels(i + 1) & 0xff) << 8) |
+            (img.pixels(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** REAL JPEG decode via the JDK codec; None = not decodable. */
+  def decodeJpeg(payload: Array[Byte]): Option[PpmImage] = {
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (bi == null) return None
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        val i = 3 * (y * w + x)
+        px(i) = ((rgb >> 16) & 0xff).toByte
+        px(i + 1) = ((rgb >> 8) & 0xff).toByte
+        px(i + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PpmImage(w, h, px))
+  }
+
   // Deterministic synthetic payloads from doc_id arithmetic — the
   // same trick the PII corpus uses (q44): the DuckDB oracle computes
   // the expected decode facts from the identical arithmetic, so a
@@ -536,6 +593,64 @@ object Multimodal {
           channelSum(0), channelSum(1), channelSum(2))
       }
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Smooth gradient raster per document — low-frequency content a
+    * DCT codec reproduces with small error, so the q68 bounds are
+    * tight without being fragile. Dims cover partial 8×8 blocks. */
+  def jpegOf(id: Long): PpmImage = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val base = ((id * 13 + 40 * c) % 128).toInt
+          px(3 * (y * w + x) + c) =
+            math.min(255, base + 2 * x + 3 * y).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, px)
+  }
+
+  /** Per-channel mean error tolerance for the q68 bounds: JPEG at
+    * quality 0.9 on a smooth gradient stays well inside ±8 of the
+    * source per-channel MEAN (chroma subsampling dominates; verified
+    * across the corpus at both graded scale factors). */
+  val JpegMeanTolerance = 8.0
+
+  /** Graded JPEG decode (q68): synthesize a smooth raster, encode
+    * through the JDK's REAL JPEG codec, decode back, and grade the
+    * lossy round-trip the only honest way — exact dimensions plus
+    * within-bound booleans on each channel's mean (the q40 pattern:
+    * the oracle recomputes the source means exactly and asserts the
+    * booleans literally TRUE). Row-local end-to-end. */
+  def jpegDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val src = jpegOf(id)
+        val dec = decodeJpeg(encodeJpeg(src))
+          .getOrElse(sys.error(s"undecodable JPEG for doc $id"))
+        require(dec.width == src.width && dec.height == src.height)
+        def mean(p: PpmImage, c: Int): Double = {
+          var i = c; var s = 0L
+          while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 3 }
+          s.toDouble / (p.pixels.length / 3)
+        }
+        def ok(c: Int): Boolean =
+          math.abs(mean(dec, c) - mean(src, c)) <= JpegMeanTolerance
+        (id, dec.width, dec.height, ok(0), ok(1), ok(2))
+      }
+      .toDF("doc_id", "width", "height", "mean_r_ok", "mean_g_ok",
+        "mean_b_ok")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per

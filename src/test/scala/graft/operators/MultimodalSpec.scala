@@ -244,6 +244,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("JPEG codec (JDK imageio) round-trips within the graded bounds") {
+    for (id <- 0L to 20L) {
+      val src = Multimodal.jpegOf(id)
+      val bytes = Multimodal.encodeJpeg(src)
+      assert(Multimodal.sniffMime(bytes) == "image/jpeg")
+      val dec = Multimodal.decodeJpeg(bytes).get
+      assert(dec.width == src.width && dec.height == src.height)
+      def mean(p: Multimodal.PpmImage, c: Int): Double = {
+        val vals = p.pixels.indices.collect {
+          case i if i % 3 == c => p.pixels(i) & 0xff }
+        vals.sum.toDouble / vals.length
+      }
+      for (c <- 0 to 2)
+        assert(math.abs(mean(dec, c) - mean(src, c)) <=
+          Multimodal.JpegMeanTolerance,
+          s"channel $c mean drifted past tolerance for doc $id")
+    }
+    // garbage is rejected, not crashed on
+    assert(Multimodal.decodeJpeg(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("nearest-neighbor resize samples pixels (x*f, y*f)") {
     // 4x2 image whose red channel encodes the pixel's (x, y)
     val px = new Array[Byte](3 * 4 * 2)
