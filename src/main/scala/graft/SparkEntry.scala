@@ -278,6 +278,11 @@ object SparkEntry {
     // dims + bounded-error booleans (the q40 pattern).
     "q68_jpeg_decode" -> ((s, dir) =>
       operators.Multimodal.jpegDecodeStats(documents(s, dir))),
+    // MP4 at the box level: real ISO-BMFF structure (ftyp/moov/mvhd/
+    // trak/mdat, 64-bit sizes) written and walked back; sample decode
+    // stays honestly stubbed (no JDK video codec).
+    "q69_mp4_meta" -> ((s, dir) =>
+      operators.Multimodal.mp4MetaStats(documents(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -555,6 +560,15 @@ object SparkEntry {
     "q68_jpeg_decode" ->
       """SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height,
         |       TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+        |FROM documents""".stripMargin,
+    // Mirrors Multimodal.mp4MetaStats's synthesis arithmetic; the
+    // engine side recovers these facts by parsing the real container.
+    "q69_mp4_meta" ->
+      """SELECT doc_id, 1000 AS timescale,
+        |       1000 + doc_id % 9000 AS duration,
+        |       (1000 + doc_id % 9000) * 1000 // 1000 AS duration_ms,
+        |       CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |       16 + doc_id % 64 AS mdat_bytes
         |FROM documents""".stripMargin,
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,

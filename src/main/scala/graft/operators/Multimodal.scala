@@ -516,6 +516,115 @@ object Multimodal {
     Some(PpmImage(w, h, px))
   }
 
+  /** Box-level facts of an ISO-BMFF (MP4) container. */
+  final case class Mp4Info(timescale: Long, duration: Long,
+      nTracks: Int, mdatBytes: Long)
+
+  private def mp4Box(boxType: String, payload: Array[Byte]): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8 + payload.length)
+      .putInt(8 + payload.length)
+      .put(boxType.getBytes("US-ASCII"))
+      .put(payload)
+      .array()
+
+  /** REAL ISO-BMFF (MP4) container writer at the BOX level: ftyp +
+    * moov[mvhd + nTracks × trak[tkhd]] + mdat. The sample data inside
+    * mdat is opaque (no video codec — that part stays honest), but
+    * the box structure, the version-0 mvhd layout (timescale,
+    * duration, rate/volume/matrix fields) and the size accounting are
+    * the genuine file format. */
+  def encodeMp4Meta(timescale: Long, duration: Long, nTracks: Int,
+      mdat: Array[Byte]): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)               // version 0 + flags
+      b.putInt(0).putInt(0)     // creation / modification time
+      b.putInt(timescale.toInt)
+      b.putInt(duration.toInt)
+      b.putInt(0x00010000)      // rate 1.0
+      b.putShort(0x0100.toShort) // volume 1.0
+      b.putShort(0)             // reserved
+      b.putInt(0).putInt(0)     // reserved
+      // unity matrix
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(nTracks + 1)     // next_track_ID
+      mp4Box("mvhd", b.array())
+    }
+    val traks = (1 to nTracks).map { i =>
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0x00000007)      // version 0, flags: enabled|in-movie|in-preview
+      b.putInt(0).putInt(0)     // creation / modification
+      b.putInt(i)               // track_ID
+      // reserved, duration, reserved×2, layer/group, volume/reserved,
+      // matrix, width, height — zeros suffice structurally
+      mp4Box("trak", mp4Box("tkhd", b.array()))
+    }
+    val moov = mp4Box("moov", mvhd ++ traks.flatten)
+    ftyp ++ moov ++ mp4Box("mdat", mdat)
+  }
+
+  /** REAL ISO-BMFF box parser: walks the top-level box list with size
+    * validation (64-bit `largesize` honored), descends into moov,
+    * reads the mvhd header (version 0 AND 1 layouts), counts trak
+    * boxes, and sums mdat payload bytes across the file. None = not a
+    * structurally valid MP4 with a moov/mvhd. This is the metadata
+    * slice of the format — frame DECODE needs entropy codecs the JDK
+    * lacks and stays behind [[decodeStub]]. */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Info] = {
+    var timescale = -1L; var duration = -1L
+    var nTracks = 0; var mdatBytes = 0L; var sawMoov = false
+
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var pos = from
+      while (pos < to) {
+        if (to - pos < 8) return false
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        var size: Long = buf.getInt(pos.toInt).toLong & 0xffffffffL
+        val boxType = new String(payload, pos.toInt + 4, 4, "US-ASCII")
+        var header = 8L
+        if (size == 1) { // 64-bit largesize
+          if (to - pos < 16) return false
+          size = buf.getLong(pos.toInt + 8)
+          header = 16L
+        } else if (size == 0) size = to - pos // box runs to end
+        if (size < header || pos + size > to) return false
+        boxType match {
+          case "moov" if depth == 0 =>
+            sawMoov = true
+            if (!walk(pos + header, pos + size, 1)) return false
+          case "mvhd" if depth == 1 =>
+            val b = java.nio.ByteBuffer.wrap(payload)
+            val version = payload(pos.toInt + header.toInt) & 0xff
+            val body = pos.toInt + header.toInt + 4 // skip version+flags
+            if (version == 0) {
+              if (size < header + 4 + 16) return false
+              timescale = b.getInt(body + 8).toLong & 0xffffffffL
+              duration = b.getInt(body + 12).toLong & 0xffffffffL
+            } else { // version 1: 64-bit times
+              if (size < header + 4 + 28) return false
+              timescale = b.getInt(body + 16).toLong & 0xffffffffL
+              duration = b.getLong(body + 20)
+            }
+          case "trak" if depth == 1 => nTracks += 1
+          case "mdat" if depth == 0 => mdatBytes += size - header
+          case _ => () // unknown boxes skipped by size, per the spec
+        }
+        pos += size
+      }
+      true
+    }
+    if (!walk(0, payload.length.toLong, 0)) return None
+    if (!sawMoov || timescale <= 0 || duration < 0) return None
+    Some(Mp4Info(timescale, duration, nTracks, mdatBytes))
+  }
+
   // Deterministic synthetic payloads from doc_id arithmetic — the
   // same trick the PII corpus uses (q44): the DuckDB oracle computes
   // the expected decode facts from the identical arithmetic, so a
@@ -651,6 +760,30 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "mean_r_ok", "mean_g_ok",
         "mean_b_ok")
+  }
+
+  /** Graded MP4 metadata parse (q69): synthesize a structurally-real
+    * ISO-BMFF file per document (timescale 1000, duration, track
+    * count and mdat size all doc_id-derived), parse it back with the
+    * box walker, and report the recovered facts plus the derived
+    * duration in milliseconds. Row-local end-to-end. */
+  def mp4MetaStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val duration = 1000L + id % 9000
+        val nTracks = (1 + id % 3).toInt
+        val mdat = Array.tabulate((16 + id % 64).toInt)(i =>
+          ((id + i * 5) % 256).toByte)
+        val info = parseMp4(
+          encodeMp4Meta(1000L, duration, nTracks, mdat))
+          .getOrElse(sys.error(s"unparseable MP4 for doc $id"))
+        (id, info.timescale, info.duration,
+          info.duration * 1000L / info.timescale,
+          info.nTracks, info.mdatBytes)
+      }
+      .toDF("doc_id", "timescale", "duration", "duration_ms",
+        "n_tracks", "mdat_bytes")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per

@@ -265,6 +265,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(Multimodal.decodeJpeg(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("MP4 box parser recovers mvhd/trak/mdat facts") {
+    val mdat = Array.tabulate(40)(_.toByte)
+    val bytes = Multimodal.encodeMp4Meta(1000L, 5500L, 2, mdat)
+    val info = Multimodal.parseMp4(bytes).get
+    assert(info == Multimodal.Mp4Info(1000L, 5500L, 2, 40L))
+    // ftyp magic maps to the video mime bucket (0x00 0x00 0x00 size)
+    assert(Multimodal.sniffMime(bytes) == "video/mp4")
+    // a second mdat accumulates
+    val two = bytes ++ bytes.slice(bytes.length - 48, bytes.length)
+    assert(Multimodal.parseMp4(two).get.mdatBytes == 80L)
+    // corruption: truncated box, bad size, missing moov
+    assert(Multimodal.parseMp4(bytes.dropRight(5)).isEmpty)
+    val badSize = bytes.clone(); badSize(0) = 0x7f
+    assert(Multimodal.parseMp4(badSize).isEmpty)
+    assert(Multimodal.parseMp4(
+      Multimodal.encodeMp4Meta(1000L, 1L, 1, mdat).take(24)).isEmpty)
+  }
+
+  test("MP4 parser handles version-1 mvhd and 64-bit largesize") {
+    // version-1 mvhd: 64-bit creation/modification/duration
+    val b = java.nio.ByteBuffer.allocate(112)
+    b.putInt(0x01000000)        // version 1 + flags
+    b.putLong(0).putLong(0)     // creation / modification (64-bit)
+    b.putInt(90000)             // timescale
+    b.putLong(123456789L)       // duration (64-bit)
+    b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+    val mvhd1 = {
+      val payload = b.array()
+      java.nio.ByteBuffer.allocate(8 + payload.length)
+        .putInt(8 + payload.length).put("mvhd".getBytes("US-ASCII"))
+        .put(payload).array()
+    }
+    val moov = java.nio.ByteBuffer.allocate(8 + mvhd1.length)
+      .putInt(8 + mvhd1.length).put("moov".getBytes("US-ASCII"))
+      .put(mvhd1).array()
+    val info = Multimodal.parseMp4(moov).get
+    assert(info.timescale == 90000L && info.duration == 123456789L)
+
+    // 64-bit largesize mdat (size field = 1, real size follows)
+    val payload = Array.tabulate(10)(_.toByte)
+    val large = java.nio.ByteBuffer.allocate(16 + payload.length)
+      .putInt(1).put("mdat".getBytes("US-ASCII"))
+      .putLong(16L + payload.length).put(payload).array()
+    val both = moov ++ large
+    assert(Multimodal.parseMp4(both).get.mdatBytes == 10L)
+  }
+
   test("nearest-neighbor resize samples pixels (x*f, y*f)") {
     // 4x2 image whose red channel encodes the pixel's (x, y)
     val px = new Array[Byte](3 * 4 * 2)
