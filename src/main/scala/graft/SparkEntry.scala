@@ -283,6 +283,20 @@ object SparkEntry {
     // stays honestly stubbed (no JDK video codec).
     "q69_mp4_meta" -> ((s, dir) =>
       operators.Multimodal.mp4MetaStats(documents(s, dir))),
+    // TPC-H Q5-shaped star join: broadcast dims, three fact-side
+    // hash joins, same-nation predicate inside the supplier join.
+    "q70_regional_revenue" -> ((s, dir) =>
+      RelationalQueries.regionalRevenue(s, dir)),
+    // Time-based RANGE frame (fixed span, density-independent).
+    "q71_trailing_hour" -> ((s, dir) =>
+      EventsQueries.trailingHourStats(EventsQueries.events(s, dir))),
+    // Arbitrary GROUPING SETS with grouping_id (one Expand pass).
+    "q72_grouping_sets" -> ((s, dir) =>
+      RelationalQueries.typeHourGroupingSets(EventsQueries.events(s, dir))),
+    // Symmetric int8 embedding quantization, long form, row-local.
+    "q73_quantize_int8" -> ((s, dir) =>
+      operators.Similarity.quantizeInt8(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -570,6 +584,48 @@ object SparkEntry {
         |       CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
         |       16 + doc_id % 64 AS mdat_bytes
         |FROM documents""".stripMargin,
+    "q70_regional_revenue" ->
+      s"""SELECT n_name,
+         |       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = '${RelationalQueries.RevenueRegion}'
+         |GROUP BY n_name""".stripMargin,
+    "q71_trailing_hour" ->
+      """SELECT user_id, event_id, ts_ms,
+        |       COUNT(*) OVER w AS n_1h,
+        |       SUM(value) OVER w AS sum_1h
+        |FROM (SELECT user_id, event_id,
+        |             (epoch_ns(ts) // 1000000) AS ts_ms, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "q72_grouping_sets" ->
+      """SELECT event_type, hour,
+        |       CAST(GROUPING(event_type, hour) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_events, SUM(value) AS sum_value
+        |FROM (SELECT event_type,
+        |             (epoch_ns(ts) // 1000000) // 3600000 AS hour,
+        |             value
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (hour), ())""".stripMargin,
+    "q73_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id, r.i,
+        |         CAST(embedding[r.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(0, len(embedding))) AS i) r
+        |), m AS (
+        |  SELECT vec_id, MAX(ABS(v)) AS maxabs FROM x GROUP BY vec_id
+        |)
+        |SELECT x.vec_id, CAST(x.i AS INTEGER) AS i,
+        |       CASE WHEN m.maxabs = 0 THEN 0
+        |            ELSE CAST(ROUND(x.v * 127 / m.maxabs) AS INTEGER)
+        |       END AS q
+        |FROM x JOIN m ON x.vec_id = m.vec_id""".stripMargin,
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,

@@ -146,6 +146,25 @@ object EventsQueries {
         sum(col("gap")).as("sum_gap_ms"))
   }
 
+  /** Trailing-hour RANGE frame (q71): for EVERY event, how many
+    * events and how much value the same user produced in the hour
+    * ending at it — the time-based window frame (RANGE BETWEEN n
+    * PRECEDING), complementing q39's row-count frames: a RANGE frame
+    * spans a fixed time span regardless of event density, and ties on
+    * ts_ms are all included in each other's frames (order within the
+    * tie cannot matter — deterministic by construction, no tiebreak
+    * column needed). One partitioned window pass, no global order. */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value")).over(w))
+      .drop("value")
+  }
+
   /** Per event-type × 1-hour tumbling window: count, sum and average
     * of `value`, windows with fewer than 2 events suppressed;
     * timestamp = window end − 1 ms (the reference's

@@ -312,6 +312,70 @@ object RelationalQueries {
       .withColumn("pct_rank", percent_rank().over(byValue))
   }
 
+  /** Region the graded q70 filters on — a mid-size slice of the
+    * seed-42 fixture. */
+  val RevenueRegion = "ASIA"
+
+  /** Multi-table analytic join (q70, the TPC-H Q5 shape): revenue by
+    * nation for orders whose customer AND line-item supplier sit in
+    * the same nation, restricted to one region — the classic
+    * star-join the engine must plan well at 100 TB.
+    *
+    * Scale design: region and nation are BROADCAST (hinted — a few
+    * hundred rows at any scale), so the only shuffles are the three
+    * fact-side hash joins on their natural keys
+    * (customer⋈orders on custkey, ⋈lineitem on orderkey, ⋈supplier on
+    * suppkey). The same-nation predicate lands as a join-side filter
+    * after the supplier join; the broadcast nation⋈region pre-filter
+    * prunes both dimension paths before any fact row moves. The
+    * final aggregation keys on ~25 nations — map-side partials
+    * collapse it. */
+  def regionalRevenue(spark: SparkSession, dir: String,
+      regionName: String = RevenueRegion): DataFrame = {
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name.parquet")
+    val nations = broadcast(
+      t("nation").join(
+        broadcast(t("region").filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    t("customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t("lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t("supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Explicit GROUPING SETS (q72): event counts and value sums per
+    * event_type, per hour, and grand-total in ONE aggregation pass,
+    * with `grouping_id` labeling each stratum — the multi-rollup
+    * report shape (q16's ROLLUP and q28's CUBE are the fixed-lattice
+    * special cases; this is the arbitrary-set form, SQL-only in
+    * Spark's surface so it runs through spark.sql over a temp view).
+    * One Expand (3 grouping sets) + one exchange, same plan family
+    * as rollup/cube. */
+  def typeHourGroupingSets(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    events.select(col("event_type"),
+      expr("ts_ms DIV 3600000").as("hour"), col("value"))
+      .createOrReplaceTempView("graft_gs_events")
+    s.sql("""
+      SELECT event_type, hour,
+             CAST(grouping_id(event_type, hour) AS BIGINT) AS gid,
+             COUNT(*) AS n_events,
+             SUM(value) AS sum_value
+      FROM graft_gs_events
+      GROUP BY GROUPING SETS ((event_type), (hour), ())""")
+  }
+
   /** Session windows: per-user sessions with a 2-hour inactivity gap
     * (Spark `session_window`; a new session starts when the gap to
     * the previous event is >= the timeout). */

@@ -334,6 +334,31 @@ object Similarity {
     (topK(cand.withColumn("cosine", cosine)), handle)
   }
 
+  /** Symmetric int8 scalar quantization of the embedding corpus
+    * (q73): per vector, scale = max|v|/127 and qᵢ = round(vᵢ/scale) ∈
+    * [−127, 127] — the storage/bandwidth compression step every
+    * embedding store applies before ANN serving (4× smaller than
+    * float32; dot products on int8 with one per-pair rescale).
+    * Emitted LONG-form (vec_id, i, q) so the oracle can recompute
+    * each quantized value from the same float→double arithmetic.
+    * Row-local end to end: per-vector max|v| is a fold inside the
+    * row, the explode carries no shuffle, nothing aggregates. An
+    * all-zero vector quantizes to zeros (scale guard). */
+  def quantizeInt8(raw: DataFrame): DataFrame = {
+    val maxabs = aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    raw
+      .select(col("vec_id"), col("embedding"),
+        maxabs.as("maxabs"))
+      .select(col("vec_id"), col("maxabs"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        when(col("maxabs") === 0.0, lit(0))
+          .otherwise(round(col("x").cast("double") * 127 / col("maxabs"))
+            .cast("int")).as("q"))
+  }
+
   /** LSH candidate (query_id, vec_id) pairs: corpus vectors sharing
     * at least one band bucket with the query. Exposed so the spec and
     * graft.ScaleProbe can measure candidates-per-query directly —

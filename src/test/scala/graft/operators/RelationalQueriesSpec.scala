@@ -116,6 +116,76 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("regionalRevenue: same-nation star join, dims broadcast") {
+    val out = RelationalQueries.regionalRevenue(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(1) > 0))
+    // every returned nation belongs to the filtered region
+    val asiaNations = spark.read
+      .parquet("/root/testdata/sf0.001/nation.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .filter(org.apache.spark.sql.functions.col("r_name") ===
+          RelationalQueries.RevenueRegion),
+        org.apache.spark.sql.functions.col("n_regionkey") ===
+          org.apache.spark.sql.functions.col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet.subsetOf(asiaNations))
+  }
+
+  test("typeHourGroupingSets: three strata, grand total row correct") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalQueries.typeHourGroupingSets(events).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    // gid=1: per event_type (hour null); gid=2: per hour; gid=3: total
+    assert(byGid(1L).forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+    assert(byGid(2L).forall(r => r.isNullAt(0) && !r.isNullAt(1)))
+    val total = byGid(3L) match { case Array(t) => t }
+    assert(total.getLong(3) == events.count())
+    assert(byGid(1L).map(_.getLong(3)).sum == events.count())
+  }
+
+  test("trailingHourStats: RANGE frame spans time, ties mutual") {
+    import spark.implicits._
+    // user 1: events at 0, 30m, 65m; the 65m event sees only 30m+65m
+    // user 2: two events at the SAME ts — each sees both (tie rule)
+    val events = Seq(
+      (1L, 10L, 0L, 1.0), (1L, 11L, 1800000L, 2.0),
+      (1L, 12L, 3900000L, 4.0),
+      (2L, 20L, 500L, 8.0), (2L, 21L, 500L, 16.0))
+      .toDF("user_id", "event_id", "ts_ms", "value")
+    val out = graft.operators.EventsQueries.trailingHourStats(events)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(10L) == (1L, 1.0))
+    assert(out(11L) == (2L, 3.0))   // 0 is 65 min back? no: 30m window
+    assert(out(12L) == (2L, 6.0))   // 30m and 65m within one hour
+    assert(out(20L) == (2L, 24.0) && out(21L) == (2L, 24.0))
+  }
+
+  test("quantizeInt8: symmetric int8, peak at ±127, zero-safe") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeInt8(raw)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // maxabs = 1.0 → q = round(v * 127)
+    assert(out((1L, 0)) == 64 && out((1L, 1)) == -127 &&
+      out((1L, 2)) == 32)
+    assert(Seq(0, 1, 2).forall(i => out((2L, i)) == 0))
+    // corpus-wide: every value inside [-127, 127] and every vector
+    // with a nonzero element peaks at exactly ±127
+    val corpus = graft.operators.Similarity.quantizeInt8(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val stats = corpus.groupBy("vec_id")
+      .agg(max(abs(col("q"))).as("peak"))
+      .collect()
+    assert(stats.forall(_.getInt(1) == 127))
+  }
+
   test("propsStats extracts $.k and aggregates per type") {
     val events = Seq(
       ("click", """{"k": 5}"""),
