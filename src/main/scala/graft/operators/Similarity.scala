@@ -118,14 +118,33 @@ object Similarity {
     (dot(col("qv"), col("v")) /
       (col("qnorm") * col("norm"))).as("cosine")
 
-  private def topK(scored: DataFrame): DataFrame =
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("cosine"))
+  /** Rank the scored candidates per query through the custom
+    * [[org.apache.spark.sql.graft.TopKPerGroup]] operator (q50):
+    * partial per-partition heaps send ≤ TopK rows per (partition,
+    * query) through the exchange, where the window formulation
+    * shuffles and sorts EVERY scored row — for brute force that is
+    * |Q|·|corpus| rows through one exchange. Row-identical to
+    * row_number over (cosine desc, vec_id asc): the order is total,
+    * and the q50 spec pins operator≡window equality. Falls back to
+    * the window plan when the session lacks GraftExtensions (the
+    * strategy would not plan the node). */
+  private def topK(scored: DataFrame): DataFrame = {
+    val slim = scored.select(col("query_id"), col("vec_id"), col("cosine"))
+    val extensionsActive = scored.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(slim, Seq("query_id"),
+          Seq("cosine" -> false, "vec_id" -> true), TopK)
+      else slim
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= TopK)
+    ranked.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      col("rank"), col("cosine"))
+  }
 
   /** Exact cosine top-k of every query vector against the corpus.
     * Per-query cost is one corpus scan: O(|Q|·|corpus|) dot products
