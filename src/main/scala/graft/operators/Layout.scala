@@ -77,4 +77,31 @@ object Layout {
     lineitem.select(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"),
       zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+
+  /** Partition count that lands output files near `targetBytes`,
+    * estimated from the optimized plan's size statistics (for a
+    * parquet scan that is the compressed input size — the right
+    * proxy when compacting files of the same table back together).
+    * The SMALL-FILES COMPACTION operator: a streaming sink or
+    * per-partition ingest writing a 100 TB table leaves millions of
+    * KB-scale files whose open/seek overhead then dominates every
+    * scan; periodic rewrite at a few hundred MB per file is the
+    * standard fix (every lakehouse ships an OPTIMIZE/rewrite for
+    * exactly this). */
+  def compactionPartitions(df: DataFrame, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(1, estBytes.toDouble./(targetBytes).ceil.toInt)
+  }
+
+  /** Rewrite `df` as parquet under `dir` in files of roughly
+    * `targetBytes` each (round-robin repartition — size-balanced
+    * without any shuffle key; pass a `zorderLayout`ed frame instead
+    * when min-max clustering should survive the rewrite). Returns
+    * the partition count used. */
+  def compactTo(df: DataFrame, dir: String, targetBytes: Long): Int = {
+    val n = compactionPartitions(df, targetBytes)
+    df.repartition(n).write.mode("overwrite").parquet(dir)
+    n
+  }
 }

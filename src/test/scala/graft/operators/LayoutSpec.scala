@@ -17,6 +17,33 @@ class LayoutSpec extends AnyFunSuite with SparkSessionSpec {
     z
   }
 
+  test("compaction rewrites small files near the target size") {
+    // simulate a streaming sink's small-files problem: one table
+    // scattered across 64 tiny files
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    val scattered = spark.read.parquet(src)
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(src).length == 64)
+    val inputBytes = files(src).map(_.length()).sum
+    val target = inputBytes / 4 // aim for ~4 output files
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString
+    val n = Layout.compactTo(scattered, out, target)
+    val outFiles = files(out)
+    assert(outFiles.length == n)
+    // estimate is plan-stats-based: partition count lands in a sane
+    // band around the 4-file aim, never back at 64 and never 1
+    assert(n >= 2 && n <= 12, s"unexpected partition count $n")
+    // rewrite is lossless
+    assert(spark.read.parquet(out).count() == scattered.count())
+    // and files are size-balanced (round-robin): max ≤ 3× min
+    val sizes = outFiles.map(_.length())
+    assert(sizes.max <= 3 * sizes.min,
+      s"unbalanced output files: ${sizes.toSeq}")
+  }
+
   test("zValue matches a bit-by-bit Morton reference") {
     val rnd = new scala.util.Random(11)
     val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L),

@@ -21,6 +21,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("int8-quantized search preserves brute-force top-k recall") {
+    import org.apache.spark.sql.functions._
+    // dequantize q73's output back to vectors and run the SAME
+    // brute-force top-k: int8 carries ~0.4% max per-element error,
+    // which must not reorder neighbors materially — the property
+    // that makes quantized serving viable
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scales = raw.select(col("vec_id"),
+      (aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)) / 127.0).as("scale"))
+    val deq = Similarity.quantizeInt8(raw)
+      .join(scales, "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("q"), col("scale")))),
+        s => s.getField("q").cast("double") * s.getField("scale"))
+        .as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairSet(Similarity.bruteForceTopK(emb))
+    val quant = pairSet(Similarity.bruteForceTopK(deq))
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall below 0.9")
+  }
+
   test("LSH top-k recall vs brute force (documented trade-off)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
