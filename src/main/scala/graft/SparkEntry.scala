@@ -297,6 +297,10 @@ object SparkEntry {
     "q73_quantize_int8" -> ((s, dir) =>
       operators.Similarity.quantizeInt8(
         s.read.parquet(s"$dir/embeddings.parquet"))),
+    // Multi-step funnel: greedy earliest-completion chain, every
+    // stage co-partitioned on user_id.
+    "q74_funnel_steps" -> ((s, dir) =>
+      EventsQueries.funnelSteps(EventsQueries.events(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -612,6 +616,30 @@ object SparkEntry {
         |             value
         |      FROM events)
         |GROUP BY GROUPING SETS ((event_type), (hour), ())""".stripMargin,
+    "q74_funnel_steps" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_ns(ts) // 1000000) AS ts_ms FROM events
+         |), s AS (
+         |  SELECT user_id, MIN(ts_ms) AS signup_ts
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id
+         |), c AS (
+         |  SELECT e.user_id, MIN(e.ts_ms) AS click_ts
+         |  FROM e JOIN s ON e.user_id = s.user_id
+         |  WHERE e.event_type = 'click' AND e.ts_ms >= s.signup_ts
+         |    AND e.ts_ms - s.signup_ts <= ${operators.EventsQueries.FunnelStepMs}
+         |  GROUP BY e.user_id
+         |), p AS (
+         |  SELECT e.user_id, MIN(e.ts_ms) AS purchase_ts
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts_ms >= c.click_ts
+         |    AND e.ts_ms - c.click_ts <= ${operators.EventsQueries.FunnelStepMs}
+         |  GROUP BY e.user_id
+         |)
+         |SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+         |       p.purchase_ts IS NOT NULL AS completed
+         |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
     "q73_quantize_int8" ->
       """WITH x AS (
         |  SELECT vec_id, r.i,

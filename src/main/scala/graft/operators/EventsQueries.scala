@@ -146,6 +146,45 @@ object EventsQueries {
         sum(col("gap")).as("sum_gap_ms"))
   }
 
+  /** Step window for the multi-step funnel (q74): each stage must
+    * follow the previous within a week. */
+  val FunnelStepMs: Long = 7L * 24 * 3600000
+
+  /** Multi-step funnel (q74): the earliest-completion
+    * signup → click → purchase chain per user — first signup, then
+    * the first click at-or-after it within [[FunnelStepMs]], then the
+    * first purchase at-or-after THAT click within the window (the
+    * product-analytics funnel with greedy, deterministic step
+    * anchoring). Emits each user's step timestamps (null where the
+    * funnel stalled) and a completed flag.
+    *
+    * Scale design: every stage keys on user_id — the three
+    * conditional-min aggregations and both stitching left joins all
+    * hash on the same key, so after the first exchange the stages
+    * reuse the partitioning; no window over unbounded partitions, no
+    * cross-step explosion (each stage carries ONE row per user). */
+  def funnelSteps(events: DataFrame,
+      stepMs: Long = FunnelStepMs): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_ms"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("signup_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("ts_ms") >= col("signup_ts") &&
+        col("ts_ms") - col("signup_ts") <= stepMs)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_ms") >= col("click_ts") &&
+        col("ts_ms") - col("click_ts") <= stepMs)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("purchase_ts"))
+    s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"),
+        col("purchase_ts"),
+        col("purchase_ts").isNotNull.as("completed"))
+  }
+
   /** Trailing-hour RANGE frame (q71): for EVERY event, how many
     * events and how much value the same user produced in the hour
     * ending at it — the time-based window frame (RANGE BETWEEN n

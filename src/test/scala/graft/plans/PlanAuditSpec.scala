@@ -64,6 +64,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(broadcasts.nonEmpty, "no BroadcastHashJoin in q13 plan")
   }
 
+  test("q70 star join: dims broadcast, no cartesian, pruned fact scans") {
+    val df = q("q70_regional_revenue")
+    val plan = df.queryExecution.executedPlan.toString
+    // region+nation reach the fact side through broadcast, never a
+    // shuffle of the dim, and nothing degenerates to a cartesian
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the widest fact scan reads only the four lineitem columns used
+    val li = scans(df).filter(_.metadata("Location").contains("lineitem"))
+    assert(li.nonEmpty)
+    li.foreach(s => assert(s.output.map(_.name).toSet ==
+      Set("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+      s.output.map(_.name)))
+  }
+
   test("q1 aggregates through exactly one exchange (partial+final agg)") {
     // scan → codegen'd filter/project (geohash + rewritten fences) →
     // partial agg → ONE hash exchange on (location, window) → final
