@@ -301,6 +301,10 @@ object SparkEntry {
     // stage co-partitioned on user_id.
     "q74_funnel_steps" -> ((s, dir) =>
       EventsQueries.funnelSteps(EventsQueries.events(s, dir))),
+    // Weighted reservoir (A-Res): global top-k by ln(u)/w through
+    // the heap operator; deterministic Knuth-hash uniforms.
+    "q75_weighted_reservoir" -> ((s, dir) =>
+      operators.Sampling.weightedReservoir(documents(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -640,6 +644,19 @@ object SparkEntry {
          |       p.purchase_ts IS NOT NULL AS completed
          |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
         .stripMargin,
+    "q75_weighted_reservoir" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, n_chars,
+         |         ln((${operators.Sampling.mixedSql("doc_id")} % 1048576
+         |             + 0.5) / 1048576.0) / n_chars AS key
+         |  FROM documents WHERE n_chars > 0
+         |)
+         |SELECT doc_id, n_chars, key, rank FROM (
+         |  SELECT doc_id, n_chars, key,
+         |         row_number() OVER (ORDER BY key DESC, doc_id ASC)
+         |           AS rank
+         |  FROM x
+         |) WHERE rank <= ${operators.Sampling.ReservoirK}""".stripMargin,
     "q73_quantize_int8" ->
       """WITH x AS (
         |  SELECT vec_id, r.i,

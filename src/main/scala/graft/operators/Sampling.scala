@@ -218,4 +218,47 @@ object Sampling {
       .withColumn("sample_id",
         col("doc_id") * UpsampleIdStride + col("copy"))
   }
+
+  /** Reservoir size for the graded weighted sample (q75). */
+  val ReservoirK = 50
+
+  /** WEIGHTED reservoir sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each item draws u ∈ (0,1) and the k
+    * LARGEST u^(1/w) — equivalently ln(u)/w, the form computed here —
+    * are a weighted sample without replacement; an item's selection
+    * probability is proportional to its weight at every prefix,
+    * which is what makes the scheme mergeable and streamable. Weight
+    * here = n_chars (length-proportional corpus subsampling). u is
+    * the deterministic Knuth-hash band shifted off the lattice
+    * ((band + 0.5)/2^20 — never exactly 0 or 1), so both engines
+    * draw the identical uniform and the sample is reproducible.
+    *
+    * Scale design: the key is row-local arithmetic; selection is a
+    * GLOBAL top-k routed through the [[org.apache.spark.sql.graft.TopKPerGroup]]
+    * operator under a constant group — per-partition heaps forward
+    * only k rows each, so the single final heap sees ≤ k·partitions
+    * rows, never the corpus (the classic scalable global top-k; an
+    * ORDER BY ... LIMIT k would sort everything). Falls back to the
+    * window plan without GraftExtensions. */
+  def weightedReservoir(docs: DataFrame,
+      k: Int = ReservoirK): DataFrame = {
+    val u = (hashBandCol.cast("double") + 0.5) / 1048576.0
+    val keyed = docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("key"))
+    val extensionsActive = docs.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          keyed.withColumn("g", lit(0)), Seq("g"),
+          Seq("key" -> false, "doc_id" -> true), k).drop("g")
+      else keyed
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= k)
+    ranked.select(col("doc_id"), col("n_chars"), col("key"), col("rank"))
+  }
 }

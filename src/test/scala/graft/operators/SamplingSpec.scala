@@ -128,4 +128,26 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(byLang("zh").size > zhTotal / 4 &&
       byLang("zh").size < 3 * zhTotal / 4)
   }
+
+  test("weighted reservoir: k rows, deterministic, length-biased") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = Sampling.weightedReservoir(docs).collect()
+    assert(s1.length == Sampling.ReservoirK)
+    // ranks are a dense 1..k and keys descend along them
+    val byRank = s1.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to Sampling.ReservoirK).toSeq)
+    val keys = byRank.map(_.getAs[Double]("key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // same input, same sample (hash uniforms, no RNG state)
+    val s2 = Sampling.weightedReservoir(docs).collect()
+    assert(s1.map(_.getLong(0)).toSet == s2.map(_.getLong(0)).toSet)
+    // A-Res selects proportionally to weight: the sampled docs'
+    // mean length must exceed the corpus mean by a clear margin
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = s1.map(_.getAs[Long]("n_chars")).sum.toDouble /
+      s1.length
+    assert(sampleMean > corpusMean * 1.1,
+      s"sample mean $sampleMean vs corpus $corpusMean")
+  }
 }
