@@ -305,6 +305,15 @@ object SparkEntry {
     // the heap operator; deterministic Knuth-hash uniforms.
     "q75_weighted_reservoir" -> ((s, dir) =>
       operators.Sampling.weightedReservoir(documents(s, dir))),
+    // Edit-distance-1 fuzzy vocabulary matching via deletion
+    // neighborhoods (SymSpell) + exact levenshtein verify.
+    "q76_fuzzy_names" -> ((s, dir) =>
+      operators.Dedup.fuzzyNamePairs(
+        s.read.parquet(s"$dir/part.parquet"), "p_name")),
+    // Winsorization: APPLY per-type exact p05/p95 caps (broadcast
+    // percentile row back onto the fact stream).
+    "q77_winsorize" -> ((s, dir) =>
+      operators.Profiling.winsorizedStats(EventsQueries.events(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -657,6 +666,32 @@ object SparkEntry {
          |           AS rank
          |  FROM x
          |) WHERE rank <= ${operators.Sampling.ReservoirK}""".stripMargin,
+    "q77_winsorize" ->
+      s"""WITH e AS (SELECT event_type, value FROM events),
+         |p AS (
+         |  SELECT event_type,
+         |         quantile_cont(value, ${operators.Profiling.WinsorLo})
+         |           AS p_lo,
+         |         quantile_cont(value, ${operators.Profiling.WinsorHi})
+         |           AS p_hi
+         |  FROM e GROUP BY event_type
+         |)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |       COUNT(*) FILTER (WHERE e.value < p.p_lo)
+         |         AS n_clipped_low,
+         |       COUNT(*) FILTER (WHERE e.value > p.p_hi)
+         |         AS n_clipped_high,
+         |       MIN(p.p_lo) AS p_lo, MIN(p.p_hi) AS p_hi,
+         |       SUM(LEAST(GREATEST(e.value, p.p_lo), p.p_hi))
+         |         AS sum_winsorized
+         |FROM e JOIN p USING (event_type)
+         |GROUP BY e.event_type""".stripMargin,
+    "q76_fuzzy_names" ->
+      """WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM v a JOIN v b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "q73_quantize_int8" ->
       """WITH x AS (
         |  SELECT vec_id, r.i,

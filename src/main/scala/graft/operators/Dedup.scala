@@ -659,6 +659,40 @@ object Dedup {
     (out, graft.util.CacheHandle(hashed))
   }
 
+  /** Edit-distance-1 FUZZY matching by symmetric deletion
+    * neighborhoods (the SymSpell construction): two strings are
+    * within Levenshtein distance 1 iff they share a member of
+    * {s} ∪ {s minus one character} — a substitution shares the
+    * variant deleting the substituted position, an insertion/deletion
+    * pair shares the shorter string itself. Candidates come from ONE
+    * bucket join on the variant key; the exact `levenshtein`
+    * (codegen'd built-in) then removes the construction's false
+    * positives (e.g. transposed pairs share single-char variants at
+    * distance 2), so the result is identical to the quadratic
+    * all-pairs scan the oracle runs.
+    *
+    * Scale design: matching runs on the DISTINCT name vocabulary
+    * (the exact groupBy any fuzzy-join does first — the fact table
+    * never enters the pair stage), each name emits |name|+1 variants
+    * row-locally, and no all-pairs path exists at any size — the
+    * standard scalable fuzzy-match shape for catalog/entity cleanup. */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+    val variants = names.select(col("name"),
+      explode(expr(
+        "array_union(array(name), " +
+          "transform(sequence(1, length(name)), " +
+          "i -> concat(substr(name, 1, i-1), substr(name, i+1))))"))
+        .as("v"))
+    val a = variants.alias("a")
+    val b = variants.alias("b")
+    a.join(b, col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

@@ -77,6 +77,42 @@ object Profiling {
     wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Winsorization bounds for the graded q77. */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** Winsorized per-type statistics (q77): clamp `value` to its
+    * type's exact [p05, p95] band and report the clipped counts and
+    * winsorized sum — the outlier-capping step a feature pipeline
+    * applies before normalization (APPLYING the percentiles q23 only
+    * reports). Exact interpolated percentiles, the same definition as
+    * DuckDB's quantile_cont.
+    *
+    * Scale design: two passes — the percentile aggregation reduces to
+    * ONE ROW per type, which re-joins the fact stream by BROADCAST
+    * (never a shuffle of the facts on a value key), and the clamped
+    * re-aggregation shuffles on the same small type key with map-side
+    * partials. At 100 TB the exact percentile pass is the honest
+    * cost; swap in approx_percentile for the one-pass sketch form
+    * (the q40 pattern) when rank-exactness is not contractual. */
+  def winsorizedStats(events: DataFrame, lo: Double = WinsorLo,
+      hi: Double = WinsorHi): DataFrame = {
+    val pct = events.groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, ${lo}D)").as("p_lo"),
+        expr(s"percentile(value, ${hi}D)").as("p_hi"))
+    events.join(broadcast(pct), "event_type")
+      .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
+        least(greatest(col("value"), col("p_lo")), col("p_hi"))
+          .as("clamped"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("p_lo"), 1)).as("n_clipped_low"),
+        count(when(col("value") > col("p_hi"), 1)).as("n_clipped_high"),
+        min(col("p_lo")).as("p_lo"),
+        min(col("p_hi")).as("p_hi"),
+        sum(col("clamped")).as("sum_winsorized"))
+  }
+
   /** Hourly gap-fill with forward fill (q62): resample each user's
     * event series onto its own min..max hour grid, carrying the last
     * observed hourly average across empty hours — the alignment step

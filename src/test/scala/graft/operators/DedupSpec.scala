@@ -50,6 +50,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sigs(0).length == Dedup.NumHashes)
   }
 
+  test("fuzzy name pairs: deletion neighborhood is complete at d=1") {
+    import spark.implicits._
+    val names = Seq(
+      "gear", "bear",        // substitution
+      "gears",               // insertion vs gear
+      "ear",                 // deletion vs gear/bear
+      "gaer",                // transposition: d=2 from gear — excluded
+      "widget", "widget")    // duplicates collapse in the vocabulary
+      .toDF("p_name")
+    val pairs = Dedup.fuzzyNamePairs(names, "p_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(
+      ("bear", "gear"), ("gear", "gears"), ("ear", "gear"),
+      ("bear", "ear"))
+    assert(pairs == expected, s"got $pairs")
+    // the transposed 'gaer' shares deletion variants with 'gear'
+    // ('ger'? no — 'gar','ger' overlap) but is distance 2: the exact
+    // verify must have rejected every such candidate
+    assert(!pairs.exists(p => p._1 == "gaer" || p._2 == "gaer"))
+  }
+
   test("benchmarkContamination flags shared substrings, zero for disjoint") {
     import spark.implicits._
     val bench = "the quick brown fox jumps over the lazy dog tonight"
