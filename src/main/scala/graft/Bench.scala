@@ -30,6 +30,19 @@ object Bench {
         .withColumn("r", row_number().over(
           Window.partitionBy(col("n_regionkey")).orderBy(col("n"))))
         .write.format("noop").mode("overwrite").save()
+      // Touch every input table once so OS page-cache state is
+      // uniform when the measured loop starts — otherwise whichever
+      // query sorts alphabetically first is billed the cold read of
+      // its table (lineitem/documents are tens of MB at sf0.1; a
+      // fresh box showed q10..q18 inflated 2-4× purely by read
+      // order). A full-column noop read per table is the warmup.
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        val p = new java.io.File(s"$sfDir/$t.parquet")
+        if (p.exists())
+          spark.read.parquet(p.toString)
+            .write.format("noop").mode("overwrite").save()
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       // a warmup failure must not kill the bench — the measured loop
       // isolates per-query failures as -1.0 sentinels and must still

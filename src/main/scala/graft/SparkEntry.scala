@@ -314,6 +314,10 @@ object SparkEntry {
     // percentile row back onto the fact stream).
     "q77_winsorize" -> ((s, dir) =>
       operators.Profiling.winsorizedStats(EventsQueries.events(s, dir))),
+    // Deterministic epoch shuffle: global permutation position via
+    // range-partitioned prefix sums over the Knuth hash.
+    "q78_shuffled_index" -> ((s, dir) =>
+      operators.GlobalIndex.shuffledIndex(documents(s, dir))),
     // Inter-arrival gap statistics per user (lag window + same-key
     // aggregation, exact integers).
     "q66_event_gaps" -> ((s, dir) =>
@@ -666,6 +670,13 @@ object SparkEntry {
          |           AS rank
          |  FROM x
          |) WHERE rank <= ${operators.Sampling.ReservoirK}""".stripMargin,
+    "q78_shuffled_index" ->
+      s"""SELECT doc_id, ${operators.Sampling.mixedSql("doc_id")}
+         |         AS shuffle_key,
+         |       row_number() OVER (
+         |         ORDER BY ${operators.Sampling.mixedSql("doc_id")} ASC,
+         |                  doc_id ASC) - 1 AS global_idx
+         |FROM documents""".stripMargin,
     "q77_winsorize" ->
       s"""WITH e AS (SELECT event_type, value FROM events),
          |p AS (

@@ -102,4 +102,20 @@ object GlobalIndex {
     globalRowIndex(
       docs.select(col("doc_id"), col("n_chars")),
       Seq(col("n_chars"), col("doc_id")), Q57Partitions)
+
+  /** DETERMINISTIC GLOBAL SHUFFLE (q78): every document's position
+    * in a reproducible random permutation of the corpus — the
+    * epoch-shuffle a training loader needs, computed as
+    * [[globalRowIndex]] over the Knuth-mixed doc_id (with doc_id as
+    * total-order tiebreak). Same operator, different sort key: a
+    * range exchange on the hash (uniform by construction, so range
+    * partitions are balanced) and NO single-reducer stage — where
+    * `ORDER BY random()` is both nondeterministic and a global-sort
+    * funnel. Re-running yields the identical permutation; a new
+    * epoch re-keys by salting the id before mixing. */
+  def shuffledIndex(docs: DataFrame): DataFrame =
+    globalRowIndex(
+      docs.select(col("doc_id"),
+        Sampling.mixed("doc_id").as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")), Q57Partitions)
 }
