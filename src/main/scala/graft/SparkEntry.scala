@@ -339,6 +339,12 @@ object SparkEntry {
     "q61_profile" -> ((s, dir) =>
       operators.Profiling.numericProfile(
         s.read.parquet(s"$dir/lineitem.parquet"))),
+    // The HLL-first profile graded by its error bound (q40 pattern):
+    // the scale path is itself oracle-checked, not just its exact
+    // sibling.
+    "q79_profile_hll" -> ((s, dir) =>
+      operators.Profiling.numericProfileChecked(
+        s.read.parquet(s"$dir/lineitem.parquet"))),
     // Hourly resample + forward fill per user series (integer hour
     // buckets end to end).
     "q62_gap_fill" -> ((s, dir) =>
@@ -720,6 +726,7 @@ object SparkEntry {
     "q58_dup_spans" -> OracleSql.dupSpans,
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,
+    "q79_profile_hll" -> OracleSql.numericProfileChecked,
     "q62_gap_fill" -> OracleSql.gapFillHourly,
     "q63_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -77,6 +77,39 @@ object Profiling {
     wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Driver-checkable form of the HLL-first profile (q79, the q40
+    * bounds pattern): exact n_rows/n_nulls/min/max plus the exact
+    * distinct count and a boolean asserting the HLL estimate landed
+    * within 3×rsd (15% relative, floor 3 absolute) of it. The oracle
+    * recomputes the exact columns and asserts the boolean literally
+    * TRUE — so the SCALE-PATH profile form is itself graded, not
+    * just its exact sibling. (This grading query runs both forms;
+    * a production profile run executes only the HLL pass.) */
+  def numericProfileChecked(df: DataFrame,
+      cols: Seq[String] = ProfileCols): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        approx_count_distinct(col(c)).as(s"ad_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val all = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.agg(all.head, all.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (abs(col(s"ad_$c") - col(s"nd_$c")) <=
+          greatest(lit(3.0), lit(0.15) * col(s"nd_$c")))
+          .as("hll_ok"),
+        col(s"min_$c").as("min_value"),
+        col(s"max_$c").as("max_value"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Winsorization bounds for the graded q77. */
   val WinsorLo = 0.05
   val WinsorHi = 0.95

@@ -1237,6 +1237,22 @@ FROM h LEFT JOIN dc USING (doc_id)"""
 FROM lineitem"""
     }.mkString("\nUNION ALL\n")
 
+  /** q79 oracle — the q61 arms plus a literal-TRUE `hll_ok` bound
+    * boolean (the engine side asserts the HLL estimate within 3×rsd
+    * of the exact distinct; see
+    * [[graft.operators.Profiling.numericProfileChecked]]). */
+  def numericProfileChecked: String =
+    graft.operators.Profiling.ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT($c) AS n_nulls,
+  COUNT(DISTINCT $c) AS n_distinct,
+  TRUE AS hll_ok,
+  CAST(MIN($c) AS DOUBLE) AS min_value,
+  CAST(MAX($c) AS DOUBLE) AS max_value
+FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+
   /** q62 oracle — mirror of
     * [[graft.operators.Profiling.gapFillHourly]]: integer hour
     * buckets, per-user lateral grid, IGNORE NULLS forward fill. */
