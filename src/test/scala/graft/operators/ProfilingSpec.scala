@@ -23,6 +23,44 @@ class ProfilingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(b.getAs[Double]("max_value") == 7.5)
   }
 
+  test("checked HLL profile: bounds hold, exact columns match q61's") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val checked = Profiling.numericProfileChecked(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profiling.numericProfile(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(checked.keySet == exact.keySet)
+    checked.foreach { case (c, r) =>
+      assert(r.getAs[Boolean]("hll_ok"), s"HLL out of bound for $c")
+      assert(r.getAs[Long]("n_distinct") ==
+        exact(c).getAs[Long]("n_distinct"))
+      assert(r.getAs[Double]("min_value") ==
+        exact(c).getAs[Double]("min_value"))
+    }
+  }
+
+  test("winsorize and z-score screens agree with hand-computed stats") {
+    // 20 values of 1.0 + one extreme outlier in one type; second type
+    // has no outliers
+    val events = (Seq.fill(20)(("click", 1.0)) :+ ("click", 1000.0)) ++
+      Seq.fill(5)(("view", 2.0))
+    val df = events.toDF("event_type", "value")
+    val z = Profiling.zscoreOutliers(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // click: the 1000.0 sits far past mean + 3 sigma of the sample
+    assert(z("click").getAs[Long]("n_outliers") == 1)
+    assert(z("click").getAs[Long]("n") == 21)
+    // view: zero variance, zero outliers (0 > 3*0 is false)
+    assert(z("view").getAs[Long]("n_outliers") == 0)
+    val w = Profiling.winsorizedStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // p95 of 21 values (20 ones + 1000) interpolates just above 1.0,
+    // so exactly the single extreme value clips high
+    assert(w("click").getAs[Long]("n_clipped_high") == 1)
+    assert(w("view").getAs[Long]("n_clipped_high") == 0 &&
+      w("view").getAs[Long]("n_clipped_low") == 0)
+  }
+
   test("gap fill: empty hours carry the last observed hourly average") {
     val H = 3600000L
     // user 1: hours 10 (avg 2.0 of 1.0+3.0) and 13 (6.0); user 2: hour 5
