@@ -240,16 +240,20 @@ object ScaleProbe {
         graft.operators.Pipeline.preprocessingFunnel(docs))
       spark.catalog.clearCache(); docs.persist(); docs.count()
       // the CC variants consume the SAME pair set; build it once per
-      // factor so the measured cost is the clustering, not the LSH
-      val pairs = Dedup.minhashNearDups(docs)
-        .select(col("doc_a"), col("doc_b")).persist()
+      // factor so the measured cost is the clustering, not the LSH.
+      // Release the LSH operator's internal hash-corpus persist via
+      // its handle — a blunt clearCache here would evict `pairs` too
+      // and silently re-run the whole candidate+verify pipeline
+      // (the most expensive stage at 100×) before cc_star
+      val (pairsDf, lshHandle) = Dedup.minhashNearDupsWithHandle(docs)
+      val pairs = pairsDf.select(col("doc_a"), col("doc_b")).persist()
       val nPairs = pairs.count()
+      lshHandle.release()
       println(s"[scale-heavy] ${factor}x near-dup pairs: $nPairs")
       time(factor, "cc_propagation")(Dedup.dedupClusters(pairs))
-      spark.catalog.clearCache(); pairs.persist(); pairs.count()
       time(factor, "cc_star")(Dedup.dedupClustersStar(pairs))
-      spark.catalog.clearCache()
       docs.unpersist(); pairs.unpersist()
+      spark.catalog.clearCache() // residual operator internals
       val li = li0.crossJoin(copies).select(
         graft.operators.Profiling.ProfileCols.map(col): _*)
       time(factor, "profile_exact")(

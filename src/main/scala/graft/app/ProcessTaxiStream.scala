@@ -188,7 +188,12 @@ object ProcessTaxiStream {
     // stays idempotent regardless)
     val pickupAcc = spark.sparkContext.longAccumulator("pickup_count_docs")
     val durationAcc = spark.sparkContext.longAccumulator("trip_duration_docs")
-    // --sigv4: credentials from the standard AWS environment names
+    // --sigv4: credentials from the standard AWS environment names.
+    // Like --create-index, it only means something with an HTTP
+    // index: fail loudly rather than silently not signing (or
+    // demanding credentials the local-dir sink would never use).
+    if (cfg.sigv4Region.isDefined && cfg.httpIndex.isEmpty)
+      throw new IllegalArgumentException("--sigv4 requires --http-index")
     val signer: Option[graft.io.SigV4Signer] = cfg.sigv4Region.map { region =>
       val access = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
         throw new IllegalArgumentException(

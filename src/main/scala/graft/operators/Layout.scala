@@ -88,10 +88,20 @@ object Layout {
     * scan; periodic rewrite at a few hundred MB per file is the
     * standard fix (every lakehouse ships an OPTIMIZE/rewrite for
     * exactly this). */
-  def compactionPartitions(df: DataFrame, targetBytes: Long): Int = {
+  def compactionPartitions(df: DataFrame, targetBytes: Long,
+      maxPartitions: Int = 1 << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(1, estBytes.toDouble./(targetBytes).ceil.toInt)
+    // plans without computed stats default sizeInBytes to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) and joins multiply
+    // children's sizes — both would saturate the division into a
+    // repartition(Int.MaxValue) death; demand a real statistic
+    require(estBytes < BigInt(Long.MaxValue),
+      "plan has no usable size statistic — compact a frame whose " +
+        "size Spark can estimate (a file scan / persisted frame), " +
+        "or repartition explicitly")
+    val n = (estBytes.toDouble / targetBytes).ceil.toInt
+    math.min(maxPartitions, math.max(1, n))
   }
 
   /** Rewrite `df` as parquet under `dir` in files of roughly

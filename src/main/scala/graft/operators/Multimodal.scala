@@ -394,7 +394,10 @@ object Multimodal {
     var ended = false
     while (!ended && buf.remaining() >= 12) {
       val len = buf.getInt
-      if (len < 0 || len + 8 > buf.remaining()) return None
+      // subtraction, not `len + 8 > remaining`: a hostile length near
+      // Int.MaxValue would wrap the addition negative and slip past
+      // the guard into the array allocation
+      if (len < 0 || len > buf.remaining() - 8) return None
       val td = new Array[Byte](4 + len)
       buf.get(td)
       val crc = buf.getInt
@@ -424,7 +427,11 @@ object Multimodal {
       var off = 0
       while (off < expect && !inflater.finished()) {
         val n = inflater.inflate(filtered, off, expect - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // any zero-progress state is unrecoverable here: truncated
+        // input (needsInput) or a preset-dictionary stream
+        // (needsDictionary — a checksum-valid FDICT header would
+        // otherwise spin this loop forever)
+        if (n == 0) return None
         off += n
       }
       if (off != expect) return None

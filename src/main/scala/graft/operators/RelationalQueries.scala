@@ -364,16 +364,24 @@ object RelationalQueries {
     * as rollup/cube. */
   def typeHourGroupingSets(events: DataFrame): DataFrame = {
     val s = events.sparkSession
+    // per-call unique view name, dropped after analysis: a fixed name
+    // would race concurrent callers on the shared session catalog
+    // (one caller's query resolving against the other's data) and
+    // leak the view; sql() analyzes eagerly, so the returned frame
+    // does not need the view to survive
+    val view = s"graft_gs_events_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
     events.select(col("event_type"),
       expr("ts_ms DIV 3600000").as("hour"), col("value"))
-      .createOrReplaceTempView("graft_gs_events")
-    s.sql("""
+      .createOrReplaceTempView(view)
+    try s.sql(s"""
       SELECT event_type, hour,
              CAST(grouping_id(event_type, hour) AS BIGINT) AS gid,
              COUNT(*) AS n_events,
              SUM(value) AS sum_value
-      FROM graft_gs_events
+      FROM $view
       GROUP BY GROUPING SETS ((event_type), (hour), ())""")
+    finally s.catalog.dropTempView(view)
   }
 
   /** Session windows: per-user sessions with a 2-hour inactivity gap
