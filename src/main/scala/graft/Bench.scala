@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    graft.util.HostLoad.record()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -78,7 +79,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     spark.stop()
   }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
+    graft.util.HostLoad.record()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -54,6 +55,40 @@ object StreamBench {
     def stream = EventCodec.parseEvents(
       spark.readStream.option("maxFilesPerTrigger", "2")
         .text(s"$replayDir/*.jsonl").toDF("value"))
+
+    // Absorb one-time streaming warmup (incremental-plan codegen,
+    // RocksDB state-store init, file-source listing) OUTSIDE the
+    // measured loop — the same policy Bench.scala applies to batch.
+    // Without this, batch 0 of the measured run carries ~3 s of JVM
+    // warmup that belongs to no event (r7 measured batch 0 at 4.9 s
+    // vs a 2.0 s steady state; at 96k events that skews the headline
+    // ~25%, and the metric claims SUSTAINED events/s). A 200-line
+    // slice through the identical q1/q2 plans compiles the same code
+    // paths at negligible cost.
+    try {
+      val warmDir = Files.createTempDirectory("warm").toString
+      val warmCp = Files.createTempDirectory("warmcp").toString
+      val src = new java.io.File(replayDir).listFiles()
+        .filter(_.getName.endsWith(".jsonl")).minBy(_.getName)
+      val lines = scala.io.Source.fromFile(src)
+      val slice = try lines.getLines().take(200).toVector finally lines.close()
+      Files.write(java.nio.file.Paths.get(warmDir, "warm.jsonl"),
+        String.join("\n", slice: _*).getBytes("UTF-8"))
+      def warmStream = EventCodec.parseEvents(
+        spark.readStream.text(s"$warmDir/*.jsonl").toDF("value"))
+      val w1 = StreamingTaxi.writer(
+          StreamingTaxi.q1(StreamingTaxi.tripStream(warmStream)),
+          s"$warmCp/q1", Trigger.AvailableNow())
+        .format("memory").queryName("warm_q1").start()
+      val w2 = StreamingTaxi.writer(
+          StreamingTaxi.q2(StreamingTaxi.tripStream(warmStream)),
+          s"$warmCp/q2", Trigger.AvailableNow())
+        .format("memory").queryName("warm_q2").start()
+      w1.awaitTermination(); w2.awaitTermination()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[stream-bench] warmup failed: ${e.getMessage}")
+    }
+
     val t1 = System.nanoTime()
     val query1 = StreamingTaxi.writer(
         StreamingTaxi.q1(StreamingTaxi.tripStream(stream)),
@@ -69,6 +104,11 @@ object StreamBench {
 
     def stats(q: org.apache.spark.sql.streaming.StreamingQuery) = {
       val p = q.recentProgress.toSeq
+      // SPARK_GRAFT_VERBOSE=1: per-batch progress JSON to stderr —
+      // the diagnostic view (addBatch vs planning vs state commit)
+      // behind the one-line summary.
+      if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
+        p.foreach(pr => System.err.println(s"[stream-bench] ${pr.json}"))
       (p.map(_.numInputRows).sum, p.size,
         p.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
           .maxOption.getOrElse(0L))
@@ -83,7 +123,7 @@ object StreamBench {
       s""""replay_sec":$replaySec,"stream_wall_sec":$streamWallSec,""" +
       s""""q1_rows":$rows1,"q1_batches":$batches1,"q1_max_batch_ms":$maxMs1,""" +
       s""""q2_rows":$rows2,"q2_batches":$batches2,"q2_max_batch_ms":$maxMs2,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
     spark.stop()
   }
 }
