@@ -283,6 +283,12 @@ object SparkEntry {
     // stays honestly stubbed (no JDK video codec).
     "q69_mp4_meta" -> ((s, dir) =>
       operators.Multimodal.mp4MetaStats(documents(s, dir))),
+    // MP4 frame EXTRACTION: real stsd/stsz/stsc/stco sample-table
+    // resolution over an uncompressed 'raw ' RGB24 track (frames
+    // split across two chunks); only entropy decode stays out of
+    // scope. first_byte_sum grades frame boundaries exactly.
+    "q81_mp4_frames" -> ((s, dir) =>
+      operators.Multimodal.mp4FrameStats(documents(s, dir))),
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
@@ -648,6 +654,38 @@ object SparkEntry {
         |       CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
         |       16 + doc_id % 64 AS mdat_bytes
         |FROM documents""".stripMargin,
+    // Mirrors Multimodal.mp4FramesOf's pixel arithmetic; the engine
+    // side recovers these facts by resolving the real sample tables.
+    "q81_mp4_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+        |         2 + doc_id % 5 AS n
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT v.doc_id,
+        |         (v.doc_id * 7 + f.f * 13 + p.p * 3) % 256 AS b
+        |  FROM v,
+        |       LATERAL (SELECT unnest(range(0, v.n)) AS f) f,
+        |       LATERAL (SELECT unnest(range(0, v.w * v.h * 3)) AS p) p
+        |),
+        |sums AS (
+        |  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS sum_px
+        |  FROM px GROUP BY doc_id
+        |),
+        |firsts AS (
+        |  SELECT v.doc_id,
+        |         CAST(SUM((v.doc_id * 7 + f.f * 13) % 256) AS BIGINT)
+        |           AS first_byte_sum
+        |  FROM v, LATERAL (SELECT unnest(range(0, v.n)) AS f) f
+        |  GROUP BY v.doc_id
+        |)
+        |SELECT v.doc_id, v.n AS n_frames, v.w AS width, v.h AS height,
+        |       v.w * v.h * 3 AS frame_bytes, s.sum_px,
+        |       fb.first_byte_sum, CAST(24 AS BIGINT) AS depth
+        |FROM v
+        |JOIN sums s ON v.doc_id = s.doc_id
+        |JOIN firsts fb ON v.doc_id = fb.doc_id""".stripMargin,
     "q70_regional_revenue" ->
       s"""SELECT n_name,
          |       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue

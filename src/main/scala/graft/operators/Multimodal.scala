@@ -405,6 +405,10 @@ object Multimodal {
       val chunkType = new String(td, 0, 4, "US-ASCII")
       chunkType match {
         case "IHDR" =>
+          // a CRC-valid IHDR can still declare len < 13 (crafted
+          // input): reading width/height/interlace would underflow —
+          // contract is None for malformed, never a throw
+          if (len < 13) return None
           val h = java.nio.ByteBuffer.wrap(td, 4, len)
           width = h.getInt; height = h.getInt
           val bitDepth = h.get(); val colorType = h.get()
@@ -632,6 +636,271 @@ object Multimodal {
     Some(Mp4Info(timescale, duration, nTracks, mdatBytes))
   }
 
+  /** One decoded video track: sample-entry facts plus the raw sample
+    * payloads resolved through the stsz/stsc/stco tables. */
+  final case class Mp4VideoTrack(format: String, width: Int, height: Int,
+      depth: Int, frames: Vector[Array[Byte]])
+
+  /** REAL ISO-BMFF writer for an UNCOMPRESSED video track: ftyp +
+    * moov[mvhd + trak[tkhd + mdia[mdhd + hdlr('vide') + minf[vmhd +
+    * dinf/dref + stbl[stsd('raw ' RGB24 sample entry) + stts + stsc +
+    * stsz + stco]]]]] + mdat holding the RGB24 frames. Frames are
+    * deliberately split across TWO chunks (when n > 1) so the
+    * sample-to-chunk and chunk-offset tables are genuinely exercised,
+    * and stco carries ABSOLUTE file offsets exactly as the spec
+    * requires — which forces the two-pass layout (moov size must be
+    * known before the offsets it contains).
+    *
+    * 'raw ' is the registered uncompressed-RGB sample-entry fourcc;
+    * entropy-coded tracks (avc1 …) are out of scope by design — this
+    * writer/reader pair makes frame EXTRACTION real without an
+    * entropy codec (reference scope: the engine treats media as typed
+    * binary; the reference itself ships no media path at all). */
+  def encodeMp4RawVideo(width: Int, height: Int,
+      frames: Seq[Array[Byte]], timescale: Long = 1000L,
+      frameTicks: Long = 40L): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height * 3),
+      "RGB24 frames must be width*height*3 bytes")
+    val n = frames.size
+    val duration = n * frameTicks
+    val chunk1 = (n + 1) / 2 // frames in the first chunk
+    val chunks: Seq[Seq[Array[Byte]]] =
+      if (n > 1) Seq(frames.take(chunk1), frames.drop(chunk1))
+      else Seq(frames)
+
+    def fullBox(tp: String, version: Int, flags: Int,
+        body: Array[Byte]): Array[Byte] =
+      mp4Box(tp, java.nio.ByteBuffer.allocate(4 + body.length)
+        .putInt((version << 24) | flags).put(body).array())
+
+    def build(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val ftyp = mp4Box("ftyp",
+        "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+          "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+      val mvhd = {
+        val b = java.nio.ByteBuffer.allocate(96)
+        b.putInt(0).putInt(0) // creation / modification
+        b.putInt(timescale.toInt).putInt(duration.toInt)
+        b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        b.putInt(0).putInt(0)
+        b.putInt(0x00010000).putInt(0).putInt(0)
+        b.putInt(0).putInt(0x00010000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        (1 to 6).foreach(_ => b.putInt(0))
+        b.putInt(2) // next_track_ID
+        fullBox("mvhd", 0, 0, b.array())
+      }
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(80)
+        b.putInt(0).putInt(0)  // creation / modification
+        b.putInt(1)            // track_ID
+        b.putInt(0)            // reserved
+        b.putInt(duration.toInt)
+        b.putInt(0).putInt(0)  // reserved
+        b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/rsvd
+        b.putInt(0x00010000).putInt(0).putInt(0)
+        b.putInt(0).putInt(0x00010000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        b.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+        fullBox("tkhd", 0, 7, b.array())
+      }
+      val mdhd = {
+        val b = java.nio.ByteBuffer.allocate(20)
+        b.putInt(0).putInt(0)
+        b.putInt(timescale.toInt).putInt(duration.toInt)
+        b.putShort(0x55c4.toShort) // language 'und'
+        b.putShort(0)
+        fullBox("mdhd", 0, 0, b.array())
+      }
+      val hdlr = fullBox("hdlr", 0, 0,
+        Array[Byte](0, 0, 0, 0) ++ "vide".getBytes("US-ASCII") ++
+          new Array[Byte](12) ++ "graft".getBytes("US-ASCII") :+ 0.toByte)
+      val vmhd = fullBox("vmhd", 0, 1, new Array[Byte](8))
+      val dref = fullBox("dref", 0, 0,
+        java.nio.ByteBuffer.allocate(4).putInt(1).array() ++
+          fullBox("url ", 0, 1, Array.empty)) // self-contained
+      val dinf = mp4Box("dinf", dref)
+      val stsd = {
+        val entry = {
+          val b = java.nio.ByteBuffer.allocate(78)
+          b.put(new Array[Byte](6)).putShort(1) // reserved + data_ref_index
+          b.putShort(0).putShort(0)             // pre_defined / reserved
+          b.put(new Array[Byte](12))            // pre_defined
+          b.putShort(width.toShort).putShort(height.toShort)
+          b.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+          b.putInt(0)
+          b.putShort(1)                         // frame_count
+          b.put(new Array[Byte](32))            // compressorname
+          b.putShort(24)                        // depth: RGB24
+          b.putShort(-1)                        // pre_defined
+          mp4Box("raw ", b.array())
+        }
+        fullBox("stsd", 0, 0,
+          java.nio.ByteBuffer.allocate(4).putInt(1).array() ++ entry)
+      }
+      val stts = fullBox("stts", 0, 0,
+        java.nio.ByteBuffer.allocate(12).putInt(1)
+          .putInt(n).putInt(frameTicks.toInt).array())
+      val stsc = {
+        val b = java.nio.ByteBuffer.allocate(4 + chunks.size * 12)
+        b.putInt(chunks.size)
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          b.putInt(i + 1).putInt(c.size).putInt(1)
+        }
+        fullBox("stsc", 0, 0, b.array())
+      }
+      val stsz = {
+        val b = java.nio.ByteBuffer.allocate(8 + n * 4)
+        b.putInt(0).putInt(n) // per-sample sizes follow
+        frames.foreach(f => b.putInt(f.length))
+        fullBox("stsz", 0, 0, b.array())
+      }
+      val stco = {
+        val b = java.nio.ByteBuffer.allocate(4 + chunks.size * 4)
+        b.putInt(chunks.size)
+        chunkOffsets.foreach(o => b.putInt(o.toInt))
+        fullBox("stco", 0, 0, b.array())
+      }
+      val stbl = mp4Box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = mp4Box("minf", vmhd ++ dinf ++ stbl)
+      val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = mp4Box("trak", tkhd ++ mdia)
+      val moov = mp4Box("moov", mvhd ++ trak)
+      ftyp ++ moov ++ mp4Box("mdat", frames.flatten.toArray)
+    }
+
+    // pass 1 with zero offsets fixes every box size; pass 2 writes the
+    // true absolute chunk offsets (mdat payload starts after its header)
+    val sized = build(chunks.map(_ => 0L))
+    val mdatPayloadStart =
+      sized.length - frames.map(_.length).sum // == pre-mdat + 8
+    val offsets = chunks.scanLeft(mdatPayloadStart.toLong) {
+      (off, c) => off + c.map(_.length).sum
+    }.init
+    build(offsets)
+  }
+
+  /** REAL frame extraction through the sample tables: walk
+    * moov/trak/mdia/minf/stbl, read the stsd sample entry (format
+    * fourcc, declared dims, depth), then resolve every sample's
+    * absolute file offset via stsc (sample-to-chunk runs, last run
+    * open-ended per the spec) + stco (chunk offsets) + stsz (sizes)
+    * and slice the payload. Returns the first UNCOMPRESSED ('raw ')
+    * video track; entropy-coded tracks (avc1 …) yield None — frame
+    * extraction is real, entropy decode stays out of scope, stated.
+    * None also on any structural violation (offsets outside the file,
+    * truncated tables) — never a partial frame list. */
+  def extractMp4Frames(payload: Array[Byte]): Option[Mp4VideoTrack] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+
+    /** children of [from,to) as (bodyStart, bodyEnd, type). */
+    def children(from: Int, to: Int): Vector[(Int, Int, String)] = {
+      val out = Vector.newBuilder[(Int, Int, String)]
+      var pos = from
+      while (pos < to) {
+        if (to - pos < 8) return Vector.empty
+        var size: Long = buf.getInt(pos).toLong & 0xffffffffL
+        val tp = new String(payload, pos + 4, 4, "US-ASCII")
+        var header = 8
+        if (size == 1) {
+          if (to - pos < 16) return Vector.empty
+          size = buf.getLong(pos + 8); header = 16
+        } else if (size == 0) size = to - pos
+        if (size < header || pos + size > to) return Vector.empty
+        out += ((pos + header, pos + size.toInt, tp))
+        pos += size.toInt
+      }
+      out.result()
+    }
+    def child(from: Int, to: Int, tp: String): Option[(Int, Int)] =
+      children(from, to).collectFirst { case (s, e, `tp`) => (s, e) }
+
+    def resolveSamples(sizes: Vector[Int], runs: Vector[(Int, Int)],
+        offsets: Vector[Long]): Option[Vector[Array[Byte]]] = {
+      if (runs.isEmpty || offsets.isEmpty) return None
+      val perChunk = Vector.tabulate(offsets.size) { ci =>
+        // the stsc run in force for chunk ci+1: largest first_chunk ≤
+        // it (the final run is open-ended, per the spec)
+        runs.takeWhile(_._1 <= ci + 1).lastOption.fold(0)(_._2)
+      }
+      val out = Vector.newBuilder[Array[Byte]]
+      var sample = 0
+      var ci = 0
+      while (ci < perChunk.length) {
+        var off = offsets(ci)
+        var k = 0
+        while (k < perChunk(ci)) {
+          if (sample < sizes.length) {
+            val sz = sizes(sample)
+            if (sz < 0 || off < 0 || off + sz > payload.length) return None
+            out += java.util.Arrays.copyOfRange(
+              payload, off.toInt, off.toInt + sz)
+            off += sz; sample += 1
+          }
+          k += 1
+        }
+        ci += 1
+      }
+      if (sample != sizes.length) None // tables disagree: corrupt
+      else Some(out.result())
+    }
+
+    def decodeStbl(stblS: Int, stblE: Int): Option[Mp4VideoTrack] = for {
+      (sdS, sdE) <- child(stblS, stblE, "stsd")
+      entry <- {
+        if (sdE - sdS < 8 || buf.getInt(sdS + 4) < 1) None
+        else children(sdS + 8, sdE).headOption
+      }
+      (enS, enE, format) = entry
+      if enE - enS >= 78 // full video sample entry body
+      width = buf.getShort(enS + 24).toInt & 0xffff
+      height = buf.getShort(enS + 26).toInt & 0xffff
+      depth = buf.getShort(enS + 74).toInt & 0xffff
+      if format == "raw " // uncompressed only; entropy codecs: None
+      sizes <- child(stblS, stblE, "stsz").flatMap { case (s, e) =>
+        if (e - s < 12) None
+        else {
+          val fixed = buf.getInt(s + 4)
+          val count = buf.getInt(s + 8)
+          if (count < 0) None
+          else if (fixed != 0) Some(Vector.fill(count)(fixed))
+          else if (e - s < 12 + count * 4) None
+          else Some(Vector.tabulate(count)(i => buf.getInt(s + 12 + i * 4)))
+        }
+      }
+      stscRuns <- child(stblS, stblE, "stsc").flatMap { case (s, e) =>
+        if (e - s < 8) None
+        else {
+          val count = buf.getInt(s + 4)
+          if (count < 0 || e - s < 8 + count * 12) None
+          else Some(Vector.tabulate(count)(i =>
+            (buf.getInt(s + 8 + i * 12),        // first_chunk (1-based)
+              buf.getInt(s + 8 + i * 12 + 4)))) // samples_per_chunk
+        }
+      }
+      chunkOffsets <- child(stblS, stblE, "stco").flatMap { case (s, e) =>
+        if (e - s < 8) None
+        else {
+          val count = buf.getInt(s + 4)
+          if (count < 0 || e - s < 8 + count * 4) None
+          else Some(Vector.tabulate(count)(i =>
+            buf.getInt(s + 8 + i * 4).toLong & 0xffffffffL))
+        }
+      }
+      frames <- resolveSamples(sizes, stscRuns, chunkOffsets)
+    } yield Mp4VideoTrack(format, width, height, depth, frames)
+
+    val tracks = for {
+      (moovS, moovE) <- child(0, payload.length, "moov").toVector
+      (trakS, trakE, tp) <- children(moovS, moovE) if tp == "trak"
+      (mdiaS, mdiaE) <- child(trakS, trakE, "mdia").toVector
+      (minfS, minfE) <- child(mdiaS, mdiaE, "minf").toVector
+      (stblS, stblE) <- child(minfS, minfE, "stbl").toVector
+      track <- decodeStbl(stblS, stblE).toVector
+    } yield track
+    tracks.headOption
+  }
+
   // Deterministic synthetic payloads from doc_id arithmetic — the
   // same trick the PII corpus uses (q44): the DuckDB oracle computes
   // the expected decode facts from the identical arithmetic, so a
@@ -791,6 +1060,46 @@ object Multimodal {
       }
       .toDF("doc_id", "timescale", "duration", "duration_ms",
         "n_tracks", "mdat_bytes")
+  }
+
+  /** Frame dims/count/pixels per document from doc_id arithmetic —
+    * shared by the encoder side of q81 and its spec. */
+  def mp4FramesOf(id: Long): (Int, Int, Vector[Array[Byte]]) = {
+    val w = (2 + id % 4).toInt
+    val h = (2 + id % 3).toInt
+    val n = (2 + id % 5).toInt
+    val frames = Vector.tabulate(n)(f =>
+      Array.tabulate(w * h * 3)(p => ((id * 7 + f * 13 + p * 3) % 256).toByte))
+    (w, h, frames)
+  }
+
+  /** Graded MP4 FRAME EXTRACTION (q81): synthesize a real ISO-BMFF
+    * file with an uncompressed 'raw ' RGB24 video track per document
+    * (dims, frame count and every pixel doc_id-derived, frames split
+    * across two chunks), extract the frames back through the
+    * stsd/stsz/stsc/stco sample tables, and report per-track facts
+    * the oracle recomputes from the same arithmetic. `first_byte_sum`
+    * folds the FIRST byte of every extracted frame, so any
+    * off-by-one in chunk offsets or sample sizes shifts it — frame
+    * BOUNDARIES are graded, not just totals. Row-local end-to-end. */
+  def mp4FrameStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h, frames) = mp4FramesOf(id)
+        val track = extractMp4Frames(encodeMp4RawVideo(w, h, frames))
+          .getOrElse(sys.error(s"unextractable MP4 frames for doc $id"))
+        require(track.frames.forall(_.length == track.width * track.height * 3),
+          s"frame/dim mismatch for doc $id")
+        (id, track.frames.size.toLong,
+          track.width.toLong, track.height.toLong,
+          (track.width * track.height * 3).toLong,
+          track.frames.map(_.map(b => (b & 0xff).toLong).sum).sum,
+          track.frames.map(f => (f(0) & 0xff).toLong).sum,
+          track.depth.toLong)
+      }
+      .toDF("doc_id", "n_frames", "width", "height", "frame_bytes",
+        "sum_px", "first_byte_sum", "depth")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per

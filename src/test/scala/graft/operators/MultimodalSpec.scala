@@ -231,6 +231,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     // that nothing crashes on a non-truecolor header
     val grey = bytes.clone(); grey(8 + 8 + 9) = 0
     assert(Multimodal.decodePng(grey).isEmpty)
+    // CRC-valid IHDR with a declared length < 13 (crafted input):
+    // must be None, not a buffer underflow
+    def chunk(tp: String, data: Array[Byte]): Array[Byte] = {
+      val td = tp.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      java.nio.ByteBuffer.allocate(td.length + 8)
+        .putInt(data.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val shortIhdr = bytes.take(8) ++
+      chunk("IHDR", Array[Byte](0, 0, 0, 4)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(shortIhdr).isEmpty)
   }
 
   test("pngOf covers all five scanline filters sample-exactly") {
@@ -310,6 +322,75 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
       .putLong(16L + payload.length).put(payload).array()
     val both = moov ++ large
     assert(Multimodal.parseMp4(both).get.mdatBytes == 10L)
+  }
+
+  test("MP4 raw-video frames round-trip through the sample tables") {
+    // 3 frames of 4x2 RGB24, distinct bytes; 2 chunks (2 + 1 frames)
+    val frames = Vector.tabulate(3)(f =>
+      Array.tabulate(4 * 2 * 3)(p => (f * 50 + p).toByte))
+    val bytes = Multimodal.encodeMp4RawVideo(4, 2, frames)
+    // still a structurally-valid MP4 to the box-level parser
+    val info = Multimodal.parseMp4(bytes).get
+    assert(info.nTracks == 1 && info.mdatBytes == 3 * 24)
+    val track = Multimodal.extractMp4Frames(bytes).get
+    assert(track.format == "raw " && track.depth == 24)
+    assert(track.width == 4 && track.height == 2)
+    assert(track.frames.size == 3)
+    // byte-exact per frame: chunk offsets, sample sizes and the
+    // sample-to-chunk runs all resolved correctly
+    track.frames.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("MP4 frame extraction refuses corrupt tables and compressed tracks") {
+    val frames = Vector.tabulate(2)(f =>
+      Array.tabulate(2 * 2 * 3)(p => (f + p).toByte))
+    val bytes = Multimodal.encodeMp4RawVideo(2, 2, frames)
+
+    // an stco offset pointing past EOF must fail whole, not partially
+    val stcoAt = {
+      // locate 'stco' fourcc
+      val idx = bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
+        new String(bytes, i, 4, "US-ASCII") == "stco")
+      idx
+    }
+    assert(stcoAt > 0)
+    val corrupt = bytes.clone()
+    // first chunk offset field: stco fourcc + ver/flags(4) + count(4)
+    java.nio.ByteBuffer.wrap(corrupt).putInt(stcoAt + 12, bytes.length + 99)
+    assert(Multimodal.extractMp4Frames(corrupt).isEmpty)
+
+    // an entropy-coded track (avc1) is structurally fine but must
+    // yield None from the frame extractor (no entropy decode)
+    val avc1 = bytes.clone()
+    val rawAt = avc1.indices.indexWhere(i => i + 4 <= avc1.length &&
+      new String(avc1, i, 4, "US-ASCII") == "raw ")
+    "avc1".getBytes("US-ASCII").copyToArray(avc1, rawAt)
+    assert(Multimodal.extractMp4Frames(avc1).isEmpty)
+    assert(Multimodal.parseMp4(avc1).nonEmpty) // box walk still fine
+
+    // single frame: one chunk, still exact
+    val one = Multimodal.encodeMp4RawVideo(2, 2, frames.take(1))
+    assert(Multimodal.extractMp4Frames(one).get.frames.size == 1)
+  }
+
+  test("mp4FrameStats facts match the synthesis arithmetic") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 7L, 12L).toDF("doc_id")
+    val rows = Multimodal.mp4FrameStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L, 3L, 7L, 12L).foreach { id =>
+      val (w, h, frames) = Multimodal.mp4FramesOf(id)
+      val r = rows(id)
+      assert(r.getLong(1) == frames.size)
+      assert(r.getLong(2) == w && r.getLong(3) == h)
+      assert(r.getLong(4) == w * h * 3)
+      assert(r.getLong(5) ==
+        frames.map(_.map(b => (b & 0xff).toLong).sum).sum)
+      assert(r.getLong(6) == frames.map(f => (f(0) & 0xff).toLong).sum)
+      assert(r.getLong(7) == 24L)
+    }
   }
 
   test("nearest-neighbor resize samples pixels (x*f, y*f)") {
