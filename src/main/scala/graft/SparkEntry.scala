@@ -292,7 +292,13 @@ object SparkEntry {
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
-      RelationalQueries.regionalRevenue(s, dir)),
+      RelationalQueries.regionalRevenue(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))),
     // Time-based RANGE frame (fixed span, density-independent).
     "q71_trailing_hour" -> ((s, dir) =>
       EventsQueries.trailingHourStats(EventsQueries.events(s, dir))),

@@ -60,7 +60,15 @@ final case class SigV4Signer(
 
     val host = {
       val p = uri.getPort
-      if (p == -1) uri.getHost else s"${uri.getHost}:$p"
+      // JDK HttpURLConnection omits scheme-default ports from the
+      // Host header it puts on the wire; signing "host:443" while the
+      // wire carries "host" would fail at a real verifier
+      val default = uri.getScheme match {
+        case "https" => 443
+        case "http" => 80
+        case _ => -1
+      }
+      if (p == -1 || p == default) uri.getHost else s"${uri.getHost}:$p"
     }
     val contentShaHeader: Map[String, String] =
       if (service == "s3") Map("x-amz-content-sha256" -> payloadHash)
@@ -81,7 +89,7 @@ final case class SigV4Signer(
 
     val canonicalRequest = Seq(
       method.toUpperCase,
-      canonicalPath(uri),
+      canonicalPath(uri, service),
       canonicalQuery(uri),
       canonicalHeaders,
       signedHeaderNames,
@@ -145,18 +153,25 @@ object SigV4Signer {
     sb.toString
   }
 
-  /** Canonical path: each already-decoded segment re-encoded once;
-    * empty path is "/". (General-service normalization; the S3
-    * no-normalize special case does not apply to this engine's
-    * endpoints.) */
-  private[io] def canonicalPath(uri: URI): String = {
+  /** Canonical path: normalized, then each already-decoded segment
+    * URI-encoded — TWICE for every service except S3, per the spec
+    * ("normalize URI paths … then encode the path again" applies to
+    * all non-S3 services; S3 signs the single-encoded path and skips
+    * normalization). Empty path is "/". Plain-ASCII paths are
+    * unchanged by the second pass, which is why the pinned
+    * get-vanilla vectors hold either way; a segment with a space
+    * signs as %2520, matching what AWS computes. */
+  private[io] def canonicalPath(uri: URI, service: String): String = {
     val p = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/")
     val norm = uri.normalize().getPath match {
       case null | "" => "/"
       case s => s
     }
     val chosen = if (norm.nonEmpty) norm else p
-    chosen.split("/", -1).map(uriEncode(_, encodeSlash = true))
+    val encodeSegment: String => String =
+      if (service == "s3") uriEncode(_, encodeSlash = true)
+      else s => uriEncode(uriEncode(s, encodeSlash = true), encodeSlash = true)
+    chosen.split("/", -1).map(encodeSegment)
       .mkString("/") match {
       case "" => "/"
       case s => s

@@ -87,15 +87,25 @@ object Profiling {
     * a production profile run executes only the HLL pass.) */
   def numericProfileChecked(df: DataFrame,
       cols: Seq[String] = ProfileCols): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // TWO aggregations, not one: the multi-column countDistinct
+    // plans an Expand (a (cols+1)× row multiply), and fusing the
+    // approx_count_distinct accumulators into that aggregation drags
+    // the HLL updates through the multiplied rows for no benefit.
+    // Splitting lets the HLL half run as ONE un-expanded pass and
+    // the exact half keep its contract; the two single-row results
+    // recombine by a broadcast-scalar cross join (r7: 5.0 s fused →
+    // the two-pass sum, ~q61 + one HLL scan).
+    val exactAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"cnt_$c"),
         countDistinct(col(c)).as(s"nd_$c"),
-        approx_count_distinct(col(c)).as(s"ad_$c"),
         min(col(c)).cast("double").as(s"min_$c"),
         max(col(c)).cast("double").as(s"max_$c"))
     }
-    val all = count(lit(1)).as("n_rows") +: aggs
-    val wide = df.agg(all.head, all.tail: _*)
+    val all = count(lit(1)).as("n_rows") +: exactAggs
+    val exact = df.agg(all.head, all.tail: _*)
+    val hllAggs = cols.map(c => approx_count_distinct(col(c)).as(s"ad_$c"))
+    val hll = df.agg(hllAggs.head, hllAggs.tail: _*)
+    val wide = exact.crossJoin(hll) // 1 row × 1 row
     val entries = cols.map { c =>
       struct(lit(c).as("col_name"),
         col("n_rows"),

@@ -330,22 +330,21 @@ object RelationalQueries {
     * prunes both dimension paths before any fact row moves. The
     * final aggregation keys on ~25 nations — map-side partials
     * collapse it. */
-  def regionalRevenue(spark: SparkSession, dir: String,
-      regionName: String = RevenueRegion): DataFrame = {
-    def t(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name.parquet")
+  def regionalRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = RevenueRegion): DataFrame = {
     val nations = broadcast(
-      t("nation").join(
-        broadcast(t("region").filter(col("r_name") === regionName)),
+      nation.join(
+        broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name")))
-    t("customer").select(col("c_custkey"), col("c_nationkey"))
-      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+    customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("c_custkey") === col("o_custkey"))
-      .join(t("lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount")),
         col("o_orderkey") === col("l_orderkey"))
-      .join(t("supplier").select(col("s_suppkey"), col("s_nationkey")),
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(nations, col("s_nationkey") === col("n_nationkey"))

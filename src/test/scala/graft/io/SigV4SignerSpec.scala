@@ -69,10 +69,20 @@ class SigV4SignerSpec extends AnyFunSuite {
 
   test("canonical path encodes segments and defaults to /") {
     assert(SigV4Signer.canonicalPath(
-      URI.create(s"https://$host")) == "/")
+      URI.create(s"https://$host"), "es") == "/")
+    // non-S3 services DOUBLE-encode each segment per the spec: the
+    // space arrives single-encoded (%20) and signs as %2520
     assert(SigV4Signer.canonicalPath(
-      URI.create(s"https://$host/taxi index/_bulk".replace(" ", "%20"))) ==
-      "/taxi%20index/_bulk")
+      URI.create(s"https://$host/taxi index/_bulk".replace(" ", "%20")),
+      "es") == "/taxi%2520index/_bulk")
+    // S3 signs the single-encoded path
+    assert(SigV4Signer.canonicalPath(
+      URI.create(s"https://$host/taxi index/k".replace(" ", "%20")),
+      "s3") == "/taxi%20index/k")
+    // plain-ASCII paths are fixpoints of the second pass (why the
+    // pinned AWS vectors hold under either rule)
+    assert(SigV4Signer.canonicalPath(
+      URI.create(s"https://$host/a/b_c-d.e~f"), "es") == "/a/b_c-d.e~f")
   }
 
   test("temporary credentials sign and send the session token") {
@@ -101,5 +111,20 @@ class SigV4SignerSpec extends AnyFunSuite {
     val h2 = signer.signedHeaders("GET",
       URI.create("http://127.0.0.1:9201/_bulk"), Array.emptyByteArray, at)
     assert(signature(h1) != signature(h2))
+  }
+
+  test("scheme-default ports are dropped from the signed host") {
+    // HttpURLConnection sends Host: example.com for :443/https and
+    // :80/http — the signature must cover what the wire carries
+    val bare = signer.signedHeaders("GET",
+      URI.create(s"https://$host/"), Array.emptyByteArray, at)
+    val with443 = signer.signedHeaders("GET",
+      URI.create(s"https://$host:443/"), Array.emptyByteArray, at)
+    assert(signature(bare) == signature(with443))
+    val http80 = signer.signedHeaders("GET",
+      URI.create("http://127.0.0.1:80/_bulk"), Array.emptyByteArray, at)
+    val httpBare = signer.signedHeaders("GET",
+      URI.create("http://127.0.0.1/_bulk"), Array.emptyByteArray, at)
+    assert(signature(http80) == signature(httpBare))
   }
 }

@@ -117,8 +117,14 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
   }
 
   test("regionalRevenue: same-nation star join, dims broadcast") {
+    val sf = "/root/testdata/sf0.001"
     val out = RelationalQueries.regionalRevenue(
-      spark, "/root/testdata/sf0.001").collect()
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/supplier.parquet"),
+      spark.read.parquet(s"$sf/nation.parquet"),
+      spark.read.parquet(s"$sf/region.parquet")).collect()
     assert(out.nonEmpty && out.forall(_.getDouble(1) > 0))
     // every returned nation belongs to the filtered region
     val asiaNations = spark.read
