@@ -30,6 +30,12 @@ object ScaleProbe {
         })
       return
     }
+    if (args.headOption.contains("--skew")) {
+      skewProbe(args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(50),
+        args.lift(3).map(_.toDouble).getOrElse(0.5))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -195,6 +201,97 @@ object ScaleProbe {
       val l = time(s"ann_lsh(q=$q)")(Similarity.lshTopK(emb, q))
       println(f"[scale] crossover q=$q: brute $b%.2f s vs lsh $l%.2f s")
     }
+    spark.stop()
+  }
+
+  /** AQE skew-join vs explicit salting, measured head-to-head on the
+    * q25 join shape (orders ⋈ customer on custkey) with a
+    * deliberately skewed fact side: `hotFrac` of the replicated
+    * orders rows are remapped onto ONE customer key, broadcast
+    * disabled so the join must shuffle. Three plans over the same
+    * cached inputs:
+    *   - aqe_off:   static sort-merge join — the hot key lands on one
+    *     reducer (the straggler baseline);
+    *   - aqe_skew:  adaptive skew-join splits the oversized partition
+    *     at runtime (thresholds lowered so fixture-scale partitions
+    *     qualify, as a production config would size them);
+    *   - salted:    [[graft.operators.Skew.saltedJoin]], the explicit
+    *     (key, salt) construction.
+    * Results land in BASELINE.md; the decision rule lives in Skew's
+    * scaladoc. `runMain graft.ScaleProbe --skew [sfDir] [factor]
+    * [hotFrac]`. */
+  private def skewProbe(sfDir: String, factor: Int, hotFrac: Double): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the dim must SHUFFLE for skew to matter (a broadcastable dim
+      // is always the first answer to skew — that case needs neither
+      // AQE nor salting)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val copies = spark.range(factor).select(col("id").as("copy"))
+    val hotPct = (hotFrac * 100).toInt
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .crossJoin(copies)
+      .select(
+        // hotFrac of rows collapse onto custkey 1; the rest keep
+        // their natural key (deterministic hash split, no RNG)
+        when(pmod(hash(col("o_orderkey"), col("copy")), lit(100))
+          .lt(hotPct), lit(1L))
+          .otherwise(col("o_custkey")).as("custkey"),
+        col("o_totalprice"))
+      .persist()
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      .persist()
+    val nFact = orders.count(); val nDim = customer.count()
+    println(s"[skew] fact=$nFact rows (${hotPct}% on one key), dim=$nDim")
+
+    def agg(joined: DataFrame): DataFrame =
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("sum_price"))
+
+    def measure(name: String, confs: Map[String, String])
+        (df: => DataFrame): Double = {
+      val prior = confs.keys.map(k =>
+        k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[skew] $name%-10s $sec%8.2f s")
+        sec
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    val plain = () => agg(orders.join(customer, "custkey"))
+    val tOff = measure("aqe_off", Map(
+      "spark.sql.adaptive.enabled" -> "false"))(plain())
+    val tSkew = measure("aqe_skew", Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-scale partitions are MBs, not the 256 MB default
+      // threshold — size the knobs to the data, as production would
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m"))(plain())
+    val tSalt = measure("salted", Map(
+      "spark.sql.adaptive.enabled" -> "false"))(
+      agg(graft.operators.Skew.saltedJoin(orders, customer, "custkey",
+        salts = cpus.toInt)))
+    println(f"[skew] RESULT factor=${factor}x hot=$hotPct%%: " +
+      f"aqe_off $tOff%.2f s | aqe_skew $tSkew%.2f s | salted $tSalt%.2f s")
     spark.stop()
   }
 

@@ -5,13 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot join keys at scale.
   *
-  * Spark's AQE skew-join handles sort-merge cases adaptively; this is
-  * the explicit salting construction for when the planner can't —
-  * e.g. a dimension too large to broadcast joined on a key where one
-  * value dominates the fact side. The fact side picks a
-  * deterministic salt in [0, salts); the dimension is replicated
-  * across all salts, so the join key becomes (key, salt) and the hot
-  * key's rows spread over `salts` reducers instead of one.
+  * The fact side picks a deterministic salt in [0, salts); the
+  * dimension is replicated across all salts, so the join key becomes
+  * (key, salt) and the hot key's rows spread over `salts` reducers
+  * instead of one.
+  *
+  * === Decision rule (measured, ScaleProbe --skew; BASELINE.md r7) ===
+  *
+  * Head-to-head on the q25 join shape with a fabricated hot key
+  * (broadcast disabled), AQE's skew-join beat [[saltedJoin]] at every
+  * probed regime — 20×/20% skew: 1.2 s vs 1.9 s; 50×/50%: 1.1 s vs
+  * 2.6 s; 100×/90%: 1.3 s vs 3.3 s (static join: 2.9 / 4.5 / 8.6 s).
+  * Structurally: AQE splits ONLY the oversized partitions and joins
+  * each split against just the matching dim rows, while salting
+  * replicates the ENTIRE dimension `salts`× and widens every row's
+  * shuffle key whether skewed or not. So:
+  *
+  *  1. a broadcastable dimension needs neither — broadcast it;
+  *  2. BATCH skewed equi-join → leave it to AQE
+  *     (`spark.sql.adaptive.skewJoin.enabled`, thresholds sized to
+  *     the data); reach for [[saltedJoin]] only when the plan must
+  *     avoid sort-merge or AQE is off;
+  *  3. skewed AGGREGATION state → [[saltedCountSum]]: AQE's skew
+  *     handling covers joins, not hot groupBy buffers;
+  *  4. STREAMING micro-batches → salting is the only option: Spark
+  *     disables AQE inside streaming queries.
   */
 object Skew {
 
