@@ -1,0 +1,181 @@
+package graft.io
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed Avro container-file IO built directly on the core
+  * `org.apache.avro` library (the only Avro artifact on this
+  * classpath — the `spark-avro` connector is deliberately absent and
+  * the engine must not depend on it; with the connector deployed,
+  * `spark.read.format("avro")` is the production path and this
+  * utility is the fallback proving the engine speaks the format).
+  *
+  * Scale design: everything data-bearing runs EXECUTOR-SIDE —
+  * `write` emits one Avro object-container file per input partition
+  * through `foreachPartition`, `read` parallelizes the FILE LIST and
+  * decodes per-partition with `mapPartitions`; the driver only lists
+  * paths. Partitioned layout is the Hive convention
+  * (`<col>=<value>/part-*.avro`), and [[listFiles]] prunes by
+  * DIRECTORY before a single file is opened — the same
+  * partition-pruning contract the built-in sources give (the spec
+  * asserts the pruned file list, not post-hoc row filtering).
+  *
+  * Type surface: the flat primitive schema family (long/int/double/
+  * float/boolean/string/binary), each as a nullable union — enough
+  * for every fixture table; nested types throw (documented, not
+  * silently mangled).
+  */
+object AvroFiles {
+
+  /** Avro record schema mirroring a flat Spark schema: every field a
+    * nullable union with the field's primitive Avro twin. */
+  def avroSchemaFor(schema: StructType, name: String = "graft_record"): Schema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case LongType => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"AvroFiles supports flat primitive schemas; ${f.name}: $other")
+      }
+      new Schema.Field(f.name,
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(name, null, "graft.io", false, fields.toList.asJava)
+  }
+
+  /** Write `df` as Avro container files under `dir`, one file per
+    * Spark partition; with `partitionBy` (a string column), rows land
+    * in Hive-style `col=value` subdirectories, each partition writing
+    * its own file per value it holds. Executor-side end to end. */
+  def write(df: DataFrame, dir: String,
+      partitionBy: Option[String] = None): Unit = {
+    val schema = df.schema
+    partitionBy.foreach { c =>
+      require(schema(c).dataType == StringType,
+        s"partitionBy column $c must be string-typed")
+    }
+    val avroJson = avroSchemaFor(
+      partitionBy.fold(schema)(c =>
+        StructType(schema.filterNot(_.name == c)))).toString
+    val partIdx = partitionBy.map(schema.fieldIndex)
+    val names = schema.fieldNames
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val writers = collection.mutable.Map.empty[String, DataFileWriter[GenericRecord]]
+      def writerFor(sub: String): DataFileWriter[GenericRecord] =
+        writers.getOrElseUpdate(sub, {
+          val d = new File(dir, sub)
+          d.mkdirs()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.create(avroSchema, new File(d, f"part-$idx%05d.avro"))
+        })
+      try {
+        rows.foreach { row =>
+          val sub = partIdx.fold("") { pi =>
+            val v = row.get(pi)
+            s"${names(pi)}=${if (v == null) "__null__" else v}"
+          }
+          val rec = new GenericData.Record(avroSchema)
+          var i = 0; var out = 0
+          while (i < names.length) {
+            if (!partIdx.contains(i)) {
+              rec.put(out, row.get(i) match {
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case v => v
+              })
+              out += 1
+            }
+            i += 1
+          }
+          writerFor(sub).append(rec)
+        }
+        Iterator.empty[Int]
+      } finally writers.values.foreach(_.close())
+    }.count(): Unit // materialize the write
+  }
+
+  /** Avro files under `dir`; `partitionPrune` filters Hive-style
+    * `col=value` SUBDIRECTORY names before any file is opened —
+    * directory-level partition pruning. */
+  def listFiles(dir: String,
+      partitionPrune: String => Boolean = _ => true): Seq[(String, String)] = {
+    val root = new File(dir)
+    val subs = Option(root.listFiles()).getOrElse(Array.empty)
+    val out = Seq.newBuilder[(String, String)]
+    subs.foreach { f =>
+      if (f.isFile && f.getName.endsWith(".avro"))
+        out += (("", f.getAbsolutePath))
+      else if (f.isDirectory && f.getName.contains("=") &&
+        partitionPrune(f.getName))
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(x => x.isFile && x.getName.endsWith(".avro"))
+          .foreach(x => out += ((f.getName, x.getAbsolutePath)))
+    }
+    out.result().sortBy(_._2)
+  }
+
+  /** Read Avro container files written by [[write]] back into a
+    * DataFrame with `schema` (partition column, if any, restored from
+    * the directory name). The file list is pruned BEFORE reading;
+    * decode runs in `mapPartitions` over a parallelized file list —
+    * one task per file, the gzip-file/Kinesis-shard parallelism
+    * model. */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+      partitionBy: Option[String] = None,
+      partitionPrune: String => Boolean = _ => true): DataFrame = {
+    val files = listFiles(dir, partitionPrune)
+    val names = schema.fieldNames
+    val partIdx = partitionBy.map(schema.fieldIndex)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .mapPartitions { fs =>
+        fs.flatMap { case (sub, path) =>
+          val partValue: Any = partIdx.map { _ =>
+            val v = sub.substring(sub.indexOf('=') + 1)
+            if (v == "__null__") null else v
+          }.orNull
+          val reader = DataFileReader.openReader(new File(path),
+            new GenericDatumReader[GenericRecord]())
+          val buf = Vector.newBuilder[Row]
+          try {
+            while (reader.hasNext) {
+              val rec = reader.next()
+              val values = new Array[Any](names.length)
+              var i = 0; var in = 0
+              while (i < names.length) {
+                if (partIdx.contains(i)) values(i) = partValue
+                else {
+                  values(i) = rec.get(in) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case bb: java.nio.ByteBuffer =>
+                      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+                    case v => v
+                  }
+                  in += 1
+                }
+                i += 1
+              }
+              buf += Row.fromSeq(values.toIndexedSeq)
+            }
+          } finally reader.close()
+          buf.result()
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

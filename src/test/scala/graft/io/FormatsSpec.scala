@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * text format families built in. Round-trips the documents fixture
   * through each and pins the scale-relevant write layouts
   * (partitioned writes with partition pruning at read time). Avro is
-  * exercised nowhere: the spark-avro connector is not on this
-  * classpath, and the engine must not depend on it. */
+  * covered separately in [[AvroSpec]] through [[AvroFiles]]: the
+  * spark-avro connector is not on this classpath and the engine must
+  * not depend on it, so the round-trip runs on the core avro
+  * library. */
 class FormatsSpec extends AnyFunSuite with SparkSessionSpec {
 
   private def docs: DataFrame =
