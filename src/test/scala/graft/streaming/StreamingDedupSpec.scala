@@ -56,10 +56,10 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
 
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
-  // `processAllAvailable` never settles — the TTL path is therefore
-  // exercised with a real ProcessingTime trigger in production, not
-  // in this parity-oriented spec (the NoTimeout path above covers the
-  // pairing logic; the timeout branch only removes state).
+  // `processAllAvailable` never settles in that mode. The TTL
+  // eviction path is covered in StreamingStateBoundsSpec with a real
+  // ProcessingTime trigger and a polled numRowsTotal assertion; this
+  // parity-oriented spec keeps the NoTimeout pairing logic.
 
   test("streaming embedding near-dups == batch pairs, bit-equal cosines") {
     val embBatch = graft.operators.Similarity
