@@ -27,6 +27,22 @@ final case class GetRecordsResult(
     nextShardIterator: Option[String],
     millisBehindLatest: Long)
 
+/** One record of a PutRecords REQUEST. `explicitHashKey` (a decimal
+  * 128-bit hash-space position) overrides the MD5(partitionKey)
+  * shard routing — the mechanism the reference's watermark broadcast
+  * uses to hit EVERY shard (StreamPopulator.java:189-198). */
+final case class PutRecordEntry(
+    partitionKey: String,
+    data: Array[Byte],
+    explicitHashKey: Option[String] = None)
+
+/** Positional outcome per request record: Right((sequence, shard)) or
+  * Left(errorCode) — the per-record partial-failure shape of the
+  * public API (a 200 response can still fail individual records). */
+final case class PutRecordsResult(
+    failedCount: Int,
+    outcomes: Vector[Either[String, (String, String)]])
+
 /** Minimal Kinesis Data Streams HTTP client — the
   * ListShards / GetShardIterator / GetRecords subset of the public
   * wire protocol (POST to the regional endpoint, target selected by
@@ -57,17 +73,52 @@ class KinesisHttpClient(
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  def listShards(stream: String): Vector[String] = {
+  def listShards(stream: String): Vector[String] =
+    listShardRanges(stream).map(_._1)
+
+  /** (shardId, startingHashKey) per shard — the starting hash key is
+    * what an ExplicitHashKey must equal to target that shard
+    * deterministically (the reference's watermark-broadcast trick). */
+  def listShardRanges(stream: String): Vector[(String, String)] = {
     val body = JsonNodeFactory.instance.objectNode()
     body.put("StreamName", stream)
     val resp = post("ListShards", body.toString)
     val shards = resp.get("Shards")
     if (shards == null || !shards.isArray) Vector.empty
     else {
-      val out = Vector.newBuilder[String]
-      shards.forEach(s => out += s.get("ShardId").asText())
+      val out = Vector.newBuilder[(String, String)]
+      shards.forEach { s =>
+        val start = Option(s.get("HashKeyRange"))
+          .flatMap(r => Option(r.get("StartingHashKey")))
+          .map(_.asText()).getOrElse("0")
+        out += ((s.get("ShardId").asText(), start))
+      }
       out.result()
     }
+  }
+
+  def putRecords(stream: String,
+      records: Seq[PutRecordEntry]): PutRecordsResult = {
+    val body = JsonNodeFactory.instance.objectNode()
+    body.put("StreamName", stream)
+    val arr = body.putArray("Records")
+    records.foreach { r =>
+      val o = arr.addObject()
+      o.put("PartitionKey", r.partitionKey)
+      o.put("Data", Base64.getEncoder.encodeToString(r.data))
+      r.explicitHashKey.foreach(o.put("ExplicitHashKey", _))
+    }
+    val resp = post("PutRecords", body.toString)
+    val outcomes = Vector.newBuilder[Either[String, (String, String)]]
+    val recs = resp.get("Records")
+    if (recs != null && recs.isArray) recs.forEach { r =>
+      val err = Option(r.get("ErrorCode")).filterNot(_.isNull)
+      outcomes += err.map(e => Left(e.asText())).getOrElse(
+        Right((r.get("SequenceNumber").asText(), r.get("ShardId").asText())))
+    }
+    PutRecordsResult(
+      Option(resp.get("FailedRecordCount")).map(_.asInt()).getOrElse(0),
+      outcomes.result())
   }
 
   /** @param timestampMs for AT_TIMESTAMP iterators; the wire encodes

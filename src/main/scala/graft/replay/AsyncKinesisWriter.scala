@@ -1,0 +1,156 @@
+package graft.replay
+
+import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
+
+import graft.io.{KinesisHttpClient, PutRecordEntry}
+
+/** R8 at the PROTOCOL level: the KPL-shaped asynchronous Kinesis
+  * producer (StreamPopulator.java:62-66, :166-167), publishing
+  * through [[graft.io.KinesisHttpClient.putRecords]] instead of the
+  * SDK. Contract mirrors the KPL and the file twin
+  * ([[AsyncPartitionFileWriter]]):
+  *
+  *  - `addRecord` enqueues and returns a future that completes when
+  *    the service acks the record (its PutRecords entry came back
+  *    with a sequence number);
+  *  - one background thread drains the queue into PutRecords batches
+  *    of ≤ 500 (the API cap), so submission order is preserved into
+  *    the request — per-shard arrival order follows for records of
+  *    one partition key, the Kinesis ordering unit;
+  *  - records older than `ttlMs` when their batch forms FAIL their
+  *    future instead of being sent (KPL record TTL, default 300 s);
+  *  - per-record failures (throttling ErrorCodes inside a 200
+  *    response) are retried up to `maxRetries` and the REST of the
+  *    batch is not re-sent — the partial-failure handling the
+  *    reference's sink FIXME'd away, applied on the producer side;
+  *    whole-request failures retry the whole batch, bounded.
+  *
+  * [[broadcastToAllShards]] is R6: one copy of a control record PUT
+  * to EVERY shard by pinning `ExplicitHashKey` to each shard's
+  * starting hash key (StreamPopulator.java:189-198's watermark
+  * broadcast; the shard list is re-fetched per call — the caller
+  * already throttles broadcasts to every 5 s / 100k events).
+  *
+  * Backpressure stays external by design: the caller pairs this with
+  * [[BackpressureSemaphore]] exactly as it does the file writer (R7).
+  */
+class AsyncKinesisWriter(
+    client: KinesisHttpClient,
+    stream: String,
+    maxBatch: Int = 500,
+    flushMs: Long = 100L,
+    ttlMs: Long = 300000L,
+    maxRetries: Int = 5,
+    now: () => Long = () => System.currentTimeMillis())
+    extends AutoCloseable {
+
+  require(maxBatch > 0 && maxBatch <= 500, "PutRecords caps at 500 records")
+
+  private final case class Pending(
+      entry: PutRecordEntry,
+      future: CompletableFuture[java.lang.Long],
+      enqueuedAt: Long,
+      attempts: Int)
+
+  private val queue = new LinkedBlockingQueue[Pending]()
+  @volatile private var closed = false
+
+  /** Enqueue one record; future completes with the ack wall time or
+    * fails (TTL expiry, exhausted retries, writer closed). */
+  def addRecord(partitionKey: String, data: Array[Byte])
+      : CompletableFuture[java.lang.Long] = {
+    val f = new CompletableFuture[java.lang.Long]()
+    if (closed)
+      f.completeExceptionally(new IllegalStateException("writer closed"))
+    else queue.put(Pending(PutRecordEntry(partitionKey, data), f, now(), 0))
+    f
+  }
+
+  /** R6: deliver `data` once to every shard via ExplicitHashKey =
+    * shard's starting hash key. Synchronous; returns the shard count
+    * reached. Per-shard failures surface as IOException after
+    * `maxRetries` (throttled shards are retried, matching the
+    * reference's skip-throttling-and-carry-on shape but bounded). */
+  def broadcastToAllShards(partitionKey: String, data: Array[Byte]): Int = {
+    val shards = client.listShardRanges(stream)
+    var entries = shards.map { case (_, startKey) =>
+      PutRecordEntry(partitionKey, data, explicitHashKey = Some(startKey))
+    }
+    var attempt = 0
+    while (entries.nonEmpty) {
+      val res = client.putRecords(stream, entries)
+      entries = entries.zip(res.outcomes).collect {
+        case (e, Left(_)) => e
+      }
+      if (entries.nonEmpty) {
+        attempt += 1
+        if (attempt > maxRetries) throw new java.io.IOException(
+          s"watermark broadcast failed for ${entries.size} shards " +
+            s"after $maxRetries retries")
+        Thread.sleep(50L * attempt)
+      }
+    }
+    shards.size
+  }
+
+  private val worker = new Thread(() => {
+    while (!closed || !queue.isEmpty) {
+      val batch = new java.util.ArrayList[Pending](maxBatch)
+      val head = queue.poll(flushMs, TimeUnit.MILLISECONDS)
+      if (head != null) {
+        batch.add(head)
+        queue.drainTo(batch, maxBatch - 1)
+        send(batch)
+      }
+    }
+  }, s"kinesis-writer-$stream")
+  worker.setDaemon(true)
+  worker.start()
+
+  private def send(batch: java.util.ArrayList[Pending]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val (expired, live) = batch.asScala.toVector
+      .partition(p => now() - p.enqueuedAt > ttlMs)
+    expired.foreach(p => p.future.completeExceptionally(
+      new java.util.concurrent.TimeoutException(
+        s"record exceeded ttl $ttlMs ms in producer queue")))
+    if (live.isEmpty) return
+    try {
+      val res = client.putRecords(stream, live.map(_.entry))
+      live.zip(res.outcomes).foreach {
+        case (p, Right(_)) => p.future.complete(now())
+        case (p, Left(code)) =>
+          if (p.attempts + 1 > maxRetries)
+            p.future.completeExceptionally(new java.io.IOException(
+              s"record failed after $maxRetries retries: $code"))
+          else queue.put(p.copy(attempts = p.attempts + 1))
+      }
+      // cardinality mismatch (malformed response): fail what's left
+      if (res.outcomes.size < live.size)
+        live.drop(res.outcomes.size).foreach(p =>
+          p.future.completeExceptionally(new java.io.IOException(
+            "PutRecords response shorter than request")))
+    } catch {
+      case e: java.io.IOException =>
+        live.foreach { p =>
+          if (p.attempts + 1 > maxRetries)
+            p.future.completeExceptionally(new java.io.IOException(
+              s"PutRecords failed after $maxRetries retries", e))
+          else queue.put(p.copy(attempts = p.attempts + 1))
+        }
+    }
+  }
+
+  /** Drain the queue and stop the worker; futures still pending after
+    * the drain complete exceptionally. */
+  override def close(): Unit = {
+    closed = true
+    worker.join(30000)
+    var p = queue.poll()
+    while (p != null) {
+      p.future.completeExceptionally(
+        new IllegalStateException("writer closed before ack"))
+      p = queue.poll()
+    }
+  }
+}

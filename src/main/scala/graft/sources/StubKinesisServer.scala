@@ -43,8 +43,36 @@ class StubKinesisServer(
     shardIds.map(_ -> new ArrayBuffer[Stored]).toMap
   private val seqCounter = new AtomicLong(1000000L)
 
+  /** Hash-key ranges: the 128-bit key space split evenly, exactly the
+    * shape CreateStream produces — ExplicitHashKey routing and the
+    * MD5(partitionKey) mapping below are the real service semantics. */
+  private val KeySpace = BigInt(1) << 128
+  val hashRanges: Vector[(BigInt, BigInt)] = {
+    val span = KeySpace / shardCount
+    (0 until shardCount).map { i =>
+      val start = span * i
+      val end = if (i == shardCount - 1) KeySpace - 1 else span * (i + 1) - 1
+      (start, end)
+    }.toVector
+  }
+  private def shardForHash(h: BigInt): Int =
+    hashRanges.indexWhere { case (s, e) => h >= s && h <= e } match {
+      case -1 => shardCount - 1
+      case i => i
+    }
+  def shardForPartitionKey(pk: String): Int = shardForHash(
+    BigInt(1, java.security.MessageDigest.getInstance("MD5")
+      .digest(pk.getBytes(StandardCharsets.UTF_8))))
+
   val getRecordsCalls = new AtomicInteger(0)
+  val putRecordsCalls = new AtomicInteger(0)
   @volatile var failNextGetRecords: Int = 0
+  @volatile var failNextPutRecords: Int = 0
+  /** Partition keys whose record fails with a per-record ErrorCode on
+    * its FIRST delivery only (the partial-failure retry path). */
+  @volatile var failFirstPutForKeys: String => Boolean = _ => false
+  private val putDeliveries =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   @volatile var lastHeaders: Map[String, String] = Map.empty
 
   private val mapper = new ObjectMapper()
@@ -100,6 +128,7 @@ class StubKinesisServer(
         case "ListShards" => reply(ex, 200, listShardsJson())
         case "GetShardIterator" => getShardIterator(ex, body)
         case "GetRecords" => getRecords(ex, body)
+        case "PutRecords" => putRecords(ex, body)
         case other => reply(ex, 400,
           s"""{"__type":"UnknownOperationException","message":"$other"}""")
       }
@@ -122,8 +151,52 @@ class StubKinesisServer(
   }
 
   private def listShardsJson(): String =
-    shardIds.map(s => s"""{"ShardId":"$s"}""")
-      .mkString("""{"Shards":[""", ",", "]}")
+    shardIds.zip(hashRanges).map { case (s, (lo, hi)) =>
+      s"""{"ShardId":"$s","HashKeyRange":""" +
+        s"""{"StartingHashKey":"$lo","EndingHashKey":"$hi"}}"""
+    }.mkString("""{"Shards":[""", ",", "]}")
+
+  /** Service-faithful PutRecords: each record routes by
+    * ExplicitHashKey when present, else MD5(PartitionKey), into the
+    * owning shard's range; per-record failures answer in place with
+    * an ErrorCode (the response stays positionally aligned), and the
+    * whole request can 500 via `failNextPutRecords`. */
+  private def putRecords(ex: HttpExchange, body: String): Unit = {
+    putRecordsCalls.incrementAndGet()
+    if (failNextPutRecords > 0) {
+      failNextPutRecords -= 1
+      reply(ex, 500, """{"__type":"InternalFailure"}"""); return
+    }
+    val n = mapper.readTree(body)
+    val recs = n.get("Records")
+    if (recs == null || !recs.isArray) {
+      reply(ex, 400, """{"__type":"InvalidArgumentException"}"""); return
+    }
+    var failed = 0
+    val out = Vector.newBuilder[String]
+    recs.forEach { r =>
+      val pk = Option(r.get("PartitionKey")).map(_.asText()).getOrElse("")
+      val firstDelivery = putDeliveries.merge(pk, Int.box(1),
+        (a: Integer, b: Integer) => Int.box(a + b)) == 1
+      if (failFirstPutForKeys(pk) && firstDelivery) {
+        failed += 1
+        out += """{"ErrorCode":"ProvisionedThroughputExceededException",""" +
+          """"ErrorMessage":"Rate exceeded"}"""
+      } else {
+        val shardIdx = Option(r.get("ExplicitHashKey"))
+          .filterNot(_.isNull)
+          .map(e => shardForHash(BigInt(e.asText())))
+          .getOrElse(shardForPartitionKey(pk))
+        val data = new String(
+          Base64.getDecoder.decode(r.get("Data").asText()),
+          StandardCharsets.UTF_8)
+        val seq = putRecord(data, pk, shard = Some(shardIdx))
+        out += s"""{"SequenceNumber":"$seq","ShardId":"${shardIds(shardIdx)}"}"""
+      }
+    }
+    reply(ex, 200,
+      s"""{"FailedRecordCount":$failed,"Records":[${out.result().mkString(",")}]}""")
+  }
 
   private def getShardIterator(ex: HttpExchange, body: String): Unit = {
     val n = mapper.readTree(body)
