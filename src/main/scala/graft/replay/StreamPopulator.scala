@@ -170,7 +170,16 @@ class StreamPopulator(
     now: () => Long = () => System.currentTimeMillis(),
     maxOutstanding: Int = 0, // 0 = synchronous writes; reference KPL: 50000
     recordTtlMs: Long = 300000L, // KPL record TTL, StreamPopulator.java:65
-    rotateEveryEvents: Long = 100000L) { // segment size (see SegmentWriters)
+    rotateEveryEvents: Long = 100000L, // segment size (see SegmentWriters)
+    // Third write path: publish over the KINESIS PROTOCOL instead of
+    // files — the reference's actual architecture
+    // (StreamPopulator.java:62-66). Records route by partition key =
+    // hash(payload) (R8), watermarks broadcast to EVERY shard via
+    // ExplicitHashKey (R6), backpressure and the un-acked low
+    // watermark reuse the async plumbing (R7/R5). The caller owns the
+    // writer's lifecycle; populate() drains it before the final
+    // watermark. maxOutstanding <= 0 takes the reference's 50,000.
+    kinesisSink: Option[AsyncKinesisWriter] = None) {
 
   val MinSleepMs = 5L // StreamPopulator.java:44
 
@@ -222,17 +231,34 @@ class StreamPopulator(
     def close(): Unit = publish()
   }
 
-  // exactly one of the two write paths is materialized per populator
+  // exactly one of the three write paths is materialized per populator
   private lazy val syncWriters: SegmentWriters = new SegmentWriters
   private lazy val asyncBundle
       : (AsyncPartitionFileWriter, BackpressureSemaphore, WatermarkTracker) =
     (new AsyncPartitionFileWriter(outputDir, partitions, recordTtlMs, now),
       new BackpressureSemaphore(maxOutstanding),
       new WatermarkTracker)
-  private def async = maxOutstanding > 0
+  private lazy val kinesisBundle: (BackpressureSemaphore, WatermarkTracker) =
+    (new BackpressureSemaphore(
+      if (maxOutstanding > 0) maxOutstanding else 50000),
+      new WatermarkTracker)
+  private def kinesis = kinesisSink.isDefined
+  private def async = !kinesis && maxOutstanding > 0
 
   private def writeRecord(p: Int, line: String, eventTs: Long): Unit =
-    if (!async) syncWriters.write(p, line)
+    if (kinesis) {
+      val (sem, tracker) = kinesisBundle
+      tracker.track(eventTs)
+      sem.acquire() // R7, unchanged
+      // R8: partition key = hash of the payload, the reference's choice
+      kinesisSink.get.addRecord(line.hashCode.toString,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .whenComplete { (_, err) =>
+          sem.release()
+          tracker.complete(eventTs)
+          if (err != null) failed.incrementAndGet()
+        }: Unit
+    } else if (!async) syncWriters.write(p, line)
     else {
       val (w, sem, tracker) = asyncBundle
       tracker.track(eventTs)
@@ -246,15 +272,23 @@ class StreamPopulator(
 
   /** The raw event-time base for the next watermark line: the current
     * record's timestamp under synchronous writes (every prior record
-    * is durable), the tracker's un-acked low watermark under async
-    * (None until a first completion). */
+    * is durable), the tracker's un-acked low watermark under async or
+    * kinesis publishing (None until a first completion). */
   private def watermarkBase(currentTs: Long): Option[Long] =
-    if (!async) Some(currentTs)
+    if (kinesis) Some(kinesisBundle._2.watermark).filter(_ != Long.MinValue)
+    else if (!async) Some(currentTs)
     else Some(asyncBundle._3.watermark).filter(_ != Long.MinValue)
 
   private def emitWatermark(ts: Long): Unit = {
     val line = s"""{"type": "watermark", "watermark": "${ReplayJson.toIso(ts)}"}"""
-    if (!async) syncWriters.writeAll(line)
+    if (kinesis)
+      // R6 at protocol level: one copy per shard via ExplicitHashKey;
+      // failures count as lost control lines, replay carries on (the
+      // reference skips throttling exceptions the same way)
+      try kinesisSink.get.broadcastToAllShards("watermark",
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      catch { case _: java.io.IOException => failedControl.incrementAndGet() }
+    else if (!async) syncWriters.writeAll(line)
     else asyncBundle._1.broadcast(line) // ordered after queued records
       .foreach(_.whenComplete { (_, err) =>
         if (err != null) failedControl.incrementAndGet()
@@ -262,7 +296,8 @@ class StreamPopulator(
   }
 
   private def rotateSegments(): Unit =
-    if (!async) syncWriters.rotate()
+    if (kinesis) () // shards don't rotate
+    else if (!async) syncWriters.rotate()
     else asyncBundle._1.rotate().foreach(_.whenComplete { (_, err) =>
       if (err != null) failedControl.incrementAndGet()
     })
@@ -310,9 +345,17 @@ class StreamPopulator(
       }
     }
     if (async) asyncBundle._1.flushSync() // drain before the final watermark
+    if (kinesis) {
+      // drain: every submitted record acked (or failed) before the
+      // final watermark; the caller keeps ownership of the writer
+      val sem = kinesisBundle._1
+      while (sem.outstanding > 0) sleep(5L)
+    }
     if (lastTs >= 0)
       watermarkBase(lastTs).foreach(base => emitWatermark(adaptWm(base)))
-    if (!async) syncWriters.close() else asyncBundle._1.close()
+    if (kinesis) () // caller-owned writer stays open
+    else if (!async) syncWriters.close()
+    else asyncBundle._1.close()
     (events, reader.skippedLines)
   }
 }

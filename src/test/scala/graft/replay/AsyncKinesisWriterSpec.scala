@@ -105,6 +105,83 @@ class AsyncKinesisWriterSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("StreamPopulator publishes over the protocol: pacing, R6 broadcast, drain") {
+    withStub(new StubKinesisServer(shardCount = 3)) { srv =>
+      val fixture = "/root/repo/src/test/resources/trips_tiny.jsonl"
+      val inDir = Files.createTempDirectory("kin-replay-in")
+      Files.copy(java.nio.file.Paths.get(fixture),
+        inDir.resolve("trips.jsonl"))
+      val w = new AsyncKinesisWriter(
+        new KinesisHttpClient(srv.endpoint), srv.streamName,
+        maxBatch = 5, flushMs = 10L)
+      try {
+        val pop = new StreamPopulator(inDir.toString,
+          outputDir = Files.createTempDirectory("kin-replay-unused").toString,
+          speedup = 1e12, sleep = _ => (), statsEveryMs = Long.MaxValue,
+          kinesisSink = Some(w))
+        val (events, skipped) = pop.populate()
+        assert(events == 15 && skipped == 1)
+        assert(pop.failedWrites == 0 && pop.failedControlLines == 0)
+
+        // every replayed line (12 trips + the fixture's 3 control
+        // lines, routed by payload hash) landed exactly once, plus
+        // the FINAL watermark broadcast: one identical generated
+        // copy in EVERY shard (R6), ordered after the drain
+        val client = new KinesisHttpClient(srv.endpoint)
+        val byShard = srv.shardIds.map { shard =>
+          val it = client.getShardIterator(srv.streamName, shard, "TRIM_HORIZON")
+          shard -> client.getRecords(it, 1000).records
+            .map(r => new String(r.data, "UTF-8"))
+        }.toMap
+        val all = byShard.values.flatten.toSeq
+        assert(all.size == 15 + 3, s"15 lines + 3 broadcast copies: ${all.size}")
+        val lastPerShard = srv.shardIds.map(s => byShard(s).last)
+        assert(lastPerShard.toSet.size == 1,
+          s"broadcast copies must be identical: $lastPerShard")
+        assert(lastPerShard.head.startsWith("""{"type": "watermark""""))
+        // exactly one broadcast copy per shard, nowhere else
+        assert(all.count(_ == lastPerShard.head) == 3)
+      } finally w.close()
+    }
+  }
+
+  test("full reference architecture: replay -> protocol -> streaming Q1") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val fixture = "/root/repo/src/test/resources/trips_tiny.jsonl"
+      val inDir = Files.createTempDirectory("kin-e2e-in")
+      Files.copy(java.nio.file.Paths.get(fixture),
+        inDir.resolve("trips.jsonl"))
+      val w = new AsyncKinesisWriter(
+        new KinesisHttpClient(srv.endpoint), srv.streamName, flushMs = 10L)
+      try {
+        new StreamPopulator(inDir.toString,
+          outputDir = Files.createTempDirectory("kin-e2e-unused").toString,
+          speedup = 1e12, sleep = _ => (), statsEveryMs = Long.MaxValue,
+          kinesisSink = Some(w)).populate()
+      } finally w.close()
+
+      import graft.streaming.StreamingTaxi
+      StreamingTaxi.configureStateStore(spark)
+      val cpA = Files.createTempDirectory("kin-e2e-cpA").toString
+      val cpB = Files.createTempDirectory("kin-e2e-cpB").toString
+      val viaKinesis = EventCodec.strictTyped(
+        spark.readStream.format("kinesis-taxi")
+          .option("endpoint", srv.endpoint)
+          .option("stream", srv.streamName).load())
+      val qa = StreamingTaxi.runToMemory(
+        StreamingTaxi.q1(StreamingTaxi.tripStream(viaKinesis)),
+        "kin_e2e_q1", cpA)
+      val viaFile = StreamingTaxi.fromJsonFiles(spark, inDir.toString)
+      val qb = StreamingTaxi.runToMemory(
+        StreamingTaxi.q1(StreamingTaxi.tripStream(viaFile)),
+        "file_e2e_q1", cpB)
+      qa.awaitTermination(); qb.awaitTermination()
+      val a = spark.table("kin_e2e_q1").collect().map(_.toSeq).toSet
+      val b = spark.table("file_e2e_q1").collect().map(_.toSeq).toSet
+      assert(a == b, s"replayed-protocol Q1 diverged: a=$a b=$b")
+    }
+  }
+
   test("protocol round trip: producer replay in, kinesis-taxi source out") {
     withStub(new StubKinesisServer(shardCount = 2)) { srv =>
       val fixture = "/root/repo/src/test/resources/trips_tiny.jsonl"
