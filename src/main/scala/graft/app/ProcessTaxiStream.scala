@@ -41,6 +41,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   --index <index root> [--http-index <base url>] [--speedup N] \
   *   [--partitions N] [--noeventtime] [--max-files-per-trigger N] [--once]
   *   [--wire-source] [--create-index] [--sigv4 <region>]
+  *   [--kinesis <endpoint> [--stream <name>]]
   * }}}
   */
 object ProcessTaxiStream {
@@ -71,7 +72,17 @@ object ProcessTaxiStream {
       // --sigv4 <region>: SigV4-sign every HTTP index request with
       // credentials from the standard AWS env vars (the reference
       // sink's signed-client parity); service "es"
-      sigv4Region: Option[String] = None)
+      sigv4Region: Option[String] = None,
+      // --kinesis <endpoint> [--stream <name>]: run the WHOLE
+      // pipeline over the Kinesis protocol — the replay publishes
+      // through the KPL-shaped PutRecords producer (watermarks
+      // broadcast per shard) and both queries read through the
+      // kinesis-taxi DSv2 source. This is the reference's actual
+      // deployment shape (producer EC2 → Kinesis → analytics);
+      // the file staging dir is bypassed entirely. Credentials from
+      // the AWS env vars sign requests when present.
+      kinesisEndpoint: Option[String] = None,
+      kinesisStream: String = "taxi")
 
   final case class Summary(
       replayedEvents: Long, skippedLines: Long,
@@ -95,6 +106,8 @@ object ProcessTaxiStream {
       case "--wire-source" :: t => loop(cfg.copy(wireSource = true), t)
       case "--create-index" :: t => loop(cfg.copy(createIndex = true), t)
       case "--sigv4" :: v :: t => loop(cfg.copy(sigv4Region = Some(v)), t)
+      case "--kinesis" :: v :: t => loop(cfg.copy(kinesisEndpoint = Some(v)), t)
+      case "--stream" :: v :: t => loop(cfg.copy(kinesisStream = v), t)
       case Nil => cfg
       case other => throw new IllegalArgumentException(
         s"unknown argument: ${other.head}")
@@ -102,6 +115,8 @@ object ProcessTaxiStream {
     val cfg = loop(Config("", "", ""), args.toList)
     require(cfg.inputDir.nonEmpty && cfg.workDir.nonEmpty &&
       cfg.indexDir.nonEmpty, "--input, --work and --index are required")
+    require(cfg.kinesisEndpoint.isEmpty || !cfg.wireSource,
+      "--kinesis and --wire-source are mutually exclusive source choices")
     cfg
   }
 
@@ -145,10 +160,33 @@ object ProcessTaxiStream {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(replayDir))
     val replayed = new java.util.concurrent.atomic.AtomicReference((0L, 0L))
     val replayError = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    def doReplay(): Unit = replayed.set(
-      new StreamPopulator(cfg.inputDir, replayDir,
-        partitions = cfg.replayPartitions, speedup = cfg.speedup,
-        statsEveryMs = 60000L).populate())
+    // kinesis requests sign with the standard AWS env credentials
+    // when present (source options and producer client alike)
+    val kinesisCreds: Option[(String, String)] = for {
+      a <- sys.env.get("AWS_ACCESS_KEY_ID")
+      s <- sys.env.get("AWS_SECRET_ACCESS_KEY")
+    } yield (a, s)
+    def doReplay(): Unit = cfg.kinesisEndpoint match {
+      case Some(endpoint) =>
+        // producer half over the PROTOCOL: KPL-shaped PutRecords,
+        // per-shard watermark broadcast; the staging dir is bypassed
+        val client = new graft.io.KinesisHttpClient(endpoint,
+          signer = kinesisCreds.map { case (a, s) =>
+            graft.io.SigV4Signer(a, s,
+              cfg.sigv4Region.getOrElse("us-east-1"), "kinesis",
+              sys.env.get("AWS_SESSION_TOKEN"))
+          })
+        val w = new graft.replay.AsyncKinesisWriter(client, cfg.kinesisStream)
+        try replayed.set(
+          new StreamPopulator(cfg.inputDir, replayDir,
+            partitions = cfg.replayPartitions, speedup = cfg.speedup,
+            statsEveryMs = 60000L, kinesisSink = Some(w)).populate())
+        finally w.close()
+      case None => replayed.set(
+        new StreamPopulator(cfg.inputDir, replayDir,
+          partitions = cfg.replayPartitions, speedup = cfg.speedup,
+          statsEveryMs = 60000L).populate())
+    }
     val replayThread: Option[Thread] =
       if (cfg.skipReplay) None
       else if (cfg.once) { doReplay(); None }
@@ -167,14 +205,27 @@ object ProcessTaxiStream {
       val r = spark.readStream
       cfg.maxFilesPerTrigger.foreach(n =>
         r.option("maxFilesPerTrigger", n.toString))
-      if (cfg.wireSource)
-        // the connector parses source-side and skips malformed lines
-        // (R1); the codec's strict unknown-type layer still applies
-        graft.io.EventCodec.strictTyped(
-          r.format("wire-taxi").load(replayDir))
-      else
-        graft.io.EventCodec.parseEvents(
-          r.text(s"$replayDir/*.jsonl").toDF("value"))
+      cfg.kinesisEndpoint match {
+        case Some(endpoint) =>
+          // processor half over the PROTOCOL: per-shard partitions,
+          // sequence-number offsets, MillisBehindLatest metrics
+          var k = r.format("kinesis-taxi")
+            .option("endpoint", endpoint)
+            .option("stream", cfg.kinesisStream)
+          kinesisCreds.foreach { case (a, s) =>
+            k = k.option("accessKey", a).option("secretKey", s)
+              .option("region", cfg.sigv4Region.getOrElse("us-east-1"))
+          }
+          graft.io.EventCodec.strictTyped(k.load())
+        case None if cfg.wireSource =>
+          // the connector parses source-side and skips malformed lines
+          // (R1); the codec's strict unknown-type layer still applies
+          graft.io.EventCodec.strictTyped(
+            r.format("wire-taxi").load(replayDir))
+        case None =>
+          graft.io.EventCodec.parseEvents(
+            r.text(s"$replayDir/*.jsonl").toDF("value"))
+      }
     }
     def trips: DataFrame =
       StreamingTaxi.tripStream(source, eventTime = cfg.eventTime)
@@ -189,11 +240,13 @@ object ProcessTaxiStream {
     val pickupAcc = spark.sparkContext.longAccumulator("pickup_count_docs")
     val durationAcc = spark.sparkContext.longAccumulator("trip_duration_docs")
     // --sigv4: credentials from the standard AWS environment names.
-    // Like --create-index, it only means something with an HTTP
-    // index: fail loudly rather than silently not signing (or
-    // demanding credentials the local-dir sink would never use).
-    if (cfg.sigv4Region.isDefined && cfg.httpIndex.isEmpty)
-      throw new IllegalArgumentException("--sigv4 requires --http-index")
+    // It only means something with an HTTP index (or as the region
+    // for --kinesis signing): fail loudly rather than silently not
+    // signing (or demanding credentials the local-dir sink never uses).
+    if (cfg.sigv4Region.isDefined && cfg.httpIndex.isEmpty &&
+        cfg.kinesisEndpoint.isEmpty)
+      throw new IllegalArgumentException(
+        "--sigv4 requires --http-index or --kinesis")
     val signer: Option[graft.io.SigV4Signer] = cfg.sigv4Region.map { region =>
       val access = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
         throw new IllegalArgumentException(

@@ -65,6 +65,36 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     assert(viaWire.pickupDocs > 0)
   }
 
+  test("kinesis mode: the whole pipeline over the protocol indexes the same docs") {
+    val wireDir = Files.createTempDirectory("appk-wire").toString
+    val workDir = Files.createTempDirectory("appk-work").toString
+    val indexDir = Files.createTempDirectory("appk-index").toString
+    val workDir2 = Files.createTempDirectory("appk-work2").toString
+    val indexDir2 = Files.createTempDirectory("appk-index2").toString
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.001"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val base = ProcessTaxiStream.Config(
+      inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+      speedup = 1e12, replayPartitions = 2,
+      maxFilesPerTrigger = Some(1), once = true)
+    val viaText = ProcessTaxiStream.run(spark, base)
+
+    val srv = new graft.sources.StubKinesisServer(shardCount = 2)
+    try {
+      val viaKinesis = ProcessTaxiStream.run(spark, base.copy(
+        workDir = workDir2, indexDir = indexDir2,
+        maxFilesPerTrigger = None,
+        kinesisEndpoint = Some(srv.endpoint),
+        kinesisStream = srv.streamName))
+      info(s"text: $viaText kinesis: $viaKinesis")
+      assert(viaKinesis.replayedEvents == viaText.replayedEvents)
+      assert(viaKinesis.pickupDocs == viaText.pickupDocs)
+      assert(viaKinesis.durationDocs == viaText.durationDocs)
+      assert(viaKinesis.pickupDocs > 0)
+    } finally srv.stop()
+  }
+
   test("continuous mode: replay runs concurrently with the queries") {
     val wireDir = Files.createTempDirectory("appc-wire").toString
     val workDir = Files.createTempDirectory("appc-work").toString
