@@ -34,6 +34,12 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     StreamingTaxi.configureStateStore(spark)
 
+    // SPARK_GRAFT_STREAM_MODE=kinesis replays through the PutRecords
+    // producer into an in-process protocol stub and streams both
+    // queries through the kinesis-taxi source — the B3 measurement
+    // with the protocol path in place of the file path (BASELINE.md
+    // records both; the delta IS the protocol overhead).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "file")
     val wireDir = Files.createTempDirectory("wire").toString
     val replayDir = Files.createTempDirectory("replay").toString
     val cpDir = Files.createTempDirectory("cp").toString
@@ -42,19 +48,42 @@ object StreamBench {
     EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, sfDir))
       .coalesce(4).write.mode("overwrite").text(wireDir)
 
-    // replay (R1/R3/R6) at max speed into 8 partition files
+    val stub =
+      if (mode == "kinesis") Some(new graft.sources.StubKinesisServer(
+        streamName = "bench", shardCount = 8))
+      else None
+
+    // replay (R1/R3/R6) at max speed: 8 partition files, or the
+    // 8-shard protocol stream via the KPL-shaped producer
     val t0 = System.nanoTime()
-    val (events, _) = new StreamPopulator(wireDir, replayDir,
-      partitions = 8, speedup = 1e12, sleep = _ => (),
-      statsEveryMs = Long.MaxValue).populate()
+    val events = stub match {
+      case Some(srv) =>
+        val w = new graft.replay.AsyncKinesisWriter(
+          new graft.io.KinesisHttpClient(srv.endpoint), srv.streamName)
+        try new StreamPopulator(wireDir, replayDir,
+          partitions = 8, speedup = 1e12, sleep = _ => (),
+          statsEveryMs = Long.MaxValue, kinesisSink = Some(w)).populate()._1
+        finally w.close()
+      case None =>
+        new StreamPopulator(wireDir, replayDir,
+          partitions = 8, speedup = 1e12, sleep = _ => (),
+          statsEveryMs = Long.MaxValue).populate()._1
+    }
     val replaySec = (System.nanoTime() - t0) / 1e9
 
-    // streaming Q1 + Q2 concurrently over the replayed partitions,
-    // 2 files per batch per query (each keeps its own source read,
-    // watermark and state — the production fan-out shape)
-    def stream = EventCodec.parseEvents(
-      spark.readStream.option("maxFilesPerTrigger", "2")
-        .text(s"$replayDir/*.jsonl").toDF("value"))
+    // streaming Q1 + Q2 concurrently over the replayed partitions
+    // (2 files per batch per query) or the 8 protocol shards — each
+    // query keeps its own source read, watermark and state, the
+    // production fan-out shape
+    def stream = stub match {
+      case Some(srv) => EventCodec.strictTyped(
+        spark.readStream.format("kinesis-taxi")
+          .option("endpoint", srv.endpoint)
+          .option("stream", srv.streamName).load())
+      case None => EventCodec.parseEvents(
+        spark.readStream.option("maxFilesPerTrigger", "2")
+          .text(s"$replayDir/*.jsonl").toDF("value"))
+    }
 
     // Absorb one-time streaming warmup (incremental-plan codegen,
     // RocksDB state-store init, file-source listing) OUTSIDE the
@@ -66,25 +95,42 @@ object StreamBench {
     // slice through the identical q1/q2 plans compiles the same code
     // paths at negligible cost.
     try {
-      val warmDir = Files.createTempDirectory("warm").toString
       val warmCp = Files.createTempDirectory("warmcp").toString
-      val src = new java.io.File(replayDir).listFiles()
-        .filter(_.getName.endsWith(".jsonl")).minBy(_.getName)
+      // 200 wire lines through the mode's own source type, so the
+      // warmed incremental plan is the measured one
+      val src = new java.io.File(wireDir).listFiles()
+        .filter(_.getName.startsWith("part-")).minBy(_.getName)
       val lines = scala.io.Source.fromFile(src)
       val slice = try lines.getLines().take(200).toVector finally lines.close()
-      Files.write(java.nio.file.Paths.get(warmDir, "warm.jsonl"),
-        String.join("\n", slice: _*).getBytes("UTF-8"))
-      def warmStream = EventCodec.parseEvents(
-        spark.readStream.text(s"$warmDir/*.jsonl").toDF("value"))
-      val w1 = StreamingTaxi.writer(
-          StreamingTaxi.q1(StreamingTaxi.tripStream(warmStream)),
-          s"$warmCp/q1", Trigger.AvailableNow())
-        .format("memory").queryName("warm_q1").start()
-      val w2 = StreamingTaxi.writer(
-          StreamingTaxi.q2(StreamingTaxi.tripStream(warmStream)),
-          s"$warmCp/q2", Trigger.AvailableNow())
-        .format("memory").queryName("warm_q2").start()
-      w1.awaitTermination(); w2.awaitTermination()
+      val (warmStub, warmStream) = stub match {
+        case Some(_) =>
+          val ws = new graft.sources.StubKinesisServer(
+            streamName = "warm", shardCount = 2)
+          slice.zipWithIndex.foreach { case (l, i) =>
+            ws.putRecord(l, shard = Some(i % 2))
+          }
+          (Some(ws), () => EventCodec.strictTyped(
+            spark.readStream.format("kinesis-taxi")
+              .option("endpoint", ws.endpoint)
+              .option("stream", ws.streamName).load()))
+        case None =>
+          val warmDir = Files.createTempDirectory("warm").toString
+          Files.write(java.nio.file.Paths.get(warmDir, "warm.jsonl"),
+            String.join("\n", slice: _*).getBytes("UTF-8"))
+          (None, () => EventCodec.parseEvents(
+            spark.readStream.text(s"$warmDir/*.jsonl").toDF("value")))
+      }
+      try {
+        val w1 = StreamingTaxi.writer(
+            StreamingTaxi.q1(StreamingTaxi.tripStream(warmStream())),
+            s"$warmCp/q1", Trigger.AvailableNow())
+          .format("memory").queryName("warm_q1").start()
+        val w2 = StreamingTaxi.writer(
+            StreamingTaxi.q2(StreamingTaxi.tripStream(warmStream())),
+            s"$warmCp/q2", Trigger.AvailableNow())
+          .format("memory").queryName("warm_q2").start()
+        w1.awaitTermination(); w2.awaitTermination()
+      } finally warmStub.foreach(_.stop())
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[stream-bench] warmup failed: ${e.getMessage}")
     }
@@ -123,7 +169,8 @@ object StreamBench {
       s""""replay_sec":$replaySec,"stream_wall_sec":$streamWallSec,""" +
       s""""q1_rows":$rows1,"q1_batches":$batches1,"q1_max_batch_ms":$maxMs1,""" +
       s""""q2_rows":$rows2,"q2_batches":$batches2,"q2_max_batch_ms":$maxMs2,""" +
-      s""""sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
+      s""""mode":"$mode","sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
+    stub.foreach(_.stop())
     spark.stop()
   }
 }
