@@ -151,9 +151,18 @@ object AvroFiles {
           }.orNull
           val reader = DataFileReader.openReader(new File(path),
             new GenericDatumReader[GenericRecord]())
-          val buf = Vector.newBuilder[Row]
-          try {
-            while (reader.hasNext) {
+          // STREAMING decode: a close-on-exhaustion iterator (the
+          // TaxiEventReader pattern) — memory per task stays O(one
+          // record), not O(file), so a multi-GB container file decodes
+          // without materializing on the task heap
+          new Iterator[Row] {
+            private var open = true
+            override def hasNext: Boolean = {
+              if (open && !reader.hasNext) { reader.close(); open = false }
+              open
+            }
+            override def next(): Row = {
+              if (!hasNext) throw new NoSuchElementException(path)
               val rec = reader.next()
               val values = new Array[Any](names.length)
               var i = 0; var in = 0
@@ -170,10 +179,9 @@ object AvroFiles {
                 }
                 i += 1
               }
-              buf += Row.fromSeq(values.toIndexedSeq)
+              Row.fromSeq(values.toIndexedSeq)
             }
-          } finally reader.close()
-          buf.result()
+          }
         }
       }
     spark.createDataFrame(rows, schema)

@@ -862,9 +862,17 @@ object Multimodal {
         else {
           val fixed = buf.getInt(s + 4)
           val count = buf.getInt(s + 8)
-          if (count < 0) None
-          else if (fixed != 0) Some(Vector.fill(count)(fixed))
-          else if (e - s < 12 + count * 4) None
+          // Long arithmetic: a crafted count like 0x20000000 overflows
+          // `12 + count * 4` to a negative Int and defeats the bound;
+          // the fixed-size branch is bounded by the payload itself
+          // (count samples of fixed bytes must fit in the file, so a
+          // multi-billion declared count can never allocate)
+          if (count < 0 || fixed < 0) None
+          else if (fixed != 0) {
+            if (count.toLong * fixed > payload.length) None
+            else Some(Vector.fill(count)(fixed))
+          }
+          else if ((e - s).toLong < 12L + count.toLong * 4) None
           else Some(Vector.tabulate(count)(i => buf.getInt(s + 12 + i * 4)))
         }
       }
@@ -872,7 +880,7 @@ object Multimodal {
         if (e - s < 8) None
         else {
           val count = buf.getInt(s + 4)
-          if (count < 0 || e - s < 8 + count * 12) None
+          if (count < 0 || (e - s).toLong < 8L + count.toLong * 12) None
           else Some(Vector.tabulate(count)(i =>
             (buf.getInt(s + 8 + i * 12),        // first_chunk (1-based)
               buf.getInt(s + 8 + i * 12 + 4)))) // samples_per_chunk
@@ -882,7 +890,7 @@ object Multimodal {
         if (e - s < 8) None
         else {
           val count = buf.getInt(s + 4)
-          if (count < 0 || e - s < 8 + count * 4) None
+          if (count < 0 || (e - s).toLong < 8L + count.toLong * 4) None
           else Some(Vector.tabulate(count)(i =>
             buf.getInt(s + 8 + i * 4).toLong & 0xffffffffL))
         }

@@ -87,6 +87,7 @@ object Profiling {
     * a production profile run executes only the HLL pass.) */
   def numericProfileChecked(df: DataFrame,
       cols: Seq[String] = ProfileCols): DataFrame = {
+    require(cols.nonEmpty, "numericProfileChecked needs at least one column")
     // TWO aggregations, not one: the multi-column countDistinct
     // plans an Expand (a (cols+1)× row multiply), and fusing the
     // approx_count_distinct accumulators into that aggregation drags

@@ -54,16 +54,34 @@ class AsyncKinesisWriter(
 
   private val queue = new LinkedBlockingQueue[Pending]()
   @volatile private var closed = false
+  // set iff the worker thread died on an unexpected throwable; from
+  // then on every pending and future record fails fast instead of
+  // stranding its future (which would wedge the caller's semaphore)
+  @volatile private var workerFailure: Throwable = null
 
   /** Enqueue one record; future completes with the ack wall time or
-    * fails (TTL expiry, exhausted retries, writer closed). */
+    * fails (TTL expiry, exhausted retries, writer closed/dead). */
   def addRecord(partitionKey: String, data: Array[Byte])
       : CompletableFuture[java.lang.Long] = {
     val f = new CompletableFuture[java.lang.Long]()
     if (closed)
       f.completeExceptionally(new IllegalStateException("writer closed"))
-    else queue.put(Pending(PutRecordEntry(partitionKey, data), f, now(), 0))
+    else {
+      queue.put(Pending(PutRecordEntry(partitionKey, data), f, now(), 0))
+      // re-check after the put: if the worker died concurrently, the
+      // record may never be drained — fail it (and anything else left)
+      if (workerFailure != null) failPending(workerFailure)
+    }
     f
+  }
+
+  private def failPending(cause: Throwable): Unit = {
+    var p = queue.poll()
+    while (p != null) {
+      p.future.completeExceptionally(new java.io.IOException(
+        "kinesis writer worker died", cause))
+      p = queue.poll()
+    }
   }
 
   /** R6: deliver `data` once to every shard via ExplicitHashKey =
@@ -94,14 +112,32 @@ class AsyncKinesisWriter(
   }
 
   private val worker = new Thread(() => {
-    while (!closed || !queue.isEmpty) {
-      val batch = new java.util.ArrayList[Pending](maxBatch)
-      val head = queue.poll(flushMs, TimeUnit.MILLISECONDS)
-      if (head != null) {
-        batch.add(head)
-        queue.drainTo(batch, maxBatch - 1)
-        send(batch)
+    // catch-all: send() only lets IOException-retry logic escape as
+    // completed futures, but anything unexpected (interrupt, a bug in
+    // response handling) must not kill the thread silently — that
+    // would strand every outstanding future and hang the caller's
+    // backpressure drain forever. Fail everything pending instead.
+    val batch = new java.util.ArrayList[Pending](maxBatch)
+    try {
+      while (!closed || !queue.isEmpty) {
+        batch.clear()
+        val head = queue.poll(flushMs, TimeUnit.MILLISECONDS)
+        if (head != null) {
+          batch.add(head)
+          queue.drainTo(batch, maxBatch - 1)
+          send(batch)
+        }
       }
+    } catch {
+      case t: Throwable =>
+        workerFailure = t
+        // the in-flight batch first (its entries left the queue), then
+        // everything still queued
+        batch.forEach { p =>
+          if (!p.future.isDone) p.future.completeExceptionally(
+            new java.io.IOException("kinesis writer worker died", t))
+        }
+        failPending(t)
     }
   }, s"kinesis-writer-$stream")
   worker.setDaemon(true)
@@ -138,6 +174,13 @@ class AsyncKinesisWriter(
               s"PutRecords failed after $maxRetries retries", e))
           else queue.put(p.copy(attempts = p.attempts + 1))
         }
+      case scala.util.control.NonFatal(e) =>
+        // malformed 200 response (e.g. a record with neither ErrorCode
+        // nor SequenceNumber NPEs in the client): not retryable — the
+        // same bytes would fail the same way. Fail the batch, keep the
+        // worker alive for subsequent batches.
+        live.foreach(_.future.completeExceptionally(new java.io.IOException(
+          "PutRecords response handling failed", e)))
     }
   }
 

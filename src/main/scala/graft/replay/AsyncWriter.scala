@@ -14,6 +14,13 @@ class BackpressureSemaphore(val maxOutstanding: Int) {
   def acquire(): Unit = sem.acquire()
   def release(): Unit = sem.release()
   def outstanding: Int = maxOutstanding - sem.availablePermits()
+
+  /** Block until every outstanding permit is released (a true wait on
+    * the semaphore, not a poll — call only after submissions stop). */
+  def awaitDrained(): Unit = {
+    sem.acquire(maxOutstanding)
+    sem.release(maxOutstanding)
+  }
 }
 
 /** R5 in its real (asynchronous) form: the low watermark of un-acked

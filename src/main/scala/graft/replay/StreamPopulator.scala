@@ -347,9 +347,11 @@ class StreamPopulator(
     if (async) asyncBundle._1.flushSync() // drain before the final watermark
     if (kinesis) {
       // drain: every submitted record acked (or failed) before the
-      // final watermark; the caller keeps ownership of the writer
-      val sem = kinesisBundle._1
-      while (sem.outstanding > 0) sleep(5L)
+      // final watermark; the caller keeps ownership of the writer.
+      // A real semaphore wait, NOT the injected pacing sleep — bench
+      // and specs inject a no-op sleep, which would turn a poll loop
+      // into a core-burning spin alongside the measured producer.
+      kinesisBundle._1.awaitDrained()
     }
     if (lastTs >= 0)
       watermarkBase(lastTs).foreach(base => emitWatermark(adaptWm(base)))

@@ -33,8 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (default us-east-1), `accessKey`/`secretKey`/`sessionToken`
   * (SigV4 signing when access+secret present), `startTsMs` (streaming
   * start position, default 0 = TRIM_HORIZON), `closeDelayMs` (clock
-  * safety margin subtracted from each batch's closing timestamp,
-  * default 0), `maxAdvanceMsPerTrigger` (admission control: max
+  * safety margin subtracted from each batch's closing timestamp; a
+  * 1 ms floor is always enforced so `closedTs` is strictly in the
+  * past at planning time — against a real service whose arrival
+  * stamps become visible asynchronously, set it ≥ the service's
+  * ingestion-visibility bound), `maxAdvanceMsPerTrigger` (admission
+  * control: max
   * stream-time a micro-batch may cover), `getRecordsLimit` (records
   * per GetRecords call, default 10000).
   *
@@ -257,9 +261,20 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
   private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(now() - config.closeDelayMs)
+    availableNowTarget = Some(closeTarget())
 
   private def now(): Long = System.currentTimeMillis()
+
+  /** Closing timestamp for a batch planned now. The 1 ms floor keeps
+    * `closedTs` STRICTLY in the past at planning time: a record that
+    * lands in the planning millisecond gets an arrival stamp ==
+    * now(), and with closedTs == now() it would be excluded by this
+    * batch's readers-that-already-drained AND by the next batch's
+    * `arrival > fromTs` filter — lost forever. With closedTs < now(),
+    * every record the offset names was already stored (arrival
+    * assignment and visibility are atomic at the service) before any
+    * reader of this batch can issue its first GetRecords. */
+  private def closeTarget(): Long = now() - math.max(1L, config.closeDelayMs)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -271,7 +286,7 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KinesisSourceOffset]
-    val target = availableNowTarget.getOrElse(now() - config.closeDelayMs)
+    val target = availableNowTarget.getOrElse(closeTarget())
     // admission control in the offset: advance at most
     // maxAdvanceMsPerTrigger of stream-time per trigger. The very
     // first hop from the 0 sentinel (TRIM_HORIZON start) is uncapped —
@@ -286,7 +301,7 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
   }
 
   override def reportLatestOffset(): Offset =
-    KinesisSourceOffset(now() - config.closeDelayMs, Map.empty)
+    KinesisSourceOffset(closeTarget(), Map.empty)
 
   override def deserializeOffset(json: String): Offset =
     KinesisSourceOffset.fromJson(json)

@@ -82,7 +82,8 @@ class StubKinesisServer(
     * behavior). Returns the assigned sequence number. */
   def putRecord(data: String, partitionKey: String = "pk",
       shard: Option[Int] = None, arrivalMs: Option[Long] = None): String = {
-    val idx = shard.getOrElse(math.abs(partitionKey.hashCode) % shardIds.size)
+    val idx = shard.getOrElse(
+      math.floorMod(partitionKey.hashCode, shardIds.size))
     val buf = shards(shardIds(idx))
     buf.synchronized {
       val prev = if (buf.isEmpty) 0L else buf.last.arrivalMs

@@ -36,8 +36,9 @@ object HostLoad {
   /** Fixed single-thread CPU canary: wall ms to SHA-256 a 1 MiB buffer
     * 64 times. A fixed amount of work measures EFFECTIVE cpu speed —
     * slower host slot, thermal cap, or steal all inflate it, so rounds
-    * become comparable without trusting loadavg. ~250 ms on the
-    * reference box; treat >1.5× drift as a changed host.
+    * become comparable without trusting loadavg. 62–74 ms quiet on
+    * the reference box (BASELINE.md r7 records); treat >1.5× drift
+    * as a changed host.
     */
   def cpuCanaryMs(): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

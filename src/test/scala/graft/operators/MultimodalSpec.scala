@@ -373,6 +373,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     // single frame: one chunk, still exact
     val one = Multimodal.encodeMp4RawVideo(2, 2, frames.take(1))
     assert(Multimodal.extractMp4Frames(one).get.frames.size == 1)
+
+    // crafted table counts: an stsz count whose `count * 4` overflows
+    // Int must return None, not walk off the buffer; a huge fixed-size
+    // count must return None, not attempt a 2-billion-element fill
+    def patchStsz(entryCount: Int, fixedSize: Int): Array[Byte] = {
+      val c = bytes.clone()
+      val at = c.indices.indexWhere(i => i + 4 <= c.length &&
+        new String(c, i, 4, "US-ASCII") == "stsz")
+      assert(at > 0)
+      val bb = java.nio.ByteBuffer.wrap(c)
+      bb.putInt(at + 8, fixedSize)  // sample_size
+      bb.putInt(at + 12, entryCount) // sample_count
+      c
+    }
+    assert(Multimodal.extractMp4Frames(patchStsz(0x20000000, 0)).isEmpty)
+    assert(Multimodal.extractMp4Frames(patchStsz(Int.MaxValue, 12)).isEmpty)
+    assert(Multimodal.extractMp4Frames(patchStsz(3, -5)).isEmpty)
   }
 
   test("mp4FrameStats facts match the synthesis arithmetic") {

@@ -105,6 +105,54 @@ class AsyncKinesisWriterSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("unexpected response-handling failures fail futures, never strand them") {
+    withStub(new StubKinesisServer(shardCount = 1)) { srv =>
+      // a client whose putRecords blows up with a non-IOException (the
+      // malformed-200-response shape): the batch must FAIL its futures
+      // and the worker must survive for later batches
+      val flaky = new KinesisHttpClient(srv.endpoint) {
+        @volatile var boom = true
+        override def putRecords(stream: String,
+            records: Seq[PutRecordEntry]): graft.io.PutRecordsResult =
+          if (boom) { boom = false; throw new NullPointerException("bad resp") }
+          else super.putRecords(stream, records)
+      }
+      val w = new AsyncKinesisWriter(flaky, srv.streamName, flushMs = 20L)
+      try {
+        val f1 = w.addRecord("k1", bytes("d1"))
+        val e = intercept[java.util.concurrent.ExecutionException] {
+          f1.get(10, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        assert(e.getCause.isInstanceOf[java.io.IOException])
+        // worker alive: the next record goes through normally
+        val f2 = w.addRecord("k2", bytes("d2"))
+        f2.get(10, java.util.concurrent.TimeUnit.SECONDS)
+        assert(srv.recordCount == 1)
+      } finally w.close()
+    }
+    withStub(new StubKinesisServer(shardCount = 1)) { srv =>
+      // a FATAL error kills the worker — every outstanding and future
+      // record must fail fast instead of hanging the caller's drain
+      val fatal = new KinesisHttpClient(srv.endpoint) {
+        override def putRecords(stream: String,
+            records: Seq[PutRecordEntry]): graft.io.PutRecordsResult =
+          throw new LinkageError("fatal")
+      }
+      val w = new AsyncKinesisWriter(fatal, srv.streamName, flushMs = 20L)
+      val f1 = w.addRecord("k1", bytes("d1"))
+      val e = intercept[java.util.concurrent.ExecutionException] {
+        f1.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(e.getCause.isInstanceOf[java.io.IOException])
+      // submissions after worker death fail too — no silent strand
+      val f2 = w.addRecord("k2", bytes("d2"))
+      val e2 = intercept[java.util.concurrent.ExecutionException] {
+        f2.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(e2.getCause.isInstanceOf[java.io.IOException])
+    }
+  }
+
   test("StreamPopulator publishes over the protocol: pacing, R6 broadcast, drain") {
     withStub(new StubKinesisServer(shardCount = 3)) { srv =>
       val fixture = "/root/repo/src/test/resources/trips_tiny.jsonl"
