@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * `runMain graft.ScaleProbe [factor] [sfDir]`.
   *
   * `runMain graft.ScaleProbe --heavy [sfDir] [factors...]` instead
-  * runs ONLY the heaviest composites (pipeline funnel, both CC
-  * variants, exact + HLL profile) across a factor LADDER (default
-  * 10 50 100), printing a per-operator scaling curve — the evidence
-  * that their cost tracks the data ≈-linearly at 100× rather than
-  * bending (BASELINE.md records the ladder). */
+  * runs ONLY the heaviest composites (pipeline funnel, BM25
+  * retrieval, both CC variants, exact + HLL profile) across a factor
+  * LADDER (default 10 50 100), printing a per-operator scaling curve
+  * — the evidence that their cost tracks the data ≈-linearly at 100×
+  * rather than bending (BASELINE.md records the ladder).
+  * `SPARK_GRAFT_HEAVY_STAGES=bm25,funnel` limits the ladder to the
+  * named stages (the expensive near-dup pair build is skipped when
+  * neither CC stage is selected). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--heavy")) {
@@ -319,13 +322,18 @@ object ScaleProbe {
       f"lineitem=${li0.count()} factors=${factors.mkString(",")}")
     val results = scala.collection.mutable.Map
       .empty[String, List[(Int, Double)]].withDefaultValue(Nil)
-    def time(factor: Int, name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      results(name) ::= (factor, sec)
-      println(f"[scale-heavy] ${factor}%4dx $name%-18s $sec%8.2f s")
-    }
+    // optional stage subset (comma-separated stage names); unset = all
+    val stages = sys.env.get("SPARK_GRAFT_HEAVY_STAGES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = stages.forall(_.contains(name))
+    def time(factor: Int, name: String)(df: => DataFrame): Unit =
+      if (wanted(name)) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        results(name) ::= (factor, sec)
+        println(f"[scale-heavy] ${factor}%4dx $name%-18s $sec%8.2f s")
+      }
     factors.foreach { factor =>
       val copies = spark.range(factor).select(col("id").as("copy"))
       val docs = docs0.crossJoin(copies)
@@ -333,23 +341,28 @@ object ScaleProbe {
           concat(col("text"), lit(" copysalt"), col("copy")).as("text"))
         .persist()
       docs.count()
+      time(factor, "bm25")(
+        graft.operators.TextAnalysis.bm25TopDocs(docs))
       time(factor, "funnel")(
         graft.operators.Pipeline.preprocessingFunnel(docs))
-      spark.catalog.clearCache(); docs.persist(); docs.count()
-      // the CC variants consume the SAME pair set; build it once per
-      // factor so the measured cost is the clustering, not the LSH.
-      // Release the LSH operator's internal hash-corpus persist via
-      // its handle — a blunt clearCache here would evict `pairs` too
-      // and silently re-run the whole candidate+verify pipeline
-      // (the most expensive stage at 100×) before cc_star
-      val (pairsDf, lshHandle) = Dedup.minhashNearDupsWithHandle(docs)
-      val pairs = pairsDf.select(col("doc_a"), col("doc_b")).persist()
-      val nPairs = pairs.count()
-      lshHandle.release()
-      println(s"[scale-heavy] ${factor}x near-dup pairs: $nPairs")
-      time(factor, "cc_propagation")(Dedup.dedupClusters(pairs))
-      time(factor, "cc_star")(Dedup.dedupClustersStar(pairs))
-      docs.unpersist(); pairs.unpersist()
+      if (wanted("cc_propagation") || wanted("cc_star")) {
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+        // the CC variants consume the SAME pair set; build it once per
+        // factor so the measured cost is the clustering, not the LSH.
+        // Release the LSH operator's internal hash-corpus persist via
+        // its handle — a blunt clearCache here would evict `pairs` too
+        // and silently re-run the whole candidate+verify pipeline
+        // (the most expensive stage at 100×) before cc_star
+        val (pairsDf, lshHandle) = Dedup.minhashNearDupsWithHandle(docs)
+        val pairs = pairsDf.select(col("doc_a"), col("doc_b")).persist()
+        val nPairs = pairs.count()
+        lshHandle.release()
+        println(s"[scale-heavy] ${factor}x near-dup pairs: $nPairs")
+        time(factor, "cc_propagation")(Dedup.dedupClusters(pairs))
+        time(factor, "cc_star")(Dedup.dedupClustersStar(pairs))
+        pairs.unpersist()
+      }
+      docs.unpersist()
       spark.catalog.clearCache() // residual operator internals
       val li = li0.crossJoin(copies).select(
         graft.operators.Profiling.ProfileCols.map(col): _*)

@@ -436,6 +436,13 @@ object SparkEntry {
           java.util.Arrays.asList(rows: _*), df.schema)
       } finally srv.stop()
     }),
+    // BM25 top-k retrieval for a fixed bag-of-words query (sparse
+    // retrieval / RAG corpus scoring): tf + doc length from ONE
+    // row-local tokenize pass, query-term filter BEFORE any
+    // exchange, df/N/avgdl as broadcast aggregates, global top-k
+    // through the TopKPerGroup heaps.
+    "q83_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -616,6 +623,7 @@ object SparkEntry {
     "q31_range_join" -> OracleSql.rangeJoinNearby,
     "q32_train_split" -> OracleSql.trainSplit,
     "q33_tfidf" -> OracleSql.tfidfTopTerms,
+    "q83_bm25" -> OracleSql.bm25TopDocs,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -430,4 +430,92 @@ object TextAnalysis {
       tokens.unpersist(blocking = false)
     }
   }
+
+  /** BM25 retrieval constants (q83): Robertson/Sparck-Jones defaults
+    * (k1, b) and a fixed graded query — mid-frequency terms of the
+    * fixture vocabulary so tf and length normalization, not df,
+    * decide the ranking. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Query: Seq[String] = Seq("spark", "vector", "stream", "merge")
+
+  /** BM25 top-k document retrieval for a fixed bag-of-words query —
+    * the scoring pass of every sparse-retrieval / RAG corpus build.
+    * Per (doc, query-term): idf(t) · (tf·(k1+1)) / (tf + k1·(1−b +
+    * b·dl/avgdl)) with the Lucene-shaped idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)) (always ≥ 0), summed per doc, global top-k by score
+    * with a doc_id tie-break.
+    *
+    * Scale design: tokenization, per-doc term counts
+    * ([[org.apache.spark.sql.graft.TokenCounts]]) and doc length all
+    * come out of ONE row-local pass — dl rides alongside the exploded
+    * (term, tf) pairs, so no doc_id join is ever needed and the raw
+    * token stream never shuffles. The term filter to the query
+    * vocabulary is applied row-locally BEFORE any exchange: only
+    * (doc, query-term) rows — |query| ≈ 4 per doc at most — reach the
+    * df aggregation and scoring. N and avgdl reduce the corpus to one
+    * broadcast row; df reduces the filtered rows to |query| broadcast
+    * rows. The final top-k is a GLOBAL top-k routed through the
+    * [[org.apache.spark.sql.graft.TopKPerGroup]] operator under a
+    * constant group (per-partition heaps forward ≤ k rows each — the
+    * corpus is never sorted), with the same fixture-scale-only
+    * unpartitioned-window fallback as
+    * [[Sampling.weightedReservoir]] for bare sessions. */
+  def bm25TopDocs(docs: DataFrame, query: Seq[String] = Bm25Query,
+      k1: Double = Bm25K1, b: Double = Bm25B,
+      topK: Int = Bm25TopK): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts}
+    // one row-local pass: doc length + per-term tf, filtered to the
+    // query vocabulary before anything shuffles
+    val tf = docs
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")
+          .as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(Bridge.column(TokenCounts(Bridge.expression(
+          col("toks"))))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .filter(col("term").isin(query: _*))
+    // corpus stats: one broadcast row (count + avgdl over ALL docs,
+    // including those with no query term)
+    val stats = docs
+      .select(size(expr(
+        s"regexp_extract_all(lower(text), '$WordPattern', 0)"))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") +
+            lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val extensionsActive = docs.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          scored.withColumn("g", lit(0)), Seq("g"),
+          Seq("score" -> false, "doc_id" -> true), topK).drop("g")
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= topK)
+    ranked.select(col("doc_id"), col("n_terms_hit"), col("score"),
+      col("rank"))
+  }
 }

@@ -830,6 +830,56 @@ SELECT doc_id, lang, h, rn FROM r WHERE rn <= 50"""
 SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.bm25TopDocs]]: same
+    * tokenization, the same one-pass tf/dl facts (expressed here as
+    * two CTEs over the same extraction), identical operand order in
+    * the idf and saturation terms (every int operand cast to DOUBLE
+    * before the arithmetic so both engines compute the same float
+    * expression), rank tie-broken by doc_id. The BM25 constants are
+    * interpolated from the operator's own k1/b values. */
+  def bm25TopDocs: String = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25Query, Bm25TopK, WordPattern}
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '$WordPattern')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$WordPattern'))
+              AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ($terms) GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(idf.df AS DOUBLE)
+                   + 0.5) / (CAST(idf.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         / (CAST(tf.tf AS DOUBLE)
+            + $Bm25K1 * (${1.0 - Bm25B}
+                         + $Bm25B * CAST(dl.dl AS DOUBLE) / n.avgdl))
+           AS c
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats n
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         SUM(c) AS score
+  FROM contrib GROUP BY doc_id
+), r AS (
+  SELECT doc_id, n_terms_hit, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, n_terms_hit, score, rank FROM r WHERE rank <= $Bm25TopK"""
+  }
+
   /** Mirror of [[graft.operators.RelationalQueries.propsStats]] —
     * JSON `$$.k` extraction; DuckDB SUM(BIGINT) returns HUGEINT, so
     * cast back to BIGINT. */

@@ -56,6 +56,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(1L).head._3 == 3)
   }
 
+  test("bm25 scores, ranks and length-normalizes hand-checked docs") {
+    val df = Seq(
+      (1L, "spark spark stream"),
+      (2L, "merge vector vector vector"),
+      (3L, "noise words only here"),
+      (4L, "spark")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(df)
+      .select("doc_id", "n_terms_hit", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // doc 3 holds no query term and must not appear; the rare-term
+    // tf-3 doc outranks the common-term docs, and the short doc is
+    // length-penalized below the tf-2 doc
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 4L))
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 1L))
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    // doc 4 closed form: idf(spark) = ln 2 (df 2 of N 4), tf 1,
+    // dl 1, avgdl (3+4+4+1)/4 = 3:
+    // ln2 · (1·2.2) / (1 + 1.2·(0.25 + 0.75·1/3)) = ln2 · 2.2/1.6
+    assert(math.abs(out(2)._3 - math.log(2.0) * (2.2 / 1.6)) < 1e-12)
+  }
+
   test("textStats computes hand-checked values") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextAnalysis.textStats(df).collect()(0)

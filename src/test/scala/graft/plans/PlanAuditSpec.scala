@@ -203,6 +203,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q83 bm25: broadcast stats, heap top-k, no window, bounded shuffles") {
+    spark.catalog.clearCache()
+    val df = q("q83_bm25")
+    val plan = df.queryExecution.sparkPlan
+    val heaps = plan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(heaps.map(_.partial).sorted == Seq(false, true),
+      "global top-k lost the partial+final heap operator")
+    val txt = df.queryExecution.executedPlan.toString
+    assert(!txt.contains("Window"), "bm25 fell back to a window rank")
+    assert(txt.contains("BroadcastExchange") ||
+      txt.contains("BroadcastNestedLoopJoin"),
+      "df/N/avgdl stats are not broadcast")
+    // exchanges: df agg on term, per-doc score agg, the top-k
+    // partial→final — the raw token stream itself never shuffles
+    // (tf+dl come out of one row-local pass, query-term-filtered
+    // before any exchange)
+    assert(shuffleCount(df) <= 3, s"bm25 shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
   test("q59 heavy hitters: sketch probe filters below the exact count") {
     spark.catalog.clearCache()
     val df = q("q59_heavy_hitters")
