@@ -443,6 +443,12 @@ object SparkEntry {
     // through the TopKPerGroup heaps.
     "q83_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(documents(s, dir))),
+    // Hybrid sparse+dense retrieval fused by reciprocal rank fusion
+    // (RAG two-tower shape): BM25 pool + single-query cosine pool,
+    // each already ≤ poolK rows before the fusion join.
+    "q84_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(documents(s, dir),
+        Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -624,6 +630,7 @@ object SparkEntry {
     "q32_train_split" -> OracleSql.trainSplit,
     "q33_tfidf" -> OracleSql.tfidfTopTerms,
     "q83_bm25" -> OracleSql.bm25TopDocs,
+    "q84_hybrid_rrf" -> OracleSql.hybridRrf,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -89,6 +89,17 @@ object SimilarityParams {
     * the ≤5k fixture); deployments size w ≈ log₂(n/targetBucket). */
   def dedupPlanesFor(bitsPerBand: Int): IndexedSeq[IndexedSeq[Int]] =
     planeMatrix(0x9E3779B97F4A7C15L, DedupNumBands * bitsPerBand)
+
+  /** Hybrid retrieval constants (q84): reciprocal-rank-fusion of the
+    * BM25 sparse ranking and a dense cosine ranking. RrfK = 60 is the
+    * Cormack/Clarke/Buettcher constant; each retriever contributes a
+    * pool of [[RrfPoolK]] candidates and the fused list keeps
+    * [[RrfTopK]]. The dense query is the embedding of a fixed fixture
+    * vector so both engines score the identical vector. */
+  val RrfK = 60
+  val RrfPoolK = 50
+  val RrfTopK = 20
+  val RrfQueryVecId = 0L
 }
 
 object Similarity {
@@ -448,5 +459,76 @@ object Similarity {
       .join(emb, "vec_id")
 
     (topK(cand.withColumn("cosine", cosine)), graft.util.CacheHandle(emb))
+  }
+
+  /** Hybrid sparse+dense retrieval fused by reciprocal rank fusion
+    * (q84) — the two-tower RAG retrieval shape: BM25 ranks the corpus
+    * lexically ([[TextAnalysis.bm25TopDocs]], pool of `poolK`), a
+    * dense ranking scores cosine against one fixed query embedding
+    * (vec_id = `queryVecId`, joined to docs by the fixture's
+    * doc_id = vec_id alignment), and RRF combines them:
+    * score(d) = Σ_retriever 1/(rrfK + rank_retriever(d)), a doc
+    * absent from a pool contributing 0 — rank-only fusion, so the
+    * incomparable BM25 and cosine score scales never need
+    * calibration. Missing-pool ranks surface as 0 in the output.
+    *
+    * Scale design: each retriever reduces the corpus to ≤ `poolK`
+    * rows BEFORE fusion (BM25 through its row-local term filter +
+    * TopKPerGroup heaps; the dense side through one broadcast-query
+    * corpus scan and the same heaps), so the full-outer fusion join
+    * touches ≤ 2·poolK rows no matter the corpus size. The dense pool
+    * here is the exact brute scan — one dot per corpus row for the
+    * single query; at corpus sizes where that scan dominates, swap
+    * the candidate set for [[lshTopK]]'s banded probe (identical
+    * downstream fusion). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      queryVecId: Long = RrfQueryVecId, poolK: Int = RrfPoolK,
+      rrfK: Int = RrfK, topK: Int = RrfTopK): DataFrame = {
+    val sparse = TextAnalysis.bm25TopDocs(docs, topK = poolK)
+      .select(col("doc_id"), col("rank").as("rank_sparse"))
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    val denseScored = broadcast(qv).crossJoin(emb)
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("cosine", cosine)
+      .select(col("vec_id"), col("cosine"))
+    val extensionsActive = docs.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val dense =
+      (if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          denseScored.withColumn("g", lit(0)), Seq("g"),
+          Seq("cosine" -> false, "vec_id" -> true), poolK).drop("g")
+      else denseScored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= poolK))
+        .select(col("vec_id").as("doc_id"), col("rank").as("rank_dense"))
+    // fuse on rank only; term order (sparse + dense) mirrors the
+    // oracle so the double sum is bit-identical
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) /
+          (lit(rrfK.toDouble) + col("rank_sparse").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) /
+          (lit(rrfK.toDouble) + col("rank_dense").cast("double")),
+          lit(0.0)))
+      .withColumn("rank_sparse", coalesce(col("rank_sparse"), lit(0L)))
+      .withColumn("rank_dense", coalesce(col("rank_dense"), lit(0L)))
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          fused.withColumn("g", lit(0)), Seq("g"),
+          Seq("rrf_score" -> false, "doc_id" -> true), topK).drop("g")
+      else fused
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_score").desc, col("doc_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= topK)
+    ranked.select(col("doc_id"), col("rank_sparse"), col("rank_dense"),
+      col("rrf_score"), col("rank"))
   }
 }

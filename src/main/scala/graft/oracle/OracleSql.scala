@@ -837,8 +837,15 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
     * before the arithmetic so both engines compute the same float
     * expression), rank tie-broken by doc_id. The BM25 constants are
     * interpolated from the operator's own k1/b values. */
-  def bm25TopDocs: String = {
-    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25Query, Bm25TopK, WordPattern}
+  def bm25TopDocs: String =
+    bm25Body(graft.operators.TextAnalysis.Bm25TopK)
+
+  /** The BM25 pipeline with a caller-chosen pool size `k` — the q83
+    * oracle uses [[graft.operators.TextAnalysis.Bm25TopK]]; the q84
+    * hybrid oracle embeds a [[SimilarityParams.RrfPoolK]]-deep pool
+    * as a derived table. */
+  private def bm25Body(k: Int): String = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25Query, WordPattern}
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS (
   SELECT doc_id,
@@ -877,7 +884,52 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
               AS BIGINT) AS rank
   FROM scored
 )
-SELECT doc_id, n_terms_hit, score, rank FROM r WHERE rank <= $Bm25TopK"""
+SELECT doc_id, n_terms_hit, score, rank FROM r WHERE rank <= $k"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.hybridRrf]]: the same
+    * BM25 pool ([[bm25Body]] at [[SimilarityParams.RrfPoolK]]), the
+    * same single-query dense cosine pool (sequential-fold dot, rank
+    * tie-broken by vec_id), and the RRF sum with the sparse term
+    * FIRST so the two-term double addition is order-identical. Docs
+    * missing from a pool carry rank 0 and contribute 0.0. */
+  def hybridRrf: String = {
+    import SimilarityParams.{RrfK, RrfPoolK, RrfQueryVecId, RrfTopK}
+    val rrfK = RrfK.toDouble
+    s"""$embCtes
+, sparse AS (
+  SELECT doc_id, rank AS rank_sparse FROM (
+${bm25Body(RrfPoolK)}
+  )
+), qd AS (
+  SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $RrfQueryVecId
+), pd AS (
+  SELECT vec_id, ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM n, qd
+  WHERE vec_id <> $RrfQueryVecId
+), rd AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+              AS BIGINT) AS rank_dense
+  FROM pd
+), dense AS (
+  SELECT doc_id, rank_dense FROM rd WHERE rank_dense <= $RrfPoolK
+), fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(s.rank_sparse, 0) AS BIGINT) AS rank_sparse,
+         CAST(COALESCE(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+         COALESCE(1.0 / ($rrfK + CAST(s.rank_sparse AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ($rrfK + CAST(d.rank_dense AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+), rr AS (
+  SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM fused
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf_score, rank FROM rr
+WHERE rank <= $RrfTopK"""
   }
 
   /** Mirror of [[graft.operators.RelationalQueries.propsStats]] —

@@ -203,6 +203,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     assert(Similarity.ivfTopK(corpus(1), numQueries = 1).collect().isEmpty)
   }
 
+  test("hybrid RRF fuses the BM25 and dense pools by rank only") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Similarity.hybridRrf(docs, emb).collect()
+    val K = SimilarityParams.RrfK.toDouble
+    assert(out.length == SimilarityParams.RrfTopK)
+    // every fused score is exactly the two-term RRF sum of the
+    // surfaced ranks (0 = absent from that pool, contributes nothing)
+    out.foreach { r =>
+      val rs = r.getAs[Long]("rank_sparse")
+      val rd = r.getAs[Long]("rank_dense")
+      val expect = (if (rs > 0) 1.0 / (K + rs) else 0.0) +
+        (if (rd > 0) 1.0 / (K + rd) else 0.0)
+      assert(r.getAs[Double]("rrf_score") == expect)
+      assert(rs >= 0 && rs <= SimilarityParams.RrfPoolK)
+      assert(rd >= 0 && rd <= SimilarityParams.RrfPoolK)
+      assert(rs > 0 || rd > 0) // a fused doc came from some pool
+    }
+    // ranks descend with score, tie-broken by doc_id
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    byRank.zip(byRank.tail).foreach { case (a, b) =>
+      val (sa, sb) = (a.getAs[Double]("rrf_score"), b.getAs[Double]("rrf_score"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    // the surfaced sparse ranks agree with bm25TopDocs itself
+    val sparse = TextAnalysis.bm25TopDocs(docs,
+        topK = SimilarityParams.RrfPoolK)
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val claimed = r.getAs[Long]("rank_sparse")
+      assert(sparse.getOrElse(r.getAs[Long]("doc_id"), 0L) == claimed)
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
