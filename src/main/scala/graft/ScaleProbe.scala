@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.ScaleProbe --heavy [sfDir] [factors...]` instead
   * runs ONLY the heaviest composites (pipeline funnel, BM25
-  * retrieval, both CC variants, exact + HLL profile) across a factor
+  * retrieval, hybrid RRF, both CC variants, exact + HLL profile)
+  * across a factor
   * LADDER (default 10 50 100), printing a per-operator scaling curve
   * — the evidence that their cost tracks the data ≈-linearly at 100×
   * rather than bending (BASELINE.md records the ladder).
@@ -316,6 +317,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = Similarity.embeddings(spark, sfDir)
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(graft.operators.Profiling.ProfileCols.map(col): _*)
     println(f"[scale-heavy] base: docs=${docs0.count()} " +
@@ -343,6 +345,23 @@ object ScaleProbe {
       docs.count()
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
+      // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
+      // constant-size fusion join; its curve should track bm25's plus
+      // a linear dense-scan term (embeddings replicated under the
+      // same per-copy rotation as the main probe, re-keyed so the
+      // doc_id = vec_id alignment survives replication)
+      if (wanted("hybrid")) {
+        val dim = SimilarityParams.Dim
+        val rot = col("copy") % dim
+        val emb = emb0.crossJoin(copies)
+          .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+            concat(
+              slice(col("v"), rot + 1, lit(dim) - rot),
+              slice(col("v"), lit(1), rot)).as("v"))
+          .withColumn("norm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        time(factor, "hybrid")(Similarity.hybridRrf(docs, emb))
+      }
       time(factor, "funnel")(
         graft.operators.Pipeline.preprocessingFunnel(docs))
       if (wanted("cc_propagation") || wanted("cc_star")) {
