@@ -225,6 +225,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q84 hybrid: pruned scans, broadcast 1-row query vector, heap ranks") {
+    spark.catalog.clearCache()
+    val df = q("q84_hybrid_rrf")
+    val s = scans(df)
+    val docScans = s.filter(_.metadata("Location").contains("documents"))
+    val embScans = s.filter(_.metadata("Location").contains("embeddings"))
+    // bm25's tf lineage plans twice (scoring keeps doc_id+text; the
+    // per-term df aggregation prunes to text alone) + the corpus-stats
+    // pass — 3 scans, every one pruned to the columns it feeds
+    assert(docScans.size == 3, s"${docScans.size} document scans")
+    docScans.foreach(scan => assert(
+      Set(Set("doc_id", "text"), Set("text"))
+        .contains(scan.requiredSchema.fieldNames.toSet),
+      s"doc scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    // dense corpus pass + the 1-row query-vector pass, pruned to the
+    // two used columns; the query-vector filter reaches the scan
+    assert(embScans.size == 2, s"${embScans.size} embeddings scans")
+    embScans.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
+      s"emb scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    assert(embScans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("EqualTo(vec_id,"))),
+      "vec_id = queryVecId not pushed to the parquet scan")
+    val txt = df.queryExecution.executedPlan.toString
+    // the query vector joins the corpus as a broadcast, never a shuffle
+    assert(txt.contains("BroadcastNestedLoopJoin"),
+      "query vector side is not broadcast")
+    assert(!txt.contains("Window"), "hybrid fell back to a window rank")
+    // both pool ranks and the fused rank run through the heap operator
+    val heaps = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(heaps.count(_.partial) == 3 && heaps.count(!_.partial) == 3,
+      s"expected 3 partial+final heap pairs, got ${heaps.size}")
+    spark.catalog.clearCache()
+  }
+
   test("q59 heavy hitters: sketch probe filters below the exact count") {
     spark.catalog.clearCache()
     val df = q("q59_heavy_hitters")
