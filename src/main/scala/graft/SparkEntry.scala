@@ -449,6 +449,14 @@ object SparkEntry {
     "q84_hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(documents(s, dir),
         Similarity.embeddings(s, dir))),
+    // Offline retrieval eval: recall@k + reciprocal rank of the LSH
+    // ranking against the brute-force ideal — O(|Q|·k) rows end to
+    // end, corpus-size-independent once the rankings are bounded.
+    "q85_retrieval_metrics" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.retrievalMetrics(
+        Similarity.lshTopK(emb), Similarity.bruteForceTopK(emb))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -631,6 +639,7 @@ object SparkEntry {
     "q33_tfidf" -> OracleSql.tfidfTopTerms,
     "q83_bm25" -> OracleSql.bm25TopDocs,
     "q84_hybrid_rrf" -> OracleSql.hybridRrf,
+    "q85_retrieval_metrics" -> OracleSql.retrievalMetrics,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

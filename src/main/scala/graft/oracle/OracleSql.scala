@@ -557,6 +557,39 @@ SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.retrievalMetrics]] over
+    * the graded pair (run = LSH top-k, ideal = brute-force top-k):
+    * the two ranking oracles nest as derived tables, and every metric
+    * is a single division of exact integers (recall = hits/|ideal|,
+    * rr = 1/first-relevant-rank) — order-independent, so no float
+    * summation concerns. */
+  def retrievalMetrics: String =
+    s"""WITH runq AS (
+  SELECT query_id, neighbor_id, rank FROM (
+$annLsh
+  )
+), idealq AS (
+  SELECT query_id, neighbor_id, rank FROM (
+$annBruteForce
+  )
+), hits AS (
+  SELECT r.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(r.rank) AS first_hit
+  FROM runq r JOIN idealq i
+    ON r.query_id = i.query_id AND r.neighbor_id = i.neighbor_id
+  GROUP BY r.query_id
+), perq AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ideal
+  FROM idealq GROUP BY query_id
+)
+SELECT p.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         / CAST(p.n_ideal AS DOUBLE) AS recall,
+       COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0) AS rr
+FROM perq p LEFT JOIN hits h ON p.query_id = h.query_id"""
+
   /** Mirror of [[graft.operators.Similarity.ivfTopK]] — k-means
     * (Lloyd) centroid training unrolled to [[Similarity.KMeansIters]]
     * iteration CTEs, then nearest-cell assignment and NProbe query

@@ -240,6 +240,52 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("retrieval metrics equal a hand-computed reference; misses give rr 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic rankings: q1 hits at run ranks 2 and 3 (rr = 1/2,
+    // recall 2/3), q2 has zero overlap (rr 0.0), q3 absent from the
+    // run entirely (left join must still emit it)
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val ideal = Seq(
+      (1L, 11L, 1L), (1L, 12L, 2L), (1L, 99L, 3L),
+      (2L, 90L, 1L),
+      (3L, 30L, 1L), (3L, 31L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val m = Similarity.retrievalMetrics(run, ideal).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"),
+          r.getAs[Double]("rr"))).toMap
+    assert(m(1L) == ((2L, 2.0 / 3.0, 0.5)))
+    assert(m(2L) == ((0L, 0.0, 0.0)))
+    assert(m(3L) == ((0L, 0.0, 0.0)))
+
+    // on the fixture, the operator must agree with a driver-side
+    // recomputation from the two collected rankings
+    val runF = Similarity.lshTopK(emb)
+    val idealF = Similarity.bruteForceTopK(emb)
+    val got = Similarity.retrievalMetrics(runF, idealF).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"),
+          r.getAs[Double]("rr"))).toMap
+    val runRows = runF.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idealRows = idealF.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idealByQ = idealRows.groupBy(_._1)
+    assert(got.keySet == idealByQ.keySet)
+    idealByQ.foreach { case (qid, rel) =>
+      val relIds = rel.map(_._2).toSet
+      val hits = runRows.filter(r => r._1 == qid && relIds(r._2))
+      val expRr = if (hits.isEmpty) 0.0 else 1.0 / hits.map(_._3).min
+      assert(got(qid) ==
+        ((hits.length.toLong, hits.length.toDouble / rel.length, expRr)))
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
