@@ -93,6 +93,65 @@ class StreamingTopKSpec extends AnyFunSuite with SparkSessionSpec {
     assert(streamed.contains((0L, "view", 14L, 6.0, 3L)))
   }
 
+  test("StreamingTopK restart from checkpoint: windows spanning the stop finalize once, merged") {
+    StreamingTaxi.configureStateStore(spark)
+    val cp = Files.createTempDirectory("topk-restart-cp").toString
+    def build(ms: MemoryStream[(Long, String, Long, Double)]) =
+      StreamingTopK.topKPerWindow(
+        ms.toDF().toDF("event_id", "event_type", "ts_ms", "value")
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", "3 hours"),
+        windowMs = H, k = 3)
+
+    // the memory sink refuses checkpoint recovery, so collect the
+    // finalization rows through foreachBatch (the taxi restart
+    // pattern); the buffer survives both phases
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Double, Long)]
+    def sink(df: org.apache.spark.sql.Dataset[StreamingTopK.RankedEvent],
+        batchId: Long): Unit = emitted.synchronized {
+      emitted ++= df.collect().map(r =>
+        (r.window_start, r.event_type, r.event_id, r.value, r.rank))
+    }
+
+    // phase 1: batch1 only (w0's heap is half-built), then stop
+    val ms1 = MemoryStream[(Long, String, Long, Double)]
+    val run1 = build(ms1).writeStream
+      .option("checkpointLocation", cp).outputMode("append")
+      .foreachBatch(sink _).start()
+    ms1.addData(batch1: _*)
+    run1.processAllAvailable()
+    run1.stop()
+
+    // phase 2: NEW query from the same checkpoint. The MemoryStream
+    // source resumes by offset, so batch1 is re-added to keep the
+    // offsets aligned; versioned state guarantees a replayed batch
+    // merges against the PRE-batch state snapshot, never twice.
+    val ms2 = MemoryStream[(Long, String, Long, Double)]
+    ms2.addData(batch1: _*)
+    val run2 = build(ms2).writeStream
+      .option("checkpointLocation", cp).outputMode("append")
+      .foreachBatch(sink _).start()
+    ms2.addData(batch2: _*)
+    run2.processAllAvailable()
+    ms2.addData((990L, "flush", 10 * H, 0.0))
+    run2.processAllAvailable()
+    ms2.addData((991L, "flush", 20 * H, 0.0))
+    run2.processAllAvailable()
+    run2.stop()
+
+    val streamed = emitted.synchronized {
+      emitted.filter(_._2 != "flush").toArray
+    }
+    // exactly once: no finalization row appears in both phases
+    assert(streamed.length == streamed.distinct.length,
+      s"duplicated finalizations: ${streamed.toSeq}")
+    // w0-view merged across the restart: batch2's late event 14 joined
+    // the heap built from batch1 before finalization
+    assert(streamed.toSet == batchTopK(3).filter(_._2 != "flush"),
+      s"streamed=${streamed.toSet}")
+  }
+
   test("StreamingTopK state is bounded at k and evicted on window close") {
     StreamingTaxi.configureStateStore(spark)
     val ms = MemoryStream[(Long, String, Long, Double)]
