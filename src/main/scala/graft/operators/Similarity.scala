@@ -532,6 +532,49 @@ object Similarity {
       col("rrf_score"), col("rank"))
   }
 
+  /** Persisted LSH index — the serving-side complement of
+    * [[lshTopK]], which re-bands the corpus on every query batch.
+    * One corpus pass computes every (vec_id, band, key) row and
+    * writes them as a BUCKETED, sorted table on (band, key): probe
+    * joins then read the index with zero exchanges (the bucketed
+    * layout already satisfies the join's required distribution), so
+    * per-batch cost moves the |Q|·bands probe rows and NEVER the
+    * corpus — and the NumPlanes·|corpus| banding dots are paid once
+    * at build, not per batch. New corpus batches append their banded
+    * rows; `buckets` sizes the parallelism of every future probe
+    * (at 100 TB: thousands, matched to the cluster). */
+  def writeLshIndex(emb: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    emb.select(col("vec_id"),
+        posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .option("path", path).saveAsTable(table)
+
+  /** Top-k by probing a [[writeLshIndex]] table: row-identical to
+    * [[lshTopK]] on the same corpus (same planes, same banding —
+    * LshIndexSpec pins the equality), but the corpus side of the
+    * candidate join comes pre-bucketed from the index, so only the
+    * banded QUERY rows move. Candidates stay id-only through the
+    * distinct (the house rule — vectors re-join after), and the
+    * exact-cosine verify re-reads just the candidate vectors. */
+  def probeLshIndex(emb: DataFrame, table: String,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val idx = emb.sparkSession.table(table)
+    val q = queries(emb, numQueries)
+    val qb = q.select(col("query_id"),
+      posexplode(bandKeysArray(col("qv"))).as(Seq("band", "key")))
+    val candIds = qb.join(idx, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val cand = candIds
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")),
+        "query_id")
+      .join(emb, "vec_id")
+    topK(cand.withColumn("cosine", cosine))
+  }
+
   /** Offline retrieval-evaluation metrics (q85): recall and
     * reciprocal rank of a `run` ranking against an `ideal` ranking —
     * the eval loop every ANN index / retriever change goes through
