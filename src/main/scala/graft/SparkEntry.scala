@@ -457,6 +457,13 @@ object SparkEntry {
       Similarity.retrievalMetrics(
         Similarity.lshTopK(emb), Similarity.bruteForceTopK(emb))
     }),
+    // nDCG of the same run/ideal pair: position-weighted quality
+    // where recall only sees membership.
+    "q86_ndcg" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      Similarity.ndcgMetrics(
+        Similarity.lshTopK(emb), Similarity.bruteForceTopK(emb))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -640,6 +647,7 @@ object SparkEntry {
     "q83_bm25" -> OracleSql.bm25TopDocs,
     "q84_hybrid_rrf" -> OracleSql.hybridRrf,
     "q85_retrieval_metrics" -> OracleSql.retrievalMetrics,
+    "q86_ndcg" -> OracleSql.ndcgMetrics,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -593,6 +593,33 @@ object Similarity {
     * Aggregate MRR/mean-recall are one tiny further aggregation the
     * caller can apply; the graded form keeps per-query rows (which is
     * also what error analysis wants). */
+  /** nDCG of a run ranking against an ideal ranking (q86), binary
+    * relevance: gain 1/log₂(rank+1) for each run position whose
+    * neighbor the ideal set contains; idcg re-ranks the ideal set
+    * itself. Complements [[retrievalMetrics]] (recall sees WHETHER a
+    * relevant item surfaced, nDCG sees WHERE). Same bounded shape —
+    * O(|Q|·k) rows end to end regardless of corpus size. The gain is
+    * written as 1/(ln(r+1)/ln 2) in BOTH engines so the float
+    * expression trees match; the per-query sums fold ≤ k terms. */
+  def ndcgMetrics(run: DataFrame, ideal: DataFrame): DataFrame = {
+    def gain(rankCol: Column): Column =
+      lit(1.0) / (log(rankCol.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val r = run.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("run_rank"))
+    val i = ideal.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("ideal_rank"))
+    val dcg = r.join(i, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(gain(col("run_rank"))).as("dcg"))
+    i.groupBy(col("query_id"))
+      .agg(sum(gain(col("ideal_rank"))).as("idcg"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   def retrievalMetrics(run: DataFrame, ideal: DataFrame): DataFrame = {
     val r = run.select(col("query_id"), col("neighbor_id"),
       col("rank").as("run_rank"))

@@ -590,6 +590,35 @@ SELECT p.query_id,
        COALESCE(1.0 / CAST(h.first_hit AS DOUBLE), 0.0) AS rr
 FROM perq p LEFT JOIN hits h ON p.query_id = h.query_id"""
 
+  /** Mirror of [[graft.operators.Similarity.ndcgMetrics]] over the
+    * graded (LSH run, brute ideal) pair — the gain expression is the
+    * identical 1/(ln(r+1)/ln 2) float tree; the ≤ k-term per-query
+    * sums are unordered in both engines, absorbed by the checker's
+    * 9-significant-digit canonicalization. */
+  def ndcgMetrics: String = {
+    def gain(c: String) = s"1.0 / (ln(CAST($c AS DOUBLE) + 1.0) / ln(2.0))"
+    s"""WITH runq AS (
+  SELECT query_id, neighbor_id, rank FROM (
+$annLsh
+  )
+), idealq AS (
+  SELECT query_id, neighbor_id, rank FROM (
+$annBruteForce
+  )
+), dcg AS (
+  SELECT r.query_id, SUM(${gain("r.rank")}) AS dcg
+  FROM runq r JOIN idealq i
+    ON r.query_id = i.query_id AND r.neighbor_id = i.neighbor_id
+  GROUP BY r.query_id
+), idcg AS (
+  SELECT query_id, SUM(${gain("rank")}) AS idcg
+  FROM idealq GROUP BY query_id
+)
+SELECT i.query_id, COALESCE(d.dcg, 0.0) AS dcg, i.idcg,
+       COALESCE(d.dcg, 0.0) / i.idcg AS ndcg
+FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.ivfTopK]] — k-means
     * (Lloyd) centroid training unrolled to [[Similarity.KMeansIters]]
     * iteration CTEs, then nearest-cell assignment and NProbe query

@@ -286,6 +286,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("nDCG weights hit positions; a perfect run scores exactly 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def g(r: Int): Double = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    // q1: run == ideal (ndcg exactly 1); q2: single hit at run rank 3
+    // of a 2-item ideal; q3: zero hits (ndcg 0)
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 90L, 3L),
+      (3L, 30L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val ideal = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),
+      (2L, 90L, 1L), (2L, 91L, 2L),
+      (3L, 99L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val m = Similarity.ndcgMetrics(run, ideal).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+          r.getAs[Double]("ndcg"))).toMap
+    assert(m(1L)._3 == 1.0)
+    assert(math.abs(m(2L)._1 - g(3)) < 1e-12 &&
+      math.abs(m(2L)._2 - (g(1) + g(2))) < 1e-12 &&
+      math.abs(m(2L)._3 - g(3) / (g(1) + g(2))) < 1e-12)
+    assert(m(3L) == ((0.0, g(1), 0.0)))
+    // on the fixture every ndcg is a valid [0, 1] position-weighted
+    // score, and queries with zero recall have ndcg 0 too
+    val emb001 = emb
+    val fix = Similarity.ndcgMetrics(
+        Similarity.lshTopK(emb001), Similarity.bruteForceTopK(emb001))
+      .collect()
+    assert(fix.forall { r =>
+      val n = r.getAs[Double]("ndcg"); n >= 0.0 && n <= 1.0
+    })
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
