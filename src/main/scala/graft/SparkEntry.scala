@@ -464,6 +464,34 @@ object SparkEntry {
       Similarity.ndcgMetrics(
         Similarity.lshTopK(emb), Similarity.bruteForceTopK(emb))
     }),
+    // Hybrid RRF with the dense pool from the PERSISTED LSH index —
+    // the serving-scale plan: build once (graded here for
+    // determinism), probe with the query's band keys, exact cosine
+    // on candidates only; the corpus is never scanned per query.
+    "q87_hybrid_rrf_indexed" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-lsh-q87").toString
+      Similarity.writeLshIndex(emb, "graft_lsh_idx_q87", s"$path/idx")
+      Similarity.hybridRrfIndexed(documents(s, dir), emb,
+        "graft_lsh_idx_q87")
+    }),
+    // The persisted LSH index itself, graded end to end: build the
+    // bucketed (vec_id, band, key) table, then probe it — must
+    // hash-match the per-batch LSH ranking oracle (q10's family).
+    "q88_lsh_index_probe" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-lsh-q88").toString
+      Similarity.writeLshIndex(emb, "graft_lsh_idx_q88", s"$path/idx")
+      Similarity.probeLshIndex(emb, "graft_lsh_idx_q88")
+    }),
+    // Multi-query BM25 (the RAG-batch shape): a query TABLE joined
+    // to the vocabulary-filtered tf frame by BROADCAST on term —
+    // the (doc, term) stream never shuffles to meet the queries —
+    // then per-query top-k through the TopKPerGroup heaps.
+    "q89_bm25_multi" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocsMulti(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -648,6 +676,11 @@ object SparkEntry {
     "q84_hybrid_rrf" -> OracleSql.hybridRrf,
     "q85_retrieval_metrics" -> OracleSql.retrievalMetrics,
     "q86_ndcg" -> OracleSql.ndcgMetrics,
+    "q87_hybrid_rrf_indexed" -> OracleSql.hybridRrfIndexed,
+    // probe ≡ per-batch LSH top-k (LshIndexSpec pins it), so the
+    // index-probe query grades against the same ranking oracle
+    "q88_lsh_index_probe" -> OracleSql.annLsh,
+    "q89_bm25_multi" -> OracleSql.bm25TopDocsMulti,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -484,14 +484,61 @@ object Similarity {
   def hybridRrf(docs: DataFrame, emb: DataFrame,
       queryVecId: Long = RrfQueryVecId, poolK: Int = RrfPoolK,
       rrfK: Int = RrfK, topK: Int = RrfTopK): DataFrame = {
-    val sparse = TextAnalysis.bm25TopDocs(docs, topK = poolK)
-      .select(col("doc_id"), col("rank").as("rank_sparse"))
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("norm").as("qnorm"))
     val denseScored = broadcast(qv).crossJoin(emb)
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("cosine", cosine)
       .select(col("vec_id"), col("cosine"))
+    fuseRrf(docs, denseScored, poolK, rrfK, topK)
+  }
+
+  /** [[hybridRrf]] with the dense pool sourced from a persisted
+    * [[writeLshIndex]] table instead of the brute corpus scan — the
+    * serving-scale form (q87): the query's band keys probe the
+    * pre-bucketed index for candidates, exact cosine runs on the
+    * candidate set only, and the SAME fusion consumes the pool. The
+    * dense ranking is over LSH candidates (≈ 2.5% of the corpus), so
+    * rank_dense is the rank WITHIN the probed pool — at 100 TB this
+    * is the only affordable definition, and it is what every
+    * ANN-backed retriever actually serves. Per-query cost: |bands|
+    * probe rows against the bucket-aligned index + one exact cosine
+    * per candidate; the corpus is never scanned, never re-banded. */
+  def hybridRrfIndexed(docs: DataFrame, emb: DataFrame,
+      indexTable: String,
+      queryVecId: Long = RrfQueryVecId, poolK: Int = RrfPoolK,
+      rrfK: Int = RrfK, topK: Int = RrfTopK): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val qb = q.select(col("query_id"),
+      posexplode(bandKeysArray(col("qv"))).as(Seq("band", "key")))
+    val idx = emb.sparkSession.table(indexTable)
+    // candidate IDs only through the distinct (house rule); the
+    // query vector re-joins after, and only candidate vectors are
+    // re-read from the corpus
+    val candIds = qb.join(idx, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val denseScored = candIds
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")),
+        "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cosine", cosine)
+      .select(col("vec_id"), col("cosine"))
+    fuseRrf(docs, denseScored, poolK, rrfK, topK)
+  }
+
+  /** Shared tail of the hybrid retrievers: rank the dense scored
+    * frame to a ≤ poolK pool, fuse with the BM25 pool by RRF, rank
+    * the fused frame to topK. Both pools are bounded BEFORE the
+    * full-outer fusion join, so fusion cost is constant in corpus
+    * size. */
+  private def fuseRrf(docs: DataFrame, denseScored: DataFrame,
+      poolK: Int, rrfK: Int, topK: Int): DataFrame = {
+    val sparse = TextAnalysis.bm25TopDocs(docs, topK = poolK)
+      .select(col("doc_id"), col("rank").as("rank_sparse"))
     val extensionsActive = docs.sparkSession.sessionState.planner
       .extraPlanningStrategies
       .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])

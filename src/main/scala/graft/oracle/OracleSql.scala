@@ -510,18 +510,29 @@ WHERE rank <= ${SimilarityParams.TopK}"""
     * is untouched. */
   def annLshMultiProbe: String = annLshProbed(1)
 
+  /** SQL for one top-k-banding LSH band key of `vcol` (band `j`) —
+    * the DuckDB twin of [[Similarity.bandKeysArray]]'s element `j`:
+    * same hyperplanes, same sign rule, same bit packing. */
+  private def lshKeyExpr(vcol: String, j: Int): String = {
+    import SimilarityParams._
+    (0 until BitsPerBand).map { t =>
+      val p = planes(j * BitsPerBand + t)
+      val lst = p.mkString("[", ", ", "]")
+      s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** UNION ALL over all top-k bands of `src`: (id cols, vcol, band,
+    * key) — the banding CTE body shared by the LSH ranking oracles. */
+  private def lshBandCte(src: String, id: String, vcol: String): String =
+    (0 until SimilarityParams.NumBands).map { j =>
+      s"SELECT $id, $vcol, $j AS band, ${lshKeyExpr(vcol, j)} AS key FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+
   private def annLshProbed(multiProbe: Int): String = {
     import SimilarityParams._
-    def keyExpr(vcol: String, j: Int): String =
-      (0 until BitsPerBand).map { t =>
-        val p = planes(j * BitsPerBand + t)
-        val lst = p.mkString("[", ", ", "]")
-        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
-      }.mkString("(", " + ", ")")
     def bandCte(src: String, id: String, vcol: String): String =
-      (0 until NumBands).map { j =>
-        s"SELECT $id, $vcol, $j AS band, ${keyExpr(vcol, j)} AS key FROM $src"
-      }.mkString("\n  UNION ALL\n  ")
+      lshBandCte(src, id, vcol)
     // same flip-mask set as the Spark side: all masks of ≤ multiProbe
     // bits over the band width
     val flips = (0 until (1 << BitsPerBand))
@@ -949,6 +960,62 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
 SELECT doc_id, n_terms_hit, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.bm25TopDocsMulti]]
+    * (q89): the query set as a VALUES table, tf filtered to the UNION
+    * vocabulary, df/N/avgdl shared across queries (they are corpus
+    * properties), contribs fanned out per (query, term), top-k
+    * PARTITIONed by query. */
+  def bm25TopDocsMulti: String = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25QuerySet, Bm25TopK, WordPattern}
+    val vocab = Bm25QuerySet.flatMap(_._2).distinct
+    val terms = vocab.map(t => s"'$t'").mkString(", ")
+    val qvals = Bm25QuerySet.flatMap { case (qid, ts) =>
+      ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(",\n         ")
+    s"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '$WordPattern')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$WordPattern'))
+              AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), qt(query_id, term) AS (
+  VALUES $qvals
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ($terms) GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(idf.df AS DOUBLE)
+                   + 0.5) / (CAST(idf.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         / (CAST(tf.tf AS DOUBLE)
+            + $Bm25K1 * (${1.0 - Bm25B}
+                         + $Bm25B * CAST(dl.dl AS DOUBLE) / n.avgdl))
+           AS c
+  FROM tf JOIN idf USING (term) JOIN qt USING (term)
+       JOIN dl USING (doc_id)
+       CROSS JOIN stats n
+), scored AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         SUM(c) AS score
+  FROM contrib GROUP BY query_id, doc_id
+), r AS (
+  SELECT query_id, doc_id, n_terms_hit, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, n_terms_hit, score, rank FROM r
+WHERE rank <= $Bm25TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.hybridRrf]]: the same
     * BM25 pool ([[bm25Body]] at [[SimilarityParams.RrfPoolK]]), the
     * same single-query dense cosine pool (sequential-fold dot, rank
@@ -969,6 +1036,60 @@ ${bm25Body(RrfPoolK)}
   SELECT vec_id, ${dotSql("qv", "v")} / (qn * nrm) AS cosine
   FROM n, qd
   WHERE vec_id <> $RrfQueryVecId
+), rd AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+              AS BIGINT) AS rank_dense
+  FROM pd
+), dense AS (
+  SELECT doc_id, rank_dense FROM rd WHERE rank_dense <= $RrfPoolK
+), fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(s.rank_sparse, 0) AS BIGINT) AS rank_sparse,
+         CAST(COALESCE(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+         COALESCE(1.0 / ($rrfK + CAST(s.rank_sparse AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ($rrfK + CAST(d.rank_dense AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+), rr AS (
+  SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM fused
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf_score, rank FROM rr
+WHERE rank <= $RrfTopK"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.hybridRrfIndexed]] (q87):
+    * identical fusion to [[hybridRrf]], but the dense pool ranks only
+    * the query's LSH candidate set (same planes/banding as the
+    * persisted index — [[lshBandCte]]), mirroring the index-probe
+    * plan's semantics exactly: rank_dense is the rank WITHIN the
+    * probed candidates. */
+  def hybridRrfIndexed: String = {
+    import SimilarityParams.{RrfK, RrfPoolK, RrfQueryVecId, RrfTopK}
+    val rrfK = RrfK.toDouble
+    s"""$embCtes
+, sparse AS (
+  SELECT doc_id, rank AS rank_sparse FROM (
+${bm25Body(RrfPoolK)}
+  )
+), qd AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn
+  FROM n WHERE vec_id = $RrfQueryVecId
+), qb AS (
+  ${lshBandCte("qd", "query_id, qn", "qv")}
+), cb AS (
+  ${lshBandCte("n", "vec_id, nrm", "v")}
+), cand AS (
+  SELECT query_id, qv, qn, vec_id, v, nrm
+  FROM qb JOIN cb USING (band, key)
+  WHERE vec_id <> query_id
+  GROUP BY ALL
+), pd AS (
+  SELECT vec_id, ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM cand
 ), rd AS (
   SELECT vec_id AS doc_id,
          CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)

@@ -16,7 +16,12 @@ import graft.io.{KinesisHttpClient, PutRecordEntry}
   *  - one background thread drains the queue into PutRecords batches
   *    of ≤ 500 (the API cap), so submission order is preserved into
   *    the request — per-shard arrival order follows for records of
-  *    one partition key, the Kinesis ordering unit;
+  *    one partition key, the Kinesis ordering unit, PROVIDED every
+  *    record succeeds on first delivery. A throttled record re-enters
+  *    at the queue tail for its retry, so it can arrive after later
+  *    records of the same partition key — the same caveat the KPL
+  *    documents for its retry path; callers needing strict per-key
+  *    order must keep at most one record per key in flight;
   *  - records older than `ttlMs` when their batch forms FAIL their
   *    future instead of being sent (KPL record TTL, default 300 s);
   *  - per-record failures (throttling ErrorCodes inside a 200

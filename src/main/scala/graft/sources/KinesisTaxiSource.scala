@@ -273,7 +273,23 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
     * `arrival > fromTs` filter — lost forever. With closedTs < now(),
     * every record the offset names was already stored (arrival
     * assignment and visibility are atomic at the service) before any
-    * reader of this batch can issue its first GetRecords. */
+    * reader of this batch can issue its first GetRecords.
+    *
+    * CLOCK SKEW: the comparison is driver wall-clock vs
+    * SERVICE-assigned arrival timestamps. The strictly-in-the-past
+    * invariant therefore only holds end-to-end when the service's
+    * clock does not run ahead of the driver's by more than
+    * `closeDelayMs`. If it does, records stamped "in the future"
+    * relative to the driver sit past every batch's closedTs until the
+    * skew is covered — they are not lost (closedTs is monotone and
+    * the next batches sweep them up) but they are delayed, and a
+    * skew larger than the ingestion-visibility argument above assumes
+    * would break the no-loss reasoning at the boundary. Against a
+    * real (non-loopback) endpoint, set `closeDelayMs` to a few
+    * hundred ms — comfortably above NTP-disciplined skew plus
+    * ingestion-visibility lag. The 0 default (→ 1 ms floor) is tuned
+    * for the in-process stub, where the "service" shares the driver's
+    * clock and skew is structurally zero. */
   private def closeTarget(): Long = now() - math.max(1L, config.closeDelayMs)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -388,8 +404,13 @@ object KinesisProgressFiles {
     java.nio.file.Files.createDirectories(d)
     val safe = shard.replaceAll("[^A-Za-z0-9._-]", "_")
     val tmp = d.resolve(s".$safe.tmp")
+    // the RAW shard id travels inside the file (4th field): the
+    // filename is sanitized for the filesystem, so keying the read
+    // side by filename would never match a shard id containing a
+    // character outside [A-Za-z0-9._-] — every batch would silently
+    // degrade to the AT_TIMESTAMP fallback for that shard
     java.nio.file.Files.write(tmp,
-      s"${p.lastSeq}\t${p.lastTsMs}\t${p.millisBehind}"
+      s"${p.lastSeq}\t${p.lastTsMs}\t${p.millisBehind}\t$shard"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, d.resolve(safe),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -406,7 +427,13 @@ object KinesisProgressFiles {
           try {
             val parts = new String(java.nio.file.Files.readAllBytes(f),
               java.nio.charset.StandardCharsets.UTF_8).split("\t", -1)
-            if (parts.length == 3)
+            // key by the raw shard id stored in the file (field 4);
+            // 3-field files from older checkpoints fall back to the
+            // filename for compatibility
+            if (parts.length == 4)
+              Some(parts(3) ->
+                ShardProgress(parts(0), parts(1).toLong, parts(2).toLong))
+            else if (parts.length == 3)
               Some(f.getFileName.toString ->
                 ShardProgress(parts(0), parts(1).toLong, parts(2).toLong))
             else None
@@ -488,11 +515,26 @@ class KinesisShardReader(config: KinesisSourceConfig,
       iterator = gr.nextShardIterator
       val atTip = gr.records.isEmpty && gr.millisBehindLatest <= 0
       emptyPolls = if (gr.records.isEmpty) emptyPolls + 1 else 0
-      // stop: past the batch's closing timestamp; shard closed; at the
-      // tip (monotone arrival ⇒ nothing ≤ toTs can still appear); or
-      // bounded empty-poll patience (defensive liveness guard)
-      if (pastEnd || iterator.isEmpty || atTip || emptyPolls >= 20)
+      // clean drain ONLY on: past the batch's closing timestamp; shard
+      // closed; or at the tip (monotone arrival ⇒ nothing ≤ toTs can
+      // still appear). Empty-poll patience is a liveness guard, not a
+      // drain condition: against a real endpoint, empty GetRecords
+      // pages with millisBehindLatest > 0 are routine while an
+      // iterator traverses a sparse region, and treating them as a
+      // drain would record progress past unread in-window records —
+      // silent loss the next batch's arrival > fromTs filter makes
+      // permanent. So exhaustion THROWS: the task fails without
+      // recording progress (close() sees drained=false), Spark
+      // retries, and the position is re-read from the last offset.
+      if (pastEnd || iterator.isEmpty || atTip)
         finished = true
+      else if (emptyPolls >= KinesisShardReader.EmptyPollPatience)
+        throw new java.io.IOException(
+          s"kinesis shard ${part.shard}: ${emptyPolls} consecutive empty " +
+          s"GetRecords pages with millisBehindLatest=${gr.millisBehindLatest}" +
+          " — iterator made no progress toward the batch's closing " +
+          "timestamp; failing the task (no progress recorded) rather " +
+          "than risk dropping in-window records")
   }
 
   private def parseLines(data: Array[Byte]): Seq[InternalRow] = {
@@ -522,4 +564,12 @@ class KinesisShardReader(config: KinesisSourceConfig,
     if (drained && lastSeq.nonEmpty)
       progressDir.foreach(d => KinesisProgressFiles.write(d, part.shard,
         ShardProgress(lastSeq, lastTs, lastBehind)))
+}
+
+object KinesisShardReader {
+  /** Consecutive empty GetRecords pages tolerated before the reader
+    * fails the task. High enough that sparse-but-progressing regions
+    * (each page advances the iterator) never trip it in one batch at
+    * stub/test scale; low enough to bound a wedged iterator. */
+  val EmptyPollPatience = 20
 }

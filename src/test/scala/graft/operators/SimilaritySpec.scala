@@ -240,6 +240,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("indexed hybrid RRF: same fusion law, dense pool = LSH candidates") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val wh = java.nio.file.Files.createTempDirectory("rrf-idx").toString
+    try {
+      Similarity.writeLshIndex(emb, "rrf_idx_spec", s"$wh/idx", buckets = 8)
+      val out = Similarity.hybridRrfIndexed(docs, emb, "rrf_idx_spec")
+        .collect()
+      val K = SimilarityParams.RrfK.toDouble
+      assert(out.length == SimilarityParams.RrfTopK)
+      out.foreach { r =>
+        val rs = r.getAs[Long]("rank_sparse")
+        val rd = r.getAs[Long]("rank_dense")
+        val expect = (if (rs > 0) 1.0 / (K + rs) else 0.0) +
+          (if (rd > 0) 1.0 / (K + rd) else 0.0)
+        assert(r.getAs[Double]("rrf_score") == expect)
+      }
+      // every doc surfaced with a dense rank IS an LSH candidate of
+      // the query vector (the pool came from the index probe, not a
+      // corpus scan), and its rank is the rank within that pool
+      val candSet = Similarity
+        .lshCandidates(emb, numQueries = 1)
+        .filter(col("query_id") === SimilarityParams.RrfQueryVecId)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // (queryVecId < NumQueryVectors, so query-side fixtures align)
+      out.filter(_.getAs[Long]("rank_dense") > 0).foreach { r =>
+        assert(candSet.contains(r.getAs[Long]("doc_id")),
+          s"dense-pool doc ${r.getAs[Long]("doc_id")} is not an LSH candidate")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rrf_idx_spec")
+    }
+  }
+
   test("retrieval metrics equal a hand-computed reference; misses give rr 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

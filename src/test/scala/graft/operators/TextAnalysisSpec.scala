@@ -77,6 +77,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(math.abs(out(2)._3 - math.log(2.0) * (2.2 / 1.6)) < 1e-12)
   }
 
+  test("multi-query bm25: query-0 slice equals the single-query ranking") {
+    // df/N/avgdl are corpus properties shared across queries, so
+    // restricting the multi-query result to query 0 (whose term set
+    // IS Bm25Query) must reproduce bm25TopDocs exactly — scores,
+    // term hits, and ranks
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val single = TextAnalysis.bm25TopDocs(docs)
+      .select("doc_id", "n_terms_hit", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val multi0 = TextAnalysis.bm25TopDocsMulti(docs)
+      .filter(col("query_id") === 0L)
+      .select("doc_id", "n_terms_hit", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(multi0 == single)
+    // and every query produces a full, correctly-ordered top-k
+    val all = TextAnalysis.bm25TopDocsMulti(docs)
+      .select("query_id", "rank").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(all.keySet == TextAnalysis.Bm25QuerySet.map(_._1).toSet)
+    all.values.foreach(rs =>
+      assert(rs == (1L to TextAnalysis.Bm25TopK.toLong)))
+  }
+
   test("textStats computes hand-checked values") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextAnalysis.textStats(df).collect()(0)

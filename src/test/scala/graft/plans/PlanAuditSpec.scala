@@ -262,6 +262,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q87 indexed hybrid: dense pool probes the index, corpus never re-banded") {
+    spark.catalog.clearCache()
+    // force the bucket-join path (a broadcast of the tiny probe side
+    // is also exchange-free, but the pin is the bucketed layout the
+    // 100 TB probe relies on)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = q("q87_hybrid_rrf_indexed")
+      val txt = df.queryExecution.executedPlan.toString
+      // the index side of the candidate join reads bucket-aligned
+      assert(txt.contains("SelectedBucketsCount"),
+        "index scan is not bucket-aligned")
+      // banding runs ONCE, on the 1-row query side — corpus banding
+      // was paid at index build, never at query time (q84's brute
+      // dense pool had a full-corpus scan here instead)
+      val bandings = "hyperplane_bands".r.findAllIn(txt).size
+      assert(bandings == 1,
+        s"corpus banding recomputed at probe time ($bandings sites)")
+      assert(!txt.contains("Window"), "hybrid fell back to a window rank")
+      spark.catalog.clearCache()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_q87")
+    }
+  }
+
+  test("q89 multi-query bm25: queries broadcast on term, per-query heaps") {
+    spark.catalog.clearCache()
+    val df = q("q89_bm25_multi")
+    val plan = df.queryExecution.sparkPlan
+    // every join the (doc, term) stream participates in is broadcast:
+    // the tf side never shuffles to meet df, the query table, or the
+    // corpus stats
+    val heaps = plan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(heaps.map(_.partial).sorted == Seq(false, true),
+      "per-query top-k lost the partial+final heap operator")
+    val txt = df.queryExecution.executedPlan.toString
+    assert(!txt.contains("Window"), "multi-bm25 fell back to a window rank")
+    assert(txt.contains("BroadcastExchange"),
+      "df/query-table/stats are not broadcast")
+    // exchanges: df agg on term, (query_id, doc_id) score agg, top-k
+    // partial→final on query_id — the token stream itself and the
+    // query fan-out add none
+    assert(shuffleCount(df) <= 3,
+      s"multi-bm25 shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
   test("q59 heavy hitters: sketch probe filters below the exact count") {
     spark.catalog.clearCache()
     val df = q("q59_heavy_hitters")

@@ -239,4 +239,68 @@ class KinesisTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
       assert(srv.getRecordsCalls.get() == calls0) // no retry storm
     }
   }
+
+  test("empty-poll patience exhaustion fails the task, records no progress") {
+    // A wedged endpoint: the iterator "advances" but every GetRecords
+    // page is empty while MillisBehindLatest stays > 0 — the shape a
+    // real stream shows while traversing a sparse region. Treating it
+    // as a clean drain would record progress past unread in-window
+    // records (permanent loss via the next batch's arrival > fromTs
+    // filter); the reader must instead throw, leaving no progress
+    // file, so a task retry re-reads from the last offset.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val srv = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val op = Option(ex.getRequestHeaders.getFirst("X-Amz-Target"))
+          .getOrElse("")
+        ex.getRequestBody.readAllBytes()
+        val json =
+          if (op.endsWith("GetShardIterator")) """{"ShardIterator":"it-0"}"""
+          else
+            """{"Records":[],"NextShardIterator":"it-n","MillisBehindLatest":5000}"""
+        val bytes = json.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/x-amz-json-1.1")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+    srv.start()
+    try {
+      val progressDir = Files.createTempDirectory("kinesis-patience")
+      val config = KinesisSourceConfig(
+        endpoint = s"http://127.0.0.1:${srv.getAddress.getPort}/",
+        stream = "s", region = "us-east-1",
+        accessKey = None, secretKey = None, sessionToken = None,
+        startTsMs = 0L, closeDelayMs = 0L, maxAdvanceMsPerTrigger = None,
+        getRecordsLimit = 100)
+      val part = KinesisShardPartition(
+        "shardId-000000000000", None, 0L, Long.MaxValue)
+      val reader = new KinesisShardReader(config, part,
+        new org.apache.spark.sql.types.StructType(), Array.empty,
+        Some(progressDir.toString))
+      val e = intercept[java.io.IOException] {
+        while (reader.next()) reader.get()
+      }
+      assert(e.getMessage.contains("empty"), s"got: ${e.getMessage}")
+      reader.close()
+      assert(KinesisProgressFiles.readAll(progressDir).isEmpty,
+        "a patience failure must not record progress")
+    } finally srv.stop(0)
+  }
+
+  test("progress files key by the raw shard id, not the sanitized filename") {
+    val dir = Files.createTempDirectory("kinesis-progress")
+    // a shard name with characters outside [A-Za-z0-9._-]: the
+    // filename is sanitized but lookups use the raw id
+    val rawId = "custom:shard/7"
+    KinesisProgressFiles.write(dir.toString, rawId,
+      ShardProgress("seq-41", 1234L, 0L))
+    val m = KinesisProgressFiles.readAll(dir)
+    assert(m.keySet == Set(rawId))
+    assert(m(rawId) == ShardProgress("seq-41", 1234L, 0L))
+  }
 }
