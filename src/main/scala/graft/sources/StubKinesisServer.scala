@@ -81,6 +81,13 @@ class StubKinesisServer(
     * pinned. Arrival is clamped monotone per shard (service
     * behavior). Returns the assigned sequence number. */
   def putRecord(data: String, partitionKey: String = "pk",
+      shard: Option[Int] = None, arrivalMs: Option[Long] = None): String =
+    putRecordBytes(data.getBytes(StandardCharsets.UTF_8), partitionKey,
+      shard, arrivalMs)
+
+  /** Byte-preserving ingest — aggregated (KPL) payloads are binary
+    * protobuf and must NOT round-trip through a UTF-8 String. */
+  def putRecordBytes(data: Array[Byte], partitionKey: String = "pk",
       shard: Option[Int] = None, arrivalMs: Option[Long] = None): String = {
     val idx = shard.getOrElse(
       math.floorMod(partitionKey.hashCode, shardIds.size))
@@ -89,13 +96,19 @@ class StubKinesisServer(
       val prev = if (buf.isEmpty) 0L else buf.last.arrivalMs
       val at = math.max(arrivalMs.getOrElse(clock()), prev)
       val seq = f"${seqCounter.getAndIncrement()}%020d"
-      buf += Stored(seq, partitionKey,
-        data.getBytes(StandardCharsets.UTF_8), at)
+      buf += Stored(seq, partitionKey, data, at)
       seq
     }
   }
 
   def recordCount: Int = shards.valuesIterator.map(_.length).sum
+
+  /** Raw stored wire records of one shard — lets specs inspect
+    * payload shapes the HTTP surface hides (e.g. KPL aggregation). */
+  def storedRecords(shard: Int): Vector[Stored] = {
+    val buf = shards(shardIds(shard))
+    buf.synchronized(buf.toVector)
+  }
 
   private def iteratorToken(shard: String, index: Int): String =
     Base64.getEncoder.encodeToString(
@@ -188,10 +201,8 @@ class StubKinesisServer(
           .filterNot(_.isNull)
           .map(e => shardForHash(BigInt(e.asText())))
           .getOrElse(shardForPartitionKey(pk))
-        val data = new String(
-          Base64.getDecoder.decode(r.get("Data").asText()),
-          StandardCharsets.UTF_8)
-        val seq = putRecord(data, pk, shard = Some(shardIdx))
+        val data = Base64.getDecoder.decode(r.get("Data").asText())
+        val seq = putRecordBytes(data, pk, shard = Some(shardIdx))
         out += s"""{"SequenceNumber":"$seq","ShardId":"${shardIds(shardIdx)}"}"""
       }
     }

@@ -259,4 +259,112 @@ class AsyncKinesisWriterSpec extends AnyFunSuite with SparkSessionSpec {
       assert(a == b, "producer->consumer protocol round trip must be lossless")
     }
   }
+
+  test("KPL aggregation: packs per predicted shard, routing preserved") {
+    withStub(new StubKinesisServer(shardCount = 3)) { srv =>
+      val w = new AsyncKinesisWriter(
+        new KinesisHttpClient(srv.endpoint), srv.streamName,
+        flushMs = 5000L, // one big drain → real packing
+        aggregate = true)
+      val keys = (1 to 60).map(i => s"agg-key-$i")
+      try {
+        val fs = keys.map(k => w.addRecord(k, bytes(s"payload-$k")))
+        fs.foreach(_.get(10, java.util.concurrent.TimeUnit.SECONDS))
+      } finally w.close()
+      // far fewer wire records than user records
+      assert(srv.recordCount < keys.size / 2,
+        s"aggregation produced ${srv.recordCount} wire records " +
+          s"for ${keys.size} user records")
+      // every wire record is an aggregated pack, every member sits in
+      // the shard its OWN partition key routes to
+      (0 until 3).foreach { shard =>
+        srv.storedRecords(shard).foreach { stored =>
+          assert(graft.io.KplAggregation.isAggregated(stored.data))
+          val Right(members) =
+            graft.io.KplAggregation.deaggregate(stored.data)
+          members.foreach(m =>
+            assert(srv.shardForPartitionKey(m.partitionKey) == shard,
+              s"${m.partitionKey} mis-routed into shard $shard"))
+        }
+      }
+      // and nothing was lost or duplicated across the packs
+      val all = (0 until 3).flatMap(srv.storedRecords(_)).flatMap(s =>
+        graft.io.KplAggregation.deaggregate(s.data).toOption.get)
+      assert(all.map(_.partitionKey).sorted == keys.sorted)
+    }
+  }
+
+  test("KPL aggregation round trip: aggregated replay in, source out") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val fixture = "/root/repo/src/test/resources/trips_tiny.jsonl"
+      val lines = {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(java.nio.file.Paths.get(fixture)).asScala.toVector
+      }
+      val w = new AsyncKinesisWriter(
+        new KinesisHttpClient(srv.endpoint), srv.streamName,
+        flushMs = 5000L, aggregate = true)
+      try {
+        val fs = lines.map(l => w.addRecord(l.hashCode.toString, bytes(l)))
+        fs.foreach(_.get(10, java.util.concurrent.TimeUnit.SECONDS))
+      } finally w.close()
+      assert((0 until 2).flatMap(srv.storedRecords(_))
+        .exists(s => graft.io.KplAggregation.isAggregated(s.data)),
+        "no aggregated record reached the stub")
+      val back = spark.read.format("kinesis-taxi")
+        .option("endpoint", srv.endpoint)
+        .option("stream", srv.streamName)
+        .load()
+      val viaCodec = EventCodec.parseEvents(
+        spark.read.text(fixture).toDF("value"), strict = false)
+      val a = back.orderBy("trip_id", "watermark")
+        .collect().map(_.toSeq).toSeq
+      val b = viaCodec.orderBy("trip_id", "watermark")
+        .collect().map(_.toSeq).toSeq
+      assert(a == b,
+        "aggregated producer->consumer round trip must be lossless")
+    }
+  }
+
+  test("KPL aggregation: oversized records ship plain; corrupt packs skipped") {
+    withStub(new StubKinesisServer(shardCount = 1)) { srv =>
+      val w = new AsyncKinesisWriter(
+        new KinesisHttpClient(srv.endpoint), srv.streamName,
+        flushMs = 5000L, aggregate = true, maxAggBytes = 256)
+      try {
+        val big = w.addRecord("big", Array.fill[Byte](600)('x'))
+        val small = (1 to 4).map(i => w.addRecord(s"s$i", bytes("tiny")))
+        (big +: small).foreach(
+          _.get(10, java.util.concurrent.TimeUnit.SECONDS))
+      } finally w.close()
+      val stored = srv.storedRecords(0)
+      val (agg, plain) =
+        stored.partition(s => graft.io.KplAggregation.isAggregated(s.data))
+      assert(plain.exists(_.data.length == 600),
+        "oversized record did not ship plain")
+      assert(agg.nonEmpty, "small records were not packed")
+
+      // a corrupt pack is skipped with a warning, siblings still parse:
+      // store one valid trip line plain, plus a corrupt aggregated blob
+      val line = """{"type": "trip", "trip_id": 91001, """ +
+        """"pickup_datetime": "2026-01-01T00:00:00.000Z", """ +
+        """"dropoff_datetime": "2026-01-01T00:10:00.000Z", """ +
+        """"pickup_lat": 40.75, "pickup_lon": -73.98, """ +
+        """"dropoff_lat": 40.76, "dropoff_lon": -73.97, """ +
+        """"total_amount": 10.0}"""
+      val good = graft.io.KplAggregation.aggregate(Seq(
+        graft.io.KplAggregation.UserRecord("pk", None, bytes(line))))
+      val corrupt = good.clone()
+      corrupt(good.length - 1) = (corrupt(good.length - 1) ^ 0x7F).toByte
+      srv.putRecordBytes(corrupt, "corrupt")
+      srv.putRecordBytes(good, "good")
+      val back = spark.read.format("kinesis-taxi")
+        .option("endpoint", srv.endpoint)
+        .option("stream", srv.streamName)
+        .load()
+      // exactly ONE trip surfaces: the valid pack's; the corrupt pack
+      // is skipped whole (not half-parsed, not a crash)
+      assert(back.filter(col("trip_id") === 91001L).count() == 1)
+    }
+  }
 }

@@ -95,6 +95,40 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
     } finally srv.stop()
   }
 
+  test("kinesis --aggregate mode: KPL packs on the wire, same docs out") {
+    val wireDir = Files.createTempDirectory("appa-wire").toString
+    val workDir = Files.createTempDirectory("appa-work").toString
+    val indexDir = Files.createTempDirectory("appa-index").toString
+    val workDir2 = Files.createTempDirectory("appa-work2").toString
+    val indexDir2 = Files.createTempDirectory("appa-index2").toString
+    EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, "/root/testdata/sf0.001"))
+      .coalesce(1).write.mode("overwrite").text(wireDir)
+
+    val base = ProcessTaxiStream.Config(
+      inputDir = wireDir, workDir = workDir, indexDir = indexDir,
+      speedup = 1e12, replayPartitions = 2,
+      maxFilesPerTrigger = Some(1), once = true)
+    val viaText = ProcessTaxiStream.run(spark, base)
+
+    val srv = new graft.sources.StubKinesisServer(shardCount = 2)
+    try {
+      val viaAgg = ProcessTaxiStream.run(spark, base.copy(
+        workDir = workDir2, indexDir = indexDir2,
+        maxFilesPerTrigger = None,
+        kinesisEndpoint = Some(srv.endpoint),
+        kinesisStream = srv.streamName,
+        kplAggregate = true))
+      // the wire really carried KPL packs, not plain records
+      assert((0 until 2).flatMap(srv.storedRecords(_)).exists(s =>
+        graft.io.KplAggregation.isAggregated(s.data)),
+        "no aggregated record on the wire")
+      assert(viaAgg.replayedEvents == viaText.replayedEvents)
+      assert(viaAgg.pickupDocs == viaText.pickupDocs)
+      assert(viaAgg.durationDocs == viaText.durationDocs)
+      assert(viaAgg.pickupDocs > 0)
+    } finally srv.stop()
+  }
+
   test("continuous mode: replay runs concurrently with the queries") {
     val wireDir = Files.createTempDirectory("appc-wire").toString
     val workDir = Files.createTempDirectory("appc-work").toString
@@ -202,6 +236,11 @@ class ProcessTaxiStreamAppSpec extends AnyFunSuite with SparkSessionSpec {
       "--http-index", "http://h", "--create-index", "--sigv4", "eu-west-1"))
     assert(cfg2.createIndex && cfg2.sigv4Region.contains("eu-west-1") &&
       cfg2.httpIndex.contains("http://h"))
+    val cfg3 = ProcessTaxiStream.parse(Array(
+      "--input", "/in", "--work", "/w", "--index", "/idx",
+      "--kinesis", "http://k", "--stream", "s", "--aggregate"))
+    assert(cfg3.kinesisEndpoint.contains("http://k") &&
+      cfg3.kinesisStream == "s" && cfg3.kplAggregate)
     intercept[IllegalArgumentException] {
       ProcessTaxiStream.parse(Array("--bogus"))
     }
