@@ -592,11 +592,17 @@ object Similarity {
     * (at 100 TB: thousands, matched to the cluster). */
   def writeLshIndex(emb: DataFrame, table: String, path: String,
       buckets: Int = 32): Unit =
-    emb.select(col("vec_id"),
-        posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
+    bandedRows(emb)
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "key").sortBy("band", "key")
       .option("path", path).saveAsTable(table)
+
+  /** The index row shape: one (vec_id, band, key) row per band per
+    * vector — what [[writeLshIndex]] persists and what
+    * [[graft.streaming.StreamingLshIndex]] appends per micro-batch. */
+  def bandedRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(bandKeysArray(col("v"))).as(Seq("band", "key")))
 
   /** Top-k by probing a [[writeLshIndex]] table: row-identical to
     * [[lshTopK]] on the same corpus (same planes, same banding —
