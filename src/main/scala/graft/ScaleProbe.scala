@@ -328,14 +328,32 @@ object ScaleProbe {
     val stages = sys.env.get("SPARK_GRAFT_HEAVY_STAGES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = stages.forall(_.contains(name))
-    def time(factor: Int, name: String)(df: => DataFrame): Unit =
+    def timeAction(factor: Int, name: String)(body: => Unit): Unit =
       if (wanted(name)) {
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        body
         val sec = (System.nanoTime() - t0) / 1e9
         results(name) ::= (factor, sec)
         println(f"[scale-heavy] ${factor}%4dx $name%-18s $sec%8.2f s")
       }
+    def time(factor: Int, name: String)(df: => DataFrame): Unit =
+      timeAction(factor, name)(
+        df.write.format("noop").mode("overwrite").save())
+    // embeddings replicated under the per-copy rotation (see main
+    // probe: rotations of random vectors are near-orthogonal, so
+    // replicas are not near-dups of each other), re-keyed so the
+    // doc_id = vec_id alignment survives replication
+    def replicatedEmb(factor: Int, copies: DataFrame): DataFrame = {
+      val dim = SimilarityParams.Dim
+      val rot = col("copy") % dim
+      emb0.crossJoin(copies)
+        .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+          concat(
+            slice(col("v"), rot + 1, lit(dim) - rot),
+            slice(col("v"), lit(1), rot)).as("v"))
+        .withColumn("norm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    }
     factors.foreach { factor =>
       val copies = spark.range(factor).select(col("id").as("copy"))
       val docs = docs0.crossJoin(copies)
@@ -351,16 +369,27 @@ object ScaleProbe {
       // same per-copy rotation as the main probe, re-keyed so the
       // doc_id = vec_id alignment survives replication)
       if (wanted("hybrid")) {
-        val dim = SimilarityParams.Dim
-        val rot = col("copy") % dim
-        val emb = emb0.crossJoin(copies)
-          .select((col("vec_id") * factor + col("copy")).as("vec_id"),
-            concat(
-              slice(col("v"), rot + 1, lit(dim) - rot),
-              slice(col("v"), lit(1), rot)).as("v"))
-          .withColumn("norm", sqrt(aggregate(
-            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-        time(factor, "hybrid")(Similarity.hybridRrf(docs, emb))
+        time(factor, "hybrid")(
+          Similarity.hybridRrf(docs, replicatedEmb(factor, copies)))
+      }
+      // the serving-scale fused query (q87): dense pool probed from a
+      // PREBUILT persisted index instead of the brute corpus
+      // dot-scan. The build is untimed setup — it is paid once per
+      // ingest and amortized over every query batch (its own cost
+      // curve is the eval_idx_build stage); what this stage measures
+      // is the recurring per-batch cost, which must not pay a full
+      // dense scan as the corpus grows.
+      if (wanted("hybrid_indexed")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        val p = java.nio.file.Files
+          .createTempDirectory(s"ladder-hidx-${factor}x").toString
+        Similarity.writeLshIndex(emb, "ladder_hrrf_idx", s"$p/idx")
+        time(factor, "hybrid_indexed")(
+          Similarity.hybridRrfIndexed(docs, emb, "ladder_hrrf_idx"))
+        spark.sql("DROP TABLE IF EXISTS ladder_hrrf_idx")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
+        emb.unpersist()
       }
       time(factor, "funnel")(
         graft.operators.Pipeline.preprocessingFunnel(docs))
@@ -390,6 +419,44 @@ object ScaleProbe {
       time(factor, "profile_hll")(
         graft.operators.Profiling.numericProfileApprox(li))
       spark.catalog.clearCache()
+      // retrieval-eval rung (q85/q86 at scale, over the persisted
+      // index): index build and the exact-ideal brute scan grow with
+      // the corpus (build once per ingest, amortized over every later
+      // batch; brute ideal is the ground-truth labeling eval sets pay
+      // once) — but the PROBE touches only banded query rows + its
+      // candidate set, and the metric computations consume two
+      // ALREADY-BOUNDED |Q|x k rankings, so eval cost must stay FLAT
+      // as the corpus grows. The curve printed here is the proof.
+      if (Seq("eval_idx_build", "eval_probe", "eval_ideal",
+          "eval_recall_mrr", "eval_ndcg").exists(wanted)) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        val idxPath = java.nio.file.Files
+          .createTempDirectory(s"ladder-idx-${factor}x").toString
+        timeAction(factor, "eval_idx_build")(
+          Similarity.writeLshIndex(emb, "ladder_eval_idx",
+            s"$idxPath/idx"))
+        val run = Similarity
+          .probeLshIndex(emb, "ladder_eval_idx").persist()
+        val ideal = Similarity.bruteForceTopK(emb).persist()
+        time(factor, "eval_probe")(run)
+        time(factor, "eval_ideal")(ideal)
+        // both rankings are materialized above: what these two stages
+        // measure is ONLY the metric computation over |Q|*k rows
+        time(factor, "eval_recall_mrr")(
+          Similarity.retrievalMetrics(run, ideal))
+        time(factor, "eval_ndcg")(Similarity.ndcgMetrics(run, ideal))
+        val mean = Similarity.retrievalMetrics(run, ideal)
+          .agg(avg(col("recall")).as("recall"), avg(col("rr")).as("mrr"))
+          .collect()(0)
+        println(f"[scale-heavy] ${factor}%4dx eval quality: " +
+          f"recall@k ${mean.getDouble(0)}%.3f mrr ${mean.getDouble(1)}%.3f")
+        run.unpersist(); ideal.unpersist(); emb.unpersist()
+        spark.sql("DROP TABLE IF EXISTS ladder_eval_idx")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(idxPath))
+        spark.catalog.clearCache()
+      }
     }
     // per-operator curve: sec and sec-per-factor (flat = linear)
     results.toSeq.sortBy(_._1).foreach { case (name, rs) =>
