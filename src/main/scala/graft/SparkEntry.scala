@@ -492,6 +492,16 @@ object SparkEntry {
     // then per-query top-k through the TopKPerGroup heaps.
     "q89_bm25_multi" -> ((s, dir) =>
       TextAnalysis.bm25TopDocsMulti(documents(s, dir))),
+    // Leakage-safe split: q32's hash assignment decided on the q42
+    // near-dup cluster representative, so no near-dup cluster ever
+    // straddles the train/test boundary.
+    "q90_leakage_safe_split" -> ((s, dir) =>
+      operators.Sampling.leakageSafeSplit(documents(s, dir))),
+    // DSIR-style importance selection: smoothed hashed-bigram
+    // log-likelihood ratio of a target domain vs the corpus, global
+    // top-k through the heaps.
+    "q91_importance_weights" -> ((s, dir) =>
+      operators.Sampling.importanceWeights(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -681,6 +691,8 @@ object SparkEntry {
     // index-probe query grades against the same ranking oracle
     "q88_lsh_index_probe" -> OracleSql.annLsh,
     "q89_bm25_multi" -> OracleSql.bm25TopDocsMulti,
+    "q90_leakage_safe_split" -> OracleSql.leakageSafeSplit,
+    "q91_importance_weights" -> OracleSql.importanceWeights,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -268,4 +268,108 @@ object Sampling {
         .filter(col("rank") <= k)
     ranked.select(col("doc_id"), col("n_chars"), col("key"), col("rank"))
   }
+
+  /** Leakage-safe train/validation/test split (q90): [[trainSplit]]'s
+    * deterministic hash assignment, but decided on the NEAR-DUP
+    * CLUSTER representative instead of the document itself, so every
+    * member of a near-duplicate cluster lands on the same side. This
+    * is the split every eval pipeline actually needs: a plain per-doc
+    * hash split puts ~20% of each near-dup cluster's members in
+    * test while their twins train — memorization leaks straight into
+    * the eval metric. Canonical ids come from the q42 clustering
+    * ([[Dedup.minhashNearDups]] → [[Dedup.dedupClusters]]); documents
+    * in no cluster are their own representative, so their assignment
+    * is IDENTICAL to [[trainSplit]]'s — adopting the leakage-safe
+    * split only ever moves docs that were in leaky positions.
+    *
+    * Scale design (100 TB): the clustering is the banded-LSH +
+    * frontier-propagation machinery (never all-pairs, measured
+    * sublinear in pairs at 100×); the cluster map holds only docs
+    * that appear in some pair (a small fraction of the corpus), the
+    * join back is co-partitioned on doc_id, and the split decision
+    * itself stays a row-local projection. */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val canon = Dedup.dedupClusters(
+        Dedup.minhashNearDups(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("canonical_id"))
+    docs.select(col("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("bucket", splitBucketCol("canonical_id"))
+      .withColumn("split", splitFromBucket(col("bucket")))
+  }
+
+  /** DSIR-style importance selection: hashed feature buckets and the
+    * target-domain proxy. Bigram features are hashed into
+    * [[DsirBuckets]] buckets ([[Dedup.digest60]], the cross-engine
+    * digest); the "target" distribution is the fixture's stand-in for
+    * a high-quality domain. */
+  val DsirBuckets = 1024
+  val DsirTargetSource = "src18"
+  val DsirTopK = 100
+
+  /** Data selection by importance resampling (q91, after DSIR — Xie
+    * et al. 2023): score every document by how much more likely its
+    * hashed-bigram features are under a TARGET domain's feature
+    * distribution than under the full corpus's, and keep the top
+    * scorers. log w(d) = Σ_b n_db · [ln p̂_target(b) − ln p̂_corpus(b)]
+    * over hashed-bigram buckets b, with Laplace-smoothed bucket
+    * probabilities — the standard cheap proxy for "select pretraining
+    * data that looks like the high-quality target" (the target here
+    * is one fixture source; in production, a curated corpus).
+    *
+    * Scale design (100 TB): features never leave their row until
+    * they are bucket COUNTS — tokenize/bigram/bucket are row-local,
+    * and both aggregations (global per-bucket stats, per-doc bucket
+    * counts) are map-side-combinable with bounded key cardinality
+    * (≤ [[DsirBuckets]] global rows; ≤ DsirBuckets rows per doc
+    * through the exchange). The bucket-stats table is B rows —
+    * broadcast — and the final global top-k goes through the
+    * TopKPerGroup heaps, so no stage depends on corpus size except
+    * linearly through the one tokenize scan. */
+  def importanceWeights(docs: DataFrame, buckets: Int = DsirBuckets,
+      targetSource: String = DsirTargetSource,
+      topK: Int = DsirTopK): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        (Dedup.digest60(col("bg")) % buckets).as("b"))
+    val stats = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("s_n"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("t_n"))
+    val totals = stats.agg(sum(col("s_n")).as("s_tot"),
+      sum(col("t_n")).as("t_tot"))
+    // smoothed log-likelihood ratio per bucket: B rows, broadcast
+    val lr = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("t_n") + lit(1)).cast("double") /
+            (col("t_tot") + lit(buckets))) -
+          log((col("s_n") + lit(1)).cast("double") /
+            (col("s_tot") + lit(buckets)))).as("logratio"))
+    val perDoc = feats.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_features"),
+        sum(col("n") * col("logratio")).as("log_w"))
+    val extensionsActive = docs.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          perDoc.withColumn("g", lit(0)), Seq("g"),
+          Seq("log_w" -> false, "doc_id" -> true), topK).drop("g")
+      else perDoc
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("log_w").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= topK)
+    ranked.select(col("doc_id"), col("n_features"), col("log_w"),
+      col("rank"))
+  }
 }

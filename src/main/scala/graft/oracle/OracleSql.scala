@@ -1628,6 +1628,70 @@ FROM base b JOIN rbase r USING (doc_id)"""
     * (id*7 + 5x + 3y + 13c) % 256. The engine side round-trips the
     * raster through a real zlib+filtered PNG encode/decode; equality
     * with this direct recomputation proves the codec inverted it. */
+
+  /** Mirror of [[graft.operators.Sampling.leakageSafeSplit]] (q90):
+    * the q42 recursive-CTE clustering supplies canonical ids, docs in
+    * no pair are their own representative, and the split is q32's
+    * Knuth-hash assignment computed on the canonical id. */
+  def leakageSafeSplit: String = {
+    import graft.operators.Sampling._
+    val b = s"${mixedSql("canonical_id")} % 1000"
+    s"""WITH c AS (
+  SELECT doc_id, canonical_id FROM ($dedupClusters)
+), a AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, canonical_id,
+       $b AS bucket,
+       CASE WHEN $b < $TrainPerMille THEN 'train'
+            WHEN $b < $ValPerMille THEN 'validation'
+            ELSE 'test' END AS split
+FROM a"""
+  }
+
+  /** Mirror of [[graft.operators.Sampling.importanceWeights]] (q91):
+    * same whitespace bigrams, same 60-bit digest buckets, identical
+    * smoothed log-ratio expression tree (ln of a double division,
+    * target term minus corpus term), per-doc weight as Σ n·logratio,
+    * global rank tie-broken by doc_id. */
+  def importanceWeights: String = {
+    import graft.operators.Sampling._
+    s"""WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM d WHERE len(w) >= 2
+), f AS (
+  SELECT doc_id, source, ${digest60Sql("bg")} % $DsirBuckets AS b
+  FROM bg
+), st AS (
+  SELECT b, COUNT(*) AS s_n,
+         SUM(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END)
+           AS t_n
+  FROM f GROUP BY b
+), tot AS (
+  SELECT SUM(s_n) AS s_tot, SUM(t_n) AS t_tot FROM st
+), lr AS (
+  SELECT b,
+         ln(CAST(t_n + 1 AS DOUBLE) / (t_tot + $DsirBuckets)) -
+         ln(CAST(s_n + 1 AS DOUBLE) / (s_tot + $DsirBuckets)) AS logratio
+  FROM st, tot
+), db AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM f GROUP BY doc_id, b
+), wgt AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_features,
+         SUM(n * logratio) AS log_w
+  FROM db JOIN lr USING (b) GROUP BY doc_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY log_w DESC, doc_id ASC)
+    AS BIGINT) AS rank FROM wgt
+)
+SELECT doc_id, n_features, log_w, rank FROM r WHERE rank <= $DsirTopK"""
+  }
+
   def pngDecode: String =
     """WITH im AS (
   SELECT doc_id, 4 + doc_id % 7 AS w, 5 + doc_id % 6 AS h FROM documents

@@ -150,4 +150,50 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(sampleMean > corpusMean * 1.1,
       s"sample mean $sampleMean vs corpus $corpusMean")
   }
+
+  test("leakageSafeSplit: no near-dup cluster straddles a split " +
+      "boundary; singletons keep their trainSplit assignment") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.leakageSafeSplit(docs).cache()
+    assert(out.count() == docs.count())
+    // THE leakage property: one split per canonical cluster
+    val maxSplitsPerCluster = out.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(maxSplitsPerCluster == 1L)
+    // and there is a real multi-member cluster exercising it
+    assert(out.groupBy("canonical_id").count()
+      .filter(col("count") > 1).count() > 0)
+    // docs outside every cluster (canonical == self) are assigned
+    // exactly as the plain per-doc split — adopting the safe split
+    // only moves docs that were in leaky positions
+    val plain = Sampling.trainSplit(docs.select(col("doc_id")))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(col("canonical_id") === col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, s) => assert(plain(id) == s) }
+    out.unpersist()
+  }
+
+  test("importanceWeights selects the target domain: top-k " +
+      "overrepresents the target source vs its corpus share") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.importanceWeights(docs).cache()
+    assert(out.count() == Sampling.DsirTopK)
+    // ranks dense 1..k, weights descending along them
+    val byRank = out.collect().sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to Sampling.DsirTopK).toSeq)
+    val ws = byRank.map(_.getAs[Double]("log_w"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // selection quality: the target source's share of the selected
+    // set must clearly exceed its share of the corpus
+    val targetDocs = docs.filter(col("source") === Sampling.DsirTargetSource)
+    val corpusShare = targetDocs.count().toDouble / docs.count()
+    val selShare = out.join(targetDocs.select("doc_id"), "doc_id")
+      .count().toDouble / Sampling.DsirTopK
+    assert(selShare > 2 * corpusShare,
+      s"selected share $selShare vs corpus share $corpusShare")
+    out.unpersist()
+  }
 }
