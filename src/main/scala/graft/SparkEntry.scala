@@ -502,6 +502,30 @@ object SparkEntry {
     // top-k through the heaps.
     "q91_importance_weights" -> ((s, dir) =>
       operators.Sampling.importanceWeights(documents(s, dir))),
+    // The STREAMING-MAINTAINED LSH index graded end to end: the
+    // corpus arrives as three parquet files through a file stream
+    // (maxFilesPerTrigger=1 -> one micro-batch per arrival wave),
+    // StreamingLshIndex appends each batch's banded rows to the
+    // bucketed table, and the probe of the maintained table must
+    // hash-match the q10-family oracle — the daily-ingest serving
+    // path itself through the driver's gate, not just spec-pinned.
+    "q92_lsh_index_stream" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-lsh-q92").toString
+      // three deterministic arrival waves, one file each
+      (0 until 3).foreach { w =>
+        emb.filter(col("vec_id") % 3 === w).coalesce(1)
+          .write.mode("append").parquet(s"$wh/in")
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.sql("DROP TABLE IF EXISTS graft_lsh_idx_q92")
+      val q = streaming.StreamingLshIndex.maintain(stream,
+        "graft_lsh_idx_q92", s"$wh/idx", checkpoint = s"$wh/cp")
+      try q.processAllAvailable() finally q.stop()
+      Similarity.probeLshIndex(emb, "graft_lsh_idx_q92")
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -693,6 +717,9 @@ object SparkEntry {
     "q89_bm25_multi" -> OracleSql.bm25TopDocsMulti,
     "q90_leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "q91_importance_weights" -> OracleSql.importanceWeights,
+    // streaming-maintained index grades against the same ranking
+    // oracle as the batch-built one (parity is the whole point)
+    "q92_lsh_index_stream" -> OracleSql.annLsh,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,
