@@ -526,6 +526,11 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       Similarity.probeLshIndex(emb, "graft_lsh_idx_q92")
     }),
+    // SemDedup: IVF-cell clustering of the embedding space, then
+    // near-dup pairs WITHIN each cell only; keep the lowest vec_id
+    // of every duplicate relation.
+    "q93_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -720,6 +725,7 @@ object SparkEntry {
     // streaming-maintained index grades against the same ranking
     // oracle as the batch-built one (parity is the whole point)
     "q92_lsh_index_stream" -> OracleSql.annLsh,
+    "q93_semdedup" -> OracleSql.semDedup,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

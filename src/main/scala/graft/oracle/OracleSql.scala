@@ -630,19 +630,20 @@ SELECT i.query_id, COALESCE(d.dcg, 0.0) AS dcg, i.idcg,
 FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id"""
   }
 
-  /** Mirror of [[graft.operators.Similarity.ivfTopK]] — k-means
-    * (Lloyd) centroid training unrolled to [[Similarity.KMeansIters]]
-    * iteration CTEs, then nearest-cell assignment and NProbe query
-    * probing. Bit-exactness with the driver-side trainer
+  /** The k-means cell CTE chain shared by [[annIvf]] and
+    * [[semDedup]]: Lloyd training unrolled to
+    * [[Similarity.KMeansIters]] iteration CTEs over the deterministic
+    * sample, then nearest-cell corpus assignment (`corpus_cells`:
+    * vec_id → cell). Bit-exactness with the driver-side trainer
     * ([[Similarity.trainCentroids]]): dot products/norms are the same
     * sequential 0.0-seeded folds, cell means fold members in
     * ascending vec_id order (`list(v ORDER BY vec_id)`) and divide by
     * the count, assignment ties break to the lowest centroid id, and
     * an emptied cell keeps its previous centroid (LEFT JOIN +
     * NULL-guarded CASE). */
-  def annIvf: String = {
-    import graft.operators.Similarity.{KMeansIters, NProbe, NumCentroids, TrainSample}
-    import SimilarityParams.{Dim, TopK}
+  private def ivfCellCtes: String = {
+    import graft.operators.Similarity.{KMeansIters, NumCentroids, TrainSample}
+    import SimilarityParams.Dim
     val meanExpr =
       s"list_transform(range(1, ${Dim + 1}), i -> " +
         s"list_reduce(list_prepend(0.0, list_transform(g.vs, w -> w[i])), " +
@@ -684,7 +685,17 @@ FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id"""
   FROM n, cents
 ), corpus_cells AS (
   SELECT vec_id, centroid_id AS cell FROM corpus_assign WHERE c_rank = 1
-), query_assign AS (
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.ivfTopK]] — the shared
+    * [[ivfCellCtes]] cell chain, then NProbe query probing and exact
+    * cosine over the probed cells only. */
+  def annIvf: String = {
+    import graft.operators.Similarity.NProbe
+    import SimilarityParams.TopK
+    s"""$ivfCellCtes
+, query_assign AS (
   SELECT query_id, centroid_id,
          row_number() OVER (PARTITION BY query_id ORDER BY
            ${dotSql("qv", "cv")} / (qn * cnorm) DESC,
@@ -710,6 +721,30 @@ FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id"""
 )
 SELECT query_id, neighbor_id, rank, cosine FROM r
 WHERE rank <= $TopK"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.semDedup]] — the shared
+    * [[ivfCellCtes]] cell chain, within-cell lower-id pairwise
+    * cosine (identical dot/norm folds), MAX per victim (order-free
+    * over identical doubles), keep iff no lower-id cell-mate above
+    * the threshold. */
+  def semDedup: String = {
+    import graft.operators.Similarity.NearDupCosine
+    s"""$ivfCellCtes
+, wc AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cell
+  FROM n JOIN corpus_cells c USING (vec_id)
+), p AS (
+  SELECT b.vec_id AS vec_id,
+         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), m AS (
+  SELECT vec_id, MAX(cos) AS max_lower_cos FROM p GROUP BY vec_id
+)
+SELECT w.vec_id, w.cell,
+       COALESCE(m.max_lower_cos, -2.0) AS max_lower_cos,
+       COALESCE(m.max_lower_cos, -2.0) <= $NearDupCosine AS kept
+FROM wc w LEFT JOIN m USING (vec_id)"""
   }
 
   /** Mirror of [[graft.operators.Similarity.embeddingNearDups]] —

@@ -369,4 +369,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     val dot = arr.foldLeft(0.0)((a, x) => a + x * x)
     assert(math.abs(dot / (v.getDouble(1) * v.getDouble(1)) - 1.0) < 1e-12)
   }
+
+  test("semDedup: keep verdict matches a brute-force within-cell " +
+      "recheck; drops happen only inside cells, lowest id survives") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.semDedup(emb).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    val n = emb.count()
+    assert(out.size == n, "one verdict row per vector")
+    // independent recheck: collect (vec_id, v, norm), group by the
+    // operator's own cell assignment, brute-force pairwise cosine
+    val vecs = emb.select(col("vec_id"), col("v"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getSeq[Double](1).toArray,
+        r.getDouble(2)))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, na) = vecs(a); val (vb, nb) = vecs(b)
+      var d = 0.0; var i = 0
+      while (i < va.length) { d += va(i) * vb(i); i += 1 }
+      d / (na * nb)
+    }
+    val byCell = out.keys.groupBy(id => out(id)._1)
+    var drops = 0
+    byCell.values.foreach { members =>
+      val ids = members.toSeq.sorted
+      ids.foreach { id =>
+        val lower = ids.filter(_ < id)
+        val maxLower =
+          if (lower.isEmpty) -2.0 else lower.map(cos(_, id)).max
+        val (_, gotMax, gotKept) = out(id)
+        assert(math.abs(gotMax - maxLower) < 1e-12,
+          s"max_lower_cos for $id")
+        assert(gotKept == (maxLower <= Similarity.NearDupCosine),
+          s"kept verdict for $id")
+        if (!gotKept) drops += 1
+      }
+    }
+    // the fixture must actually exercise the drop path, and the
+    // lowest id of every cell always survives
+    assert(drops > 0, "fixture produced no semantic duplicates")
+    byCell.values.foreach(m => assert(out(m.min)._3, "lowest id kept"))
+  }
 }
