@@ -531,6 +531,10 @@ object SparkEntry {
     // of every duplicate relation.
     "q93_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Similarity.embeddings(s, dir))),
+    // Gopher/C4-style quality-filter funnel: row-local rule battery,
+    // first failing rule in fixed precedence as the reject reason.
+    "q94_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -726,6 +730,7 @@ object SparkEntry {
     // oracle as the batch-built one (parity is the whole point)
     "q92_lsh_index_stream" -> OracleSql.annLsh,
     "q93_semdedup" -> OracleSql.semDedup,
+    "q94_quality_filter" -> OracleSql.qualityFilter,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

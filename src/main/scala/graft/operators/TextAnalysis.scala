@@ -606,4 +606,57 @@ object TextAnalysis {
     ranked.select(col("query_id"), col("doc_id"), col("n_terms_hit"),
       col("score"), col("rank"))
   }
+
+  /** Quality-filter funnel thresholds (q94) — Gopher/C4-family rules
+    * scaled to the fixture's short synthetic documents (production
+    * corpora retune these; the RULES and their precedence are the
+    * operator). */
+  val MinTokens = 20
+  val MaxTokens = 2000
+  val MinAvgTokenLen = 3.0
+  val MaxAvgTokenLen = 10.0
+  val MaxSymbolRatio = 0.1
+  val MinStopwordRatio = 0.02
+  val MinDistinctRatio = 0.3
+
+  /** Gopher/C4-style quality-filter funnel (q94): the rule battery
+    * every pretraining corpus passes through before anything
+    * expensive touches it — token-count bounds, mean-token-length
+    * band, symbol-character ratio, minimum stopword density, and a
+    * repetition screen on the distinct-token ratio. One verdict row
+    * per document with the measured ratios, the keep flag, and the
+    * FIRST failing rule in fixed precedence (`reject_reason` =
+    * too_short → too_long → odd_token_len → symbolic → low_stopword
+    * → repetitive → none) — the reason distribution is what corpus
+    * curators actually monitor per snapshot.
+    *
+    * Scale design (100 TB): entirely row-local — one scan, every
+    * measure a codegen'd fold over the row's own tokens, no shuffle,
+    * no aggregation; composes into the funnel scan (q36) exactly like
+    * the other row-local gates. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), tokens.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (sumInts(transform(col("w"), t => length(t).cast("long")))
+          .cast("double") / size(col("w"))).as("avg_token_len"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          .cast("double") / length(col("text"))).as("symbol_ratio"),
+        (size(filter(col("w"), t => array_contains(arrLit(stopwords), t)))
+          .cast("double") / size(col("w"))).as("stopword_ratio"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("distinct_ratio"))
+    base
+      .withColumn("reject_reason",
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("n_tokens") > MaxTokens, "too_long")
+          .when(col("avg_token_len") < MinAvgTokenLen ||
+            col("avg_token_len") > MaxAvgTokenLen, "odd_token_len")
+          .when(col("symbol_ratio") > MaxSymbolRatio, "symbolic")
+          .when(col("stopword_ratio") < MinStopwordRatio, "low_stopword")
+          .when(col("distinct_ratio") < MinDistinctRatio, "repetitive")
+          .otherwise("none"))
+      .withColumn("kept", col("reject_reason") === "none")
+  }
 }

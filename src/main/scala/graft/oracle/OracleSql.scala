@@ -397,6 +397,43 @@ SELECT * EXCLUDE (distinct_ratio),
 FROM ratios"""
   }
 
+  /** Mirror of [[TextAnalysis.qualityFilter]] (q94): identical ratio
+    * expression trees to [[textStats]]'s, the same symbol-character
+    * regex (ASCII classes so Java and RE2 agree), and the same
+    * first-failing-rule CASE precedence. */
+  def qualityFilter: String = {
+    import TextAnalysis._
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    s"""WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(w, t -> CAST(length(t) AS BIGINT))),
+      (a, b) -> a + b) AS DOUBLE) / len(w) AS avg_token_len,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+      AS DOUBLE) / length(text) AS symbol_ratio,
+    CAST(len(list_filter(w, t -> list_contains($stops, t)))
+      AS DOUBLE) / len(w) AS stopword_ratio,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+  FROM d
+), v AS (
+  SELECT *,
+    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+         WHEN n_tokens > $MaxTokens THEN 'too_long'
+         WHEN avg_token_len < $MinAvgTokenLen
+           OR avg_token_len > $MaxAvgTokenLen THEN 'odd_token_len'
+         WHEN symbol_ratio > $MaxSymbolRatio THEN 'symbolic'
+         WHEN stopword_ratio < $MinStopwordRatio THEN 'low_stopword'
+         WHEN distinct_ratio < $MinDistinctRatio THEN 'repetitive'
+         ELSE 'none' END AS reject_reason
+  FROM base
+)
+SELECT *, reject_reason = 'none' AS kept FROM v"""
+  }
+
   /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
   def langId: String = {
     val scoreCols = TextAnalysis.langProfiles.map { case (code, words) =>

@@ -223,4 +223,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(got == exp && got.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("qualityFilter: each rule fires on a crafted doc, first " +
+      "failing rule wins the precedence, clean text passes") {
+    import TextAnalysis._
+    val clean = (("the quick brown fox jumps over the lazy dog and " *
+      3) + "runs far away home again today with this friend").trim
+    val docs = Seq(
+      1L -> clean,                                  // none
+      2L -> "too short by far",                     // too_short
+      3L -> Seq.fill(MaxTokens + 1)("the").mkString(" "), // too_long (precedence over repetitive)
+      4L -> Seq.fill(MinTokens)("it").mkString(" "),// odd_token_len (< 3; beats repetitive)
+      5L -> (clean + " " + "#!@%$^&*()#!@%$^&*()" * 3), // symbolic
+      6L -> Seq.tabulate(MinTokens)(i => s"word$i xylophone".split(" ")(i % 2))
+        .mkString(" "),                              // low_stopword
+      7L -> (("the cat " * 20).trim)                 // repetitive (has stopwords, dup tokens)
+    ).toDF("doc_id", "text")
+    val got = qualityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reject_reason"), r.getAs[Boolean]("kept")))
+      .toMap
+    assert(got(1L) == ("none", true), s"clean doc: ${got(1L)}")
+    assert(got(2L)._1 == "too_short")
+    assert(got(3L)._1 == "too_long")
+    assert(got(4L)._1 == "odd_token_len")
+    assert(got(5L)._1 == "symbolic")
+    assert(got(6L)._1 == "low_stopword")
+    assert(got(7L)._1 == "repetitive")
+    assert(got.filter(_._2._1 != "none").forall(!_._2._2))
+  }
 }
