@@ -535,6 +535,11 @@ object SparkEntry {
     // first failing rule in fixed precedence as the reject reason.
     "q94_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(documents(s, dir))),
+    // Cross-source overlap matrix: one union-MinHash signature per
+    // source, S^2 comparison on S*H rows — the corpus-level overlap
+    // profile that decides what to dedup against what.
+    "q95_source_overlap" -> ((s, dir) =>
+      operators.Dedup.sourceSimilarity(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -731,6 +736,7 @@ object SparkEntry {
     "q92_lsh_index_stream" -> OracleSql.annLsh,
     "q93_semdedup" -> OracleSql.semDedup,
     "q94_quality_filter" -> OracleSql.qualityFilter,
+    "q95_source_overlap" -> OracleSql.sourceSimilarity,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -699,6 +699,53 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** Cross-source overlap matrix by per-source MinHash signatures
+    * (q95): every source gets ONE [[NumHashes]]-wide signature —
+    * coordinate j is the min of permutation j over ALL shingle hashes
+    * in the source, i.e. the signature of the union set — and the
+    * pairwise Jaccard estimate is the fraction of agreeing
+    * coordinates. This is the corpus-level contamination/overlap
+    * profile ("which snapshots/dumps share content") that decides
+    * what to dedup against what BEFORE paying any doc-level pass.
+    *
+    * Scale design (100 TB): per-doc signatures are row-local codegen
+    * ([[signature]]); the per-source union-min is a map-side-
+    * combinable MIN over a key space of exactly sources ×
+    * [[NumHashes]] rows, so the corpus collapses to S·H rows before
+    * anything joins — the S²·H pair comparison is driver-trivial no
+    * matter the corpus size. Exact cross-source shingle intersection
+    * (the thing this estimates) would be a full-corpus
+    * shuffle-and-self-join; the estimate needs no second corpus
+    * touch. */
+  def sourceSimilarity(docs: DataFrame,
+      numHashes: Int = NumHashes): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    val w = split(col("text"), " ")
+    val sig = docs
+      .select(col("source"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"),
+        array_distinct(Bridge.column(
+          WordShingles(Bridge.expression(col("w")), 3))).as("shingles"))
+      .select(col("source"),
+        signature(array_distinct(digest60Array(col("shingles")))).as("m"))
+    val sm = sig
+      .select(col("source"), posexplode(col("m")).as(Seq("j", "v")))
+      .groupBy(col("source"), col("j"))
+      .agg(min(col("v")).as("mv"))
+    val a = sm.select(col("j"), col("source").as("source_a"),
+      col("mv").as("va"))
+    val b = sm.select(col("j"), col("source").as("source_b"),
+      col("mv").as("vb"))
+    a.join(b, Seq("j"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        (col("n_agree").cast("double") / numHashes).as("jaccard_est"))
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

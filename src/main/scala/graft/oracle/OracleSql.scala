@@ -277,6 +277,45 @@ WHERE doc_b >= ${graft.operators.Dedup.IncrementalFrom}"""
   /** Mirror of [[graft.operators.Dedup.ngramNearDups]] (q18). */
   def dedupNgram: String = minhashPipeline(ngramCtes)
 
+  /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
+    * same shingle digests and permutation constants; the per-source
+    * MIN over per-doc signature coordinates equals the union-set min
+    * (MIN is associative), pair agreement summed per coordinate. */
+  def sourceSimilarity: String = {
+    val sigCols = Dedup.perms.map { case (a, b) =>
+      s"list_min(list_transform(hashes, x -> ($a * (x % ${Dedup.P}) + $b) % ${Dedup.P}))"
+    }.mkString("[", ",\n           ", "]")
+    s"""WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM d WHERE len(w) >= 3
+), h AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(shingles,
+           x -> ${digest60Sql("x")})) AS hashes
+  FROM s
+), sig AS (
+  SELECT doc_id, source, $sigCols AS m FROM h
+), e AS (
+  SELECT source, j, m[j + 1] AS v
+  FROM sig, (SELECT unnest(range(${Dedup.NumHashes})) AS j)
+), sm AS (
+  SELECT source, j, MIN(v) AS mv FROM e GROUP BY source, j
+), pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM sm a JOIN sm b ON a.j = b.j AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_agree,
+       CAST(n_agree AS DOUBLE) / ${Dedup.NumHashes} AS jaccard_est
+FROM pair"""
+  }
+
   /** Shared LSH mirror over any CTE chain ending in
     * `h(doc_id, hashes)`. */
   private def minhashPipeline(ctes: String): String = {

@@ -231,4 +231,31 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(live <= 4,
       s"$live rdd-* checkpoint dirs survive — superseded rounds not released")
   }
+
+  test("sourceSimilarity: identical sources agree on every " +
+      "coordinate, disjoint-vocab sources on none") {
+    import spark.implicits._
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve"
+    val docs = Seq(
+      (1L, same, "srcA"), (2L, same, "srcB"),   // identical content
+      (3L, other, "srcC")                       // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceSimilarity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("srcA", "srcB")) == (Dedup.NumHashes.toLong, 1.0))
+    assert(got(("srcA", "srcC"))._1 == 0L)
+    assert(got(("srcB", "srcC"))._2 == 0.0)
+    // fixture sanity: all S*(S-1)/2 pairs present, estimates in [0,1]
+    val fix = Dedup.sourceSimilarity(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .collect()
+    val s = fix.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.length
+    assert(fix.length == s * (s - 1) / 2)
+    assert(fix.forall { r =>
+      val j = r.getDouble(3); j >= 0.0 && j <= 1.0
+    })
+  }
 }
