@@ -540,6 +540,10 @@ object SparkEntry {
     // profile that decides what to dedup against what.
     "q95_source_overlap" -> ((s, dir) =>
       operators.Dedup.sourceSimilarity(documents(s, dir))),
+    // Matryoshka two-stage retrieval: coarse rank on the truncated
+    // dimension prefix, exact full-dim re-rank of the bounded pool.
+    "q96_mrl_rerank" -> ((s, dir) =>
+      Similarity.mrlRerankTopK(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -737,6 +741,7 @@ object SparkEntry {
     "q93_semdedup" -> OracleSql.semDedup,
     "q94_quality_filter" -> OracleSql.qualityFilter,
     "q95_source_overlap" -> OracleSql.sourceSimilarity,
+    "q96_mrl_rerank" -> OracleSql.mrlRerank,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

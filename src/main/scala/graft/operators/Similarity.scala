@@ -413,6 +413,59 @@ object Similarity {
           .as("kept"))
   }
 
+  /** Matryoshka (MRL) two-stage retrieval knobs: coarse-rank on the
+    * first [[TruncDim]] of the [[SimilarityParams.Dim]] dimensions,
+    * then exact full-dim re-rank of the per-query top [[MrlPoolK]]
+    * pool. */
+  val TruncDim = 16
+  val MrlPoolK = 40
+
+  /** Matryoshka-style two-stage retrieval (q96, after Kusupati et
+    * al. 2022): MRL-trained embeddings keep most of their signal in
+    * a prefix of the dimensions, so serving ranks the corpus on the
+    * TRUNCATED prefix first — [[TruncDim]]/[[SimilarityParams.Dim]]
+    * of the multiply-adds and broadcast bytes — and pays full-dim
+    * exact cosine only for the per-query top-[[MrlPoolK]] pool. The
+    * final ranking re-orders by full-dim cosine, so stage 1 only
+    * decides MEMBERSHIP of the pool, exactly like the LSH/IVF
+    * candidate generators.
+    *
+    * Scale design (100 TB): the corpus-sized work (stage 1) touches
+    * dims/Dim of each vector's bytes — column-pruned at the scan
+    * when the store keeps a truncated copy — and stage 2 is
+    * poolK·|Q| rows through the candidate re-join, the same bounded
+    * shape as [[probeLshIndex]]. Both stages rank through the
+    * TopKPerGroup partial heaps. */
+  def mrlRerankTopK(emb0: DataFrame, dims: Int = TruncDim,
+      poolK: Int = MrlPoolK,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val full = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trunc = full.select(col("vec_id"),
+        slice(col("v"), 1, dims).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val scored = broadcast(queries(trunc, numQueries)).crossJoin(trunc)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val extensionsActive = scored.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val pool =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(scored, Seq("query_id"),
+          Seq("cosine" -> false, "vec_id" -> true), poolK)
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= poolK)
+    topK(pool.select(col("query_id"), col("vec_id"))
+      .join(queries(full, numQueries), "query_id")
+      .join(full, "vec_id")
+      .withColumn("cosine", cosine))
+  }
+
   /** Symmetric int8 scalar quantization of the embedding corpus
     * (q73): per vector, scale = max|v|/127 and qᵢ = round(vᵢ/scale) ∈
     * [−127, 127] — the storage/bandwidth compression step every

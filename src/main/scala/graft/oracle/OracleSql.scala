@@ -823,6 +823,56 @@ SELECT w.vec_id, w.cell,
 FROM wc w LEFT JOIN m USING (vec_id)"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.mrlRerankTopK]] (q96):
+    * the truncated-prefix norm/dot use the same sequential folds over
+    * the sliced list, stage-1 pool membership by (ct DESC, vec_id
+    * ASC) row_number, stage-2 full-dim cosine re-rank. */
+  def mrlRerank: String = {
+    import SimilarityParams.{NumQueryVectors, TopK}
+    import graft.operators.Similarity.{MrlPoolK, TruncDim}
+    val dotT = fsumSql(s"list_transform(range(1, ${TruncDim + 1}), " +
+      "i -> qvt[i] * vt[i])")
+    val dotF = dotSql("qv", "v")
+    s"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n0 AS (
+  SELECT vec_id, v,
+         sqrt(${fsumSql("list_transform(v, x -> x * x)")}) AS nrm,
+         v[1:$TruncDim] AS vt
+  FROM e
+), n2 AS (
+  SELECT vec_id, v, nrm, vt,
+         sqrt(${fsumSql("list_transform(vt, x -> x * x)")}) AS nt
+  FROM n0
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
+  FROM n2 WHERE vec_id < $NumQueryVectors
+), pt AS (
+  SELECT query_id, vec_id, $dotT / (qnt * nt) AS ct
+  FROM q, n2 WHERE vec_id <> query_id
+), pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ct DESC, vec_id ASC) AS pr
+    FROM pt) WHERE pr <= $MrlPoolK
+), pf AS (
+  SELECT p.query_id, p.vec_id, $dotF / (qn * nrm) AS cosine
+  FROM pool p
+  JOIN q ON p.query_id = q.query_id
+  JOIN n2 ON p.vec_id = n2.vec_id
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM pf
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.embeddingNearDups]] —
     * the wider near-dup banding (DedupNumBands × DedupBitsPerBand). */
   def embedNearDups: String = {

@@ -411,4 +411,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     assert(drops > 0, "fixture produced no semantic duplicates")
     byCell.values.foreach(m => assert(out(m.min)._3, "lowest id kept"))
   }
+
+  test("MRL two-stage rerank: high recall vs full brute force at a " +
+      "quarter of the stage-1 dims; final cosines are full-dim") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val run = Similarity.mrlRerankTopK(emb)
+    val ideal = Similarity.bruteForceTopK(emb)
+    val recall = Similarity.retrievalMetrics(run, ideal)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    // this fixture's embeddings are near-random (true top-10 at
+    // cosine ≈ 0.3 — see the LSH recall spec), so a 16-of-64-dim
+    // prefix keeps partial signal: measured 0.46 here vs 0.02
+    // expected of a random 40-pool (40/499 ≈ 0.08 per hit). MRL-
+    // trained embeddings concentrate signal in the prefix; the
+    // operator's contract is the two-stage shape, not the fixture's
+    // recall.
+    assert(recall >= 0.4, s"mean recall $recall")
+    assert(recall < 1.0 + 1e-9)
+    // re-ranked cosines are the FULL-dim values: every (q, n) pair
+    // that also appears in the ideal ranking carries the same cosine
+    val full = ideal.select(col("query_id"), col("neighbor_id"),
+      col("cosine").as("c2"))
+    val joined = run.join(full, Seq("query_id", "neighbor_id"))
+      .select(col("cosine"), col("c2")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getDouble(0) == r.getDouble(1), "not full-dim cosine"))
+    // truncation is lossy on this fixture: stage-1 membership differs
+    // from the ideal somewhere (otherwise the test proves nothing)
+    assert(recall < 1.0, "fixture too easy — truncation lost nothing?")
+  }
 }
