@@ -358,9 +358,20 @@ object ScaleProbe {
       val copies = spark.range(factor).select(col("id").as("copy"))
       val docs = docs0.crossJoin(copies)
         .select((col("doc_id") * factor + col("copy")).as("doc_id"),
-          concat(col("text"), lit(" copysalt"), col("copy")).as("text"))
+          concat(col("text"), lit(" copysalt"), col("copy")).as("text"),
+          col("source"))
         .persist()
       docs.count()
+      // row-local rule battery: must be exactly one scan, no shuffle
+      time(factor, "quality_filter")(
+        graft.operators.TextAnalysis.qualityFilter(docs))
+      // bounded-cardinality DSIR selection: two map-side-combined
+      // aggregations (≤ B global rows, ≤ B rows per doc) + broadcast
+      time(factor, "dsir")(
+        graft.operators.Sampling.importanceWeights(docs))
+      // per-source union-MinHash: the corpus collapses to S·H rows
+      // before any join — the curve must be one linear scan
+      time(factor, "source_overlap")(Dedup.sourceSimilarity(docs))
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
       // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
@@ -412,6 +423,33 @@ object ScaleProbe {
       }
       docs.unpersist()
       spark.catalog.clearCache() // residual operator internals
+      // SemDedup with cells scaled to the corpus (the paper's regime
+      // and the operator's documented 100 TB knob): per-cell
+      // membership stays ~constant, so the within-cell pairwise term
+      // stays linear in the corpus. The driver-side Lloyd train grows
+      // with the sample (8·factor cells, 256·factor sample) — the
+      // documented bounded-collect caveat, swapped for distributed
+      // minibatch k-means in production.
+      if (wanted("semdedup")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        time(factor, "semdedup")(Similarity.semDedup(emb,
+          numCentroids = 8 * factor, trainSample = 256 * factor))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // MRL two-stage: stage 1 touches dims/Dim of each vector's
+      // bytes, stage 2 is poolK·|Q| bounded re-rank — the curve must
+      // stay linear with no bend from the re-rank join (at fixture
+      // dims the scan is overhead-bound; the flop/byte saving is
+      // structural, 16 of 64 dims)
+      if (wanted("mrl")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        time(factor, "mrl")(Similarity.mrlRerankTopK(emb))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       val li = li0.crossJoin(copies).select(
         graft.operators.Profiling.ProfileCols.map(col): _*)
       time(factor, "profile_exact")(

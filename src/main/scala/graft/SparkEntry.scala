@@ -544,6 +544,10 @@ object SparkEntry {
     // dimension prefix, exact full-dim re-rank of the bounded pool.
     "q96_mrl_rerank" -> ((s, dir) =>
       Similarity.mrlRerankTopK(Similarity.embeddings(s, dir))),
+    // CCNet-style perplexity filter: cross-entropy under a bigram LM
+    // trained on the target domain, LM tables broadcast.
+    "q97_target_lm_score" -> ((s, dir) =>
+      TextAnalysis.targetLmScore(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -742,6 +746,7 @@ object SparkEntry {
     "q94_quality_filter" -> OracleSql.qualityFilter,
     "q95_source_overlap" -> OracleSql.sourceSimilarity,
     "q96_mrl_rerank" -> OracleSql.mrlRerank,
+    "q97_target_lm_score" -> OracleSql.targetLmScore,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

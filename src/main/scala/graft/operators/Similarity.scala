@@ -252,10 +252,10 @@ object Similarity {
     * an emptied cell keeps its previous centroid. */
   private[operators] def trainCentroids(
       sample: IndexedSeq[(IndexedSeq[Double], Double)],
-      iters: Int): Array[Array[Double]] = {
-    // a tiny corpus yields fewer than NumCentroids centroids — degrade
+      iters: Int, numCentroids: Int = NumCentroids): Array[Array[Double]] = {
+    // a tiny corpus yields fewer than numCentroids centroids — degrade
     // gracefully like the sampled bootstrap did, don't index past k
-    val k = math.min(NumCentroids, sample.size)
+    val k = math.min(numCentroids, sample.size)
     var cents = sample.take(k).map(_._1.toArray).toArray
     for (_ <- 0 until iters) {
       val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
@@ -293,14 +293,15 @@ object Similarity {
   /** The IVF codebook: Lloyd-trained centroids from a driver-sized
     * sample, baked into the assignment expression as (flattened
     * centroid matrix, norms, cell ids 0..NumCentroids−1). */
-  private def codebook(emb: DataFrame,
-      iters: Int): (Seq[Double], Seq[Double], Seq[Int]) = {
-    val sample = emb.filter(col("vec_id") < TrainSample)
+  private def codebook(emb: DataFrame, iters: Int,
+      numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample): (Seq[Double], Seq[Double], Seq[Int]) = {
+    val sample = emb.filter(col("vec_id") < trainSample)
       .select(col("vec_id"), col("v"), col("norm"))
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
       .toIndexedSeq
-    val cents = trainCentroids(sample, iters)
+    val cents = trainCentroids(sample, iters, numCentroids)
     val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, cents.indices)
   }
@@ -385,10 +386,12 @@ object Similarity {
     * is the codegen'd row-local [[org.apache.spark.sql.graft.NearestCentroids]]
     * expression — the corpus never moves to meet the codebook. */
   def semDedup(emb0: DataFrame, threshold: Double = NearDupCosine,
-      iters: Int = KMeansIters): DataFrame = {
+      iters: Int = KMeansIters, numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample): DataFrame = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, cnorms, ids) = codebook(emb, iters)
+    val (cents, cnorms, ids) = codebook(emb, iters, numCentroids,
+      trainSample)
     if (ids.isEmpty)
       return emb.select(col("vec_id"), lit(0L).as("cell"),
         lit(-2.0).as("max_lower_cos"), lit(true).as("kept"))

@@ -659,4 +659,67 @@ object TextAnalysis {
           .otherwise("none"))
       .withColumn("kept", col("reject_reason") === "none")
   }
+
+  /** Target-LM scoring knobs (q97): the bigram model trains on this
+    * fixture source (in production: a curated high-quality corpus),
+    * interpolating bigram MLE with a Laplace-smoothed unigram
+    * fallback at weight [[LmLambda]]. */
+  val TargetLmSource = "src18"
+  val LmLambda = 0.7
+
+  /** CCNet-style perplexity filtering (q97): score every document by
+    * its cross-entropy under a bigram LM trained on a TARGET domain —
+    * p(w2|w1) = λ·c2(w1,w2)/c1(w1) + (1−λ)·(c1(w2)+1)/(N+V+1), the
+    * interpolated MLE-plus-smoothed-unigram model — and emit per-doc
+    * (n_bigrams, cross_entropy, ppl). Low perplexity ⇒ looks like
+    * the target; the continuous sibling of [[graft.operators.Sampling.importanceWeights]]'s
+    * thresholded selection, and the classifier-free quality signal
+    * most pretraining pipelines run at ingest.
+    *
+    * Scale design (100 TB): the LM tables are bounded by the TARGET
+    * domain (vocab + its bigrams), broadcast to every executor — the
+    * corpus-sized side tokenizes row-locally, reduces to per-doc
+    * bigram counts (map-side combine, per-doc bounded keys), joins
+    * the broadcast tables without moving, and aggregates once per
+    * doc. No stage shuffles the raw token stream. */
+  def targetLmScore(docs: DataFrame,
+      targetSource: String = TargetLmSource,
+      lambda: Double = LmLambda): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), tokens.as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = base.select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c1 = base.filter(col("source") === targetSource)
+      .select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.filter(col("source") === targetSource)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val stats = c1.agg(sum(col("c1")).as("n_tok"),
+      count(lit(1)).as("v"))
+    val db = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val joined = db
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1.select(col("t").as("w1"), col("c1").as("c1w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(c1.select(col("t").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+    val pBg = when(col("c1w1").isNotNull && col("c2").isNotNull,
+      col("c2").cast("double") / col("c1w1")).otherwise(lit(0.0))
+    val pUni = (coalesce(col("c1w2"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_tok") + col("v") + lit(1L))
+    joined
+      .select(col("doc_id"), col("n"),
+        log(lit(lambda) * pBg + lit(1 - lambda) * pUni).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        (-sum(col("n") * col("logp")) / sum(col("n")))
+          .as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
 }

@@ -473,6 +473,54 @@ FROM ratios"""
 SELECT *, reject_reason = 'none' AS kept FROM v"""
   }
 
+  /** Mirror of [[TextAnalysis.targetLmScore]] (q97): same bigram
+    * construction, identical interpolated-probability expression tree
+    * (the 1−λ weight is interpolated from the SAME Scala double, so
+    * both engines multiply by the identical constant), Σ n·ln p per
+    * doc. */
+  def targetLmScore: String = {
+    import TextAnalysis.{LmLambda, TargetLmSource}
+    val oneMinus = 1 - LmLambda // the exact double Spark multiplies by
+    s"""WITH d0 AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), d AS (
+  SELECT * FROM d0 WHERE len(w) >= 2
+), bg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)),
+           i -> {'w1': w[i], 'w2': w[i + 1]})) AS b
+  FROM d
+), bg AS (
+  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0
+), tc1 AS (
+  SELECT t, COUNT(*) AS c1 FROM (
+    SELECT unnest(w) AS t FROM d WHERE source = '$TargetLmSource')
+  GROUP BY t
+), tc2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg
+  WHERE source = '$TargetLmSource' GROUP BY w1, w2
+), st AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM tc1
+), j AS (
+  SELECT db.doc_id, db.n,
+         ln($LmLambda * (CASE WHEN a.c1 IS NOT NULL AND c.c2 IS NOT NULL
+               THEN CAST(c.c2 AS DOUBLE) / a.c1 ELSE 0.0 END)
+            + $oneMinus * (CAST(COALESCE(b.c1, 0) + 1 AS DOUBLE) /
+                (st.n_tok + st.v + 1))) AS logp
+  FROM (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg
+        GROUP BY doc_id, w1, w2) db
+  LEFT JOIN tc2 c ON db.w1 = c.w1 AND db.w2 = c.w2
+  LEFT JOIN tc1 a ON db.w1 = a.t
+  LEFT JOIN tc1 b ON db.w2 = b.t, st
+)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       -SUM(n * logp) / SUM(n) AS cross_entropy,
+       exp(-SUM(n * logp) / SUM(n)) AS ppl
+FROM j GROUP BY doc_id"""
+  }
+
   /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
   def langId: String = {
     val scoreCols = TextAnalysis.langProfiles.map { case (code, words) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSessionSpec
-import org.apache.spark.sql.functions.{col, explode, length, split}
+import org.apache.spark.sql.functions.{col, explode, length, size, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
@@ -251,5 +251,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(got(6L)._1 == "low_stopword")
     assert(got(7L)._1 == "repetitive")
     assert(got.filter(_._2._1 != "none").forall(!_._2._2))
+  }
+
+  test("targetLmScore: target-domain docs score lower cross-entropy " +
+      "than the rest; n_bigrams and ppl are consistent") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.targetLmScore(docs).cache()
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    // structural pins: n_bigrams = tokens - 1; ppl = exp(ce)
+    val nTok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == nTok(r.getAs[Long]("doc_id")) - 1)
+      assert(math.abs(r.getAs[Double]("ppl") -
+        math.exp(r.getAs[Double]("cross_entropy"))) < 1e-9)
+    }
+    // the whole point: the target domain looks like itself — its
+    // mean cross-entropy sits clearly below the other sources'
+    val tgt = docs.filter(col("source") === TextAnalysis.TargetLmSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (t, o) = rows.partition(r => tgt(r.getAs[Long]("doc_id")))
+    assert(t.nonEmpty && o.nonEmpty)
+    def mean(xs: Array[org.apache.spark.sql.Row]): Double =
+      xs.map(_.getAs[Double]("cross_entropy")).sum / xs.length
+    assert(mean(t) < mean(o) - 0.1,
+      s"target ${mean(t)} vs others ${mean(o)}")
+    out.unpersist()
   }
 }
