@@ -143,11 +143,11 @@ object ScaleProbe {
     // event operators with 10x the user series (user ids re-keyed;
     // per-user span unchanged, so state/grid scale with user count)
     locally {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = graft.operators.EventsQueries
+        .withTsMs(spark.read.parquet(s"$sfDir/events.parquet"))
         .crossJoin(copies)
         .select((col("user_id") * factor + col("copy")).as("user_id"),
-          col("event_type"),
-          expr("ts DIV 1000000").as("ts_ms"), col("value"))
+          col("event_type"), col("ts_ms"), col("value"))
         .persist()
       ev.count()
       // time()'s clearCache drops ev too — re-warm it before each

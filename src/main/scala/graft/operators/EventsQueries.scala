@@ -11,28 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object EventsQueries {
 
-  /** events.parquet with `ts` (TIMESTAMP(NANOS) on disk) exposed as
-    * both nano-long and ms-precision timestamp. Scan prunes to the
-    * referenced columns only.
+  /** events.parquet with `ts` exposed as both ms-epoch long and
+    * ms-precision timestamp, whatever the on-disk representation:
+    * TIMESTAMP(MICROS/MILLIS) reads as a timestamp type, and a
+    * TIMESTAMP(NANOS) file read under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` arrives as a LONG of
+    * nanoseconds (the driver has shipped both across rounds — the
+    * loader adapts instead of pinning one generation's layout). Scan
+    * prunes to the referenced columns only.
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session (every graft entry point — Verify/Bench/Explain/
-    * StreamBench/specs — sets it at build). Asserted rather than
-    * silently set here: a hidden setter would mask a misconfigured
-    * caller whose OTHER nanos reads break. The one deliberate
-    * runtime setter lives in [[graft.sources.SyntheticTrips
-    * .fromEvents]], the seam the driver smoke-checks with a session
-    * we don't build. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        .toBoolean,
-      "events.parquet stores ts as TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the session builder")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    * The DuckDB oracle side is representation-stable by the same
+    * token: `epoch_ns(ts)` yields identical nanos for every variant.
+    * Sessions pin timeZone=UTC, so the NTZ→epoch cast below matches
+    * the oracle's naive-as-UTC reading. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    withTsMs(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** Adds ts_ms (epoch millis, LONG) + event_time (ms-precision
+    * timestamp) to a frame whose `ts` is either a nanos LONG or a
+    * timestamp type — shared by [[events]] and the scale probes. */
+  def withTsMs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val tsMs = raw.schema("ts").dataType match {
       // integer DIV, not `/`: nano values (~1.7e18) lose precision in
       // a double division
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      case LongType => expr("ts DIV 1000000")
+      case _ => unix_millis(col("ts").cast(TimestampType))
+    }
+    raw
+      .withColumn("ts_ms", tsMs)
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 

@@ -180,10 +180,12 @@ HAVING COUNT(*) > 1"""
   }
 
   /** Mirror of [[graft.operators.EventsQueries.hourlyTypeStats]]:
-    * 1-hour tumbling windows on the native events table. DuckDB reads
-    * `ts` as TIMESTAMP_NS; epoch_ns // 1e6 matches Spark's
-    * `ts DIV 1000000` on the nanosAsLong long. AVG is written as
-    * SUM/COUNT to mirror Spark's Average (sum ÷ count at finish). */
+    * 1-hour tumbling windows on the native events table. DuckDB's
+    * `epoch_ns(ts) // 1e6` matches Spark's ts_ms for every on-disk
+    * timestamp representation the driver has shipped (nanos-as-long
+    * and TIMESTAMP(MICROS) — see [[graft.operators.EventsQueries
+    * .withTsMs]]). AVG is written as SUM/COUNT to mirror Spark's
+    * Average (sum ÷ count at finish). */
   def eventsHourlyTypeStats: String =
     """WITH e AS (
   SELECT event_type, value,
