@@ -548,6 +548,11 @@ object SparkEntry {
     // trained on the target domain, LM tables broadcast.
     "q97_target_lm_score" -> ((s, dir) =>
       TextAnalysis.targetLmScore(documents(s, dir))),
+    // Containment dedup: the asymmetric subset-duplication detector —
+    // bounded-bucket candidates on the shingle inverted index, exact
+    // |A∩B|/min(|A|,|B|) verify on the full hash sets.
+    "q98_containment" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -747,6 +752,7 @@ object SparkEntry {
     "q95_source_overlap" -> OracleSql.sourceSimilarity,
     "q96_mrl_rerank" -> OracleSql.mrlRerank,
     "q97_target_lm_score" -> OracleSql.targetLmScore,
+    "q98_containment" -> OracleSql.containmentDedup,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -320,6 +320,56 @@ object Dedup {
       graft.util.CacheHandle(fp))
   }
 
+  /** Bucket-size cap for containment candidate generation: a shingle
+    * shared by more documents than this is boilerplate and generates
+    * no candidates (a true subset pair shares MANY rare shingles, so
+    * recall is unaffected; the cap is what bounds pair fan-out per
+    * bucket at corpus scale). */
+  val ContainMaxBucket = 32
+
+  /** Final containment cut applied to the exact intersection on the
+    * full shingle-hash sets. */
+  val ContainmentThreshold = 0.8
+
+  /** Containment near-dup pairs (q98) — the ASYMMETRIC member of the
+    * dedup family: C(A, B) = |A ∩ B| / min(|A|, |B|), which flags a
+    * short document embedded verbatim inside a much longer one.
+    * Jaccard dilutes that case below any usable threshold (a 100-line
+    * doc inside a 10,000-line doc has J ≈ 0.01 but containment 1.0),
+    * and MinHash estimates Jaccard — so the quote/boilerplate/
+    * subset-duplication class needs this operator, not q5.
+    *
+    * Scale design: same single-shuffle bounded-bucket candidate
+    * generation as winnowing ([[boundedBucketPairs]] on the shingle
+    * inverted index, bucket cap [[ContainMaxBucket]]) — never
+    * all-pairs, bucket fan-out bounded by construction; the exact
+    * verify joins the (small) candidate set back to the persisted
+    * hash sets. The raw text never shuffles. */
+  def containmentPairs(docs: DataFrame): DataFrame =
+    containmentPairsWithHandle(docs)._1
+
+  /** [[containmentPairs]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted shingle-hash corpus. */
+  def containmentPairsWithHandle(
+      docs: DataFrame): (DataFrame, graft.util.CacheHandle) = {
+    val hashed = shingleHashes(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = hashed.select(col("doc_id"), explode(col("hashes")).as("sh"))
+    val cand = boundedBucketPairs(ex, "sh", ContainMaxBucket)
+    val sa = hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha"))
+    val sb = hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb"))
+    val out = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ha")).cast("long").as("n_a"),
+        size(col("hb")).cast("long").as("n_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long")
+          .as("n_shared"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentThreshold)
+    (out, graft.util.CacheHandle(hashed))
+  }
+
   /** Incremental near-dup detection — the daily-ingest shape: given
     * an append-only corpus where doc_id ≥ `newFromId` is the newly
     * arrived batch, emit every near-dup pair INVOLVING a new document

@@ -279,6 +279,34 @@ WHERE doc_b >= ${graft.operators.Dedup.IncrementalFrom}"""
   /** Mirror of [[graft.operators.Dedup.ngramNearDups]] (q18). */
   def dedupNgram: String = minhashPipeline(ngramCtes)
 
+  /** Mirror of [[graft.operators.Dedup.containmentPairs]] (q98):
+    * same shingle digests, same bounded-bucket candidate rule
+    * (shared shingle with doc frequency in [2, ContainMaxBucket]),
+    * exact intersection on the full hash sets, C = |A∩B|/min. */
+  def containmentDedup: String = {
+    val cap = Dedup.ContainMaxBucket
+    val thr = Dedup.ContainmentThreshold
+    s"""$shingleCtes, ex AS (
+  SELECT doc_id, unnest(hashes) AS sh FROM h
+), bkt AS (
+  SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND $cap
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN bkt USING (sh)
+  JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), c AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(sa.hashes) AS BIGINT) AS n_a,
+         CAST(len(sb.hashes) AS BIGINT) AS n_b,
+         CAST(len(list_intersect(sa.hashes, sb.hashes)) AS BIGINT)
+           AS n_shared
+  FROM cand JOIN h sa ON cand.doc_a = sa.doc_id
+            JOIN h sb ON cand.doc_b = sb.doc_id
+)
+SELECT *, CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) AS containment
+FROM c WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= $thr"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
     * same shingle digests and permutation constants; the per-source
     * MIN over per-doc signature coordinates equals the union-set min

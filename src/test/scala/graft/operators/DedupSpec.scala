@@ -39,6 +39,34 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(recall >= 0.9)
   }
 
+  test("containment flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 30 distinct-shingle words; doc 2 = doc 1 verbatim plus
+    // ~10x more unique text -> Jaccard ~0.09, containment 1.0
+    val short_ = (0 until 30).map(i => s"w$i").mkString(" ")
+    val long_ = short_ + " " + (0 until 300).map(i => s"x$i").mkString(" ")
+    val two = Seq((1L, short_), (2L, long_)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(two).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the pair is invisible to the Jaccard families at their cut
+    val jac = r.getAs[Long]("n_shared").toDouble /
+      (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - r.getAs[Long]("n_shared"))
+    assert(jac < Dedup.JaccardThreshold)
+  }
+
+  test("containment pairs on the fixture are found and exactly scored") {
+    val out = Dedup.containmentPairs(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("containment") >= Dedup.ContainmentThreshold)
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+  }
+
   test("signature arithmetic: minhash of identical docs is identical") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
