@@ -553,6 +553,12 @@ object SparkEntry {
     // |A∩B|/min(|A|,|B|) verify on the full hash sets.
     "q98_containment" -> ((s, dir) =>
       operators.Dedup.containmentPairs(documents(s, dir))),
+    // PageRank over the symmetric customer↔supplier co-purchase
+    // graph: 3 synchronous iterations, edge frame shuffled once and
+    // reused; the crawl-centrality quality-weighting operator.
+    "q99_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(lineitem(s, dir),
+        s.read.parquet(s"$dir/orders.parquet"))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -753,6 +759,7 @@ object SparkEntry {
     "q96_mrl_rerank" -> OracleSql.mrlRerank,
     "q97_target_lm_score" -> OracleSql.targetLmScore,
     "q98_containment" -> OracleSql.containmentDedup,
+    "q99_pagerank" -> OracleSql.pageRank,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

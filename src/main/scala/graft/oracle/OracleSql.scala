@@ -307,6 +307,43 @@ SELECT *, CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) AS containment
 FROM c WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= $thr"""
   }
 
+  /** Mirror of [[graft.operators.Graph.pageRank]] (q99): identical
+    * edge construction (distinct co-purchase pairs, symmetric,
+    * custkey·2 / suppkey·2+1 node encoding), the same
+    * [[graft.operators.Graph.PageRankIters]] unrolled iterations of
+    * rₖ₊₁(v) = (1−d)/N + d·Σ rₖ(u)/deg(u), with the (1−d) complement
+    * interpolated from the SAME Scala double Spark multiplies by. */
+  def pageRank: String = {
+    import graft.operators.Graph.{Damping, OneMinusDamping, PageRankIters}
+    def iterCte(k: Int): String =
+      s"""r${k + 1} AS (
+  SELECT e.dst AS node,
+         $OneMinusDamping / n.n + $Damping * SUM(r$k.rank / dg.deg) AS rank
+  FROM edges e
+  JOIN r$k ON e.src = r$k.node
+  JOIN deg dg ON e.src = dg.src, n
+  GROUP BY e.dst, n.n
+)"""
+    val iters = (0 until PageRankIters).map(iterCte).mkString(", ")
+    s"""WITH co AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM co
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM co
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+), r0 AS (
+  SELECT src AS node, 1.0 / n.n AS rank FROM deg, n
+), $iters
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       node // 2 AS key, rank
+FROM r$PageRankIters"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
     * same shingle digests and permutation constants; the per-source
     * MIN over per-doc signature coordinates equals the union-set min
