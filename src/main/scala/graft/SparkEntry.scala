@@ -559,6 +559,11 @@ object SparkEntry {
     "q99_pagerank" -> ((s, dir) =>
       operators.Graph.pageRank(lineitem(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))),
+    // BPE merge training: 8 most-frequent-adjacent-pair fusions over
+    // the vocabulary-compressed corpus — per step one vocab-sized
+    // count, a one-row argmax, a row-local merge fold.
+    "q100_bpe_merges" -> ((s, dir) =>
+      operators.Bpe.mergeTable(s, documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -760,6 +765,7 @@ object SparkEntry {
     "q97_target_lm_score" -> OracleSql.targetLmScore,
     "q98_containment" -> OracleSql.containmentDedup,
     "q99_pagerank" -> OracleSql.pageRank,
+    "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

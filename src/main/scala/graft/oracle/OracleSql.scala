@@ -344,6 +344,49 @@ SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
 FROM r$PageRankIters"""
   }
 
+  /** Mirror of [[graft.operators.Bpe.mergeTable]] (q100): the same
+    * [[graft.operators.Bpe.NumMerges]] training steps unrolled —
+    * per step, weighted adjacent-pair counts over the current vocab
+    * symbol sequences, argmax with the (c DESC, l, r) tiebreak, and
+    * the identical greedy left-to-right merge fold. */
+  def bpeMerges: String = {
+    val k = graft.operators.Bpe.NumMerges
+    def fold(bl: String, br: String, merged: String): String =
+      s"""list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $bl AND x[1] = $br
+                THEN list_append(acc[:len(acc)-1], $merged)
+                ELSE list_append(acc, x[1]) END)"""
+    val ctes = Seq.newBuilder[String]
+    ctes += """m0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0
+  GROUP BY word
+)"""
+    (0 until k).foreach { i =>
+      ctes += s"""p$i AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, syms[i] AS l, syms[i+1] AS r
+    FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM m$i))
+  GROUP BY l, r
+), b$i AS (
+  SELECT l, r, l || r AS merged, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+)"""
+      if (i < k - 1)
+        ctes += s"""m${i + 1} AS (
+  SELECT word, cnt, ${fold(s"b$i.l", s"b$i.r", s"b$i.merged")} AS syms
+  FROM m$i, b$i
+)"""
+    }
+    val sel = (0 until k).map { i =>
+      s"SELECT $i AS step, l AS left_sym, r AS right_sym, merged, " +
+        s"c AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + ctes.result().mkString(",\n") + "\n" + sel
+  }
+
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
     * same shingle digests and permutation constants; the per-source
     * MIN over per-doc signature coordinates equals the union-set min

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SparkSessionSpec {
+
+  /** Naive single-machine BPE trainer: the textbook formulation the
+    * distributed loop must reproduce exactly (same weighting, same
+    * (count DESC, left, right) tiebreak, same greedy left-to-right
+    * merge pass). */
+  private def naiveTrain(words: Seq[String],
+      k: Int): Seq[(String, String, String, Long)] = {
+    var corpus: Map[List[String], Long] = words
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toList -> ws.size.toLong
+      }
+    val out = Seq.newBuilder[(String, String, String, Long)]
+    for (_ <- 0 until k) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      corpus.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + cnt
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) =>
+          (-c, l, r)
+        }
+        out += ((l, r, l + r, c))
+        corpus = corpus.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          }
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("distributed merges == naive textbook trainer on the fixture") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty).toSeq
+    val expected = naiveTrain(words, Bpe.NumMerges)
+    val got = Bpe.trainMerges(docs)
+      .map(m => (m.left_sym, m.right_sym, m.merged, m.pair_count))
+    assert(got == expected)
+  }
+
+  test("merge pass fuses greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    // 'aaa' under (a,a): exactly one fusion -> [aa, a]
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = Seq(Bpe.Merge(0, "a", "a", "aa", 2L))
+    val toks = Bpe.segment(docs, m).collect().head.getSeq[String](2)
+    assert(toks == Seq("aa", "a"))
+  }
+
+  test("learned merges compose: later steps fuse earlier merged symbols") {
+    import spark.implicits._
+    // 'abab abab ab' -> merge0 = (a,b)->ab, merge1 = (ab,ab)->abab
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 2)
+    assert(merges.map(m => (m.left_sym, m.right_sym)) ==
+      Seq(("a", "b"), ("ab", "ab")))
+    val toks = Bpe.segment(docs, merges).collect()
+      .map(r => (r.getString(1), r.getSeq[String](2))).toMap
+    assert(toks("abab") == Seq("abab"))
+    assert(toks("ab") == Seq("ab"))
+  }
+
+  test("training stops early when no adjacent pair remains") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 5)
+    assert(merges.isEmpty)
+  }
+}
