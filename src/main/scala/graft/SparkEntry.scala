@@ -564,6 +564,11 @@ object SparkEntry {
     // count, a one-row argmax, a row-local merge fold.
     "q100_bpe_merges" -> ((s, dir) =>
       operators.Bpe.mergeTable(s, documents(s, dir))),
+    // BPE apply-side: per-doc token budget under the trained merges —
+    // folds run once over the vocab, corpus broadcast-joins word ->
+    // token count.
+    "q101_bpe_segment" -> ((s, dir) =>
+      operators.Bpe.trainAndCount(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -766,6 +771,7 @@ object SparkEntry {
     "q98_containment" -> OracleSql.containmentDedup,
     "q99_pagerank" -> OracleSql.pageRank,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
+    "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

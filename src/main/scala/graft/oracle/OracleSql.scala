@@ -351,6 +351,35 @@ FROM r$PageRankIters"""
     * the identical greedy left-to-right merge fold. */
   def bpeMerges: String = {
     val k = graft.operators.Bpe.NumMerges
+    val sel = (0 until k).map { i =>
+      s"SELECT $i AS step, l AS left_sym, r AS right_sym, merged, " +
+        s"c AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + bpeCtes(k) + "\n" + sel
+  }
+
+  /** Mirror of [[graft.operators.Bpe.trainAndCount]] (q101): the
+    * trained vocabulary's FINAL symbol sequences (m_k) joined back to
+    * the corpus word stream, token counts summed per document —
+    * exactly the broadcast word→count apply the Spark side runs. */
+  def bpeSegmentCounts: String = {
+    val k = graft.operators.Bpe.NumMerges
+    s"""WITH ${bpeCtes(k, includeFinalApply = true)}
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(m.syms)) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN m$k m ON d.word = m.word
+WHERE len(d.word) > 0
+GROUP BY d.doc_id"""
+  }
+
+  /** Shared CTE chain of the BPE mirrors: vocabulary m0, then per
+    * step i the weighted pair counts p_i, the argmax b_i, and (for
+    * i < steps−1, or through m_steps when `includeFinalApply`) the
+    * merged vocabulary m_{i+1} under the identical greedy fold. */
+  private def bpeCtes(steps: Int,
+      includeFinalApply: Boolean = false): String = {
     def fold(bl: String, br: String, merged: String): String =
       s"""list_reduce(
     list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
@@ -365,7 +394,7 @@ FROM r$PageRankIters"""
   WHERE len(word) > 0
   GROUP BY word
 )"""
-    (0 until k).foreach { i =>
+    (0 until steps).foreach { i =>
       ctes += s"""p$i AS (
   SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
     SELECT cnt, syms[i] AS l, syms[i+1] AS r
@@ -374,17 +403,13 @@ FROM r$PageRankIters"""
 ), b$i AS (
   SELECT l, r, l || r AS merged, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
 )"""
-      if (i < k - 1)
+      if (i < steps - 1 || includeFinalApply)
         ctes += s"""m${i + 1} AS (
   SELECT word, cnt, ${fold(s"b$i.l", s"b$i.r", s"b$i.merged")} AS syms
   FROM m$i, b$i
 )"""
     }
-    val sel = (0 until k).map { i =>
-      s"SELECT $i AS step, l AS left_sym, r AS right_sym, merged, " +
-        s"c AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL\n")
-    "WITH " + ctes.result().mkString(",\n") + "\n" + sel
+    ctes.result().mkString(",\n")
   }
 
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):

@@ -75,6 +75,24 @@ class BpeSpec extends AnyFunSuite with SparkSessionSpec {
     assert(toks("ab") == Seq("ab"))
   }
 
+  test("vocab-folded segmentCounts == per-occurrence segment fold") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val merges = Bpe.trainMerges(docs, 4)
+    val viaVocab = Bpe.segmentCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perWord = Bpe.segment(docs, merges)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_words"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size($"tokens")).as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaVocab == perWord)
+  }
+
   test("training stops early when no adjacent pair remains") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
