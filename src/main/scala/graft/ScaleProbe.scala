@@ -404,6 +404,29 @@ object ScaleProbe {
       }
       time(factor, "funnel")(
         graft.operators.Pipeline.preprocessingFunnel(docs))
+      // containment: same bounded-bucket candidate law as winnowing —
+      // the curve must track the corpus, never the pair quadrant
+      if (wanted("containment")) {
+        time(factor, "containment")(Dedup.containmentPairs(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // BPE: the vocabulary is replication-invariant (copysalt<N> are
+      // the only new words), so step cost must stay ~flat while only
+      // the initial vocab shuffle and the apply join scale with the
+      // token stream
+      if (wanted("bpe_train") || wanted("bpe_segment")) {
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.trainMerges(docs)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        if (wanted("bpe_train")) {
+          results("bpe_train") ::= (factor, trainSec)
+          println(f"[scale-heavy] ${factor}%4dx bpe_train          " +
+            f"$trainSec%8.2f s")
+        }
+        time(factor, "bpe_segment")(
+          graft.operators.Bpe.segmentCounts(docs, merges))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       if (wanted("cc_propagation") || wanted("cc_star")) {
         spark.catalog.clearCache(); docs.persist(); docs.count()
         // the CC variants consume the SAME pair set; build it once per
@@ -457,6 +480,24 @@ object ScaleProbe {
       time(factor, "profile_hll")(
         graft.operators.Profiling.numericProfileApprox(li))
       spark.catalog.clearCache()
+      // PageRank: `factor` disjoint copies of the co-purchase graph —
+      // every iteration joins the once-shuffled persisted edge frame,
+      // so the curve must be linear in |E| with no per-iteration bend
+      if (wanted("pagerank")) {
+        val liPr = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .crossJoin(copies)
+          .select(
+            (col("l_orderkey") * factor + col("copy")).as("l_orderkey"),
+            (col("l_suppkey") * factor + col("copy")).as("l_suppkey"))
+        val orPr = spark.read.parquet(s"$sfDir/orders.parquet")
+          .crossJoin(copies)
+          .select(
+            (col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
+            (col("o_custkey") * factor + col("copy")).as("o_custkey"))
+        time(factor, "pagerank")(
+          graft.operators.Graph.pageRank(liPr, orPr))
+        spark.catalog.clearCache()
+      }
       // retrieval-eval rung (q85/q86 at scale, over the persisted
       // index): index build and the exact-ideal brute scan grow with
       // the corpus (build once per ingest, amortized over every later

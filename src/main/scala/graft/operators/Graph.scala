@@ -64,16 +64,20 @@ object Graph {
     pageRankWithHandle(lineitem, orders)._1
 
   /** [[pageRank]] plus the [[graft.util.CacheHandle]] releasing the
-    * persisted (src, dst, deg) edge frame the iterations share. */
+    * persisted (src, dst, deg) edge frame and the degree frame the
+    * iterations share. */
   def pageRankWithHandle(lineitem: DataFrame,
       orders: DataFrame): (DataFrame, graft.util.CacheHandle) = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = coPurchaseEdges(lineitem, orders)
       .repartition(col("src"))
+    // deg (|V| rows) is referenced by every iteration's node frame
+    // and the N scalar — persisted, or each reference would re-run
+    // the whole lineitem⋈orders edge build
     val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("deg"))
+      .agg(count(lit(1)).cast("long").as("deg")).persist(level)
     // (src, dst, deg): the per-iteration join input, shuffled once
-    val ew = edges.join(deg, "src").persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ew = edges.join(deg, "src").persist(level)
     val nodes = deg.select(col("src").as("node"))
     // broadcast-scalar N: every row needs it; never a driver collect
     val nRow = broadcast(deg.agg(count(lit(1)).cast("long").as("n")))
@@ -95,6 +99,6 @@ object Graph {
       when(col("node") % 2 === 0, "c").otherwise("s").as("node_type"),
       expr("node DIV 2").as("key"),
       col("rank")),
-      graft.util.CacheHandle(ew))
+      graft.util.CacheHandle(ew, deg))
   }
 }

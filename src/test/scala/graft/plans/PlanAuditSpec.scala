@@ -326,4 +326,61 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       s"heavy hitters shuffles ${shuffleCount(df)}×")
     spark.catalog.clearCache()
   }
+
+  test("q98 containment: pruned scan, no cartesian, bounded exchanges") {
+    val df = q("q98_containment")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "containment must never plan an all-pairs product")
+    // bucket agg + pair distinct + the two verify joins
+    assert(shuffleCount(df) <= 6,
+      s"containment shuffles ${shuffleCount(df)}×")
+  }
+
+  test("q99 pagerank: iterations read only the cached edge/deg frames") {
+    spark.catalog.clearCache()
+    val (pr, handle) = graft.operators.Graph.pageRankWithHandle(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"))
+    try {
+      // materialize the caches the way a run would
+      pr.write.format("noop").mode("overwrite").save()
+      // the final rank plan must sit entirely on the two persisted
+      // frames: any FileSourceScan here means an iteration re-reads
+      // and re-joins the base tables (k× the edge build at scale).
+      // sparkPlan, not executedPlan: the AQE wrapper hides children
+      // from collect until execution
+      val fileScans = pr.queryExecution.sparkPlan.collect {
+        case sc: FileSourceScanExec => sc
+      }
+      assert(fileScans.isEmpty,
+        s"iterations re-scan base tables: ${fileScans.size} file scans")
+      val plan = pr.queryExecution.sparkPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        "cached edge/deg frames missing from the iteration plan")
+    } finally {
+      handle.release()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q101 bpe apply: word counts broadcast, one doc-sum exchange after the join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.operators.Bpe.trainMerges(docs, 2)
+    val df = graft.operators.Bpe.segmentCounts(docs, merges)
+    val bhj = df.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "word->token-count must broadcast, never shuffle the corpus words")
+    // vocab agg (broadcast side) + final per-doc sum
+    assert(shuffleCount(df) <= 2,
+      s"bpe apply shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
 }
