@@ -42,14 +42,19 @@ object Graph {
   private def sNode(suppkey: Column): Column = suppkey * 2 + 1
 
   /** Symmetric co-purchase edge list: one edge pair per DISTINCT
-    * (customer, supplier) relationship in lineitem×orders. */
+    * (customer, supplier) relationship in lineitem×orders. Both
+    * directions come out of ONE explode over the co-purchase frame —
+    * a union of two selects would evaluate the join+distinct twice. */
   def coPurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val co = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-    co.select(cNode(col("c")).as("src"), sNode(col("s")).as("dst"))
-      .union(co.select(sNode(col("s")).as("src"), cNode(col("c")).as("dst")))
+    co.select(explode(array(
+        struct(cNode(col("c")).as("src"), sNode(col("s")).as("dst")),
+        struct(sNode(col("s")).as("src"), cNode(col("c")).as("dst"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
   }
 
   /** PageRank over the co-purchase graph, [[PageRankIters]] synchronous
@@ -69,11 +74,13 @@ object Graph {
   def pageRankWithHandle(lineitem: DataFrame,
       orders: DataFrame): (DataFrame, graft.util.CacheHandle) = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // edge frame persisted at its src partitioning: deg and ew both
+    // read the cache, so the lineitem⋈orders build runs exactly once
     val edges = coPurchaseEdges(lineitem, orders)
-      .repartition(col("src"))
+      .repartition(col("src")).persist(level)
     // deg (|V| rows) is referenced by every iteration's node frame
     // and the N scalar — persisted, or each reference would re-run
-    // the whole lineitem⋈orders edge build
+    // the whole edge build
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("deg")).persist(level)
     // (src, dst, deg): the per-iteration join input, shuffled once
@@ -99,6 +106,6 @@ object Graph {
       when(col("node") % 2 === 0, "c").otherwise("s").as("node_type"),
       expr("node DIV 2").as("key"),
       col("rank")),
-      graft.util.CacheHandle(ew, deg))
+      graft.util.CacheHandle(ew, deg, edges))
   }
 }

@@ -147,4 +147,87 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Per-shingle bucket state of the streaming containment twin: once
+    * a bucket exceeds [[graft.operators.Dedup.ContainMaxBucket]]
+    * members it CLOSES — the member list is dropped (bounded state)
+    * and the bucket stops generating candidates, the streaming
+    * analogue of the batch df cap. A closed bucket's earlier
+    * emissions stand: the batch rule judges a shingle by its FINAL
+    * document frequency, so a pair first seen through a shingle that
+    * later turns hot is kept here iff it also shares a still-rare
+    * shingle in batch — on real corpora a containment pair shares
+    * many rare shingles, which is what the parity spec pins. */
+  final case class ShingleBucket(closed: Boolean, members: List[BucketDoc])
+
+  final case class ContainmentPair(doc_a: Long, doc_b: Long,
+      n_a: Long, n_b: Long, n_shared: Long, containment: Double)
+
+  /** Streaming twin of [[graft.operators.Dedup.containmentPairs]] —
+    * asymmetric subset detection over an unbounded document stream:
+    * the shingle-hash inverted index becomes the bucket state, a new
+    * document exact-verifies containment only against its own
+    * buckets' members, and hot buckets close at the batch df cap
+    * (dropping their state) so boilerplate shingles can neither blow
+    * up state nor fan out candidates. Multi-bucket pairs are emitted
+    * once per shared rare shingle — same idempotent-consumer
+    * contract as [[nearDupPairs]]. */
+  def containmentPairs(docs: DataFrame, stateTtlMs: Long = -1L)
+      : Dataset[ContainmentPair] = {
+    import docs.sparkSession.implicits._
+    val exploded = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), col("hashes"),
+        explode(col("hashes")).as("sh"))
+      .as[(Long, Array[Long], Long)]
+
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    exploded
+      .groupByKey { case (_, _, sh) => sh }
+      .flatMapGroupsWithState[ShingleBucket, ContainmentPair](
+        OutputMode.Append, timeout) {
+        (_: Long, rows: Iterator[(Long, Array[Long], Long)],
+            state: GroupState[ShingleBucket]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var bucket = state.getOption
+              .getOrElse(ShingleBucket(closed = false, Nil))
+            val out = List.newBuilder[ContainmentPair]
+            for ((docId, hashes, _) <- rows.toSeq.sortBy(_._1)
+                 if !bucket.closed) {
+              if (!bucket.members.exists(_.doc_id == docId)) {
+                if (bucket.members.size >= Dedup.ContainMaxBucket) {
+                  // the arrival that would exceed the cap closes the
+                  // bucket WITHOUT comparing — bounded state, and the
+                  // closest streaming analogue of the batch size rule
+                  bucket = ShingleBucket(closed = true, Nil)
+                } else {
+                  val h = hashes.toSet
+                  bucket.members.foreach { m =>
+                    val inter = m.hashes.count(h.contains).toLong
+                    val c = inter.toDouble /
+                      math.min(m.hashes.length, h.size)
+                    if (c >= Dedup.ContainmentThreshold) {
+                      val (a, b, na, nb) =
+                        if (m.doc_id < docId)
+                          (m.doc_id, docId, m.hashes.length.toLong,
+                            h.size.toLong)
+                        else (docId, m.doc_id, h.size.toLong,
+                          m.hashes.length.toLong)
+                      out += ContainmentPair(a, b, na, nb, inter, c)
+                    }
+                  }
+                  bucket = bucket.copy(
+                    members = BucketDoc(docId, hashes) :: bucket.members)
+                }
+              }
+            }
+            state.update(bucket)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

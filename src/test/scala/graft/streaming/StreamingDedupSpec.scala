@@ -54,6 +54,44 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("streaming containment == batch pairs, across micro-batches") {
+    val docsBatch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = Dedup.containmentPairs(docsBatch).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(expected.nonEmpty)
+
+    val docs = docsBatch.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val ms = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.containmentPairs(
+      ms.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sc-cp").toString)
+      .format("memory").queryName("stream_contain").start()
+
+    ms.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toSeq: _*) // a subset doc arriving after its superset
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_contain").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(expected.keySet)}")
+    expected.foreach { case (pair, (nShared, c)) =>
+      assert(got(pair) == ((nShared, c)), s"value mismatch at $pair")
+    }
+  }
+
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
   // `processAllAvailable` never settles in that mode. The TTL
