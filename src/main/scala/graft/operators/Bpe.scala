@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * argmax moves exactly ONE row to the driver per step (the same
   * driver-sized contract as the IVF k-means loop), and the merge
   * application is a row-local fold. The vocab frame is re-persisted
-  * and materialized each step so lineage stays one level deep —
-  * step k never recomputes steps 0..k−1.
+  * each step (populated by the step's own argmax action, released
+  * one step later) so lineage stays one cached level deep — step k
+  * never recomputes steps 0..k−1.
   */
 object Bpe {
 
@@ -78,7 +79,13 @@ object Bpe {
       numMerges: Int = NumMerges): Seq[Merge] = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var v = vocab(docs).persist(level)
-    v.count()
+    // the step's argmax action is what populates the fresh persist —
+    // no separate count() job per step; the PREVIOUS vocab is
+    // released only after that action, so each step computes from a
+    // one-level-deep cached parent
+    var prev: DataFrame = null
+    def releasePrev(): Unit =
+      if (prev != null) { prev.unpersist(); prev = null }
     val out = Seq.newBuilder[Merge]
     var step = 0
     var exhausted = false
@@ -86,22 +93,21 @@ object Bpe {
       val top = pairCounts(v)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      releasePrev()
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top.head.getAs[String]("l"),
           top.head.getAs[String]("r"), top.head.getAs[Long]("c"))
         out += Merge(step, l, r, l + r, c)
-        val next = v
-          .select(col("word"), col("cnt"),
+        prev = v
+        v = v.select(col("word"), col("cnt"),
             mergePass(col("syms"), l, r).as("syms"))
           .persist(level)
-        next.count() // materialize so lineage stays one level deep
-        v.unpersist()
-        v = next
         step += 1
       }
     }
     v.unpersist()
+    releasePrev()
     out.result()
   }
 
