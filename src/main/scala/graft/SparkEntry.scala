@@ -569,6 +569,11 @@ object SparkEntry {
     // token count.
     "q101_bpe_segment" -> ((s, dir) =>
       operators.Bpe.trainAndCount(documents(s, dir))),
+    // Duplicated-span removal: the exact-substring dedup ACTION —
+    // cross-doc duplicated spans keep their min-doc copy, everyone
+    // else's occurrences are interval-merged and cut from the text.
+    "q102_span_removal" -> ((s, dir) =>
+      operators.Dedup.removeDuplicatedSpans(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -772,6 +777,7 @@ object SparkEntry {
     "q99_pagerank" -> OracleSql.pageRank,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
+    "q102_span_removal" -> OracleSql.removeDupSpans,
     "q34_quota_sample" -> OracleSql.quotaSample,
     "q35_json_props" -> OracleSql.propsStats,
     "q36_pipeline_funnel" -> OracleSql.pipelineFunnel,

@@ -715,6 +715,84 @@ object Dedup {
     (out, graft.util.CacheHandle(hashed))
   }
 
+  /** Duplicated-span REMOVAL (q102) — the ACTION on top of the q58
+    * statistics, exact-substring training-data dedup in the Lee et
+    * al. style: every sampled [[DupSpanK]]-char span occurring in
+    * more than one document keeps its copy in the LOWEST doc_id (the
+    * canonical keeper) and is cut everywhere else; each document's
+    * cut spans are interval-merged and the text rebuilt from the
+    * uncovered characters. Cross-doc duplication only — a span
+    * repeated within one document is that document's own content.
+    *
+    * Scale design: the positioned span stream (len/stride rows per
+    * doc, id+pos+hash — never the text) makes ONE hash exchange for
+    * the keeper aggregation and reuses that partitioning for the cut
+    * join; per-doc cut positions collapse to a sorted array before
+    * rejoining the corpus on doc_id (rows bounded by docs-with-cuts);
+    * the rebuild is a row-local interval-merge fold over that array.
+    * The fold is a higher-order `aggregate` (interpreted) — it runs
+    * once per document over ≤ len/stride positions, not in any
+    * per-token hot path.
+    *
+    * Phase caveat (shared with every stride-sampled member): two
+    * copies of a run only share sampled spans when their start
+    * offsets are congruent mod `stride` — `stride = 1` is the exact
+    * Lee-et-al. configuration (every position sampled, stride× the
+    * span rows); the default trades that for 1/stride the volume,
+    * which aligned-duplicate corpora (mirrored pages, boilerplate
+    * headers at position 0) satisfy. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = DupSpanK,
+      stride: Int = DupSpanStride): DataFrame =
+    removeDuplicatedSpansWithHandle(docs, k, stride)._1
+
+  /** [[removeDuplicatedSpans]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted positioned-span frame (feeds both the
+    * keeper aggregation and the cut join). */
+  def removeDuplicatedSpansWithHandle(docs: DataFrame, k: Int = DupSpanK,
+      stride: Int = DupSpanStride): (DataFrame, graft.util.CacheHandle) = {
+    import org.apache.spark.sql.graft.{Bridge, RollingHashes}
+    val spans = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(Bridge.column(RollingHashes(
+          Bridge.expression(col("text")), k, WinnowBase, P, stride)))
+          .as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") * stride).cast("long").as("pos"),
+        col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cross-doc duplicated hash → its canonical keeper (min doc id);
+    // per-doc-distinct rows make COUNT(*) the distinct-doc count
+    val keepers = spans.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("keeper"))
+    val cuts = spans.join(keepers, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    // row-local interval-merge rebuild: keep [e, p) gaps between the
+    // sorted cut starts, each cut covering [p, p+k)
+    val rebuild =
+      s"""aggregate(ps,
+        named_struct('e', CAST(0 AS BIGINT), 'acc', ''),
+        (st, p) -> named_struct(
+          'e', greatest(st.e, p + $k),
+          'acc', concat(st.acc, IF(p > st.e,
+            substr(text, CAST(st.e AS INT) + 1, CAST(p - st.e AS INT)),
+            ''))),
+        st -> concat(st.acc,
+          substr(text, CAST(st.e AS INT) + 1, length(text))))"""
+    val out = docs.join(cuts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), typedLit(Array.empty[Long])))
+      .withColumn("cleaned_text", expr(rebuild))
+      .select(col("doc_id"), col("cleaned_text"),
+        size(col("ps")).cast("long").as("n_cut_spans"),
+        (length(col("text")) - length(col("cleaned_text"))).cast("long")
+          .as("n_chars_removed"))
+    (out, graft.util.CacheHandle(spans))
+  }
+
   /** Edit-distance-1 FUZZY matching by symmetric deletion
     * neighborhoods (the SymSpell construction): two strings are
     * within Levenshtein distance 1 iff they share a member of

@@ -1853,6 +1853,61 @@ SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_grams,
 FROM h LEFT JOIN dc USING (doc_id)"""
   }
 
+  /** Mirror of [[graft.operators.Dedup.removeDuplicatedSpans]]
+    * (q102): same positioned rolling span hashes, the same
+    * min-doc-keeper rule, and a character-set rebuild that equals the
+    * Spark side's interval-merge fold (both compute the complement of
+    * the union of [pos, pos+K) cut ranges). */
+  def removeDupSpans: String = {
+    val k = Dedup.DupSpanK
+    val s = Dedup.DupSpanStride
+    val b = Dedup.WinnowBase
+    val m = Dedup.P
+    s"""WITH d AS (
+  SELECT doc_id, text FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, (length(text) - $k) // $s + 1),
+      i -> {'pos': i * $s, 'g': list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, ${k + 1}),
+          j -> CAST(ord(substr(text, CAST(i * $s + j AS INT), 1)) AS BIGINT))),
+        (a, c) -> (a * $b + c) % $m)})) AS sg
+  FROM d WHERE length(text) >= $k
+), spf AS (
+  SELECT doc_id, sg.pos AS pos, sg.g AS g FROM sp
+), dup AS (
+  SELECT g, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, g FROM spf)
+  GROUP BY g HAVING COUNT(*) >= 2
+), cuts AS (
+  SELECT DISTINCT spf.doc_id, spf.pos
+  FROM spf JOIN dup ON spf.g = dup.g AND spf.doc_id <> dup.keeper
+), cutchars AS (
+  SELECT DISTINCT cuts.doc_id, cuts.pos + j.j AS c
+  FROM cuts, unnest(range(1, ${k + 1})) AS j(j)
+), chars AS (
+  SELECT d.doc_id, t.c AS c, substr(d.text, CAST(t.c AS INT), 1) AS ch
+  FROM d, unnest(range(1, length(d.text) + 1)) AS t(c)
+), kept AS (
+  SELECT chars.doc_id, chars.c, chars.ch
+  FROM chars LEFT JOIN cutchars
+    ON chars.doc_id = cutchars.doc_id AND chars.c = cutchars.c
+  WHERE cutchars.c IS NULL
+), rb AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY c) AS cleaned
+  FROM kept GROUP BY doc_id
+), nc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans
+  FROM cuts GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(rb.cleaned, '') AS cleaned_text,
+       COALESCE(nc.n_cut_spans, 0) AS n_cut_spans,
+       CAST(length(d.text) - length(COALESCE(rb.cleaned, ''))
+         AS BIGINT) AS n_chars_removed
+FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
+       LEFT JOIN nc ON d.doc_id = nc.doc_id"""
+  }
+
   /** q61 oracle — one UNION ALL arm per profiled column, mirroring
     * [[graft.operators.Profiling.numericProfile]]'s long format. */
   def numericProfile: String =

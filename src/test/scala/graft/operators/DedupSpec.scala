@@ -67,6 +67,50 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("span removal keeps the canonical copy and cuts the echo") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    // both preambles are 40 chars: cross-doc sampled spans only match
+    // when offsets are congruent mod stride (the documented phase
+    // sensitivity; stride=1 removes it)
+    val preA = "one " * 10
+    val preB = "two " * 10
+    val a = preA + shared
+    val b = preB + shared
+    val c = "this third document shares nothing with the others at all ok"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned_text"), r.getAs[Long]("n_chars_removed")))
+      .toMap
+    // doc 1 is the keeper: untouched
+    assert(out(1L) == (a, 0L))
+    // doc 2 loses the shared tail but keeps its unique opening
+    assert(out(2L)._2 > 0)
+    assert(out(2L)._1.startsWith(preB))
+    assert(out(2L)._1.length < b.length)
+    // doc 3 shares nothing: untouched
+    assert(out(3L) == (c, 0L))
+  }
+
+  test("span removal coheres with the q58 statistics on the fixture") {
+    val stats = Dedup.duplicatedSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_grams"))
+      .toMap
+    val out = Dedup.removeDuplicatedSpans(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (id, removed) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars_removed"))
+      assert(removed >= 0)
+      // a doc with zero duplicated grams must be untouched
+      if (stats.getOrElse(id, 0L) == 0L) assert(removed == 0L,
+        s"doc $id has no dup grams but lost $removed chars")
+    }
+    assert(out.exists(_.getAs[Long]("n_chars_removed") > 0),
+      "fixture has planted duplicates; removal must touch some docs")
+  }
+
   test("signature arithmetic: minhash of identical docs is identical") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
