@@ -58,9 +58,17 @@ object Bench {
     // Dev-only subset filter (unset in the driver's run = all queries).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-query host context: the r8 driver run showed a contiguous
+    // q72–q77 breach block caused by a MID-battery load window that
+    // the single per-RUN canary could not see (load1_pre 3.57, later
+    // adjudicated as contention on a quiet re-run). Sampling loadavg
+    // and steal around EVERY query makes a contended measurement
+    // self-evident in the JSON line itself.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      val (load1, _, _) = graft.util.HostLoad.loadAvg()
+      val (s0, j0) = graft.util.HostLoad.cpuJiffies()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -69,17 +77,24 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val (s1, j1) = graft.util.HostLoad.cpuJiffies()
+      val steal = if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else Double.NaN
       // operators persist intermediates (hashed corpora, normed
       // embeddings) scoped to their own query; release them so caches
       // don't pile up across the 21-query session and evict each other
       spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      (name, if (ok) sec else -1.0, load1, steal)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def num(d: Double) = if (d.isNaN) "null"
+      else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val ctx = results.map { case (k, _, l1, st) =>
+      "\"" + k + "\":{\"load1\":" + num(l1) + ",\"steal_pct\":" + num(st) + "}"
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_ctx":$ctx,"failed":$failed,"sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     spark.stop()
   }

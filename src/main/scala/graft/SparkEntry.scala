@@ -574,6 +574,19 @@ object SparkEntry {
     // else's occurrences are interval-merged and cut from the text.
     "q102_span_removal" -> ((s, dir) =>
       operators.Dedup.removeDuplicatedSpans(documents(s, dir))),
+    // The DISTRIBUTED k-means codebook graded directly: corpus→cell
+    // assignment under centroids trained with zero driver-side
+    // sample collect (per-cell sums fold on executors; k rows to the
+    // driver per iteration) — bit-identical to the driver Lloyd twin
+    // the unrolled-CTE oracle replays.
+    "q103_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCorpusCells(Similarity.embeddings(s, dir))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))),
+    // IVF-PQ: per-subspace L2 codebooks (distributed trainer), corpus
+    // compressed to 4 codes + approx norm, asymmetric-distance
+    // scoring of the compressed frame, exact re-rank of the pool.
+    "q106_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -775,6 +788,8 @@ object SparkEntry {
     "q97_target_lm_score" -> OracleSql.targetLmScore,
     "q98_containment" -> OracleSql.containmentDedup,
     "q99_pagerank" -> OracleSql.pageRank,
+    "q103_ivf_cells" -> OracleSql.ivfCells,
+    "q106_ann_pq" -> OracleSql.annPq,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -233,18 +233,25 @@ object Similarity {
   /** IVF coarse quantizer size, probe width, and k-means training
     * knobs: centroids start as the first [[NumCentroids]] sample
     * vectors and are refined by [[KMeansIters]] Lloyd iterations
-    * (cosine assignment, element-wise mean update) over a
-    * deterministic driver-sized sample (vec_id < [[TrainSample]]).
-    * At 100 TB the sample stays a bounded collect (a production
-    * deployment would swap in distributed minibatch k-means); the
-    * trained codebook is still baked into a row-local codegen'd
-    * assignment expression, so the corpus never shuffles. */
+    * (cosine assignment, element-wise mean update) over the
+    * deterministic sample vec_id < [[TrainSample]]. Training is
+    * DISTRIBUTED ([[trainCentroidsDistributed]]): the sample never
+    * collects to the driver — assignment is a row-local codegen'd
+    * expression, per-cell member sums fold on the executors, and only
+    * k×(dim+1) doubles cross to the driver per iteration. That makes
+    * [[TrainSample]] a minibatch-size knob that can scale with the
+    * corpus (the SemDedup regime grows cells AND sample with corpus
+    * size) instead of a driver-memory bound. The trained codebook is
+    * still baked into a row-local codegen'd assignment expression, so
+    * the corpus never shuffles. */
   val NumCentroids = 16
   val NProbe = 4
   val KMeansIters = 3
   val TrainSample = 512
 
-  /** Deterministic Lloyd trainer. Every double operation is ordered
+  /** Deterministic Lloyd trainer — the DRIVER-LOCAL reference twin
+    * that [[trainCentroidsDistributed]] (the production path) is
+    * spec-pinned bit-identical to. Every double operation is ordered
     * identically to the DuckDB mirror (OracleSql.annIvf): dot
     * products and norms are sequential left folds from 0.0; cell
     * means accumulate members in ascending vec_id order and divide
@@ -290,18 +297,109 @@ object Similarity {
     cents
   }
 
-  /** The IVF codebook: Lloyd-trained centroids from a driver-sized
-    * sample, baked into the assignment expression as (flattened
-    * centroid matrix, norms, cell ids 0..NumCentroids−1). */
+  /** One distributed Lloyd/minibatch k-means update over an assigned
+    * sample frame (vec_id, v, cell): per-cell member sums fold in
+    * ascending vec_id order ON THE EXECUTORS — sort_array over the
+    * collected (vec_id, v) structs replays exactly the driver
+    * trainer's member order, and the per-dimension zip_with left fold
+    * from 0.0 is its accumulation loop — so only k rows of
+    * (cell, count, sum-vector), k×(dim+1) doubles, ever cross to the
+    * driver (the q57 prefix-sum discipline applied to k-means). The
+    * driver's only arithmetic is the k divisions; an emptied cell
+    * keeps its previous centroid; rows with cell < 0 (unassignable:
+    * all-NaN distances) are skipped like the driver trainer skips
+    * them. Per-cell executor state is the minibatch's members of that
+    * cell — bounded by the [[TrainSample]] minibatch knob, never by
+    * the corpus. */
+  private def reduceCellSums(assigned: DataFrame,
+      cents: Array[Array[Double]], dim: Int): Array[Array[Double]] = {
+    val partials = assigned.filter(col("cell") >= 0)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        array_sort(collect_list(struct(col("vec_id"), col("v")))).as("mv"))
+      .select(col("cell"), col("cnt"),
+        aggregate(col("mv"), typedLit(Seq.fill(dim)(0.0)),
+          (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b))
+          .as("sums"))
+      .collect()
+    val next = cents.map(_.clone())
+    partials.foreach { r =>
+      val j = r.getInt(0)
+      val cnt = r.getLong(1)
+      val sums = r.getSeq[Double](2)
+      next(j) = Array.tabulate(dim)(i => sums(i) / cnt.toDouble)
+    }
+    next
+  }
+
+  /** Distributed twin of [[trainCentroids]], bit-identical by
+    * construction (SimilaritySpec pins the equality): assignment is
+    * the same codegen'd cosine argmax
+    * ([[org.apache.spark.sql.graft.NearestCentroids]], ties to the
+    * lowest centroid id) run row-locally over the sample frame, and
+    * [[reduceCellSums]] replays the driver trainer's ascending-vec_id
+    * member fold on the executors. Zero-norm rows are filtered before
+    * accumulation — the frame analogue of the driver's all-NaN skip.
+    * Per iteration: one job whose single driver-bound row set is the
+    * k×(dim+1) centroid sums. */
+  private[operators] def trainCentroidsDistributed(sample0: DataFrame,
+      iters: Int, numCentroids: Int = NumCentroids): Array[Array[Double]] = {
+    val sample = sample0.select(col("vec_id"), col("v"), col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sample.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (cents.isEmpty) { sample.unpersist(); return cents }
+    for (_ <- 0 until iters) {
+      val cnorms = cents.map(c =>
+        math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val assign = element_at(Bridge.column(
+        org.apache.spark.sql.graft.NearestCentroids(
+          Bridge.expression(col("v")), Bridge.expression(col("norm")),
+          cents.flatten.toSeq, cnorms.toSeq, cents.indices.toSeq, 1)), 1)
+      cents = reduceCellSums(
+        sample.filter(col("norm") > 0.0)
+          .select(col("vec_id"), col("v"), assign.as("cell")),
+        cents, Dim)
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** Distributed L2 k-means trainer over a (vec_id, v) sub-vector
+    * sample — the per-subspace codebook trainer of [[pqTopK]]. Same
+    * shape as [[trainCentroidsDistributed]] with squared-L2
+    * assignment ([[org.apache.spark.sql.graft.NearestCentroidL2]],
+    * strict-less keeps the lowest centroid id on ties — PQ's standard
+    * metric; cosine would normalize away per-subspace magnitude,
+    * which is exactly what PQ must preserve). */
+  private[operators] def trainCentroidsL2Distributed(sample0: DataFrame,
+      iters: Int, numCentroids: Int, dim: Int): Array[Array[Double]] = {
+    val sample = sample0.select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sample.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (cents.isEmpty) { sample.unpersist(); return cents }
+    for (_ <- 0 until iters) {
+      val assign = Bridge.column(
+        org.apache.spark.sql.graft.NearestCentroidL2(
+          Bridge.expression(col("v")), cents.flatten.toSeq, dim))
+      cents = reduceCellSums(
+        sample.select(col("vec_id"), col("v"), assign.as("cell")),
+        cents, dim)
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** The IVF codebook: centroids from the DISTRIBUTED trainer over
+    * the vec_id < trainSample minibatch, baked into the assignment
+    * expression as (flattened centroid matrix, norms, cell ids
+    * 0..NumCentroids−1). */
   private def codebook(emb: DataFrame, iters: Int,
       numCentroids: Int = NumCentroids,
       trainSample: Int = TrainSample): (Seq[Double], Seq[Double], Seq[Int]) = {
-    val sample = emb.filter(col("vec_id") < trainSample)
-      .select(col("vec_id"), col("v"), col("norm"))
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
-      .toIndexedSeq
-    val cents = trainCentroids(sample, iters, numCentroids)
+    val cents = trainCentroidsDistributed(
+      emb.filter(col("vec_id") < trainSample), iters, numCentroids)
     val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
     (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, cents.indices)
   }
@@ -731,6 +829,108 @@ object Similarity {
         "query_id")
       .join(emb, "vec_id")
     topK(cand.withColumn("cosine", cosine))
+  }
+
+  /** Product-quantization knobs (q106): [[SimilarityParams.Dim]] = 64
+    * dims split into [[PqSubspaces]] = 4 subspaces of [[PqSubDim]] =
+    * 16 dims, each with a [[PqK]] = 16-centroid L2 codebook — a
+    * corpus vector compresses to 4 small codes (4×4 useful bits vs
+    * 256 float32 bytes, a 64× storage/bandwidth cut), the rung below
+    * int8 (q73, 4×) and MRL truncation (q96, 4×) on the ANN
+    * compression ladder. [[PqPoolK]] sizes the ADC candidate pool
+    * that gets the exact full-vector re-rank. */
+  val PqSubspaces = 4
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqK = 16
+  val PqPoolK = 40
+
+  /** IVF-PQ-style compressed search (q106, after Jégou et al. 2011):
+    * per-subspace codebooks from the distributed L2 trainer
+    * ([[trainCentroidsL2Distributed]], same deterministic minibatch),
+    * the corpus encoded to [[PqSubspaces]] codes by the row-local
+    * codegen'd assignment expression, queries scored against the
+    * COMPRESSED corpus by asymmetric distance computation — each
+    * query precomputes one [[PqK]]-entry dot table per subspace, a
+    * corpus row's approximate cosine is then [[PqSubspaces]] table
+    * lookups — and the per-query top-[[PqPoolK]] ADC pool re-ranked
+    * by exact full-vector cosine (membership from ADC, final order
+    * exact — the LSH/IVF candidate-generator contract).
+    *
+    * Scale design (100 TB): the corpus-sized frame through the scorer
+    * carries 4 int codes + 1 precomputed norm per vector, not 64
+    * doubles — the memory-bandwidth term that dominates brute-force
+    * scanning drops 64×, and the per-row work is 4 array lookups
+    * instead of 64 multiply-adds. Training, encoding, and scoring are
+    * all row-local against broadcast-constant codebooks (zero corpus
+    * shuffle); the exact re-rank touches poolK·|Q| rows. At
+    * production scale the encoded frame is what you PERSIST — the
+    * full vectors stay in cold storage and are read only by the
+    * re-rank's bounded candidate join. */
+  def pqTopK(emb0: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sub(c: Column, m: Int): Column =
+      slice(c, m * PqSubDim + 1, PqSubDim)
+    val books: IndexedSeq[Array[Array[Double]]] =
+      (0 until PqSubspaces).map { m =>
+        trainCentroidsL2Distributed(
+          emb.filter(col("vec_id") < TrainSample)
+            .select(col("vec_id"), sub(col("v"), m).as("v")),
+          KMeansIters, PqK, PqSubDim)
+      }
+    if (books.exists(_.isEmpty))
+      return topK(queries(emb, numQueries)
+        .filter(lit(false))
+        .select(col("query_id"), col("query_id").as("vec_id"))
+        .withColumn("cosine", lit(0.0)))
+    // squared centroid norms per subspace: the additive term of the
+    // approximate corpus norm ‖v‖ ≈ sqrt(Σ_m ‖c_m[code_m]‖²)
+    val cn2: IndexedSeq[Seq[Double]] =
+      books.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)).toSeq)
+    def code(m: Int): Column = Bridge.column(
+      org.apache.spark.sql.graft.NearestCentroidL2(
+        Bridge.expression(sub(col("v"), m)), books(m).flatten.toSeq,
+        PqSubDim))
+    // the encoded corpus: 4 codes + the approximate norm — the frame
+    // a deployment persists in place of the raw vectors
+    val coded = emb.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(m => code(m).as(s"code$m")): _*)
+      .withColumn("anorm", sqrt((0 until PqSubspaces).map(m =>
+        element_at(typedLit(cn2(m)), col(s"code$m") + 1)).reduce(_ + _)))
+    // per-query ADC tables: dot of the query sub-vector against every
+    // centroid of that subspace — PqK doubles per subspace, row-local
+    // on the |Q|-row query frame
+    val q = queries(emb, numQueries)
+    val qt = q.select(
+      Seq(col("query_id"), col("qnorm")) ++
+        (0 until PqSubspaces).map { m =>
+          transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
+            dot(sub(col("qv"), m), c)).as(s"t$m")
+        }: _*)
+    val scored = broadcast(qt).crossJoin(coded)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adot", (0 until PqSubspaces).map(m =>
+        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
+      .select(col("query_id"), col("vec_id"),
+        (col("adot") / (col("qnorm") * col("anorm"))).as("acos"))
+    val extensionsActive = scored.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val pool =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(scored, Seq("query_id"),
+          Seq("acos" -> false, "vec_id" -> true), PqPoolK)
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("acos").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= PqPoolK)
+    topK(pool.select(col("query_id"), col("vec_id"))
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cosine", cosine))
   }
 
   /** Offline retrieval-evaluation metrics (q85): recall and

@@ -1006,6 +1006,123 @@ SELECT w.vec_id, w.cell,
 FROM wc w LEFT JOIN m USING (vec_id)"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfCorpusCells]] (q103):
+    * the shared [[ivfCellCtes]] chain projected to the corpus→cell
+    * assignment. Since round 9 the Spark side trains the codebook
+    * with the DISTRIBUTED minibatch trainer
+    * ([[graft.operators.Similarity.trainCentroidsDistributed]]) —
+    * bit-identical to the driver Lloyd twin this CTE chain unrolls
+    * (assignment rule, ascending-vec_id member folds, emptied-cell
+    * carry; SimilaritySpec pins the equality), so ONE mirror grades
+    * both trainers and the distributed path is what q20/q93/q103 all
+    * run. */
+  def ivfCells: String =
+    s"""$ivfCellCtes
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
+
+  /** Mirror of [[graft.operators.Similarity.pqTopK]] (q106): per
+    * subspace, the L2 Lloyd chain unrolled (assignment by
+    * (squared-dist ASC, centroid_id ASC) row_number — the kernel's
+    * strict-less/lowest-id rule; member means fold in ascending
+    * vec_id order; emptied cells carry), then corpus codes, the
+    * approximate norm sqrt(Σ‖c‖²) with left-associated addition, ADC
+    * scores as Σ dot(q_m, cent(code_m)) — numerically identical to
+    * the Spark side's per-query table lookups, which precompute the
+    * SAME dot from the same doubles — and the exact full-dim re-rank
+    * of the per-query PqPoolK pool. */
+  def annPq: String = {
+    import graft.operators.Similarity.{KMeansIters, PqK, PqPoolK, PqSubDim, PqSubspaces, TrainSample}
+    import SimilarityParams.TopK
+    def lo(m: Int): Int = m * PqSubDim
+    def subExpr(src: String, m: Int): String =
+      s"$src[${lo(m) + 1}:${lo(m) + PqSubDim}]"
+    def l2Sql(a: String, b: String): String =
+      fsumSql(s"list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+    def dotSub(a: String, b: String): String =
+      fsumSql(s"list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> $a[i] * $b[i])")
+    val meanExpr =
+      s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
+        s"list_reduce(list_prepend(0.0, list_transform(g.vs, w -> w[i])), " +
+        s"(a, b) -> a + b) / CAST(g.cnt AS DOUBLE))"
+    def subspaceCtes(m: Int): String = {
+      val lloyd = (1 to KMeansIters).map { k =>
+        s""", pa${m}_$k AS (
+  SELECT s.vec_id, s.v, c.centroid_id,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           ${l2Sql("s.v", "c.cv")} ASC, c.centroid_id ASC) AS rnk
+  FROM samp$m s, pc${m}_${k - 1} c
+), pg${m}_$k AS (
+  SELECT centroid_id, list(v ORDER BY vec_id) AS vs, COUNT(*) AS cnt
+  FROM pa${m}_$k WHERE rnk = 1 GROUP BY centroid_id
+), pc${m}_$k AS (
+  SELECT p.centroid_id,
+         CASE WHEN g.cnt IS NULL THEN p.cv ELSE $meanExpr END AS cv
+  FROM pc${m}_${k - 1} p LEFT JOIN pg${m}_$k g USING (centroid_id)
+)"""
+      }.mkString
+      s""", samp$m AS (
+  SELECT vec_id, ${subExpr("v", m)} AS v FROM n WHERE vec_id < $TrainSample
+), pc${m}_0 AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM samp$m WHERE vec_id < $PqK
+)$lloyd
+, pcents$m AS (
+  SELECT centroid_id, cv,
+         ${fsumSql("list_transform(cv, x -> x * x)")} AS cn2
+  FROM pc${m}_$KMeansIters
+), code$m AS (
+  SELECT vec_id, centroid_id AS code, cn2 FROM (
+    SELECT n.vec_id, c.centroid_id, c.cn2,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             ${l2Sql(subExpr("n.v", m), "c.cv")} ASC,
+             c.centroid_id ASC) AS rnk
+    FROM n, pcents$m c) WHERE rnk = 1
+)"""
+    }
+    val subs = (0 until PqSubspaces).map(subspaceCtes).mkString
+    val codeJoins = (0 until PqSubspaces).map(m =>
+      s"JOIN code$m c$m USING (vec_id)").mkString("\n  ")
+    val anorm = (0 until PqSubspaces).map(m => s"c$m.cn2").mkString(" + ")
+    val adot = (0 until PqSubspaces).map(m =>
+      dotSub(subExpr("q.qv", m), s"v$m.cv")).mkString(" + ")
+    val centJoins = (0 until PqSubspaces).map(m =>
+      s"JOIN pcents$m v$m ON cd.code$m = v$m.centroid_id").mkString("\n  ")
+    val codeCols = (0 until PqSubspaces).map(m =>
+      s"c$m.code AS code$m").mkString(", ")
+    s"""$embCtes$subs
+, coded AS (
+  SELECT n.vec_id, $codeCols, sqrt($anorm) AS anorm
+  FROM n
+  $codeJoins
+), adc AS (
+  SELECT q.query_id, cd.vec_id,
+         ($adot) / (q.qn * cd.anorm) AS acos
+  FROM q, coded cd
+  $centJoins
+  WHERE cd.vec_id <> q.query_id
+), pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY acos DESC, vec_id ASC) AS pr
+    FROM adc) WHERE pr <= $PqPoolK
+), pf AS (
+  SELECT p.query_id, p.vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM pool p
+  JOIN q ON p.query_id = q.query_id
+  JOIN n ON p.vec_id = n.vec_id
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM pf
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.mrlRerankTopK]] (q96):
     * the truncated-prefix norm/dot use the same sequential folds over
     * the sliced list, stage-1 pool membership by (ct DESC, vec_id

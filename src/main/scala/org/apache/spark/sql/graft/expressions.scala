@@ -590,6 +590,70 @@ case class NearestCentroids(left: Expression, right: Expression,
       r: Expression): NearestCentroids = copy(left = l, right = r)
 }
 
+/** Runtime kernel for [[NearestCentroidL2]]: squared-L2 distance of a
+  * (sub)vector against every codebook centroid — each distance a
+  * sequential per-dimension fold from 0.0 (the order the DuckDB
+  * mirror's list_reduce replays) — returning the id of the closest
+  * centroid. Strict-less keeps the FIRST (lowest-id) centroid on
+  * ties, the determinism contract shared with the oracle's
+  * (dist ASC, centroid_id ASC) row_number. −1 iff no distance
+  * compares (NaN input). */
+object PqOps {
+  def nearestL2(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Double], dim: Int): Int = {
+    val c = cents.length / dim
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < c) {
+      var acc = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < dim) {
+        val d = v.getDouble(i) - cents(off + i)
+        acc = acc + d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+/** `nearest_centroid_l2(v)` — id of the L2-nearest codebook centroid
+  * of a dim-length (sub)vector, with the codebook baked in as a
+  * broadcast constant: the product-quantization encode/assign step
+  * (and the assignment step of the distributed L2 k-means trainer).
+  * Row-local with ZERO shuffle of the corpus — a PQ codebook is
+  * always driver-sized (k·subDim doubles). */
+case class NearestCentroidL2(child: Expression, cents: Seq[Double],
+    dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_l2"
+
+  private lazy val centArr = cents.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqOps.nearestL2(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centArr, dim)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", centArr, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.PqOps.nearestL2($v, $cRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidL2 =
+    copy(child = c)
+}
+
 /** `dot_product(a, b)` over double arrays, codegen'd sequential fold. */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {

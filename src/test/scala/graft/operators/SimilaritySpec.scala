@@ -441,4 +441,99 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     // from the ideal somewhere (otherwise the test proves nothing)
     assert(recall < 1.0, "fixture too easy — truncation lost nothing?")
   }
+
+  test("distributed k-means trainer is bit-identical to the driver " +
+      "Lloyd trainer") {
+    import org.apache.spark.sql.functions.col
+    val sample = emb.filter(col("vec_id") < Similarity.TrainSample)
+    val driverSample = sample
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+      .toIndexedSeq
+    val driver = Similarity.trainCentroids(driverSample,
+      Similarity.KMeansIters)
+    val dist = Similarity.trainCentroidsDistributed(sample,
+      Similarity.KMeansIters)
+    assert(dist.length == driver.length)
+    // EXACT double equality, element by element: the distributed
+    // trainer replays the driver's assignment rule and ascending-
+    // vec_id accumulation order, so the centroids must be the same
+    // bits — the property that lets the unrolled-CTE oracle keep
+    // grading the distributed path
+    dist.zip(driver).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(a.sameElements(b), s"centroid $j diverged")
+    }
+  }
+
+  test("distributed L2 trainer: deterministic across runs and " +
+      "centroids are member means") {
+    import org.apache.spark.sql.functions.{col, slice}
+    val sub = emb.filter(col("vec_id") < Similarity.TrainSample)
+      .select(col("vec_id"),
+        slice(col("v"), 1, Similarity.PqSubDim).as("v"))
+    val a = Similarity.trainCentroidsL2Distributed(sub,
+      Similarity.KMeansIters, Similarity.PqK, Similarity.PqSubDim)
+    val b = Similarity.trainCentroidsL2Distributed(sub,
+      Similarity.KMeansIters, Similarity.PqK, Similarity.PqSubDim)
+    assert(a.length == Similarity.PqK)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // reference check: re-run the final assignment in plain Scala and
+    // verify one more Lloyd step REPRODUCES the trained centroids'
+    // fixed-point arithmetic (mean of members in vec_id order)
+    val rows = sub.collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // train iters-1 steps, then hand-run the last step
+    val prev = Similarity.trainCentroidsL2Distributed(sub,
+      Similarity.KMeansIters - 1, Similarity.PqK, Similarity.PqSubDim)
+    val sums = Array.fill(Similarity.PqK)(
+      new Array[Double](Similarity.PqSubDim))
+    val counts = new Array[Long](Similarity.PqK)
+    rows.foreach { case (_, v) =>
+      var best = -1; var bestD = Double.PositiveInfinity
+      for (j <- prev.indices) {
+        var acc = 0.0
+        for (i <- 0 until Similarity.PqSubDim) {
+          val d = v(i) - prev(j)(i); acc = acc + d * d
+        }
+        if (acc < bestD) { bestD = acc; best = j }
+      }
+      val s = sums(best)
+      for (i <- 0 until Similarity.PqSubDim) s(i) += v(i)
+      counts(best) += 1
+    }
+    val expect = prev.indices.map { j =>
+      if (counts(j) == 0L) prev(j)
+      else Array.tabulate(Similarity.PqSubDim)(i =>
+        sums(j)(i) / counts(j).toDouble)
+    }
+    a.zip(expect).zipWithIndex.foreach { case ((x, y), j) =>
+      assert(x.sameElements(y), s"L2 centroid $j not the member mean")
+    }
+  }
+
+  test("ivf-pq: 64x-compressed ADC pool + exact re-rank keeps " +
+      "recall vs brute force; final cosines are exact") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val run = Similarity.pqTopK(emb)
+    val ideal = Similarity.bruteForceTopK(emb)
+    val recall = Similarity.retrievalMetrics(run, ideal)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    // near-random fixture (true neighbors at cosine ≈ 0.3): 4×16-dim
+    // codebooks of 16 centroids keep enough of the dot product for
+    // the 40-pool to catch a solid share of the true top-10 — pinned
+    // at the measured floor. On real embedding corpora (clustered,
+    // high neighbor cosine) PQ recall at these parameters is far
+    // higher; the contract here is the ADC shape + exact re-rank.
+    assert(recall >= 0.3, s"mean recall $recall")
+    // the re-rank is exact: any (q, n) pair shared with the brute
+    // ranking carries the identical full-precision cosine
+    val full = ideal.select(col("query_id"), col("neighbor_id"),
+      col("cosine").as("c2"))
+    val joined = run.join(full, Seq("query_id", "neighbor_id"))
+      .select(col("cosine"), col("c2")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getDouble(0) == r.getDouble(1), "not exact cosine"))
+  }
 }
