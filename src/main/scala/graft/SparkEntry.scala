@@ -574,6 +574,18 @@ object SparkEntry {
     // else's occurrences are interval-merged and cut from the text.
     "q102_span_removal" -> ((s, dir) =>
       operators.Dedup.removeDuplicatedSpans(documents(s, dir))),
+    // Directed PageRank as a CURATION operator: dangling-mass kernel
+    // over the customer→supplier graph (every supplier a sink),
+    // k=10 with reliable checkpoints every 5 iterations, host ranks
+    // joined onto documents by the Knuth-hash host assignment — the
+    // Common-Crawl host-centrality quality weight.
+    "q104_host_quality" -> ((s, dir) => {
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-pr-q104").toString
+      operators.Graph.hostQualityWeights(documents(s, dir),
+        lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet"),
+        checkpointDir = Some(cp))
+    }),
     // The DISTRIBUTED k-means codebook graded directly: corpus→cell
     // assignment under centroids trained with zero driver-side
     // sample collect (per-cell sums fold on executors; k rows to the
@@ -789,6 +801,7 @@ object SparkEntry {
     "q98_containment" -> OracleSql.containmentDedup,
     "q99_pagerank" -> OracleSql.pageRank,
     "q103_ivf_cells" -> OracleSql.ivfCells,
+    "q104_host_quality" -> OracleSql.hostQualityWeights,
     "q106_ann_pq" -> OracleSql.annPq,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,

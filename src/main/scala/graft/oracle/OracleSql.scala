@@ -340,8 +340,77 @@ FROM c WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= $thr"""
   SELECT src AS node, 1.0 / n.n AS rank FROM deg, n
 ), $iters
 SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
-       node // 2 AS key, rank
+       node // 2 AS key,
+       round(rank, ${graft.operators.Graph.RankRoundDigits}) AS rank
 FROM r$PageRankIters"""
+  }
+
+  /** Mirror of [[graft.operators.Graph.hostQualityWeights]] (q104):
+    * directed customer→supplier edges, [[graft.operators.Graph.DirectedIters]]
+    * unrolled iterations of the dangling-mass update
+    * rₖ₊₁ = (1−d)/N + d·(Σ rₖ/deg + Dₖ/N) with Dₖ the summed rank of
+    * the out-degree-0 sinks, supplier hosts densely indexed by
+    * row_number, and the Knuth-hash document→host assignment
+    * ([[graft.operators.Sampling.mixedSql]]). Output ranks rounded to
+    * [[graft.operators.Graph.RankRoundDigits]] in BOTH engines —
+    * chained-iteration double summation is order-sensitive and the
+    * rounding pins the compare (same contract as q99). */
+  def hostQualityWeights: String = {
+    import graft.operators.Graph.{Damping, DirectedIters, OneMinusDamping, RankRoundDigits}
+    // r_k feeds BOTH the dangling sum and the contribution join —
+    // every CTE here is MATERIALIZED or DuckDB's inlining doubles the
+    // plan per unrolled iteration (2^k base-table scans blew the
+    // open-file limit at k = 10)
+    def iterCte(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r$k JOIN dang USING (node)
+), c$k AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank / dg.deg) AS mass
+  FROM edges e
+  JOIN r$k r ON e.src = r.node
+  JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r${k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         $OneMinusDamping / n.n + $Damping *
+           (COALESCE(c.mass, 0.0) + d.dm / n.n) AS rank
+  FROM nodes CROSS JOIN n CROSS JOIN d$k d
+  LEFT JOIN c$k c ON nodes.node = c.node
+)"""
+    val iters = (0 until DirectedIters).map(iterCte).mkString(", ")
+    s"""WITH co AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM co
+), deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), n AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), dang AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)
+), r0 AS (
+  SELECT node, 1.0 / n.n AS rank FROM nodes, n
+), $iters, hosts AS (
+  SELECT node // 2 AS host_key,
+         round(rank, $RankRoundDigits) AS host_rank
+  FROM r$DirectedIters WHERE node % 2 = 1
+), hidx AS (
+  SELECT host_key,
+         CAST(row_number() OVER (ORDER BY host_key) - 1 AS BIGINT) AS idx
+  FROM hosts
+), h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS h FROM hosts
+)
+SELECT d.doc_id, hi.host_key, ho.host_rank
+FROM (SELECT doc_id, ${graft.operators.Sampling.mixedSql("doc_id")} % h.h AS idx
+      FROM documents, h) d
+JOIN hidx hi USING (idx)
+JOIN hosts ho USING (host_key)"""
   }
 
   /** Mirror of [[graft.operators.Bpe.mergeTable]] (q100): the same

@@ -50,4 +50,99 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     assert(ranks.length == 4)
     ranks.foreach(r => assert(math.abs(r - 0.25) < 1e-12))
   }
+
+  test("directed kernel: dangling-mass redistribution conserves " +
+      "probability mass; equals a hand-rolled reference") {
+    import spark.implicits._
+    // chain + sink: 1→2, 1→3, 2→3 (node 3 is dangling)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val (pr, handle) = Graph.pageRankDirectedWithHandle(edges, iters = 4)
+    val got = pr.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    try {
+      // without the dangling term this graph LEAKS node 3's mass every
+      // iteration; with it, ranks must stay a probability vector
+      assert(math.abs(got.values.sum - 1.0) < 1e-12,
+        s"mass sum ${got.values.sum}")
+      // hand-rolled synchronous reference
+      val d = Graph.Damping
+      var r = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+      for (_ <- 1 to 4) {
+        val dm = r(3L)
+        r = Map(
+          1L -> ((1 - d) / 3 + d * (0.0 + dm / 3)),
+          2L -> ((1 - d) / 3 + d * (r(1L) / 2 + dm / 3)),
+          3L -> ((1 - d) / 3 + d * (r(1L) / 2 + r(2L) / 1 + dm / 3)))
+      }
+      got.foreach { case (n, v) =>
+        assert(math.abs(v - r(n)) < 1e-12, s"node $n: $v vs ${r(n)}")
+      }
+      // the sink absorbs the chain: strictly the largest rank
+      assert(got(3L) > got(2L) && got(2L) > got(1L))
+    } finally handle.release()
+  }
+
+  test("directed kernel: delta early stop halts at the tolerance and " +
+      "matches the fixed-iteration run of the stopped-at count") {
+    import spark.implicits._
+    // small graph so convergence (delta ratio ≈ 0.25/iter here)
+    // triggers in a handful of rounds; the sf0.001 co-purchase graph
+    // contracts at ≈ 0.8/iter and needs ~30 rounds to cross 1e-4 —
+    // measured, which is exactly why tol is a knob, not a default
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    var rounds = List.empty[(Int, Double)]
+    val (pr, h1) = Graph.pageRankDirectedWithHandle(edges, iters = 20,
+      tol = 1e-3, onRound = (i, d) => rounds ::= (i, d))
+    val stopped = pr.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    h1.release()
+    val deltas = rounds.reverse
+    // the tolerance must genuinely trigger before the cap, with every
+    // earlier round above it (the stop fires at the FIRST crossing)
+    assert(deltas.size < 20, s"no early stop in ${deltas.size} rounds")
+    assert(deltas.last._2 < 1e-3)
+    assert(deltas.dropRight(1).forall(_._2 >= 1e-3))
+    val (pr2, h2) = Graph.pageRankDirectedWithHandle(edges,
+      iters = deltas.size, tol = 0.0)
+    val fixed = pr2.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    h2.release()
+    assert(stopped.keySet == fixed.keySet)
+    stopped.foreach { case (n, v) =>
+      assert(math.abs(v - fixed(n)) < 1e-12, s"node $n diverged")
+    }
+  }
+
+  test("directed kernel: checkpoint cadence does not change results " +
+      "(content invariance at every-iteration vs never-within-k)") {
+    import spark.implicits._
+    val edges = Graph.directedEdges(lineitem, orders)
+    val (a, ha) = Graph.pageRankDirectedWithHandle(edges, iters = 6,
+      checkpointEvery = 1)
+    val (b, hb) = Graph.pageRankDirectedWithHandle(edges, iters = 6,
+      checkpointEvery = 100)
+    val ma = a.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mb = b.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ha.release(); hb.release()
+    assert(ma.keySet == mb.keySet)
+    // localCheckpoint materializes the same doubles the lineage
+    // recomputes — identical bits either way
+    ma.foreach { case (n, v) => assert(v == mb(n), s"node $n") }
+  }
+
+  test("host quality weights: every document lands on an existing " +
+      "host and carries that host's rank") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Graph.hostQualityWeights(docs, lineitem, orders).collect()
+    assert(out.length == docs.count())
+    val hostRanks = out.map(r =>
+      r.getAs[Long]("host_key") -> r.getAs[Double]("host_rank")).toMap
+    // hosts are the supplier nodes of the directed graph
+    val suppliers = Graph.directedEdges(lineitem, orders)
+      .select("dst").distinct().collect()
+      .map(r => (r.getLong(0) - 1) / 2).toSet
+    assert(hostRanks.keySet.subsetOf(suppliers))
+    hostRanks.values.foreach(v => assert(v > 0))
+  }
 }
