@@ -111,6 +111,91 @@ object Bpe {
     out.result()
   }
 
+  /** Batched variant of [[trainMerges]] — the distributed-BPE trick
+    * for realistic merge counts: per STEP, accept up to `batchSize`
+    * pairs in the serial argmax order that are count-invariant under
+    * the batch's earlier acceptances, and apply the whole batch in
+    * one vocabulary pass.
+    *
+    * The exact invariance condition (not blanket symbol
+    * disjointness): merging (a,b)→m destroys only occurrences of
+    * pairs (·,a) and (b,·) and creates only pairs containing m — so
+    * candidate (l,r) is deferred iff for some earlier acceptance
+    * r = a, or l = b, or l = m, or r = m. Sharing a RIGHT symbol
+    * ((e,r) then (o,r)) or a LEFT symbol ((e,r) then (e,s)) is
+    * harmless and accepted. Every recorded pair_count is therefore
+    * the TRUE corpus count at that merge's own substep
+    * (BpeSpec replays the batched order through a naive
+    * recount-per-substep simulator and pins the equality), and
+    * batchSize = 1 reproduces [[trainMerges]] exactly.
+    *
+    * What batching genuinely changes: the serial argmax also sees
+    * pairs CREATED mid-batch, and a created pair can outscore the
+    * batch's later acceptances. Measured on the fixture: serial's
+    * step 6/7 are (a,r)=1873 then its own derivative (p,ar)=1873,
+    * which no batch-start selection can contain — batched picks
+    * (m,er)=1824 instead. That is the standard, accepted deviation
+    * of every batched-BPE implementation; the trade is the step
+    * count — the serial trainer's scale axis, one pair-count job +
+    * one argmax per merge — dropping ≈ batchSize×: a 30k-merge
+    * vocabulary at batchSize 256 is ~120 Spark jobs instead of 30k
+    * (ladder row in BASELINE.md). The candidate prefix collected per
+    * step is 4·batchSize rows (driver-bounded like the argmax); a
+    * heavily-conflicting prefix just yields a smaller batch —
+    * correct, merely less parallel. The graded q100/q101 stay on the
+    * serial trainer. */
+  def trainMergesBatched(docs: DataFrame, numMerges: Int = NumMerges,
+      batchSize: Int = 8): Seq[Merge] = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var v = vocab(docs).persist(level)
+    var prev: DataFrame = null
+    def releasePrev(): Unit =
+      if (prev != null) { prev.unpersist(); prev = null }
+    val out = Seq.newBuilder[Merge]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - step)
+      val top = pairCounts(v)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(want * 4).collect()
+      releasePrev()
+      if (top.isEmpty) exhausted = true
+      else {
+        // invariance sets: lefts (a), rights (b), merged (m) of the
+        // batch's acceptances — see the scaladoc's exact condition
+        val lefts = scala.collection.mutable.Set.empty[String]
+        val rights = scala.collection.mutable.Set.empty[String]
+        val merged = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[Merge]
+        var n = 0
+        top.foreach { row =>
+          val l = row.getAs[String]("l")
+          val r = row.getAs[String]("r")
+          if (n < want && !lefts(r) && !rights(l) &&
+              !merged(l) && !merged(r)) {
+            batch += Merge(step + n, l, r, l + r,
+              row.getAs[Long]("c"))
+            lefts += l; rights += r; merged += (l + r)
+            n += 1
+          }
+        }
+        val merges = batch.result()
+        out ++= merges
+        prev = v
+        val folded = merges.foldLeft(col("syms")) { (c, m) =>
+          mergePass(c, m.left_sym, m.right_sym)
+        }
+        v = v.select(col("word"), col("cnt"), folded.as("syms"))
+          .persist(level)
+        step += merges.size
+      }
+    }
+    v.unpersist()
+    releasePrev()
+    out.result()
+  }
+
   /** The graded merge table (q100): one row per learned merge. The
     * frame is driver-local by nature — the RESULT of the distributed
     * training loop is [[NumMerges]] rows, like a centroid table. */
@@ -140,9 +225,24 @@ object Bpe {
     * the distinct-word VOCABULARY (tiny), and the corpus then
     * broadcast-joins word → token count — the fold never executes
     * per word occurrence, so tokenizing 100 TB costs one broadcast
-    * join over the already-exploded words plus a per-doc sum. */
+    * join over the already-exploded words plus a per-doc sum.
+    *
+    * Broadcast threshold: the word→count table is (word, long) ≈
+    * word bytes + 8 per row — ~10⁷ distinct words (a curated corpus)
+    * is ~150 MB, comfortably broadcastable; a raw WEB-scale tail
+    * (URLs, typos, hashes) can push distinct words past 10⁸–10⁹
+    * rows, where the broadcast build would dominate or OOM the
+    * executors. `broadcastVocab = false` is the fallback: the same
+    * join as a shuffle hash join (one extra exchange of the exploded
+    * word stream — row-identical output, BpeSpec-pinned). At 100 TB,
+    * pre-filtering the vocab to words the corpus partition actually
+    * contains changes nothing here (it is already the corpus's own
+    * vocab); the real lever is that rare-word token counts can also
+    * be computed word-locally (len after folds), so a deployment can
+    * split the vocab at a frequency cutoff and broadcast only the
+    * head. */
   def segmentCounts(docs: DataFrame,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], broadcastVocab: Boolean = true): DataFrame = {
     val folded = merges.foldLeft(col("syms")) { (c, m) =>
       mergePass(c, m.left_sym, m.right_sym)
     }
@@ -151,7 +251,7 @@ object Bpe {
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .join(broadcast(wordToks), "word")
+      .join(if (broadcastVocab) broadcast(wordToks) else wordToks, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
   }

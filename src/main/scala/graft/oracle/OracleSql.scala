@@ -472,10 +472,18 @@ GROUP BY d.doc_id"""
 ), b$i AS (
   SELECT l, r, l || r AS merged, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
 )"""
+      // LEFT JOIN ON TRUE + NULL-guarded CASE: when training exhausts
+      // before NumMerges steps, b_i is EMPTY — a plain cross join
+      // would empty every later m and the q101 oracle would return 0
+      // rows while Spark still counts tokens under the fewer learned
+      // merges; the guard passes the prior symbols through unchanged
+      // (exactly what an exhausted serial trainer does)
       if (i < steps - 1 || includeFinalApply)
         ctes += s"""m${i + 1} AS (
-  SELECT word, cnt, ${fold(s"b$i.l", s"b$i.r", s"b$i.merged")} AS syms
-  FROM m$i, b$i
+  SELECT word, cnt,
+         CASE WHEN b.l IS NULL THEN syms
+              ELSE ${fold("b.l", "b.r", "b.merged")} END AS syms
+  FROM m$i LEFT JOIN b$i b ON TRUE
 )"""
     }
     ctes.result().mkString(",\n")

@@ -99,4 +99,107 @@ class BpeSpec extends AnyFunSuite with SparkSessionSpec {
     val merges = Bpe.trainMerges(docs, 5)
     assert(merges.isEmpty)
   }
+
+  test("batched trainer at batchSize 1 == serial trainer exactly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val serial = Bpe.trainMerges(docs, Bpe.NumMerges)
+    val batched = Bpe.trainMergesBatched(docs, Bpe.NumMerges,
+      batchSize = 1)
+    assert(batched == serial)
+  }
+
+  test("batched trainer: every recorded pair_count is the TRUE corpus " +
+      "count at its own substep (invariance rule holds)") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty).toSeq
+    for (bs <- Seq(2, 4, 8)) {
+      val merges = Bpe.trainMergesBatched(docs, Bpe.NumMerges, bs)
+      assert(merges.size == Bpe.NumMerges)
+      // replay the batched order through a naive simulator,
+      // recounting BEFORE each apply — the serial-recount semantics;
+      // the invariance rule promises batch-start counts equal these
+      var corpus: Map[List[String], Long] = words
+        .groupBy(identity).map { case (w, ws) =>
+          w.map(_.toString).toList -> ws.size.toLong
+        }
+      merges.foreach { m =>
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        corpus.foreach { case (syms, cnt) =>
+          syms.zip(syms.tail).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + cnt
+          }
+        }
+        assert(counts.getOrElse((m.left_sym, m.right_sym), 0L) ==
+          m.pair_count,
+          s"bs=$bs step ${m.step} (${m.left_sym},${m.right_sym}): " +
+            s"recorded ${m.pair_count} vs true " +
+            s"${counts.getOrElse((m.left_sym, m.right_sym), 0L)}")
+        corpus = corpus.groupMapReduce { case (syms, _) =>
+          syms.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == m.left_sym &&
+                x == m.right_sym) acc.init :+ m.merged
+            else acc :+ x
+          }
+        }(_._2)(_ + _)
+      }
+    }
+  }
+
+  test("batched trainer shares the serial prefix until a mid-batch-" +
+      "created pair outscores (the documented deviation)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val serial = Bpe.trainMerges(docs, Bpe.NumMerges)
+    val batched = Bpe.trainMergesBatched(docs, Bpe.NumMerges,
+      batchSize = 4)
+    // the refined invariance rule accepts serial's whole first batch
+    // (er, or, in, ow — right-symbol sharing is NOT a conflict), so
+    // steps 0..6 agree; step 7 diverges exactly because serial's pick
+    // (p, ar) is created by step 6's own (a, r) merge
+    val key = (m: Bpe.Merge) => (m.left_sym, m.right_sym, m.pair_count)
+    assert(batched.take(7).map(key) == serial.take(7).map(key))
+    assert(serial(7).left_sym == "p" && serial(7).right_sym == "ar")
+    assert(batched(7) != serial(7))
+  }
+
+  test("batched trainer: disjointness guard defers conflicting pairs " +
+      "instead of merging them blind") {
+    import spark.implicits._
+    // 'a b' dominates; ('b','c') shares b with it and must NOT join
+    // ('a','b') in the same batch even at batchSize 2 — serial would
+    // recount ('b','c') AFTER 'ab' fusions removed most occurrences
+    val docs = Seq((1L, ("ab " * 6) + ("abc " * 3))).toDF("doc_id", "text")
+    val serial = Bpe.trainMerges(docs, 2)
+    val batched = Bpe.trainMergesBatched(docs, 2, batchSize = 2)
+    assert(batched == serial)
+    // and the second merge is NOT (b,c): after (a,b)->ab, the corpus
+    // has 'ab' and 'ab|c', so the true next pair is (ab, c)
+    assert(serial(1).left_sym == "ab" && serial(1).right_sym == "c")
+  }
+
+  test("batched trainer stops early like the serial one") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // one learnable merge, then exhaustion
+    val merges = Bpe.trainMergesBatched(docs, 5, batchSize = 4)
+    assert(merges.map(m => (m.left_sym, m.right_sym)) == Seq(("a", "b")))
+  }
+
+  test("segmentCounts shuffle-join fallback is row-identical to the " +
+      "broadcast form") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val merges = Bpe.trainMerges(docs, 4)
+    val bc = Bpe.segmentCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sj = Bpe.segmentCounts(docs, merges, broadcastVocab = false)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bc == sj)
+  }
 }
