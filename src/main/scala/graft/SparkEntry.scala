@@ -574,6 +574,54 @@ object SparkEntry {
     // else's occurrences are interval-merged and cut from the text.
     "q102_span_removal" -> ((s, dir) =>
       operators.Dedup.removeDuplicatedSpans(documents(s, dir))),
+    // The STREAMING preprocessing funnel graded end to end (q92
+    // precedent): the corpus arrives as three ascending doc_id-range
+    // parquet waves through a file stream (ordered replay = the
+    // streaming dedup's first-arrival-wins state matches the batch
+    // min-id canonical), the row-local gates + stateful exact-dedup
+    // and the near-dup pair stream run as two real streaming queries,
+    // and the checkpoint finalize must hash-match the BATCH funnel's
+    // oracle row (q36's SQL, verbatim).
+    "q105_stream_funnel" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-funnel-q105").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      // distinct ascending mtimes pin the file-source processing
+      // order (the source sorts by modification time) — arrival order
+      // IS the parity contract, so it must not hang on write timing
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      Seq("graft_q105_flags", "graft_q105_pairs")
+        .foreach(s.catalog.dropTempView(_))
+      val qf = streaming.StreamingFunnel.docFlags(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cpf")
+        .format("memory").queryName("graft_q105_flags").start()
+      val qp = streaming.StreamingDedup.nearDupPairs(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cpp")
+        .format("memory").queryName("graft_q105_pairs").start()
+      try { qf.processAllAvailable(); qp.processAllAvailable() }
+      finally { qf.stop(); qp.stop() }
+      streaming.StreamingFunnel.finalizeCounts(
+        s.table("graft_q105_flags"), s.table("graft_q105_pairs"))
+    }),
     // Directed PageRank as a CURATION operator: dangling-mass kernel
     // over the customer→supplier graph (every supplier a sink),
     // k=10 with reliable checkpoints every 5 iterations, host ranks
@@ -802,6 +850,7 @@ object SparkEntry {
     "q99_pagerank" -> OracleSql.pageRank,
     "q103_ivf_cells" -> OracleSql.ivfCells,
     "q104_host_quality" -> OracleSql.hostQualityWeights,
+    "q105_stream_funnel" -> OracleSql.pipelineFunnel,
     "q106_ann_pq" -> OracleSql.annPq,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
