@@ -353,6 +353,14 @@ object ScaleProbe {
             slice(col("v"), lit(1), rot)).as("v"))
         .withColumn("norm", sqrt(aggregate(
           transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        // the broadcast crossJoin preserves the parquet read's ONE
+        // input partition, so every row-local stage downstream of the
+        // replicated corpus was running single-threaded until its
+        // first shuffle (measured: the 100× semdedup corpus→cell
+        // assignment, n·k·dim multiply-adds, on one core). A 100 TB
+        // corpus is never one partition — spread the harness input so
+        // the ladder measures the operator, not the harness
+        .repartition(col("vec_id"))
     }
     factors.foreach { factor =>
       val copies = spark.range(factor).select(col("id").as("copy"))
@@ -408,6 +416,41 @@ object ScaleProbe {
       // the curve must track the corpus, never the pair quadrant
       if (wanted("containment")) {
         time(factor, "containment")(Dedup.containmentPairs(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // span removal at BOTH strides: stride=4 is the graded sampled
+      // config (1/stride the span rows, phase-sensitive), stride=1
+      // the exact Lee-et-al. configuration (every position sampled) —
+      // the measured multiplier between the two curves is the price
+      // of exactness, recorded in BASELINE.md next to the
+      // phase-coverage bound
+      if (wanted("span_removal")) {
+        time(factor, "span_removal")(Dedup.removeDuplicatedSpans(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      if (wanted("span_removal_s1")) {
+        time(factor, "span_removal_s1")(
+          Dedup.removeDuplicatedSpans(docs, stride = 1))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // BPE at a REALISTIC merge count: the batched trainer's step
+      // count (256/batchSize pair-count jobs) is the axis that makes
+      // a 30k-merge vocabulary affordable; the serial twin at the
+      // same merge count is gated separately — it is 256 sequential
+      // argmax jobs BY CONSTRUCTION and exists to measure the
+      // batching speedup, not to scale
+      if (wanted("bpe256_batched")) {
+        timeAction(factor, "bpe256_batched") {
+          val m = graft.operators.Bpe.trainMergesBatched(docs, 256, 32)
+          println(s"[scale-heavy] ${factor}x bpe256_batched " +
+            s"merges=${m.size}")
+        }
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      if (wanted("bpe256_serial")) {
+        timeAction(factor, "bpe256_serial") {
+          graft.operators.Bpe.trainMerges(docs, 256)
+        }
         spark.catalog.clearCache(); docs.persist(); docs.count()
       }
       // BPE: the vocabulary is replication-invariant (copysalt<N> are
@@ -483,7 +526,7 @@ object ScaleProbe {
       // PageRank: `factor` disjoint copies of the co-purchase graph —
       // every iteration joins the once-shuffled persisted edge frame,
       // so the curve must be linear in |E| with no per-iteration bend
-      if (wanted("pagerank")) {
+      if (wanted("pagerank") || wanted("pagerank_k10")) {
         val liPr = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .crossJoin(copies)
           .select(
@@ -494,8 +537,19 @@ object ScaleProbe {
           .select(
             (col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
             (col("o_custkey") * factor + col("copy")).as("o_custkey"))
-        time(factor, "pagerank")(
-          graft.operators.Graph.pageRank(liPr, orPr))
+        if (wanted("pagerank"))
+          time(factor, "pagerank")(
+            graft.operators.Graph.pageRank(liPr, orPr))
+        // the DIRECTED kernel at k=10 with its checkpoint cadence:
+        // what this rung proves is bounded lineage at deep k — the
+        // per-iteration cost must stay the rank-vector join (linear
+        // in the factor, ~flat per iteration), with the every-5
+        // checkpoint keeping each round's plan constant-size instead
+        // of a 10-join-deep tree
+        if (wanted("pagerank_k10"))
+          time(factor, "pagerank_k10")(
+            graft.operators.Graph.pageRankDirected(
+              graft.operators.Graph.directedEdges(liPr, orPr)))
         spark.catalog.clearCache()
       }
       // retrieval-eval rung (q85/q86 at scale, over the persisted

@@ -734,13 +734,21 @@ object Dedup {
     * once per document over ≤ len/stride positions, not in any
     * per-token hot path.
     *
-    * Phase caveat (shared with every stride-sampled member): two
-    * copies of a run only share sampled spans when their start
-    * offsets are congruent mod `stride` — `stride = 1` is the exact
-    * Lee-et-al. configuration (every position sampled, stride× the
-    * span rows); the default trades that for 1/stride the volume,
-    * which aligned-duplicate corpora (mirrored pages, boilerplate
-    * headers at position 0) satisfy. */
+    * Phase caveat, QUANTIFIED (shared with every stride-sampled
+    * member): two copies of a duplicated run share sampled spans only
+    * when their start offsets are congruent mod `stride`, so under
+    * independent uniform offsets a cross-doc duplicate is DETECTED
+    * with probability exactly 1/stride (default stride 4 ⇒ 25% of
+    * unaligned duplicate pairs; a detected run is then cut in full,
+    * so the miss mode is all-or-nothing per pair, never partial
+    * trimming). Aligned-duplicate corpora (mirrored pages,
+    * boilerplate headers at position 0) are detected with
+    * probability 1 at any stride. `stride = 1` is the exact
+    * Lee-et-al. configuration — every position sampled, detection
+    * probability 1 — at stride× the span rows through the one hash
+    * exchange; the measured cost multiplier at 10×/50× corpus scale
+    * is recorded in BASELINE.md (span_removal vs span_removal_s1
+    * ladder rows). */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = DupSpanK,
       stride: Int = DupSpanStride): DataFrame =
     removeDuplicatedSpansWithHandle(docs, k, stride)._1

@@ -344,7 +344,14 @@ object Similarity {
     * k×(dim+1) centroid sums. */
   private[operators] def trainCentroidsDistributed(sample0: DataFrame,
       iters: Int, numCentroids: Int = NumCentroids): Array[Array[Double]] = {
+    // hash-spread the minibatch BEFORE persisting: the sample usually
+    // arrives as a filter of a few input partitions (measured 1
+    // partition at ladder scale — the per-iteration assignment, k·dim
+    // multiply-adds per row, ran single-threaded at 2.2 s/iteration
+    // for an 800-centroid codebook). Partitioning does not touch the
+    // result: the per-cell fold re-sorts members by vec_id
     val sample = sample0.select(col("vec_id"), col("v"), col("norm"))
+      .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = sample.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -355,7 +362,7 @@ object Similarity {
       val assign = element_at(Bridge.column(
         org.apache.spark.sql.graft.NearestCentroids(
           Bridge.expression(col("v")), Bridge.expression(col("norm")),
-          cents.flatten.toSeq, cnorms.toSeq, cents.indices.toSeq, 1)), 1)
+          cents.flatten, cnorms, cents.indices.toArray, 1)), 1)
       cents = reduceCellSums(
         sample.filter(col("norm") > 0.0)
           .select(col("vec_id"), col("v"), assign.as("cell")),
@@ -374,7 +381,9 @@ object Similarity {
     * which is exactly what PQ must preserve). */
   private[operators] def trainCentroidsL2Distributed(sample0: DataFrame,
       iters: Int, numCentroids: Int, dim: Int): Array[Array[Double]] = {
+    // same hash-spread as [[trainCentroidsDistributed]]
     val sample = sample0.select(col("vec_id"), col("v"))
+      .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = sample.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -382,7 +391,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val assign = Bridge.column(
         org.apache.spark.sql.graft.NearestCentroidL2(
-          Bridge.expression(col("v")), cents.flatten.toSeq, dim))
+          Bridge.expression(col("v")), cents.flatten, dim))
       cents = reduceCellSums(
         sample.select(col("vec_id"), col("v"), assign.as("cell")),
         cents, dim)
@@ -397,11 +406,12 @@ object Similarity {
     * 0..NumCentroids−1). */
   private def codebook(emb: DataFrame, iters: Int,
       numCentroids: Int = NumCentroids,
-      trainSample: Int = TrainSample): (Seq[Double], Seq[Double], Seq[Int]) = {
+      trainSample: Int = TrainSample)
+      : (Array[Double], Array[Double], Array[Int]) = {
     val cents = trainCentroidsDistributed(
       emb.filter(col("vec_id") < trainSample), iters, numCentroids)
     val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-    (cents.toSeq.flatMap(_.toSeq), cnorms.toSeq, cents.indices)
+    (cents.flatten, cnorms, cents.indices.toArray)
   }
 
   /** Corpus→cell assignment under the trained codebook — exposed so
@@ -890,7 +900,7 @@ object Similarity {
       books.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)).toSeq)
     def code(m: Int): Column = Bridge.column(
       org.apache.spark.sql.graft.NearestCentroidL2(
-        Bridge.expression(sub(col("v"), m)), books(m).flatten.toSeq,
+        Bridge.expression(sub(col("v"), m)), books(m).flatten,
         PqSubDim))
     // the encoded corpus: 4 codes + the approximate norm — the frame
     // a deployment persists in place of the raw vectors

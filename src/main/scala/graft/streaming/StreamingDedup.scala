@@ -156,8 +156,15 @@ object StreamingDedup {
     * emissions stand: the batch rule judges a shingle by its FINAL
     * document frequency, so a pair first seen through a shingle that
     * later turns hot is kept here iff it also shares a still-rare
-    * shingle in batch — on real corpora a containment pair shares
-    * many rare shingles, which is what the parity spec pins. */
+    * shingle in batch. The precise contract is therefore SUPERSET,
+    * not parity: a pair whose shared shingles ALL end hot (final
+    * df > cap) appears in this stream but never in batch — batch
+    * suppresses it as boilerplate, streaming had already spoken. On
+    * real corpora a containment pair shares many rare shingles and
+    * the sets coincide (the fixture-parity spec pins exactly that,
+    * on the fixture); a consumer needing strict batch equality must
+    * re-verify emissions against final dfs at a checkpoint, or
+    * defer emission until the watermark closes the bucket. */
   final case class ShingleBucket(closed: Boolean, members: List[BucketDoc])
 
   final case class ContainmentPair(doc_a: Long, doc_b: Long,

@@ -560,17 +560,24 @@ object IvfOps {
   * codebook is always driver-sized, so assignment is row-local with
   * ZERO shuffle of the corpus. */
 case class NearestCentroids(left: Expression, right: Expression,
-    cents: Seq[Double], cnorms: Seq[Double], ids: Seq[Int], k: Int)
+    cents: Array[Double], cnorms: Array[Double], ids: Array[Int], k: Int)
   extends BinaryExpression with ExpectsInputTypes {
+  // codebook constants are ARRAYS on purpose: case-class equality on
+  // arrays is reference equality, so Catalyst tree
+  // canonicalization/hashing stays O(1) in the codebook size — with
+  // Seq fields every analyzer pass hashed all k*dim doubles, which
+  // measured ~4.5 s/iteration of pure planning at an 800-centroid
+  // SemDedup-scale codebook (the distributed trainer builds one such
+  // plan per Lloyd iteration)
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType, containsNull = false), DoubleType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
 
-  private lazy val centArr = cents.toArray
-  private lazy val cnormArr = cnorms.toArray
-  private lazy val idArr = ids.toArray
+  private def centArr = cents
+  private def cnormArr = cnorms
+  private def idArr = ids
 
   override def nullSafeEval(v: Any, n: Any): Any =
     IvfOps.nearestCentroids(
@@ -627,16 +634,17 @@ object PqOps {
   * (and the assignment step of the distributed L2 k-means trainer).
   * Row-local with ZERO shuffle of the corpus — a PQ codebook is
   * always driver-sized (k·subDim doubles). */
-case class NearestCentroidL2(child: Expression, cents: Seq[Double],
+case class NearestCentroidL2(child: Expression, cents: Array[Double],
     dim: Int)
   extends UnaryExpression with ExpectsInputTypes {
+  // Array (not Seq) for O(1) tree equality — see [[NearestCentroids]]
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType, containsNull = false))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid_l2"
 
-  private lazy val centArr = cents.toArray
+  private def centArr = cents
 
   override def nullSafeEval(v: Any): Any =
     PqOps.nearestL2(
