@@ -190,6 +190,28 @@ class BpeSpec extends AnyFunSuite with SparkSessionSpec {
     assert(merges.map(m => (m.left_sym, m.right_sym)) == Seq(("a", "b")))
   }
 
+  test("deep merge counts survive the analyzer knee: 64 merges train " +
+      "and apply without lineage blowup") {
+    // regression for the measured exponential analysis blowup: the
+    // un-checkpointed loop was 0.38 s/step at depth 8, 25 s at depth
+    // 16, heap-dead by ~20 — with LineageCheckpointEvery this must
+    // run flat and finish
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMergesBatched(docs, 64, batchSize = 16)
+    assert(merges.size == 64)
+    // apply-side: chunked folds over the vocab at the same depth
+    val counts = Bpe.segmentCounts(docs, merges).collect()
+    assert(counts.length == docs.count())
+    // deeper tokenizer => fewer or equal tokens per doc than the
+    // 4-merge tokenizer
+    val shallow = Bpe.segmentCounts(docs, Bpe.trainMerges(docs, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    counts.foreach { r =>
+      assert(r.getLong(2) <= shallow(r.getLong(0)))
+    }
+  }
+
   test("segmentCounts shuffle-join fallback is row-identical to the " +
       "broadcast form") {
     val docs = spark.read
