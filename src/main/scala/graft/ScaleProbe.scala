@@ -546,10 +546,19 @@ object ScaleProbe {
         // in the factor, ~flat per iteration), with the every-5
         // checkpoint keeping each round's plan constant-size instead
         // of a 10-join-deep tree
-        if (wanted("pagerank_k10"))
+        if (wanted("pagerank_k10")) {
+          val t0 = System.nanoTime()
+          var last = t0
           time(factor, "pagerank_k10")(
-            graft.operators.Graph.pageRankDirected(
-              graft.operators.Graph.directedEdges(liPr, orPr)))
+            graft.operators.Graph.pageRankDirectedWithHandle(
+              graft.operators.Graph.directedEdges(liPr, orPr),
+              onRound = (i, _) => {
+                val now = System.nanoTime()
+                println(f"[scale-heavy]   ${factor}%4dx   pr_k10 round $i%2d " +
+                  f"${(now - last) / 1e9}%6.2f s (cum ${(now - t0) / 1e9}%6.2f)")
+                last = now
+              })._1)
+        }
         spark.catalog.clearCache()
       }
       // retrieval-eval rung (q85/q86 at scale, over the persisted

@@ -160,10 +160,13 @@ object Graph {
     * Scale design (100 TB): same discipline as [[pageRankWithHandle]]
     * — the edge frame is shuffled onto `src` ONCE and persisted,
     * every iteration moves only the |V|-row rank vector, contribution
-    * sums partial-aggregate map-side, and N and Dₖ are
-    * broadcast-scalar one-row frames (never a driver collect; Dₖ is
-    * the only per-iteration aggregate, a sum over the static
-    * `dangling` node set). Lineage control for deep k: every
+    * sums partial-aggregate map-side, and N is a broadcast-scalar
+    * one-row frame. Dₖ (a sum over the static `dangling` node set) is
+    * the one per-iteration one-row scalar brought to the driver — the
+    * BPE-argmax contract: that job doubles as the round's
+    * materializing action on the persisted rank vector, so each
+    * iteration executes exactly once and the superseded vector's
+    * cache releases immediately. Lineage control for deep k: every
     * `checkpointEvery` iterations the rank frame checkpoints —
     * reliable `checkpoint()` when `checkpointDir` is set (survives
     * executor loss; the q42 convention), `localCheckpoint()`
@@ -202,22 +205,39 @@ object Graph {
         .persist(level)
       var ranks = nodes.crossJoin(nRow)
         .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+        .persist(level)
+      var ranksIsChk = false
+      // superseded persisted rank frame — released only after the
+      // round built on it has materialized, so every iteration's join
+      // reads its predecessor cache-hot
+      var doomed: DataFrame = null
       var prevChk: DataFrame = null
-      var prevPersist: DataFrame = null
       var iter = 0
       var converged = false
       while (iter < iters && !converged) {
-        val dm = broadcast(ranks.join(dangling, "node")
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+        // Dₖ as an eager one-row scalar (the BPE-argmax driver
+        // contract): the job that computes it is ALSO the round's
+        // materializing action, populating rₖ's cache so each
+        // iteration's join work executes exactly once. The earlier
+        // lazy broadcast-frame Dₖ deferred all execution to the
+        // checkpoint, and each round's Dⱼ subquery then re-executed
+        // the whole since-checkpoint lineage — a recompute cascade
+        // quadratic in the checkpoint cadence (measured 150 s at the
+        // 10× k=10 ladder rung; linear after this fix)
+        val dmVal = ranks.join(dangling, "node")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          .head.getDouble(0)
+        // rₖ is materialized now — its predecessor's cache can go
+        if (doomed != null) { doomed.unpersist(); doomed = null }
         val contrib = ew
           .join(ranks, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("mass"))
-        var next = nodes.crossJoin(nRow).crossJoin(dm)
+        var next = nodes.crossJoin(nRow)
           .join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(OneMinusDamping) / col("n") + lit(Damping) *
-              (coalesce(col("mass"), lit(0.0)) + col("dm") / col("n")))
+              (coalesce(col("mass"), lit(0.0)) + lit(dmVal) / col("n")))
               .as("rank"))
         iter += 1
         if (iter % checkpointEvery == 0) {
@@ -227,25 +247,35 @@ object Graph {
           if (prevChk != null) Bridge.releaseCheckpoint(prevChk)
           prevChk = c
           next = c
+          if (!ranksIsChk) doomed = ranks
+          ranksIsChk = true
+        } else {
+          // rₖ₊₁ materializes at the next round's Dₖ job (or, on the
+          // final round, at the caller's action — `doomed` then rides
+          // out in the release handle)
+          next = next.persist(level)
+          if (!ranksIsChk) doomed = ranks
+          ranksIsChk = false
         }
         var delta = Double.NaN
         if (tol > 0) {
-          // the convergence probe is also the round's materializing
-          // action: persist `next` so the probe and the next round
-          // read one computation
-          if (iter % checkpointEvery != 0) next = next.persist(level)
           delta = next
             .join(ranks.select(col("node"), col("rank").as("prev")),
               "node")
             .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
-          if (prevPersist != null) prevPersist.unpersist()
-          prevPersist = if (iter % checkpointEvery != 0) next else null
+          if (doomed != null) { doomed.unpersist(); doomed = null }
           if (delta < tol) converged = true
         }
         onRound(iter, delta)
         ranks = next
       }
-      (ranks, graft.util.CacheHandle(ew, deg, edges, nodes, dangling))
+      // checkpointed frames must NOT go in the handle — unpersisting a
+      // localCheckpoint destroys truncated-lineage data, and reliable
+      // checkpoint files are reclaimed with the checkpoint dir
+      val handleFrames = Seq(ew, deg, edges, nodes, dangling) ++
+        (if (!ranksIsChk) Seq(ranks) else Nil) ++
+        (if (doomed != null) Seq(doomed) else Nil)
+      (ranks, graft.util.CacheHandle(handleFrames: _*))
     } finally if (checkpointDir.isDefined)
       previousCheckpointDir.foreach(sc.setCheckpointDir)
   }
