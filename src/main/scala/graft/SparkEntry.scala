@@ -647,6 +647,11 @@ object SparkEntry {
     // scoring of the compressed frame, exact re-rank of the pool.
     "q106_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Similarity.embeddings(s, dir))),
+    // Model-based quality filter: multinomial Naive Bayes trained on
+    // labeled curated-vs-reject sources, broadcast model table, every
+    // document scored; the fastText-style classifier gate.
+    "q107_nb_quality" -> ((s, dir) =>
+      TextAnalysis.nbQualityFilter(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -852,6 +857,7 @@ object SparkEntry {
     "q104_host_quality" -> OracleSql.hostQualityWeights,
     "q105_stream_funnel" -> OracleSql.pipelineFunnel,
     "q106_ann_pq" -> OracleSql.annPq,
+    "q107_nb_quality" -> OracleSql.nbQuality,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

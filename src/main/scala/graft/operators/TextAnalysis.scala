@@ -722,4 +722,92 @@ object TextAnalysis {
           .as("cross_entropy"))
       .withColumn("ppl", exp(col("cross_entropy")))
   }
+
+  /** Labeled training sources of the model-based quality filter
+    * (q107): the positive list stands in for a curated reference
+    * corpus (WebText/Wikipedia in the GPT-3/LLaMA recipes), the
+    * negative list for raw-crawl rejects. Disjoint, and together a
+    * small fraction of the corpus — the regime the broadcast model
+    * table assumes. */
+  val NbPosSources = Seq("src0", "src1", "src2")
+  val NbNegSources = Seq("src17", "src18", "src19")
+
+  /** Model-based quality filtering (q107): train a multinomial Naive
+    * Bayes classifier on labeled positive/negative document sets,
+    * then score EVERY document — the fastText-style quality
+    * classifier step of the GPT-3/CCNet/LLaMA pretraining recipes
+    * (train on curated-vs-crawl labels, keep documents the model
+    * scores as curated-like). Laplace-smoothed per-class term
+    * likelihoods over the training vocabulary V:
+    *
+    *   margin(d) = ln(N⁺/N) − ln(N⁻/N)
+    *             + Σ_t tf_d(t) · [ln p̂⁺(t) − ln p̂⁻(t)]
+    *   p̂ᶜ(t)    = (countᶜ(t) + 1) / (totalᶜ + |V|)
+    *
+    * with terms unseen in training falling to the smoothed floor
+    * 1/(totalᶜ + |V|) of each class. keep = margin > 0. Unlike the
+    * hashed-bucket log-ratio of
+    * [[graft.operators.Sampling.importanceWeights]] (a one-sided
+    * importance proxy), this is the two-class calibrated classifier:
+    * explicit vocabulary, class priors, and a decision threshold.
+    *
+    * Scale design (100 TB): the model is bounded by the TRAINING
+    * corpus (vocab of the labeled sets — curated references are ≪
+    * corpus), so the (term → log-likelihood-diff) table broadcasts;
+    * the corpus side tokenizes row-locally, reduces to per-doc term
+    * counts map-side, joins the broadcast model without moving, and
+    * sums once per doc. The raw token stream crosses one exchange
+    * (the per-doc tf combine), same as the TF-IDF scan. If a labeled
+    * set ever pushes |V| past broadcast size, the model join falls
+    * back to a shuffle hash join on `term` — the q101 vocab
+    * contract — with no semantic change. */
+  def nbQualityFilter(docs: DataFrame,
+      posSources: Seq[String] = NbPosSources,
+      negSources: Seq[String] = NbNegSources): DataFrame = {
+    val label = when(col("source").isInCollection(posSources), lit(1))
+      .when(col("source").isInCollection(negSources), lit(0))
+      .otherwise(lit(null))
+    val tf = docs
+      .select(col("doc_id"), label.as("label"),
+        explode(expr(
+          s"regexp_extract_all(lower(text), '$WordPattern', 0)"))
+          .as("term"))
+      .groupBy(col("doc_id"), col("label"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vstat = tf.filter(col("label").isNotNull)
+      .groupBy(col("term"))
+      .agg(sum(when(col("label") === 1, col("tf")).otherwise(0L))
+          .cast("long").as("n_pos"),
+        sum(when(col("label") === 0, col("tf")).otherwise(0L))
+          .cast("long").as("n_neg"))
+    val tot = vstat.agg(sum(col("n_pos")).cast("long").as("tot_pos"),
+      sum(col("n_neg")).cast("long").as("tot_neg"),
+      count(lit(1)).cast("long").as("v"))
+    val pri = docs.select(label.as("label")).filter(col("label").isNotNull)
+      .agg((log(sum(when(col("label") === 1, 1).otherwise(0))
+          .cast("double") / count(lit(1))) -
+        log(sum(when(col("label") === 0, 1).otherwise(0))
+          .cast("double") / count(lit(1)))).as("prior_diff"))
+    // (term → Δ log-likelihood): |V| rows — the broadcast model
+    val model = vstat.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (log((col("n_pos") + lit(1)).cast("double") /
+            (col("tot_pos") + col("v"))) -
+          log((col("n_neg") + lit(1)).cast("double") /
+            (col("tot_neg") + col("v")))).as("lpdiff"))
+    // smoothed floor for out-of-vocabulary terms, one row
+    val dflt = tot.select(
+      (log(lit(1.0) / (col("tot_pos") + col("v"))) -
+        log(lit(1.0) / (col("tot_neg") + col("v")))).as("lpdiff0"))
+    tf.join(broadcast(model), Seq("term"), "left")
+      .crossJoin(broadcast(dflt))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+        sum(col("tf").cast("double") *
+          coalesce(col("lpdiff"), col("lpdiff0"))).as("ll_sum"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_tok"),
+        (col("prior_diff") + col("ll_sum")).as("margin"),
+        (col("prior_diff") + col("ll_sum") > 0).as("keep"))
+  }
 }

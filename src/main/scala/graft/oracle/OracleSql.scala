@@ -733,6 +733,70 @@ SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
 FROM j GROUP BY doc_id"""
   }
 
+  /** Mirror of [[TextAnalysis.nbQualityFilter]] (q107): same
+    * WordPattern tokenization, same labeled-source lists, identical
+    * Laplace expression trees (ln of a double division with the
+    * +1/+|V| integer arithmetic inside the cast), per-doc
+    * Σ tf·Δlogp absorbed by the compare's %.9g, margin = prior_diff
+    * + ll_sum in the same addition order. */
+  def nbQuality: String = {
+    val pat = graft.operators.TextAnalysis.WordPattern
+    val pos = graft.operators.TextAnalysis.NbPosSources
+      .map(s => s"'$s'").mkString(", ")
+    val neg = graft.operators.TextAnalysis.NbNegSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ($pos) THEN 1
+              WHEN source IN ($neg) THEN 0 END AS label
+  FROM documents
+), tok AS (
+  SELECT doc_id, label,
+         unnest(regexp_extract_all(lower(text), '$pat')) AS term
+  FROM lab
+), tf AS (
+  SELECT doc_id, label, term, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, label, term
+), vstat AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS BIGINT)
+           AS n_neg
+  FROM tf WHERE label IS NOT NULL GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vstat
+), pri AS (
+  SELECT ln(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*)) -
+         ln(CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*)) AS prior_diff
+  FROM lab WHERE label IS NOT NULL
+), model AS (
+  SELECT term,
+         ln(CAST(n_pos + 1 AS DOUBLE) / (tot_pos + v)) -
+         ln(CAST(n_neg + 1 AS DOUBLE) / (tot_neg + v)) AS lpdiff
+  FROM vstat, tot
+), dflt AS (
+  SELECT ln(1.0 / (tot_pos + v)) - ln(1.0 / (tot_neg + v)) AS lpdiff0
+  FROM tot
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+         SUM(CAST(tf.tf AS DOUBLE) * COALESCE(m.lpdiff, d.lpdiff0))
+           AS ll_sum
+  FROM tf LEFT JOIN model m USING (term) CROSS JOIN dflt d
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, s.n_tok,
+       p.prior_diff + s.ll_sum AS margin,
+       p.prior_diff + s.ll_sum > 0 AS keep
+FROM scored s CROSS JOIN pri p"""
+  }
+
   /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
   def langId: String = {
     val scoreCols = TextAnalysis.langProfiles.map { case (code, words) =>

@@ -23,6 +23,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L)._1 == 1L && out(3L)._3.isEmpty)
   }
 
+  test("nbQualityFilter hand-checked: Laplace likelihoods, OOV floor, " +
+      "strict-positive keep threshold") {
+    // train: pos {good good clean}, neg {spam spam junk}
+    // V = {good, clean, spam, junk}, tot_pos = tot_neg = 3, priors equal
+    val df = Seq(
+      (1L, "good good clean", "p"),
+      (2L, "spam spam junk", "n"),
+      (3L, "good clean", "u"),
+      (4L, "spam junk junk", "u"),
+      (5L, "zzz qqq", "u")) // fully OOV: floor terms cancel exactly
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.nbQualityFilter(df, Seq("p"), Seq("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // lpdiff(good) = ln((2+1)/7) − ln((0+1)/7) = ln 3; clean → ln 2;
+    // spam → −ln 3; junk → −ln 2; prior_diff = 0
+    assert(math.abs(out(3L)._2 - math.log(6)) < 1e-12)
+    assert(out(3L)._3 && out(3L)._1 == 2L)
+    assert(math.abs(out(4L)._2 + math.log(12)) < 1e-12)
+    assert(!out(4L)._3)
+    // symmetric training mass ⇒ the OOV floor is identical for both
+    // classes: margin exactly 0, and keep is STRICTLY margin > 0
+    assert(out(5L)._2 == 0.0 && !out(5L)._3)
+    // training docs classify themselves correctly (fit sanity)
+    assert(out(1L)._3 && !out(2L)._3)
+  }
+
   test("piiScrub counts and redacts emails and phone numbers") {
     val df = Seq(
       (1L, "mail bob@example.com or call 555-123-4567 now"),
