@@ -69,6 +69,10 @@ object Bench {
       .map { case (name, fn) =>
       val (load1, _, _) = graft.util.HostLoad.loadAvg()
       val (s0, j0) = graft.util.HostLoad.cpuJiffies()
+      // ~1 ms of fixed single-thread work per query: effective CPU
+      // speed sampled INSIDE the battery (r9 saw an 8× host window
+      // that loadavg, steal and the per-run canary all missed)
+      val canary = graft.util.HostLoad.cpuCanaryMs(8)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -83,17 +87,23 @@ object Bench {
       // embeddings) scoped to their own query; release them so caches
       // don't pile up across the 21-query session and evict each other
       spark.catalog.clearCache()
-      (name, if (ok) sec else -1.0, load1, steal)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+        val rdds = spark.sparkContext.getPersistentRDDs
+        System.err.println(s"[bench-debug] $name leakedRdds=${rdds.size} " +
+          rdds.values.take(5).map(r => r.id + ":" + r.name).mkString(","))
+      }
+      (name, if (ok) sec else -1.0, load1, steal, canary)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def num(d: Double) = if (d.isNaN) "null"
       else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val ctx = results.map { case (k, _, l1, st) =>
-      "\"" + k + "\":{\"load1\":" + num(l1) + ",\"steal_pct\":" + num(st) + "}"
+    val ctx = results.map { case (k, _, l1, st, cn) =>
+      "\"" + k + "\":{\"load1\":" + num(l1) + ",\"steal_pct\":" + num(st) +
+        ",\"canary_ms\":" + num(cn) + "}"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_ctx":$ctx,"failed":$failed,"sf":"$sfDir",${graft.util.HostLoad.jsonFragment()}}""")
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     spark.stop()

@@ -160,10 +160,11 @@ object Graph {
     * Scale design (100 TB): same discipline as [[pageRankWithHandle]]
     * — the edge frame is shuffled onto `src` ONCE and persisted,
     * every iteration moves only the |V|-row rank vector, contribution
-    * sums partial-aggregate map-side, and N is a broadcast-scalar
-    * one-row frame. Dₖ (a sum over the static `dangling` node set) is
-    * the one per-iteration one-row scalar brought to the driver — the
-    * BPE-argmax contract: that job doubles as the round's
+    * sums partial-aggregate map-side. N is read once as a bounded
+    * driver scalar (one count of the |V|-row node frame); Dₖ is the
+    * per-iteration one-row scalar — a filter-sum over the cached rank
+    * vector's own sink flag, no join — brought to the driver under
+    * the BPE-argmax contract: that job doubles as the round's
     * materializing action on the persisted rank vector, so each
     * iteration executes exactly once and the superseded vector's
     * cache releases immediately. Lineage control for deep k: every
@@ -194,17 +195,24 @@ object Graph {
       val deg = edges.groupBy(col("src"))
         .agg(count(lit(1)).cast("long").as("deg")).persist(level)
       val ew = edges.join(deg, "src").persist(level)
+      // node frame carries its sink flag so the per-round Dₖ
+      // aggregate is a filter over the cached rank vector instead of
+      // a join against a separate dangling set
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node")))
-        .distinct().persist(level)
-      val nRow = broadcast(nodes.agg(count(lit(1)).cast("long").as("n")))
-      // the sink set is static — computed once, persisted; per
-      // iteration it only feeds the one-row Dₖ aggregate
-      val dangling = nodes
-        .join(deg, col("node") === col("src"), "left_anti")
+        .distinct()
+        .join(deg.select(col("src").as("node"), lit(true).as("has_out")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("has_out"), lit(false)).as("has_out"))
         .persist(level)
-      var ranks = nodes.crossJoin(nRow)
-        .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      // N once as a bounded driver scalar (the same one-row contract
+      // as Dₖ) — a per-round broadcast frame re-executed its one-row
+      // aggregate inside every iteration's plan
+      val n = nodes.count()
+      var ranks = nodes
+        .select(col("node"), col("has_out"),
+          (lit(1.0) / lit(n)).as("rank"))
         .persist(level)
       var ranksIsChk = false
       // superseded persisted rank frame — released only after the
@@ -224,26 +232,39 @@ object Graph {
         // the whole since-checkpoint lineage — a recompute cascade
         // quadratic in the checkpoint cadence (measured 150 s at the
         // 10× k=10 ladder rung; linear after this fix)
-        val dmVal = ranks.join(dangling, "node")
+        val dmVal = ranks.filter(!col("has_out"))
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
           .head.getDouble(0)
         // rₖ is materialized now — its predecessor's cache can go
         if (doomed != null) { doomed.unpersist(); doomed = null }
         val contrib = ew
-          .join(ranks, col("src") === col("node"))
+          .join(ranks.select(col("node"), col("rank")),
+            col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("mass"))
-        var next = nodes.crossJoin(nRow)
+        var next = nodes
           .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(OneMinusDamping) / col("n") + lit(Damping) *
-              (coalesce(col("mass"), lit(0.0)) + lit(dmVal) / col("n")))
+          .select(col("node"), col("has_out"),
+            (lit(OneMinusDamping) / lit(n) + lit(Damping) *
+              (coalesce(col("mass"), lit(0.0)) + lit(dmVal) / lit(n)))
               .as("rank"))
         iter += 1
         if (iter % checkpointEvery == 0) {
+          // persist-before-checkpoint: the reliable variant's file
+          // write is a SECOND job over the round's plan unless it
+          // reads a populated cache; localCheckpoint materializes
+          // internally and needs no staging
+          // persist-before-checkpoint: the reliable variant's file
+          // write is a SECOND job over the round's plan unless it
+          // reads a populated cache; localCheckpoint materializes
+          // internally and needs no staging
+          val staged = if (checkpointDir.isDefined) {
+            val p = next.persist(level); p.count(); p
+          } else next
           // checkpoint() is eager — the superseded round's blocks or
           // files release NOW, not at ContextCleaner GC (q42 pattern)
-          val c = chk(next)
+          val c = chk(staged)
+          if (checkpointDir.isDefined) staged.unpersist()
           if (prevChk != null) Bridge.releaseCheckpoint(prevChk)
           prevChk = c
           next = c
@@ -272,10 +293,11 @@ object Graph {
       // checkpointed frames must NOT go in the handle — unpersisting a
       // localCheckpoint destroys truncated-lineage data, and reliable
       // checkpoint files are reclaimed with the checkpoint dir
-      val handleFrames = Seq(ew, deg, edges, nodes, dangling) ++
+      val handleFrames = Seq(ew, deg, edges, nodes) ++
         (if (!ranksIsChk) Seq(ranks) else Nil) ++
         (if (doomed != null) Seq(doomed) else Nil)
-      (ranks, graft.util.CacheHandle(handleFrames: _*))
+      (ranks.select(col("node"), col("rank")),
+        graft.util.CacheHandle(handleFrames: _*))
     } finally if (checkpointDir.isDefined)
       previousCheckpointDir.foreach(sc.setCheckpointDir)
   }

@@ -40,13 +40,21 @@ object HostLoad {
     * the reference box (BASELINE.md r7 records); treat >1.5× drift
     * as a changed host.
     */
-  def cpuCanaryMs(): Double = {
+  def cpuCanaryMs(): Double = cpuCanaryMs(64)
+
+  /** [[cpuCanaryMs]] with a caller-chosen hash count: the per-QUERY
+    * canary uses a small count (~1 ms quiet) so sampling effective
+    * CPU speed around all ~100 battery queries stays free. Round 9
+    * measured an 8× battery-wide slowdown window with loadavg,
+    * steal AND the per-run canary all quiet — only a per-query
+    * canary ties the inflation to the host, not the operator. */
+  def cpuCanaryMs(iters: Int): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val buf = new Array[Byte](1 << 20)
     java.util.Arrays.fill(buf, 0x5a.toByte)
     val t0 = System.nanoTime()
     var i = 0
-    while (i < 64) { md.update(buf); i += 1 }
+    while (i < iters) { md.update(buf); i += 1 }
     md.digest()
     (System.nanoTime() - t0) / 1e6
   }
