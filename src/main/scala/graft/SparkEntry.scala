@@ -652,6 +652,11 @@ object SparkEntry {
     // document scored; the fastText-style classifier gate.
     "q107_nb_quality" -> ((s, dir) =>
       TextAnalysis.nbQualityFilter(documents(s, dir))),
+    // Cluster-balanced subsampling: k-means cells (the q103 codebook)
+    // capped at a per-cell quota by Knuth-hash order — topic
+    // balancing through the TopKPerGroup heaps.
+    "q108_cluster_balance" -> ((s, dir) =>
+      Similarity.cellBalancedSample(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -858,6 +863,7 @@ object SparkEntry {
     "q105_stream_funnel" -> OracleSql.pipelineFunnel,
     "q106_ann_pq" -> OracleSql.annPq,
     "q107_nb_quality" -> OracleSql.nbQuality,
+    "q108_cluster_balance" -> OracleSql.cellBalance,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

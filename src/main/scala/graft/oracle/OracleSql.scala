@@ -1161,6 +1161,26 @@ FROM wc w LEFT JOIN m USING (vec_id)"""
     s"""$ivfCellCtes
 SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 
+  /** Mirror of [[graft.operators.Similarity.cellBalancedSample]]
+    * (q108): the shared [[ivfCellCtes]] assignment, the q32-family
+    * Knuth-hash band, and a per-cell row_number quota — integer
+    * arithmetic end to end. */
+  def cellBalance: String = {
+    import graft.operators.Similarity.ClusterQuota
+    s"""$ivfCellCtes
+, hb AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         ${graft.operators.Sampling.mixedSql("vec_id")} % 1048576 AS h
+  FROM corpus_cells
+), rk AS (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell
+           ORDER BY h ASC, vec_id ASC) AS BIGINT) AS rn
+  FROM hb
+)
+SELECT vec_id, cell, rn FROM rk WHERE rn <= $ClusterQuota"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.pqTopK]] (q106): per
     * subspace, the L2 Lloyd chain unrolled (assignment by
     * (squared-dist ASC, centroid_id ASC) row_number — the kernel's

@@ -536,4 +536,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     joined.foreach(r =>
       assert(r.getDouble(0) == r.getDouble(1), "not exact cosine"))
   }
+
+  test("cluster-balanced sample: per-cell cap, hash-order selection, " +
+      "keep-set stable under growth of OTHER cells") {
+    import org.apache.spark.sql.functions.col
+    val quota = 4
+    val kept = Similarity.cellBalancedSample(emb, quota = quota).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("rn")))
+    // cap holds and ranks are 1..n within each cell
+    kept.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.length <= quota, s"cell $cell over quota")
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"cell $cell ranks not dense")
+    }
+    // the selection is the quota-smallest Knuth-hash band per cell:
+    // recompute from the raw assignment and compare sets
+    val cells = Similarity.ivfCorpusCells(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell").toLong)
+    val expect = cells.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+      ms.map(_._1).toSeq
+        .sortBy(id => (id * Sampling.HashMult / 1048576 % 1048576, id))
+        .take(quota).map(id => (id, cell))
+    }.toSet
+    // set equality against the reference selection IS the growth-
+    // stability proof: a member's (hash, id) key never changes, so
+    // new arrivals in a cell can only push out the current BOTTOM of
+    // that cell's ranking — they never reshuffle survivors — and
+    // other cells' growth cannot touch this cell's set at all
+    assert(kept.map(t => (t._1, t._2)).toSet == expect)
+  }
 }
