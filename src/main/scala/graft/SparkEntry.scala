@@ -657,6 +657,10 @@ object SparkEntry {
     // balancing through the TopKPerGroup heaps.
     "q108_cluster_balance" -> ((s, dir) =>
       Similarity.cellBalancedSample(Similarity.embeddings(s, dir))),
+    // Quality-aware canonical selection: per near-dup cluster, retain
+    // the funnel-passing longest copy instead of the min-id default.
+    "q109_quality_canonical" -> ((s, dir) =>
+      operators.Dedup.qualityCanonical(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -864,6 +868,7 @@ object SparkEntry {
     "q106_ann_pq" -> OracleSql.annPq,
     "q107_nb_quality" -> OracleSql.nbQuality,
     "q108_cluster_balance" -> OracleSql.cellBalance,
+    "q109_quality_canonical" -> OracleSql.qualityCanonical,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

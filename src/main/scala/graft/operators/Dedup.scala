@@ -600,6 +600,48 @@ object Dedup {
           .cast("long"))
   }
 
+  /** Quality-aware canonical selection (q109) — the "which duplicate
+    * do we KEEP" decision, done the way curation pipelines actually
+    * make it: every document mapped to its near-dup cluster (the
+    * q42 components over the MinHash pairs; documents in no pair are
+    * their own singleton cluster), and each cluster's retained copy
+    * chosen by QUALITY — funnel-passing first (q94's verdict), then
+    * token count descending, doc_id ascending as the tie anchor —
+    * instead of [[dedupClusters]]' min-id default. Min-id keeps
+    * whichever twin happened to be crawled first; quality-canonical
+    * keeps the longest clean copy and drops the truncated/boiler-
+    * plated mirrors, which is the published recipe (keep "best" copy
+    * per cluster).
+    *
+    * Output: one row per document — (doc_id, cluster, n_tokens,
+    * kept, retained); exactly one retained=true per cluster.
+    *
+    * Scale design (100 TB): the quality verdict is the q94 row-local
+    * scan (zero shuffle), the cluster map is the q42/q51 component
+    * labels (their own bounded-round exchanges), and the selection
+    * adds ONE shuffle keyed on cluster id for the per-cluster
+    * window; near-dup clusters are overwhelmingly small (pairs, not
+    * components of millions), so the window partitions stay bounded
+    * and skew lands on the singleton majority, which AQE coalesces. */
+  def qualityCanonical(docs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(
+      minhashNearDups(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("canonical_id"))
+    val quality = graft.operators.TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("n_tokens"), col("kept"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster"))
+      .join(quality, "doc_id")
+      .withColumn("keep_rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("kept").desc, col("n_tokens").desc,
+            col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster"), col("n_tokens"),
+        col("kept"), (col("keep_rank") === 1).as("retained"))
+  }
+
   /** Benchmark contamination detection — the decontamination step of
     * a training-corpus build: for every training document, how many
     * of its winnowed fingerprints appear anywhere in the benchmark

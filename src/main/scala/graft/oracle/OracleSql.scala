@@ -1839,6 +1839,28 @@ SELECT node AS doc_id, canonical_id,
          AS cluster_size
 FROM c"""
 
+  /** Mirror of [[graft.operators.Dedup.qualityCanonical]] (q109):
+    * the recursive-CTE cluster labels and the q94 funnel verdict
+    * joined onto every document, per-cluster retention by
+    * (kept DESC, n_tokens DESC, doc_id ASC). */
+  def qualityCanonical: String =
+    s"""WITH cl AS (SELECT doc_id, canonical_id FROM ($dedupClusters)),
+qf AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, kept
+       FROM ($qualityFilter)),
+m AS (
+  SELECT d.doc_id,
+         COALESCE(cl.canonical_id, d.doc_id) AS cluster,
+         qf.n_tokens, qf.kept
+  FROM documents d
+  LEFT JOIN cl ON d.doc_id = cl.doc_id
+  JOIN qf ON d.doc_id = qf.doc_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+    ORDER BY kept DESC, n_tokens DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT doc_id, cluster, n_tokens, kept, rn = 1 AS retained FROM r"""
+
   /** Mirror of [[graft.operators.TextAnalysis.repetitionStats]] —
     * the row-local run fold re-expressed as gaps-and-islands
     * (DuckDB's list_reduce mishandles struct accumulators, so the

@@ -330,4 +330,36 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       val j = r.getDouble(3); j >= 0.0 && j <= 1.0
     })
   }
+
+  test("qualityCanonical retains the funnel-passing longest copy, " +
+      "not the min id and not the rejected longest") {
+    import spark.implicits._
+    // 24 distinct tokens, stopword-rich, avg token length in band
+    val base = "the quick brown fox jumps over a lazy dog near this " +
+      "old stone wall and four small birds sing from that high tree"
+    val fixture = Seq(
+      (1L, base, "s"),                              // kept, 24 tokens
+      (2L, base + " alpha beta gamma delta", "s"),  // kept, 28 tokens
+      (3L, Seq.fill(4)(base).mkString(" "), "s"),   // repetitive: rejected
+      (4L, "completely different standalone text about winter rain " +
+        "storms flooding rivers valleys bridges towns roads farms " +
+        "fields crops barns fences gates paths", "s")) // singleton
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.qualityCanonical(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("n_tokens"),
+          r.getAs[Boolean]("kept"), r.getAs[Boolean]("retained"))).toMap
+    // 1, 2, 3 share nearly all shingles -> one cluster; 4 singleton
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1,
+      s"expected 1,2,3 clustered: $out")
+    assert(out(4L)._1 == 4L && out(4L)._4)
+    // the repeated doc fails the funnel's repetition screen
+    assert(!out(3L)._3 && out(1L)._3 && out(2L)._3)
+    // retained = kept AND longest among kept (28 > 24) — NOT the
+    // min id (1) and NOT the longest overall (3, 96 tokens, rejected)
+    assert(out(2L)._4, s"doc 2 should be retained: $out")
+    assert(!out(1L)._4 && !out(3L)._4)
+    // exactly one retained per cluster
+    assert(out.values.count(_._4) == 2)
+  }
 }
