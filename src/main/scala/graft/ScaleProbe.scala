@@ -380,6 +380,17 @@ object ScaleProbe {
       // per-source union-MinHash: the corpus collapses to S·H rows
       // before any join — the curve must be one linear scan
       time(factor, "source_overlap")(Dedup.sourceSimilarity(docs))
+      // NB classifier: training vocab is replication-invariant (the
+      // copysalt tokens are the only new terms), so the broadcast
+      // model is ~constant and the curve must be the one tf exchange
+      if (wanted("nb_quality"))
+        time(factor, "nb_quality")(
+          graft.operators.TextAnalysis.nbQualityFilter(docs))
+      // cluster cap + funnel + component labels composed: the added
+      // cost over cc_propagation must be one cluster-keyed window
+      // exchange plus the row-local funnel scan
+      if (wanted("quality_canonical"))
+        time(factor, "quality_canonical")(Dedup.qualityCanonical(docs))
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
       // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
@@ -501,6 +512,39 @@ object ScaleProbe {
         emb.count()
         time(factor, "semdedup")(Similarity.semDedup(emb,
           numCentroids = 8 * factor, trainSample = 256 * factor))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // cluster-balanced sample with cells scaled like semdedup's
+      // (quota sized so ~half the corpus survives): row-local
+      // assignment + the heap-ranked quota — the curve must track the
+      // one cell-keyed exchange of ≤ quota rows per (partition, cell)
+      if (wanted("cluster_balance")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        timeAction(factor, "cluster_balance") {
+          Similarity.cellBalancedSample(emb)
+            .write.format("noop").mode("overwrite").save()
+        }
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // coarse-fine vs flat corpus assignment at the semdedup-scaled
+      // codebook (8·factor cells): flat is n·k dots (f²-growth when
+      // cells scale with the corpus — the ladder's named residual);
+      // coarse-fine is n·(g + k/g) ≈ 2√k. groups=1 runs the SAME
+      // two-stage code at exact-flat work, isolating the algorithmic
+      // saving from expression overhead
+      if (wanted("assign_exact") || wanted("assign_coarse")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        if (wanted("assign_exact"))
+          time(factor, "assign_exact")(Similarity.ivfCorpusCellsCoarse(
+            emb, numCentroids = 8 * factor, trainSample = 256 * factor,
+            groups = 1))
+        if (wanted("assign_coarse"))
+          time(factor, "assign_coarse")(Similarity.ivfCorpusCellsCoarse(
+            emb, numCentroids = 8 * factor, trainSample = 256 * factor))
         emb.unpersist()
         spark.catalog.clearCache()
       }

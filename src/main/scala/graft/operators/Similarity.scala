@@ -425,6 +425,78 @@ object Similarity {
         cents, cnorms, ids, 1)), 1).as("cell"))
   }
 
+  /** Corpus→cell assignment through a COARSE-FINE codebook hierarchy
+    * — the cure for the f²-growth term the curation ladder names:
+    * when cells scale with the corpus (SemDedup's regime, 8·factor
+    * cells), flat assignment is n·k dot products and grows
+    * quadratically; clustering the k fine centroids into g ≈ √k
+    * coarse groups (a DRIVER-side Lloyd — the codebook is always
+    * driver-sized) cuts it to n·(g + k/g), ~2√k. Stage 1 picks the
+    * nearest coarse group, stage 2 is EXACT within that group, so
+    * the approximation is only a vector whose true cell sits in a
+    * different group than its nearest coarse centroid — agreement
+    * measured in SimilaritySpec; `groups = 1` is EXACTLY
+    * [[ivfCorpusCells]] (spec-pinned equality). Row-local codegen'd
+    * expression, zero shuffle of the corpus, same as the flat path. */
+  def ivfCorpusCellsCoarse(emb: DataFrame, iters: Int = KMeansIters,
+      numCentroids: Int = NumCentroids, trainSample: Int = TrainSample,
+      groups: Int = 0): DataFrame = {
+    val (cents, cnorms, ids) = codebook(emb, iters, numCentroids,
+      trainSample)
+    val k = ids.length
+    val dim = SimilarityParams.Dim
+    val g = if (groups > 0) math.min(groups, math.max(1, k))
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // cluster the FINE CENTROIDS with the driver Lloyd twin (k·dim
+    // doubles — always driver-sized), then assign each fine slot to
+    // its nearest coarse centroid by the same first-wins argmax
+    val fine: IndexedSeq[(IndexedSeq[Double], Double)] =
+      (0 until k).map { j =>
+        ((0 until dim).map(i => cents(j * dim + i)), cnorms(j))
+      }
+    val coarseArr = trainCentroids(fine, iters, g)
+    val coarseNorms = coarseArr.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    def groupOf(j: Int): Int = {
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var cg = 0
+      while (cg < coarseArr.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += cents(j * dim + i) * coarseArr(cg)(i); i += 1 }
+        val cos = d / (cnorms(j) * coarseNorms(cg))
+        if (cos > bestCos) { bestCos = cos; best = cg }
+        cg += 1
+      }
+      best
+    }
+    // group-sorted fine layout: group gg owns slots
+    // [offsets(gg), offsets(gg+1)) so stage 2 scans one slice
+    val order = (0 until k).sortBy(j => (groupOf(j), ids(j)))
+    val sortedCents = new Array[Double](k * dim)
+    val sortedNorms = new Array[Double](k)
+    val sortedIds = new Array[Int](k)
+    order.zipWithIndex.foreach { case (j, slot) =>
+      System.arraycopy(cents, j * dim, sortedCents, slot * dim, dim)
+      sortedNorms(slot) = cnorms(j)
+      sortedIds(slot) = ids(j)
+    }
+    val offsets = new Array[Int](coarseArr.length + 1)
+    order.zipWithIndex.foreach { case (j, slot) =>
+      offsets(groupOf(j) + 1) = slot + 1
+    }
+    // empty groups inherit the previous boundary (zero-width slice)
+    (1 until offsets.length).foreach { i =>
+      if (offsets(i) < offsets(i - 1)) offsets(i) = offsets(i - 1)
+    }
+    emb.select(col("vec_id"),
+      Bridge.column(org.apache.spark.sql.graft.NearestCentroidCoarseFine(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        coarseArr.flatten, coarseNorms, sortedCents, sortedNorms,
+        sortedIds, offsets)).as("cell"))
+  }
+
   /** IVF approximate top-k: corpus vectors live in their nearest
     * centroid's cell; a query probes its NProbe nearest cells and
     * ranks exact cosine over those cells only — per-query cost is

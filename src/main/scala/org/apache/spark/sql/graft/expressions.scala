@@ -597,6 +597,97 @@ case class NearestCentroids(left: Expression, right: Expression,
       r: Expression): NearestCentroids = copy(left = l, right = r)
 }
 
+/** Runtime kernel for [[NearestCentroidCoarseFine]]: cosine argmax
+  * over the g coarse centroids (strict >, first wins — the driver
+  * trainer's rule), then exact cosine argmax over ONLY the winning
+  * group's fine slice (ties to the lowest fine cell id — the
+  * [[IvfOps.nearestCentroids]] contract). Fine arrays arrive sorted
+  * by group; group j owns slots [offsets(j), offsets(j+1)). Work is
+  * O(g + k/g) dot products instead of O(k) — the hierarchical-
+  * quantization cure for corpus-scaled codebooks, where assignment
+  * cost n·k otherwise grows quadratically when cells scale with the
+  * corpus. −1 iff nothing compares (zero-norm input). */
+object CoarseFineOps {
+  def assign(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      norm: Double, coarse: Array[Double], coarseNorms: Array[Double],
+      cents: Array[Double], cnorms: Array[Double], ids: Array[Int],
+      offsets: Array[Int]): Int = {
+    val dim = v.numElements()
+    val g = coarseNorms.length
+    var bestG = -1
+    var bestGCos = Double.NegativeInfinity
+    var j = 0
+    while (j < g) {
+      var acc = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < dim) { acc = acc + v.getDouble(i) * coarse(off + i); i += 1 }
+      val cos = acc / (norm * coarseNorms(j))
+      if (cos > bestGCos) { bestGCos = cos; bestG = j }
+      j += 1
+    }
+    if (bestG < 0) return -1
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var s = offsets(bestG)
+    val end = offsets(bestG + 1)
+    while (s < end) {
+      var acc = 0.0
+      val off = s * dim
+      var i = 0
+      while (i < dim) { acc = acc + v.getDouble(i) * cents(off + i); i += 1 }
+      val cos = acc / (norm * cnorms(s))
+      if (cos > bestCos ||
+          (best >= 0 && cos == bestCos && ids(s) < ids(best))) {
+        bestCos = cos; best = s
+      }
+      s += 1
+    }
+    if (best < 0) -1 else ids(best)
+  }
+}
+
+/** `nearest_centroid_coarse_fine(v, norm)` — fine cell id under the
+  * two-stage coarse→fine codebook, both levels baked in as broadcast
+  * constants. Same row-local zero-shuffle contract as
+  * [[NearestCentroids]]; the approximation is stage 1's group pick
+  * (exact within the picked group), degenerating to EXACT assignment
+  * at g = 1 — the spec's equivalence pin. */
+case class NearestCentroidCoarseFine(left: Expression, right: Expression,
+    coarse: Array[Double], coarseNorms: Array[Double],
+    cents: Array[Double], cnorms: Array[Double], ids: Array[Int],
+    offsets: Array[Int])
+  extends BinaryExpression with ExpectsInputTypes {
+  // Array (not Seq) for O(1) tree equality — see [[NearestCentroids]]
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_coarse_fine"
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    CoarseFineOps.assign(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Double], coarse, coarseNorms, cents, cnorms, ids,
+      offsets)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val gRef = ctx.addReferenceObj("cfCoarse", coarse, "double[]")
+    val gnRef = ctx.addReferenceObj("cfCoarseNorms", coarseNorms, "double[]")
+    val cRef = ctx.addReferenceObj("cfCents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("cfCnorms", cnorms, "double[]")
+    val iRef = ctx.addReferenceObj("cfIds", ids, "int[]")
+    val oRef = ctx.addReferenceObj("cfOffsets", offsets, "int[]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"org.apache.spark.sql.graft.CoarseFineOps.assign($v, $n, " +
+        s"$gRef, $gnRef, $cRef, $nRef, $iRef, $oRef)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): NearestCentroidCoarseFine = copy(left = l, right = r)
+}
+
 /** Runtime kernel for [[NearestCentroidL2]]: squared-L2 distance of a
   * (sub)vector against every codebook centroid — each distance a
   * sequential per-dimension fold from 0.0 (the order the DuckDB

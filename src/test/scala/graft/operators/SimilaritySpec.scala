@@ -537,6 +537,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       assert(r.getDouble(0) == r.getDouble(1), "not exact cosine"))
   }
 
+  test("coarse-fine assignment: one group IS the exact assignment; " +
+      "auto sqrt-k groups keep high agreement at a fraction of the dots") {
+    val exact = Similarity.ivfCorpusCells(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // g = 1: stage 1 is a single-candidate argmax and stage 2 scans
+    // the whole codebook — bit-identical to the flat path
+    val one = Similarity.ivfCorpusCellsCoarse(emb, groups = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(one == exact)
+    // auto (g ≈ √k): only vectors whose true cell lives outside
+    // their nearest coarse group can disagree — measure and pin the
+    // floor on the near-random fixture (real clustered embeddings
+    // agree far more; the structural claim is the O(g + k/g) work)
+    val auto = Similarity.ivfCorpusCellsCoarse(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(auto.keySet == exact.keySet)
+    val k = exact.values.toSet.size
+    auto.values.foreach(c => assert(c >= 0 && c < Similarity.NumCentroids))
+    val agree = auto.count { case (id, c) => exact(id) == c }.toDouble / auto.size
+    info(f"coarse-fine agreement $agree%.3f over ${auto.size} vectors (k=$k)")
+    assert(agree >= 0.5, s"agreement $agree (k=$k)")
+  }
+
   test("cluster-balanced sample: per-cell cap, hash-order selection, " +
       "keep-set stable under growth of OTHER cells") {
     import org.apache.spark.sql.functions.col
