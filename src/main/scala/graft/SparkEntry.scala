@@ -661,6 +661,10 @@ object SparkEntry {
     // the funnel-passing longest copy instead of the min-id default.
     "q109_quality_canonical" -> ((s, dir) =>
       operators.Dedup.qualityCanonical(documents(s, dir))),
+    // Temperature-scaled source mixing: w_s ∝ p_s^0.7, hash-
+    // downsampled toward budget·w_s survivors per source, rate ≤ 1.
+    "q110_temperature_mix" -> ((s, dir) =>
+      operators.Sampling.temperatureMix(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -869,6 +873,7 @@ object SparkEntry {
     "q107_nb_quality" -> OracleSql.nbQuality,
     "q108_cluster_balance" -> OracleSql.cellBalance,
     "q109_quality_canonical" -> OracleSql.qualityCanonical,
+    "q110_temperature_mix" -> OracleSql.temperatureMix,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -161,6 +161,51 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("h"), col("keep_rate"))
   }
 
+  /** Temperature of [[temperatureMix]]'s α-scaling and the survivor
+    * budget as a corpus fraction. α = 0.7 is the published
+    * multilingual default; budget 0.5 halves the corpus. */
+  val MixTemperature = 0.7
+  val MixBudgetFrac = 0.5
+
+  /** Temperature-scaled mixture sampling (q110) — the α-sampling
+    * recipe multilingual/multi-source pretraining mixes use
+    * (mBERT/XLM-R/PaLM style): sampling weight w_s ∝ p_s^α flattens
+    * the natural source distribution (α = 1 keeps it, α = 0 is
+    * uniform), and each source hash-downsamples toward
+    * budget·w_s expected survivors, capped at its own size
+    * (keep_rate ≤ 1; a capped source's unused budget is not
+    * redistributed — the standard deterministic single pass).
+    * Complements [[mixtureResample]] (explicit target shares) with
+    * the one-knob power law, and [[quotaSample]] (absolute caps).
+    *
+    * Scale design (100 TB): per-source counts are one map-side-
+    * combined aggregation (|S| rows, broadcast back); the
+    * normalizer Z folds the |S| weights in ascending source order (a
+    * deterministic left fold, the reduceCellSums discipline — a
+    * plain SUM's partition-arrival order would leak into every
+    * keep_rate); the keep decision is row-local hash arithmetic. */
+  def temperatureMix(docs: DataFrame, alpha: Double = MixTemperature,
+      budgetFrac: Double = MixBudgetFrac): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(total))
+      .withColumn("pw",
+        pow(col("n_src").cast("double") / col("n_total"), lit(alpha)))
+    val z = stats.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("pw")))),
+        lit(0.0), (acc, x) => acc + x.getField("pw")).as("z"))
+    val rates = stats.crossJoin(broadcast(z))
+      .select(col("source"),
+        least(lit(1.0), lit(budgetFrac) * col("n_total") *
+          (col("pw") / col("z")) / col("n_src")).as("keep_rate"))
+    docs
+      .select(col("doc_id"), col("source"), hashBandCol.as("h"))
+      .join(broadcast(rates), "source")
+      .filter(col("h") < col("keep_rate") * 1048576.0)
+      .select(col("doc_id"), col("source"), col("h"), col("keep_rate"))
+  }
+
   /** Per-group quota sampling (domain/language mixing): keep at most
     * `quota` documents per `groupCol`, chosen by hash order — a
     * deterministic stand-in for uniform-without-replacement that

@@ -2063,6 +2063,37 @@ FROM documents d JOIN k ON d.lang = k.lang
 WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.temperatureMix]] (q110):
+    * same per-source counts, pow(p, α) weights, the normalizer Z as
+    * an ascending-source left fold from 0.0 (the reduceCellSums
+    * discipline — a plain SUM's order would leak into every rate),
+    * identical least/ratio expression tree and the q49 hash-band
+    * keep comparison. */
+  def temperatureMix: String = {
+    import graft.operators.Sampling.{MixBudgetFrac, MixTemperature, mixedSql}
+    s"""WITH tot AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), st AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+), pw AS (
+  SELECT source, n_src, n_total,
+         pow(CAST(n_src AS DOUBLE) / n_total, $MixTemperature) AS pw
+  FROM st CROSS JOIN tot
+), z AS (
+  SELECT list_reduce(list_prepend(0.0, list(pw ORDER BY source)),
+    (a, b) -> a + b) AS z
+  FROM pw
+), kr AS (
+  SELECT source,
+         least(1.0, $MixBudgetFrac * n_total * (pw / z) / n_src)
+           AS keep_rate
+  FROM pw CROSS JOIN z
+)
+SELECT doc_id, d.source, ${mixedSql("doc_id")} % 1048576 AS h, keep_rate
+FROM documents d JOIN kr ON d.source = kr.source
+WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
+  }
+
   /** q60 oracle — mirror of
     * [[graft.operators.Sampling.upsampleMixture]]: identical CASE
     * weights, Knuth-hash fractional copy, lateral range fan-out. */

@@ -196,4 +196,41 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
       s"selected share $selShare vs corpus share $corpusShare")
     out.unpersist()
   }
+
+  test("temperatureMix: alpha<1 flattens (smaller source, higher " +
+      "rate); alpha=1 is uniform budget; alpha=0 equalizes expected " +
+      "counts; deterministic") {
+    val sizes = Seq("big" -> 1000, "mid" -> 300, "small" -> 100,
+      "tiny" -> 20)
+    val skewed = sizes.flatMap { case (s, n) =>
+      (1 to n).map(i => (s.hashCode.abs.toLong % 1000 * 100000 + i, s))
+    }.toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(skewed)
+    val rates = out.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // flattening: keep_rate monotone non-increasing in source size
+    assert(rates("tiny") >= rates("small") &&
+      rates("small") >= rates("mid") && rates("mid") >= rates("big"))
+    assert(rates("big") < Sampling.MixBudgetFrac)
+    // alpha = 1: natural distribution kept, every source keeps the
+    // budget fraction (p^1 weights cancel against source size)
+    val r1 = Sampling.temperatureMix(skewed, alpha = 1.0)
+      .select("keep_rate").distinct().collect().map(_.getDouble(0))
+    r1.foreach(r =>
+      assert(math.abs(r - Sampling.MixBudgetFrac) < 1e-12, s"rate $r"))
+    // alpha = 0: uniform weights, expected survivors equal per
+    // source (rate*n constant) until the cap bites
+    val r0 = Sampling.temperatureMix(skewed, alpha = 0.0)
+      .select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val budgets = sizes.collect { case (s, n) if r0(s) < 1.0 =>
+      r0(s) * n }
+    budgets.zip(budgets.tail).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"unequal expected counts $a $b") }
+    assert(r0("tiny") == 1.0, "capped source should keep everything")
+    // deterministic: same kept set on re-run
+    val again = Sampling.temperatureMix(skewed)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
 }
