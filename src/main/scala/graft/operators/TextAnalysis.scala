@@ -763,7 +763,19 @@ object TextAnalysis {
     * contract — with no semantic change. */
   def nbQualityFilter(docs: DataFrame,
       posSources: Seq[String] = NbPosSources,
-      negSources: Seq[String] = NbNegSources): DataFrame = {
+      negSources: Seq[String] = NbNegSources): DataFrame =
+    nbQualityFilterWithHandle(docs, posSources, negSources)._1
+
+  /** [[nbQualityFilter]] plus the [[graft.util.CacheHandle]] releasing
+    * the persisted per-doc term-count frame. The persist is
+    * PLAN-bearing: tf feeds the vocabulary stats, the model, the OOV
+    * floor AND the scoring join, and without it each broadcast
+    * subquery re-tokenizes and re-shuffles the whole corpus —
+    * PlanAuditSpec pins the bounded exchange count this cache buys. */
+  def nbQualityFilterWithHandle(docs: DataFrame,
+      posSources: Seq[String] = NbPosSources,
+      negSources: Seq[String] = NbNegSources)
+      : (DataFrame, graft.util.CacheHandle) = {
     val label = when(col("source").isInCollection(posSources), lit(1))
       .when(col("source").isInCollection(negSources), lit(0))
       .otherwise(lit(null))
@@ -774,6 +786,7 @@ object TextAnalysis {
           .as("term"))
       .groupBy(col("doc_id"), col("label"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vstat = tf.filter(col("label").isNotNull)
       .groupBy(col("term"))
       .agg(sum(when(col("label") === 1, col("tf")).otherwise(0L))
@@ -799,7 +812,7 @@ object TextAnalysis {
     val dflt = tot.select(
       (log(lit(1.0) / (col("tot_pos") + col("v"))) -
         log(lit(1.0) / (col("tot_neg") + col("v")))).as("lpdiff0"))
-    tf.join(broadcast(model), Seq("term"), "left")
+    val out = tf.join(broadcast(model), Seq("term"), "left")
       .crossJoin(broadcast(dflt))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tok"),
@@ -809,5 +822,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"),
         (col("prior_diff") + col("ll_sum")).as("margin"),
         (col("prior_diff") + col("ll_sum") > 0).as("keep"))
+    (out, graft.util.CacheHandle(tf))
   }
 }

@@ -369,6 +369,64 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("q107 nb classifier: model broadcast, every corpus consumer " +
+      "reads the ONE cached tf frame (no re-tokenize)") {
+    spark.catalog.clearCache()
+    val df = q("q107_nb_quality")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (term -> lpdiff) model must broadcast, never shuffle the corpus")
+    assert(!plan.contains("SortMergeJoin"))
+    // vocabulary stats, the OOV floor and the scoring join all read
+    // the persisted tf frame — its tokenize + per-doc combine (the
+    // only corpus-sized exchange) executes ONCE at cache fill
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      "a corpus consumer bypasses the tf cache and re-tokenizes")
+    // the only parquet scan left in the tree is the one-row prior
+    // over the label column; the token stream never re-reads the file
+    val fileScans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(fileScans.size <= 1,
+      s"${fileScans.size} uncached corpus scans in the scoring plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q108 cluster balance ranks through the TopKPerGroup heaps, " +
+      "not a window") {
+    val df = q("q108_cluster_balance")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "quota must rank through the heap operator")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window "),
+      "cluster quota fell back to a window sort")
+  }
+
+  test("q109 canonical selection: retention window partitioned by " +
+      "cluster, funnel verdict joined without shuffling the corpus twice") {
+    val plan = q("q109_quality_canonical")
+      .queryExecution.executedPlan.toString
+    assert("""Window .*windowspecdefinition\(cluster""".r
+      .findFirstIn(plan).isDefined,
+      "retention window is not cluster-partitioned")
+  }
+
+  test("q110 temperature mix: per-source rates broadcast, keep " +
+      "decision row-local") {
+    val df = q("q110_temperature_mix")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "per-source keep rates are not broadcast to the corpus join")
+    // both hash exchanges are the per-source count aggregation (|S|
+    // rows; it appears once under the Z fold and once under the rate
+    // table — bounded work either way). The corpus-sized side never
+    // shuffles: its only opers are the row-local hash band and the
+    // broadcast join
+    assert(shuffleCount(df) <= 2, s"q110 shuffles ${shuffleCount(df)}×")
+  }
+
   test("q101 bpe apply: word counts broadcast, one doc-sum exchange after the join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = graft.operators.Bpe.trainMerges(docs, 2)
