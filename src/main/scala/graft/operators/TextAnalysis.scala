@@ -824,4 +824,62 @@ object TextAnalysis {
         (col("prior_diff") + col("ll_sum") > 0).as("keep"))
     (out, graft.util.CacheHandle(tf))
   }
+
+  /** The trained NB model exported for SERVING: the (term → Δlogp)
+    * table as a driver map plus the OOV floor and prior scalars. A
+    * quality-classifier model is TRAINING-corpus-bounded by
+    * construction (the codebook contract), so collecting it is the
+    * same bounded bring-to-driver as the IVF centroids — production
+    * ships exactly this object to the scoring tier. */
+  final case class NbModel(lpdiff: Map[String, Double],
+      lpdiff0: Double, priorDiff: Double)
+
+  /** Train on the labeled sources and export the [[NbModel]] —
+    * the train-offline half of the train-offline/serve-online split
+    * ([[graft.streaming.StreamingQuality.nbScore]] is the serve
+    * half). Distributed training (one tf exchange, |V|-bounded
+    * stats), bounded collect of the finished model only. */
+  def trainNbModel(docs: DataFrame,
+      posSources: Seq[String] = NbPosSources,
+      negSources: Seq[String] = NbNegSources): NbModel = {
+    val label = when(col("source").isInCollection(posSources), lit(1))
+      .when(col("source").isInCollection(negSources), lit(0))
+      .otherwise(lit(null))
+    val tf = docs
+      .select(col("doc_id"), label.as("label"),
+        explode(expr(
+          s"regexp_extract_all(lower(text), '$WordPattern', 0)"))
+          .as("term"))
+      .filter(col("label").isNotNull)
+      .groupBy(col("doc_id"), col("label"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vstat = tf.groupBy(col("term"))
+        .agg(sum(when(col("label") === 1, col("tf")).otherwise(0L))
+            .cast("long").as("n_pos"),
+          sum(when(col("label") === 0, col("tf")).otherwise(0L))
+            .cast("long").as("n_neg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val Array(totPos, totNeg, v) = vstat
+        .agg(sum(col("n_pos")).cast("long"), sum(col("n_neg")).cast("long"),
+          count(lit(1)).cast("long"))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val lp = vstat.select(col("term"),
+          (log((col("n_pos") + lit(1)).cast("double") / (lit(totPos) + lit(v))) -
+            log((col("n_neg") + lit(1)).cast("double") / (lit(totNeg) + lit(v))))
+            .as("lpdiff"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      vstat.unpersist()
+      val Array(nPos, nTrain) = docs.select(label.as("label"))
+        .filter(col("label").isNotNull)
+        .agg(sum(when(col("label") === 1, 1).otherwise(0)).cast("long"),
+          count(lit(1)).cast("long"))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      NbModel(lp,
+        math.log(1.0 / (totPos + v)) - math.log(1.0 / (totNeg + v)),
+        math.log(nPos.toDouble / nTrain) -
+          math.log((nTrain - nPos).toDouble / nTrain))
+    } finally tf.unpersist()
+  }
 }
