@@ -386,6 +386,19 @@ object ScaleProbe {
       if (wanted("nb_quality"))
         time(factor, "nb_quality")(
           graft.operators.TextAnalysis.nbQualityFilter(docs))
+      // KN bigram LM self-scoring: the bigram-TYPE table is
+      // replication-invariant up to the copysalt tail, so the LM side
+      // stays ~constant and the curve must be the two corpus-sized
+      // exchanges (type agg + scoring join)
+      if (wanted("kn_bigram")) {
+        time(factor, "kn_bigram")(
+          graft.operators.TextAnalysis.knBigramNll(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // Aho-Corasick blocklist screen: zero shuffle, one codegen'd
+      // pass — the curve must be a flat per-row scan cost
+      time(factor, "blocklist")(
+        graft.operators.TextAnalysis.blocklistScreen(docs))
       // cluster cap + funnel + component labels composed: the added
       // cost over cc_propagation must be one cluster-keyed window
       // exchange plus the row-local funnel scan
@@ -545,6 +558,18 @@ object ScaleProbe {
         if (wanted("assign_coarse"))
           time(factor, "assign_coarse")(Similarity.ivfCorpusCellsCoarse(
             emb, numCentroids = 8 * factor, trainSample = 256 * factor))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // k-NN graph: every node a query — candidates are band
+      // collisions (rotated replicas are near-orthogonal, so bucket
+      // occupancy stays ~constant per copy and the edge set stays
+      // ~linear); the curve must track the banded self-join, never
+      // the all-pairs quadrant
+      if (wanted("knn_graph")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        time(factor, "knn_graph")(Similarity.knnGraph(emb))
         emb.unpersist()
         spark.catalog.clearCache()
       }

@@ -665,6 +665,20 @@ object SparkEntry {
     // downsampled toward budget·w_s survivors per source, rate ≤ 1.
     "q110_temperature_mix" -> ((s, dir) =>
       operators.Sampling.temperatureMix(documents(s, dir))),
+    // Interpolated Kneser-Ney bigram LM self-scoring: continuation-
+    // count smoothing (the KenLM/CCNet form), per-doc bigram counts
+    // row-local, LM tables broadcast/co-partitioned.
+    "q111_kn_bigram" -> ((s, dir) =>
+      TextAnalysis.knBigramNll(documents(s, dir))),
+    // k-NN graph over the embedding corpus: LSH-banded candidates,
+    // exact cosine, top-k per node through the TopKPerGroup heaps —
+    // the substrate of graph-based curation.
+    "q112_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Similarity.embeddings(s, dir))),
+    // C4-style blocklist screen: one codegen'd Aho-Corasick pass per
+    // document over the constant phrase list — zero shuffle.
+    "q113_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistScreen(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -874,6 +888,9 @@ object SparkEntry {
     "q108_cluster_balance" -> OracleSql.cellBalance,
     "q109_quality_canonical" -> OracleSql.qualityCanonical,
     "q110_temperature_mix" -> OracleSql.temperatureMix,
+    "q111_kn_bigram" -> OracleSql.knBigramNll,
+    "q112_knn_graph" -> OracleSql.knnGraph,
+    "q113_blocklist" -> OracleSql.blocklistScreen,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

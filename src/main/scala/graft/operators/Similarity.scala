@@ -230,6 +230,63 @@ object Similarity {
     (out, graft.util.CacheHandle(emb))
   }
 
+  /** Neighbors kept per node in the k-NN graph (q112). */
+  val KnnGraphK = 5
+
+  /** Distributed k-NN graph construction (q112): for EVERY corpus
+    * vector, its [[KnnGraphK]] nearest LSH-reachable neighbors by
+    * exact cosine — the all-nodes sibling of [[lshTopK]] (which ranks
+    * a handful of query vectors) and the substrate of graph-based
+    * curation: SemDedup-style cluster pruning, connected-component
+    * dedup over embedding edges, and k-NN-graph ANN serving all
+    * start here.
+    *
+    * Same scale shape as [[embeddingNearDups]]: candidates are band
+    * collisions only (one shuffle on the band key, never all-pairs),
+    * the candidate DISTINCT dedups id pairs before the vectors join
+    * back, and the final top-k ranks through the
+    * [[org.apache.spark.sql.graft.TopKPerGroup]] operator (per-
+    * partition heaps bound the exchange at k rows per (partition,
+    * src) — the window formulation shuffles every scored candidate).
+    * Directed output: band recall is symmetric, but rank-k membership
+    * is not (dst in src's top-k does not put src in dst's). Recall
+    * vs the brute-force graph is pinned in SimilaritySpec. */
+  def knnGraph(emb0: DataFrame, bitsPerBand: Int = DedupBitsPerBand,
+      k: Int = KnnGraphK): DataFrame = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = emb.select(col("vec_id"),
+      posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
+        .as(Seq("band", "key")))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val candIds = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("src"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val vb = emb.select(col("vec_id").as("dst"), col("v"), col("norm"))
+    val scored = candIds.join(va, "src").join(vb, "dst")
+      .withColumn("cosine", cosine)
+      .select(col("src"), col("dst"), col("cosine"))
+    val extensionsActive = scored.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(scored, Seq("src"),
+          Seq("cosine" -> false, "dst" -> true), k)
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("cosine").desc, col("dst").asc)).cast("long"))
+        .filter(col("rank") <= k)
+    ranked.select(col("src"), col("dst").as("neighbor_id"),
+      col("rank"), col("cosine"))
+  }
+
   /** IVF coarse quantizer size, probe width, and k-means training
     * knobs: centroids start as the first [[NumCentroids]] sample
     * vectors and are refined by [[KMeansIters]] Lloyd iterations

@@ -723,6 +723,117 @@ object TextAnalysis {
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
+  /** Kneser-Ney absolute discount (q111): the standard 0.75 of the
+    * Chen & Goodman study — fixed, not estimated, so both engines
+    * evaluate the identical closed form. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram LM self-scoring (q111): train the
+    * KN-smoothed bigram model ON the corpus itself and score each
+    * document's average bigram negative log-likelihood — the
+    * smoothing KenLM (and therefore the CCNet/CC-Net-style filter
+    * stack) actually ships, where [[targetLmScore]] (q97) is the
+    * simpler MLE+unigram interpolation against a TARGET domain:
+    *
+    *   P(v|u) = max(c(u,v) − D, 0)/c(u) + (D·N₁₊(u,·)/c(u)) · P_cont(v)
+    *   P_cont(v) = N₁₊(·,v) / |{distinct bigrams}|
+    *
+    * Continuation probability replaces raw unigram frequency — the
+    * fix for the "San Francisco" pathology (frequent-but-one-context
+    * words stop leaking probability into unseen contexts). Every
+    * observed bigram has P > 0 (c(u,v) ≥ 1 and both terms are
+    * nonnegative), and self-scoring only evaluates observed bigrams.
+    *
+    * Scale design (100 TB): the raw token stream never shuffles —
+    * per-doc bigram counts come from the row-local
+    * [[org.apache.spark.sql.graft.WordShingles]] +
+    * [[org.apache.spark.sql.graft.TokenCounts]] kernels, so the ONE
+    * corpus-sized exchange carries pre-aggregated (doc, bigram, tf)
+    * rows. The bigram-TYPE table (vocabulary-compressed, the big LM
+    * side) joins back by a co-partitioned shuffle on the bigram key;
+    * the context/continuation tables and the scalar type count are
+    * vocabulary-bounded and broadcast (same bounded-vocab caveat as
+    * the q101 BPE apply — a web-scale tail pushes them to shuffle
+    * joins). */
+  def knBigramNll(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts, WordShingles}
+    val toks = docs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)").as("toks"))
+    val bg = toks
+      .select(col("doc_id"),
+        explode(Bridge.column(TokenCounts(
+          WordShingles(Bridge.expression(col("toks")), 2)))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("bigram"),
+        col("tc.tf").as("bf"))
+    // the type table feeds four consumers (context agg, continuation
+    // agg, the scalar type count, and the scoring join) — persist it
+    // like the dedup hash corpus; released by the bench/verify
+    // sessions via clearCache
+    val cb = bg.groupBy(col("bigram")).agg(sum(col("bf")).as("cb"))
+      .withColumn("u", expr("split(bigram, ' ')[0]"))
+      .withColumn("v", expr("split(bigram, ' ')[1]"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftCtx = cb.groupBy(col("u"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1u"))
+    val rightCont = cb.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
+    val types = cb.agg(count(lit(1)).as("n_types"))
+    val pKn =
+      (greatest(col("cb").cast("double") - lit(KnDiscount), lit(0.0)) /
+        col("cu")) +
+      ((lit(KnDiscount) * col("n1u") / col("cu")) *
+        (col("n1v").cast("double") / col("n_types")))
+    // score the bigram-TYPE table first — the broadcast joins touch
+    // |types| rows (vocabulary-compressed), not the corpus-sized
+    // per-doc rows, and the type frame keeps cb's bigram partitioning
+    // so the scoring join back adds no exchange on that side
+    val typeScore = cb
+      .join(broadcast(leftCtx), "u")
+      .join(broadcast(rightCont), "v")
+      .crossJoin(broadcast(types))
+      .select(col("bigram"), pKn.as("p_kn"))
+    bg.join(typeScore, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf").cast("double") * -log(col("p_kn"))).as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_sum") / col("n_bigrams")).as("avg_nll"),
+        exp(col("nll_sum") / col("n_bigrams")).as("perplexity"))
+  }
+
+  /** Blocklist phrases of the q113 screen — fixture-vocabulary word
+    * sequences (in production: the C4 "bad words" list, hundreds of
+    * multi-word entries). Substring semantics over the raw text, case
+    * sensitive (the fixture is lowercase). */
+  val Blocklist: Seq[String] =
+    Seq("slow scan", "big table", "merge batch", "vector")
+
+  /** C4-style blocklist screen (q113): per-document occurrence counts
+    * of every blocklist phrase and the keep verdict (zero hits).
+    * Matching is one codegen'd Aho-Corasick pass per document
+    * ([[org.apache.spark.sql.graft.PhraseCounts]]) — occurrence count
+    * is independent of blocklist size, where the k×`contains`
+    * formulation rescans the text per phrase. Overlapping matches
+    * count once per match END position (the automaton's native
+    * semantics, mirrored by the oracle's start-position count — equal
+    * totals).
+    *
+    * Scale design (100 TB): zero shuffle — the automaton ships to
+    * executors as a plan constant (like the PQ codebooks) and every
+    * output column is row-local arithmetic on the counts array. */
+  def blocklistScreen(docs: DataFrame,
+      phrases: Seq[String] = Blocklist): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, PhraseCounts}
+    docs
+      .select(col("doc_id"),
+        Bridge.column(PhraseCounts(Bridge.expression(col("text")), phrases))
+          .as("pc"))
+      .select(col("doc_id"),
+        expr("aggregate(pc, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("total_hits"),
+        expr("size(filter(pc, x -> x > 0))").cast("long").as("n_phrases"))
+      .withColumn("keep", col("total_hits") === lit(0L))
+  }
+
   /** Labeled training sources of the model-based quality filter
     * (q107): the positive list stands in for a curated reference
     * corpus (WebText/Wikipedia in the GPT-3/LLaMA recipes), the

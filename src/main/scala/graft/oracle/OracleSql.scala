@@ -1365,6 +1365,45 @@ SELECT vec_a, vec_b, cosine FROM p
 WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.knnGraph]] (q112): the
+    * same near-dup banding generates candidates in BOTH directions
+    * (a.vec_id <> b.vec_id), exact cosine, row_number top-k per src
+    * with the (cosine DESC, dst ASC) total order the TopKPerGroup
+    * operator is spec-pinned equal to. */
+  def knnGraph: String = {
+    import SimilarityParams._
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until DedupBitsPerBand).map { t =>
+        val lst = dedupPlanes(j * DedupBitsPerBand + t)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandCte = (0 until DedupNumBands).map { j =>
+      s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$embCtes
+, bands AS (
+  $bandCte
+), cand AS (
+  SELECT a.vec_id AS src, a.v AS qv, a.nrm AS qn,
+         b.vec_id AS dst, b.v AS v2, b.nrm AS n2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+  GROUP BY ALL
+), p AS (
+  SELECT src, dst,
+         ${dotSql("qv", "v2")} / (qn * n2) AS cosine
+  FROM cand
+), r AS (
+  SELECT src, dst AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+           ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT src, neighbor_id, rank, cosine FROM r
+WHERE rank <= ${graft.operators.Similarity.KnnGraphK}"""
+  }
+
   /** Mirror of [[graft.operators.Multimodal.multimodalMeta]] (q21):
     * the same deterministic media derivation (magic header by
     * doc_id % 4 ++ UTF-8 text), mime by the same header→mime map the
@@ -2007,6 +2046,86 @@ SELECT doc_id, n_tok,
        nll_sum / n_tok AS avg_nll,
        exp(nll_sum / n_tok) AS perplexity
 FROM d"""
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.knBigramNll]] (q111):
+    * identical bigram construction (adjacent regexp-token pairs
+    * joined by one space), the same KN closed form with every double
+    * term in the Spark expressions' evaluation order, and BIGINT
+    * casts on the HUGEINT-prone sums. */
+  def knBigramNll: String = {
+    val pat = graft.operators.TextAnalysis.WordPattern
+    val d = graft.operators.TextAnalysis.KnDiscount
+    s"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '$pat') AS toks
+  FROM documents
+), bgl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM tok
+), bg AS (
+  SELECT doc_id, bigram, COUNT(*) AS bf FROM (
+    SELECT doc_id, unnest(bgs) AS bigram FROM bgl)
+  GROUP BY doc_id, bigram
+), cb AS (
+  SELECT bigram, CAST(SUM(bf) AS BIGINT) AS cb,
+         string_split(bigram, ' ')[1] AS u,
+         string_split(bigram, ' ')[2] AS v
+  FROM bg GROUP BY bigram
+), lc AS (
+  SELECT u, CAST(SUM(cb) AS BIGINT) AS cu, COUNT(*) AS n1u
+  FROM cb GROUP BY u
+), rc AS (
+  SELECT v, COUNT(*) AS n1v FROM cb GROUP BY v
+), ty AS (
+  SELECT COUNT(*) AS n_types FROM cb
+), sc AS (
+  SELECT bg.doc_id, bg.bf,
+         (GREATEST(CAST(cb.cb AS DOUBLE) - $d, 0.0) / lc.cu)
+           + (($d * lc.n1u / lc.cu)
+              * (CAST(rc.n1v AS DOUBLE) / ty.n_types)) AS p_kn
+  FROM bg
+  JOIN cb USING (bigram)
+  JOIN lc ON cb.u = lc.u
+  JOIN rc ON cb.v = rc.v
+  CROSS JOIN ty
+), agg AS (
+  SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+         SUM(CAST(bf AS DOUBLE) * -ln(p_kn)) AS nll_sum
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       nll_sum / n_bigrams AS avg_nll,
+       exp(nll_sum / n_bigrams) AS perplexity
+FROM agg"""
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.blocklistScreen]]
+    * (q113): per-phrase occurrence counts by brute-force START
+    * positions — substr probe at every offset — which equals the
+    * automaton's per-END-position count. */
+  def blocklistScreen: String = {
+    val ps = graft.operators.TextAnalysis.Blocklist
+    val cnts = ps.zipWithIndex.map { case (p, i) =>
+      val pl = p.length
+      s"len(list_filter(range(1, length(text) - ${pl} + 2), i -> substr(text, CAST(i AS INT), $pl) = '$p')) AS c$i"
+    }.mkString(",\n         ")
+    val total = ps.indices.map(i => s"c$i").mkString(" + ")
+    val matched = ps.indices.map(i => s"CAST(c$i > 0 AS BIGINT)").mkString(" + ")
+    s"""WITH c AS (
+  SELECT doc_id,
+         $cnts
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST($total AS BIGINT) AS total_hits,
+         CAST($matched AS BIGINT) AS n_phrases
+  FROM c
+)
+SELECT doc_id, total_hits, n_phrases,
+       total_hits = 0 AS keep
+FROM s"""
   }
 
   /** Mirror of [[graft.operators.TextAnalysis.chunkDocs]] — identical

@@ -899,6 +899,129 @@ case class CmsEstimate(child: Expression,
       : CmsEstimate = copy(child = c)
 }
 
+/** Runtime kernel for the blocklist screen: an Aho-Corasick automaton
+  * over UTF-16 code units, built ONCE driver-side from the constant
+  * phrase list and shipped to executors as a codegen reference
+  * object. One pass over the text counts every occurrence of every
+  * phrase (overlapping included — one count per match end position)
+  * regardless of phrase count; the naive k×`contains` formulation
+  * rescans the text once per phrase, which at a realistic blocklist
+  * size (hundreds of phrases) is the difference between one scan of
+  * 100 TB and hundreds. */
+object AcOps {
+  import scala.collection.immutable.LongMap
+
+  /** goto/fail/output tables. Built eagerly at construction; the
+    * per-node transition maps are immutable specialized LongMaps so
+    * the serialized automaton ships compactly in the plan. */
+  final class Automaton(phraseList: Seq[String]) extends Serializable {
+    val nPhrases: Int = phraseList.size
+    private val tables = AcOps.build(phraseList)
+    private def trans = tables._1
+    private def fail = tables._2
+    private def out = tables._3
+
+    /** Accumulate per-phrase occurrence counts of `text` into
+      * `counts` (length [[nPhrases]]). */
+    def run(text: UTF8String, counts: Array[Long]): Unit = {
+      val s = text.toString
+      var node = 0
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i).toLong
+        var nxt = trans(node).getOrElse(ch, -1)
+        while (nxt < 0 && node != 0) {
+          node = fail(node)
+          nxt = trans(node).getOrElse(ch, -1)
+        }
+        node = if (nxt >= 0) nxt else 0
+        val os = out(node)
+        var j = 0
+        while (j < os.length) { counts(os(j)) += 1L; j += 1 }
+        i += 1
+      }
+    }
+  }
+
+  /** Trie + BFS failure links + failure-merged output lists. */
+  private def build(phrases: Seq[String])
+      : (Array[LongMap[Int]], Array[Int], Array[Array[Int]]) = {
+    val maps = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.LongMap.empty[Int])
+    val ends = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    phrases.zipWithIndex.foreach { case (p, id) =>
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val ch = p.charAt(i).toLong
+        node = maps(node).get(ch) match {
+          case Some(c) => c
+          case None =>
+            maps += scala.collection.mutable.LongMap.empty[Int]
+            ends += Nil
+            val c = maps.size - 1
+            maps(node)(ch) = c
+            c
+        }
+        i += 1
+      }
+      ends(node) = id :: ends(node)
+    }
+    val n = maps.size
+    val fail = new Array[Int](n)
+    val out = ends.map(_.toArray).toArray
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    maps(0).foreach { case (_, c) => fail(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      maps(u).foreach { case (ch, c) =>
+        var f = fail(u)
+        while (f != 0 && !maps(f).contains(ch)) f = fail(f)
+        fail(c) = maps(f).get(ch).filter(_ != c).getOrElse(0)
+        if (out(fail(c)).nonEmpty) out(c) = out(c) ++ out(fail(c))
+        queue += c
+      }
+    }
+    (maps.map(m => LongMap(m.toSeq: _*)).toArray, fail, out)
+  }
+
+  def phraseCounts(t: UTF8String, a: Automaton)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](a.nPhrases)
+    a.run(t, counts)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+}
+
+/** `phrase_counts(text)` — per-phrase occurrence counts (overlapping
+  * matches included) of a constant phrase list, via a single
+  * codegen'd Aho-Corasick pass; the row-local kernel of the C4-style
+  * blocklist screen (q113). */
+case class PhraseCounts(child: Expression, phrases: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phrase_counts"
+
+  @transient private lazy val automaton = new AcOps.Automaton(phrases)
+
+  override def nullSafeEval(t: Any): Any =
+    AcOps.phraseCounts(t.asInstanceOf[UTF8String], automaton)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("acAutomaton", automaton,
+      "org.apache.spark.sql.graft.AcOps.Automaton")
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.AcOps.phraseCounts($t, $aRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PhraseCounts =
+    copy(child = c)
+}
+
 /** Column <-> Expression bridging for graft code. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -193,4 +193,25 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
       foldKeys.as("fold")).collect()
     rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
+
+  test("PhraseCounts kernel == brute-force occurrence scan (randomized, " +
+      "overlapping + nested phrases)") {
+    import org.apache.spark.sql.graft.PhraseCounts
+    // phrases deliberately nest ("aba" contains "ab"/"ba"; "abcab"
+    // ends in "ab") so the automaton's failure-link output merging is
+    // exercised on every row
+    val phrases = Seq("ab", "ba", "aba", "ca", "abcab")
+    val texts = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(80) + 1).map(_ => "abc"(rnd.nextInt(3))).mkString)
+    val rows = texts.toDF("text").select(col("text"),
+      Bridge.column(PhraseCounts(Bridge.expression(col("text")), phrases))
+        .as("pc")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val exp = phrases.map(p =>
+        (0 to t.length - p.length)
+          .count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+      assert(r.getSeq[Long](1) == exp, s"text=$t")
+    }
+  }
 }

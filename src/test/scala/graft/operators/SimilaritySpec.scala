@@ -185,6 +185,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"no k-means uplift: ${recall(ivf0)} -> ${recall(ivfT)}")
   }
 
+  test("knnGraph: ≤k edges per node, self excluded, rank-ordered; " +
+      "recall vs the brute-force graph on a clustered corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same deterministic clustered corpus as the IVF test: 16 centers
+    // × 32 members at cosine ≈ 0.9+ — the regime where the banded
+    // candidate generation is supposed to recover near-true graphs
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+
+    val g = Similarity.knnGraph(cemb).collect()
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    assert(bySrc.size == 512, "every node must appear as a src")
+    bySrc.foreach { case (src, es) =>
+      assert(es.length <= Similarity.KnnGraphK)
+      assert(!es.exists(_.getAs[Long]("neighbor_id") == src))
+      val byRank = es.sortBy(_.getAs[Long]("rank"))
+      val cosines = byRank.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // recall against the exact k-NN graph (brute force over all 512
+    // nodes as queries)
+    val brute = Similarity.bruteForceTopK(cemb, numQueries = 512)
+      .filter(col("rank") <= Similarity.KnnGraphK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val edges = g
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = edges.intersect(brute).size.toDouble / brute.size
+    info(f"knn-graph recall@${Similarity.KnnGraphK}=$recall%.2f " +
+      s"(${edges.size} edges)")
+    // in-cluster neighbors at cosine ≈0.9 collide in ≥1 of the 6
+    // 8-bit bands with p ≈ 0.87 — the graph should be near-exact here
+    assert(recall >= 0.6, s"clustered knn-graph recall $recall")
+  }
+
   test("IVF degrades gracefully on corpora smaller than the codebook") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -51,6 +51,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(1L)._3 && !out(2L)._3)
   }
 
+  test("knBigramNll hand-checked: KN closed form, continuation counts, " +
+      "sub-2-token docs excluded") {
+    // corpus: d1 "a b a b" → bigrams {a b:2, b a:1}; d2 "b a" → {b a:1};
+    // d3 "c" → none. Types: {a b (cb=2), b a (cb=2)}; c(a)=c(b)=2,
+    // N1+(a,·)=N1+(b,·)=1, N1+(·,a)=N1+(·,b)=1, |types|=2.
+    // P(b|a) = max(2−.75,0)/2 + (.75·1/2)·(1/2) = 0.8125 = P(a|b)
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "b a"),
+      (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramNll(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expNll = -math.log(0.8125)
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - expNll) < 1e-12)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - expNll) < 1e-12)
+    assert(!out.contains(3L), "a bigram-less doc must emit no row")
+  }
+
+  test("blocklistScreen counts overlapping hits (Aho-Corasick output " +
+      "merging across suffix phrases) and flags clean docs") {
+    val df = Seq(
+      (1L, "ababa"),
+      (2L, "xyz"))
+      .toDF("doc_id", "text")
+    val phrases = Seq("ab", "ba", "aba", "zz")
+    val out = TextAnalysis.blocklistScreen(df, phrases).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // "ababa": ab@{1,3}=2, ba@{2,4}=2, aba@{1,3}=2 (overlapping), zz=0
+    assert(out(1L) == ((6L, 3L, false)))
+    assert(out(2L) == ((0L, 0L, true)))
+  }
+
   test("piiScrub counts and redacts emails and phone numbers") {
     val df = Seq(
       (1L, "mail bob@example.com or call 555-123-4567 now"),

@@ -441,4 +441,68 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       s"bpe apply shuffles ${shuffleCount(df)}×")
     spark.catalog.clearCache()
   }
+
+  test("q111 kn bigram: LM context/continuation tables broadcast, " +
+      "bounded exchanges, no cartesian blowup") {
+    spark.catalog.clearCache()
+    val df = q("q111_kn_bigram")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded context/continuation tables must " +
+        "broadcast, never shuffle the corpus side")
+    assert(!plan.contains("CartesianProduct"))
+    // count exchanges by UNIQUE formatted-plan id: the cached bigram-
+    // type frame feeds four consumers, so the tree STRING repeats its
+    // build exchange under every InMemoryTableScan while execution
+    // fills the cache once. Real exchanges: the type-table groupBy
+    // (cache fill), the two vocab aggs, the scalar type count, the
+    // final per-doc sum, and (at scale) the scoring join's corpus
+    // side — the raw token stream itself never shuffles (per-doc
+    // counts are the row-local WordShingles+TokenCounts kernels)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val ids = """\((\d+)\) Exchange""".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSet
+    assert(ids.size <= 6, s"kn bigram plans ${ids.size} exchanges")
+    // the cached type frame is actually reused — at least two
+    // consumers read it back instead of rebuilding the corpus agg
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      "an LM consumer bypasses the type-table cache")
+    spark.catalog.clearCache()
+  }
+
+  test("q112 knn graph: banded candidates only (no all-pairs product), " +
+      "heap top-k per node") {
+    spark.catalog.clearCache()
+    val df = q("q112_knn_graph")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "knn graph must never plan an all-pairs product")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "per-src rank must run through the heap operator")
+    // band self-join + id-pair distinct + two vector re-joins + heap
+    assert(shuffleCount(df) <= 7,
+      s"knn graph shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
+  test("q113 blocklist screen: zero exchanges, pruned scan, codegen'd " +
+      "automaton pass") {
+    val df = q("q113_blocklist")
+    assert(shuffleCount(df) == 0,
+      s"blocklist screen shuffles ${shuffleCount(df)}× (must be row-local)")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    df.collect()
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(txt.contains("codegen id"),
+      "the automaton probe is not inside a whole-stage-codegen span")
+  }
 }
