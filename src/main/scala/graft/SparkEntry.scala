@@ -679,6 +679,16 @@ object SparkEntry {
     // document over the constant phrase list — zero shuffle.
     "q113_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistScreen(documents(s, dir))),
+    // One-permutation minhash: 1/16 the signature arithmetic of q5
+    // (one multiply-add per shingle), rotation-densified, same
+    // banding + exact-Jaccard verify.
+    "q114_oph_minhash" -> ((s, dir) =>
+      operators.Dedup.ophNearDups(documents(s, dir))),
+    // PCA whitening: sample-trained principal axes (executor-side
+    // ordered moment folds, Dim^2-bounded driver eigen-solve),
+    // row-local whitened projection of the whole corpus.
+    "q115_pca_whiten" -> ((s, dir) =>
+      Similarity.pcaWhiten(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -891,6 +901,8 @@ object SparkEntry {
     "q111_kn_bigram" -> OracleSql.knBigramNll,
     "q112_knn_graph" -> OracleSql.knnGraph,
     "q113_blocklist" -> OracleSql.blocklistScreen,
+    "q114_oph_minhash" -> OracleSql.ophDedup,
+    "q115_pca_whiten" -> OracleSql.pcaWhiten,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -235,6 +235,61 @@ object Dedup {
       graft.util.CacheHandle(hashed))
   }
 
+  /** OPH densification offset (q114): borrowed bin values shift by
+    * j·[[P]], so a value borrowed j steps away can never alias a raw
+    * minimum (raw values live in [0, P)). */
+  val OphC: Long = P
+
+  /** One-permutation-hashing signature (q114): [[NumHashes]] bins
+    * from ONE permuted hash per shingle — 1/[[NumHashes]] the
+    * signature arithmetic of [[signature]] — with rotation
+    * densification for empty bins. Same length and banding layout as
+    * the classic signature, so the downstream LSH pipeline is shared
+    * verbatim. */
+  def ophSignature(hashes: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, OphSignature}
+    Bridge.column(OphSignature(Bridge.expression(hashes),
+      NumHashes, perms.head._1, perms.head._2, P, OphC))
+  }
+
+  /** [[bandedSignatures]] under the OPH signature. */
+  def ophBandedSignatures(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("doc_id"), col("hashes"),
+        ophSignature(col("hashes")).as("sig"))
+      .select(
+        col("doc_id"), col("hashes"),
+        posexplode(array((0 until NumBands).map { j =>
+          struct(
+            element_at(col("sig"), 2 * j + 1).as("k1"),
+            element_at(col("sig"), 2 * j + 2).as("k2"))
+        }: _*)).as(Seq("band", "key")))
+
+  /** MinHash-LSH near-dup pairs under the ONE-PERMUTATION signature
+    * (q114) — identical output contract to [[minhashNearDups]] (exact
+    * Jaccard ≥ [[JaccardThreshold]] on banded candidates), but the
+    * signature pass costs one multiply-add per shingle instead of
+    * [[NumHashes]]: the 100 TB signature-throughput rung, measured
+    * against the classic pass in the BASELINE ladder. Candidate
+    * recall differs only through the banding's minhash estimates
+    * (both unbiased); precision is 100% either way (exact verify). */
+  def ophNearDups(docs: DataFrame): DataFrame =
+    ophNearDupsWithHandle(docs)._1
+
+  def ophNearDupsWithHandle(
+      docs: DataFrame): (DataFrame, graft.util.CacheHandle) = {
+    val hashed = shingleHashes(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bucketPairs(
+      ophBandedSignatures(hashed)
+        .select(col("doc_id"), col("band"), col("key")),
+      Seq("band", "key"))
+    (jaccardVerified(cand,
+      hashed.select(col("doc_id"), col("hashes").as("s")),
+      JaccardThreshold),
+      graft.util.CacheHandle(hashed))
+  }
+
   /** Winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
     * fingerprinting algorithm): hash every overlapping
     * [[WinnowK]]-char gram, slide a window of [[WinnowW]] consecutive

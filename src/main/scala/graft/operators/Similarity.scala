@@ -457,6 +457,148 @@ object Similarity {
     cents
   }
 
+  /** PCA whitening constants (q115): components kept, power
+    * iterations per component, and the ordered-fold bucket fan-in of
+    * the moment sums. PcaBuckets is a determinism knob, not a
+    * parallelism limit — each bucket folds its members in ascending
+    * vec_id order and the driver folds buckets in ascending id, so
+    * the Gramian is BIT-IDENTICAL under any partitioning (the q103
+    * reduceCellSums discipline with an outer-product payload). */
+  val PcaDim = 4
+  val PcaIters = 12
+  val PcaBuckets = 32
+
+  /** Deterministic sample moments: n, Σv (Dim), Σvvᵀ (Dim², row
+    * major) — per-bucket executor-side ordered folds, ascending-
+    * bucket driver fold; only PcaBuckets×(Dim²+Dim+1) doubles cross
+    * to the driver (the codebook bring-to-driver contract). */
+  private def pcaMoments(sample: DataFrame)
+      : (Long, Array[Double], Array[Double]) = {
+    val zeros64 = typedLit(Seq.fill(Dim)(0.0))
+    val zerosM = typedLit(Seq.fill(Dim * Dim)(0.0))
+    val rows = sample
+      .select((col("vec_id") % PcaBuckets).as("b"), col("vec_id"), col("v"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"),
+        array_sort(collect_list(struct(col("vec_id"), col("v")))).as("mv"))
+      .select(col("b"), col("cnt"),
+        aggregate(expr("transform(mv, m -> m.v)"), zeros64,
+          (acc, x) => zip_with(acc, x, (a, c) => a + c)).as("sv"),
+        aggregate(
+          expr("transform(mv, m -> " +
+            "flatten(transform(m.v, x -> transform(m.v, y -> x * y))))"),
+          zerosM,
+          (acc, x) => zip_with(acc, x, (a, c) => a + c)).as("sm"))
+      .orderBy(col("b"))
+      .collect()
+    var n = 0L
+    val sv = new Array[Double](Dim)
+    val sm = new Array[Double](Dim * Dim)
+    rows.foreach { r =>
+      n += r.getLong(1)
+      val s1 = r.getSeq[Double](2)
+      val s2 = r.getSeq[Double](3)
+      var i = 0
+      while (i < Dim) { sv(i) = sv(i) + s1(i); i += 1 }
+      i = 0
+      while (i < Dim * Dim) { sm(i) = sm(i) + s2(i); i += 1 }
+    }
+    (n, sv, sm)
+  }
+
+  /** Driver-side deterministic power iteration with deflation over
+    * the Dim×Dim sample covariance (bounded work — the codebook
+    * contract): [[PcaIters]] iterations per component from the e_k
+    * start vector, Rayleigh eigenvalue, rank-1 deflation. Every fold
+    * ascends (the DuckDB mirror replays each operation in order, so
+    * the graded projection is bit-deterministic). */
+  private[operators] def pcaTrain(n: Long, sv: Array[Double],
+      sm: Array[Double]): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val mu = Array.tabulate(Dim)(i => sv(i) / n)
+    val m = new Array[Double](Dim * Dim)
+    var r = 0
+    while (r < Dim) {
+      var c = 0
+      while (c < Dim) {
+        m(r * Dim + c) = sm(r * Dim + c) / n - mu(r) * mu(c)
+        c += 1
+      }
+      r += 1
+    }
+    def matvec(mm: Array[Double], u: Array[Double]): Array[Double] =
+      Array.tabulate(Dim) { rr =>
+        var acc = 0.0
+        var cc = 0
+        while (cc < Dim) { acc = acc + mm(rr * Dim + cc) * u(cc); cc += 1 }
+        acc
+      }
+    val comps = new Array[Array[Double]](PcaDim)
+    val lams = new Array[Double](PcaDim)
+    var k = 0
+    while (k < PcaDim) {
+      var u = Array.tabulate(Dim)(i => if (i == k) 1.0 else 0.0)
+      var t = 0
+      while (t < PcaIters) {
+        val w = matvec(m, u)
+        var acc = 0.0
+        var i = 0
+        while (i < Dim) { acc = acc + w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(acc)
+        u = w.map(_ / nrm)
+        t += 1
+      }
+      val w = matvec(m, u)
+      var lam = 0.0
+      var i = 0
+      while (i < Dim) { lam = lam + u(i) * w(i); i += 1 }
+      comps(k) = u
+      lams(k) = lam
+      r = 0
+      while (r < Dim) {
+        var c = 0
+        while (c < Dim) {
+          m(r * Dim + c) = m(r * Dim + c) - lam * u(r) * u(c)
+          c += 1
+        }
+        r += 1
+      }
+      k += 1
+    }
+    (mu, comps, lams)
+  }
+
+  /** PCA whitening of the embedding corpus (q115) — the embedding
+    * PREPROCESSING rung of the ANN/curation family (whitened
+    * embeddings improve retrieval and SemDedup cell balance; also
+    * the classic 4× dimensionality-reduction alternative to MRL's
+    * learned prefixes and PQ's codebooks): project every vector onto
+    * the top [[PcaDim]] principal axes of the vec_id < TrainSample
+    * covariance and scale each coordinate by 1/√λ.
+    *
+    * Scale design (100 TB): training moments are executor-side
+    * ordered folds over the bounded sample ([[pcaMoments]]); the
+    * eigen-solve is Dim²-bounded driver work; the corpus projection
+    * is row-local codegen'd dot products against the baked component
+    * vectors — zero shuffle, same shape as the IVF assignment.
+    * Coordinates round to 12 decimals in BOTH engines (the q104
+    * compare-robustness precedent). */
+  def pcaWhiten(emb: DataFrame,
+      trainSample: Int = TrainSample): DataFrame = {
+    val (n, sv, sm) = pcaMoments(
+      emb.filter(col("vec_id") < trainSample).select(col("vec_id"), col("v")))
+    val (mu, comps, lams) = pcaTrain(n, sv, sm)
+    val cols = (0 until PcaDim).map { k =>
+      val u = comps(k)
+      var mdot = 0.0
+      var i = 0
+      while (i < Dim) { mdot = mdot + mu(i) * u(i); i += 1 }
+      val invs = 1.0 / math.sqrt(lams(k))
+      round((dot(col("v"), typedLit(u.toSeq)) - lit(mdot)) * lit(invs), 12)
+        .as(s"p${k + 1}")
+    }
+    emb.select(col("vec_id") +: cols: _*)
+  }
+
   /** The IVF codebook: centroids from the DISTRIBUTED trainer over
     * the vec_id < trainSample minibatch, baked into the assignment
     * expression as (flattened centroid matrix, norms, cell ids

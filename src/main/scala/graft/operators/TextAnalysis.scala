@@ -759,16 +759,20 @@ object TextAnalysis {
     import org.apache.spark.sql.graft.{Bridge, TokenCounts, WordShingles}
     val toks = docs.select(col("doc_id"),
       expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)").as("toks"))
+    // the per-doc bigram frame feeds the type-table build AND the
+    // scoring join — persist it so tokenize+shingle (the expensive
+    // row-local kernels) run once, the q107 tf-frame discipline;
+    // released by the bench/verify sessions via clearCache
     val bg = toks
       .select(col("doc_id"),
         explode(Bridge.column(TokenCounts(
           WordShingles(Bridge.expression(col("toks")), 2)))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("bigram"),
         col("tc.tf").as("bf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the type table feeds four consumers (context agg, continuation
     // agg, the scalar type count, and the scoring join) — persist it
-    // like the dedup hash corpus; released by the bench/verify
-    // sessions via clearCache
+    // like the dedup hash corpus
     val cb = bg.groupBy(col("bigram")).agg(sum(col("bf")).as("cb"))
       .withColumn("u", expr("split(bigram, ' ')[0]"))
       .withColumn("v", expr("split(bigram, ' ')[1]"))

@@ -559,6 +559,62 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
   }
 
+  /** Mirror of [[graft.operators.Dedup.ophNearDups]] (q114): the
+    * one-permutation signature replayed exactly — per-bin minima of
+    * the single permuted hash, rotation densification as a k-term
+    * COALESCE with the j·C offsets — then the SAME band join and
+    * exact-Jaccard verify as the classic pipeline. */
+  def ophDedup: String = {
+    val k = Dedup.NumHashes
+    val (a, b) = Dedup.perms.head
+    val p = Dedup.P
+    val c = Dedup.OphC
+    val pivotCols = (0 until k).map(i =>
+      s"MIN(CASE WHEN bin = $i THEN mn END) AS s$i").mkString(",\n         ")
+    val densCols = (0 until k).map { i =>
+      val terms = (0 until k).map { j =>
+        if (j == 0) s"s$i" else s"s${(i + j) % k} + ${j.toLong * c}"
+      }.mkString(", ")
+      s"COALESCE($terms, 0) AS d$i"
+    }.mkString(",\n         ")
+    val sigList = (0 until k).map(i => s"d$i").mkString("[", ", ", "]")
+    s"""$shingleCtes
+, ex AS (
+  SELECT doc_id, ($a * (x % $p) + $b) % $p AS hh
+  FROM (SELECT doc_id, unnest(hashes) AS x FROM h)
+), binmin AS (
+  SELECT doc_id, CAST(hh % $k AS INT) AS bin, MIN(hh) AS mn
+  FROM ex GROUP BY doc_id, bin
+), piv AS (
+  SELECT doc_id,
+         $pivotCols
+  FROM binmin GROUP BY doc_id
+), dens AS (
+  SELECT doc_id,
+         $densCols
+  FROM piv
+), sig AS (
+  SELECT doc_id, $sigList AS m FROM dens
+), bands AS (
+  SELECT doc_id, band, m[2*band+1] AS k1, m[2*band+2] AS k2
+  FROM sig, (SELECT unnest(range(${Dedup.NumBands})) AS band)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+         len(list_distinct(list_concat(x.hashes, y.hashes))) AS jaccard
+FROM cand c
+JOIN h x ON x.doc_id = c.doc_a
+JOIN h y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+        len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.winnowNearDups]] (q26): each
     * gram's polynomial hash recomputed as a from-scratch left fold
     * ((a·B + ord(char)) mod M — the same residue the Spark kernel
@@ -1363,6 +1419,92 @@ WHERE rank <= $TopK"""
 )
 SELECT vec_a, vec_b, cosine FROM p
 WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.pcaWhiten]] (q115): the
+    * sample moments replayed with the SAME two-level ordered fold
+    * (per-bucket ascending-vec_id member folds, ascending-bucket
+    * outer fold), the covariance entries in the same sm/n − μᵣμ꜀
+    * form, [[graft.operators.Similarity.PcaIters]] power iterations
+    * per component from the e_k start with Rayleigh eigenvalue and
+    * rank-1 deflation — every double operation in the driver
+    * trainer's order, so u/λ are bit-identical — then the row-local
+    * whitened projection rounded to 12 decimals in both engines. */
+  def pcaWhiten: String = {
+    import SimilarityParams.Dim
+    import graft.operators.Similarity.{PcaDim, PcaIters, PcaBuckets, TrainSample}
+    val D = Dim
+    val D2 = D * D
+    def zeros(k: Int) = Seq.fill(k)("0.0").mkString("[", ", ", "]")
+    def vecAdd(k: Int) =
+      s"(acc, x) -> list_transform(range(1, ${k + 1}), i -> acc[i] + x[i])"
+    def matvec(m: String, u: String) =
+      s"list_transform(range(1, ${D + 1}), r -> " +
+        fsumSql(s"list_transform(range(1, ${D + 1}), " +
+          s"c -> $m[(r-1)*$D + c] * $u[c])") + ")"
+    val comps = (0 until PcaDim).map { k =>
+      val e = (0 until D).map(i => if (i == k) "1.0" else "0.0")
+        .mkString("[", ", ", "]")
+      val iters = (1 to PcaIters).map { t =>
+        s""", w${k}_$t AS MATERIALIZED (
+  SELECT ${matvec("m", "u")} AS w FROM cm$k, u${k}_${t - 1}
+), u${k}_$t AS MATERIALIZED (
+  SELECT list_transform(w, x -> x / nr) AS u FROM (
+    SELECT w, sqrt(${fsumSql(s"list_transform(w, x -> x * x)")}) AS nr
+    FROM w${k}_$t)
+)"""
+      }.mkString
+      s""", u${k}_0 AS MATERIALIZED (
+  SELECT $e AS u
+)$iters
+, fin$k AS MATERIALIZED (
+  SELECT u, ${fsumSql(s"list_transform(range(1, ${D + 1}), i -> u[i] * w[i])")} AS lam
+  FROM (SELECT u, ${matvec("m", "u")} AS w FROM cm$k, u${k}_$PcaIters)
+), cm${k + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, ${D2 + 1}),
+    i -> m[i] - lam * u[(i-1)//$D + 1] * u[(i-1)%$D + 1]) AS m
+  FROM cm$k, fin$k
+)"""
+    }.mkString
+    val outCols = (0 until PcaDim).map { k =>
+      s"round((${fsumSql(s"list_transform(range(1, ${D + 1}), i -> n.v[i] * f$k.u[i])")} - " +
+        s"${fsumSql(s"list_transform(range(1, ${D + 1}), i -> mu.mu[i] * f$k.u[i])")}) * " +
+        s"(1.0/sqrt(f$k.lam)), 12) AS p${k + 1}"
+    }.mkString(",\n       ")
+    val finJoins = (0 until PcaDim).map(k => s"fin$k f$k").mkString(", ")
+    s"""$embCtes
+, smp AS MATERIALIZED (
+  SELECT vec_id, v FROM n WHERE vec_id < $TrainSample
+), bf AS MATERIALIZED (
+  SELECT vec_id % $PcaBuckets AS b, COUNT(*) AS cnt,
+         list_sort(list(struct_pack(vid := vec_id, vv := v))) AS mv
+  FROM smp GROUP BY 1
+), bsum AS MATERIALIZED (
+  SELECT b, cnt,
+         list_reduce(list_prepend(${zeros(D)},
+           list_transform(mv, m -> m.vv)), ${vecAdd(D)}) AS sv,
+         list_reduce(list_prepend(${zeros(D2)},
+           list_transform(mv, m -> flatten(list_transform(m.vv,
+             x -> list_transform(m.vv, y -> x * y))))), ${vecAdd(D2)}) AS sm
+  FROM bf
+), tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+         list_reduce(list_prepend(${zeros(D)}, list(sv ORDER BY b)),
+           ${vecAdd(D)}) AS sv,
+         list_reduce(list_prepend(${zeros(D2)}, list(sm ORDER BY b)),
+           ${vecAdd(D2)}) AS sm
+  FROM bsum
+), mu AS MATERIALIZED (
+  SELECT list_transform(range(1, ${D + 1}), i -> sv[i] / nn) AS mu, nn
+  FROM tot
+), cm0 AS MATERIALIZED (
+  SELECT list_transform(range(1, ${D2 + 1}),
+    i -> t.sm[i] / t.nn - mu.mu[(i-1)//$D + 1] * mu.mu[(i-1)%$D + 1]) AS m
+  FROM tot t, mu
+)$comps
+SELECT n.vec_id,
+       $outCols
+FROM n, mu, $finJoins"""
   }
 
   /** Mirror of [[graft.operators.Similarity.knnGraph]] (q112): the

@@ -899,6 +899,67 @@ case class CmsEstimate(child: Expression,
       : CmsEstimate = copy(child = c)
 }
 
+/** Runtime kernel for one-permutation hashing (Li/Owen/Zhang 2012,
+  * rotation densification per Shrivastava/Li 2014): ONE permuted
+  * hash per input element, binned into k slots, each slot keeping
+  * its minimum; empty slots borrow circularly from the right with a
+  * j·C offset so borrowed values cannot alias raw ones. The k-hash
+  * signature costs ONE multiply-add per element instead of the
+  * classic k — at 100 TB the signature pass IS the dedup cost. */
+object OphOps {
+  def signature(w: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int, a: Long, b: Long, p: Long, c: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bins = Array.fill(k)(-1L)
+    val n = w.numElements()
+    var i = 0
+    while (i < n) {
+      val h = (a * (w.getLong(i) % p) + b) % p
+      val bin = (h % k).toInt
+      if (bins(bin) < 0L || h < bins(bin)) bins(bin) = h
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      if (bins(s) >= 0L) out(s) = bins(s)
+      else {
+        var j = 1
+        while (j < k && bins((s + j) % k) < 0L) j += 1
+        out(s) = if (j < k) bins((s + j) % k) + j * c else 0L
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `oph_signature(hashes)` — k-bin one-permutation minhash signature
+  * with rotation densification, codegen'd (q114). */
+case class OphSignature(child: Expression, k: Int, a: Long, b: Long,
+    p: Long, c: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "oph_signature"
+
+  override def nullSafeEval(w: Any): Any =
+    OphOps.signature(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k, a, b, p, c)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.OphOps.signature($w, $k, ${a}L, ${b}L, ${p}L, ${c}L)")
+
+  override protected def withNewChildInternal(c2: Expression): OphSignature =
+    copy(child = c2)
+}
+
 /** Runtime kernel for the blocklist screen: an Aho-Corasick automaton
   * over UTF-16 code units, built ONCE driver-side from the constant
   * phrase list and shipped to executors as a codegen reference

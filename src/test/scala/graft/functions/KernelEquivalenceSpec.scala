@@ -194,6 +194,30 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 
+  test("OphSignature kernel == per-bin min + rotation densification " +
+      "(randomized driver replay)") {
+    val df = hashArrays.toDF("hashes")
+    val k = Dedup.NumHashes
+    val (a, b) = Dedup.perms.head
+    val rows = df.select(col("hashes"),
+      Dedup.ophSignature(col("hashes")).as("sig")).collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      val bins = Array.fill(k)(-1L)
+      hs.foreach { x =>
+        val h = (a * (x % Dedup.P) + b) % Dedup.P
+        val bn = (h % k).toInt
+        if (bins(bn) < 0 || h < bins(bn)) bins(bn) = h
+      }
+      val exp = (0 until k).map { i =>
+        if (bins(i) >= 0) bins(i)
+        else (1 until k).find(j => bins((i + j) % k) >= 0)
+          .map(j => bins((i + j) % k) + j * Dedup.OphC).getOrElse(0L)
+      }
+      assert(r.getSeq[Long](1) == exp)
+    }
+  }
+
   test("PhraseCounts kernel == brute-force occurrence scan (randomized, " +
       "overlapping + nested phrases)") {
     import org.apache.spark.sql.graft.PhraseCounts

@@ -39,6 +39,42 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(recall >= 0.9)
   }
 
+  test("OPH pairs: no false positives; recall vs brute force >= 0.9; " +
+      "1/16 the signature arithmetic") {
+    val oph = Dedup.ophNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForceNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // exact-Jaccard verify ⇒ precision 1.0 by construction
+    assert(oph.subsetOf(brute), s"OPH invented pairs: ${oph.diff(brute)}")
+    val recall = oph.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} oph=${oph.size} recall=$recall")
+    assert(recall >= 0.9)
+  }
+
+  test("OPH densification: every empty bin borrows its nearest right " +
+      "neighbor with the j*C offset; one-element input fills all bins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.Bridge
+    val one = Seq(Tuple1(Seq(12345L))).toDF("hashes")
+      .select(Bridge.column(org.apache.spark.sql.graft.OphSignature(
+        Bridge.expression(col("hashes")), Dedup.NumHashes,
+        Dedup.perms.head._1, Dedup.perms.head._2, Dedup.P, Dedup.OphC))
+        .as("sig"))
+      .collect().head.getSeq[Long](0)
+    val h = (Dedup.perms.head._1 * (12345L % Dedup.P) +
+      Dedup.perms.head._2) % Dedup.P
+    val bin = (h % Dedup.NumHashes).toInt
+    val k = Dedup.NumHashes
+    (0 until k).foreach { i =>
+      val j = ((bin - i) % k + k) % k // steps RIGHT from i to bin
+      assert(one(i) == h + j * Dedup.OphC,
+        s"bin $i: got ${one(i)}, want $h + $j*C")
+    }
+  }
+
   test("containment flags a short doc embedded in a long one that Jaccard misses") {
     import spark.implicits._
     // doc 1 = 30 distinct-shingle words; doc 2 = doc 1 verbatim plus

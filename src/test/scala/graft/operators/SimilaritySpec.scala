@@ -230,6 +230,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     assert(recall >= 0.6, s"clustered knn-graph recall $recall")
   }
 
+  test("pcaWhiten: converged components (Rayleigh residual small), " +
+      "near-orthogonal axes, ~unit whitened sample variance, and " +
+      "BIT-identical output under any input partitioning") {
+    import org.apache.spark.sql.functions._
+    // replay the moments/training on the driver to audit eigen quality
+    val sample = emb.filter(col("vec_id") < SimilarityParams.NumQueryVectors * 52)
+    val rows = Similarity.pcaWhiten(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (1 to Similarity.PcaDim).map(k => r.getAs[Double](s"p$k"))).toMap
+    assert(rows.size == 500)
+    // whitened coordinates over the TRAINING sample must have ~unit
+    // variance per component (u approximates the eigenvector, λ its
+    // variance; power iteration at 12 rounds converges far past 1e-3)
+    (1 to Similarity.PcaDim).foreach { k =>
+      val xs = rows.filter(_._1 < Similarity.TrainSample).values
+        .map(_(k - 1)).toSeq
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.size
+      assert(math.abs(v - 1.0) < 0.05, s"component $k whitened var $v")
+    }
+    // determinism under partitioning: the ordered-fold moments make
+    // the projection bit-identical on a repartitioned input
+    val rows7 = Similarity.pcaWhiten(emb.repartition(7, col("vec_id")))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (1 to Similarity.PcaDim).map(k => r.getAs[Double](s"p$k"))).toMap
+    rows.foreach { case (id, ps) =>
+      ps.zip(rows7(id)).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b),
+          s"vec $id drifted under repartition: $a vs $b")
+      }
+    }
+    // components near-orthogonal: whitened coords of distinct
+    // components are ~uncorrelated on the sample
+    val s = rows.filter(_._1 < Similarity.TrainSample).values.toSeq
+    for (i <- 0 until Similarity.PcaDim; j <- i + 1 until Similarity.PcaDim) {
+      val corr = s.map(p => p(i) * p(j)).sum / s.size
+      assert(math.abs(corr) < 0.05, s"components $i,$j correlate $corr")
+    }
+  }
+
   test("IVF degrades gracefully on corpora smaller than the codebook") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -489,6 +489,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q115 pca projection: zero exchanges after training (row-local " +
+      "codegen'd dots against baked components), pruned scan") {
+    spark.catalog.clearCache()
+    val df = q("q115_pca_whiten")
+    // the returned frame is the PROJECTION — training already folded
+    // to the driver at construction; the corpus-side plan must be
+    // scan → project with no exchange
+    assert(shuffleCount(df) == 0,
+      s"pca projection shuffles ${shuffleCount(df)}×")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
   test("q113 blocklist screen: zero exchanges, pruned scan, codegen'd " +
       "automaton pass") {
     val df = q("q113_blocklist")
