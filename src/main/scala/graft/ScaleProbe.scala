@@ -410,6 +410,11 @@ object ScaleProbe {
         time(factor, "oph_pairs")(Dedup.ophNearDups(docs))
         spark.catalog.clearCache(); docs.persist(); docs.count()
       }
+      // ICWS weighted minhash: same banded law over weighted samples
+      if (wanted("wminhash_pairs")) {
+        time(factor, "wminhash_pairs")(Dedup.weightedMinhashNearDups(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // cluster cap + funnel + component labels composed: the added
       // cost over cc_propagation must be one cluster-keyed window
       // exchange plus the row-local funnel scan

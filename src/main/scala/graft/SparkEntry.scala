@@ -689,6 +689,12 @@ object SparkEntry {
     // row-local whitened projection of the whole corpus.
     "q115_pca_whiten" -> ((s, dir) =>
       Similarity.pcaWhiten(Similarity.embeddings(s, dir))),
+    // ICWS weighted minhash: tf-weighted Jaccard dedup — banding
+    // over consistent weighted samples, exact integer Σmin/Σmax
+    // verify; catches boilerplate-dominated near-dups q5's
+    // distinct-set semantics under-weighs.
+    "q116_weighted_minhash" -> ((s, dir) =>
+      operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -903,6 +909,7 @@ object SparkEntry {
     "q113_blocklist" -> OracleSql.blocklistScreen,
     "q114_oph_minhash" -> OracleSql.ophDedup,
     "q115_pca_whiten" -> OracleSql.pcaWhiten,
+    "q116_weighted_minhash" -> OracleSql.weightedMinhashDedup,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

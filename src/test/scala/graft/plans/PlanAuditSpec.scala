@@ -489,6 +489,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q116 weighted minhash: banded candidates only (no all-pairs " +
+      "product), pruned scan, bounded exchanges") {
+    spark.catalog.clearCache()
+    val df = q("q116_weighted_minhash")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "weighted minhash must never plan an all-pairs product")
+    // band self-join + id-pair distinct + the two verify joins over
+    // the cached tf frame
+    assert(shuffleCount(df) <= 6,
+      s"weighted minhash shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
   test("q115 pca projection: zero exchanges after training (row-local " +
       "codegen'd dots against baked components), pruned scan") {
     spark.catalog.clearCache()
