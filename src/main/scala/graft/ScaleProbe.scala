@@ -399,6 +399,10 @@ object ScaleProbe {
       // pass — the curve must be a flat per-row scan cost
       time(factor, "blocklist")(
         graft.operators.TextAnalysis.blocklistScreen(docs))
+      // nine-kernel Gopher repetition battery: row-local, must stay
+      // a flat per-row scan cost like the blocklist
+      time(factor, "rep_signals")(
+        graft.operators.TextAnalysis.repetitionSignals(docs))
       // classic 16-permutation vs one-permutation minhash pair build:
       // same banding, same exact verify — the delta is the signature
       // arithmetic (16 multiply-adds per shingle vs 1)

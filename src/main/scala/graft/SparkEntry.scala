@@ -695,6 +695,11 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // The full Gopher repetition battery: nine n-gram character-mass
+    // signals + the Table-A1 keep verdict, one codegen'd kernel pass
+    // per n, zero shuffle.
+    "q117_rep_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -910,6 +915,7 @@ object SparkEntry {
     "q114_oph_minhash" -> OracleSql.ophDedup,
     "q115_pca_whiten" -> OracleSql.pcaWhiten,
     "q116_weighted_minhash" -> OracleSql.weightedMinhashDedup,
+    "q117_rep_signals" -> OracleSql.repetitionSignals,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -838,6 +838,58 @@ object TextAnalysis {
       .withColumn("keep", col("total_hits") === lit(0L))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1): a
+    * document is rejected when the most-frequent n-gram's character
+    * mass (n = 2,3,4) or the beyond-first-occurrence duplicate
+    * n-gram character mass (n = 5..10) exceeds these fractions of
+    * the document's characters. */
+  val RepTopThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val RepDupThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The FULL Gopher repetition battery (q117) — the nine n-gram
+    * character-mass signals of the published pretraining filter,
+    * complementing q41's run/top-word/distinct-2-gram rules:
+    * top-{2,3,4}-gram char fraction (most frequent gram's tf·len
+    * over total chars) and dup-{5..10}-gram char fraction
+    * (Σ_{tf≥2}(tf−1)·len over total chars), with the keep verdict
+    * under the Table-A1 thresholds.
+    *
+    * Scale design: zero shuffle — all nine masses come from one
+    * codegen'd sort+RLE kernel pass per n over the row-local token
+    * array ([[org.apache.spark.sql.graft.GramMass]]); fractions are
+    * integer-mass / integer-chars double divisions (deterministic in
+    * both engines, no FP mirror risk). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, GramMass}
+    val base = docs
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")
+          .as("toks"))
+      .withColumn("total_chars",
+        length(array_join(col("toks"), " ")).cast("long"))
+    def frac(mass: Column): Column =
+      when(col("total_chars") === 0L, lit(0.0))
+        .otherwise(mass.cast("double") / col("total_chars"))
+    val fracCols =
+      RepTopThresholds.map { case (n, _) =>
+        frac(Bridge.column(GramMass(Bridge.expression(col("toks")), n,
+          dup = false))).as(s"top${n}_frac")
+      } ++
+      RepDupThresholds.map { case (n, _) =>
+        frac(Bridge.column(GramMass(Bridge.expression(col("toks")), n,
+          dup = true))).as(s"dup${n}_frac")
+      }
+    val scored = base.select(
+      col("doc_id") +: col("total_chars") +: fracCols: _*)
+    val keep = (
+      RepTopThresholds.map { case (n, t) => col(s"top${n}_frac") <= t } ++
+      RepDupThresholds.map { case (n, t) => col(s"dup${n}_frac") <= t })
+      .reduce(_ && _)
+    scored.withColumn("kept", keep)
+  }
+
   /** Labeled training sources of the model-based quality filter
     * (q107): the positive list stands in for a curated reference
     * corpus (WebText/Wikipedia in the GPT-3/LLaMA recipes), the

@@ -2361,6 +2361,68 @@ SELECT doc_id, total_hits, n_phrases,
 FROM s"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.repetitionSignals]]
+    * (q117): per n the n-gram strings (space-joined token windows,
+    * identical to WordShingles), duckdb GROUP BY counts, the same
+    * (tf DESC, gram ASC) top pick / tf≥2 beyond-first mass, integer
+    * masses over integer total chars. */
+  def repetitionSignals: String = {
+    import graft.operators.TextAnalysis.{RepTopThresholds, RepDupThresholds, WordPattern}
+    def gramExpr(n: Int): String =
+      (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    def gramCtes(n: Int): String =
+      s""", g$n AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 1} + 1),
+    i -> ${gramExpr(n)})) AS g
+  FROM base
+), c$n AS (
+  SELECT doc_id, g, COUNT(*) AS tf FROM g$n GROUP BY doc_id, g
+)"""
+    val topCtes = RepTopThresholds.map { case (n, _) =>
+      gramCtes(n) + s""", m$n AS (
+  SELECT doc_id, tf * length(g) AS mass FROM (
+    SELECT doc_id, g, tf, row_number() OVER (PARTITION BY doc_id
+      ORDER BY tf DESC, g ASC) AS rn
+    FROM c$n) WHERE rn = 1
+)"""
+    }.mkString
+    val dupCtes = RepDupThresholds.map { case (n, _) =>
+      gramCtes(n) + s""", m$n AS (
+  SELECT doc_id, CAST(SUM((tf - 1) * length(g)) AS BIGINT) AS mass
+  FROM c$n WHERE tf >= 2 GROUP BY doc_id
+)"""
+    }.mkString
+    val allNs = RepTopThresholds.map(_._1) ++ RepDupThresholds.map(_._1)
+    val joins = allNs.map(n =>
+      s"LEFT JOIN m$n ON m$n.doc_id = base.doc_id").mkString("\n")
+    def fracSql(n: Int): String =
+      s"CASE WHEN total_chars = 0 THEN 0.0 ELSE " +
+        s"CAST(COALESCE(m$n.mass, 0) AS DOUBLE) / total_chars END"
+    val fracCols = (RepTopThresholds.map { case (n, _) =>
+      s"${fracSql(n)} AS top${n}_frac"
+    } ++ RepDupThresholds.map { case (n, _) =>
+      s"${fracSql(n)} AS dup${n}_frac"
+    }).mkString(",\n       ")
+    val keep = (RepTopThresholds.map { case (n, t) =>
+      s"${fracSql(n)} <= $t"
+    } ++ RepDupThresholds.map { case (n, t) =>
+      s"${fracSql(n)} <= $t"
+    }).mkString("(", ")\n   AND (", ")")
+    s"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '$WordPattern') AS toks
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT doc_id, toks,
+         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars
+  FROM tok
+)$topCtes$dupCtes
+SELECT base.doc_id, total_chars,
+       $fracCols,
+       $keep AS kept
+FROM base
+$joins"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.chunkDocs]] — identical
     * integer chunk arithmetic (non-negative ceil-div numerator, so
     * `//` and Spark's `DIV` agree) and 1-based substring windows. */

@@ -960,6 +960,60 @@ case class OphSignature(child: Expression, k: Int, a: Long, b: Long,
     copy(child = c2)
 }
 
+/** Runtime kernel for the Gopher repetition battery (q117): per-doc
+  * n-gram CHARACTER-mass statistics in one pass — build the n-gram
+  * strings, sort, run-length encode, and either take the most
+  * frequent gram's total character mass (tf·len, ties to the
+  * lexicographically first gram — the `top-n-gram` family) or sum
+  * the beyond-first-occurrence mass Σ_{tf≥2}(tf−1)·len (the
+  * `dup-n-gram` family). Character length is UTF-8-codepoint length
+  * (`UTF8String.numChars`), matching SQL `length()`. */
+object GramMassOps {
+  def gramMass(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int, dup: Boolean): Long = {
+    val grams = ShingleOps.wordShingles(toks, n)
+    val m = grams.numElements()
+    if (m == 0) return 0L
+    val arr = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { arr(i) = grams.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var best = 0L
+    var bestTf = 0L
+    var acc = 0L
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && arr(j).equals(arr(i))) j += 1
+      val tf = (j - i).toLong
+      val len = arr(i).numChars().toLong
+      if (dup) { if (tf >= 2) acc += (tf - 1) * len }
+      else if (tf > bestTf) { bestTf = tf; best = tf * len }
+      i = j
+    }
+    if (dup) acc else best
+  }
+}
+
+/** `gram_mass(toks)` — top- or dup-n-gram character mass, codegen'd. */
+case class GramMass(child: Expression, n: Int, dup: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gram_mass"
+  override def nullSafeEval(w: Any): Any =
+    GramMassOps.gramMass(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, dup)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.GramMassOps.gramMass($w, $n, $dup)")
+  override protected def withNewChildInternal(c: Expression): GramMass =
+    copy(child = c)
+}
+
 /** Runtime kernels for ICWS weighted minhash (Ioffe 2010, "Improved
   * Consistent Weighted Sampling"): per permutation, sample one
   * (term, t) pair from a document's weighted term multiset such that

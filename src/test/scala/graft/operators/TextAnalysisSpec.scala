@@ -85,6 +85,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(2L) == ((0L, 0L, true)))
   }
 
+  test("repetitionSignals hand-checked: top-gram mass, overlapping " +
+      "occurrences, beyond-first dup mass, Table-A1 verdicts") {
+    val df = Seq(
+      (1L, "a b a b a b c"),
+      (2L, ('a' to 'y').mkString(" ")), // 25 distinct tokens: even a
+      // singleton top-4-gram is 7/49 = 0.14 < the 0.16 threshold (on
+      // SHORT docs the top-gram statistic rejects by construction —
+      // Gopher pairs it with a min-length gate)
+      (3L, "solo"),
+      (4L, "a b c d e a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc1: total 13 chars; top-2 "a b"x3 -> 9/13; top-3 ties at
+    // tf=2, lexicographically first "a b a" -> 10/13; top-4
+    // "a b a b"x2 (overlapping!) -> 14/13 > 1 (the statistic counts
+    // every occurrence's chars); no duplicated 5-grams
+    assert(math.abs(out(1L).getAs[Double]("top2_frac") - 9.0 / 13) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("top3_frac") - 10.0 / 13) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("top4_frac") - 14.0 / 13) < 1e-12)
+    assert(out(1L).getAs[Double]("dup5_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("kept"))
+    // doc2: all tokens distinct -> every top frac is one gram's mass
+    // (tf=1), all dup fracs 0, kept
+    assert(out(2L).getAs[Double]("dup5_frac") == 0.0 &&
+      out(2L).getAs[Boolean]("kept"))
+    // doc3: single token, no grams at all -> all 0, kept
+    assert(out(3L).getAs[Double]("top2_frac") == 0.0 &&
+      out(3L).getAs[Boolean]("kept"))
+    // doc4: "a b c d e" repeats -> dup5 = (2-1)*9 / 21
+    assert(math.abs(out(4L).getAs[Double]("dup5_frac") - 9.0 / 21) < 1e-12)
+    assert(!out(4L).getAs[Boolean]("kept"))
+  }
+
   test("piiScrub counts and redacts emails and phone numbers") {
     val df = Seq(
       (1L, "mail bob@example.com or call 555-123-4567 now"),

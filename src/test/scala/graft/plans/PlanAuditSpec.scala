@@ -524,6 +524,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
   }
 
+  test("q117 repetition battery: zero exchanges (nine kernel passes, " +
+      "all row-local), pruned scan") {
+    val df = q("q117_rep_signals")
+    assert(shuffleCount(df) == 0,
+      s"rep battery shuffles ${shuffleCount(df)}× (must be row-local)")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
   test("q113 blocklist screen: zero exchanges, pruned scan, codegen'd " +
       "automaton pass") {
     val df = q("q113_blocklist")
