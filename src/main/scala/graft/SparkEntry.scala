@@ -700,6 +700,43 @@ object SparkEntry {
     // per n, zero shuffle.
     "q117_rep_signals" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(documents(s, dir))),
+    // The SERVE-ONLINE half of the NB quality gate graded end to end
+    // (q92/q105 precedent): model trained batch-side on the labeled
+    // sources, then the corpus arrives as three file-stream waves and
+    // every document scores ROW-LOCALLY under the broadcast-constant
+    // model — stateless append streaming, no watermark.
+    "q118_stream_quality" -> ((s, dir) => {
+      val all = documents(s, dir)
+      val model = TextAnalysis.trainNbModel(all)
+      val docs = all.select(col("doc_id"), col("text"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-quality-q118").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q118_scores")
+      val q = streaming.StreamingQuality.nbScore(stream, model)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q118_scores").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q118_scores")
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -916,6 +953,7 @@ object SparkEntry {
     "q115_pca_whiten" -> OracleSql.pcaWhiten,
     "q116_weighted_minhash" -> OracleSql.weightedMinhashDedup,
     "q117_rep_signals" -> OracleSql.repetitionSignals,
+    "q118_stream_quality" -> OracleSql.nbQualityStreamed,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

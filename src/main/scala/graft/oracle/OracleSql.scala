@@ -886,7 +886,10 @@ FROM j GROUP BY doc_id"""
     * +1/+|V| integer arithmetic inside the cast), per-doc
     * Σ tf·Δlogp absorbed by the compare's %.9g, margin = prior_diff
     * + ll_sum in the same addition order. */
-  def nbQuality: String = {
+  /** The shared NB model CTE chain (`lab` → … → `dflt`) — single
+    * source for the batch mirror ([[nbQuality]]) and the streamed
+    * serve-side mirror ([[nbQualityStreamed]]). */
+  private def nbModelCtes: String = {
     val pat = graft.operators.TextAnalysis.WordPattern
     val pos = graft.operators.TextAnalysis.NbPosSources
       .map(s => s"'$s'").mkString(", ")
@@ -930,7 +933,12 @@ FROM j GROUP BY doc_id"""
 ), dflt AS (
   SELECT ln(1.0 / (tot_pos + v)) - ln(1.0 / (tot_neg + v)) AS lpdiff0
   FROM tot
-), scored AS (
+)"""
+  }
+
+  def nbQuality: String =
+    s"""$nbModelCtes
+, scored AS (
   SELECT tf.doc_id,
          CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
          SUM(CAST(tf.tf AS DOUBLE) * COALESCE(m.lpdiff, d.lpdiff0))
@@ -942,6 +950,35 @@ SELECT s.doc_id, s.n_tok,
        p.prior_diff + s.ll_sum AS margin,
        p.prior_diff + s.ll_sum > 0 AS keep
 FROM scored s CROSS JOIN pri p"""
+
+  /** Mirror of the STREAMED serve-side scorer
+    * ([[graft.streaming.StreamingQuality.nbScore]], graded q118):
+    * same model CTEs, but the per-doc margin is the ORDERED per-token
+    * left fold the streaming column evaluates (token sequence order,
+    * not tf grouping) — mirrored with a map lookup inside
+    * list_reduce so the fold order is bit-identical. */
+  def nbQualityStreamed: String = {
+    val pat = graft.operators.TextAnalysis.WordPattern
+    s"""$nbModelCtes
+, mdl AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := term, v := lpdiff)))
+    AS mp
+  FROM model
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '$pat') AS w
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tok,
+       p.prior_diff + list_reduce(list_prepend(0.0,
+         list_transform(t.w,
+           x -> COALESCE(map_extract(mdl.mp, x)[1], d.lpdiff0))),
+         (a, b) -> a + b) AS margin,
+       p.prior_diff + list_reduce(list_prepend(0.0,
+         list_transform(t.w,
+           x -> COALESCE(map_extract(mdl.mp, x)[1], d.lpdiff0))),
+         (a, b) -> a + b) > 0 AS keep
+FROM toks t, mdl, pri p, dflt d"""
   }
 
   /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
