@@ -608,6 +608,20 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // cross-corpus mining: banded cross-side candidates under the
+      // log₂(n)-scaled width (the knn_graph law), both neighborhood
+      // averages over the cached scored frame
+      if (wanted("xmine")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        time(factor, "xmine")(Similarity.mineAlignedPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), bitsPerBand = w))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // MRL two-stage: stage 1 touches dims/Dim of each vector's
       // bytes, stage 2 is poolK·|Q| bounded re-rank — the curve must
       // stay linear with no bend from the re-rank join (at fixture

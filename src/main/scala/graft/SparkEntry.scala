@@ -695,6 +695,15 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // Cross-corpus alignment mining: label-parity corpora, banded
+    // cross-side candidates, ratio-margin scoring (the CCMatrix/LASER
+    // bitext recipe), per-x best match above the cut.
+    "q119_xcorpus_mine" -> ((s, dir) => {
+      val full = Similarity.embeddingsLabeled(s, dir)
+      Similarity.mineAlignedPairs(
+        full.filter(col("label") % 2 === 0),
+        full.filter(col("label") % 2 === 1))
+    }),
     // The full Gopher repetition battery: nine n-gram character-mass
     // signals + the Table-A1 keep verdict, one codegen'd kernel pass
     // per n, zero shuffle.
@@ -954,6 +963,7 @@ object SparkEntry {
     "q116_weighted_minhash" -> OracleSql.weightedMinhashDedup,
     "q117_rep_signals" -> OracleSql.repetitionSignals,
     "q118_stream_quality" -> OracleSql.nbQualityStreamed,
+    "q119_xcorpus_mine" -> OracleSql.mineAlignedPairs,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

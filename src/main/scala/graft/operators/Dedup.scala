@@ -308,18 +308,23 @@ object Dedup {
   /** Weighted-Jaccard cut for the verified q116 pairs. */
   val WeightedJaccardThreshold = 0.3
 
-  /** Per-doc word-BIGRAM-frequency multiset in the sorted
-    * TokenCounts layout — the weighted set both the ICWS signature
-    * and the exact weighted-Jaccard verify consume. Bigrams, not
-    * unigrams: on a bounded vocabulary every document's unigram
-    * multiset looks alike (fixture median weighted-Jaccard 0.53 —
-    * banding would degenerate to all-pairs), while bigram multisets
-    * separate cleanly (median 0.028, near-dups ≥ 0.3) AND still
-    * count repeated boilerplate by multiplicity. Row-local kernels. */
+  /** Per-doc word-BIGRAM-frequency multiset in the h-sorted
+    * (digest60, tf) layout — the weighted set both the ICWS
+    * signature and the exact weighted-Jaccard verify consume.
+    * Bigrams, not unigrams: on a bounded vocabulary every document's
+    * unigram multiset looks alike (fixture median weighted-Jaccard
+    * 0.53 — banding would degenerate to all-pairs), while bigram
+    * multisets separate cleanly (median 0.028, near-dups ≥ 0.3) AND
+    * still count repeated boilerplate by multiplicity. Hash-keyed,
+    * not string-keyed: the whole downstream pipeline (signatures,
+    * band keys, the verify arrays through two joins) moves longs —
+    * the string form spilled ~3× the bytes at the 50× ladder rung.
+    * Digest collisions merge identically in both engines (summed tf
+    * per h). Row-local kernels. */
   def termCountArrays(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.{Bridge, TokenCounts, WordShingles}
+    import org.apache.spark.sql.graft.{Bridge, HashedCounts, WordShingles}
     docs.select(col("doc_id"),
-        Bridge.column(TokenCounts(WordShingles(Bridge.expression(
+        Bridge.column(HashedCounts(WordShingles(Bridge.expression(
           expr(s"regexp_extract_all(lower(text), " +
             s"'${TextAnalysis.WordPattern}', 0)")), 2))).as("tl"))
       .filter(size(col("tl")) > 0)

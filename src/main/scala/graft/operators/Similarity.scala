@@ -457,6 +457,75 @@ object Similarity {
     cents
   }
 
+  /** Mining constants (q119): neighborhood size of the margin
+    * denominator and the acceptance cut. k = 4 is the standard
+    * margin-kNN size at fixture scale; the cut is data-driven like
+    * [[NearDupCosine]] (fixture margin distribution measured in the
+    * scaladoc of [[mineAlignedPairs]]). */
+  val MineK = 4
+  val MineMargin = 1.1
+
+  /** [[embeddings]] plus the label column (row-local, no join) — the
+    * two-corpus split key of the q119 mining query. */
+  def embeddingsLabeled(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Cross-corpus alignment mining (q119) — the bitext-mining recipe
+    * of CCMatrix/LASER (Artetxe & Schwenk margin scoring): for every
+    * vector of corpus X, its best corpus-Y match by the RATIO margin
+    *
+    *   margin(x,y) = cos(x,y) / ((avgNNₖ(x) + avgNNₖ(y)) / 2)
+    *
+    * which normalizes away hubness (a y that is "close to everything"
+    * has a high avgNNₖ(y) and stops winning every x). Pairs keep only
+    * margin ≥ `threshold`.
+    *
+    * Scale shape: candidates are CROSS-side band collisions (the q112
+    * banding — one shuffle on the band key, never |X|·|Y|), the
+    * scored pair frame is computed once and persisted (it feeds both
+    * directions' neighborhoods and the final margin), both
+    * neighborhood averages rank through the TopKPerGroup heaps, and
+    * the per-x argmax is one more heap pass. */
+  def mineAlignedPairs(embX: DataFrame, embY: DataFrame,
+      k: Int = MineK, threshold: Double = MineMargin,
+      bitsPerBand: Int = DedupBitsPerBand): DataFrame = {
+    val bx = embX.select(col("vec_id"),
+      posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
+        .as(Seq("band", "key"))).alias("a")
+    val by = embY.select(col("vec_id"),
+      posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
+        .as(Seq("band", "key"))).alias("b")
+    val candIds = bx.join(by,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.vec_id").as("x_id"), col("b.vec_id").as("y_id"))
+      .distinct()
+    val vx = embX.select(col("vec_id").as("x_id"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val vy = embY.select(col("vec_id").as("y_id"), col("v"), col("norm"))
+    val scored = candIds.join(vx, "x_id").join(vy, "y_id")
+      .withColumn("cosine", cosine)
+      .select(col("x_id"), col("y_id"), col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def nnAvg(group: String, other: String, out: String): DataFrame =
+      org.apache.spark.sql.graft.TopK.perGroup(scored, Seq(group),
+        Seq("cosine" -> false, other -> true), k)
+        .groupBy(col(group))
+        .agg(avg(col("cosine")).as(out))
+    val ax = nnAvg("x_id", "y_id", "avg_x")
+    val ay = nnAvg("y_id", "x_id", "avg_y")
+    val margins = scored.join(ax, "x_id").join(ay, "y_id")
+      .withColumn("margin",
+        col("cosine") / ((col("avg_x") + col("avg_y")) / 2.0))
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
+    org.apache.spark.sql.graft.TopK.perGroup(margins, Seq("x_id"),
+        Seq("margin" -> false, "y_id" -> true), 1)
+      .filter(col("margin") >= threshold)
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
+  }
+
   /** PCA whitening constants (q115): components kept, power
     * iterations per component, and the ordered-fold bucket fan-in of
     * the moment sums. PcaBuckets is a determinism knob, not a

@@ -862,24 +862,28 @@ object TextAnalysis {
     * integer-mass / integer-chars double divisions (deterministic in
     * both engines, no FP mirror risk). */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.{Bridge, GramMass}
+    import org.apache.spark.sql.graft.{Bridge, RepMasses}
     val base = docs
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")
           .as("toks"))
       .withColumn("total_chars",
         length(array_join(col("toks"), " ")).cast("long"))
+      // ALL nine masses from one fused kernel evaluation — the token
+      // array feeds every n exactly once by construction
+      .withColumn("masses", Bridge.column(RepMasses(
+        Bridge.expression(col("toks")),
+        RepTopThresholds.map(_._1), RepDupThresholds.map(_._1))))
     def frac(mass: Column): Column =
       when(col("total_chars") === 0L, lit(0.0))
         .otherwise(mass.cast("double") / col("total_chars"))
     val fracCols =
-      RepTopThresholds.map { case (n, _) =>
-        frac(Bridge.column(GramMass(Bridge.expression(col("toks")), n,
-          dup = false))).as(s"top${n}_frac")
+      RepTopThresholds.zipWithIndex.map { case ((n, _), i) =>
+        frac(element_at(col("masses"), i + 1)).as(s"top${n}_frac")
       } ++
-      RepDupThresholds.map { case (n, _) =>
-        frac(Bridge.column(GramMass(Bridge.expression(col("toks")), n,
-          dup = true))).as(s"dup${n}_frac")
+      RepDupThresholds.zipWithIndex.map { case ((n, _), i) =>
+        frac(element_at(col("masses"), RepTopThresholds.size + i + 1))
+          .as(s"dup${n}_frac")
       }
     val scored = base.select(
       col("doc_id") +: col("total_chars") +: fracCols: _*)

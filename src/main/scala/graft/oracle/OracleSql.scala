@@ -635,7 +635,7 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
     def uExpr(aj: String, bj: String) =
       s"(($aj * x + $bj) % $p + 1) / $pp1"
     val pivotCols = (0 until k).map(i =>
-      s"MAX(CASE WHEN perm = $i THEN struct_pack(term := term, t := t) END) AS s$i")
+      s"MAX(CASE WHEN perm = $i THEN struct_pack(h := h, t := t) END) AS s$i")
       .mkString(",\n         ")
     val bandCte = (0 until Dedup.NumBands).map { j =>
       s"SELECT doc_id, $j AS band, s${2 * j} AS k1, s${2 * j + 1} AS k2 FROM piv"
@@ -647,31 +647,35 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
   SELECT doc_id, unnest(list_transform(range(1, len(toks)),
     i -> toks[i] || ' ' || toks[i + 1])) AS term
   FROM tok
-), tf AS MATERIALIZED (
+), tft AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM bgu GROUP BY doc_id, term
+), tf AS MATERIALIZED (
+  SELECT doc_id, h, CAST(SUM(tf) AS BIGINT) AS tf FROM (
+    SELECT doc_id, ${digest60Sql("term")} AS h, tf FROM tft)
+  GROUP BY doc_id, h
 ), el AS MATERIALIZED (
-  SELECT doc_id, term, tf,
-         ${digest60Sql("term")} % $p AS x,
+  SELECT doc_id, h, tf,
+         h % $p AS x,
          ln(CAST(tf AS DOUBLE)) AS lnw
   FROM tf
 ), pc(perm, a1, b1, a2, b2, a3, b3, a4, b4, a5, b5) AS (
   VALUES
     $permRows
 ), draw AS MATERIALIZED (
-  SELECT doc_id, perm, term,
+  SELECT doc_id, perm, h,
          FLOOR(lnw / r + beta) AS t,
          c / (exp(r * (FLOOR(lnw / r + beta) - beta)) * exp(r)) AS a
   FROM (
-    SELECT doc_id, perm, term, lnw,
+    SELECT doc_id, perm, h, lnw,
            -ln((${uExpr("a1", "b1")}) * (${uExpr("a2", "b2")})) AS r,
            -ln((${uExpr("a3", "b3")}) * (${uExpr("a4", "b4")})) AS c,
            ${uExpr("a5", "b5")} AS beta
     FROM el, pc)
 ), samp AS MATERIALIZED (
-  SELECT doc_id, perm, term, CAST(t AS BIGINT) AS t FROM (
-    SELECT doc_id, perm, term, t,
+  SELECT doc_id, perm, h, CAST(t AS BIGINT) AS t FROM (
+    SELECT doc_id, perm, h, t,
            row_number() OVER (PARTITION BY doc_id, perm
-             ORDER BY a ASC, term ASC) AS rn
+             ORDER BY a ASC, h ASC) AS rn
     FROM draw) WHERE rn = 1
 ), piv AS MATERIALIZED (
   SELECT doc_id,
@@ -686,14 +690,14 @@ WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pt AS (
-  SELECT doc_a, doc_b, term,
+  SELECT doc_a, doc_b, h,
          CAST(MAX(CASE WHEN side = 0 THEN tf ELSE 0 END) AS BIGINT) AS ta,
          CAST(MAX(CASE WHEN side = 1 THEN tf ELSE 0 END) AS BIGINT) AS tb
   FROM (
-    SELECT c.doc_a, c.doc_b, f.term, f.tf, 0 AS side
+    SELECT c.doc_a, c.doc_b, f.h, f.tf, 0 AS side
     FROM cand c JOIN tf f ON f.doc_id = c.doc_a
     UNION ALL
-    SELECT c.doc_a, c.doc_b, f.term, f.tf, 1 AS side
+    SELECT c.doc_a, c.doc_b, f.h, f.tf, 1 AS side
     FROM cand c JOIN tf f ON f.doc_id = c.doc_b
   ) GROUP BY 1, 2, 3
 ), wj AS (
@@ -1633,6 +1637,73 @@ WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
 SELECT n.vec_id,
        $outCols
 FROM n, mu, $finJoins"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.mineAlignedPairs]]
+    * (q119): label-parity corpus split, CROSS-side band-collision
+    * candidates under the near-dup banding, exact cosine, both
+    * directions' top-k neighborhood averages by (cosine DESC, id
+    * ASC) rank, the ratio margin, and the per-x best match at the
+    * acceptance cut. */
+  def mineAlignedPairs: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{MineK, MineMargin}
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until DedupBitsPerBand).map { t =>
+        val lst = dedupPlanes(j * DedupBitsPerBand + t)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    def bandCte(src: String): String = (0 until DedupNumBands).map { j =>
+      s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(${fsumSql("list_transform(v, x -> x * x)")}) AS nrm
+  FROM e
+), nx AS (SELECT vec_id, v, nrm FROM n WHERE label % 2 = 0
+), ny AS (SELECT vec_id, v, nrm FROM n WHERE label % 2 = 1
+), bandsx AS MATERIALIZED (
+  ${bandCte("nx")}
+), bandsy AS MATERIALIZED (
+  ${bandCte("ny")}
+), cand AS MATERIALIZED (
+  SELECT a.vec_id AS x_id, a.v AS qv, a.nrm AS qn,
+         b.vec_id AS y_id, b.v AS v2, b.nrm AS n2
+  FROM bandsx a JOIN bandsy b
+    ON a.band = b.band AND a.key = b.key
+  GROUP BY ALL
+), p AS MATERIALIZED (
+  SELECT x_id, y_id,
+         ${dotSql("qv", "v2")} / (qn * n2) AS cosine
+  FROM cand
+), ax AS (
+  SELECT x_id, AVG(cosine) AS avg_x FROM (
+    SELECT x_id, cosine, row_number() OVER (PARTITION BY x_id
+      ORDER BY cosine DESC, y_id ASC) AS rn FROM p)
+  WHERE rn <= $MineK GROUP BY x_id
+), ay AS (
+  SELECT y_id, AVG(cosine) AS avg_y FROM (
+    SELECT y_id, cosine, row_number() OVER (PARTITION BY y_id
+      ORDER BY cosine DESC, x_id ASC) AS rn FROM p)
+  WHERE rn <= $MineK GROUP BY y_id
+), m AS (
+  SELECT p.x_id, p.y_id, p.cosine,
+         p.cosine / ((ax.avg_x + ay.avg_y) / 2.0) AS margin
+  FROM p JOIN ax ON p.x_id = ax.x_id JOIN ay ON p.y_id = ay.y_id
+), best AS (
+  SELECT x_id, y_id, cosine, margin FROM (
+    SELECT x_id, y_id, cosine, margin,
+           row_number() OVER (PARTITION BY x_id
+             ORDER BY margin DESC, y_id ASC) AS rn
+    FROM m) WHERE rn = 1
+)
+SELECT x_id, y_id, cosine, margin FROM best
+WHERE margin >= $MineMargin"""
   }
 
   /** Mirror of [[graft.operators.Similarity.knnGraph]] (q112): the

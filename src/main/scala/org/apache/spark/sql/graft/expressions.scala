@@ -994,23 +994,53 @@ object GramMassOps {
     }
     if (dup) acc else best
   }
+
+  def repMasses(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      tops: Array[Int], dups: Array[Int])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](tops.length + dups.length)
+    var i = 0
+    while (i < tops.length) {
+      out(i) = gramMass(toks, tops(i), dup = false); i += 1
+    }
+    var j = 0
+    while (j < dups.length) {
+      out(tops.length + j) = gramMass(toks, dups(j), dup = true); j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
-/** `gram_mass(toks)` — top- or dup-n-gram character mass, codegen'd. */
-case class GramMass(child: Expression, n: Int, dup: Boolean)
+/** `rep_masses(toks)` — ALL nine Gopher repetition masses (top-mass
+  * per n in `tops`, then dup-mass per n in `dups`) from ONE
+  * evaluation of the token array: the tokenize feeds every n exactly
+  * once by construction (nine separate expressions would rely on
+  * codegen CSE to avoid nine regexp passes). */
+case class RepMasses(child: Expression, tops: Seq[Int], dups: Seq[Int])
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType, containsNull = false))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "gram_mass"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_masses"
+
+  private def topsArr = tops.toArray
+  private def dupsArr = dups.toArray
+
   override def nullSafeEval(w: Any): Any =
-    GramMassOps.gramMass(
-      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, dup)
+    GramMassOps.repMasses(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      topsArr, dupsArr)
+
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("repTops", topsArr, "int[]")
+    val dRef = ctx.addReferenceObj("repDups", dupsArr, "int[]")
     defineCodeGen(ctx, ev, w =>
-      s"org.apache.spark.sql.graft.GramMassOps.gramMass($w, $n, $dup)")
-  override protected def withNewChildInternal(c: Expression): GramMass =
+      s"org.apache.spark.sql.graft.GramMassOps.repMasses($w, $tRef, $dRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepMasses =
     copy(child = c)
 }
 
@@ -1026,21 +1056,61 @@ case class GramMass(child: Expression, n: Int, dup: Boolean)
   * probability ~1e−15 per draw (the q33 ln-parity precedent),
   * documented, not observed at any graded scale. */
 object IcwsOps {
-  /** tc: sorted array<struct<term: string, tf: long>> (the
-    * TokenCounts layout). Returns numPerms samples as
-    * array<struct<term: string, t: long>>. */
+  /** Hash-keyed weighted multiset of a token array: term-RLE (as
+    * [[RunOps.tokenCounts]]), digest each distinct term, sort by
+    * digest and merge colliding digests (summing tf) — so both
+    * engines agree even on a 60-bit collision. Emits
+    * array<struct<h: long, tf: long>> sorted by h: the whole
+    * downstream pipeline (signatures, band keys, verify merges)
+    * works on LONGS — the string form shuffled ~3× the bytes and
+    * priced sorts/joins on string compares. */
+  def hashedCounts(w: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = w.numElements()
+    val arr = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { arr(i) = w.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val hs = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    i = 0
+    while (i < len) {
+      var j = i + 1
+      while (j < len && arr(j).equals(arr(i))) j += 1
+      hs += ((DigestOps.digest60(arr(i)), (j - i).toLong))
+      i = j
+    }
+    val sorted = hs.sortBy(_._1)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var k = 0
+    while (k < sorted.length) {
+      var m = k + 1
+      var tf = sorted(k)._2
+      while (m < sorted.length && sorted(m)._1 == sorted(k)._1) {
+        tf += sorted(m)._2; m += 1
+      }
+      out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](sorted(k)._1, tf))
+      k = m
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** tc: h-sorted array<struct<h: long, tf: long>> (the
+    * [[hashedCounts]] layout). Returns numPerms samples as
+    * array<struct<h: long, t: long>>. */
   def signature(tc: org.apache.spark.sql.catalyst.util.ArrayData,
       as: Array[Long], bs: Array[Long], p: Long, numPerms: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = tc.numElements()
-    val terms = new Array[UTF8String](n)
+    val hs = new Array[Long](n)
     val xs = new Array[Long](n)
     val lnw = new Array[Double](n)
     var i = 0
     while (i < n) {
       val row = tc.getStruct(i, 2)
-      terms(i) = row.getUTF8String(0)
-      xs(i) = DigestOps.digest60(terms(i)) % p
+      hs(i) = row.getLong(0)
+      xs(i) = hs(i) % p
       lnw(i) = math.log(row.getLong(1).toDouble)
       i += 1
     }
@@ -1050,7 +1120,7 @@ object IcwsOps {
     while (perm < numPerms) {
       val base = perm * 5
       var bestA = Double.PositiveInfinity
-      var bestTerm: UTF8String = null
+      var bestH = 0L
       var bestT = 0L
       i = 0
       while (i < n) {
@@ -1062,21 +1132,20 @@ object IcwsOps {
         val beta = u(4)
         val t = math.floor(lnw(i) / r + beta)
         val a = c / (math.exp(r * (t - beta)) * math.exp(r))
-        if (a < bestA ||
-            (a == bestA && terms(i).compareTo(bestTerm) < 0)) {
-          bestA = a; bestTerm = terms(i); bestT = t.toLong
+        if (a < bestA || (a == bestA && hs(i) < bestH)) {
+          bestA = a; bestH = hs(i); bestT = t.toLong
         }
         i += 1
       }
       out(perm) = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](bestTerm, bestT))
+        .GenericInternalRow(Array[Any](bestH, bestT))
       perm += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Exact weighted Jaccard Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b) by a
-    * single merge pass over two term-sorted count arrays — integer
+    * single merge pass over two h-sorted count arrays — integer
     * sums, one double division at the end (bit-deterministic). */
   def weightedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
@@ -1089,18 +1158,39 @@ object IcwsOps {
     while (i < an && j < bn) {
       val ra = a.getStruct(i, 2)
       val rb = b.getStruct(j, 2)
-      val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
-      if (cmp == 0) {
+      val ha = ra.getLong(0); val hb = rb.getLong(0)
+      if (ha == hb) {
         val ta = ra.getLong(1); val tb = rb.getLong(1)
         num += math.min(ta, tb); den += math.max(ta, tb)
         i += 1; j += 1
-      } else if (cmp < 0) { den += ra.getLong(1); i += 1 }
+      } else if (ha < hb) { den += ra.getLong(1); i += 1 }
       else { den += rb.getLong(1); j += 1 }
     }
     while (i < an) { den += a.getStruct(i, 2).getLong(1); i += 1 }
     while (j < bn) { den += b.getStruct(j, 2).getLong(1); j += 1 }
     if (den == 0L) 0.0 else num.toDouble / den
   }
+}
+
+/** `hashed_counts(w)` — h-sorted (digest, tf) weighted multiset of a
+  * token array, codegen'd (the q116 layout). */
+case class HashedCounts(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hashed_counts"
+  override def nullSafeEval(w: Any): Any =
+    IcwsOps.hashedCounts(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"org.apache.spark.sql.graft.IcwsOps.hashedCounts($w)")
+  override protected def withNewChildInternal(c: Expression): HashedCounts =
+    copy(child = c)
 }
 
 /** `icws_signature(tc)` — ICWS weighted-minhash samples, codegen'd. */
@@ -1110,12 +1200,12 @@ case class IcwsSignature(child: Expression, as: Array[Long],
   // Array (not Seq) for O(1) tree equality — see [[NearestCentroids]]
 
   private val tcType = ArrayType(StructType(Seq(
-    StructField("term", StringType, nullable = false),
+    StructField("h", LongType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(tcType)
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("term", StringType, nullable = false),
+    StructField("h", LongType, nullable = false),
     StructField("t", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "icws_signature"
 
@@ -1142,7 +1232,7 @@ case class WeightedJaccard(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
   private val tcType = ArrayType(StructType(Seq(
-    StructField("term", StringType, nullable = false),
+    StructField("h", LongType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(tcType, tcType)

@@ -218,18 +218,42 @@ class KernelEquivalenceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("HashedCounts kernel == groupBy-count + digest + h-sort replay " +
+      "(randomized)") {
+    import org.apache.spark.sql.graft.{DigestOps, HashedCounts}
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(30) + 1).map(_ => "w" + rnd.nextInt(12)))
+    val df = docs.toDF("ws")
+    val rows = df.select(col("ws"),
+      Bridge.column(HashedCounts(Bridge.expression(col("ws"))))
+        .as("hc")).collect()
+    rows.foreach { r =>
+      val ws = r.getSeq[String](0)
+      val exp = ws.groupBy(identity).toSeq
+        .map { case (t, g) =>
+          (DigestOps.digest60(UTF8String.fromString(t)), g.size.toLong) }
+        .groupBy(_._1).toSeq
+        .map { case (h, g) => (h, g.map(_._2).sum) }
+        .sortBy(_._1)
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(0), s.getLong(1)))
+      assert(got == exp)
+    }
+  }
+
   test("WeightedJaccard kernel == map-based Σmin/Σmax (randomized)") {
     import org.apache.spark.sql.graft.WeightedJaccard
-    def tcArr(): Seq[(String, Long)] =
+    def tcArr(): Seq[(Long, Long)] =
       (1 to rnd.nextInt(20) + 1)
-        .map(_ => "t" + rnd.nextInt(15) -> (rnd.nextInt(9) + 1).toLong)
+        .map(_ => rnd.nextInt(15).toLong -> (rnd.nextInt(9) + 1).toLong)
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
         .sortBy(_._1)
     val pairs = (1 to 40).map(_ => (tcArr(), tcArr()))
     val df = pairs.toDF("a", "b")
       .selectExpr(
-        "transform(a, x -> struct(x._1 AS term, x._2 AS tf)) AS a",
-        "transform(b, x -> struct(x._1 AS term, x._2 AS tf)) AS b")
+        "transform(a, x -> struct(x._1 AS h, x._2 AS tf)) AS a",
+        "transform(b, x -> struct(x._1 AS h, x._2 AS tf)) AS b")
     val rows = df.select(Bridge.column(WeightedJaccard(
       Bridge.expression(col("a")), Bridge.expression(col("b"))))
       .as("wj")).collect()

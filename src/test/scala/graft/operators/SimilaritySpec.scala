@@ -272,6 +272,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("mineAlignedPairs: planted twins mine exactly (margin makes " +
+      "them stand out); at most one match per x; equally-close " +
+      "neighborhoods stay below the cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus X = 64 random vectors (even ids); corpus Y = each x's
+    // TWIN (x + small noise, odd id = x_id + 1) plus 64 unrelated
+    // random vectors — the bitext geometry: the true pair stands far
+    // above the rest of the neighborhood, so its RATIO margin is
+    // large while random matches hover near 1
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val xs = (0 until 64).map(i =>
+      (2L * i, IndexedSeq.fill(64)(unif())))
+    val twins = xs.map { case (id, v) =>
+      (id + 1, v.map(_ + 0.05 * unif())) }
+    val noise = (0 until 64).map(i =>
+      (1000L + 2 * i + 1, IndexedSeq.fill(64)(unif())))
+    val cemb = (xs ++ twins ++ noise).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val mined = Similarity.mineAlignedPairs(
+      cemb.filter(col("vec_id") % 2 === 0),
+      cemb.filter(col("vec_id") % 2 === 1)).collect()
+    val perX = mined.groupBy(_.getAs[Long]("x_id"))
+    perX.foreach { case (xid, rs) =>
+      assert(rs.length == 1, s"x $xid matched ${rs.length} ys") }
+    mined.foreach(r =>
+      assert(r.getAs[Double]("margin") >= Similarity.MineMargin))
+    // every planted twin is recovered, and nothing else is mined —
+    // the unrelated Y noise never clears the margin cut
+    val twinHits = mined.count(r =>
+      r.getAs[Long]("y_id") == r.getAs[Long]("x_id") + 1)
+    info(s"mined=${mined.length} twins=$twinHits/64")
+    assert(twinHits == 64, s"recovered only $twinHits/64 planted twins")
+    assert(mined.length == 64,
+      s"${mined.length - twinHits} non-twin pairs cleared the cut")
+  }
+
   test("IVF degrades gracefully on corpora smaller than the codebook") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

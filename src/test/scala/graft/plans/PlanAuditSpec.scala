@@ -508,6 +508,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q119 mining: cross-side banded candidates (no all-pairs " +
+      "product), scored frame cached for both neighborhood passes") {
+    spark.catalog.clearCache()
+    val df = q("q119_xcorpus_mine")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "mining must never plan an |X|x|Y| product")
+    // the scored pair frame feeds ax, ay and the margin join — all
+    // three must read the cache, not recompute the band join
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      "a neighborhood pass bypasses the scored-pair cache")
+    spark.catalog.clearCache()
+  }
+
   test("q115 pca projection: zero exchanges after training (row-local " +
       "codegen'd dots against baked components), pruned scan") {
     spark.catalog.clearCache()
