@@ -695,6 +695,11 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // Corpus snapshot diff (CDC between ingests): one id-keyed
+    // full-outer join of row-local content digests — added / removed
+    // / changed / unchanged per doc.
+    "q120_snapshot_diff" -> ((s, dir) =>
+      operators.Pipeline.snapshotDiffDerived(documents(s, dir))),
     // Cross-corpus alignment mining: label-parity corpora, banded
     // cross-side candidates, ratio-margin scoring (the CCMatrix/LASER
     // bitext recipe), per-x best match above the cut.
@@ -964,6 +969,7 @@ object SparkEntry {
     "q117_rep_signals" -> OracleSql.repetitionSignals,
     "q118_stream_quality" -> OracleSql.nbQualityStreamed,
     "q119_xcorpus_mine" -> OracleSql.mineAlignedPairs,
+    "q120_snapshot_diff" -> OracleSql.snapshotDiff,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -84,6 +84,52 @@ object Pipeline {
         sum((kept && col("split") === "test").cast("long")).as("n_test"))
   }
 
+  /** Deterministic two-version derivation of the snapshot-diff
+    * fixture (q120): v1 drops ids ≡ 7 (mod 10) (later "added"), v2
+    * drops ids ≡ 5 ("removed") and rewrites the text of ids ≡ 3
+    * ("changed"). Production diffs two real corpus snapshots; this
+    * derivation exists so the oracle can rebuild both sides from the
+    * one documents table. */
+  val DiffAddedMod = 7
+  val DiffRemovedMod = 5
+  val DiffChangedMod = 3
+
+  /** Corpus snapshot diff (q120) — the CDC/versioning operator every
+    * managed-corpus pipeline runs between ingests: classify every
+    * doc_id as added / removed / changed / unchanged by comparing
+    * content digests across two snapshot frames.
+    *
+    * Scale design (100 TB): ONE id-keyed full-outer join (both sides
+    * co-partitioned on the join key — with the corpus bucketed by
+    * doc_id on disk this is a zero-shuffle sort-merge); the digest is
+    * row-local md5, so the join carries (id, 32-byte hash), never the
+    * text. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"), col("old_hash"),
+        col("new_hash"))
+  }
+
+  /** [[snapshotDiff]] over the deterministic two-version derivation
+    * of the documents table (the graded q120 configuration). */
+  def snapshotDiffDerived(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 10 =!= DiffAddedMod)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+    snapshotDiff(v1, v2)
+  }
+
   def preprocessingFunnel(docs: DataFrame): DataFrame = {
     // ONE scan computes every row-local gate as a column; exact
     // dedup's canonical-min is a window over the content digest

@@ -2469,6 +2469,31 @@ SELECT doc_id, total_hits, n_phrases,
 FROM s"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.snapshotDiffDerived]]
+    * (q120): the same deterministic two-version derivation and the
+    * same full-outer digest compare — DuckDB md5() and Spark md5()
+    * agree byte-for-byte on the identical text. */
+  def snapshotDiff: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffRemovedMod, DiffChangedMod}
+    s"""WITH v1 AS (
+  SELECT doc_id, md5(text) AS old_hash FROM documents
+  WHERE doc_id % 10 <> $DiffAddedMod
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = $DiffChangedMod
+             THEN text || ' v2' ELSE text END) AS new_hash
+  FROM documents
+  WHERE doc_id % 10 <> $DiffRemovedMod
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.old_hash IS NULL THEN 'added'
+            WHEN v2.new_hash IS NULL THEN 'removed'
+            WHEN v1.old_hash = v2.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       v1.old_hash, v2.new_hash
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.repetitionSignals]]
     * (q117): per n the n-gram strings (space-joined token windows,
     * identical to WordShingles), duckdb GROUP BY counts, the same
