@@ -695,6 +695,11 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // Binary sign embeddings: 32x-compressed Hamming scan (one
+    // xor+popcount per comparison), exact cosine re-rank of the pool
+    // — the codebook-free end of the compression ladder.
+    "q121_binary_hamming" -> ((s, dir) =>
+      Similarity.binaryHammingTopK(Similarity.embeddings(s, dir))),
     // Corpus snapshot diff (CDC between ingests): one id-keyed
     // full-outer join of row-local content digests — added / removed
     // / changed / unchanged per doc.
@@ -970,6 +975,7 @@ object SparkEntry {
     "q118_stream_quality" -> OracleSql.nbQualityStreamed,
     "q119_xcorpus_mine" -> OracleSql.mineAlignedPairs,
     "q120_snapshot_diff" -> OracleSql.snapshotDiff,
+    "q121_binary_hamming" -> OracleSql.binaryHamming,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -457,6 +457,61 @@ object Similarity {
     cents
   }
 
+  /** Binary-embedding search constants (q121): the Hamming pool the
+    * exact re-rank refines. */
+  val HammingPoolK = 40
+
+  /** Binary sign-embedding search (q121) — the last rung of the
+    * compression ladder after int8 (q73, 4×), MRL (q96, 4× by
+    * prefix), and IVF-PQ (q106, 64× with codebooks): pack every
+    * vector's SIGN pattern into one long (32× smaller than float32,
+    * no codebook to train), scan candidates by Hamming distance —
+    * ONE xor+popcount per comparison, the cheapest distance that
+    * exists — and exactly re-rank the top-[[HammingPoolK]] pool by
+    * full-precision cosine. E[hamming] = Dim·acos(cos θ)/π links the
+    * two metrics, so Hamming ranking preserves cosine neighborhoods
+    * (recall vs brute force pinned in SimilaritySpec on the
+    * clustered corpus).
+    *
+    * Scale design (100 TB): the scan moves 8 bytes per corpus vector
+    * (the float corpus stays in cold storage until the pool
+    * re-rank); distance is built-in codegen'd `bit_count(a ^ b)` —
+    * integer arithmetic, bit-identical in both engines. */
+  def binaryHammingTopK(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, SignPack}
+    val coded = emb.withColumn("code",
+      Bridge.column(SignPack(Bridge.expression(col("v")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("code").as("qcode"))
+    val scanned = broadcast(q.select(col("query_id"), col("qcode")))
+      .crossJoin(coded.select(col("vec_id"), col("code")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(expr("qcode ^ code")).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val extensionsActive = scanned.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val pool =
+      (if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(scanned, Seq("query_id"),
+          Seq("hamming" -> true, "vec_id" -> true), HammingPoolK)
+      else scanned
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("hamming").asc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= HammingPoolK))
+        .select(col("query_id"), col("vec_id"))
+    val rescored = pool
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")), "query_id")
+      .join(coded.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .withColumn("cosine", cosine)
+    topK(rescored)
+  }
+
   /** Mining constants (q119): neighborhood size of the margin
     * denominator and the acceptance cut. k = 4 is the standard
     * margin-kNN size at fixture scale; the cut is data-driven like

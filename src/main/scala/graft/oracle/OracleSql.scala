@@ -1639,6 +1639,53 @@ SELECT n.vec_id,
 FROM n, mu, $finJoins"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.binaryHammingTopK]]
+    * (q121): the same sign packing (bit 63 as the signed constant —
+    * the sum of distinct signed powers equals the Spark kernel's OR
+    * accumulation exactly), xor+popcount Hamming, (hamming ASC, id
+    * ASC) pool, exact cosine re-rank. Integer distances — no FP
+    * mirror risk before the final cosine. */
+  def binaryHamming: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.HammingPoolK
+    val packExpr = (0 until Dim).map { i =>
+      val pow =
+        if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"CASE WHEN v[${i + 1}] >= 0.0 THEN $pow ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""$embCtes
+, codes AS MATERIALIZED (
+  SELECT vec_id, v, nrm, CAST($packExpr AS BIGINT) AS code FROM n
+), qc AS (
+  SELECT vec_id AS query_id, code AS qcode FROM codes
+  WHERE vec_id < $NumQueryVectors
+), ham AS (
+  SELECT qc.query_id, c.vec_id,
+         CAST(bit_count(xor(qc.qcode, c.code)) AS BIGINT) AS hamming
+  FROM qc, codes c
+  WHERE c.vec_id <> qc.query_id
+), pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, vec_id ASC) AS pr
+    FROM ham) WHERE pr <= $HammingPoolK
+), pf AS (
+  SELECT p.query_id, p.vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM pool p
+  JOIN q ON p.query_id = q.query_id
+  JOIN n ON p.vec_id = n.vec_id
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM pf
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.mineAlignedPairs]]
     * (q119): label-parity corpus split, CROSS-side band-collision
     * candidates under the near-dup banding, exact cosine, both

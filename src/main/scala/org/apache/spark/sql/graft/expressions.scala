@@ -960,6 +960,41 @@ case class OphSignature(child: Expression, k: Int, a: Long, b: Long,
     copy(child = c2)
 }
 
+/** Runtime kernel for binary sign embeddings (q121): pack the sign
+  * pattern of a ≤64-dim double vector into ONE long (bit i set iff
+  * v[i] ≥ 0) — 32× smaller than float32, Hamming-searchable with a
+  * single XOR+popcount per comparison. */
+object SignPackOps {
+  def pack(v: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (v.getDouble(i) >= 0.0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+}
+
+/** `sign_pack(v)` — 64-bit sign-pattern code, codegen'd. */
+case class SignPack(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_pack"
+  override def nullSafeEval(v: Any): Any =
+    SignPackOps.pack(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.SignPackOps.pack($v)")
+  override protected def withNewChildInternal(c: Expression): SignPack =
+    copy(child = c)
+}
+
 /** Runtime kernel for the Gopher repetition battery (q117): per-doc
   * n-gram CHARACTER-mass statistics in one pass — build the n-gram
   * strings, sort, run-length encode, and either take the most

@@ -272,6 +272,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("binary Hamming search: high recall vs brute force on the " +
+      "clustered corpus; exact final cosines; 32x compression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val nQ = 64
+    val brute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val ham = pairs(Similarity.binaryHammingTopK(cemb, nQ))
+    val recall = ham.intersect(brute).size.toDouble / brute.size
+    info(f"binary-hamming recall@10=$recall%.2f")
+    // E[hamming] = 64·acos(cos)/π: in-cluster neighbors at cos ≈0.9
+    // sit ~9 bits apart vs ~32 for strangers — the pool keeps them
+    assert(recall >= 0.8, s"binary recall $recall below 0.8")
+    // final cosines are exact full-precision values (the re-rank
+    // recomputes, never approximates)
+    val hamRows = Similarity.binaryHammingTopK(cemb, nQ).collect()
+    val bruteCos = Similarity.bruteForceTopK(cemb, nQ).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    hamRows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteCos.get(k).foreach(c =>
+        assert(java.lang.Double.doubleToLongBits(c) ==
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine"))))
+    }
+  }
+
   test("mineAlignedPairs: planted twins mine exactly (margin makes " +
       "them stand out); at most one match per x; equally-close " +
       "neighborhoods stay below the cut") {
