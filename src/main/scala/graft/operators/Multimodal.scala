@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caching: every
+  // encode/decode call otherwise creates (and deletes) a temp file —
+  // per-row filesystem churn on the executors that priced the q68
+  // battery row at up to 2.6× under background load. The payloads
+  // here are in-memory byte arrays; cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(
       media_id: Long, kind: String, payload: Array[Byte])
 
