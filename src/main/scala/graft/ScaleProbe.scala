@@ -598,6 +598,16 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // binary Hamming scan: brute like q9 but the scan side moves 8
+      // bytes per vector — the curve must be linear with a far
+      // smaller constant than a float cosine scan
+      if (wanted("bin_hamming")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        time(factor, "bin_hamming")(Similarity.binaryHammingTopK(emb))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // PCA whitening: moments are sample-bounded (constant in the
       // corpus), projection is a row-local codegen'd scan — the curve
       // must be flat per × like the blocklist screen

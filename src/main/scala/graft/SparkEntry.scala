@@ -695,6 +695,11 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // Cross-source quantile normalization: per-source empirical-CDF
+    // score calibration before the global keep cut.
+    "q122_quantile_norm" -> ((s, dir) =>
+      operators.Sampling.quantileNormalize(
+        s.read.parquet(s"$dir/documents.parquet"))),
     // Binary sign embeddings: 32x-compressed Hamming scan (one
     // xor+popcount per comparison), exact cosine re-rank of the pool
     // — the codebook-free end of the compression ladder.
@@ -976,6 +981,7 @@ object SparkEntry {
     "q119_xcorpus_mine" -> OracleSql.mineAlignedPairs,
     "q120_snapshot_diff" -> OracleSql.snapshotDiff,
     "q121_binary_hamming" -> OracleSql.binaryHamming,
+    "q122_quantile_norm" -> OracleSql.quantileNormalize,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -417,4 +417,34 @@ object Sampling {
     ranked.select(col("doc_id"), col("n_features"), col("log_w"),
       col("rank"))
   }
+
+  /** Global keep fraction of the quantile-normalized selection
+    * (q122). */
+  val QnormKeepFrac = 0.5
+
+  /** Cross-source quantile normalization (q122) — the calibration
+    * step before ANY global threshold over heterogeneous per-source
+    * quality scores: a raw score cut keeps whichever sources happen
+    * to score high (different crawls, different scorers, different
+    * scales), so each document's score is replaced by its WITHIN-
+    * SOURCE percent rank (the empirical CDF → Uniform[0,1] for every
+    * source) and the global cut keeps the top [[QnormKeepFrac]] OF
+    * EACH source by construction. Score here = n_chars (a
+    * deterministic stand-in for the q97/q107 model scores the
+    * production pipeline would feed in).
+    *
+    * Scale design: ONE source-keyed window over (score, id) —
+    * percent_rank is rank arithmetic, integer-derived (rank−1)/(n−1)
+    * doubles, deterministic in both engines; sources are few and
+    * large, so the window partitions are healthy (AQE handles a
+    * skewed source). */
+  def quantileNormalize(docs: DataFrame,
+      keepFrac: Double = QnormKeepFrac): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("raw_score"))
+      .withColumn("pct", percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("raw_score").asc, col("doc_id").asc)))
+      .withColumn("keep", col("pct") >= 1.0 - keepFrac)
 }

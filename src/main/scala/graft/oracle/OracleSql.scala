@@ -2516,6 +2516,20 @@ SELECT doc_id, total_hits, n_phrases,
 FROM s"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.quantileNormalize]]
+    * (q122): identical percent_rank definition ((rank−1)/(n−1),
+    * integer-derived) over the same (score ASC, id ASC) total order
+    * per source. */
+  def quantileNormalize: String = {
+    import graft.operators.Sampling.QnormKeepFrac
+    s"""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_score,
+       percent_rank() OVER (PARTITION BY source
+         ORDER BY n_chars ASC, doc_id ASC) AS pct,
+       percent_rank() OVER (PARTITION BY source
+         ORDER BY n_chars ASC, doc_id ASC) >= 1.0 - $QnormKeepFrac AS keep
+FROM documents"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.snapshotDiffDerived]]
     * (q120): the same deterministic two-version derivation and the
     * same full-outer digest compare — DuckDB md5() and Spark md5()

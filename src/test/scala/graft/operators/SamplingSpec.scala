@@ -9,6 +9,33 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
 
   private val docs = (1L to 2000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
 
+  test("quantileNormalize: a global raw cut would keep one source " +
+      "wholesale; the normalized cut keeps the top half of EVERY source") {
+    import spark.implicits._
+    // source A scores 1..10, source B scores 1001..1010 — any global
+    // RAW threshold keeps all of B before any of A; the per-source
+    // CDF makes the cut scale-free
+    val docs = ((1 to 10).map(i => (i.toLong, "A", i.toLong)) ++
+      (1 to 10).map(i => (100L + i, "B", 1000L + i)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.quantileNormalize(docs).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val kept = rows.count(_.getBoolean(4))
+      assert(kept == 5, s"source $src kept $kept of 10")
+      // pct is the empirical CDF: uniform {0, 1/9, ..., 1}
+      val pcts = rows.map(_.getDouble(3)).sorted
+      assert(pcts.head == 0.0 && pcts.last == 1.0)
+      pcts.zip(pcts.tail).foreach { case (a, b) =>
+        assert(math.abs(b - a - 1.0 / 9) < 1e-12) }
+    }
+    // within a source, higher raw score => higher pct
+    bySrc.values.foreach { rows =>
+      rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+        .sliding(2).foreach(w => assert(w(0) < w(1)))
+    }
+  }
+
   test("trainSplit lands near the 80/10/10 design proportions") {
     val counts = Sampling.trainSplit(docs.select(col("doc_id")))
       .groupBy("split").count().as[(String, Long)].collect().toMap
