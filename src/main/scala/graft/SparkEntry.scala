@@ -695,6 +695,37 @@ object SparkEntry {
     // distinct-set semantics under-weighs.
     "q116_weighted_minhash" -> ((s, dir) =>
       operators.Dedup.weightedMinhashNearDups(documents(s, dir))),
+    // Incremental k-NN graph: three ascending-mtime embedding waves
+    // maintain the bucketed index AND emit each wave's as-of top-k
+    // edges (candidates = everything ingested so far) — the online
+    // twin of q112 through the driver's gate.
+    "q123_knn_stream" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-knn-q123").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 3).foreach { w =>
+        val tmp = s"$wh/w$w"
+        emb.filter(col("vec_id") % 3 === w).coalesce(1)
+          .write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.sql("DROP TABLE IF EXISTS graft_knn_idx_q123")
+      val q = streaming.StreamingKnnGraph.maintain(stream,
+        "graft_knn_idx_q123", s"$wh/idx", s"$wh/edges", emb,
+        checkpoint = s"$wh/cp")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$wh/edges")
+        .select(col("src"), col("neighbor_id"), col("rank"),
+          col("cosine"))
+    }),
     // Cross-source quantile normalization: per-source empirical-CDF
     // score calibration before the global keep cut.
     "q122_quantile_norm" -> ((s, dir) =>
@@ -982,6 +1013,7 @@ object SparkEntry {
     "q120_snapshot_diff" -> OracleSql.snapshotDiff,
     "q121_binary_hamming" -> OracleSql.binaryHamming,
     "q122_quantile_norm" -> OracleSql.quantileNormalize,
+    "q123_knn_stream" -> OracleSql.knnStream,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -129,6 +129,12 @@ object Similarity {
     (dot(col("qv"), col("v")) /
       (col("qnorm") * col("norm"))).as("cosine")
 
+  /** Exact cosine of two (vector, norm) column pairs — the same
+    * sequential-fold arithmetic as [[cosine]], exposed for consumers
+    * with their own column names (the streaming graph). */
+  def cosineOf(qv: Column, qnorm: Column, v: Column, norm: Column): Column =
+    dot(qv, v) / (qnorm * norm)
+
   /** Rank the scored candidates per query through the custom
     * [[org.apache.spark.sql.graft.TopKPerGroup]] operator (q50):
     * partial per-partition heaps send ≤ TopK rows per (partition,

@@ -1639,6 +1639,41 @@ SELECT n.vec_id,
 FROM n, mu, $finJoins"""
   }
 
+  /** Mirror of the streaming incremental k-NN graph (q123,
+    * [[graft.streaming.StreamingKnnGraph]]): with the deterministic
+    * vec_id % 3 arrival waves, the as-of candidate rule is
+    * wave(dst) ≤ wave(src) — replayed over the TOP-K banding (the
+    * index's [[graft.operators.Similarity.bandKeysArray]] planes),
+    * exact cosine, per-src (cosine DESC, dst ASC) top-k. */
+  def knnStream: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.KnnGraphK
+    s"""$embCtes
+, bands AS MATERIALIZED (
+  ${lshBandCte("n", "vec_id", "v")}
+), cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+   AND a.vec_id <> b.vec_id
+   AND b.vec_id % 3 <= a.vec_id % 3
+  GROUP BY ALL
+), p AS (
+  SELECT c.src, c.dst,
+         ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+  FROM cand c
+  JOIN n x ON x.vec_id = c.src
+  JOIN n y ON y.vec_id = c.dst
+), r AS (
+  SELECT src, dst AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+           ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT src, neighbor_id, rank, cosine FROM r
+WHERE rank <= $KnnGraphK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.binaryHammingTopK]]
     * (q121): the same sign packing (bit 63 as the signed constant —
     * the sum of distinct signed powers equals the Spark kernel's OR
