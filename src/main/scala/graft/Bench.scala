@@ -90,7 +90,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
         val rdds = spark.sparkContext.getPersistentRDDs
         System.err.println(s"[bench-debug] $name leakedRdds=${rdds.size} " +
-          rdds.values.take(5).map(r => r.id + ":" + r.name).mkString(","))
+          rdds.values.take(5).map(r => s"${r.id}:${r.name}").mkString(","))
       }
       (name, if (ok) sec else -1.0, load1, steal, canary)
     }

@@ -587,7 +587,7 @@ object SparkEntry {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-funnel-q105").toString
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
-      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val b1 = maxId / 3; val b2 = 2 * maxId / 3
       val waves = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2,
@@ -767,7 +767,7 @@ object SparkEntry {
       val wh = java.nio.file.Files
         .createTempDirectory("graft-quality-q118").toString
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
-      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val b1 = maxId / 3; val b2 = 2 * maxId / 3
       val waves = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2,

@@ -234,7 +234,7 @@ object Graph {
         // 10× k=10 ladder rung; linear after this fix)
         val dmVal = ranks.filter(!col("has_out"))
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-          .head.getDouble(0)
+          .head().getDouble(0)
         // rₖ is materialized now — its predecessor's cache can go
         if (doomed != null) { doomed.unpersist(); doomed = null }
         val contrib = ew
@@ -283,7 +283,7 @@ object Graph {
           delta = next
             .join(ranks.select(col("node"), col("rank").as("prev")),
               "node")
-            .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+            .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
           if (doomed != null) { doomed.unpersist(); doomed = null }
           if (delta < tol) converged = true
         }

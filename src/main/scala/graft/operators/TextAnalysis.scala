@@ -1035,7 +1035,7 @@ object TextAnalysis {
       val Array(totPos, totNeg, v) = vstat
         .agg(sum(col("n_pos")).cast("long"), sum(col("n_neg")).cast("long"),
           count(lit(1)).cast("long"))
-        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val lp = vstat.select(col("term"),
           (log((col("n_pos") + lit(1)).cast("double") / (lit(totPos) + lit(v))) -
             log((col("n_neg") + lit(1)).cast("double") / (lit(totNeg) + lit(v))))
@@ -1046,7 +1046,7 @@ object TextAnalysis {
         .filter(col("label").isNotNull)
         .agg(sum(when(col("label") === 1, 1).otherwise(0)).cast("long"),
           count(lit(1)).cast("long"))
-        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
       NbModel(lp,
         math.log(1.0 / (totPos + v)) - math.log(1.0 / (totNeg + v)),
         math.log(nPos.toDouble / nTrain) -

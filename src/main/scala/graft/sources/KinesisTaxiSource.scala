@@ -230,7 +230,7 @@ object KinesisSourceOffset {
     val n = mapper.readTree(json)
     val seqs = Map.newBuilder[String, String]
     val obj = n.get("shardSeqs")
-    if (obj != null) obj.fields().asScala.foreach(e =>
+    if (obj != null) obj.properties().asScala.foreach(e =>
       seqs += e.getKey -> e.getValue.asText())
     KinesisSourceOffset(n.get("closedTsMs").asLong(), seqs.result())
   }
