@@ -731,6 +731,11 @@ object SparkEntry {
     "q122_quantile_norm" -> ((s, dir) =>
       operators.Sampling.quantileNormalize(
         s.read.parquet(s"$dir/documents.parquet"))),
+    // Graph-walk ANN serving: greedy beam search over the q112 k-NN
+    // graph — hops*beam*k edge lookups per query, corpus-size-
+    // independent once the graph exists.
+    "q124_graph_search" -> ((s, dir) =>
+      Similarity.graphSearchTopK(Similarity.embeddings(s, dir))),
     // Binary sign embeddings: 32x-compressed Hamming scan (one
     // xor+popcount per comparison), exact cosine re-rank of the pool
     // — the codebook-free end of the compression ladder.
@@ -1014,6 +1019,7 @@ object SparkEntry {
     "q121_binary_hamming" -> OracleSql.binaryHamming,
     "q122_quantile_norm" -> OracleSql.quantileNormalize,
     "q123_knn_stream" -> OracleSql.knnStream,
+    "q124_graph_search" -> OracleSql.graphSearch,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

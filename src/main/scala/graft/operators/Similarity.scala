@@ -463,6 +463,70 @@ object Similarity {
     cents
   }
 
+  /** Graph-search constants (q124): beam width and hop count of the
+    * greedy walk over the k-NN graph. */
+  val GraphSearchBeam = 16
+  val GraphSearchHops = 4
+
+  /** Greedy beam search over the [[knnGraph]] edges (q124) — the
+    * NSW/HNSW-family SERVING pattern and the last member of the ANN
+    * family (flat probe q88, IVF q20, PQ q106, MRL q96, binary q121,
+    * graph walk q124): start every query's beam at the corpus's
+    * minimum vec_id, then [[GraphSearchHops]] rounds of expand-
+    * neighbors → exact-cosine score → keep the top
+    * [[GraphSearchBeam]]; emit the final beam's top-k (self
+    * excluded).
+    *
+    * Per-query cost is hops·beam·k edge lookups + scores —
+    * INDEPENDENT of corpus size once the graph exists (the
+    * navigable-graph promise; the graph build is q112's banded
+    * construction, paid once per ingest like the LSH index).
+    * Recall depends on graph CONNECTIVITY: on a well-mixed corpus
+    * the walk reaches the true neighborhood in a few hops, while a
+    * k-NN graph over tightly CLUSTERED data has no cross-cluster
+    * edges and strands the walk in the entry's cluster — the
+    * documented reason production NSW layers long-range links; the
+    * spec pins BOTH behaviors. */
+  def graphSearchTopK(emb: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hops: Int = GraphSearchHops,
+      beamWidth: Int = GraphSearchBeam): DataFrame = {
+    val edges = knnGraph(emb)
+      .select(col("src"), col("neighbor_id").as("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries(emb, numQueries)
+    val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
+    var beam = q.select(col("query_id")).withColumn("node", lit(entry))
+    var scored = beam // placeholder, reassigned in every hop
+    for (_ <- 1 to hops) {
+      val cand = beam
+        .union(beam.join(edges, beam("node") === edges("src"))
+          .select(col("query_id"), col("nbr").as("node")))
+        .distinct()
+      scored = cand
+        .join(q, "query_id")
+        .join(emb.select(col("vec_id").as("node"), col("v"), col("norm")),
+          "node")
+        .withColumn("cos",
+          cosineOf(col("qv"), col("qnorm"), col("v"), col("norm")))
+        .select(col("query_id"), col("node"), col("cos"))
+      beam = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("node").asc)))
+        .filter(col("rn") <= beamWidth)
+        .select(col("query_id"), col("node"))
+    }
+    scored.join(beam, Seq("query_id", "node"))
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("node").asc)).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos").as("cosine"))
+  }
+
   /** Binary-embedding search constants (q121): the Hamming pool the
     * exact re-rank refines. */
   val HammingPoolK = 40

@@ -1639,6 +1639,55 @@ SELECT n.vec_id,
 FROM n, mu, $finJoins"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.graphSearchTopK]] (q124):
+    * the q112 graph SQL embedded as the edges CTE (its own nested
+    * WITH — shadowed names are scoped to the subquery), the MIN-id
+    * entry beam, and each hop unrolled as expand → exact-cosine
+    * score → (cos DESC, node ASC) beam cut, finishing with the
+    * self-excluded top-k of the final beam. */
+  def graphSearch: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{GraphSearchBeam, GraphSearchHops}
+    val hopCtes = (1 to GraphSearchHops).map { t =>
+      s""", cand$t AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM beam${t - 1}
+    UNION ALL
+    SELECT b.query_id, e.neighbor_id AS node
+    FROM beam${t - 1} b JOIN edges e ON e.src = b.node)
+), sc$t AS MATERIALIZED (
+  SELECT c.query_id, c.node,
+         ${dotSql("qq.qv", "nv.v")} / (qq.qn * nv.nrm) AS cos
+  FROM cand$t c
+  JOIN q qq ON qq.query_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.node
+), beam$t AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, node ASC) AS rn
+    FROM sc$t) WHERE rn <= $GraphSearchBeam
+)"""
+    }.mkString
+    s"""$embCtes
+, edges AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ($knnGraph)
+), mn AS (
+  SELECT MIN(vec_id) AS m FROM n
+), beam0 AS (
+  SELECT query_id, m AS node FROM q, mn
+)$hopCtes
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT s.query_id, s.node AS neighbor_id, s.cos AS cosine,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.cos DESC, s.node ASC) AS BIGINT) AS rank
+  FROM sc$GraphSearchHops s
+  JOIN beam$GraphSearchHops b
+    ON b.query_id = s.query_id AND b.node = s.node
+  WHERE s.node <> s.query_id)
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of the streaming incremental k-NN graph (q123,
     * [[graft.streaming.StreamingKnnGraph]]): with the deterministic
     * vec_id % 3 arrival waves, the as-of candidate rule is

@@ -312,6 +312,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("graph search: navigates the well-mixed fixture graph (recall " +
+      "over random-walk floor); STRANDS in the entry cluster on a " +
+      "disconnected clustered graph — the documented NSW limitation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fixture corpus (near-random): the 5-NN graph is well-connected,
+    // the walk must reach a nontrivial share of the true top-10
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb))
+    val walked = pairs(Similarity.graphSearchTopK(emb))
+    val recall = walked.intersect(brute).size.toDouble / brute.size
+    info(f"graph-search recall@10=$recall%.2f (4 hops, beam 16)")
+    // 4 hops explore ~100 of 500 nodes; chance overlap of a random
+    // 10-subset is 0.02 — any real navigation clears 0.05
+    assert(recall >= 0.05, s"graph search no better than chance: $recall")
+    // clustered corpus: 5-NN edges are all intra-cluster, so the
+    // beam can NEVER leave the entry's cluster (vec_id 0 => cluster
+    // 0) — production NSW adds long-range links precisely for this
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val stranded = Similarity.graphSearchTopK(cemb, numQueries = 64)
+      .collect()
+    assert(stranded.nonEmpty)
+    stranded.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") / 32 == 0,
+        s"walk escaped the entry cluster to ${r.getAs[Long]("neighbor_id")}")
+    }
+  }
+
   test("mineAlignedPairs: planted twins mine exactly (margin makes " +
       "them stand out); at most one match per x; equally-close " +
       "neighborhoods stay below the cut") {
