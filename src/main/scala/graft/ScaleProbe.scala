@@ -598,6 +598,24 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // graph-walk serving: the q112 graph is untimed setup (paid
+      // once per ingest, its own curve is the knn_graph stage); the
+      // timed walk is hops·beam·k edge lookups per query and must be
+      // ~FLAT in corpus size — the navigable-graph promise
+      if (wanted("graph_search")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        val edges = Similarity.knnGraph(emb, bitsPerBand = w)
+          .select(col("src"), col("neighbor_id").as("nbr")).persist()
+        edges.count()
+        time(factor, "graph_search")(
+          Similarity.graphSearchOverEdges(emb, edges))
+        edges.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // binary Hamming scan: brute like q9 but the scan side moves 8
       // bytes per vector — the curve must be linear with a far
       // smaller constant than a float cosine scan

@@ -490,27 +490,47 @@ object Similarity {
   def graphSearchTopK(emb: DataFrame,
       numQueries: Int = NumQueryVectors,
       hops: Int = GraphSearchHops,
+      beamWidth: Int = GraphSearchBeam): DataFrame =
+    graphSearchOverEdges(emb,
+      knnGraph(emb).select(col("src"), col("neighbor_id").as("nbr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      numQueries, hops, beamWidth)
+
+  /** [[graphSearchTopK]] over a PREBUILT edge frame (src, nbr) — the
+    * serving call: the graph is built once per ingest (q112,
+    * maintained by q123) and every query batch pays only the walk. */
+  def graphSearchOverEdges(emb: DataFrame, edges: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hops: Int = GraphSearchHops,
       beamWidth: Int = GraphSearchBeam): DataFrame = {
-    val edges = knnGraph(emb)
-      .select(col("src"), col("neighbor_id").as("nbr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries(emb, numQueries)
     val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
     var beam = q.select(col("query_id")).withColumn("node", lit(entry))
     var scored = beam // placeholder, reassigned in every hop
+    // each hop references `beam` TWICE (carry + expand) and the final
+    // select re-reads the last hop — without a per-hop materialized
+    // cut the plan tree doubles per hop and re-runs every corpus join
+    // 2^hops times (the deep-PageRank recompute cascade, measured
+    // 68 s at the 100× ladder rung vs ~11 s cached)
+    var prevCache: Option[DataFrame] = None
     for (_ <- 1 to hops) {
       val cand = beam
         .union(beam.join(edges, beam("node") === edges("src"))
           .select(col("query_id"), col("nbr").as("node")))
         .distinct()
-      scored = cand
+      val sc = cand
         .join(q, "query_id")
         .join(emb.select(col("vec_id").as("node"), col("v"), col("norm")),
           "node")
         .withColumn("cos",
           cosineOf(col("qv"), col("qnorm"), col("v"), col("norm")))
         .select(col("query_id"), col("node"), col("cos"))
-      beam = scored
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sc.count() // materialize: downstream hops read the cache
+      prevCache.foreach(_.unpersist(blocking = false))
+      prevCache = Some(sc)
+      scored = sc
+      beam = sc
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cos").desc, col("node").asc)))
