@@ -731,6 +731,10 @@ object SparkEntry {
     "q122_quantile_norm" -> ((s, dir) =>
       operators.Sampling.quantileNormalize(
         s.read.parquet(s"$dir/documents.parquet"))),
+    // Per-cell clustering-quality profile: member count, inertia and
+    // mean norm per k-means cell — the codebook monitoring table.
+    "q125_cluster_profile" -> ((s, dir) =>
+      Similarity.cellProfile(Similarity.embeddings(s, dir))),
     // Graph-walk ANN serving: greedy beam search over the q112 k-NN
     // graph — hops*beam*k edge lookups per query, corpus-size-
     // independent once the graph exists.
@@ -1020,6 +1024,7 @@ object SparkEntry {
     "q122_quantile_norm" -> OracleSql.quantileNormalize,
     "q123_knn_stream" -> OracleSql.knnStream,
     "q124_graph_search" -> OracleSql.graphSearch,
+    "q125_cluster_profile" -> OracleSql.cellProfile,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -838,6 +838,39 @@ object Similarity {
         cents, cnorms, ids, 1)), 1).as("cell"))
   }
 
+  /** Per-cell clustering-quality profile (q125) — the monitoring
+    * table every clustered-corpus deployment watches (the embedding
+    * twin of the q61/q79 relational profiles): for each k-means cell
+    * of the q103 codebook, member count, INERTIA (Σ‖v−c‖², the
+    * within-cluster sum of squares k is tuned against) and the mean
+    * member norm. Cell skew here is what q108's quota caps; inertia
+    * growth signals a stale codebook (retrain trigger).
+    *
+    * Scale design: assignment is the row-local codegen'd expression
+    * (the q103 path), the k-row centroid table broadcast-joins, the
+    * squared distance is a row-local sequential fold (mirrored
+    * term-for-term by the oracle), and ONE k-group aggregation ends
+    * the plan — map-side combined, k rows out. */
+  def cellProfile(emb: DataFrame, iters: Int = KMeansIters): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (cents, cnorms, ids) = codebook(emb, iters)
+    val centDf = ids.map(i =>
+      (i, cents.slice(i * Dim, (i + 1) * Dim).toSeq)).toSeq
+      .toDF("cell", "cv")
+    val assigned = emb.select(col("vec_id"), col("v"), col("norm"),
+      element_at(Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        cents, cnorms, ids, 1)), 1).as("cell"))
+    assigned.join(broadcast(centDf), "cell")
+      .withColumn("d2",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2")).as("inertia"),
+        (sum(col("norm")) / count(lit(1))).as("mean_norm"))
+  }
+
   /** Corpus→cell assignment through a COARSE-FINE codebook hierarchy
     * — the cure for the f²-growth term the curation ladder names:
     * when cells scale with the corpus (SemDedup's regime, 8·factor

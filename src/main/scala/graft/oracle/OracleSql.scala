@@ -1349,6 +1349,28 @@ FROM wc w LEFT JOIN m USING (vec_id)"""
     s"""$ivfCellCtes
 SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 
+  /** Mirror of [[graft.operators.Similarity.cellProfile]] (q125):
+    * the shared [[ivfCellCtes]] assignment joined back to the
+    * centroid table, per-member squared distance as the same
+    * ascending-dimension sequential fold, one k-group aggregation. */
+  def cellProfile: String = {
+    import SimilarityParams.Dim
+    val d2 = fsumSql(s"list_transform(range(1, ${Dim + 1}), " +
+      "i -> (nv.v[i] - ct.cv[i]) * (nv.v[i] - ct.cv[i]))")
+    s"""$ivfCellCtes
+, prof AS (
+  SELECT CAST(cc.cell AS BIGINT) AS cell,
+         COUNT(*) AS n_members,
+         SUM($d2) AS inertia,
+         SUM(nv.nrm) / COUNT(*) AS mean_norm
+  FROM corpus_cells cc
+  JOIN n nv ON nv.vec_id = cc.vec_id
+  JOIN cents ct ON ct.centroid_id = cc.cell
+  GROUP BY 1
+)
+SELECT cell, n_members, inertia, mean_norm FROM prof"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.cellBalancedSample]]
     * (q108): the shared [[ivfCellCtes]] assignment, the q32-family
     * Knuth-hash band, and a per-cell row_number quota — integer

@@ -395,6 +395,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"${mined.length - twinHits} non-twin pairs cleared the cut")
   }
 
+  test("cellProfile: members partition the corpus, inertia nonnegative, " +
+      "and Lloyd training DECREASES total inertia on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    def profile(iters: Int) =
+      Similarity.cellProfile(cemb, iters).collect()
+    val trained = profile(Similarity.KMeansIters)
+    assert(trained.map(_.getAs[Long]("n_members")).sum == 512,
+      "cells must partition the corpus")
+    trained.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
+    val i0 = profile(0).map(_.getAs[Double]("inertia")).sum
+    val iT = trained.map(_.getAs[Double]("inertia")).sum
+    info(f"total inertia: untrained=$i0%.1f trained=$iT%.1f")
+    // the k-means objective: Lloyd iterations must reduce the
+    // within-cluster sum of squares (the degenerate first-16
+    // bootstrap sees only cluster 0 — training recovers the rest)
+    assert(iT < i0 * 0.9, s"training did not reduce inertia: $i0 -> $iT")
+  }
+
   test("IVF degrades gracefully on corpora smaller than the codebook") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
