@@ -745,6 +745,13 @@ object SparkEntry {
     // — the codebook-free end of the compression ladder.
     "q121_binary_hamming" -> ((s, dir) =>
       Similarity.binaryHammingTopK(Similarity.embeddings(s, dir))),
+    // Image near-duplicate pairs (the perceptual-hash dedup member
+    // of the multimodal family): per-doc variant PPM through the
+    // REAL codec round trip, 64-bit dHash of the decoded pixels,
+    // 4×16-bit block banding + exact popcount verify at Hamming ≤ 3
+    // (lossless by pigeonhole — banded output ≡ all-pairs).
+    "q126_image_near_dup" -> ((s, dir) =>
+      operators.Multimodal.imageNearDups(documents(s, dir))),
     // Corpus snapshot diff (CDC between ingests): one id-keyed
     // full-outer join of row-local content digests — added / removed
     // / changed / unchanged per doc.
@@ -1021,6 +1028,7 @@ object SparkEntry {
     "q119_xcorpus_mine" -> OracleSql.mineAlignedPairs,
     "q120_snapshot_diff" -> OracleSql.snapshotDiff,
     "q121_binary_hamming" -> OracleSql.binaryHamming,
+    "q126_image_near_dup" -> OracleSql.imageNearDups,
     "q122_quantile_norm" -> OracleSql.quantileNormalize,
     "q123_knn_stream" -> OracleSql.knnStream,
     "q124_graph_search" -> OracleSql.graphSearch,

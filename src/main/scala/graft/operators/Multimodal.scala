@@ -1161,6 +1161,169 @@ object Multimodal {
         "r_width", "r_height", "r_sum_r")
   }
 
+  // ---------------------------------------------------------------
+  // Image near-duplicate detection (q126) — the perceptual-hash dedup
+  // member of the multimodal family. The decode rungs (q55/q67/q68)
+  // prove the codecs invert the containers; this operator is what a
+  // LAION-style image-curation pipeline DOES with the decoded pixels:
+  // a 64-bit difference hash (dHash) per image, then Hamming-banded
+  // near-dup pairs — the image twin of SimHash text dedup (q8).
+  // ---------------------------------------------------------------
+
+  /** Variants per image group in the q126 corpus: doc ids 4g..4g+3
+    * share one base raster, differing only in a per-variant tweak of
+    * pixel (0, 0) — so each group's images are perceptual near-dups
+    * (pairwise dHash Hamming ≤ 1, see [[imageDHash64]]) while
+    * cross-group hashes are ~uniform 64-bit (the pixel arithmetic is
+    * a nonlinear per-pixel mix, deliberately NOT a gradient: linear
+    * rasters collapse dHash blocks onto a few popular values and the
+    * banding would degenerate into giant buckets). */
+  val ImageVariants = 4
+
+  /** dHash grid: 9×8 grayscale samples → 8 comparisons per row ×
+    * 8 rows = 64 bits (the published dHash layout). */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  /** 16-bit blocks the 64-bit code splits into for LSH banding. With
+    * [[ImageHammingMax]] = 3 < 4 blocks, pigeonhole guarantees every
+    * qualifying pair shares at least one intact block — the banding
+    * is LOSSLESS at the graded threshold, so banded+verified output
+    * is set-identical to all-pairs (the property the oracle leans
+    * on and ImageNearDup brute-force spec pins). */
+  val ImageBlocks = 4
+
+  /** Max Hamming distance for a near-dup verdict. */
+  val ImageHammingMax = 3
+
+  /** Deterministic variant raster for the q126 corpus: group
+    * g = id / [[ImageVariants]] fixes dims (w = 12 + g%5,
+    * h = 9 + g%4) and the base pixels; variant v = id %
+    * [[ImageVariants]] adds v to every channel of pixel (0, 0)
+    * before the mod. Channel c of pixel (x, y) is
+    * ((g·73856093) ⊕ (x·19349663) ⊕ (y·83492791) ⊕ (c·15485863)
+    *  + tweak) % 256 — the xor mix decorrelates neighboring pixels
+    * so dHash bits are ~Bernoulli(1/2). The DuckDB oracle replays
+    * this arithmetic exactly (q55 pattern). */
+  def ppmVariantOf(id: Long): PpmImage = {
+    val g = id / ImageVariants
+    val v = id % ImageVariants
+    val w = (12 + g % 5).toInt
+    val h = (9 + g % 4).toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val tweak = if (x == 0 && y == 0) v else 0L
+          val mixed = (g * 73856093L) ^ (x * 19349663L) ^
+            (y * 83492791L) ^ (c * 15485863L)
+          px(3 * (y * w + x) + c) = ((mixed + tweak) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, px)
+  }
+
+  /** 64-bit difference hash of a decoded raster: sample a
+    * [[DHashCols]]×[[DHashRows]] grayscale grid by nearest neighbor
+    * (source pixel (gx·w/9, gy·h/8) — works for any dims), gray =
+    * (r+g+b)/3 integer, and set bit (gy·8 + gx) iff
+    * grid(gx+1, gy) > grid(gx, gy). Integer arithmetic end to end —
+    * bit-identical in both engines, no FP mirror risk. */
+  def imageDHash64(img: PpmImage): Long = {
+    val grid = Array.ofDim[Int](DHashRows, DHashCols)
+    var gy = 0
+    while (gy < DHashRows) {
+      var gx = 0
+      while (gx < DHashCols) {
+        val sx = gx * img.width / DHashCols
+        val sy = gy * img.height / DHashRows
+        val o = 3 * (sy * img.width + sx)
+        grid(gy)(gx) = ((img.pixels(o) & 0xff) + (img.pixels(o + 1) & 0xff) +
+          (img.pixels(o + 2) & 0xff)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    var code = 0L
+    var i = 0
+    while (i < 64) {
+      val y = i / 8
+      val x = i % 8
+      if (grid(y)(x + 1) > grid(y)(x)) code |= 1L << i
+      i += 1
+    }
+    code
+  }
+
+  /** (doc_id, dhash) for the q126 corpus: synthesize the variant
+    * PPM, decode it back through the REAL parser, and dHash the
+    * decoded pixels — so a green q126 row additionally re-proves the
+    * codec round trip on every image. Row-local; the payload bytes
+    * never leave the task. */
+  def imageDHashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val img = decodePpm(encodePpm(ppmVariantOf(id)))
+          .getOrElse(sys.error(s"undecodable PPM for doc $id"))
+        (id, imageDHash64(img))
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  def imageNearDups(docs: DataFrame): DataFrame =
+    imageNearDupsWithHandle(docs)._1
+
+  /** Image near-duplicate pairs (q126): (doc_a < doc_b, hamming) for
+    * every pair of corpus images whose dHashes differ in ≤
+    * [[ImageHammingMax]] bits. Candidates come from the Google-style
+    * block banding — the code splits into [[ImageBlocks]] 16-bit
+    * blocks, candidates share a (block index, block value) bucket —
+    * then the exact Hamming verify (builtin codegen'd
+    * `bit_count(a ^ b)`) keeps qualifying pairs. Lossless at the
+    * threshold (pigeonhole over 4 blocks vs ≤ 3 differing bits), so
+    * the output equals the all-pairs answer without ever being
+    * all-pairs.
+    *
+    * Scale design: the corpus collapses to 16 bytes per image before
+    * anything shuffles (one hash pass over the decoded pixels, the
+    * q8 SimHash economics); banded rows carry (doc_id, band, key)
+    * only; candidate ids distinct before the two verify joins move
+    * the 8-byte codes. Bucket sizes stay bounded because dHash
+    * blocks of non-duplicate images are ~uniform over 2^16. */
+  def imageNearDupsWithHandle(
+      docs: DataFrame): (DataFrame, graft.util.CacheHandle) = {
+    val codes = imageDHashes(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = codes.select(col("doc_id"),
+      posexplode(array((0 until ImageBlocks).map { j =>
+        shiftrightunsigned(col("dhash"), 16 * j).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "key")))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(codes.select(col("doc_id").as("doc_a"), col("dhash").as("ha")),
+        "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"), col("dhash").as("hb")),
+        "doc_b")
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("long"))
+      .filter(col("hamming") <= ImageHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (verified, graft.util.CacheHandle(codes))
+  }
+
   /** The graded multimodal query (q21): per media record, the sniffed
     * mime, payload byte length, and the frame-sampling summary
     * (count + bytes of every [[MetaFrameStride]]-th

@@ -3154,4 +3154,70 @@ SELECT doc_id, w AS width, h AS height,
        CAST(SUM(g) AS BIGINT) AS sum_g,
        CAST(SUM(b) AS BIGINT) AS sum_b
 FROM px GROUP BY doc_id, w, h"""
+
+  /** q126 oracle — mirror of
+    * [[graft.operators.Multimodal.imageNearDups]]: replays the
+    * variant-raster arithmetic of
+    * [[graft.operators.Multimodal.ppmVariantOf]] at the 9×8 dHash
+    * grid's sampled source pixels only (the q55 recompute-the-pixels
+    * pattern — the decode itself is proven by the Spark side going
+    * through the REAL PPM codec), packs the 64 comparison bits with
+    * bit 63 as the signed constant (the q121 sign trick; the sum of
+    * distinct signed powers equals the kernel's OR accumulation),
+    * and mirrors the 4×16-bit block banding + exact popcount verify.
+    * Banding is lossless at Hamming ≤ 3 (pigeonhole over 4 blocks),
+    * so this also equals the all-pairs answer. Integer arithmetic
+    * end to end — no FP mirror risk. */
+  def imageNearDups: String = {
+    import graft.operators.Multimodal.{ImageBlocks, ImageHammingMax,
+      ImageVariants}
+    s"""WITH d2 AS (
+  SELECT doc_id, doc_id // $ImageVariants AS g, doc_id % $ImageVariants AS v,
+         12 + (doc_id // $ImageVariants) % 5 AS w,
+         9 + (doc_id // $ImageVariants) % 4 AS h
+  FROM documents
+), grid AS (
+  SELECT d.doc_id, d.g, d.v, gy.gy, gx.gx,
+         (gx.gx * d.w) // 9 AS sx, (gy.gy * d.h) // 8 AS sy
+  FROM d2 d,
+       LATERAL (SELECT unnest(range(0, 9)) AS gx) gx,
+       LATERAL (SELECT unnest(range(0, 8)) AS gy) gy
+), gray AS (
+  SELECT doc_id, gy, gx,
+         (((xor(xor(g * 73856093, sx * 19349663), sy * 83492791)
+            + CASE WHEN sx = 0 AND sy = 0 THEN v ELSE 0 END) % 256)
+          + ((xor(xor(xor(g * 73856093, sx * 19349663), sy * 83492791),
+                  15485863)
+            + CASE WHEN sx = 0 AND sy = 0 THEN v ELSE 0 END) % 256)
+          + ((xor(xor(xor(g * 73856093, sx * 19349663), sy * 83492791),
+                  30971726)
+            + CASE WHEN sx = 0 AND sy = 0 THEN v ELSE 0 END) % 256)) // 3
+           AS gray
+  FROM grid
+), bits AS (
+  SELECT a.doc_id, a.gy * 8 + a.gx AS i
+  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.gy = b.gy
+    AND b.gx = a.gx + 1
+  WHERE a.gx < 8 AND b.gray > a.gray
+), codes AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN s.i = 63
+             THEN -9223372036854775807 - 1
+             ELSE CAST(1 AS BIGINT) << s.i END), 0) AS BIGINT) AS code
+  FROM d2 d LEFT JOIN bits s USING (doc_id) GROUP BY d.doc_id
+), bandrows AS (
+  SELECT doc_id, j.j, (code >> (16 * j.j)) & 65535 AS key
+  FROM codes, LATERAL (SELECT unnest(range(0, $ImageBlocks)) AS j) j
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ca.code, cb.code)) AS BIGINT) AS hamming
+FROM cand c
+JOIN codes ca ON ca.doc_id = c.doc_a
+JOIN codes cb ON cb.doc_id = c.doc_b
+WHERE bit_count(xor(ca.code, cb.code)) <= $ImageHammingMax"""
+  }
 }

@@ -23,6 +23,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     MediaRecord(4L, "video", Array.fill[Byte](4096)(7))
   ).toDS().repartition(2)
 
+  test("q126: dHash bits follow the 9x8 grid comparisons") {
+    // constant raster: no comparison fires, code 0
+    val flat = PpmImage(12, 9, Array.fill[Byte](3 * 12 * 9)(50))
+    assert(imageDHash64(flat) == 0L)
+    // grayscale strictly increasing in x: every comparison fires
+    val w = 18; val h = 8
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px(3 * (y * w + x) + c) = (10 * x).toByte // gray 0..170, monotone
+    assert(imageDHash64(PpmImage(w, h, px)) == -1L) // all 64 bits
+  }
+
+  test("q126: variant groups are near-dups; banding equals all-pairs") {
+    val docs = spark.range(0, 120).toDF("doc_id")
+    val pairs = imageNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every intra-group pair qualifies (pairwise dHash Hamming ≤ 1:
+    // the variant tweak only reaches grid point (0,0), which only
+    // bit 0's comparison reads)
+    val intra = (for {
+      g <- 0L until 30L; a <- 0 to 3; b <- 0 to 3 if a < b
+    } yield (4 * g + a, 4 * g + b)).toSet
+    assert(intra.forall(p => pairs.exists(q => (q._1, q._2) == p)))
+    assert(pairs.forall(_._3 <= ImageHammingMax))
+    // banded+verified output is SET-IDENTICAL to brute-force
+    // all-pairs at the threshold (the pigeonhole losslessness the
+    // oracle leans on)
+    val codes = imageDHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- codes.keys; b <- codes.keys if a < b
+      hm = java.lang.Long.bitCount(codes(a) ^ codes(b))
+      if hm <= ImageHammingMax
+    } yield (a, b, hm.toLong)).toSet
+    assert(pairs == brute)
+    spark.catalog.clearCache()
+  }
+
+  test("q126: dHashes survive the real PPM codec round trip") {
+    // imageDHashes decodes encodePpm(ppmVariantOf(id)) through the
+    // REAL parser; hashing the raster directly must agree
+    val ids = Seq(0L, 1L, 5L, 42L, 99L)
+    val viaCodec = imageDHashes(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(viaCodec(id) == imageDHash64(ppmVariantOf(id)))
+    }
+  }
+
   test("mime sniffing identifies media containers from magic bytes") {
     assert(sniffMime(png(10)) == "image/png")
     assert(sniffMime(jpeg(10)) == "image/jpeg")

@@ -508,6 +508,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     spark.catalog.clearCache()
   }
 
+  test("q126 image near-dup: banded candidates only (no all-pairs " +
+      "product), id-only scan, bounded exchanges") {
+    spark.catalog.clearCache()
+    val df = q("q126_image_near_dup")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "image dedup must never plan an all-pairs product")
+    // band self-join + id-pair distinct + the two verify joins over
+    // the cached 16-byte code frame
+    assert(shuffleCount(df) <= 7,
+      s"image near-dup shuffles ${shuffleCount(df)}×")
+    spark.catalog.clearCache()
+  }
+
   test("q119 mining: cross-side banded candidates (no all-pairs " +
       "product), scored frame cached for both neighborhood passes") {
     spark.catalog.clearCache()
