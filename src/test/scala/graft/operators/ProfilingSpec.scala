@@ -61,6 +61,36 @@ class ProfilingSpec extends AnyFunSuite with SparkSessionSpec {
       w("view").getAs[Long]("n_clipped_low") == 0)
   }
 
+  test("q127 median/MAD screen: exact stats, and robust where the " +
+      "z-score screen masks") {
+    // hand-computable: 5 values per type
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0)) ++
+      Seq(("b", 10.0), ("b", 10.0), ("b", 10.0), ("b", 10.0),
+        ("b", 10.0))).toDF("event_type", "value")
+    val m = Profiling.madOutliers(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a: median 3, |dev| = {2,1,0,1,97}, MAD = 1; only 100 exceeds
+    // 3 + 4.4478*1
+    assert(m("a").getAs[Double]("med_value") == 3.0)
+    assert(m("a").getAs[Double]("mad_value") == 1.0)
+    assert(m("a").getAs[Long]("n_outliers") == 1)
+    // b: constant series — MAD 0, nothing trips (0 > 0 is false)
+    assert(m("b").getAs[Double]("mad_value") == 0.0)
+    assert(m("b").getAs[Long]("n_outliers") == 0)
+    // MASKING: two extremes among ten inflate sigma until the
+    // z-screen sees NOTHING, while the MAD screen still fires —
+    // the breakdown-point argument for q127 over q80
+    val masked = (Seq.fill(8)(("c", 1.0)) ++
+      Seq(("c", 500.0), ("c", -500.0))).toDF("event_type", "value")
+    val z = Profiling.zscoreOutliers(masked).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(z("c").getAs[Long]("n_outliers") == 0) // masked
+    val robust = Profiling.madOutliers(masked).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(robust("c").getAs[Long]("n_outliers") == 2) // caught
+  }
+
   test("gap fill: empty hours carry the last observed hourly average") {
     val H = 3600000L
     // user 1: hours 10 (avg 2.0 of 1.0+3.0) and 13 (6.0); user 2: hour 5
