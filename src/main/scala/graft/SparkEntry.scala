@@ -813,6 +813,11 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q118_scores")
     }),
+    // PMI collocation mining: corpus-level adjacent-pair association
+    // (Church & Hanks), count-floored, global top-k by PMI — the
+    // phrase-vocabulary builder of the curation stack.
+    "q128_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1038,6 +1043,7 @@ object SparkEntry {
     "q123_knn_stream" -> OracleSql.knnStream,
     "q124_graph_search" -> OracleSql.graphSearch,
     "q125_cluster_profile" -> OracleSql.cellProfile,
+    "q128_pmi_collocations" -> OracleSql.pmiCollocations,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

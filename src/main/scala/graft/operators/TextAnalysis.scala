@@ -1053,4 +1053,94 @@ object TextAnalysis {
           math.log((nTrain - nPos).toDouble / nTrain))
     } finally tf.unpersist()
   }
+
+  /** PMI collocation constants (q128): the count floor applied BEFORE
+    * scoring (PMI is notoriously unstable at small counts — a
+    * hapax pair maximizes it — so every published collocation recipe
+    * floors the pair count first), and the global top-k kept. */
+  val PmiMinCount = 8L
+  val PmiTopK = 50
+
+  /** PMI collocation mining (q128) — the corpus-level ASSOCIATION
+    * table (Church & Hanks 1990): for every adjacent word pair with
+    * count ≥ `minCount`,
+    *
+    *   pmi(u,v) = ln( p(u,v) / (p(u)·p(v)) )
+    *            = ln( (c(u,v)·N·N) / (N₂·c(u)·c(v)) )
+    *
+    * with N = total token occurrences and N₂ = total bigram
+    * occurrences; the global top-k by PMI is the collocation
+    * lexicon. In a curation stack this is the phrase-vocabulary
+    * builder (tokenizer pre-merges, boilerplate-phrase discovery,
+    * blocklist candidate mining for q113) — the corpus-wide statistic
+    * the per-doc repetition family (q41/q117) cannot see.
+    *
+    * Scale design (100 TB): the raw token stream never shuffles —
+    * per-doc (bigram, tf) and (term, tf) pairs come from the
+    * row-local [[org.apache.spark.sql.graft.WordShingles]] +
+    * [[org.apache.spark.sql.graft.TokenCounts]] kernels, so the two
+    * corpus-sized exchanges carry pre-aggregated counts
+    * (vocabulary-compressed on arrival, map-side combined). The
+    * count floor is applied to the bigram-TYPE table before any
+    * join; the unigram table is vocabulary-bounded and broadcast
+    * twice (the q101/q111 bounded-vocab caveat applies — a web-scale
+    * tail pushes those to shuffle joins); N and N₂ ride
+    * broadcast-scalar rows. The final top-k routes through the
+    * [[org.apache.spark.sql.graft.TopKPerGroup]] heaps under a
+    * constant group — ≤ k rows per partition cross the last
+    * exchange, the scored type table is never sorted. Both engines
+    * evaluate the identical ln operand chain, so the graded compare
+    * hash-matches bit-for-bit (the q33 tf·ln precedent). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = PmiMinCount,
+      topK: Int = PmiTopK): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, TokenCounts, WordShingles}
+    val toks = docs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$WordPattern', 0)")
+        .as("toks"))
+    // both TYPE tables are vocabulary-bounded and feed two consumers
+    // each (the scalar total + the scoring frame) — persist them so
+    // the corpus tokenize pass runs exactly once per table (the q111
+    // discipline; released by bench/verify via clearCache)
+    val cb = toks
+      .select(explode(Bridge.column(TokenCounts(
+        WordShingles(Bridge.expression(col("toks")), 2)))).as("tc"))
+      .groupBy(col("tc.term").as("bigram"))
+      .agg(sum(col("tc.tf")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = toks
+      .select(explode(Bridge.column(TokenCounts(
+        Bridge.expression(col("toks"))))).as("tc"))
+      .groupBy(col("tc.term").as("term"))
+      .agg(sum(col("tc.tf")).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTok = cu.agg(sum(col("cu")).as("n_tok"))
+    val nBg = cb.agg(sum(col("cb")).as("n_bg"))
+    val scored = cb.filter(col("cb") >= minCount)
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .withColumn("w2", expr("split(bigram, ' ')[1]"))
+      .join(broadcast(cu.select(col("term").as("w1"),
+        col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(cu.select(col("term").as("w2"),
+        col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBg))
+      .withColumn("pmi",
+        log((col("cb").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_bg").cast("double") * col("cu1") * col("cu2"))))
+    val extensionsActive = docs.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val ranked =
+      if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(
+          scored.withColumn("g", lit(0)), Seq("g"),
+          Seq("pmi" -> false, "w1" -> true, "w2" -> true), topK).drop("g")
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc))
+          .cast("long"))
+        .filter(col("rank") <= topK)
+    ranked.select(col("w1"), col("w2"), col("cb"), col("cu1"),
+      col("cu2"), col("pmi"), col("rank"))
+  }
 }

@@ -3220,4 +3220,46 @@ JOIN codes ca ON ca.doc_id = c.doc_a
 JOIN codes cb ON cb.doc_id = c.doc_b
 WHERE bit_count(xor(ca.code, cb.code)) <= $ImageHammingMax"""
   }
+
+  /** Mirror of [[graft.operators.TextAnalysis.pmiCollocations]]
+    * (q128): bigram strings are the same space-joined token windows
+    * as WordShingles, corpus counts are occurrence COUNT(*)s (equal
+    * to Spark's Σ per-doc tf by construction), and the PMI ln operand
+    * chain is written in the identical evaluation order so the graded
+    * doubles hash-match (the q33 tf·ln precedent). The same
+    * (pmi DESC, w1, w2) ranking decides the top-k in both engines. */
+  def pmiCollocations: String = {
+    import graft.operators.TextAnalysis.{PmiMinCount, PmiTopK, WordPattern}
+    s"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '$WordPattern') AS toks
+  FROM documents
+), occ AS (
+  SELECT unnest(toks) AS t FROM tok
+), uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cu FROM occ GROUP BY t
+), bocc AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM tok
+), bg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS cb FROM bocc GROUP BY g
+), n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM occ),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bocc),
+scored AS (
+  SELECT b.w1, b.w2, b.cb, u1.cu AS cu1, u2.cu AS cu2,
+         ln((CAST(b.cb AS DOUBLE) * n_tok * n_tok) /
+            (CAST(n_bg AS DOUBLE) * u1.cu * u2.cu)) AS pmi
+  FROM (SELECT string_split(g, ' ')[1] AS w1,
+               string_split(g, ' ')[2] AS w2, cb
+        FROM bg WHERE cb >= $PmiMinCount) b
+  JOIN uni u1 ON u1.t = b.w1
+  JOIN uni u2 ON u2.t = b.w2
+  CROSS JOIN n1 CROSS JOIN n2
+)
+SELECT w1, w2, cb, cu1, cu2, pmi, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= $PmiTopK"""
+  }
 }

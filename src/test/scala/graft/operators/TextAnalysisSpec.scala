@@ -377,4 +377,51 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
       s"target ${mean(t)} vs others ${mean(o)}")
     out.unpersist()
   }
+
+  test("pmiCollocations hand-checked: counts, PMI closed form, " +
+      "count floor, rank order") {
+    // corpus: 12 tokens, 10 bigrams
+    //   c(new)=3 c(york)=3 c(red)=2 c(car)=2 c(blue)=1 c(dog)=1
+    //   c(new york)=3, c(york new)=2, everything else 1
+    val df = Seq(
+      (1L, "new york new york new york"),
+      (2L, "red car blue car red dog"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(df, minCount = 2L, topK = 10)
+      .collect()
+    // the floor removes every count-1 pair
+    assert(rows.length == 2)
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ny = byPair(("new", "york"))
+    assert(ny.getAs[Long]("cb") == 3 && ny.getAs[Long]("cu1") == 3 &&
+      ny.getAs[Long]("cu2") == 3)
+    // pmi = ln(c(uv)·N·N / (N₂·c(u)·c(v))) = ln(3·12·12/(10·3·3))
+    assert(math.abs(ny.getAs[Double]("pmi") -
+      math.log(3.0 * 12 * 12 / (10.0 * 3 * 3))) < 1e-12)
+    val yn = byPair(("york", "new"))
+    assert(math.abs(yn.getAs[Double]("pmi") -
+      math.log(2.0 * 12 * 12 / (10.0 * 2 * 3 * 3 / 2))) < 1e-12) // ln(2·144/90)
+    // ranking: the stronger association ranks first
+    assert(ny.getAs[Long]("rank") == 1 && yn.getAs[Long]("rank") == 2)
+  }
+
+  test("pmiCollocations: the fixture's top pair beats a random pair " +
+      "and the floor binds") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.pmiCollocations(docs).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.PmiTopK)
+    // every surviving pair respects the count floor
+    out.foreach(r =>
+      assert(r.getAs[Long]("cb") >= TextAnalysis.PmiMinCount))
+    // ranks are 1..n and pmi is non-increasing along them
+    val sorted = out.sortBy(_.getAs[Long]("rank"))
+    assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to out.length).toSeq)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) =>
+        a.getAs[Double]("pmi") >= b.getAs[Double]("pmi")
+      case _ => true
+    })
+  }
 }

@@ -587,4 +587,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(txt.contains("codegen id"),
       "the automaton probe is not inside a whole-stage-codegen span")
   }
+
+  test("q128 pmi: unigram tables broadcast, no cartesian, bounded " +
+      "exchanges, pruned scan") {
+    val df = q("q128_pmi_collocations")
+    val plan = df.queryExecution.executedPlan.toString
+    // the two unigram-count joins ride broadcasts — the corpus-sized
+    // bigram-type table never shuffles to meet them
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "the unigram-count joins must broadcast, never shuffle the " +
+        "bigram-type table")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"),
+      "PMI scoring must never go all-pairs")
+    // count exchanges by UNIQUE formatted-plan id (the cached type
+    // tables repeat their fill exchange under every InMemoryTableScan
+    // in the tree STRING while execution fills each cache once):
+    // bigram-type fill + unigram-type fill + the top-k heap exchange,
+    // plus two SINGLE-ROW SinglePartition folds for the N/N₂ scalars
+    // — the corpus-sized data crosses exactly the two cache fills
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val ids = """\((\d+)\) Exchange""".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSet
+    assert(ids.size <= 5, s"pmi plans ${ids.size} exchanges")
+    // the caches are actually reused — the scalar totals read them
+    // back instead of re-tokenizing the corpus
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      "a PMI consumer bypasses the type-table caches")
+    // the file scans live inside the cached relations' fill plans —
+    // pin their pruning via the plan string's ReadSchema
+    val schemas = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      val colsRead = s.split(",").map(_.split(":")(0).trim).toSet
+      assert(colsRead.subsetOf(Set("doc_id", "text")),
+        s"scan reads $s")
+    }
+  }
 }
