@@ -818,6 +818,12 @@ object SparkEntry {
     // phrase-vocabulary builder of the curation stack.
     "q128_pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(documents(s, dir))),
+    // C4 line-level cleaning (Raffel et al. 2020): terminal-
+    // punctuation / min-words / javascript line rules, lorem-ipsum
+    // and brace page rules, min retained lines, text REBUILT from the
+    // surviving lines — entirely row-local.
+    "q129_c4_line_clean" -> ((s, dir) =>
+      TextAnalysis.c4LineClean(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1044,6 +1050,7 @@ object SparkEntry {
     "q124_graph_search" -> OracleSql.graphSearch,
     "q125_cluster_profile" -> OracleSql.cellProfile,
     "q128_pmi_collocations" -> OracleSql.pmiCollocations,
+    "q129_c4_line_clean" -> OracleSql.c4LineClean,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

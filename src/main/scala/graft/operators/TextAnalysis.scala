@@ -1143,4 +1143,60 @@ object TextAnalysis {
     ranked.select(col("w1"), col("w2"), col("cb"), col("cu1"),
       col("cu2"), col("pmi"), col("rank"))
   }
+
+  /** C4 line-cleaning constants (q129): synthetic line width (the
+    * fixture corpus has no line structure — the q44/q126 derivation
+    * precedent), the published C4 minimum words-per-line (5) and
+    * minimum retained lines per page (3). */
+  val C4LineWords = 7
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+
+  /** C4-style LINE-level cleaning (q129; Raffel et al. 2020 §2.2) —
+    * the rule set the C4 corpus was actually built with, operating a
+    * level BELOW the q94 document gates: keep only lines that end in
+    * terminal punctuation, have ≥ [[C4MinLineWords]] words and do not
+    * mention javascript; drop the whole page when it contains
+    * "lorem ipsum" or "{" or retains fewer than [[C4MinKeptLines]]
+    * lines; REBUILD the page text from the surviving lines. Emits one
+    * row per document: line counts, the page verdict, and the cleaned
+    * text.
+    *
+    * Line structure is derived deterministically from the fixture's
+    * token stream (width-[[C4LineWords]] windows; punctuation on
+    * lines with (doc_id+i) % 3 ≠ 0; a javascript mention on
+    * (doc_id+i) % 7 = 2; "lorem ipsum" on line 0 of doc_id % 17 = 0;
+    * a "{" on line 1 of doc_id % 13 = 0) — the q44 synthetic-PII
+    * pattern: the DERIVATION is fixture plumbing, the RULES and the
+    * rebuild are the operator.
+    *
+    * Scale design (100 TB): entirely row-local — one pruned scan,
+    * every rule a higher-order expression over the row's own line
+    * array, zero shuffle, composes into the q36 funnel scan. */
+  def c4LineClean(docs: DataFrame): DataFrame = {
+    val w = C4LineWords
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_lines", expr(s"CAST((size(w) + ${w - 1}) DIV $w AS BIGINT)"))
+      .withColumn("lines", expr(
+        s"""transform(sequence(0, CAST(n_lines AS INT) - 1), i ->
+           |  concat(array_join(slice(w, $w * i + 1, $w), ' '),
+           |    CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END,
+           |    CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {' ELSE '' END,
+           |    CASE WHEN (doc_id + i) % 7 = 2 THEN ' javascript' ELSE '' END,
+           |    CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))""".stripMargin))
+      .withColumn("kept_lines", expr(
+        s"""filter(lines, x ->
+           |  substring(x, length(x), 1) IN ('.', '!', '?', '"')
+           |  AND size(split(x, ' ')) >= $C4MinLineWords
+           |  AND NOT contains(x, 'javascript'))""".stripMargin))
+      .withColumn("full_text", array_join(col("lines"), "\n"))
+      .select(
+        col("doc_id"), col("n_lines"),
+        size(col("kept_lines")).cast("long").as("n_kept"),
+        (!col("full_text").contains("lorem ipsum") &&
+          !col("full_text").contains("{") &&
+          size(col("kept_lines")) >= C4MinKeptLines).as("kept"),
+        array_join(col("kept_lines"), "\n").as("clean_text"))
+  }
 }

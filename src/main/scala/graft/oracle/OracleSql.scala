@@ -3262,4 +3262,43 @@ SELECT w1, w2, cb, cu1, cu2, pmi, rank FROM (
   FROM scored)
 WHERE rank <= $PmiTopK"""
   }
+
+  /** Mirror of [[graft.operators.TextAnalysis.c4LineClean]] (q129):
+    * the identical deterministic line derivation (width-w token
+    * windows + the mod-keyed punctuation/poison schedule) and the
+    * identical C4 rules — list_slice/list_filter replay
+    * slice/filter, chr(10) is the same newline Spark's array_join
+    * emits. */
+  def c4LineClean: String = {
+    import graft.operators.TextAnalysis.{C4LineWords => W,
+      C4MinLineWords, C4MinKeptLines}
+    s"""WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), d AS (
+  SELECT doc_id,
+    CAST((len(w) + ${W - 1}) // $W AS BIGINT) AS n_lines,
+    list_transform(range(0, (len(w) + ${W - 1}) // $W), i ->
+      array_to_string(list_slice(w, $W * i + 1, $W * i + $W), ' ')
+      || CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {' ELSE '' END
+      || CASE WHEN (doc_id + i) % 7 = 2 THEN ' javascript' ELSE '' END
+      || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+  FROM base
+), k AS (
+  SELECT doc_id, n_lines,
+    list_filter(lines, x ->
+      substring(x, length(x), 1) IN ('.', '!', '?', '"')
+      AND len(string_split(x, ' ')) >= $C4MinLineWords
+      AND NOT contains(x, 'javascript')) AS kept_lines,
+    array_to_string(lines, chr(10)) AS full_text
+  FROM d
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept_lines) AS BIGINT) AS n_kept,
+       (NOT contains(full_text, 'lorem ipsum')
+        AND NOT contains(full_text, '{')
+        AND len(kept_lines) >= $C4MinKeptLines) AS kept,
+       COALESCE(array_to_string(kept_lines, chr(10)), '') AS clean_text
+FROM k"""
+  }
 }

@@ -405,6 +405,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(ny.getAs[Long]("rank") == 1 && yn.getAs[Long]("rank") == 2)
   }
 
+  test("c4LineClean hand-checked: every rule fires and the rebuilt " +
+      "text is exactly the surviving lines") {
+    // doc 100: 100%17!=0, 100%13!=0 → no page poison.
+    //   14 tokens → 2 lines of 7.
+    //   line 0: (100+0)%3=1 → '.', (100+0)%7=2 → ' javascript' ⇒ dropped
+    //   line 1: (101)%3=2 → '.', (101)%7=3 → clean, 7 words ⇒ kept
+    val doc100 = (1 to 14).map(i => s"w$i").mkString(" ")
+    // doc 102: (102+0)%3=0 → line 0 unpunctuated ⇒ dropped;
+    //   line 1 punctuated+clean ⇒ kept
+    val doc102 = (1 to 14).map(i => s"x$i").mkString(" ")
+    // doc 221 = 13*17 → both page poisons; every line punctuated or not
+    //   is irrelevant: page dropped by lorem ipsum AND brace
+    val doc221 = (1 to 21).map(i => s"y$i").mkString(" ")
+    val out = TextAnalysis.c4LineClean(
+      Seq((100L, doc100), (102L, doc102), (221L, doc221))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r100 = out(100L)
+    assert(r100.getAs[Long]("n_lines") == 2)
+    assert(r100.getAs[Long]("n_kept") == 1)
+    assert(r100.getAs[String]("clean_text") ==
+      (8 to 14).map(i => s"w$i").mkString(" ") + ".")
+    assert(!r100.getAs[Boolean]("kept")) // 1 kept line < 3 minimum
+    val r102 = out(102L)
+    assert(r102.getAs[Long]("n_kept") == 1)
+    assert(r102.getAs[String]("clean_text") ==
+      (8 to 14).map(i => s"x$i").mkString(" ") + ".")
+    val r221 = out(221L)
+    assert(!r221.getAs[Boolean]("kept"))
+    // the derivation really planted both page poisons
+    assert(r221.getAs[Long]("n_lines") == 3)
+  }
+
+  test("c4LineClean: a long fully-clean page is kept and short or " +
+      "poisoned pages are dropped") {
+    // doc 1 (no poison mods): 35 tokens → 5 lines; lines with
+    // (1+i)%3==0 (i=2) lose punctuation, i where (1+i)%7==2 (i=1)
+    // gets javascript → kept lines are i=0,3,4 → exactly 3 ⇒ kept
+    val doc1 = (1 to 35).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.c4LineClean(
+      Seq((1L, doc1)).toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("n_lines") == 5)
+    assert(out.getAs[Long]("n_kept") == 3)
+    assert(out.getAs[Boolean]("kept"))
+    val lines = out.getAs[String]("clean_text").split("\n")
+    assert(lines.length == 3 && lines.forall(_.endsWith(".")))
+  }
+
   test("pmiCollocations: the fixture's top pair beats a random pair " +
       "and the floor binds") {
     val docs = spark.read

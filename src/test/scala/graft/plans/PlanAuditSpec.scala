@@ -588,6 +588,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       "the automaton probe is not inside a whole-stage-codegen span")
   }
 
+  test("q129 c4 line clean: zero exchanges, pruned scan (row-local " +
+      "line rules + rebuild)") {
+    val df = q("q129_c4_line_clean")
+    assert(shuffleCount(df) == 0,
+      s"c4 line clean shuffles ${shuffleCount(df)}× (must be row-local)")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
   test("q128 pmi: unigram tables broadcast, no cartesian, bounded " +
       "exchanges, pruned scan") {
     val df = q("q128_pmi_collocations")
