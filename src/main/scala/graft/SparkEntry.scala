@@ -824,6 +824,13 @@ object SparkEntry {
     // surviving lines — entirely row-local.
     "q129_c4_line_clean" -> ((s, dir) =>
       TextAnalysis.c4LineClean(documents(s, dir))),
+    // Paragraph-level exact dedup with removal (the Dolma/RefinedWeb
+    // recipe): first occurrence corpus-wide stays, every later copy
+    // removed, doc text rebuilt from the survivors; the positioned
+    // digest stream (doc_id+pos+md5, never the text) makes the one
+    // hash exchange.
+    "q130_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1051,6 +1058,7 @@ object SparkEntry {
     "q125_cluster_profile" -> OracleSql.cellProfile,
     "q128_pmi_collocations" -> OracleSql.pmiCollocations,
     "q129_c4_line_clean" -> OracleSql.c4LineClean,
+    "q130_paragraph_dedup" -> OracleSql.paragraphDedup,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1080,6 +1080,63 @@ object Dedup {
         (col("n_agree").cast("double") / numHashes).as("jaccard_est"))
   }
 
+  /** Paragraph width of the q130 dedup (the fixture corpus has no
+    * paragraph structure — width-[[ParaWords]] token windows stand in
+    * for natural paragraph breaks, the q129 line-derivation
+    * precedent; production splits on blank lines instead and nothing
+    * downstream changes). */
+  val ParaWords = 8
+
+  /** PARAGRAPH-level exact dedup with removal (q130) — the
+    * Dolma/RefinedWeb recipe between q4's whole-document hash and
+    * q102's span cuts: every paragraph is content-hashed, the FIRST
+    * occurrence corpus-wide (min (doc_id, pos)) is the canonical copy
+    * that stays, every later occurrence — cross-document AND repeats
+    * within one document — is removed, and each document's text is
+    * REBUILT from its surviving paragraphs. One row per document:
+    * paragraph counts and the cleaned text. Boilerplate (headers,
+    * navigation, license blocks) dies here while the page itself
+    * survives — the granularity document-level dedup cannot express
+    * and span-level cuts express with interval bookkeeping.
+    *
+    * Scale design (100 TB): the positioned hash stream carries
+    * (doc_id, pos, md5) — never the paragraph text — so the ONE
+    * hash-keyed exchange moves 16-byte digests (the q58/q102
+    * discipline). Canonical selection is a map-side-combinable
+    * min(struct(doc_id,pos)) per hash; survivors collapse back to a
+    * per-doc sorted position list (second exchange, doc-keyed) and
+    * the rebuild is row-local against the original token array
+    * (corpus joins on its own doc_id key). With the corpus bucketed
+    * by doc_id the rebuild join is a zero-shuffle sort-merge. */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val P = ParaWords
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_paras",
+        expr(s"CAST((size(w) + ${P - 1}) DIV $P AS BIGINT)"))
+    val paras = base
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(n_paras AS INT) - 1),
+             |  i -> md5(array_join(slice(w, $P * i + 1, $P), ' ')))"""
+            .stripMargin)))
+      .toDF("doc_id", "pos", "phash")
+    val canon = paras.groupBy(col("phash"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = paras.join(canon, "phash")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("pos"))).as("keep_pos"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(expr(
+          s"""array_join(transform(keep_pos,
+             |  i -> array_join(slice(w, $P * i + 1, $P), ' ')), ' ')"""
+            .stripMargin), lit("")).as("clean_text"))
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

@@ -3301,4 +3301,38 @@ SELECT doc_id, n_lines,
        COALESCE(array_to_string(kept_lines, chr(10)), '') AS clean_text
 FROM k"""
   }
+
+  /** Mirror of [[graft.operators.Dedup.paragraphDedup]] (q130):
+    * identical width-P windows and md5 paragraph digests; the
+    * canonical pick (min (doc_id,pos) per hash) is a row_number
+    * window — equal to Spark's min-struct selection; the rebuild
+    * replays the same sorted-position slice join. */
+  def paragraphDedup: String = {
+    import graft.operators.Dedup.{ParaWords => P}
+    s"""WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, w, (len(w) + ${P - 1}) // $P AS n_paras FROM b
+), p AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, $P * i + 1, $P * i + $P), ' '))
+           AS phash
+  FROM base, LATERAL (SELECT unnest(range(0, n_paras)) AS i) t
+), k AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY phash
+           ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM p
+), kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         list_sort(list(pos)) AS keep_pos
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(array_to_string(list_transform(keep_pos,
+         i -> array_to_string(list_slice(w, $P * i + 1, $P * i + $P), ' ')),
+         ' '), '') AS clean_text
+FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
+  }
 }

@@ -444,4 +444,44 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     // exactly one retained per cluster
     assert(out.values.count(_._4) == 2)
   }
+
+  test("paragraphDedup hand-checked: first occurrence stays, " +
+      "cross-doc and within-doc repeats removed, text rebuilt") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val P = Dedup.ParaWords
+    def para(c: Char): String = (1 to P).map(i => s"$c$i").mkString(" ")
+    val (a, b, c2, d) = (para('a'), para('b'), para('c'), para('d'))
+    val fixture = Seq(
+      (1L, s"$a $b"),   // canonical home of a and b
+      (2L, s"$a $c2"),  // a is a cross-doc repeat -> removed
+      (3L, s"$d $d"))   // within-doc repeat -> second copy removed
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 2L, s"$a $b")))
+    assert(out(2L) == ((2L, 1L, c2)))
+    assert(out(3L) == ((2L, 1L, d)))
+    // idempotence: re-deduping the cleaned corpus removes nothing
+    val again = Dedup.paragraphDedup(
+      Seq((1L, out(1L)._3), (2L, out(2L)._3), (3L, out(3L)._3))
+        .toDF("doc_id", "text"))
+      .collect()
+    assert(again.forall(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_paras")))
+    // a short final paragraph (not width-aligned) still round-trips
+    val tail = Dedup.paragraphDedup(
+      Seq((7L, s"$a one two three")).toDF("doc_id", "text")).head()
+    assert(tail.getAs[Long]("n_paras") == 2 &&
+      tail.getAs[String]("clean_text") == s"$a one two three")
+    // the fixture corpus actually exercises removal
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val removed = Dedup.paragraphDedup(corpus)
+      .select(col("n_paras"), col("n_kept"))
+      .collect().map(r => r.getLong(0) - r.getLong(1)).sum
+    assert(removed > 0, "no duplicate paragraphs found in the fixture")
+  }
 }

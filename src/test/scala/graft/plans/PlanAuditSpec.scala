@@ -600,6 +600,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
   }
 
+  test("q130 paragraph dedup: digest-only hash exchange (no text " +
+      "column crosses), bounded exchanges, pruned scan") {
+    val df = q("q130_paragraph_dedup")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // hash exchange (paras+canon sides) + per-doc collapse + the
+    // rebuild join's corpus side
+    assert(shuffleCount(df) <= 4,
+      s"paragraph dedup shuffles ${shuffleCount(df)}× (expected ≤4)")
+    // the positioned stream that crosses the hash exchange carries
+    // (doc_id, pos, md5) — never w/text; only the rebuild join's
+    // corpus side may carry the token array
+    val exchanges = """Exchange hashpartitioning\(phash[^\n]*""".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("w#") && !e.contains("text#"),
+      s"paragraph text crosses the hash exchange: $e"))
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
   test("q128 pmi: unigram tables broadcast, no cartesian, bounded " +
       "exchanges, pruned scan") {
     val df = q("q128_pmi_collocations")
