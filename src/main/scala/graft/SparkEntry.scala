@@ -831,6 +831,11 @@ object SparkEntry {
     // hash exchange.
     "q130_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(documents(s, dir))),
+    // MMR diversified retrieval (Carbonell & Goldstein): greedy
+    // relevance-vs-redundancy re-pick over the per-query pool —
+    // everything after pool formation is pool-bounded.
+    "q131_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerankTopK(Similarity.embeddings(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1059,6 +1064,7 @@ object SparkEntry {
     "q128_pmi_collocations" -> OracleSql.pmiCollocations,
     "q129_c4_line_clean" -> OracleSql.c4LineClean,
     "q130_paragraph_dedup" -> OracleSql.paragraphDedup,
+    "q131_mmr_rerank" -> OracleSql.mmrRerank,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1139,6 +1139,102 @@ object Similarity {
       .withColumn("cosine", cosine))
   }
 
+  /** MMR constants (q131): the relevance/diversity trade-off λ of
+    * Carbonell & Goldstein's formulation, the candidate pool per
+    * query, and the diversified result size. */
+  val MmrLambda = 0.7
+  val MmrPoolK = 20
+  val MmrTopK = 8
+
+  /** Maximal-marginal-relevance diversified retrieval (q131;
+    * Carbonell & Goldstein 1998) — the DIVERSIFICATION step a RAG
+    * serving stack runs after any ANN pool: plain top-k hands back
+    * near-duplicate passages (by construction — similar things rank
+    * together), MMR greedily re-picks
+    *
+    *   argmax_d  λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    *
+    * so every next pick is relevant AND far from what's already
+    * selected. Emits the selection ORDER (step 1..k) with each pick's
+    * relevance and its MMR score at selection time.
+    *
+    * Scale design (100 TB): the corpus-sized work is pool FORMATION
+    * (here the exact-cosine pool through the TopKPerGroup heaps; in
+    * production any ANN rung — q88/q20/q106/q121/q124 — generates the
+    * same ≤ poolK rows per query). Everything after is
+    * pool-bounded: the pairwise-sim frame is |Q|·poolK² rows, each
+    * greedy step joins frames of ≤ |Q|·poolK rows, and the k-step
+    * loop materializes per round (the q99 bounded-lineage
+    * discipline). The greedy is INHERENTLY sequential in k — k is a
+    * serving constant (≤ tens), never a corpus axis. */
+  def mmrRerankTopK(emb: DataFrame, lambda: Double = MmrLambda,
+      poolK: Int = MmrPoolK, k: Int = MmrTopK,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val lam = lit(lambda); val om = lit(1 - lambda)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val scored = broadcast(queries(emb, numQueries)).crossJoin(emb)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel",
+        cosineOf(col("qv"), col("qnorm"), col("v"), col("norm")))
+      .select(col("query_id"), col("vec_id"), col("v"), col("norm"),
+        col("rel"))
+    val extensionsActive = emb.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    val pool = (if (extensionsActive)
+        org.apache.spark.sql.graft.TopK.perGroup(scored, Seq("query_id"),
+          Seq("rel" -> false, "vec_id" -> true), poolK)
+      else scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rel").desc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= poolK))
+      .persist(lvl)
+    val pairs = pool
+      .select(col("query_id"), col("vec_id").as("a"), col("v").as("va"),
+        col("norm").as("na"))
+      .join(pool.select(col("query_id"), col("vec_id").as("b"),
+        col("v").as("vb"), col("norm").as("nb")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosineOf(col("va"), col("na"), col("vb"), col("nb")).as("sim"))
+      .persist(lvl)
+    // every greedy step references the running selection TWICE (the
+    // not-yet-picked anti-join and the max-sim aggregate), so a plain
+    // union chain DOUBLES the logical plan per step — localCheckpoint
+    // truncates the lineage each round (the pageRank/graph-walk
+    // discipline); the checkpointed frame is |Q|·step rows
+    var selected = pool.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("step"),
+        col("rel"), (lam * col("rel") - om * lit(0.0)).as("mmr"))
+      .localCheckpoint()
+    for (s <- 2 to k) {
+      val selIds = selected
+        .select(col("query_id").as("sq"), col("vec_id").as("sel_a"))
+      val ms = pairs
+        .join(selIds, pairs("query_id") === col("sq") &&
+          pairs("a") === col("sel_a"))
+        .groupBy(pairs("query_id").as("mq"), col("b"))
+        .agg(max(col("sim")).as("ms"))
+      val pick = pool
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, col("query_id") === col("mq") &&
+          col("vec_id") === col("b"))
+        .withColumn("mmr", lam * col("rel") - om * col("ms"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr").desc, col("vec_id").asc)))
+        .filter(col("rn2") === 1)
+        .select(col("query_id"), col("vec_id"), lit(s.toLong).as("step"),
+          col("rel"), col("mmr"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    pairs.unpersist(blocking = false)
+    pool.unpersist(blocking = false)
+    selected
+  }
+
   /** Symmetric int8 scalar quantization of the embedding corpus
     * (q73): per vector, scale = max|v|/127 and qᵢ = round(vᵢ/scale) ∈
     * [−127, 127] — the storage/bandwidth compression step every

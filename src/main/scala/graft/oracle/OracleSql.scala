@@ -3302,6 +3302,58 @@ SELECT doc_id, n_lines,
 FROM k"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.mmrRerankTopK]] (q131):
+    * the same exact-cosine pool (identical dot/norm arithmetic), the
+    * same pool-pairwise sims, and the greedy UNROLLED — one
+    * (cand, sel, all) CTE triple per step, each MATERIALIZED (the
+    * q115 anti-inlining discipline: cand_s reads all_{s-1} twice).
+    * The λ/(1−λ) literals are the Scala doubles printed exactly, so
+    * both engines fold the identical constants. */
+  def mmrRerank: String = {
+    import graft.operators.Similarity.{MmrLambda, MmrPoolK, MmrTopK}
+    val om = 1 - MmrLambda
+    val steps = (2 to MmrTopK).map { s =>
+      s""", cand$s AS MATERIALIZED (
+  SELECT p.query_id, p.vec_id, p.rel, max(pr.sim) AS ms
+  FROM pool p
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.b = p.vec_id
+  JOIN all${s - 1} se ON se.query_id = pr.query_id AND se.vec_id = pr.a
+  WHERE NOT EXISTS (SELECT 1 FROM all${s - 1} x
+    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+  GROUP BY p.query_id, p.vec_id, p.rel
+), sel$s AS (
+  SELECT query_id, vec_id, CAST($s AS BIGINT) AS step, rel, mmr FROM (
+    SELECT query_id, vec_id, rel, $MmrLambda * rel - $om * ms AS mmr,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ($MmrLambda * rel - $om * ms) DESC, vec_id ASC) AS rn2
+    FROM cand$s) WHERE rn2 = 1
+), all$s AS MATERIALIZED (
+  SELECT * FROM all${s - 1} UNION ALL SELECT * FROM sel$s
+)"""
+    }.mkString
+    s"""$embCtes
+, scored AS (
+  SELECT query_id, vec_id, v, nrm,
+         ${dotSql("qv", "v")} / (qn * nrm) AS rel
+  FROM q, n WHERE vec_id <> query_id
+), pool AS MATERIALIZED (
+  SELECT query_id, vec_id, v, nrm, rel, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= $MmrPoolK
+), pairs AS MATERIALIZED (
+  SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+         ${dotSql("p1.v", "p2.v")} / (p1.nrm * p2.nrm) AS sim
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id
+), all1 AS MATERIALIZED (
+  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS step, rel,
+         $MmrLambda * rel - $om * 0.0 AS mmr
+  FROM pool WHERE rn = 1
+)$steps
+SELECT query_id, vec_id, step, rel, mmr FROM all$MmrTopK"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.paragraphDedup]] (q130):
     * identical width-P windows and md5 paragraph digests; the
     * canonical pick (min (doc_id,pos) per hash) is a row_number

@@ -829,4 +829,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     // other cells' growth cannot touch this cell's set at all
     assert(kept.map(t => (t._1, t._2)).toSet == expect)
   }
+
+  test("mmrRerankTopK hand-checked: diversity beats a redundant twin, " +
+      "lambda=1 degenerates to relevance order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query 0 = [1,0]; d1/d2 near-identical twins (cos(d1,d2) ~ 1),
+    // d3 equally relevant but on the OTHER side of the query
+    // (cos(d1,d3) ~ 0.60) — the shape plain top-k gets wrong
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.9, 0.44)),    // rel ~0.8984
+      (2L, Seq(0.9, 0.45)),    // rel ~0.8944
+      (3L, Seq(0.89, -0.45)))  // rel ~0.8924, diverse
+      .toDF("vec_id", "v")
+      .withColumn("norm",
+        expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+    val out = Similarity.mmrRerankTopK(emb, lambda = 0.7, poolK = 3,
+        k = 3, numQueries = 1)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(out.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    // plain relevance order would be 1, 2, 3 — MMR demotes the twin
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    // step-1 score is λ·rel; later scores subtract the diversity term
+    assert(math.abs(out(0).getAs[Double]("mmr") -
+      0.7 * out(0).getAs[Double]("rel")) < 1e-12)
+    assert(out(2).getAs[Double]("mmr") <
+      0.7 * out(2).getAs[Double]("rel"))
+    // λ = 1: pure relevance — selection order is exactly rel desc
+    val flat = Similarity.mmrRerankTopK(emb, lambda = 1.0, poolK = 3,
+        k = 3, numQueries = 1)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(flat.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrRerankTopK fixture: k unique picks per query, all from " +
+      "the pool, first pick = brute-force top-1") {
+    import org.apache.spark.sql.functions._
+    val emb = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.mmrRerankTopK(emb).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == SimilarityParams.NumQueryVectors)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.MmrTopK, s"query $q")
+      val ids = rows.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == ids.length, s"query $q repeats")
+    }
+    val top1 = Similarity.bruteForceTopK(emb).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    out.filter(_.getAs[Long]("step") == 1L).foreach { r =>
+      assert(top1(r.getAs[Long]("query_id")) == r.getAs[Long]("vec_id"))
+    }
+  }
 }
