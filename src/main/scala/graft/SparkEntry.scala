@@ -836,6 +836,18 @@ object SparkEntry {
     // everything after pool formation is pool-bounded.
     "q131_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerankTopK(Similarity.embeddings(s, dir))),
+    // Triangle counts + local clustering coefficient over the mutual
+    // k-NN graph: degree-ordered orientation (forward algorithm), so
+    // wedge fan-out is O(m^1.5) even with hubs — the community-
+    // structure profile of the embedding corpus.
+    "q132_triangles" -> ((s, dir) =>
+      operators.Graph.triangleCounts(Similarity.knnGraph(
+        Similarity.embeddings(s, dir)))),
+    // Pareto-frontier selection: every non-dominated
+    // (length, quality) trade-off — computed without the O(n²)
+    // dominance self-join (per-x max + running-max frontier scan).
+    "q133_pareto_front" -> ((s, dir) =>
+      operators.Sampling.paretoFront(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1065,6 +1077,8 @@ object SparkEntry {
     "q129_c4_line_clean" -> OracleSql.c4LineClean,
     "q130_paragraph_dedup" -> OracleSql.paragraphDedup,
     "q131_mmr_rerank" -> OracleSql.mmrRerank,
+    "q132_triangles" -> OracleSql.triangleCounts,
+    "q133_pareto_front" -> OracleSql.paretoFront,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

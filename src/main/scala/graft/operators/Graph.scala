@@ -348,4 +348,81 @@ object Graph {
       .join(broadcast(hostRanks), "host_key")
       .select(col("doc_id"), col("host_key"), col("host_rank"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over
+    * the MUTUAL k-NN graph (q132) — the community-structure profile
+    * of an embedding corpus: a node whose neighbors are also
+    * neighbors of each other sits inside a dense semantic cluster
+    * (SemDedup territory), a zero-lcc node is a hub stitching
+    * unrelated regions (the q124 graph-walk's long-range links).
+    * Input is the [[Similarity.knnGraph]] edge frame; an undirected
+    * edge is kept iff BOTH directed top-k edges exist (mutual-kNN,
+    * the standard symmetrization that prunes asymmetric hub edges).
+    *
+    * Scale design (100 TB): triangle enumeration by DEGREE-ORDERED
+    * orientation (the Schank/Wagner "forward" algorithm, the shape
+    * every distributed triangle counter uses): each undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher,
+    * making the orientation a DAG whose max out-degree is O(√m) on
+    * any graph — so the wedge self-join on the shared source fans
+    * out Σ outdeg² ≤ m·√m pairs instead of Σ deg² (which a hub makes
+    * quadratic), and each triangle is generated exactly once at its
+    * lowest-rank vertex (no ÷6 dedup pass, no all-pairs anywhere).
+    * The wedge frame joins the oriented edge list once to close
+    * triangles; per-node counts are one explode + map-side-combined
+    * groupBy. The mutual-edge frame and the degree table are
+    * persisted (each feeds two consumers); everything shuffles on
+    * node/edge keys only — vectors never enter this operator.
+    *
+    * lcc = 2·T(v) / (deg(v)·(deg(v)−1)) computed with the identical
+    * literal/operand order in the DuckDB mirror and rounded to
+    * [[RankRoundDigits]] (q99 compare discipline); degree-1 nodes
+    * (no possible wedge) emit 0.0. */
+  def triangleCounts(knnEdges: DataFrame): DataFrame = {
+    val e0 = knnEdges.select(col("src"), col("neighbor_id").as("dst"))
+    val rev = e0.select(col("dst").as("src"), col("src").as("dst"))
+    // mutual = edge present in both directions; canonical u < v
+    val mutual = e0.intersect(rev)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = mutual
+      .select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val du = deg.select(col("node_id").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node_id").as("v"), col("degree").as("dv"))
+    // orient from lower (degree, id) to higher; carry the head's
+    // degree so wedge endpoints can be ordered by the SAME total
+    // order without re-joining the degree table
+    val oriented = mutual.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("d"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"), col("e.dd").as("dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o1 = oriented.select(col("s"), col("d").as("d1"), col("dd").as("dd1"))
+    val o2 = oriented.select(col("s"), col("d").as("d2"), col("dd").as("dd2"))
+    val wedges = o1.join(o2, "s")
+      .filter(col("dd1") < col("dd2") ||
+        (col("dd1") === col("dd2") && col("d1") < col("d2")))
+      .select(col("s"), col("d1"), col("d2"))
+    val closing = oriented.select(col("s").as("d1"), col("d").as("d2"))
+    val tris = wedges.join(closing, Seq("d1", "d2"))
+      .select(col("s").as("a"), col("d1").as("b"), col("d2").as("c"))
+    val tcounts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tcounts, Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), RankRoundDigits))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

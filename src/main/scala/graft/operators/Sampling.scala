@@ -447,4 +447,47 @@ object Sampling {
         Window.partitionBy(col("source"))
           .orderBy(col("raw_score").asc, col("doc_id").asc)))
       .withColumn("keep", col("pct") >= 1.0 - keepFrac)
+
+  /** Pareto-frontier selection (q133) — the multi-criteria curation
+    * cut: the documents for which NO other document is at least as
+    * short AND at least as high-quality (strictly better in one
+    * axis); minimize `n_chars`, maximize the shared
+    * [[TextAnalysis.qualityScoreCol]]. Plain thresholds pick one
+    * arbitrary trade-off point; the frontier is every non-dominated
+    * trade-off at once (the token-budget-vs-quality menu a mixture
+    * planner chooses from).
+    *
+    * Scale design (100 TB): the DEFINITION is an all-pairs dominance
+    * test (the oracle states it as NOT EXISTS — O(n²)); the operator
+    * computes the identical set with NO self-join: (1) row-local
+    * score projection, (2) per-`n_chars` max-quality groupBy (one
+    * map-side-combined shuffle on a bounded-cardinality key), (3) a
+    * strictly-increasing running-max scan over the DISTINCT x values
+    * — a window whose input is x-cardinality-bounded, never
+    * corpus-sized (the q57 prefix-sum operator is the swap-in if the
+    * x domain ever rivals the corpus), keeping x iff its max quality
+    * strictly exceeds every shorter x's (ties lose to the shorter
+    * doc: dominance needs strictness only in ONE axis), (4) a
+    * broadcast join of the tiny frontier back onto the corpus
+    * keeping the achievers — equal (x, y) twins are mutually
+    * non-dominating and all kept. Doubles compare identically in
+    * both engines because the score expression is the q6
+    * hash-graded tree. */
+  def paretoFront(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    val perX = scored.groupBy(col("n_chars"))
+      .agg(max(col("quality_score")).as("ymax"))
+    val runningPrev = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("prevmax", max(col("ymax")).over(runningPrev))
+      .filter(col("prevmax").isNull || col("ymax") > col("prevmax"))
+      .select(col("n_chars").as("fx"), col("ymax"))
+    scored.join(broadcast(frontier),
+        col("n_chars") === col("fx") &&
+          col("quality_score") === col("ymax"))
+      .select(col("doc_id"), col("n_chars"), col("quality_score"))
+  }
 }

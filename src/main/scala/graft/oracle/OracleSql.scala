@@ -799,6 +799,41 @@ SELECT * EXCLUDE (distinct_ratio),
 FROM ratios"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.paretoFront]] (q133): the
+    * same per-n_chars max-quality reduction and strictly-increasing
+    * running-max frontier scan (the all-pairs NOT-EXISTS dominance
+    * DEFINITION is spec-pinned equal on the fixture — SamplingSpec —
+    * and would be quadratic here); quality_score is the q6
+    * hash-graded expression tree, multiplication order (A·B)·C
+    * preserved. */
+  def paretoFront: String = {
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    s"""WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         string_split(text, ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+    LEAST(len(w) / 50.0, 1.0)
+      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      * (1.0 - 0.5 * (CAST(len(list_filter(w,
+            t -> list_contains($stops, t))) AS DOUBLE) / len(w)))
+      AS quality_score
+  FROM d
+), px AS (
+  SELECT n_chars, MAX(quality_score) AS ymax FROM s GROUP BY n_chars
+), f AS (
+  SELECT n_chars, ymax,
+         MAX(ymax) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM px
+)
+SELECT s.doc_id, s.n_chars, s.quality_score
+FROM s JOIN f ON s.n_chars = f.n_chars AND s.quality_score = f.ymax
+WHERE f.prevmax IS NULL OR f.ymax > f.prevmax"""
+  }
+
   /** Mirror of [[TextAnalysis.qualityFilter]] (q94): identical ratio
     * expression trees to [[textStats]]'s, the same symbol-character
     * regex (ASCII classes so Java and RE2 agree), and the same
@@ -1896,6 +1931,49 @@ WHERE margin >= $MineMargin"""
 )
 SELECT src, neighbor_id, rank, cosine FROM r
 WHERE rank <= ${graft.operators.Similarity.KnnGraphK}"""
+  }
+
+  /** Mirror of [[graft.operators.Graph.triangleCounts]] (q132): the
+    * oracle enumerates triangles from the DEFINITION (id-ordered
+    * u<v<w over the mutual undirected edge set — one triangle per
+    * 3-clique) while Spark runs the degree-ordered orientation; the
+    * two enumerate the same triangle SET, so per-node counts match
+    * exactly. lcc repeats the operator's literal/operand order
+    * (2.0·T first, then ÷ deg·(deg−1)) rounded to the shared
+    * [[graft.operators.Graph.RankRoundDigits]]. */
+  def triangleCounts: String = {
+    import graft.operators.Graph.RankRoundDigits
+    s"""WITH g AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ($knnGraph)
+), e AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b
+    ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  WHERE a.src < a.neighbor_id
+  GROUP BY ALL
+), deg AS (
+  SELECT node_id, COUNT(*) AS degree FROM (
+    SELECT u AS node_id FROM e UNION ALL SELECT v AS node_id FROM e)
+  GROUP BY node_id
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), tc AS (
+  SELECT node_id, COUNT(*) AS triangles FROM (
+    SELECT a AS node_id FROM t
+    UNION ALL SELECT b AS node_id FROM t
+    UNION ALL SELECT c AS node_id FROM t)
+  GROUP BY node_id
+)
+SELECT d.node_id, d.degree,
+       COALESCE(tc.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * COALESCE(tc.triangles, 0)
+                   / (d.degree * (d.degree - 1)), $RankRoundDigits)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tc USING (node_id)"""
   }
 
   /** Mirror of [[graft.operators.Multimodal.multimodalMeta]] (q21):

@@ -150,4 +150,63 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     assert(hostRanks.keySet.subsetOf(suppliers))
     hostRanks.values.foreach(v => assert(v > 0))
   }
+
+  test("triangles: mutual filter, counts, and lcc on a hand graph") {
+    import spark.implicits._
+    // mutual triangle {1,2,3}, mutual pendant 3-4, asymmetric 4->1
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L), (4L, 1L)).toDF("src", "neighbor_id")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("lcc")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      // lcc is rounded to RankRoundDigits=12 in the operator
+      3L -> ((3L, 1L, 0.333333333333)), 4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("triangles: a hub star counts each rim closure exactly once") {
+    import spark.implicits._
+    // hub 10 mutually linked to rims 1..5; rim edge 1-2 closes ONE
+    // triangle {10,1,2} — the degree-orientation must not double- or
+    // zero-count it through the hub
+    val star = (1L to 5L).flatMap(r => Seq((10L, r), (r, 10L)))
+    val edges = (star ++ Seq((1L, 2L), (2L, 1L))).toDF("src", "neighbor_id")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("triangles"))
+      .toMap
+    assert(got == Map(10L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L))
+  }
+
+  test("triangles: orientation algorithm matches the brute-force " +
+      "definition on the fixture k-NN graph") {
+    val knn = Similarity.knnGraph(
+      Similarity.embeddings(spark, "/root/testdata/sf0.001"))
+    val got = Graph.triangleCounts(knn).collect()
+      .map(r => r.getAs[Long]("node_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles")))).toMap
+    // brute force from the definition: mutual undirected edges,
+    // id-ordered 3-clique enumeration
+    val directed = knn.select("src", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = directed.filter { case (u, v) =>
+      u < v && directed.contains((v, u)) }
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- und; w <- adj(u) if w > v && adj(v).contains(w)) {
+      triCount(u) += 1; triCount(v) += 1; triCount(w) += 1
+    }
+    val expectDeg = adj.map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == expectDeg.keySet)
+    got.foreach { case (n, (d, t)) =>
+      assert(d == expectDeg(n), s"degree of $n")
+      assert(t == triCount(n), s"triangles of $n")
+    }
+    assert(got.values.map(_._2).sum > 0, "fixture graph has triangles")
+  }
 }

@@ -260,4 +260,43 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
       .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
   }
+
+  test("paretoFront: hand fixture — strict dominance, shorter-tie " +
+      "wins, equal twins both kept") {
+    import spark.implicits._
+    // non-stopword tokens -> quality = (n/50)·distinct_ratio exactly:
+    // docs 1,2: y=0.06 at x=5 (equal twins)   docs 3,4: y=0.10 at x=9
+    // doc 5: y≈0.02 at x=13 (dominated by 3)  doc 6: y=0.10 at x=14
+    // (equal quality to 3 at larger x -> dominated: strictness needs
+    // only ONE axis)
+    val docs = Seq(
+      (1L, "zz yy xx", 5L), (2L, "zz yy xx", 5L),
+      (3L, "zz yy xx ww vv", 9L), (4L, "vv ww xx yy zz", 9L),
+      (5L, "zz zz zz zz zz zz zz", 13L),
+      (6L, "zz yy xx ww vv", 14L)).toDF("doc_id", "text", "n_chars")
+    val out = Sampling.paretoFront(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == out(2L) && out(3L) == out(4L))
+    assert(out(3L) > out(1L), "frontier quality strictly increases")
+  }
+
+  test("paretoFront: running-max algorithm equals the NOT-EXISTS " +
+      "dominance definition on the fixture corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Sampling.paretoFront(docs).collect()
+      .map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id"),
+        col("n_chars").cast("long"),
+        TextAnalysis.qualityScoreCol(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.filter { case (_, x, y) =>
+      !all.exists { case (_, ox, oy) =>
+        ox <= x && oy >= y && (ox < x || oy > y) }
+    }.map(_._1).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < all.length,
+      s"frontier ${got.size} of ${all.length} should be a proper subset")
+  }
 }
