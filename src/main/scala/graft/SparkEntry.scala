@@ -848,6 +848,13 @@ object SparkEntry {
     // dominance self-join (per-x max + running-max frontier scan).
     "q133_pareto_front" -> ((s, dir) =>
       operators.Sampling.paretoFront(documents(s, dir))),
+    // SCD Type-2 dimension build: per-user attribute history as
+    // validity intervals (gaps-and-islands under user-keyed windows,
+    // lead() close-out on the runs frame) — warehouse table
+    // maintenance from a CDC/event feed.
+    "q134_scd2_dim" -> ((s, dir) =>
+      operators.EventsQueries.scd2Dimension(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1079,6 +1086,7 @@ object SparkEntry {
     "q131_mmr_rerank" -> OracleSql.mmrRerank,
     "q132_triangles" -> OracleSql.triangleCounts,
     "q133_pareto_front" -> OracleSql.paretoFront,
+    "q134_scd2_dim" -> OracleSql.scd2Dimension,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Windowed event-time analytics over the native `events` fixture
@@ -229,4 +230,51 @@ object EventsQueries {
         col("sum_value"),
         col("avg_value"),
         (unix_millis(col("window.end")) - 1).as("timestamp"))
+
+  /** SCD Type-2 dimension build (q134) — the warehouse
+    * table-maintenance operator: from the raw event stream, the
+    * slowly-changing attribute history of each user as validity
+    * intervals. The tracked attribute is the `props.k`-derived tier
+    * (k mod 4 — the fixture stand-in for plan/segment); consecutive
+    * equal observations collapse into one dimension row
+    * `[valid_from, valid_to)`, each change closes the prior row
+    * (valid_to = successor's valid_from), the open row carries
+    * `is_current`. This is the type-2 MERGE every dimensional
+    * pipeline runs on CDC/event feeds, stated as one declarative
+    * plan (q120's snapshot diff is the table-level sibling).
+    *
+    * Scale design (100 TB): gaps-and-islands entirely under
+    * user-keyed windows — change flag (null-safe lag compare over the
+    * (ts_ms, event_id) total order), running-sum run ids, one
+    * map-side-combinable (user, run) aggregation, then the lead()
+    * close-out runs on the RUNS frame (dimension-sized, not
+    * event-sized). No global window, no self-join; every exchange is
+    * hash(user_id) or hash(user_id, run_id). AQE splits a hot user's
+    * sort spill; the attribute projection is row-local JSON-path
+    * extraction (q35 discipline). */
+  def scd2Dimension(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tiered = events.select(col("user_id"), col("ts_ms"),
+      col("event_id"),
+      (get_json_object(col("props"), "$.k").cast("long") % 4)
+        .as("tier"))
+    val runs = tiered
+      .withColumn("chg",
+        when(not(lag(col("tier"), 1).over(w) <=> col("tier")), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(running))
+    val dim = runs.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("tier")).as("tier"),
+        min(col("ts_ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    dim
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(byRun))
+      .select(col("user_id"), col("tier"), col("valid_from_ms"),
+        col("valid_to_ms"), col("n_events"),
+        col("valid_to_ms").isNull.as("is_current"))
+  }
 }

@@ -2066,6 +2066,38 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.scd2Dimension]]
+    * (q134): the identical gaps-and-islands derivation — null-safe
+    * lag compare (IS DISTINCT FROM ≡ Spark's not(<=>)), running-sum
+    * run ids over the (ms, event_id) total order, (user, run)
+    * aggregation, lead() close-out. run_id stays internal in both
+    * engines. */
+  def scd2Dimension: String =
+    """WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS tier
+  FROM events
+), c AS (
+  SELECT *, CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+                 THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+), r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+    ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+), g AS (
+  SELECT user_id, run_id, MIN(tier) AS tier,
+         MIN(ms) AS valid_from_ms, COUNT(*) AS n_events
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, tier, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to_ms,
+       n_events,
+       (lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id)
+         IS NULL) AS is_current
+FROM g"""
+
   /** Mirror of [[graft.operators.RelationalQueries.rangeJoinNearby]]
     * — DuckDB's IEJoin runs the inequality join directly; the
     * bucket-and-refine plan must produce the identical match set. */

@@ -273,4 +273,52 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!out.contains(2L))
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
+
+  test("scd2Dimension: runs collapse, re-opened attribute starts a " +
+      "NEW row, close-out chains, one current row") {
+    import spark.implicits._
+    // user 100: tier 0,0 | 1,1 | 0 — the tier-0 return must be a new
+    // third row, not a merge with the first (type-2 history)
+    val events = Seq(
+      (100L, 1000L, 1L, """{"k": 0}"""),
+      (100L, 2000L, 2L, """{"k": 4}"""),
+      (100L, 3000L, 3L, """{"k": 1}"""),
+      (100L, 4000L, 4L, """{"k": 5}"""),
+      (100L, 5000L, 5L, """{"k": 0}"""))
+      .toDF("user_id", "ts_ms", "event_id", "props")
+    val out = graft.operators.EventsQueries.scd2Dimension(events)
+      .collect().sortBy(_.getAs[Long]("valid_from_ms"))
+    assert(out.length == 3)
+    val rows = out.map(r => (r.getAs[Long]("tier"),
+      r.getAs[Long]("valid_from_ms"),
+      Option(r.getAs[Any]("valid_to_ms")).map(_.asInstanceOf[Long]),
+      r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+    assert(rows(0) == ((0L, 1000L, Some(3000L), 2L, false)))
+    assert(rows(1) == ((1L, 3000L, Some(5000L), 2L, false)))
+    assert(rows(2) == ((0L, 5000L, None, 1L, true)))
+  }
+
+  test("scd2Dimension fixture invariants: per-user interval chain, " +
+      "event conservation, adjacent tiers differ") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.scd2Dimension(events)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tier"),
+        r.getAs[Long]("valid_from_ms"),
+        Option(r.getAs[Any]("valid_to_ms")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_events")))
+    val totalEvents = events.count()
+    assert(out.map(_._5).sum == totalEvents, "every event in one run")
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // exactly one open row, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $u current rows")
+      assert(sorted.last._4.isEmpty)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $u chain break")
+        assert(a._2 != b._2, s"user $u adjacent equal tiers")
+      }
+    }
+  }
 }
