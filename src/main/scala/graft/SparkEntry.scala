@@ -855,6 +855,12 @@ object SparkEntry {
     "q134_scd2_dim" -> ((s, dir) =>
       operators.EventsQueries.scd2Dimension(
         operators.EventsQueries.events(s, dir))),
+    // Heaps-law vocabulary growth: new word types + cumulative vocab
+    // per corpus-prefix decile — first-occurrence min per token (one
+    // map-side-combined shuffle), bucket ranks from the q57
+    // prefix-sum index, constant-size running sums.
+    "q135_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1087,6 +1093,7 @@ object SparkEntry {
     "q132_triangles" -> OracleSql.triangleCounts,
     "q133_pareto_front" -> OracleSql.paretoFront,
     "q134_scd2_dim" -> OracleSql.scd2Dimension,
+    "q135_vocab_growth" -> OracleSql.vocabGrowth,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1199,4 +1199,57 @@ object TextAnalysis {
           size(col("kept_lines")) >= C4MinKeptLines).as("kept"),
         array_join(col("kept_lines"), "\n").as("clean_text"))
   }
+
+  /** Vocabulary-growth buckets of [[vocabGrowth]] (q135). */
+  val VocabGrowthBuckets = 10
+
+  /** Heaps-law vocabulary growth profile (q135) — the corpus-scaling
+    * statistic behind tokenizer sizing and dedup budgeting: for each
+    * prefix of the corpus (doc_id order, [[VocabGrowthBuckets]]
+    * equal-count buckets), the number of NEW word types first seen in
+    * that bucket and the cumulative vocabulary size. Sub-linear
+    * growth (Heaps' law V ≈ k·nᵝ, β < 1) is what makes the q100/q101
+    * bounded-vocabulary assumption tenable; a near-linear curve is
+    * the alarm that the corpus is ID-heavy (URLs, hashes) and the
+    * vocab tables will not broadcast.
+    *
+    * Scale design (100 TB): a type's first occurrence is
+    * min(doc_id) per token — ONE map-side-combined shuffle on the
+    * token key (the raw token stream never shuffles positionally);
+    * bucket assignment comes from the q57 prefix-sum
+    * [[GlobalIndex]] (no single-reducer row_number over the corpus —
+    * the oracle's row_number states the same total order); the
+    * first-occurrence frame joins the doc→bucket map on doc_id
+    * (vocab-sized vs corpus-sized, plain hash join); the final
+    * running sums run over [[VocabGrowthBuckets]] rows — a
+    * constant-size window, not a data-sized one. */
+  def vocabGrowth(docs: DataFrame,
+      buckets: Int = VocabGrowthBuckets): DataFrame = {
+    val (idx, handle) = GlobalIndex.globalRowIndexWithHandle(
+      docs.select(col("doc_id")), Seq(col("doc_id")),
+      GlobalIndex.Q57Partitions)
+    val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
+    val db = idx.crossJoin(nRow)
+      .select(col("doc_id"),
+        (expr(s"(global_idx * $buckets) DIV n") + 1).as("bucket"))
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val ft = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val nt = ft.join(db.select(col("doc_id").as("first_doc"),
+        col("bucket")), "first_doc")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val nd = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = nd.join(nt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("n_docs")).over(cum).as("cum_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        sum(coalesce(col("new_types"), lit(0L))).over(cum)
+          .as("vocab_size"))
+      .localCheckpoint()
+    handle.release()
+    out
+  }
 }

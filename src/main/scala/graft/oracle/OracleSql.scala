@@ -834,6 +834,40 @@ FROM s JOIN f ON s.n_chars = f.n_chars AND s.quality_score = f.ymax
 WHERE f.prevmax IS NULL OR f.ymax > f.prevmax"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.vocabGrowth]] (q135):
+    * row_number states the total order the q57 prefix-sum operator
+    * computes without a single-reducer window; bucket arithmetic,
+    * first-occurrence min, and the constant-size running sums are
+    * identical; DuckDB window SUM over BIGINT widens to HUGEINT →
+    * cast back. */
+  def vocabGrowth: String = {
+    val b = TextAnalysis.VocabGrowthBuckets
+    s"""WITH idx AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+), nn AS (SELECT COUNT(*) AS n FROM documents
+), db AS (
+  SELECT doc_id, (idx * $b // n) + 1 AS bucket FROM idx, nn
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), ft AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+), nt AS (
+  SELECT db.bucket, COUNT(*) AS new_types
+  FROM ft JOIN db ON ft.first_doc = db.doc_id GROUP BY db.bucket
+), nd AS (
+  SELECT bucket, COUNT(*) AS n_docs FROM db GROUP BY bucket
+)
+SELECT nd.bucket,
+  CAST(SUM(nd.n_docs) OVER (ORDER BY nd.bucket
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+  COALESCE(nt.new_types, 0) AS new_types,
+  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY nd.bucket
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM nd LEFT JOIN nt USING (bucket)"""
+  }
+
   /** Mirror of [[TextAnalysis.qualityFilter]] (q94): identical ratio
     * expression trees to [[textStats]]'s, the same symbol-character
     * regex (ASCII classes so Java and RE2 agree), and the same

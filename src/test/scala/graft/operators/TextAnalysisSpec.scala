@@ -472,4 +472,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
       case _ => true
     })
   }
+
+  test("vocabGrowth: hand corpus — one new type per decile, exact " +
+      "cumulative curve") {
+    import spark.implicits._
+    // doc i introduces exactly one new type ti alongside t0
+    val docs = (0L to 9L).map(i =>
+      (i, (0L to i).map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("bucket") == i + 1)
+      assert(r.getAs[Long]("cum_docs") == i + 1)
+      assert(r.getAs[Long]("new_types") == 1L, s"bucket ${i + 1}")
+      assert(r.getAs[Long]("vocab_size") == i + 1)
+    }
+  }
+
+  test("vocabGrowth fixture: monotone cumulative curve, type " +
+      "conservation, Heaps-sublinear tail") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(out.length == TextAnalysis.VocabGrowthBuckets)
+    assert(out.last.getAs[Long]("cum_docs") == docs.count())
+    val totalTypes = docs.selectExpr("explode(split(text, ' ')) AS t")
+      .select("t").distinct().count()
+    assert(out.map(_.getAs[Long]("new_types")).sum == totalTypes)
+    val vocab = out.map(_.getAs[Long]("vocab_size"))
+    vocab.zip(vocab.tail).foreach { case (a, b) => assert(b >= a) }
+    // Heaps: the late-corpus buckets mint fewer new types than the
+    // first (sub-linear growth is the operative claim)
+    val nt = out.map(_.getAs[Long]("new_types"))
+    assert(nt.takeRight(3).sum < nt.head,
+      s"late buckets ${nt.takeRight(3).sum} vs first ${nt.head}")
+  }
 }
