@@ -861,6 +861,11 @@ object SparkEntry {
     // prefix-sum index, constant-size running sums.
     "q135_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(documents(s, dir))),
+    // Neyman-allocation stratified sample: budget ∝ N_h·σ_h from
+    // exact-integer stratum moments, ordered-fold weight total,
+    // deterministic Knuth-hash selection within strata.
+    "q136_neyman_sample" -> ((s, dir) =>
+      operators.Sampling.neymanSample(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1094,6 +1099,7 @@ object SparkEntry {
     "q133_pareto_front" -> OracleSql.paretoFront,
     "q134_scd2_dim" -> OracleSql.scd2Dimension,
     "q135_vocab_growth" -> OracleSql.vocabGrowth,
+    "q136_neyman_sample" -> OracleSql.neymanSample,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

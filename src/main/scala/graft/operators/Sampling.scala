@@ -490,4 +490,58 @@ object Sampling {
           col("quality_score") === col("ymax"))
       .select(col("doc_id"), col("n_chars"), col("quality_score"))
   }
+
+  /** Total document budget of [[neymanSample]] (q136). */
+  val NeymanBudget = 500
+
+  /** Neyman-allocation stratified sample (q136) — the survey-
+    * statistics answer to "which strata deserve the eval budget":
+    * allocation n_h ∝ N_h·σ_h (stratum size × within-stratum spread
+    * of `n_chars`) minimizes the variance of the stratified mean at
+    * fixed total budget; a uniform or proportional split wastes
+    * samples on homogeneous strata. Strata are (lang, source);
+    * selection within a stratum is the library's deterministic
+    * Knuth-hash order ([[mixed]], q32 discipline), so membership is
+    * reproducible and stable under corpus growth of OTHER strata.
+    *
+    * Determinism across engines: N_h·σ_h = √(N_h·ΣX² − (ΣX)²) with
+    * the moments as EXACT BIGINT sums (n_chars is integral — no FP
+    * summation-order hazard), one sqrt per stratum on the identical
+    * integer; the Σ over strata of those doubles folds in ascending
+    * (lang, source) order through the q103 ordered-fold pattern
+    * (sort_array + sequential aggregate ≡ DuckDB list(… ORDER BY) +
+    * list_reduce), so even the cross-stratum double sum is
+    * bit-identical. Zero-variance strata get weight 0 (the pure
+    * formula; production would floor at 1 for mean estimation).
+    *
+    * Scale design (100 TB): one map-side-combined moment aggregation
+    * over the corpus (stratum-count rows out), the allocation table
+    * broadcast back, and a per-stratum row_number over the hash
+    * order (partitioned window, no global sort). */
+  def neymanSample(docs: DataFrame,
+      budget: Int = NeymanBudget): DataFrame = {
+    val base = docs.select(col("lang"), col("source"), col("doc_id"),
+      col("n_chars").cast("long").as("x"), mixed("doc_id").as("h"))
+    val st = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+      .select(col("lang"), col("source"),
+        sqrt((col("nh") * col("sq") - col("sx") * col("sx"))
+          .cast("double")).as("w"))
+    val wRow = st
+      .agg(sort_array(collect_list(
+        struct(col("lang"), col("source"), col("w")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+        (acc, s) => acc + s.getField("w")).as("big_w"))
+    val alloc = st.crossJoin(broadcast(wRow))
+      .select(col("lang"), col("source"),
+        floor(lit(budget.toDouble) * col("w") / col("big_w"))
+          .cast("long").as("alloc"))
+    base.join(broadcast(alloc), Seq("lang", "source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("source"), col("alloc"))
+  }
 }

@@ -2147,6 +2147,46 @@ SELECT p.event_id, COUNT(c.ms) AS n_nearby
 FROM p LEFT JOIN c ON c.ms >= p.ms - 300000 AND c.ms < p.ms
 GROUP BY p.event_id"""
 
+  /** Mirror of [[graft.operators.Sampling.neymanSample]] (q136):
+    * exact-integer stratum moments (SUM widened to HUGEINT → cast
+    * back), one sqrt per stratum on the identical integer, the
+    * cross-stratum weight total as the ordered list_reduce fold
+    * (≡ Spark's sort_array + sequential aggregate), FLOOR allocation
+    * with the same literal order, Knuth-hash rank selection. */
+  def neymanSample: String = {
+    import graft.operators.Sampling
+    s"""WITH b AS (
+  SELECT lang, source, doc_id, CAST(n_chars AS BIGINT) AS x,
+         ${Sampling.mixedSql("doc_id")} AS h
+  FROM documents
+), st AS (
+  SELECT lang, source,
+         COUNT(*) AS nh,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sq
+  FROM b GROUP BY lang, source
+), sw AS (
+  SELECT lang, source,
+         sqrt(CAST(nh * sq - sx * sx AS DOUBLE)) AS w
+  FROM st
+), tot AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(w ORDER BY lang, source)), (a, c) -> a + c) AS big_w
+  FROM sw
+), al AS (
+  SELECT lang, source,
+         CAST(FLOOR(${Sampling.NeymanBudget}.0 * w / big_w) AS BIGINT)
+           AS alloc
+  FROM sw, tot
+), r AS (
+  SELECT b.doc_id, b.lang, b.source, al.alloc,
+         row_number() OVER (PARTITION BY b.lang, b.source
+           ORDER BY b.h, b.doc_id) AS rk
+  FROM b JOIN al USING (lang, source)
+)
+SELECT doc_id, lang, source, alloc FROM r WHERE rk <= alloc"""
+  }
+
   /** Mirror of [[graft.operators.Sampling.trainSplit]] — identical
     * Knuth-hash integer arithmetic (high-bit extraction via `//`). */
   def trainSplit: String = {

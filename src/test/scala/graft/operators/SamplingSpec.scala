@@ -281,6 +281,48 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) > out(1L), "frontier quality strictly increases")
   }
 
+  test("neymanSample: variance-less stratum gets zero budget; " +
+      "high-variance stratum takes it all, deterministically") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "en", "s1",
+        if (i % 2 == 0) 100L else 0L)) ++
+      (1 to 10).map(i => (100L + i, "en", "s2", 50L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = Sampling.neymanSample(docs, budget = 6).collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getString(2) == "s1"), "zero-variance s2 excluded")
+    assert(out.forall(_.getLong(3) == 6L))
+    val again = Sampling.neymanSample(docs, budget = 6).collect()
+      .map(_.getLong(0)).sorted
+    assert(out.map(_.getLong(0)).sorted.sameElements(again))
+  }
+
+  test("neymanSample fixture: per-stratum counts = min(alloc, N_h), " +
+      "allocations within budget, nested under budget growth") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.neymanSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val byStratum = out.groupBy(t => (t._2, t._3))
+    val sizes = docs.groupBy(col("lang"), col("source")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    byStratum.foreach { case (k, rows) =>
+      val alloc = rows.head._4
+      assert(rows.forall(_._4 == alloc))
+      assert(rows.length == math.min(alloc, sizes(k)),
+        s"stratum $k took ${rows.length} of alloc $alloc, N=${sizes(k)}")
+    }
+    // Σ alloc ≤ budget (floor allocation never over-spends)
+    assert(byStratum.values.map(_.head._4).sum <= Sampling.NeymanBudget)
+    // nesting: selection at half budget is a subset of the full one
+    val half = Sampling
+      .neymanSample(docs, budget = Sampling.NeymanBudget / 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(out.map(_._1).toSet))
+  }
+
   test("paretoFront: running-max algorithm equals the NOT-EXISTS " +
       "dominance definition on the fixture corpus") {
     val docs = spark.read
