@@ -866,6 +866,11 @@ object SparkEntry {
     // deterministic Knuth-hash selection within strata.
     "q136_neyman_sample" -> ((s, dir) =>
       operators.Sampling.neymanSample(documents(s, dir))),
+    // Corpus-order n-gram novelty: fraction of each doc's distinct
+    // shingles first seen in THAT doc — one map-side-combined hash
+    // shuffle, novel counts off the reduced frame.
+    "q137_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1100,6 +1105,7 @@ object SparkEntry {
     "q134_scd2_dim" -> OracleSql.scd2Dimension,
     "q135_vocab_growth" -> OracleSql.vocabGrowth,
     "q136_neyman_sample" -> OracleSql.neymanSample,
+    "q137_ngram_novelty" -> OracleSql.ngramNovelty,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1151,4 +1151,40 @@ object Dedup {
           size(array_union(col("ha"), col("hb")))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
+
+  /** Corpus-order n-gram novelty (q137) — the memorization-pressure
+    * profile: for each document, the fraction of its distinct 3-word
+    * shingles whose FIRST corpus occurrence (min doc_id) is this
+    * document. Late documents full of already-seen shingles are the
+    * boilerplate/template mass the pairwise dedup family (q5/q98)
+    * rates pair-by-pair; novelty rates it against the WHOLE
+    * accumulated corpus in one pass — the per-document twin of
+    * q135's vocabulary curve, and the batch statistic a streaming
+    * ingest gate would threshold on.
+    *
+    * Scale design (100 TB): reuses [[shingleHashes]] (row-local
+    * codegen'd shingling, distinct 60-bit digests); the exploded
+    * (doc_id, hash) stream makes ONE map-side-combined shuffle on
+    * the hash key for first-occurrence min, and the novel-count
+    * per doc is a groupBy over that ALREADY-reduced frame (one hash
+    * per distinct shingle — no join back onto the gram stream, no
+    * second corpus-sized exchange); the per-doc shingle totals come
+    * off the persisted shingle frame. novelty_rate is a division of
+    * two exact longs — identical double in both engines, no
+    * rounding needed. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val h = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fd = h.select(col("doc_id"), explode(col("hashes")).as("hsh"))
+      .groupBy(col("hsh")).agg(min(col("doc_id")).as("first_doc"))
+    val nv = fd.groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    h.select(col("doc_id"), size(col("hashes")).cast("long")
+        .as("n_shingles"))
+      .join(nv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles")).as("novelty_rate"))
+  }
 }

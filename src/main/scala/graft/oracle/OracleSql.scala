@@ -239,6 +239,27 @@ FROM documents"""
   FROM s
 )"""
 
+  /** Mirror of [[graft.operators.Dedup.ngramNovelty]] (q137): same
+    * shingle CTEs, first-occurrence min on the hash key, novel
+    * counts off the reduced frame, exact-long division. */
+  def ngramNovelty: String =
+    s"""$shingleCtes
+, e AS (
+  SELECT doc_id, unnest(hashes) AS hsh FROM h
+), fd AS (
+  SELECT hsh, MIN(doc_id) AS first_doc FROM e GROUP BY hsh
+), nv AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+  FROM fd GROUP BY first_doc
+), base AS (
+  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_shingles FROM h
+)
+SELECT b.doc_id, b.n_shingles,
+       COALESCE(nv.n_novel, 0) AS n_novel,
+       CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / b.n_shingles
+         AS novelty_rate
+FROM base b LEFT JOIN nv USING (doc_id)"""
+
   /** Mirror of [[graft.operators.Dedup.charNgramHashes]]: distinct
     * sampled character n-gram digests (width [[Dedup.NGramChars]],
     * stride [[Dedup.NGramStride]] — the interpolated constants below

@@ -484,4 +484,40 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       .collect().map(r => r.getLong(0) - r.getLong(1)).sum
     assert(removed > 0, "no duplicate paragraphs found in the fixture")
   }
+
+  test("ngramNovelty: first doc fully novel, partial overlap rated, " +
+      "exact copy rated zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {abc, bcd} — both novel
+      (2L, "a b c e"),   // {abc, bce} — abc seen in doc 1
+      (3L, "a b c d"),   // exact copy — nothing novel
+      (4L, "x y"))       // < 3 tokens — dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("ngramNovelty fixture invariants: novel counts partition the " +
+      "distinct shingle set, first doc fully novel, rates in [0,1]") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.ngramNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val totalDistinct = Dedup.shingleHashes(docs)
+      .selectExpr("explode(hashes) AS hsh").distinct().count()
+    assert(out.map(_._3).sum == totalDistinct)
+    val firstDoc = out.minBy(_._1)
+    assert(firstDoc._4 == 1.0, "the earliest doc is fully novel")
+    out.foreach { case (id, n, nov, rate) =>
+      assert(nov >= 0 && nov <= n, s"doc $id")
+      assert(rate >= 0.0 && rate <= 1.0, s"doc $id")
+    }
+  }
 }
