@@ -871,6 +871,12 @@ object SparkEntry {
     // shuffle, novel counts off the reduced frame.
     "q137_ngram_novelty" -> ((s, dir) =>
       Dedup.ngramNovelty(documents(s, dir))),
+    // CUPED variance-reduced A/B readout: exact-cents integer
+    // moments, pooled θ = cov/var, per-arm adjusted means — two
+    // constant-size reductions over the user frame.
+    "q138_cuped" -> ((s, dir) =>
+      operators.EventsQueries.cupedLift(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1106,6 +1112,7 @@ object SparkEntry {
     "q135_vocab_growth" -> OracleSql.vocabGrowth,
     "q136_neyman_sample" -> OracleSql.neymanSample,
     "q137_ngram_novelty" -> OracleSql.ngramNovelty,
+    "q138_cuped" -> OracleSql.cupedLift,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

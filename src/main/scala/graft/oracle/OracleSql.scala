@@ -2121,6 +2121,52 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.cupedLift]] (q138):
+    * exact cents integers, exact integer moments (SUM → HUGEINT →
+    * cast back), θ and arm means as the IDENTICAL fixed-order double
+    * expressions — no rounding step needed. */
+  def cupedLift: String =
+    s"""WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), sp AS (
+  SELECT (MIN(ms) + MAX(ms)) // 2 AS split_ms FROM e
+), u AS (
+  SELECT user_id,
+         ${graft.operators.Sampling.mixedSql("user_id")} % 2 AS arm,
+         CAST(SUM(CASE WHEN ms < split_ms THEN cents ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ms >= split_ms THEN cents ELSE 0 END)
+           AS BIGINT) AS y
+  FROM e, sp GROUP BY user_id, arm
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM u
+), t AS (
+  SELECT n, sx,
+         (CAST(sxy AS DOUBLE) * n
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) * n
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+  FROM g
+), a AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       CAST(a.ay AS DOUBLE) / a.n_users / 100.0 AS mean_y,
+       CAST(a.ay AS DOUBLE) / a.n_users / 100.0
+         - t.theta * (CAST(a.ax AS DOUBLE) / a.n_users / 100.0
+                      - CAST(t.sx AS DOUBLE) / t.n / 100.0)
+         AS mean_y_cuped,
+       t.theta
+FROM a, t"""
+
   /** Mirror of [[graft.operators.EventsQueries.scd2Dimension]]
     * (q134): the identical gaps-and-islands derivation — null-safe
     * lag compare (IS DISTINCT FROM ≡ Spark's not(<=>)), running-sum

@@ -274,6 +274,50 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("cupedLift: a perfectly predictive covariate yields theta " +
+      "exactly 2 and removes ALL between-arm noise") {
+    import spark.implicits._
+    // each user: one pre event (value v) and one post event (2v) —
+    // y = 2x exactly in cents, so theta = cov/var = 2 and the
+    // adjusted means collapse to the same value in both arms
+    val pre = 1000L; val post = 1000000000L
+    // v = u³/100: the hash-parity arm split balances linear and
+    // square user sums exactly (a Thue–Morse partition), so cubes
+    // are the first power with genuine between-arm noise
+    val events = (1L to 8L).flatMap { u =>
+      val v = u * u * u * 0.01
+      Seq((u, pre, u * 10, f"$v%.2f".toDouble),
+        (u, post, u * 10 + 1, f"${2 * v}%.2f".toDouble))
+    }.toDF("user_id", "ts_ms", "event_id", "value")
+    val out = graft.operators.EventsQueries.cupedLift(events).collect()
+    assert(out.length == 2, "both arms present")
+    out.foreach(r => assert(r.getAs[Double]("theta") == 2.0))
+    val adj = out.map(_.getAs[Double]("mean_y_cuped"))
+    assert(math.abs(adj(0) - adj(1)) < 1e-9,
+      s"CUPED left residual arm difference: ${adj.mkString(", ")}")
+    val raw = out.map(_.getAs[Double]("mean_y"))
+    assert(math.abs(raw(0) - raw(1)) > 1e-6,
+      "raw means differ (there IS noise to remove)")
+  }
+
+  test("cupedLift fixture: user conservation, shared theta, finite " +
+      "adjusted means") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.cupedLift(events).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      events.select("user_id").distinct().count())
+    val thetas = out.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length == 1 && !thetas.head.isNaN)
+    out.foreach { r =>
+      assert(!r.getAs[Double]("mean_y_cuped").isNaN)
+      assert(math.abs(r.getAs[Double]("mean_y_cuped") -
+        r.getAs[Double]("mean_y")) <
+        math.abs(r.getAs[Double]("mean_y")) + 1e3)
+    }
+  }
+
   test("scd2Dimension: runs collapse, re-opened attribute starts a " +
       "NEW row, close-out chains, one current row") {
     import spark.implicits._
