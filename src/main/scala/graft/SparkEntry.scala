@@ -877,6 +877,12 @@ object SparkEntry {
     "q138_cuped" -> ((s, dir) =>
       operators.EventsQueries.cupedLift(
         operators.EventsQueries.events(s, dir))),
+    // First-order Markov transition matrix: user-partitioned lead()
+    // pairing, type²-bounded aggregation, exact-long-division
+    // probabilities.
+    "q139_markov" -> ((s, dir) =>
+      operators.EventsQueries.markovTransitions(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1113,6 +1119,7 @@ object SparkEntry {
     "q136_neyman_sample" -> OracleSql.neymanSample,
     "q137_ngram_novelty" -> OracleSql.ngramNovelty,
     "q138_cuped" -> OracleSql.cupedLift,
+    "q139_markov" -> OracleSql.markovTransitions,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -252,6 +252,39 @@ object EventsQueries {
     * hash(user_id) or hash(user_id, run_id). AQE splits a hot user's
     * sort spill; the attribute projection is row-local JSON-path
     * extraction (q35 discipline). */
+  /** First-order Markov transition matrix of the event stream
+    * (q139) — the sequence-analytics substrate (next-action
+    * prediction, anomalous-flow detection, the transition weights a
+    * session-graph walk uses): P(next type | current type) from each
+    * user's event sequence under the (ts_ms, event_id) total order.
+    * Self-transitions are real rows (repeated type = a loop edge);
+    * each user's last event emits no pair.
+    *
+    * Scale design (100 TB): ONE user-partitioned lead() window (no
+    * global sort — the same exchange shape as q15/q134) and one
+    * map-side-combined pair aggregation over a TYPE²-bounded key
+    * space; probabilities are exact-long divisions (identical
+    * doubles in both engines, no rounding) against a broadcast
+    * per-source-type total. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n_transitions")).as("row_total"))
+    pairs.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"),
+        col("n_transitions"),
+        (col("n_transitions").cast("double") / col("row_total"))
+          .as("p"))
+  }
+
   /** CUPED variance-reduced A/B readout (q138) — the
     * experimentation-analytics operator (Deng et al. 2013): per-arm
     * post-period means adjusted by the pre-period covariate,

@@ -2121,6 +2121,31 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.markovTransitions]]
+    * (q139): identical lead() pairing under the (ms, event_id)
+    * total order; probabilities are exact-long divisions. */
+  def markovTransitions: String =
+    """WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000000 AS ms
+  FROM events
+), p AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ms, event_id) AS next_type
+  FROM e
+), c AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM p WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), t AS (
+  SELECT event_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / t.row_total AS p
+FROM c JOIN t USING (event_type)"""
+
   /** Mirror of [[graft.operators.EventsQueries.cupedLift]] (q138):
     * exact cents integers, exact integer moments (SUM → HUGEINT →
     * cast back), θ and arm means as the IDENTICAL fixed-order double

@@ -274,6 +274,43 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("markovTransitions: hand sequence — exact counts, row-" +
+      "stochastic probabilities, self-loops, last event emits none") {
+    import spark.implicits._
+    // user 1: A A B A   user 2: B A
+    val events = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"), (2L, 10L, 5L, "B"), (2L, 20L, 6L, "A"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.markovTransitions(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // pairs: u1 A→A, A→B, B→A; u2 B→A
+    assert(out == Map(
+      ("A", "A") -> ((1L, 0.5)), ("A", "B") -> ((1L, 0.5)),
+      ("B", "A") -> ((2L, 1.0))))
+  }
+
+  test("markovTransitions fixture: rows sum to 1 per source type, " +
+      "pair conservation") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.markovTransitions(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$src rows sum to $total")
+    }
+    val nPairs = out.map(_._3).sum
+    val perUser = events.groupBy("user_id").count().collect()
+      .map(_.getLong(1))
+    assert(nPairs == perUser.map(n => math.max(0L, n - 1)).sum,
+      "each user contributes n_events - 1 transitions")
+  }
+
   test("cupedLift: a perfectly predictive covariate yields theta " +
       "exactly 2 and removes ALL between-arm noise") {
     import spark.implicits._
