@@ -883,6 +883,12 @@ object SparkEntry {
     "q139_markov" -> ((s, dir) =>
       operators.EventsQueries.markovTransitions(
         operators.EventsQueries.events(s, dir))),
+    // Position-weighted multi-touch attribution: touch→next-purchase
+    // assignment via one forward-frame window, U-shaped credits,
+    // per-touch output (no order-dependent FP aggregation).
+    "q140_attribution" -> ((s, dir) =>
+      operators.EventsQueries.attributionCredits(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1120,6 +1126,7 @@ object SparkEntry {
     "q137_ngram_novelty" -> OracleSql.ngramNovelty,
     "q138_cuped" -> OracleSql.cupedLift,
     "q139_markov" -> OracleSql.markovTransitions,
+    "q140_attribution" -> OracleSql.attributionCredits,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -252,6 +252,62 @@ object EventsQueries {
     * hash(user_id) or hash(user_id, run_id). AQE splits a hot user's
     * sort spill; the attribute projection is row-local JSON-path
     * extraction (q35 discipline). */
+  /** Attribution lookback window of [[attributionCredits]] (7 days
+    * in ms). */
+  val AttributionWindowMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Position-weighted multi-touch attribution (q140) — the
+    * marketing-analytics operator: every click/view credits the NEXT
+    * purchase of the same user within [[AttributionWindowMs]]
+    * (touch→next-conversion assignment, so no touch is ever
+    * double-credited across purchases), U-shaped position weights
+    * (first 0.4, last 0.4, middles split 0.2; a single touch takes
+    * 1.0, a pair splits 0.5/0.5 so credit always sums to 1). Output
+    * is the per-touch credit table — row-local weights,
+    * deliberately NOT pre-aggregated: the credits are small rational
+    * doubles whose cross-row sum would be partition-order-dependent,
+    * while the per-touch rows are exactly reproducible (any consumer
+    * aggregates at its own precision).
+    *
+    * Scale design (100 TB): next-purchase assignment is ONE
+    * user-partitioned forward-frame window (first_value IGNORE NULLS
+    * over [current, following] — the same exchange as q134/q139, no
+    * join against a purchases table and no range self-join);
+    * position/size are windows over the (user, purchase) key. Ties
+    * resolve by the (ts_ms, event_id) total order in both engines —
+    * a same-millisecond purchase with a smaller event_id sorts
+    * before the touch and is correctly NOT its target. */
+  def attributionCredits(events: DataFrame): DataFrame = {
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("purch",
+        when(col("event_type") === "purchase",
+          struct(col("ts_ms").as("pts"), col("event_id").as("pid"))))
+      .withColumn("nxt", first(col("purch"), ignoreNulls = true)
+        .over(fwd))
+    val touches = marked
+      .filter(col("event_type").isin("click", "view"))
+      .filter(col("nxt").isNotNull &&
+        col("nxt.pts") - col("ts_ms") <= AttributionWindowMs)
+    val grp = Window.partitionBy(col("user_id"), col("nxt.pid"))
+    touches
+      .withColumn("pos", row_number()
+        .over(grp.orderBy(col("ts_ms"), col("event_id"))).cast("long"))
+      .withColumn("k_touches", count(lit(1)).over(grp))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"),
+        col("nxt.pid").as("purchase_id"), col("pos"), col("k_touches"),
+        when(col("k_touches") === 1, lit(1.0))
+          .when(col("k_touches") === 2, lit(0.5))
+          .when(col("pos") === 1, lit(0.4))
+          .when(col("pos") === col("k_touches"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k_touches") - 2)).as("credit"))
+  }
+
   /** First-order Markov transition matrix of the event stream
     * (q139) — the sequence-analytics substrate (next-action
     * prediction, anomalous-flow detection, the transition weights a

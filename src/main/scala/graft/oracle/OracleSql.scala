@@ -2121,6 +2121,48 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.attributionCredits]]
+    * (q140): the same forward-frame IGNORE NULLS next-purchase
+    * assignment (both CASE columns go non-null at the same first
+    * purchase row), identical tie order, and CAST-to-DOUBLE weight
+    * literals (a bare 1.0 would be DECIMAL — the known widening
+    * footgun). */
+  def attributionCredits: String = {
+    val win = graft.operators.EventsQueries.AttributionWindowMs
+    s"""WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000000 AS ms
+  FROM events
+), m AS (
+  SELECT *,
+    first_value(CASE WHEN event_type = 'purchase' THEN ms END
+      IGNORE NULLS) OVER w AS pts,
+    first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      IGNORE NULLS) OVER w AS pid
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), t AS (
+  SELECT * FROM m
+  WHERE event_type IN ('click', 'view') AND pid IS NOT NULL
+    AND pts - ms <= $win
+), r AS (
+  SELECT user_id, event_id AS touch_id, event_type AS channel,
+         pid AS purchase_id,
+         CAST(row_number() OVER (PARTITION BY user_id, pid
+           ORDER BY ms, event_id) AS BIGINT) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, pid) AS k_touches
+  FROM t
+)
+SELECT user_id, touch_id, channel, purchase_id, pos, k_touches,
+       CASE WHEN k_touches = 1 THEN CAST(1.0 AS DOUBLE)
+            WHEN k_touches = 2 THEN CAST(0.5 AS DOUBLE)
+            WHEN pos = 1 THEN CAST(0.4 AS DOUBLE)
+            WHEN pos = k_touches THEN CAST(0.4 AS DOUBLE)
+            ELSE CAST(0.2 AS DOUBLE) / (k_touches - 2) END AS credit
+FROM r"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.markovTransitions]]
     * (q139): identical lead() pairing under the (ms, event_id)
     * total order; probabilities are exact-long divisions. */

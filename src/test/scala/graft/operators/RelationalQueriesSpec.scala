@@ -274,6 +274,51 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("attributionCredits: U-shaped weights, single-touch takes " +
+      "all, post-purchase and windowless touches uncredited") {
+    import spark.implicits._
+    val day = 24L * 3600 * 1000
+    val events = Seq(
+      (1L, 1L * day, 1L, "click"), (1L, 2L * day, 2L, "view"),
+      (1L, 3L * day, 3L, "click"), (1L, 4L * day, 4L, "purchase"),
+      (1L, 5L * day, 5L, "view"), (1L, 6L * day, 6L, "purchase"),
+      // next purchase is 9 days out -> outside the 7-day window
+      (1L, 7L * day, 7L, "click"), (1L, 16L * day, 8L, "purchase"),
+      // trailing touch with no purchase after it
+      (1L, 17L * day, 9L, "view"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.attributionCredits(events)
+      .collect()
+      .map(r => r.getAs[Long]("touch_id") ->
+        ((r.getAs[Long]("purchase_id"), r.getAs[Long]("pos"),
+          r.getAs[Long]("k_touches"), r.getAs[Double]("credit"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((4L, 1L, 3L, 0.4)))
+    assert(out(2L) == ((4L, 2L, 3L, 0.2)))
+    assert(out(3L) == ((4L, 3L, 3L, 0.4)))
+    assert(out(5L) == ((6L, 1L, 1L, 1.0)))
+  }
+
+  test("attributionCredits fixture: credits per purchase sum to 1, " +
+      "touches never outrank their window") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.attributionCredits(events)
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("k_touches"), r.getAs[Double]("credit")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (pid, rows) =>
+      val k = rows.head._3
+      assert(rows.forall(_._3 == k))
+      assert(rows.length == k, s"purchase $pid rows ${rows.length}")
+      assert(rows.map(_._2).sorted.sameElements(1L to k))
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9,
+        s"purchase $pid credit sum")
+    }
+  }
+
   test("markovTransitions: hand sequence — exact counts, row-" +
       "stochastic probabilities, self-loops, last event emits none") {
     import spark.implicits._
