@@ -889,6 +889,11 @@ object SparkEntry {
     "q140_attribution" -> ((s, dir) =>
       operators.EventsQueries.attributionCredits(
         operators.EventsQueries.events(s, dir))),
+    // k-core of the mutual k-NN graph: iterative peel (checkpointed
+    // per round), surviving nodes with within-core degree.
+    "q141_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(Similarity.knnGraph(
+        Similarity.embeddings(s, dir)))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1127,6 +1132,7 @@ object SparkEntry {
     "q138_cuped" -> OracleSql.cupedLift,
     "q139_markov" -> OracleSql.markovTransitions,
     "q140_attribution" -> OracleSql.attributionCredits,
+    "q141_kcore" -> OracleSql.kCore,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

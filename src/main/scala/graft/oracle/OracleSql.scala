@@ -2031,6 +2031,43 @@ SELECT d.node_id, d.degree,
 FROM deg d LEFT JOIN tc USING (node_id)"""
   }
 
+  /** Mirror of [[graft.operators.Graph.kCore]] (q141): the peel loop
+    * unrolled round-for-round ([[graft.operators.Graph.KCoreRounds]]
+    * CTE stages over the same mutual edge set — the q99/q103 unroll
+    * discipline); identical k threshold and final within-core degree
+    * count. */
+  def kCore: String = {
+    import graft.operators.Graph.{KCoreK, KCoreRounds}
+    val rounds = (1 to KCoreRounds).map { r =>
+      val prev = s"e${r - 1}"
+      s""", d$r AS (
+  SELECT node_id, COUNT(*) AS degree FROM (
+    SELECT u AS node_id FROM $prev
+    UNION ALL SELECT v AS node_id FROM $prev)
+  GROUP BY node_id
+), k$r AS (
+  SELECT node_id FROM d$r WHERE degree >= $KCoreK
+), e$r AS MATERIALIZED (
+  SELECT p.u, p.v FROM $prev p
+  JOIN k$r a ON p.u = a.node_id
+  JOIN k$r b ON p.v = b.node_id
+)"""
+    }.mkString
+    s"""WITH g AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ($knnGraph)
+), e0 AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b
+    ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  WHERE a.src < a.neighbor_id
+  GROUP BY ALL
+)$rounds
+SELECT node_id, COUNT(*) AS core_degree FROM (
+  SELECT u AS node_id FROM e$KCoreRounds
+  UNION ALL SELECT v AS node_id FROM e$KCoreRounds)
+GROUP BY node_id"""
+  }
+
   /** Mirror of [[graft.operators.Multimodal.multimodalMeta]] (q21):
     * the same deterministic media derivation (magic header by
     * doc_id % 4 ++ UTF-8 text), mime by the same header→mime map the

@@ -181,6 +181,55 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
       4L -> 0L, 5L -> 0L))
   }
 
+  test("kCore: pendant and low-degree structures peel away, the " +
+      "clique survives with exact within-core degrees") {
+    import spark.implicits._
+    // triangle {1,2,3} (degree 2 — below k=3), pendant 4-3, and a
+    // K4 {5,6,7,8}; the 3-core is exactly the K4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (und ++ und.map(e => (e._2, e._1)))
+      .toDF("src", "neighbor_id")
+    val got = Graph.kCore(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L))
+  }
+
+  test("kCore: a hanging chain peels one node per round (the " +
+      "cascade needs real iteration)") {
+    import spark.implicits._
+    // K4 {1..4} + node 10 at degree 3 via {4, 11, 12} where 11 and
+    // 12 are a degree-2 pair: round 1 peels 11/12 (10 still has
+    // degree 3), only round 2 can peel 10 — a genuine cascade
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 10L), (10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (und ++ und.map(e => (e._2, e._1)))
+      .toDF("src", "neighbor_id")
+    val got = Graph.kCore(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // with too few rounds the chain has not finished peeling
+    val early = Graph.kCore(edges, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(early.contains(10L) && !early.contains(12L),
+      "round 1 must have peeled only the chain tip")
+  }
+
+  test("kCore fixture: KCoreRounds reaches the fixpoint (one more " +
+      "peel changes nothing) and every core degree >= k") {
+    val knn = Similarity.knnGraph(
+      Similarity.embeddings(spark, "/root/testdata/sf0.001"))
+      .persist()
+    val got = Graph.kCore(knn).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture graph has a 3-core")
+    got.values.foreach(d => assert(d >= Graph.KCoreK))
+    val more = Graph.kCore(knn, rounds = Graph.KCoreRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == more, "KCoreRounds is past the fixpoint")
+    knn.unpersist()
+  }
+
   test("triangles: orientation algorithm matches the brute-force " +
       "definition on the fixture k-NN graph") {
     val knn = Similarity.knnGraph(
