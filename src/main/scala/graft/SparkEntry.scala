@@ -894,6 +894,12 @@ object SparkEntry {
     "q141_kcore" -> ((s, dir) =>
       operators.Graph.kCore(Similarity.knnGraph(
         Similarity.embeddings(s, dir)))),
+    // Top-k session paths: q15 sessionization + per-session ordered
+    // path strings + map-side-combined counting; only the
+    // distinct-path-bounded top-k ranks globally.
+    "q142_session_paths" -> ((s, dir) =>
+      operators.EventsQueries.sessionPaths(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1133,6 +1139,7 @@ object SparkEntry {
     "q139_markov" -> OracleSql.markovTransitions,
     "q140_attribution" -> OracleSql.attributionCredits,
     "q141_kcore" -> OracleSql.kCore,
+    "q142_session_paths" -> OracleSql.sessionPaths,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

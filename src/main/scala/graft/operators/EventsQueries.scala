@@ -252,6 +252,54 @@ object EventsQueries {
     * hash(user_id) or hash(user_id, run_id). AQE splits a hot user's
     * sort spill; the attribute projection is row-local JSON-path
     * extraction (q35 discipline). */
+  /** Session gap (2 h, q15's rule) and result size of
+    * [[sessionPaths]] (q142). */
+  val SessionGapMs = 7200000L
+  val SessionPathsK = 20
+
+  /** Top-k session paths (q142) — behavioral path mining: each
+    * session's ordered event-type sequence rendered as one `a>b>c`
+    * path string, counted corpus-wide, top [[SessionPathsK]] by
+    * frequency — the "how do users actually move" table behind
+    * funnel design (q74 checks ONE hypothesized order; this
+    * DISCOVERS the orders that exist). Sessionization is q15's
+    * 2-hour-gap rule restated as gaps-and-islands (the q134 window
+    * shape) so the path operator composes with the lag-based stack.
+    *
+    * Scale design (100 TB): sessionize + per-session path build in
+    * user-keyed windows and ONE (user, sid) aggregation (the path
+    * column is a sort_array over the session's own events — deterministic
+    * order, session-bounded memory); path counting is a
+    * map-side-combined groupBy on the path string; only the final
+    * top-k ranks through a single-partition window over the
+    * path-count frame (distinct-path-bounded, never event-bounded —
+    * the q14 discipline). */
+  def sessionPaths(events: DataFrame,
+      k: Int = SessionPathsK): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val s = events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) >= SessionGapMs,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = s.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Attribution lookback window of [[attributionCredits]] (7 days
     * in ms). */
   val AttributionWindowMs: Long = 7L * 24 * 3600 * 1000

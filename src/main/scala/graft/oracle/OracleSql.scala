@@ -2158,6 +2158,40 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.sessionPaths]]
+    * (q142): the q15 gap rule as gaps-and-islands, string_agg with
+    * an explicit ORDER BY ≡ Spark's sort_array path build, identical
+    * (count DESC, path ASC) rank order. */
+  def sessionPaths: String = {
+    import graft.operators.EventsQueries.{SessionGapMs, SessionPathsK}
+    s"""WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000000 AS ms
+  FROM events
+), o AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w >= $SessionGapMs
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+  FROM s GROUP BY user_id, sid
+), c AS (
+  SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+), r AS (
+  SELECT path, n_sessions,
+         CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+           AS BIGINT) AS rank
+  FROM c
+)
+SELECT path, n_sessions, rank FROM r WHERE rank <= $SessionPathsK"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.attributionCredits]]
     * (q140): the same forward-frame IGNORE NULLS next-purchase
     * assignment (both CASE columns go non-null at the same first

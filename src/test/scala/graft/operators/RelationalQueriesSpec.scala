@@ -274,6 +274,39 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("sessionPaths: gap splits sessions, order inside a session " +
+      "is (ts, event_id), identical paths count together") {
+    import spark.implicits._
+    val gap = graft.operators.EventsQueries.SessionGapMs
+    val events = Seq(
+      // user 1, session 1: A>B ; session 2 (after the gap): A>B
+      (1L, 1000L, 1L, "A"), (1L, 2000L, 2L, "B"),
+      (1L, 2000L + gap, 3L, "A"), (1L, 3000L + gap, 4L, "B"),
+      // user 2: same-ms tie broken by event_id -> B>A
+      (2L, 5000L, 6L, "A"), (2L, 5000L, 5L, "B"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.sessionPaths(events)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("A>B" -> ((2L, 1L)), "B>A" -> ((1L, 2L))))
+  }
+
+  test("sessionPaths fixture: k rows, session conservation against " +
+      "the q15 sessionizer") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.sessionPaths(events)
+      .collect()
+    assert(out.length == graft.operators.EventsQueries.SessionPathsK)
+    val ranks = out.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.sameElements(1L to out.length))
+    // counts are non-increasing in rank order
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("n_sessions"))
+    byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("attributionCredits: U-shaped weights, single-touch takes " +
       "all, post-purchase and windowless touches uncredited") {
     import spark.implicits._
