@@ -900,6 +900,43 @@ object SparkEntry {
     "q142_session_paths" -> ((s, dir) =>
       operators.EventsQueries.sessionPaths(
         operators.EventsQueries.events(s, dir))),
+    // Streaming SCD2 (CDC emission): events in three ascending-TIME
+    // waves, per-user open row in flatMapGroupsWithState state,
+    // close records emitted on attribute change — hash-matches the
+    // batch q134's closed rows whatever the batch boundaries.
+    "q143_stream_scd2" -> ((s, dir) => {
+      val ev = operators.EventsQueries.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("props"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-scd2-q143").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"),
+        max(col("ts_ms")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("ts_ms") <= b1,
+        col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q143_dim")
+      val q = streaming.StreamingScd2.dimension(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q143_dim").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q143_dim")
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1140,6 +1177,7 @@ object SparkEntry {
     "q140_attribution" -> OracleSql.attributionCredits,
     "q141_kcore" -> OracleSql.kCore,
     "q142_session_paths" -> OracleSql.sessionPaths,
+    "q143_stream_scd2" -> OracleSql.scd2Closed,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -2337,6 +2337,15 @@ SELECT user_id, tier, valid_from_ms,
          IS NULL) AS is_current
 FROM g"""
 
+  /** Mirror of [[graft.streaming.StreamingScd2.dimension]] (q143):
+    * the batch q134 derivation restricted to its CLOSED rows — the
+    * streaming operator's emission contract (open rows live in
+    * state, not in the append stream). */
+  def scd2Closed: String =
+    s"""SELECT user_id, tier, valid_from_ms, valid_to_ms, n_events
+FROM ($scd2Dimension)
+WHERE valid_to_ms IS NOT NULL"""
+
   /** Mirror of [[graft.operators.RelationalQueries.rangeJoinNearby]]
     * — DuckDB's IEJoin runs the inequality join directly; the
     * bucket-and-refine plan must produce the identical match set. */

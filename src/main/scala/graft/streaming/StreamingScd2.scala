@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming SCD Type-2 maintenance (q143) — the CDC-emission twin
+  * of the batch dimension build
+  * ([[graft.operators.EventsQueries.scd2Dimension]], q134): events
+  * arrive as a time-ordered stream, each user's OPEN dimension row
+  * (tier, valid_from, event count) lives in explicit
+  * `flatMapGroupsWithState` state, and a CLOSE record is emitted the
+  * moment the tracked attribute changes — exactly the warehouse
+  * type-2 merge a CDC feed drives, with the open row queryable from
+  * state rather than re-derived per batch.
+  *
+  * Emission contract (spec- and oracle-pinned): the stream emits
+  * precisely the CLOSED rows of the batch operator — q134's output
+  * with `valid_to IS NOT NULL` — whatever the micro-batch
+  * boundaries; a run that spans batches continues from state (the
+  * cross-batch case StreamingScd2Spec pins). Open rows are the
+  * STATE, by design: in append-mode streaming they have not
+  * happened yet.
+  *
+  * Scale design: state is one tiny case class per ACTIVE user (the
+  * open row), naturally keyed/partitioned by user; per batch, each
+  * user folds only its own new events (sorted in-memory within the
+  * batch — batch×user-bounded); no shuffle beyond the groupByKey
+  * exchange, no watermark needed for correctness (emission is
+  * data-driven, not time-driven). */
+object StreamingScd2 {
+
+  final case class OpenRow(tier: Long, validFrom: Long, nEvents: Long)
+
+  final case class CloseRow(user_id: Long, tier: Long,
+      valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+
+  /** The tracked attribute — identical derivation to the batch twin
+    * (props.k mod 4). */
+  private def tierCol = get_json_object(col("props"), "$.k")
+    .cast("long") % 4
+
+  /** events: a streaming frame with user_id, ts_ms, event_id, props.
+    * Events must arrive in (ts_ms, event_id) order ACROSS batches
+    * per user (a time-ordered feed); within a batch any order is
+    * fine (sorted here). */
+  def dimension(events: DataFrame): Dataset[CloseRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        tierCol.as("tier"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenRow, CloseRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[OpenRow]) =>
+          val evs = rows.toIndexedSeq.sortBy(e => (e._2, e._3))
+          var cur = state.getOption
+          val closes = scala.collection.mutable.ArrayBuffer
+            .empty[CloseRow]
+          evs.foreach { case (_, ts, _, tier) =>
+            cur match {
+              case Some(s) if s.tier == tier =>
+                cur = Some(s.copy(nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closes += CloseRow(user, s.tier, s.validFrom, ts,
+                  s.nEvents)
+                cur = Some(OpenRow(tier, ts, 1L))
+              case None =>
+                cur = Some(OpenRow(tier, ts, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closes.iterator
+      }
+  }
+}
