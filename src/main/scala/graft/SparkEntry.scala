@@ -937,6 +937,12 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q143_dim")
     }),
+    // HITS hubs & authorities on the directed co-purchase graph:
+    // unnormalized integer iterations — exact BIGINT scores, no
+    // rounding needed in the compare.
+    "q144_hits" -> ((s, dir) =>
+      operators.Graph.hits(operators.Graph.directedEdges(
+        lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet")))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1178,6 +1184,7 @@ object SparkEntry {
     "q141_kcore" -> OracleSql.kCore,
     "q142_session_paths" -> OracleSql.sessionPaths,
     "q143_stream_scd2" -> OracleSql.scd2Closed,
+    "q144_hits" -> OracleSql.hits,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

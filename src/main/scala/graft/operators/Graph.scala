@@ -437,6 +437,60 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** HITS iteration count (q144). */
+  val HitsIters = 2
+
+  /** HITS hubs & authorities over the DIRECTED co-purchase graph
+    * (q144, Kleinberg 1999) — the second classic centrality after
+    * PageRank, and the one that separates the two sides of a
+    * bipartite-ish graph: a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v}
+    * a(v) per iteration. Scores start at 1 and are deliberately NOT
+    * normalized: every update is then a sum of INTEGER-valued terms,
+    * so hub/authority stay exact BIGINTs — order-independent
+    * summation, bit-identical in both engines with no rounding step
+    * (the q99 round-12 discipline exists to absorb double summation
+    * order; integer HITS needs none). Rankings are normalization-
+    * invariant; production HITS at high k normalizes per iteration
+    * and would switch to the q99 rounded-double compare (int64 has
+    * headroom for k = [[HitsIters]] at ~avg-degree^k growth, not for
+    * deep k on a web graph — documented bound).
+    *
+    * Scale design (100 TB): edge frame persisted once; each
+    * iteration moves only the |V|-row score vector through
+    * map-side-combined sums (the q99 shape), localCheckpointed per
+    * round (each score frame feeds the next update AND the output —
+    * the q131/q141 lineage rule). */
+  def hits(edges0: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val edges = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = nodes.select(col("node"), lit(1L).as("hub"))
+    var a = nodes.select(col("node"), lit(0L).as("auth"))
+    var i = 0
+    while (i < iters) {
+      val hs = h.select(col("node").as("src"), col("hub"))
+      a = nodes.join(
+          edges.join(hs, "src").groupBy(col("dst"))
+            .agg(sum(col("hub")).as("auth"))
+            .withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      val as = a.select(col("node").as("dst"), col("auth"))
+      h = nodes.join(
+          edges.join(as, "dst").groupBy(col("src"))
+            .agg(sum(col("auth")).as("hub"))
+            .withColumnRenamed("src", "node"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      i += 1
+    }
+    h.join(a, "node").select(col("node"), col("hub"), col("auth"))
+  }
+
   /** Core order and peel-round bound of the graded [[kCore]] query
     * (q141). [[KCoreRounds]] is a fixed unroll depth — the oracle
     * mirrors round-for-round — chosen past the fixture's observed

@@ -2031,6 +2031,43 @@ SELECT d.node_id, d.degree,
 FROM deg d LEFT JOIN tc USING (node_id)"""
   }
 
+  /** Mirror of [[graft.operators.Graph.hits]] (q144): the same
+    * unnormalized integer HITS unrolled iteration-for-iteration —
+    * every score is an exact BIGINT, so the compare needs no
+    * rounding. */
+  def hits: String = {
+    import graft.operators.Graph.HitsIters
+    val iters = (1 to HitsIters).map { k =>
+      s""", a$k AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(s.auth, 0) AS auth
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth
+    FROM edges e JOIN h${k - 1} h ON e.src = h.node
+    GROUP BY e.dst) s USING (node)
+), h$k AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(s.hub, 0) AS hub
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+    FROM edges e JOIN a$k a ON e.dst = a.node
+    GROUP BY e.src) s USING (node)
+)"""
+    }.mkString
+    s"""WITH co AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM co
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), h0 AS (
+  SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes
+)$iters
+SELECT h.node, h.hub, a.auth
+FROM h$HitsIters h JOIN a$HitsIters a USING (node)"""
+  }
+
   /** Mirror of [[graft.operators.Graph.kCore]] (q141): the peel loop
     * unrolled round-for-round ([[graft.operators.Graph.KCoreRounds]]
     * CTE stages over the same mutual edge set — the q99/q103 unroll

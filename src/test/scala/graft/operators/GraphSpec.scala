@@ -181,6 +181,34 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
       4L -> 0L, 5L -> 0L))
   }
 
+  test("hits: exact integer scores on a hand graph (two unrolled " +
+      "iterations)") {
+    import spark.implicits._
+    // 1→3, 1→5, 2→3: a1=(3:2, 5:1); h1=(1:3, 2:2);
+    // a2=(3:5, 5:3); h2=(1:8, 2:5)
+    val edges = Seq((1L, 3L), (1L, 5L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.hits(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((8L, 0L)), 2L -> ((5L, 0L)),
+      3L -> ((0L, 5L)), 5L -> ((0L, 3L))))
+  }
+
+  test("hits fixture: bipartite direction — customers pure hubs, " +
+      "suppliers pure authorities, scores positive where expected") {
+    val got = Graph.hits(Graph.directedEdges(lineitem, orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (node, hub, auth) =>
+      if (node % 2 == 0) { // customer: out-edges only
+        assert(auth == 0L, s"customer $node authority")
+        assert(hub > 0L, s"customer $node hub")
+      } else {
+        assert(hub == 0L, s"supplier $node hub")
+        assert(auth > 0L, s"supplier $node authority")
+      }
+    }
+  }
+
   test("kCore: pendant and low-degree structures peel away, the " +
       "clique survives with exact within-core degrees") {
     import spark.implicits._
