@@ -424,6 +424,23 @@ object ScaleProbe {
       // exchange plus the row-local funnel scan
       if (wanted("quality_canonical"))
         time(factor, "quality_canonical")(Dedup.qualityCanonical(docs))
+      // corpus-order novelty: one hash-keyed shuffle of the distinct
+      // shingle stream + a doc-keyed agg off the reduced frame — the
+      // curve must track the token stream linearly (the shingle
+      // vocabulary is ~replication-invariant up to copysalt, so the
+      // reduced frame stays ~constant)
+      if (wanted("novelty")) {
+        time(factor, "novelty")(Dedup.ngramNovelty(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // Heaps vocabulary curve: the first-occurrence min is the same
+      // token exchange as novelty; the prefix-index side is the q57
+      // range exchange — both linear, running sums constant
+      if (wanted("vocab_growth")) {
+        time(factor, "vocab_growth")(
+          graft.operators.TextAnalysis.vocabGrowth(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
       // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
@@ -616,6 +633,62 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // mutual-graph analytics over the q112 substrate: the graph
+      // build is untimed setup (its own curve is the knn_graph
+      // stage); triangles must track Σ outdeg² under the degree
+      // orientation (m^1.5 worst case, far below it on a kNN graph
+      // whose out-degree is capped at k), k-core must track
+      // rounds × (degree agg + two semi-joins) — both linear-ish in
+      // the edge count, never pair-quadratic
+      if (wanted("triangles") || wanted("kcore")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        val knn = Similarity.knnGraph(emb, bitsPerBand = w)
+          .select(col("src"), col("neighbor_id")).persist()
+        knn.count()
+        if (wanted("triangles"))
+          time(factor, "triangles")(
+            graft.operators.Graph.triangleCounts(knn))
+        if (wanted("kcore"))
+          time(factor, "kcore")(graft.operators.Graph.kCore(knn))
+        knn.unpersist(); emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // event-stream analytics: user count scales with the factor
+      // (events per user constant) — every operator here is
+      // user-partitioned windows + bounded aggs, so each curve must
+      // be linear with no bend from any global stage
+      if (Seq("scd2", "attribution", "markov", "session_paths",
+          "cuped").exists(wanted)) {
+        val ev0 = graft.operators.EventsQueries.events(spark, sfDir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"), col("value"), col("props"))
+        val ev = ev0.crossJoin(copies).select(
+          (col("user_id") * factor + col("copy")).as("user_id"),
+          col("ts_ms"),
+          (col("event_id") * factor + col("copy")).as("event_id"),
+          col("event_type"), col("value"), col("props")).persist()
+        ev.count()
+        if (wanted("scd2"))
+          time(factor, "scd2")(
+            graft.operators.EventsQueries.scd2Dimension(ev))
+        if (wanted("attribution"))
+          time(factor, "attribution")(
+            graft.operators.EventsQueries.attributionCredits(ev))
+        if (wanted("markov"))
+          time(factor, "markov")(
+            graft.operators.EventsQueries.markovTransitions(ev))
+        if (wanted("session_paths"))
+          time(factor, "session_paths")(
+            graft.operators.EventsQueries.sessionPaths(ev))
+        if (wanted("cuped"))
+          time(factor, "cuped")(
+            graft.operators.EventsQueries.cupedLift(ev))
+        ev.unpersist()
+        spark.catalog.clearCache()
+      }
       // binary Hamming scan: brute like q9 but the scan side moves 8
       // bytes per vector — the curve must be linear with a far
       // smaller constant than a float cosine scan
@@ -672,7 +745,8 @@ object ScaleProbe {
       // PageRank: `factor` disjoint copies of the co-purchase graph —
       // every iteration joins the once-shuffled persisted edge frame,
       // so the curve must be linear in |E| with no per-iteration bend
-      if (wanted("pagerank") || wanted("pagerank_k10")) {
+      if (wanted("pagerank") || wanted("pagerank_k10") ||
+          wanted("hits")) {
         val liPr = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .crossJoin(copies)
           .select(
@@ -686,6 +760,12 @@ object ScaleProbe {
         if (wanted("pagerank"))
           time(factor, "pagerank")(
             graft.operators.Graph.pageRank(liPr, orPr))
+        // integer HITS: two unrolled iterations over the same once-
+        // shuffled edge frame — the curve must match pagerank's shape
+        // with a smaller constant (no division, no dangling term)
+        if (wanted("hits"))
+          time(factor, "hits")(graft.operators.Graph.hits(
+            graft.operators.Graph.directedEdges(liPr, orPr)))
         // the DIRECTED kernel at k=10 with its checkpoint cadence:
         // what this rung proves is bounded lineage at deep k — the
         // per-iteration cost must stay the rank-vector join (linear

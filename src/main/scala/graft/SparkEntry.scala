@@ -943,6 +943,12 @@ object SparkEntry {
     "q144_hits" -> ((s, dir) =>
       operators.Graph.hits(operators.Graph.directedEdges(
         lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet")))),
+    // Two-proportion chi-square conversion test: exact integer 2x2
+    // cells, fixed-order (O-E)^2/E statistic, shared critical-value
+    // literal.
+    "q145_chisq" -> ((s, dir) =>
+      operators.EventsQueries.conversionChiSq(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1185,6 +1191,7 @@ object SparkEntry {
     "q142_session_paths" -> OracleSql.sessionPaths,
     "q143_stream_scd2" -> OracleSql.scd2Closed,
     "q144_hits" -> OracleSql.hits,
+    "q145_chisq" -> OracleSql.conversionChiSq,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,61 @@ object EventsQueries {
     * hash(user_id) or hash(user_id, run_id). AQE splits a hot user's
     * sort spill; the attribute projection is row-local JSON-path
     * extraction (q35 discipline). */
+  /** χ²(1) critical value at α = 0.05 — ONE literal shared with the
+    * oracle so both engines compare against the identical double. */
+  val ChiSqCrit = 3.841458820694124
+
+  /** Two-proportion χ² conversion test (q145) — the proportions
+    * sibling of [[cupedLift]]'s means readout: users split by the
+    * same Knuth-hash parity arms, converted = produced any purchase
+    * event; the 2×2 observed-vs-expected χ² statistic with the
+    * α = 0.05 verdict. All observed counts are exact BIGINTs; the
+    * expected cells and the four (O−E)²/E terms are ONE fixed-order
+    * double expression over those integers — bit-identical in the
+    * mirror, no rounding step.
+    *
+    * Scale design (100 TB): one map-side-combined per-user
+    * reduction, then a single constant-size aggregation to the four
+    * cells — the statistic itself is a row-local projection of one
+    * row. */
+  /** One guarded (O−E)²/E term of the χ² sum. */
+  private def chiTerm(o: Column, e: Column): Column =
+    when(e > 0.0, (o - e) * (o - e) / e).otherwise(lit(0.0))
+
+  def conversionChiSq(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+      .select((Sampling.mixed("user_id") % 2).as("arm"), col("conv"))
+    val cells = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    def d(c: Column) = c.cast("double")
+    cells.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (d(col("c0")) / col("n0")).as("cvr0"),
+        (d(col("c1")) / col("n1")).as("cvr1"),
+        (d(col("n0")) * (col("c0") + col("c1")) /
+          (col("n0") + col("n1"))).as("e0c"),
+        (d(col("n0")) * (col("n0") + col("n1") - col("c0") - col("c1")) /
+          (col("n0") + col("n1"))).as("e0n"),
+        (d(col("n1")) * (col("c0") + col("c1")) /
+          (col("n0") + col("n1"))).as("e1c"),
+        (d(col("n1")) * (col("n0") + col("n1") - col("c0") - col("c1")) /
+          (col("n0") + col("n1"))).as("e1n"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        col("cvr0"), col("cvr1"),
+        // a zero expected cell (degenerate margin: nobody or
+        // everybody converts) contributes 0 — the χ² convention, and
+        // the guard ANSI division-by-zero demands
+        (chiTerm(col("c0"), col("e0c")) +
+          chiTerm(col("n0") - col("c0"), col("e0n")) +
+          chiTerm(col("c1"), col("e1c")) +
+          chiTerm(col("n1") - col("c1"), col("e1n"))).as("chi2"))
+      .withColumn("significant", col("chi2") > ChiSqCrit)
+  }
+
   /** Session gap (2 h, q15's rule) and result size of
     * [[sessionPaths]] (q142). */
   val SessionGapMs = 7200000L

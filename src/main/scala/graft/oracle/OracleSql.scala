@@ -2195,6 +2195,55 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.conversionChiSq]]
+    * (q145): exact integer cells, then the identical fixed-order
+    * double expression for expected cells and the four (O−E)²/E
+    * terms; the critical value is the shared
+    * [[graft.operators.EventsQueries.ChiSqCrit]] literal. */
+  def conversionChiSq: String = {
+    import graft.operators.EventsQueries.ChiSqCrit
+    s"""WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT ${graft.operators.Sampling.mixedSql("user_id")} % 2 AS arm,
+         conv
+  FROM u
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+  FROM a
+), e AS (
+  SELECT *,
+    CAST(c0 AS DOUBLE) / n0 AS cvr0,
+    CAST(c1 AS DOUBLE) / n1 AS cvr1,
+    CAST(n0 AS DOUBLE) * (c0 + c1) / (n0 + n1) AS e0c,
+    CAST(n0 AS DOUBLE) * (n0 + n1 - c0 - c1) / (n0 + n1) AS e0n,
+    CAST(n1 AS DOUBLE) * (c0 + c1) / (n0 + n1) AS e1c,
+    CAST(n1 AS DOUBLE) * (n0 + n1 - c0 - c1) / (n0 + n1) AS e1n
+  FROM c
+), x AS (
+  SELECT n0, c0, n1, c1, cvr0, cvr1,
+    (CASE WHEN e0c > 0.0
+          THEN (c0 - e0c) * (c0 - e0c) / e0c ELSE 0.0 END
+      + CASE WHEN e0n > 0.0
+             THEN (n0 - c0 - e0n) * (n0 - c0 - e0n) / e0n
+             ELSE 0.0 END
+      + CASE WHEN e1c > 0.0
+             THEN (c1 - e1c) * (c1 - e1c) / e1c ELSE 0.0 END
+      + CASE WHEN e1n > 0.0
+             THEN (n1 - c1 - e1n) * (n1 - c1 - e1n) / e1n
+             ELSE 0.0 END) AS chi2
+  FROM e
+)
+SELECT *, chi2 > $ChiSqCrit AS significant FROM x"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.sessionPaths]]
     * (q142): the q15 gap rule as gaps-and-islands, string_agg with
     * an explicit ORDER BY ≡ Spark's sort_array path build, identical

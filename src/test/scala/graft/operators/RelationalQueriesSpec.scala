@@ -274,6 +274,31 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("conversionChiSq: perfect association gives chi2 = N exactly; " +
+      "identical rates give chi2 = 0") {
+    import spark.implicits._
+    def arm(u: Long): Long = (u * 2654435761L / 1048576L) % 2
+    val users = 1L to 8L
+    assert(users.map(arm).toSet == Set(0L, 1L), "both arms present")
+    // perfect association: arm-0 users purchase, arm-1 users click
+    val perfect = users.map { u =>
+      (u, 1000L * u, u, if (arm(u) == 0) "purchase" else "click")
+    }.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val r1 = graft.operators.EventsQueries.conversionChiSq(perfect)
+      .collect().head
+    assert(r1.getAs[Double]("chi2") == 8.0)
+    assert(r1.getAs[Boolean]("significant"))
+    // identical rates: everyone purchases
+    val flat = users.map(u => (u, 1000L * u, u, "purchase"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val r2 = graft.operators.EventsQueries.conversionChiSq(flat)
+      .collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(!r2.getAs[Boolean]("significant"))
+    assert(r2.getAs[Double]("cvr0") == 1.0 &&
+      r2.getAs[Double]("cvr1") == 1.0)
+  }
+
   test("sessionPaths: gap splits sessions, order inside a session " +
       "is (ts, event_id), identical paths count together") {
     import spark.implicits._
