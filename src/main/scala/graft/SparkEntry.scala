@@ -949,6 +949,16 @@ object SparkEntry {
     "q145_chisq" -> ((s, dir) =>
       operators.EventsQueries.conversionChiSq(
         operators.EventsQueries.events(s, dir))),
+    // Market-basket frequent pairs with lift: co-partitioned basket
+    // self-join (bounded fan-out), broadcast item counts, exact
+    // integer lift arithmetic.
+    "q146_item_pairs" -> ((s, dir) =>
+      RelationalQueries.frequentItemPairs(lineitem(s, dir))),
+    // Hour-of-day seasonality: integer epoch-hour buckets, exact
+    // cents sums, broadcast type totals — one aggregation pass.
+    "q147_seasonality" -> ((s, dir) =>
+      operators.EventsQueries.hourlySeasonality(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1192,6 +1202,8 @@ object SparkEntry {
     "q143_stream_scd2" -> OracleSql.scd2Closed,
     "q144_hits" -> OracleSql.hits,
     "q145_chisq" -> OracleSql.conversionChiSq,
+    "q146_item_pairs" -> OracleSql.frequentItemPairs,
+    "q147_seasonality" -> OracleSql.hourlySeasonality,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

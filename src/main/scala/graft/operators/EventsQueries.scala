@@ -269,6 +269,38 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** Hour-of-day seasonality profile (q147) — the time-series
+    * decomposition table behind load forecasting and anomaly
+    * baselines: per (event_type, hour-of-day), event count and mean
+    * value, plus the seasonal index = hourly mean ÷ the type's
+    * overall mean (index > 1 = that hour runs hot for that type).
+    * Hours are integer epoch arithmetic ((ts_ms DIV 3600000) mod
+    * 24 — no calendar/timezone dependence), values exact in cents
+    * (q138 discipline), so both means and their ratio are
+    * fixed-order double expressions over exact integer sums —
+    * bit-identical in the mirror.
+    *
+    * Scale design (100 TB): one map-side-combined (type, hour)
+    * aggregation (≤ types×24 rows out) + a broadcast join of the
+    * TYPE totals — the statistic never shuffles the event stream
+    * twice. */
+  def hourlySeasonality(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      (expr("ts_ms DIV 3600000") % 24).as("hour"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val byHour = base.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sc"))
+    val byType = byHour.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("tn"), sum(col("sc")).as("tc"))
+    byHour.join(broadcast(byType), "event_type")
+      .select(col("event_type"), col("hour"), col("n_events"),
+        (col("sc").cast("double") / col("n_events") / 100.0)
+          .as("mean_value"),
+        ((col("sc").cast("double") / col("n_events")) /
+          (col("tc").cast("double") / col("tn"))).as("seasonal_idx"))
+  }
+
   /** One guarded (O−E)²/E term of the χ² sum. */
   private def chiTerm(o: Column, e: Column): Column =
     when(e > 0.0, (o - e) * (o - e) / e).otherwise(lit(0.0))

@@ -395,4 +395,58 @@ object RelationalQueries {
         unix_millis(col("session_window.start")).as("session_start_ms"),
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"), col("sum_value"))
+
+  /** Support floor and result size of [[frequentItemPairs]]
+    * (q146). */
+  val BasketMinSupport = 3
+  val BasketTopK = 20
+
+  /** Frequent item pairs with lift (q146) — market-basket mining,
+    * the first level of A-priori: parts that co-occur in the same
+    * order above the support floor, ranked by support, each with
+    * lift = N·c(ab)/(c(a)·c(b)) (lift > 1 = genuinely associated,
+    * not just individually popular — the q128 PMI idea on baskets
+    * instead of adjacent text). Baskets are an order's DISTINCT
+    * parts.
+    *
+    * Scale design (100 TB): the pair build is a self-join
+    * CO-PARTITIONED on the basket key — fan-out is Σ basket_size²,
+    * bounded because real baskets are small (the fixture caps at 7
+    * lineitems; a web-scale variant caps or samples mega-baskets
+    * first, the same guard as q58's df cap); support counting and
+    * the item-frequency table are map-side-combined; item counts and
+    * the basket total join back BROADCAST; only the support-floored
+    * pair frame (bounded by the floor) ranks through the q14-style
+    * single-partition top-k window. Lift is exact-integer division
+    * in a fixed operand order — identical doubles, no rounding. */
+  def frequentItemPairs(lineitem: DataFrame,
+      k: Int = BasketTopK): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = baskets.select(col("oid"), col("item").as("ia"))
+    val b = baskets.select(col("oid"), col("item").as("ib"))
+    val pairs = a.join(b, Seq("oid")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+    val items = baskets.groupBy(col("item"))
+      .agg(count(lit(1)).as("ic"))
+    val nRow = broadcast(baskets
+      .agg(countDistinct(col("oid")).as("n_baskets")))
+    pairs
+      .join(broadcast(items.select(col("item").as("ia"),
+        col("ic").as("ca"))), "ia")
+      .join(broadcast(items.select(col("item").as("ib"),
+        col("ic").as("cb"))), "ib")
+      .crossJoin(nRow)
+      .select(col("ia"), col("ib"), col("support"),
+        (col("n_baskets").cast("double") * col("support") /
+          col("ca") / col("cb")).as("lift"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("ia").asc,
+          col("ib").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -2195,6 +2195,63 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.hourlySeasonality]]
+    * (q147): integer epoch-hour buckets, exact cents sums, identical
+    * mean/index operand order. */
+  def hourlySeasonality: String =
+    """WITH e AS (
+  SELECT event_type,
+         ((epoch_ns(ts) // 1000000) // 3600000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), h AS (
+  SELECT event_type, hour, COUNT(*) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sc
+  FROM e GROUP BY event_type, hour
+), t AS (
+  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tn,
+         CAST(SUM(sc) AS BIGINT) AS tc
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n_events,
+       CAST(h.sc AS DOUBLE) / h.n_events / 100.0 AS mean_value,
+       (CAST(h.sc AS DOUBLE) / h.n_events)
+         / (CAST(t.tc AS DOUBLE) / t.tn) AS seasonal_idx
+FROM h JOIN t USING (event_type)"""
+
+  /** Mirror of [[graft.operators.RelationalQueries.frequentItemPairs]]
+    * (q146): identical basket build, support floor, lift operand
+    * order, and (support DESC, ia, ib) rank. */
+  def frequentItemPairs: String = {
+    import graft.operators.RelationalQueries.{BasketMinSupport, BasketTopK}
+    s"""WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), pairs AS (
+  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.oid = b.oid AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= $BasketMinSupport
+), items AS (
+  SELECT item, COUNT(*) AS ic FROM baskets GROUP BY item
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_baskets FROM baskets
+), l AS (
+  SELECT p.ia, p.ib, p.support,
+         CAST(nb.n_baskets AS DOUBLE) * p.support / ca.ic / cb.ic
+           AS lift
+  FROM pairs p
+  JOIN items ca ON p.ia = ca.item
+  JOIN items cb ON p.ib = cb.item
+  CROSS JOIN nb
+), r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY support DESC, ia ASC,
+    ib ASC) AS BIGINT) AS rank
+  FROM l
+)
+SELECT ia, ib, support, lift, rank FROM r WHERE rank <= $BasketTopK"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.conversionChiSq]]
     * (q145): exact integer cells, then the identical fixed-order
     * double expression for expected cells and the four (O−E)²/E

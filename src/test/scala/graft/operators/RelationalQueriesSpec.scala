@@ -274,6 +274,63 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("frequentItemPairs: support floor, exact lift, rank order") {
+    import spark.implicits._
+    // baskets: {A,B,C}, {A,B}, {A,B}, {C,D} -> only (A,B) clears
+    // support >= 3; lift = 4*3/(3*3) = 4/3
+    val li = Seq((1L, 100L), (1L, 200L), (1L, 300L),
+      (2L, 100L), (2L, 200L), (3L, 100L), (3L, 200L),
+      (3L, 200L), // duplicate lineitem: baskets are DISTINCT parts
+      (4L, 300L), (4L, 400L)).toDF("l_orderkey", "l_partkey")
+    val out = RelationalQueries.frequentItemPairs(li).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("ia") == 100L && r.getAs[Long]("ib") == 200L)
+    assert(r.getAs[Long]("support") == 3L)
+    assert(math.abs(r.getAs[Double]("lift") - 4.0 / 3) < 1e-15)
+    assert(r.getAs[Long]("rank") == 1L)
+  }
+
+  test("frequentItemPairs fixture: every pair clears the floor, " +
+      "ranks contiguous, support non-increasing") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = RelationalQueries.frequentItemPairs(li).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("support") >=
+        RelationalQueries.BasketMinSupport)
+      assert(r.getAs[Long]("ia") < r.getAs[Long]("ib"))
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    val sup = out.map(_.getAs[Long]("support"))
+    sup.zip(sup.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
+  test("hourlySeasonality: exact hand profile — hot hour above 1, " +
+      "cold hour below, count-weighted indices average to 1") {
+    import spark.implicits._
+    val hr = 3600000L
+    // type X: hour 0 values 1.00+3.00 (mean 2), hour 1 value 4.00
+    val events = Seq(
+      (1L, 0L * hr + 1, 1L, "X", 1.00),
+      (2L, 0L * hr + 2, 2L, "X", 3.00),
+      (3L, 1L * hr + 1, 3L, "X", 4.00))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = graft.operators.EventsQueries.hourlySeasonality(events)
+      .collect().map(r => r.getAs[Long]("hour") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("mean_value"),
+          r.getAs[Double]("seasonal_idx")))).toMap
+    assert(out(0L)._1 == 2L && out(0L)._2 == 2.0)
+    assert(out(1L)._1 == 1L && out(1L)._2 == 4.0)
+    assert(math.abs(out(0L)._3 - 0.75) < 1e-12)
+    assert(math.abs(out(1L)._3 - 1.5) < 1e-12)
+    // count-weighted mean of indices is 1 by construction
+    val w = out.values.map(v => v._1 * v._3).sum / 3
+    assert(math.abs(w - 1.0) < 1e-12)
+  }
+
   test("conversionChiSq: perfect association gives chi2 = N exactly; " +
       "identical rates give chi2 = 0") {
     import spark.implicits._
