@@ -959,6 +959,16 @@ object SparkEntry {
     "q147_seasonality" -> ((s, dir) =>
       operators.EventsQueries.hourlySeasonality(
         operators.EventsQueries.events(s, dir))),
+    // Degree profile + Hill tail estimate of the mutual k-NN graph:
+    // one degree aggregation, |V|-bounded rank, ordered log-fold.
+    "q148_degree_profile" -> ((s, dir) =>
+      operators.Graph.degreeProfile(Similarity.knnGraph(
+        Similarity.embeddings(s, dir)))),
+    // RFM quintile segmentation: exact integer metrics, three
+    // customer-frame ntile windows, the classic lifecycle code.
+    "q149_rfm" -> ((s, dir) =>
+      RelationalQueries.rfmSegments(
+        s.read.parquet(s"$dir/orders.parquet"))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1204,6 +1214,8 @@ object SparkEntry {
     "q145_chisq" -> OracleSql.conversionChiSq,
     "q146_item_pairs" -> OracleSql.frequentItemPairs,
     "q147_seasonality" -> OracleSql.hourlySeasonality,
+    "q148_degree_profile" -> OracleSql.degreeProfile,
+    "q149_rfm" -> OracleSql.rfmSegments,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

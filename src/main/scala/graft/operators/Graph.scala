@@ -491,6 +491,64 @@ object Graph {
     h.join(a, "node").select(col("node"), col("hub"), col("auth"))
   }
 
+  /** Top-degree order statistics used by the Hill estimator of
+    * [[degreeProfile]] (q148). */
+  val HillK = 100
+
+  /** Degree profile + Hill power-law tail estimate of the mutual
+    * k-NN graph (q148) — the graph-shape diagnostic read before any
+    * centrality/community run: node/edge counts, degree extremes,
+    * and the Hill estimator α̂ = 1 + k / Σᵢ ln(dᵢ/d₍ₖ₎) over the top
+    * [[HillK]] degrees (the standard MLE for the tail exponent; a
+    * small α̂ = heavy hub tail = salting/orientation needed
+    * downstream, large α̂ = homogeneous degrees — on a mutual-kNN
+    * graph the cap at k makes the tail shallow BY CONSTRUCTION,
+    * which is exactly what the operator verifies).
+    *
+    * Determinism: degrees are exact integers; the top-k order
+    * statistics come off a rank window whose input is the DEGREE
+    * frame (|V|-bounded, never edge- or corpus-sized; the
+    * TopKPerGroup heaps are the swap-in at web-scale |V|) under a
+    * (degree DESC, node ASC) total order, and the k log-terms fold
+    * SEQUENTIALLY in that same order (q103 ordered-fold pattern:
+    * sort_array + aggregate ≡ list(ORDER BY) + list_reduce), so α̂
+    * is bit-identical in the mirror with no rounding.
+    *
+    * Scale design (100 TB): one map-side-combined degree
+    * aggregation; extremes and counts are constant-size reductions;
+    * only k rows reach the fold. */
+  def degreeProfile(knnEdges: DataFrame, k: Int = HillK): DataFrame = {
+    val deg = degreesOf(mutualEdges(knnEdges))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("degree")) / 2).cast("long").as("n_edges"),
+      min(col("degree")).as("min_degree"),
+      max(col("degree")).as("max_degree"))
+    val topk = deg
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("degree").desc, col("node_id").asc)))
+      .filter(col("rk") <= k)
+    val hill = topk
+      .agg(sort_array(collect_list(struct(col("rk"), col("degree"))))
+        .as("a"))
+      .select(
+        size(col("a")).cast("long").as("hill_k"),
+        element_at(col("a"), -1).getField("degree").as("dk"),
+        col("a"))
+      .select(col("hill_k"), col("dk"),
+        aggregate(col("a"), lit(0.0),
+          (acc, s) => acc + log(s.getField("degree")
+            .cast("double") / col("dk"))).as("logsum"))
+      // a degree-capped graph (mutual-kNN: every top degree = the
+      // cap) has log-sum 0 — the tail exponent is undefined, NULL
+      .select(col("hill_k"), col("dk"),
+        when(col("logsum") > 0.0,
+          lit(1.0) + col("hill_k") / col("logsum"))
+          .otherwise(lit(null).cast("double")).as("hill_alpha"))
+    totals.crossJoin(broadcast(hill))
+  }
+
   /** Core order and peel-round bound of the graded [[kCore]] query
     * (q141). [[KCoreRounds]] is a fixed unroll depth — the oracle
     * mirrors round-for-round — chosen past the fixture's observed

@@ -396,6 +396,57 @@ object RelationalQueries {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** RFM quintile segmentation (q149) — the classic customer-value
+    * table: per customer, Recency (days from last order to the
+    * corpus max date — exact DATE arithmetic), Frequency (order
+    * count) and Monetary (total price, exact cents), each scored
+    * into ntile(5) quintiles with deterministic custkey tiebreaks
+    * (recent/frequent/big-spending = 5), combined into the
+    * three-digit `rfm` code every lifecycle-marketing segmentation
+    * keys on.
+    *
+    * Determinism: all three metrics are exact integers; ntile is
+    * pure rank arithmetic (both engines implement the ANSI
+    * first-buckets-get-the-remainder rule) under a total order, so
+    * every score matches bit-for-bit. Monetary is re-exposed as
+    * cents/100.0 — one fixed-order division.
+    *
+    * Scale design (100 TB): one map-side-combined per-customer
+    * reduction of the orders stream; the three ntile windows run
+    * over the CUSTOMER frame (dimension-sized, not order-sized — the
+    * q14 discipline; the q57 prefix-sum index is the swap-in if the
+    * customer dimension ever rivals facts), and the max-date scalar
+    * rides a broadcast row. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val maxRow = broadcast(orders
+      .agg(max(col("o_orderdate")).as("max_date")))
+    perCust.crossJoin(maxRow)
+      .select(col("o_custkey"),
+        datediff(col("max_date"), col("last_date")).cast("long")
+          .as("recency_days"),
+        col("n_orders"),
+        (col("cents").cast("double") / 100.0).as("monetary"),
+        col("last_date"), col("cents"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("last_date").asc, col("o_custkey").asc))
+        .cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("n_orders").asc, col("o_custkey").asc))
+        .cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents").asc, col("o_custkey").asc))
+        .cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+        col("monetary"), col("r_score"), col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+  }
+
   /** Support floor and result size of [[frequentItemPairs]]
     * (q146). */
   val BasketMinSupport = 3

@@ -2068,6 +2068,53 @@ SELECT h.node, h.hub, a.auth
 FROM h$HitsIters h JOIN a$HitsIters a USING (node)"""
   }
 
+  /** Mirror of [[graft.operators.Graph.degreeProfile]] (q148): same
+    * mutual edge set, |V|-bounded rank, and the ORDERED log-term
+    * fold (list(ORDER BY rk) + list_reduce ≡ Spark's sort_array +
+    * sequential aggregate); the degree-capped NULL case uses the
+    * identical logsum > 0 guard. */
+  def degreeProfile: String = {
+    import graft.operators.Graph.HillK
+    s"""WITH g AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ($knnGraph)
+), e AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b
+    ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  WHERE a.src < a.neighbor_id
+  GROUP BY ALL
+), deg AS (
+  SELECT node_id, COUNT(*) AS degree FROM (
+    SELECT u AS node_id FROM e UNION ALL SELECT v AS node_id FROM e)
+  GROUP BY node_id
+), t AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(degree) AS BIGINT) // 2 AS n_edges,
+         MIN(degree) AS min_degree,
+         MAX(degree) AS max_degree
+  FROM deg
+), tk AS (
+  SELECT degree, rk FROM (
+    SELECT degree, row_number() OVER (ORDER BY degree DESC,
+      node_id ASC) AS rk
+    FROM deg) WHERE rk <= $HillK
+), hl AS (
+  SELECT CAST(len(lst) AS BIGINT) AS hill_k,
+         lst[-1] AS dk,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(lst,
+             d -> ln(CAST(d AS DOUBLE) / lst[-1]))),
+           (a, b) -> a + b) AS logsum
+  FROM (SELECT list(degree ORDER BY rk) AS lst FROM tk)
+)
+SELECT t.n_nodes, t.n_edges, t.min_degree, t.max_degree,
+       hl.hill_k, hl.dk,
+       CASE WHEN hl.logsum > 0.0
+            THEN CAST(1.0 AS DOUBLE) + hl.hill_k / hl.logsum
+            ELSE NULL END AS hill_alpha
+FROM t, hl"""
+  }
+
   /** Mirror of [[graft.operators.Graph.kCore]] (q141): the peel loop
     * unrolled round-for-round ([[graft.operators.Graph.KCoreRounds]]
     * CTE stages over the same mutual edge set — the q99/q103 unroll
@@ -2218,6 +2265,38 @@ SELECT h.event_type, h.hour, h.n_events,
        (CAST(h.sc AS DOUBLE) / h.n_events)
          / (CAST(t.tc AS DOUBLE) / t.tn) AS seasonal_idx
 FROM h JOIN t USING (event_type)"""
+
+  /** Mirror of [[graft.operators.RelationalQueries.rfmSegments]]
+    * (q149): exact integer metrics, the same ntile total orders
+    * (both engines use the ANSI first-buckets-take-the-remainder
+    * rule), identical code arithmetic. */
+  def rfmSegments: String =
+    """WITH pc AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_date,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), mx AS (
+  SELECT MAX(o_orderdate) AS max_date FROM orders
+), b AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_date, max_date) AS BIGINT)
+           AS recency_days,
+         n_orders,
+         CAST(cents AS DOUBLE) / 100.0 AS monetary,
+         CAST(ntile(5) OVER (ORDER BY last_date ASC, o_custkey ASC)
+           AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC)
+           AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY cents ASC, o_custkey ASC)
+           AS BIGINT) AS m_score
+  FROM pc, mx
+)
+SELECT o_custkey, recency_days, n_orders, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM b"""
 
   /** Mirror of [[graft.operators.RelationalQueries.frequentItemPairs]]
     * (q146): identical basket build, support floor, lift operand

@@ -181,6 +181,40 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
       4L -> 0L, 5L -> 0L))
   }
 
+  test("degreeProfile: star graph — exact counts and the Hill " +
+      "estimate; a degree-capped graph yields NULL alpha") {
+    import spark.implicits._
+    // mutual star: hub 1 — rims 2..6
+    val star = (2L to 6L).flatMap(r => Seq((1L, r), (r, 1L)))
+      .toDF("src", "neighbor_id")
+    val r = Graph.degreeProfile(star).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("min_degree") == 1L)
+    assert(r.getAs[Long]("max_degree") == 5L)
+    assert(r.getAs[Long]("hill_k") == 6L)
+    assert(r.getAs[Long]("dk") == 1L)
+    assert(math.abs(r.getAs[Double]("hill_alpha") -
+      (1.0 + 6.0 / math.log(5.0))) < 1e-12)
+    // triangle: every degree 2 -> log-sum 0 -> alpha undefined
+    val tri = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)).toDF("src", "neighbor_id")
+    val r2 = Graph.degreeProfile(tri).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("hill_alpha")))
+  }
+
+  test("degreeProfile fixture: edge-count identity and a shallow " +
+      "capped tail") {
+    val knn = Similarity.knnGraph(
+      Similarity.embeddings(spark, "/root/testdata/sf0.001"))
+      .persist()
+    val r = Graph.degreeProfile(knn).collect().head
+    val mutual = Graph.mutualEdges(knn).count()
+    assert(r.getAs[Long]("n_edges") == mutual)
+    assert(r.getAs[Long]("max_degree") <= Similarity.KnnGraphK)
+    knn.unpersist()
+  }
+
   test("hits: exact integer scores on a hand graph (two unrolled " +
       "iterations)") {
     import spark.implicits._

@@ -274,6 +274,46 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("rfmSegments: hand fixture — exact metrics, quintiles, code") {
+    import spark.implicits._
+    import java.sql.Date
+    // 10 customers, one order each on consecutive days with rising
+    // spend: r/f/m quintiles are fully determined
+    val orders = (1 to 10).map { c =>
+      (c.toLong, Date.valueOf(f"2024-01-${c}%02d"), 100.0 * c)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = RelationalQueries.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(out.size == 10)
+    // customer 10 ordered last (recency 0) and spent most
+    assert(out(10L) == ((0L, 1L, 1000.0, 5L, 5L, 5L, 555L)))
+    // customer 1 ordered first (recency 9 days) and spent least
+    assert(out(1L)._1 == 9L && out(1L)._4 == 1L && out(1L)._6 == 1L)
+    // f is uniform (all one order): ntile splits 2-2-2-2-2 by
+    // custkey tiebreak
+    assert((1 to 10).map(c => out(c.toLong)._5) ==
+      Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L))
+  }
+
+  test("rfmSegments fixture: customer conservation, scores in 1..5, " +
+      "quintiles balanced within 1") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = RelationalQueries.rfmSegments(orders).collect()
+    assert(out.length ==
+      orders.select("o_custkey").distinct().count())
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val counts = out.groupBy(_.getAs[Long](c)).map {
+        case (s, rows) => s -> rows.length
+      }
+      assert(counts.keySet == (1L to 5L).toSet, s"$c buckets")
+      assert(counts.values.max - counts.values.min <= 1,
+        s"$c balance: $counts")
+    }
+  }
+
   test("frequentItemPairs: support floor, exact lift, rank order") {
     import spark.implicits._
     // baskets: {A,B,C}, {A,B}, {A,B}, {C,D} -> only (A,B) clears
