@@ -969,6 +969,12 @@ object SparkEntry {
     "q149_rfm" -> ((s, dir) =>
       RelationalQueries.rfmSegments(
         s.read.parquet(s"$dir/orders.parquet"))),
+    // CUSUM changepoint screen: closed-form prefix-min identity as
+    // windows over the hourly frame — accumulates sustained small
+    // shifts a z-score misses.
+    "q150_cusum" -> ((s, dir) =>
+      operators.EventsQueries.cusumAnomalies(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1216,6 +1222,7 @@ object SparkEntry {
     "q147_seasonality" -> OracleSql.hourlySeasonality,
     "q148_degree_profile" -> OracleSql.degreeProfile,
     "q149_rfm" -> OracleSql.rfmSegments,
+    "q150_cusum" -> OracleSql.cusumAnomalies,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -269,6 +269,59 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** CUSUM drift (κ = 0.5σ) and alarm (h = 4σ) multipliers — shared
+    * literals with the oracle. */
+  val CusumK = 0.5
+  val CusumH = 4.0
+
+  /** CUSUM changepoint screen over hourly event volumes (q150) —
+    * the sequential anomaly detector behind pipeline-health
+    * monitoring (Page 1954): per event type, S_t = max(0, S_{t−1} +
+    * (x_t − μ − κσ)) over the hourly count series, alarm when
+    * S_t > hσ. A plain z-score (q80) flags single outlier hours;
+    * CUSUM accumulates SMALL sustained shifts — the
+    * slow-degradation case thresholds miss.
+    *
+    * The recursion is computed CLOSED-FORM as windows — no fold, no
+    * UDF: S_t = P_t − min(0, min_{j≤t} P_j) where P is the running
+    * sum of deviations (the standard prefix-min identity for the
+    * clamped random walk). Running sum and running min evaluate
+    * row-sequentially inside each ordered frame in both engines, so
+    * every value is bit-identical: μ and σ come from exact integer
+    * moments (q136 discipline), deviations and prefixes are then
+    * fixed-order doubles. Operates on OBSERVED hours (compose with
+    * q62's gap-fill for a dense grid).
+    *
+    * Scale design (100 TB): one map-side-combined (type, hour)
+    * aggregation (the only event-stream pass), a type-count-bounded
+    * stats reduction broadcast back, and two type-partitioned
+    * windows over the HOURLY frame (types × hours, never events). */
+  def cusumAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("ts_ms DIV 3600000").as("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_h"), sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("n_h")).as("mu"),
+        (sqrt((col("n_h") * col("sq") - col("sx") * col("sx"))
+          .cast("double")) / col("n_h")).as("sigma"))
+    val run = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev",
+        col("n_events") - (col("mu") + lit(CusumK) * col("sigma")))
+      .withColumn("p", sum(col("dev")).over(run))
+      .withColumn("cusum",
+        col("p") - least(min(col("p")).over(run), lit(0.0)))
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        col("cusum"),
+        (col("cusum") > lit(CusumH) * col("sigma")).as("alarm"))
+  }
+
   /** Hour-of-day seasonality profile (q147) — the time-series
     * decomposition table behind load forecasting and anomaly
     * baselines: per (event_type, hour-of-day), event count and mean

@@ -2242,6 +2242,47 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.cusumAnomalies]]
+    * (q150): same exact-integer moments, the same closed-form
+    * prefix-min identity under explicit ROWS frames, shared κ/h
+    * literals. */
+  def cusumAnomalies: String = {
+    import graft.operators.EventsQueries.{CusumH, CusumK}
+    """WITH h AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000) // 3600000 AS hour_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, hour_id
+), st AS (
+  SELECT event_type, COUNT(*) AS n_h,
+         CAST(SUM(n_events) AS BIGINT) AS sx,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+  FROM h GROUP BY event_type
+), mu AS (
+  SELECT event_type,
+         CAST(sx AS DOUBLE) / n_h AS mu,
+         sqrt(CAST(n_h * sq - sx * sx AS DOUBLE)) / n_h AS sigma
+  FROM st
+), dv AS (
+  SELECT h.event_type, h.hour_id, h.n_events, mu.sigma,
+         h.n_events - (mu.mu + """ + CusumK + """ * mu.sigma) AS dev
+  FROM h JOIN mu USING (event_type)
+), pr AS (
+  SELECT *,
+    SUM(dev) OVER (PARTITION BY event_type ORDER BY hour_id
+      ROWS UNBOUNDED PRECEDING) AS p
+  FROM dv
+), cs AS (
+  SELECT *,
+    p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY hour_id
+      ROWS UNBOUNDED PRECEDING), 0.0) AS cusum
+  FROM pr
+)
+SELECT event_type, hour_id, n_events, cusum,
+       cusum > """ + CusumH + """ * sigma AS alarm
+FROM cs"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.hourlySeasonality]]
     * (q147): integer epoch-hour buckets, exact cents sums, identical
     * mean/index operand order. */

@@ -274,6 +274,63 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("cusumAnomalies: closed form equals the clamped recursion; a " +
+      "sustained shift raises an alarm a single spike would not") {
+    import spark.implicits._
+    val hr = 3600000L
+    // 20 calm hours of exactly 10 events, then 5 hours of 50 — the
+    // sustained-shift case CUSUM exists for
+    val events = (0 until 20).flatMap(h =>
+      (1 to 10).map(i => (h * 10L + i, h * hr + i, h * 10L + i, "X"))
+    ) ++ (20 until 25).flatMap(h =>
+      (1 to 50).map(i => (h * 100L + i, h * hr + i, h * 100L + i, "X")))
+    val df = events.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.cusumAnomalies(df)
+      .collect().sortBy(_.getAs[Long]("hour_id"))
+    assert(out.length == 25)
+    // recursion replay
+    val xs = out.map(_.getAs[Long]("n_events").toDouble)
+    val n = xs.length
+    val sx = xs.sum; val sq = xs.map(x => x * x).sum
+    val mu = sx / n
+    val sigma = math.sqrt(n * sq - sx * sx) / n
+    var s = 0.0
+    out.zip(xs).foreach { case (r, x) =>
+      s = math.max(0.0, s + (x - (mu + 0.5 * sigma)))
+      assert(math.abs(r.getAs[Double]("cusum") - s) < 1e-9,
+        s"hour ${r.getAs[Long]("hour_id")}")
+    }
+    // calm prefix quiet, shifted tail alarmed
+    assert(!out.take(20).exists(_.getAs[Boolean]("alarm")))
+    assert(out.takeRight(3).forall(_.getAs[Boolean]("alarm")),
+      "sustained shift must accumulate past h·sigma")
+  }
+
+  test("cusumAnomalies fixture: non-negative, starts clamped, " +
+      "recursion parity per type") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.cusumAnomalies(events)
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { case (tpe, rows0) =>
+      val rows = rows0.sortBy(_.getAs[Long]("hour_id"))
+      val xs = rows.map(_.getAs[Long]("n_events").toDouble)
+      val n = xs.length
+      val mu = xs.sum / n
+      val sigma = math.sqrt(n * xs.map(x => x * x).sum -
+        xs.sum * xs.sum) / n
+      var s = 0.0
+      rows.zip(xs).foreach { case (r, x) =>
+        s = math.max(0.0, s + (x - (mu + 0.5 * sigma)))
+        val got = r.getAs[Double]("cusum")
+        assert(got >= 0.0)
+        assert(math.abs(got - s) < 1e-6 * math.max(1.0, s),
+          s"$tpe hour ${r.getAs[Long]("hour_id")}: $got vs $s")
+      }
+    }
+  }
+
   test("rfmSegments: hand fixture — exact metrics, quintiles, code") {
     import spark.implicits._
     import java.sql.Date
