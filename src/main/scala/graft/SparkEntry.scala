@@ -975,6 +975,11 @@ object SparkEntry {
     "q150_cusum" -> ((s, dir) =>
       operators.EventsQueries.cusumAnomalies(
         operators.EventsQueries.events(s, dir))),
+    // Classifier calibration/reliability table: labeled docs binned
+    // by margin ntile, positive fraction per bin — the threshold-
+    // picking step after any scored gate.
+    "q151_calibration" -> ((s, dir) =>
+      TextAnalysis.nbCalibration(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1223,6 +1228,7 @@ object SparkEntry {
     "q148_degree_profile" -> OracleSql.degreeProfile,
     "q149_rfm" -> OracleSql.rfmSegments,
     "q150_cusum" -> OracleSql.cusumAnomalies,
+    "q151_calibration" -> OracleSql.nbCalibration,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

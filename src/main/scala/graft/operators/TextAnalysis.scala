@@ -996,6 +996,53 @@ object TextAnalysis {
     (out, graft.util.CacheHandle(tf))
   }
 
+  /** Calibration bins of [[nbCalibration]] (q151). */
+  val CalibrationBins = 10
+
+  /** Classifier calibration / reliability table (q151) — the ML-eval
+    * step after ANY scored gate (q107/q97/q118): the labeled
+    * documents ranked by classifier margin, cut into
+    * [[CalibrationBins]] equal-count bins, each reporting its
+    * positive fraction against its margin range — the reliability
+    * diagram that tells you whether margin 2.0 actually MEANS
+    * "mostly curated" before you pick a keep threshold (in-sample
+    * here; production holds out a split via q32). A well-ordered
+    * classifier shows frac_pos rising monotonically with the bin.
+    *
+    * Determinism: margins are the q107 hash-graded doubles
+    * (bit-identical in both engines), so the ntile order (margin,
+    * doc_id) matches exactly; everything after is exact counts and
+    * one fixed-order division.
+    *
+    * Scale design (100 TB): scoring is q107's plan; the calibration
+    * frame is the LABELED subset (training-corpus-bounded — ≪
+    * corpus by the broadcast-model contract), so the single ntile
+    * window is labeled-set-bounded, never corpus-sized; the output
+    * is [[CalibrationBins]] rows. */
+  def nbCalibration(docs: DataFrame,
+      bins: Int = CalibrationBins): DataFrame = {
+    val (scored, handle) = nbQualityFilterWithHandle(docs)
+    val lbl = docs.select(col("doc_id"),
+        when(col("source").isInCollection(NbPosSources), lit(1L))
+          .when(col("source").isInCollection(NbNegSources), lit(0L))
+          .as("label"))
+      .filter(col("label").isNotNull)
+    val out = scored.join(lbl, "doc_id")
+      .withColumn("bin", ntile(bins).over(
+        Window.orderBy(col("margin").asc, col("doc_id").asc))
+        .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs")).as("frac_pos"),
+        col("min_margin"), col("max_margin"))
+      .localCheckpoint()
+    handle.release()
+    out
+  }
+
   /** The trained NB model exported for SERVING: the (term → Δlogp)
     * table as a driver map plus the OOV floor and prior scalars. A
     * quality-classifier model is TRAINING-corpus-bounded by

@@ -1030,6 +1030,38 @@ FROM j GROUP BY doc_id"""
 )"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.nbCalibration]]
+    * (q151): the q107 margin derivation as a subquery, the same
+    * (margin, doc_id) ntile order, exact counts + one fixed-order
+    * division. */
+  def nbCalibration: String = {
+    import graft.operators.TextAnalysis.{CalibrationBins, NbNegSources, NbPosSources}
+    val pos = sqlList(NbPosSources)
+    val neg = sqlList(NbNegSources)
+    s"""WITH s AS MATERIALIZED (
+  SELECT doc_id, margin FROM ($nbQuality)
+), lbl AS (
+  SELECT doc_id,
+         CASE WHEN source IN $pos THEN 1
+              WHEN source IN $neg THEN 0 END AS label
+  FROM documents
+), j AS (
+  SELECT s.doc_id, s.margin, lbl.label
+  FROM s JOIN lbl USING (doc_id)
+  WHERE lbl.label IS NOT NULL
+), b AS (
+  SELECT *, CAST(ntile($CalibrationBins) OVER (ORDER BY margin ASC,
+    doc_id ASC) AS BIGINT) AS bin
+  FROM j
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(CAST(SUM(label) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS frac_pos,
+       MIN(margin) AS min_margin, MAX(margin) AS max_margin
+FROM b GROUP BY bin"""
+  }
+
   def nbQuality: String =
     s"""$nbModelCtes
 , scored AS (

@@ -473,6 +473,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     })
   }
 
+  test("nbCalibration: bins partition the labeled set, margins " +
+      "bracket, and the curve is well-ordered end to end") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.nbCalibration(docs).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(out.length == TextAnalysis.CalibrationBins)
+    val labeled = docs.filter(col("source").isin(
+      (TextAnalysis.NbPosSources ++ TextAnalysis.NbNegSources): _*))
+      .count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == labeled)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pos") >= 0 &&
+        r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("min_margin") <=
+        r.getAs[Double]("max_margin"))
+    }
+    // bins ordered by margin: ranges must not overlap
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("max_margin") <=
+        b.getAs[Double]("min_margin"))
+    }
+    // a classifier trained ON these labels must separate its own
+    // training data: the curve rises decisively from the bottom bin
+    // to the top (the tiny sf0.001 labeled set leaves some mixing
+    // in the extreme bins — ~15 docs per bin)
+    val lo = out.head.getAs[Double]("frac_pos")
+    val hi = out.last.getAs[Double]("frac_pos")
+    assert(lo <= 1.0 / 3 && hi >= 2.0 / 3 && hi - lo >= 0.5,
+      s"calibration curve too flat: bottom $lo top $hi")
+  }
+
   test("vocabGrowth: hand corpus — one new type per decile, exact " +
       "cumulative curve") {
     import spark.implicits._
