@@ -980,6 +980,12 @@ object SparkEntry {
     // picking step after any scored gate.
     "q151_calibration" -> ((s, dir) =>
       TextAnalysis.nbCalibration(documents(s, dir))),
+    // Kaplan-Meier retention: censoring-aware survival over user
+    // lifetimes — reverse-cumulative risk sets, guarded ln-prefix
+    // product over the distinct-lifetime frame.
+    "q152_kaplan_meier" -> ((s, dir) =>
+      operators.EventsQueries.kaplanMeier(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1229,6 +1235,7 @@ object SparkEntry {
     "q149_rfm" -> OracleSql.rfmSegments,
     "q150_cusum" -> OracleSql.cusumAnomalies,
     "q151_calibration" -> OracleSql.nbCalibration,
+    "q152_kaplan_meier" -> OracleSql.kaplanMeier,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

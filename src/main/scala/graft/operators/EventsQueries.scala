@@ -269,6 +269,64 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** Censoring horizon of [[kaplanMeier]] (q152): a user whose last
+    * event falls within this many days of the corpus end is
+    * CENSORED, not churned. */
+  val KmCensorDays = 7L
+
+  /** Kaplan–Meier retention curve (q152) — survival analysis over
+    * user lifetimes, the statistically honest churn readout (naive
+    * "fraction retained at t" silently treats users we stopped
+    * observing as churned; KM removes them from the risk set
+    * instead): lifetime t = last_day − first_day; churn OBSERVED
+    * only when the last event predates the corpus end by
+    * [[KmCensorDays]]; Ŝ(t) = Π_{u≤t} (1 − d_u/n_u) over distinct
+    * lifetimes, with n_u the reverse-cumulative risk set.
+    *
+    * Determinism: all counts exact integers; each factor is one
+    * fixed-order division; the product is the ln-prefix-sum (both
+    * engines evaluate running aggregates row-sequentially — the
+    * q150 discipline) with an explicit zero-factor guard (ln(0)
+    * diverges BETWEEN engines: Spark log → NULL, DuckDB → −inf, so
+    * the guard IS the portability fix: any zero factor pins the
+    * curve to 0.0 from there on).
+    *
+    * Scale design (100 TB): one map-side-combined per-user
+    * reduction; every window runs over the DISTINCT-LIFETIME frame
+    * (bounded by the observation span in days, never user- or
+    * event-sized). */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(min(expr("ts_ms DIV 86400000")).as("first_day"),
+        max(expr("ts_ms DIV 86400000")).as("last_day"))
+    val maxRow = broadcast(events
+      .agg(max(expr("ts_ms DIV 86400000")).as("max_day")))
+    val lifetimes = users.crossJoin(maxRow)
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") <= col("max_day") - KmCensorDays)
+          .as("churned"))
+    val byT = lifetimes.groupBy(col("t"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+    val rev = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(rev))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("lnf",
+        when(col("factor") > 0.0, log(col("factor")))
+          .otherwise(lit(0.0)))
+      .withColumn("zeros",
+        sum(when(col("factor") === 0.0, 1L).otherwise(0L)).over(fwd))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_churned"), col("c").as("n_censored"),
+        when(col("zeros") > 0, lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(fwd))).as("survival"))
+  }
+
   /** CUSUM drift (κ = 0.5σ) and alarm (h = 4σ) multipliers — shared
     * literals with the oracle. */
   val CusumK = 0.5

@@ -2274,6 +2274,55 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.EventsQueries.kaplanMeier]]
+    * (q152): same day buckets, censor rule, reverse-cumulative risk
+    * set, guarded ln-prefix product (the zero-factor guard is the
+    * portability fix — Spark log(0) is NULL, DuckDB −inf). */
+  def kaplanMeier: String = {
+    import graft.operators.EventsQueries.KmCensorDays
+    s"""WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000) // 86400000 AS day
+  FROM events
+), u AS (
+  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+  FROM e GROUP BY user_id
+), mx AS (
+  SELECT MAX(day) AS max_day FROM e
+), lf AS (
+  SELECT last_day - first_day AS t,
+         last_day <= max_day - $KmCensorDays AS churned
+  FROM u, mx
+), bt AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+           AS d,
+         CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+           AS c
+  FROM lf GROUP BY t
+), rk AS (
+  SELECT *,
+    CAST(SUM(d + c) OVER (ORDER BY t
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      AS n_risk
+  FROM bt
+), fc AS (
+  SELECT *, 1.0 - CAST(d AS DOUBLE) / n_risk AS factor FROM rk
+), ln_ AS (
+  SELECT *,
+    CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END AS lnf,
+    CASE WHEN factor = 0.0 THEN 1 ELSE 0 END AS z
+  FROM fc
+), pr AS (
+  SELECT *,
+    SUM(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+    SUM(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeros
+  FROM ln_
+)
+SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN zeros > 0 THEN 0.0 ELSE exp(lnsum) END AS survival
+FROM pr"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.cusumAnomalies]]
     * (q150): same exact-integer moments, the same closed-form
     * prefix-min identity under explicit ROWS frames, shared κ/h

@@ -274,6 +274,65 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("kaplanMeier: hand cohort — censoring removes users from " +
+      "the risk set instead of counting them churned") {
+    import spark.implicits._
+    val day = 86400000L
+    def ev(u: Long, d: Long, id: Long) = (u, d * day, id, "click")
+    // u1,u2: t=10 churned; u3: t=20 churned; u4: t=20 CENSORED
+    // (last event at the corpus max day); u5: t=0 churned;
+    // u6: t=0 censored (inside the 7-day horizon)
+    val events = Seq(
+      ev(1, 0, 1), ev(1, 10, 2), ev(2, 0, 3), ev(2, 10, 4),
+      ev(3, 0, 5), ev(3, 20, 6), ev(4, 80, 7), ev(4, 100, 8),
+      ev(5, 0, 9), ev(6, 96, 10))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.kaplanMeier(events)
+      .collect().sortBy(_.getAs[Long]("t_days"))
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival")))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 6L, 1L, 1L), (10L, 4L, 2L, 0L), (20L, 2L, 1L, 1L)))
+    val surv = out.map(_._5)
+    assert(math.abs(surv(0) - 5.0 / 6) < 1e-12)
+    assert(math.abs(surv(1) - 5.0 / 12) < 1e-12)
+    assert(math.abs(surv(2) - 5.0 / 24) < 1e-12)
+  }
+
+  test("kaplanMeier: a time where everyone remaining churns pins " +
+      "the curve to exactly 0") {
+    import spark.implicits._
+    val day = 86400000L
+    // u1,u2 churn at t=5; u3's single late event provides max_day
+    // and is censored at t=0
+    val events = Seq(
+      (1L, 0L, 1L, "x"), (1L, 5 * day, 2L, "x"),
+      (2L, 0L, 3L, "x"), (2L, 5 * day, 4L, "x"),
+      (3L, 50 * day, 5L, "x"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.kaplanMeier(events)
+      .collect().sortBy(_.getAs[Long]("t_days"))
+    assert(out.last.getAs[Double]("survival") == 0.0)
+    assert(out.head.getAs[Double]("survival") == 1.0,
+      "a zero-churn time keeps survival exactly 1")
+  }
+
+  test("kaplanMeier fixture: risk-set identity, monotone curve in " +
+      "[0,1]") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.kaplanMeier(events)
+      .collect().sortBy(_.getAs[Long]("t_days"))
+    val users = events.select("user_id").distinct().count()
+    assert(out.head.getAs[Long]("n_risk") == users)
+    assert(out.map(r => r.getAs[Long]("n_churned") +
+      r.getAs[Long]("n_censored")).sum == users)
+    val surv = out.map(_.getAs[Double]("survival"))
+    surv.foreach(s => assert(s >= 0.0 && s <= 1.0))
+    surv.zip(surv.tail).foreach { case (a, b) => assert(b <= a) }
+  }
+
   test("cusumAnomalies: closed form equals the clamped recursion; a " +
       "sustained shift raises an alarm a single spike would not") {
     import spark.implicits._
