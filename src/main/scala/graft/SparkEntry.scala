@@ -986,6 +986,43 @@ object SparkEntry {
     "q152_kaplan_meier" -> ((s, dir) =>
       operators.EventsQueries.kaplanMeier(
         operators.EventsQueries.events(s, dir))),
+    // Streaming Markov mining: per-user last event in state, pairs
+    // emitted across batch boundaries; the aggregated pair stream
+    // hash-matches the batch q139 matrix.
+    "q153_stream_markov" -> ((s, dir) => {
+      val ev = operators.EventsQueries.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_type"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-markov-q153").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"),
+        max(col("ts_ms")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("ts_ms") <= b1,
+        col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q153_pairs")
+      val q = streaming.StreamingMarkov.transitions(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q153_pairs").start()
+      try q.processAllAvailable() finally q.stop()
+      operators.EventsQueries.markovMatrixFromPairs(
+        s.table("graft_q153_pairs"))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1236,6 +1273,7 @@ object SparkEntry {
     "q150_cusum" -> OracleSql.cusumAnomalies,
     "q151_calibration" -> OracleSql.nbCalibration,
     "q152_kaplan_meier" -> OracleSql.kaplanMeier,
+    "q153_stream_markov" -> OracleSql.markovTransitions,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -571,21 +571,32 @@ object EventsQueries {
   def markovTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
-    val pairs = events
+    markovMatrixFromPairs(events
       .select(col("user_id"), col("ts_ms"), col("event_id"),
         col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
+      .filter(col("next_type").isNotNull))
+  }
+
+  /** The count + row-normalize half of [[markovTransitions]], shared
+    * with the streaming pair producer
+    * ([[graft.streaming.StreamingMarkov]], q153) so the two paths
+    * cannot drift: input is any frame of (event_type, next_type)
+    * transition OCCURRENCES. */
+  def markovMatrixFromPairs(pairs0: DataFrame): DataFrame =
+    pairs0
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n_transitions"))
-    val totals = pairs.groupBy(col("event_type"))
-      .agg(sum(col("n_transitions")).as("row_total"))
-    pairs.join(broadcast(totals), "event_type")
+      // row totals via a type-partitioned window over the TYPE²-
+      // bounded count frame — no self-join (a join of the aggregate
+      // with itself trips attribute dedup over memory-sink views,
+      // and the window is the smaller plan anyway)
+      .withColumn("row_total", sum(col("n_transitions")).over(
+        Window.partitionBy(col("event_type"))))
       .select(col("event_type"), col("next_type"),
         col("n_transitions"),
         (col("n_transitions").cast("double") / col("row_total"))
           .as("p"))
-  }
 
   /** CUPED variance-reduced A/B readout (q138) — the
     * experimentation-analytics operator (Deng et al. 2013): per-arm
