@@ -1023,6 +1023,10 @@ object SparkEntry {
       operators.EventsQueries.markovMatrixFromPairs(
         s.table("graft_q153_pairs"))
     }),
+    // PSI drift monitor: equi-width integer bins, Laplace-smoothed
+    // fractions, running PSI over the bin frame.
+    "q154_psi_drift" -> ((s, dir) =>
+      operators.Profiling.psiDrift(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1274,6 +1278,7 @@ object SparkEntry {
     "q151_calibration" -> OracleSql.nbCalibration,
     "q152_kaplan_meier" -> OracleSql.kaplanMeier,
     "q153_stream_markov" -> OracleSql.markovTransitions,
+    "q154_psi_drift" -> OracleSql.psiDrift,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -275,4 +275,60 @@ object Profiling {
           .as("filled"),
         col("hour_avg").isNotNull.as("is_observed"))
   }
+
+  /** Bin count and Laplace smoothing of [[psiDrift]] (q154). */
+  val PsiBins = 10
+
+  /** Population Stability Index drift monitor (q154) — the
+    * distribution-shift alarm every production scorer ships with
+    * (PSI < 0.1 stable / 0.1–0.25 shifting / > 0.25 drifted): the
+    * corpus is split into a reference half and a current half
+    * (doc_id midpoint — the ingest-time stand-in), `n_chars` is
+    * binned equi-WIDTH by integer arithmetic (width = max/10 + 1 —
+    * no quantile pass, no FP edges), and
+    * PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) accumulates over the bins with
+    * Laplace-smoothed fractions ((c+1)/(n+[[PsiBins]])) so an empty
+    * bin on one side contributes a finite term instead of ±∞.
+    *
+    * Determinism: counts exact; smoothed fractions, terms and the
+    * cumulative PSI are fixed-order double expressions, the
+    * cumulative via a row-sequential ordered window (q150
+    * discipline). Output: one row per OBSERVED bin with both
+    * fractions, the term, and the running PSI — the last row's
+    * `cum_psi` is the statistic.
+    *
+    * Scale design (100 TB): one map-side-combined (bin, half)
+    * aggregation over the corpus; everything after runs on ≤
+    * [[PsiBins]] rows. */
+  def psiDrift(docs: DataFrame): DataFrame = {
+    val b = PsiBins
+    val consts = broadcast(docs
+      .agg(max(col("n_chars")).as("mx"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mxid"))
+      .select(expr(s"mx DIV $b + 1").as("w"),
+        expr("(mn + mxid) DIV 2").as("split")))
+    val binned = docs.crossJoin(consts)
+      .select(expr(s"least(n_chars DIV w, ${b - 1})").cast("long")
+          .as("bin"),
+        (col("doc_id") <= col("split")).as("ref"))
+    val cnt = binned.groupBy(col("bin"))
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val run = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("tot_ref", sum(col("n_ref")).over(all))
+      .withColumn("tot_cur", sum(col("n_cur")).over(all))
+      .withColumn("p_ref", (col("n_ref") + 1).cast("double") /
+        (col("tot_ref") + b))
+      .withColumn("p_cur", (col("n_cur") + 1).cast("double") /
+        (col("tot_cur") + b))
+      .withColumn("term",
+        (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("term"),
+        sum(col("term")).over(run).as("cum_psi"))
+  }
 }

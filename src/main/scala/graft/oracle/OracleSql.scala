@@ -2274,6 +2274,45 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.Profiling.psiDrift]] (q154):
+    * integer bin arithmetic, exact counts, identical smoothing and
+    * term order, row-sequential cumulative. */
+  def psiDrift: String = {
+    val b = graft.operators.Profiling.PsiBins
+    s"""WITH k AS (
+  SELECT (MAX(n_chars) // $b) + 1 AS w,
+         (MIN(doc_id) + MAX(doc_id)) // 2 AS split
+  FROM documents
+), bn AS (
+  SELECT LEAST(n_chars // k.w, ${b - 1}) AS bin,
+         doc_id <= k.split AS ref
+  FROM documents, k
+), c AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_cur
+  FROM bn GROUP BY bin
+), t AS (
+  SELECT *,
+    CAST(SUM(n_ref) OVER () AS BIGINT) AS tot_ref,
+    CAST(SUM(n_cur) OVER () AS BIGINT) AS tot_cur
+  FROM c
+), p AS (
+  SELECT bin, n_ref, n_cur,
+    CAST(n_ref + 1 AS DOUBLE) / (tot_ref + $b) AS p_ref,
+    CAST(n_cur + 1 AS DOUBLE) / (tot_cur + $b) AS p_cur
+  FROM t
+), tm AS (
+  SELECT *, (p_ref - p_cur) * ln(p_ref / p_cur) AS term FROM p
+)
+SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
+       SUM(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         AS cum_psi
+FROM tm"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.kaplanMeier]]
     * (q152): same day buckets, censor rule, reverse-cumulative risk
     * set, guarded ln-prefix product (the zero-factor guard is the

@@ -109,4 +109,41 @@ class ProfilingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out((2L, 5L)) == (9.0, true))
     assert(out.size == 5) // user 2's grid is a single hour
   }
+
+  test("psiDrift: identical halves score exactly 0; a shifted " +
+      "current half crosses the 0.25 drift line") {
+    import spark.implicits._
+    // ids 1..10 (ref) and 11..20 (cur) carry the SAME length
+    // distribution -> every p = q -> PSI exactly 0
+    val same = ((1 to 10).map(i => (i.toLong, i * 100L)) ++
+      (1 to 10).map(i => (10L + i, i * 100L)))
+      .toDF("doc_id", "n_chars")
+    val out0 = Profiling.psiDrift(same).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(out0.last.getAs[Double]("cum_psi") == 0.0)
+    out0.foreach(r => assert(r.getAs[Double]("term") == 0.0))
+    // current half collapsed into the top bins -> heavy drift
+    val drifted = ((1 to 10).map(i => (i.toLong, i * 100L)) ++
+      (1 to 10).map(i => (10L + i, 950L)))
+      .toDF("doc_id", "n_chars")
+    val out1 = Profiling.psiDrift(drifted).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(out1.last.getAs[Double]("cum_psi") > 0.25,
+      s"PSI ${out1.last.getAs[Double]("cum_psi")}")
+  }
+
+  test("psiDrift fixture: PSI non-negative termwise, at most " +
+      "PsiBins rows, halves partition the corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Profiling.psiDrift(docs).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(out.length <= Profiling.PsiBins)
+    out.foreach { r =>
+      assert(r.getAs[Double]("term") >= 0.0,
+        s"bin ${r.getAs[Long]("bin")}")
+    }
+    assert(out.map(r => r.getAs[Long]("n_ref") +
+      r.getAs[Long]("n_cur")).sum == docs.count())
+  }
 }
