@@ -1027,6 +1027,11 @@ object SparkEntry {
     // fractions, running PSI over the bin frame.
     "q154_psi_drift" -> ((s, dir) =>
       operators.Profiling.psiDrift(documents(s, dir))),
+    // Token-budget greedy selection over the distributed prefix-sum
+    // primitive — no single-reducer running-sum window (the oracle
+    // states exactly that plan).
+    "q155_budget_pack" -> ((s, dir) =>
+      operators.GlobalIndex.budgetPack(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1279,6 +1284,7 @@ object SparkEntry {
     "q152_kaplan_meier" -> OracleSql.kaplanMeier,
     "q153_stream_markov" -> OracleSql.markovTransitions,
     "q154_psi_drift" -> OracleSql.psiDrift,
+    "q155_budget_pack" -> OracleSql.budgetPack,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -103,6 +103,92 @@ object GlobalIndex {
       docs.select(col("doc_id"), col("n_chars")),
       Seq(col("n_chars"), col("doc_id")), Q57Partitions)
 
+  /** Distributed GLOBAL PREFIX SUM under a total order — the value
+    * sibling of [[globalRowIndexWithHandle]] and the scalable form
+    * of `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`
+    * (which Spark executes in ONE partition): range-partition on the
+    * sort key, sort within partitions, reduce each partition to its
+    * value TOTAL (one long per partition to the driver), prefix-sum
+    * the totals into offsets, then stream each partition once
+    * accumulating `offset + running value`. The emitted
+    * `prefix_sum` is INCLUSIVE of the current row. Same
+    * materialization contract as the row-index form (the sampled
+    * range boundaries must be observed identically by both jobs) —
+    * release the returned handle after the final action.
+    *
+    * The value column must be integral (LONG) — exact partials, so
+    * the distributed sum is bit-equal to the sequential one. */
+  def globalPrefixSumWithHandle(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, partitions: Int)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val ranged = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).cast("long").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](partitions)
+    var acc = 0L
+    var pid = 0
+    while (pid < partitions) {
+      offsets(pid) = acc
+      acc += totals.getOrElse(pid, 0L)
+      pid += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val pidIdx = df.schema.length
+    val outSchema = df.schema.add("prefix_sum", LongType,
+      nullable = false)
+    val out = ranged.mapPartitions { rows =>
+      var cur = -1
+      var running = 0L
+      rows.map { r =>
+        val p = r.getInt(pidIdx)
+        if (p != cur) { cur = p; running = bc.value(p) }
+        running += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq.dropRight(1) :+ running)
+      }
+    }(Encoders.row(outSchema))
+    (out, graft.util.CacheHandle(ranged))
+  }
+
+  /** Token budget of [[budgetPack]] (q155). */
+  val PackBudgetTokens = 20000L
+
+  /** Token-budget greedy selection (q155) — the "best corpus that
+    * fits" assembly step: rank documents by quality DENSITY
+    * (quality score per estimated BPE token — the knapsack greedy,
+    * optimal as the budget grows large relative to item size),
+    * accumulate token costs in that order, keep every document
+    * whose INCLUSIVE cumulative cost fits [[PackBudgetTokens]].
+    * The cumulative is [[globalPrefixSumWithHandle]] — no
+    * single-reducer running-sum window anywhere (the oracle's
+    * `SUM OVER (ORDER BY)` states the same semantics as the plan
+    * this operator exists to avoid).
+    *
+    * Density ties order by doc_id; density doubles are the q6
+    * hash-graded quality tree over exact token counts — identical
+    * in both engines, so the greedy order matches exactly. */
+  def budgetPack(docs: DataFrame,
+      budget: Long = PackBudgetTokens): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+      .withColumn("density",
+        col("quality_score") / col("est_tokens"))
+    val (pref, handle) = globalPrefixSumWithHandle(scored,
+      Seq(col("density").desc, col("doc_id").asc), "est_tokens",
+      Q57Partitions)
+    val out = pref.filter(col("prefix_sum") <= budget)
+      .select(col("doc_id"), col("est_tokens"), col("density"),
+        col("prefix_sum").as("cum_tokens"))
+      .localCheckpoint()
+    handle.release()
+    out
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE (q78): every document's position
     * in a reproducible random permutation of the corpus — the
     * epoch-shuffle a training loader needs, computed as

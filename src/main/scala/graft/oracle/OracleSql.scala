@@ -2274,6 +2274,41 @@ SELECT user_id,
        SUM(value) AS sum_value
 FROM s GROUP BY user_id, sid"""
 
+  /** Mirror of [[graft.operators.GlobalIndex.budgetPack]] (q155):
+    * the single-reducer `SUM OVER (ORDER BY)` running sum the
+    * distributed prefix-sum operator avoids — same greedy order
+    * (density DESC, doc_id), same inclusive cumulative, same budget
+    * cut; quality tree and token estimate are the q6/q133
+    * expressions. */
+  def budgetPack: String = {
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    val budget = graft.operators.GlobalIndex.PackBudgetTokens
+    s"""WITH d0 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens,
+    LEAST(len(w) / 50.0, 1.0)
+      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      * (1.0 - 0.5 * (CAST(len(list_filter(w,
+            t -> list_contains($stops, t))) AS DOUBLE) / len(w)))
+      AS quality_score
+  FROM d0
+), dn AS (
+  SELECT doc_id, est_tokens,
+         quality_score / est_tokens AS density
+  FROM s
+), c AS (
+  SELECT *,
+    CAST(SUM(est_tokens) OVER (ORDER BY density DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM dn
+)
+SELECT doc_id, est_tokens, density, cum_tokens
+FROM c WHERE cum_tokens <= $budget"""
+  }
+
   /** Mirror of [[graft.operators.Profiling.psiDrift]] (q154):
     * integer bin arithmetic, exact counts, identical smoothing and
     * term order, row-sequential cumulative. */

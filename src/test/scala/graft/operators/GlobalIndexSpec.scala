@@ -62,4 +62,49 @@ class GlobalIndexSpec extends AnyFunSuite with SparkSessionSpec {
     val b = run(); spark.catalog.clearCache()
     assert(a == b)
   }
+
+  test("globalPrefixSum: multi-partition inclusive prefix equals " +
+      "the sequential scan exactly") {
+    import spark.implicits._
+    // deterministic pseudo-random values, ids deliberately out of
+    // order on input
+    val rows = (1L to 1000L).map(i => (i, (i * 2654435761L) % 97))
+    val df = new scala.util.Random(42).shuffle(rows).toDF("id", "v")
+    val (out, handle) = GlobalIndex.globalPrefixSumWithHandle(
+      df, Seq(col("id").asc), "v", 8)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("prefix_sum")).toMap
+    handle.release()
+    var acc = 0L
+    rows.foreach { case (id, v) =>
+      acc += v
+      assert(got(id) == acc, s"id $id")
+    }
+  }
+
+  test("budgetPack: equals the sequential greedy replay; budget " +
+      "respected and binding") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = GlobalIndex.budgetPack(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    // sequential replay of the greedy from the same scored frame
+    val scored2 = docs.select(col("doc_id"),
+        expr("CAST(CEIL(length(text) / 4.0) AS LONG)").as("t"),
+        graft.operators.TextAnalysis.qualityScoreCol(col("text"))
+          .as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2) / r.getLong(1)))
+      .sortBy { case (id, _, d) => (-d, id) }
+    var acc = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    scored2.foreach { case (id, t, _) =>
+      acc += t
+      if (acc <= GlobalIndex.PackBudgetTokens) expect(id) = acc
+    }
+    assert(kept == expect.toMap)
+    assert(kept.values.max <= GlobalIndex.PackBudgetTokens)
+    assert(acc > GlobalIndex.PackBudgetTokens,
+      "fixture corpus must exceed the budget (the cut is binding)")
+  }
 }
