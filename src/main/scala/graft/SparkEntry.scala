@@ -1032,6 +1032,42 @@ object SparkEntry {
     // states exactly that plan).
     "q155_budget_pack" -> ((s, dir) =>
       operators.GlobalIndex.budgetPack(documents(s, dir))),
+    // Streaming CUSUM monitor: batch-trained (mu, sigma) constants,
+    // per-type open-hour state, hours close data-driven — matches
+    // the batch q150 rows minus each type's final open hour.
+    "q156_stream_cusum" -> ((s, dir) => {
+      val evAll = operators.EventsQueries.events(s, dir)
+      val stats = operators.EventsQueries.cusumStats(evAll)
+      val ev = evAll.select(col("ts_ms"), col("event_type"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cusum-q156").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"),
+        max(col("ts_ms")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("ts_ms") <= b1,
+        col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q156_hours")
+      val q = streaming.StreamingCusum.monitor(stream, stats).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q156_hours").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q156_hours")
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1285,6 +1321,7 @@ object SparkEntry {
     "q153_stream_markov" -> OracleSql.markovTransitions,
     "q154_psi_drift" -> OracleSql.psiDrift,
     "q155_budget_pack" -> OracleSql.budgetPack,
+    "q156_stream_cusum" -> OracleSql.cusumClosed,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

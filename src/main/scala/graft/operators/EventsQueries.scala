@@ -354,18 +354,35 @@ object EventsQueries {
     * aggregation (the only event-stream pass), a type-count-bounded
     * stats reduction broadcast back, and two type-partitioned
     * windows over the HOURLY frame (types × hours, never events). */
-  def cusumAnomalies(events: DataFrame): DataFrame = {
-    val hourly = events
+  /** The (type, hour) count frame shared by [[cusumAnomalies]] and
+    * the streaming monitor's trainer. */
+  def cusumHourly(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"),
         expr("ts_ms DIV 3600000").as("hour_id"))
       .agg(count(lit(1)).as("n_events"))
-    val stats = hourly.groupBy(col("event_type"))
+
+  /** Per-type (μ, σ) from exact integer moments of the hourly frame
+    * — the statistics both CUSUM halves share. */
+  def cusumStatsFrame(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_h"), sum(col("n_events")).as("sx"),
         sum(col("n_events") * col("n_events")).as("sq"))
       .select(col("event_type"),
         (col("sx").cast("double") / col("n_h")).as("mu"),
         (sqrt((col("n_h") * col("sq") - col("sx") * col("sx"))
           .cast("double")) / col("n_h")).as("sigma"))
+
+  /** The trained monitor model for SERVING — bounded by the event-
+    * type cardinality (the codebook bring-to-driver contract). */
+  def cusumStats(events: DataFrame): Map[String, (Double, Double)] =
+    cusumStatsFrame(cusumHourly(events)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+
+  def cusumAnomalies(events: DataFrame): DataFrame = {
+    val hourly = cusumHourly(events)
+    val stats = cusumStatsFrame(hourly)
     val run = Window.partitionBy(col("event_type"))
       .orderBy(col("hour_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

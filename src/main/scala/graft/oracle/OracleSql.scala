@@ -2438,6 +2438,21 @@ SELECT event_type, hour_id, n_events, cusum,
 FROM cs"""
   }
 
+  /** Mirror of [[graft.streaming.StreamingCusum.monitor]] (q156):
+    * the batch q150 derivation restricted to CLOSED hours — each
+    * type's final observed hour is still open in state (the q143
+    * emission contract). */
+  def cusumClosed: String =
+    s"""WITH allhours AS (
+  SELECT * FROM ($cusumAnomalies)
+), mx AS (
+  SELECT event_type, MAX(hour_id) AS mh
+  FROM allhours GROUP BY event_type
+)
+SELECT f.event_type, f.hour_id, f.n_events, f.cusum, f.alarm
+FROM allhours f JOIN mx USING (event_type)
+WHERE f.hour_id < mx.mh"""
+
   /** Mirror of [[graft.operators.EventsQueries.hourlySeasonality]]
     * (q147): integer epoch-hour buckets, exact cents sums, identical
     * mean/index operand order. */
