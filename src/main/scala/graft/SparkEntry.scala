@@ -1068,6 +1068,12 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q156_hours")
     }),
+    // Wald SPRT over the daily purchase share: sequential testing
+    // with priced-in peeking — running LLR walk, prefix-extreme
+    // decision state.
+    "q157_sprt" -> ((s, dir) =>
+      operators.EventsQueries.sprtDaily(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1322,6 +1328,7 @@ object SparkEntry {
     "q154_psi_drift" -> OracleSql.psiDrift,
     "q155_budget_pack" -> OracleSql.budgetPack,
     "q156_stream_cusum" -> OracleSql.cusumClosed,
+    "q157_sprt" -> OracleSql.sprtDaily,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

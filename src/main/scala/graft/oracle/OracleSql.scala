@@ -2348,6 +2348,42 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
 FROM tm"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.sprtDaily]] (q157):
+    * the same per-unit log-increments computed from the shared
+    * p0/p1 literals, the row-sequential running LLR, prefix
+    * extremes, and the identical decision CASE. */
+  def sprtDaily: String = {
+    import graft.operators.EventsQueries.{SprtBound, SprtP0, SprtP1}
+    val incPos = math.log(SprtP1 / SprtP0)
+    val incNeg = math.log((1 - SprtP1) / (1 - SprtP0))
+    s"""WITH d AS (
+  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           END) AS BIGINT) AS n_purchases
+  FROM events GROUP BY day
+), r AS (
+  SELECT *,
+    SUM(n_purchases * CAST($incPos AS DOUBLE)
+        + (n_events - n_purchases) * CAST($incNeg AS DOUBLE))
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
+  FROM d
+), x AS (
+  SELECT *,
+    MAX(llr) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS hi,
+    MIN(llr) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lo
+  FROM r
+)
+SELECT day, n_events, n_purchases, llr,
+  CASE WHEN hi > $SprtBound AND lo < -$SprtBound THEN
+         CASE WHEN hi + lo >= 0 THEN 'accept_h1'
+              ELSE 'accept_h0' END
+       WHEN hi > $SprtBound THEN 'accept_h1'
+       WHEN lo < -$SprtBound THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM x"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.kaplanMeier]]
     * (q152): same day buckets, censor rule, reverse-cumulative risk
     * set, guarded ln-prefix product (the zero-factor guard is the

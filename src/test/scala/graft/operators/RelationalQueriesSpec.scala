@@ -274,6 +274,39 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("sprtDaily: an elevated purchase share drives the walk to " +
+      "accept_h1 and the decision sticks; a null share continues") {
+    import spark.implicits._
+    val day = 86400000L
+    // 30% purchases (above p1=0.22): LLR climbs ~0.05/event — with
+    // 100 events/day the boundary (~2.94) falls within a few days
+    def mk(share: Double, days: Int) = (0 until days).flatMap { d =>
+      (0 until 100).map { i =>
+        val tpe = if (i < (share * 100).toInt) "purchase" else "click"
+        (d.toLong * 100 + i, d * day + i, d.toLong * 100 + i, tpe)
+      }
+    }.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val hot = graft.operators.EventsQueries.sprtDaily(mk(0.30, 10))
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(hot.last.getString(4) == "accept_h1")
+    // once decided, later rows keep the decision
+    val firstIdx = hot.indexWhere(_.getString(4) == "accept_h1")
+    assert(firstIdx >= 0)
+    hot.drop(firstIdx).foreach(r => assert(r.getString(4) == "accept_h1"))
+    // at the null p0 the walk drifts to accept_h0 eventually
+    val cold = graft.operators.EventsQueries.sprtDaily(mk(0.10, 10))
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(cold.last.getString(4) == "accept_h0")
+    // llr is the exact running sum of the two increments
+    val incP = math.log(0.22 / 0.18)
+    val incN = math.log(0.78 / 0.82)
+    var acc = 0.0
+    hot.foreach { r =>
+      acc += r.getLong(2) * incP + (r.getLong(1) - r.getLong(2)) * incN
+      assert(math.abs(r.getAs[Double]("llr") - acc) < 1e-12)
+    }
+  }
+
   test("kaplanMeier: hand cohort — censoring removes users from " +
       "the risk set instead of counting them churned") {
     import spark.implicits._
