@@ -1074,6 +1074,12 @@ object SparkEntry {
     "q157_sprt" -> ((s, dir) =>
       operators.EventsQueries.sprtDaily(
         operators.EventsQueries.events(s, dir))),
+    // Deterministic subsampling-bootstrap CI for the mean: 32
+    // hash-defined half-sample replicas in ONE aggregation pass,
+    // exact-cents sums, ordered replica-mean band.
+    "q158_bootstrap_ci" -> ((s, dir) =>
+      operators.EventsQueries.bootstrapCiMean(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1329,6 +1335,7 @@ object SparkEntry {
     "q155_budget_pack" -> OracleSql.budgetPack,
     "q156_stream_cusum" -> OracleSql.cusumClosed,
     "q157_sprt" -> OracleSql.sprtDaily,
+    "q158_bootstrap_ci" -> OracleSql.bootstrapCiMean,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

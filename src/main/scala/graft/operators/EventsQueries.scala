@@ -269,6 +269,54 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** Replica count of [[bootstrapCiMean]] (q158). */
+  val BootstrapB = 32
+
+  /** Deterministic subsampling-bootstrap CI for the mean (q158) —
+    * the uncertainty quantification step dashboards skip and
+    * shouldn't: [[BootstrapB]] half-sample replicas, each defined by
+    * DETERMINISTIC membership (shifted Knuth hash of event_id — no
+    * RNG, so the CI is reproducible and oracle-mirrorable), replica
+    * means from exact cents sums, CI = the percentile band of the
+    * ordered replica means (the m-out-of-n bootstrap percentile
+    * form).
+    *
+    * Scale design (100 TB): ONE aggregation pass computes all
+    * 2·[[BootstrapB]] conditional sums (codegen'd whens — no 32×
+    * replica fan-out, no shuffle beyond the single global
+    * reduction); the order statistics come from a sort over a
+    * [[BootstrapB]]-element ARRAY in the one result row. Every sum
+    * is an exact integer; means and the band are fixed-order double
+    * expressions. */
+  def bootstrapCiMean(events: DataFrame): DataFrame = {
+    val b = BootstrapB
+    // membership hash: high bits of event_id·K, shifted per replica
+    // — all arithmetic stays far inside int64 (no overflow: DuckDB
+    // errors where Spark would wrap)
+    def keep(r: Int) = expr(
+      s"((event_id * ${Sampling.HashMult}L) DIV 1048576 + $r * 7919) % 1000") < 500
+    val cents = round(col("value") * 100).cast("long")
+    val aggs =
+      Seq(count(lit(1)).as("n_events"),
+        sum(cents).as("s_all")) ++
+      (0 until b).flatMap { r =>
+        Seq(sum(when(keep(r), cents).otherwise(0L)).as(s"s_$r"),
+          sum(when(keep(r), 1L).otherwise(0L)).as(s"n_$r"))
+      }
+    val wide = events.select(col("event_id"), col("value"))
+      .agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until b).map(r =>
+      col(s"s_$r").cast("double") / col(s"n_$r") / 100.0): _*)
+    wide.select(col("n_events"),
+        (col("s_all").cast("double") / col("n_events") / 100.0)
+          .as("mean_value"),
+        sort_array(means).as("ms"))
+      .select(col("n_events"), col("mean_value"),
+        element_at(col("ms"), 1).as("ci_lo"),
+        element_at(col("ms"), b - 1).as("ci_hi"),
+        lit(b.toLong).as("n_replicas"))
+  }
+
   /** SPRT hypotheses and error rates (q157) — one set of literals
     * shared with the oracle: H0 p=0.18 vs H1 p=0.22 for the
     * purchase share, α = β = 0.05 → symmetric log boundaries

@@ -2348,6 +2348,43 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
 FROM tm"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.bootstrapCiMean]]
+    * (q158): the same shifted-hash replica membership, exact-cents
+    * conditional sums, ordered replica-mean band. */
+  def bootstrapCiMean: String = {
+    import graft.operators.EventsQueries.BootstrapB
+    import graft.operators.Sampling.HashMult
+    val b = BootstrapB
+    def keep(r: Int) =
+      s"(((event_id * $HashMult) // 1048576 + $r * 7919) % 1000) < 500"
+    val sums = (0 until b).flatMap { r =>
+      Seq(
+        s"CAST(SUM(CASE WHEN ${keep(r)} THEN cents ELSE 0 END) AS BIGINT) AS s_$r",
+        s"CAST(SUM(CASE WHEN ${keep(r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_$r")
+    }.mkString(",\n         ")
+    val meanList = (0 until b)
+      .map(r => s"CAST(s_$r AS DOUBLE) / n_$r / 100.0")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT COUNT(*) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS s_all,
+         $sums
+  FROM e
+), m AS (
+  SELECT n_events,
+         CAST(s_all AS DOUBLE) / n_events / 100.0 AS mean_value,
+         list_sort($meanList) AS ms
+  FROM w
+)
+SELECT n_events, mean_value,
+       ms[1] AS ci_lo, ms[${b - 1}] AS ci_hi,
+       CAST($b AS BIGINT) AS n_replicas
+FROM m"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.sprtDaily]] (q157):
     * the same per-unit log-increments computed from the shared
     * p0/p1 literals, the row-sequential running LLR, prefix

@@ -274,6 +274,33 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("bootstrapCiMean: the band brackets the full mean, narrows " +
+      "with more data, and is exactly reproducible") {
+    import spark.implicits._
+    def mk(n: Int) = (1 to n).map(i =>
+      (i.toLong, i.toLong, i.toLong, "x", (i % 100) * 1.0))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val small = graft.operators.EventsQueries.bootstrapCiMean(mk(200))
+      .collect().head
+    val big = graft.operators.EventsQueries.bootstrapCiMean(mk(5000))
+      .collect().head
+    Seq(small, big).foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_value"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi, s"band [$lo, $hi] vs mean $m")
+      assert(r.getAs[Long]("n_replicas") ==
+        graft.operators.EventsQueries.BootstrapB)
+    }
+    val wS = small.getAs[Double]("ci_hi") - small.getAs[Double]("ci_lo")
+    val wB = big.getAs[Double]("ci_hi") - big.getAs[Double]("ci_lo")
+    assert(wB < wS, s"width $wB should shrink from $wS with 25x data")
+    val again = graft.operators.EventsQueries.bootstrapCiMean(mk(200))
+      .collect().head
+    assert(again.getAs[Double]("ci_lo") == small.getAs[Double]("ci_lo")
+      && again.getAs[Double]("ci_hi") == small.getAs[Double]("ci_hi"),
+      "deterministic membership -> identical band on re-run")
+  }
+
   test("sprtDaily: an elevated purchase share drives the walk to " +
       "accept_h1 and the decision sticks; a null share continues") {
     import spark.implicits._
