@@ -1080,6 +1080,11 @@ object SparkEntry {
     "q158_bootstrap_ci" -> ((s, dir) =>
       operators.EventsQueries.bootstrapCiMean(
         operators.EventsQueries.events(s, dir))),
+    // Benford first-digit audit screen: string-derived digits over
+    // exact cents, chi-square GOF vs the Benford expectation.
+    "q159_benford" -> ((s, dir) =>
+      operators.EventsQueries.benfordScreen(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1336,6 +1341,7 @@ object SparkEntry {
     "q156_stream_cusum" -> OracleSql.cusumClosed,
     "q157_sprt" -> OracleSql.sprtDaily,
     "q158_bootstrap_ci" -> OracleSql.bootstrapCiMean,
+    "q159_benford" -> OracleSql.benfordScreen,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -269,6 +269,53 @@ object EventsQueries {
     * reduction, then a single constant-size aggregation to the four
     * cells — the statistic itself is a row-local projection of one
     * row. */
+  /** Benford first-digit audit screen (q159) — the classic
+    * fabricated-numbers detector (accounting forensics, sensor
+    * sanity): first significant digit of the cent amounts vs the
+    * Benford expectation P(d) = log₁₀(1 + 1/d), with the χ²
+    * goodness-of-fit accumulating across digits (the fixture's
+    * synthetic uniform-ish values FAIL Benford — which is the
+    * point: the screen flags non-scale-invariant generators, and
+    * the spec pins a genuinely Benford-distributed hand sample
+    * PASSING). First digit via string arithmetic on the exact cents
+    * integer (no log10 FP edge cases); expected fractions are
+    * Scala-computed literals CAST to DOUBLE in the mirror; terms
+    * and the cumulative follow the q150 sequential-window
+    * discipline.
+    *
+    * Scale design: one map-side-combined digit aggregation (9 rows
+    * out); everything after is on the digit frame. */
+  def benfordScreen(events: DataFrame): DataFrame = {
+    val expected = (1 to 9)
+      .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val digits = events
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val run = Window.orderBy(col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expCol = (2 to 9).foldLeft(
+      when(col("digit") === 1, lit(expected(1)))) {
+      (acc, d) => acc.when(col("digit") === d, lit(expected(d)))
+    }
+    digits
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("expected_frac", expCol)
+      .withColumn("observed_frac",
+        col("n").cast("double") / col("total"))
+      .withColumn("term",
+        (col("n") - col("expected_frac") * col("total")) *
+          (col("n") - col("expected_frac") * col("total")) /
+          (col("expected_frac") * col("total")))
+      .select(col("digit"), col("n"), col("observed_frac"),
+        col("expected_frac"), col("term"),
+        sum(col("term")).over(run).as("cum_chi2"))
+  }
+
   /** Replica count of [[bootstrapCiMean]] (q158). */
   val BootstrapB = 32
 

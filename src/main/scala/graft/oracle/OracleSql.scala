@@ -2348,6 +2348,39 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
 FROM tm"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.benfordScreen]]
+    * (q159): same string-derived first digit over exact cents, the
+    * identical Scala-computed expectation literals (CAST to
+    * DOUBLE), term order and sequential cumulative. */
+  def benfordScreen: String = {
+    val cases = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString("\n           ")
+    s"""WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), dg AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+    AS digit
+  FROM c WHERE cents > 0
+), n AS (
+  SELECT digit, COUNT(*) AS n FROM dg GROUP BY digit
+), t AS (
+  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total,
+    CASE $cases END AS expected_frac
+  FROM n
+), tm AS (
+  SELECT *,
+    CAST(n AS DOUBLE) / total AS observed_frac,
+    (n - expected_frac * total) * (n - expected_frac * total)
+      / (expected_frac * total) AS term
+  FROM t
+)
+SELECT digit, n, observed_frac, expected_frac, term,
+       SUM(term) OVER (ORDER BY digit ROWS UNBOUNDED PRECEDING)
+         AS cum_chi2
+FROM tm"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.bootstrapCiMean]]
     * (q158): the same shifted-hash replica membership, exact-cents
     * conditional sums, ordered replica-mean band. */

@@ -274,6 +274,31 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("benfordScreen: a log-uniform sample passes the chi-square " +
+      "line, a uniform sample fails it loudly") {
+    import spark.implicits._
+    val chi2crit = 15.507 // chi-square(8), alpha = 0.05
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, i.toLong, "x", v)
+    }.toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    // powers of 1.05 spread log-uniformly over many decades ->
+    // Benford holds
+    val benford = graft.operators.EventsQueries.benfordScreen(
+      mk((1 to 500).map(k => math.pow(1.05, k))))
+      .collect().sortBy(_.getAs[Long]("digit"))
+    assert(benford.length == 9)
+    assert(benford.last.getAs[Double]("cum_chi2") < chi2crit,
+      s"log-uniform chi2 ${benford.last.getAs[Double]("cum_chi2")}")
+    // uniform 100..999 -> uniform first digits, wildly non-Benford
+    val uniform = graft.operators.EventsQueries.benfordScreen(
+      mk((100 to 999).map(_.toDouble)))
+      .collect().sortBy(_.getAs[Long]("digit"))
+    assert(uniform.last.getAs[Double]("cum_chi2") > 10 * chi2crit,
+      s"uniform chi2 ${uniform.last.getAs[Double]("cum_chi2")}")
+    val fracs = uniform.map(_.getAs[Double]("observed_frac")).sum
+    assert(math.abs(fracs - 1.0) < 1e-12)
+  }
+
   test("bootstrapCiMean: the band brackets the full mean, narrows " +
       "with more data, and is exactly reproducible") {
     import spark.implicits._
