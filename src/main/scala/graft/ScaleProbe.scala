@@ -441,6 +441,14 @@ object ScaleProbe {
           graft.operators.TextAnalysis.vocabGrowth(docs))
         spark.catalog.clearCache(); docs.persist(); docs.count()
       }
+      // token-budget greedy over the distributed prefix sum: one
+      // range exchange + a one-long-per-partition offset job — the
+      // curve must be the range sort, linear with no reducer funnel
+      if (wanted("budget_pack")) {
+        time(factor, "budget_pack")(
+          graft.operators.GlobalIndex.budgetPack(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
       // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
@@ -661,7 +669,7 @@ object ScaleProbe {
       // user-partitioned windows + bounded aggs, so each curve must
       // be linear with no bend from any global stage
       if (Seq("scd2", "attribution", "markov", "session_paths",
-          "cuped").exists(wanted)) {
+          "cuped", "cusum", "kaplan_meier").exists(wanted)) {
         val ev0 = graft.operators.EventsQueries.events(spark, sfDir)
           .select(col("user_id"), col("ts_ms"), col("event_id"),
             col("event_type"), col("value"), col("props"))
@@ -686,6 +694,14 @@ object ScaleProbe {
         if (wanted("cuped"))
           time(factor, "cuped")(
             graft.operators.EventsQueries.cupedLift(ev))
+        // sequential statistics: one event pass + hour/day-frame
+        // windows — both curves must be the single aggregation
+        if (wanted("cusum"))
+          time(factor, "cusum")(
+            graft.operators.EventsQueries.cusumAnomalies(ev))
+        if (wanted("kaplan_meier"))
+          time(factor, "kaplan_meier")(
+            graft.operators.EventsQueries.kaplanMeier(ev))
         ev.unpersist()
         spark.catalog.clearCache()
       }
