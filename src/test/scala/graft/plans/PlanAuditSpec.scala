@@ -662,4 +662,71 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
         s"scan reads $s")
     }
   }
+
+  test("globalPrefixSum plans NO window operator — the prefix sum " +
+      "is the range exchange + offset pass by design (q155)") {
+    // the graded query localCheckpoints its result, so audit the
+    // primitive's own plan, pre-checkpoint
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val (out, handle) = graft.operators.GlobalIndex
+      .globalPrefixSumWithHandle(df,
+        Seq(org.apache.spark.sql.functions.col("id").asc), "v", 4)
+    val plan = out.queryExecution.executedPlan.toString
+    handle.release()
+    assert(!plan.contains("Window"),
+      "a Window in the plan means the single-reducer running sum " +
+        "crept back in")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "the range exchange must be present")
+  }
+
+  test("q134/q139/q140 event windows are all USER-partitioned — no " +
+      "global-order window over the event stream") {
+    Seq("q134_scd2_dim", "q139_markov", "q140_attribution").foreach {
+      name =>
+        val plan = q(name).queryExecution.executedPlan.toString
+        val windows = """Window \[""".r.findAllIn(plan).toSeq
+        assert(windows.nonEmpty, s"$name plans no window?")
+        // every window spec must carry a bounded partition key —
+        // user_id for the event-stream passes, event_type for the
+        // TYPE²-bounded normalize step (q139)
+        """windowspecdefinition\(([^)]*)\)""".r
+          .findAllMatchIn(plan).foreach { m =>
+            assert(m.group(1).contains("user_id") ||
+              m.group(1).contains("event_type"),
+              s"$name has an unpartitioned window: " +
+                m.group(1).take(80))
+          }
+    }
+  }
+
+  test("q146 item counts and basket total join back BROADCAST; the " +
+      "pair build shuffles only on the basket key") {
+    val df = q("q146_item_pairs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "item-count / basket-total joins must broadcast")
+    assert(!plan.toLowerCase.contains("cartesianproduct") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).nonEmpty,
+      "no cartesian in the pair build")
+  }
+
+  test("q137 novelty: the exploded shingle stream crosses exactly " +
+      "one hash exchange before the doc-keyed reduction") {
+    // two map-side-combined aggregations (hash key, then first_doc)
+    // plus the final left join's exchanges; the point is a BOUNDED
+    // count — no plan where the gram stream shuffles repeatedly
+    val n = shuffleCount(q("q137_ngram_novelty"))
+    assert(n <= 4, s"novelty plans $n hash exchanges")
+  }
+
+  test("q158 bootstrap runs as ONE aggregation pass — no replica " +
+      "fan-out exchange") {
+    val df = q("q158_bootstrap_ci")
+    val n = shuffleCount(df)
+    assert(n <= 1, s"bootstrap plans $n hash exchanges")
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      "replica sums must be conditional aggregates, not an Expand")
+  }
 }
