@@ -1085,6 +1085,11 @@ object SparkEntry {
     "q159_benford" -> ((s, dir) =>
       operators.EventsQueries.benfordScreen(
         operators.EventsQueries.events(s, dir))),
+    // Hourly-volume autocorrelation: exact integer moments via the
+    // expanded form (no FP deviation sums), hour-frame lag join.
+    "q160_acf" -> ((s, dir) =>
+      operators.EventsQueries.hourlyAcf(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1342,6 +1347,7 @@ object SparkEntry {
     "q157_sprt" -> OracleSql.sprtDaily,
     "q158_bootstrap_ci" -> OracleSql.bootstrapCiMean,
     "q159_benford" -> OracleSql.benfordScreen,
+    "q160_acf" -> OracleSql.hourlyAcf,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

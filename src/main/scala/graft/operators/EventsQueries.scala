@@ -316,6 +316,61 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Maximum lag of [[hourlyAcf]] (q160). */
+  val AcfMaxLag = 24
+
+  /** Exact-moment autocorrelation function of the hourly volume
+    * series (q160) — the periodicity diagnostic read before tuning
+    * any monitor on the series (a strong lag-24 spike says the q150
+    * CUSUM needs the q147 seasonal profile subtracted first; ACF
+    * near zero says the residual is monitor-ready):
+    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² per event type for lags
+    * 1..[[AcfMaxLag]], computed from EXPANDED moments so every
+    * corpus-sized sum is an exact INTEGER (Σx_t·x_{t+k}, overlap
+    * sums, Σx² — order-independent); r_k is then one fixed-order
+    * double expression over those integers — bit-identical in the
+    * mirror, no rounding. (The textbook centered form would sum
+    * FP deviations in partition order — the hazard the expansion
+    * removes.)
+    *
+    * Scale design (100 TB): the hourly frame is types × hours; the
+    * lag join explodes it ×[[AcfMaxLag]] and joins on
+    * (type, hour+lag) — hour-frame-sized work, never event-sized;
+    * per-type totals broadcast back. */
+  def hourlyAcf(events: DataFrame, maxLag: Int = AcfMaxLag)
+      : DataFrame = {
+    val h = cusumHourly(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_h"), sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+    val a = h.select(col("event_type"), col("hour_id"),
+        col("n_events").as("xa"))
+      .withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+      .withColumn("b_hour", col("hour_id") + col("lag"))
+    val bSide = h.select(col("event_type"),
+      col("hour_id").as("b_hour"), col("n_events").as("xb"))
+    val pairs = a.join(bSide, Seq("event_type", "b_hour"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"))
+    pairs.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        ((col("sxy").cast("double") -
+          (col("sx").cast("double") / col("n_h")) *
+            (col("sa") + col("sb")) +
+          col("n_pairs") *
+            ((col("sx").cast("double") / col("n_h")) *
+              (col("sx").cast("double") / col("n_h")))) /
+          (col("sq").cast("double") -
+            col("n_h") *
+              ((col("sx").cast("double") / col("n_h")) *
+                (col("sx").cast("double") / col("n_h")))))
+          .as("acf"))
+  }
+
   /** Replica count of [[bootstrapCiMean]] (q158). */
   val BootstrapB = 32
 

@@ -2348,6 +2348,45 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
 FROM tm"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.hourlyAcf]] (q160):
+    * same hourly frame, lag explode/join, exact integer moments and
+    * the identical expanded-form expression. */
+  def hourlyAcf: String = {
+    val maxLag = graft.operators.EventsQueries.AcfMaxLag
+    s"""WITH h AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000) // 3600000 AS hour_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, hour_id
+), t AS (
+  SELECT event_type, COUNT(*) AS n_h,
+         CAST(SUM(n_events) AS BIGINT) AS sx,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+  FROM h GROUP BY event_type
+), lags AS (
+  SELECT unnest(range(1, ${maxLag + 1})) AS lag
+), p AS (
+  SELECT a.event_type, l.lag,
+         COUNT(*) AS n_pairs,
+         CAST(SUM(a.n_events * b.n_events) AS BIGINT) AS sxy,
+         CAST(SUM(a.n_events) AS BIGINT) AS sa,
+         CAST(SUM(b.n_events) AS BIGINT) AS sb
+  FROM h a CROSS JOIN lags l
+  JOIN h b ON b.event_type = a.event_type
+          AND b.hour_id = a.hour_id + l.lag
+  GROUP BY a.event_type, l.lag
+)
+SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+  ((CAST(p.sxy AS DOUBLE)
+     - (CAST(t.sx AS DOUBLE) / t.n_h) * (p.sa + p.sb)
+     + p.n_pairs * ((CAST(t.sx AS DOUBLE) / t.n_h)
+                    * (CAST(t.sx AS DOUBLE) / t.n_h)))
+   / (CAST(t.sq AS DOUBLE)
+     - t.n_h * ((CAST(t.sx AS DOUBLE) / t.n_h)
+                * (CAST(t.sx AS DOUBLE) / t.n_h)))) AS acf
+FROM p JOIN t USING (event_type)"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.benfordScreen]]
     * (q159): same string-derived first digit over exact cents, the
     * identical Scala-computed expectation literals (CAST to

@@ -274,6 +274,31 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("hourlyAcf: a period-2 alternating series shows acf(2) near " +
+      "+1 and acf(1) near -1; expansion matches the centered form") {
+    import spark.implicits._
+    val hr = 3600000L
+    // 48 hours alternating 10/30 events for one type
+    val events = (0 until 48).flatMap { h =>
+      val k = if (h % 2 == 0) 10 else 30
+      (1 to k).map(i => (h * 10L + i, h * hr + i, h * 100L + i, "X"))
+    }.toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.hourlyAcf(events)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        r.getAs[Double]("acf")).toMap
+    assert(out(2L) > 0.9, s"acf(2)=${out(2L)}")
+    assert(out(1L) < -0.9, s"acf(1)=${out(1L)}")
+    // centered-form replay (sequential, small): expansion must agree
+    val xs = (0 until 48).map(h => if (h % 2 == 0) 10.0 else 30.0)
+    val mu = xs.sum / xs.length
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    (1 to 24).foreach { k =>
+      val num = (0 until 48 - k)
+        .map(t => (xs(t) - mu) * (xs(t + k) - mu)).sum
+      assert(math.abs(out(k.toLong) - num / den) < 1e-9, s"lag $k")
+    }
+  }
+
   test("benfordScreen: a log-uniform sample passes the chi-square " +
       "line, a uniform sample fails it loudly") {
     import spark.implicits._
