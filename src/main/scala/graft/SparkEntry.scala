@@ -1090,6 +1090,14 @@ object SparkEntry {
     "q160_acf" -> ((s, dir) =>
       operators.EventsQueries.hourlyAcf(
         operators.EventsQueries.events(s, dir))),
+    // Point-in-time (feature-store) join: union-sort carry of the
+    // SCD2 attribute onto each event — graded through the closure
+    // property against a no-machinery direct oracle.
+    "q161_pit_join" -> ((s, dir) => {
+      val ev = operators.EventsQueries.events(s, dir)
+      operators.EventsQueries.pointInTimeJoin(ev,
+        operators.EventsQueries.scd2Dimension(ev))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1348,6 +1356,7 @@ object SparkEntry {
     "q158_bootstrap_ci" -> OracleSql.bootstrapCiMean,
     "q159_benford" -> OracleSql.benfordScreen,
     "q160_acf" -> OracleSql.hourlyAcf,
+    "q161_pit_join" -> OracleSql.pitJoinClosure,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

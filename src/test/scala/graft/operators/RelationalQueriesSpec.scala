@@ -274,6 +274,43 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("pointInTimeJoin: events see the dimension row valid AT " +
+      "their timestamp — including a foreign probe stream between " +
+      "change points") {
+    import spark.implicits._
+    // dimension for user 1: tier 0 on [1000, 3000), tier 1 open
+    val dim = Seq((1L, 0L, 1000L, Some(3000L), 2L, false),
+      (1L, 1L, 3000L, None, 1L, true))
+      .map(t => (t._1, t._2, t._3, t._4.map(Long.box).orNull, t._5,
+        t._6))
+      .toDF("user_id", "tier", "valid_from_ms", "valid_to_ms",
+        "n_events", "is_current")
+    // probes at boundary and interior points (NOT the events the
+    // dimension was built from — the serving case)
+    val probes = Seq((1L, 1000L, 10L), (1L, 2999L, 11L),
+      (1L, 3000L, 12L), (1L, 9999L, 13L))
+      .toDF("user_id", "ts_ms", "event_id")
+    val out = graft.operators.EventsQueries
+      .pointInTimeJoin(probes, dim).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // valid_from inclusive: the probe AT the change sees the NEW row
+    assert(out == Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 13L -> 1L))
+  }
+
+  test("pointInTimeJoin closure: enriching events against their " +
+      "own dimension reproduces every event's direct attribute") {
+    val ev = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val dim = graft.operators.EventsQueries.scd2Dimension(ev)
+    val out = graft.operators.EventsQueries.pointInTimeJoin(ev, dim)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val direct = ev.select(col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4)
+          .as("tier"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == direct)
+  }
+
   test("hourlyAcf: a period-2 alternating series shows acf(2) near " +
       "+1 and acf(1) near -1; expansion matches the centered form") {
     import spark.implicits._
