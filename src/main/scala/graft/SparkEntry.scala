@@ -1098,6 +1098,42 @@ object SparkEntry {
       operators.EventsQueries.pointInTimeJoin(ev,
         operators.EventsQueries.scd2Dimension(ev))
     }),
+    // Leakage-free streaming feature fetch: each event enriched with
+    // the PRE-event dimension state (what a model would have seen);
+    // closure oracle = a plain lag window.
+    "q162_stream_pit" -> ((s, dir) => {
+      val ev = operators.EventsQueries.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("props"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-pit-q162").toString
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"),
+        max(col("ts_ms")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("ts_ms") <= b1,
+        col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q162_serve")
+      val q = streaming.StreamingScd2.serveFetch(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q162_serve").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q162_serve")
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1357,6 +1393,7 @@ object SparkEntry {
     "q159_benford" -> OracleSql.benfordScreen,
     "q160_acf" -> OracleSql.hourlyAcf,
     "q161_pit_join" -> OracleSql.pitJoinClosure,
+    "q162_stream_pit" -> OracleSql.serveFetchClosure,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -2927,6 +2927,19 @@ SELECT user_id, tier, valid_from_ms,
          IS NULL) AS is_current
 FROM g"""
 
+  /** Closure oracle of [[graft.streaming.StreamingScd2.serveFetch]]
+    * (q162): the pre-event dimension state IS the previous event's
+    * attribute — a plain lag window, no state machinery. */
+  def serveFetchClosure: String =
+    """SELECT user_id, event_id,
+       epoch_ns(ts) // 1000000 AS ts_ms,
+       COALESCE(
+         lag(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000000, event_id),
+         -1) AS prev_tier
+FROM events"""
+
   /** Mirror of [[graft.streaming.StreamingScd2.dimension]] (q143):
     * the batch q134 derivation restricted to its CLOSED rows — the
     * streaming operator's emission contract (open rows live in

@@ -54,6 +54,62 @@ class StreamingScd2Spec extends AnyFunSuite with SparkSessionSpec {
     assert(out.toSeq == Seq((1L, 0L, 1000L, 3000L, 2L)))
   }
 
+  test("serveFetch: each event sees the PRE-event state — the " +
+      "previous event's tier, -1 for the first, across batches") {
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingScd2.serveFetch(
+        ms.toDF().toDF("user_id", "ts_ms", "event_id", "props"))
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("scd2-serve-cp").toString)
+      .format("memory").queryName("serve_hand").start()
+    ms.addData((5L, 1000L, 1L, """{"k": 0}"""),
+      (5L, 2000L, 2L, """{"k": 1}"""))
+    q.processAllAvailable()
+    ms.addData((5L, 3000L, 3L, """{"k": 1}"""))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("serve_hand").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> -1L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("serveFetch fixture closure: prev_tier equals lag(direct " +
+      "tier) for every event, whatever the wave boundaries") {
+    val ev = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("props"))
+    val rows = ev.as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._2, e._3))
+    val third = math.max(1, rows.length / 3)
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingScd2.serveFetch(
+        ms.toDF().toDF("user_id", "ts_ms", "event_id", "props"))
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("scd2-serve-fx").toString)
+      .format("memory").queryName("serve_fx").start()
+    rows.grouped(third).foreach { w =>
+      ms.addData(w.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("serve_fx").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val expect = ev
+      .withColumn("tier",
+        get_json_object(col("props"), "$.k").cast("long") % 4)
+      .withColumn("prev", coalesce(lag(col("tier"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))), lit(-1L)))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("prev")).toMap
+    assert(got == expect)
+  }
+
   test("streamed closes equal the batch dimension's closed rows on " +
       "the fixture, whatever the wave boundaries") {
     val ev = graft.operators.EventsQueries
