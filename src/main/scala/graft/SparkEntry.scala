@@ -1134,6 +1134,12 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q162_serve")
     }),
+    // Wilson score intervals for daily conversion shares (Wald
+    // alongside for comparison): exact counts, one fixed-order
+    // expression per day row.
+    "q163_wilson" -> ((s, dir) =>
+      operators.EventsQueries.conversionWilson(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1394,6 +1400,7 @@ object SparkEntry {
     "q160_acf" -> OracleSql.hourlyAcf,
     "q161_pit_join" -> OracleSql.pitJoinClosure,
     "q162_stream_pit" -> OracleSql.serveFetchClosure,
+    "q163_wilson" -> OracleSql.conversionWilson,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

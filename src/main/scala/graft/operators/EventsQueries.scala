@@ -316,6 +316,51 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Wilson z of [[conversionWilson]] (q163) — 95%, one shared
+    * literal. */
+  val WilsonZ = 1.959963984540054
+
+  /** Wilson score intervals for daily conversion shares (q163) —
+    * the proportion CI that behaves at small n and extreme p where
+    * the naive Wald interval collapses (p̂ ± z√(p̂q̂/n) is the
+    * textbook error this operator exists to replace; Wald is also
+    * emitted for the comparison): per day, the share of events that
+    * are purchases with
+    * center = (p̂ + z²/2n) / (1 + z²/n) and half-width
+    * z·√(p̂q̂/n + z²/4n²) / (1 + z²/n). Counts exact; the interval
+    * is one fixed-order double expression per row — bit-identical,
+    * no rounding.
+    *
+    * Scale design: one map-side-combined aggregation to the DAY
+    * frame; everything after is row-local. */
+  def conversionWilson(events: DataFrame): DataFrame = {
+    // the share under test: purchases among each DAY's events (the
+    // daily-conversion dashboard row)
+    val daily = events
+      .groupBy(expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+    val z = lit(WilsonZ)
+    val zz = z * z
+    daily
+      .withColumn("p_hat", col("k").cast("double") / col("n"))
+      .withColumn("center",
+        (col("p_hat") + zz / (lit(2.0) * col("n"))) /
+          (lit(1.0) + zz / col("n")))
+      .withColumn("half",
+        z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / col("n") +
+          zz / (lit(4.0) * col("n") * col("n"))) /
+          (lit(1.0) + zz / col("n")))
+      .select(col("day"), col("n"), col("k"), col("p_hat"),
+        (col("center") - col("half")).as("wilson_lo"),
+        (col("center") + col("half")).as("wilson_hi"),
+        (col("p_hat") - z * sqrt(col("p_hat") *
+          (lit(1.0) - col("p_hat")) / col("n"))).as("wald_lo"),
+        (col("p_hat") + z * sqrt(col("p_hat") *
+          (lit(1.0) - col("p_hat")) / col("n"))).as("wald_hi"))
+  }
+
   /** Point-in-time dimension join (q161) — the feature-store
     * staple: enrich every event with the SCD2 dimension row VALID AT
     * its timestamp (training-serving skew is exactly what happens

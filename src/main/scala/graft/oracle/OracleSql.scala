@@ -2469,6 +2469,35 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.conversionWilson]]
+    * (q163): identical center/half-width operand order under the
+    * shared z literal (CAST to DOUBLE — DECIMAL widening). */
+  def conversionWilson: String = {
+    val z = graft.operators.EventsQueries.WilsonZ
+    s"""WITH d AS (
+  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           END) AS BIGINT) AS k
+  FROM events GROUP BY day
+), w AS (
+  SELECT *, CAST(k AS DOUBLE) / n AS p_hat,
+         CAST($z AS DOUBLE) AS z
+  FROM d
+), c AS (
+  SELECT *,
+    (p_hat + z * z / (2.0 * n)) / (1.0 + z * z / n) AS center,
+    z * sqrt(p_hat * (1.0 - p_hat) / n
+             + z * z / (4.0 * n * n)) / (1.0 + z * z / n) AS half
+  FROM w
+)
+SELECT day, n, k, p_hat,
+       center - half AS wilson_lo, center + half AS wilson_hi,
+       p_hat - z * sqrt(p_hat * (1.0 - p_hat) / n) AS wald_lo,
+       p_hat + z * sqrt(p_hat * (1.0 - p_hat) / n) AS wald_hi
+FROM c"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.sprtDaily]] (q157):
     * the same per-unit log-increments computed from the shared
     * p0/p1 literals, the row-sequential running LLR, prefix

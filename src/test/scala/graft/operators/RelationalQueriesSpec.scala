@@ -274,6 +274,40 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("conversionWilson: brackets p_hat, stays inside [0,1] where " +
+      "Wald collapses, and matches a reference computation") {
+    import spark.implicits._
+    val day = 86400000L
+    // day 0: 1 purchase of 2 events (p=0.5, n tiny);
+    // day 1: 0 purchases of 5 (p=0 — Wald width 0, the failure mode)
+    val events = Seq(
+      (1L, 1L, 1L, "purchase"), (2L, 2L, 2L, "click"),
+      (3L, day + 1, 3L, "click"), (4L, day + 2, 4L, "click"),
+      (5L, day + 3, 5L, "view"), (6L, day + 4, 6L, "click"),
+      (7L, day + 5, 7L, "error"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.conversionWilson(events)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    val z = graft.operators.EventsQueries.WilsonZ
+    val d0 = out(0L)
+    assert(d0.getAs[Double]("wilson_lo") <= 0.5 &&
+      0.5 <= d0.getAs[Double]("wilson_hi"))
+    // reference Wilson for k=1, n=2
+    val p = 0.5; val n = 2.0
+    val center = (p + z * z / (2 * n)) / (1 + z * z / n)
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) /
+      (1 + z * z / n)
+    assert(math.abs(d0.getAs[Double]("wilson_lo") - (center - half))
+      < 1e-12)
+    val d1 = out(1L)
+    // p_hat = 0: Wald degenerates to [0, 0]; Wilson stays informative
+    assert(d1.getAs[Double]("wald_lo") == 0.0 &&
+      d1.getAs[Double]("wald_hi") == 0.0)
+    assert(d1.getAs[Double]("wilson_hi") > 0.3,
+      s"Wilson upper ${d1.getAs[Double]("wilson_hi")}")
+    assert(d1.getAs[Double]("wilson_lo") >= 0.0)
+  }
+
   test("pointInTimeJoin: events see the dimension row valid AT " +
       "their timestamp — including a foreign probe stream between " +
       "change points") {
