@@ -1140,6 +1140,12 @@ object SparkEntry {
     "q163_wilson" -> ((s, dir) =>
       operators.EventsQueries.conversionWilson(
         operators.EventsQueries.events(s, dir))),
+    // Mann-Whitney rank-sum A/B: doubled-rank exact-integer
+    // arithmetic over the distinct-value frame, tie-corrected
+    // normal approximation.
+    "q164_mann_whitney" -> ((s, dir) =>
+      operators.EventsQueries.mannWhitney(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1401,6 +1407,7 @@ object SparkEntry {
     "q161_pit_join" -> OracleSql.pitJoinClosure,
     "q162_stream_pit" -> OracleSql.serveFetchClosure,
     "q163_wilson" -> OracleSql.conversionWilson,
+    "q164_mann_whitney" -> OracleSql.mannWhitney,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

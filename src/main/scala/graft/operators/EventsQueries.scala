@@ -316,6 +316,62 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Mann–Whitney rank-sum A/B test (q164) — the NONPARAMETRIC
+    * distribution comparison (q138 compares means, q145 proportions;
+    * this compares whole value distributions with no normality
+    * assumption — the robust default when revenue-like values are
+    * heavy-tailed): arms by the q138 hash parity, U from
+    * tie-averaged ranks, normal approximation with the tie-corrected
+    * variance, verdict at the shared [[WilsonZ]] line.
+    *
+    * Determinism — the DOUBLED-RANK trick: ties make average ranks
+    * half-integers, so all rank arithmetic runs in 2× units where
+    * EVERYTHING is an exact BIGINT (2·avgrank = 2·below + t + 1;
+    * R2 = Σ tₐ·(2·below + t + 1)) — order-independent sums, then
+    * U/μ/σ/z are fixed-order doubles over exact integers.
+    *
+    * Scale design (100 TB): observations reduce to the DISTINCT-
+    * VALUE frame (cents-bounded — ≤ 18,523 rows whatever the event
+    * count) in one map-side-combined pass; the prefix-count window
+    * and everything after run on that bounded frame. */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val obs = events.select(
+      (Sampling.mixed("user_id") % 2).as("arm"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val byV = obs.groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ta"))
+    val below = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byV
+      .withColumn("below", coalesce(sum(col("t")).over(below),
+        lit(0L)))
+      .agg(sum(col("ta")).as("na"), sum(col("t")).as("n"),
+        sum(col("ta") * (lit(2L) * col("below") + col("t") + 1))
+          .as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    def d(c: Column) = c.cast("double")
+    agg.select(col("na"), (col("n") - col("na")).as("nb"), col("n"),
+        col("r2a"), col("ties"))
+      .select(col("na"), col("nb"),
+        ((d(col("r2a")) - d(col("na") * (col("na") + 1))) / 2.0)
+          .as("u_a"),
+        (d(col("na")) * col("nb") / 2.0).as("mu_u"),
+        sqrt(d(col("na")) * col("nb") / 12.0 *
+          (d(col("n") + 1) -
+            d(col("ties")) / (d(col("n")) * (col("n") - 1))))
+          .as("sigma_u"))
+      .select(col("na"), col("nb"), col("u_a"), col("mu_u"),
+        col("sigma_u"),
+        // all-tied data gives sigma 0 (the tie correction removes
+        // the whole variance): define z = 0 there — no evidence
+        // either way, and the guard IS the ANSI divide-by-zero fix
+        when(col("sigma_u") > 0.0,
+          (col("u_a") - col("mu_u")) / col("sigma_u"))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("significant", abs(col("z")) > WilsonZ)
+  }
+
   /** Wilson z of [[conversionWilson]] (q163) — 95%, one shared
     * literal. */
   val WilsonZ = 1.959963984540054

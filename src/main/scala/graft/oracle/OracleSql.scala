@@ -2469,6 +2469,52 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.mannWhitney]]
+    * (q164): the doubled-rank integer arithmetic, the same
+    * tie-corrected variance operand order, the shared z line. */
+  def mannWhitney: String = {
+    import graft.operators.EventsQueries.WilsonZ
+    s"""WITH o AS (
+  SELECT ${graft.operators.Sampling.mixedSql("user_id")} % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), v AS (
+  SELECT cents, COUNT(*) AS t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ta
+  FROM o GROUP BY cents
+), b AS (
+  SELECT *, COALESCE(SUM(t) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM v
+), a AS (
+  SELECT CAST(SUM(ta) AS BIGINT) AS na,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(ta * (2 * below + t + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM b
+), s AS (
+  SELECT na, n - na AS nb, n, r2a, ties FROM a
+), m AS (
+  SELECT na, nb,
+    (CAST(r2a AS DOUBLE) - CAST(na * (na + 1) AS DOUBLE)) / 2.0
+      AS u_a,
+    CAST(na AS DOUBLE) * nb / 2.0 AS mu_u,
+    sqrt(CAST(na AS DOUBLE) * nb / 12.0
+      * (CAST(n + 1 AS DOUBLE)
+         - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+      AS sigma_u
+  FROM s
+)
+SELECT na, nb, u_a, mu_u, sigma_u,
+       CASE WHEN sigma_u > 0.0 THEN (u_a - mu_u) / sigma_u
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN sigma_u > 0.0 THEN (u_a - mu_u) / sigma_u
+                ELSE 0.0 END) > CAST($WilsonZ AS DOUBLE)
+         AS significant
+FROM m"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.conversionWilson]]
     * (q163): identical center/half-width operand order under the
     * shared z literal (CAST to DOUBLE — DECIMAL widening). */

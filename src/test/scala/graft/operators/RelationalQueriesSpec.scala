@@ -274,6 +274,47 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("mannWhitney: matches a reference rank computation with " +
+      "ties; separated arms reach significance, identical arms " +
+      "score z = 0") {
+    import spark.implicits._
+    def arm(u: Long): Long = (u * 2654435761L / 1048576L) % 2
+    val users = (1L to 40L)
+    // separated: arm-0 values low (with ties), arm-1 high
+    def mk(vals: Long => Double) = users.map(u =>
+      (u, u, u, "x", vals(u)))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val sep = graft.operators.EventsQueries.mannWhitney(
+      mk(u => if (arm(u) == 0) (u % 3 + 1) * 1.0 else 100.0 + u % 3))
+      .collect().head
+    assert(sep.getAs[Boolean]("significant"),
+      s"z = ${sep.getAs[Double]("z")}")
+    // reference replay (average ranks over the same data)
+    val data = users.map(u => (arm(u),
+      math.round((if (arm(u) == 0) (u % 3 + 1) * 1.0
+        else 100.0 + u % 3) * 100)))
+    val byV = data.groupBy(_._2).map { case (v, xs) =>
+      (v, xs.size.toLong, xs.count(_._1 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    var belowAcc = 0L; var r2a = 0L
+    byV.foreach { case (_, t, ta) =>
+      r2a += ta * (2 * belowAcc + t + 1); belowAcc += t
+    }
+    val na = data.count(_._1 == 0L).toLong
+    val uA = (r2a - na * (na + 1)) / 2.0
+    assert(sep.getAs[Double]("u_a") == uA)
+    // identical distributions across arms -> U = mu exactly, z = 0
+    val flat = graft.operators.EventsQueries.mannWhitney(
+      mk(u => (u % 4) * 1.0)).collect().head
+    assert(math.abs(flat.getAs[Double]("z")) < 1.0,
+      s"flat z = ${flat.getAs[Double]("z")}")
+    // all-tied: the variance vanishes and the guard pins z to 0
+    val tied = graft.operators.EventsQueries.mannWhitney(
+      mk(_ => 5.0)).collect().head
+    assert(tied.getAs[Double]("sigma_u") == 0.0)
+    assert(tied.getAs[Double]("z") == 0.0)
+  }
+
   test("conversionWilson: brackets p_hat, stays inside [0,1] where " +
       "Wald collapses, and matches a reference computation") {
     import spark.implicits._
