@@ -1146,6 +1146,11 @@ object SparkEntry {
     "q164_mann_whitney" -> ((s, dir) =>
       operators.EventsQueries.mannWhitney(
         operators.EventsQueries.events(s, dir))),
+    // Kolmogorov-Smirnov two-sample: integer cross-multiplied ECDF
+    // gaps over the distinct-value frame — the max needs no FP.
+    "q165_ks_test" -> ((s, dir) =>
+      operators.EventsQueries.ksTest(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1408,6 +1413,7 @@ object SparkEntry {
     "q162_stream_pit" -> OracleSql.serveFetchClosure,
     "q163_wilson" -> OracleSql.conversionWilson,
     "q164_mann_whitney" -> OracleSql.mannWhitney,
+    "q165_ks_test" -> OracleSql.ksTest,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -316,6 +316,54 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Kolmogorov–Smirnov two-sample test (q165) — the SHAPE
+    * comparison completing the nonparametric pair with q164
+    * (Mann–Whitney detects location shift; KS detects ANY
+    * distributional difference — variance, tails, bimodality):
+    * D = max |F̂ₐ − F̂ᵦ| over the pooled support, significance at the
+    * asymptotic 95% line c·√((nₐ+nᵦ)/(nₐ·nᵦ)), c = 1.358.
+    *
+    * Determinism: the ECDFs are exact-integer prefix counts over
+    * the DISTINCT-VALUE frame (cents-bounded, the q164 discipline);
+    * |F̂ₐ−F̂ᵦ| per value is computed from cross-multiplied INTEGERS
+    * (|cumA·nᵦ − cumB·nₐ|, compared as integers — the max needs NO
+    * floating point at all), and D is one exact-int ratio at the
+    * end.
+    *
+    * Scale design: one map-side-combined value reduction, prefix
+    * windows + max over the bounded frame, single-row output. */
+  /** KS 95% asymptotic coefficient — one shared literal. */
+  val KsC95 = 1.3581015157406195
+
+  def ksTest(events: DataFrame): DataFrame = {
+    val obs = events.select(
+      (Sampling.mixed("user_id") % 2).as("arm"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val byV = obs.groupBy(col("cents"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val top = byV
+      .withColumn("cumA", sum(col("ca")).over(run))
+      .withColumn("cumB", sum(col("cb")).over(run))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      // cross-multiplied integer ECDF gap: the max needs no FP
+      .withColumn("gap",
+        abs(col("cumA") * col("nb") - col("cumB") * col("na")))
+      .agg(max(col("gap")).as("max_gap"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+    top.select(col("na"), col("nb"),
+        (col("max_gap").cast("double") /
+          (col("na") * col("nb"))).as("d"),
+        (lit(KsC95) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")))).as("crit"))
+      .withColumn("significant", col("d") > col("crit"))
+  }
+
   /** Mann–Whitney rank-sum A/B test (q164) — the NONPARAMETRIC
     * distribution comparison (q138 compares means, q145 proportions;
     * this compares whole value distributions with no normality

@@ -2469,6 +2469,47 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.ksTest]] (q165):
+    * integer cross-multiplied ECDF gaps, one exact ratio, shared
+    * asymptotic coefficient. */
+  def ksTest: String = {
+    import graft.operators.EventsQueries.KsC95
+    s"""WITH o AS (
+  SELECT ${graft.operators.Sampling.mixedSql("user_id")} % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), v AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM o GROUP BY cents
+), c AS (
+  SELECT *,
+    CAST(SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS cumA,
+    CAST(SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS cumB,
+    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+  FROM v
+), g AS (
+  SELECT MAX(abs(cumA * nb - cumB * na)) AS max_gap,
+         MAX(na) AS na, MAX(nb) AS nb
+  FROM c
+)
+SELECT na, nb,
+       CAST(max_gap AS DOUBLE) / (na * nb) AS d,
+       CAST($KsC95 AS DOUBLE)
+         * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)) AS crit,
+       CAST(max_gap AS DOUBLE) / (na * nb)
+         > CAST($KsC95 AS DOUBLE)
+           * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+         AS significant
+FROM g"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.mannWhitney]]
     * (q164): the doubled-rank integer arithmetic, the same
     * tie-corrected variance operand order, the shared z line. */

@@ -274,6 +274,37 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("ksTest: exact D against a reference ECDF scan; disjoint " +
+      "supports give D = 1, identical samples D = 0") {
+    import spark.implicits._
+    def arm(u: Long): Long = (u * 2654435761L / 1048576L) % 2
+    val users = (1L to 40L)
+    def mk(vals: Long => Double) = users.map(u =>
+      (u, u, u, "x", vals(u)))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    // disjoint supports: D must be exactly 1 and significant
+    val dis = graft.operators.EventsQueries.ksTest(
+      mk(u => if (arm(u) == 0) 1.0 + u % 3 else 100.0 + u % 3))
+      .collect().head
+    assert(dis.getAs[Double]("d") == 1.0)
+    assert(dis.getAs[Boolean]("significant"))
+    // identical value function on both arms: reference D replay
+    val vals: Long => Double = u => (u % 5) * 2.0
+    val r = graft.operators.EventsQueries.ksTest(mk(vals))
+      .collect().head
+    val data = users.map(u => (arm(u), math.round(vals(u) * 100)))
+    val na = data.count(_._1 == 0L).toDouble
+    val nb = data.count(_._1 == 1L).toDouble
+    val support = data.map(_._2).distinct.sorted
+    val dRef = support.map { v =>
+      val fa = data.count(x => x._1 == 0L && x._2 <= v) / na
+      val fb = data.count(x => x._1 == 1L && x._2 <= v) / nb
+      math.abs(fa - fb)
+    }.max
+    assert(math.abs(r.getAs[Double]("d") - dRef) < 1e-12,
+      s"D ${r.getAs[Double]("d")} vs $dRef")
+  }
+
   test("mannWhitney: matches a reference rank computation with " +
       "ties; separated arms reach significance, identical arms " +
       "score z = 0") {
