@@ -1151,6 +1151,12 @@ object SparkEntry {
     "q165_ks_test" -> ((s, dir) =>
       operators.EventsQueries.ksTest(
         operators.EventsQueries.events(s, dir))),
+    // Gini + Lorenz deciles of purchaser revenue: exact integer
+    // rank moments over the purchaser frame, decile shares and the
+    // concentration coefficient.
+    "q166_gini" -> ((s, dir) =>
+      operators.EventsQueries.giniLorenz(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1414,6 +1420,7 @@ object SparkEntry {
     "q163_wilson" -> OracleSql.conversionWilson,
     "q164_mann_whitney" -> OracleSql.mannWhitney,
     "q165_ks_test" -> OracleSql.ksTest,
+    "q166_gini" -> OracleSql.giniLorenz,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -316,6 +316,51 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Gini coefficient + Lorenz deciles of purchaser revenue (q166)
+    * — the concentration profile behind "whales vs long tail"
+    * decisions (and the inequality statistic every marketplace
+    * report carries): purchasers ranked by exact-cents revenue,
+    * decile rows carry each decile's share and the cumulative
+    * Lorenz point, and G = 2·Σi·xᵢ/(n·S) − (n+1)/n rides along from
+    * exact integer sums (Σi·x, S, n are order-independent BIGINTs;
+    * G and the shares are fixed-order doubles — bit-identical, no
+    * rounding).
+    *
+    * Scale design: one map-side-combined per-user revenue
+    * reduction; the rank window runs over the PURCHASER frame
+    * (dimension-sized, q14 discipline — the q57 prefix-sum index is
+    * the swap-in if purchasers rival facts); deciles aggregate to
+    * 10 rows. */
+  def giniLorenz(events: DataFrame): DataFrame = {
+    val rev = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val rank = Window.orderBy(col("cents"), col("user_id"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = rev
+      .withColumn("i", row_number().over(rank).cast("long"))
+      .withColumn("n", max(col("i")).over(all))
+      .withColumn("s", sum(col("cents")).over(all))
+      .withColumn("ix", col("i") * col("cents"))
+      .withColumn("decile", expr("((i - 1) * 10) DIV n") + 1)
+    val dec = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("dc"),
+        max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(col("ix")).as("six"))
+    val run = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("six_all", sum(col("six")).over(all))
+      .withColumn("cum", sum(col("dc")).over(run))
+      .select(col("decile"), col("n_users"),
+        (col("dc").cast("double") / col("s")).as("decile_share"),
+        (col("cum").cast("double") / col("s")).as("cum_share"),
+        ((lit(2.0) * col("six_all").cast("double")) /
+          (col("n") * col("s")).cast("double") -
+          (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
   /** Kolmogorov–Smirnov two-sample test (q165) — the SHAPE
     * comparison completing the nonparametric pair with q164
     * (Mann–Whitney detects location shift; KS detects ANY

@@ -2469,6 +2469,47 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.giniLorenz]] (q166):
+    * exact integer rank moments, identical decile arithmetic and
+    * Gini operand order. */
+  def giniLorenz: String =
+    """WITH r AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), k AS (
+  SELECT *,
+    CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i
+  FROM r
+), t AS (
+  SELECT *,
+    CAST(MAX(i) OVER () AS BIGINT) AS n,
+    CAST(SUM(cents) OVER () AS BIGINT) AS s,
+    i * cents AS ix,
+    ((i - 1) * 10) // (CAST(MAX(i) OVER () AS BIGINT)) + 1 AS decile
+  FROM k
+), d AS (
+  SELECT decile, COUNT(*) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS dc,
+         MAX(n) AS n, MAX(s) AS s,
+         CAST(SUM(ix) AS BIGINT) AS six
+  FROM t GROUP BY decile
+), g AS (
+  SELECT *,
+    CAST(SUM(six) OVER () AS BIGINT) AS six_all,
+    CAST(SUM(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS cum
+  FROM d
+)
+SELECT decile, n_users,
+       CAST(dc AS DOUBLE) / s AS decile_share,
+       CAST(cum AS DOUBLE) / s AS cum_share,
+       (2.0 * CAST(six_all AS DOUBLE)) / CAST(n * s AS DOUBLE)
+         - CAST(n + 1 AS DOUBLE) / n AS gini
+FROM g"""
+
   /** Mirror of [[graft.operators.EventsQueries.ksTest]] (q165):
     * integer cross-multiplied ECDF gaps, one exact ratio, shared
     * asymptotic coefficient. */

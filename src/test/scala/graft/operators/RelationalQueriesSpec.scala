@@ -274,6 +274,35 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("giniLorenz: equal revenues give gini exactly 0; a whale " +
+      "concentrates it; Lorenz curve rises to 1") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, i.toLong + 1, i.toLong + 1, "purchase", v)
+    }.toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val equal = graft.operators.EventsQueries.giniLorenz(
+      mk(Seq.fill(10)(5.0))).collect()
+    assert(equal.forall(_.getAs[Double]("gini") == 0.0))
+    assert(equal.length == 10)
+    val whale = graft.operators.EventsQueries.giniLorenz(
+      mk(Seq.fill(9)(0.01) :+ 999.99)).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    // reference gini replay on the sorted cents
+    val cents = (Seq.fill(9)(1L) :+ 99999L).sorted
+    val n = cents.length
+    val s = cents.sum.toDouble
+    val six = cents.zipWithIndex.map { case (c, i) =>
+      (i + 1L) * c }.sum.toDouble
+    val gRef = 2.0 * six / (n * s) - (n + 1.0) / n
+    assert(math.abs(whale.head.getAs[Double]("gini") - gRef) < 1e-12)
+    assert(whale.head.getAs[Double]("gini") > 0.85)
+    val cum = whale.map(_.getAs[Double]("cum_share"))
+    cum.zip(cum.tail).foreach { case (a, b) => assert(b >= a) }
+    assert(math.abs(cum.last - 1.0) < 1e-12)
+    assert(math.abs(whale.map(_.getAs[Double]("decile_share")).sum
+      - 1.0) < 1e-12)
+  }
+
   test("ksTest: exact D against a reference ECDF scan; disjoint " +
       "supports give D = 1, identical samples D = 0") {
     import spark.implicits._
