@@ -1157,6 +1157,11 @@ object SparkEntry {
     "q166_gini" -> ((s, dir) =>
       operators.EventsQueries.giniLorenz(
         operators.EventsQueries.events(s, dir))),
+    // Cohort LTV: cumulative purchase revenue per cohort member by
+    // week offset — exact cents, weeks-squared-bounded key space.
+    "q167_cohort_ltv" -> ((s, dir) =>
+      operators.EventsQueries.cohortLtv(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1421,6 +1426,7 @@ object SparkEntry {
     "q164_mann_whitney" -> OracleSql.mannWhitney,
     "q165_ks_test" -> OracleSql.ksTest,
     "q166_gini" -> OracleSql.giniLorenz,
+    "q167_cohort_ltv" -> OracleSql.cohortLtv,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -316,6 +316,49 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Cohort LTV table (q167) — the companion to q65's retention
+    * matrix and the number the retention curve is FOR: per signup
+    * cohort (epoch week) and week offset, the cumulative purchase
+    * revenue per cohort member — the lifetime-value trajectory that
+    * prices acquisition. Revenue exact in cents; the LTV is
+    * cum_cents / cohort_size / 100.0 in a fixed operand order, with
+    * the cumulative a row-sequential window over each cohort's
+    * offsets (q150 discipline) — bit-identical, no rounding.
+    *
+    * Scale design (100 TB): cohort assignment and revenue bucketing
+    * are user-keyed (co-partitioned join, the q65 shape); the
+    * (cohort, offset) aggregation is map-side-combined onto a
+    * weeks²-bounded key space; windows run over that bounded
+    * frame. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"), col("event_type"),
+      expr(s"ts_ms DIV $CohortWeekMs").as("week"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cohorts = weeks.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = weeks.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"),
+        col("cents"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("week_cents"))
+    val run = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_cents", sum(col("week_cents")).over(run))
+      .select(col("cohort_week"), col("week_offset"),
+        col("cohort_size"), col("n_purchases"), col("week_cents"),
+        (col("cum_cents").cast("double") / col("cohort_size") / 100.0)
+          .as("ltv_per_user"))
+  }
+
   /** Gini coefficient + Lorenz deciles of purchaser revenue (q166)
     * — the concentration profile behind "whales vs long tail"
     * decisions (and the inequality statistic every marketplace

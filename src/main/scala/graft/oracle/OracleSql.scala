@@ -2469,6 +2469,43 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.cohortLtv]] (q167):
+    * same cohort/bucket arithmetic, exact cents, row-sequential
+    * cumulative, fixed LTV operand order. */
+  def cohortLtv: String = {
+    val wk = graft.operators.EventsQueries.CohortWeekMs
+    s"""WITH w AS (
+  SELECT user_id, event_type,
+         (epoch_ns(ts) // 1000000) // $wk AS week,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), c AS (
+  SELECT user_id, MIN(week) AS cohort_week
+  FROM w WHERE event_type = 'signup' GROUP BY user_id
+), sz AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM c
+  GROUP BY cohort_week
+), r AS (
+  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         COUNT(*) AS n_purchases,
+         CAST(SUM(w.cents) AS BIGINT) AS week_cents
+  FROM w JOIN c USING (user_id)
+  WHERE w.event_type = 'purchase' AND w.week - c.cohort_week >= 0
+  GROUP BY c.cohort_week, w.week - c.cohort_week
+), m AS (
+  SELECT r.*, sz.cohort_size,
+    CAST(SUM(r.week_cents) OVER (PARTITION BY r.cohort_week
+      ORDER BY r.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_cents
+  FROM r JOIN sz USING (cohort_week)
+)
+SELECT cohort_week, week_offset, cohort_size, n_purchases,
+       week_cents,
+       CAST(cum_cents AS DOUBLE) / cohort_size / 100.0
+         AS ltv_per_user
+FROM m"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.giniLorenz]] (q166):
     * exact integer rank moments, identical decile arithmetic and
     * Gini operand order. */

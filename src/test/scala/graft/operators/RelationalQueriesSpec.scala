@@ -274,6 +274,46 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("cohortLtv: exact hand trajectory — cumulative per-member " +
+      "revenue by offset, pre-signup purchases excluded") {
+    import spark.implicits._
+    val wk = graft.operators.EventsQueries.CohortWeekMs
+    // cohort week 0: users 1,2 sign up; u1 buys 10.00 in week 0 and
+    // 20.00 in week 1; u2 buys 5.00 in week 1.
+    // u3 signs up week 1, buys 8.00 in week 0 (PRE-signup: dropped).
+    val events = Seq(
+      (1L, 0L * wk + 1, 1L, "signup", 0.0),
+      (2L, 0L * wk + 2, 2L, "signup", 0.0),
+      (1L, 0L * wk + 3, 3L, "purchase", 10.0),
+      (1L, 1L * wk + 1, 4L, "purchase", 20.0),
+      (2L, 1L * wk + 2, 5L, "purchase", 5.0),
+      (3L, 1L * wk + 3, 6L, "signup", 0.0),
+      (3L, 0L * wk + 4, 7L, "purchase", 8.0))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = graft.operators.EventsQueries.cohortLtv(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("ltv_per_user")))).toMap
+    assert(out.keySet == Set((0L, 0L), (0L, 1L)))
+    assert(out((0L, 0L)) == ((2L, 1L, 1000L, 5.0)))
+    assert(out((0L, 1L)) == ((2L, 2L, 2500L, 17.5)))
+  }
+
+  test("cohortLtv fixture: LTV non-decreasing within each cohort") {
+    val events = graft.operators.EventsQueries
+      .events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.EventsQueries.cohortLtv(events)
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    out.foreach { case (cw, rows) =>
+      val ltv = rows.sortBy(_.getLong(1))
+        .map(_.getAs[Double]("ltv_per_user"))
+      ltv.zip(ltv.tail).foreach { case (a, b) =>
+        assert(b >= a, s"cohort $cw LTV dipped") }
+    }
+  }
+
   test("giniLorenz: equal revenues give gini exactly 0; a whale " +
       "concentrates it; Lorenz curve rises to 1") {
     import spark.implicits._
