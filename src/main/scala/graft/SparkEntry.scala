@@ -1162,6 +1162,11 @@ object SparkEntry {
     "q167_cohort_ltv" -> ((s, dir) =>
       operators.EventsQueries.cohortLtv(
         operators.EventsQueries.events(s, dir))),
+    // Daily event-mix Shannon entropy: declared type list,
+    // fixed-order term addition — the mix-shift monitor.
+    "q168_mix_entropy" -> ((s, dir) =>
+      operators.EventsQueries.dailyMixEntropy(
+        operators.EventsQueries.events(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1427,6 +1432,7 @@ object SparkEntry {
     "q165_ks_test" -> OracleSql.ksTest,
     "q166_gini" -> OracleSql.giniLorenz,
     "q167_cohort_ltv" -> OracleSql.cohortLtv,
+    "q168_mix_entropy" -> OracleSql.dailyMixEntropy,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -316,6 +316,46 @@ object EventsQueries {
         sum(col("term")).over(run).as("cum_chi2"))
   }
 
+  /** Declared event-type list of [[dailyMixEntropy]] (q168) — an
+    * explicit closed set (the q37 pivot discipline: no discovery
+    * pass, deterministic schema AND a deterministic term order for
+    * the entropy sum). */
+  val MixTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event-mix Shannon entropy (q168) — the mix-shift monitor
+    * (a day whose traffic collapses into one type is an incident
+    * even when total volume looks normal; the complement of q150's
+    * volume watch): per day H = −Σ pᵢ·ln pᵢ over the declared
+    * [[MixTypes]] and evenness = H / ln(5). A data-dependent Σ over
+    * type rows would sum doubles in partition order — instead the
+    * per-type counts are conditional aggregates and H is ONE
+    * explicit left-to-right sum over the declared list (fixed term
+    * order, zero-count terms exactly 0) — bit-identical, no
+    * rounding.
+    *
+    * Scale design: one map-side-combined daily aggregation;
+    * everything after is row-local on the day frame. */
+  def dailyMixEntropy(events: DataFrame): DataFrame = {
+    val counts = MixTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L))
+        .as(s"c_$t"))
+    val daily = events
+      .groupBy(expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"), counts: _*)
+    def term(t: String): Column = {
+      val p = col(s"c_$t").cast("double") / col("n")
+      when(col(s"c_$t") > 0, -(p * log(p))).otherwise(lit(0.0))
+    }
+    val h = MixTypes.map(term).reduce(_ + _)
+    daily.select(
+        (col("day") +: col("n") +:
+          MixTypes.map(t => col(s"c_$t"))): _*)
+      .withColumn("h_nats", h)
+      .withColumn("evenness",
+        col("h_nats") / math.log(MixTypes.size))
+  }
+
   /** Cohort LTV table (q167) — the companion to q65's retention
     * matrix and the number the retention curve is FOR: per signup
     * cohort (epoch week) and week offset, the cumulative purchase

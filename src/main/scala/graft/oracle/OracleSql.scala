@@ -2469,6 +2469,32 @@ SELECT n_events, mean_value,
 FROM m"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.dailyMixEntropy]]
+    * (q168): same declared type list, same guarded terms, the
+    * identical left-to-right addition order. */
+  def dailyMixEntropy: String = {
+    import graft.operators.EventsQueries.MixTypes
+    val counts = MixTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n         ")
+    def term(t: String) =
+      s"""CASE WHEN c_$t > 0
+          THEN -((CAST(c_$t AS DOUBLE) / n)
+                 * ln(CAST(c_$t AS DOUBLE) / n))
+          ELSE 0.0 END"""
+    val h = MixTypes.map(term).mkString("(", "\n      + ", ")")
+    val lnK = math.log(MixTypes.size)
+    s"""WITH d AS (
+  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+         COUNT(*) AS n,
+         $counts
+  FROM events GROUP BY day
+), e AS (
+  SELECT *, $h AS h_nats FROM d
+)
+SELECT *, h_nats / CAST($lnK AS DOUBLE) AS evenness FROM e"""
+  }
+
   /** Mirror of [[graft.operators.EventsQueries.cohortLtv]] (q167):
     * same cohort/bucket arithmetic, exact cents, row-sequential
     * cumulative, fixed LTV operand order. */

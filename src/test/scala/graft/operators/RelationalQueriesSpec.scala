@@ -274,6 +274,28 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("dailyMixEntropy: uniform mix reaches evenness 1, a " +
+      "single-type day scores exactly 0") {
+    import spark.implicits._
+    val day = 86400000L
+    val types = graft.operators.EventsQueries.MixTypes
+    // day 0: one event of each of the 5 types (uniform);
+    // day 1: clicks only (collapse)
+    val events = (types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 0L * day + i, i.toLong, t)
+    } ++ (1 to 4).map(i =>
+      (10L + i, 1L * day + i, 10L + i, "click")))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.EventsQueries.dailyMixEntropy(events)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Double]("h_nats"), r.getAs[Double]("evenness"))))
+      .toMap
+    assert(math.abs(out(0L)._2 - 1.0) < 1e-12,
+      s"uniform evenness ${out(0L)._2}")
+    assert(out(1L)._1 == 0.0 && out(1L)._2 == 0.0)
+    assert(math.abs(out(0L)._1 - math.log(5.0)) < 1e-12)
+  }
+
   test("cohortLtv: exact hand trajectory — cumulative per-member " +
       "revenue by offset, pre-signup purchases excluded") {
     import spark.implicits._
