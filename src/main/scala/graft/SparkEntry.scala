@@ -1167,6 +1167,10 @@ object SparkEntry {
     "q168_mix_entropy" -> ((s, dir) =>
       operators.EventsQueries.dailyMixEntropy(
         operators.EventsQueries.events(s, dir))),
+    // Source-concentration profile with HHI: exact token sums,
+    // ordered-fold share-squared total — the mix-dominance scalar.
+    "q169_source_hhi" -> ((s, dir) =>
+      TextAnalysis.sourceConcentration(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1433,6 +1437,7 @@ object SparkEntry {
     "q166_gini" -> OracleSql.giniLorenz,
     "q167_cohort_ltv" -> OracleSql.cohortLtv,
     "q168_mix_entropy" -> OracleSql.dailyMixEntropy,
+    "q169_source_hhi" -> OracleSql.sourceConcentration,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1247,6 +1247,40 @@ object TextAnalysis {
         array_join(col("kept_lines"), "\n").as("clean_text"))
   }
 
+  /** Source-concentration profile with HHI (q169) — the
+    * mix-dominance diagnostic read before training on a multi-source
+    * corpus (an HHI near 1 means one crawl IS the dataset, whatever
+    * the source count; the antitrust statistic applied to data
+    * mixing, and the scalar the q110/q49 mixers move): per source
+    * its exact token estimate and share, plus HHI = Σ shareᵢ².
+    * Token counts are exact integers; shares are fixed-order
+    * ratios; the cross-source Σ share² folds SEQUENTIALLY in
+    * ascending source order (the q103/q136 ordered-fold pattern —
+    * a data-dependent aggregate over source rows would sum doubles
+    * in partition order) — bit-identical, no rounding.
+    *
+    * Scale design: one map-side-combined source aggregation;
+    * everything after runs on the source-count-bounded frame. */
+  def sourceConcentration(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(ceil(length(col("text")) / 4.0).cast("long"))
+        .as("tokens"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withTot = bySrc
+      .withColumn("total", sum(col("tokens")).over(all))
+      .withColumn("share",
+        col("tokens").cast("double") / col("total"))
+    val hhiRow = withTot
+      .agg(sort_array(collect_list(
+        struct(col("source"), col("share")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+        (acc, s) => acc + s.getField("share") * s.getField("share"))
+        .as("hhi"))
+    withTot.crossJoin(broadcast(hhiRow))
+      .select(col("source"), col("tokens"), col("share"), col("hhi"))
+  }
+
   /** Vocabulary-growth buckets of [[vocabGrowth]] (q135). */
   val VocabGrowthBuckets = 10
 

@@ -855,6 +855,30 @@ FROM s JOIN f ON s.n_chars = f.n_chars AND s.quality_score = f.ymax
 WHERE f.prevmax IS NULL OR f.ymax > f.prevmax"""
   }
 
+  /** Mirror of
+    * [[graft.operators.TextAnalysis.sourceConcentration]] (q169):
+    * exact token sums, identical share ratios, the ordered
+    * list_reduce fold for HHI. */
+  def sourceConcentration: String =
+    """WITH s AS (
+  SELECT source,
+         CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT))
+           AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, CAST(SUM(tokens) OVER () AS BIGINT) AS total FROM s
+), sh AS (
+  SELECT source, tokens,
+         CAST(tokens AS DOUBLE) / total AS share
+  FROM t
+), h AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(share * share ORDER BY source)),
+           (a, b) -> a + b) AS hhi
+  FROM sh
+)
+SELECT sh.source, sh.tokens, sh.share, h.hhi FROM sh, h"""
+
   /** Mirror of [[graft.operators.TextAnalysis.vocabGrowth]] (q135):
     * row_number states the total order the q57 prefix-sum operator
     * computes without a single-reducer window; bucket arithmetic,

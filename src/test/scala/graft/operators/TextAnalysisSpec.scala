@@ -473,6 +473,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     })
   }
 
+  test("sourceConcentration: equal sources give HHI = 1/k exactly; " +
+      "a dominant source drives it toward 1; shares sum to 1") {
+    import spark.implicits._
+    // 4 sources, identical text -> equal token shares -> HHI = 0.25
+    val eq = (1L to 8L).map(i => (i, "a b c d", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val o1 = TextAnalysis.sourceConcentration(eq).collect()
+    assert(o1.length == 4)
+    assert(o1.forall(_.getAs[Double]("hhi") == 0.25))
+    assert(math.abs(o1.map(_.getAs[Double]("share")).sum - 1.0)
+      < 1e-12)
+    // one source 60x the text of the other
+    val dom = Seq((1L, ("x " * 60).trim, "big"), (2L, "x", "small"))
+      .toDF("doc_id", "text", "source")
+    val o2 = TextAnalysis.sourceConcentration(dom).collect()
+    assert(o2.head.getAs[Double]("hhi") > 0.9)
+  }
+
   test("nbCalibration: bins partition the labeled set, margins " +
       "bracket, and the curve is well-ordered end to end") {
     val docs = spark.read
