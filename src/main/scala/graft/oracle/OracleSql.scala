@@ -1809,13 +1809,16 @@ FROM n, mu, $finJoins"""
 
   /** Mirror of [[graft.operators.Similarity.graphSearchTopK]] (q124):
     * the q112 graph SQL embedded as the edges CTE (its own nested
-    * WITH — shadowed names are scoped to the subquery), the MIN-id
+    * WITH — shadowed names are scoped to the subquery) UNIONed with
+    * the deterministic long-range spoke layer (dense rank by vec_id,
+    * integer ⌊j·N/S⌋ stride arithmetic — exact, no FP), the MIN-id
     * entry beam, and each hop unrolled as expand → exact-cosine
     * score → (cos DESC, node ASC) beam cut, finishing with the
     * self-excluded top-k of the final beam. */
   def graphSearch: String = {
     import SimilarityParams._
-    import graft.operators.Similarity.{GraphSearchBeam, GraphSearchHops}
+    import graft.operators.Similarity.{GraphSearchBeam, GraphSearchHops,
+      LongRangeSpokes}
     val hopCtes = (1 to GraphSearchHops).map { t =>
       s""", cand$t AS (
   SELECT DISTINCT query_id, node FROM (
@@ -1838,8 +1841,21 @@ FROM n, mu, $finJoins"""
 )"""
     }.mkString
     s"""$embCtes
-, edges AS MATERIALIZED (
+, rk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+  FROM n
+), spokes AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM rk a
+  CROSS JOIN (SELECT unnest(range(1, $LongRangeSpokes)) AS j) js
+  JOIN rk b ON b.r = (a.r + (js.j * a.nn) // $LongRangeSpokes) % a.nn
+  WHERE a.vec_id <> b.vec_id
+), edges AS MATERIALIZED (
   SELECT src, neighbor_id FROM ($knnGraph)
+  UNION ALL
+  SELECT src, nbr AS neighbor_id FROM spokes
 ), mn AS (
   SELECT MIN(vec_id) AS m FROM n
 ), beam0 AS (

@@ -313,8 +313,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
   }
 
   test("graph search: navigates the well-mixed fixture graph (recall " +
-      "over random-walk floor); STRANDS in the entry cluster on a " +
-      "disconnected clustered graph — the documented NSW limitation") {
+      "over random-walk floor); long-range spokes ESCAPE the entry " +
+      "cluster on the clustered fixture — recall >= 0.8 (the q121 bar)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // fixture corpus (near-random): the 5-NN graph is well-connected,
@@ -329,9 +329,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     // 4 hops explore ~100 of 500 nodes; chance overlap of a random
     // 10-subset is 0.02 — any real navigation clears 0.05
     assert(recall >= 0.05, s"graph search no better than chance: $recall")
-    // clustered corpus: 5-NN edges are all intra-cluster, so the
-    // beam can NEVER leave the entry's cluster (vec_id 0 => cluster
-    // 0) — production NSW adds long-range links precisely for this
+    // clustered corpus: the bare 5-NN layer has only intra-cluster
+    // edges and the r9 build measured the beam stranding in the
+    // entry's cluster at recall 0.25; the deterministic rank-space
+    // spoke layer (longRangeEdges) is the NSW fix — hop 1 reaches
+    // every rank region, greedy cosine then locks onto the query's
+    // cluster and the intra-cluster 5-NN edges finish the walk
     var s = 42L
     def next(): Long = {
       s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
@@ -343,13 +346,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     val cemb = rows.toDF("vec_id", "v")
       .withColumn("norm", sqrt(aggregate(
         transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
-    val stranded = Similarity.graphSearchTopK(cemb, numQueries = 64)
-      .collect()
-    assert(stranded.nonEmpty)
-    stranded.foreach { r =>
-      assert(r.getAs[Long]("neighbor_id") / 32 == 0,
-        s"walk escaped the entry cluster to ${r.getAs[Long]("neighbor_id")}")
-    }
+    val nQ = 64
+    val cbrute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val cwalked = pairs(Similarity.graphSearchTopK(cemb, numQueries = nQ))
+    val crecall = cwalked.intersect(cbrute).size.toDouble / cbrute.size
+    info(f"clustered graph-search recall@10=$crecall%.2f (spoke layer)")
+    assert(crecall >= 0.8, s"clustered recall $crecall below 0.8 — " +
+      "the spoke layer is not escaping the entry cluster")
+    // spoke layer is deterministic: 15 rank-stride edges per node,
+    // no self-edges
+    val spokes = Similarity.longRangeEdges(cemb).collect()
+    assert(spokes.length == 512 * 15)
+    spokes.foreach(r => assert(r.getLong(0) != r.getLong(1)))
   }
 
   test("mineAlignedPairs: planted twins mine exactly (margin makes " +
