@@ -1171,6 +1171,15 @@ object SparkEntry {
     // ordered-fold share-squared total — the mix-dominance scalar.
     "q169_source_hhi" -> ((s, dir) =>
       TextAnalysis.sourceConcentration(documents(s, dir))),
+    // Coarse-fine hierarchical cell assignment at k=64/g=8: stage 1
+    // ranks the non-empty coarse groups, stage 2 is exact within the
+    // picked group — the n·(g + k/g) cure for the f²-growth residual,
+    // graded against the oracle's two-stage-argmin unroll.
+    "q170_coarse_cells" -> ((s, dir) =>
+      Similarity.ivfCorpusCellsCoarse(Similarity.embeddings(s, dir),
+          numCentroids = Similarity.CoarseFineK,
+          groups = Similarity.CoarseFineGroups)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1438,6 +1447,7 @@ object SparkEntry {
     "q167_cohort_ltv" -> OracleSql.cohortLtv,
     "q168_mix_entropy" -> OracleSql.dailyMixEntropy,
     "q169_source_hhi" -> OracleSql.sourceConcentration,
+    "q170_coarse_cells" -> OracleSql.coarseFineCells,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

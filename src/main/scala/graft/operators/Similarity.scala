@@ -918,6 +918,17 @@ object Similarity {
         (sum(col("norm")) / count(lit(1))).as("mean_norm"))
   }
 
+  /** Graded coarse-fine constants (q170): k large enough that the
+    * two-stage cut matters — flat assignment is 64 dots/vector,
+    * coarse-fine is 8 + ≤64/8·slack ≈ 16 (the measured 2.1×-under-
+    * exact at the 100× ladder rung uses the same √k shape). g is
+    * EXPLICIT (not auto-√k): the graded contract is the two-stage
+    * argmin SEMANTICS, mirrored exactly by the oracle — stage-1
+    * disagreement with flat assignment is a measured spec quantity,
+    * not a correctness hope. */
+  val CoarseFineK = 64
+  val CoarseFineGroups = 8
+
   /** Corpus→cell assignment through a COARSE-FINE codebook hierarchy
     * — the cure for the f²-growth term the curation ladder names:
     * when cells scale with the corpus (SemDedup's regime, 8·factor
@@ -983,11 +994,23 @@ object Similarity {
     (1 until offsets.length).foreach { i =>
       if (offsets(i) < offsets(i - 1)) offsets(i) = offsets(i - 1)
     }
+    // Drop EMPTY coarse groups from the baked stage-1 arrays: a coarse
+    // centroid that owns no fine slot can still win the stage-1 argmax
+    // (its Lloyd position drifted off its members), and the kernel
+    // would then scan a zero-width slice and emit −1. Ranking only the
+    // non-empty groups is both the sensible semantic (an empty group
+    // has no cell to offer) and the exactly-mirrorable one — the
+    // oracle's stage-1 CTE ranks the groups that own fine slots.
+    val nonEmpty = (0 until coarseArr.length)
+      .filter(gg => offsets(gg + 1) > offsets(gg))
+    val keptCoarse = nonEmpty.map(coarseArr).toArray
+    val keptNorms = nonEmpty.map(coarseNorms).toArray
+    val keptOffsets = (nonEmpty.map(offsets) :+ offsets.last).toArray
     emb.select(col("vec_id"),
       Bridge.column(org.apache.spark.sql.graft.NearestCentroidCoarseFine(
         Bridge.expression(col("v")), Bridge.expression(col("norm")),
-        coarseArr.flatten, coarseNorms, sortedCents, sortedNorms,
-        sortedIds, offsets)).as("cell"))
+        keptCoarse.flatten, keptNorms, sortedCents, sortedNorms,
+        sortedIds, keptOffsets)).as("cell"))
   }
 
   /** IVF approximate top-k: corpus vectors live in their nearest

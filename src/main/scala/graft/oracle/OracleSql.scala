@@ -1495,6 +1495,103 @@ FROM wc w LEFT JOIN m USING (vec_id)"""
     s"""$ivfCellCtes
 SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 
+  /** Generic Lloyd unroll over a member CTE `s_<tag>(mid, mv, mnrm)`
+    * — the parameterized form of the [[ivfCellCtes]] chain, reused at
+    * BOTH levels of the q170 coarse-fine hierarchy (fine codebook
+    * over the corpus sample, coarse codebook over the fine
+    * centroids). Init = first k members by mid; per iteration:
+    * (cos DESC, centroid ASC) assignment, ascending-mid member fold,
+    * emptied-cell carry. Produces `c_<tag><iters>(centroid_id, cv,
+    * cnorm)` — bit-exact with [[graft.operators.Similarity
+    * .trainCentroids]] run over the same members in mid order. */
+  private def lloydCtes(tag: String, iters: Int, k: Int): String = {
+    import SimilarityParams.Dim
+    val meanExpr =
+      s"list_transform(range(1, ${Dim + 1}), i -> " +
+        s"list_reduce(list_prepend(0.0, list_transform(g.vs, w -> w[i])), " +
+        s"(a, b) -> a + b) / CAST(g.cnt AS DOUBLE))"
+    def normExpr(cv: String) =
+      s"sqrt(${fsumSql(s"list_transform($cv, x -> x * x)")})"
+    val init = s""", c_${tag}0 AS (
+  SELECT mid AS centroid_id, mv AS cv, mnrm AS cnorm
+  FROM s_$tag WHERE mid < $k
+)"""
+    val its = (1 to iters).map { t =>
+      s""", a_$tag$t AS (
+  SELECT s.mid, s.mv, s.mnrm, c.centroid_id,
+         row_number() OVER (PARTITION BY s.mid ORDER BY
+           ${dotSql("s.mv", "c.cv")} / (s.mnrm * c.cnorm) DESC,
+           c.centroid_id ASC) AS rnk
+  FROM s_$tag s, c_$tag${t - 1} c
+), g_$tag$t AS (
+  SELECT centroid_id, list(mv ORDER BY mid) AS vs, COUNT(*) AS cnt
+  FROM a_$tag$t WHERE rnk = 1 GROUP BY centroid_id
+), cm_$tag$t AS (
+  SELECT p.centroid_id,
+         CASE WHEN g.cnt IS NULL THEN p.cv ELSE $meanExpr END AS cv
+  FROM c_$tag${t - 1} p LEFT JOIN g_$tag$t g USING (centroid_id)
+), c_$tag$t AS (
+  SELECT centroid_id, cv, ${normExpr("cv")} AS cnorm FROM cm_$tag$t
+)"""
+    }.mkString
+    init + its
+  }
+
+  /** Mirror of [[graft.operators.Similarity.ivfCorpusCellsCoarse]] at
+    * the graded (k=[[graft.operators.Similarity.CoarseFineK]],
+    * g=[[graft.operators.Similarity.CoarseFineGroups]]) point (q170):
+    * fine Lloyd over the corpus sample, coarse Lloyd over the FINE
+    * CENTROIDS (both through [[lloydCtes]] — member order =
+    * centroid_id, exactly the driver twin's fine-slot order), fine→
+    * group ownership by (cos DESC, coarse ASC), then the TWO-STAGE
+    * corpus argmin: stage 1 ranks only the NON-EMPTY groups (the
+    * kernel drops empty groups from its baked arrays), stage 2 is
+    * exact within the picked group with ties to the lowest fine id. */
+  def coarseFineCells: String = {
+    import graft.operators.Similarity.{CoarseFineK, CoarseFineGroups,
+      KMeansIters, TrainSample}
+    s"""$embCtes
+, s_f AS (
+  SELECT vec_id AS mid, v AS mv, nrm AS mnrm FROM n
+  WHERE vec_id < $TrainSample
+)${lloydCtes("f", KMeansIters, CoarseFineK)}
+, fcents AS (
+  SELECT centroid_id, cv, cnorm FROM c_f$KMeansIters
+), s_c AS (
+  SELECT centroid_id AS mid, cv AS mv, cnorm AS mnrm FROM fcents
+)${lloydCtes("c", KMeansIters, CoarseFineGroups)}
+, ccents AS (
+  SELECT centroid_id AS coarse_id, cv, cnorm FROM c_c$KMeansIters
+), fine_group AS (
+  SELECT centroid_id, coarse_id FROM (
+    SELECT f.centroid_id, c.coarse_id,
+           row_number() OVER (PARTITION BY f.centroid_id ORDER BY
+             ${dotSql("f.cv", "c.cv")} / (f.cnorm * c.cnorm) DESC,
+             c.coarse_id ASC) AS rnk
+    FROM fcents f, ccents c) WHERE rnk = 1
+), live AS (
+  SELECT DISTINCT coarse_id FROM fine_group
+), stage1 AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT nn.vec_id, c.coarse_id,
+           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+             ${dotSql("nn.v", "c.cv")} / (nn.nrm * c.cnorm) DESC,
+             c.coarse_id ASC) AS rnk
+    FROM n nn, ccents c JOIN live USING (coarse_id)) WHERE rnk = 1
+), stage2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT s.vec_id, f.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             ${dotSql("nn.v", "f.cv")} / (nn.nrm * f.cnorm) DESC,
+             f.centroid_id ASC) AS rnk
+    FROM stage1 s
+    JOIN n nn ON nn.vec_id = s.vec_id
+    JOIN fine_group fg ON fg.coarse_id = s.coarse_id
+    JOIN fcents f ON f.centroid_id = fg.centroid_id) WHERE rnk = 1
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS cell FROM stage2"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.cellProfile]] (q125):
     * the shared [[ivfCellCtes]] assignment joined back to the
     * centroid table, per-member squared distance as the same

@@ -806,6 +806,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     val agree = auto.count { case (id, c) => exact(id) == c }.toDouble / auto.size
     info(f"coarse-fine agreement $agree%.3f over ${auto.size} vectors (k=$k)")
     assert(agree >= 0.5, s"agreement $agree (k=$k)")
+    // the GRADED point (q170: k=64, g=8) measured on a CLUSTERED
+    // corpus — the regime hierarchical quantization exists for. The
+    // near-random fixture above is the adversarial floor (coarse
+    // structure barely exists); on clustered data the coarse level
+    // aligns with the real clusters and stage-1 error collapses.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate => fAgg, _}
+    var s = 42L
+    def nxt(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = nxt().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(fAgg(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val flat64 = Similarity.ivfCorpusCellsCoarse(cemb,
+        numCentroids = Similarity.CoarseFineK, groups = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val cf = Similarity.ivfCorpusCellsCoarse(cemb,
+        numCentroids = Similarity.CoarseFineK,
+        groups = Similarity.CoarseFineGroups).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val gAgree = cf.count { case (id, c) => flat64(id) == c }.toDouble / cf.size
+    info(f"graded-point (k=64, g=8) clustered agreement $gAgree%.3f")
+    assert(gAgree >= 0.9, s"graded-point agreement $gAgree below 0.9")
+    cf.values.foreach(c => assert(c >= 0, "empty-group -1 leaked"))
   }
 
   test("cluster-balanced sample: per-cell cap, hash-order selection, " +
