@@ -1180,6 +1180,12 @@ object SparkEntry {
           numCentroids = Similarity.CoarseFineK,
           groups = Similarity.CoarseFineGroups)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))),
+    // Lakehouse MERGE / CDC-apply: the table-maintenance action
+    // between the q120 diff and the next funnel pass — copy-on-write
+    // per bucket, idempotent re-delivery; graded as the closure
+    // merge(v1, cdc(v1→v2)) == v2.
+    "q171_merge_apply" -> ((s, dir) =>
+      operators.Pipeline.mergeApplyDerived(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1448,6 +1454,7 @@ object SparkEntry {
     "q168_mix_entropy" -> OracleSql.dailyMixEntropy,
     "q169_source_hhi" -> OracleSql.sourceConcentration,
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
+    "q171_merge_apply" -> OracleSql.mergeApply,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1495,6 +1495,22 @@ FROM wc w LEFT JOIN m USING (vec_id)"""
     s"""$ivfCellCtes
 SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 
+  /** Mirror of [[graft.operators.Pipeline.mergeApplyDerived]] (q171)
+    * — the adversarial CLOSURE oracle: the merge of v1 with the
+    * v1→v2 CDC batch must reproduce v2 exactly, so the oracle
+    * rebuilds v2 directly from the documents table. Any drift in the
+    * Spark side's diff classification, CDC translation, bucket
+    * routing, cold-bucket passthrough, or merge arithmetic breaks
+    * the row hash against this direct derivation. */
+  def mergeApply: String = {
+    import graft.operators.Pipeline.{DiffChangedMod, DiffRemovedMod,
+      MergeBuckets}
+    s"""SELECT doc_id, doc_id % $MergeBuckets AS bucket,
+       CASE WHEN doc_id % 10 = $DiffChangedMod THEN text || ' v2'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
+  }
+
   /** Generic Lloyd unroll over a member CTE `s_<tag>(mid, mv, mnrm)`
     * — the parameterized form of the [[ivfCellCtes]] chain, reused at
     * BOTH levels of the q170 coarse-fine hierarchy (fine codebook

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The lakehouse MERGE / CDC-apply operator (q171): closure against
+  * the direct v2 derivation, EXACT-RETRY idempotence (the re-delivery
+  * contract), and the file-backed copy-on-write form's physical
+  * guarantee — cold bucket files are not rewritten. */
+class MergeApplySpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def tableHash(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").toSet
+
+  test("merge closure: merge(v1, cdc(v1->v2)) reproduces v2 exactly; " +
+      "bucket routing is doc_id % buckets") {
+    val merged = Pipeline.mergeApplyDerived(docs).collect()
+    val v2 = docs
+      .filter(col("doc_id") % 10 =!= Pipeline.DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === Pipeline.DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged.length == v2.size)
+    merged.foreach { r =>
+      assert(v2(r.getAs[Long]("doc_id")) == r.getAs[String]("text"))
+      assert(r.getAs[Long]("bucket") ==
+        r.getAs[Long]("doc_id") % Pipeline.MergeBuckets)
+    }
+  }
+
+  test("exact-retry idempotence: re-applying the same CDC batch " +
+      "leaves the table identical (upsert overwrites equal, absent " +
+      "delete is a no-op)") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (17L, "q"), (33L, "z"))
+      .toDF("doc_id", "text")
+    val cdc = Seq((2L, "upsert", "b2"), (5L, "upsert", "new"),
+      (17L, "delete", null.asInstanceOf[String]),
+      (99L, "delete", null.asInstanceOf[String])) // absent key delete
+      .toDF("doc_id", "op", "new_text")
+    val once = Pipeline.mergeApply(base, cdc)
+    val onceRows = tableHash(once.select(col("doc_id"), col("text")))
+    assert(onceRows == Set("1|a", "2|b2", "5|new", "33|z"))
+    val twice = Pipeline.mergeApply(once.select(col("doc_id"), col("text")), cdc)
+    assert(tableHash(twice.select(col("doc_id"), col("text"))) == onceRows)
+  }
+
+  test("file-backed copy-on-write: cold bucket files physically " +
+      "untouched (bytes + mtime), touched buckets rewritten, " +
+      "re-delivery leaves the table identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_apply").toString
+    // base table: ids 0..63 over 16 buckets (4 per bucket)
+    val base = (0L until 64L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      .withColumn("bucket", col("doc_id") % Pipeline.MergeBuckets)
+    base.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    // CDC touches ONLY buckets 3 (upsert id 3 -> id 3+16k) and 7
+    val cdc = Seq((3L, "upsert", "patched"), (19L, "delete",
+      null.asInstanceOf[String]), (71L, "upsert", "inserted"))
+      .toDF("doc_id", "op", "new_text") // 71 % 16 = 7
+    def snapshot(b: Long): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val coldBefore = (0L until 16L).filterNot(Set(3L, 7L))
+      .map(b => b -> snapshot(b)).toMap
+    Thread.sleep(1100) // mtime granularity
+    Pipeline.mergeApplyTable(spark, dir, cdc)
+    // cold buckets: identical file names, lengths AND mtimes
+    coldBefore.foreach { case (b, before) =>
+      assert(snapshot(b) == before, s"cold bucket $b was rewritten")
+    }
+    // logical result correct
+    val after = spark.read.parquet(dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "patched")
+    assert(!after.contains(19L))
+    assert(after(71L) == "inserted")
+    assert(after.size == 64 - 1 + 1)
+    // re-delivery: identical table afterwards
+    Pipeline.mergeApplyTable(spark, dir, cdc)
+    val again = spark.read.parquet(dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == after)
+  }
+}
