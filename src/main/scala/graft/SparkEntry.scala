@@ -1186,6 +1186,16 @@ object SparkEntry {
     // merge(v1, cdc(v1→v2)) == v2.
     "q171_merge_apply" -> ((s, dir) =>
       operators.Pipeline.mergeApplyDerived(documents(s, dir))),
+    // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
+    // seed inventory, Viterbi-EM over the distinct-word vocabulary,
+    // prune-to-vocab with the single-char coverage floor, refit.
+    "q172_unigram_lm" -> ((s, dir) =>
+      operators.Unigram.modelTable(s, documents(s, dir))),
+    // Apply side: per-doc word/token counts under the trained unigram
+    // model — Viterbi over distinct words joined back to the stream,
+    // per-character fallback beyond the training length guard.
+    "q173_unigram_segment" -> ((s, dir) =>
+      operators.Unigram.segmentCounts(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1455,6 +1465,8 @@ object SparkEntry {
     "q169_source_hhi" -> OracleSql.sourceConcentration,
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
     "q171_merge_apply" -> OracleSql.mergeApply,
+    "q172_unigram_lm" -> OracleSql.unigramModel,
+    "q173_unigram_segment" -> OracleSql.unigramSegment,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

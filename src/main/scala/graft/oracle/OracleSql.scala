@@ -1511,6 +1511,154 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
   }
 
+  /** Shared CTE prefix of the unigram-LM mirrors (q172/q173): the
+    * trainable distinct-word vocabulary, the substring seed
+    * inventory, its single-character coverage set, and the seed
+    * model m0 (logp = round(ln(cnt/total), 9) — the pre-rounded
+    * score grid both engines walk). */
+  private def unigramBaseCtes: String = {
+    import graft.operators.Unigram.{MaxPieceLen, MaxWordLen}
+    s"""WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) >= 1 AND len(word) <= $MaxWordLen
+  GROUP BY word
+), seed AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT w.cnt AS cnt,
+           unnest(flatten(list_transform(range(1, len(word) + 1),
+             i -> list_transform(
+               range(1, least($MaxPieceLen, len(word) - i + 1) + 1),
+               l -> substr(word, i, l))))) AS piece
+    FROM w)
+  GROUP BY piece
+), chars AS (
+  SELECT piece FROM seed WHERE len(piece) = 1
+), m0 AS MATERIALIZED (
+  SELECT piece,
+         round(ln(CAST(s.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+           AS logp
+  FROM seed s, (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM seed) t
+)"""
+  }
+
+  /** One Viterbi-EM pass unrolled: DP positions 1..MaxWordLen (per
+    * position, one branch per last-piece length joined against the
+    * model; (score DESC, len ASC) rank = the kernel's strict-> /
+    * shortest-last tie rule), then the backtrace walk emitting the
+    * best path's pieces, then piece counts weighted by word count.
+    * Produces `<tag>cnt(piece, cnt)` and `<tag>toks(word, n_toks)`. */
+  private def unigramPassCtes(tag: String, m: String): String = {
+    import graft.operators.Unigram.{MaxPieceLen, MaxWordLen}
+    val dps = (1 to MaxWordLen).map { i =>
+      val branches = (1 to math.min(MaxPieceLen, i)).map { l =>
+        val j = i - l
+        val scoreExpr = if (j == 0) "m.logp" else "d.score + m.logp"
+        val dpJoin = if (j == 0) ""
+        else s"\n    JOIN ${tag}dp$j d ON d.word = w.word"
+        s"""    SELECT w.word, $scoreExpr AS score, $l AS len
+    FROM w$dpJoin
+    JOIN $m m ON m.piece = substr(w.word, ${j + 1}, $l)
+    WHERE len(w.word) >= $i"""
+      }.mkString("\n    UNION ALL\n")
+      s""", ${tag}dp$i AS MATERIALIZED (
+  SELECT word, score, len FROM (
+    SELECT word, score, len,
+           row_number() OVER (PARTITION BY word
+             ORDER BY score DESC, len ASC) AS rnk
+    FROM (
+$branches)) WHERE rnk = 1
+)"""
+    }.mkString
+    val dpall = (1 to MaxWordLen).map { i =>
+      s"  SELECT word, $i AS pos, len FROM ${tag}dp$i"
+    }.mkString("\n  UNION ALL\n")
+    val bts = (1 to MaxWordLen).map { s =>
+      s""", ${tag}bt$s AS (
+  SELECT b.word, b.pos - d.len AS pos,
+         substr(b.word, b.pos - d.len + 1, d.len) AS piece
+  FROM ${tag}bt${s - 1} b
+  JOIN ${tag}dpall d ON d.word = b.word AND d.pos = b.pos
+  WHERE b.pos > 0
+)"""
+    }.mkString
+    val pieceUnion = (1 to MaxWordLen).map { s =>
+      s"    SELECT word, piece FROM ${tag}bt$s"
+    }.mkString("\n    UNION ALL\n")
+    s"""$dps
+, ${tag}dpall AS MATERIALIZED (
+$dpall
+), ${tag}bt0 AS (
+  SELECT word, len(word) AS pos FROM w
+)$bts
+, ${tag}pieces AS MATERIALIZED (
+  SELECT word, piece FROM (
+$pieceUnion)
+), ${tag}cnt AS MATERIALIZED (
+  SELECT p.piece, CAST(SUM(w.cnt) AS BIGINT) AS cnt
+  FROM ${tag}pieces p JOIN w ON w.word = p.word
+  GROUP BY p.piece
+), ${tag}toks AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM ${tag}pieces GROUP BY word
+)"""
+  }
+
+  /** Prune `<tag>cnt` to the vocabulary budget with the coverage
+    * floor (single chars re-enter at count 1), then emit the model
+    * `<mname>(piece, logp)` over the pruned vocabulary. */
+  private def unigramVocabCtes(tag: String, mname: String): String = {
+    import graft.operators.Unigram.VocabTarget
+    s""", ${tag}kept AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER
+             (ORDER BY cnt DESC, piece ASC) AS rnk
+    FROM ${tag}cnt) WHERE rnk <= $VocabTarget
+), ${tag}vocab AS MATERIALIZED (
+  SELECT piece, cnt FROM ${tag}kept
+  UNION ALL
+  SELECT c.piece, COALESCE(t.cnt, CAST(1 AS BIGINT)) AS cnt
+  FROM chars c LEFT JOIN ${tag}cnt t ON t.piece = c.piece
+  WHERE c.piece NOT IN (SELECT piece FROM ${tag}kept)
+), $mname AS MATERIALIZED (
+  SELECT piece,
+         round(ln(CAST(v.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+           AS logp
+  FROM ${tag}vocab v,
+       (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ${tag}vocab) t
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Unigram.modelTable]] (q172): seed →
+    * Viterbi-E/M → prune → Viterbi-E/M → prune, final (piece, cnt,
+    * logp). */
+  def unigramModel: String =
+    s"""$unigramBaseCtes${unigramPassCtes("v1", "m0")}${
+      unigramVocabCtes("v1", "m1")}${unigramPassCtes("v2", "m1")}${
+      unigramVocabCtes("v2", "mf")}
+SELECT v.piece, v.cnt,
+       round(ln(CAST(v.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+         AS logp
+FROM v2vocab v,
+     (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v2vocab) t"""
+
+  /** Mirror of [[graft.operators.Unigram.segmentCounts]] (q173): the
+    * full training chain, one apply pass under the final model, then
+    * per-document word/token counts with the per-character fallback
+    * for words beyond the training length guard. */
+  def unigramSegment: String =
+    s"""$unigramBaseCtes${unigramPassCtes("v1", "m0")}${
+      unigramVocabCtes("v1", "m1")}${unigramPassCtes("v2", "m1")}${
+      unigramVocabCtes("v2", "mf")}${unigramPassCtes("ap", "mf")}
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN t.n_toks IS NOT NULL THEN t.n_toks
+                     ELSE len(d.word) END) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+LEFT JOIN aptoks t ON t.word = d.word
+WHERE len(d.word) > 0
+GROUP BY d.doc_id"""
+
   /** Generic Lloyd unroll over a member CTE `s_<tag>(mid, mv, mnrm)`
     * — the parameterized form of the [[ivfCellCtes]] chain, reused at
     * BOTH levels of the q170 coarse-fine hierarchy (fine codebook

@@ -1411,6 +1411,110 @@ case class PhraseCounts(child: Expression, phrases: Seq[String])
     copy(child = c)
 }
 
+/** Runtime kernel for the unigram-LM (SentencePiece-family) Viterbi
+  * segmenter (q172/q173): best-scoring segmentation of a word under
+  * a piece→logp model, as one row-local DP pass — O(len·maxPieceLen)
+  * hash lookups per word, model shipped once as a codegen reference
+  * object. Determinism contract shared with the DuckDB mirror: the
+  * path score is the LEFT FOLD of (pre-rounded) logps along the
+  * word, ties prefer the SHORTEST last piece (strict > scanning
+  * lengths ascending ≡ the oracle's score DESC, len ASC rank). */
+object UnigramOps {
+
+  /** Piece model as parallel arrays; the lookup map materializes
+    * once per task. */
+  final class Model(val pieces: Array[String], val logps: Array[Double],
+      val maxPieceLen: Int) extends Serializable {
+    @transient private var map0: java.util.HashMap[String, java.lang.Double] = _
+    def map: java.util.HashMap[String, java.lang.Double] = {
+      if (map0 == null) {
+        val m = new java.util.HashMap[String, java.lang.Double](
+          pieces.length * 2)
+        var i = 0
+        while (i < pieces.length) { m.put(pieces(i), logps(i)); i += 1 }
+        map0 = m
+      }
+      map0
+    }
+  }
+
+  def viterbi(word: UTF8String, model: Model)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    // operate on CODEPOINTS: DuckDB's substr/len count Unicode
+    // codepoints, Java String indexes UTF-16 units
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    val NEG = Double.NegativeInfinity
+    val score = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, NEG)
+    score(0) = 0.0
+    val m = model.map
+    var i = 1
+    while (i <= n) {
+      val maxL = math.min(model.maxPieceLen, i)
+      var len = 1
+      while (len <= maxL) {
+        val j = i - len
+        if (score(j) != NEG) {
+          val p = m.get(new String(cps, j, len))
+          if (p != null) {
+            val s = score(j) + p.doubleValue()
+            if (s > score(i)) { score(i) = s; back(i) = len }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    if (score(n) == NEG) {
+      // coverage guard (unreachable when the model keeps every
+      // single char of the training words): per-char fallback
+      var k = 0
+      while (k < n) {
+        out += UTF8String.fromString(new String(cps, k, 1)); k += 1
+      }
+    } else {
+      var pos = n
+      while (pos > 0) {
+        val len = back(pos)
+        out.insert(0, UTF8String.fromString(new String(cps, pos - len, len)))
+        pos -= len
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `unigram_segment(word)` — the word's Viterbi piece sequence under
+  * a constant unigram-LM piece model. Same row-local zero-shuffle
+  * contract as [[NearestCentroids]]: the model is a broadcast-sized
+  * constant baked into the plan; the corpus never shuffles for
+  * segmentation. */
+case class UnigramSegment(child: Expression, model: UnigramOps.Model)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment"
+
+  override def nullSafeEval(t: Any): Any =
+    UnigramOps.viterbi(t.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("unigramModel", model,
+      "org.apache.spark.sql.graft.UnigramOps.Model")
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.UnigramOps.viterbi($t, $mRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramSegment =
+    copy(child = c)
+}
+
 /** Column <-> Expression bridging for graft code. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
