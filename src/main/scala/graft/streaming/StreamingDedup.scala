@@ -156,15 +156,18 @@ object StreamingDedup {
     * emissions stand: the batch rule judges a shingle by its FINAL
     * document frequency, so a pair first seen through a shingle that
     * later turns hot is kept here iff it also shares a still-rare
-    * shingle in batch. The precise contract is therefore SUPERSET,
-    * not parity: a pair whose shared shingles ALL end hot (final
-    * df > cap) appears in this stream but never in batch — batch
-    * suppresses it as boilerplate, streaming had already spoken. On
-    * real corpora a containment pair shares many rare shingles and
-    * the sets coincide (the fixture-parity spec pins exactly that,
-    * on the fixture); a consumer needing strict batch equality must
-    * re-verify emissions against final dfs at a checkpoint, or
-    * defer emission until the watermark closes the bucket. */
+    * shingle in batch. The precise contract of THIS eager member is
+    * therefore SUPERSET, not parity: a pair whose shared shingles ALL
+    * end hot (final df > cap) appears in this stream but never in
+    * batch — batch suppresses it as boilerplate, streaming had
+    * already spoken. On real corpora a containment pair shares many
+    * rare shingles and the sets coincide (the fixture-parity spec
+    * pins exactly that). STRICT PARITY IS AVAILABLE:
+    * [[containmentPairsDeferred]] implements the watermark-deferred
+    * escape — it emits a bucket's pairs only once the watermark
+    * proves the bucket can no longer go hot, and is spec-pinned
+    * EQUAL to the batch final-df rule on an out-of-order fixture
+    * where the eager member provably over-emits. */
   final case class ShingleBucket(closed: Boolean, members: List[BucketDoc])
 
   final case class ContainmentPair(doc_a: Long, doc_b: Long,
@@ -179,6 +182,113 @@ object StreamingDedup {
     * up state nor fan out candidates. Multi-bucket pairs are emitted
     * once per shared rare shingle — same idempotent-consumer
     * contract as [[nearDupPairs]]. */
+  /** Bucket state of [[containmentPairsDeferred]]: members plus the
+    * latest event time seen (the timeout anchor). A closed bucket
+    * keeps its (empty, closed) state until the timeout so late
+    * same-shingle arrivals cannot silently reopen it. */
+  final case class DeferredBucket(closed: Boolean, maxTs: Long,
+      members: List[BucketDoc])
+
+  /** STRICT-PARITY containment dedup — the watermark-deferred
+    * emission escape of the [[containmentPairs]] contract note: a
+    * bucket accumulates members WITHOUT emitting; when the event-time
+    * watermark passes (last member's event time + `horizonMs`) the
+    * bucket is FINAL — no earlier-timestamped arrival can legally
+    * join it — and it either emits every qualifying pair (if it
+    * stayed under the batch df cap) or nothing (if it closed hot).
+    * That is exactly the batch final-df rule: batch judges a shingle
+    * by its final document frequency, and the deferred bucket's
+    * close-time membership IS that final df (within the horizon).
+    * Input must carry an event-time column `ts`; `watermarkDelay` is
+    * the out-of-orderness bound (rows later than it are dropped by
+    * the watermark, the standard streaming lateness contract). On a
+    * finite replay, a punctuation row with a far-future timestamp
+    * closes every bucket and the output equals
+    * [[graft.operators.Dedup.containmentPairs]] pair-for-pair
+    * (StreamingDedupSpec pins it on a fixture where the EAGER member
+    * provably over-emits).
+    *
+    * The latency trade is explicit: eager emits a pair the moment
+    * the second document arrives, deferred emits one horizon after a
+    * bucket quiesces — the price of retraction-free exactness. State
+    * is bounded exactly like the eager member (cap-closed buckets
+    * drop their member lists; every bucket dies at its timeout). */
+  def containmentPairsDeferred(docs: DataFrame,
+      watermarkDelay: String = "0 seconds",
+      horizonMs: Long = 1000L): Dataset[ContainmentPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    val w = split(col("text"), " ")
+    val exploded = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        array_distinct(Bridge.column(
+          WordShingles(Bridge.expression(col("w")), 3))).as("shingles"))
+      .select(col("doc_id"), col("ts"),
+        array_distinct(Dedup.digest60Array(col("shingles"))).as("hashes"))
+      .select(col("doc_id"), col("ts"), col("hashes"),
+        explode(col("hashes")).as("sh"))
+      .as[(Long, java.sql.Timestamp, Array[Long], Long)]
+
+    exploded
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[DeferredBucket, ContainmentPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Array[Long], Long)],
+            state: GroupState[DeferredBucket]) =>
+          if (state.hasTimedOut) {
+            val b = state.getOption
+              .getOrElse(DeferredBucket(closed = true, 0L, Nil))
+            state.remove()
+            if (b.closed) Iterator.empty
+            else {
+              // FINAL bucket under the cap: emit every qualifying
+              // pair once, ascending (doc_a, doc_b)
+              val ms = b.members.sortBy(_.doc_id).toArray
+              val out = List.newBuilder[ContainmentPair]
+              var i = 0
+              while (i < ms.length) {
+                val ha = ms(i).hashes.toSet
+                var j = i + 1
+                while (j < ms.length) {
+                  val inter = ms(j).hashes.count(ha.contains).toLong
+                  val c = inter.toDouble /
+                    math.min(ms(i).hashes.length, ms(j).hashes.length)
+                  if (c >= Dedup.ContainmentThreshold)
+                    out += ContainmentPair(ms(i).doc_id, ms(j).doc_id,
+                      ms(i).hashes.length.toLong,
+                      ms(j).hashes.length.toLong, inter, c)
+                  j += 1
+                }
+                i += 1
+              }
+              out.result().iterator
+            }
+          } else {
+            var b = state.getOption
+              .getOrElse(DeferredBucket(closed = false, 0L, Nil))
+            for ((docId, ts, hashes, _) <- rows) {
+              val t = ts.getTime
+              if (t > b.maxTs) b = b.copy(maxTs = t)
+              if (!b.closed && !b.members.exists(_.doc_id == docId)) {
+                if (b.members.size >= Dedup.ContainMaxBucket)
+                  // the arrival that would exceed the cap closes the
+                  // bucket for good — bounded state, batch df rule
+                  b = DeferredBucket(closed = true, b.maxTs, Nil)
+                else
+                  b = b.copy(
+                    members = BucketDoc(docId, hashes) :: b.members)
+              }
+            }
+            state.update(b)
+            state.setTimeoutTimestamp(math.max(b.maxTs + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def containmentPairs(docs: DataFrame, stateTtlMs: Long = -1L)
       : Dataset[ContainmentPair] = {
     import docs.sparkSession.implicits._

@@ -92,6 +92,88 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("deferred containment == batch final-df rule on a fixture " +
+      "where the EAGER member provably over-emits (all-hot-shingle " +
+      "pair); rare pairs carry exact batch values") {
+    // template docs drive the template shingles' final df over the
+    // cap; A ⊂ B share ONLY template shingles (containment 1.0) —
+    // batch suppresses the pair (every shared shingle ends hot),
+    // eager streaming emits it when fed first (bucket still cold),
+    // deferred must side with batch. D1 ⊂ D2 share RARE shingles —
+    // everyone must emit that pair with identical values.
+    val template = "t1 t2 t3 t4"
+    val hotDocs = (100L until 140L).map(i =>
+      (i, s"$template u$i v$i w$i"))
+    val a = (1L, template)
+    val b = (2L, s"$template x1")
+    val d1 = (11L, "r1 r2 r3 r4")
+    val d2 = (12L, "r1 r2 r3 r4 r5")
+    val all = Seq(a, b, d1, d2) ++ hotDocs
+
+    val batchDf = all.toDF("doc_id", "text")
+    val batch = Dedup.containmentPairs(batchDf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("containment")))
+      .toMap
+    assert(batch.contains((11L, 12L)), "rare pair missing from batch")
+    assert(!batch.contains((1L, 2L)), "all-hot pair should not be in batch")
+
+    // EAGER member, A/B fed first: emits the all-hot pair — the
+    // documented superset behavior
+    val msE = MemoryStream[(Long, String)]
+    val qe = StreamingDedup.containmentPairs(
+        msE.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("sce-cp").toString)
+      .format("memory").queryName("contain_eager").start()
+    msE.addData(a, b, d1, d2)
+    qe.processAllAvailable()
+    msE.addData(hotDocs: _*)
+    qe.processAllAvailable()
+    qe.stop()
+    val eager = spark.table("contain_eager").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(eager.contains((1L, 2L)),
+      "fixture no longer demonstrates the eager over-emission")
+    assert(batch.keySet.subsetOf(eager), "eager must be a superset")
+
+    // DEFERRED member, same out-of-order arrival: A/B first, the hot
+    // wave later, then two far-future punctuation rows close every
+    // bucket (watermark advance + timeout batch)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(base.getTime + plusMs)
+    val msD = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val qd = StreamingDedup.containmentPairsDeferred(
+        msD.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("scd-cp").toString)
+      .format("memory").queryName("contain_deferred").start()
+    // punctuation rows must themselves pass the >=3-token filter:
+    // Spark pushes the deterministic token filter BELOW the watermark
+    // node, so shorter rows never reach it and cannot advance the
+    // watermark (observed in this spec's first draft)
+    msD.addData(Seq(a, b, d1, d2).map(d => (d._1, d._2, ts(0))): _*)
+    qd.processAllAvailable()
+    msD.addData(hotDocs.map(d => (d._1, d._2, ts(100))): _*)
+    qd.processAllAvailable()
+    msD.addData((-1L, "p1 p2 p3", ts(3600L * 1000)))
+    qd.processAllAvailable()
+    msD.addData((-2L, "p4 p5 p6", ts(7200L * 1000)))
+    qd.processAllAvailable()
+    qd.stop()
+    val deferred = spark.table("contain_deferred").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("containment")))
+      .toMap
+    assert(deferred == batch,
+      s"deferred != batch: missing=${batch.keySet.diff(deferred.keySet)} " +
+        s"extra=${deferred.keySet.diff(batch.keySet)}")
+  }
+
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
   // `processAllAvailable` never settles in that mode. The TTL
