@@ -424,6 +424,36 @@ object ScaleProbe {
       // exchange plus the row-local funnel scan
       if (wanted("quality_canonical"))
         time(factor, "quality_canonical")(Dedup.qualityCanonical(docs))
+      // q109 on a LINEAR-pair fixture: the salted-copy corpus above
+      // makes every copy of a doc a mutual near-dup of its siblings
+      // (a by-construction QUADRATIC pair set — the r9 ladder's 208 s
+      // 50× rung measured that fixture artifact, not the operator).
+      // Suffixing every WORD with the copy id keeps each copy's
+      // internal pair structure exactly isomorphic to the original
+      // (identical jaccards) while cross-copy shingle overlap is
+      // ZERO — pair count grows linearly, the real-corpus regime.
+      if (wanted("quality_canonical_linear")) {
+        val linDocs = docs0.crossJoin(copies)
+          .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("c"), col("copy"))), " ").as("text"),
+            col("source"))
+          .persist()
+        linDocs.count()
+        time(factor, "quality_canonical_linear")(
+          Dedup.qualityCanonical(linDocs))
+        linDocs.unpersist()
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // unigram-LM trainer: the E-steps run over the DISTINCT-word
+      // vocabulary (~replication-invariant up to copysalt tokens), so
+      // the curve must be the corpus word-count aggregation (linear
+      // scan) plus a ~constant train term
+      if (wanted("unigram_lm")) {
+        time(factor, "unigram_lm")(
+          graft.operators.Unigram.modelTable(spark, docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // corpus-order novelty: one hash-keyed shuffle of the distinct
       // shingle stream + a doc-keyed agg off the reduced frame — the
       // curve must track the token stream linearly (the shingle
@@ -632,8 +662,14 @@ object ScaleProbe {
         val n = emb.count()
         val w = math.max(SimilarityParams.DedupBitsPerBand,
           (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        // the SERVING graph since r10 = k-NN layer ∪ deterministic
+        // long-range spokes (the q124 graph) — the walk stays
+        // hops·beam·k lookups per query, the spoke layer adds
+        // Spokes−1 edges/node to the untimed build
         val edges = Similarity.knnGraph(emb, bitsPerBand = w)
-          .select(col("src"), col("neighbor_id").as("nbr")).persist()
+          .select(col("src"), col("neighbor_id").as("nbr"))
+          .union(Similarity.longRangeEdges(emb))
+          .persist()
         edges.count()
         time(factor, "graph_search")(
           Similarity.graphSearchOverEdges(emb, edges))

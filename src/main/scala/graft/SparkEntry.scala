@@ -1196,6 +1196,11 @@ object SparkEntry {
     // per-character fallback beyond the training length guard.
     "q173_unigram_segment" -> ((s, dir) =>
       operators.Unigram.segmentCounts(documents(s, dir))),
+    // Rendezvous (highest-random-weight) shard placement with a
+    // scale-out diff: minimal-movement data placement vs the naive
+    // modulo baseline — row-local double-Knuth arithmetic only.
+    "q174_shard_placement" -> ((s, dir) =>
+      operators.Layout.shardPlacement(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1467,6 +1472,7 @@ object SparkEntry {
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,
+    "q174_shard_placement" -> OracleSql.shardPlacement,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

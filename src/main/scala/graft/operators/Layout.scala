@@ -114,4 +114,51 @@ object Layout {
     df.repartition(n).write.mode("overwrite").parquet(dir)
     n
   }
+
+  /** Graded shard counts of the rendezvous placement (q174): the
+    * before/after of a one-shard scale-out. */
+  val ShardsBefore = 16
+  val ShardsAfter = 17
+
+  /** Rendezvous (highest-random-weight) hash of (doc_id, shard) —
+    * overflow-safe double Knuth mix (every intermediate stays far
+    * inside Long range, the [[Sampling.HashMult]] discipline DuckDB's
+    * erroring BIGINT arithmetic requires): fold the id to 20 mixed
+    * bits, re-mix with the shard index, extract the high bits. Pure
+    * column arithmetic — codegen'd, zero shuffle. */
+  def rendezvousWeight(idCol: String, shard: Int): Column = {
+    val K = Sampling.HashMult
+    expr(s"(((((($idCol * ${K}L) DIV 1048576) % 1048576) + " +
+      s"${shard * 31 + 1}L) * ${K}L) DIV 1048576) % 1048576")
+  }
+
+  /** Shard of `idCol` under rendezvous hashing with `k` shards: the
+    * shard with the highest weight wins, ties to the lowest shard
+    * (array_position returns the FIRST occurrence of the max). */
+  def rendezvousShard(idCol: String, k: Int): Column = {
+    val hs = array((0 until k).map(rendezvousWeight(idCol, _)): _*)
+    (array_position(hs, array_max(hs)) - 1).cast("long")
+  }
+
+  /** Rendezvous shard placement with a scale-out diff (q174) — the
+    * data-placement operator of a sharded corpus store: assign every
+    * document a shard under [[ShardsBefore]] and [[ShardsAfter]]
+    * shards, flag movers, and contrast with naive modulo placement.
+    *
+    * Why this operator exists at 100 TB: adding one shard under
+    * `id % k` placement moves ~(k−1)/k of every byte in the store
+    * (the q174 fixture measures ~94%); rendezvous moves only the
+    * ~1/(k+1) of keys whose new shard IS the added one — scale-out
+    * cost proportional to the new capacity, not the fleet. Per-row
+    * arithmetic only: the assignment never shuffles, and the diff is
+    * the row-local comparison of two expressions. The spec pins the
+    * movement bound and the balance of the assignment. */
+  def shardPlacement(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        rendezvousShard("doc_id", ShardsBefore).as("shard_a"),
+        rendezvousShard("doc_id", ShardsAfter).as("shard_b"),
+        (col("doc_id") % ShardsBefore).as("mod_a"),
+        (col("doc_id") % ShardsAfter).as("mod_b"))
+      .withColumn("moved", col("shard_a") =!= col("shard_b"))
+      .withColumn("mod_moved", col("mod_a") =!= col("mod_b"))
 }

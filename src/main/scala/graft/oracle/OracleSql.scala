@@ -1511,6 +1511,37 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
   }
 
+  /** Mirror of [[graft.operators.Layout.shardPlacement]] (q174):
+    * identical double-Knuth rendezvous weights (overflow-safe BIGINT
+    * arithmetic), first-max shard pick via list_position, modulo
+    * contrast columns. */
+  def shardPlacement: String = {
+    import graft.operators.Layout.{ShardsBefore, ShardsAfter}
+    val K = graft.operators.Sampling.HashMult
+    def w(s: Int): String =
+      s"((((((doc_id * $K) // 1048576) % 1048576) + " +
+        s"${s * 31 + 1}) * $K) // 1048576) % 1048576"
+    def hs(k: Int): String =
+      (0 until k).map(w).mkString("[", ", ", "]")
+    s"""WITH p AS (
+  SELECT doc_id, ${hs(ShardsBefore)} AS h16, ${hs(ShardsAfter)} AS h17
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(list_position(h16, list_aggregate(h16, 'max')) - 1
+           AS BIGINT) AS shard_a,
+         CAST(list_position(h17, list_aggregate(h17, 'max')) - 1
+           AS BIGINT) AS shard_b,
+         doc_id % $ShardsBefore AS mod_a,
+         doc_id % $ShardsAfter AS mod_b
+  FROM p
+)
+SELECT doc_id, shard_a, shard_b, mod_a, mod_b,
+       shard_a <> shard_b AS moved,
+       mod_a <> mod_b AS mod_moved
+FROM s"""
+  }
+
   /** Shared CTE prefix of the unigram-LM mirrors (q172/q173): the
     * trainable distinct-word vocabulary, the substring seed
     * inventory, its single-character coverage set, and the seed

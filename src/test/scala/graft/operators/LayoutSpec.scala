@@ -80,4 +80,33 @@ class LayoutSpec extends AnyFunSuite with SparkSessionSpec {
       s"z layout b-range $zMaxB not tighter than column sort $aMaxB")
     assert(zArea <= aArea)
   }
+
+  test("rendezvous placement: scale-out moves ~1/(k+1) of keys (vs " +
+      "~k/(k+1) for modulo), every mover lands on the NEW shard, and " +
+      "the assignment is balanced") {
+    import spark.implicits._
+    val n = 4096
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val p = Layout.shardPlacement(docs).collect()
+    assert(p.length == n)
+    val moved = p.count(_.getAs[Boolean]("moved"))
+    val modMoved = p.count(_.getAs[Boolean]("mod_moved"))
+    // rendezvous: only keys whose new argmax IS the added shard move
+    p.filter(_.getAs[Boolean]("moved")).foreach(r =>
+      assert(r.getAs[Long]("shard_b") == Layout.ShardsAfter - 1,
+        s"mover ${r.getAs[Long]("doc_id")} went to an old shard"))
+    val movedFrac = moved.toDouble / n
+    val modFrac = modMoved.toDouble / n
+    info(f"rendezvous moved $movedFrac%.3f vs modulo $modFrac%.3f")
+    // expectation 1/17 ≈ 0.059 vs 16/17 ≈ 0.94
+    assert(movedFrac < 0.12, s"rendezvous moved $movedFrac")
+    assert(modFrac > 0.8, s"modulo moved only $modFrac")
+    // balance: no shard above 2x the mean under either shard count
+    Seq("shard_a", "shard_b").foreach { c =>
+      val sizes = p.groupBy(_.getAs[Long](c)).map(_._2.length)
+      val mean = n.toDouble / (if (c == "shard_a") Layout.ShardsBefore
+        else Layout.ShardsAfter)
+      assert(sizes.max < 2 * mean, s"$c max ${sizes.max} vs mean $mean")
+    }
+  }
 }
