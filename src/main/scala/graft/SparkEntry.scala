@@ -1201,6 +1201,15 @@ object SparkEntry {
     // modulo baseline — row-local double-Knuth arithmetic only.
     "q174_shard_placement" -> ((s, dir) =>
       operators.Layout.shardPlacement(documents(s, dir))),
+    // Normalization-unlocked exact dedup: lowercase/strip/collapse
+    // before hashing; flags docs that only become duplicates after
+    // normalization — the near-exact class raw hashing misses.
+    "q175_norm_dedup" -> ((s, dir) =>
+      TextAnalysis.normalizedDedup(documents(s, dir))),
+    // Vocabulary coverage / OOV-rate curve at k = 10/100/1000 — the
+    // tokenizer-budget diagnostic over the type-frequency table.
+    "q176_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1473,6 +1482,8 @@ object SparkEntry {
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,
     "q174_shard_placement" -> OracleSql.shardPlacement,
+    "q175_norm_dedup" -> OracleSql.normalizedDedup,
+    "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

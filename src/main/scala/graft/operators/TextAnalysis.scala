@@ -1333,4 +1333,71 @@ object TextAnalysis {
     handle.release()
     out
   }
+
+  /** Normalization-unlocked exact dedup (q175) — the canonicalization
+    * step most pipelines run BEFORE content hashing: lowercase, strip
+    * non-alphanumerics, collapse whitespace, then compare the exact-
+    * dup structure under raw vs normalized digests. `unlocked` flags
+    * the documents that only become duplicates after normalization —
+    * the casing/punctuation near-exact class that raw hashing misses
+    * (CCNet/C4 both normalize before their hash for this reason).
+    *
+    * Scale design: normalization is row-local (codegen'd string
+    * expressions), and only the two 32-byte digests shuffle — each
+    * min-id canonical is one hash-keyed window over (id, digest),
+    * never the text; the same single-shuffle shape as q4's exact
+    * dedup, run under two keys. */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    val wRaw = Window.partitionBy(col("raw_hash"))
+    val wNorm = Window.partitionBy(col("norm_hash"))
+    docs.select(col("doc_id"),
+        md5(col("text")).as("raw_hash"), md5(norm).as("norm_hash"),
+        (col("text") =!= norm).as("changed"))
+      .withColumn("dup_raw", col("doc_id") =!= min(col("doc_id")).over(wRaw))
+      .withColumn("dup_norm",
+        col("doc_id") =!= min(col("doc_id")).over(wNorm))
+      .withColumn("unlocked", col("dup_norm") && !col("dup_raw"))
+      .select(col("doc_id"), col("changed"), col("dup_raw"),
+        col("dup_norm"), col("unlocked"))
+  }
+
+  /** Coverage grid of [[vocabCoverage]] (q176). */
+  val CoverageKs = Seq(10, 100, 1000)
+
+  /** Vocabulary coverage / OOV-rate curve (q176) — the tokenizer-
+    * budget diagnostic: for each candidate vocabulary size k, the
+    * share of token OCCURRENCES covered by the k most frequent types
+    * (1 − coverage is the OOV rate a closed vocabulary of that size
+    * would suffer). The q135 Heaps curve says how fast types grow;
+    * this says what a budget BUYS — the pair every tokenizer-size
+    * decision reads.
+    *
+    * Scale design: one map-side-combined type-count exchange (the
+    * corpus collapses to its vocabulary before anything else), then
+    * a rank over the TYPE table — vocabulary-bounded, the q59/q135
+    * bounded-frame window contract — and one k-keyed aggregation of
+    * |V|·|ks| skinny rows. */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = CoverageKs): DataFrame = {
+    import docs.sparkSession.implicits._
+    val types = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // vocabulary-bounded frame: the window ranks types, not tokens
+    val ranked = types.withColumn("rnk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("word").asc)))
+    ranked.crossJoin(broadcast(ks.map(_.toLong).toDF("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rnk") <= col("k"), 1L).otherwise(0L))
+          .as("n_types_kept"),
+        sum(when(col("rnk") <= col("k"), col("cnt")).otherwise(0L))
+          .as("covered_tokens"),
+        sum(col("cnt")).as("total_tokens"))
+      .withColumn("coverage", col("covered_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+  }
 }

@@ -1542,6 +1542,57 @@ SELECT doc_id, shard_a, shard_b, mod_a, mod_b,
 FROM s"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.normalizedDedup]]
+    * (q175): identical lowercase/strip/collapse normalization (the
+    * regex classes are deliberately shared Java-regex/RE2 syntax;
+    * DuckDB needs the explicit 'g' flag Spark implies), md5 digests,
+    * min-id canonicals under both keys. */
+  def normalizedDedup: String =
+    s"""WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(text) AS raw_hash, md5(norm) AS norm_hash,
+         text <> norm AS changed
+  FROM n
+)
+SELECT doc_id, changed,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY raw_hash) AS dup_raw,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS dup_norm,
+       (doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash)) AND NOT
+         (doc_id <> MIN(doc_id) OVER (PARTITION BY raw_hash)) AS unlocked
+FROM h"""
+
+  /** Mirror of [[graft.operators.TextAnalysis.vocabCoverage]] (q176):
+    * type counts, (cnt DESC, word ASC) rank, per-k conditional sums,
+    * coverage as the same double division. */
+  def vocabCoverage: String = {
+    val ks = graft.operators.TextAnalysis.CoverageKs.mkString("[", ", ", "]")
+    s"""WITH t AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0
+  GROUP BY word
+), r AS (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+  FROM t
+), ks AS (
+  SELECT CAST(unnest($ks) AS BIGINT) AS k
+)
+SELECT k,
+       CAST(SUM(CASE WHEN rnk <= k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types_kept,
+       CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE) /
+         CAST(SUM(cnt) AS DOUBLE) AS coverage
+FROM r, ks GROUP BY k"""
+  }
+
   /** Shared CTE prefix of the unigram-LM mirrors (q172/q173): the
     * trainable distinct-word vocabulary, the substring seed
     * inventory, its single-character coverage set, and the seed

@@ -559,4 +559,47 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(nt.takeRight(3).sum < nt.head,
       s"late buckets ${nt.takeRight(3).sum} vs first ${nt.head}")
   }
+
+  test("normalizedDedup: casing/punctuation twins unlock only under " +
+      "the normalized digest; raw dups stay raw; clean docs unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),        // canonical of the normalized group
+      (2L, "Hello, World!"),      // unlocked: dup only after norm
+      (3L, "hello   world"),      // unlocked: whitespace collapse
+      (4L, "raw twin"), (5L, "raw twin"), // raw dup pair
+      (6L, "unique doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizedDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getAs[Boolean]("changed"))
+    assert(out(2L).getAs[Boolean]("changed"))
+    Seq(2L, 3L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("dup_raw"))
+      assert(out(id).getAs[Boolean]("dup_norm"))
+      assert(out(id).getAs[Boolean]("unlocked"), s"doc $id not unlocked")
+    }
+    assert(!out(1L).getAs[Boolean]("dup_norm")) // min-id canonical
+    assert(out(5L).getAs[Boolean]("dup_raw"))
+    assert(out(5L).getAs[Boolean]("dup_norm"))
+    assert(!out(5L).getAs[Boolean]("unlocked")) // already a raw dup
+    assert(!out(6L).getAs[Boolean]("dup_norm"))
+  }
+
+  test("vocabCoverage: coverage is monotone in k, caps at 1.0 when k " +
+      "exceeds the vocabulary, and counts occurrences not types") {
+    import spark.implicits._
+    // 'a' dominates occurrences: top-1 coverage far above 1/|V|
+    val docs = Seq((1L, "a a a a a a a a b c"), (2L, "a a d e f g"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 100)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Double]("coverage") == 10.0 / 16.0)
+    assert(out(1L).getAs[Long]("n_types_kept") == 1L)
+    assert(out(2L).getAs[Double]("coverage") >
+      out(1L).getAs[Double]("coverage"))
+    assert(out(100L).getAs[Double]("coverage") == 1.0)
+    assert(out(100L).getAs[Long]("n_types_kept") == 7L)
+    assert(out(100L).getAs[Long]("total_tokens") == 16L)
+  }
 }
