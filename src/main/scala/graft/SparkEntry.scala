@@ -1210,6 +1210,11 @@ object SparkEntry {
     // tokenizer-budget diagnostic over the type-frequency table.
     "q176_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(documents(s, dir))),
+    // Curriculum ordering: per-source quality rank, round-robin
+    // source interleave, global training position through the q57
+    // range-partitioned index (no single-reducer global window).
+    "q177_curriculum" -> ((s, dir) =>
+      operators.Sampling.curriculumOrder(documents(s, dir))),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1484,6 +1489,7 @@ object SparkEntry {
     "q174_shard_placement" -> OracleSql.shardPlacement,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
+    "q177_curriculum" -> OracleSql.curriculumOrder,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -544,4 +544,34 @@ object Sampling {
       .filter(col("rk") <= col("alloc"))
       .select(col("doc_id"), col("lang"), col("source"), col("alloc"))
   }
+
+  /** Range partitions of the q177 global position pass (the q57
+    * knob). */
+  val CurriculumPartitions = 8
+
+  /** Curriculum ordering (q177) — the training-order operator:
+    * rank every document within its source by quality (best first),
+    * then interleave sources round-robin by rank, assigning each
+    * document its GLOBAL training position. The schedule reads the
+    * best document of every source, then every second-best, … — the
+    * quality-first curriculum with source diversity at every stride,
+    * the data-ordering most curriculum-training recipes start from.
+    *
+    * Scale design: the quality score is the shared row-local q6
+    * column builder; the within-source rank is a source-keyed window
+    * (source-bounded partitions); the GLOBAL position goes through
+    * [[GlobalIndex.globalRowIndex]] on (src_rank, source) — the
+    * range-partitioned q57 primitive, never a single-reducer global
+    * window. Oracle mirrors via row_number arithmetic. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    val ranked = scored.withColumn("src_rank", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc))
+      .cast("long"))
+    GlobalIndex.globalRowIndex(ranked,
+        Seq(col("src_rank"), col("source")), CurriculumPartitions)
+      .withColumnRenamed("global_idx", "position")
+  }
 }

@@ -820,6 +820,36 @@ SELECT * EXCLUDE (distinct_ratio),
 FROM ratios"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.curriculumOrder]] (q177):
+    * the q6 quality-score expression, per-source (quality DESC, id
+    * ASC) rank, global position by row_number over (src_rank,
+    * source) — the serial twin of the range-partitioned q57 pass. */
+  def curriculumOrder: String = {
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    s"""WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, source,
+         LEAST(len(w) / 50.0, 1.0) *
+           (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
+           (1.0 - 0.5 * (CAST(len(list_filter(w,
+              t -> list_contains($stops, t))) AS DOUBLE) / len(w)))
+           AS quality_score
+  FROM d
+), r AS (
+  SELECT doc_id, source, quality_score,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY quality_score DESC, doc_id ASC) AS BIGINT)
+           AS src_rank
+  FROM s
+)
+SELECT doc_id, source, quality_score, src_rank,
+       CAST(row_number() OVER (ORDER BY src_rank, source) - 1 AS BIGINT)
+         AS position
+FROM r"""
+  }
+
   /** Mirror of [[graft.operators.Sampling.paretoFront]] (q133): the
     * same per-n_chars max-quality reduction and strictly-increasing
     * running-max frontier scan (the all-pairs NOT-EXISTS dominance

@@ -341,4 +341,29 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(got.nonEmpty && got.size < all.length,
       s"frontier ${got.size} of ${all.length} should be a proper subset")
   }
+
+  test("curriculumOrder: positions are a dense permutation, the first " +
+      "stride holds every source's best doc, and within a source " +
+      "quality never increases along the schedule") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.curriculumOrder(docs).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq ==
+      (0L until n.toLong))
+    val sources = out.map(_.getAs[String]("source")).distinct
+    // first |sources| positions = each source's rank-1 (best) doc
+    val firstStride = out.filter(_.getAs[Long]("position") < sources.length)
+    assert(firstStride.map(_.getAs[String]("source")).distinct.length ==
+      sources.length)
+    firstStride.foreach(r => assert(r.getAs[Long]("src_rank") == 1L))
+    // within each source: positions ascend with rank, quality descends
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_.getAs[Long]("position"))
+      assert(byPos.map(_.getAs[Long]("src_rank")).toSeq ==
+        (1L to rs.length.toLong))
+      val q = byPos.map(_.getAs[Double]("quality_score"))
+      q.sliding(2).foreach(p => if (p.length == 2) assert(p(0) >= p(1)))
+    }
+  }
 }
