@@ -1215,6 +1215,44 @@ object SparkEntry {
     // range-partitioned index (no single-reducer global window).
     "q177_curriculum" -> ((s, dir) =>
       operators.Sampling.curriculumOrder(documents(s, dir))),
+    // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
+    // micro-batches; each foreachBatch applies idempotent per-bucket
+    // copy-on-write to the v1 table on disk. Same closure oracle as
+    // q171: the maintained table must equal v2 exactly.
+    "q178_stream_merge" -> ((s, dir) => {
+      import operators.Pipeline
+      val docs = documents(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-merge-q178").toString
+      val tableDir = s"$wh/table"
+      docs.filter(col("doc_id") % 10 =!= Pipeline.DiffAddedMod)
+        .select(col("doc_id"), col("text"))
+        .withColumn("bucket", col("doc_id") % Pipeline.MergeBuckets)
+        .write.partitionBy("bucket").parquet(tableDir)
+      val cdc = Pipeline.cdcFromDiff(docs)
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 3).foreach { w =>
+        val tmp = s"$wh/w$w"
+        cdc.filter(col("doc_id") % 3 === w).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(
+          "doc_id BIGINT, op STRING, new_text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Pipeline.mergeApplyTable(s, tableDir, batch)
+        }
+        .option("checkpointLocation", s"$wh/cp").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(tableDir).select(col("doc_id"),
+        col("bucket").cast("long").as("bucket"), col("text"))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -1490,6 +1528,7 @@ object SparkEntry {
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,
+    "q178_stream_merge" -> OracleSql.mergeApply,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,
