@@ -1215,6 +1215,10 @@ object SparkEntry {
     // range-partitioned index (no single-reducer global window).
     "q177_curriculum" -> ((s, dir) =>
       operators.Sampling.curriculumOrder(documents(s, dir))),
+    // DoReMi-style domain reweighting: per-source excess loss under
+    // the q97 target LM → exponentiated-gradient mixture weights.
+    "q179_doremi_weights" -> ((s, dir) =>
+      operators.Sampling.doremiWeights(documents(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1529,6 +1533,7 @@ object SparkEntry {
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,
     "q178_stream_merge" -> OracleSql.mergeApply,
+    "q179_doremi_weights" -> OracleSql.doremiWeights,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -574,4 +574,62 @@ object Sampling {
         Seq(col("src_rank"), col("source")), CurriculumPartitions)
       .withColumnRenamed("global_idx", "position")
   }
+
+  /** Exponentiated-gradient scale of [[doremiWeights]]'s excess-loss
+    * softmax (absorbs the paper's per-step η × step count — with
+    * FIXED per-domain losses the EG iteration has the closed form
+    * softmax(η·T·excess), so one constant stands in for the loop)
+    * and the uniform-smoothing mass that keeps every domain
+    * sampled. */
+  val DoremiEta = 1.0
+  val DoremiSmoothing = 0.1
+
+  /** DoReMi-style domain reweighting (q179, after Xie et al. 2023):
+    * compute each source's token-weighted cross-entropy under the
+    * q97 TARGET bigram LM, take its EXCESS over the target domain's
+    * own loss (clipped at 0 — domains already at reference loss get
+    * no boost), and turn the excesses into mixture weights by the
+    * exponentiated-gradient closed form w_s ∝ exp(η·excess_s),
+    * smoothed with uniform mass c/|S|. Domains that look LEAST like
+    * the reference get upweighted — the excess-loss counterpoint to
+    * [[temperatureMix]] (population power law) and
+    * [[importanceWeights]] (DSIR feature ratios). Sources with no
+    * scoreable document (every doc < 2 tokens) carry no weight, in
+    * both engines, by the shared len ≥ 2 filter.
+    *
+    * Scale design (100 TB): the corpus-sized work is q97's — bounded
+    * broadcast LM tables, row-local tokenization, per-doc map-side-
+    * combined bigram counts. Everything after is |S|-row arithmetic:
+    * one per-source aggregation, the reference loss as a broadcast
+    * one-row scalar, and the softmax normalizer folded in ascending
+    * source order (the reduceCellSums discipline — a plain SUM's
+    * partition-arrival order would leak into every weight). */
+  def doremiWeights(docs: DataFrame, eta: Double = DoremiEta,
+      smoothing: Double = DoremiSmoothing,
+      targetSource: String = TextAnalysis.TargetLmSource): DataFrame = {
+    val scored = TextAnalysis.targetLmScore(docs, targetSource)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val perSrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        (sum(col("n_bigrams") * col("cross_entropy")) /
+          sum(col("n_bigrams"))).as("loss"))
+    val ref = perSrc.filter(col("source") === targetSource)
+      .select(col("loss").as("ref_loss"))
+    val ex = perSrc.crossJoin(broadcast(ref))
+      .withColumn("excess",
+        greatest(lit(0.0), col("loss") - col("ref_loss")))
+      .withColumn("ew", exp(lit(eta) * col("excess")))
+    val z = ex
+      .agg(sort_array(collect_list(struct(col("source"), col("ew"))))
+        .as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+          (acc, s) => acc + s.getField("ew")).as("z"),
+        size(col("a")).cast("long").as("n_src"))
+    ex.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("loss"), col("excess"),
+        (lit(1.0 - smoothing) * col("ew") / col("z") +
+          lit(smoothing) / col("n_src")).as("weight"))
+  }
 }

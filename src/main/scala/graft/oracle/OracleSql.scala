@@ -985,7 +985,18 @@ SELECT *, reject_reason = 'none' AS kept FROM v"""
     * (the 1−λ weight is interpolated from the SAME Scala double, so
     * both engines multiply by the identical constant), Σ n·ln p per
     * doc. */
-  def targetLmScore: String = {
+  def targetLmScore: String =
+    s"""$targetLmCtes
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       -SUM(n * logp) / SUM(n) AS cross_entropy,
+       exp(-SUM(n * logp) / SUM(n)) AS ppl
+FROM j GROUP BY doc_id"""
+
+  /** The shared q97 LM CTE chain (`d0` → … → `j`, per-(doc, bigram)
+    * n·logp) — single source for the per-doc mirror
+    * ([[targetLmScore]]) and the per-domain DoReMi aggregation
+    * ([[doremiWeights]]). */
+  private def targetLmCtes: String = {
     import TextAnalysis.{LmLambda, TargetLmSource}
     val oneMinus = 1 - LmLambda // the exact double Spark multiplies by
     s"""WITH d0 AS (
@@ -1021,11 +1032,41 @@ SELECT *, reject_reason = 'none' AS kept FROM v"""
   LEFT JOIN tc2 c ON db.w1 = c.w1 AND db.w2 = c.w2
   LEFT JOIN tc1 a ON db.w1 = a.t
   LEFT JOIN tc1 b ON db.w2 = b.t, st
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Sampling.doremiWeights]] (q179):
+    * the q97 chain aggregated per doc then per source with the same
+    * n_bigrams·cross_entropy product tree, excess clipped by the
+    * same greatest(0, ·), the identical η/smoothing Scala doubles
+    * interpolated, and the |S|-row softmax absorbed by %.9g. */
+  def doremiWeights: String = {
+    import graft.operators.Sampling.{DoremiEta, DoremiSmoothing}
+    import TextAnalysis.TargetLmSource
+    val oneMinusC = 1 - DoremiSmoothing // the exact Spark double
+    s"""$targetLmCtes, q97 AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         -SUM(n * logp) / SUM(n) AS cross_entropy
+  FROM j GROUP BY doc_id
+), src AS (
+  SELECT dd.source, COUNT(*) AS n_docs,
+         CAST(SUM(q.n_bigrams) AS BIGINT) AS n_bigrams,
+         SUM(q.n_bigrams * q.cross_entropy) / SUM(q.n_bigrams) AS loss
+  FROM q97 q JOIN documents dd ON q.doc_id = dd.doc_id
+  GROUP BY dd.source
+), ref AS (
+  SELECT loss AS ref_loss FROM src WHERE source = '$TargetLmSource'
+), ex AS (
+  SELECT s.source, s.n_docs, s.n_bigrams, s.loss,
+         greatest(0.0, s.loss - r.ref_loss) AS excess,
+         exp($DoremiEta * greatest(0.0, s.loss - r.ref_loss)) AS ew
+  FROM src s, ref r
+), zz AS (
+  SELECT SUM(ew) AS z, CAST(COUNT(*) AS BIGINT) AS n_src FROM ex
 )
-SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       -SUM(n * logp) / SUM(n) AS cross_entropy,
-       exp(-SUM(n * logp) / SUM(n)) AS ppl
-FROM j GROUP BY doc_id"""
+SELECT source, n_docs, n_bigrams, loss, excess,
+       $oneMinusC * ew / zz.z + $DoremiSmoothing / zz.n_src AS weight
+FROM ex, zz"""
   }
 
   /** Mirror of [[TextAnalysis.nbQualityFilter]] (q107): same

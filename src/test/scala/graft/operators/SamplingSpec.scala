@@ -366,4 +366,38 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
       q.sliding(2).foreach(p => if (p.length == 2) assert(p(0) >= p(1)))
     }
   }
+
+  test("doremiWeights: on-domain sources carry zero excess, " +
+      "off-domain sources get upweighted, weights sum to 1 above " +
+      "the uniform floor") {
+    // src18 is the target LM source; srcA copies its text exactly
+    // (loss == ref loss, excess clips to 0); srcB is gibberish the
+    // target LM has never seen (every bigram falls to the smoothed
+    // unigram floor -> large excess)
+    val docs = Seq(
+      (1L, "src18", "the cat sat on the mat"),
+      (2L, "src18", "the dog sat on the rug"),
+      (11L, "srcA", "the cat sat on the mat"),
+      (12L, "srcA", "the dog sat on the rug"),
+      (21L, "srcB", "zq xv qqj lkm pwo zzt"),
+      (22L, "srcB", "vbn mmq ppl zzx qqw rrt"))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.doremiWeights(docs).collect()
+    assert(rows.length == 3)
+    val bySrc = rows.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Double]("loss"), r.getAs[Double]("excess"),
+        r.getAs[Double]("weight")))).toMap
+    assert(bySrc("src18")._2 == 0.0)
+    assert(bySrc("srcA")._2 <= 1e-12,
+      s"identical text must carry ~zero excess, got ${bySrc("srcA")._2}")
+    assert(bySrc("srcB")._2 > 0.5,
+      s"off-domain excess should be large, got ${bySrc("srcB")._2}")
+    assert(bySrc("srcB")._3 > bySrc("srcA")._3,
+      "the off-domain source must be upweighted")
+    val total = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"weights sum to $total")
+    val floor = Sampling.DoremiSmoothing / 3
+    rows.foreach(r =>
+      assert(r.getAs[Double]("weight") > floor - 1e-12))
+  }
 }
