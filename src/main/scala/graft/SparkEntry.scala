@@ -1219,6 +1219,10 @@ object SparkEntry {
     // the q97 target LM → exponentiated-gradient mixture weights.
     "q179_doremi_weights" -> ((s, dir) =>
       operators.Sampling.doremiWeights(documents(s, dir))),
+    // Data-constrained epoch schedule: α-tempered target shares +
+    // repetition cap + one waterfill redistribution round.
+    "q180_epoch_schedule" -> ((s, dir) =>
+      operators.Sampling.epochSchedule(documents(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1534,6 +1538,7 @@ object SparkEntry {
     "q177_curriculum" -> OracleSql.curriculumOrder,
     "q178_stream_merge" -> OracleSql.mergeApply,
     "q179_doremi_weights" -> OracleSql.doremiWeights,
+    "q180_epoch_schedule" -> OracleSql.epochSchedule,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -632,4 +632,74 @@ object Sampling {
         (lit(1.0 - smoothing) * col("ew") / col("z") +
           lit(smoothing) / col("n_src")).as("weight"))
   }
+
+  /** [[epochSchedule]] knobs: the repetition ceiling (the
+    * data-constrained-scaling finding that ~4 epochs of reuse are
+    * near-free, degrading fast beyond) and the token budget as a
+    * multiple of the corpus — 2× forces the repetition/budget
+    * interplay the operator exists to resolve. */
+  val EpochCap = 4.0
+  val EpochBudgetFrac = 2.0
+
+  /** Epoch/repetition schedule under a token budget (q180, after the
+    * data-constrained scaling recipe — Muennighoff et al. 2023):
+    * given α-tempered target shares over per-source token mass and a
+    * total training budget, assign each source a repetition factor
+    * epochs_s = min(cap, budget·w_s/T_s), then redistribute the
+    * budget the capped sources could not absorb to the uncapped ones
+    * (one waterfill round, capped again — the deterministic two-pass
+    * approximation; Σ planned ≤ budget by construction). This is the
+    * planning step between mixture weights ([[temperatureMix]],
+    * [[doremiWeights]]) and the physical repetition operator
+    * ([[upsampleMixture]] q60) every budget-bound pretraining run
+    * executes.
+    *
+    * Scale design (100 TB): per-source token mass is one map-side-
+    * combined LONG aggregation (exact — no float order anywhere in
+    * the corpus-sized pass); everything after is |S|-row arithmetic
+    * with the three scalar reductions (normalizer, pass-1 achieved
+    * tokens, uncapped weight mass) folded in ascending source order
+    * (the reduceCellSums discipline). */
+  def epochSchedule(docs: DataFrame, alpha: Double = MixTemperature,
+      budgetFrac: Double = EpochBudgetFrac,
+      epochCap: Double = EpochCap): DataFrame = {
+    val t = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("src_tokens"))
+    val tot = t.agg(sum(col("src_tokens")).as("tot_tokens"))
+    val pw = t.crossJoin(broadcast(tot))
+      .withColumn("pw", pow(
+        col("src_tokens").cast("double") / col("tot_tokens"), lit(alpha)))
+    val z = pw
+      .agg(sort_array(collect_list(struct(col("source"), col("pw"))))
+        .as("a"))
+      .select(aggregate(col("a"), lit(0.0),
+        (acc, s) => acc + s.getField("pw")).as("z"))
+    val w = pw.crossJoin(broadcast(z))
+      .withColumn("weight", col("pw") / col("z"))
+      .withColumn("budget", lit(budgetFrac) * col("tot_tokens"))
+      .withColumn("e1", least(lit(epochCap),
+        col("budget") * col("weight") / col("src_tokens")))
+    val agg2 = w
+      .agg(sort_array(collect_list(struct(col("source"),
+        (col("e1") * col("src_tokens")).as("a1"),
+        when(col("e1") < epochCap, col("weight")).otherwise(lit(0.0))
+          .as("wu")))).as("a"))
+      .select(
+        aggregate(col("a"), lit(0.0),
+          (acc, s) => acc + s.getField("a1")).as("achieved1"),
+        aggregate(col("a"), lit(0.0),
+          (acc, s) => acc + s.getField("wu")).as("wu"))
+    w.crossJoin(broadcast(agg2))
+      .withColumn("epochs",
+        when(col("e1") >= epochCap || col("wu") <= 0.0, col("e1"))
+          .otherwise(least(lit(epochCap), col("e1") +
+            greatest(lit(0.0), col("budget") - col("achieved1")) *
+              (col("weight") / col("wu")) / col("src_tokens"))))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("weight"), col("e1").as("epochs_pass1"), col("epochs"),
+        (col("epochs") * col("src_tokens")).as("planned_tokens"))
+  }
 }

@@ -1062,7 +1062,9 @@ FROM j GROUP BY doc_id"""
          exp($DoremiEta * greatest(0.0, s.loss - r.ref_loss)) AS ew
   FROM src s, ref r
 ), zz AS (
-  SELECT SUM(ew) AS z, CAST(COUNT(*) AS BIGINT) AS n_src FROM ex
+  SELECT list_reduce(list_prepend(0.0, list(ew ORDER BY source)),
+           (a, b) -> a + b) AS z,
+         CAST(COUNT(*) AS BIGINT) AS n_src FROM ex
 )
 SELECT source, n_docs, n_bigrams, loss, excess,
        $oneMinusC * ew / zz.z + $DoremiSmoothing / zz.n_src AS weight
@@ -4481,6 +4483,59 @@ WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
 SELECT doc_id, d.source, ${mixedSql("doc_id")} % 1048576 AS h, keep_rate
 FROM documents d JOIN kr ON d.source = kr.source
 WHERE ${mixedSql("doc_id")} % 1048576 < keep_rate * 1048576.0"""
+  }
+
+  /** Mirror of [[graft.operators.Sampling.epochSchedule]] (q180):
+    * exact LONG per-source token mass, the same α-power weights and
+    * ascending-source left folds for the three scalar reductions,
+    * identical least/greatest/CASE expression trees for the two
+    * waterfill passes. */
+  def epochSchedule: String = {
+    import graft.operators.Sampling.{EpochBudgetFrac, EpochCap,
+      MixTemperature}
+    s"""WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS src_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens FROM t
+), pw AS (
+  SELECT source, n_docs, src_tokens, tot_tokens,
+         pow(CAST(src_tokens AS DOUBLE) / tot_tokens, $MixTemperature)
+           AS pw
+  FROM t CROSS JOIN tot
+), z AS (
+  SELECT list_reduce(list_prepend(0.0, list(pw ORDER BY source)),
+    (a, b) -> a + b) AS z
+  FROM pw
+), w0 AS (
+  SELECT source, n_docs, src_tokens, pw / z.z AS weight,
+         $EpochBudgetFrac * tot_tokens AS budget
+  FROM pw CROSS JOIN z
+), w AS (
+  SELECT *, least($EpochCap, budget * weight / src_tokens) AS e1
+  FROM w0
+), a2 AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(e1 * src_tokens ORDER BY source)),
+           (a, b) -> a + b) AS achieved1,
+         list_reduce(list_prepend(0.0,
+           list(CASE WHEN e1 < $EpochCap THEN weight ELSE 0.0 END
+                ORDER BY source)),
+           (a, b) -> a + b) AS wu
+  FROM w
+), fin AS (
+  SELECT source, n_docs, src_tokens, weight, e1,
+         CASE WHEN e1 >= $EpochCap OR wu <= 0.0 THEN e1
+              ELSE least($EpochCap, e1 +
+                greatest(0.0, budget - achieved1) * (weight / wu)
+                  / src_tokens) END AS epochs
+  FROM w CROSS JOIN a2
+)
+SELECT source, n_docs, src_tokens, weight, e1 AS epochs_pass1,
+       epochs, epochs * src_tokens AS planned_tokens
+FROM fin"""
   }
 
   /** q60 oracle — mirror of

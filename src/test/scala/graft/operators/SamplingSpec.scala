@@ -400,4 +400,35 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     rows.foreach(r =>
       assert(r.getAs[Double]("weight") > floor - 1e-12))
   }
+
+  test("epochSchedule: small sources cap at the repetition ceiling, " +
+      "capped budget flows to uncapped sources, total planned " +
+      "tokens never exceed the budget") {
+    // tiny source (5 tokens) vs bulk source (1000 tokens): α = 0.7
+    // hands the tiny source far more than cap×5 tokens, so it caps
+    // and its surplus must waterfill into the bulk source
+    val docs = (Seq((1L, "tiny", "a b c d e")) ++
+      (1 to 10).map(i => (10L + i, "bulk",
+        (1 to 100).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.epochSchedule(docs).collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    val tiny = bySrc("tiny"); val bulk = bySrc("bulk")
+    assert(tiny.getAs[Long]("src_tokens") == 5L)
+    assert(bulk.getAs[Long]("src_tokens") == 1000L)
+    assert(tiny.getAs[Double]("epochs") == Sampling.EpochCap)
+    // bulk got the tiny source's unabsorbed budget in pass 2
+    assert(bulk.getAs[Double]("epochs") >
+      bulk.getAs[Double]("epochs_pass1"))
+    assert(rows.forall(_.getAs[Double]("epochs") <=
+      Sampling.EpochCap + 1e-12))
+    val budget = Sampling.EpochBudgetFrac * 1005
+    val planned = rows.map(_.getAs[Double]("planned_tokens")).sum
+    assert(planned <= budget + 1e-6,
+      s"planned $planned must not exceed budget $budget")
+    assert(planned > budget * 0.95,
+      s"waterfill should get close to the budget, got $planned")
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9)
+  }
 }
