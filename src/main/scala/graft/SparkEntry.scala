@@ -1223,6 +1223,11 @@ object SparkEntry {
     // repetition cap + one waterfill redistribution round.
     "q180_epoch_schedule" -> ((s, dir) =>
       operators.Sampling.epochSchedule(documents(s, dir))),
+    // k-anonymous release: generalization ladder where each coarser
+    // cohort counts only rows not released at a finer level.
+    "q181_k_anonymity" -> ((s, dir) =>
+      operators.Pipeline.kAnonymize(
+        s.read.parquet(s"$dir/customer.parquet"))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1539,6 +1544,7 @@ object SparkEntry {
     "q178_stream_merge" -> OracleSql.mergeApply,
     "q179_doremi_weights" -> OracleSql.doremiWeights,
     "q180_epoch_schedule" -> OracleSql.epochSchedule,
+    "q181_k_anonymity" -> OracleSql.kAnonymize,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

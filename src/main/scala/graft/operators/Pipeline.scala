@@ -264,4 +264,66 @@ object Pipeline {
     funnelRollup(flags,
       clusterKeepFlags(Dedup.minhashNearDups(docs)))
   }
+
+  /** k-anonymity knobs (q181): suppression threshold k and the fine/
+    * coarse account-balance band widths of the generalization
+    * ladder. */
+  val AnonK = 5
+  val AnonBandFine = 1000.0
+  val AnonBandCoarse = 5000.0
+
+  /** k-anonymous release with a generalization ladder (q181): each
+    * customer's quasi-identifiers (nation, segment, balance band)
+    * are released at the FINEST ladder level whose cohort still has
+    * ≥ k members — level 0 (fine band), level 1 (coarse band),
+    * level 2 (nation dropped), else fully suppressed. The subtlety
+    * every naive implementation gets wrong: a coarser level's cohort
+    * counts only the rows NOT already released at a finer level —
+    * counting the whole coarse group would let a single straggler
+    * ride a cohort that already left, releasing a 1-anonymous
+    * record. Here r1/r2 count exactly the still-unreleased rows, so
+    * every released cohort provably has ≥ k members (spec-pinned as
+    * a closure over the output itself). The released key embeds the
+    * ladder level (L0/L1/L2) so equal band VALUES at different
+    * widths can never alias.
+    *
+    * Scale design (100 TB): cohort tables are bounded by the
+    * quasi-identifier domain (|nations|·|segments|·bands — thousands
+    * of rows however large the corpus), each built by one map-side-
+    * combined aggregation and broadcast back; the record side is one
+    * scan with row-local band arithmetic and three broadcast joins —
+    * nothing corpus-sized ever shuffles. */
+  def kAnonymize(customer: DataFrame, k: Int = AnonK): DataFrame = {
+    val base = customer.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / AnonBandFine).as("band0"),
+      floor(col("c_acctbal") / AnonBandCoarse).as("band1"))
+    val g0 = base.groupBy(col("nation"), col("segment"), col("band0"))
+      .agg(count(lit(1)).as("n0"))
+    val b0 = base.join(broadcast(g0), Seq("nation", "segment", "band0"))
+      .withColumn("rel0", col("n0") >= k)
+    val g1 = b0.groupBy(col("nation"), col("segment"), col("band1"))
+      .agg(sum(when(!col("rel0"), 1L).otherwise(0L)).as("r1"))
+    val b1 = b0.join(broadcast(g1), Seq("nation", "segment", "band1"))
+      .withColumn("rel1", !col("rel0") && col("r1") >= k)
+    val g2 = b1.groupBy(col("segment"), col("band1"))
+      .agg(sum(when(!col("rel0") && !col("rel1"), 1L).otherwise(0L))
+        .as("r2"))
+    b1.join(broadcast(g2), Seq("segment", "band1"))
+      .withColumn("rel2", !col("rel0") && !col("rel1") && col("r2") >= k)
+      .select(col("c_custkey"),
+        when(col("rel0"), lit(0)).when(col("rel1"), lit(1))
+          .when(col("rel2"), lit(2)).otherwise(lit(3)).as("anon_level"),
+        when(col("rel0"), concat_ws("|", lit("L0"), col("nation"),
+            col("segment"), col("band0")))
+          .when(col("rel1"), concat_ws("|", lit("L1"), col("nation"),
+            col("segment"), col("band1")))
+          .when(col("rel2"), concat_ws("|", lit("L2"), col("segment"),
+            col("band1")))
+          .otherwise(lit("*")).as("released_key"),
+        when(col("rel0"), col("n0")).when(col("rel1"), col("r1"))
+          .when(col("rel2"), col("r2"))
+          .otherwise(lit(null).cast("long")).as("cohort_size"))
+  }
 }

@@ -4538,6 +4538,55 @@ SELECT source, n_docs, src_tokens, weight, e1 AS epochs_pass1,
 FROM fin"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.kAnonymize]] (q181): the
+    * same three cohort aggregations — each coarser level counting
+    * only rows NOT released at a finer one — identical band floor
+    * arithmetic, CASE precedence, and level-prefixed released key. */
+  def kAnonymize: String = {
+    import graft.operators.Pipeline.{AnonBandCoarse, AnonBandFine,
+      AnonK}
+    s"""WITH base AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / $AnonBandFine) AS BIGINT) AS band0,
+         CAST(floor(c_acctbal / $AnonBandCoarse) AS BIGINT) AS band1
+  FROM customer
+), g0 AS (
+  SELECT nation, segment, band0, CAST(COUNT(*) AS BIGINT) AS n0
+  FROM base GROUP BY nation, segment, band0
+), b0 AS (
+  SELECT b.*, g0.n0, g0.n0 >= $AnonK AS rel0
+  FROM base b JOIN g0 USING (nation, segment, band0)
+), g1 AS (
+  SELECT nation, segment, band1,
+         CAST(SUM(CASE WHEN NOT rel0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS r1
+  FROM b0 GROUP BY nation, segment, band1
+), b1 AS (
+  SELECT b0.*, g1.r1, (NOT rel0) AND g1.r1 >= $AnonK AS rel1
+  FROM b0 JOIN g1 USING (nation, segment, band1)
+), g2 AS (
+  SELECT segment, band1,
+         CAST(SUM(CASE WHEN NOT rel0 AND NOT rel1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS r2
+  FROM b1 GROUP BY segment, band1
+), b2 AS (
+  SELECT b1.*, g2.r2,
+         (NOT rel0) AND (NOT rel1) AND g2.r2 >= $AnonK AS rel2
+  FROM b1 JOIN g2 USING (segment, band1)
+)
+SELECT c_custkey,
+       CASE WHEN rel0 THEN 0 WHEN rel1 THEN 1 WHEN rel2 THEN 2
+            ELSE 3 END AS anon_level,
+       CASE WHEN rel0 THEN concat_ws('|', 'L0', nation, segment, band0)
+            WHEN rel1 THEN concat_ws('|', 'L1', nation, segment, band1)
+            WHEN rel2 THEN concat_ws('|', 'L2', segment, band1)
+            ELSE '*' END AS released_key,
+       CASE WHEN rel0 THEN n0 WHEN rel1 THEN r1 WHEN rel2 THEN r2
+            ELSE NULL END AS cohort_size
+FROM b2"""
+  }
+
   /** q60 oracle — mirror of
     * [[graft.operators.Sampling.upsampleMixture]]: identical CASE
     * weights, Knuth-hash fractional copy, lateral range fan-out. */

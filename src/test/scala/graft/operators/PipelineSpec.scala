@@ -42,4 +42,51 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
     assert(raw == docs.count())
     assert(lang > 0, "funnel filtered everything out — thresholds broken")
   }
+
+  test("kAnonymize: every released cohort has >= k members, levels " +
+      "escalate exactly when finer cohorts are small, stragglers " +
+      "of a drained coarse group cannot ride out 1-anonymous") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = Pipeline.AnonK // 5
+    // nation 1 / AUTO: 5 members in fine band 0 (released L0) plus
+    // ONE straggler in fine band 1 — same coarse band. The naive
+    // whole-coarse-group count (6 >= k) would release the straggler
+    // 1-anonymously at L1; the drained count (1 < k) must push it
+    // down the ladder. Nation 2 / AUTO shares (AUTO, coarse band 0)
+    // with 4 more unreleased rows -> straggler + those 4 release at
+    // L2 with cohort exactly 5.
+    val rows =
+      (1 to 5).map(i => (100L + i, 1, "AUTO", 100.0 * i)) ++ // band0=0
+      Seq((200L, 1, "AUTO", 1500.0)) ++                      // straggler
+      (1 to 4).map(i => (300L + i, 2, "AUTO", 1000.0 + 700 * i)) ++
+      Seq((400L, 3, "BIKE", 999999.0))                       // suppressed
+    val customer = rows.toDF("c_custkey", "c_nationkey",
+        "c_mktsegment", "c_acctbal")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+    val out = Pipeline.kAnonymize(customer).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // the five fine-band rows release at L0 with cohort 5
+    (1 to 5).foreach { i =>
+      val (lvl, key, n) = out(100L + i)
+      assert(lvl == 0 && key == "L0|1|AUTO|0" && n == 5L)
+    }
+    // straggler: NOT L1 (drained cohort is 1), lands at L2 cohort 5
+    val (sl, sk, sn) = out(200L)
+    assert(sl == 2, s"straggler released at L$sl — 1-anonymous leak")
+    assert(sk == "L2|AUTO|0" && sn == 5L)
+    (1 to 4).foreach { i =>
+      val (lvl, key, _) = out(300L + i)
+      assert(lvl == 2 && key == "L2|AUTO|0")
+    }
+    // lone BIKE row is suppressed
+    assert(out(400L) == ((3, "*", -1L)))
+    // closure: EVERY released key groups >= k output rows
+    Pipeline.kAnonymize(customer).filter(col("anon_level") < 3)
+      .groupBy(col("released_key")).count().collect()
+      .foreach(r => assert(r.getLong(1) >= k,
+        s"${r.getString(0)} cohort ${r.getLong(1)} < $k"))
+  }
 }
