@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to sbt's stdout instead of being
+// re-logged with an "[info] " prefix: the driver json-parses bench
+// output lines, and the prefix is exactly why BENCH_r01..r10 landed
+// `parsed: null` (no stdout line was pure JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
