@@ -500,8 +500,8 @@ object ScaleProbe {
       if (wanted("hybrid_indexed")) {
         val emb = replicatedEmb(factor, copies).persist()
         emb.count()
-        val p = java.nio.file.Files
-          .createTempDirectory(s"ladder-hidx-${factor}x").toString
+        val p = graft.util.TempDirs
+          .create(s"ladder-hidx-${factor}x")
         Similarity.writeLshIndex(emb, "ladder_hrrf_idx", s"$p/idx")
         time(factor, "hybrid_indexed")(
           Similarity.hybridRrfIndexed(docs, emb, "ladder_hrrf_idx"))
@@ -851,8 +851,8 @@ object ScaleProbe {
           "eval_recall_mrr", "eval_ndcg").exists(wanted)) {
         val emb = replicatedEmb(factor, copies).persist()
         emb.count()
-        val idxPath = java.nio.file.Files
-          .createTempDirectory(s"ladder-idx-${factor}x").toString
+        val idxPath = graft.util.TempDirs
+          .create(s"ladder-idx-${factor}x")
         timeAction(factor, "eval_idx_build")(
           Similarity.writeLshIndex(emb, "ladder_eval_idx",
             s"$idxPath/idx"))

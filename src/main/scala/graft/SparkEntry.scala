@@ -475,8 +475,8 @@ object SparkEntry {
     // on candidates only; the corpus is never scanned per query.
     "q87_hybrid_rrf_indexed" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-lsh-q87").toString
+      val path = graft.util.TempDirs
+        .create("graft-lsh-q87")
       Similarity.writeLshIndex(emb, "graft_lsh_idx_q87", s"$path/idx")
       Similarity.hybridRrfIndexed(documents(s, dir), emb,
         "graft_lsh_idx_q87")
@@ -486,8 +486,8 @@ object SparkEntry {
     // hash-match the per-batch LSH ranking oracle (q10's family).
     "q88_lsh_index_probe" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-lsh-q88").toString
+      val path = graft.util.TempDirs
+        .create("graft-lsh-q88")
       Similarity.writeLshIndex(emb, "graft_lsh_idx_q88", s"$path/idx")
       Similarity.probeLshIndex(emb, "graft_lsh_idx_q88")
     }),
@@ -516,8 +516,8 @@ object SparkEntry {
     // path itself through the driver's gate, not just spec-pinned.
     "q92_lsh_index_stream" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-lsh-q92").toString
+      val wh = graft.util.TempDirs
+        .create("graft-lsh-q92")
       // three deterministic arrival waves, one file each
       (0 until 3).foreach { w =>
         emb.filter(col("vec_id") % 3 === w).coalesce(1)
@@ -589,8 +589,8 @@ object SparkEntry {
     // oracle row (q36's SQL, verbatim).
     "q105_stream_funnel" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-funnel-q105").toString
+      val wh = graft.util.TempDirs
+        .create("graft-funnel-q105")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val b1 = maxId / 3; val b2 = 2 * maxId / 3
@@ -633,8 +633,8 @@ object SparkEntry {
     // joined onto documents by the Knuth-hash host assignment — the
     // Common-Crawl host-centrality quality weight.
     "q104_host_quality" -> ((s, dir) => {
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-pr-q104").toString
+      val cp = graft.util.TempDirs
+        .create("graft-pr-q104")
       operators.Graph.hostQualityWeights(documents(s, dir),
         lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet"),
         checkpointDir = Some(cp))
@@ -706,8 +706,8 @@ object SparkEntry {
     // twin of q112 through the driver's gate.
     "q123_knn_stream" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-knn-q123").toString
+      val wh = graft.util.TempDirs
+        .create("graft-knn-q123")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val base = System.currentTimeMillis() - 60000L
       (0 until 3).foreach { w =>
@@ -785,8 +785,8 @@ object SparkEntry {
       val all = documents(s, dir)
       val model = TextAnalysis.trainNbModel(all)
       val docs = all.select(col("doc_id"), col("text"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-quality-q118").toString
+      val wh = graft.util.TempDirs
+        .create("graft-quality-q118")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val b1 = maxId / 3; val b2 = 2 * maxId / 3
@@ -908,8 +908,8 @@ object SparkEntry {
       val ev = operators.EventsQueries.events(s, dir)
         .select(col("user_id"), col("ts_ms"), col("event_id"),
           col("props"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-scd2-q143").toString
+      val wh = graft.util.TempDirs
+        .create("graft-scd2-q143")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val bounds = ev.agg(min(col("ts_ms")).as("mn"),
         max(col("ts_ms")).as("mx")).head()
@@ -993,8 +993,8 @@ object SparkEntry {
       val ev = operators.EventsQueries.events(s, dir)
         .select(col("user_id"), col("ts_ms"), col("event_id"),
           col("event_type"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-markov-q153").toString
+      val wh = graft.util.TempDirs
+        .create("graft-markov-q153")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val bounds = ev.agg(min(col("ts_ms")).as("mn"),
         max(col("ts_ms")).as("mx")).head()
@@ -1039,8 +1039,8 @@ object SparkEntry {
       val evAll = operators.EventsQueries.events(s, dir)
       val stats = operators.EventsQueries.cusumStats(evAll)
       val ev = evAll.select(col("ts_ms"), col("event_type"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-cusum-q156").toString
+      val wh = graft.util.TempDirs
+        .create("graft-cusum-q156")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val bounds = ev.agg(min(col("ts_ms")).as("mn"),
         max(col("ts_ms")).as("mx")).head()
@@ -1105,8 +1105,8 @@ object SparkEntry {
       val ev = operators.EventsQueries.events(s, dir)
         .select(col("user_id"), col("ts_ms"), col("event_id"),
           col("props"))
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-pit-q162").toString
+      val wh = graft.util.TempDirs
+        .create("graft-pit-q162")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val bounds = ev.agg(min(col("ts_ms")).as("mn"),
         max(col("ts_ms")).as("mx")).head()
@@ -1235,8 +1235,8 @@ object SparkEntry {
     "q178_stream_merge" -> ((s, dir) => {
       import operators.Pipeline
       val docs = documents(s, dir)
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-merge-q178").toString
+      val wh = graft.util.TempDirs
+        .create("graft-merge-q178")
       val tableDir = s"$wh/table"
       docs.filter(col("doc_id") % 10 =!= Pipeline.DiffAddedMod)
         .select(col("doc_id"), col("text"))

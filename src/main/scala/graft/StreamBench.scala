@@ -40,9 +40,9 @@ object StreamBench {
     // with the protocol path in place of the file path (BASELINE.md
     // records both; the delta IS the protocol overhead).
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "file")
-    val wireDir = Files.createTempDirectory("wire").toString
-    val replayDir = Files.createTempDirectory("replay").toString
-    val cpDir = Files.createTempDirectory("cp").toString
+    val wireDir = graft.util.TempDirs.create("wire")
+    val replayDir = graft.util.TempDirs.create("replay")
+    val cpDir = graft.util.TempDirs.create("cp")
 
     // wire-format JSONL of the SF's synthetic trip stream
     EventCodec.toJsonLines(SyntheticTrips.fromEvents(spark, sfDir))
@@ -95,7 +95,7 @@ object StreamBench {
     // slice through the identical q1/q2 plans compiles the same code
     // paths at negligible cost.
     try {
-      val warmCp = Files.createTempDirectory("warmcp").toString
+      val warmCp = graft.util.TempDirs.create("warmcp")
       // 200 wire lines through the mode's own source type, so the
       // warmed incremental plan is the measured one
       val src = new java.io.File(wireDir).listFiles()
@@ -114,7 +114,7 @@ object StreamBench {
               .option("endpoint", ws.endpoint)
               .option("stream", ws.streamName).load()))
         case None =>
-          val warmDir = Files.createTempDirectory("warm").toString
+          val warmDir = graft.util.TempDirs.create("warm")
           Files.write(java.nio.file.Paths.get(warmDir, "warm.jsonl"),
             String.join("\n", slice: _*).getBytes("UTF-8"))
           (None, () => EventCodec.parseEvents(

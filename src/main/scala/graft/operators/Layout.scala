@@ -123,12 +123,15 @@ object Layout {
   /** Rendezvous (highest-random-weight) hash of (doc_id, shard) —
     * overflow-safe double Knuth mix (every intermediate stays far
     * inside Long range, the [[Sampling.HashMult]] discipline DuckDB's
-    * erroring BIGINT arithmetic requires): fold the id to 20 mixed
+    * erroring BIGINT arithmetic requires): mask the id to 20 bits
+    * FIRST (ids ≥ ~3.47e9 would otherwise overflow the first multiply
+    * — Spark wraps silently where DuckDB errors, so the unmasked form
+    * diverges between engines on large-id corpora), fold to 20 mixed
     * bits, re-mix with the shard index, extract the high bits. Pure
     * column arithmetic — codegen'd, zero shuffle. */
   def rendezvousWeight(idCol: String, shard: Int): Column = {
     val K = Sampling.HashMult
-    expr(s"(((((($idCol * ${K}L) DIV 1048576) % 1048576) + " +
+    expr(s"((((((($idCol % 1048576) * ${K}L) DIV 1048576) % 1048576) + " +
       s"${shard * 31 + 1}L) * ${K}L) DIV 1048576) % 1048576")
   }
 

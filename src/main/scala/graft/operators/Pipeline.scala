@@ -208,46 +208,80 @@ object Pipeline {
     * on a bucket-partitioned parquet directory (`bucket=<b>/`
     * subdirs): rewrites ONLY the touched buckets' files, leaves cold
     * bucket files physically untouched (MergeApplySpec asserts their
-    * bytes and mtimes survive), and is exact-retry idempotent. The
-    * per-bucket rewrite is the [[mergeApply]] hot path restricted to
-    * one bucket's rows — local to that bucket's files, so a 1000-
-    * executor run rewrites touched buckets in parallel with no
-    * global shuffle. */
+    * bytes and mtimes survive), and is exact-retry idempotent.
+    *
+    * Execution shape (the 100 TB argument): the touched buckets are
+    * read as ONE multi-path scan (partition pruning by explicit path
+    * list — cold buckets contribute zero input splits), merged with
+    * the CDC frame in one join, and rewritten by ONE dynamic-
+    * partition-overwrite write job — every touched bucket's rewrite
+    * runs in parallel across the cluster. MergeApplySpec pins the
+    * job count constant in the number of touched buckets (the r10
+    * version submitted one serial Spark job PER bucket: wall-clock
+    * O(#touched × job latency) — the scale-killer at thousands of
+    * touched buckets). Only hot-bucket rows ever move; the exchange
+    * is bounded by |touched data| + |CDC|, never the table.
+    *
+    * Crash safety: the write goes through Spark's commit protocol
+    * (staged in `_temporary`, atomically promoted per partition at
+    * job commit), replacing the r10 delete-then-`renameTo` swap whose
+    * failure window could drop a bucket. A retry after ANY crash
+    * point re-applies the same CDC batch against the surviving table
+    * state and converges: upserts overwrite to equal values, deletes
+    * of absent keys are no-ops (apply∘apply = apply, spec-pinned). */
   def mergeApplyTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, cdc: DataFrame,
       buckets: Int = MergeBuckets): Unit = {
     val cdcB = cdc.select(col("doc_id"), col("op"), col("new_text"))
       .withColumn("bucket", col("doc_id") % buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: one long per touched bucket, ≤ `buckets` rows
     val touched = cdcB.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
-    touched.foreach { b =>
-      val path = s"$dir/bucket=$b"
-      val existing =
-        if (new java.io.File(path).exists())
-          spark.read.parquet(path).select(col("doc_id"), col("text"))
-        else spark.emptyDataFrame
-          .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0)
-      val merged = existing
-        .join(cdcB.filter(col("bucket") === b)
-          .select(col("doc_id"), col("op"), col("new_text")),
-          Seq("doc_id"), "full_outer")
-        .filter(coalesce(col("op"), lit("keep")) =!= "delete")
-        .select(col("doc_id"),
-          when(col("op") === "upsert", col("new_text"))
-            .otherwise(col("text")).as("text"))
-      // write-then-swap: the rewrite lands in a temp dir and replaces
-      // the bucket atomically-enough for a single writer; a retry that
-      // died mid-write re-runs against the same immutable inputs
-      val tmp = s"$dir/.tmp_bucket_$b"
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val target = new java.io.File(path)
-      if (target.exists()) {
-        target.listFiles().foreach(_.delete()); target.delete()
-      }
-      new java.io.File(tmp).renameTo(target)
-    }
+    if (touched.isEmpty) { cdcB.unpersist(); return }
+    val existingPaths = touched.map(b => s"$dir/bucket=$b")
+      .filter(p => new java.io.File(p).exists())
+    val existing =
+      if (existingPaths.nonEmpty)
+        spark.read.option("basePath", dir)
+          .parquet(existingPaths.toIndexedSeq: _*)
+          .select(col("doc_id"), col("text"),
+            col("bucket").cast("long").as("bucket"))
+      else spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text"), col("id").as("bucket"))
+    val merged = existing
+      .join(cdcB.select(col("doc_id"), col("op"), col("new_text"),
+        col("bucket").as("cdc_bucket")), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col("doc_id"),
+        coalesce(col("bucket"), col("cdc_bucket")).as("bucket"),
+        when(col("op") === "upsert", col("new_text"))
+          .otherwise(col("text")).as("text"))
+      // hot rows only; read twice (surviving-bucket probe + write)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a touched bucket whose rows were ALL deleted emits no output
+    // partition, which dynamic overwrite would silently leave stale —
+    // probe the surviving bucket set (bounded: ≤ |touched| longs)
+    val surviving = merged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // ONE write job; `dynamic` replaces exactly the partitions present
+    // in the output, cold buckets are never listed, staged, or touched.
+    // repartition by bucket so each touched bucket lands as one file.
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dir)
+    merged.unpersist()
     cdcB.unpersist()
+    touched.filterNot(surviving).foreach { b =>
+      val dead = new java.io.File(s"$dir/bucket=$b")
+      if (dead.exists()) {
+        dead.listFiles().foreach(_.delete())
+        if (!dead.delete())
+          throw new java.io.IOException(s"could not clear emptied $dead")
+      }
+    }
   }
 
   def preprocessingFunnel(docs: DataFrame): DataFrame = {

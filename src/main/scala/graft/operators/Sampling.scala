@@ -563,16 +563,24 @@ object Sampling {
     * [[GlobalIndex.globalRowIndex]] on (src_rank, source) — the
     * range-partitioned q57 primitive, never a single-reducer global
     * window. Oracle mirrors via row_number arithmetic. */
-  def curriculumOrder(docs: DataFrame): DataFrame = {
+  def curriculumOrder(docs: DataFrame): DataFrame =
+    curriculumOrderWithHandle(docs)._1
+
+  /** [[curriculumOrder]] plus the [[graft.util.CacheHandle]]
+    * releasing [[GlobalIndex]]'s range-materialized frame — the
+    * library-composition form (the plain wrapper leaves the release
+    * to the session's cache-clear, the graded-query economics). */
+  def curriculumOrderWithHandle(docs: DataFrame)
+      : (DataFrame, graft.util.CacheHandle) = {
     val scored = docs.select(col("doc_id"), col("source"),
       TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
     val ranked = scored.withColumn("src_rank", row_number().over(
       Window.partitionBy(col("source"))
         .orderBy(col("quality_score").desc, col("doc_id").asc))
       .cast("long"))
-    GlobalIndex.globalRowIndex(ranked,
-        Seq(col("src_rank"), col("source")), CurriculumPartitions)
-      .withColumnRenamed("global_idx", "position")
+    val (indexed, handle) = GlobalIndex.globalRowIndexWithHandle(ranked,
+      Seq(col("src_rank"), col("source")), CurriculumPartitions)
+    (indexed.withColumnRenamed("global_idx", "position"), handle)
   }
 
   /** Exponentiated-gradient scale of [[doremiWeights]]'s excess-loss

@@ -497,8 +497,15 @@ object Similarity {
     * exact. Cost: one rank pass + one join over N·(Spokes−1) tiny
     * rows — no vector ever moves. */
   def longRangeEdges(emb: DataFrame,
-      spokes: Int = LongRangeSpokes): DataFrame = {
-    val ranked = GlobalIndex.globalRowIndex(
+      spokes: Int = LongRangeSpokes): DataFrame =
+    longRangeEdgesWithHandle(emb, spokes)._1
+
+  /** [[longRangeEdges]] plus the [[graft.util.CacheHandle]] releasing
+    * [[GlobalIndex]]'s range-materialized rank frame. */
+  def longRangeEdgesWithHandle(emb: DataFrame,
+      spokes: Int = LongRangeSpokes)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val (ranked, handle) = GlobalIndex.globalRowIndexWithHandle(
       emb.select(col("vec_id")), Seq(col("vec_id")), LongRangePartitions)
     val n = ranked.count()
     val targets = ranked
@@ -506,11 +513,11 @@ object Similarity {
       .withColumn("j", explode(sequence(lit(1), lit(spokes - 1))))
       .withColumn("tr",
         (col("r") + expr(s"(j * CAST($n AS BIGINT)) DIV $spokes")) % n)
-    targets.join(
+    (targets.join(
         ranked.select(col("global_idx").as("tr"), col("vec_id").as("nbr")),
         "tr")
       .filter(col("src") =!= col("nbr"))
-      .select(col("src"), col("nbr"))
+      .select(col("src"), col("nbr")), handle)
   }
 
   /** Greedy beam search over the [[knnGraph]] edges (q124) — the
@@ -537,11 +544,26 @@ object Similarity {
       numQueries: Int = NumQueryVectors,
       hops: Int = GraphSearchHops,
       beamWidth: Int = GraphSearchBeam): DataFrame =
-    graphSearchOverEdges(emb,
-      knnGraph(emb).select(col("src"), col("neighbor_id").as("nbr"))
-        .union(longRangeEdges(emb))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      numQueries, hops, beamWidth)
+    graphSearchTopKWithHandle(emb, numQueries, hops, beamWidth)._1
+
+  /** [[graphSearchTopK]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted edge frame, the spoke layer's rank
+    * materialization, and the final hop's scored cache. */
+  def graphSearchTopKWithHandle(emb: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hops: Int = GraphSearchHops,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val (spokes, spokeHandle) = longRangeEdgesWithHandle(emb)
+    val edges = knnGraph(emb)
+      .select(col("src"), col("neighbor_id").as("nbr"))
+      .union(spokes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, walkHandle) =
+      graphSearchOverEdgesWithHandle(emb, edges, numQueries, hops, beamWidth)
+    (out, graft.util.CacheHandle.combine(
+      graft.util.CacheHandle(edges), spokeHandle, walkHandle))
+  }
 
   /** [[graphSearchTopK]] over a PREBUILT edge frame (src, nbr) — the
     * serving call: the graph is built once per ingest (q112,
@@ -549,7 +571,19 @@ object Similarity {
   def graphSearchOverEdges(emb: DataFrame, edges: DataFrame,
       numQueries: Int = NumQueryVectors,
       hops: Int = GraphSearchHops,
-      beamWidth: Int = GraphSearchBeam): DataFrame = {
+      beamWidth: Int = GraphSearchBeam): DataFrame =
+    graphSearchOverEdgesWithHandle(emb, edges, numQueries, hops,
+      beamWidth)._1
+
+  /** [[graphSearchOverEdges]] plus the [[graft.util.CacheHandle]]
+    * releasing the final hop's scored cache (earlier hops release
+    * their predecessor inline; the last one must outlive the lazy
+    * result). */
+  def graphSearchOverEdgesWithHandle(emb: DataFrame, edges: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hops: Int = GraphSearchHops,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
     val q = queries(emb, numQueries)
     val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
     var beam = q.select(col("query_id")).withColumn("node", lit(entry))
@@ -584,14 +618,16 @@ object Similarity {
         .filter(col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
     }
-    scored.join(beam, Seq("query_id", "node"))
+    (scored.join(beam, Seq("query_id", "node"))
       .filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("node").asc)).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("node").as("neighbor_id"),
-        col("rank"), col("cos").as("cosine"))
+        col("rank"), col("cos").as("cosine")),
+      prevCache.map(graft.util.CacheHandle(_))
+        .getOrElse(graft.util.CacheHandle.none))
   }
 
   /** Binary-embedding search constants (q121): the Hamming pool the

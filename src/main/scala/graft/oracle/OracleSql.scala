@@ -1592,7 +1592,7 @@ FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
     import graft.operators.Layout.{ShardsBefore, ShardsAfter}
     val K = graft.operators.Sampling.HashMult
     def w(s: Int): String =
-      s"((((((doc_id * $K) // 1048576) % 1048576) + " +
+      s"(((((((doc_id % 1048576) * $K) // 1048576) % 1048576) + " +
         s"${s * 31 + 1}) * $K) // 1048576) % 1048576"
     def hs(k: Int): String =
       (0 until k).map(w).mkString("[", ", ", "]")

@@ -184,10 +184,23 @@ object StreamingDedup {
     * contract as [[nearDupPairs]]. */
   /** Bucket state of [[containmentPairsDeferred]]: members plus the
     * latest event time seen (the timeout anchor). A closed bucket
-    * keeps its (empty, closed) state until the timeout so late
-    * same-shingle arrivals cannot silently reopen it. */
+    * keeps its (empty, closed) state as a TOMBSTONE for
+    * [[TombstoneHorizons]] horizons past its last arrival — dropping
+    * it at the first timeout (the r10 behavior) let an arrival one
+    * horizon later recreate the shingle bucket as open and emit
+    * pairs the batch final-df rule suppresses (the shingle's true df
+    * is already over the cap). A tombstone is ~25 bytes of state per
+    * hot shingle; recurring boilerplate shingles refresh `maxTs` on
+    * every arrival, so a PERSISTENTLY hot shingle never reopens, and
+    * parity only degrades for shingles silent for more than
+    * [[TombstoneHorizons]] horizons — the df-reset scope stated in
+    * the strict-parity contract below. */
   final case class DeferredBucket(closed: Boolean, maxTs: Long,
       members: List[BucketDoc])
+
+  /** How many quiet horizons a cap-closed bucket's tombstone
+    * survives before the shingle's over-cap df is forgotten. */
+  val TombstoneHorizons = 64L
 
   /** STRICT-PARITY containment dedup — the watermark-deferred
     * emission escape of the [[containmentPairs]] contract note: a
@@ -212,7 +225,11 @@ object StreamingDedup {
     * the second document arrives, deferred emits one horizon after a
     * bucket quiesces — the price of retraction-free exactness. State
     * is bounded exactly like the eager member (cap-closed buckets
-    * drop their member lists; every bucket dies at its timeout). */
+    * drop their member lists; open buckets die at their timeout;
+    * cap-closed buckets leave a member-free tombstone for
+    * [[TombstoneHorizons]] quiet horizons so an over-cap shingle's
+    * df survives gaps in its arrivals — beyond that the df resets,
+    * the one scoped departure from batch parity). */
   def containmentPairsDeferred(docs: DataFrame,
       watermarkDelay: String = "0 seconds",
       horizonMs: Long = 1000L): Dataset[ContainmentPair] = {
@@ -240,9 +257,20 @@ object StreamingDedup {
           if (state.hasTimedOut) {
             val b = state.getOption
               .getOrElse(DeferredBucket(closed = true, 0L, Nil))
-            state.remove()
-            if (b.closed) Iterator.empty
-            else {
+            if (b.closed) {
+              // tombstone: hold the closed marker for TombstoneHorizons
+              // quiet horizons so a late same-shingle arrival cannot
+              // reopen an over-cap shingle as a fresh bucket
+              val dropAt = b.maxTs + horizonMs * TombstoneHorizons
+              if (state.getCurrentWatermarkMs() >= dropAt) state.remove()
+              else {
+                state.update(b)
+                state.setTimeoutTimestamp(
+                  math.max(dropAt, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator.empty
+            } else {
+              state.remove()
               // FINAL bucket under the cap: emit every qualifying
               // pair once, ascending (doc_a, doc_b)
               val ms = b.members.sortBy(_.doc_id).toArray

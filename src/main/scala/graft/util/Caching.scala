@@ -14,7 +14,8 @@ import org.apache.spark.sql.DataFrame
   * intact, Spark just recomputes — it only forfeits the reuse the
   * persist existed for.
   */
-final class CacheHandle private[graft] (frames: Seq[DataFrame]) {
+final class CacheHandle private[graft] (
+    private[util] val frames: Seq[DataFrame]) {
   def release(blocking: Boolean = false): Unit =
     frames.foreach(_.unpersist(blocking))
 }
@@ -24,4 +25,8 @@ object CacheHandle {
     new CacheHandle(frames)
   /** For operators that fully release their own intermediates. */
   val none: CacheHandle = new CacheHandle(Nil)
+  /** One handle releasing everything the given handles hold — for
+    * operators composing several cache-holding stages. */
+  private[graft] def combine(handles: CacheHandle*): CacheHandle =
+    new CacheHandle(handles.flatMap(_.frames))
 }

@@ -1422,10 +1422,15 @@ case class PhraseCounts(child: Expression, phrases: Seq[String])
 object UnigramOps {
 
   /** Piece model as parallel arrays; the lookup map materializes
-    * once per task. */
+    * once per task. `map0` is @volatile: one deserialized Model can
+    * be shared across executor threads (broadcast plan reuse), and
+    * without the volatile publish the JMM lets a reader observe a
+    * partially constructed HashMap. A benign double-build race
+    * remains (both maps are equal); only the publish must be safe. */
   final class Model(val pieces: Array[String], val logps: Array[Double],
       val maxPieceLen: Int) extends Serializable {
-    @transient private var map0: java.util.HashMap[String, java.lang.Double] = _
+    @volatile @transient
+    private var map0: java.util.HashMap[String, java.lang.Double] = _
     def map: java.util.HashMap[String, java.lang.Double] = {
       if (map0 == null) {
         val m = new java.util.HashMap[String, java.lang.Double](

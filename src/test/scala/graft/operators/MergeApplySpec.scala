@@ -93,4 +93,70 @@ class MergeApplySpec extends AnyFunSuite with SparkSessionSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == after)
   }
+
+  test("one parallel rewrite, not one job per bucket: Spark job count " +
+      "stays constant as touched buckets grow; a fully-deleted " +
+      "bucket's directory is cleared") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_jobs").toString
+    val base = (0L until 64L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      .withColumn("bucket", col("doc_id") % Pipeline.MergeBuckets)
+    base.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    // CDC touches 8 buckets: upserts in 0..7 (except 5), and bucket 5
+    // loses ALL FOUR of its rows (5, 21, 37, 53) — the emptied-bucket
+    // case dynamic partition overwrite cannot express by itself
+    val cdc = ((0L until 8L).filterNot(_ == 5L)
+      .map(i => (i, "upsert", s"patched$i")) ++
+      Seq(5L, 21L, 37L, 53L).map(i =>
+        (i, "delete", null.asInstanceOf[String])))
+      .toDF("doc_id", "op", "new_text")
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are asynchronous; give the bus a beat to drain
+        Thread.sleep(500)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    // warm-up apply on a single-bucket CDC measures the FIXED job
+    // overhead (collect + probe + write + AQE stage jobs + listing);
+    // the pin is that 8 touched buckets cost the SAME jobs, not 8×—
+    // the r10 serial loop submitted ≥1 write job per touched bucket.
+    val oneBucket = Seq((15L, "upsert", "warm"))
+      .toDF("doc_id", "op", "new_text")
+    val nOne = countJobs(Pipeline.mergeApplyTable(spark, dir, oneBucket))
+    val nEight = countJobs(Pipeline.mergeApplyTable(spark, dir, cdc))
+    assert(nOne > 0 && nEight > 0)
+    assert(nEight <= nOne + 2,
+      s"job count grew with touched buckets: 1 bucket -> $nOne jobs, " +
+        s"8 buckets -> $nEight jobs")
+    // bucket 5 emptied: directory gone (or empty of parquet files)
+    val b5 = new java.io.File(s"$dir/bucket=5")
+    assert(!b5.exists() ||
+      b5.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "emptied bucket still holds stale files")
+    // logical result: deletes applied, upserts applied, cold rows kept
+    val after = spark.read.parquet(dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 64 - 4)
+    (0L until 8L).filterNot(_ == 5L).foreach(i =>
+      assert(after(i) == s"patched$i"))
+    Seq(5L, 21L, 37L, 53L).foreach(i => assert(!after.contains(i)))
+    assert(after(33L) == "text33")
+    // retry converges on the emptied bucket too
+    Pipeline.mergeApplyTable(spark, dir, cdc)
+    val again = spark.read.parquet(dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == after)
+  }
 }

@@ -174,6 +174,55 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
         s"extra=${deferred.keySet.diff(batch.keySet)}")
   }
 
+  test("deferred containment tombstone: an over-cap shingle cannot " +
+      "reopen after a quiet horizon (late same-shingle pair stays " +
+      "suppressed); fresh rare pairs still emit") {
+    // hot wave closes the template-shingle buckets at the df cap;
+    // then the stream goes quiet past maxTs + horizon so the closed
+    // buckets TIME OUT (the r10 code dropped their state here and a
+    // later A ⊂ B pair sharing only template shingles was emitted —
+    // a pair the batch final-df rule suppresses). With the tombstone
+    // the late pair must stay suppressed, while a genuinely rare
+    // pair arriving in the same late wave still emits.
+    val template = "t1 t2 t3 t4"
+    val hotDocs = (100L until 140L).map(i => (i, s"$template u$i v$i w$i"))
+    val a = (1L, template)
+    val b = (2L, s"$template x1")
+    val d1 = (11L, "r1 r2 r3 r4")
+    val d2 = (12L, "r1 r2 r3 r4 r5")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(base.getTime + plusMs)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.containmentPairsDeferred(
+        ms.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("tomb-cp").toString)
+      .format("memory").queryName("contain_tombstone").start()
+    ms.addData(hotDocs.map(d => (d._1, d._2, ts(0))): _*)
+    q.processAllAvailable()
+    // a punctuation 10 s on advances the watermark past horizon (1 s):
+    // the closed buckets' first timeout fires — tombstone or drop
+    ms.addData((-1L, "p1 p2 p3", ts(10000L)))
+    q.processAllAvailable()
+    // the late wave: 12 s < TombstoneHorizons (64 s) after the hot
+    // wave — well inside the tombstone TTL
+    ms.addData(Seq(a, b, d1, d2).map(d => (d._1, d._2, ts(12000L))): _*)
+    q.processAllAvailable()
+    ms.addData((-2L, "p4 p5 p6", ts(3600L * 1000)))
+    q.processAllAvailable()
+    ms.addData((-3L, "p7 p8 p9", ts(7200L * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("contain_tombstone").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!got.contains((1L, 2L)),
+      "over-cap shingle reopened after its first timeout — the late " +
+        "all-hot pair must stay suppressed by the tombstone")
+    assert(got.contains((11L, 12L)),
+      "rare pair from the late wave must still emit")
+  }
+
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
   // `processAllAvailable` never settles in that mode. The TTL
