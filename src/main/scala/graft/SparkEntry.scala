@@ -289,6 +289,12 @@ object SparkEntry {
     // scope. first_byte_sum grades frame boundaries exactly.
     "q81_mp4_frames" -> ((s, dir) =>
       operators.Multimodal.mp4FrameStats(documents(s, dir))),
+    // MJPEG: the COMPRESSED video-track decode q81 left out — real
+    // sample-table extraction of a 'jpeg' track, then entropy decode
+    // of every frame through the JDK JPEG codec (the q68 precedent),
+    // graded per-frame with bounded-error channel means.
+    "q182_mjpeg_decode" -> ((s, dir) =>
+      operators.Multimodal.mjpegDecodeStats(documents(s, dir))),
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
@@ -1581,6 +1587,14 @@ object SparkEntry {
     // Multimodal.jpegDecodeStats).
     "q68_jpeg_decode" ->
       """SELECT doc_id, 8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height,
+        |       TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+        |FROM documents""".stripMargin,
+    // MJPEG is lossy like q68: the oracle recomputes the synthesized
+    // track shape and asserts the per-frame bounded-error booleans
+    // literally TRUE (see Multimodal.mjpegDecodeStats).
+    "q182_mjpeg_decode" ->
+      """SELECT doc_id, 2 + doc_id % 5 AS n_frames,
+        |       8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height,
         |       TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
         |FROM documents""".stripMargin,
     // Mirrors Multimodal.mp4MetaStats's synthesis arithmetic; the

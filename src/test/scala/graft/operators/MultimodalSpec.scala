@@ -459,6 +459,55 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("MJPEG track: samples extract byte-exact, every frame entropy-" +
+      "decodes, per-frame means stay inside the q68 bound") {
+    val id = 5L
+    val n = (2 + id % 5).toInt
+    val src = Vector.tabulate(n)(f => Multimodal.mjpegFrameOf(id, f))
+    val encoded = src.map(Multimodal.encodeJpeg(_))
+    val bytes = Multimodal.encodeMp4VideoTrack("jpeg",
+      src.head.width, src.head.height, encoded)
+    // box-level structure still valid
+    assert(Multimodal.parseMp4(bytes).get.nTracks == 1)
+    val track = Multimodal.extractMp4Frames(bytes).get
+    assert(track.format == "jpeg")
+    assert(track.width == src.head.width && track.height == src.head.height)
+    // sample slicing is byte-exact: each extracted sample IS its JPEG
+    track.frames.zip(encoded).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "sample bytes differ")
+    }
+    // ... and each decodes through the real codec with bounded error
+    def mean(p: Multimodal.PpmImage, c: Int): Double = {
+      var i = c; var s = 0L
+      while (i < p.pixels.length) { s += p.pixels(i) & 0xff; i += 3 }
+      s.toDouble / (p.pixels.length / 3)
+    }
+    track.frames.zip(src).foreach { case (fb, s) =>
+      val d = Multimodal.decodeJpeg(fb).get
+      assert(d.width == s.width && d.height == s.height)
+      (0 to 2).foreach(c => assert(
+        math.abs(mean(d, c) - mean(s, c)) <= Multimodal.JpegMeanTolerance,
+        s"channel $c mean drifted"))
+    }
+    // frames are genuinely distinct (the phase term) — a frame-order
+    // mixup cannot pass silently
+    assert(encoded.distinct.size == encoded.size)
+  }
+
+  test("mjpegDecodeStats facts match the synthesis arithmetic with " +
+      "all bounds TRUE") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4L, 9L, 17L)
+    val rows = Multimodal.mjpegDecodeStats(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val r = rows(id)
+      assert(r.getLong(1) == 2 + id % 5)
+      assert(r.getLong(2) == 8 + id % 9 && r.getLong(3) == 8 + id % 7)
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
+    }
+  }
+
   test("nearest-neighbor resize samples pixels (x*f, y*f)") {
     // 4x2 image whose red channel encodes the pixel's (x, y)
     val px = new Array[Byte](3 * 4 * 2)
