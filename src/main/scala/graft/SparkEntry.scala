@@ -837,6 +837,43 @@ object SparkEntry {
     // hash exchange.
     "q130_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(documents(s, dir))),
+    // STREAMING paragraph dedup (q130's twin, the removal-ACTION
+    // streaming member): corpus arrives as three id-ordered file
+    // waves; flatMapGroupsWithState on the paragraph digest holds the
+    // one canonical (doc_id, pos) per distinct paragraph across
+    // batches; text rebuilt per doc by the shared batch rebuild.
+    // Same oracle as q130 — the maintained survivors must equal the
+    // batch canonical table exactly.
+    "q183_stream_paragraph_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-para-q183")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q183_kept")
+      val q = streaming.StreamingDedup.paragraphFirstOccurrences(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q183_kept").start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.paragraphRebuild(Dedup.paragraphBase(docs),
+        s.table("graft_q183_kept"))
+    }),
     // MMR diversified retrieval (Carbonell & Goldstein): greedy
     // relevance-vs-redundancy re-pick over the per-query pool —
     // everything after pool formation is pool-bounded.
@@ -1500,6 +1537,8 @@ object SparkEntry {
     "q128_pmi_collocations" -> OracleSql.pmiCollocations,
     "q129_c4_line_clean" -> OracleSql.c4LineClean,
     "q130_paragraph_dedup" -> OracleSql.paragraphDedup,
+    // the streaming twin must converge to the identical batch state
+    "q183_stream_paragraph_dedup" -> OracleSql.paragraphDedup,
     "q131_mmr_rerank" -> OracleSql.mmrRerank,
     "q132_triangles" -> OracleSql.triangleCounts,
     "q133_pareto_front" -> OracleSql.paretoFront,

@@ -1109,26 +1109,49 @@ object Dedup {
     * (corpus joins on its own doc_id key). With the corpus bucketed
     * by doc_id the rebuild join is a zero-shuffle sort-merge. */
   def paragraphDedup(docs: DataFrame): DataFrame = {
-    val P = ParaWords
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n_paras",
-        expr(s"CAST((size(w) + ${P - 1}) DIV $P AS BIGINT)"))
-    val paras = base
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, CAST(n_paras AS INT) - 1),
-             |  i -> md5(array_join(slice(w, $P * i + 1, $P), ' ')))"""
-            .stripMargin)))
-      .toDF("doc_id", "pos", "phash")
+    val base = paragraphBase(docs)
+    val paras = paragraphHashes(base)
     val canon = paras.groupBy(col("phash"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val kept = paras.join(canon, "phash")
       .filter(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos"))
-      .groupBy(col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    paragraphRebuild(base, kept)
+  }
+
+  /** Tokenized corpus with the derived paragraph count — the shared
+    * input frame of the q130 batch dedup and its streaming twin
+    * (q183): (doc_id, w, n_paras). */
+  def paragraphBase(docs: DataFrame): DataFrame = {
+    val P = ParaWords
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_paras",
+        expr(s"CAST((size(w) + ${P - 1}) DIV $P AS BIGINT)"))
+  }
+
+  /** Positioned paragraph digests of a [[paragraphBase]] frame:
+    * (doc_id, pos, phash) — 16-byte md5 per width-[[ParaWords]]
+    * window, the only thing the dedup exchange ever moves. Works
+    * unchanged on a streaming frame (row-local). */
+  def paragraphHashes(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(n_paras AS INT) - 1),
+             |  i -> md5(array_join(slice(w, $ParaWords * i + 1,
+             |    $ParaWords), ' ')))""".stripMargin)))
+      .toDF("doc_id", "pos", "phash")
+
+  /** Rebuild every document from its surviving paragraphs: `kept`
+    * carries the canonical (doc_id, pos) rows — from the batch
+    * min-struct selection or the streaming first-occurrence state —
+    * and the rebuild is row-local against the base token arrays. */
+  def paragraphRebuild(base: DataFrame, kept: DataFrame): DataFrame = {
+    val P = ParaWords
+    val perDoc = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         sort_array(collect_list(col("pos"))).as("keep_pos"))
-    base.join(kept, Seq("doc_id"), "left")
+    base.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(expr(

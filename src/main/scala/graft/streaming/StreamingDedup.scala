@@ -375,4 +375,55 @@ object StreamingDedup {
           }
       }
   }
+
+  /** One surviving paragraph: the canonical copy of its digest. */
+  final case class ParaKeep(doc_id: Long, pos: Int)
+
+  /** Streaming twin of [[graft.operators.Dedup.paragraphDedup]]'s
+    * CANONICAL SELECTION (q183) — the removal-ACTION member of the
+    * streaming dedup family (the Dolma/RefinedWeb daily-ingest shape:
+    * every arriving document's paragraphs are checked against every
+    * paragraph EVER accepted, continuously): the positioned digest
+    * stream ([[graft.operators.Dedup.paragraphHashes]], row-local and
+    * batch-identical) keys a `flatMapGroupsWithState` on the digest;
+    * state is the ONE canonical (doc_id, pos) per distinct paragraph
+    * — exactly the batch canonical table's row, so streaming state is
+    * bounded by distinct-paragraph count, not stream length. The
+    * digest's FIRST batch emits its canonical row (min (doc_id, pos)
+    * within that batch); every later arrival of the same paragraph —
+    * cross-document, cross-batch, or a repeat inside one document —
+    * emits nothing. Document text is rebuilt per arriving doc by the
+    * shared [[graft.operators.Dedup.paragraphRebuild]] against the
+    * kept rows.
+    *
+    * Parity contract (the q92/q105 wave economics): with ingest in
+    * ascending doc_id order — the replay discipline every wave
+    * harness here uses — the first batch containing a digest also
+    * contains its global-min (doc_id, pos), so kept rows equal the
+    * batch canonical table EXACTLY (spec-pinned). Under out-of-order
+    * ingest the streaming canonical is first-ARRIVAL (the only
+    * causally available choice); n_kept/n_paras are unchanged, only
+    * WHICH copy survives differs. */
+  def paragraphFirstOccurrences(docs: DataFrame): Dataset[ParaKeep] = {
+    import docs.sparkSession.implicits._
+    Dedup.paragraphHashes(Dedup.paragraphBase(docs))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[ParaKeep, ParaKeep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Int, String)],
+            state: GroupState[ParaKeep]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var best: ParaKeep = null
+            for ((d, p, _) <- rows) {
+              if (best == null || d < best.doc_id ||
+                  (d == best.doc_id && p < best.pos))
+                best = ParaKeep(d, p)
+            }
+            if (best == null) Iterator.empty
+            else { state.update(best); Iterator.single(best) }
+          }
+      }
+  }
 }

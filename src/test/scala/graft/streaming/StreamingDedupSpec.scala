@@ -223,6 +223,52 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
       "rare pair from the late wave must still emit")
   }
 
+  test("streaming paragraph dedup == batch canonical selection across " +
+      "batches (cross-doc, cross-batch and within-doc repeats); " +
+      "rebuilt documents equal the batch rebuild row-for-row") {
+    // width-8 paragraphs (Dedup.ParaWords); A repeats across docs,
+    // batches AND within one doc; D's canonical is contested within
+    // one wave (doc 3 pos 1 vs doc 4 pos 0 — min struct must win)
+    def para(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val (pa, pb, pc, pd) = (para("a"), para("b"), para("c"), para("d"))
+    val wave1 = Seq((1L, s"$pa $pb"), (2L, s"$pb $pc"))
+    val wave2 = Seq((3L, s"$pa $pd $pa"), (4L, pd))
+    val all = wave1 ++ wave2
+
+    val batch = graft.operators.Dedup
+      .paragraphDedup(all.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(batch(1L)._2 == 2 && batch(2L)._2 == 1)
+    assert(batch(3L)._2 == 1, "doc 3 should keep only paraD")
+    assert(batch(4L)._2 == 0, "doc 4 should lose everything")
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.paragraphFirstOccurrences(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("para-cp").toString)
+      .format("memory").queryName("stream_para_kept").start()
+    ms.addData(wave1: _*)
+    q.processAllAvailable()
+    ms.addData(wave2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("stream_para_kept")
+    // kept rows ARE the batch canonical table
+    assert(kept.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 0), (1L, 1), (2L, 1), (3L, 1)))
+    // full rebuild parity, row for row
+    val rebuilt = graft.operators.Dedup.paragraphRebuild(
+        graft.operators.Dedup.paragraphBase(all.toDF("doc_id", "text")),
+        kept).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rebuilt == batch)
+  }
+
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
   // `processAllAvailable` never settles in that mode. The TTL
