@@ -636,6 +636,35 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // END-TO-END retrieval through the coarse-fine path at the
+      // cells-scale-with-corpus point (8·factor cells — the f²-regime
+      // q170 exists to cure): timed two-stage search PLUS measured
+      // recall@10 against brute force at every rung — the 100× point
+      // must hold recall, not just agree on cell labels
+      if (wanted("search_coarse")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        val nQ = 100
+        time(factor, "search_coarse")(Similarity.ivfTopKCoarse(
+          emb, numQueries = nQ, numCentroids = 8 * factor,
+          trainSample = 256 * factor))
+        val pairs = (df: DataFrame) => df.collect().map(r =>
+          (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+        val brute = pairs(Similarity.bruteForceTopK(emb, nQ))
+        val got = pairs(Similarity.ivfTopKCoarse(emb, numQueries = nQ,
+          numCentroids = 8 * factor, trainSample = 256 * factor))
+        // flat-IVF at the SAME scaled codebook: the recall baseline
+        // that separates the two-stage approximation from the
+        // near-random fixture's intrinsic probe-width recall
+        val flat = pairs(Similarity.ivfTopK(emb, numQueries = nQ,
+          numCentroids = 8 * factor, trainSample = 256 * factor))
+        val recall = got.intersect(brute).size.toDouble / brute.size
+        val recallFlat = flat.intersect(brute).size.toDouble / brute.size
+        println(f"[scale-heavy] ${factor}%4dx search_coarse recall@10 " +
+          f"$recall%.3f vs flat-IVF $recallFlat%.3f (${8 * factor} cells)")
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // k-NN graph with the band width scaled to the corpus — the
       // documented LSH sizing law (SimilarityParams.dedupPlanesFor):
       // a FIXED width w collides random pairs at bands·2⁻ʷ, which is

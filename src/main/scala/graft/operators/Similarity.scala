@@ -978,9 +978,33 @@ object Similarity {
     * measured in SimilaritySpec; `groups = 1` is EXACTLY
     * [[ivfCorpusCells]] (spec-pinned equality). Row-local codegen'd
     * expression, zero shuffle of the corpus, same as the flat path. */
+  /** The baked two-level codebook of the coarse-fine family: stage-1
+    * coarse centroids (flattened) + the group-sorted fine layout
+    * (group g owns fine slots [offsets(g), offsets(g+1))). Always
+    * driver-sized — it IS the codebook, never the corpus. */
+  final case class CoarseFineBook(coarseFlat: Array[Double],
+      coarseNorms: Array[Double], sortedCents: Array[Double],
+      sortedNorms: Array[Double], sortedIds: Array[Int],
+      offsets: Array[Int])
+
   def ivfCorpusCellsCoarse(emb: DataFrame, iters: Int = KMeansIters,
       numCentroids: Int = NumCentroids, trainSample: Int = TrainSample,
       groups: Int = 0): DataFrame = {
+    val book = coarseFineBook(emb, iters, numCentroids, trainSample,
+      groups)
+    emb.select(col("vec_id"),
+      Bridge.column(org.apache.spark.sql.graft.NearestCentroidCoarseFine(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        book.coarseFlat, book.coarseNorms, book.sortedCents,
+        book.sortedNorms, book.sortedIds, book.offsets)).as("cell"))
+  }
+
+  /** Build the [[CoarseFineBook]]: train the fine codebook, Lloyd the
+    * fine centroids into g coarse groups on the driver, group-sort
+    * the fine layout, drop empty coarse groups. */
+  def coarseFineBook(emb: DataFrame, iters: Int = KMeansIters,
+      numCentroids: Int = NumCentroids, trainSample: Int = TrainSample,
+      groups: Int = 0): CoarseFineBook = {
     val (cents, cnorms, ids) = codebook(emb, iters, numCentroids,
       trainSample)
     val k = ids.length
@@ -1042,11 +1066,8 @@ object Similarity {
     val keptCoarse = nonEmpty.map(coarseArr).toArray
     val keptNorms = nonEmpty.map(coarseNorms).toArray
     val keptOffsets = (nonEmpty.map(offsets) :+ offsets.last).toArray
-    emb.select(col("vec_id"),
-      Bridge.column(org.apache.spark.sql.graft.NearestCentroidCoarseFine(
-        Bridge.expression(col("v")), Bridge.expression(col("norm")),
-        keptCoarse.flatten, keptNorms, sortedCents, sortedNorms,
-        sortedIds, keptOffsets)).as("cell"))
+    CoarseFineBook(keptCoarse.flatten, keptNorms, sortedCents,
+      sortedNorms, sortedIds, keptOffsets)
   }
 
   /** IVF approximate top-k: corpus vectors live in their nearest
@@ -1057,18 +1078,24 @@ object Similarity {
     * the codebook baked in (ZERO shuffle of the corpus — a
     * crossJoin+Window assignment would shuffle 16× the corpus). */
   def ivfTopK(emb0: DataFrame, iters: Int = KMeansIters,
-      numQueries: Int = NumQueryVectors): DataFrame =
-    ivfTopKWithHandle(emb0, iters, numQueries)._1
+      numQueries: Int = NumQueryVectors,
+      numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample): DataFrame =
+    ivfTopKWithHandle(emb0, iters, numQueries, numCentroids,
+      trainSample)._1
 
   /** [[ivfTopK]] plus the [[graft.util.CacheHandle]] releasing the
     * persisted embedding corpus (feeds codebook training, cell
     * assignment, and the exact-cosine re-join). */
   def ivfTopKWithHandle(emb0: DataFrame, iters: Int = KMeansIters,
-      numQueries: Int = NumQueryVectors): (DataFrame, graft.util.CacheHandle) = {
+      numQueries: Int = NumQueryVectors,
+      numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample): (DataFrame, graft.util.CacheHandle) = {
     val emb = emb0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val handle = graft.util.CacheHandle(emb)
-    val (cents, cnorms, ids) = codebook(emb, iters)
+    val (cents, cnorms, ids) = codebook(emb, iters, numCentroids,
+      trainSample)
     // a tiny corpus yields fewer centroids than NProbe (or none at
     // all): probe what exists; an empty codebook has no cells and no
     // neighbors
@@ -1086,6 +1113,96 @@ object Similarity {
     val queryCells = queries(emb, numQueries).select(col("query_id"),
       explode(cells(col("qv"), col("qnorm"), math.min(NProbe, ids.size)))
         .as("cell"))
+    val candIds = queryCells.join(corpusCells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val cand = candIds
+      .join(queries(emb, numQueries)
+        .select(col("query_id"), col("qv"), col("qnorm")), "query_id")
+      .join(emb, "vec_id")
+    (topK(cand.withColumn("cosine", cosine)), handle)
+  }
+
+  /** Coarse groups a query's group-consistent probe covers in
+    * [[ivfTopKCoarse]]: 2 groups ≈ 2·k/g ≈ 2√k fine cells. */
+  val CoarseProbeGroups = 2
+
+  def ivfTopKCoarse(emb0: DataFrame, iters: Int = KMeansIters,
+      numQueries: Int = NumQueryVectors,
+      numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample): DataFrame =
+    ivfTopKCoarseWithHandle(emb0, iters, numQueries, numCentroids,
+      trainSample)._1
+
+  /** END-TO-END retrieval through the coarse-fine path — what a user
+    * of the q170 assignment actually runs at the cells-scale-with-
+    * corpus point. The f²-growth term is the CORPUS side (n·k dots
+    * when cells scale with the corpus), so that is where the
+    * two-stage cut goes: corpus vectors live in the cell the
+    * coarse-fine argmin assigns (n·(g + k/g) ≈ 2√k dots per vector,
+    * zero shuffle). The QUERY side is a query batch — orders of
+    * magnitude smaller than the corpus — so it ranks its NProbe
+    * nearest fine cells EXACTLY (nQ·k dots, negligible; a
+    * corpus-sized query load would reuse the corpus expression and
+    * accept the stage-1 disagreement). End-to-end recall therefore
+    * tracks flat-IVF recall × stage-1 agreement (~0.98 measured by
+    * the q170 spec) — pinned on the clustered fixture in
+    * SimilaritySpec, measured against brute at the scaled rung
+    * (ScaleProbe `search_coarse`). */
+  def ivfTopKCoarseWithHandle(emb0: DataFrame, iters: Int = KMeansIters,
+      numQueries: Int = NumQueryVectors,
+      numCentroids: Int = NumCentroids,
+      trainSample: Int = TrainSample)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val handle = graft.util.CacheHandle(emb)
+    val book = coarseFineBook(emb, iters, numCentroids, trainSample)
+    if (book.sortedIds.isEmpty)
+      return (topK(queries(emb, numQueries)
+        .filter(lit(false))
+        .select(col("query_id"), col("query_id").as("vec_id"))
+        .withColumn("cosine", lit(0.0))), handle)
+    // corpus side: the two-stage assignment expression, zero shuffle
+    val corpusCells = emb.select(col("vec_id"),
+      Bridge.column(org.apache.spark.sql.graft.NearestCentroidCoarseFine(
+        Bridge.expression(col("v")), Bridge.expression(col("norm")),
+        book.coarseFlat, book.coarseNorms, book.sortedCents,
+        book.sortedNorms, book.sortedIds, book.offsets)).as("cell"))
+    // query side (query batches are tiny next to the corpus — both
+    // rankings below are driver-codebook expressions, nQ·k dots
+    // total): probe the UNION of
+    //   (a) the query's NProbe exact-nearest fine cells — catches
+    //       corpus vectors whose two-stage cell agrees with their
+    //       exact cell (the ~0.98 clustered-agreement mass), and
+    //   (b) every fine cell of the query's CoarseProbeGroups nearest
+    //       coarse groups — catches vectors stage 1 drifted into a
+    //       sibling cell of their group (two-stage-CONSISTENT probing:
+    //       the index and the probe approximate the same way).
+    // (b) scans ~p·k/g ≈ 2√k cells' members — the same √k economics
+    // as the assignment itself.
+    val q0 = queries(emb, numQueries)
+    val exactCells = q0.select(col("query_id"),
+      explode(Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(col("qv")), Bridge.expression(col("qnorm")),
+        book.sortedCents, book.sortedNorms, book.sortedIds,
+        math.min(NProbe, book.sortedIds.length)))).as("cell"))
+    val nGroups = book.offsets.length - 1
+    val probeG = math.min(CoarseProbeGroups, nGroups)
+    val queryGroups = q0.select(col("query_id"),
+      explode(Bridge.column(org.apache.spark.sql.graft.NearestCentroids(
+        Bridge.expression(col("qv")), Bridge.expression(col("qnorm")),
+        book.coarseFlat, book.coarseNorms,
+        Array.tabulate(nGroups)(identity), probeG))).as("grp"))
+    import emb0.sparkSession.implicits._
+    val groupCells = (0 until nGroups).flatMap(gg =>
+      (book.offsets(gg) until book.offsets(gg + 1))
+        .map(slot => (gg, book.sortedIds(slot))))
+      .toDF("grp", "cell")
+    val queryCells = exactCells.unionByName(
+      queryGroups.join(broadcast(groupCells), "grp")
+        .select(col("query_id"), col("cell"))).distinct()
     val candIds = queryCells.join(corpusCells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))

@@ -185,6 +185,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"no k-means uplift: ${recall(ivf0)} -> ${recall(ivfT)}")
   }
 
+  test("coarse-fine END-TO-END retrieval recall on the clustered " +
+      "corpus (the property a q170 user cares about), at the " +
+      "coarse-fine candidate economics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same deterministic clustered corpus as the IVF test: 16 centers,
+    // 32 members each at cosine ≈ 0.9+ to their center
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val nQ = 64
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val coarse = pairs(Similarity.ivfTopKCoarse(cemb, numQueries = nQ))
+    val flat = pairs(Similarity.ivfTopK(cemb, numQueries = nQ))
+    def recall(s: Set[(Long, Long)]) =
+      s.intersect(brute).size.toDouble / brute.size
+    info(f"clustered retrieval recall@10: coarse-fine=" +
+      f"${recall(coarse)}%.2f flat-IVF=${recall(flat)}%.2f")
+    // the q121 bar: the two-stage path must retrieve, not just agree
+    // with flat assignment on cell labels
+    assert(recall(coarse) >= 0.8,
+      s"coarse-fine end-to-end recall ${recall(coarse)} below 0.8")
+    // ... at comparable quality to the flat-probed IVF baseline
+    assert(recall(coarse) >= recall(flat) - 0.1,
+      s"coarse-fine retrieval far below flat IVF: " +
+        s"${recall(coarse)} vs ${recall(flat)}")
+  }
+
   test("knnGraph: ≤k edges per node, self excluded, rank-ordered; " +
       "recall vs the brute-force graph on a clustered corpus") {
     import spark.implicits._
