@@ -1266,6 +1266,41 @@ object SparkEntry {
     // repetition cap + one waterfill redistribution round.
     "q180_epoch_schedule" -> ((s, dir) =>
       operators.Sampling.epochSchedule(documents(s, dir))),
+    // INCREMENTAL epoch-schedule maintenance (q180's twin): three
+    // id-ordered ingest waves feed an update-mode per-source token
+    // aggregation; the plan is recomputed per wave from the
+    // maintained |S|-row state (zero corpus reads per recompute).
+    // Final plan must equal the batch q180 plan exactly.
+    "q184_stream_epoch_schedule" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val wh = graft.util.TempDirs.create("graft-epoch-q184")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val cols = docs.select(col("doc_id"), col("source"), col("text"))
+      val maxId = cols.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        cols.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      val m = new streaming.StreamingSchedule.EpochPlanMaintainer(s)
+      val q = operators.Sampling.sourceTokenCounts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(m.update _)
+        .option("checkpointLocation", s"$wh/cp").start()
+      try q.processAllAvailable() finally q.stop()
+      m.currentPlan()
+    }),
     // k-anonymous release: generalization ladder where each coarser
     // cohort counts only rows not released at a finer level.
     "q181_k_anonymity" -> ((s, dir) =>
@@ -1589,6 +1624,8 @@ object SparkEntry {
     "q178_stream_merge" -> OracleSql.mergeApply,
     "q179_doremi_weights" -> OracleSql.doremiWeights,
     "q180_epoch_schedule" -> OracleSql.epochSchedule,
+    // the incremental twin must converge to the identical batch plan
+    "q184_stream_epoch_schedule" -> OracleSql.epochSchedule,
     "q181_k_anonymity" -> OracleSql.kAnonymize,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,

@@ -670,12 +670,28 @@ object Sampling {
     * (the reduceCellSums discipline). */
   def epochSchedule(docs: DataFrame, alpha: Double = MixTemperature,
       budgetFrac: Double = EpochBudgetFrac,
-      epochCap: Double = EpochCap): DataFrame = {
-    val t = docs
-      .select(col("source"),
+      epochCap: Double = EpochCap): DataFrame =
+    epochScheduleFromCounts(sourceTokenCounts(docs), alpha, budgetFrac,
+      epochCap)
+
+  /** The ONE corpus-sized pass of [[epochSchedule]]: per-source doc
+    * and token counts — exact LONG arithmetic, map-side combined.
+    * Works unchanged on a STREAMING frame (update-mode aggregation),
+    * which is how the incremental q184 twin maintains it. */
+  def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("src_tokens"))
+
+  /** The |S|-row planning arithmetic of [[epochSchedule]] over an
+    * already-maintained counts frame (source, n_docs, src_tokens) —
+    * the piece the incremental twin (q184) re-runs per ingest wave
+    * against its maintained aggregates. */
+  def epochScheduleFromCounts(t: DataFrame,
+      alpha: Double = MixTemperature,
+      budgetFrac: Double = EpochBudgetFrac,
+      epochCap: Double = EpochCap): DataFrame = {
     val tot = t.agg(sum(col("src_tokens")).as("tot_tokens"))
     val pw = t.crossJoin(broadcast(tot))
       .withColumn("pw", pow(
