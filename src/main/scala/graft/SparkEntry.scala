@@ -1223,6 +1223,12 @@ object SparkEntry {
           numCentroids = Similarity.CoarseFineK,
           groups = Similarity.CoarseFineGroups)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))),
+    // END-TO-END retrieval through the q170 coarse-fine path: corpus
+    // in two-stage cells, query probe = exact NProbe fine cells ∪
+    // the 2 nearest coarse groups' cells, exact-cosine re-rank.
+    "q185_coarse_search" -> ((s, dir) =>
+      Similarity.ivfTopKCoarse(Similarity.embeddings(s, dir),
+        numCentroids = Similarity.CoarseFineK)),
     // Lakehouse MERGE / CDC-apply: the table-maintenance action
     // between the q120 diff and the next funnel pass — copy-on-write
     // per bucket, idempotent re-delivery; graded as the closure
@@ -1614,6 +1620,7 @@ object SparkEntry {
     "q168_mix_entropy" -> OracleSql.dailyMixEntropy,
     "q169_source_hhi" -> OracleSql.sourceConcentration,
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
+    "q185_coarse_search" -> OracleSql.coarseFineSearch,
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,

@@ -1866,7 +1866,14 @@ GROUP BY d.doc_id"""
     * corpus argmin: stage 1 ranks only the NON-EMPTY groups (the
     * kernel drops empty groups from its baked arrays), stage 2 is
     * exact within the picked group with ties to the lowest fine id. */
-  def coarseFineCells: String = {
+  def coarseFineCells: String =
+    s"""$coarseFineCtes
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS cell FROM stage2"""
+
+  /** The shared CTE chain of the coarse-fine family (q170 cells,
+    * q185 retrieval): both Lloyd levels, fine→group ownership, live
+    * groups, and the two-stage corpus argmin, ending at `stage2`. */
+  private def coarseFineCtes: String = {
     import graft.operators.Similarity.{CoarseFineK, CoarseFineGroups,
       KMeansIters, TrainSample}
     s"""$embCtes
@@ -1907,8 +1914,62 @@ GROUP BY d.doc_id"""
     JOIN n nn ON nn.vec_id = s.vec_id
     JOIN fine_group fg ON fg.coarse_id = s.coarse_id
     JOIN fcents f ON f.centroid_id = fg.centroid_id) WHERE rnk = 1
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.ivfTopKCoarse]] (q185) —
+    * END-TO-END retrieval through the coarse-fine path: corpus cells
+    * from the shared [[coarseFineCtes]] two-stage argmin; the query
+    * probe is the UNION of (a) the query's NProbe exact-nearest fine
+    * cells (rank over ALL fine centroids, (cos DESC, id ASC)) and
+    * (b) every fine cell owned by the query's CoarseProbeGroups
+    * nearest LIVE coarse groups; candidates dedup, exact-cosine
+    * re-rank, q20's top-k rule. */
+  def coarseFineSearch: String = {
+    import graft.operators.Similarity.{NProbe, CoarseProbeGroups}
+    import SimilarityParams.TopK
+    s"""$coarseFineCtes
+, corp AS (
+  SELECT vec_id, centroid_id AS cell FROM stage2
+), qx AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT q.query_id, f.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ${dotSql("q.qv", "f.cv")} / (q.qn * f.cnorm) DESC,
+             f.centroid_id ASC) AS rnk
+    FROM q, fcents f) WHERE rnk <= $NProbe
+), qg AS (
+  SELECT query_id, coarse_id FROM (
+    SELECT q.query_id, c.coarse_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ${dotSql("q.qv", "c.cv")} / (q.qn * c.cnorm) DESC,
+             c.coarse_id ASC) AS rnk
+    FROM q, ccents c JOIN live USING (coarse_id))
+  WHERE rnk <= $CoarseProbeGroups
+), qgc AS (
+  SELECT qg.query_id, fg.centroid_id AS cell
+  FROM qg JOIN fine_group fg USING (coarse_id)
+), probe AS (
+  SELECT query_id, cell FROM qx
+  UNION
+  SELECT query_id, cell FROM qgc
+), cand AS (
+  SELECT query_id, vec_id
+  FROM probe JOIN corp USING (cell)
+  WHERE vec_id <> query_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT query_id, vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM cand JOIN q USING (query_id) JOIN n USING (vec_id)
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM p
 )
-SELECT vec_id, CAST(centroid_id AS BIGINT) AS cell FROM stage2"""
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
   }
 
   /** Mirror of [[graft.operators.Similarity.cellProfile]] (q125):
