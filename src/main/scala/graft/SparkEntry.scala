@@ -1229,6 +1229,11 @@ object SparkEntry {
     "q185_coarse_search" -> ((s, dir) =>
       Similarity.ivfTopKCoarse(Similarity.embeddings(s, dir),
         numCentroids = Similarity.CoarseFineK)),
+    // HNSW-style LAYERED serving graph: sparse rank-stride upper
+    // layer with its own kNN+spoke edges, walk there first, then
+    // descend — the upper beam seeds the base walk.
+    "q186_layered_search" -> ((s, dir) =>
+      Similarity.layeredGraphSearchTopK(Similarity.embeddings(s, dir))),
     // Lakehouse MERGE / CDC-apply: the table-maintenance action
     // between the q120 diff and the next funnel pass — copy-on-write
     // per bucket, idempotent re-delivery; graded as the closure
@@ -1621,6 +1626,7 @@ object SparkEntry {
     "q169_source_hhi" -> OracleSql.sourceConcentration,
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
     "q185_coarse_search" -> OracleSql.coarseFineSearch,
+    "q186_layered_search" -> OracleSql.layeredSearch,
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,

@@ -586,7 +586,32 @@ object Similarity {
       : (DataFrame, graft.util.CacheHandle) = {
     val q = queries(emb, numQueries)
     val entry = emb.agg(min(col("vec_id"))).head().getLong(0)
-    var beam = q.select(col("query_id")).withColumn("node", lit(entry))
+    val beam0 = q.select(col("query_id")).withColumn("node", lit(entry))
+    val (scored, beam, cache) = beamWalk(q, emb, edges, beam0, hops,
+      beamWidth)
+    (finishWalk(scored, beam), cache)
+  }
+
+  /** The final top-k of a walk: last hop's scored beam, self
+    * excluded, (cos DESC, node ASC) ranked. */
+  private def finishWalk(scored: DataFrame, beam: DataFrame): DataFrame =
+    scored.join(beam, Seq("query_id", "node"))
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("node").asc)).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos").as("cosine"))
+
+  /** `hops` rounds of expand-score-prune from `beam0` over `edges`:
+    * returns (last hop's scored frame, last beam, the CacheHandle of
+    * the last hop's persisted cut). Shared by the flat walk (q124)
+    * and each LEVEL of the layered walk (q186). */
+  private def beamWalk(q: DataFrame, emb: DataFrame, edges: DataFrame,
+      beam0: DataFrame, hops: Int, beamWidth: Int)
+      : (DataFrame, DataFrame, graft.util.CacheHandle) = {
+    var beam = beam0
     var scored = beam // placeholder, reassigned in every hop
     // each hop references `beam` TWICE (carry + expand) and the final
     // select re-reads the last hop — without a per-hop materialized
@@ -618,16 +643,92 @@ object Similarity {
         .filter(col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
     }
-    (scored.join(beam, Seq("query_id", "node"))
-      .filter(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("node").asc)).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        col("rank"), col("cos").as("cosine")),
+    (scored, beam,
       prevCache.map(graft.util.CacheHandle(_))
         .getOrElse(graft.util.CacheHandle.none))
+  }
+
+  /** Layered-graph constants (q186): rank stride of the sparse upper
+    * layer and the per-level hop budgets. */
+  val LayerStride = 16
+  val LayerHopsUpper = 3
+  val LayerHopsBase = 3
+
+  def layeredGraphSearchTopK(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame =
+    layeredGraphSearchTopKWithHandle(emb, numQueries)._1
+
+  /** HNSW-STYLE layered serving graph (q186) — the hierarchy the
+    * flat-spoke walk (q124) approximates with a constant factor:
+    * LEVEL 1 is the deterministic rank-stride subsample (every
+    * [[LayerStride]]-th node by vec_id rank through the q57 global
+    * index — no random level draws, so the oracle mirrors the layer
+    * membership exactly), carrying its own banded k-NN edges plus
+    * its own long-range spokes; LEVEL 0 is the full q124 serving
+    * graph. A query enters at the sparse layer's minimum node, walks
+    * [[LayerHopsUpper]] hops there (each hop scans a 16×-smaller
+    * graph), then DESCENDS: the upper beam seeds the base walk,
+    * which needs only [[LayerHopsBase]] hops from an entry already
+    * inside the target neighborhood instead of
+    * [[GraphSearchHops]]-from-global-entry. Extending the ladder:
+    * rank-stride levels compose (stride², stride³ …) so walk length
+    * grows O(log_stride n) while the flat walk's hop budget must
+    * grow with corpus diameter. Per-hop mechanics, scoring, and the
+    * final top-k rule are EXACTLY q124's (shared [[beamWalk]] /
+    * [[finishWalk]]), so the q124 oracle pattern grades it with the
+    * levels unrolled. */
+  def layeredGraphSearchTopKWithHandle(emb0: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      stride: Int = LayerStride,
+      hopsUpper: Int = LayerHopsUpper,
+      hopsBase: Int = LayerHopsBase,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries(emb, numQueries)
+    // Each level's build output and the cross-level seed are
+    // lineage-CUT with an eager localCheckpoint (the q141/Bpe
+    // discipline): composing two walks puts one walk's full DAG
+    // inside every hop of the next, and the plan TREE — not the
+    // data — is what breaks (a 500-vector fixture spent minutes in
+    // TreeNode.generateTreeString and OOM'd an 8 GiB driver before
+    // the cuts; 36 s of actual compute). Eager cuts also let every
+    // upstream cache release immediately instead of riding the
+    // returned handle.
+    // deterministic layer membership: every stride-th node by rank
+    val (ranked, rkHandle) = GlobalIndex.globalRowIndexWithHandle(
+      emb.select(col("vec_id")), Seq(col("vec_id")), LongRangePartitions)
+    val upperEmb = emb.join(
+        ranked.filter(col("global_idx") % stride === 0)
+          .select(col("vec_id")), "vec_id")
+      .localCheckpoint()
+    rkHandle.release()
+    val (uspokes, usHandle) = longRangeEdgesWithHandle(upperEmb)
+    val uedges = knnGraph(upperEmb)
+      .select(col("src"), col("neighbor_id").as("nbr"))
+      .union(uspokes)
+      .localCheckpoint()
+    usHandle.release()
+    val uentry = upperEmb.agg(min(col("vec_id"))).head().getLong(0)
+    val ubeam0 = q.select(col("query_id"))
+      .withColumn("node", lit(uentry))
+    val (_, ubeam, uCache) = beamWalk(q, emb, uedges, ubeam0,
+      hopsUpper, beamWidth)
+    // descend: the upper beam (lineage-cut) seeds the base-level walk
+    val seed = ubeam.select(col("query_id"), col("node"))
+      .localCheckpoint()
+    uCache.release()
+    val (bspokes, bsHandle) = longRangeEdgesWithHandle(emb)
+    val bedges = knnGraph(emb)
+      .select(col("src"), col("neighbor_id").as("nbr"))
+      .union(bspokes)
+      .localCheckpoint()
+    bsHandle.release()
+    val (scored, beam, bCache) = beamWalk(q, emb, bedges, seed,
+      hopsBase, beamWidth)
+    (finishWalk(scored, beam), graft.util.CacheHandle.combine(
+      graft.util.CacheHandle(emb), bCache))
   }
 
   /** Binary-embedding search constants (q121): the Hamming pool the

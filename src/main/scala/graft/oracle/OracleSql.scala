@@ -2292,31 +2292,44 @@ FROM n, mu, $finJoins"""
     * entry beam, and each hop unrolled as expand → exact-cosine
     * score → (cos DESC, node ASC) beam cut, finishing with the
     * self-excluded top-k of the final beam. */
-  def graphSearch: String = {
-    import SimilarityParams._
-    import graft.operators.Similarity.{GraphSearchBeam, GraphSearchHops,
-      LongRangeSpokes}
-    val hopCtes = (1 to GraphSearchHops).map { t =>
-      s""", cand$t AS (
+  /** One unrolled walk hop (shared by q124's flat walk and q186's
+    * per-level walks): candidates = carry ∪ edge expansion, exact
+    * cosine, (cos DESC, node ASC) beam cut. `p` prefixes the CTE
+    * names; `from` names the hop-0 beam CTE. */
+  private def walkHopCtes(p: String, edges: String, from: String,
+      hops: Int, beamWidth: Int): String =
+    (1 to hops).map { t =>
+      val prev = if (t == 1) from else s"${p}beam${t - 1}"
+      s""", ${p}cand$t AS (
   SELECT DISTINCT query_id, node FROM (
-    SELECT query_id, node FROM beam${t - 1}
+    SELECT query_id, node FROM $prev
     UNION ALL
     SELECT b.query_id, e.neighbor_id AS node
-    FROM beam${t - 1} b JOIN edges e ON e.src = b.node)
-), sc$t AS MATERIALIZED (
+    FROM $prev b JOIN $edges e ON e.src = b.node)
+), ${p}sc$t AS MATERIALIZED (
   SELECT c.query_id, c.node,
          ${dotSql("qq.qv", "nv.v")} / (qq.qn * nv.nrm) AS cos
-  FROM cand$t c
+  FROM ${p}cand$t c
   JOIN q qq ON qq.query_id = c.query_id
   JOIN n nv ON nv.vec_id = c.node
-), beam$t AS MATERIALIZED (
+), ${p}beam$t AS MATERIALIZED (
   SELECT query_id, node FROM (
     SELECT query_id, node,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, node ASC) AS rn
-    FROM sc$t) WHERE rn <= $GraphSearchBeam
+    FROM ${p}sc$t) WHERE rn <= $beamWidth
 )"""
     }.mkString
+
+  def graphSearch: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{GraphSearchBeam, GraphSearchHops,
+      LongRangeSpokes}
+    val hopCtes = {
+      // keep the historical un-prefixed CTE names (cand1/sc1/beam1…)
+      walkHopCtes("", "edges", "beam0", GraphSearchHops,
+        GraphSearchBeam)
+    }
     s"""$embCtes
 , rk AS MATERIALIZED (
   SELECT vec_id,
@@ -2344,6 +2357,95 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
            ORDER BY s.cos DESC, s.node ASC) AS BIGINT) AS rank
   FROM sc$GraphSearchHops s
   JOIN beam$GraphSearchHops b
+    ON b.query_id = s.query_id AND b.node = s.node
+  WHERE s.node <> s.query_id)
+WHERE rank <= $TopK"""
+  }
+
+  /** Serving-graph edge CTEs over an arbitrary node CTE `src`
+    * (vec_id, v, nrm): banded k-NN top-k edges ∪ rank-space
+    * long-range spokes — the q124 graph, parameterized so q186 can
+    * build it per LEVEL. Emits `${p}edges(src, neighbor_id)`. */
+  private def servingEdgeCtes(p: String, src: String): String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{KnnGraphK, LongRangeSpokes}
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until DedupBitsPerBand).map { t =>
+        val lst = dedupPlanes(j * DedupBitsPerBand + t)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandCte = (0 until DedupNumBands).map { j =>
+      s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+    s""", ${p}bands AS (
+  $bandCte
+), ${p}kcand AS (
+  SELECT a.vec_id AS src, a.v AS kv, a.nrm AS kn,
+         b.vec_id AS dst, b.v AS v2, b.nrm AS n2
+  FROM ${p}bands a JOIN ${p}bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+  GROUP BY ALL
+), ${p}kedge AS (
+  SELECT src, dst AS neighbor_id FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY
+             ${dotSql("kv", "v2")} / (kn * n2) DESC, dst ASC) AS rank
+    FROM ${p}kcand) WHERE rank <= $KnnGraphK
+), ${p}rk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+  FROM $src
+), ${p}spokes AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM ${p}rk a
+  CROSS JOIN (SELECT unnest(range(1, $LongRangeSpokes)) AS j) js
+  JOIN ${p}rk b ON b.r = (a.r + (js.j * a.nn) // $LongRangeSpokes) % a.nn
+  WHERE a.vec_id <> b.vec_id
+), ${p}edges AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ${p}kedge
+  UNION ALL
+  SELECT src, nbr AS neighbor_id FROM ${p}spokes
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.layeredGraphSearchTopK]]
+    * (q186): layer membership by rank stride over the full node set,
+    * per-level serving edges via [[servingEdgeCtes]], the upper walk
+    * unrolled from the sparse layer's minimum node, the DESCEND (the
+    * upper beam is hop 0 of the base walk), and q124's final top-k
+    * rule over the base walk's last scored beam. */
+  def layeredSearch: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{GraphSearchBeam, LayerStride,
+      LayerHopsUpper, LayerHopsBase}
+    s"""$embCtes
+, lrk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r
+  FROM n
+), un AS MATERIALIZED (
+  SELECT n.vec_id, n.v, n.nrm
+  FROM n JOIN lrk USING (vec_id)
+  WHERE lrk.r % $LayerStride = 0
+)${servingEdgeCtes("u", "un")}
+, umn AS (
+  SELECT MIN(vec_id) AS m FROM un
+), ubeam0 AS (
+  SELECT query_id, m AS node FROM q, umn
+)${walkHopCtes("u", "uedges", "ubeam0", LayerHopsUpper,
+      GraphSearchBeam)}${servingEdgeCtes("b", "n")}
+, bbeam0 AS (
+  SELECT query_id, node FROM ubeam$LayerHopsUpper
+)${walkHopCtes("b", "bedges", "bbeam0", LayerHopsBase,
+      GraphSearchBeam)}
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT s.query_id, s.node AS neighbor_id, s.cos AS cosine,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.cos DESC, s.node ASC) AS BIGINT) AS rank
+  FROM bsc$LayerHopsBase s
+  JOIN bbeam$LayerHopsBase b
     ON b.query_id = s.query_id AND b.node = s.node
   WHERE s.node <> s.query_id)
 WHERE rank <= $TopK"""
@@ -5227,4 +5329,5 @@ SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
          ' '), '') AS clean_text
 FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
   }
+
 }

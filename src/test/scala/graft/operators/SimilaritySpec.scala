@@ -399,6 +399,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     spokes.foreach(r => assert(r.getLong(0) != r.getLong(1)))
   }
 
+  test("layered graph search (q186): descends to recall >= 0.8 on the " +
+      "clustered fixture; upper-seeded base walk matches-or-beats the " +
+      "flat walk at the SAME base hop budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    var s = 77L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val nQ = 64
+    val brute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val (layeredDf, h) =
+      Similarity.layeredGraphSearchTopKWithHandle(cemb, nQ)
+    val layered = pairs(layeredDf)
+    h.release()
+    val lRecall = layered.intersect(brute).size.toDouble / brute.size
+    // flat walk with the SAME base hop budget but entering at the
+    // global minimum node instead of the upper layer's final beam —
+    // the descent is what buys back the lost global hops
+    val flat = pairs(Similarity.graphSearchTopK(cemb, nQ,
+      hops = Similarity.LayerHopsBase))
+    val fRecall = flat.intersect(brute).size.toDouble / brute.size
+    info(f"layered recall@10=$lRecall%.2f vs flat ${
+      Similarity.LayerHopsBase}-hop $fRecall%.2f")
+    assert(lRecall >= 0.8, s"layered recall $lRecall below 0.8")
+    assert(lRecall >= fRecall - 0.02,
+      s"upper-layer seeding lost to the flat entry: $lRecall < $fRecall")
+  }
+
   test("mineAlignedPairs: planted twins mine exactly (margin makes " +
       "them stand out); at most one match per x; equally-close " +
       "neighborhoods stay below the cut") {
