@@ -1234,6 +1234,45 @@ object SparkEntry {
     // descend — the upper beam seeds the base walk.
     "q186_layered_search" -> ((s, dir) =>
       Similarity.layeredGraphSearchTopK(Similarity.embeddings(s, dir))),
+    // STREAM-STREAM watermarked interval join (the two-unbounded-
+    // inputs join Structured Streaming exists for): clicks ⋈
+    // purchases on user within the 24 h attribution horizon, state
+    // horizon-bounded on both sides by the watermark; events arrive
+    // as three ascending-TIME file waves, so the emitted pair set
+    // equals the batch range join exactly (see the operator's parity
+    // argument) — graded against the DuckDB range join.
+    "q187_stream_interval_join" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = operators.EventsQueries.withTsMs(raw)
+      val wh = graft.util.TempDirs.create("graft-join-q187")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3; val t2 = lo + 2 * (hi - lo) / 3
+      val waves = Seq(col("ts_ms") <= t1,
+        col("ts_ms") > t1 && col("ts_ms") <= t2, col("ts_ms") > t2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).select(raw.columns.map(col).toIndexedSeq: _*)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = operators.EventsQueries.withTsMs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$wh/in"))
+      s.catalog.dropTempView("graft_q187_pairs")
+      val q = streaming.StreamingIntervalJoin.clickPurchasePairs(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q187_pairs").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q187_pairs")
+    }),
     // Lakehouse MERGE / CDC-apply: the table-maintenance action
     // between the q120 diff and the next funnel pass — copy-on-write
     // per bucket, idempotent re-delivery; graded as the closure
@@ -1627,6 +1666,7 @@ object SparkEntry {
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
     "q185_coarse_search" -> OracleSql.coarseFineSearch,
     "q186_layered_search" -> OracleSql.layeredSearch,
+    "q187_stream_interval_join" -> OracleSql.intervalJoinPairs,
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,

@@ -5330,4 +5330,23 @@ SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
 FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
   }
 
+  /** Mirror of
+    * [[graft.streaming.StreamingIntervalJoin.clickPurchasePairs]]
+    * (q187): the batch range join the watermarked stream-stream
+    * inner join provably equals over ascending-time waves. Times
+    * compare at ms precision in both engines (`epoch_ns // 1e6` ≡
+    * the Spark side's ms-truncated event_time), so the horizon
+    * boundary is bit-identical. */
+  def intervalJoinPairs: String = {
+    import graft.streaming.StreamingIntervalJoin.HorizonMs
+    s"""WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000000 AS ms
+  FROM events)
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       b.ms - a.ms AS gap_ms, b.value
+FROM e a JOIN e b ON b.user_id = a.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ms >= a.ms AND b.ms - a.ms <= $HorizonMs"""
+  }
 }
