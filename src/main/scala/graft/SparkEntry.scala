@@ -1279,6 +1279,12 @@ object SparkEntry {
     // merge(v1, cdc(v1→v2)) == v2.
     "q171_merge_apply" -> ((s, dir) =>
       operators.Pipeline.mergeApplyDerived(documents(s, dir))),
+    // Lakehouse TIME TRAVEL: as-of reconstruction from base + ordered
+    // CDC log — latest op per key <= asOf in ONE window over the
+    // skinny log + one base join, cost independent of version count;
+    // graded as the closure asOf(v1, log(v1→v2→v3), 2) == v3.
+    "q188_time_travel" -> ((s, dir) =>
+      operators.Pipeline.timeTravelDerived(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -1667,6 +1673,7 @@ object SparkEntry {
     "q185_coarse_search" -> OracleSql.coarseFineSearch,
     "q186_layered_search" -> OracleSql.layeredSearch,
     "q187_stream_interval_join" -> OracleSql.intervalJoinPairs,
+    "q188_time_travel" -> OracleSql.timeTravel,
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,

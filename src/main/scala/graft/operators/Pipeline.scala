@@ -284,6 +284,89 @@ object Pipeline {
     }
   }
 
+  /** CDC batch between ANY two snapshot versions (generalizes
+    * [[cdcFromDiff]], whose derivation is hardwired to the graded
+    * v1→v2 pair): added/changed → upsert carrying the TARGET text,
+    * removed → delete. One full-outer hash join on the id — the q120
+    * diff shape — plus a target-side text fetch folded into the same
+    * join (no second pass over either snapshot). */
+  def cdcBetween(va: DataFrame, vb: DataFrame): DataFrame = {
+    val a = va.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val b = vb.select(col("doc_id"), md5(col("text")).as("new_hash"),
+      col("text").as("new_text"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .filter(col("old_hash").isNull || col("new_hash").isNull ||
+        col("old_hash") =!= col("new_hash"))
+      .select(col("doc_id"),
+        when(col("new_hash").isNull, "delete").otherwise("upsert")
+          .as("op"),
+        when(col("new_hash").isNotNull, col("new_text")).as("new_text"))
+  }
+
+  /** As-of snapshot reconstruction (q188) — lakehouse TIME TRAVEL
+    * from a base snapshot plus an ordered CDC log (`version`,
+    * `doc_id`, `op`, `new_text`; one op per key per version, the
+    * contract every CDC batch here satisfies by construction):
+    * rebuild the table exactly as of version `asOf` WITHOUT replaying
+    * batches one at a time.
+    *
+    * The scalable path: a key's state at `asOf` depends only on its
+    * LATEST log entry ≤ `asOf` — so the reconstruction is ONE window
+    * over the version-filtered log (partitioned by id, ordered by
+    * version DESC — the log is the skinny side, orders of magnitude
+    * smaller than the table) and ONE full-outer join with the base
+    * snapshot. Cost is |log ≤ asOf| + |base|, INDEPENDENT of how many
+    * versions the log spans — the property that makes deep version
+    * histories readable at 100 TB, where sequential
+    * [[mergeApply]]-per-batch replay would pay a table-sized join per
+    * version. (The two designs must agree; the spec pins
+    * asOf(k) ≡ the k-fold sequential merge on the graded log.) */
+  def asOfReconstruct(base: DataFrame, log: DataFrame,
+      asOf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = log.filter(col("version") <= asOf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("op"), col("new_text"))
+    base.select(col("doc_id"), col("text"))
+      .join(latest, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col("doc_id"),
+        when(col("op") === "upsert", col("new_text"))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Graded q188 configuration — the derivation chain EXTENDED to a
+    * third version with adversarial cross-version interactions:
+    * v3 deletes the docs v2 CHANGED (changed-then-deleted: the
+    * latest-wins rule must pick the delete over the upsert) and
+    * changes the docs v2 ADDED (added-then-changed: the base never
+    * saw the key; the version-2 upsert must win over version 1's).
+    * The log is batch 1 = cdc(v1→v2) ∪ batch 2 = cdc(v2→v3);
+    * asOf = 2 must reproduce v3 exactly, and the oracle rebuilds v3
+    * directly from the documents table (the q171 closure
+    * discipline). */
+  def timeTravelDerived(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 10 =!= DiffAddedMod)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+    val v3 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod &&
+        col("doc_id") % 10 =!= DiffChangedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === DiffAddedMod,
+          concat(col("text"), lit(" v3"))).otherwise(col("text"))
+          .as("text"))
+    val log = cdcBetween(v1, v2).withColumn("version", lit(1L))
+      .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L)))
+    asOfReconstruct(v1, log, asOf = 2L)
+  }
+
   def preprocessingFunnel(docs: DataFrame): DataFrame = {
     // ONE scan computes every row-local gate as a column; exact
     // dedup's canonical-min is a window over the content digest

@@ -1584,6 +1584,23 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.timeTravelDerived]] (q188)
+    * — the q171 closure discipline extended one version deeper: the
+    * as-of-2 reconstruction from v1 + the two-batch CDC log must
+    * reproduce v3 exactly, so the oracle rebuilds v3 directly from
+    * the documents table. Any drift in the latest-op-per-key window,
+    * the cross-version interactions (changed-then-deleted,
+    * added-then-changed), or the CDC derivation breaks the hash. */
+  def timeTravel: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffChangedMod,
+      DiffRemovedMod}
+    s"""SELECT doc_id,
+       CASE WHEN doc_id % 10 = $DiffAddedMod THEN text || ' v3'
+            ELSE text END AS text
+FROM documents
+WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
+  }
+
   /** Mirror of [[graft.operators.Layout.shardPlacement]] (q174):
     * identical double-Knuth rendezvous weights (overflow-safe BIGINT
     * arithmetic), first-max shard pick via list_position, modulo

@@ -159,4 +159,51 @@ class MergeApplySpec extends AnyFunSuite with SparkSessionSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == after)
   }
+
+  test("as-of time travel (q188): one-window reconstruction equals " +
+      "the sequential merge replay at every version; cross-version " +
+      "latest-wins (changed-then-deleted, added-then-changed)") {
+    val v1 = docs.filter(col("doc_id") % 10 =!= Pipeline.DiffAddedMod)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= Pipeline.DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === Pipeline.DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+    val v3 = docs
+      .filter(col("doc_id") % 10 =!= Pipeline.DiffRemovedMod &&
+        col("doc_id") % 10 =!= Pipeline.DiffChangedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === Pipeline.DiffAddedMod,
+          concat(col("text"), lit(" v3"))).otherwise(col("text"))
+          .as("text"))
+    val b1 = Pipeline.cdcBetween(v1, v2)
+    val b2 = Pipeline.cdcBetween(v2, v3)
+    val log = b1.withColumn("version", lit(1L))
+      .unionByName(b2.withColumn("version", lit(2L)))
+    // asOf 0: no ops apply — the base snapshot verbatim
+    assert(tableHash(Pipeline.asOfReconstruct(v1, log, 0L)) ==
+      tableHash(v1))
+    // asOf k equals the k-fold SEQUENTIAL merge replay (the two
+    // designs must agree; the window path never replays)
+    val m1 = Pipeline.mergeApply(v1, b1).select(col("doc_id"), col("text"))
+    assert(tableHash(Pipeline.asOfReconstruct(v1, log, 1L)) ==
+      tableHash(m1))
+    assert(tableHash(m1) == tableHash(v2))
+    val m2 = Pipeline.mergeApply(m1, b2).select(col("doc_id"), col("text"))
+    val asOf2 = Pipeline.asOfReconstruct(v1, log, 2L)
+    assert(tableHash(asOf2) == tableHash(m2))
+    assert(tableHash(asOf2) == tableHash(v3))
+    // cross-version interactions on concrete keys: %10==3 was CHANGED
+    // at version 1 then DELETED at version 2 — the delete must win;
+    // %10==7 was ADDED at version 1 then CHANGED at version 2 — the
+    // version-2 text must win
+    val byId = asOf2.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val changedThenDeleted = byId.keys.filter(_ % 10 == Pipeline.DiffChangedMod)
+    assert(changedThenDeleted.isEmpty)
+    val addedThenChanged = byId.filter(_._1 % 10 == Pipeline.DiffAddedMod)
+    assert(addedThenChanged.nonEmpty)
+    addedThenChanged.values.foreach(t => assert(t.endsWith(" v3")))
+  }
 }
