@@ -937,6 +937,15 @@ object SparkEntry {
     "q141_kcore" -> ((s, dir) =>
       operators.Graph.kCore(Similarity.knnGraph(
         Similarity.embeddings(s, dir)))),
+    // Synchronous label propagation over the mutual k-NN graph: the
+    // majority-vote community detector (min-label tie-break, fixed
+    // rounds) — splits components along sparse cuts where CC keeps
+    // them whole.
+    "q189_label_prop" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      operators.Graph.labelPropagation(Similarity.knnGraph(emb),
+        emb.select(col("vec_id").as("node_id")))
+    }),
     // Top-k session paths: q15 sessionization + per-session ordered
     // path strings + map-side-combined counting; only the
     // distinct-path-bounded top-k ranks globally.
@@ -1674,6 +1683,7 @@ object SparkEntry {
     "q186_layered_search" -> OracleSql.layeredSearch,
     "q187_stream_interval_join" -> OracleSql.intervalJoinPairs,
     "q188_time_travel" -> OracleSql.timeTravel,
+    "q189_label_prop" -> OracleSql.labelPropagation,
     "q171_merge_apply" -> OracleSql.mergeApply,
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,

@@ -575,6 +575,57 @@ object Graph {
     * tree. The peel count for FULL decomposition is bounded by the
     * degeneracy (tens on web-scale graphs); the graded query pins
     * k = [[KCoreK]], rounds = [[KCoreRounds]]. */
+  /** Synchronous label-propagation round count (q189) — fixed so the
+    * oracle unrolls the identical computation (sync LPA on bipartite
+    * structures can oscillate rather than converge; a fixed round
+    * budget makes the output a deterministic function of the graph
+    * either way). */
+  val LabelPropRounds = 4
+
+  /** Synchronous label propagation (q189) — the linear-time community
+    * detector (Raghavan et al. 2007) over the mutual k-NN graph, the
+    * fourth community lens after q132 triangles / q141 k-core / the
+    * dedup family's connected components: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * NEIGHBORS (ties → smallest label — the determinism the
+    * async/random-order textbook variant lacks), isolated nodes keep
+    * their own. Where connected components answer "reachable at
+    * all?", LPA's majority vote splits a component along its sparse
+    * cuts — the communities, not the components.
+    *
+    * Scale shape: per round, ONE |E|-bounded join moves labels to
+    * neighbors, the (node, label) vote count is map-side-combined,
+    * and the winner window is partitioned per node over at most
+    * deg(v) candidate labels — never a global sort. The label frame
+    * (|V| rows) is the only iterated state, localCheckpointed per
+    * round (the q141/q131 lineage rule: it is referenced twice — the
+    * vote join and the carry — and feeds the next round). */
+  def labelPropagation(knnEdges: DataFrame, nodes: DataFrame,
+      rounds: Int = LabelPropRounds): DataFrame = {
+    val mutual = mutualEdges(knnEdges)
+    val adj = mutual.select(col("u").as("node"), col("v").as("nbr"))
+      .union(mutual.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node_id"),
+      col("node_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node_id", "nbr"), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val best = votes.withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("n").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node").as("node_id"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def kCore(knnEdges: DataFrame, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
     var edges = mutualEdges(knnEdges).localCheckpoint()

@@ -2788,6 +2788,47 @@ FROM t, hl"""
     * CTE stages over the same mutual edge set — the q99/q103 unroll
     * discipline); identical k threshold and final within-core degree
     * count. */
+  /** Mirror of [[graft.operators.Graph.labelPropagation]] (q189):
+    * the same mutual edge set as q132's oracle, the vote rounds
+    * unrolled CTE-for-round (q99/q141 discipline) — per round a
+    * (node, label) count off the bidirectional adjacency, the winner
+    * by (n DESC, label ASC) row_number, non-voters carried by the
+    * left join's COALESCE. */
+  def labelPropagation: String = {
+    import graft.operators.Graph.LabelPropRounds
+    val rounds = (1 to LabelPropRounds).map { r =>
+      s""", cnt$r AS (
+  SELECT adj.node, l.label, COUNT(*) AS n
+  FROM adj JOIN lab${r - 1} l ON l.node_id = adj.nbr
+  GROUP BY adj.node, l.label
+), best$r AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+             ORDER BY n DESC, label ASC) AS rn
+    FROM cnt$r) WHERE rn = 1
+), lab$r AS MATERIALIZED (
+  SELECT l.node_id, COALESCE(b.label, l.label) AS label
+  FROM lab${r - 1} l LEFT JOIN best$r b ON b.node = l.node_id
+)"""
+    }.mkString
+    s"""WITH g AS MATERIALIZED (
+  SELECT src, neighbor_id FROM ($knnGraph)
+), e AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b
+    ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  WHERE a.src < a.neighbor_id
+  GROUP BY ALL
+), adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e
+  UNION ALL SELECT v AS node, u AS nbr FROM e
+), lab0 AS (
+  SELECT vec_id AS node_id, vec_id AS label FROM embeddings
+)$rounds
+SELECT node_id, label FROM lab$LabelPropRounds"""
+  }
+
   def kCore: String = {
     import graft.operators.Graph.{KCoreK, KCoreRounds}
     val rounds = (1 to KCoreRounds).map { r =>

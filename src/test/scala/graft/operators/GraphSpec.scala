@@ -320,4 +320,30 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     }
     assert(got.values.map(_._2).sum > 0, "fixture graph has triangles")
   }
+
+  test("label propagation: two bridged triangles resolve to TWO " +
+      "communities (CC would give one); isolated node keeps its own " +
+      "label; sync rounds with min-label tie-break traced by hand") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} joined by the bridge 3-10 —
+    // every edge mutual (both directions present)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "neighbor_id")
+    val nodes = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L))
+      .toDF("node_id") // 99 is isolated
+    val got = Graph.labelPropagation(edges, nodes).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("label"))
+      .toMap
+    // hand trace of 4 sync rounds (min-label tie-break):
+    // r1: 1→2 2→1 3→1 10→3 11→10 12→10
+    // r2: 1→1 2→1 3→1 10→10 11→3 12→3
+    // r3: 1→1 2→1 3→1 10→3 11→3 12→3
+    // r4: fixed point {1,2,3}→1, {10,11,12}→3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 99L -> 99L), s"got $got")
+    // the bridge did NOT merge the communities — the property that
+    // separates LPA from connected components
+    assert(Set(got(1L), got(10L)).size == 2)
+  }
 }
