@@ -1309,6 +1309,11 @@ object SparkEntry {
     // modulo baseline — row-local double-Knuth arithmetic only.
     "q174_shard_placement" -> ((s, dir) =>
       operators.Layout.shardPlacement(documents(s, dir))),
+    // Consistent-hash RING placement (vnodes): clockwise-successor
+    // probe over the Scala-inlined literal ring; scale-out movers go
+    // ONLY to the added shard — the minimal-movement twin of q174.
+    "q190_ring_placement" -> ((s, dir) =>
+      operators.Layout.ringPlacement(documents(s, dir))),
     // Normalization-unlocked exact dedup: lowercase/strip/collapse
     // before hashing; flags docs that only become duplicates after
     // normalization — the near-exact class raw hashing misses.
@@ -1688,6 +1693,7 @@ object SparkEntry {
     "q172_unigram_lm" -> OracleSql.unigramModel,
     "q173_unigram_segment" -> OracleSql.unigramSegment,
     "q174_shard_placement" -> OracleSql.shardPlacement,
+    "q190_ring_placement" -> OracleSql.ringPlacement,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

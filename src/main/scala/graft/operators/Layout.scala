@@ -164,4 +164,68 @@ object Layout {
         (col("doc_id") % ShardsAfter).as("mod_b"))
       .withColumn("moved", col("shard_a") =!= col("shard_b"))
       .withColumn("mod_moved", col("mod_a") =!= col("mod_b"))
+
+  /** Virtual nodes per shard on the consistent-hash ring (q190) —
+    * vnodes smooth per-shard arc mass (variance ∝ 1/vnodes) and are
+    * what real stores (Dynamo/Cassandra lineage) tune. */
+  val RingVnodes = 8
+
+  /** Ring point of flat vnode index `i`: two Knuth rounds (low-bits
+    * fold, then middle-bit extract) on a SMALL integer — computed
+    * here in exact Scala and inlined as literals into BOTH engines'
+    * plans, so the ring table cannot diverge between Spark and the
+    * mirror (only the per-key hash is computed in-engine). */
+  def ringPoint(i: Long): Long = {
+    val p1 = ((i + 1) * Sampling.HashMult) % 1048576L
+    ((p1 * Sampling.HashMult) / 1048576L) % 1048576L
+  }
+
+  /** The sorted ring: (point, shard) for every shard × vnode,
+    * ascending (point, shard) — the tie order both engines share. */
+  def ringPoints(shards: Int, vnodes: Int = RingVnodes): Seq[(Long, Int)] =
+    (for (s <- 0 until shards; v <- 0 until vnodes)
+      yield (ringPoint(s.toLong * vnodes + v), s))
+      .sortBy(identity)
+
+  /** Shard of `idCol` under consistent hashing: the key's clockwise
+    * successor on the ring (first point ≥ hash, wrapping to the
+    * ring's first point). The successor scan is a 128-literal array
+    * probe — codegen'd row-local arithmetic, zero shuffle, exactly
+    * like [[rendezvousShard]]. */
+  def ringShard(idCol: String, shards: Int,
+      vnodes: Int = RingVnodes): Column = {
+    val pts = ringPoints(shards, vnodes)
+    val pointsArr = array(pts.map(p => lit(p._1)): _*)
+    val shardsArr = array(pts.map(p => lit(p._2.toLong)): _*)
+    val K = Sampling.HashMult
+    val h = expr(
+      s"((($idCol % 1048576) * ${K}L) DIV 1048576) % 1048576")
+    val idx0 = array_position(
+      transform(pointsArr, p => p >= h), lit(true))
+    element_at(shardsArr,
+      when(idx0 === 0, lit(1)).otherwise(idx0).cast("int"))
+  }
+
+  /** Consistent-hash ring placement with a scale-out diff (q190) —
+    * the OTHER classic minimal-movement placement next to q174's
+    * rendezvous (a store migrating between them, or validating a
+    * ring config, needs both sides): assign every document its ring
+    * shard under [[ShardsBefore]] and [[ShardsAfter]] shards and
+    * flag movers.
+    *
+    * The consistent-hashing guarantee — adding shard k changes an
+    * assignment ONLY where the new shard's vnodes landed (arcs they
+    * claim from their predecessors), so every mover's new shard IS
+    * the added one (spec-pinned exactly, not statistically) and the
+    * moved fraction is the new vnodes' arc mass ≈ 1/(k+1). Per-row
+    * literal-array arithmetic; never shuffles. */
+  def ringPlacement(docs: DataFrame): DataFrame = {
+    val K = Sampling.HashMult
+    docs.select(col("doc_id"),
+      expr(s"(((doc_id % 1048576) * ${K}L) DIV 1048576) % 1048576")
+        .as("h"),
+      ringShard("doc_id", ShardsBefore).as("ring_a"),
+      ringShard("doc_id", ShardsAfter).as("ring_b"))
+      .withColumn("moved", col("ring_a") =!= col("ring_b"))
+  }
 }

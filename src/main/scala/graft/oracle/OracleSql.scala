@@ -1601,6 +1601,40 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.Layout.ringPlacement]] (q190): the
+    * ring tables are the SAME Scala-computed literals both engines
+    * inline ([[graft.operators.Layout.ringPoints]]); only the
+    * per-key hash and the successor probe (first point ≥ h, wrap to
+    * the ring head) run in-engine. both engines return 0 on no
+    * match, and the wrap folds it to index 1 (NULLIF on the DuckDB
+    * side, since list[0] is NULL there rather than an error). */
+  def ringPlacement: String = {
+    import graft.operators.Layout.{RingVnodes, ShardsAfter, ShardsBefore}
+    val K = graft.operators.Sampling.HashMult
+    def arrs(k: Int): (String, String) = {
+      val pts = graft.operators.Layout.ringPoints(k, RingVnodes)
+      (pts.map(_._1).mkString("[", ", ", "]"),
+        pts.map(_._2).mkString("[", ", ", "]"))
+    }
+    val (ptsA, shA) = arrs(ShardsBefore)
+    val (ptsB, shB) = arrs(ShardsAfter)
+    s"""WITH k AS (
+  SELECT doc_id,
+         (((doc_id % 1048576) * $K) // 1048576) % 1048576 AS h
+  FROM documents
+), a AS (
+  SELECT doc_id, h,
+         CAST(($shA)[COALESCE(NULLIF(list_position(
+           list_transform($ptsA, p -> p >= h), true), 0), 1)] AS BIGINT)
+           AS ring_a,
+         CAST(($shB)[COALESCE(NULLIF(list_position(
+           list_transform($ptsB, p -> p >= h), true), 0), 1)] AS BIGINT)
+           AS ring_b
+  FROM k
+)
+SELECT doc_id, h, ring_a, ring_b, ring_a <> ring_b AS moved FROM a"""
+  }
+
   /** Mirror of [[graft.operators.Layout.shardPlacement]] (q174):
     * identical double-Knuth rendezvous weights (overflow-safe BIGINT
     * arithmetic), first-max shard pick via list_position, modulo

@@ -109,4 +109,42 @@ class LayoutSpec extends AnyFunSuite with SparkSessionSpec {
       assert(sizes.max < 2 * mean, s"$c max ${sizes.max} vs mean $mean")
     }
   }
+
+  test("consistent-hash ring: well-formed sorted ring, movers land " +
+      "ONLY on the added shard, movement near the 1/(k+1) arc mass, " +
+      "and the wrap key maps to the ring head") {
+    import spark.implicits._
+    // ring table well-formed: shards x vnodes points, sorted, in-range
+    val pts = Layout.ringPoints(Layout.ShardsBefore)
+    assert(pts.length == Layout.ShardsBefore * Layout.RingVnodes)
+    assert(pts == pts.sorted)
+    pts.foreach { case (p, s) =>
+      assert(p >= 0 && p < 1048576 && s >= 0 && s < Layout.ShardsBefore)
+    }
+    val n = 4096
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val r = Layout.ringPlacement(docs).collect()
+    assert(r.length == n)
+    // the consistent-hashing guarantee, EXACT: a mover's new shard is
+    // the added one (its key fell on an arc the new vnodes claimed)
+    r.filter(_.getAs[Boolean]("moved")).foreach(row =>
+      assert(row.getAs[Long]("ring_b") == Layout.ShardsAfter - 1,
+        s"mover ${row.getAs[Long]("doc_id")} went to an old shard"))
+    val movedFrac = r.count(_.getAs[Boolean]("moved")).toDouble / n
+    info(f"ring moved $movedFrac%.3f (arc-mass expectation ~1/17)")
+    assert(movedFrac > 0.0, "scale-out moved nothing — ring inert")
+    assert(movedFrac < 0.2, s"ring moved $movedFrac")
+    // wrap: a key hashing past the last ring point belongs to the
+    // ring HEAD's shard (find one by replaying the exact hash)
+    val K = graft.operators.Sampling.HashMult
+    def h(id: Long) = (((id % 1048576L) * K) / 1048576L) % 1048576L
+    val maxPt = pts.map(_._1).max
+    val wrapId = (0L until 100000L).find(h(_) > maxPt)
+    wrapId.foreach { id =>
+      val one = Layout.ringPlacement(Seq(id).toDF("doc_id")).collect()(0)
+      assert(one.getAs[Long]("ring_a") == pts.head._2.toLong,
+        s"wrap key $id missed the ring head")
+    }
+    assert(wrapId.nonEmpty, "no wrap key below 100k ids — widen search")
+  }
 }
