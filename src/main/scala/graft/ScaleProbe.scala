@@ -706,6 +706,42 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // layered (HNSW-style) serving: BOTH level graphs are untimed
+      // setup (the base build's curve is knn_graph; the upper build
+      // runs on a 16x-smaller layer); the timed piece is the q186
+      // serving path — 3 upper hops + descend + 3 base hops — which
+      // must stay ~flat like graph_search while entering every rung
+      // from a graph whose upper level shrank with the stride
+      if (wanted("layered_search")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        val (ranked, rk) = graft.operators.GlobalIndex
+          .globalRowIndexWithHandle(emb.select(col("vec_id")),
+            Seq(col("vec_id")), Similarity.LongRangePartitions)
+        val upperEmb = emb.join(ranked
+            .filter(col("global_idx") % Similarity.LayerStride === 0)
+            .select(col("vec_id")), "vec_id")
+          .localCheckpoint()
+        rk.release()
+        val nU = upperEmb.count()
+        val wU = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(nU / 16.0) / math.log(2)).ceil.toInt)
+        val uedges = Similarity.knnGraph(upperEmb, bitsPerBand = wU)
+          .select(col("src"), col("neighbor_id").as("nbr"))
+          .union(Similarity.longRangeEdges(upperEmb))
+          .localCheckpoint()
+        val bedges = Similarity.knnGraph(emb, bitsPerBand = w)
+          .select(col("src"), col("neighbor_id").as("nbr"))
+          .union(Similarity.longRangeEdges(emb))
+          .localCheckpoint()
+        time(factor, "layered_search")(
+          Similarity.layeredSearchOverEdges(emb, upperEmb, uedges,
+            bedges)._1)
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // mutual-graph analytics over the q112 substrate: the graph
       // build is untimed setup (its own curve is the knn_graph
       // stage); triangles must track Σ outdeg² under the degree

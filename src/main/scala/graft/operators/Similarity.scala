@@ -710,6 +710,34 @@ object Similarity {
       .union(uspokes)
       .localCheckpoint()
     usHandle.release()
+    val (bspokes, bsHandle) = longRangeEdgesWithHandle(emb)
+    val bedges = knnGraph(emb)
+      .select(col("src"), col("neighbor_id").as("nbr"))
+      .union(bspokes)
+      .localCheckpoint()
+    bsHandle.release()
+    val (out, walkHandle) = layeredSearchOverEdges(emb, upperEmb,
+      uedges, bedges, numQueries, hopsUpper, hopsBase, beamWidth)
+    (out, graft.util.CacheHandle.combine(
+      graft.util.CacheHandle(emb), walkHandle))
+  }
+
+  /** The SERVING path of the layered walk over PREBUILT level frames
+    * — graphs are built once per ingest (the q112/q123 economics);
+    * every query batch pays only the two walks: [[LayerHopsUpper]]
+    * hops on the stride-sparse upper graph, the descend seed, and
+    * [[LayerHopsBase]] hops on the base graph. This is what the
+    * scale ladder times (ScaleProbe `layered_search`): the walk must
+    * stay ~flat in corpus size while the flat q124 walk's hop budget
+    * would have to grow with graph diameter. */
+  def layeredSearchOverEdges(emb: DataFrame, upperEmb: DataFrame,
+      uedges: DataFrame, bedges: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hopsUpper: Int = LayerHopsUpper,
+      hopsBase: Int = LayerHopsBase,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val q = queries(emb, numQueries)
     val uentry = upperEmb.agg(min(col("vec_id"))).head().getLong(0)
     val ubeam0 = q.select(col("query_id"))
       .withColumn("node", lit(uentry))
@@ -719,16 +747,9 @@ object Similarity {
     val seed = ubeam.select(col("query_id"), col("node"))
       .localCheckpoint()
     uCache.release()
-    val (bspokes, bsHandle) = longRangeEdgesWithHandle(emb)
-    val bedges = knnGraph(emb)
-      .select(col("src"), col("neighbor_id").as("nbr"))
-      .union(bspokes)
-      .localCheckpoint()
-    bsHandle.release()
     val (scored, beam, bCache) = beamWalk(q, emb, bedges, seed,
       hopsBase, beamWidth)
-    (finishWalk(scored, beam), graft.util.CacheHandle.combine(
-      graft.util.CacheHandle(emb), bCache))
+    (finishWalk(scored, beam), bCache)
   }
 
   /** Binary-embedding search constants (q121): the Hamming pool the
