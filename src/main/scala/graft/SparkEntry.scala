@@ -874,6 +874,42 @@ object SparkEntry {
       Dedup.paragraphRebuild(Dedup.paragraphBase(docs),
         s.table("graft_q183_kept"))
     }),
+    // STREAMING novelty gate (q137's twin): per-shingle-hash
+    // first-occurrence claims via flatMapGroupsWithState; ascending
+    // id waves make the claim table equal the batch first-occurrence
+    // table exactly, and the shared batch rollup reproduces q137 —
+    // graded against q137's own oracle.
+    "q191_stream_novelty" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-novel-q191")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q191_claims")
+      val q = streaming.StreamingDedup.shingleFirstOccurrences(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q191_claims").start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.noveltyRollup(Dedup.shingleHashes(docs),
+        s.table("graft_q191_claims")
+          .select(col("hsh"), col("first_doc")))
+    }),
     // MMR diversified retrieval (Carbonell & Goldstein): greedy
     // relevance-vs-redundancy re-pick over the per-query pool —
     // everything after pool formation is pool-bounded.
@@ -1694,6 +1730,7 @@ object SparkEntry {
     "q173_unigram_segment" -> OracleSql.unigramSegment,
     "q174_shard_placement" -> OracleSql.shardPlacement,
     "q190_ring_placement" -> OracleSql.ringPlacement,
+    "q191_stream_novelty" -> OracleSql.ngramNovelty,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

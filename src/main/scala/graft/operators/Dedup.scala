@@ -1200,6 +1200,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fd = h.select(col("doc_id"), explode(col("hashes")).as("hsh"))
       .groupBy(col("hsh")).agg(min(col("doc_id")).as("first_doc"))
+    noveltyRollup(h, fd)
+  }
+
+  /** The per-doc novelty arithmetic over an already-known
+    * first-occurrence table `fd` (hsh, first_doc) — shared by the
+    * batch operator and the STREAMING twin (q191), whose maintained
+    * per-shingle state IS that table: one hash-key count off the
+    * shingle-bounded frame, one doc-keyed left join. */
+  def noveltyRollup(h: DataFrame, fd: DataFrame): DataFrame = {
     val nv = fd.groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
       .withColumnRenamed("first_doc", "doc_id")
     h.select(col("doc_id"), size(col("hashes")).cast("long")

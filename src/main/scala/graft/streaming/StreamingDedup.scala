@@ -426,4 +426,39 @@ object StreamingDedup {
           }
       }
   }
+
+  final case class ShingleClaim(hsh: Long, first_doc: Long)
+
+  /** STREAMING n-gram first-occurrence claims (q191) — the streaming
+    * gate behind q137's corpus-order novelty statistic (the per-doc
+    * memorization-pressure score a daily-ingest pipeline thresholds
+    * on BEFORE admitting a document): state keyed by the shingle
+    * hash holds the claiming doc_id; a hash's first batch emits ONE
+    * (hsh, first_doc) claim (within-batch contention resolved to the
+    * min doc_id), every later arrival emits nothing. State is
+    * bounded by the DISTINCT-shingle count — the same bound the
+    * batch operator's hash exchange carries. Under ascending doc_id
+    * replay (the wave-harness discipline) the first batch containing
+    * a hash also contains its global-min doc, so the claim table
+    * equals the batch first-occurrence table EXACTLY and
+    * [[graft.operators.Dedup.noveltyRollup]] reproduces q137
+    * verbatim (the q191 gate grades it against q137's oracle). */
+  def shingleFirstOccurrences(docs: DataFrame): Dataset[ShingleClaim] = {
+    import docs.sparkSession.implicits._
+    Dedup.shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("hsh"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, ShingleClaim](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hsh: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[Long]) =>
+          if (state.exists || rows.isEmpty) Iterator.empty
+          else {
+            val first = rows.map(_._1).min
+            state.update(first)
+            Iterator.single(ShingleClaim(hsh, first))
+          }
+      }
+  }
 }

@@ -342,4 +342,44 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == expected)
   }
+
+  test("streaming novelty claims (q191): within-batch contention to " +
+      "min doc, cross-batch suppression, and rollup parity with the " +
+      "batch q137 operator") {
+    val b1 = Seq((1L, "a b c d"), (2L, "a b c x"))
+    val b2 = Seq((5L, "b c d e"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.shingleFirstOccurrences(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("nov-cp").toString)
+      .format("memory").queryName("nov_claims").start()
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val claims = spark.table("nov_claims").collect()
+      .map(r => r.getAs[Long]("hsh") -> r.getAs[Long]("first_doc"))
+      .toMap
+    // 4 distinct shingles: "a b c" contested within batch 1 (docs 1
+    // and 2) -> min doc 1; "b c d" claimed by doc 1, doc 5's later
+    // copy suppressed; "b c x" -> 2; "c d e" -> 5
+    assert(claims.size == 4, s"claims $claims")
+    assert(claims.values.count(_ == 1L) == 2) // "a b c" + "b c d"
+    assert(claims.values.count(_ == 2L) == 1)
+    assert(claims.values.count(_ == 5L) == 1)
+    // rollup over the claim table == the batch q137 operator
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_rate"))).toSet
+    val streamed = rows(Dedup.noveltyRollup(Dedup.shingleHashes(all),
+      spark.table("nov_claims").select($"hsh", $"first_doc")))
+    val batch = rows(Dedup.ngramNovelty(all))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (5L, 2L, 1L, 0.5)))
+  }
 }
