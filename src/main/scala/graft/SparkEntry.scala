@@ -837,6 +837,12 @@ object SparkEntry {
     // hash exchange.
     "q130_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(documents(s, dir))),
+    // EXACT set-similarity join by prefix filtering (AllPairs/PPJoin
+    // family): all word-set Jaccard >= tau pairs with no banding
+    // recall loss and no all-pairs scan — rarity-ordered prefixes +
+    // length filter bound candidates, verify join is exact.
+    "q192_setsim_join" -> ((s, dir) =>
+      Dedup.setSimJoin(documents(s, dir))),
     // STREAMING paragraph dedup (q130's twin, the removal-ACTION
     // streaming member): corpus arrives as three id-ordered file
     // waves; flatMapGroupsWithState on the paragraph digest holds the
@@ -1731,6 +1737,7 @@ object SparkEntry {
     "q174_shard_placement" -> OracleSql.shardPlacement,
     "q190_ring_placement" -> OracleSql.ringPlacement,
     "q191_stream_novelty" -> OracleSql.ngramNovelty,
+    "q192_setsim_join" -> OracleSql.setSimJoin,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

@@ -1203,6 +1203,70 @@ object Dedup {
     noveltyRollup(h, fd)
   }
 
+  /** Jaccard threshold of the exact set-similarity join (q192). */
+  val SetJoinTau = 0.6
+
+  /** EXACT set-similarity join by prefix filtering (q192) — the
+    * AllPairs/PPJoin family (Bayardo et al. 2007; Xiao et al. 2008):
+    * all pairs of documents whose word-SET Jaccard ≥ τ, with NO
+    * approximation and NO all-pairs scan. Where the MinHash family
+    * (q5 et al.) trades recall for banding, this is the exact
+    * algorithm a pipeline runs when misses are not acceptable
+    * (contract-bound dedup, contamination audits).
+    *
+    * The filter: order every document's tokens by GLOBAL rarity
+    * (document frequency ASC, token ASC — one skinny df shuffle);
+    * if J(x,y) ≥ τ then |x∩y| ≥ τ·|x|, so y must share at least one
+    * of x's first |x| − ⌈τ·|x|⌉ + 1 rarest tokens — pairs sharing
+    * only common tokens outside both PREFIXES cannot qualify and are
+    * never generated. Candidates come from a self-join on prefix
+    * tokens (bucket sizes bounded by rarity — the rarest tokens have
+    * the smallest df by construction), pruned further by the length
+    * filter |small| ≥ τ·|large|; the verify join counts exact
+    * intersections only over candidate pairs. Every stage is
+    * candidate- or token-bounded; nothing is quadratic in the
+    * corpus. */
+  def setSimJoin(docs: DataFrame,
+      tau: Double = SetJoinTau): DataFrame = {
+    // the set element is the word 3-SHINGLE hash (the q5/q137 unit),
+    // not the bare word: the fixture's small-vocabulary synthetic
+    // text makes word sets wildly overlapping (73k word-level pairs
+    // at tau=0.6 over 500 docs -- measured), while shingles carry
+    // order and give the prefix filter something rare to anchor on
+    val toks = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cand = prefix.select(col("doc_id").as("doc_a"),
+        col("tok"), col("sz").as("sz_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("tok"),
+        col("sz").as("sz_b")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(tau) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** The per-doc novelty arithmetic over an already-known
     * first-occurrence table `fd` (hsh, first_doc) — shared by the
     * batch operator and the STREAMING twin (q191), whose maintained

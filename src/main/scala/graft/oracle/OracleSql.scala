@@ -1584,6 +1584,46 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM corpus_cells"""
 FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
   }
 
+  /** Mirror of [[graft.operators.Dedup.setSimJoin]] (q192): same
+    * shingle-hash CTEs as q137's mirror, same
+    * rarity order (df ASC, tok ASC), same prefix bound
+    * rn ≤ sz − ceil(τ·sz) + 1 (identical IEEE τ·sz in both engines),
+    * same length filter and candidate-bounded verify join; jaccard
+    * repeats the operator's literal expression order. */
+  def setSimJoin: String = {
+    val tau = graft.operators.Dedup.SetJoinTau
+    s"""$shingleCtes
+, toks AS MATERIALIZED (
+  SELECT doc_id, unnest(hashes) AS tok FROM h
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+), ranked AS (
+  SELECT t.doc_id, t.tok,
+         row_number() OVER (PARTITION BY t.doc_id
+           ORDER BY d.df ASC, t.tok ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM toks t JOIN dfreq d USING (tok)
+), prefix AS (
+  SELECT doc_id, tok, sz FROM ranked
+  WHERE rn <= sz - ceil($tau * sz) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE least(a.sz, b.sz) >= $tau * greatest(a.sz, b.sz)
+), i AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b, c.sz_a, c.sz_b
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+FROM i
+WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $tau"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.timeTravelDerived]] (q188)
     * — the q171 closure discipline extended one version deeper: the
     * as-of-2 reconstruction from v1 + the two-batch CDC log must

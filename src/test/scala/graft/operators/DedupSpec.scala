@@ -520,4 +520,51 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       assert(rate >= 0.0 && rate <= 1.0, s"doc $id")
     }
   }
+
+  test("setSimJoin (q192): prefix filtering is COMPLETE — equals the " +
+      "brute-force all-pairs join on the fixture corpus; boundary " +
+      "pair at exactly tau kept, below-tau pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard"))))
+      .toSet
+    val filtered = key(Dedup.setSimJoin(docs))
+    // brute force: every shingle-sharing pair scored exactly, same
+    // cut — equality proves the prefix+length filters drop NOTHING
+    val toks = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("tok"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = key(toks.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= Dedup.SetJoinTau)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard")))
+    assert(filtered == brute)
+    info(s"fixture pairs at tau=${Dedup.SetJoinTau}: ${filtered.size}")
+    // boundary semantics on SHINGLE sets: 4-shingle docs sharing 3
+    // -> J = 3/5 = tau exactly (kept: >=, not >); docs 3/4 share 2
+    // of 6 -> 1/3 < tau (pruned); identical docs -> J = 1
+    val hand = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "p q r s t u"), (4L, "p q r s x y"),
+      (5L, "m n o u"), (6L, "m n o u")).toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(hand).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(got.keySet == Set((1L, 2L), (5L, 6L)), s"got $got")
+    assert(got((1L, 2L)) == 0.6)
+    assert(got((5L, 6L)) == 1.0)
+  }
 }
