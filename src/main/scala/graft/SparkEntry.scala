@@ -1346,6 +1346,12 @@ object SparkEntry {
     // per-character fallback beyond the training length guard.
     "q173_unigram_segment" -> ((s, dir) =>
       operators.Unigram.segmentCounts(documents(s, dir))),
+    // WordPiece-style GREEDY apply under the same trained piece
+    // inventory: longest-match-first serving tokenizer (no DP) —
+    // the per-doc token budget the serve-time tokenizer actually
+    // produces (can only over-count vs the q173 Viterbi optimum).
+    "q193_greedy_segment" -> ((s, dir) =>
+      operators.Unigram.greedyCounts(documents(s, dir))),
     // Rendezvous (highest-random-weight) shard placement with a
     // scale-out diff: minimal-movement data placement vs the naive
     // modulo baseline — row-local double-Knuth arithmetic only.
@@ -1738,6 +1744,7 @@ object SparkEntry {
     "q190_ring_placement" -> OracleSql.ringPlacement,
     "q191_stream_novelty" -> OracleSql.ngramNovelty,
     "q192_setsim_join" -> OracleSql.setSimJoin,
+    "q193_greedy_segment" -> OracleSql.greedySegment,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

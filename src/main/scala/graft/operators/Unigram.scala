@@ -173,12 +173,38 @@ object Unigram {
     * stream (the q101 compression trick). */
   def segmentCounts(docs: DataFrame): DataFrame = {
     val (_, m) = trainModel(docs)
-    val spark = docs.sparkSession
+    applyCounts(docs, w => size(Bridge.column(UnigramSegment(
+      Bridge.expression(w), m))).cast("long"))
+  }
+
+  /** Graded WordPiece-style GREEDY apply (q193): the SAME trained
+    * piece inventory as q173, applied longest-match-first instead of
+    * by Viterbi — the streaming rule WordPiece/BERT tokenizers run
+    * at serve time (no DP, one forward scan; here over a
+    * SentencePiece-style vocab, i.e. no `##` continuation marking).
+    * Greedy can only over-count vs the Viterbi optimum (a stranded
+    * tail decomposes into singles — spec-pinned on a hand model),
+    * which is exactly the budget question q193 grades: per-document
+    * token counts under the serving tokenizer, not the training one.
+    * Same distinct-word compression and per-char long-word fallback
+    * as q173. */
+  def greedyCounts(docs: DataFrame): DataFrame = {
+    val (_, m) = trainModel(docs)
+    applyCounts(docs, w => size(Bridge.column(
+      org.apache.spark.sql.graft.GreedySegment(
+        Bridge.expression(w), m))).cast("long"))
+  }
+
+  /** Shared apply tail (q173/q193): segment once per DISTINCT word
+    * under `tokCount`, join back to the document word stream, roll
+    * up per-document word/token counts with the per-character
+    * fallback for words beyond the training length guard. */
+  private def applyCounts(docs: DataFrame,
+      tokCount: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = words(docs)
-      .select(col("word"),
-        size(Bridge.column(UnigramSegment(
-          Bridge.expression(col("word")), m))).cast("long").as("n_toks"))
+      .select(col("word"), tokCount(col("word")).as("n_toks"))
       .persist(level)
     val stream = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))

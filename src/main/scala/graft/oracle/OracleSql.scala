@@ -1905,6 +1905,62 @@ LEFT JOIN aptoks t ON t.word = d.word
 WHERE len(d.word) > 0
 GROUP BY d.doc_id"""
 
+  /** Greedy longest-match-first unroll under model `m` (q193 —
+    * mirror of [[org.apache.spark.sql.graft.UnigramOps.greedy]]):
+    * per step, the branch union probes piece lengths 1..MaxPieceLen
+    * at the word's cursor and the (len DESC) rank keeps the longest
+    * hit; a word emits one token per step until the cursor reaches
+    * its end (per-char coverage makes a hit certain). Produces
+    * `gtoks(word, n_toks)`. */
+  private def greedyPassCtes(m: String): String = {
+    import graft.operators.Unigram.{MaxPieceLen, MaxWordLen}
+    val steps = (1 to MaxWordLen).map { s =>
+      val branches = (1 to MaxPieceLen).map { l =>
+        s"""    SELECT g.word, g.pos, $l AS len
+    FROM g${s - 1} g
+    JOIN $m m ON m.piece = substr(g.word, g.pos + 1, $l)
+    WHERE g.pos + $l <= len(g.word)"""
+      }.mkString("\n    UNION ALL\n")
+      s""", gc$s AS MATERIALIZED (
+  SELECT word, pos, len FROM (
+    SELECT word, pos, len,
+           row_number() OVER (PARTITION BY word
+             ORDER BY len DESC) AS rnk
+    FROM (
+$branches)) WHERE rnk = 1
+), g$s AS MATERIALIZED (
+  SELECT word, pos + len AS pos FROM gc$s
+  WHERE pos + len < len(word)
+)"""
+    }.mkString
+    val tokUnion = (1 to MaxWordLen).map(s =>
+      s"    SELECT word FROM gc$s").mkString("\n    UNION ALL\n")
+    s""", g0 AS (
+  SELECT word, 0 AS pos FROM w
+)$steps
+, gtoks AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks FROM (
+$tokUnion) GROUP BY word
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Unigram.greedyCounts]] (q193): the
+    * full q172 training chain, the greedy unroll under the final
+    * model, then the q173 per-document rollup with the per-character
+    * long-word fallback. */
+  def greedySegment: String =
+    s"""$unigramBaseCtes${unigramPassCtes("v1", "m0")}${
+      unigramVocabCtes("v1", "m1")}${unigramPassCtes("v2", "m1")}${
+      unigramVocabCtes("v2", "mf")}${greedyPassCtes("mf")}
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN t.n_toks IS NOT NULL THEN t.n_toks
+                     ELSE len(d.word) END) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+LEFT JOIN gtoks t ON t.word = d.word
+WHERE len(d.word) > 0
+GROUP BY d.doc_id"""
+
   /** Generic Lloyd unroll over a member CTE `s_<tag>(mid, mv, mnrm)`
     * — the parameterized form of the [[ivfCellCtes]] chain, reused at
     * BOTH levels of the q170 coarse-fine hierarchy (fine codebook

@@ -1490,6 +1490,67 @@ object UnigramOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** WordPiece-style greedy longest-match-first segmentation under
+    * the same model (see [[GreedySegment]]): per position, probe
+    * lengths maxPieceLen..1 and take the first vocab hit; per-char
+    * fallback when nothing matches (unreachable under the coverage
+    * guarantee — every training char is a piece). */
+  def greedy(word: UTF8String, model: Model)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    val m = model.map
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    while (pos < n) {
+      var len = math.min(model.maxPieceLen, n - pos)
+      var take = 1
+      var found = false
+      while (len >= 1 && !found) {
+        if (m.containsKey(new String(cps, pos, len))) {
+          take = len; found = true
+        }
+        len -= 1
+      }
+      out += UTF8String.fromString(new String(cps, pos, take))
+      pos += take
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `greedy_segment(word)` — WordPiece-style GREEDY longest-match-
+  * first segmentation under the same piece model as
+  * [[UnigramSegment]]: at each position take the LONGEST vocab piece
+  * prefixing the remaining suffix and advance (no tie is possible —
+  * candidate lengths are distinct). Where Viterbi minimizes the path
+  * score globally, greedy is the O(len·maxPieceLen) streaming rule
+  * WordPiece/BERT tokenizers run; the spec pins a word where greedy
+  * strands the tail into singles (4 tokens) and Viterbi finds the
+  * 2-piece split. Same codepoint discipline and per-char coverage
+  * guard as the Viterbi kernel. */
+case class GreedySegment(child: Expression, model: UnigramOps.Model)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_segment"
+
+  override def nullSafeEval(t: Any): Any =
+    UnigramOps.greedy(t.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("unigramModel", model,
+      "org.apache.spark.sql.graft.UnigramOps.Model")
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.UnigramOps.greedy($t, $mRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GreedySegment =
+    copy(child = c)
 }
 
 /** `unigram_segment(word)` — the word's Viterbi piece sequence under

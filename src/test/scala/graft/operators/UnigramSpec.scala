@@ -152,4 +152,42 @@ class UnigramSpec extends AnyFunSuite with SparkSessionSpec {
     val nt = out(0).getAs[Long]("n_tokens")
     assert(nt == 2L + 20L || nt == 4L + 20L, s"n_tokens $nt")
   }
+
+  test("greedy vs Viterbi (q193): greedy strands the tail into " +
+      "singles where Viterbi finds the 2-piece split; greedy never " +
+      "under-counts the Viterbi optimum on the fixture") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // hand model: 'abcd' outranks 'abc' for greedy's first bite, but
+    // the remainder 'efg' has no piece — greedy = abcd|e|f|g (4),
+    // Viterbi = abc|defg (2). Every char is a piece (coverage).
+    val pieces = Array("abcd", "abc", "defg") ++
+      "abcdefg".map(_.toString)
+    val lp = pieces.map {
+      case p if p.length > 1 => -1.0
+      case _ => -10.0
+    }
+    val m = new UnigramOps.Model(pieces, lp, 4)
+    def seg(f: (UTF8String, UnigramOps.Model) =>
+        org.apache.spark.sql.catalyst.util.ArrayData, w: String) =
+      f(UTF8String.fromString(w), m).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(seg(UnigramOps.greedy, "abcdefg") ==
+      Seq("abcd", "e", "f", "g"))
+    assert(seg(UnigramOps.viterbi, "abcdefg") == Seq("abc", "defg"))
+    // fixture-wide: the serve-time greedy budget is >= the Viterbi
+    // optimum per document, and equals it wherever greedy's bites
+    // happen to be optimal
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val vit = Unigram.segmentCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    val gre = Unigram.greedyCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    assert(gre.keySet == vit.keySet)
+    gre.foreach { case (id, g) =>
+      assert(g >= vit(id), s"doc $id: greedy $g < viterbi ${vit(id)}")
+    }
+  }
 }
