@@ -988,6 +988,15 @@ object SparkEntry {
       operators.Graph.labelPropagation(Similarity.knnGraph(emb),
         emb.select(col("vec_id").as("node_id")))
     }),
+    // Newman modularity of the q189 partition: per-community
+    // Q_c = e_c/m - (d_c/2m)^2 from exact-BIGINT aggregates — the
+    // quality score a pipeline thresholds before trusting
+    // cluster-level actions.
+    "q194_modularity" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      operators.Graph.modularity(Similarity.knnGraph(emb),
+        emb.select(col("vec_id").as("node_id")))
+    }),
     // Top-k session paths: q15 sessionization + per-session ordered
     // path strings + map-side-combined counting; only the
     // distinct-path-bounded top-k ranks globally.
@@ -1745,6 +1754,7 @@ object SparkEntry {
     "q191_stream_novelty" -> OracleSql.ngramNovelty,
     "q192_setsim_join" -> OracleSql.setSimJoin,
     "q193_greedy_segment" -> OracleSql.greedySegment,
+    "q194_modularity" -> OracleSql.modularity,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

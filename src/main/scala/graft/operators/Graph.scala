@@ -626,6 +626,52 @@ object Graph {
     labels
   }
 
+  /** Newman modularity profile of a node partition (q194) — the
+    * standard quality score for ANY community assignment (here the
+    * q189 LPA labels over the mutual k-NN graph): per community c,
+    * Q_c = e_c/m − (d_c/2m)², where e_c = intra-community edges,
+    * d_c = total degree mass, m = |E|; Q = Σ_c Q_c ∈ [−0.5, 1), the
+    * number a curation pipeline thresholds before trusting cluster-
+    * level actions (SemDedup cells, cluster-balanced sampling).
+    *
+    * All inputs are EXACT BIGINTs off two map-side-combined
+    * aggregations (edge→label join moves |E| skinny rows once; the
+    * degree mass reuses the |V|-row label frame), and the Q_c
+    * expression is a fixed-order double formula over those integers
+    * — bit-identical in the mirror with no rounding step (the q138
+    * discipline). Output is the per-community table (size, e_c, d_c,
+    * Q_c); the scalar Q is the caller's one-row sum. */
+  def modularity(knnEdges: DataFrame, nodes: DataFrame,
+      rounds: Int = LabelPropRounds): DataFrame = {
+    val labels = labelPropagation(knnEdges, nodes, rounds)
+      .localCheckpoint()
+    val edges = mutualEdges(knnEdges).localCheckpoint()
+    val m = edges.count()
+    val lu = labels.select(col("node_id").as("u"),
+      col("label").as("lu"))
+    val lv = labels.select(col("node_id").as("v"),
+      col("label").as("lv"))
+    val intra = edges.join(lu, "u").join(lv, "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degMass = edges
+      .select(explode(array(col("u"), col("v"))).as("node_id"))
+      .join(labels, "node_id")
+      .groupBy(col("label")).agg(count(lit(1)).as("deg_sum"))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    sizes.join(degMass, Seq("label"), "left")
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / m -
+          (coalesce(col("deg_sum"), lit(0L)).cast("double") / (2.0 * m)) *
+          (coalesce(col("deg_sum"), lit(0L)).cast("double") / (2.0 * m)))
+          .as("q_c"))
+  }
+
   def kCore(knnEdges: DataFrame, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
     var edges = mutualEdges(knnEdges).localCheckpoint()

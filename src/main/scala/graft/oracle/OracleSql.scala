@@ -2926,6 +2926,15 @@ FROM t, hl"""
     * left join's COALESCE. */
   def labelPropagation: String = {
     import graft.operators.Graph.LabelPropRounds
+    s"""$lpaCtes
+SELECT node_id, label FROM lab$LabelPropRounds"""
+  }
+
+  /** The shared LPA chain (q189/q194): mutual edge set `e`,
+    * bidirectional adjacency `adj`, vote rounds unrolled to
+    * `lab<rounds>`. */
+  private def lpaCtes: String = {
+    import graft.operators.Graph.LabelPropRounds
     val rounds = (1 to LabelPropRounds).map { r =>
       s""", cnt$r AS (
   SELECT adj.node, l.label, COUNT(*) AS n
@@ -2955,8 +2964,48 @@ FROM t, hl"""
   UNION ALL SELECT v AS node, u AS nbr FROM e
 ), lab0 AS (
   SELECT vec_id AS node_id, vec_id AS label FROM embeddings
-)$rounds
-SELECT node_id, label FROM lab$LabelPropRounds"""
+)$rounds"""
+  }
+
+  /** Mirror of [[graft.operators.Graph.modularity]] (q194): the same
+    * LPA chain, then exact-BIGINT intra-edge / degree-mass / size
+    * aggregates and the fixed-order Q_c double formula (i/m −
+    * (d/2m)² with the operator's literal operand order — no rounding
+    * step). */
+  def modularity: String = {
+    import graft.operators.Graph.LabelPropRounds
+    val lab = s"lab$LabelPropRounds"
+    s"""$lpaCtes
+, mtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e
+), intra AS (
+  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM e
+  JOIN $lab lu ON lu.node_id = e.u
+  JOIN $lab lv ON lv.node_id = e.v
+  WHERE lu.label = lv.label
+  GROUP BY lu.label
+), degm AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS deg_sum
+  FROM (SELECT u AS node_id FROM e
+        UNION ALL SELECT v AS node_id FROM e) d
+  JOIN $lab l ON l.node_id = d.node_id
+  GROUP BY l.label
+), sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM $lab GROUP BY label
+)
+SELECT s.label, s.n_nodes,
+       COALESCE(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+       COALESCE(d.deg_sum, CAST(0 AS BIGINT)) AS deg_sum,
+       CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / m.m
+         - (CAST(COALESCE(d.deg_sum, 0) AS DOUBLE) / (2.0 * m.m))
+           * (CAST(COALESCE(d.deg_sum, 0) AS DOUBLE) / (2.0 * m.m))
+         AS q_c
+FROM sizes s
+LEFT JOIN degm d USING (label)
+LEFT JOIN intra i USING (label)
+CROSS JOIN mtot m"""
   }
 
   def kCore: String = {

@@ -346,4 +346,30 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     // separates LPA from connected components
     assert(Set(got(1L), got(10L)).size == 2)
   }
+
+  test("modularity (q194): exact hand values on the bridged-triangle " +
+      "graph — two symmetric communities, isolated node contributes " +
+      "zero, bridge mass lowers Q below the disconnected ideal") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "neighbor_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node_id")
+    val got = Graph.modularity(edges, nodes).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+          r.getAs[Long]("deg_sum"), r.getAs[Double]("q_c"))))
+      .toMap
+    // m = 7; each triangle community: 3 intra edges, degree mass 7
+    // (2+2+3 — the bridge endpoint carries the extra degree)
+    val qc = 3.0 / 7 - (7.0 / 14) * (7.0 / 14)
+    assert(got.keySet == Set(1L, 3L, 99L), s"labels ${got.keySet}")
+    assert(got(1L) == ((3L, 3L, 7L, qc)))
+    assert(got(3L) == ((3L, 3L, 7L, qc)))
+    assert(got(99L) == ((1L, 0L, 0L, 0.0)))
+    val q = got.values.map(_._4).sum
+    // two clean triangles with no bridge would score 2*(3/6 - 1/4)
+    // = 0.5; the bridge's inter-community mass costs ~0.14
+    assert(q > 0.3 && q < 0.5, s"Q $q")
+  }
 }
