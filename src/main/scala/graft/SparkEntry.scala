@@ -992,6 +992,17 @@ object SparkEntry {
     // Q_c = e_c/m - (d_c/2m)^2 from exact-BIGINT aggregates — the
     // quality score a pipeline thresholds before trusting
     // cluster-level actions.
+    // Personalized PageRank from the arithmetic seed cohort over the
+    // SYMMETRIC co-purchase graph: restart + dangling mass return to
+    // the seeds — rank measures seed proximity, and a seedless
+    // component scores exactly 0 (spec-pinned).
+    "q195_ppr" -> ((s, dir) => {
+      val e = operators.Graph.directedEdges(lineitem(s, dir),
+        s.read.parquet(s"$dir/orders.parquet"))
+      operators.Graph.personalizedPageRank(
+        e.unionByName(e.select(col("dst").as("src"),
+          col("src").as("dst"))))
+    }),
     "q194_modularity" -> ((s, dir) => {
       val emb = Similarity.embeddings(s, dir)
       operators.Graph.modularity(Similarity.knnGraph(emb),
@@ -1755,6 +1766,7 @@ object SparkEntry {
     "q192_setsim_join" -> OracleSql.setSimJoin,
     "q193_greedy_segment" -> OracleSql.greedySegment,
     "q194_modularity" -> OracleSql.modularity,
+    "q195_ppr" -> OracleSql.personalizedPageRank,
     "q175_norm_dedup" -> OracleSql.normalizedDedup,
     "q176_vocab_coverage" -> OracleSql.vocabCoverage,
     "q177_curriculum" -> OracleSql.curriculumOrder,

@@ -626,6 +626,75 @@ object Graph {
     labels
   }
 
+  /** Personalized-PageRank iteration count and the seed rule (q195):
+    * seeds are the customer nodes whose custkey ≡ 0 (mod
+    * [[PprSeedMod]]) — pure arithmetic on the node id, so the mirror
+    * derives the identical seed set with no shipped list. */
+  val PprIters = 5
+  val PprSeedMod = 17
+
+  /** Personalized PageRank (q195) — relevance propagation FROM a
+    * seed set (Haveliwala 2002): restart mass (1−d) and the dangling
+    * redistribution both return to the SEEDS (uniformly) instead of
+    * to every node — the walk teleports home, so rank measures
+    * proximity to the seed set, not global centrality. This is the
+    * graph-side data-selection primitive (score suppliers/documents
+    * by closeness to a curated seed cohort — the q91 DSIR idea with
+    * the graph as the feature), and the crisp structural property
+    * the spec pins: a component with NO seed gets rank EXACTLY 0
+    * (no teleport ever lands there; global PR gives every node
+    * (1−d)/n no matter what).
+    *
+    * Same execution shape as [[pageRankDirectedWithHandle]] (per
+    * round: one driver-scalar dangling sum that doubles as the
+    * materializing action, one src-partitioned contribution join
+    * moving the |V|-row rank vector, localCheckpoint lineage cut);
+    * fixed [[PprIters]] rounds, final rank rounded to
+    * [[RankRoundDigits]] (the q99/q104 compare discipline). */
+  def personalizedPageRank(edges0: DataFrame,
+      iters: Int = PprIters): DataFrame = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0.repartition(col("src")).persist(level)
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg")).persist(level)
+    val ew = edges.join(deg, "src").persist(level)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .join(deg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("has_out"), lit(false)).as("has_out"),
+        expr(s"node % 2 = 0 AND (node DIV 2) % $PprSeedMod = 0")
+          .as("is_seed"))
+      .persist(level)
+    val ns = nodes.filter(col("is_seed")).count()
+    require(ns > 0, "personalizedPageRank: empty seed set")
+    var ranks = nodes.select(col("node"), col("has_out"),
+        col("is_seed"),
+        when(col("is_seed"), lit(1.0) / ns).otherwise(lit(0.0))
+          .as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dm = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contrib = ew.join(ranks.select(col("node"), col("rank")),
+          col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("rank") / col("deg")).as("mass"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("has_out"), col("is_seed"),
+          (when(col("is_seed"), lit(OneMinusDamping) / ns)
+            .otherwise(lit(0.0)) +
+            lit(Damping) * (coalesce(col("mass"), lit(0.0)) +
+              when(col("is_seed"), lit(dm) / ns).otherwise(lit(0.0))))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    val out = ranks.select(col("node"), col("is_seed"),
+      round(col("rank"), RankRoundDigits).as("rank"))
+    Seq(ew, deg, edges, nodes).foreach(_.unpersist())
+    out
+  }
+
   /** Newman modularity profile of a node partition (q194) — the
     * standard quality score for ANY community assignment (here the
     * q189 LPA labels over the mutual k-NN graph): per community c,

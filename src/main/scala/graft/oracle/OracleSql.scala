@@ -434,6 +434,64 @@ JOIN hidx hi USING (idx)
 JOIN hosts ho USING (host_key)"""
   }
 
+  /** Mirror of [[graft.operators.Graph.personalizedPageRank]] (q195)
+    * over the SYMMETRIC co-purchase graph: same unrolled-iteration
+    * shape as q104's mirror (MATERIALIZED per-round dm/contrib CTEs),
+    * with the restart and dangling mass returned to the arithmetic
+    * seed set (node % 2 = 0 AND custkey % PprSeedMod = 0) instead of
+    * to every node; final rank rounded to the shared digits. */
+  def personalizedPageRank: String = {
+    import graft.operators.Graph.{Damping, OneMinusDamping, PprIters,
+      PprSeedMod, RankRoundDigits}
+    val seed = s"(nodes.node % 2 = 0 AND (nodes.node // 2) % $PprSeedMod = 0)"
+    def iterCte(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r$k JOIN dang USING (node)
+), c$k AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank / dg.deg) AS mass
+  FROM edges e
+  JOIN r$k r ON e.src = r.node
+  JOIN deg dg ON e.src = dg.src
+  GROUP BY e.dst
+), r${k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN $seed THEN $OneMinusDamping / ns.ns ELSE 0.0 END
+           + $Damping * (COALESCE(c.mass, 0.0) +
+             CASE WHEN $seed THEN d.dm / ns.ns ELSE 0.0 END) AS rank
+  FROM nodes CROSS JOIN ns CROSS JOIN d$k d
+  LEFT JOIN c$k c ON nodes.node = c.node
+)"""
+    val iters = (0 until PprIters).map(iterCte).mkString(", ")
+    s"""WITH co AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM co
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM co
+), deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), ns AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes
+  WHERE node % 2 = 0 AND (node // 2) % $PprSeedMod = 0
+), dang AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)
+), r0 AS (
+  SELECT nodes.node,
+         CASE WHEN $seed THEN 1.0 / ns.ns ELSE 0.0 END AS rank
+  FROM nodes CROSS JOIN ns
+), $iters
+SELECT nodes.node,
+       nodes.node % 2 = 0 AND (nodes.node // 2) % $PprSeedMod = 0
+         AS is_seed,
+       round(r.rank, $RankRoundDigits) AS rank
+FROM nodes JOIN r$PprIters r USING (node)"""
+  }
+
   /** Mirror of [[graft.operators.Bpe.mergeTable]] (q100): the same
     * [[graft.operators.Bpe.NumMerges]] training steps unrolled —
     * per step, weighted adjacent-pair counts over the current vocab

@@ -372,4 +372,27 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     // = 0.5; the bridge's inter-community mass costs ~0.14
     assert(q > 0.3 && q < 0.5, s"Q $q")
   }
+
+  test("personalized PageRank (q195): a seedless component scores " +
+      "EXACTLY zero, dangling mass returns to the seeds, total mass " +
+      "conserved at 1") {
+    import spark.implicits._
+    // component A: seed customer 0 <-> supplier 1, plus sink supplier
+    // 71 (edge 0->71, no return — its mass must teleport home);
+    // component B: customer 10 <-> supplier 3, NO seed (custkey 5)
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 71L), (10L, 3L),
+      (3L, 10L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges).collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Boolean]("is_seed"), x.getAs[Double]("rank"))).toMap
+    assert(r.keySet == Set(0L, 1L, 71L, 3L, 10L))
+    assert(r(0L)._1 && !r(1L)._1 && !r(10L)._1)
+    // the crisp PPR property global PR cannot have: no teleport ever
+    // lands in the seedless component
+    assert(r(10L)._2 == 0.0 && r(3L)._2 == 0.0,
+      s"seedless component leaked: ${r(10L)}, ${r(3L)}")
+    assert(r(0L)._2 > r(1L)._2 && r(1L)._2 > 0.0 && r(71L)._2 > 0.0)
+    val total = r.values.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
+  }
 }
