@@ -1344,6 +1344,63 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q187_pairs")
     }),
+    // LEFT OUTER stream-stream join (q187's twin): unmatched clicks
+    // emit null-padded rows when the watermark passes their horizon —
+    // state expiry IS the emission trigger. A sentinel flush wave
+    // (far-future never-pairing user −1) drives the watermark past
+    // every real click's expiry; its own rows stay unexpired, so the
+    // streamed set equals the batch LEFT range join exactly.
+    "q196_stream_outer_join" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = operators.EventsQueries.withTsMs(raw)
+      val wh = graft.util.TempDirs.create("graft-join-q196")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3; val t2 = lo + 2 * (hi - lo) / 3
+      val flushMs = hi +
+        streaming.StreamingIntervalJoin.HorizonMs + 3600000L
+      import s.implicits._
+      def tsFromMs(ms: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => ms * 1000000L
+          case _ => timestamp_millis(ms)
+        }
+      val flush = Seq((-1L, flushMs + 1, -1L, "click", 0.0, ""),
+          (-2L, flushMs, -1L, "purchase", 0.0, ""))
+        .toDF("event_id", "ms", "user_id", "event_type", "value",
+          "props")
+        .select(col("event_id"), tsFromMs(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .select(raw.columns.map(col).toIndexedSeq: _*)
+      val waves = Seq(
+        ev.filter(col("ts_ms") <= t1),
+        ev.filter(col("ts_ms") > t1 && col("ts_ms") <= t2),
+        ev.filter(col("ts_ms") > t2)).map(
+          _.select(raw.columns.map(col).toIndexedSeq: _*)) :+ flush
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val tmp = s"$wh/w$i"
+        w.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + i * 2000L)
+      }
+      val stream = operators.EventsQueries.withTsMs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$wh/in"))
+      s.catalog.dropTempView("graft_q196_pairs")
+      val q = streaming.StreamingIntervalJoin
+        .clickPurchasePairsOuter(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q196_pairs").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q196_pairs").filter(col("user_id") >= 0)
+    }),
     // Lakehouse MERGE / CDC-apply: the table-maintenance action
     // between the q120 diff and the next funnel pass — copy-on-write
     // per bucket, idempotent re-delivery; graded as the closure
@@ -1755,6 +1812,7 @@ object SparkEntry {
     "q185_coarse_search" -> OracleSql.coarseFineSearch,
     "q186_layered_search" -> OracleSql.layeredSearch,
     "q187_stream_interval_join" -> OracleSql.intervalJoinPairs,
+    "q196_stream_outer_join" -> OracleSql.intervalJoinOuter,
     "q188_time_travel" -> OracleSql.timeTravel,
     "q189_label_prop" -> OracleSql.labelPropagation,
     "q171_merge_apply" -> OracleSql.mergeApply,

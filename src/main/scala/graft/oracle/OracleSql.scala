@@ -5644,4 +5644,24 @@ FROM e a JOIN e b ON b.user_id = a.user_id
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
   AND b.ms >= a.ms AND b.ms - a.ms <= $HorizonMs"""
   }
+
+  /** Mirror of
+    * [[graft.streaming.StreamingIntervalJoin.clickPurchasePairsOuter]]
+    * (q196): the LEFT range join — unmatched clicks carry NULL
+    * purchase columns, exactly the rows the streaming side emits at
+    * state expiry once the sentinel flush wave has driven the
+    * watermark past every real click's horizon. */
+  def intervalJoinOuter: String = {
+    import graft.streaming.StreamingIntervalJoin.HorizonMs
+    s"""WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000000 AS ms
+  FROM events)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       p.ms - c.ms AS gap_ms, p.value
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ms >= c.ms AND p.ms - c.ms <= $HorizonMs"""
+  }
 }

@@ -58,7 +58,26 @@ object StreamingIntervalJoin {
     * there) — the batch run IS the oracle the streaming run is
     * graded against. */
   def clickPurchasePairs(events: DataFrame,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    joined(events, watermarkDelay, "inner")
+
+  /** LEFT OUTER variant (q196): every click row appears — matched
+    * pairs emit as both sides arrive (the q187 path), and a click
+    * with NO purchase in its horizon emits one null-padded row when
+    * the watermark passes `click_time + horizon + delay` (state
+    * expiry IS the emission trigger — the mechanism the inner join
+    * never exercises). Batch parity therefore needs the watermark
+    * driven past every real click's expiry: the q196 harness appends
+    * a sentinel flush wave (one far-future click + purchase for a
+    * user that can never pair — purchase BEFORE click) whose own
+    * rows stay unexpired and unemitted, so the streamed set equals
+    * the batch LEFT range join over the real events exactly. */
+  def clickPurchasePairsOuter(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    joined(events, watermarkDelay, "leftOuter")
+
+  private def joined(events: DataFrame, watermarkDelay: String,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("event_time").as("click_time"), col("ts_ms").as("click_ms"))
@@ -73,7 +92,8 @@ object StreamingIntervalJoin {
       col("user_id") === col("purchase_user") &&
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <=
-          col("click_time") + expr(s"INTERVAL $HorizonHours HOURS"))
+          col("click_time") + expr(s"INTERVAL $HorizonHours HOURS"),
+      joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("purchase_ms") - col("click_ms")).as("gap_ms"), col("value"))
   }

@@ -82,4 +82,44 @@ class StreamingIntervalJoinSpec extends AnyFunSuite with SparkSessionSpec {
     assert(after == streamed,
       s"late purchase should be dropped by the watermark: $after")
   }
+
+  test("LEFT OUTER stream-stream join (q196): matched pairs emit " +
+      "eagerly, an unmatched click emits its null row only when the " +
+      "watermark passes its horizon, an unexpired click emits nothing") {
+    StreamingTaxi.configureStateStore(spark)
+    val ms = MemoryStream[(Long, Long, String, Long, Double)]
+    val out = StreamingIntervalJoin.clickPurchasePairsOuter(
+      frame(ms.toDF()))
+    val query = out.writeStream
+      .format("memory").queryName("ssj_outer")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssjo-cp").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: one matching pair + one forever-unmatched click
+    ms.addData((1L, 1L, "click", 1 * Hr, 0.0),
+      (2L, 1L, "purchase", 2 * Hr, 10.0),
+      (3L, 2L, "click", 1 * Hr, 0.0))
+    query.processAllAvailable()
+    val rows1 = spark.table("ssj_outer").collect()
+      .map(r => (r.getAs[Long]("click_id"),
+        Option(r.getAs[Any]("purchase_id")))).toSet
+    // the match is out already; click 3's fate is still open (its
+    // horizon has not expired) so NO null row yet
+    assert(rows1 == Set((1L, Some(2L))), s"rows1 $rows1")
+    // batch 2: flush — both sides' watermarks driven past click 3's
+    // horizon by a never-pairing sentinel (purchase BEFORE click)
+    val flush = 1 * Hr + H + 40 * Hr
+    ms.addData((8L, -1L, "purchase", flush, 0.0),
+      (9L, -1L, "click", flush + 1, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows2 = spark.table("ssj_outer").collect()
+      .map(r => (r.getAs[Long]("click_id"),
+        Option(r.getAs[Any]("purchase_id")))).toSet
+    // click 3 expired -> null row; click 1 NOT re-emitted as null;
+    // the sentinel click is unexpired and absent
+    assert(rows2 == Set((1L, Some(2L)), (3L, None)), s"rows2 $rows2")
+  }
 }
