@@ -1501,6 +1501,21 @@ object SparkEntry {
     "q181_k_anonymity" -> ((s, dir) =>
       operators.Pipeline.kAnonymize(
         s.read.parquet(s"$dir/customer.parquet"))),
+    // l-diversity audit: per quasi-identifier class, distinct
+    // sensitive values + modal frequency cap — the homogeneity-attack
+    // guard on top of q181's identity protection.
+    "q197_l_diversity" -> ((s, dir) =>
+      operators.Pipeline.lDiversityAudit(
+        s.read.parquet(s"$dir/customer.parquet"))),
+    // UniMax epoch-capped uniform allocation: exact water-filling on
+    // the ascending-capacity prefix (q180's published alternative).
+    "q198_unimax" -> ((s, dir) =>
+      operators.Sampling.uniMaxAllocation(documents(s, dir))),
+    // Mann-Kendall trend + Theil-Sen slope per event type: exact-LONG
+    // S and tie-corrected variance, explicit sorted-middle median.
+    "q199_mann_kendall" -> ((s, dir) =>
+      operators.EventsQueries.mannKendallTrend(
+        operators.EventsQueries.events(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1834,6 +1849,9 @@ object SparkEntry {
     // the incremental twin must converge to the identical batch plan
     "q184_stream_epoch_schedule" -> OracleSql.epochSchedule,
     "q181_k_anonymity" -> OracleSql.kAnonymize,
+    "q197_l_diversity" -> OracleSql.lDiversityAudit,
+    "q198_unimax" -> OracleSql.uniMaxAllocation,
+    "q199_mann_kendall" -> OracleSql.mannKendallTrend,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

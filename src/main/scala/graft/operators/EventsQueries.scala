@@ -1230,4 +1230,86 @@ object EventsQueries {
         col("valid_to_ms"), col("n_events"),
         col("valid_to_ms").isNull.as("is_current"))
   }
+
+  /** Two-sided 5% normal critical value of the Mann–Kendall Z. */
+  val MkZCrit = 1.96
+
+  /** Mann–Kendall trend test + Theil–Sen slope per event type (q199)
+    * — the standard NON-parametric "is this metric drifting?" battery
+    * over the daily revenue series: S = Σ_{i<j} sign(x_j − x_i)
+    * (exact LONG — sign computed by CASE, never the double-returning
+    * signum), tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18 with the numerator kept in exact LONG
+    * arithmetic, the continuity-corrected Z, and the Theil–Sen
+    * slope = MEDIAN of all pairwise slopes (cents/day) — robust to
+    * outlier days where OLS is not. The median is an explicit
+    * sorted-array middle pick ((lo+hi)/2.0 for even counts) rather
+    * than an engine percentile primitive, so Spark and DuckDB
+    * compute bit-identical doubles; slopes themselves are single
+    * divisions of exact LONG differences.
+    *
+    * Scale design (100 TB): the event stream collapses to
+    * |types|×|days| daily rows in ONE map-side-combined aggregation
+    * before anything pairwise happens; the pair build is a self-join
+    * CO-PARTITIONED on event_type with days²-bounded fan-out (an
+    * analysis window is days-bounded — 30 here, ≤ 365 in practice —
+    * so per-type pairs stay ≤ ~66k however many raw events flow in),
+    * and the per-type sorted slope list is days²-bounded state, far
+    * under any executor budget. */
+  def mannKendallTrend(events: DataFrame): DataFrame = {
+    val daily = events.select(col("event_type"),
+        expr("ts_ms DIV 86400000").as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("cents"))
+    val a = daily.select(col("event_type"), col("d").as("di"),
+      col("cents").as("ci"))
+    val b = daily.select(col("event_type"), col("d").as("dj"),
+      col("cents").as("cj"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        when(col("cj") > col("ci"), 1L)
+          .when(col("cj") < col("ci"), -1L).otherwise(0L).as("sgn"),
+        ((col("cj") - col("ci")).cast("double") /
+          (col("dj") - col("di")).cast("double")).as("slope"))
+    val perType = pairs.groupBy(col("event_type"))
+      .agg(sum(col("sgn")).as("s_stat"),
+        sort_array(collect_list(col("slope"))).as("slopes"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"))
+    val joined = perType
+      .join(broadcast(nDays), "event_type")
+      .join(broadcast(ties), "event_type")
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) - col("tie_term"))
+      .withColumn("var_s", col("var18").cast("double") / 18.0)
+      .withColumn("n_pairs", size(col("slopes")).cast("long"))
+      .withColumn("z",
+        when(col("var_s") <= 0.0, lit(0.0))
+          .when(col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0L,
+            (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .withColumn("theil_sen",
+        when(col("n_pairs") % 2L === 1L,
+          element_at(col("slopes"),
+            ((col("n_pairs") + 1L) / lit(2L)).cast("int")))
+          .otherwise((
+            element_at(col("slopes"),
+              (col("n_pairs") / lit(2L)).cast("int")) +
+            element_at(col("slopes"),
+              (col("n_pairs") / lit(2L)).cast("int") + 1)) / 2.0))
+    joined.select(col("event_type"), col("n_days"), col("n_pairs"),
+      col("s_stat"), col("var_s"), col("z"), col("theil_sen"),
+      when(col("z") >= MkZCrit, "increasing")
+        .when(col("z") <= -MkZCrit, "decreasing")
+        .otherwise("none").as("trend"))
+  }
 }

@@ -443,4 +443,54 @@ object Pipeline {
           .when(col("rel2"), col("r2"))
           .otherwise(lit(null).cast("long")).as("cohort_size"))
   }
+
+  /** l-diversity knobs (q197): minimum distinct sensitive values per
+    * released class, and the frequency cap of the simplified
+    * (c,l)-rule — the most common sensitive value may hold at most
+    * [[AnonFreqNum]]/[[AnonFreqDen]] of a class (60%), compared by
+    * exact integer cross-multiplication so Spark and DuckDB agree
+    * bit-for-bit. */
+  val AnonL = 3
+  val AnonFreqNum = 3
+  val AnonFreqDen = 5
+
+  /** l-diverse release audit (q197) — the attribute-disclosure
+    * complement of [[kAnonymize]]'s identity protection: a class
+    * that is k-anonymous but whose members all share one sensitive
+    * value still leaks that value (the homogeneity attack
+    * l-diversity exists to stop). Equivalence classes are the
+    * quasi-identifier pair (nation, segment); the sensitive
+    * attribute is the fine account-balance band. A class is released
+    * only when (1) it has ≥ [[AnonK]] members, (2) its members span
+    * ≥ [[AnonL]] DISTINCT sensitive values, and (3) no single
+    * sensitive value exceeds the [[AnonFreqNum]]/[[AnonFreqDen]]
+    * frequency cap — the simplified recursive-(c,l) guard against a
+    * class that is nominally diverse but 95% one value. Output is
+    * the per-class audit table (size, distinct count, modal count,
+    * release verdict), the artifact a privacy review signs off on.
+    *
+    * Scale design (100 TB): both aggregations are map-side-combined
+    * rollups onto keys bounded by the quasi-identifier × band domain
+    * (thousands of rows at any corpus size — |nations|·|segments|·
+    * bands); nothing record-sized survives the first shuffle, every
+    * verdict is exact-integer arithmetic on the reduced frame, and
+    * the audit table itself is broadcastable back against the record
+    * corpus for suppression at release time. */
+  def lDiversityAudit(customer: DataFrame, k: Int = AnonK,
+      l: Int = AnonL): DataFrame = {
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / AnonBandFine).as("sens"))
+    val perSens = base.groupBy(col("nation"), col("segment"), col("sens"))
+      .agg(count(lit(1)).as("n_sens"))
+    perSens.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n_sens")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        max(col("n_sens")).as("modal_count"))
+      .withColumn("released",
+        col("class_size") >= k && col("l_distinct") >= l &&
+          col("modal_count") * AnonFreqDen <=
+            col("class_size") * AnonFreqNum)
+  }
 }

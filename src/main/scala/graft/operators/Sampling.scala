@@ -726,4 +726,73 @@ object Sampling {
         col("weight"), col("e1").as("epochs_pass1"), col("epochs"),
         (col("epochs") * col("src_tokens")).as("planned_tokens"))
   }
+
+  /** UniMax knobs (q198): per-source epoch ceiling and the corpus
+    * budget as an exact integer fraction (budget = tot_tokens DIV
+    * [[UniMaxBudgetDen]]) so the water level is derived from LONG
+    * arithmetic in both engines. */
+  val UniMaxEpochCap = 4L
+  val UniMaxBudgetDen = 2L
+
+  /** UniMax epoch-capped UNIFORM allocation (q198) — the published
+    * alternative to [[epochSchedule]]'s temperature mixing (Chung et
+    * al. 2023): instead of α-weighting by size, give every source an
+    * EQUAL share of the token budget, capped at [[UniMaxEpochCap]]
+    * epochs of its own data, with capped sources' unused share
+    * redistributed uniformly among the rest — exact water-filling,
+    * not a one-pass approximation. Closed form on the ascending-
+    * capacity order: a source is capped iff
+    * capacity_i·(n−i+1) ≤ B − prefix_i (capped sources provably form
+    * a PREFIX of that order — if the inequality fails at i it fails
+    * at every j > i since capacities ascend), so the water level is
+    * (B − Σ capped capacities)/(n − k) computed in one pass, no
+    * iteration. Every comparison is LONG cross-multiplication; the
+    * only doubles are the final level division and epochs ratio,
+    * single IEEE ops identical in Spark and DuckDB.
+    *
+    * Scale design (100 TB): the corpus contributes ONE map-side-
+    * combined aggregation ([[sourceTokenCounts]]); everything after
+    * runs on the |S|-row counts frame, where the global ordering
+    * window is bounded by the source count (dozens), never by corpus
+    * size — the same |S|-row planning-frame discipline as
+    * [[epochScheduleFromCounts]]. */
+  def uniMaxAllocation(docs: DataFrame,
+      epochCap: Long = UniMaxEpochCap): DataFrame =
+    uniMaxFromCounts(sourceTokenCounts(docs), epochCap)
+
+  /** The |S|-row water-filling arithmetic of [[uniMaxAllocation]]
+    * over an already-maintained (source, n_docs, src_tokens) frame. */
+  def uniMaxFromCounts(t: DataFrame,
+      epochCap: Long = UniMaxEpochCap): DataFrame = {
+    val tot = t.agg(sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_src"))
+    val w = Window.orderBy(col("capacity").asc, col("source").asc)
+    val caps = t.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"tot_tokens DIV $UniMaxBudgetDen"))
+      .withColumn("capacity", col("src_tokens") * epochCap)
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum(col("capacity")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("capacity") * (col("n_src") - col("idx") + 1L) <=
+          col("budget") - col("prefix"))
+    val kf = caps.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+      sum(when(col("capped"), col("capacity")).otherwise(0L))
+        .as("capped_tokens"))
+    caps.crossJoin(broadcast(kf))
+      .withColumn("level",
+        (col("budget") - col("capped_tokens")).cast("double") /
+          greatest(col("n_src") - col("k"), lit(1L)).cast("double"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("capacity").cast("double"))
+          .otherwise(col("level")))
+      .withColumn("epochs",
+        col("alloc_tokens") / col("src_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("capacity"), col("capped"), col("alloc_tokens"),
+        col("epochs"))
+  }
 }

@@ -3768,6 +3768,68 @@ SELECT h.event_type, h.hour, h.n_events,
          / (CAST(t.tc AS DOUBLE) / t.tn) AS seasonal_idx
 FROM h JOIN t USING (event_type)"""
 
+  /** Mirror of [[graft.operators.EventsQueries.mannKendallTrend]]
+    * (q199): the same daily-cents collapse, LONG sign/variance
+    * arithmetic, sorted-list explicit median, and CASE trend
+    * labels. */
+  def mannKendallTrend: String = {
+    import graft.operators.EventsQueries.MkZCrit
+    s"""WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 86400000 AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, (epoch_ns(ts) // 1000000) // 86400000
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+         CAST(b.cents - a.cents AS DOUBLE) /
+           CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), per_type AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         list(slope ORDER BY slope) AS slopes
+  FROM pairs GROUP BY event_type
+), nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, cents)
+  GROUP BY event_type
+), j AS (
+  SELECT p.event_type, p.s_stat, p.slopes, n.n_days, t.tie_term,
+         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+           - t.tie_term AS DOUBLE) / 18.0 AS var_s,
+         CAST(len(p.slopes) AS BIGINT) AS n_pairs
+  FROM per_type p JOIN nd n USING (event_type)
+       JOIN ties t USING (event_type)
+), z AS (
+  SELECT *,
+         CASE WHEN var_s <= 0.0 THEN 0.0
+              WHEN s_stat > 0
+                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+              WHEN s_stat < 0
+                THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+              ELSE 0.0 END AS zv,
+         CASE WHEN n_pairs % 2 = 1
+                THEN slopes[CAST((n_pairs + 1) // 2 AS INT)]
+              ELSE (slopes[CAST(n_pairs // 2 AS INT)] +
+                    slopes[CAST(n_pairs // 2 AS INT) + 1]) / 2.0
+              END AS theil_sen
+  FROM j
+)
+SELECT event_type, n_days, n_pairs, s_stat, var_s, zv AS z,
+       theil_sen,
+       CASE WHEN zv >= $MkZCrit THEN 'increasing'
+            WHEN zv <= -$MkZCrit THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z"""
+  }
+
   /** Mirror of [[graft.operators.RelationalQueries.rfmSegments]]
     * (q149): exact integer metrics, the same ntile total orders
     * (both engines use the ANSI first-buckets-take-the-remainder
@@ -4996,6 +5058,53 @@ SELECT source, n_docs, src_tokens, weight, e1 AS epochs_pass1,
 FROM fin"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.uniMaxAllocation]] (q198):
+    * the same ascending-capacity prefix-capped closed form — LONG
+    * cross-multiplied cap test, one water level, identical
+    * double-division order. */
+  def uniMaxAllocation: String = {
+    import graft.operators.Sampling.{UniMaxBudgetDen, UniMaxEpochCap}
+    s"""WITH t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS src_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM t
+), caps AS (
+  SELECT source, n_docs, src_tokens, n_src,
+         tot_tokens // $UniMaxBudgetDen AS budget,
+         src_tokens * $UniMaxEpochCap AS capacity,
+         CAST(row_number() OVER w AS BIGINT) AS idx,
+         COALESCE(CAST(SUM(src_tokens * $UniMaxEpochCap) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS pfx
+  FROM t CROSS JOIN tot
+  WINDOW w AS (ORDER BY src_tokens * $UniMaxEpochCap ASC, source ASC)
+), cp AS (
+  SELECT *, capacity * (n_src - idx + 1) <= budget - pfx AS capped
+  FROM caps
+), kf AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+           AS BIGINT) AS capped_tokens
+  FROM cp
+), lv AS (
+  SELECT cp.*,
+         CAST(budget - capped_tokens AS DOUBLE) /
+           CAST(greatest(n_src - k, 1) AS DOUBLE) AS level
+  FROM cp CROSS JOIN kf
+)
+SELECT source, n_docs, src_tokens, capacity, capped,
+       CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+            ELSE level END AS alloc_tokens,
+       (CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+             ELSE level END) / CAST(src_tokens AS DOUBLE) AS epochs
+FROM lv"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.kAnonymize]] (q181): the
     * same three cohort aggregations — each coarser level counting
     * only rows NOT released at a finer one — identical band floor
@@ -5043,6 +5152,32 @@ SELECT c_custkey,
        CASE WHEN rel0 THEN n0 WHEN rel1 THEN r1 WHEN rel2 THEN r2
             ELSE NULL END AS cohort_size
 FROM b2"""
+  }
+
+  /** Mirror of [[graft.operators.Pipeline.lDiversityAudit]] (q197):
+    * same two-level rollup (per-sensitive counts, then per-class
+    * size/distinct/modal) and the same exact-integer cross-multiplied
+    * frequency cap. */
+  def lDiversityAudit: String = {
+    import graft.operators.Pipeline.{AnonBandFine, AnonFreqDen,
+      AnonFreqNum, AnonK, AnonL}
+    s"""WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / $AnonBandFine) AS BIGINT) AS sens
+  FROM customer
+), per_sens AS (
+  SELECT nation, segment, sens, CAST(COUNT(*) AS BIGINT) AS n_sens
+  FROM base GROUP BY nation, segment, sens
+)
+SELECT nation, segment,
+       CAST(SUM(n_sens) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       CAST(MAX(n_sens) AS BIGINT) AS modal_count,
+       (SUM(n_sens) >= $AnonK AND COUNT(*) >= $AnonL AND
+        MAX(n_sens) * $AnonFreqDen <= SUM(n_sens) * $AnonFreqNum)
+         AS released
+FROM per_sens GROUP BY nation, segment"""
   }
 
   /** q60 oracle — mirror of

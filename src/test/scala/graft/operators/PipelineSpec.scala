@@ -89,4 +89,44 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
       .foreach(r => assert(r.getLong(1) >= k,
         s"${r.getString(0)} cohort ${r.getLong(1)} < $k"))
   }
+
+  test("lDiversityAudit: k-anonymous-but-homogeneous class fails l, " +
+      "nominally diverse class fails the modal frequency cap, a " +
+      "genuinely diverse class releases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // nation 1: 6 members, ONE sensitive band -> k passes, l fails
+    //   (the homogeneity attack k-anonymity alone misses).
+    // nation 2: 10 members over 4 bands but modal band holds 7/10
+    //   (> 3/5 cap) -> fails ONLY the frequency rule.
+    // nation 3: 10 members over 4 bands, modal 3/10 -> released.
+    // nation 4: 3 members over 3 bands -> fails k only.
+    val rows =
+      (1 to 6).map(i => (100L + i, 1, "AUTO", 100.0)) ++
+      ((1 to 7).map(i => (200L + i, 2, "AUTO", 100.0)) ++
+        Seq((208L, 2, "AUTO", 1500.0), (209L, 2, "AUTO", 2500.0),
+          (210L, 2, "AUTO", 3500.0))) ++
+      (1 to 10).map(i => (300L + i, 3, "AUTO", 1000.0 * (i % 4))) ++
+      (1 to 3).map(i => (400L + i, 4, "BIKE", 1000.0 * i))
+    val customer = rows.toDF("c_custkey", "c_nationkey",
+        "c_mktsegment", "c_acctbal")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+    val out = Pipeline.lDiversityAudit(customer).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((6L, 1L, 6L, false)), s"homogeneous: ${out(1L)}")
+    assert(out(2L) == ((10L, 4L, 7L, false)), s"modal cap: ${out(2L)}")
+    assert(out(3L) == ((10L, 4L, 3L, true)), s"diverse: ${out(3L)}")
+    assert(out(4L) == ((3L, 3L, 1L, false)), s"small: ${out(4L)}")
+    // closure over the verdict: every released class satisfies all
+    // three rules recomputed from the audit columns themselves
+    Pipeline.lDiversityAudit(customer).filter(col("released")).collect()
+      .foreach { r =>
+        assert(r.getLong(2) >= Pipeline.AnonK &&
+          r.getLong(3) >= Pipeline.AnonL &&
+          r.getLong(4) * Pipeline.AnonFreqDen <=
+            r.getLong(2) * Pipeline.AnonFreqNum)
+      }
+  }
 }

@@ -1062,4 +1062,51 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
       }
     }
   }
+
+  test("mannKendallTrend: monotone series hit the critical value in " +
+      "the right direction, an all-tie series zeroes the variance, " +
+      "the even-pair median averages the two middles") {
+    import spark.implicits._
+    def ev(id: Long, t: String, day: Long, v: Double) =
+      (1L, day * 86400000L + 1000L, id, t, v)
+    // A: strictly rising 5 days -> S=10, var=300/18, z≈2.205
+    // B: constant 5 days -> one tie group of 5, var18=0, trend none
+    // C: strictly falling 5 days -> z≈-2.205
+    // D: 4 days 1,3,2,4 -> 6 slopes sorted [-100,50,50,100,200,200],
+    //    median (50+100)/2 = 75 cents/day; S=4, z≈1.019 -> none
+    val rows =
+      (0 until 5).map(d => ev(d, "A", d, 1.0 + d)) ++
+      (0 until 5).map(d => ev(10 + d, "B", d, 2.0)) ++
+      (0 until 5).map(d => ev(20 + d, "C", d, 9.0 - d)) ++
+      Seq(1.0, 3.0, 2.0, 4.0).zipWithIndex.map { case (v, d) =>
+        ev(30 + d, "D", d, v) }
+    val events = rows
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = graft.operators.EventsQueries.mannKendallTrend(events)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("s_stat") == 10L)
+    assert(a.getAs[Double]("var_s") == 300.0 / 18.0)
+    assert(a.getAs[String]("trend") == "increasing")
+    assert(a.getAs[Double]("theil_sen") == 100.0)
+    val b = out("B")
+    assert(b.getAs[Long]("s_stat") == 0L)
+    assert(b.getAs[Double]("var_s") == 0.0)
+    assert(b.getAs[String]("trend") == "none")
+    assert(b.getAs[Double]("theil_sen") == 0.0)
+    val c = out("C")
+    assert(c.getAs[Long]("s_stat") == -10L)
+    assert(c.getAs[String]("trend") == "decreasing")
+    assert(c.getAs[Double]("theil_sen") == -100.0)
+    val d = out("D")
+    assert(d.getAs[Long]("s_stat") == 4L)
+    assert(d.getAs[Long]("n_pairs") == 6L)
+    assert(d.getAs[Double]("theil_sen") == 75.0)
+    assert(d.getAs[String]("trend") == "none")
+    // z sanity: continuity-corrected, symmetric A vs C
+    assert(math.abs(a.getAs[Double]("z") +
+      c.getAs[Double]("z")) < 1e-12)
+    assert(a.getAs[Double]("z") == 9.0 / math.sqrt(300.0 / 18.0))
+  }
 }

@@ -431,4 +431,60 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     val wsum = rows.map(_.getAs[Double]("weight")).sum
     assert(math.abs(wsum - 1.0) < 1e-9)
   }
+
+  test("uniMaxAllocation: exact water-filling — capped sources form " +
+      "the ascending-capacity prefix, uncapped sources share one " +
+      "level, the budget is spent exactly") {
+    // three sources, tokens 5 / 100 / 1000, cap 4 epochs -> caps
+    // 20 / 400 / 4000; budget = 1105 DIV 2 = 552.
+    //   i=1 tiny:  20·3 =   60 <= 552        -> capped, alloc 20
+    //   i=2 mid:  400·2 =  800 >  552-20=532 -> uncapped
+    //   level = (552-20)/2 = 266 -> mid 266 (2.66 ep), bulk 266
+    val docs = (Seq((1L, "tiny", "a b c d e"),
+      (2L, "mid", (1 to 100).map(j => s"m$j").mkString(" "))) ++
+      (1 to 10).map(i => (10L + i, "bulk",
+        (1 to 100).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.uniMaxAllocation(docs).collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc("tiny").getAs[Boolean]("capped"))
+    assert(!bySrc("mid").getAs[Boolean]("capped"))
+    assert(!bySrc("bulk").getAs[Boolean]("capped"))
+    assert(bySrc("tiny").getAs[Double]("alloc_tokens") == 20.0)
+    assert(bySrc("tiny").getAs[Double]("epochs") == 4.0)
+    assert(bySrc("mid").getAs[Double]("alloc_tokens") == 266.0)
+    assert(bySrc("mid").getAs[Double]("epochs") == 2.66)
+    assert(bySrc("bulk").getAs[Double]("alloc_tokens") == 266.0)
+    assert(bySrc("bulk").getAs[Double]("epochs") == 0.266)
+    // budget identity: allocations sum to the integer budget exactly
+    assert(rows.map(_.getAs[Double]("alloc_tokens")).sum == 552.0)
+    // no source ever exceeds its epoch ceiling
+    rows.foreach(r => assert(r.getAs[Double]("epochs") <=
+      Sampling.UniMaxEpochCap + 1e-12))
+  }
+
+  test("uniMaxAllocation: equal sources split the budget evenly " +
+      "with nothing capped; the single-source degenerate case " +
+      "takes exactly the budget (no zero-division)") {
+    // two equal 16-token sources: capacities 64 each, budget
+    // 32 DIV 2 = 16 -> k = 0, level = 16/2 = 8 tokens, 0.5 epochs
+    val docs = Seq((1L, "a", "x x x x"), (2L, "b", "y y y y"),
+      (3L, "a", "x x x x"), (4L, "b", "y y y y"),
+      (5L, "a", "x x x x"), (6L, "b", "y y y y"),
+      (7L, "a", "x x x x"), (8L, "b", "y y y y"))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.uniMaxAllocation(docs).collect()
+    assert(rows.forall(!_.getAs[Boolean]("capped")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") == 8.0)
+      assert(r.getAs[Double]("epochs") == 0.5)
+    }
+    // single source: budget = tot DIV 2 all flows to it
+    val one = Seq((1L, "solo", "x x x x x x x x"))
+      .toDF("doc_id", "source", "text")
+    val r1 = Sampling.uniMaxAllocation(one).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[Double]("alloc_tokens") == 4.0)
+    assert(r1(0).getAs[Double]("epochs") == 0.5)
+  }
 }
