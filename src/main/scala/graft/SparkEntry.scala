@@ -1516,6 +1516,20 @@ object SparkEntry {
     "q199_mann_kendall" -> ((s, dir) =>
       operators.EventsQueries.mannKendallTrend(
         operators.EventsQueries.events(s, dir))),
+    // Boilerplate-paragraph strip: every copy of an over-df-cap
+    // paragraph removed (q130's complement — CCNet common-lines).
+    "q200_boilerplate_strip" -> ((s, dir) =>
+      Dedup.boilerplateStrip(documents(s, dir))),
+    // NN-descent round: hashed random init graph refined by one
+    // neighbors-of-neighbors pass — LSH-free kNN-graph construction.
+    "q201_nn_descent" -> ((s, dir) =>
+      Similarity.nnDescentGraph(Similarity.embeddings(s, dir))),
+    // Adamic-Adar link prediction: 2-hop non-edges scored by
+    // 1/ln(deg) over common neighbors — the banded graph's recall
+    // patch.
+    "q202_adamic_adar" -> ((s, dir) =>
+      operators.Graph.adamicAdar(Similarity.knnGraph(
+        Similarity.embeddings(s, dir)))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1852,6 +1866,9 @@ object SparkEntry {
     "q197_l_diversity" -> OracleSql.lDiversityAudit,
     "q198_unimax" -> OracleSql.uniMaxAllocation,
     "q199_mann_kendall" -> OracleSql.mannKendallTrend,
+    "q200_boilerplate_strip" -> OracleSql.boilerplateStrip,
+    "q201_nn_descent" -> OracleSql.nnDescentGraph,
+    "q202_adamic_adar" -> OracleSql.adamicAdar,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1160,6 +1160,43 @@ object Dedup {
             .stripMargin), lit("")).as("clean_text"))
   }
 
+  /** Corpus-frequency cap of [[boilerplateStrip]]: a paragraph
+    * occurring more than this many times corpus-wide is boilerplate
+    * and every copy is cut. */
+  val BoilerplateDfCap = 2L
+
+  /** Boilerplate-paragraph STRIP (q200) — the CCNet/"most common
+    * lines" cleaning rule, and the semantic complement of
+    * [[paragraphDedup]] (q130): q130 keeps the FIRST copy of every
+    * paragraph; this keeps NO copy of a paragraph whose corpus-wide
+    * occurrence count exceeds [[BoilerplateDfCap]] (cookie banners,
+    * nav text, license footers — text whose frequency itself proves
+    * it carries no signal) while keeping EVERY copy of rare
+    * paragraphs (q130 would trim legitimate re-quotes; boilerplate
+    * removal must not). Same positioned-digest stream and row-local
+    * rebuild as q130; only the keep rule differs.
+    *
+    * Scale design (100 TB): the frequency table is ONE map-side-
+    * combined count on the 16-byte digest (the corpus text never
+    * shuffles), and the keep decision is a LEFT ANTI join of the
+    * positioned digests against the CAPPED side only — the
+    * boilerplate set (df > cap) is the small side by construction
+    * (total occurrences / cap bounds its cardinality), so AQE
+    * broadcasts it and the digest stream makes exactly one
+    * exchange end to end, shared with the df rollup. */
+  def boilerplateStrip(docs: DataFrame,
+      dfCap: Long = BoilerplateDfCap): DataFrame = {
+    val base = paragraphBase(docs)
+    val paras = paragraphHashes(base)
+    val boiler = paras.groupBy(col("phash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("phash"))
+    val kept = paras.join(boiler, Seq("phash"), "left_anti")
+      .select(col("doc_id"), col("pos"))
+    paragraphRebuild(base, kept)
+  }
+
   /** Brute-force exact-Jaccard pairs (reference implementation for
     * recall tests — all-pairs, small inputs ONLY; the production path
     * is [[minhashNearDups]]). */

@@ -396,6 +396,56 @@ object Graph {
     edges.select(explode(array(col("u"), col("v"))).as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
 
+  /** Minimum common-neighbor support of [[adamicAdar]] — one shared
+    * neighbor is noise on a k-NN graph; candidate links need ≥ 2. */
+  val AdamicAdarMinCommon = 2
+
+  /** Adamic–Adar link prediction over the k-NN graph (q202) — the
+    * classic "which non-edges should exist?" score, the graph-side
+    * twin of the similarity family's candidate generation: for every
+    * 2-hop non-adjacent pair (u, w), AA(u,w) = Σ_{v ∈ Γ(u)∩Γ(w)}
+    * 1/ln(deg v) — common neighbors weighted by how DIScriminating
+    * they are (a hub vouches for everyone and counts for little).
+    * On a k-NN embedding graph this surfaces near-duplicate and
+    * same-cluster pairs the banded construction missed — a recall
+    * patch that needs no second LSH pass. A common neighbor is
+    * adjacent to both endpoints, so deg(v) ≥ 2 and ln(deg) > 0 — the
+    * division is total by construction. The per-pair sum folds over
+    * the common-neighbor list SORTED by neighbor id (the ordered-fold
+    * FP discipline), so the score is bit-identical across engines and
+    * partitionings.
+    *
+    * Scale design (100 TB): the undirected closure has ≤ 2k
+    * edges/node, the 2-hop frame ≤ (2k)² rows/node (bounded fan-out,
+    * never all-pairs), existing edges leave via one co-partitioned
+    * LEFT ANTI join, degrees broadcast back onto the v key, and the
+    * pair aggregation is one map-side-combined shuffle on (u, w);
+    * the u < w orientation halves the frame before anything heavy. */
+  def adamicAdar(knnEdges: DataFrame,
+      minCommon: Int = AdamicAdarMinCommon): DataFrame = {
+    val e0 = knnEdges.select(col("src"), col("neighbor_id").as("dst"))
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val hop2 = und.alias("a").join(und.alias("b"),
+        col("a.dst") === col("b.src") && col("a.src") < col("b.dst"))
+      .select(col("a.src").as("u"), col("b.dst").as("w"),
+        col("a.dst").as("v"))
+    val nonEdge = hop2.join(
+      und.select(col("src").as("u"), col("dst").as("w")),
+      Seq("u", "w"), "left_anti")
+    nonEdge.join(deg, "v")
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn_count"),
+        aggregate(
+          sort_array(collect_list(struct(col("v"),
+            (lit(1.0) / log(col("deg").cast("double"))).as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("aa_score"))
+      .filter(col("cn_count") >= minCommon)
+  }
+
   def triangleCounts(knnEdges: DataFrame): DataFrame = {
     val mutual = mutualEdges(knnEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

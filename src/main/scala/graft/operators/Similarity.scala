@@ -293,6 +293,115 @@ object Similarity {
       col("rank"), col("cosine"))
   }
 
+  /** NN-descent knobs (q201): pseudo-random initial out-degree and
+    * the rank mask keeping every hash argument far inside Long range
+    * (the rendezvous-sharding overflow discipline). */
+  val NnDescentInitK = 5
+  val NnDescentRankMask = 1048576L
+
+  /** Refinement rounds of [[nnDescentGraph]] — each round contracts
+    * the graph a constant factor toward the true k-NN graph (the
+    * spec measures the per-round recall ladder), and the oracle
+    * unrolls exactly this many rounds (the q195 PageRank
+    * discipline). */
+  val NnDescentRounds = 2
+
+  /** NN-descent k-NN-graph construction (q201, Dong et al. 2011) —
+    * the LSH-free way to build [[knnGraph]]'s k-NN layer, and THE
+    * distributed construction when no good hash family is known:
+    * start from a deterministic pseudo-random graph
+    * ([[NnDescentInitK]] spokes per node by rank-space Knuth-hash
+    * arithmetic — the [[longRangeEdges]] machinery with a hashed
+    * target instead of a stride), then [[NnDescentRounds]]
+    * neighbors-of-neighbors rounds: candidates(u) = N(u) ∪ N⁻¹(u) ∪
+    * {w : w ∈ N±(v), v ∈ N±(u)} over the CURRENT graph, scored by
+    * exact cosine, top-[[KnnGraphK]] kept as the next round's graph.
+    * The core NN-descent observation — a neighbor's neighbor is
+    * likely a neighbor — contracts the random graph toward the true
+    * k-NN graph a constant factor per round; the spec measures the
+    * per-round recall ladder on the clustered fixture.
+    *
+    * Scale design (100 TB): every stage is a bounded self-join —
+    * the undirected closure has ≤ 2·initK edges/node, so the 2-hop
+    * frame is ≤ (2·initK)² rows/node, candidates dedup BEFORE
+    * vectors join back (the q112 discipline: only (src,dst) id pairs
+    * shuffle), and the final ranking runs through the TopKPerGroup
+    * heap operator, never a global sort. The rank pass is the
+    * range-partitioned [[GlobalIndex]] prefix sum, not a
+    * single-reducer window; hash arguments are masked to
+    * [[NnDescentRankMask]] so rank·stride stays < 2³⁰ at any corpus
+    * size (nodes sharing a masked rank share spoke OFFSETS, which
+    * the +r term de-aliases — distribution, not correctness). */
+  def nnDescentGraph(emb0: DataFrame, initK: Int = NnDescentInitK,
+      k: Int = KnnGraphK, rounds: Int = NnDescentRounds): DataFrame =
+    nnDescentGraphWithHandle(emb0, initK, k, rounds)._1
+
+  /** [[nnDescentGraph]] plus the [[graft.util.CacheHandle]] for the
+    * rank materialization and the per-round edge caches (each round
+    * reads its predecessor's top-k twice — closure and 2-hop — so
+    * the edge frame is persisted per round, all released through the
+    * handle). */
+  def nnDescentGraphWithHandle(emb0: DataFrame,
+      initK: Int = NnDescentInitK, k: Int = KnnGraphK,
+      rounds: Int = NnDescentRounds)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranked, handle) = GlobalIndex.globalRowIndexWithHandle(
+      emb.select(col("vec_id")), Seq(col("vec_id")), LongRangePartitions)
+    val n = ranked.count()
+    val ids = ranked.select(col("global_idx").as("tr"),
+      col("vec_id").as("dst"))
+    val init = ranked
+      .select(col("vec_id").as("src"), col("global_idx").as("r"))
+      .withColumn("j", explode(sequence(lit(0), lit(initK - 1))))
+      .withColumn("tr",
+        (expr(s"(((r % $NnDescentRankMask) * 8 + j) * " +
+          s"${Sampling.HashMult}L) DIV 1048576") + col("r")) % n)
+      .join(ids, "tr")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val va = emb.select(col("vec_id").as("src"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val vb = emb.select(col("vec_id").as("dst"), col("v"), col("norm"))
+    val extensionsActive = emb.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    var edges = init
+    var cached = List.empty[DataFrame]
+    var out: DataFrame = init // replaced in round 1 (rounds >= 1)
+    for (_ <- 1 to rounds) {
+      val und = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached ::= und
+      val twoHop = und.alias("a").join(und.alias("b"),
+          col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val candIds = und.union(twoHop)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val scored = candIds.join(va, "src").join(vb, "dst")
+        .withColumn("cosine", cosine)
+        .select(col("src"), col("dst"), col("cosine"))
+      out =
+        if (extensionsActive)
+          org.apache.spark.sql.graft.TopK.perGroup(scored, Seq("src"),
+            Seq("cosine" -> false, "dst" -> true), k)
+        else scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cosine").desc, col("dst").asc)).cast("long"))
+          .filter(col("rank") <= k)
+      edges = out.select(col("src"), col("dst"))
+    }
+    (out.select(col("src"), col("dst").as("neighbor_id"),
+      col("rank"), col("cosine")),
+      graft.util.CacheHandle.combine(
+        (handle :: cached.map(f => graft.util.CacheHandle(f))): _*))
+  }
+
   /** IVF coarse quantizer size, probe width, and k-means training
     * knobs: centroids start as the first [[NumCentroids]] sample
     * vectors and are refined by [[KMeansIters]] Lloyd iterations

@@ -2844,6 +2844,93 @@ SELECT src, neighbor_id, rank, cosine FROM r
 WHERE rank <= ${graft.operators.Similarity.KnnGraphK}"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.nnDescentGraph]] (q201):
+    * the same rank-space hashed init spokes, then
+    * [[graft.operators.Similarity.NnDescentRounds]] UNROLLED rounds
+    * (the q195 discipline) of undirected closure →
+    * neighbors-of-neighbors union → exact-cosine top-k. Each round's
+    * CTEs are MATERIALIZED so DuckDB evaluates the round boundary
+    * once, like Spark's per-round persist. */
+  def nnDescentGraph: String = {
+    import graft.operators.Sampling.HashMult
+    import graft.operators.Similarity.{KnnGraphK, NnDescentInitK,
+      NnDescentRankMask, NnDescentRounds}
+    val roundCtes = (1 to NnDescentRounds).map { i =>
+      val prev = if (i == 1) "init" else s"e${i - 1}"
+      s"""und$i AS MATERIALIZED (
+  SELECT src, dst FROM $prev UNION SELECT dst, src FROM $prev
+), cand$i AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM und$i
+    UNION ALL
+    SELECT a.src, b.dst FROM und$i a JOIN und$i b ON a.dst = b.src
+  ) WHERE src <> dst
+), p$i AS (
+  SELECT c.src, c.dst,
+         ${dotSql("va.v", "vb.v")} / (va.nrm * vb.nrm) AS cosine
+  FROM cand$i c JOIN n va ON va.vec_id = c.src
+                JOIN n vb ON vb.vec_id = c.dst
+), e$i AS MATERIALIZED (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+           ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rank
+  FROM p$i
+  QUALIFY rank <= $KnnGraphK
+)"""
+    }.mkString(", ")
+    s"""$embCtes
+, ranked AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r
+  FROM n
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM n
+), spokes AS (
+  SELECT vec_id,
+         ((((r % $NnDescentRankMask) * 8 + t.j) * $HashMult)
+           // 1048576 + r) % nn AS tr
+  FROM ranked CROSS JOIN tot,
+       LATERAL (SELECT unnest(range(0, $NnDescentInitK)) AS j) t
+), init AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM spokes a JOIN ranked b ON b.r = a.tr
+  WHERE a.vec_id <> b.vec_id
+), $roundCtes
+SELECT src, dst AS neighbor_id, rank, cosine
+FROM e$NnDescentRounds"""
+  }
+
+  /** Mirror of [[graft.operators.Graph.adamicAdar]] (q202) over the
+    * [[knnGraph]] edges: same undirected closure, 2-hop candidate
+    * build, anti-join edge exclusion, and v-ordered 1/ln(deg)
+    * fold. */
+  def adamicAdar: String = {
+    import graft.operators.Graph.AdamicAdarMinCommon
+    s"""WITH g0 AS MATERIALIZED (
+$knnGraph
+), und AS MATERIALIZED (
+  SELECT src, neighbor_id AS dst FROM g0
+  UNION
+  SELECT neighbor_id AS src, src AS dst FROM g0
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM und GROUP BY src
+), hop2 AS (
+  SELECT a.src AS u, b.dst AS w, a.dst AS v
+  FROM und a JOIN und b ON a.dst = b.src AND a.src < b.dst
+), nonedge AS (
+  SELECT u, w, v FROM hop2
+  ANTI JOIN und ON hop2.u = und.src AND hop2.w = und.dst
+)
+SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn_count,
+       list_reduce(list_prepend(0.0,
+         list(1.0 / ln(CAST(deg AS DOUBLE)) ORDER BY v)),
+         (a, b) -> a + b) AS aa_score
+FROM nonedge JOIN deg USING (v)
+GROUP BY u, w
+HAVING COUNT(*) >= $AdamicAdarMinCommon"""
+  }
+
   /** Mirror of [[graft.operators.Graph.triangleCounts]] (q132): the
     * oracle enumerates triangles from the DEFINITION (id-ordered
     * u<v<w over the mutual undirected edge set — one triangle per
@@ -5751,6 +5838,38 @@ SELECT query_id, vec_id, step, rel, mmr FROM all$MmrTopK"""
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          list_sort(list(pos)) AS keep_pos
   FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(array_to_string(list_transform(keep_pos,
+         i -> array_to_string(list_slice(w, $P * i + 1, $P * i + $P), ' ')),
+         ' '), '') AS clean_text
+FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
+  }
+
+  /** Mirror of [[graft.operators.Dedup.boilerplateStrip]] (q200):
+    * q130's paragraph digests with the df-cap keep rule — every copy
+    * of an over-cap paragraph cut via anti-join, all copies of rare
+    * paragraphs kept. */
+  def boilerplateStrip: String = {
+    import graft.operators.Dedup.{BoilerplateDfCap, ParaWords => P}
+    s"""WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, w, (len(w) + ${P - 1}) // $P AS n_paras FROM b
+), p AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, $P * i + 1, $P * i + $P), ' '))
+           AS phash
+  FROM base, LATERAL (SELECT unnest(range(0, n_paras)) AS i) t
+), boiler AS (
+  SELECT phash FROM p GROUP BY phash
+  HAVING COUNT(*) > $BoilerplateDfCap
+), kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         list_sort(list(pos)) AS keep_pos
+  FROM p ANTI JOIN boiler USING (phash)
+  GROUP BY doc_id
 )
 SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
        COALESCE(n_kept, 0) AS n_kept,

@@ -485,6 +485,39 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(removed > 0, "no duplicate paragraphs found in the fixture")
   }
 
+  test("boilerplateStrip: over-cap paragraphs lose EVERY copy " +
+      "(including the first), rare repeats keep ALL copies — the " +
+      "exact complement of paragraphDedup's keep rule") {
+    import spark.implicits._
+    val P = Dedup.ParaWords
+    def para(c: Char): String = (1 to P).map(i => s"$c$i").mkString(" ")
+    val (a, b, c2, d) = (para('a'), para('b'), para('c'), para('d'))
+    // paragraph a occurs 3 times (> cap 2) -> boilerplate, all cut;
+    // paragraph d occurs 2 times (== cap) -> rare, BOTH copies stay
+    // (q130 would cut the second copy); b/c unique -> stay
+    val fixture = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $c2"),
+      (3L, s"$a $d"),
+      (4L, s"$d $b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 1L, b)))
+    assert(out(2L) == ((2L, 1L, c2)))
+    assert(out(3L) == ((2L, 1L, d)), "rare repeat's first copy stays")
+    assert(out(4L) == ((2L, 2L, s"$d $b")),
+      "rare repeat's second copy must ALSO stay")
+    // idempotence: stripping the stripped corpus removes nothing
+    val again = Dedup.boilerplateStrip(
+      out.toSeq.map { case (id, (_, _, t)) => (id, t) }
+        .toDF("doc_id", "text")).collect()
+    assert(again.forall(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_paras")))
+  }
+
   test("ngramNovelty: first doc fully novel, partial overlap rated, " +
       "exact copy rated zero") {
     import spark.implicits._

@@ -395,4 +395,35 @@ class GraphSpec extends AnyFunSuite with SparkSessionSpec {
     val total = r.values.map(_._2).sum
     assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
   }
+
+  test("adamicAdar: hand graph — exact 1/ln(deg) scores, hub " +
+      "neighbors discounted vs rare ones, existing edges and " +
+      "single-witness pairs excluded") {
+    import spark.implicits._
+    // component A: square 1-2-3-4 (edges via 2 and 4) -> pairs (1,3)
+    // and (2,4) each share two deg-2 neighbors: AA = 2/ln2.
+    // component B: star center 10 over 5,6,7,8 plus rare neighbor 9
+    // of {5,6} -> (5,6) shares hub 10 (deg 4) and rare 9 (deg 2):
+    // AA = 1/ln4 + 1/ln2 < 2/ln2 (the hub discount); (7,8) share
+    // only the hub -> below min support, excluded; (9,10) share
+    // {5,6} -> 2/ln2.
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 4L), (3L, 4L),
+      (10L, 5L), (10L, 6L), (10L, 7L), (10L, 8L), (5L, 9L), (6L, 9L))
+      .toDF("src", "neighbor_id")
+    val out = Graph.adamicAdar(edges).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("w")) ->
+        ((r.getAs[Long]("cn_count"), r.getAs[Double]("aa_score"))))
+      .toMap
+    val twoLn2 = 1.0 / math.log(2.0) + 1.0 / math.log(2.0)
+    val hubMix = 1.0 / math.log(2.0) + 1.0 / math.log(4.0)
+    assert(out.keySet ==
+      Set((1L, 3L), (2L, 4L), (5L, 6L), (9L, 10L)), s"pairs: $out")
+    assert(out((1L, 3L)) == ((2L, twoLn2)))
+    assert(out((2L, 4L)) == ((2L, twoLn2)))
+    assert(out((5L, 6L))._1 == 2L)
+    assert(out((5L, 6L))._2 < twoLn2,
+      "hub witness must score below two rare witnesses")
+    assert(math.abs(out((5L, 6L))._2 - hubMix) < 1e-12)
+    assert(out((9L, 10L)) == ((2L, twoLn2)))
+  }
 }

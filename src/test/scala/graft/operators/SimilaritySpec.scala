@@ -269,6 +269,63 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     assert(recall >= 0.6, s"clustered knn-graph recall $recall")
   }
 
+  test("nnDescentGraph: ≤k edges per node, self excluded, rank-" +
+      "ordered; one refinement round beats the random init layer's " +
+      "recall on the clustered corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the knnGraph clustered corpus: 16 centers × 32 members
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+
+    val g = Similarity.nnDescentGraph(cemb).collect()
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    assert(bySrc.size == 512, "every node must appear as a src")
+    bySrc.foreach { case (src, es) =>
+      assert(es.length <= Similarity.KnnGraphK)
+      assert(!es.exists(_.getAs[Long]("neighbor_id") == src))
+      val byRank = es.sortBy(_.getAs[Long]("rank"))
+      val cosines = byRank.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    val brute = Similarity.bruteForceTopK(cemb, numQueries = 512)
+      .filter(col("rank") <= Similarity.KnnGraphK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val edges = rows.map(r =>
+        (r.getAs[Long]("src"), r.getAs[Long]("neighbor_id"))).toSet
+      edges.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recallOf(Similarity.nnDescentGraph(cemb, rounds = 1).collect())
+    val r2 = recallOf(g)
+    // baseline is the analytic chance floor of the random init layer:
+    // a uniform random edge hits a node's true top-5 with p = 5/511;
+    // each NoN round must contract toward the true graph
+    val chance = Similarity.KnnGraphK.toDouble / 511.0
+    info(f"nn-descent recall ladder: round1=$r1%.2f round2=$r2%.2f " +
+      f"(chance floor $chance%.3f)")
+    assert(r1 >= 10 * chance,
+      s"one NN-descent round should beat chance 10x: $r1")
+    assert(r2 > r1, s"round 2 must improve on round 1: $r2 <= $r1")
+    assert(r2 >= 0.5, s"two rounds on the clustered corpus: $r2")
+    // determinism: a second run is bit-identical
+    val g2 = Similarity.nnDescentGraph(cemb).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).toSet
+    assert(g2 == g.map(r => (r.getAs[Long]("src"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet)
+  }
+
   test("pcaWhiten: converged components (Rayleigh residual small), " +
       "near-orthogonal axes, ~unit whitened sample variance, and " +
       "BIT-identical output under any input partitioning") {
