@@ -1530,6 +1530,16 @@ object SparkEntry {
     "q202_adamic_adar" -> ((s, dir) =>
       operators.Graph.adamicAdar(Similarity.knnGraph(
         Similarity.embeddings(s, dir)))),
+    // kNN label-disagreement audit: modal neighbor vote vs own label
+    // — confident-learning-style mislabel detection.
+    "q203_label_suspects" -> ((s, dir) =>
+      Similarity.labelDisagreement(
+        Similarity.embeddingsLabeled(s, dir))),
+    // Single-changepoint detection: binary segmentation's first
+    // level — argmin split of the daily SSE via exact prefix sums.
+    "q204_changepoint" -> ((s, dir) =>
+      operators.EventsQueries.changepoint(
+        operators.EventsQueries.events(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1869,6 +1879,8 @@ object SparkEntry {
     "q200_boilerplate_strip" -> OracleSql.boilerplateStrip,
     "q201_nn_descent" -> OracleSql.nnDescentGraph,
     "q202_adamic_adar" -> OracleSql.adamicAdar,
+    "q203_label_suspects" -> OracleSql.labelDisagreement,
+    "q204_changepoint" -> OracleSql.changepoint,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

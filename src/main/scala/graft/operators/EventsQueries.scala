@@ -1312,4 +1312,66 @@ object EventsQueries {
         .when(col("z") <= -MkZCrit, "decreasing")
         .otherwise("none").as("trend"))
   }
+
+  /** Minimum SSE-reduction fraction for [[changepoint]] to call a
+    * split significant (strict >, so a zero-variance series never
+    * flags). */
+  val ChangepointGainFrac = 0.3
+
+  /** Single-changepoint detection per event type (q204) — the first
+    * level of binary segmentation (the classic CUSUM/PELT entry
+    * point): over the daily-cents series, the split t minimizing
+    * SSE_left + SSE_right, where each side's SSE comes from the
+    * variance identity SS − S²/n on exact-LONG prefix sums (the only
+    * doubles are the two fixed-order division formulas, identical in
+    * both engines). Reports the best split day, the no-split SSE,
+    * the split SSE, and whether the reduction clears
+    * [[ChangepointGainFrac]] — the did-the-metric-regime-shift table
+    * an on-call review reads next to q150's CUSUM alarms (CUSUM
+    * detects ONLINE with a reference value; this locates the single
+    * best breakpoint OFFLINE with no tuning).
+    *
+    * Scale design (100 TB): the event stream collapses to
+    * |types|×|days| rows in one map-side-combined aggregation;
+    * prefix sums are type-partitioned windows over that bounded
+    * frame (≤ 365 rows per partition key — never a global window);
+    * type totals broadcast back; the argmin is a struct-ordered MIN,
+    * not a sort. Daily cents² sums stay far inside LONG at any
+    * per-day volume a cents-valued metric reaches (10¹⁸ budget vs
+    * ~10¹³ at 10⁸ cents/day over a year). */
+  def changepoint(events: DataFrame,
+      gainFrac: Double = ChangepointGainFrac): DataFrame = {
+    val daily = events.select(col("event_type"),
+        expr("ts_ms DIV 86400000").as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val cum = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+    val totals = cum.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sn"),
+        sum(col("cents") * col("cents")).as("ssn"))
+    def d(c: Column) = c.cast("double")
+    val cand = cum.join(broadcast(totals), "event_type")
+      .filter(col("t") < col("n"))
+      .withColumn("cost",
+        (d(col("ss")) - d(col("s")) * d(col("s")) / d(col("t"))) +
+          (d(col("ssn") - col("ss")) -
+            d(col("sn") - col("s")) * d(col("sn") - col("s")) /
+              d(col("n") - col("t"))))
+    cand.groupBy(col("event_type"))
+      .agg(min(struct(col("cost"), col("t"), col("d"))).as("best"),
+        max(col("n")).as("n_days"),
+        max(d(col("ssn")) - d(col("sn")) * d(col("sn")) / d(col("n")))
+          .as("cost_nosplit"))
+      .select(col("event_type"), col("n_days"),
+        col("best.t").as("split_t"), col("best.d").as("split_day"),
+        col("cost_nosplit"), col("best.cost").as("cost_split"),
+        (col("cost_nosplit") - col("best.cost")).as("gain"),
+        ((col("cost_nosplit") - col("best.cost")) >
+          lit(gainFrac) * col("cost_nosplit")).as("significant"))
+  }
 }

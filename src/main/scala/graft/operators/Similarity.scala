@@ -932,6 +932,44 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** k-NN label-disagreement audit (q203) — confident-learning-style
+    * mislabel detection, the label-quality member of the curation
+    * family: a vector whose own label disagrees with the MODAL label
+    * of its k nearest neighbors is a mislabel suspect (or sits on a
+    * genuine class boundary — the audit table is what a human or a
+    * downstream filter triages). Modal vote ties break
+    * deterministically to the LOWEST label (max on (count, −label) —
+    * the house struct-ordering idiom, bit-identical to the oracle's
+    * ORDER BY cnt DESC, label ASC pick).
+    *
+    * Scale design (100 TB): rides [[knnGraph]]'s banded construction
+    * (no new candidate machinery); the vote table is ≤ k rows per
+    * node before the map-side-combined (src, label) rollup, labels
+    * join on the already-shuffled src key, and nothing touches the
+    * vectors after the graph exists. */
+  def labelDisagreement(embL: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val labels = embL.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val g = knnGraph(embL.select(col("vec_id"), col("v"), col("norm")),
+      k = k)
+    val votes = g
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), "neighbor_id")
+      .groupBy(col("src"), col("nbr_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val modal = votes.groupBy(col("src"))
+      .agg(max(struct(col("cnt"), (-col("nbr_label")).as("neg"))).as("m"),
+        sum(col("cnt")).as("n_nbrs"))
+      .select(col("src").as("vec_id"),
+        col("m.cnt").as("modal_count"),
+        (-col("m.neg")).as("modal_label"),
+        col("n_nbrs"))
+    modal.join(labels, "vec_id")
+      .select(col("vec_id"), col("label"), col("modal_label"),
+        col("modal_count"), col("n_nbrs"),
+        (col("label") =!= col("modal_label")).as("suspect"))
+  }
+
   /** Cross-corpus alignment mining (q119) — the bitext-mining recipe
     * of CCMatrix/LASER (Artetxe & Schwenk margin scoring): for every
     * vector of corpus X, its best corpus-Y match by the RATIO margin

@@ -2931,6 +2931,34 @@ GROUP BY u, w
 HAVING COUNT(*) >= $AdamicAdarMinCommon"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.labelDisagreement]]
+    * (q203) over the [[knnGraph]] edges: per-src neighbor-label
+    * votes, modal pick by (cnt DESC, label ASC), suspect = own label
+    * differs. */
+  def labelDisagreement: String =
+    s"""WITH g0 AS MATERIALIZED (
+$knnGraph
+), lab AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+), votes AS (
+  SELECT g0.src, lab.label AS nbr_label,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g0 JOIN lab ON lab.vec_id = g0.neighbor_id
+  GROUP BY g0.src, lab.label
+), tot AS (
+  SELECT src, CAST(SUM(cnt) AS BIGINT) AS n_nbrs
+  FROM votes GROUP BY src
+), modal AS (
+  SELECT src, nbr_label AS modal_label, cnt AS modal_count
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY src
+    ORDER BY cnt DESC, nbr_label ASC) = 1
+)
+SELECT m.src AS vec_id, lab.label, m.modal_label, m.modal_count,
+       t.n_nbrs, lab.label <> m.modal_label AS suspect
+FROM modal m JOIN tot t ON t.src = m.src
+             JOIN lab ON lab.vec_id = m.src"""
+
   /** Mirror of [[graft.operators.Graph.triangleCounts]] (q132): the
     * oracle enumerates triangles from the DEFINITION (id-ordered
     * u<v<w over the mutual undirected edge set — one triangle per
@@ -3915,6 +3943,56 @@ SELECT event_type, n_days, n_pairs, s_stat, var_s, zv AS z,
             WHEN zv <= -$MkZCrit THEN 'decreasing'
             ELSE 'none' END AS trend
 FROM z"""
+  }
+
+  /** Mirror of [[graft.operators.EventsQueries.changepoint]] (q204):
+    * same daily collapse, exact-LONG prefix sums, fixed-order SSE
+    * doubles, and (cost, t) argmin pick. */
+  def changepoint: String = {
+    import graft.operators.EventsQueries.ChangepointGainFrac
+    s"""WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 86400000 AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, (epoch_ns(ts) // 1000000) // 86400000
+), cum AS (
+  SELECT event_type, d, cents,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sn,
+         CAST(SUM(cents * cents) AS BIGINT) AS ssn
+  FROM daily GROUP BY event_type
+), cand AS (
+  SELECT c.event_type, c.t, c.d, tt.n,
+         (CAST(c.ss AS DOUBLE)
+            - CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE)
+              / CAST(c.t AS DOUBLE))
+         + (CAST(tt.ssn - c.ss AS DOUBLE)
+            - CAST(tt.sn - c.s AS DOUBLE) * CAST(tt.sn - c.s AS DOUBLE)
+              / CAST(tt.n - c.t AS DOUBLE)) AS cost,
+         CAST(tt.ssn AS DOUBLE)
+           - CAST(tt.sn AS DOUBLE) * CAST(tt.sn AS DOUBLE)
+             / CAST(tt.n AS DOUBLE) AS cost_nosplit
+  FROM cum c JOIN totals tt USING (event_type)
+  WHERE c.t < tt.n
+), best AS (
+  SELECT event_type, n AS n_days, t AS split_t, d AS split_day,
+         cost_nosplit, cost AS cost_split
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY event_type
+    ORDER BY cost ASC, t ASC) = 1
+)
+SELECT event_type, n_days, split_t, split_day, cost_nosplit,
+       cost_split, cost_nosplit - cost_split AS gain,
+       (cost_nosplit - cost_split) > $ChangepointGainFrac * cost_nosplit
+         AS significant
+FROM best"""
   }
 
   /** Mirror of [[graft.operators.RelationalQueries.rfmSegments]]

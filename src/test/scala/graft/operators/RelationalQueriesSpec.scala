@@ -1109,4 +1109,39 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
       c.getAs[Double]("z")) < 1e-12)
     assert(a.getAs[Double]("z") == 9.0 / math.sqrt(300.0 / 18.0))
   }
+
+  test("changepoint: a planted level shift is located exactly with " +
+      "zero residual SSE; a constant series never flags; noise " +
+      "without a shift stays under the gain gate") {
+    import spark.implicits._
+    def ev(id: Long, t: String, day: Long, v: Double) =
+      (1L, day * 86400000L + 1000L, id, t, v)
+    // A: 4 days at 1.00 then 4 days at 9.00 -> split at t=4 (day 3),
+    //    cost_split = 0, cost_nosplit = 8 * 4² = 128 (cents² = 160000·8)
+    // B: constant -> cost_nosplit = 0, significant must be FALSE
+    // C: alternating 1/2 -> best split trims variance < 30%
+    val rows =
+      (0 until 8).map(d => ev(d, "A", d, if (d < 4) 1.0 else 9.0)) ++
+      (0 until 8).map(d => ev(10 + d, "B", d, 5.0)) ++
+      (0 until 8).map(d => ev(20 + d, "C", d, 1.0 + (d % 2)))
+    val events = rows
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = graft.operators.EventsQueries.changepoint(events)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("split_t") == 4L)
+    assert(a.getAs[Long]("split_day") == 3L)
+    assert(a.getAs[Double]("cost_split") == 0.0)
+    // no-split SSE of {100×4, 900×4}: mean 500, 8·400² = 1,280,000
+    assert(a.getAs[Double]("cost_nosplit") == 1280000.0)
+    assert(a.getAs[Boolean]("significant"))
+    val b = out("B")
+    assert(b.getAs[Double]("cost_nosplit") == 0.0)
+    assert(!b.getAs[Boolean]("significant"),
+      "zero-variance series must not flag")
+    val c = out("C")
+    assert(!c.getAs[Boolean]("significant"),
+      s"alternating noise flagged: gain ${c.getAs[Double]("gain")} " +
+        s"of ${c.getAs[Double]("cost_nosplit")}")
+  }
 }

@@ -326,6 +326,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet)
   }
 
+  test("labelDisagreement: a planted label flip is the ONLY suspect " +
+      "on a two-cluster corpus; its neighbors survive the poisoned " +
+      "vote; modal ties break to the lowest label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    var x = 7L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(2, 64)(unif())
+    // 2 tight clusters x 20, labels = cluster id; vec 5's label
+    // flipped to 1 while it sits in cluster 0
+    val rows = for (c <- 0 until 2; m <- 0 until 20) yield {
+      val id = (c * 20 + m).toLong
+      val lbl = if (id == 5L) 1L else c.toLong
+      (id, lbl, centers(c).map(_ + 0.1 * unif()).toSeq)
+    }
+    val embL = rows.toDF("vec_id", "label", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val out = Similarity.labelDisagreement(embL).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("label"), r.getAs[Long]("modal_label"),
+          r.getAs[Boolean]("suspect")))).toMap
+    assert(out(5L) == ((1L, 0L, true)), s"planted flip: ${out(5L)}")
+    assert(out.filter(_._2._3).keySet == Set(5L),
+      s"only the planted flip may be suspect: ${out.filter(_._2._3)}")
+    // every clean vector's modal label equals its own
+    out.filterNot(_._1 == 5L).foreach { case (id, (own, modal, _)) =>
+      assert(own == modal, s"vec $id modal $modal != own $own")
+    }
+  }
+
   test("pcaWhiten: converged components (Rayleigh residual small), " +
       "near-orthogonal axes, ~unit whitened sample variance, and " +
       "BIT-identical output under any input partitioning") {
