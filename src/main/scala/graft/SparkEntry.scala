@@ -1540,6 +1540,48 @@ object SparkEntry {
     "q204_changepoint" -> ((s, dir) =>
       operators.EventsQueries.changepoint(
         operators.EventsQueries.events(s, dir))),
+    // JL hash-sign projection: zero-training 4x dimensionality
+    // reduction, row-local codegen'd dots against literal signs.
+    "q205_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(Similarity.embeddings(s, dir))),
+    // STREAMING boilerplate strip (q200's twin): per-digest deferred
+    // finality — occurrences withheld until the df cap is crossed,
+    // then flushed as cuts; order-independent batch parity, graded
+    // against q200's own oracle.
+    "q206_stream_boilerplate" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-boiler-q206")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q206_cuts")
+      val q = streaming.StreamingDedup.paragraphBoilerplateCuts(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q206_cuts").start()
+      try q.processAllAvailable() finally q.stop()
+      val paras = Dedup.paragraphHashes(Dedup.paragraphBase(docs))
+      val kept = paras
+        .join(s.table("graft_q206_cuts"), Seq("doc_id", "pos"),
+          "left_anti")
+        .select(col("doc_id"), col("pos"))
+      Dedup.paragraphRebuild(Dedup.paragraphBase(docs), kept)
+    }),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1881,6 +1923,9 @@ object SparkEntry {
     "q202_adamic_adar" -> OracleSql.adamicAdar,
     "q203_label_suspects" -> OracleSql.labelDisagreement,
     "q204_changepoint" -> OracleSql.changepoint,
+    "q205_jl_project" -> OracleSql.jlProject,
+    // the streaming twin must converge to the identical batch strip
+    "q206_stream_boilerplate" -> OracleSql.boilerplateStrip,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -932,6 +932,46 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** JL output dimension (q205): 64 → 16, the 4× first-pass
+    * compression. */
+  val JlOutDim = 16
+
+  /** The ±1 JL sign matrix [out dim][in dim] — Knuth-hash parity of
+    * the flattened index, generated once in Scala and inlined as
+    * literals on BOTH engines (the dedupPlanes discipline), so there
+    * is no runtime randomness anywhere. */
+  lazy val jlSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until JlOutDim).map(j => (0 until Dim).map { i =>
+      if ((((i * JlOutDim + j) * Sampling.HashMult) / 1048576) % 2 == 0)
+        1.0
+      else -1.0
+    })
+
+  /** Johnson–Lindenstrauss random projection (q205, Achlioptas-style
+    * ±1 signs) — the ZERO-TRAINING dimensionality reducer
+    * complementing [[pcaWhiten]] (q115, which needs a moments pass)
+    * and [[signBits]]-style 1-bit sketches (q8/q121, which keep only
+    * angles): p_j = ⟨v, s_j⟩/√k with s_j the deterministic hash-sign
+    * rows, preserving pairwise geometry in expectation (the JL
+    * lemma) with no pass over the data, no codebook, and no state —
+    * the first-stage compressor a 100 TB embedding pipeline runs
+    * BEFORE anything trained, because it works on day one and never
+    * drifts. Dot products ride the codegen'd sequential-fold
+    * [[DotProduct]] against literal sign arrays; √k = 4 exactly, so
+    * the one division is a power-of-two scale, bit-identical in the
+    * mirror.
+    *
+    * Scale design (100 TB): strictly row-local — one projection per
+    * row inside whole-stage codegen, zero shuffles, composes with
+    * any downstream banding/IVF over the 4×-smaller vectors. */
+  def jlProject(emb: DataFrame): DataFrame = {
+    val scale = math.sqrt(JlOutDim.toDouble)
+    emb.select(col("vec_id") +: (0 until JlOutDim).map { j =>
+      (dot(col("v"), array(jlSigns(j).map(lit): _*)) / scale)
+        .as(s"p${j + 1}")
+    }: _*)
+  }
+
   /** k-NN label-disagreement audit (q203) — confident-learning-style
     * mislabel detection, the label-quality member of the curation
     * family: a vector whose own label disagrees with the MODAL label

@@ -2931,6 +2931,29 @@ GROUP BY u, w
 HAVING COUNT(*) >= $AdamicAdarMinCommon"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.jlProject]] (q205): the
+    * SAME Scala-generated ±1 sign rows inlined as list literals (the
+    * dedupPlanes discipline), the same sequential-fold dot and the
+    * single √k division. */
+  def jlProject: String = {
+    import graft.operators.Similarity.{JlOutDim, jlSigns}
+    val cols = (0 until JlOutDim).map { j =>
+      val s = jlSigns(j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"${fsumSql(s"list_transform(range(1, ${SimilarityParams.Dim + 1}), " +
+        s"i -> $s[i] * v[i])")} / ${math.sqrt(JlOutDim.toDouble)} " +
+        s"AS p${j + 1}"
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       $cols
+FROM e"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.labelDisagreement]]
     * (q203) over the [[knnGraph]] edges: per-src neighbor-label
     * votes, modal pick by (cnt DESC, label ASC), suspect = own label

@@ -427,6 +427,59 @@ object StreamingDedup {
       }
   }
 
+  final case class ParaCut(doc_id: Long, pos: Int)
+
+  /** Per-digest boilerplate state: occurrences seen so far, and the
+    * ≤ dfCap occurrences still withheld pending the verdict. */
+  final case class BoilerState(count: Long, pending: Seq[ParaCut])
+
+  /** STREAMING boilerplate-paragraph cuts (q206) — the twin of
+    * [[graft.operators.Dedup.boilerplateStrip]] (q200), and the
+    * deferred-finality member of the streaming dedup family: a
+    * paragraph's verdict depends on its FINAL corpus df, which no
+    * prefix of the stream knows, so the state machine WITHHOLDS a
+    * digest's occurrences while its running count is ≤ dfCap and
+    * flushes them all (plus every later arrival immediately) the
+    * moment the count crosses — the emitted stream is the CUT list,
+    * and kept = all paragraphs minus cuts. Unlike q183's
+    * first-arrival caveat, this parity is ORDER-INDEPENDENT: the
+    * final cut set is "every occurrence of a digest whose total
+    * count exceeds the cap", a pure function of the multiset, so any
+    * wave order converges to the batch q200 cut set exactly
+    * (spec-pinned under a shuffled ingest).
+    *
+    * State bound: ≤ dfCap withheld rows + one counter per distinct
+    * digest — smaller than q183's canonical table for the same
+    * corpus once a digest crosses (pending clears and never
+    * refills). */
+  def paragraphBoilerplateCuts(docs: DataFrame,
+      dfCap: Long = Dedup.BoilerplateDfCap): Dataset[ParaCut] = {
+    import docs.sparkSession.implicits._
+    Dedup.paragraphHashes(Dedup.paragraphBase(docs))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BoilerState, ParaCut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Int, String)],
+            state: GroupState[BoilerState]) =>
+          val prev = state.getOption.getOrElse(BoilerState(0L, Nil))
+          var count = prev.count
+          var pending = prev.pending
+          val out = Seq.newBuilder[ParaCut]
+          for ((d, p, _) <- rows) {
+            count += 1
+            val cut = ParaCut(d, p)
+            if (count <= dfCap) pending = pending :+ cut
+            else {
+              if (pending.nonEmpty) { out ++= pending; pending = Nil }
+              out += cut
+            }
+          }
+          state.update(BoilerState(count, pending))
+          out.result().iterator
+      }
+  }
+
   final case class ShingleClaim(hsh: Long, first_doc: Long)
 
   /** STREAMING n-gram first-occurrence claims (q191) — the streaming

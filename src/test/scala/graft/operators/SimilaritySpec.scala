@@ -326,6 +326,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet)
   }
 
+  test("jlProject: norms preserved in expectation (JL lemma), sign " +
+      "matrix balanced, projection exactly linear") {
+    import org.apache.spark.sql.functions._
+    // the ±1 matrix should be near-balanced per output row
+    Similarity.jlSigns.foreach { row =>
+      val pos = row.count(_ > 0)
+      assert(pos >= 20 && pos <= 44, s"degenerate sign row: $pos of 64")
+    }
+    val out = Similarity.jlProject(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (1 to Similarity.JlOutDim).map(k => r.getAs[Double](s"p$k")))
+      .toMap
+    val norms = emb.select(col("vec_id"), col("norm")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("norm")).toMap
+    assert(out.size == norms.size)
+    val ratios = out.map { case (id, p) =>
+      val pn2 = p.map(x => x * x).sum
+      pn2 / (norms(id) * norms(id))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15,
+      f"E[|Pv|^2/|v|^2] should be ~1, got $mean%.3f")
+    // linearity: P(2v) = 2 P(v) bit-exactly (the projection is one
+    // fold of v against constant signs, scaled once)
+    val doubled = Similarity.jlProject(
+      emb.withColumn("v", org.apache.spark.sql.functions.transform(
+        col("v"), x => x * 2.0)))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (1 to Similarity.JlOutDim).map(k => r.getAs[Double](s"p$k")))
+      .toMap
+    out.foreach { case (id, p) =>
+      p.zip(doubled(id)).foreach { case (a, b) =>
+        assert(b == 2.0 * a, s"vec $id not linear: $b vs ${2 * a}")
+      }
+    }
+  }
+
   test("labelDisagreement: a planted label flip is the ONLY suspect " +
       "on a two-cluster corpus; its neighbors survive the poisoned " +
       "vote; modal ties break to the lowest label") {

@@ -382,4 +382,54 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(streamed == Set((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
       (5L, 2L, 1L, 0.5)))
   }
+
+  test("streaming boilerplate cuts == batch strip, ORDER-independent: " +
+      "withheld occurrences flush when the df cap crosses, rare " +
+      "paragraphs never emit, reversed ingest converges identically") {
+    // paragraph a occurs 3x (> cap 2, spread over waves), d occurs
+    // 2x (== cap, must NEVER emit), b/c unique
+    def para(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val (pa, pb, pc, pd) = (para("a"), para("b"), para("c"), para("d"))
+    val docs = Seq((1L, s"$pa $pb"), (2L, s"$pa $pc"),
+      (3L, s"$pa $pd"), (4L, s"$pd $pb"))
+    val batchCuts = Set((1L, 0), (2L, 0), (3L, 0)) // a's three copies
+
+    def run(waves: Seq[Seq[(Long, String)]], name: String)
+        : Set[(Long, Int)] = {
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingDedup.paragraphBoilerplateCuts(
+          ms.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("boiler-cp").toString)
+        .format("memory").queryName(name).start()
+      waves.foreach { w => ms.addData(w: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    // ascending: copies 1+2 withheld in wave 1, flushed by wave 2's
+    // third copy
+    val asc = run(Seq(docs.take(2), docs.drop(2)), "boiler_asc")
+    assert(asc == batchCuts, s"ascending: $asc")
+    // reversed wave order: SAME final cut set — df is a multiset
+    // property, the parity carries no first-arrival caveat
+    val desc = run(Seq(docs.drop(2), docs.take(2)), "boiler_desc")
+    assert(desc == batchCuts, s"reversed: $desc")
+    // kept = everything minus cuts reproduces the batch strip
+    val stripped = graft.operators.Dedup
+      .boilerplateStrip(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val base = graft.operators.Dedup
+      .paragraphBase(docs.toDF("doc_id", "text"))
+    val paras = graft.operators.Dedup.paragraphHashes(base)
+    val kept = paras.collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .filterNot(asc.contains)
+    import org.apache.spark.sql.functions.col
+    val rebuilt = graft.operators.Dedup.paragraphRebuild(base,
+        kept.toSeq.toDF("doc_id", "pos")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(rebuilt == stripped)
+  }
 }
