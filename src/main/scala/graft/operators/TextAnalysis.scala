@@ -85,6 +85,16 @@ object TextAnalysis {
         (col("n_stopwords").cast("double") / col("n_tokens"))
           .as("stopword_ratio"))
 
+  /** Row-local exact stopword hit count over the raw text — the
+    * LONG numerator behind textStats' ratio, reused as the q208 UCB
+    * reward (exact integers so per-source means are one fixed-order
+    * division, never a shuffle-ordered double sum). */
+  def stopwordHitsCol(text: Column): Column = {
+    val w = split(text, " ")
+    size(filter(w, t => array_contains(arrLit(stopwords), t)))
+      .cast("long")
+  }
+
   /** Row-local per-profile language score (stopword match ratio) —
     * shared by [[langId]] and [[langGuessCol]]. */
   def langScoreCol(text: Column, words: Seq[String]): Column = {
@@ -109,6 +119,46 @@ object TextAnalysis {
         val isMax = later.map(c => scores(code) >= scores(c)).reduce(_ && _)
         when(isMax, code).otherwise(elseCol)
     }
+  }
+
+  /** Code-switch / mixed-language audit (q207) — the
+    * paragraph-grained refinement of [[langId]]'s document verdict:
+    * real crawl documents interleave languages (quoted sources,
+    * boilerplate in a site's language around content in another),
+    * and a document-level language id silently mislabels them, so
+    * multilingual curation pipelines segment FIRST and route
+    * paragraphs separately. Every width-[[graft.operators.Dedup.ParaWords]]
+    * paragraph gets the shared [[langGuessCol]] verdict; the
+    * document reports its modal paragraph language (ties to the
+    * lexicographically first code via min on (−count, lang)), the
+    * dissenting-paragraph count, and the is_mixed flag a router
+    * branches on.
+    *
+    * Scale design (100 TB): the paragraph explode and per-paragraph
+    * guess are row-local (the CASE tree evaluates inside the same
+    * projection — no per-language scans); the only exchange is the
+    * map-side-combined (doc_id, lang) vote rollup, ≤ |langs| rows
+    * per document, followed by the |docs|-row modal pick. */
+  def codeSwitchAudit(docs: DataFrame): DataFrame = {
+    val P = Dedup.ParaWords
+    val base = Dedup.paragraphBase(docs)
+    val paras = base.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, CAST(n_paras AS INT) - 1),
+           |  i -> array_join(slice(w, $P * i + 1, $P), ' '))"""
+          .stripMargin)).as(Seq("pos", "ptext")))
+    val votes = paras
+      .select(col("doc_id"), langGuessCol(col("ptext")).as("plang"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("cnt"))
+    votes.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("plang"))).as("m"),
+        sum(col("cnt")).as("n_paras"))
+      .select(col("doc_id"), col("n_paras"),
+        col("m.plang").as("modal_lang"),
+        (-col("m.neg")).as("n_modal"),
+        (col("n_paras") + col("m.neg")).as("n_other"),
+        (col("n_paras") + col("m.neg") > 0L).as("is_mixed"))
   }
 
   /** Stopword-profile language id: per-language match ratio, winner

@@ -1287,6 +1287,86 @@ SELECT doc_id, ${codes.map(c => s"score_$c").mkString(", ")},
 FROM scored"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.ucbAllocation]] (q208):
+    * exact-LONG reward sums, single-division mean, the same
+    * √(c·ln N/n) bonus chain, struct-max arm pick. */
+  def ucbAllocation: String = {
+    import graft.operators.Sampling.UcbC
+    val lst = sqlList(TextAnalysis.stopwords)
+      .replace("(", "[").replace(")", "]")
+    s"""WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '),
+           t -> list_contains($lst, t))) AS BIGINT) AS sw,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+  FROM documents
+), stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(sw) AS BIGINT) AS sw, CAST(SUM(tk) AS BIGINT) AS tk
+  FROM d GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM stats
+), scored AS (
+  SELECT source, n_docs, sw, tk,
+         CAST(sw AS DOUBLE) / CAST(tk AS DOUBLE) AS mean_reward,
+         sqrt($UcbC * ln(CAST(n_total AS DOUBLE))
+           / CAST(n_docs AS DOUBLE)) AS bonus,
+         CAST(sw AS DOUBLE) / CAST(tk AS DOUBLE)
+           + sqrt($UcbC * ln(CAST(n_total AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) AS ucb
+  FROM stats CROSS JOIN tot
+), best AS (
+  SELECT ucb AS bu, source AS bs FROM scored
+  QUALIFY row_number() OVER (ORDER BY ucb DESC, source DESC) = 1
+)
+SELECT source, n_docs, sw, tk, mean_reward, bonus, ucb,
+       (ucb = best.bu AND source = best.bs) AS chosen
+FROM scored CROSS JOIN best"""
+  }
+
+  /** Mirror of [[TextAnalysis.codeSwitchAudit]] (q207): the same
+    * paragraph split, per-paragraph stopword-profile guess CASE, and
+    * (cnt DESC, lang ASC) modal pick. */
+  def codeSwitchAudit: String = {
+    import graft.operators.Dedup.{ParaWords => P}
+    val scoreOf = TextAnalysis.langProfiles.map { case (code, words) =>
+      val lst = sqlList(words).replace("(", "[").replace(")", "]")
+      code -> (s"(CAST(len(list_filter(pw, t -> " +
+        s"list_contains($lst, t))) AS DOUBLE) / len(pw))")
+    }.toMap
+    val codes = TextAnalysis.langProfiles.map(_._1)
+    val guess = codes.init.zipWithIndex.map { case (code, i) =>
+      val cond = codes.drop(i + 1)
+        .map(c => s"${scoreOf(code)} >= ${scoreOf(c)}").mkString(" AND ")
+      s"WHEN $cond THEN '$code'"
+    }.mkString("CASE ", " ", s" ELSE '${codes.last}' END")
+    s"""WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, w, (len(w) + ${P - 1}) // $P AS n_paras FROM b
+), p AS (
+  SELECT doc_id,
+         string_split(array_to_string(
+           list_slice(w, $P * i + 1, $P * i + $P), ' '), ' ') AS pw
+  FROM base, LATERAL (SELECT unnest(range(0, n_paras)) AS i) t
+), votes AS (
+  SELECT doc_id, ($guess) AS plang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p GROUP BY doc_id, ($guess)
+), modal AS (
+  SELECT doc_id, plang AS modal_lang, cnt AS n_modal
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+    ORDER BY cnt DESC, plang ASC) = 1
+), tot AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_paras
+  FROM votes GROUP BY doc_id
+)
+SELECT m.doc_id, t.n_paras, m.modal_lang, m.n_modal,
+       t.n_paras - m.n_modal AS n_other,
+       t.n_paras - m.n_modal > 0 AS is_mixed
+FROM modal m JOIN tot t USING (doc_id)"""
+  }
+
   /** Mirror of [[TextAnalysis.simhashDups]]:
     * [[TextAnalysis.SimHashBits]]-bit SimHash (60),
     * [[TextAnalysis.SimBands]]×[[TextAnalysis.BandBits]]-bit bands

@@ -487,4 +487,30 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(r1(0).getAs[Double]("alloc_tokens") == 4.0)
     assert(r1(0).getAs[Double]("epochs") == 0.5)
   }
+
+  test("ucbAllocation: exact rewards, exploration bonus shrinks " +
+      "with plays, an under-sampled mediocre arm can beat a " +
+      "well-sampled good one, exactly one arm chosen") {
+    // hi: 8 docs, reward 0.5 (2 stopword hits of 4 tokens)
+    // rare: 1 doc, reward 0.25 — but n=1 gives a huge bonus
+    val docs = ((1 to 8).map(i =>
+      (i.toLong, "hi", "the cat the dog")) :+
+      (100L, "rare", "the cat sat still"))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.ucbAllocation(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val hi = rows("hi"); val rare = rows("rare")
+    assert(hi.getAs[Double]("mean_reward") == 0.5)
+    assert(rare.getAs[Double]("mean_reward") == 0.25)
+    // bonuses: sqrt(2 ln 9 / n)
+    assert(hi.getAs[Double]("bonus") ==
+      math.sqrt(2.0 * math.log(9.0) / 8.0))
+    assert(rare.getAs[Double]("bonus") ==
+      math.sqrt(2.0 * math.log(9.0) / 1.0))
+    // the rare arm's exploration bonus wins the draw
+    assert(rare.getAs[Double]("ucb") > hi.getAs[Double]("ucb"))
+    assert(rare.getAs[Boolean]("chosen") &&
+      !hi.getAs[Boolean]("chosen"))
+    assert(rows.values.count(_.getAs[Boolean]("chosen")) == 1)
+  }
 }

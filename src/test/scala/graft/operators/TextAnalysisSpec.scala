@@ -602,4 +602,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("n_types_kept") == 7L)
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
+
+  test("codeSwitchAudit: a German paragraph inside an English doc " +
+      "flags is_mixed with modal en; monolingual docs stay clean; " +
+      "the minority language is counted exactly") {
+    import spark.implicits._
+    // width-8 paragraphs: stopword-dense so the guess is unambiguous
+    val en = "the cat and the dog of the house"
+    val en2 = "it is a fine day for the walk"
+    val de = "der hund und die katze ist nicht da"
+    val docs = Seq(
+      (1L, s"$en $en2 $de"), // 3 paras: en en de -> mixed, modal en
+      (2L, s"$en $en2"),     // monolingual en
+      (3L, de))              // monolingual de
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitchAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[String]("modal_lang"),
+          r.getAs[Long]("n_modal"), r.getAs[Long]("n_other"),
+          r.getAs[Boolean]("is_mixed")))).toMap
+    assert(out(1L) == ((3L, "en", 2L, 1L, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, "en", 2L, 0L, false)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, "de", 1L, 0L, false)), s"doc3: ${out(3L)}")
+  }
 }
