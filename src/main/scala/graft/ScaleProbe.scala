@@ -765,6 +765,33 @@ object ScaleProbe {
         knn.unpersist(); emb.unpersist()
         spark.catalog.clearCache()
       }
+      // NN-descent construction: every stage is a bounded self-join
+      // (init k spokes/node, (2k)² 2-hop fan-out/node), so the curve
+      // must track n·k² linearly — no LSH width to scale, the whole
+      // point of the operator
+      if (wanted("nn_descent")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        emb.count()
+        time(factor, "nn_descent")(Similarity.nnDescentGraph(emb))
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // Adamic-Adar over the prebuilt kNN graph (build untimed, like
+      // triangles): the 2-hop frame is (2k)²-bounded per node and
+      // the pair agg map-side combines — linear in edge count
+      if (wanted("adamic_adar")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val w = math.max(SimilarityParams.DedupBitsPerBand,
+          (math.log(n / 16.0) / math.log(2)).ceil.toInt)
+        val knn = Similarity.knnGraph(emb, bitsPerBand = w)
+          .select(col("src"), col("neighbor_id")).persist()
+        knn.count()
+        time(factor, "adamic_adar")(
+          graft.operators.Graph.adamicAdar(knn))
+        knn.unpersist(); emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // event-stream analytics: user count scales with the factor
       // (events per user constant) — every operator here is
       // user-partitioned windows + bounded aggs, so each curve must

@@ -1590,6 +1590,10 @@ object SparkEntry {
     // exploration bonus, deterministic argmax arm.
     "q208_ucb_mixture" -> ((s, dir) =>
       operators.Sampling.ucbAllocation(documents(s, dir))),
+    // PRF query expansion: feedback docs -> idf-damped expansion
+    // terms -> BM25 re-run over the expanded vocabulary.
+    "q209_prf_expansion" -> ((s, dir) =>
+      TextAnalysis.prfExpandedTopDocs(documents(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1936,6 +1940,7 @@ object SparkEntry {
     "q206_stream_boilerplate" -> OracleSql.boilerplateStrip,
     "q207_code_switch" -> OracleSql.codeSwitchAudit,
     "q208_ucb_mixture" -> OracleSql.ucbAllocation,
+    "q209_prf_expansion" -> OracleSql.prfExpandedTopDocs,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -4580,6 +4580,92 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k"""
 SELECT doc_id, n_terms_hit, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.prfExpandedTopDocs]]
+    * (q209): base retrieval as the embedded q83 pipeline at feedback
+    * depth, doc_id-ordered feedback fold, idf-damped expansion pick
+    * (w DESC, term ASC), then the full BM25 re-run over the expanded
+    * vocabulary AS A TABLE. */
+  def prfExpandedTopDocs: String = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25Query,
+      Bm25TopK, PrfFbDocs, PrfFbTerms, WordPattern}
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH fb AS (
+  SELECT doc_id FROM (
+${bm25Body(PrfFbDocs)}
+  )
+), tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '$WordPattern')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$WordPattern'))
+              AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), tfall AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), fbtf AS (
+  SELECT t.doc_id, t.term, t.tf, dl.dl
+  FROM tfall t JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+  WHERE t.term NOT IN ($terms)
+), wraw AS (
+  SELECT term,
+         list_reduce(list_prepend(0.0,
+           list(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+                ORDER BY doc_id)),
+           (a, b) -> a + b) AS fbw
+  FROM fbtf GROUP BY term
+), dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tfall WHERE term IN (SELECT term FROM wraw)
+  GROUP BY term
+), expansion AS (
+  SELECT term FROM (
+    SELECT w.term,
+           ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                     + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) * w.fbw
+             AS w
+    FROM wraw w JOIN dfc d USING (term) CROSS JOIN stats n
+  )
+  QUALIFY row_number() OVER (ORDER BY w DESC, term ASC)
+    <= $PrfFbTerms
+), qterms AS (
+  SELECT term FROM expansion
+  UNION
+  SELECT unnest([$terms]) AS term
+), tf2 AS (
+  SELECT t.doc_id, t.term, t.tf, dl.dl
+  FROM tfall t JOIN qterms USING (term) JOIN dl USING (doc_id)
+), df2 AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf2 GROUP BY term
+), contrib AS (
+  SELECT tf2.doc_id,
+         ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(df2.df AS DOUBLE)
+                   + 0.5) / (CAST(df2.df AS DOUBLE) + 0.5))
+         * (CAST(tf2.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         / (CAST(tf2.tf AS DOUBLE)
+            + $Bm25K1 * (${1.0 - Bm25B}
+                         + $Bm25B * CAST(tf2.dl AS DOUBLE) / n.avgdl))
+           AS c
+  FROM tf2 JOIN df2 USING (term) CROSS JOIN stats n
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         SUM(c) AS score
+  FROM contrib GROUP BY doc_id
+), r AS (
+  SELECT doc_id, n_terms_hit, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, n_terms_hit, score, rank FROM r
+WHERE rank <= $Bm25TopK"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.bm25TopDocsMulti]]
     * (q89): the query set as a VALUES table, tf filtered to the UNION
     * vocabulary, df/N/avgdl shared across queries (they are corpus

@@ -603,6 +603,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
 
+  test("prfExpandedTopDocs: the expansion retrieves a document the " +
+      "original query cannot see; idf damping beats raw feedback " +
+      "frequency; base ranking order is deterministic") {
+    import spark.implicits._
+    // feedback docs carry 'alpha' (the query) plus the true topic
+    // term 'beta' and one unique filler each; doc 50 is beta-only —
+    // invisible to the base query, reachable only via expansion
+    val docs = ((1 to 10).map(i => (i.toLong, s"alpha beta f$i")) :+
+      (50L, "beta beta beta beta")) ++
+      (60 to 79).map(i => (i.toLong, "gamma delta"))
+    val frame = docs.toDF("doc_id", "text")
+    val base = TextAnalysis.bm25TopDocs(frame, Seq("alpha"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!base.contains(50L), "beta-only doc visible to base query")
+    val prf = TextAnalysis.prfExpandedTopDocs(frame, Seq("alpha"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(prf.contains(50L),
+      s"expansion must surface the beta-only doc: ${prf.keySet}")
+    // the feedback docs themselves still rank (they match both terms)
+    (1 to 10).foreach(i => assert(prf.contains(i.toLong)))
+    // beta-only doc matches exactly one term of the expanded query
+    assert(prf(50L).getAs[Long]("n_terms_hit") == 1L)
+    // feedback docs hit alpha + beta (+ maybe their own filler if it
+    // made the expansion cut)
+    assert(prf(1L).getAs[Long]("n_terms_hit") >= 2L)
+    // determinism: two runs bit-identical
+    val again = TextAnalysis.prfExpandedTopDocs(frame, Seq("alpha"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("score"))).toSet
+    assert(again == prf.values.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("rank"), r.getAs[Double]("score"))).toSet)
+  }
+
   test("codeSwitchAudit: a German paragraph inside an English doc " +
       "flags is_mixed with modal en; monolingual docs stay clean; " +
       "the minority language is counted exactly") {
