@@ -1594,6 +1594,10 @@ object SparkEntry {
     // terms -> BM25 re-run over the expanded vocabulary.
     "q209_prf_expansion" -> ((s, dir) =>
       TextAnalysis.prfExpandedTopDocs(documents(s, dir))),
+    // Rocchio dense feedback: query moved toward the feedback
+    // centroid (alpha q + beta mean F), corpus re-ranked.
+    "q210_rocchio_dense" -> ((s, dir) =>
+      Similarity.rocchioDenseTopK(Similarity.embeddings(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1941,6 +1945,7 @@ object SparkEntry {
     "q207_code_switch" -> OracleSql.codeSwitchAudit,
     "q208_ucb_mixture" -> OracleSql.ucbAllocation,
     "q209_prf_expansion" -> OracleSql.prfExpandedTopDocs,
+    "q210_rocchio_dense" -> OracleSql.rocchioDenseTopK,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -145,7 +145,7 @@ object Similarity {
     * and the q50 spec pins operator≡window equality. Falls back to
     * the window plan when the session lacks GraftExtensions (the
     * strategy would not plan the node). */
-  private def topK(scored: DataFrame): DataFrame = {
+  private def topK(scored: DataFrame, k: Int = TopK): DataFrame = {
     val slim = scored.select(col("query_id"), col("vec_id"), col("cosine"))
     val extensionsActive = scored.sparkSession.sessionState.planner
       .extraPlanningStrategies
@@ -153,12 +153,12 @@ object Similarity {
     val ranked =
       if (extensionsActive)
         org.apache.spark.sql.graft.TopK.perGroup(slim, Seq("query_id"),
-          Seq("cosine" -> false, "vec_id" -> true), TopK)
+          Seq("cosine" -> false, "vec_id" -> true), k)
       else slim
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
-        .filter(col("rank") <= TopK)
+        .filter(col("rank") <= k)
     ranked.select(col("query_id"), col("vec_id").as("neighbor_id"),
       col("rank"), col("cosine"))
   }
@@ -172,6 +172,62 @@ object Similarity {
     topK(broadcast(queries(emb, numQueries)).crossJoin(emb)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine))
+
+  /** Rocchio knobs (q210): feedback depth and the classic
+    * original-vs-centroid mix (α = 1, β = 0.75). */
+  val RocchioFbK = 10
+  val RocchioAlpha = 1.0
+  val RocchioBeta = 0.75
+
+  /** Rocchio dense-vector relevance feedback (q210) — q209's DENSE
+    * twin, completing the feedback pair: retrieve [[RocchioFbK]]
+    * feedback vectors per query (exact cosine — but the arithmetic
+    * is index-agnostic: a production loop feeds it from IVF/LSH
+    * probes), move the query toward their centroid, q′ = α·q +
+    * β·mean(F), and re-rank the corpus against q′ — the
+    * embedding-space "more like these" refinement every dense
+    * retrieval stack ships. The centroid folds element-wise over
+    * feedback vectors SORTED by vec_id (ordered-fold FP discipline);
+    * q′, its norm, and the re-scoring cosine are fixed-order
+    * expression chains mirrored exactly.
+    *
+    * Scale design (100 TB): per-query feedback is k rows (broadcast
+    * back as a |Q|·k frame); the centroid is one bounded aggregation
+    * per query; the re-rank pass has exactly the q9 brute shape —
+    * |Q| adjusted vectors broadcast against the corpus, top-k through
+    * the TopKPerGroup heap operator — and swaps to any indexed
+    * probe (q20/q88) unchanged when |Q| grows. */
+  def rocchioDenseTopK(emb0: DataFrame, fbK: Int = RocchioFbK,
+      alpha: Double = RocchioAlpha, beta: Double = RocchioBeta,
+      numQueries: Int = NumQueryVectors): DataFrame = {
+    val emb = emb0
+    val dim = SimilarityParams.Dim
+    val fb = topK(broadcast(queries(emb, numQueries)).crossJoin(emb)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine), k = fbK)
+      .select(col("query_id"), col("neighbor_id"))
+    val fbVecs = fb.join(emb.select(col("vec_id").as("neighbor_id"),
+      col("v").as("fv")), "neighbor_id")
+    val centroids = fbVecs.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("neighbor_id"),
+        col("fv")))).as("fvs"))
+      .select(col("query_id"),
+        transform(
+          aggregate(col("fvs"),
+            array_repeat(lit(0.0), dim),
+            (acc, x) => zip_with(acc, x.getField("fv"),
+              (a, b) => a + b)),
+          s => s / size(col("fvs"))).as("c"))
+    val adjusted = queries(emb, numQueries)
+      .join(centroids, "query_id")
+      .select(col("query_id"),
+        zip_with(col("qv"), col("c"),
+          (a, b) => lit(alpha) * a + lit(beta) * b).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    topK(broadcast(adjusted).crossJoin(emb)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine))
+  }
 
   /** All sign-bit LSH band keys of a vector in one codegen'd pass
     * over the baked hyperplane matrix — array of NumBands ints, band

@@ -3034,6 +3034,64 @@ SELECT vec_id,
 FROM e"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.rocchioDenseTopK]]
+    * (q210): exact-cosine feedback at depth k, neighbor-ordered
+    * element-wise centroid fold, α/β mix, and the re-ranked top-k. */
+  def rocchioDenseTopK: String = {
+    import graft.operators.Similarity.{RocchioAlpha, RocchioBeta,
+      RocchioFbK}
+    import graft.operators.SimilarityParams.TopK
+    val dim = SimilarityParams.Dim
+    s"""$embCtes
+, p0 AS (
+  SELECT query_id, vec_id,
+         ${dotSql("qv", "v")} / (qn * nrm) AS cosine
+  FROM q, n
+  WHERE vec_id <> query_id
+), fb AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM p0
+  ) WHERE rank <= $RocchioFbK
+), cent0 AS (
+  SELECT f.query_id,
+         list(n.v ORDER BY f.neighbor_id) AS fvs,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM fb f JOIN n ON n.vec_id = f.neighbor_id
+  GROUP BY f.query_id
+), cent AS (
+  SELECT query_id,
+         list_transform(range(1, ${dim + 1}), i ->
+           list_reduce(list_prepend(0.0,
+             list_transform(fvs, x -> x[i])), (a, b) -> a + b)
+           / nf) AS c
+  FROM cent0
+), adj AS (
+  SELECT q.query_id,
+         list_transform(range(1, ${dim + 1}), i ->
+           $RocchioAlpha * q.qv[i] + $RocchioBeta * c.c[i]) AS qv
+  FROM q JOIN cent c USING (query_id)
+), adjn AS (
+  SELECT query_id, qv,
+         sqrt(${fsumSql("list_transform(qv, x -> x * x)")}) AS qn
+  FROM adj
+), p AS (
+  SELECT a.query_id, n.vec_id,
+         ${dotSql("a.qv", "n.v")} / (a.qn * n.nrm) AS cosine
+  FROM adjn a, n
+  WHERE n.vec_id <> a.query_id
+), r AS (
+  SELECT query_id, vec_id AS neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r
+WHERE rank <= $TopK"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.labelDisagreement]]
     * (q203) over the [[knnGraph]] edges: per-src neighbor-label
     * votes, modal pick by (cnt DESC, label ASC), suspect = own label

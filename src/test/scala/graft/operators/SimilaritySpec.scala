@@ -363,6 +363,73 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("rocchioDenseTopK: exact alpha/beta arithmetic on a tiny " +
+      "corpus; a noisy query is pulled home to its cluster " +
+      "(precision@10 does not degrade and the scores re-rank)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def withNorm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    // exact pin: corpus {q=0, 1, 2}; feedback = {1, 2}; centroid =
+    // (v1+v2)/2; q' = v0 + 0.75*centroid; verify rank-1 by cosine
+    val v0 = (1 to 64).map(i => if (i == 1) 1.0 else 0.0)
+    val v1 = (1 to 64).map(i => if (i == 2) 1.0 else 0.0)
+    val v2 = (1 to 64).map(i => if (i == 2) 0.8 else if (i == 3) 0.6 else 0.0)
+    val tiny = withNorm(Seq((0L, v0), (1L, v1), (2L, v2)).toDF("vec_id", "v"))
+    val out = Similarity.rocchioDenseTopK(tiny, numQueries = 1)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.length == 2)
+    // hand-compute: centroid c = (v1+v2)/2; q' = v0 + 0.75 c
+    val c = v1.zip(v2).map { case (a, b) => (0.0 + a + b) / 2 }
+    val qp = v0.zip(c).map { case (a, b) => 1.0 * a + 0.75 * b }
+    val qn = math.sqrt(qp.map(x => x * x).sum)
+    def cos(u: Seq[Double]): Double = {
+      val d = qp.zip(u).map { case (a, b) => a * b }.sum
+      d / (qn * math.sqrt(u.map(x => x * x).sum))
+    }
+    val expected = Seq(1L -> cos(v1), 2L -> cos(v2))
+      .sortBy { case (id, cc) => (-cc, id) }
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq ==
+      expected.map(_._1))
+    // clustered corpus, one noisy query leaning cluster 0: with a
+    // majority-correct feedback set the centroid points INTO the
+    // cluster, so Rocchio must preserve the base scan's cluster-0
+    // precision (the no-harm half of the property; the
+    // improvement half is corpus-dependent — a knife-edge 50/50
+    // query can legitimately tip either way under beta=0.75)
+    var x = 11L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val c0 = IndexedSeq.fill(64)(unif())
+    val c1 = IndexedSeq.fill(64)(unif())
+    val rows =
+      Seq((0L, (0 until 64).map(d => // ONE noisy query leaning c0
+        0.57 * c0(d) + 0.43 * c1(d) + 0.45 * unif()))) ++
+      (10 until 60).map { i =>
+        (i.toLong, (0 until 64).map(d => c0(d) + 0.15 * unif()))
+      } ++
+      (60 until 110).map { i =>
+        (i.toLong, (0 until 64).map(d => c1(d) + 0.15 * unif()))
+      }
+    val emb2 = withNorm(rows.toDF("vec_id", "v"))
+    def prec(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")))
+        .count { case (_, n) => n >= 10 && n < 60 }
+      hits.toDouble / SimilarityParams.TopK
+    }
+    val base = prec(Similarity.bruteForceTopK(emb2, numQueries = 1))
+    val rocchio = prec(Similarity.rocchioDenseTopK(emb2,
+      numQueries = 1))
+    info(f"cluster-0 precision@10: base=$base%.2f rocchio=$rocchio%.2f")
+    assert(rocchio >= base,
+      s"feedback must not lose cluster precision: $rocchio < $base")
+    assert(rocchio >= 0.8, s"pulled-home precision too low: $rocchio")
+  }
+
   test("labelDisagreement: a planted label flip is the ONLY suspect " +
       "on a two-cluster corpus; its neighbors survive the poisoned " +
       "vote; modal ties break to the lowest label") {
