@@ -1598,6 +1598,16 @@ object SparkEntry {
     // centroid (alpha q + beta mean F), corpus re-ranked.
     "q210_rocchio_dense" -> ((s, dir) =>
       Similarity.rocchioDenseTopK(Similarity.embeddings(s, dir))),
+    // Luhn-validated card scrub: checksum-gated redaction — only
+    // runs that pass the 16-step Luhn chain are cut.
+    "q211_luhn_scrub" -> ((s, dir) =>
+      TextAnalysis.luhnCardScrub(
+        TextAnalysis.withSyntheticCards(documents(s, dir)))),
+    // Split-conformal intervals: exact integer rank on calibration
+    // residuals, distribution-free holdout coverage.
+    "q212_conformal" -> ((s, dir) =>
+      operators.EventsQueries.conformalIntervals(
+        operators.EventsQueries.events(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1946,6 +1956,8 @@ object SparkEntry {
     "q208_ucb_mixture" -> OracleSql.ucbAllocation,
     "q209_prf_expansion" -> OracleSql.prfExpandedTopDocs,
     "q210_rocchio_dense" -> OracleSql.rocchioDenseTopK,
+    "q211_luhn_scrub" -> OracleSql.luhnCardScrub,
+    "q212_conformal" -> OracleSql.conformalIntervals,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

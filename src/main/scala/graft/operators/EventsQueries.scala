@@ -1318,6 +1318,72 @@ object EventsQueries {
     * flags). */
   val ChangepointGainFrac = 0.3
 
+  /** Conformal knobs (q212): calibration window length in days and
+    * the target miscoverage α = 0.1 expressed as the exact rational
+    * 9/10 used in the integer rank formula. */
+  val ConformalCalDays = 20L
+  val ConformalCovNum = 9
+  val ConformalCovDen = 10
+
+  /** Split-conformal prediction intervals per event type (q212) —
+    * the DISTRIBUTION-FREE uncertainty band around a point forecast
+    * (here the calibration-window mean), with the finite-sample
+    * coverage guarantee conformal prediction is used for: on the
+    * first [[ConformalCalDays]] days (calibration), residuals
+    * r_d = |cents_d − μ̂| are ranked and q̂ = the
+    * ⌈(n+1)·0.9⌉-th smallest (the EXACT integer rank
+    * ((n+1)·9 + 9) DIV 10, clamped to n — never a percentile
+    * primitive); the interval μ̂ ± q̂ is then scored on the holdout
+    * days, reporting empirical coverage. Pairs with q151's
+    * calibration table (probability calibration) and q158's
+    * bootstrap CI (parametric-ish resampling): conformal is the
+    * assumption-free member.
+    *
+    * Scale design (100 TB): the event stream collapses to
+    * |types|×|days| in one map-side-combined pass; everything after
+    * — split, mean, the sorted residual list (≤ calibration-window
+    * days per type), rank pick, holdout count — is bounded per-type
+    * arithmetic with broadcast joins. */
+  def conformalIntervals(events: DataFrame,
+      calDays: Long = ConformalCalDays): DataFrame = {
+    val daily = events.select(col("event_type"),
+        expr("ts_ms DIV 86400000").as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("cents"))
+    val d0 = daily.groupBy(col("event_type")).agg(min(col("d")).as("d0"))
+    val j = daily.join(broadcast(d0), "event_type")
+    val cal = j.filter(col("d") < col("d0") + calDays)
+    val test = j.filter(col("d") >= col("d0") + calDays)
+    val mu = cal.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_cal"))
+      .withColumn("mu",
+        col("sc").cast("double") / col("n_cal").cast("double"))
+    val qhat = cal.join(broadcast(mu), "event_type")
+      .select(col("event_type"),
+        abs(col("cents").cast("double") - col("mu")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .join(broadcast(mu), "event_type")
+      .withColumn("k",
+        least(col("n_cal"),
+          expr(s"((n_cal + 1) * $ConformalCovNum + " +
+            s"${ConformalCovDen - 1}) DIV $ConformalCovDen")))
+      .withColumn("q_hat", element_at(col("rs"), col("k").cast("int")))
+      .select(col("event_type"), col("n_cal"), col("mu"), col("k"),
+        col("q_hat"))
+    test.join(broadcast(qhat), "event_type")
+      .withColumn("hit",
+        when(abs(col("cents").cast("double") - col("mu")) <=
+          col("q_hat"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("mu")).as("mu"),
+        max(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"), sum(col("hit")).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+  }
+
   /** Single-changepoint detection per event type (q204) — the first
     * level of binary segmentation (the classic CUSUM/PELT entry
     * point): over the daily-cents series, the split t minimizing

@@ -321,6 +321,67 @@ object TextAnalysis {
         regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>").as("clean_text"))
 
+  /** Synthetic 16-digit card-like numbers appended to every fourth
+    * document (q211's fixture): digits derived from doc_id by the
+    * shared Knuth mix, so ~10% of the planted runs are Luhn-valid by
+    * arithmetic accident — exactly the mixed valid/invalid population
+    * a checksum-validating scrubber exists to separate. */
+  def withSyntheticCards(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" card "),
+            lpad(((col("doc_id") * Sampling.HashMult) % 100000000L)
+              .cast("string"), 8, "0"),
+            lpad(((col("doc_id") * 97L) % 100000000L).cast("string"),
+              8, "0"))).otherwise(lit(""))).as("text"))
+
+  /** The SQL fragment validating a 16-char digit run `r` by the Luhn
+    * checksum — from the rightmost digit, double every second one,
+    * subtract 9 when the double exceeds 9, valid iff the sum ≡ 0
+    * (mod 10). Written once and shared with the oracle generator so
+    * both engines evaluate the identical integer chain. */
+  private def luhnCond(r: String): String =
+    s"""aggregate(transform(sequence(1, 16), i ->
+       |  CASE WHEN (17 - i) % 2 = 0 THEN
+       |    CASE WHEN CAST(substring($r, i, 1) AS INT) * 2 > 9
+       |      THEN CAST(substring($r, i, 1) AS INT) * 2 - 9
+       |      ELSE CAST(substring($r, i, 1) AS INT) * 2 END
+       |  ELSE CAST(substring($r, i, 1) AS INT) END),
+       |  0, (a, x) -> a + x) % 10 = 0""".stripMargin
+
+  /** Luhn-validated card-number scrub (q211) — the PRECISION upgrade
+    * over q44's pattern-only redaction: a bare 16-digit regex
+    * redacts order numbers, tracking codes and timestamps ruining
+    * text for nothing, while a real card number always satisfies the
+    * Luhn checksum — so candidates are digit runs of EXACTLY 16
+    * (boundary-safe: runs extracted as maximal `[0-9]+` then length-
+    * filtered, no lookbehind needed — the regex dialect both engines
+    * share), validity is the checksum, and ONLY validated runs are
+    * redacted (invalid runs stay — they are not cards, and cutting
+    * them is the false positive this operator exists to prevent).
+    * Clean text rebuilds by folding literal `replace` over the
+    * validated runs in extraction order.
+    *
+    * Scale design (100 TB): one row-local pass — extraction, the
+    * 16-step integer checksum per candidate, and the rebuild all
+    * evaluate inside the same projection; zero shuffles, composes
+    * with q44's email/phone scrub in the same scan. */
+  def luhnCardScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("cands", expr(
+        "filter(regexp_extract_all(text, '[0-9]+', 0), " +
+          "r -> length(r) = 16)"))
+      .withColumn("valid", expr(
+        s"filter(cands, r -> ${luhnCond("r")})"))
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        size(col("valid")).cast("long").as("n_valid"),
+        expr("aggregate(valid, text, (acc, r) -> " +
+          "replace(acc, r, '<CARD>'))").as("clean_text"))
+
   /** Context-window chunking parameters: window size and overlap in
     * characters (stride = size − overlap). */
   val ChunkChars = 200

@@ -1324,6 +1324,46 @@ SELECT source, n_docs, sw, tk, mean_reward, bonus, ucb,
 FROM scored CROSS JOIN best"""
   }
 
+  /** Mirror of [[TextAnalysis.luhnCardScrub]] (q211) over the
+    * [[TextAnalysis.withSyntheticCards]] corpus: same Knuth-mix
+    * planted digits, same maximal-run + length-16 candidates, the
+    * identical 16-step Luhn integer chain, and the same literal
+    * replace fold over validated runs. */
+  def luhnCardScrub: String = {
+    import graft.operators.Sampling.HashMult
+    val luhn =
+      """list_reduce(list_prepend(0, list_transform(range(1, 17), i ->
+        |  CASE WHEN (17 - i) % 2 = 0 THEN
+        |    CASE WHEN CAST(substring(r, i, 1) AS INT) * 2 > 9
+        |      THEN CAST(substring(r, i, 1) AS INT) * 2 - 9
+        |      ELSE CAST(substring(r, i, 1) AS INT) * 2 END
+        |  ELSE CAST(substring(r, i, 1) AS INT) END)),
+        |  (a, b) -> a + b) % 10 = 0""".stripMargin
+    s"""WITH synth AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
+           lpad(CAST((doc_id * $HashMult) % 100000000 AS VARCHAR),
+                8, '0') ||
+           lpad(CAST((doc_id * 97) % 100000000 AS VARCHAR), 8, '0')
+         ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(text, '[0-9]+'),
+           r -> len(r) = 16) AS cands
+  FROM synth
+), v AS (
+  SELECT doc_id, text, cands,
+         list_filter(cands, r -> $luhn) AS valid
+  FROM c
+)
+SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+       CAST(len(valid) AS BIGINT) AS n_valid,
+       list_reduce(list_prepend(text, valid),
+         (acc, r) -> replace(acc, r, '<CARD>')) AS clean_text
+FROM v"""
+  }
+
   /** Mirror of [[TextAnalysis.codeSwitchAudit]] (q207): the same
     * paragraph split, per-paragraph stopword-profile guess CASE, and
     * (cnt DESC, lang ASC) modal pick. */
@@ -4154,6 +4194,55 @@ SELECT event_type, n_days, split_t, split_day, cost_nosplit,
        (cost_nosplit - cost_split) > $ChangepointGainFrac * cost_nosplit
          AS significant
 FROM best"""
+  }
+
+  /** Mirror of [[graft.operators.EventsQueries.conformalIntervals]]
+    * (q212): same daily collapse, calibration split, exact integer
+    * rank pick on the ordered residual list, and holdout coverage
+    * count. */
+  def conformalIntervals: String = {
+    import graft.operators.EventsQueries.{ConformalCalDays,
+      ConformalCovDen, ConformalCovNum}
+    s"""WITH daily AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 86400000 AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, (epoch_ns(ts) // 1000000) // 86400000
+), d0 AS (
+  SELECT event_type, MIN(d) AS d0 FROM daily GROUP BY event_type
+), j AS (
+  SELECT daily.*, d0.d0 FROM daily JOIN d0 USING (event_type)
+), cal AS (
+  SELECT * FROM j WHERE d < d0 + $ConformalCalDays
+), tst AS (
+  SELECT * FROM j WHERE d >= d0 + $ConformalCalDays
+), mu AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM cal GROUP BY event_type
+), qh AS (
+  SELECT c.event_type, m.n_cal, m.mu,
+         least(m.n_cal,
+           ((m.n_cal + 1) * $ConformalCovNum + ${ConformalCovDen - 1})
+             // $ConformalCovDen) AS k,
+         list_sort(list(abs(CAST(c.cents AS DOUBLE) - m.mu)))[
+           CAST(least(m.n_cal,
+             ((m.n_cal + 1) * $ConformalCovNum + ${ConformalCovDen - 1})
+               // $ConformalCovDen) AS INT)] AS q_hat
+  FROM cal c JOIN mu m USING (event_type)
+  GROUP BY c.event_type, m.n_cal, m.mu
+)
+SELECT t.event_type, q.n_cal, q.mu, q.q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN abs(CAST(t.cents AS DOUBLE) - q.mu)
+                  <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM(CASE WHEN abs(CAST(t.cents AS DOUBLE) - q.mu)
+                  <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM tst t JOIN qh q USING (event_type)
+GROUP BY t.event_type, q.n_cal, q.mu, q.q_hat"""
   }
 
   /** Mirror of [[graft.operators.RelationalQueries.rfmSegments]]

@@ -1144,4 +1144,32 @@ class RelationalQueriesSpec extends AnyFunSuite with SparkSessionSpec {
       s"alternating noise flagged: gain ${c.getAs[Double]("gain")} " +
         s"of ${c.getAs[Double]("cost_nosplit")}")
   }
+
+  test("conformalIntervals: exact rank pick on a hand calibration " +
+      "series, holdout coverage counted exactly, q_hat covers the " +
+      "right residual quantile") {
+    import spark.implicits._
+    def ev(id: Long, day: Long, v: Double) =
+      (1L, day * 86400000L + 1000L, id, "A", v)
+    // calibration: 20 days, cents 100+i (i=0..19) -> mu = 109.5,
+    // residuals |100+i-109.5| sorted: 0.5,0.5,1.5,1.5,...,9.5,9.5
+    // k = ceil(21*0.9) = 19 -> q_hat = 19th smallest = 9.5
+    // holdout: 10 days, 5 inside mu±9.5 (cents 105) and 5 far (500)
+    val rows =
+      (0 until 20).map(i => ev(i.toLong, i.toLong, (100 + i) / 100.0)) ++
+      (0 until 5).map(i => ev(100L + i, 20L + i, 1.05)) ++
+      (0 until 5).map(i => ev(200L + i, 25L + i, 5.00))
+    val events = rows
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = graft.operators.EventsQueries.conformalIntervals(events)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_cal") == 20L)
+    assert(r.getAs[Double]("mu") == 109.5)
+    assert(r.getAs[Double]("q_hat") == 9.5)
+    assert(r.getAs[Long]("n_test") == 10L)
+    assert(r.getAs[Long]("n_covered") == 5L)
+    assert(r.getAs[Double]("coverage") == 0.5)
+  }
 }

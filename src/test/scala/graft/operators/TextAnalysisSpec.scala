@@ -603,6 +603,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
 
+  test("luhnCardScrub: the canonical valid card is redacted, the " +
+      "off-by-one invalid twin is kept, and 15/17-digit runs are " +
+      "never candidates") {
+    import spark.implicits._
+    // 4111111111111111 is the canonical Luhn-valid test number;
+    // ...12 fails the checksum by one
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),       // valid -> redact
+      (2L, "ref 4111111111111112 attached"),       // invalid -> keep
+      (3L, "order 411111111111111 split"),         // 15 digits
+      (4L, "track 41111111111111111 here"),        // 17 digits
+      (5L, "a 4111111111111111 b 4111111111111112 c")) // mixed
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnCardScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_valid"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((1L, 1L, "pay with <CARD> now")))
+    assert(out(2L) == ((1L, 0L, "ref 4111111111111112 attached")))
+    assert(out(3L) == ((0L, 0L, "order 411111111111111 split")))
+    assert(out(4L) == ((0L, 0L, "track 41111111111111111 here")))
+    assert(out(5L) == ((2L, 1L, "a <CARD> b 4111111111111112 c")))
+  }
+
   test("prfExpandedTopDocs: the expansion retrieves a document the " +
       "original query cannot see; idf damping beats raw feedback " +
       "frequency; base ranking order is deterministic") {
