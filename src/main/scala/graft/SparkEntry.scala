@@ -1608,6 +1608,10 @@ object SparkEntry {
     "q212_conformal" -> ((s, dir) =>
       operators.EventsQueries.conformalIntervals(
         operators.EventsQueries.events(s, dir))),
+    // Per-frame audio features over the REAL decoded WAV bytes:
+    // exact-LONG energy, zero crossings, fixed-order RMS.
+    "q213_audio_features" -> ((s, dir) =>
+      operators.Multimodal.audioFrameFeatures(documents(s, dir))),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1958,6 +1962,7 @@ object SparkEntry {
     "q210_rocchio_dense" -> OracleSql.rocchioDenseTopK,
     "q211_luhn_scrub" -> OracleSql.luhnCardScrub,
     "q212_conformal" -> OracleSql.conformalIntervals,
+    "q213_audio_features" -> OracleSql.audioFrameFeatures,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -236,6 +236,48 @@ object Multimodal {
     }
   }
 
+  /** [[decodeWav]]'s raw-PCM sibling: the same RIFF chunk walk, but
+    * returning the decoded 16-bit samples themselves — the input the
+    * feature extractors (q213) consume. */
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Short]] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt
+    if (tag() != "WAVE") return None
+    var ok = false
+    var data: Option[(Int, Int)] = None
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val p = buf.position()
+          val audioFormat = buf.getShort
+          val channels = buf.getShort.toInt
+          buf.getInt; buf.getInt; buf.getShort
+          val bits = buf.getShort.toInt
+          ok = audioFormat == 1 && channels == 1 && bits == 16
+          buf.position(p + size)
+        case "data" =>
+          data = Some((buf.position(), size))
+          buf.position(buf.position() + size)
+        case _ =>
+          buf.position(buf.position() + size)
+      }
+      if (size % 2 == 1 && buf.remaining() > 0)
+        buf.position(buf.position() + 1)
+    }
+    for ((off, len) <- data; if ok) yield
+      Array.tabulate(len / 2)(i => buf.getShort(off + 2 * i))
+  }
+
   /** Decoded binary-PPM image; `pixels` is row-major RGB. */
   final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
 
@@ -1222,6 +1264,50 @@ object Multimodal {
       }
       .toDF("doc_id", "sample_rate", "n_samples", "duration_us",
         "peak_abs", "sum_abs")
+  }
+
+  /** Frame length of [[audioFrameFeatures]] (samples/frame, hop =
+    * frame — non-overlapping). */
+  val AudioFrameLen = 16
+
+  /** Per-frame audio features (q213) — the feature-extraction stage
+    * between raw decode (q54 proves the RIFF codec inverts) and any
+    * audio model: the decoded PCM is framed (non-overlapping
+    * [[AudioFrameLen]]-sample windows, short tail kept) and each
+    * frame reports exact-LONG energy (Σ s²), the zero-crossing count
+    * (s_{i−1}·s_i < 0 WITHIN the frame — the voicing/noisiness
+    * heuristic), and RMS (one fixed-order √(sumsq/n) double). The
+    * Spark side decodes the REAL WAV bytes end to end (synthesize →
+    * encode → [[decodeWavSamples]] → frame), so the graded numbers
+    * cover the codec path; the oracle recomputes the same features
+    * from the synthesis arithmetic directly (the q54 discipline).
+    *
+    * Scale design (100 TB): strictly row-local — decode and framing
+    * happen inside one typed map per audio blob, emitting
+    * n/frameLen skinny feature rows; no shuffle at any scale, and
+    * the feature table is the 8-byte-per-frame artifact downstream
+    * sampling/filtering operates on instead of the waveform. */
+  def audioFrameFeatures(docs: DataFrame,
+      frameLen: Int = AudioFrameLen): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val samples = decodeWavSamples(
+          encodeWavPcm16(WavRate, wavSamplesOf(id)))
+          .getOrElse(sys.error(s"undecodable WAV for doc $id"))
+        samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+          var sumsq = 0L; var zc = 0L; var i = 0
+          while (i < fr.length) {
+            val s = fr(i).toInt
+            sumsq += s.toLong * s
+            if (i > 0 && fr(i - 1).toInt * s < 0) zc += 1
+            i += 1
+          }
+          (id, fi.toLong, fr.length.toLong, sumsq, zc,
+            math.sqrt(sumsq.toDouble / fr.length))
+        }
+      }
+      .toDF("doc_id", "frame", "n", "sumsq", "zc", "rms")
   }
 
   /** Graded PPM decode + resize (q55): synthesize a real P6 file,

@@ -5895,6 +5895,31 @@ SELECT doc_id, $rate AS sample_rate, n AS n_samples,
 FROM amps GROUP BY doc_id, n"""
   }
 
+  /** Mirror of [[graft.operators.Multimodal.audioFrameFeatures]]
+    * (q213): frames and features recomputed from the q54 synthesis
+    * arithmetic; the previous sample is the closed-form formula at
+    * i−1 (no window needed), crossings only within a frame. */
+  def audioFrameFeatures: String = {
+    val fl = graft.operators.Multimodal.AudioFrameLen
+    s"""WITH au AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), s AS (
+  SELECT a.doc_id, r.i,
+         ((a.doc_id * 31 + r.i * 7) % 2048) - 1024 AS s,
+         CASE WHEN r.i % $fl = 0 THEN NULL
+              ELSE ((a.doc_id * 31 + (r.i - 1) * 7) % 2048) - 1024
+         END AS sp
+  FROM au a, LATERAL (SELECT unnest(range(0, a.n)) AS i) r
+)
+SELECT doc_id, CAST(i // $fl AS BIGINT) AS frame,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s * s) AS BIGINT) AS sumsq,
+       CAST(SUM(CASE WHEN sp IS NOT NULL AND sp * s < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+       sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+FROM s GROUP BY doc_id, i // $fl"""
+  }
+
   /** q55 oracle — recomputes the PPM decode + ×2 nearest-neighbor
     * resize facts from [[graft.operators.Multimodal.ppmOf]]'s pixel
     * arithmetic: w = 4 + id%8, h = 3 + id%5, channel c of pixel

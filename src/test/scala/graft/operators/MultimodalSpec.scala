@@ -517,4 +517,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(r.width == 2 && r.height == 1)
     assert(r.pixels(0) == 0 && r.pixels(3) == 2) // src (0,0), (2,0)
   }
+
+  test("decodeWavSamples round-trips extreme PCM; audioFrameFeatures " +
+      "matches a hand computation from the synthesis arithmetic, " +
+      "tail frame short, crossings only within frames") {
+    import spark.implicits._
+    val extreme = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val back = Multimodal.decodeWavSamples(
+      Multimodal.encodeWavPcm16(44100, extreme)).get
+    assert(back.toSeq == extreme.toSeq)
+    // operator vs a direct recomputation for doc 1 (n = 65 samples:
+    // 4 full frames of 16 + a 1-sample tail)
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.audioFrameFeatures(docs).collect()
+      .map(r => r.getAs[Long]("frame") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sumsq"),
+          r.getAs[Long]("zc"), r.getAs[Double]("rms")))).toMap
+    val samples = Multimodal.wavSamplesOf(1L)
+    assert(samples.length == 65)
+    val expected = samples.grouped(Multimodal.AudioFrameLen).zipWithIndex
+      .map { case (fr, fi) =>
+        val sq = fr.map(s => s.toLong * s).sum
+        val zc = fr.toSeq.sliding(2).count {
+          case Seq(a, b) => a.toInt * b.toInt < 0
+          case _ => false
+        }
+        fi.toLong ->
+          ((fr.length.toLong, sq, zc.toLong,
+            math.sqrt(sq.toDouble / fr.length)))
+      }.toMap
+    assert(out == expected)
+    assert(out(4L)._1 == 1L, "tail frame must be 1 sample")
+    // a crossing at a frame BOUNDARY must not be counted: doc 1's
+    // samples alternate sign often — recompute global crossings and
+    // confirm the framed total only counts within-frame ones
+    val globalZc = samples.toSeq.sliding(2).count {
+      case Seq(a, b) => a.toInt * b.toInt < 0
+      case _ => false
+    }
+    val framedZc = out.values.map(_._3).sum
+    assert(framedZc <= globalZc)
+  }
 }
