@@ -1612,6 +1612,40 @@ object SparkEntry {
     // exact-LONG energy, zero crossings, fixed-order RMS.
     "q213_audio_features" -> ((s, dir) =>
       operators.Multimodal.audioFrameFeatures(documents(s, dir))),
+    // INCREMENTAL trend monitoring: update-mode daily-cents
+    // aggregates maintained per wave, q199's battery recomputed from
+    // the |types|x|days| state — graded against q199's own oracle.
+    "q214_stream_trend" -> ((s, dir) => {
+      val ev = operators.EventsQueries.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts_ms"),
+          col("value"))
+      val wh = graft.util.TempDirs.create("graft-trend-q214")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("event_id") <= b1,
+        col("event_id") > b1 && col("event_id") <= b2,
+        col("event_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      val m = new streaming.StreamingTrend.TrendMaintainer(s)
+      val q = operators.EventsQueries.dailyCents(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(m.update _)
+        .option("checkpointLocation", s"$wh/cp").start()
+      try q.processAllAvailable() finally q.stop()
+      m.currentTrend()
+    }),
     // STREAMING lakehouse MERGE: the q171 CDC batch arrives as three
     // micro-batches; each foreachBatch applies idempotent per-bucket
     // copy-on-write to the v1 table on disk. Same closure oracle as
@@ -1963,6 +1997,8 @@ object SparkEntry {
     "q211_luhn_scrub" -> OracleSql.luhnCardScrub,
     "q212_conformal" -> OracleSql.conformalIntervals,
     "q213_audio_features" -> OracleSql.audioFrameFeatures,
+    // the incremental twin must converge to the batch trend battery
+    "q214_stream_trend" -> OracleSql.mannKendallTrend,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -1256,12 +1256,24 @@ object EventsQueries {
     * so per-type pairs stay ≤ ~66k however many raw events flow in),
     * and the per-type sorted slope list is days²-bounded state, far
     * under any executor budget. */
-  def mannKendallTrend(events: DataFrame): DataFrame = {
-    val daily = events.select(col("event_type"),
+  def mannKendallTrend(events: DataFrame): DataFrame =
+    mannKendallFromDaily(dailyCents(events))
+
+  /** The ONE corpus-sized pass of [[mannKendallTrend]]: the
+    * (event_type, day) exact-cents collapse — map-side combined, and
+    * an update-mode streaming aggregation verbatim, which is how the
+    * incremental q214 twin maintains it. */
+  def dailyCents(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("ts_ms DIV 86400000").as("d"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("d"))
       .agg(sum(col("cents")).as("cents"))
+
+  /** The |types|×|days|-row trend arithmetic of [[mannKendallTrend]]
+    * over an already-maintained daily frame — the piece the
+    * incremental twin (q214) re-runs per ingest wave. */
+  def mannKendallFromDaily(daily: DataFrame): DataFrame = {
     val a = daily.select(col("event_type"), col("d").as("di"),
       col("cents").as("ci"))
     val b = daily.select(col("event_type"), col("d").as("dj"),
