@@ -1413,6 +1413,10 @@ object SparkEntry {
     // graded as the closure asOf(v1, log(v1→v2→v3), 2) == v3.
     "q188_time_travel" -> ((s, dir) =>
       operators.Pipeline.timeTravelDerived(documents(s, dir))),
+    // Retention VACUUM: history beyond the horizon folded into a
+    // version-0 checkpoint, only the newer log tail retained.
+    "q215_vacuum" -> ((s, dir) =>
+      operators.Pipeline.vacuumDerived(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -1999,6 +2003,7 @@ object SparkEntry {
     "q213_audio_features" -> OracleSql.audioFrameFeatures,
     // the incremental twin must converge to the batch trend battery
     "q214_stream_trend" -> OracleSql.mannKendallTrend,
+    "q215_vacuum" -> OracleSql.vacuumCompact,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

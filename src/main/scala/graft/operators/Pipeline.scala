@@ -367,6 +367,56 @@ object Pipeline {
     asOfReconstruct(v1, log, asOf = 2L)
   }
 
+  /** Retention VACUUM of a versioned table (q215) — the lifecycle
+    * complement of q188's time travel: history older than the
+    * retention horizon is FOLDED into a new base checkpoint
+    * (one [[asOfReconstruct]] at the horizon — the same
+    * latest-entry-wins window, so folding k versions costs one pass,
+    * not k replays), and only log entries NEWER than the horizon are
+    * retained. The compacted representation — checkpoint rows at
+    * version 0 plus the retained tail — reconstructs any version ≥
+    * the horizon EXACTLY (spec-pinned equivalence) while versions
+    * before it become unreachable: that forgetting is the storage
+    * reclamation (and the GDPR-erasure mechanism — a deleted
+    * record's history physically leaves the log).
+    *
+    * Scale design (100 TB): the checkpoint is the q188 shape (skinny
+    * log window + ONE full-outer join with the base); the retained
+    * tail is a filter; content travels as 16-byte digests in the
+    * audit output, never text. */
+  def vacuumCompact(base: DataFrame, log: DataFrame,
+      retainAfter: Long): DataFrame = {
+    val checkpoint = asOfReconstruct(base, log, retainAfter)
+      .select(lit(0L).as("version"), col("doc_id"),
+        lit("base").as("op"), md5(col("text")).as("content"))
+    val retained = log.filter(col("version") > retainAfter)
+      .select(col("version"), col("doc_id"), col("op"),
+        md5(coalesce(col("new_text"), lit(""))).as("content"))
+    checkpoint.unionByName(retained)
+  }
+
+  /** Graded q215 configuration: the q188 three-version chain with
+    * the horizon at version 1 — the checkpoint must equal v2 and the
+    * retained tail must be exactly the v2→v3 CDC batch. */
+  def vacuumDerived(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 10 =!= DiffAddedMod)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+    val v3 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod &&
+        col("doc_id") % 10 =!= DiffChangedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === DiffAddedMod,
+          concat(col("text"), lit(" v3"))).otherwise(col("text"))
+          .as("text"))
+    val log = cdcBetween(v1, v2).withColumn("version", lit(1L))
+      .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L)))
+    vacuumCompact(v1, log, retainAfter = 1L)
+  }
+
   def preprocessingFunnel(docs: DataFrame): DataFrame = {
     // ONE scan computes every row-local gate as a column; exact
     // dedup's canonical-min is a window over the content digest

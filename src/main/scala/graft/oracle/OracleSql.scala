@@ -1819,6 +1819,29 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.vacuumDerived]] (q215):
+    * checkpoint = v2 rebuilt directly from the documents arithmetic
+    * (version 0, op 'base'), retained tail = the v2→v3 CDC rows
+    * (ChangedMod deletes, AddedMod upserts with the v3 text) —
+    * the q171/q188 closure discipline. */
+  def vacuumCompact: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffChangedMod,
+      DiffRemovedMod}
+    s"""SELECT CAST(0 AS BIGINT) AS version, doc_id,
+       'base' AS op,
+       md5(CASE WHEN doc_id % 10 = $DiffChangedMod
+            THEN text || ' v2' ELSE text END) AS content
+FROM documents WHERE doc_id % 10 <> $DiffRemovedMod
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, doc_id, 'delete' AS op,
+       md5('') AS content
+FROM documents WHERE doc_id % 10 = $DiffChangedMod
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version, doc_id, 'upsert' AS op,
+       md5(text || ' v3') AS content
+FROM documents WHERE doc_id % 10 = $DiffAddedMod"""
+  }
+
   /** Mirror of [[graft.operators.Layout.ringPlacement]] (q190): the
     * ring tables are the SAME Scala-computed literals both engines
     * inline ([[graft.operators.Layout.ringPoints]]); only the

@@ -90,6 +90,51 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
         s"${r.getString(0)} cohort ${r.getLong(1)} < $k"))
   }
 
+  test("vacuumCompact: reconstruction at or after the horizon is " +
+      "EXACT from the compacted representation, history before the " +
+      "horizon is physically gone, checkpoint equals asOf(horizon)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v1 = docs.filter(col("doc_id") % 10 =!= Pipeline.DiffAddedMod)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 10 =!= Pipeline.DiffRemovedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === Pipeline.DiffChangedMod,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))
+          .as("text"))
+    val v3 = docs.filter(col("doc_id") % 10 =!= Pipeline.DiffRemovedMod &&
+        col("doc_id") % 10 =!= Pipeline.DiffChangedMod)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === Pipeline.DiffAddedMod,
+          concat(col("text"), lit(" v3"))).otherwise(col("text"))
+          .as("text"))
+    val log = Pipeline.cdcBetween(v1, v2).withColumn("version", lit(1L))
+      .unionByName(Pipeline.cdcBetween(v2, v3)
+        .withColumn("version", lit(2L)))
+    val compacted = Pipeline.vacuumCompact(v1, log, retainAfter = 1L)
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // checkpoint rows ARE asOf(horizon) = v2 (by content digest)
+    val ckpt = compacted.filter(col("version") === 0L).collect()
+      .map(r => r.getLong(1) -> r.getString(3)).toMap
+    val v2d = v2.select(col("doc_id"), md5(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ckpt == v2d)
+    // reconstructing the LATEST version from (checkpoint-as-base +
+    // retained tail) equals reconstructing from the full history
+    val newBase = v2 // the checkpoint content; text form for asOf
+    val retained = log.filter(col("version") > 1L)
+    val fromCompacted = tbl(
+      Pipeline.asOfReconstruct(newBase, retained, asOf = 2L))
+    val fromFull = tbl(Pipeline.asOfReconstruct(v1, log, asOf = 2L))
+    assert(fromCompacted == fromFull)
+    assert(fromCompacted == tbl(v3))
+    // versions before the horizon are physically gone from the tail
+    assert(compacted.filter(col("version") =!= 0L)
+      .agg(min(col("version"))).head().getLong(0) > 1L)
+  }
+
   test("lDiversityAudit: k-anonymous-but-homogeneous class fails l, " +
       "nominally diverse class fails the modal frequency cap, a " +
       "genuinely diverse class releases") {
