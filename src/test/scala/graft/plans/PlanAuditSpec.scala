@@ -729,4 +729,82 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
       "replica sums must be conditional aggregates, not an Expand")
   }
+
+  test("q200 boilerplate strip: digest-only hash exchanges (no text " +
+      "crosses), bounded exchanges, pruned scan") {
+    val df = q("q200_boilerplate_strip")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(shuffleCount(df) <= 4,
+      s"boilerplate strip shuffles ${shuffleCount(df)}x (expected <=4)")
+    val exchanges = """Exchange hashpartitioning\(phash[^\n]*""".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("w#") && !e.contains("text#"),
+      s"paragraph text crosses the hash exchange: $e"))
+    val s = scans(df)
+    assert(s.nonEmpty)
+    // the df-count branch prunes even doc_id away — every scan must
+    // stay within the two referenced columns
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("doc_id", "text")),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q205 JL projection: ZERO exchanges, pruned embeddings scan — " +
+      "strictly row-local inside one projection") {
+    val df = q("q205_jl_project")
+    assert(shuffleCount(df) == 0,
+      s"JL projection shuffles ${shuffleCount(df)}x")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q211 Luhn scrub: ZERO exchanges, pruned scan — the checksum " +
+      "chain and rebuild evaluate in one row-local pass") {
+    val df = q("q211_luhn_scrub")
+    assert(shuffleCount(df) == 0,
+      s"Luhn scrub shuffles ${shuffleCount(df)}x")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text")))
+  }
+
+  test("q199 Mann-Kendall: events scan prunes to three columns, the " +
+      "pair build is co-partitioned (no cartesian), stats join back " +
+      "broadcast") {
+    val df = q("q199_mann_kendall")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"),
+      "n_days/tie tables should broadcast back onto the pair frame")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    // the n_days branch prunes value away — every scan must stay
+    // within the three referenced columns
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("ts", "event_type", "value")),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q201 NN-descent: every stage joins on keys — no cartesian " +
+      "anywhere in the two-round plan") {
+    val plan = q("q201_nn_descent").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must never degrade to a nested loop")
+  }
+
+  test("q213 audio features: zero hash exchanges — decode and " +
+      "framing run inside one typed map pass") {
+    val df = q("q213_audio_features")
+    assert(shuffleCount(df) == 0,
+      s"audio features shuffle ${shuffleCount(df)}x")
+  }
 }
