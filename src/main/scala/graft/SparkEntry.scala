@@ -1417,6 +1417,10 @@ object SparkEntry {
     // version-0 checkpoint, only the newer log tail retained.
     "q215_vacuum" -> ((s, dir) =>
       operators.Pipeline.vacuumDerived(documents(s, dir))),
+    // Duplicate-rate audit: full banded candidates, exact verify on
+    // a deterministic 1/4 pair sample, extrapolated estimate.
+    "q216_dup_audit" -> ((s, dir) =>
+      Dedup.dupRateAudit(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2004,6 +2008,7 @@ object SparkEntry {
     // the incremental twin must converge to the batch trend battery
     "q214_stream_trend" -> OracleSql.mannKendallTrend,
     "q215_vacuum" -> OracleSql.vacuumCompact,
+    "q216_dup_audit" -> OracleSql.dupRateAudit,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

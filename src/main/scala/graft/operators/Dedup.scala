@@ -235,6 +235,60 @@ object Dedup {
       graft.util.CacheHandle(hashed))
   }
 
+  /** Pair-sample modulus of [[dupRateAudit]]: 1-in-4 of the
+    * candidate pairs get exact verification. */
+  val AuditSampleDen = 4L
+
+  /** Duplicate-rate AUDIT (q216) — the "how dirty is this corpus?"
+    * estimate a curation run takes BEFORE committing to a full dedup
+    * pass: candidate generation runs in full (the cheap, ids-only
+    * banded join — exactly q5's candidate stage), but the EXPENSIVE
+    * step — exact-Jaccard verification against the shingle sets — is
+    * paid only for a deterministic 1/[[AuditSampleDen]] hash-sample
+    * of the candidate pairs, and the verified count extrapolates to
+    * the full duplicate-pair estimate. The pair sample keys on the
+    * Knuth mix of a masked (doc_a, doc_b) combination (arguments
+    * < 2²⁶, far inside Long), so the SAME pairs are sampled on every
+    * engine and run — an auditable estimate, not a random one.
+    *
+    * Scale design (100 TB): the candidate frame is banding-bounded
+    * (never all-pairs) and carries ids only; the verify join — the
+    * stage that moves the heavy shingle-set arrays — shrinks by the
+    * sample factor, which is the entire point: estimate cost =
+    * candidate cost + (verify cost)/den, with the estimator unbiased
+    * over the hash-uniform pair sample. */
+  def dupRateAudit(docs: DataFrame,
+      sampleDen: Long = AuditSampleDen): DataFrame =
+    dupRateAuditWithHandle(docs, sampleDen)._1
+
+  /** [[dupRateAudit]] plus the [[graft.util.CacheHandle]] for the
+    * hash corpus and the twice-consumed candidate frame. */
+  def dupRateAuditWithHandle(docs: DataFrame,
+      sampleDen: Long = AuditSampleDen)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val hashed = shingleHashes(docs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bucketPairs(
+      bandedSignatures(hashed)
+        .select(col("doc_id"), col("band"), col("key")),
+      Seq("band", "key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = cand.filter(
+      expr(s"((((doc_a % 1048576) * 31 + doc_b % 1048576) * " +
+        s"${Sampling.HashMult}L) DIV 1048576) % $sampleDen = 0"))
+    val verified = jaccardVerified(sampled,
+      hashed.select(col("doc_id"), col("hashes").as("s")),
+      JaccardThreshold)
+    val out = cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_dup_sampled")))
+      .withColumn("est_dup_pairs", col("n_dup_sampled") * sampleDen)
+      .withColumn("sampled_frac",
+        col("n_sampled").cast("double") /
+          col("n_candidates").cast("double"))
+    (out, graft.util.CacheHandle(hashed, cand))
+  }
+
   /** OPH densification offset (q114): borrowed bin values shift by
     * j·[[P]], so a value borrowed j steps away can never alias a raw
     * minimum (raw values live in [0, P)). */

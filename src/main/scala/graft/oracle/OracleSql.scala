@@ -609,7 +609,9 @@ FROM pair"""
 
   /** Shared LSH mirror over any CTE chain ending in
     * `h(doc_id, hashes)`. */
-  private def minhashPipeline(ctes: String): String = {
+  /** The shared candidate chain of the MinHash pipelines: signature,
+    * bands and the distinct (doc_a < doc_b) bucket pairs. */
+  private def minhashCandCtes(ctes: String): String = {
     val sigCols = Dedup.perms.map { case (a, b) =>
       s"list_min(list_transform(hashes, x -> ($a * (x % ${Dedup.P}) + $b) % ${Dedup.P}))"
     }.mkString("[", ",\n           ", "]")
@@ -627,7 +629,11 @@ FROM pair"""
     ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+  }
+
+  private def minhashPipeline(ctes: String): String =
+    s"""${minhashCandCtes(ctes)}
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
          len(list_distinct(list_concat(x.hashes, y.hashes))) AS jaccard
@@ -636,6 +642,35 @@ JOIN h x ON x.doc_id = c.doc_a
 JOIN h y ON y.doc_id = c.doc_b
 WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
+
+  /** Mirror of [[graft.operators.Dedup.dupRateAudit]] (q216): the
+    * full q5 candidate chain, the same masked-mix pair sample, exact
+    * verification of the sample only, and the extrapolated count. */
+  def dupRateAudit: String = {
+    import graft.operators.Dedup.AuditSampleDen
+    val K = graft.operators.Sampling.HashMult
+    s"""${minhashCandCtes(shingleCtes)}
+, smp AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE ((((doc_a % 1048576) * 31 + doc_b % 1048576) * $K)
+          // 1048576) % $AuditSampleDen = 0
+), ver AS (
+  SELECT s.doc_a, s.doc_b
+  FROM smp s
+  JOIN h x ON x.doc_id = s.doc_a
+  JOIN h y ON y.doc_id = s.doc_b
+  WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+          len(list_distinct(list_concat(x.hashes, y.hashes)))
+        >= ${Dedup.JaccardThreshold}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM smp) AS n_sampled,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_dup_sampled,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) * $AuditSampleDen
+         AS est_dup_pairs,
+       CAST((SELECT COUNT(*) FROM smp) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+         AS sampled_frac"""
   }
 
   /** Mirror of [[graft.operators.Dedup.ophNearDups]] (q114): the

@@ -518,6 +518,35 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       r.getAs[Long]("n_kept") == r.getAs[Long]("n_paras")))
   }
 
+  test("dupRateAudit: sample is the deterministic hash subset of " +
+      "the candidate pairs, the estimate brackets the true pair " +
+      "count on the fixture, verification only touches the sample") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Dedup.dupRateAudit(docs).head()
+    val nCand = r.getAs[Long]("n_candidates")
+    val nSamp = r.getAs[Long]("n_sampled")
+    val nDup = r.getAs[Long]("n_dup_sampled")
+    val est = r.getAs[Long]("est_dup_pairs")
+    assert(nCand > 0 && nSamp > 0)
+    assert(est == nDup * Dedup.AuditSampleDen)
+    // sample fraction near 1/den (hash-uniform)
+    val frac = r.getAs[Double]("sampled_frac")
+    assert(math.abs(frac - 1.0 / Dedup.AuditSampleDen) < 0.15,
+      s"sample fraction $frac far from 1/${Dedup.AuditSampleDen}")
+    // the estimate brackets the TRUE pair count (full verification)
+    val truePairs = Dedup.minhashNearDups(docs).count()
+    assert(truePairs > 0)
+    assert(est >= truePairs / 3 && est <= truePairs * 3,
+      s"estimate $est vs true $truePairs out of the 3x envelope")
+    // determinism: a second run is identical
+    val r2 = Dedup.dupRateAudit(docs).head()
+    assert(r2.getAs[Long]("n_dup_sampled") == nDup &&
+      r2.getAs[Long]("n_sampled") == nSamp)
+    spark.catalog.clearCache()
+  }
+
   test("ngramNovelty: first doc fully novel, partial overlap rated, " +
       "exact copy rated zero") {
     import spark.implicits._
