@@ -1421,6 +1421,14 @@ object SparkEntry {
     // a deterministic 1/4 pair sample, extrapolated estimate.
     "q216_dup_audit" -> ((s, dir) =>
       Dedup.dupRateAudit(documents(s, dir))),
+    // Good-Turing unseen mass + Chao1 richness floor per source:
+    // does more of this source still add vocabulary?
+    "q217_vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(documents(s, dir))),
+    // Length-bucketed padding audit: per power-of-two bucket, exact
+    // padded vs real token mass beside the pad-to-max baseline.
+    "q218_length_buckets" -> ((s, dir) =>
+      operators.Sampling.lengthBucketAudit(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2009,6 +2017,8 @@ object SparkEntry {
     "q214_stream_trend" -> OracleSql.mannKendallTrend,
     "q215_vacuum" -> OracleSql.vacuumCompact,
     "q216_dup_audit" -> OracleSql.dupRateAudit,
+    "q217_vocab_richness" -> OracleSql.vocabRichness,
+    "q218_length_buckets" -> OracleSql.lengthBucketAudit,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -760,6 +760,52 @@ object Sampling {
       epochCap: Long = UniMaxEpochCap): DataFrame =
     uniMaxFromCounts(sourceTokenCounts(docs), epochCap)
 
+  /** Power-of-two bucket boundaries of [[lengthBucketAudit]] — a
+    * CASE ladder over fixed integers, never an FP log2 (whose
+    * ceil could differ by an ulp across engines near integers). */
+  val LengthBuckets: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** Sequence-length bucketing padding audit (q218) — the
+    * batch-efficiency table behind length-grouped batching (sorted
+    * batching / bucketed padding): documents are assigned the
+    * smallest power-of-two bucket holding their token count, and the
+    * audit reports per bucket the exact padded-token mass
+    * (n·bucket_len), the real token mass, and the padding-waste
+    * fraction — next to the GLOBAL baseline (pad everything to the
+    * corpus max) whose waste is what naive batching pays. The
+    * bucket assignment is an integer CASE ladder over
+    * [[LengthBuckets]] (overlong docs clamp to the top bucket);
+    * every figure is exact-LONG until the two waste divisions.
+    *
+    * Scale design (100 TB): one row-local token count + bucket CASE
+    * per doc, one map-side-combined rollup onto ≤ |buckets| rows,
+    * and a one-row global reduction broadcast back — nothing
+    * corpus-sized past the first exchange. */
+  def lengthBucketAudit(docs: DataFrame): DataFrame = {
+    val tokens = TextAnalysis.regexTokenCountCol
+    val bucket = LengthBuckets.init.foldRight(
+      lit(LengthBuckets.last): Column) { (b, e) =>
+      when(col("n_tok") <= b, lit(b)).otherwise(e)
+    }
+    val base = docs.select(col("doc_id"), tokens.as("n_tok"))
+      .withColumn("bucket_len", bucket)
+    val global = base.agg(count(lit(1)).as("g_docs"),
+      sum(col("n_tok")).as("g_tokens"), max(col("n_tok")).as("g_max"))
+    base.groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .crossJoin(broadcast(global))
+      .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket_len")).as("padded_tokens"),
+        (lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("bucket_len")).cast("double"))
+          .as("waste_frac"),
+        col("g_max"),
+        (lit(1.0) - col("g_tokens").cast("double") /
+          (col("g_docs") * col("g_max")).cast("double"))
+          .as("global_waste_frac"))
+  }
+
   /** UCB1 exploration constant (the canonical √(2 ln N / n)). */
   val UcbC = 2.0
 

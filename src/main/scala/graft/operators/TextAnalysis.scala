@@ -121,6 +121,45 @@ object TextAnalysis {
     }
   }
 
+  /** Good–Turing / Chao1 vocabulary richness (q217) — the
+    * "how much vocabulary is still unseen?" estimate that tells a
+    * data buyer whether more of a source adds diversity, companion
+    * to Heaps growth (q135, which measures the observed curve):
+    * per source, the Good–Turing unseen-probability mass
+    * p₀ = n₁/N (the chance the NEXT token is a new type) and the
+    * Chao1 richness floor V + n₁²/(2n₂) (how many types exist,
+    * estimated from the singleton/doubleton counts). All inputs are
+    * exact LONGs from two map-side-combined rollups ((source, term)
+    * counts, then frequency-of-frequency counts); the two estimates
+    * are single fixed-order double formulas, and a zero-doubleton
+    * source degrades to the standard n₁(n₁−1)/2 bias-corrected form
+    * via one CASE — mirrored exactly.
+    *
+    * Scale design (100 TB): the corpus collapses to (source, term)
+    * type counts once (the q135 exchange), then to ≤ |S|·max_count
+    * frequency rows — the estimates never touch the token stream
+    * again. */
+  def vocabRichness(docs: DataFrame): DataFrame = {
+    val typeCounts = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val stats = typeCounts.groupBy(col("source"))
+      .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+    stats.select(col("source"), col("n_tokens"), col("v_obs"),
+      col("n1"), col("n2"),
+      (col("n1").cast("double") / col("n_tokens").cast("double"))
+        .as("p_unseen"),
+      (col("v_obs").cast("double") +
+        when(col("n2") > 0L,
+          col("n1").cast("double") * col("n1").cast("double") /
+            (lit(2.0) * col("n2").cast("double")))
+          .otherwise(col("n1").cast("double") *
+            (col("n1") - 1L).cast("double") / 2.0)).as("chao1"))
+  }
+
   /** Code-switch / mixed-language audit (q207) — the
     * paragraph-grained refinement of [[langId]]'s document verdict:
     * real crawl documents interleave languages (quoted sources,

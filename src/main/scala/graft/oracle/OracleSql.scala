@@ -1359,6 +1359,68 @@ SELECT source, n_docs, sw, tk, mean_reward, bonus, ucb,
 FROM scored CROSS JOIN best"""
   }
 
+  /** Mirror of [[graft.operators.Sampling.lengthBucketAudit]]
+    * (q218): the same regex token count, integer CASE bucket ladder,
+    * exact-LONG masses and fixed-order waste divisions. */
+  def lengthBucketAudit: String = {
+    import graft.operators.Sampling.LengthBuckets
+    import graft.operators.TextAnalysis.TokenPattern
+    val ladder = LengthBuckets.init.map(b =>
+      s"WHEN n_tok <= $b THEN CAST($b AS BIGINT)")
+      .mkString("CASE ", " ", s" ELSE CAST(${LengthBuckets.last} " +
+        "AS BIGINT) END")
+    s"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$TokenPattern'))
+              AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok, $ladder AS bucket_len FROM t
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS g_tokens,
+         CAST(MAX(n_tok) AS BIGINT) AS g_max
+  FROM b
+)
+SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) AS BIGINT) * bucket_len AS padded_tokens,
+       1.0 - CAST(SUM(n_tok) AS DOUBLE)
+         / CAST(CAST(COUNT(*) AS BIGINT) * bucket_len AS DOUBLE)
+         AS waste_frac,
+       g.g_max,
+       1.0 - CAST(g.g_tokens AS DOUBLE)
+         / CAST(g.g_docs * g.g_max AS DOUBLE) AS global_waste_frac
+FROM b CROSS JOIN g
+GROUP BY bucket_len, g.g_max, g.g_docs, g.g_tokens"""
+  }
+
+  /** Mirror of [[TextAnalysis.vocabRichness]] (q217): the same two
+    * exact-LONG rollups and the same single-formula estimates with
+    * the zero-doubleton CASE. */
+  def vocabRichness: String =
+    """WITH tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY source, term
+), st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, v_obs, n1, n2,
+       CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+       CAST(v_obs AS DOUBLE) +
+         CASE WHEN n2 > 0
+           THEN CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                / (2.0 * CAST(n2 AS DOUBLE))
+           ELSE CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE) / 2.0
+         END AS chao1
+FROM st"""
+
   /** Mirror of [[TextAnalysis.luhnCardScrub]] (q211) over the
     * [[TextAnalysis.withSyntheticCards]] corpus: same Knuth-mix
     * planted digits, same maximal-run + length-16 candidates, the

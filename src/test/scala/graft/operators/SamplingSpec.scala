@@ -488,6 +488,36 @@ class SamplingSpec extends AnyFunSuite with SparkSessionSpec {
     assert(r1(0).getAs[Double]("epochs") == 0.5)
   }
 
+  test("lengthBucketAudit: hand buckets — clamping at the top " +
+      "bucket, exact padded masses, bucketing always beats the " +
+      "pad-to-max baseline on mixed lengths") {
+    // letter-only words so the BPE-ish regex counts one token per
+    // word: 10, 20, 300 tokens; buckets 16, 32, 512; global max 300
+    def words(n: Int) = Seq.fill(n)("word").mkString(" ")
+    val docs = Seq((1L, words(10)), (2L, words(20)), (3L, words(300)))
+      .toDF("doc_id", "text")
+    val out = Sampling.lengthBucketAudit(docs).collect()
+      .map(r => r.getAs[Long]("bucket_len") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_frac"),
+          r.getAs[Double]("global_waste_frac")))).toMap
+    assert(out.keySet == Set(16L, 32L, 512L))
+    assert(out(16L) == ((1L, 10L, 16L, 1.0 - 10.0 / 16.0,
+      1.0 - 330.0 / 900.0)))
+    assert(out(32L)._3 == 32L)
+    assert(out(512L)._3 == 512L)
+    // bucketed total waste < global pad-to-max waste
+    val bucketedPadded = out.values.map(_._3).sum
+    val globalPadded = 3L * 300L
+    assert(bucketedPadded < globalPadded,
+      s"bucketing must reduce padded mass: $bucketedPadded vs $globalPadded")
+    // clamping: an overlong doc lands in the TOP bucket, not beyond
+    val big = Seq((9L, words(9000))).toDF("doc_id", "text")
+    val clamped = Sampling.lengthBucketAudit(big).head()
+    assert(clamped.getAs[Long]("bucket_len") ==
+      Sampling.LengthBuckets.last)
+  }
+
   test("ucbAllocation: exact rewards, exploration bonus shrinks " +
       "with plays, an under-sampled mediocre arm can beat a " +
       "well-sampled good one, exactly one arm chosen") {

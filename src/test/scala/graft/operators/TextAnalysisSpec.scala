@@ -603,6 +603,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
 
+  test("vocabRichness: hand counts — singleton mass, Chao1 with and " +
+      "without doubletons, saturated source scores near zero unseen") {
+    import spark.implicits._
+    // source a: tokens (x x y z) -> V=3, N=4, n1=2 (y,z), n2=1 (x)
+    //   p_unseen = 2/4 = 0.5; chao1 = 3 + 4/2 = 5
+    // source b: every type twice -> n1=0, n2=2: chao1 = V + 0 = 2,
+    //   p_unseen = 0 (saturated)
+    // source c: all singletons, NO doubletons -> bias-corrected form
+    //   V=2, n1=2, n2=0: chao1 = 2 + 2*1/2 = 3
+    val docs = Seq(
+      (1L, "a", "x x y z"),
+      (2L, "b", "p q p q"),
+      (3L, "c", "m n"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.vocabRichness(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("v_obs"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Double]("p_unseen"), r.getAs[Double]("chao1"))))
+      .toMap
+    assert(out("a") == ((4L, 3L, 2L, 1L, 0.5, 5.0)), s"a: ${out("a")}")
+    assert(out("b") == ((4L, 2L, 0L, 2L, 0.0, 2.0)), s"b: ${out("b")}")
+    assert(out("c") == ((2L, 2L, 2L, 0L, 1.0, 3.0)), s"c: ${out("c")}")
+  }
+
   test("luhnCardScrub: the canonical valid card is redacted, the " +
       "off-by-one invalid twin is kept, and 15/17-digit runs are " +
       "never candidates") {
