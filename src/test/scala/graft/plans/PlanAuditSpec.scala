@@ -807,4 +807,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(shuffleCount(df) == 0,
       s"audio features shuffle ${shuffleCount(df)}x")
   }
+
+  test("q216 dup audit: ids-only band exchange (no hashes array " +
+      "crosses the candidate join), no cartesian") {
+    val df = q("q216_dup_audit")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the candidate join's band/key exchanges must not carry the
+    // shingle-hash arrays — only the verify join moves them
+    val bandExchanges =
+      """Exchange hashpartitioning\((band|k1)[^\n]*""".r
+        .findAllIn(plan).toSeq
+    bandExchanges.foreach(e => assert(!e.contains("hashes#"),
+      s"hash arrays cross the band exchange: $e"))
+  }
+
+  test("q217 vocab richness: two map-side rollups, pruned scan, no " +
+      "joins at all") {
+    val df = q("q217_vocab_richness")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "richness needs no join")
+    assert(shuffleCount(df) <= 2,
+      s"vocab richness shuffles ${shuffleCount(df)}x (expected <=2)")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("source", "text")))
+  }
+
+  test("q218 length buckets: one bucket rollup + broadcast global " +
+      "row — at most two exchanges, pruned scan") {
+    val df = q("q218_length_buckets")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the global row must reach the buckets via broadcast")
+    assert(shuffleCount(df) <= 2,
+      s"length buckets shuffle ${shuffleCount(df)}x (expected <=2)")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("doc_id", "text"))))
+  }
 }
