@@ -1429,6 +1429,10 @@ object SparkEntry {
     // padded vs real token mass beside the pad-to-max baseline.
     "q218_length_buckets" -> ((s, dir) =>
       operators.Sampling.lengthBucketAudit(documents(s, dir))),
+    // Semantic decontamination: benchmark bands broadcast against
+    // the corpus band stream, exact-cosine removal list.
+    "q219_sem_decontam" -> ((s, dir) =>
+      Similarity.semanticContamination(Similarity.embeddings(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2019,6 +2023,7 @@ object SparkEntry {
     "q216_dup_audit" -> OracleSql.dupRateAudit,
     "q217_vocab_richness" -> OracleSql.vocabRichness,
     "q218_length_buckets" -> OracleSql.lengthBucketAudit,
+    "q219_sem_decontam" -> OracleSql.semanticContamination,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

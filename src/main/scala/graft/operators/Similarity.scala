@@ -292,6 +292,57 @@ object Similarity {
     (out, graft.util.CacheHandle(emb))
   }
 
+  /** Benchmark-set boundary of [[semanticContamination]]: vec_id <
+    * this are the held-out evaluation embeddings. */
+  val SemDecontamBenchBelow = 20L
+
+  /** Decontamination cosine bar — deliberately LOOSER than the q12
+    * near-dup threshold (0.4): a paraphrased eval example lands
+    * lower than a near-copy, and a false removal costs one training
+    * document while a missed leak corrupts the benchmark. */
+  val SemDecontamCosine = 0.3
+
+  /** Semantic test-set decontamination (q219) — the EMBEDDING-space
+    * complement of q43's n-gram contamination screen: an eval
+    * example paraphrased or lightly edited into the training corpus
+    * shares no 8-gram but sits at high cosine, so modern
+    * decontamination (phi-style) also screens by embedding
+    * similarity. Candidates are CROSS-set LSH band collisions
+    * (benchmark bands × corpus bands — never benchmark × corpus
+    * all-pairs), exact cosine ≥ [[NearDupCosine]] verifies, output
+    * is the removal list (corpus_vec, bench_vec, cosine).
+    *
+    * Scale design (100 TB): the benchmark side is eval-set-sized —
+    * its banded rows BROADCAST, so the corpus-side band stream never
+    * shuffles at all (one row-local banding pass + a broadcast hash
+    * join + the verify fetch); the corpus never meets itself, making
+    * this strictly cheaper than the q12 self-join at equal corpus
+    * size. */
+  def semanticContamination(emb0: DataFrame,
+      benchBelow: Long = SemDecontamBenchBelow,
+      threshold: Double = SemDecontamCosine,
+      bitsPerBand: Int = DedupBitsPerBand): DataFrame = {
+    val emb = emb0
+    val bands = emb.select(col("vec_id"),
+      posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
+        .as(Seq("band", "key")))
+    val bench = bands.filter(col("vec_id") < benchBelow).alias("a")
+    val corpus = bands.filter(col("vec_id") >= benchBelow).alias("b")
+    val candIds = corpus.join(broadcast(bench),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("b.vec_id").as("corpus_vec"),
+        col("a.vec_id").as("bench_vec"))
+      .distinct()
+    val vq = emb.select(col("vec_id").as("bench_vec"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    val vc = emb.select(col("vec_id").as("corpus_vec"), col("v"),
+      col("norm"))
+    candIds.join(broadcast(vq), "bench_vec").join(vc, "corpus_vec")
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_vec"), col("bench_vec"), col("cosine"))
+  }
+
   /** Neighbors kept per node in the k-NN graph (q112). */
   val KnnGraphK = 5
 

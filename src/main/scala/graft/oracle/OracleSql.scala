@@ -2643,6 +2643,42 @@ SELECT vec_a, vec_b, cosine FROM p
 WHERE cosine >= ${graft.operators.Similarity.NearDupCosine}"""
   }
 
+  /** Mirror of [[graft.operators.Similarity.semanticContamination]]
+    * (q219): the q12 band construction split cross-set — benchmark
+    * bands × corpus bands, exact cosine verify. */
+  def semanticContamination: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{SemDecontamBenchBelow,
+      SemDecontamCosine}
+    def keyExpr(vcol: String, j: Int): String =
+      (0 until DedupBitsPerBand).map { t =>
+        val lst = dedupPlanes(j * DedupBitsPerBand + t)
+          .mkString("[", ", ", "]")
+        s"CASE WHEN ${fsumSql(s"list_transform(range(1, ${Dim + 1}), i -> $lst[i] * $vcol[i])")} >= 0.0 THEN ${1 << t} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandCte = (0 until DedupNumBands).map { j =>
+      s"SELECT vec_id, v, nrm, $j AS band, ${keyExpr("v", j)} AS key FROM n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$embCtes
+, bands AS (
+  $bandCte
+), cand AS (
+  SELECT b.vec_id AS corpus_vec, b.v AS cv, b.nrm AS cn,
+         a.vec_id AS bench_vec, a.v AS qv, a.nrm AS qn
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key
+   AND a.vec_id < $SemDecontamBenchBelow
+   AND b.vec_id >= $SemDecontamBenchBelow
+  GROUP BY ALL
+), p AS (
+  SELECT corpus_vec, bench_vec,
+         ${dotSql("qv", "cv")} / (qn * cn) AS cosine
+  FROM cand
+)
+SELECT corpus_vec, bench_vec, cosine FROM p
+WHERE cosine >= $SemDecontamCosine"""
+  }
+
   /** Mirror of [[graft.operators.Similarity.pcaWhiten]] (q115): the
     * sample moments replayed with the SAME two-level ordered fold
     * (per-bucket ascending-vec_id member folds, ascending-bucket

@@ -363,6 +363,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("semanticContamination: a planted paraphrase-grade leak is " +
+      "flagged, cross-set only (no corpus-corpus or bench-bench " +
+      "pairs), LSH recall vs the brute cross-set documented") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def withNorm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    var x = 3L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    // bench vecs 0..19 random; corpus 20..119 random EXCEPT vec 50 =
+    // a lightly perturbed copy of bench vec 3 (the planted leak)
+    val bench = (0 until 20).map(i =>
+      (i.toLong, IndexedSeq.fill(64)(unif())))
+    val corpus = (20 until 120).map { i =>
+      if (i == 50) (50L, bench(3)._2.map(_ + 0.05 * unif()))
+      else (i.toLong, IndexedSeq.fill(64)(unif()))
+    }
+    val emb = withNorm((bench ++ corpus).toDF("vec_id", "v"))
+    val out = Similarity.semanticContamination(emb).collect()
+      .map(r => (r.getAs[Long]("corpus_vec"),
+        r.getAs[Long]("bench_vec"), r.getAs[Double]("cosine")))
+    assert(out.exists { case (c, b, cos) =>
+      c == 50L && b == 3L && cos > 0.9 },
+      s"planted leak not flagged: ${out.toSeq}")
+    // strictly cross-set
+    out.foreach { case (c, b, _) =>
+      assert(c >= Similarity.SemDecontamBenchBelow &&
+        b < Similarity.SemDecontamBenchBelow)
+    }
+    // random cross-set pairs sit near cosine 0 — the leak should be
+    // (near-)alone above the bar on this fixture
+    assert(out.length <= 3, s"too many flags on random data: $out")
+  }
+
   test("rocchioDenseTopK: exact alpha/beta arithmetic on a tiny " +
       "corpus; a noisy query is pulled home to its cluster " +
       "(precision@10 does not degrade and the scores re-rank)") {
