@@ -1433,6 +1433,10 @@ object SparkEntry {
     // the corpus band stream, exact-cosine removal list.
     "q219_sem_decontam" -> ((s, dir) =>
       Similarity.semanticContamination(Similarity.embeddings(s, dir))),
+    // Pairwise source JSD over the top-V vocabulary: the
+    // information-theoretic source-redundancy map.
+    "q220_source_jsd" -> ((s, dir) =>
+      TextAnalysis.sourceJsd(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2024,6 +2028,7 @@ object SparkEntry {
     "q217_vocab_richness" -> OracleSql.vocabRichness,
     "q218_length_buckets" -> OracleSql.lengthBucketAudit,
     "q219_sem_decontam" -> OracleSql.semanticContamination,
+    "q220_source_jsd" -> OracleSql.sourceJsd,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

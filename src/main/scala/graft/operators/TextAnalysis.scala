@@ -121,6 +121,72 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary width of [[sourceJsd]]'s distributions. */
+  val JsdVocab = 64
+
+  /** Pairwise source Jensen–Shannon divergence (q220) — the
+    * information-theoretic "which sources are redundant?" map next
+    * to q95's MinHash overlap (set view) and q168's mixture entropy
+    * (share view): each source's unigram distribution over the
+    * corpus-wide top-[[JsdVocab]] vocabulary (add-one smoothed, so
+    * every cell is positive and the logs are total), then
+    * JSD(p,q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2 for
+    * every source pair — symmetric, bounded by ln 2, zero iff the
+    * distributions match. Distributions are DENSE vectors ordered by
+    * term (a source×vocab grid with coalesced zeros before
+    * smoothing), so the per-pair fold is a fixed-length sequential
+    * chain identical in both engines.
+    *
+    * Scale design (100 TB): one (source, term) rollup filtered to
+    * the broadcast top-V vocabulary, a |S|·V dense grid, and a
+    * |S|²-bounded pair join over V-length arrays — sources number
+    * dozens, so everything after the first exchange is constant-size
+    * planning arithmetic. */
+  def sourceJsd(docs: DataFrame, vocabSize: Int = JsdVocab): DataFrame = {
+    val terms = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val vocab = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .filter(col("rn") <= vocabSize)
+      .select(col("term"))
+    val counts = terms.join(broadcast(vocab), "term")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val sources = docs.select(col("source")).distinct()
+    val grid = sources.crossJoin(broadcast(vocab))
+      .join(counts, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c"))
+    val totals = grid.groupBy(col("source"))
+      .agg(sum(col("c")).as("tot"))
+    // smooth over the ACTUAL vocabulary size (a corpus with fewer
+    // distinct terms than the nominal V must not be flattened
+    // toward uniform by phantom cells)
+    val vsize = vocab.agg(count(lit(1)).as("vn"))
+    val vecs = grid.join(broadcast(totals), "source")
+      .crossJoin(broadcast(vsize))
+      .select(col("source"), col("term"),
+        ((col("c") + 1L).cast("double") /
+          (col("tot") + col("vn")).cast("double")).as("p"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("term"), col("p"))))
+        .as("ps"))
+      .select(col("source"),
+        transform(col("ps"), x => x.getField("p")).as("pv"))
+    val a = vecs.select(col("source").as("source_a"),
+      col("pv").as("pa"))
+    val b = vecs.select(col("source").as("source_b"),
+      col("pv").as("pb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (aggregate(
+          zip_with(col("pa"), col("pb"), (p, q) =>
+            p * log(p / ((p + q) / 2.0)) +
+              q * log(q / ((p + q) / 2.0))),
+          lit(0.0), (acc, x) => acc + x) / 2.0).as("jsd"))
+  }
+
   /** Good–Turing / Chao1 vocabulary richness (q217) — the
     * "how much vocabulary is still unseen?" estimate that tells a
     * data buyer whether more of a source adds diversity, companion

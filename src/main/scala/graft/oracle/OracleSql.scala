@@ -1395,6 +1395,48 @@ FROM b CROSS JOIN g
 GROUP BY bucket_len, g.g_max, g.g_docs, g.g_tokens"""
   }
 
+  /** Mirror of [[TextAnalysis.sourceJsd]] (q220): same top-V vocab
+    * pick, dense smoothed grid, term-ordered vectors and the
+    * fixed-length sequential JSD fold. */
+  def sourceJsd: String = {
+    import graft.operators.TextAnalysis.JsdVocab
+    s"""WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS c FROM t GROUP BY term
+  ) QUALIFY row_number() OVER (ORDER BY c DESC, term ASC)
+      <= $JsdVocab
+), counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t JOIN vocab USING (term) GROUP BY source, term
+), grid AS (
+  SELECT s.source, v.term, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN counts c ON c.source = s.source AND c.term = v.term
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM grid
+  GROUP BY source
+), vs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vn FROM vocab
+), vecs AS (
+  SELECT g.source,
+         list(CAST(g.c + 1 AS DOUBLE) / CAST(t.tot + vs.vn
+              AS DOUBLE) ORDER BY g.term) AS pv
+  FROM grid g JOIN tot t USING (source) CROSS JOIN vs
+  GROUP BY g.source, t.tot, vs.vn
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       list_reduce(list_prepend(0.0,
+         list_transform(range(1, len(a.pv) + 1), i ->
+           a.pv[i] * ln(a.pv[i] / ((a.pv[i] + b.pv[i]) / 2.0)) +
+           b.pv[i] * ln(b.pv[i] / ((a.pv[i] + b.pv[i]) / 2.0)))),
+         (x, y) -> x + y) / 2.0 AS jsd
+FROM vecs a JOIN vecs b ON a.source < b.source"""
+  }
+
   /** Mirror of [[TextAnalysis.vocabRichness]] (q217): the same two
     * exact-LONG rollups and the same single-formula estimates with
     * the zero-doubleton CASE. */

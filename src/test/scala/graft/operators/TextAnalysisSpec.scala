@@ -603,6 +603,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
 
+  test("sourceJsd: identical sources score EXACTLY zero, disjoint " +
+      "sources approach ln 2, everything stays in [0, ln 2]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma alpha"),
+      (2L, "b", "alpha beta gamma alpha"),   // identical to a
+      (3L, "c", "delta epsilon zeta delta")) // disjoint from a/b
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceJsd(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd")).toMap
+    assert(out(("a", "b")) == 0.0,
+      s"identical distributions must score exactly 0: ${out(("a", "b"))}")
+    val ln2 = math.log(2.0)
+    // add-one smoothing over tiny 4-token sources dilutes the
+    // divergence; disjoint must still sit clearly above identical
+    assert(out(("a", "c")) > 0.05 && out(("a", "c")) < ln2)
+    assert(out(("b", "c")) == out(("a", "c")),
+      "identical sources must be equidistant from any third")
+    out.values.foreach(j => assert(j >= 0.0 && j <= ln2))
+  }
+
   test("vocabRichness: hand counts — singleton mass, Chao1 with and " +
       "without doubletons, saturated source scores near zero unseen") {
     import spark.implicits._
