@@ -1437,6 +1437,10 @@ object SparkEntry {
     // information-theoretic source-redundancy map.
     "q220_source_jsd" -> ((s, dir) =>
       TextAnalysis.sourceJsd(documents(s, dir))),
+    // Zipf rank-frequency fit: closed-form log-log least squares
+    // over the top ranks — the corpus-naturalness smell test.
+    "q221_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(documents(s, dir))),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2029,6 +2033,7 @@ object SparkEntry {
     "q218_length_buckets" -> OracleSql.lengthBucketAudit,
     "q219_sem_decontam" -> OracleSql.semanticContamination,
     "q220_source_jsd" -> OracleSql.sourceJsd,
+    "q221_zipf_fit" -> OracleSql.zipfFit,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -124,6 +124,58 @@ object TextAnalysis {
   /** Vocabulary width of [[sourceJsd]]'s distributions. */
   val JsdVocab = 64
 
+  /** Rank depth of [[zipfFit]]'s regression. */
+  val ZipfTopRanks = 64
+
+  /** Zipf rank–frequency fit (q221) — the third corpus-health lens
+    * beside Heaps growth (q135) and Good–Turing richness (q217):
+    * natural text follows f(r) ∝ r^(−s) with s ≈ 1, and a corpus
+    * whose fitted exponent drifts far from that (template spam
+    * flattens it, boilerplate floods steepen it) fails the
+    * naturalness smell test before any model sees it. The fit is
+    * closed-form least squares of ln f on ln r over the top
+    * [[ZipfTopRanks]] ranks: the five moment sums (Σx, Σy, Σxy,
+    * Σx², Σy²) each fold over the RANK-ordered list (the ordered-
+    * fold FP discipline), and slope/intercept/r² are fixed-order
+    * double formulas — bit-identical in the mirror.
+    *
+    * Scale design (100 TB): one map-side-combined term rollup, a
+    * top-V rank pick, then constant-size (V-row) regression
+    * arithmetic — the corpus is touched once. */
+  def zipfFit(docs: DataFrame, topRanks: Int = ZipfTopRanks): DataFrame = {
+    val ranked = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .filter(col("rn") <= topRanks)
+      .select(col("rn"), log(col("rn").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def fold(field: String): Column =
+      aggregate(col("pts"), lit(0.0),
+        (acc, p) => acc + p.getField(field))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("rn"), col("x").as("x"),
+          col("y").as("y"), (col("x") * col("x")).as("xx"),
+          (col("x") * col("y")).as("xy"),
+          (col("y") * col("y")).as("yy")))).as("pts"))
+      .select(col("n"), fold("x").as("sx"), fold("y").as("sy"),
+        fold("xy").as("sxy"), fold("xx").as("sxx"),
+        fold("yy").as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("r2"))
+      .select(col("n").as("n_ranks"), col("slope"), col("r2"),
+        (col("slope") <= -0.5 && col("slope") >= -2.0)
+          .as("zipf_like"))
+  }
+
   /** Pairwise source Jensen–Shannon divergence (q220) — the
     * information-theoretic "which sources are redundant?" map next
     * to q95's MinHash overlap (set view) and q168's mixture entropy

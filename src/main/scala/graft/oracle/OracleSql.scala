@@ -1395,6 +1395,44 @@ FROM b CROSS JOIN g
 GROUP BY bucket_len, g.g_max, g.g_docs, g.g_tokens"""
   }
 
+  /** Mirror of [[TextAnalysis.zipfFit]] (q221): same top-V rank
+    * pick, rank-ordered moment folds, identical closed-form
+    * slope/r² chains. */
+  def zipfFit: String = {
+    import graft.operators.TextAnalysis.ZipfTopRanks
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(0.0, list($e ORDER BY rn)), " +
+        "(a, b) -> a + b)"
+    s"""WITH rc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term
+), rk AS (
+  SELECT rn, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM (
+    SELECT c, CAST(row_number() OVER (ORDER BY c DESC, term ASC)
+               AS BIGINT) AS rn
+    FROM rc
+  ) WHERE rn <= $ZipfTopRanks
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         ${fold("x")} AS sx, ${fold("y")} AS sy,
+         ${fold("x * y")} AS sxy, ${fold("x * x")} AS sxx,
+         ${fold("y * y")} AS syy
+  FROM rk
+), f AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+           ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM m
+)
+SELECT n AS n_ranks, slope, r2,
+       (slope <= -0.5 AND slope >= -2.0) AS zipf_like
+FROM f"""
+  }
+
   /** Mirror of [[TextAnalysis.sourceJsd]] (q220): same top-V vocab
     * pick, dense smoothed grid, term-ordered vectors and the
     * fixed-length sequential JSD fold. */

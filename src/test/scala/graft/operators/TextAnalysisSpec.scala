@@ -603,6 +603,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(100L).getAs[Long]("total_tokens") == 16L)
   }
 
+  test("zipfFit: an exact power-law corpus recovers its exponent " +
+      "with r2 ~ 1; a uniform corpus fits slope ~ 0 and is not " +
+      "zipf-like") {
+    import spark.implicits._
+    // exact f(r) = 1024 / r for ranks 1..16: term t{r} repeated
+    // floor(1024/r) times — integer counts, but the fit on the top
+    // 16 ranks should land near s = -1 with high r2
+    val zipfText = (1 to 16).flatMap(r =>
+      Seq.fill(1024 / r)(s"t$r")).mkString(" ")
+    val zipf = Seq((1L, zipfText)).toDF("doc_id", "text")
+    val zf = TextAnalysis.zipfFit(zipf, topRanks = 16).head()
+    assert(zf.getAs[Long]("n_ranks") == 16L)
+    val s = zf.getAs[Double]("slope")
+    assert(math.abs(s + 1.0) < 0.02, s"exponent $s far from -1")
+    assert(zf.getAs[Double]("r2") > 0.999)
+    assert(zf.getAs[Boolean]("zipf_like"))
+    // uniform counts: slope ~ 0, NOT zipf-like
+    val uniText = (1 to 16).flatMap(r =>
+      Seq.fill(64)(s"u$r")).mkString(" ")
+    val uni = TextAnalysis.zipfFit(
+      Seq((1L, uniText)).toDF("doc_id", "text"), topRanks = 16).head()
+    assert(math.abs(uni.getAs[Double]("slope")) < 1e-9)
+    assert(!uni.getAs[Boolean]("zipf_like"))
+  }
+
   test("sourceJsd: identical sources score EXACTLY zero, disjoint " +
       "sources approach ln 2, everything stays in [0, ln 2]") {
     import spark.implicits._
