@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CachingSpec asserts on the JVM-global persistent-RDD registry; any
+// suite sharing its JVM can mutate that registry mid-assertion (the r12
+// flake: another suite's async unpersist dropped the count under the
+// test's snapshot). Give it a forked JVM of its own so the registry is
+// private to the suite and its id-set assertions are deterministic.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (iso, rest) = tests.partition(_.name.endsWith("CachingSpec"))
+  Seq(
+    Tests.Group("caching-isolated", iso, Tests.SubProcess(opts)),
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
 // Forked `run` output goes straight to sbt's stdout instead of being
 // re-logged with an "[info] " prefix: the driver json-parses bench
 // output lines, and the prefix is exactly why BENCH_r01..r10 landed

@@ -309,7 +309,8 @@ object Similarity {
     * decontamination (phi-style) also screens by embedding
     * similarity. Candidates are CROSS-set LSH band collisions
     * (benchmark bands × corpus bands — never benchmark × corpus
-    * all-pairs), exact cosine ≥ [[NearDupCosine]] verifies, output
+    * all-pairs), exact cosine ≥ [[SemDecontamCosine]] (0.3 — looser
+    * than the 0.4 dedup bar, see its scaladoc) verifies, output
     * is the removal list (corpus_vec, bench_vec, cosine).
     *
     * Scale design (100 TB): the benchmark side is eval-set-sized —

@@ -121,6 +121,35 @@ object TextAnalysis {
     }
   }
 
+  /** Global (single-group) top-k by `orderCols`, emitting a 1-based
+    * long `rank` column — routed through the
+    * [[org.apache.spark.sql.graft.TopKPerGroup]] operator under a
+    * constant group key, so per-partition bounded heaps forward ≤ k
+    * rows each and the frame is NEVER sorted on a single reducer.
+    * This matters wherever the ranked frame is corpus-sized (the
+    * q220/q221 distinct-term vocabulary — exactly the ID-heavy blowup
+    * q135 exists to measure): `row_number() OVER (ORDER BY …)` plans
+    * as a single-partition Exchange + full sort. The unpartitioned
+    * window remains ONLY as the fixture-scale fallback for bare
+    * sessions without [[graft.plans.GraftExtensions]], mirroring
+    * [[Sampling.weightedReservoir]]. */
+  private[operators] def globalTopK(df: DataFrame,
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val extensionsActive = df.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    if (extensionsActive)
+      org.apache.spark.sql.graft.TopK.perGroup(
+        df.withColumn("g", lit(0)), Seq("g"), orderCols, k).drop("g")
+    else {
+      val sorted = orderCols.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }
+      df.withColumn("rank",
+          row_number().over(Window.orderBy(sorted: _*)).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Vocabulary width of [[sourceJsd]]'s distributions. */
   val JsdVocab = 64
 
@@ -140,15 +169,19 @@ object TextAnalysis {
     * double formulas — bit-identical in the mirror.
     *
     * Scale design (100 TB): one map-side-combined term rollup, a
-    * top-V rank pick, then constant-size (V-row) regression
-    * arithmetic — the corpus is touched once. */
+    * top-V rank pick through [[globalTopK]] (bounded per-partition
+    * heaps — the distinct-term vocabulary, which an ID-heavy corpus
+    * makes corpus-sized, is never single-partition sorted), then
+    * constant-size (V-row) regression arithmetic — the corpus is
+    * touched once. */
   def zipfFit(docs: DataFrame, topRanks: Int = ZipfTopRanks): DataFrame = {
-    val ranked = docs.select(explode(split(col("text"), " ")).as("term"))
+    val termCounts = docs
+      .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
-      .filter(col("rn") <= topRanks)
-      .select(col("rn"), log(col("rn").cast("double")).as("x"),
+    val ranked = globalTopK(termCounts,
+        Seq("c" -> false, "term" -> true), topRanks)
+      .select(col("rank").as("rn"),
+        log(col("rank").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
     def fold(field: String): Column =
       aggregate(col("pts"), lit(0.0),
@@ -190,18 +223,17 @@ object TextAnalysis {
     * chain identical in both engines.
     *
     * Scale design (100 TB): one (source, term) rollup filtered to
-    * the broadcast top-V vocabulary, a |S|·V dense grid, and a
-    * |S|²-bounded pair join over V-length arrays — sources number
-    * dozens, so everything after the first exchange is constant-size
-    * planning arithmetic. */
+    * the broadcast top-V vocabulary (picked via [[globalTopK]]'s
+    * bounded heaps, never a single-partition vocabulary sort), a
+    * |S|·V dense grid, and a |S|²-bounded pair join over V-length
+    * arrays — sources number dozens, so everything after the first
+    * exchange is constant-size planning arithmetic. */
   def sourceJsd(docs: DataFrame, vocabSize: Int = JsdVocab): DataFrame = {
     val terms = docs.select(col("source"),
       explode(split(col("text"), " ")).as("term"))
-    val vocab = terms.groupBy(col("term"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
-      .filter(col("rn") <= vocabSize)
+    val vocab = globalTopK(
+        terms.groupBy(col("term")).agg(count(lit(1)).as("c")),
+        Seq("c" -> false, "term" -> true), vocabSize)
       .select(col("term"))
     val counts = terms.join(broadcast(vocab), "term")
       .groupBy(col("source"), col("term"))
@@ -482,7 +514,11 @@ object TextAnalysis {
     * document (q211's fixture): digits derived from doc_id by the
     * shared Knuth mix, so ~10% of the planted runs are Luhn-valid by
     * arithmetic accident — exactly the mixed valid/invalid population
-    * a checksum-validating scrubber exists to separate. */
+    * a checksum-validating scrubber exists to separate. The id is
+    * masked below 2^31 BEFORE the multiply (the house Knuth-mix
+    * discipline): unmasked, doc_id ≥ ~3.47e9 overflows the 64-bit
+    * product — Spark wraps silently while DuckDB errors, so the two
+    * engines would diverge exactly where the fixture can't see. */
   def withSyntheticCards(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -490,7 +526,8 @@ object TextAnalysis {
         col("text"),
         when(col("doc_id") % 4 === 0,
           concat(lit(" card "),
-            lpad(((col("doc_id") * Sampling.HashMult) % 100000000L)
+            lpad((((col("doc_id") % 2147483648L) * Sampling.HashMult)
+              % 100000000L)
               .cast("string"), 8, "0"),
             lpad(((col("doc_id") * 97L) % 100000000L).cast("string"),
               8, "0"))).otherwise(lit(""))).as("text"))
@@ -519,8 +556,20 @@ object TextAnalysis {
     * share), validity is the checksum, and ONLY validated runs are
     * redacted (invalid runs stay — they are not cards, and cutting
     * them is the false positive this operator exists to prevent).
-    * Clean text rebuilds by folding literal `replace` over the
-    * validated runs in extraction order.
+    * Clean text rebuilds by folding a BOUNDARY-ANCHORED
+    * `regexp_replace` over the validated runs in extraction order:
+    * the pattern `(^|[^0-9])run([^0-9]|$)` redacts only occurrences
+    * that are themselves maximal digit runs, so a longer non-
+    * candidate run elsewhere in the document that happens to embed
+    * the same 16 digits is left intact (a literal substring
+    * `replace` violated exactly that contract — r12 ADVICE). The
+    * replace runs twice per fold step because a global regex pass
+    * consumes the trailing boundary character of each match: in a
+    * chain of same-valued runs separated by single characters the
+    * even occurrences are skipped on pass one and — now flanked by
+    * the '>'/'<' of neighbouring redactions — caught on pass two.
+    * Lookbehind would express this in one pass but is Java-regex
+    * only; the alternation form is the dialect both engines share.
     *
     * Scale design (100 TB): one row-local pass — extraction, the
     * 16-step integer checksum per candidate, and the rebuild all
@@ -537,7 +586,10 @@ object TextAnalysis {
         size(col("cands")).cast("long").as("n_candidates"),
         size(col("valid")).cast("long").as("n_valid"),
         expr("aggregate(valid, text, (acc, r) -> " +
-          "replace(acc, r, '<CARD>'))").as("clean_text"))
+          "regexp_replace(regexp_replace(acc, " +
+          "concat('(^|[^0-9])', r, '([^0-9]|$)'), '$1<CARD>$2'), " +
+          "concat('(^|[^0-9])', r, '([^0-9]|$)'), '$1<CARD>$2'))")
+          .as("clean_text"))
 
   /** Context-window chunking parameters: window size and overlap in
     * characters (stride = size − overlap). */
@@ -770,19 +822,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"),
         count(lit(1)).as("n_terms_hit"))
-    val extensionsActive = docs.sparkSession.sessionState.planner
-      .extraPlanningStrategies
-      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
     val ranked =
-      if (extensionsActive)
-        org.apache.spark.sql.graft.TopK.perGroup(
-          scored.withColumn("g", lit(0)), Seq("g"),
-          Seq("score" -> false, "doc_id" -> true), topK).drop("g")
-      else scored
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc))
-          .cast("long"))
-        .filter(col("rank") <= topK)
+      globalTopK(scored, Seq("score" -> false, "doc_id" -> true), topK)
     ranked.select(col("doc_id"), col("n_terms_hit"), col("score"),
       col("rank"))
   }

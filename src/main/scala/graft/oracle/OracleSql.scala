@@ -1504,8 +1504,11 @@ FROM st"""
   /** Mirror of [[TextAnalysis.luhnCardScrub]] (q211) over the
     * [[TextAnalysis.withSyntheticCards]] corpus: same Knuth-mix
     * planted digits, same maximal-run + length-16 candidates, the
-    * identical 16-step Luhn integer chain, and the same literal
-    * replace fold over validated runs. */
+    * identical 16-step Luhn integer chain, and the same
+    * boundary-anchored double-pass regexp_replace fold over
+    * validated runs (`(^|[^0-9])run([^0-9]|$)` — only occurrences
+    * that are maximal digit runs are redacted; see the operator
+    * scaladoc for why the pass runs twice). */
   def luhnCardScrub: String = {
     import graft.operators.Sampling.HashMult
     val luhn =
@@ -1519,7 +1522,8 @@ FROM st"""
     s"""WITH synth AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 4 = 0 THEN ' card ' ||
-           lpad(CAST((doc_id * $HashMult) % 100000000 AS VARCHAR),
+           lpad(CAST(((doc_id % 2147483648) * $HashMult) % 100000000
+                  AS VARCHAR),
                 8, '0') ||
            lpad(CAST((doc_id * 97) % 100000000 AS VARCHAR), 8, '0')
          ELSE '' END AS text
@@ -1537,7 +1541,11 @@ FROM st"""
 SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
        CAST(len(valid) AS BIGINT) AS n_valid,
        list_reduce(list_prepend(text, valid),
-         (acc, r) -> replace(acc, r, '<CARD>')) AS clean_text
+         (acc, r) -> regexp_replace(
+           regexp_replace(acc, '(^|[^0-9])' || r || '([^0-9]|${"$"})',
+             '\\1<CARD>\\2', 'g'),
+           '(^|[^0-9])' || r || '([^0-9]|${"$"})',
+           '\\1<CARD>\\2', 'g')) AS clean_text
 FROM v"""
   }
 

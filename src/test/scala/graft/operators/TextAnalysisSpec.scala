@@ -699,6 +699,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(5L) == ((2L, 1L, "a <CARD> b 4111111111111112 c")))
   }
 
+  test("luhnCardScrub redaction is boundary-anchored: a longer " +
+      "non-candidate run embedding the validated 16 digits stays " +
+      "intact, and same-valued run chains redact fully") {
+    import spark.implicits._
+    val card = "4111111111111111" // Luhn-valid
+    val docs = Seq(
+      // a validated standalone run PLUS a 17-digit run embedding the
+      // same 16 digits: the r12 defect partially redacted the long
+      // run; the anchored pattern must leave it whole
+      (1L, s"pay $card ref 9$card end"),
+      // embedding on the other side (card + trailing digit)
+      (2L, s"pay $card ref ${card}7 end"),
+      // same valid run three times, single-space separated — the
+      // double-pass rebuild must catch the middle occurrence whose
+      // leading boundary the first global pass consumed
+      (3L, s"$card $card $card"),
+      // run at both string boundaries (the ^/$ alternation arms)
+      (4L, card),
+      (5L, s"$card mid $card"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnCardScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_valid"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((1L, 1L, s"pay <CARD> ref 9$card end")))
+    assert(out(2L) == ((1L, 1L, s"pay <CARD> ref ${card}7 end")))
+    assert(out(3L) == ((3L, 3L, "<CARD> <CARD> <CARD>")))
+    assert(out(4L) == ((1L, 1L, "<CARD>")))
+    assert(out(5L) == ((2L, 2L, "<CARD> mid <CARD>")))
+  }
+
   test("prfExpandedTopDocs: the expansion retrieves a document the " +
       "original query cannot see; idf damping beats raw feedback " +
       "frequency; base ranking order is deterministic") {

@@ -851,4 +851,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       scan.requiredSchema.fieldNames.toSet.subsetOf(
         Set("doc_id", "text"))))
   }
+
+  test("q221 zipf fit: the top-V vocabulary pick runs through the " +
+      "TopKPerGroup heaps — no single-partition vocabulary sort") {
+    val df = q("q221_zipf_fit")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "rank pick must use the heap operator")
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-sized distinct-term frame must never funnel through
+    // an Exchange SinglePartition ahead of an unpartitioned window
+    // (the r12 ADVICE defect): at 100 TB an ID-heavy vocabulary lands
+    // on one reducer there. The regression's own V-row collapse is a
+    // plain (bounded) final aggregate, not a sort.
+    assert(!plan.contains("Window "),
+      "zipf rank fell back to an unpartitioned window sort")
+  }
+
+  test("q220 source jsd: the vocabulary pick runs through the " +
+      "TopKPerGroup heaps — no single-partition vocabulary sort") {
+    val df = q("q220_source_jsd")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "vocabulary pick must use the heap operator")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window "),
+      "jsd vocabulary fell back to an unpartitioned window sort")
+  }
 }
