@@ -1441,6 +1441,63 @@ object SparkEntry {
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(documents(s, dir))),
+    // STRICT-PARITY streaming paragraph dedup (q222): q183's
+    // watermark-deferred sibling, graded under REVERSED ingest — the
+    // corpus arrives as three DESCENDING-id file waves, exactly the
+    // order where the eager first-arrival canonical diverges from the
+    // batch min rule. Each digest holds its running min-(doc_id, pos)
+    // until the watermark proves it final; two far-future punctuation
+    // files close every digest. Same oracle as q130/q183 — the
+    // deferred canonicals must equal the batch canonical table under
+    // an ingest order the eager member cannot survive.
+    "q222_stream_paragraph_deferred" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-para-q222")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      // REVERSED: the high-id third lands first
+      val waves = Seq(col("doc_id") > b2,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") <= b1)
+      // deterministic EVENT time (graded path: no wall clock in the
+      // data); file mtimes only order the file stream's pickup
+      val evBase = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        .getTime
+      val mtBase = System.currentTimeMillis() - 60000L
+      val punct = Seq(
+        (-1L, (1 to 8).map(i => s"zzpunct1w$i").mkString(" "),
+          new java.sql.Timestamp(evBase + 3600L * 1000)),
+        (-2L, (1 to 8).map(i => s"zzpunct2w$i").mkString(" "),
+          new java.sql.Timestamp(evBase + 7200L * 1000)))
+      import s.implicits._
+      val waveFrames = waves.zipWithIndex.map { case (p, w) =>
+        docs.filter(p).withColumn("ts",
+          lit(new java.sql.Timestamp(evBase + w * 2000L)))
+      } ++ punct.zipWithIndex.map { case (row, i) =>
+        Seq(row).toDF("doc_id", "text", "ts")
+          .select(col("doc_id"), col("text"), col("ts"))
+      }
+      waveFrames.zipWithIndex.foreach { case (df, w) =>
+        val tmp = s"$wh/w$w"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtBase + w * 2000L)
+      }
+      val stream = s.readStream.schema(waveFrames.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q222_kept")
+      val q = streaming.StreamingDedup.paragraphCanonicalDeferred(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q222_kept").start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.paragraphRebuild(Dedup.paragraphBase(docs),
+        s.table("graft_q222_kept").filter(col("doc_id") >= 0))
+    }),
     // Unigram-LM (SentencePiece-family) tokenizer trainer: substring
     // seed inventory, Viterbi-EM over the distinct-word vocabulary,
     // prune-to-vocab with the single-char coverage floor, refit.
@@ -2034,6 +2091,9 @@ object SparkEntry {
     "q219_sem_decontam" -> OracleSql.semanticContamination,
     "q220_source_jsd" -> OracleSql.sourceJsd,
     "q221_zipf_fit" -> OracleSql.zipfFit,
+    // the deferred streaming twin closes to the identical batch
+    // canonical even under reversed ingest
+    "q222_stream_paragraph_deferred" -> OracleSql.paragraphDedup,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

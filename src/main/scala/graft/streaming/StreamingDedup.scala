@@ -403,7 +403,10 @@ object StreamingDedup {
     * batch canonical table EXACTLY (spec-pinned). Under out-of-order
     * ingest the streaming canonical is first-ARRIVAL (the only
     * causally available choice); n_kept/n_paras are unchanged, only
-    * WHICH copy survives differs. */
+    * WHICH copy survives differs. STRICT PARITY IS AVAILABLE:
+    * [[paragraphCanonicalDeferred]] (q222) holds each digest's
+    * running minimum until the watermark proves it final and is
+    * spec-pinned equal to the batch rule under REVERSED ingest. */
   def paragraphFirstOccurrences(docs: DataFrame): Dataset[ParaKeep] = {
     import docs.sparkSession.implicits._
     Dedup.paragraphHashes(Dedup.paragraphBase(docs))
@@ -423,6 +426,91 @@ object StreamingDedup {
             }
             if (best == null) Iterator.empty
             else { state.update(best); Iterator.single(best) }
+          }
+      }
+  }
+
+  /** Per-digest state of [[paragraphCanonicalDeferred]]: before the
+    * watermark closes the digest, the PENDING global-min candidate
+    * (`emitted = false`); after emission, a permanent CLAIM marker
+    * (`emitted = true`) so every later arrival of the same paragraph
+    * stays suppressed — the same forever-claim the eager member
+    * keeps, at the same one-row-per-distinct-digest state bound. */
+  final case class DeferredCanon(emitted: Boolean, maxTs: Long,
+      docId: Long, pos: Int)
+
+  /** STRICT-PARITY streaming paragraph dedup (q222) — the
+    * watermark-deferred escape of [[paragraphFirstOccurrences]]'s
+    * order caveat, applying the [[containmentPairsDeferred]]
+    * discipline to canonical SELECTION: the eager member's canonical
+    * is first-ARRIVAL (the only causally available choice), which
+    * matches the batch min-(doc_id, pos) rule ONLY under ascending-id
+    * ingest. Here a digest's bucket accumulates the running
+    * min-(doc_id, pos) WITHOUT emitting; when the event-time
+    * watermark passes (last arrival + `horizonMs`) the digest is
+    * FINAL — no earlier-timestamped copy can legally arrive — and the
+    * held minimum IS the batch canonical, whatever order the copies
+    * came in. After emission the state degrades to a permanent claim
+    * marker: later-than-horizon re-occurrences (batch dups of the
+    * canonical) emit nothing, exactly the batch rule. The one scoped
+    * departure from batch parity: a copy arriving later than the
+    * watermark bound with a SMALLER (doc_id, pos) than the emitted
+    * canonical cannot retract it — the standard lateness contract,
+    * same scope as the deferred-containment tombstone note.
+    *
+    * Latency trade as in the containment twin: eager emits on first
+    * arrival, deferred one horizon after the digest quiesces — the
+    * price of order-independent exactness. Spec-pinned equal to the
+    * q130 batch canonical under REVERSED ingest, where the eager
+    * member provably picks the wrong copy (StreamingDedupSpec). */
+  def paragraphCanonicalDeferred(docs: DataFrame,
+      watermarkDelay: String = "0 seconds",
+      horizonMs: Long = 1000L): Dataset[ParaKeep] = {
+    import docs.sparkSession.implicits._
+    val P = Dedup.ParaWords
+    val hashed = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("w"))
+      .withColumn("n_paras",
+        expr(s"CAST((size(w) + ${P - 1}) DIV $P AS BIGINT)"))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        s"""transform(sequence(0, CAST(n_paras AS INT) - 1),
+           |  i -> md5(array_join(slice(w, $P * i + 1, $P), ' ')))"""
+          .stripMargin)))
+      .toDF("doc_id", "ts", "pos", "phash")
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    hashed
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[DeferredCanon, ParaKeep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+            state: GroupState[DeferredCanon]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            if (b.emitted) Iterator.empty // claim marker never times out
+            else {
+              // digest FINAL: the held min is the batch canonical;
+              // keep the claim forever (no further timeout — the
+              // marker persists like the eager member's state)
+              state.update(b.copy(emitted = true))
+              Iterator.single(ParaKeep(b.docId, b.pos))
+            }
+          } else {
+            var b = state.getOption
+              .getOrElse(DeferredCanon(emitted = false, 0L,
+                Long.MaxValue, Int.MaxValue))
+            if (b.emitted) Iterator.empty // late re-occurrence: a dup
+            else {
+              for ((d, ts, p, _) <- rows) {
+                val t = ts.getTime
+                if (t > b.maxTs) b = b.copy(maxTs = t)
+                if (d < b.docId || (d == b.docId && p < b.pos))
+                  b = b.copy(docId = d, pos = p)
+              }
+              state.update(b)
+              state.setTimeoutTimestamp(math.max(b.maxTs + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }

@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * ([[graft.operators.EventsQueries.withTsMs]] / `epoch_ns(ts) //
   * 1000000` — the established events discipline), so the horizon
   * boundary is bit-identical.
+  *
+  * LATE DATA is the one divergence from batch, and it is QUANTIFIED
+  * (StreamingIntervalJoinSpec, the two "QUANTIFIED late-data
+  * divergence" tests): a row whose event time trails the join's
+  * global watermark (min across both inputs, each = max seen −
+  * `watermarkDelay`) is dropped at ingestion, and the divergence is
+  * EXACTLY that row's own pairs — inner loses the pair, left-outer
+  * degrades it to the click's null row — while rows late by LESS
+  * than the delay pair identically to batch. So the delay knob is a
+  * precise contract: divergence ⊆ pairs touching rows later than
+  * `watermarkDelay`, nothing else ever differs.
   */
 object StreamingIntervalJoin {
 

@@ -269,6 +269,119 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(rebuilt == batch)
   }
 
+  test("deferred paragraph canonical == batch min rule under REVERSED " +
+      "ingest, where the eager first-arrival member provably picks " +
+      "the wrong copy; rebuild parity row-for-row") {
+    // same corpus shape as the eager-parity fixture, but waves arrive
+    // in DESCENDING doc_id order: the high-id copies of paraA/paraD
+    // reach the stream first, so first-arrival canonicals are wrong
+    def para(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val (pa, pb, pc, pd) = (para("a"), para("b"), para("c"), para("d"))
+    val lowWave = Seq((1L, s"$pa $pb"), (2L, s"$pb $pc"))
+    val highWave = Seq((3L, s"$pa $pd $pa"), (4L, pd))
+    val all = lowWave ++ highWave
+    val batchCanon = Dedup
+      .paragraphHashes(Dedup.paragraphBase(all.toDF("doc_id", "text")))
+      .groupBy("phash")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct("doc_id", "pos")).as("m"))
+      .select("m.doc_id", "m.pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(batchCanon == Set((1L, 0), (1L, 1), (2L, 1), (3L, 1)))
+
+    // EAGER member under reversed ingest: paraA's canonical is its
+    // first arrival (doc 3), not the batch min (doc 1)
+    val msE = MemoryStream[(Long, String)]
+    val qe = StreamingDedup.paragraphFirstOccurrences(
+        msE.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("parae-cp").toString)
+      .format("memory").queryName("para_eager_rev").start()
+    msE.addData(highWave: _*)
+    qe.processAllAvailable()
+    msE.addData(lowWave: _*)
+    qe.processAllAvailable()
+    qe.stop()
+    val eager = spark.table("para_eager_rev").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(eager != batchCanon && eager.contains((3L, 0)),
+      s"fixture no longer demonstrates the eager order dependence: $eager")
+
+    // DEFERRED member, same reversed arrival, punctuation rows close
+    // the digests once the watermark proves them final
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(base.getTime + plusMs)
+    val msD = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val qd = StreamingDedup.paragraphCanonicalDeferred(
+        msD.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("parad-cp").toString)
+      .format("memory").queryName("para_deferred_rev").start()
+    msD.addData(highWave.map(d => (d._1, d._2, ts(0))): _*)
+    qd.processAllAvailable()
+    msD.addData(lowWave.map(d => (d._1, d._2, ts(100))): _*)
+    qd.processAllAvailable()
+    msD.addData((-1L, para("zpunct1"), ts(3600L * 1000)))
+    qd.processAllAvailable()
+    msD.addData((-2L, para("zpunct2"), ts(7200L * 1000)))
+    qd.processAllAvailable()
+    qd.stop()
+    val deferred = spark.table("para_deferred_rev").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+      .filter(_._1 >= 0) // punctuation rows' own paragraphs
+    assert(deferred == batchCanon,
+      s"deferred != batch: missing=${batchCanon.diff(deferred)} " +
+        s"extra=${deferred.diff(batchCanon)}")
+    // full rebuild parity against the batch operator, row for row
+    val batch = Dedup.paragraphDedup(all.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val rebuilt = Dedup.paragraphRebuild(
+        Dedup.paragraphBase(all.toDF("doc_id", "text")),
+        spark.table("para_deferred_rev")
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= 0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rebuilt == batch)
+  }
+
+  test("deferred paragraph canonical: a later-than-horizon " +
+      "re-occurrence stays suppressed by the permanent claim marker") {
+    def para(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val pa = para("a")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(plusMs: Long) = new java.sql.Timestamp(base.getTime + plusMs)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.paragraphCanonicalDeferred(
+        ms.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("parac-cp").toString)
+      .format("memory").queryName("para_claim").start()
+    ms.addData((5L, pa, ts(0)))
+    q.processAllAvailable()
+    // punctuation closes the digest -> canonical (5, 0) emits
+    ms.addData((-1L, para("zp1"), ts(10000L)))
+    q.processAllAvailable()
+    ms.addData((-2L, para("zp2"), ts(20000L)))
+    q.processAllAvailable()
+    // a fresh copy arrives long after the digest closed: batch would
+    // call it a dup of the canonical — the claim must suppress it
+    ms.addData((9L, pa, ts(30000L)))
+    q.processAllAvailable()
+    ms.addData((-3L, para("zp3"), ts(3600L * 1000)))
+    q.processAllAvailable()
+    ms.addData((-4L, para("zp4"), ts(7200L * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("para_claim").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet.filter(_._1 >= 0)
+    assert(got == Set((5L, 0)),
+      s"late re-occurrence must not re-emit or re-claim: $got")
+  }
+
   // NOTE on stateTtlMs: ProcessingTimeTimeout makes the engine
   // schedule continuous no-data micro-batches to fire timeouts, so
   // `processAllAvailable` never settles in that mode. The TTL
