@@ -1437,6 +1437,13 @@ object SparkEntry {
     // information-theoretic source-redundancy map.
     "q220_source_jsd" -> ((s, dir) =>
       TextAnalysis.sourceJsd(documents(s, dir))),
+    // End-to-end DECONTAMINATED funnel: the q36 pipeline with the
+    // decontamination stage between language and split — q43's
+    // n-gram screen + q219's semantic screen + benchmark-membership
+    // cut, all composed; oracle embeds the member oracles verbatim.
+    "q223_decontam_funnel" -> ((s, dir) =>
+      operators.Pipeline.decontaminatedFunnel(documents(s, dir),
+        Similarity.embeddings(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2094,6 +2101,7 @@ object SparkEntry {
     // the deferred streaming twin closes to the identical batch
     // canonical even under reversed ingest
     "q222_stream_paragraph_deferred" -> OracleSql.paragraphDedup,
+    "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -432,6 +432,75 @@ object Pipeline {
       clusterKeepFlags(Dedup.minhashNearDups(docs)))
   }
 
+  /** n-gram contamination cut of the decontaminated funnel (q223): a
+    * document sharing at least this fraction of its winnow
+    * fingerprints with the benchmark set is removed. The bar sits
+    * high because fingerprint overlap has a vocabulary-driven floor
+    * (the fixture corpus medians ~0.63 against a 20-doc benchmark);
+    * the gate exists to cut verbatim/near-verbatim leaks, not
+    * same-domain text. */
+  val ContamFracThreshold = 0.75
+
+  /** END-TO-END DECONTAMINATED funnel (q223) — the q36 preprocessing
+    * funnel with the decontamination stage modern pipelines run
+    * between quality filtering and the split (GPT-3 appendix C /
+    * phi-style): dedup → near-dup → quality → language →
+    * DECONTAMINATE → split, where decontaminate composes BOTH graded
+    * screens — q43's n-gram overlap (winnow fingerprints vs the
+    * broadcast benchmark gram set, cut at [[ContamFracThreshold]])
+    * and q219's semantic screen (cross-set LSH + exact cosine
+    * removal list over the embedding table) — plus removal of the
+    * benchmark documents themselves (they ARE the eval set; training
+    * on them is the leak the stage exists to prevent). A document
+    * survives the stage iff it is not a benchmark member, not
+    * n-gram-contaminated, and not semantically contaminated. The
+    * oracle embeds the q43 and q219 oracle queries VERBATIM as CTEs,
+    * so the composed gate is graded against exactly the screens it
+    * composes.
+    *
+    * Scale design (100 TB): the two contamination screens are the
+    * graded operators unchanged (benchmark side broadcast in both;
+    * the corpus never meets itself); their output flag frames join
+    * the funnel's flag frame on the SAME doc_id key as the near-dup
+    * join — one partitioning serves all three joins — and everything
+    * else is the q36 row-local single-scan design collapsing to one
+    * 9-column row. */
+  def decontaminatedFunnel(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val flags = rowLocalFlags(docs)
+      .withColumn("keep_dedup", col("doc_id") === Dedup.canonicalIdCol)
+      .drop("content_hash")
+    val nd = clusterKeepFlags(Dedup.minhashNearDups(docs))
+    val ng = Dedup.benchmarkContamination(docs)
+      .filter(col("frac_shared") >= ContamFracThreshold)
+      .select(col("doc_id"), lit(true).as("ng_hit"))
+    val sem = Similarity.semanticContamination(emb)
+      .select(col("corpus_vec").as("doc_id")).distinct()
+      .withColumn("sem_hit", lit(true))
+    val keepNd = col("keep_dedup") && coalesce(col("keep_nd"), lit(true))
+    val kept = keepNd && col("keep_quality") && col("keep_lang")
+    val clean = kept &&
+      col("doc_id") >= Similarity.SemDecontamBenchBelow &&
+      !coalesce(col("ng_hit"), lit(false)) &&
+      !coalesce(col("sem_hit"), lit(false))
+    flags
+      .join(nd, Seq("doc_id"), "left")
+      .join(ng, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("keep_dedup").cast("long")).as("n_after_dedup"),
+        sum(keepNd.cast("long")).as("n_after_neardup"),
+        sum((keepNd && col("keep_quality")).cast("long"))
+          .as("n_after_quality"),
+        sum(kept.cast("long")).as("n_after_lang"),
+        sum(clean.cast("long")).as("n_after_decontam"),
+        sum((clean && col("split") === "train").cast("long"))
+          .as("n_train"),
+        sum((clean && col("split") === "validation").cast("long"))
+          .as("n_validation"),
+        sum((clean && col("split") === "test").cast("long")).as("n_test"))
+  }
+
   /** k-anonymity knobs (q181): suppression threshold k and the fine/
     * coarse account-balance band widths of the generalization
     * ladder. */

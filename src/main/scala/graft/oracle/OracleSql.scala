@@ -5424,6 +5424,70 @@ SELECT COUNT(*) AS n_raw,
 FROM f"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.decontaminatedFunnel]]
+    * (q223): the q36 funnel SQL extended with a decontamination
+    * stage whose two screens are [[benchmarkContamination]] (q43)
+    * and [[semanticContamination]] (q219) EMBEDDED VERBATIM as CTE
+    * subqueries — the composed gate is graded against exactly the
+    * member oracles, plus the benchmark-membership cut
+    * (doc_id < bench bound). */
+  def decontaminatedFunnel: String = {
+    import graft.operators.Pipeline._
+    import graft.operators.Similarity.SemDecontamBenchBelow
+    s"""WITH dd AS ($dedupExact),
+cl AS (SELECT * FROM ($dedupClusters)),
+ts AS ($textStats),
+li AS ($langId),
+sp AS ($trainSplit),
+ng AS (
+  SELECT doc_id FROM ($benchmarkContamination)
+  WHERE frac_shared >= $ContamFracThreshold
+),
+sem AS (
+  SELECT DISTINCT corpus_vec AS doc_id FROM ($semanticContamination)
+),
+f AS (
+  SELECT dd.doc_id,
+         NOT dd.is_duplicate AS keep_dedup,
+         NOT dd.is_duplicate
+           AND COALESCE(cl.canonical_id = dd.doc_id, TRUE) AS keep_nd,
+         ts.quality_score >= $QualityThreshold AS keep_quality,
+         li.lang_guess = '$KeepLang' AS keep_lang,
+         dd.doc_id >= $SemDecontamBenchBelow
+           AND ng.doc_id IS NULL AND sem.doc_id IS NULL AS keep_decontam,
+         sp.split AS split
+  FROM dd
+  LEFT JOIN cl ON dd.doc_id = cl.doc_id
+  JOIN ts ON dd.doc_id = ts.doc_id
+  JOIN li ON dd.doc_id = li.doc_id
+  JOIN sp ON dd.doc_id = sp.doc_id
+  LEFT JOIN ng ON dd.doc_id = ng.doc_id
+  LEFT JOIN sem ON dd.doc_id = sem.doc_id
+)
+SELECT COUNT(*) AS n_raw,
+  CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_dedup,
+  CAST(SUM(CASE WHEN keep_nd THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_neardup,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_after_quality,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
+    AND keep_decontam THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_decontam,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
+    AND keep_decontam AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_train,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
+    AND keep_decontam AND split = 'validation' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_validation,
+  CAST(SUM(CASE WHEN keep_nd AND keep_quality AND keep_lang
+    AND keep_decontam AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_test
+FROM f"""
+  }
+
   /** Mirror of [[graft.operators.Sampling.packSequences]] — identical
     * split arithmetic, shard = doc_id mod shards, prefix-sum window
     * per (split, shard) ordered by doc_id; DuckDB window SUM(BIGINT)

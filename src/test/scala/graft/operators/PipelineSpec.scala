@@ -43,6 +43,48 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
     assert(lang > 0, "funnel filtered everything out — thresholds broken")
   }
 
+  test("decontaminatedFunnel: stages stay monotone through the " +
+      "decontamination cut, benchmark members never reach training, " +
+      "and the cut equals the composed member screens exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = Similarity.embeddings(spark, sf)
+    val r = Pipeline.decontaminatedFunnel(docs, emb).collect()(0)
+    val Seq(raw, dedup, neardup, quality, lang, decontam,
+      train, valid, test) = (0 until 9).map(r.getLong)
+    assert(raw >= dedup && dedup >= neardup && neardup >= quality &&
+      quality >= lang && lang >= decontam)
+    assert(train + valid + test == decontam)
+    assert(decontam > 0, "decontamination cut everything — gate broken")
+    assert(decontam < lang,
+      "fixture must exercise the cut (bench members alone guarantee it)")
+    // closure: recompute the expected decontam count from the graded
+    // member operators themselves — composition adds NO new rule
+    import org.apache.spark.sql.functions._
+    val flags = Pipeline.rowLocalFlags(docs)
+      .withColumn("keep_dedup",
+        col("doc_id") === Dedup.canonicalIdCol)
+    val nd = Pipeline.clusterKeepFlags(Dedup.minhashNearDups(docs))
+    val ngIds = Dedup.benchmarkContamination(docs)
+      .filter(col("frac_shared") >= Pipeline.ContamFracThreshold)
+      .collect().map(_.getLong(0)).toSet
+    val semIds = Similarity.semanticContamination(emb)
+      .collect().map(_.getAs[Long]("corpus_vec")).toSet
+    val expected = flags.join(nd, Seq("doc_id"), "left").collect()
+      .count { row =>
+        val id = row.getAs[Long]("doc_id")
+        val keepNd = row.getAs[Boolean]("keep_dedup") &&
+          Option(row.getAs[Any]("keep_nd"))
+            .forall(_.asInstanceOf[Boolean])
+        keepNd && row.getAs[Boolean]("keep_quality") &&
+          row.getAs[Boolean]("keep_lang") &&
+          id >= Similarity.SemDecontamBenchBelow &&
+          !ngIds.contains(id) && !semIds.contains(id)
+      }
+    assert(decontam == expected,
+      s"composed gate $decontam != member-screen closure $expected")
+  }
+
   test("kAnonymize: every released cohort has >= k members, levels " +
       "escalate exactly when finer cohorts are small, stragglers " +
       "of a drained coarse group cannot ride out 1-anonymous") {
