@@ -1444,6 +1444,12 @@ object SparkEntry {
     "q223_decontam_funnel" -> ((s, dir) =>
       operators.Pipeline.decontaminatedFunnel(documents(s, dir),
         Similarity.embeddings(s, dir))),
+    // Lakehouse SCHEMA EVOLUTION: as-of reconstruction across an
+    // ADD COLUMN boundary — pre-boundary log entries can never
+    // populate the added column, post-boundary upserts carry it,
+    // untouched rows read the NULL add-default.
+    "q224_schema_evolution" -> ((s, dir) =>
+      operators.Pipeline.schemaEvolutionDerived(documents(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2102,6 +2108,7 @@ object SparkEntry {
     // canonical even under reversed ingest
     "q222_stream_paragraph_deferred" -> OracleSql.paragraphDedup,
     "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
+    "q224_schema_evolution" -> OracleSql.schemaEvolution,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -349,6 +349,88 @@ object Pipeline {
     * directly from the documents table (the q171 closure
     * discipline). */
   def timeTravelDerived(docs: DataFrame): DataFrame = {
+    val (v1, v2, v3) = timeTravelVersions(docs)
+    val log = cdcBetween(v1, v2).withColumn("version", lit(1L))
+      .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L)))
+    asOfReconstruct(v1, log, asOf = 2L)
+  }
+
+  /** SCHEMA-EVOLVED as-of reconstruction (q224) — lakehouse time
+    * travel across an ADD COLUMN boundary: `schemaAddVersions` maps
+    * each added column name to the version whose commit added it
+    * (the Delta/Iceberg metadata-log entry), the data log physically
+    * carries `new_<col>` for every added column, and reconstruction
+    * at `asOf` must pick the RIGHT SCHEMA PER VERSION — three rules,
+    * each easy to get wrong with a naive latest-wins join:
+    * (1) a column added after `asOf` is ABSENT from the output
+    * (reading an old snapshot must not grow new columns);
+    * (2) a log entry written BEFORE the column's add version can
+    * never populate it, even if the physical log row carries a
+    * value there (the writer's schema didn't have the column — the
+    * value is noise, and the spec plants one to prove it's masked);
+    * (3) base rows and pre-boundary winners read NULL (the add
+    * default), post-boundary upserts carry their written values.
+    * The data winner per key is the same single log window + one
+    * full-outer join as [[asOfReconstruct]] — schema evolution adds
+    * projection logic, never another pass.
+    *
+    * Scale design (100 TB): identical to q188 (skinny latest-entry
+    * window + one co-partitioned full-outer join); the schema log is
+    * metadata (a handful of entries, a driver-side Map), never a
+    * data-path frame. */
+  def asOfReconstructEvolved(base: DataFrame, log: DataFrame,
+      schemaAddVersions: Map[String, Long], asOf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val visible = schemaAddVersions.filter(_._2 <= asOf).keys.toSeq.sorted
+    val latest = log.filter(col("version") <= asOf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(Seq(col("doc_id"), col("op"), col("new_text"),
+        col("version")) ++
+        visible.map(c => col(s"new_$c")): _*)
+    val joined = base.select(col("doc_id"), col("text"))
+      .join(latest, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+    val out = Seq(col("doc_id"),
+      when(col("op") === "upsert", col("new_text"))
+        .otherwise(col("text")).as("text")) ++
+      visible.map { c =>
+        when(col("op") === "upsert" &&
+            col("version") >= schemaAddVersions(c), col(s"new_$c"))
+          .otherwise(lit(null).cast("string")).as(c)
+      }
+    joined.select(out: _*)
+  }
+
+  /** Deterministic language tag carried by post-boundary upserts in
+    * the q224 fixture (a pure doc_id function, oracle-mirrorable). */
+  def evolvedLangCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(id % 2 === 0, "en").otherwise("de")
+
+  /** Graded q224 configuration — the q188 three-version chain with a
+    * `lang` column ADDED at version 2 (the v2→v3 commit): batch-1
+    * entries predate the schema (new_lang null — their writer had no
+    * such column), batch-2 upserts carry [[evolvedLangCol]].
+    * asOf = 2 must produce v3's rows where ONLY docs last upserted at
+    * version 2 (the added-then-changed ≡ 7 class) carry lang, every
+    * pre-boundary row reads the NULL add-default, and the oracle
+    * rebuilds the whole frame directly from the documents table (the
+    * q171/q188 closure discipline). PipelineSpec crosses the boundary
+    * the gate can't: asOf = 1 returns the OLD schema (no lang column
+    * at all) with exactly v2's rows, and a planted pre-boundary
+    * new_lang value is proven masked. */
+  def schemaEvolutionDerived(docs: DataFrame): DataFrame = {
+    val (v1, v2, v3) = timeTravelVersions(docs)
+    asOfReconstructEvolved(v1, evolvedLog(v1, v2, v3),
+      Map("lang" -> 2L), asOf = 2L)
+  }
+
+  /** The q188 v1/v2/v3 derivation, shared by q188/q215/q224. */
+  def timeTravelVersions(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val v1 = docs.filter(col("doc_id") % 10 =!= DiffAddedMod)
       .select(col("doc_id"), col("text"))
     val v2 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod)
@@ -362,10 +444,20 @@ object Pipeline {
         when(col("doc_id") % 10 === DiffAddedMod,
           concat(col("text"), lit(" v3"))).otherwise(col("text"))
           .as("text"))
-    val log = cdcBetween(v1, v2).withColumn("version", lit(1L))
-      .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L)))
-    asOfReconstruct(v1, log, asOf = 2L)
+    (v1, v2, v3)
   }
+
+  /** The evolved two-batch CDC log of [[schemaEvolutionDerived]]:
+    * batch 1 (version 1, PRE-boundary) with null new_lang, batch 2
+    * (version 2, the add-column commit) whose upserts carry the tag. */
+  def evolvedLog(v1: DataFrame, v2: DataFrame, v3: DataFrame)
+      : DataFrame =
+    cdcBetween(v1, v2).withColumn("version", lit(1L))
+      .withColumn("new_lang", lit(null).cast("string"))
+      .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L))
+        .withColumn("new_lang",
+          when(col("op") === "upsert", evolvedLangCol(col("doc_id")))
+            .otherwise(lit(null).cast("string"))))
 
   /** Retention VACUUM of a versioned table (q215) — the lifecycle
     * complement of q188's time travel: history older than the
@@ -399,19 +491,7 @@ object Pipeline {
     * the horizon at version 1 — the checkpoint must equal v2 and the
     * retained tail must be exactly the v2→v3 CDC batch. */
   def vacuumDerived(docs: DataFrame): DataFrame = {
-    val v1 = docs.filter(col("doc_id") % 10 =!= DiffAddedMod)
-      .select(col("doc_id"), col("text"))
-    val v2 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod)
-      .select(col("doc_id"),
-        when(col("doc_id") % 10 === DiffChangedMod,
-          concat(col("text"), lit(" v2"))).otherwise(col("text"))
-          .as("text"))
-    val v3 = docs.filter(col("doc_id") % 10 =!= DiffRemovedMod &&
-        col("doc_id") % 10 =!= DiffChangedMod)
-      .select(col("doc_id"),
-        when(col("doc_id") % 10 === DiffAddedMod,
-          concat(col("text"), lit(" v3"))).otherwise(col("text"))
-          .as("text"))
+    val (v1, v2, v3) = timeTravelVersions(docs)
     val log = cdcBetween(v1, v2).withColumn("version", lit(1L))
       .unionByName(cdcBetween(v2, v3).withColumn("version", lit(2L)))
     vacuumCompact(v1, log, retainAfter = 1L)

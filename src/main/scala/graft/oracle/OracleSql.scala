@@ -2004,6 +2004,25 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.schemaEvolutionDerived]]
+    * (q224): the q188 closure extended across the add-column
+    * boundary — the final frame rebuilt directly from the documents
+    * arithmetic, where ONLY the added-then-changed class (last
+    * upserted at version 2, the commit that added `lang`) carries
+    * the tag and every pre-boundary row reads the NULL add-default. */
+  def schemaEvolution: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffChangedMod,
+      DiffRemovedMod}
+    s"""SELECT doc_id,
+       CASE WHEN doc_id % 10 = $DiffAddedMod THEN text || ' v3'
+            ELSE text END AS text,
+       CASE WHEN doc_id % 10 = $DiffAddedMod THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END
+            ELSE CAST(NULL AS VARCHAR) END AS lang
+FROM documents
+WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.vacuumDerived]] (q215):
     * checkpoint = v2 rebuilt directly from the documents arithmetic
     * (version 0, op 'base'), retained tail = the v2→v3 CDC rows

@@ -85,6 +85,50 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
       s"composed gate $decontam != member-screen closure $expected")
   }
 
+  test("asOfReconstructEvolved crosses the add-column boundary: " +
+      "asOf before it returns the OLD schema, a planted pre-boundary " +
+      "value is masked, post-boundary upserts carry the column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (v1, v2, v3) = Pipeline.timeTravelVersions(docs)
+    val log = Pipeline.evolvedLog(v1, v2, v3)
+    val schema = Map("lang" -> 2L)
+    import org.apache.spark.sql.functions._
+
+    // asOf = 1 (BEFORE the boundary): old schema — no lang column —
+    // and exactly v2's rows
+    val at1 = Pipeline.asOfReconstructEvolved(v1, log, schema, 1L)
+    assert(at1.columns.toSeq == Seq("doc_id", "text"),
+      s"old snapshot grew new columns: ${at1.columns.mkString(",")}")
+    val v2Rows = v2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val at1Rows = at1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at1Rows == v2Rows, "asOf=1 must reproduce v2 exactly")
+
+    // asOf = 2 (AFTER): lang present, non-null EXACTLY for the
+    // added-then-changed class (last upserted at version 2)
+    val at2 = Pipeline.asOfReconstructEvolved(v1, log, schema, 2L)
+    assert(at2.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val rows = at2.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(2))).toMap
+    rows.foreach { case (id, lang) =>
+      if (id % 10 == Pipeline.DiffAddedMod)
+        assert(lang.contains(if (id % 2 == 0) "en" else "de"),
+          s"doc $id: post-boundary upsert lost its lang ($lang)")
+      else assert(lang.isEmpty,
+        s"doc $id: pre-boundary row must read the NULL add-default")
+    }
+
+    // SCHEMA GATE, not data luck: plant a non-null lang on a
+    // pre-boundary (version 1) entry — its writer's schema had no
+    // such column, so reconstruction must MASK it
+    val planted = log.withColumn("new_lang",
+      when(col("version") === 1L && col("op") === "upsert",
+        lit("POISON")).otherwise(col("new_lang")))
+    val masked = Pipeline.asOfReconstructEvolved(v1, planted, schema, 2L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(masked == rows,
+      "a value written before the column existed leaked through")
+  }
+
   test("kAnonymize: every released cohort has >= k members, levels " +
       "escalate exactly when finer cohorts are small, stragglers " +
       "of a drained coarse group cannot ride out 1-anonymous") {
