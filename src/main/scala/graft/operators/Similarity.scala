@@ -969,6 +969,107 @@ object Similarity {
     (finishWalk(scored, beam), bCache)
   }
 
+  /** Rank stride of the THREE-level graded configuration (q225):
+    * level 1 every [[Layer3Stride]]-th node by rank, level 2 every
+    * stride²-th — small enough that the top layer is non-degenerate
+    * at the gate's 500/2,000-vector corpora while the ladder runs
+    * the production [[LayerStride]]. */
+  val Layer3Stride = 8
+
+  def layeredGraphSearchTopK3(emb: DataFrame,
+      numQueries: Int = NumQueryVectors): DataFrame =
+    layeredGraphSearchTopK3WithHandle(emb, numQueries)._1
+
+  /** THREE-level layered serving graph (q225) — the next rung of
+    * q186's hierarchy, proving the levels COMPOSE as the q186
+    * scaladoc claims: LEVEL 2 is every stride²-th node by rank,
+    * LEVEL 1 every stride-th, LEVEL 0 the full q124 serving graph,
+    * each carrying its own banded k-NN edges plus its own rank-space
+    * spokes. A query enters at level 2's minimum node, walks
+    * [[LayerHopsUpper]] hops on a stride²-smaller graph, DESCENDS to
+    * seed the level-1 walk ([[LayerHopsUpper]] hops), descends again
+    * to seed the base walk ([[LayerHopsBase]] hops). Per-hop
+    * mechanics, scoring, and the final top-k rule are EXACTLY
+    * q124/q186's (shared [[beamWalk]]/[[finishWalk]]), so the q186
+    * oracle pattern grades it with one more level unrolled.
+    *
+    * Scale design (100 TB): walk length grows O(log_stride n) — at
+    * a 10⁹-vector corpus the three-level entry walk touches graphs
+    * of n/256, n/16, n while the flat q124 walk's hop budget must
+    * grow with corpus diameter; each hop is beam×degree bounded
+    * rows, so the query batch never scans the corpus. The ladder
+    * stage `layered3_search` times the serving path at the
+    * production stride against the 2-level and flat walks. */
+  def layeredGraphSearchTopK3WithHandle(emb0: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      stride: Int = Layer3Stride,
+      hopsUpper: Int = LayerHopsUpper,
+      hopsBase: Int = LayerHopsBase,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val emb = emb0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // levels and edges lineage-CUT per the q186 discipline (the
+    // composed-walk plan tree, not the data, is what breaks)
+    val (ranked, rkHandle) = GlobalIndex.globalRowIndexWithHandle(
+      emb.select(col("vec_id")), Seq(col("vec_id")), LongRangePartitions)
+    def levelEmb(step: Long): DataFrame = emb.join(
+        ranked.filter(col("global_idx") % step === 0)
+          .select(col("vec_id")), "vec_id")
+      .localCheckpoint()
+    val topEmb = levelEmb(stride.toLong * stride)
+    val upperEmb = levelEmb(stride.toLong)
+    rkHandle.release()
+    def levelEdges(lvl: DataFrame): DataFrame = {
+      val (spokes, h) = longRangeEdgesWithHandle(lvl)
+      val e = knnGraph(lvl)
+        .select(col("src"), col("neighbor_id").as("nbr"))
+        .union(spokes)
+        .localCheckpoint()
+      h.release()
+      e
+    }
+    val tedges = levelEdges(topEmb)
+    val uedges = levelEdges(upperEmb)
+    val bedges = levelEdges(emb)
+    val (out, walkHandle) = layered3SearchOverEdges(emb, topEmb,
+      tedges, uedges, bedges, numQueries, hopsUpper, hopsBase,
+      beamWidth)
+    (out, graft.util.CacheHandle.combine(
+      graft.util.CacheHandle(emb), walkHandle))
+  }
+
+  /** The SERVING path of the three-level walk over PREBUILT level
+    * frames (q225) — what the scale ladder times (`layered3_search`):
+    * [[LayerHopsUpper]] hops on the stride²-sparse top graph, descend,
+    * [[LayerHopsUpper]] hops on the stride-sparse middle graph,
+    * descend, [[LayerHopsBase]] hops on the base graph. */
+  def layered3SearchOverEdges(emb: DataFrame, topEmb: DataFrame,
+      tedges: DataFrame, uedges: DataFrame, bedges: DataFrame,
+      numQueries: Int = NumQueryVectors,
+      hopsUpper: Int = LayerHopsUpper,
+      hopsBase: Int = LayerHopsBase,
+      beamWidth: Int = GraphSearchBeam)
+      : (DataFrame, graft.util.CacheHandle) = {
+    val q = queries(emb, numQueries)
+    val tentry = topEmb.agg(min(col("vec_id"))).head().getLong(0)
+    val tbeam0 = q.select(col("query_id"))
+      .withColumn("node", lit(tentry))
+    val (_, tbeam, tCache) = beamWalk(q, emb, tedges, tbeam0,
+      hopsUpper, beamWidth)
+    val useed = tbeam.select(col("query_id"), col("node"))
+      .localCheckpoint()
+    tCache.release()
+    val (_, ubeam, uCache) = beamWalk(q, emb, uedges, useed,
+      hopsUpper, beamWidth)
+    val bseed = ubeam.select(col("query_id"), col("node"))
+      .localCheckpoint()
+    uCache.release()
+    val (scored, beam, bCache) = beamWalk(q, emb, bedges, bseed,
+      hopsBase, beamWidth)
+    (finishWalk(scored, beam), bCache)
+  }
+
   /** Binary-embedding search constants (q121): the Hamming pool the
     * exact re-rank refines. */
   val HammingPoolK = 40

@@ -1953,22 +1953,33 @@ FROM documents WHERE doc_id % 10 <> $DiffRemovedMod"""
     * rn ≤ sz − ceil(τ·sz) + 1 (identical IEEE τ·sz in both engines),
     * same length filter and candidate-bounded verify join; jaccard
     * repeats the operator's literal expression order. */
-  def setSimJoin: String = {
+  def setSimJoin: String = setSimJoinSql(dfCap = None)
+
+  /** Mirror of [[graft.operators.Dedup.setSimJoinCapped]] (q227):
+    * the q192 pipeline with the prefix additionally filtered to
+    * df ≤ [[graft.operators.Dedup.SetJoinDfCap]] — the oracle
+    * carries the cap so the gate grades the capped CONTRACT, and
+    * would catch the day a natural corpus crosses it. */
+  def setSimJoinCapped: String =
+    setSimJoinSql(dfCap = Some(graft.operators.Dedup.SetJoinDfCap))
+
+  private def setSimJoinSql(dfCap: Option[Long]): String = {
     val tau = graft.operators.Dedup.SetJoinTau
+    val capPred = dfCap.map(c => s" AND d.df <= $c").getOrElse("")
     s"""$shingleCtes
 , toks AS MATERIALIZED (
   SELECT doc_id, unnest(hashes) AS tok FROM h
 ), dfreq AS (
   SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
 ), ranked AS (
-  SELECT t.doc_id, t.tok,
+  SELECT t.doc_id, t.tok, d.df,
          row_number() OVER (PARTITION BY t.doc_id
            ORDER BY d.df ASC, t.tok ASC) AS rn,
          COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
   FROM toks t JOIN dfreq d USING (tok)
 ), prefix AS (
-  SELECT doc_id, tok, sz FROM ranked
-  WHERE rn <= sz - ceil($tau * sz) + 1
+  SELECT doc_id, tok, sz FROM ranked d
+  WHERE rn <= sz - ceil($tau * sz) + 1$capPred
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sz AS sz_a, b.sz AS sz_b
@@ -3022,6 +3033,57 @@ WHERE rank <= $TopK"""
   SELECT MIN(vec_id) AS m FROM un
 ), ubeam0 AS (
   SELECT query_id, m AS node FROM q, umn
+)${walkHopCtes("u", "uedges", "ubeam0", LayerHopsUpper,
+      GraphSearchBeam)}${servingEdgeCtes("b", "n")}
+, bbeam0 AS (
+  SELECT query_id, node FROM ubeam$LayerHopsUpper
+)${walkHopCtes("b", "bedges", "bbeam0", LayerHopsBase,
+      GraphSearchBeam)}
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT s.query_id, s.node AS neighbor_id, s.cos AS cosine,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.cos DESC, s.node ASC) AS BIGINT) AS rank
+  FROM bsc$LayerHopsBase s
+  JOIN bbeam$LayerHopsBase b
+    ON b.query_id = s.query_id AND b.node = s.node
+  WHERE s.node <> s.query_id)
+WHERE rank <= $TopK"""
+  }
+
+  /** Mirror of [[graft.operators.Similarity.layeredGraphSearchTopK3]]
+    * (q225): q186's pattern with one more level unrolled — level-2
+    * membership by rank stride² over the full node set, level-1 by
+    * stride, per-level serving edges via [[servingEdgeCtes]], the
+    * top walk from level 2's minimum node, two DESCENDS (each upper
+    * beam is hop 0 of the next level's walk), and q124's final
+    * top-k rule over the base walk's last scored beam. */
+  def layeredSearch3: String = {
+    import SimilarityParams._
+    import graft.operators.Similarity.{GraphSearchBeam, Layer3Stride,
+      LayerHopsUpper, LayerHopsBase}
+    val stride2 = Layer3Stride.toLong * Layer3Stride
+    s"""$embCtes
+, lrk AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS r
+  FROM n
+), tn AS MATERIALIZED (
+  SELECT n.vec_id, n.v, n.nrm
+  FROM n JOIN lrk USING (vec_id)
+  WHERE lrk.r % $stride2 = 0
+), un AS MATERIALIZED (
+  SELECT n.vec_id, n.v, n.nrm
+  FROM n JOIN lrk USING (vec_id)
+  WHERE lrk.r % $Layer3Stride = 0
+)${servingEdgeCtes("t", "tn")}
+, tmn AS (
+  SELECT MIN(vec_id) AS m FROM tn
+), tbeam0 AS (
+  SELECT query_id, m AS node FROM q, tmn
+)${walkHopCtes("t", "tedges", "tbeam0", LayerHopsUpper,
+      GraphSearchBeam)}${servingEdgeCtes("u", "un")}
+, ubeam0 AS (
+  SELECT query_id, node FROM tbeam$LayerHopsUpper
 )${walkHopCtes("u", "uedges", "ubeam0", LayerHopsUpper,
       GraphSearchBeam)}${servingEdgeCtes("b", "n")}
 , bbeam0 AS (

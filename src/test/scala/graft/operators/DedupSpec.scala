@@ -629,4 +629,122 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(got((1L, 2L)) == 0.6)
     assert(got((5L, 6L)) == 1.0)
   }
+
+  test("setSimJoinCollapsed (q226): exact on the Zipf-adversarial " +
+      "duplicate flood — pair-for-pair, bit-for-bit equal to " +
+      "setSimJoin; the flood class is pure expansion and cross-class " +
+      "members inherit the representative verdict") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Zipf-adversarial fixture: the real corpus PLUS a planted
+    // 40-copy boilerplate class (one identical head-token set — the
+    // regime where q192's prefix buckets grow with the copy count,
+    // since every copy's "rarest" token is the same corpus-hot
+    // shingle) and a 2-copy near-dup satellite class overlapping the
+    // flood at J = 8/9 >= tau (cross-class expansion must fire)
+    val docs0 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val boiler =
+      "click here to accept cookies and continue to the site"
+    val flood = spark.range(40)
+      .select((col("id") + 1000000L).as("doc_id"),
+        lit(boiler).as("text"))
+    val sats = spark.range(2)
+      .select((col("id") + 2000000L).as("doc_id"),
+        lit(boiler + " today").as("text"))
+    val docs = docs0.unionByName(flood).unionByName(sats)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard"))))
+      .toSet
+    val collapsed = key(Dedup.setSimJoinCollapsed(docs))
+    val plain = key(Dedup.setSimJoin(docs))
+    assert(collapsed == plain,
+      s"collapse changed the answer: +${(collapsed -- plain).take(5)} " +
+        s"-${(plain -- collapsed).take(5)}")
+    // the flood class emits exactly C(40,2) J=1 pairs (the OUTPUT is
+    // quadratic in the class — the fallback's claim is that nothing
+    // ELSE is), and each satellite pairs with every flood member
+    val intraFlood = collapsed.filter { case (a, b, _, j) =>
+      a >= 1000000L && b < 2000000L &&
+        j == java.lang.Double.doubleToLongBits(1.0)
+    }
+    assert(intraFlood.size >= 40 * 39 / 2,
+      s"flood expansion incomplete: ${intraFlood.size}")
+    val crossSat = collapsed.count { case (a, b, _, _) =>
+      a >= 1000000L && a < 2000000L && b >= 2000000L
+    }
+    assert(crossSat == 80,
+      s"satellite x flood cross-class expansion: $crossSat != 80")
+  }
+
+  test("setSimJoinCapped (q227): inert on the natural corpus (equals " +
+      "setSimJoin bit-for-bit); on the cross-class hot-block fixture " +
+      "every sub-cap-anchored pair survives with exact numbers and " +
+      "the only-hot-prefix pair is out of contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard"))))
+      .toSet
+    // (a) natural corpus: no token reaches the cap (max natural df
+    // 25 at sf0.1, cap 64), so the capped join IS q192
+    val docs0 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(key(Dedup.setSimJoinCapped(docs0)) ==
+      key(Dedup.setSimJoin(docs0)), "cap fired on natural data")
+    // (b) the regime collapse can't fix: many DISTINCT classes
+    // sharing one hot boilerplate block. 100 pair-classes, each
+    // "<hot block> <class tail>": the block's shingles have df=200
+    // (over cap), each tail's have df=2 (under) — tails anchor
+    // every true pair, the hot block anchors nothing
+    val hot = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    // 8-word class tails keep the boundary docs (hot block alone,
+    // 10 shingles) BELOW tau against every class doc (J = 10/18,
+    // and the length filter 10 < 0.6*18 prunes first) — the only
+    // qualifying pairs are the 100 within-class twins and the
+    // boundary twins themselves
+    val classes = spark.range(100).select(col("id"))
+      .select(explode(array(lit(0L), lit(1L))).as("copy"), col("id"))
+      .select((col("id") * 2 + col("copy") + 1000000L).as("doc_id"),
+        concat(lit(hot + " "),
+          concat_ws(" ", col("id").cast("string"),
+            (col("id") + 7777).cast("string"),
+            (col("id") + 31337).cast("string"),
+            (col("id") * 3 + 11).cast("string"),
+            (col("id") + 424242).cast("string"),
+            (col("id") * 5 + 3).cast("string"),
+            (col("id") + 987654).cast("string"),
+            (col("id") * 7 + 1).cast("string"))).as("text"))
+    val capped = key(Dedup.setSimJoinCapped(classes))
+    val plain = key(Dedup.setSimJoin(classes))
+    // every class's two members share their full set (J = 1): found
+    // by BOTH joins via the sub-cap tail anchors, exact numbers
+    assert(capped == plain,
+      "hot-block fixture: capped lost a sub-cap-anchored pair")
+    assert(capped.size == 100 && capped.forall(_._4 ==
+      java.lang.Double.doubleToLongBits(1.0)),
+      s"expected the 100 within-class J=1 pairs, got ${capped.size}")
+    // (c) the documented boundary: two docs whose ONLY shared prefix
+    // tokens are the over-cap hot block (identical text = the whole
+    // set is the hot block, all anchors over cap) are out of
+    // contract for the capped join while q192 still finds them
+    val boundary = classes.unionByName(Seq(
+      (3000000L, hot), (3000001L, hot)).toDF("doc_id", "text"))
+    val cappedB = key(Dedup.setSimJoinCapped(boundary))
+    val plainB = key(Dedup.setSimJoin(boundary))
+    assert(plainB.exists(p => p._1 == 3000000L && p._2 == 3000001L),
+      "fixture broke: q192 must find the hot-only pair")
+    assert(!cappedB.exists(p => p._1 == 3000000L && p._2 == 3000001L),
+      "the only-hot-prefix pair must be out of the capped contract")
+    assert(cappedB == plainB.filterNot(p =>
+      p._1 == 3000000L && p._2 == 3000001L),
+      "cap dropped more than the documented boundary pair")
+  }
 }

@@ -671,6 +671,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionSpec {
       s"upper-layer seeding lost to the flat entry: $lRecall < $fRecall")
   }
 
+  test("three-level layered search (q225): recall >= 0.8 on the " +
+      "clustered fixture; the double descend matches-or-beats the " +
+      "flat walk at the SAME base hop budget; level membership nests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    var s = 91L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33
+    }
+    def unif(): Double = next().toDouble / (1L << 31).toDouble * 2 - 1
+    val centers = IndexedSeq.fill(16, 64)(unif())
+    val rows = for (c <- 0 until 16; m <- 0 until 32) yield
+      ((c * 32 + m).toLong, centers(c).map(_ + 0.25 * unif()).toSeq)
+    val cemb = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e)))
+    val nQ = 64
+    val brute = pairs(Similarity.bruteForceTopK(cemb, nQ))
+    val (l3Df, h) = Similarity.layeredGraphSearchTopK3WithHandle(cemb, nQ)
+    val l3 = pairs(l3Df)
+    h.release()
+    val recall3 = l3.intersect(brute).size.toDouble / brute.size
+    val flat = pairs(Similarity.graphSearchTopK(cemb, nQ,
+      hops = Similarity.LayerHopsBase))
+    val fRecall = flat.intersect(brute).size.toDouble / brute.size
+    info(f"3-level recall@10=$recall3%.2f vs flat ${
+      Similarity.LayerHopsBase}-hop $fRecall%.2f " +
+      f"(strides ${Similarity.Layer3Stride}/${
+        Similarity.Layer3Stride * Similarity.Layer3Stride})")
+    assert(recall3 >= 0.8, s"3-level recall $recall3 below 0.8")
+    assert(recall3 >= fRecall - 0.02,
+      s"double descend lost to the flat entry: $recall3 < $fRecall")
+    // the rank-stride levels NEST: every level-2 member (rank %
+    // stride^2 == 0) is a level-1 member (rank % stride == 0) — the
+    // structural invariant that lets strides compose O(log n)
+    val st = Similarity.Layer3Stride.toLong
+    val ranked = graft.operators.GlobalIndex.globalRowIndex(
+      cemb.select(col("vec_id")), Seq(col("vec_id")),
+      Similarity.LongRangePartitions)
+    val l2Ids = ranked.filter(col("global_idx") % (st * st) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val l1Ids = ranked.filter(col("global_idx") % st === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(l2Ids.nonEmpty && l2Ids.subsetOf(l1Ids),
+      "level 2 must be a subset of level 1")
+    assert(l1Ids.size > l2Ids.size * (st - 2).toInt,
+      s"stride ratio off: |L1|=${l1Ids.size} |L2|=${l2Ids.size}")
+  }
+
   test("mineAlignedPairs: planted twins mine exactly (margin makes " +
       "them stand out); at most one match per x; equally-close " +
       "neighborhoods stay below the cut") {
