@@ -295,6 +295,12 @@ object SparkEntry {
     // graded per-frame with bounded-error channel means.
     "q182_mjpeg_decode" -> ((s, dir) =>
       operators.Multimodal.mjpegDecodeStats(documents(s, dir))),
+    // Intra-only H.264: real Annex-B SPS+PPS+IDR streams decoded
+    // through our own NAL/Exp-Golomb/CAVLC/transform/intra-pred
+    // pipeline (no JDK codec exists for avc1 — the q182 close-out),
+    // graded with the q68 bounded-error pattern.
+    "q228_h264_intra_decode" -> ((s, dir) =>
+      operators.Multimodal.h264DecodeStats(documents(s, dir))),
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
@@ -2175,6 +2181,16 @@ object SparkEntry {
       """SELECT doc_id, 2 + doc_id % 5 AS n_frames,
         |       8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height,
         |       TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+        |FROM documents""".stripMargin,
+    // H.264 intra is lossy like q68/q182: the oracle recomputes the
+    // synthesized dims/MB count and asserts the bounded-error
+    // booleans literally TRUE (see Multimodal.h264DecodeStats).
+    "q228_h264_intra_decode" ->
+      """SELECT doc_id, 16 * (1 + doc_id % 3) AS width,
+        |       16 * (1 + doc_id % 2) AS height,
+        |       (1 + doc_id % 3) * (1 + doc_id % 2) AS n_mbs,
+        |       TRUE AS max_y_ok, TRUE AS mean_y_ok,
+        |       TRUE AS chroma_ok
         |FROM documents""".stripMargin,
     // Mirrors Multimodal.mp4MetaStats's synthesis arithmetic; the
     // engine side recovers these facts by parsing the real container.

@@ -701,8 +701,10 @@ object Multimodal {
     * known before the offsets it contains).
     *
     * 'raw ' is the registered uncompressed-RGB sample-entry fourcc;
-    * H.264-class entropy-coded tracks (avc1 …) are out of scope by
-    * design — the JDK ships no such codec — but 'jpeg' (Motion-JPEG:
+    * H.264-class entropy-coded tracks (avc1 …) have no JDK codec —
+    * the intra-only constrained decoder
+    * [[graft.io.H264Intra]] (q228) covers the Annex-B elementary
+    * stream form in-repo — and 'jpeg' (Motion-JPEG:
     * one complete JPEG picture per sample, the QuickTime/ISO-BMFF
     * Photo-JPEG convention) IS honestly decodable through the same
     * `javax.imageio` codec q68 uses, so the MJPEG pair
@@ -855,7 +857,10 @@ object Multimodal {
     * DECODABLE format: 'raw ' (uncompressed RGB24) or 'jpeg'
     * (Motion-JPEG — each extracted sample is one complete JPEG
     * picture, decodable by [[decodeJpeg]]). H.264-class tracks
-    * (avc1 …) yield None — the JDK ships no such codec, stated.
+    * (avc1 …) yield None — the JDK ships no such codec; the Annex-B
+    * elementary-stream form is covered by [[graft.io.H264Intra]]
+    * (q228), and boxing it as an avc1 track (avcC config record)
+    * remains out of scope, stated.
     * None also on any structural violation (offsets outside the file,
     * truncated tables) — never a partial frame list. */
   def extractMp4Frames(payload: Array[Byte]): Option[Mp4VideoTrack] = {
@@ -1246,6 +1251,57 @@ object Multimodal {
       }
       .toDF("doc_id", "n_frames", "width", "height",
         "mean_r_ok", "mean_g_ok", "mean_b_ok")
+  }
+
+  /** Graded intra-only H.264 decode (q228) — the close-out of the
+    * q182 gap (`avc1` has no JDK codec, so the entropy layer is
+    * implemented, not delegated — [[graft.io.H264Intra]]): per
+    * document, synthesize a doc_id-parameterized checkerboard frame
+    * (dims, QP, and the two mosaic tones all doc_id-derived), encode
+    * it to a REAL Annex-B SPS+PPS+IDR stream with the constrained
+    * DC-only CAVLC encoder, decode it back through the full parse
+    * (NAL/EPB → Exp-Golomb headers → macroblock layer → CAVLC →
+    * dequant/inverse-transform → intra prediction with the
+    * reconstruction feedback loop), and grade the q68 way: exact
+    * dims/MB count plus bounded-error booleans (max AND mean luma
+    * error within the QP's quantization step; chroma exact). The
+    * H264IntraSpec additionally pins what the gate can't see:
+    * golden CAVLC bit patterns, table prefix-freeness, the
+    * reconstruction fixpoint, and loud rejection outside the
+    * constrained profile. Row-local end-to-end (the q68/q182
+    * economics). */
+  def h264DecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 16 * (1 + id % 3).toInt
+        val h = 16 * (1 + id % 2).toInt
+        val qp = 16 + (id % 3).toInt * 6 // 16 / 22 / 28
+        val tone = (40 + (id % 5) * 8).toInt
+        val toneB = (240 - (id % 7) * 8).toInt
+        val y = Array.tabulate(w * h) { i =>
+          val bx = (i % w) / 4
+          val by = (i / w) / 4
+          if ((bx + by) % 2 == 0) tone else toneB
+        }
+        val src = H264Intra.Yuv(w, h, y,
+          Array.fill(w / 2 * (h / 2))(128),
+          Array.fill(w / 2 * (h / 2))(128))
+        val dec = H264Intra.decodeIdr(H264Intra.encodeIdr(src, qp))
+        require(dec.w == w && dec.h == h,
+          s"decoded dims mismatch for doc $id")
+        val absErr = y.indices.map(i => math.abs(dec.y(i) - y(i)))
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        val maxOk = absErr.max <= qstep * 0.7 + 2
+        val meanOk = absErr.sum.toDouble / absErr.size <= qstep / 2
+        val chromaOk = dec.cb.forall(_ == 128) &&
+          dec.cr.forall(_ == 128)
+        (id, w.toLong, h.toLong, (w / 16).toLong * (h / 16),
+          maxOk, meanOk, chromaOk)
+      }
+      .toDF("doc_id", "width", "height", "n_mbs",
+        "max_y_ok", "mean_y_ok", "chroma_ok")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per
