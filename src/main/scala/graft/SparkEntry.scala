@@ -301,6 +301,11 @@ object SparkEntry {
     // graded with the q68 bounded-error pattern.
     "q228_h264_intra_decode" -> ((s, dir) =>
       operators.Multimodal.h264DecodeStats(documents(s, dir))),
+    // avc1-BOXED intra H.264: real avcC config record + length-
+    // prefixed samples inside the real ISO-BMFF sample tables,
+    // extracted, reassembled to Annex-B and decoded in-repo.
+    "q229_avc1_track_decode" -> ((s, dir) =>
+      operators.Multimodal.avc1DecodeStats(documents(s, dir))),
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
@@ -2191,6 +2196,15 @@ object SparkEntry {
         |       (1 + doc_id % 3) * (1 + doc_id % 2) AS n_mbs,
         |       TRUE AS max_y_ok, TRUE AS mean_y_ok,
         |       TRUE AS chroma_ok
+        |FROM documents""".stripMargin,
+    // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis
+    // arithmetic; booleans asserted literally TRUE (lossy codec,
+    // bounded error — the q68/q182/q228 pattern).
+    "q229_avc1_track_decode" ->
+      """SELECT doc_id, 1 + doc_id % 3 AS n_frames,
+        |       16 * (1 + doc_id % 2) AS width,
+        |       16 * (1 + (doc_id // 2) % 2) AS height,
+        |       TRUE AS max_y_ok, TRUE AS chroma_ok
         |FROM documents""".stripMargin,
     // Mirrors Multimodal.mp4MetaStats's synthesis arithmetic; the
     // engine side recovers these facts by parsing the real container.

@@ -172,10 +172,14 @@ object H264Intra {
   val NalPps = 8
   val NalIdr = 5
 
+  /** One NAL unit WITHOUT framing: header byte + EBSP body — the
+    * form avcC/length-prefixed MP4 samples carry. */
+  def nalBytes(nalType: Int, rbsp: Array[Byte]): Array[Byte] =
+    Array(((3 << 5) | nalType).toByte) ++ rbspToEbsp(rbsp)
+
   /** One Annex-B NAL unit: 4-byte start code, header, EBSP body. */
   def nalUnit(nalType: Int, rbsp: Array[Byte]): Array[Byte] =
-    Array[Byte](0, 0, 0, 1, ((3 << 5) | nalType).toByte) ++
-      rbspToEbsp(rbsp)
+    Array[Byte](0, 0, 0, 1) ++ nalBytes(nalType, rbsp)
 
   /** Split an Annex-B stream into (nal_unit_type, RBSP) units. */
   def splitNals(stream: Array[Byte]): Seq[(Int, Array[Byte])] = {
@@ -657,6 +661,16 @@ object H264Intra {
     * after quantization and chroma residual is exactly zero — the
     * constrained profile this codec decodes. */
   def encodeIdr(src: Yuv, qp: Int): Array[Byte] = {
+    val (sps, pps, idr) = encodeIdrRbsps(src, qp)
+    nalUnit(NalSps, sps) ++ nalUnit(NalPps, pps) ++ nalUnit(NalIdr, idr)
+  }
+
+  /** [[encodeIdr]] split into its three raw RBSPs — the form the
+    * avc1 MP4 boxing (q229) needs: SPS/PPS go into the avcC
+    * configuration record, the slice into a length-prefixed
+    * sample. */
+  def encodeIdrRbsps(src: Yuv, qp: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
     require(src.w % 16 == 0 && src.h % 16 == 0, "MB-aligned only")
     require(qp >= 0 && qp <= 51, "QP out of range")
     val wMbs = src.w / 16
@@ -750,9 +764,94 @@ object H264Intra {
       }
       mb += 1
     }
-    nalUnit(NalSps, writeSps(Sps(wMbs, hMbs))) ++
-      nalUnit(NalPps, writePps(Pps(qp))) ++
-      nalUnit(NalIdr, w.finishRbsp())
+    (writeSps(Sps(wMbs, hMbs)), writePps(Pps(qp)), w.finishRbsp())
+  }
+
+  // ---------------------------------------------------------------
+  // avc1 boxing (q229): the AVCDecoderConfigurationRecord and the
+  // length-prefixed sample format ISO/IEC 14496-15 uses inside MP4
+  // ---------------------------------------------------------------
+
+  /** AVCDecoderConfigurationRecord (the avcC box body): version 1,
+    * profile/compat/level copied from the SPS head, 4-byte NAL
+    * lengths, one SPS + one PPS carried as header+EBSP NALs. */
+  def avcConfigRecord(spsRbsp: Array[Byte],
+      ppsRbsp: Array[Byte]): Array[Byte] = {
+    val sps = nalBytes(NalSps, spsRbsp)
+    val pps = nalBytes(NalPps, ppsRbsp)
+    def u16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    Array(1.toByte, sps(1), sps(2), sps(3),
+      0xFF.toByte, // reserved '111111' + lengthSizeMinusOne = 3
+      0xE1.toByte) ++ // reserved '111' + numOfSPS = 1
+      u16(sps.length) ++ sps ++
+      Array(1.toByte) ++ u16(pps.length) ++ pps
+  }
+
+  /** One length-prefixed MP4 sample from a slice RBSP (4-byte
+    * big-endian NAL length, then header+EBSP). */
+  def avcSample(idrRbsp: Array[Byte]): Array[Byte] = {
+    val nal = nalBytes(NalIdr, idrRbsp)
+    java.nio.ByteBuffer.allocate(4 + nal.length)
+      .putInt(nal.length).put(nal).array()
+  }
+
+  /** Reassemble a decodable Annex-B stream from a sample-entry
+    * extension (the boxes after the 78-byte visual sample entry —
+    * avcC located by a real box walk) plus one length-prefixed
+    * sample: start-coded SPS + PPS from the record, then every NAL
+    * of the sample. */
+  def annexBFromAvcc(sampleEntryExt: Array[Byte],
+      sample: Array[Byte]): Array[Byte] = {
+    // walk the extension boxes for avcC
+    var pos = 0
+    var avcc: Option[Array[Byte]] = None
+    while (avcc.isEmpty && pos + 8 <= sampleEntryExt.length) {
+      val size = java.nio.ByteBuffer.wrap(sampleEntryExt, pos, 4)
+        .getInt
+      val tp = new String(sampleEntryExt, pos + 4, 4, "US-ASCII")
+      require(size >= 8 && pos + size <= sampleEntryExt.length,
+        s"malformed sample-entry extension box $tp")
+      if (tp == "avcC")
+        avcc = Some(sampleEntryExt.slice(pos + 8, pos + size))
+      pos += size
+    }
+    val rec = avcc.getOrElse(sys.error("no avcC in sample entry"))
+    require(rec.length >= 7 && rec(0) == 1,
+      "unsupported AVCDecoderConfigurationRecord version")
+    val lengthSize = (rec(4) & 0x3) + 1
+    require(lengthSize == 4,
+      s"constrained profile: NAL length size $lengthSize (4 only)")
+    val numSps = rec(5) & 0x1F
+    var p = 6
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def readNals(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        val len = ((rec(p) & 0xFF) << 8) | (rec(p + 1) & 0xFF)
+        p += 2
+        out ++= Array[Byte](0, 0, 0, 1)
+        out ++= rec.slice(p, p + len)
+        p += len
+        i += 1
+      }
+    }
+    readNals(numSps)
+    val numPps = rec(p) & 0xFF
+    p += 1
+    readNals(numPps)
+    // the sample: length-prefixed NALs -> start-coded
+    var s = 0
+    while (s < sample.length) {
+      require(s + 4 <= sample.length, "truncated sample NAL length")
+      val len = java.nio.ByteBuffer.wrap(sample, s, 4).getInt
+      s += 4
+      require(len > 0 && s + len <= sample.length,
+        "sample NAL length out of bounds")
+      out ++= Array[Byte](0, 0, 0, 1)
+      out ++= sample.slice(s, s + len)
+      s += len
+    }
+    out.toArray
   }
 
   /** Decode a complete SPS+PPS+IDR Annex-B stream back to 4:2:0

@@ -580,7 +580,8 @@ object Multimodal {
   final case class Mp4Info(timescale: Long, duration: Long,
       nTracks: Int, mdatBytes: Long)
 
-  private def mp4Box(boxType: String, payload: Array[Byte]): Array[Byte] =
+  private[graft] def mp4Box(boxType: String,
+      payload: Array[Byte]): Array[Byte] =
     java.nio.ByteBuffer.allocate(8 + payload.length)
       .putInt(8 + payload.length)
       .put(boxType.getBytes("US-ASCII"))
@@ -688,7 +689,8 @@ object Multimodal {
   /** One decoded video track: sample-entry facts plus the raw sample
     * payloads resolved through the stsz/stsc/stco tables. */
   final case class Mp4VideoTrack(format: String, width: Int, height: Int,
-      depth: Int, frames: Vector[Array[Byte]])
+      depth: Int, frames: Vector[Array[Byte]],
+      config: Array[Byte] = Array.empty)
 
   /** REAL ISO-BMFF writer for an UNCOMPRESSED video track: ftyp +
     * moov[mvhd + trak[tkhd + mdia[mdhd + hdlr('vide') + minf[vmhd +
@@ -726,7 +728,8 @@ object Multimodal {
     * picture per sample). */
   def encodeMp4VideoTrack(format: String, width: Int, height: Int,
       frames: Seq[Array[Byte]], timescale: Long = 1000L,
-      frameTicks: Long = 40L): Array[Byte] = {
+      frameTicks: Long = 40L,
+      configBox: Array[Byte] = Array.empty): Array[Byte] = {
     require(format.length == 4, "sample-entry fourcc must be 4 chars")
     require(frames.nonEmpty, "a video track needs at least one sample")
     val n = frames.size
@@ -801,7 +804,9 @@ object Multimodal {
           b.put(new Array[Byte](32))            // compressorname
           b.putShort(24)                        // depth: RGB24
           b.putShort(-1)                        // pre_defined
-          mp4Box(format, b.array())
+          // codec-specific extension (e.g. avcC) follows the fixed
+          // 78-byte visual sample entry body, per ISO/IEC 14496-15
+          mp4Box(format, b.array() ++ configBox)
         }
         fullBox("stsd", 0, 0,
           java.nio.ByteBuffer.allocate(4).putInt(1).array() ++ entry)
@@ -929,7 +934,10 @@ object Multimodal {
       width = buf.getShort(enS + 24).toInt & 0xffff
       height = buf.getShort(enS + 26).toInt & 0xffff
       depth = buf.getShort(enS + 74).toInt & 0xffff
-      if format == "raw " || format == "jpeg" // decodable formats only
+      // decodable formats only: 'avc1' through the in-repo intra
+      // decoder (q228/q229), with its avcC record in the sample
+      // entry's extension bytes
+      if format == "raw " || format == "jpeg" || format == "avc1"
       sizes <- child(stblS, stblE, "stsz").flatMap { case (s, e) =>
         if (e - s < 12) None
         else {
@@ -969,7 +977,8 @@ object Multimodal {
         }
       }
       frames <- resolveSamples(sizes, stscRuns, chunkOffsets)
-    } yield Mp4VideoTrack(format, width, height, depth, frames)
+    } yield Mp4VideoTrack(format, width, height, depth, frames,
+      java.util.Arrays.copyOfRange(payload, enS + 78, enE))
 
     val tracks = for {
       (moovS, moovE) <- child(0, payload.length, "moov").toVector
@@ -1302,6 +1311,68 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "n_mbs",
         "max_y_ok", "mean_y_ok", "chroma_ok")
+  }
+
+  /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
+    * q228's scaladoc scoped out, now closed: the per-frame IDR
+    * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC
+    * AVCDecoderConfigurationRecord inside the sample entry, samples
+    * LENGTH-prefixed per ISO/IEC 14496-15, frames split across two
+    * chunks like q81), are extracted back through the real
+    * stsd/stsz/stsc/stco tables, reassembled to Annex-B from the
+    * avcC record + each sample, and decoded by the constrained
+    * intra decoder. Every frame of every document is graded with
+    * the q228 bounds — a wrong sample boundary, a mis-walked avcC,
+    * or a bad length prefix flips a boolean. Row-local end-to-end. */
+  def avc1DecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (1 + id % 3).toInt
+        val w = 16 * (1 + id % 2).toInt
+        val h = 16 * (1 + (id / 2) % 2).toInt
+        val qp = 18 + (id % 4).toInt * 4 // 18 / 22 / 26 / 30
+        def frame(f: Int): H264Intra.Yuv = {
+          val tone = (36 + ((id + f) % 6) * 8).toInt
+          val toneB = (236 - ((id + 2 * f) % 5) * 8).toInt
+          val y = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 4
+            val by = (i / w) / 4
+            if ((bx + by) % 2 == 0) tone else toneB
+          }
+          H264Intra.Yuv(w, h, y,
+            Array.fill(w / 2 * (h / 2))(128),
+            Array.fill(w / 2 * (h / 2))(128))
+        }
+        val srcs = Vector.tabulate(n)(frame)
+        val rbsps = srcs.map(s => H264Intra.encodeIdrRbsps(s, qp))
+        // one parameter-set pair serves the whole track (identical
+        // dims/QP per document, like a real encoder's session)
+        val (sps, pps, _) = rbsps.head
+        val payload = encodeMp4VideoTrack("avc1", w, h,
+          rbsps.map { case (_, _, idr) => H264Intra.avcSample(idr) },
+          configBox = mp4Box("avcC",
+            H264Intra.avcConfigRecord(sps, pps)))
+        val track = extractMp4Frames(payload)
+          .getOrElse(sys.error(s"unextractable avc1 track for doc $id"))
+        require(track.format == "avc1" && track.frames.size == n,
+          s"track shape mismatch for doc $id")
+        val decs = track.frames.map(sample => H264Intra.decodeIdr(
+          H264Intra.annexBFromAvcc(track.config, sample)))
+        require(decs.forall(d => d.w == w && d.h == h),
+          s"decoded dims mismatch for doc $id")
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        val maxOk = decs.zip(srcs).forall { case (d, s) =>
+          s.y.indices.map(i => math.abs(d.y(i) - s.y(i))).max <=
+            qstep * 0.7 + 2
+        }
+        val chromaOk = decs.forall(d =>
+          d.cb.forall(_ == 128) && d.cr.forall(_ == 128))
+        (id, n.toLong, w.toLong, h.toLong, maxOk, chromaOk)
+      }
+      .toDF("doc_id", "n_frames", "width", "height", "max_y_ok",
+        "chroma_ok")
   }
 
   /** Graded WAV decode (q54): synthesize a real RIFF/PCM file per

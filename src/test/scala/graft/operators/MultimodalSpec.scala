@@ -410,13 +410,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     java.nio.ByteBuffer.wrap(corrupt).putInt(stcoAt + 12, bytes.length + 99)
     assert(Multimodal.extractMp4Frames(corrupt).isEmpty)
 
-    // an entropy-coded track (avc1) is structurally fine but must
-    // yield None from the frame extractor (no entropy decode)
+    // an avc1 track now EXTRACTS (q229: the in-repo intra decoder
+    // replaced the old None) — but one with no avcC record in its
+    // sample entry fails LOUD at Annex-B reassembly, never silently
     val avc1 = bytes.clone()
     val rawAt = avc1.indices.indexWhere(i => i + 4 <= avc1.length &&
       new String(avc1, i, 4, "US-ASCII") == "raw ")
     "avc1".getBytes("US-ASCII").copyToArray(avc1, rawAt)
-    assert(Multimodal.extractMp4Frames(avc1).isEmpty)
+    val avc1Track = Multimodal.extractMp4Frames(avc1).get
+    assert(avc1Track.format == "avc1" && avc1Track.config.isEmpty)
+    val noCfg = intercept[RuntimeException](
+      graft.io.H264Intra.annexBFromAvcc(avc1Track.config,
+        avc1Track.frames.head))
+    assert(noCfg.getMessage.contains("avcC"))
     assert(Multimodal.parseMp4(avc1).nonEmpty) // box walk still fine
 
     // single frame: one chunk, still exact
@@ -492,6 +498,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     // frames are genuinely distinct (the phase term) — a frame-order
     // mixup cannot pass silently
     assert(encoded.distinct.size == encoded.size)
+  }
+
+  test("avc1 track (q229): avcC record + length-prefixed samples " +
+      "survive the real sample tables, reassemble to Annex-B, and " +
+      "decode within the QP bound; sample slicing is byte-exact") {
+    import graft.io.H264Intra
+    val w = 32; val h = 16; val qp = 22
+    def frame(f: Int): H264Intra.Yuv = {
+      val y = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 4
+        val by = (i / w) / 4
+        if ((bx + by) % 2 == 0) 52 + 8 * f else 212 - 8 * f
+      }
+      H264Intra.Yuv(w, h, y, Array.fill(w / 2 * (h / 2))(128),
+        Array.fill(w / 2 * (h / 2))(128))
+    }
+    val srcs = Vector.tabulate(3)(frame)
+    val rbsps = srcs.map(s => H264Intra.encodeIdrRbsps(s, qp))
+    val samples = rbsps.map { case (_, _, idr) =>
+      H264Intra.avcSample(idr)
+    }
+    val (sps, pps, _) = rbsps.head
+    val bytes = Multimodal.encodeMp4VideoTrack("avc1", w, h, samples,
+      configBox = Multimodal.mp4Box("avcC",
+        H264Intra.avcConfigRecord(sps, pps)))
+    assert(Multimodal.parseMp4(bytes).get.nTracks == 1)
+    val track = Multimodal.extractMp4Frames(bytes).get
+    assert(track.format == "avc1" && track.frames.size == 3)
+    assert(track.width == w && track.height == h)
+    // sample slicing byte-exact through the two-chunk tables
+    track.frames.zip(samples).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "sample bytes differ")
+    }
+    // the avcC config survived inside the sample entry extension
+    assert(new String(track.config, 4, 4, "US-ASCII") == "avcC")
+    // reassembled Annex-B decodes per frame within the QP bound
+    val qstep = math.pow(2, qp / 6.0) * 0.625
+    track.frames.zip(srcs).foreach { case (sample, s) =>
+      val dec = H264Intra.decodeIdr(
+        H264Intra.annexBFromAvcc(track.config, sample))
+      assert(dec.w == w && dec.h == h)
+      val maxErr = s.y.indices.map(i => math.abs(dec.y(i) - s.y(i))).max
+      assert(maxErr <= qstep * 0.7 + 2, s"max luma err $maxErr")
+      assert(dec.cb.forall(_ == 128) && dec.cr.forall(_ == 128))
+    }
+    // frames genuinely distinct: an order mixup cannot pass
+    assert(samples.map(_.toSeq).distinct.size == samples.size)
   }
 
   test("mjpegDecodeStats facts match the synthesis arithmetic with " +
