@@ -16,8 +16,10 @@ package graft.io
   *     disabled IN-STREAM via disable_deblocking_filter_idc=1 — the
   *     spec-sanctioned switch, so skipping the loop filter is a
   *     conformant decode, not an approximation);
-  *   - the I_NxN macroblock layer: prev_intra4x4_pred_mode_flag
-  *     derivation (predMode = min(left, top), unavailable → DC),
+  *   - the I_NxN macroblock layer: the full intra-4x4 pred-mode
+  *     coding (prev_intra4x4_pred_mode_flag against the 8.3.1.1
+  *     derivation predMode = min(left, top) with unavailable → DC,
+  *     plus the 3-bit rem_intra4x4_pred_mode less-than shift),
   *     intra_chroma_pred_mode, coded_block_pattern me(v),
   *     mb_qp_delta;
   *   - CAVLC residual decoding: coeff_token (the nC<2 column of
@@ -27,10 +29,11 @@ package graft.io
   *     across macroblocks exactly as 9.2.1 derives it;
   *   - dequantization (the LevelScale V table, QP/6 shift) and the
   *     exact-integer 4x4 inverse transform with (x+32)>>6 rounding;
-  *   - intra 4x4 DC prediction from RECONSTRUCTED neighbors in
+  *   - intra 4x4 prediction in the Vertical, Horizontal, and DC
+  *     modes (8.3.1.2.1/.2/.4) from RECONSTRUCTED neighbors in
   *     decode order (the full feedback loop — the encoder runs the
-  *     identical reconstruction, spec-pinned bit-equal), and chroma
-  *     DC prediction (8.3.4) for the 4:2:0 planes.
+  *     identical reconstruction, spec-pinned as a fixpoint), and
+  *     chroma DC prediction (8.3.4) for the 4:2:0 planes.
   *
   * The CONSTRAINT, stated precisely (the q81/q182 scoping
   * discipline): the paired encoder only emits streams whose residual
@@ -44,12 +47,15 @@ package graft.io
   * exactly zero). Consequences the decoder enforces as EXPLICIT
   * unsupported-errors rather than silent wrong answers: the nC>=2
   * coeff_token columns, total_zeros rows past TotalCoeff 1,
-  * run_before, chroma-residual parsing, and me(v) codes past the
-  * four shortest are out of the constrained profile. Everything the
-  * constrained stream CAN produce — any level magnitude (both level
-  * escapes fire on the graded fixture), any dimension, any QP
-  * 0..51 with its qbits/MF/V row — decodes through the general
-  * machinery.
+  * run_before, chroma-residual parsing, the diagonal intra-mode
+  * family (3..8), and me(v) codes past the four shortest are out of
+  * the constrained profile. Everything the constrained stream CAN
+  * produce — any level magnitude (both level escapes fire on the
+  * graded fixture), the V/H/DC mode rotation with real flag/rem
+  * coding (flat predictions of flat blocks keep residuals
+  * constant, so V/H preserve the DC-only invariant), any dimension,
+  * any QP 0..51 with its qbits/MF/V row — decodes through the
+  * general machinery.
   *
   * Scale design (100 TB): the codec is row-local bytes-in/planes-out
   * (the q68/q182 economics — one document's stream never crosses an
@@ -578,30 +584,67 @@ object H264Intra {
     (0, 8), (4, 8), (0, 12), (4, 12),
     (8, 8), (12, 8), (8, 12), (12, 12))
 
-  /** Intra 4x4 DC prediction (8.3.1.2.4, mode 2) from reconstructed
-    * neighbors of the block at luma position (x, y). */
-  private def dcPredict(recon: Array[Int], stride: Int, x: Int,
-      y: Int): Int = {
+  /** Intra 4x4 luma prediction modes carried by the constrained
+    * profile: 0 = Vertical (8.3.1.2.1), 1 = Horizontal (8.3.1.2.2),
+    * 2 = DC (8.3.1.2.4). The diagonal family (3..8) is outside the
+    * profile and rejected at parse. */
+  val IntraModeVertical = 0
+  val IntraModeHorizontal = 1
+  val IntraModeDc = 2
+
+  /** The 16-sample intra 4x4 prediction block for `mode` at luma
+    * position (x, y), from reconstructed neighbors. */
+  private def predictBlock(recon: Array[Int], stride: Int, x: Int,
+      y: Int, mode: Int): Array[Int] = {
     val hasLeft = x > 0
     val hasTop = y > 0
-    if (hasLeft && hasTop) {
-      var s = 0
-      var i = 0
-      while (i < 4) {
-        s += recon((y + i) * stride + x - 1)
-        s += recon((y - 1) * stride + x + i)
-        i += 1
-      }
-      (s + 4) >> 3
-    } else if (hasLeft) {
-      var s = 0; var i = 0
-      while (i < 4) { s += recon((y + i) * stride + x - 1); i += 1 }
-      (s + 2) >> 2
-    } else if (hasTop) {
-      var s = 0; var i = 0
-      while (i < 4) { s += recon((y - 1) * stride + x + i); i += 1 }
-      (s + 2) >> 2
-    } else 128
+    mode match {
+      case IntraModeVertical =>
+        require(hasTop, "vertical prediction without a top neighbor")
+        Array.tabulate(16)(i => recon((y - 1) * stride + x + i % 4))
+      case IntraModeHorizontal =>
+        require(hasLeft,
+          "horizontal prediction without a left neighbor")
+        Array.tabulate(16)(i => recon((y + i / 4) * stride + x - 1))
+      case IntraModeDc =>
+        val dc =
+          if (hasLeft && hasTop) {
+            var s = 0
+            var i = 0
+            while (i < 4) {
+              s += recon((y + i) * stride + x - 1)
+              s += recon((y - 1) * stride + x + i)
+              i += 1
+            }
+            (s + 4) >> 3
+          } else if (hasLeft) {
+            var s = 0; var i = 0
+            while (i < 4) {
+              s += recon((y + i) * stride + x - 1); i += 1
+            }
+            (s + 2) >> 2
+          } else if (hasTop) {
+            var s = 0; var i = 0
+            while (i < 4) {
+              s += recon((y - 1) * stride + x + i); i += 1
+            }
+            (s + 2) >> 2
+          } else 128
+        Array.fill(16)(dc)
+      case m => sys.error(
+        s"constrained profile: intra 4x4 mode $m (the diagonal " +
+          "family is unsupported)")
+    }
+  }
+
+  /** predIntra4x4PredMode (8.3.1.1): DC if either neighbor block is
+    * unavailable, else the MINIMUM of the two neighbor modes. The
+    * grid holds -1 for not-yet-decoded/outside positions. */
+  private def predIntraMode(modeGrid: Array[Int], blocksW: Int,
+      bx: Int, by: Int): Int = {
+    val a = if (bx > 0) modeGrid(by * blocksW + bx - 1) else -1
+    val b = if (by > 0) modeGrid((by - 1) * blocksW + bx) else -1
+    if (a < 0 || b < 0) IntraModeDc else math.min(a, b)
   }
 
   /** Chroma DC prediction (8.3.4, mode 0) for the 4x4 chroma block
@@ -679,6 +722,7 @@ object H264Intra {
     val recon = new Array[Int](src.w * src.h)
     val blocksW = src.w / 4
     val tcGrid = new Array[Int](blocksW * (src.h / 4))
+    val modeGrid = Array.fill(blocksW * (src.h / 4))(-1)
 
     val w = new BitWriter
     // slice header
@@ -698,25 +742,49 @@ object H264Intra {
       val mbX = (mb % wMbs) * 16
       val mbY = (mb / wMbs) * 16
       w.writeUe(0) // mb_type: I_NxN
-      // 16 x prev_intra4x4_pred_mode_flag: all-DC encoding and the
-      // min(left, top) predictor (unavailable -> DC) make the
-      // predicted mode DC everywhere, so the flag is always 1
+      // pass 1 — the 16 intra pred modes (written before chroma
+      // mode/cbp/residual, per the mb_pred() syntax): a
+      // deterministic V/H/DC rotation wherever both neighbors exist
+      // (V needs top, H needs left), DC at picture edges; coded with
+      // the real flag/rem machinery against predIntra4x4PredMode
+      val mbModes = new Array[Int](16)
       var b = 0
-      while (b < 16) { w.writeBit(1); b += 1 }
+      while (b < 16) {
+        val (ox, oy) = Luma4x4Offsets(b)
+        val x = mbX + ox
+        val y = mbY + oy
+        val bx = x / 4
+        val by = y / 4
+        val mode =
+          if (x > 0 && y > 0)
+            Array(IntraModeDc, IntraModeVertical,
+              IntraModeHorizontal)((bx + 2 * by) % 3)
+          else IntraModeDc
+        val predicted = predIntraMode(modeGrid, blocksW, bx, by)
+        if (mode == predicted) w.writeBit(1)
+        else {
+          w.writeBit(0)
+          w.writeBits(
+            (if (mode < predicted) mode else mode - 1).toLong, 3)
+        }
+        modeGrid(by * blocksW + bx) = mode
+        mbModes(b) = mode
+        b += 1
+      }
       w.writeUe(0) // intra_chroma_pred_mode: DC
       writeCbpIntra(w, 15)
       w.writeSe(0) // mb_qp_delta
-      // luma residual: 16 blocks in Z-scan, DC-only
+      // pass 2 — luma residual: 16 blocks in Z-scan, DC-only
       b = 0
       while (b < 16) {
         val (ox, oy) = Luma4x4Offsets(b)
         val x = mbX + ox
         val y = mbY + oy
-        val pred = dcPredict(recon, stride, x, y)
+        val pred = predictBlock(recon, stride, x, y, mbModes(b))
         val resid = new Array[Int](16)
         var i = 0
         while (i < 16) {
-          resid(i) = src.y((y + i / 4) * stride + x + i % 4) - pred
+          resid(i) = src.y((y + i / 4) * stride + x + i % 4) - pred(i)
           i += 1
         }
         val coeffs = forward4x4(resid)
@@ -740,7 +808,7 @@ object H264Intra {
         i = 0
         while (i < 16) {
           recon((y + i / 4) * stride + x + i % 4) =
-            clip255(pred + rec(i))
+            clip255(pred(i) + rec(i))
           i += 1
         }
         b += 1
@@ -877,6 +945,7 @@ object H264Intra {
     val cr = new Array[Int]((w / 2) * (h / 2))
     val blocksW = w / 4
     val tcGrid = new Array[Int](blocksW * (h / 4))
+    val modeGrid = Array.fill(blocksW * (h / 4))(-1)
 
     val r = new BitReader(slice)
     require(r.readUe() == 0, "first_mb_in_slice != 0")
@@ -901,13 +970,26 @@ object H264Intra {
       val mbType = r.readUe()
       require(mbType == 0, s"constrained profile: mb_type $mbType " +
         "(I_NxN only)")
-      // intra 4x4 pred modes: general derivation, DC-only streams
+      // intra 4x4 pred modes: the real flag/rem parse against the
+      // 8.3.1.1 derivation; modes beyond V/H/DC reject at predict
+      val mbModes = new Array[Int](16)
       var b = 0
       while (b < 16) {
-        val flag = r.readBit()
-        // predicted mode is DC here (all-DC neighbors); a coded
-        // rem_intra4x4_pred_mode would select a non-DC mode
-        require(flag == 1, "constrained profile: non-DC intra mode")
+        val (ox, oy) = Luma4x4Offsets(b)
+        val bx = (mbX + ox) / 4
+        val by = (mbY + oy) / 4
+        val predicted = predIntraMode(modeGrid, blocksW, bx, by)
+        val mode =
+          if (r.readBit() == 1) predicted
+          else {
+            val rem = r.readBits(3).toInt
+            if (rem < predicted) rem else rem + 1
+          }
+        require(mode <= IntraModeDc,
+          s"constrained profile: intra 4x4 mode $mode (the " +
+            "diagonal family is unsupported)")
+        modeGrid(by * blocksW + bx) = mode
+        mbModes(b) = mode
         b += 1
       }
       val chromaMode = r.readUe()
@@ -928,14 +1010,14 @@ object H264Intra {
         val dcLevel =
           readCavlcDcOnly(r, ncOf(tcGrid, blocksW, bx, by))
         tcGrid(by * blocksW + bx) = if (dcLevel == 0) 0 else 1
-        val pred = dcPredict(y, stride, x, yy)
+        val pred = predictBlock(y, stride, x, yy, mbModes(b))
         val deq = new Array[Int](16)
         deq(0) = dequantCoeff(dcLevel, 0, 0, qp)
         val rec = inverse4x4(deq)
         var i = 0
         while (i < 16) {
           y((yy + i / 4) * stride + x + i % 4) =
-            clip255(pred + rec(i))
+            clip255(pred(i) + rec(i))
           i += 1
         }
         b += 1
