@@ -1809,6 +1809,70 @@ object SparkEntry {
       s.read.parquet(tableDir).select(col("doc_id"),
         col("bucket").cast("long").as("bucket"), col("text"))
     }),
+    // STREAMING lakehouse SCHEMA EVOLUTION (q224's maintenance twin):
+    // the two-version CDC log arrives as two SCHEMA EPOCHS — the
+    // version-1 files physically LACK the lang column (their writer's
+    // schema predates it, so the q224 masking rule holds by
+    // construction), then the stream restarts with the evolved schema
+    // (the real-pipeline shape of an ADD COLUMN commit) and the
+    // version-2 batch evolves only the buckets it touches; cold
+    // buckets stay on disk untouched and null-fill through the
+    // merged-schema read.
+    "q230_stream_schema_evolution" -> ((s, dir) => {
+      import operators.Pipeline
+      val docs = documents(s, dir)
+      val wh = graft.util.TempDirs.create("graft-evolve-q230")
+      val tableDir = s"$wh/table"
+      val (v1, v2, v3) = Pipeline.timeTravelVersions(docs)
+      v1.withColumn("bucket", col("doc_id") % Pipeline.MergeBuckets)
+        .write.partitionBy("bucket").parquet(tableDir)
+      val base = System.currentTimeMillis() - 60000L
+      def waves(inDir: String, cdc: DataFrame): Unit = {
+        val in = new java.io.File(inDir); in.mkdirs()
+        (0 until 2).foreach { w =>
+          val tmp = s"$inDir-w$w"
+          cdc.filter(col("doc_id") % 2 === w).coalesce(1)
+            .write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(in, f"wave$w%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(base + w * 2000L)
+        }
+      }
+      // epoch 1: pre-boundary schema — no lang column exists
+      waves(s"$wh/in1", Pipeline.cdcBetween(v1, v2))
+      val q1 = s.readStream
+        .schema("doc_id BIGINT, op STRING, new_text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in1")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Pipeline.mergeApplyTable(s, tableDir, batch)
+        }
+        .option("checkpointLocation", s"$wh/cp1").start()
+      try q1.processAllAvailable() finally q1.stop()
+      // epoch 2: the ADD COLUMN commit — stream restarted with the
+      // evolved schema, upserts carry the tag
+      waves(s"$wh/in2", Pipeline.cdcBetween(v2, v3)
+        .withColumn("new_lang", when(col("op") === "upsert",
+          Pipeline.evolvedLangCol(col("doc_id")))
+          .otherwise(lit(null).cast("string"))))
+      val q2 = s.readStream
+        .schema("doc_id BIGINT, op STRING, new_text STRING, " +
+          "new_lang STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in2")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Pipeline.mergeApplyTableEvolved(s, tableDir, batch,
+            Seq("lang"))
+        }
+        .option("checkpointLocation", s"$wh/cp2").start()
+      try q2.processAllAvailable() finally q2.stop()
+      Pipeline.readEvolvedTable(s, tableDir, Seq("lang"))
+        .select(col("doc_id"),
+          col("bucket").cast("long").as("bucket"),
+          col("text"), col("lang"))
+    }),
     // Salted equi-join (hot-key mitigation): row-identical to the
     // plain join the oracle runs, spread over (key, salt) reducers.
     "q25_salted_join" -> ((s, dir) => {
@@ -2141,6 +2205,7 @@ object SparkEntry {
     "q222_stream_paragraph_deferred" -> OracleSql.paragraphDedup,
     "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
+    "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -284,6 +284,102 @@ object Pipeline {
     }
   }
 
+  /** Added-column table READ (q230): buckets written before an ADD
+    * COLUMN physically lack it (schema evolution rewrites no cold
+    * data), so the table read is schema-MERGED and null-fills files
+    * that predate the column — the Delta/Iceberg read contract,
+    * where the schema lives in metadata and old files are never
+    * touched. */
+  def readEvolvedTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, addedCols: Seq[String]): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+    addedCols.foldLeft(base) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast("string"))
+    }
+  }
+
+  /** Schema-EVOLVING file-backed MERGE (q230) — [[mergeApplyTable]]
+    * across an ADD COLUMN boundary: the CDC batch carries
+    * `new_<col>` for each added column, and applying it EVOLVES the
+    * table — rewritten (touched) buckets gain the column, cold
+    * buckets stay physically untouched (spec pins bytes + mtimes
+    * across the boundary) and null-fill at read via
+    * [[readEvolvedTable]]. An upsert REPLACES the whole row (text
+    * AND added columns — the MERGE ... UPDATE SET semantics);
+    * untouched rows in rewritten buckets keep their prior values
+    * (null for rows that predate the column). Idempotent like the
+    * base merge: re-applying the batch is a bit-identical no-op.
+    *
+    * Scale design (100 TB): identical to [[mergeApplyTable]] (the
+    * ONE dynamic-overwrite write job over touched buckets only);
+    * ADD COLUMN itself costs ZERO data movement — no backfill job
+    * exists, old files simply read as null through the merged
+    * schema. */
+  def mergeApplyTableEvolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cdc: DataFrame, addedCols: Seq[String],
+      buckets: Int = MergeBuckets): Unit = {
+    val cdcB = cdc.select(Seq(col("doc_id"), col("op"),
+        col("new_text")) ++ addedCols.map(c => col(s"new_$c")): _*)
+      .withColumn("bucket", col("doc_id") % buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: one long per touched bucket, ≤ `buckets` rows
+    val touched = cdcB.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) { cdcB.unpersist(); return }
+    val existingPaths = touched.map(b => s"$dir/bucket=$b")
+      .filter(p => new java.io.File(p).exists())
+    val existing =
+      if (existingPaths.nonEmpty) {
+        val read0 = spark.read.option("basePath", dir)
+          .option("mergeSchema", "true")
+          .parquet(existingPaths.toIndexedSeq: _*)
+        val filled = addedCols.foldLeft(read0) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast("string"))
+        }
+        filled.select(Seq(col("doc_id"), col("text"),
+          col("bucket").cast("long").as("bucket")) ++
+          addedCols.map(col): _*)
+      } else {
+        val empty0 = spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("text"), col("id").as("bucket"))
+        addedCols.foldLeft(empty0)((df, c) =>
+          df.withColumn(c, lit(null).cast("string")))
+      }
+    val merged = existing
+      .join(cdcB.select(Seq(col("doc_id"), col("op"), col("new_text"),
+          col("bucket").as("cdc_bucket")) ++
+          addedCols.map(c => col(s"new_$c")): _*),
+        Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(Seq(col("doc_id"),
+        coalesce(col("bucket"), col("cdc_bucket")).as("bucket"),
+        when(col("op") === "upsert", col("new_text"))
+          .otherwise(col("text")).as("text")) ++
+        addedCols.map(c =>
+          when(col("op") === "upsert", col(s"new_$c"))
+            .otherwise(col(c)).as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surviving = merged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dir)
+    merged.unpersist()
+    cdcB.unpersist()
+    touched.filterNot(surviving).foreach { b =>
+      val dead = new java.io.File(s"$dir/bucket=$b")
+      if (dead.exists()) {
+        dead.listFiles().foreach(_.delete())
+        if (!dead.delete())
+          throw new java.io.IOException(s"could not clear emptied $dead")
+      }
+    }
+  }
+
   /** CDC batch between ANY two snapshot versions (generalizes
     * [[cdcFromDiff]], whose derivation is hardwired to the graded
     * v1→v2 pair): added/changed → upsert carrying the TARGET text,

@@ -2034,6 +2034,23 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of the STREAMING schema-evolution merge (q230,
+    * [[graft.operators.Pipeline.mergeApplyTableEvolved]]): the q224
+    * closure — the maintained table after both schema epochs must be
+    * the evolved v3 — plus the merge's bucket column. */
+  def schemaEvolutionMerge: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffChangedMod,
+      DiffRemovedMod, MergeBuckets}
+    s"""SELECT doc_id, doc_id % $MergeBuckets AS bucket,
+       CASE WHEN doc_id % 10 = $DiffAddedMod THEN text || ' v3'
+            ELSE text END AS text,
+       CASE WHEN doc_id % 10 = $DiffAddedMod THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END
+            ELSE CAST(NULL AS VARCHAR) END AS lang
+FROM documents
+WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.vacuumDerived]] (q215):
     * checkpoint = v2 rebuilt directly from the documents arithmetic
     * (version 0, op 'base'), retained tail = the v2→v3 CDC rows

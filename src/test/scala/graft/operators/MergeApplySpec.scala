@@ -94,6 +94,74 @@ class MergeApplySpec extends AnyFunSuite with SparkSessionSpec {
     assert(again == after)
   }
 
+  test("schema-evolving merge (q230): ADD COLUMN rewrites NO cold " +
+      "data (bytes + mtime pinned across the boundary), old files " +
+      "null-fill through the merged-schema read, upserts carry the " +
+      "column, re-delivery is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_evolve").toString
+    val base = (0L until 64L).map(i => (i, s"text$i"))
+      .toDF("doc_id", "text")
+      .withColumn("bucket", col("doc_id") % Pipeline.MergeBuckets)
+    base.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    // the add-column batch touches ONLY buckets 5 and 9
+    val cdc = Seq(
+      (5L, "upsert", "patched5", "en"),
+      (21L, "delete", null.asInstanceOf[String],
+        null.asInstanceOf[String]),
+      (73L, "upsert", "inserted73", "de")) // 73 % 16 = 9
+      .toDF("doc_id", "op", "new_text", "new_lang")
+    def snapshot(b: Long): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val coldBefore = (0L until 16L).filterNot(Set(5L, 9L))
+      .map(b => b -> snapshot(b)).toMap
+    Thread.sleep(1100) // mtime granularity
+    Pipeline.mergeApplyTableEvolved(spark, dir, cdc, Seq("lang"))
+    // the ADD COLUMN moved zero cold bytes
+    coldBefore.foreach { case (b, before) =>
+      assert(snapshot(b) == before,
+        s"cold bucket $b was rewritten by the ADD COLUMN")
+    }
+    val after = Pipeline.readEvolvedTable(spark, dir, Seq("lang"))
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getString(2)))).toMap
+    // upserts carry the column; the kept row in a TOUCHED bucket
+    // (37 % 16 = 5) reads the null add-default; cold-bucket rows
+    // null-fill through the merged-schema read
+    assert(after(5L) == ("patched5", Some("en")))
+    assert(after(73L) == ("inserted73", Some("de")))
+    assert(!after.contains(21L))
+    assert(after(37L) == ("text37", None),
+      "kept row in a rewritten bucket must read the add-default")
+    assert(after(0L) == ("text0", None),
+      "cold-bucket row must null-fill through the merged schema")
+    assert(after.size == 64 - 1 + 1)
+    // exact-retry idempotence across the schema boundary
+    Pipeline.mergeApplyTableEvolved(spark, dir, cdc, Seq("lang"))
+    val again = Pipeline.readEvolvedTable(spark, dir, Seq("lang"))
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getString(2)))).toMap
+    assert(again == after)
+    // a SECOND evolved batch against the half-evolved table (some
+    // touched buckets already carry lang, some don't) merges cleanly
+    val cdc2 = Seq((9L, "upsert", "patched9", "fr"))
+      .toDF("doc_id", "op", "new_text", "new_lang")
+    Pipeline.mergeApplyTableEvolved(spark, dir, cdc2, Seq("lang"))
+    val third = Pipeline.readEvolvedTable(spark, dir, Seq("lang"))
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getString(2)))).toMap
+    assert(third(9L) == ("patched9", Some("fr")))
+    assert(third(73L) == ("inserted73", Some("de")),
+      "prior evolved values must survive a later touch of their bucket")
+  }
+
   test("one parallel rewrite, not one job per bucket: Spark job count " +
       "stays constant as touched buckets grow; a fully-deleted " +
       "bucket's directory is cleared") {
