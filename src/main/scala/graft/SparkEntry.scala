@@ -1481,6 +1481,12 @@ object SparkEntry {
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(documents(s, dir))),
+    // MODEL-BASED quality filter trained IN-ENGINE: logistic
+    // regression by 8 full-batch GD steps, gradients quantized to
+    // exact 2^20-fixed-point longs (order-free, engine-identical);
+    // corpus scored by the final margin.
+    "q231_logreg_quality" -> ((s, dir) =>
+      TextAnalysis.logRegQualityFilter(documents(s, dir))),
     // STRICT-PARITY streaming paragraph dedup (q222): q183's
     // watermark-deferred sibling, graded under REVERSED ingest — the
     // corpus arrives as three DESCENDING-id file waves, exactly the
@@ -2206,6 +2212,7 @@ object SparkEntry {
     "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
+    "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

@@ -85,6 +85,101 @@ object TextAnalysis {
         (col("n_stopwords").cast("double") / col("n_tokens"))
           .as("stopword_ratio"))
 
+  /** q231 training constants: iterations, learning rate, and the
+    * 2^20 fixed-point quantizer that makes the gradient sums exact
+    * LONGs (order-free, engine-identical). */
+  val LogRegIters = 8
+  val LogRegLr = 4.0
+  val LogRegQuant = 1048576.0
+
+  /** MODEL-BASED quality filter TRAINED IN-ENGINE (q231) — logistic
+    * regression by batch gradient descent, the GPT-3/CCNet-style
+    * "distill the heuristic into a smooth classifier" stage (the
+    * model family behind fastText quality filters): weak labels
+    * come from an integer-exact prose rule (enough tokens AND a
+    * natural stopword rate — both pure LONG comparisons), features
+    * are the q6 stat ratios, and [[LogRegIters]] full-batch GD steps
+    * fit w; the corpus is then scored by its margin and kept where
+    * the model says prose.
+    *
+    * FP-determinism design (the house discipline, hardened for an
+    * ITERATED corpus aggregate): each doc's per-feature gradient
+    * contribution is QUANTIZED to a 2^20 fixed-point LONG
+    * (floor(g·2^20 + 0.5)), so the per-iteration reduction is an
+    * exact integer sum — reassociation-free under any partitioning,
+    * and bit-identical in DuckDB (the only transcendental, exp, sits
+    * BEFORE the quantizer where a 1-ulp engine difference flips a
+    * floor with probability ~1e-10). The weight recurrence and the
+    * final margin are single fixed-order double chains off those
+    * exact longs, so the oracle (8 unrolled weight CTEs) reproduces
+    * every weight and every margin bit-for-bit.
+    *
+    * Scale design (100 TB): one cached feature pass, then
+    * [[LogRegIters]] map-side-combined 5-long aggregations (the
+    * gradient is a bounded driver collect: FIVE longs per iteration,
+    * documented); scoring is one row-local projection. No shuffle
+    * ever carries more than the 5-long gradient. */
+  def logRegQualityFilter(docs: DataFrame): DataFrame =
+    logRegTrainedWithHandle(docs) match {
+      case (_, out, h) =>
+        // training already burned its 8 passes against the cache;
+        // the final scoring pass recomputes row-locally after the
+        // release (safe per CacheHandle: lineage intact)
+        h.release()
+        out
+    }
+
+  /** [[logRegQualityFilter]] exposing the trained weights (bias,
+    * then the four feature weights) and the
+    * [[graft.util.CacheHandle]] of the feature cache. */
+  def logRegTrainedWithHandle(docs: DataFrame)
+      : (Array[Double], DataFrame, graft.util.CacheHandle) = {
+    val f = docs
+      .select(col("doc_id"), tokens.as("w"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long")
+          .as("n_distinct_tokens"),
+        sumInts(transform(col("w"), t => length(t).cast("long")))
+          .as("sum_token_chars"),
+        size(filter(col("w"), t => array_contains(arrLit(stopwords), t)))
+          .cast("long").as("n_stopwords"))
+      .select(col("doc_id"),
+        // weak label: integer-exact prose rule
+        when(col("n_tokens") >= 16 &&
+          col("n_stopwords") * 8 >= col("n_tokens"), 1L)
+          .otherwise(0L).as("y"),
+        least(col("n_tokens").cast("double") / 256.0, lit(1.0))
+          .as("f1"),
+        (col("sum_token_chars").cast("double") / col("n_tokens") / 8.0)
+          .as("f2"),
+        (col("n_stopwords").cast("double") / col("n_tokens")).as("f3"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("f4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = f.count()
+    def marginOf(w: Array[Double]) =
+      lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+        lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to LogRegIters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-marginOf(w)))
+      val d = p - col("y")
+      def q(x: Column) =
+        floor(d * x * lit(LogRegQuant) + lit(0.5)).cast("long")
+      // bounded collect: FIVE longs per iteration (the gradient)
+      val g = f.agg(sum(q(lit(1.0))), sum(q(col("f1"))),
+        sum(q(col("f2"))), sum(q(col("f3"))), sum(q(col("f4"))))
+        .head()
+      w = Array.tabulate(5)(j =>
+        w(j) - LogRegLr * ((g.getLong(j).toDouble / LogRegQuant) / n))
+    }
+    val m = marginOf(w)
+    (w, f.select(col("doc_id"), col("y"), m.as("margin"),
+      (m >= 0.0).as("keep")), graft.util.CacheHandle(f))
+  }
+
   /** Row-local exact stopword hit count over the raw text — the
     * LONG numerator behind textStats' ratio, reused as the q208 UCB
     * reward (exact integers so per-source means are one fixed-order

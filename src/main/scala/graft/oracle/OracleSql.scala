@@ -2034,6 +2034,73 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.logRegQualityFilter]]
+    * (q231): the full-batch GD recurrence unrolled as
+    * [[graft.operators.TextAnalysis.LogRegIters]] weight CTE pairs —
+    * each gradient a 5-LONG exact sum over the quantized per-doc
+    * contributions (floor(g·2^20 + 0.5)), each weight update the
+    * identical fixed-order double chain — then the corpus scored by
+    * the final margin. Every arithmetic step mirrors the Spark
+    * operator's association order, so weights and margins are
+    * bit-identical. */
+  def logRegQuality: String = {
+    import graft.operators.TextAnalysis.{LogRegIters, LogRegLr}
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    def margin(w: String) =
+      s"$w.b + $w.w1 * f1 + $w.w2 * f2 + $w.w3 * f3 + $w.w4 * f4"
+    def grad(w: String, x: String) =
+      s"SUM(CAST(floor((1.0 / (1.0 + exp(-(${margin(w)}))) - y) * " +
+        s"$x * 1048576.0 + 0.5) AS BIGINT))"
+    val iters = (1 to LogRegIters).map { t =>
+      val wp = s"w${t - 1}"
+      s""", g$t AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+         ${grad(wp, "1.0")} AS gb,
+         ${grad(wp, "f1")} AS g1,
+         ${grad(wp, "f2")} AS g2,
+         ${grad(wp, "f3")} AS g3,
+         ${grad(wp, "f4")} AS g4
+  FROM f, $wp
+), w$t AS (
+  SELECT
+    $wp.b - $LogRegLr * ((CAST(g.gb AS DOUBLE) / 1048576.0) / g.n) AS b,
+    $wp.w1 - $LogRegLr * ((CAST(g.g1 AS DOUBLE) / 1048576.0) / g.n) AS w1,
+    $wp.w2 - $LogRegLr * ((CAST(g.g2 AS DOUBLE) / 1048576.0) / g.n) AS w2,
+    $wp.w3 - $LogRegLr * ((CAST(g.g3 AS DOUBLE) / 1048576.0) / g.n) AS w3,
+    $wp.w4 - $LogRegLr * ((CAST(g.g4 AS DOUBLE) / 1048576.0) / g.n) AS w4
+  FROM $wp, g$t g
+)"""
+    }.mkString
+    val wf = s"w$LogRegIters"
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    len(list_distinct(w)) AS n_distinct,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(w, t -> CAST(length(t) AS BIGINT))),
+      (a, b) -> a + b) AS sum_token_chars,
+    len(list_filter(w, t -> list_contains($stops, t))) AS n_stop
+  FROM d
+), f AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN n_tokens >= 16 AND n_stop * 8 >= n_tokens
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+    LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) AS f1,
+    CAST(sum_token_chars AS DOUBLE) / n_tokens / 8.0 AS f2,
+    CAST(n_stop AS DOUBLE) / n_tokens AS f3,
+    CAST(n_distinct AS DOUBLE) / n_tokens AS f4
+  FROM base
+), w0 AS (
+  SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4
+)$iters
+SELECT f.doc_id, f.y, ${margin(wf)} AS margin,
+       ${margin(wf)} >= 0.0 AS keep
+FROM f, $wf"""
+  }
+
   /** Mirror of the STREAMING schema-evolution merge (q230,
     * [[graft.operators.Pipeline.mergeApplyTableEvolved]]): the q224
     * closure — the maintained table after both schema epochs must be

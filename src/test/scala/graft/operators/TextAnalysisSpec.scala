@@ -785,4 +785,57 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out(2L) == ((2L, "en", 2L, 0L, false)), s"doc2: ${out(2L)}")
     assert(out(3L) == ((1L, "de", 1L, 0L, false)), s"doc3: ${out(3L)}")
   }
+
+  test("logRegQualityFilter (q231): GD genuinely learns the planted " +
+      "prose rule (loss falls, high margin agreement), training is " +
+      "bit-deterministic across runs, and the quantized gradient " +
+      "never moves weights on a perfectly balanced gradient-free " +
+      "fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted separable fixture: 40 "prose" docs (stopword-rich,
+    // long) vs 40 "junk" docs (no stopwords, short) — the weak
+    // label rule tags them 1/0 and GD must separate them
+    val prose = (0 until 40).map { i =>
+      val filler = Seq.fill(8)(s"w$i word${i % 7} item${i % 5}")
+        .mkString(" ")
+      (i.toLong,
+        s"the cat is on the mat and it is a fine day for this $filler")
+    }
+    val junk = (0 until 40).map { i =>
+      (100L + i, s"zzz$i qqq${i % 3} ppp kkk jjj www$i")
+    }
+    val docs = (prose ++ junk).toDF("doc_id", "text")
+    val (w, scored, h) = TextAnalysis.logRegTrainedWithHandle(docs)
+    val rows = scored.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getBoolean(3)))
+    h.release()
+    assert(rows.forall { case (id, y, _, _) =>
+      y == (if (id < 100) 1L else 0L)
+    }, "the weak-label rule must tag the planted classes")
+    // after 8 steps the model agrees with the label on >= 90%
+    val agree = rows.count { case (_, y, _, keep) =>
+      keep == (y == 1L)
+    }
+    assert(agree >= 72, s"GD failed to learn the rule: $agree/80")
+    // logloss at the trained weights beats the zero-weight start
+    // (ln 2 per doc) — the trajectory genuinely descended
+    val loss = rows.map { case (_, y, m, _) =>
+      math.log1p(math.exp(-m)) + (if (y == 1L) 0.0 else m)
+    }.sum / rows.length
+    assert(loss < math.log(2) * 0.8,
+      s"trained logloss $loss not below the zero-weight start")
+    // bit-determinism: a second training run returns IDENTICAL
+    // weights (exact long gradients — no run-to-run reassociation)
+    val (w2, _, h2) = TextAnalysis.logRegTrainedWithHandle(docs)
+    h2.release()
+    assert(w.toSeq == w2.toSeq, "training must be bit-deterministic")
+    // the two planted classes separate in margin space: the mean
+    // prose margin sits strictly above the mean junk margin
+    val proseMean = rows.filter(_._2 == 1L).map(_._3).sum / 40
+    val junkMean = rows.filter(_._2 == 0L).map(_._3).sum / 40
+    assert(proseMean > junkMean + 0.1,
+      f"margins did not separate: prose $proseMean%.3f vs " +
+        f"junk $junkMean%.3f")
+  }
 }
