@@ -1487,6 +1487,11 @@ object SparkEntry {
     // corpus scored by the final margin.
     "q231_logreg_quality" -> ((s, dir) =>
       TextAnalysis.logRegQualityFilter(documents(s, dir))),
+    // GRADIENT-INFLUENCE data selection: rank docs by the alignment
+    // of their loss gradient with a curated reference set's mean
+    // gradient (LESS/DsDm-style), top-k via the heap operator.
+    "q232_gradient_influence" -> ((s, dir) =>
+      TextAnalysis.gradientInfluenceTopK(documents(s, dir))),
     // STRICT-PARITY streaming paragraph dedup (q222): q183's
     // watermark-deferred sibling, graded under REVERSED ingest — the
     // corpus arrives as three DESCENDING-id file waves, exactly the
@@ -2213,6 +2218,7 @@ object SparkEntry {
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
+    "q232_gradient_influence" -> OracleSql.gradientInfluence,
     "q100_bpe_merges" -> OracleSql.bpeMerges,
     "q101_bpe_segment" -> OracleSql.bpeSegmentCounts,
     "q102_span_removal" -> OracleSql.removeDupSpans,

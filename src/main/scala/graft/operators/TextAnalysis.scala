@@ -129,15 +129,14 @@ object TextAnalysis {
         out
     }
 
-  /** [[logRegQualityFilter]] exposing the trained weights (bias,
-    * then the four feature weights) and the
-    * [[graft.util.CacheHandle]] of the feature cache. */
-  def logRegTrainedWithHandle(docs: DataFrame)
-      : (Array[Double], DataFrame, graft.util.CacheHandle) = {
-    val f = docs
-      .select(col("doc_id"), tokens.as("w"),
-        length(col("text")).cast("long").as("n_chars"))
-      .select(col("doc_id"),
+  /** The q231/q232 feature frame: weak label + the four stat-ratio
+    * features, plus `source` for q232's reference-set filter. Every
+    * column is either an exact LONG or a single fixed-order double
+    * chain off exact longs. */
+  private def logRegFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), tokens.as("w"))
+      .select(col("doc_id"), col("source"),
         size(col("w")).cast("long").as("n_tokens"),
         size(array_distinct(col("w"))).cast("long")
           .as("n_distinct_tokens"),
@@ -145,7 +144,7 @@ object TextAnalysis {
           .as("sum_token_chars"),
         size(filter(col("w"), t => array_contains(arrLit(stopwords), t)))
           .cast("long").as("n_stopwords"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         // weak label: integer-exact prose rule
         when(col("n_tokens") >= 16 &&
           col("n_stopwords") * 8 >= col("n_tokens"), 1L)
@@ -157,27 +156,102 @@ object TextAnalysis {
         (col("n_stopwords").cast("double") / col("n_tokens")).as("f3"),
         (col("n_distinct_tokens").cast("double") / col("n_tokens"))
           .as("f4"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = f.count()
-    def marginOf(w: Array[Double]) =
-      lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
-        lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+
+  private def logRegMargin(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+      lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+
+  /** p − y at the given weights — the per-doc residual whose
+    * feature products are the gradient. */
+  private def logRegResidual(w: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-logRegMargin(w))) - col("y")
+
+  /** floor(g·2^20 + 0.5) — the exact-long gradient quantizer. */
+  private def quantGrad(d: Column, x: Column): Column =
+    floor(d * x * lit(LogRegQuant) + lit(0.5)).cast("long")
+
+  /** The [[LogRegIters]]-step GD loop over a (cached) feature frame
+    * of `n` rows. Each iteration is ONE map-side-combined 5-long
+    * aggregation (a documented bounded collect). */
+  private def logRegTrain(f: DataFrame, n: Long): Array[Double] = {
     var w = Array.fill(5)(0.0)
     for (_ <- 1 to LogRegIters) {
-      val p = lit(1.0) / (lit(1.0) + exp(-marginOf(w)))
-      val d = p - col("y")
-      def q(x: Column) =
-        floor(d * x * lit(LogRegQuant) + lit(0.5)).cast("long")
-      // bounded collect: FIVE longs per iteration (the gradient)
-      val g = f.agg(sum(q(lit(1.0))), sum(q(col("f1"))),
-        sum(q(col("f2"))), sum(q(col("f3"))), sum(q(col("f4"))))
+      val d = logRegResidual(w)
+      val g = f.agg(sum(quantGrad(d, lit(1.0))),
+        sum(quantGrad(d, col("f1"))), sum(quantGrad(d, col("f2"))),
+        sum(quantGrad(d, col("f3"))), sum(quantGrad(d, col("f4"))))
         .head()
       w = Array.tabulate(5)(j =>
         w(j) - LogRegLr * ((g.getLong(j).toDouble / LogRegQuant) / n))
     }
-    val m = marginOf(w)
+    w
+  }
+
+  /** [[logRegQualityFilter]] exposing the trained weights (bias,
+    * then the four feature weights) and the
+    * [[graft.util.CacheHandle]] of the feature cache. */
+  def logRegTrainedWithHandle(docs: DataFrame)
+      : (Array[Double], DataFrame, graft.util.CacheHandle) = {
+    val f = logRegFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = logRegTrain(f, f.count())
+    val m = logRegMargin(w)
     (w, f.select(col("doc_id"), col("y"), m.as("margin"),
       (m >= 0.0).as("keep")), graft.util.CacheHandle(f))
+  }
+
+  /** Reference source of [[gradientInfluenceTopK]]'s target set. */
+  val InfluenceRefSource = "src0"
+
+  /** Rows returned by [[gradientInfluenceTopK]]. */
+  val InfluenceTopK = 100
+
+  /** GRADIENT-INFLUENCE data selection (q232) — the LESS/DsDm-style
+    * stage AFTER q231's model exists: rank every training document
+    * by the alignment of ITS loss gradient with the mean gradient of
+    * a curated REFERENCE set (here the [[InfluenceRefSource]] slice),
+    * and keep the top-[[InfluenceTopK]] most-aligned. For logistic
+    * loss the per-doc gradient is (p−y)·x, so the alignment score
+    * factors as (p−y)·⟨ĝ, x⟩ — one margin-shaped chain against the
+    * reference gradient ĝ, then one multiply: entirely row-local
+    * after ĝ is known.
+    *
+    * Determinism: ĝ is computed with the SAME 2^20 exact-long
+    * quantizer as training (order-free sums, engine-identical), so
+    * scores are fixed double chains off exact inputs; the top-k is
+    * the [[globalTopK]] heap (TopKPerGroup — no single-partition
+    * sort) with (influence DESC, doc_id ASC) tie-break.
+    *
+    * Scale design (100 TB): training as q231; ĝ is ONE more 5-long
+    * aggregation over the reference slice; scoring is row-local and
+    * the k-row result bounds every exchange. */
+  def gradientInfluenceTopK(docs: DataFrame,
+      k: Int = InfluenceTopK): DataFrame = {
+    val f = logRegFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = f.count()
+    val w = logRegTrain(f, n)
+    val d = logRegResidual(w)
+    // reference gradient: exact-long mean over the curated slice
+    // (bounded collect: six values)
+    val g = f.filter(col("source") === InfluenceRefSource)
+      .agg(count(lit(1)), sum(quantGrad(d, lit(1.0))),
+        sum(quantGrad(d, col("f1"))), sum(quantGrad(d, col("f2"))),
+        sum(quantGrad(d, col("f3"))), sum(quantGrad(d, col("f4"))))
+      .head()
+    val m = g.getLong(0)
+    require(m > 0, s"reference source $InfluenceRefSource is empty")
+    val h = Array.tabulate(5)(j =>
+      (g.getLong(j + 1).toDouble / LogRegQuant) / m)
+    val score = d * (lit(h(0)) + lit(h(1)) * col("f1") +
+      lit(h(2)) * col("f2") + lit(h(3)) * col("f3") +
+      lit(h(4)) * col("f4"))
+    val out = globalTopK(
+      f.select(col("doc_id"), score.as("influence")),
+      Seq("influence" -> false, "doc_id" -> true), k)
+      .select(col("doc_id"), col("influence"), col("rank"))
+    f.unpersist()
+    out
   }
 
   /** Row-local exact stopword hit count over the raw text — the

@@ -2044,23 +2044,77 @@ WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
     * operator's association order, so weights and margins are
     * bit-identical. */
   def logRegQuality: String = {
+    val wf = s"w${TextAnalysis.LogRegIters}"
+    s"""$logRegCtes
+SELECT f.doc_id, f.y, ${logRegMarginSql(wf)} AS margin,
+       ${logRegMarginSql(wf)} >= 0.0 AS keep
+FROM f, $wf"""
+  }
+
+  /** Mirror of
+    * [[graft.operators.TextAnalysis.gradientInfluenceTopK]] (q232):
+    * the q231 training CTEs, then the reference gradient as the same
+    * exact-long quantized sums over the curated slice, then the
+    * factored alignment score (p−y)·⟨ĝ, x⟩ ranked (influence DESC,
+    * doc_id ASC) top-k. */
+  def gradientInfluence: String = {
+    import graft.operators.TextAnalysis.{LogRegIters, InfluenceTopK,
+      InfluenceRefSource}
+    val wf = s"w$LogRegIters"
+    val score = s"(1.0 / (1.0 + exp(-(${logRegMarginSql(wf)}))) - y)" +
+      s" * (gv.hb + gv.h1 * f1 + gv.h2 * f2 + gv.h3 * f3 + " +
+      "gv.h4 * f4)"
+    s"""$logRegCtes
+, gref AS MATERIALIZED (
+  SELECT COUNT(*) AS m,
+         ${logRegGradSql(wf, "1.0")} AS gb,
+         ${logRegGradSql(wf, "f1")} AS g1,
+         ${logRegGradSql(wf, "f2")} AS g2,
+         ${logRegGradSql(wf, "f3")} AS g3,
+         ${logRegGradSql(wf, "f4")} AS g4
+  FROM f, $wf
+  WHERE f.source = '$InfluenceRefSource'
+), gv AS (
+  SELECT (CAST(gb AS DOUBLE) / 1048576.0) / m AS hb,
+         (CAST(g1 AS DOUBLE) / 1048576.0) / m AS h1,
+         (CAST(g2 AS DOUBLE) / 1048576.0) / m AS h2,
+         (CAST(g3 AS DOUBLE) / 1048576.0) / m AS h3,
+         (CAST(g4 AS DOUBLE) / 1048576.0) / m AS h4
+  FROM gref
+), scored AS (
+  SELECT f.doc_id, $score AS influence
+  FROM f, $wf, gv
+)
+SELECT doc_id, influence, rank FROM (
+  SELECT doc_id, influence,
+         CAST(row_number() OVER (ORDER BY influence DESC, doc_id ASC)
+           AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= $InfluenceTopK"""
+  }
+
+  private def logRegMarginSql(w: String) =
+    s"$w.b + $w.w1 * f1 + $w.w2 * f2 + $w.w3 * f3 + $w.w4 * f4"
+
+  private def logRegGradSql(w: String, x: String) =
+    s"SUM(CAST(floor((1.0 / (1.0 + exp(-(${logRegMarginSql(w)}))) " +
+      s"- y) * $x * 1048576.0 + 0.5) AS BIGINT))"
+
+  /** The q231/q232 shared prefix: feature CTEs + the unrolled GD
+    * weight recurrence. */
+  private def logRegCtes: String = {
     import graft.operators.TextAnalysis.{LogRegIters, LogRegLr}
     val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
       .replace(")", "]")
-    def margin(w: String) =
-      s"$w.b + $w.w1 * f1 + $w.w2 * f2 + $w.w3 * f3 + $w.w4 * f4"
-    def grad(w: String, x: String) =
-      s"SUM(CAST(floor((1.0 / (1.0 + exp(-(${margin(w)}))) - y) * " +
-        s"$x * 1048576.0 + 0.5) AS BIGINT))"
     val iters = (1 to LogRegIters).map { t =>
       val wp = s"w${t - 1}"
       s""", g$t AS MATERIALIZED (
   SELECT COUNT(*) AS n,
-         ${grad(wp, "1.0")} AS gb,
-         ${grad(wp, "f1")} AS g1,
-         ${grad(wp, "f2")} AS g2,
-         ${grad(wp, "f3")} AS g3,
-         ${grad(wp, "f4")} AS g4
+         ${logRegGradSql(wp, "1.0")} AS gb,
+         ${logRegGradSql(wp, "f1")} AS g1,
+         ${logRegGradSql(wp, "f2")} AS g2,
+         ${logRegGradSql(wp, "f3")} AS g3,
+         ${logRegGradSql(wp, "f4")} AS g4
   FROM f, $wp
 ), w$t AS (
   SELECT
@@ -2072,11 +2126,10 @@ WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   FROM $wp, g$t g
 )"""
     }.mkString
-    val wf = s"w$LogRegIters"
     s"""WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
 ), base AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
     len(w) AS n_tokens,
     len(list_distinct(w)) AS n_distinct,
     list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2085,7 +2138,7 @@ WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
     len(list_filter(w, t -> list_contains($stops, t))) AS n_stop
   FROM d
 ), f AS MATERIALIZED (
-  SELECT doc_id,
+  SELECT doc_id, source,
     CASE WHEN n_tokens >= 16 AND n_stop * 8 >= n_tokens
          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
     LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) AS f1,
@@ -2095,10 +2148,7 @@ WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   FROM base
 ), w0 AS (
   SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4
-)$iters
-SELECT f.doc_id, f.y, ${margin(wf)} AS margin,
-       ${margin(wf)} >= 0.0 AS keep
-FROM f, $wf"""
+)$iters"""
   }
 
   /** Mirror of the STREAMING schema-evolution merge (q230,

@@ -806,6 +806,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
       (100L + i, s"zzz$i qqq${i % 3} ppp kkk jjj www$i")
     }
     val docs = (prose ++ junk).toDF("doc_id", "text")
+      .withColumn("source", lit("plant"))
     val (w, scored, h) = TextAnalysis.logRegTrainedWithHandle(docs)
     val rows = scored.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getBoolean(3)))
@@ -837,5 +838,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(proseMean > junkMean + 0.1,
       f"margins did not separate: prose $proseMean%.3f vs " +
         f"junk $junkMean%.3f")
+  }
+
+  test("gradientInfluenceTopK (q232): with a prose reference set, " +
+      "the top-aligned documents are the prose class; ranks are " +
+      "contiguous and influence non-increasing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prose = (0 until 40).map { i =>
+      val filler = Seq.fill(8)(s"w$i word${i % 7} item${i % 5}")
+        .mkString(" ")
+      (i.toLong,
+        s"the cat is on the mat and it is a fine day for this $filler",
+        // half the prose docs ARE the curated reference slice —
+        // the rest must still surface through gradient alignment
+        if (i % 2 == 0) TextAnalysis.InfluenceRefSource else "web")
+    }
+    val junk = (0 until 40).map { i =>
+      (100L + i, s"zzz$i qqq${i % 3} ppp kkk jjj www$i", "web")
+    }
+    val docs = (prose ++ junk).toDF("doc_id", "text", "source")
+    val k = 20
+    val out = TextAnalysis.gradientInfluenceTopK(docs, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (1L to k).toSeq,
+      "ranks must be contiguous 1..k")
+    val byRank = out.sortBy(_._3)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"influence not non-increasing at ${b._3}")
+    }
+    // every top-k doc is prose (gradient-aligned with the prose
+    // reference), including NON-reference prose — alignment, not
+    // membership, is what ranks
+    assert(out.forall(_._1 < 100L),
+      s"junk leaked into the top-$k: ${out.filter(_._1 >= 100L).toSeq}")
+    assert(out.exists(o => o._1 % 2 == 1),
+      "non-reference prose must surface through alignment alone")
   }
 }
