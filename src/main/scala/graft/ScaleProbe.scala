@@ -492,6 +492,23 @@ object ScaleProbe {
           graft.operators.TextAnalysis.prfExpandedTopDocs(docs))
         spark.catalog.clearCache(); docs.persist(); docs.count()
       }
+      // in-engine logistic training (q231): 8 five-long gradient
+      // aggregations over the cached feature pass + the scoring scan
+      // — the curve must be ~9 linear scans, the gradient exchange
+      // constant (5 longs) at any factor
+      if (wanted("logreg")) {
+        time(factor, "logreg")(
+          graft.operators.TextAnalysis.logRegQualityFilter(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // gradient-influence selection (q232): training + ONE more
+      // bounded aggregate + a row-local score into the k-row heap —
+      // the curve must track logreg with a ~constant increment
+      if (wanted("influence")) {
+        time(factor, "influence")(
+          graft.operators.TextAnalysis.gradientInfluenceTopK(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // pairwise source JSD (q220): the corpus collapses to the
       // top-V per-source term table before any pair arithmetic, and
       // the top-V pick runs through TopKPerGroup (the r13 re-route
