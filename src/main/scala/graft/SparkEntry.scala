@@ -218,6 +218,11 @@ object SparkEntry {
     // (broadcast) benchmark gram set — the decontamination step.
     "q43_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(documents(s, dir))),
+    // EXACT 13-gram decontamination (the published GPT-3 appendix-C
+    // rule): one shared 13-token gram flags; no sampling, no
+    // threshold — the exactness corner the winnow screen can't state.
+    "q233_exact_decontam" -> ((s, dir) =>
+      Dedup.exactNgramDecontam(documents(s, dir))),
     // The custom whole-operator surface (LogicalPlan + SparkStrategy
     // + SparkPlan via GraftExtensions): top-k per group as partial
     // bounded heaps -> exchange of survivors only -> final rank,
@@ -2231,6 +2236,7 @@ object SparkEntry {
     "q51_dedup_clusters_star" -> OracleSql.dedupClusters,
     "q52_incremental_dedup" -> OracleSql.incrementalDedup,
     "q43_contamination" -> OracleSql.benchmarkContamination,
+    "q233_exact_decontam" -> OracleSql.exactNgramDecontam,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,
     // Sketch bounds oracle: the exact aggregates are recomputed, the

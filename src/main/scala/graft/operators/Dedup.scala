@@ -901,6 +901,62 @@ object Dedup {
     (out, graft.util.CacheHandle(fp))
   }
 
+  /** Width of the exact decontamination n-gram — the published
+    * GPT-3 appendix-C rule (13 consecutive tokens). */
+  val ExactDecontamN = 13
+
+  /** EXACT 13-GRAM decontamination (q233) — the canonical published
+    * screen (GPT-3 appendix C; the rule later corpora kept), closing
+    * the decontamination family's exactness corner: q43's character
+    * winnowing detects any shared substring ≥ K+W−1 chars via
+    * SAMPLED fingerprints, q219 is the semantic screen, q223 the
+    * composed funnel stage — this is the no-sampling, no-threshold
+    * TOKEN rule: a training document is contaminated iff it shares
+    * AT LEAST ONE exact [[ExactDecontamN]]-token n-gram with the
+    * benchmark set. One shared gram flags; a 12-token overlap does
+    * not (spec pins the exactness boundary, which the sampled
+    * screens cannot express). The benchmark stand-in is
+    * `doc_id < benchBelowId` like q43; a deployment passes its eval
+    * suite as the benchmark frame.
+    *
+    * Scale design (100 TB): the benchmark side is SMALL by
+    * definition — its distinct gram digests broadcast (an eval
+    * suite is millions of grams, not billions), so the corpus never
+    * shuffles for the membership join; gram construction is the
+    * row-local shingle kernel at n=13 (digests only — the text
+    * never leaves its row); the single exchange is the per-doc hit
+    * count. */
+  def exactNgramDecontam(docs: DataFrame, benchBelowId: Long = 20L,
+      n: Int = ExactDecontamN): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    val w = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        array_distinct(Bridge.column(
+          WordShingles(Bridge.expression(col("w")), n))).as("shingles"))
+      .select(col("doc_id"),
+        array_distinct(digest60Array(col("shingles"))).as("gs"))
+    val bench = grams.filter(col("doc_id") < benchBelowId)
+      .select(explode(col("gs")).as("g")).distinct()
+    val corpusGrams = grams.filter(col("doc_id") >= benchBelowId)
+    val shared = corpusGrams
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") >= benchBelowId)
+      .select(col("doc_id"))
+      .join(corpusGrams.select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams")),
+        Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Span-level duplication constants (q58): [[DupSpanK]]-char
     * spans sampled every [[DupSpanStride]] positions — the sampled
     * form of exact-substring duplicate detection (a la training-data

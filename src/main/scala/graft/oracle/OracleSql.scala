@@ -239,6 +239,45 @@ FROM documents"""
   FROM s
 )"""
 
+  /** Mirror of [[graft.operators.Dedup.exactNgramDecontam]] (q233):
+    * the 13-token gram CTEs (exactly the 3-gram shingle pipeline at
+    * n = 13), the benchmark's distinct digests, one membership join,
+    * short/clean corpus docs carried with zero counts. */
+  def exactNgramDecontam: String = {
+    val n = graft.operators.Dedup.ExactDecontamN
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+           i -> $gram)) AS shingles
+  FROM d WHERE len(w) >= $n
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+           x -> ${digest60Sql("x")})) AS gs
+  FROM s
+), bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(gs) AS g FROM h WHERE doc_id < 20
+), cg AS (
+  SELECT doc_id, unnest(gs) AS g FROM h WHERE doc_id >= 20
+), shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM cg JOIN bench USING (g) GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+  FROM h WHERE doc_id >= 20
+)
+SELECT b.doc_id,
+       COALESCE(sizes.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       COALESCE(shared.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       COALESCE(shared.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) b
+LEFT JOIN sizes USING (doc_id)
+LEFT JOIN shared USING (doc_id)"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.ngramNovelty]] (q137): same
     * shingle CTEs, first-occurrence min on the hash key, novel
     * counts off the reduced frame, exact-long division. */

@@ -747,4 +747,43 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       p._1 == 3000000L && p._2 == 3000001L),
       "cap dropped more than the documented boundary pair")
   }
+
+  test("exactNgramDecontam (q233): one shared 13-token gram flags " +
+      "at any offset; a 12-token overlap does NOT (the exactness " +
+      "boundary); short and clean docs carry zero counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val benchRun = (1 to 13).map(i => s"b$i").mkString(" ")
+    val twelve = (1 to 12).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 20).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      // benchmark set (doc_id < 20): carries the 13-token run
+      (5L, s"$filler $benchRun more words here"),
+      // contaminated: embeds the EXACT run at a shifted offset
+      (100L, s"x0 x1 x2 $benchRun y1 y2"),
+      // NOT contaminated: only 12 of the 13 tokens, in order
+      (101L, s"x0 x1 x2 $twelve y1 y2 y3 y4"),
+      // clean long doc
+      (102L, (1 to 40).map(i => s"c$i").mkString(" ")),
+      // short doc: fewer than 13 tokens, zero grams
+      (103L, "tiny doc under thirteen tokens total"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNgramDecontam(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L),
+      "benchmark docs must not appear in the screened corpus")
+    val (g100, s100, c100) = out(100L)
+    assert(c100 && s100 >= 1L, s"doc 100 must flag: $s100")
+    assert(out(101L)._3 == false,
+      "a 12-token overlap must NOT flag — the rule is exactly 13")
+    assert(out(101L)._2 == 0L)
+    assert(out(102L) == ((28L, 0L, false)), s"clean: ${out(102L)}")
+    assert(out(103L) == ((0L, 0L, false)),
+      s"short doc must carry zero grams: ${out(103L)}")
+    // the flag counts DISTINCT shared grams: doc 100 embeds the run
+    // once -> exactly the grams fully inside the benchmark run
+    assert(s100 == 1L, s"one embedded 13-run = one shared gram: $s100")
+    assert(g100 == (3 + 13 + 2) - 12, s"gram count: $g100")
+  }
 }
