@@ -1482,6 +1482,11 @@ object SparkEntry {
     // untouched rows read the NULL add-default.
     "q224_schema_evolution" -> ((s, dir) =>
       operators.Pipeline.schemaEvolutionDerived(documents(s, dir))),
+    // FILL-IN-THE-MIDDLE permutation (code-training pass): hash-
+    // selected half of the corpus reordered to PSM with sentinel
+    // tokens; row-local, token-multiset preserving.
+    "q234_fim_transform" -> ((s, dir) =>
+      operators.Pipeline.fimTransform(documents(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2221,6 +2226,7 @@ object SparkEntry {
     "q222_stream_paragraph_deferred" -> OracleSql.paragraphDedup,
     "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
+    "q234_fim_transform" -> OracleSql.fimTransform,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -284,6 +284,60 @@ object Pipeline {
     }
   }
 
+  /** FIM sentinel tokens — the public StarCoder/SantaCoder
+    * convention for the fill-in-the-middle objective. */
+  val FimPrefixTok = "<fim_prefix>"
+  val FimSuffixTok = "<fim_suffix>"
+  val FimMiddleTok = "<fim_middle>"
+
+  /** FILL-IN-THE-MIDDLE transform (q234) — the code-training data
+    * permutation (Bavarian et al. 2022; the StarCoder pipeline's
+    * standard pass): for a deterministic ~half of the corpus, split
+    * the token sequence at two hash-derived cut points and emit the
+    * PSM reordering `<fim_prefix> P <fim_suffix> S <fim_middle> M`,
+    * teaching the model to infill; the rest pass through unchanged.
+    * FIM PERMUTES, never drops — the spec pins exact token-multiset
+    * preservation and round-trip reconstruction from the parts.
+    * Document selection and both cut points are the house Knuth mix
+    * (high-bit extraction, ids masked < 2³¹ before the multiply), so
+    * the oracle mirrors every split exactly.
+    *
+    * Scale design (100 TB): entirely row-local — one projection, no
+    * shuffle, no state; the transform composes anywhere in the
+    * funnel at scan cost. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    import Sampling.HashMult
+    val staged = docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("mixA",
+        expr(s"((doc_id & 2147483647) * ${HashMult}L) DIV 1048576"))
+      .withColumn("mixB", expr(
+        s"(((doc_id * 31 + 7) & 2147483647) * ${HashMult}L) DIV 1048576"))
+      .withColumn("fim", col("mixA") % 2 === 0 && col("n") >= 3)
+      .withColumn("m1", col("mixA") % (col("n") + 1))
+      .withColumn("m2", col("mixB") % (col("n") + 1))
+      .withColumn("a", least(col("m1"), col("m2")))
+      .withColumn("b", greatest(col("m1"), col("m2")))
+    staged.select(col("doc_id"), col("fim"),
+      when(col("fim"), col("a")).otherwise(col("n")).as("n_prefix"),
+      when(col("fim"), col("b") - col("a")).otherwise(0L)
+        .as("n_middle"),
+      when(col("fim"), col("n") - col("b")).otherwise(0L)
+        .as("n_suffix"),
+      when(col("fim"), concat(
+        lit(FimPrefixTok + " "),
+        array_join(slice(col("w"), lit(1), col("a").cast("int")), " "),
+        lit(" " + FimSuffixTok + " "),
+        array_join(slice(col("w"), (col("b") + 1).cast("int"),
+          (col("n") - col("b")).cast("int")), " "),
+        lit(" " + FimMiddleTok + " "),
+        array_join(slice(col("w"), (col("a") + 1).cast("int"),
+          (col("b") - col("a")).cast("int")), " ")))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Added-column table READ (q230): buckets written before an ADD
     * COLUMN physically lack it (schema evolution rewrites no cold
     * data), so the table read is schema-MERGED and null-fills files

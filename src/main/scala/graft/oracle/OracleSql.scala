@@ -2054,6 +2054,46 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.fimTransform]] (q234):
+    * the same masked Knuth-mix selection and cut points, LEAST/
+    * GREATEST ordering, 1-based inclusive slices, and the PSM
+    * sentinel concatenation. */
+  def fimTransform: String = {
+    import graft.operators.Sampling.HashMult
+    import graft.operators.Pipeline.{FimPrefixTok, FimSuffixTok,
+      FimMiddleTok}
+    s"""WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, text, w, n,
+         ((doc_id & 2147483647) * $HashMult) // 1048576 AS mixA,
+         (((doc_id * 31 + 7) & 2147483647) * $HashMult) // 1048576
+           AS mixB
+  FROM d
+), s AS (
+  SELECT doc_id, text, w, n,
+         mixA % 2 = 0 AND n >= 3 AS fim,
+         LEAST(mixA % (n + 1), mixB % (n + 1)) AS a,
+         GREATEST(mixA % (n + 1), mixB % (n + 1)) AS b
+  FROM c
+)
+SELECT doc_id, fim,
+       CASE WHEN fim THEN a ELSE n END AS n_prefix,
+       CASE WHEN fim THEN b - a ELSE CAST(0 AS BIGINT) END AS n_middle,
+       CASE WHEN fim THEN n - b ELSE CAST(0 AS BIGINT) END AS n_suffix,
+       CASE WHEN fim THEN
+         '$FimPrefixTok ' ||
+         COALESCE(array_to_string(list_slice(w, 1, a), ' '), '') ||
+         ' $FimSuffixTok ' ||
+         COALESCE(array_to_string(list_slice(w, b + 1, n), ' '), '') ||
+         ' $FimMiddleTok ' ||
+         COALESCE(array_to_string(list_slice(w, a + 1, b), ' '), '')
+       ELSE text END AS text
+FROM s"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.schemaEvolutionDerived]]
     * (q224): the q188 closure extended across the add-column
     * boundary — the final frame rebuilt directly from the documents

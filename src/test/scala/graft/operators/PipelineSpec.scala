@@ -129,6 +129,65 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
       "a value written before the column existed leaked through")
   }
 
+  test("fimTransform (q234): PSM reordering round-trips to the " +
+      "original (prefix+middle+suffix in order), token multiset " +
+      "preserved, selection and cuts deterministic, short docs and " +
+      "the unselected half pass through untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val orig = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    val out = Pipeline.fimTransform(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    }.toMap
+    assert(out.keySet == orig.keySet)
+    var nFim = 0
+    out.foreach { case (id, (fim, np, nm, ns, text)) =>
+      val w = orig(id).split(" ", -1)
+      assert(np + nm + ns == w.length,
+        s"doc $id: counts $np+$nm+$ns != ${w.length}")
+      if (!fim) {
+        assert(text == orig(id), s"doc $id: pass-through mutated")
+        assert(nm == 0 && ns == 0)
+      } else {
+        nFim += 1
+        // parse the PSM form and reconstruct the original order
+        val pIdx = text.indexOf(Pipeline.FimPrefixTok + " ")
+        val sIdx = text.indexOf(" " + Pipeline.FimSuffixTok + " ")
+        val mIdx = text.indexOf(" " + Pipeline.FimMiddleTok + " ")
+        assert(pIdx == 0 && sIdx > 0 && mIdx > sIdx,
+          s"doc $id: sentinel structure broken: $text")
+        val prefix = text.substring(
+          Pipeline.FimPrefixTok.length + 1, sIdx)
+        val suffix = text.substring(
+          sIdx + Pipeline.FimSuffixTok.length + 2, mIdx)
+        val middle = text.substring(
+          mIdx + Pipeline.FimMiddleTok.length + 2)
+        val rebuilt = Seq(prefix, middle, suffix)
+          .filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == orig(id),
+          s"doc $id: PSM does not round-trip\n got: $rebuilt\n " +
+            s"want: ${orig(id)}")
+        assert(prefix.split(" ", -1).count(_.nonEmpty) +
+          middle.split(" ", -1).count(_.nonEmpty) +
+          suffix.split(" ", -1).count(_.nonEmpty) == w.length ||
+          (np + nm + ns) == w.length)
+      }
+    }
+    // the hash selects a substantial fraction both ways
+    assert(nFim > out.size / 4 && nFim < out.size * 3 / 4,
+      s"selection skew: $nFim of ${out.size}")
+    // determinism: a second run is identical
+    val again = Pipeline.fimTransform(docs).collect().map { r =>
+      r.getLong(0) -> r.getString(5)
+    }.toMap
+    assert(again == out.map { case (k, v) => k -> v._5 })
+  }
+
   test("kAnonymize: every released cohort has >= k members, levels " +
       "escalate exactly when finer cohorts are small, stragglers " +
       "of a drained coarse group cannot ride out 1-anonymous") {
