@@ -879,4 +879,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Window "),
       "jsd vocabulary fell back to an unpartitioned window sort")
   }
+
+  test("q233 exact decontam: the benchmark gram set BROADCASTS — " +
+      "the corpus membership join never shuffles the corpus grams") {
+    val df = q("q233_exact_decontam")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "benchmark side must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+    // every scan pruned to a subset of (doc_id, text) — the base
+    // branch correctly reads doc_id ALONE
+    val s = scans(df)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet
+        .subsetOf(Set("doc_id", "text")),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q234 FIM transform is shuffle-free: one row-local projection") {
+    val df = q("q234_fim_transform")
+    assert(shuffleCount(df) == 0,
+      "FIM must not shuffle — it is a projection")
+    val s = scans(df)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q231 logreg scoring plan is shuffle-free (training's only " +
+      "exchange is the 5-long partial aggregate, already spent); " +
+      "q232's selection runs through the TopKPerGroup heap") {
+    val scoring = q("q231_logreg_quality")
+    assert(shuffleCount(scoring) == 0,
+      "margin scoring must be a row-local projection")
+    val sel = q("q232_gradient_influence")
+    val topk = sel.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "influence top-k must use the heap operator")
+    assert(!sel.queryExecution.executedPlan.toString.contains("Window "),
+      "influence ranking fell back to an unpartitioned window sort")
+  }
+
+  test("q224 schema-evolved reconstruction: the log window is " +
+      "doc_id-partitioned and nothing funnels through a single " +
+      "partition") {
+    val df = q("q224_schema_evolution")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "reconstruction funneled through one partition")
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+  }
 }
