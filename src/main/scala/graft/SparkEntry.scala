@@ -223,6 +223,13 @@ object SparkEntry {
     // threshold — the exactness corner the winnow screen can't state.
     "q233_exact_decontam" -> ((s, dir) =>
       Dedup.exactNgramDecontam(documents(s, dir))),
+    // Memorization-risk profile: distinct 13-gram counts by
+    // duplication bucket — the corpus-health report before dedup.
+    "q235_dup_histogram" -> ((s, dir) =>
+      Dedup.gramDupHistogram(documents(s, dir))),
+    // ... and its drill-down: the most-duplicated gram digests.
+    "q236_top_dup_grams" -> ((s, dir) =>
+      Dedup.topDuplicatedGrams(documents(s, dir))),
     // The custom whole-operator surface (LogicalPlan + SparkStrategy
     // + SparkPlan via GraftExtensions): top-k per group as partial
     // bounded heaps -> exchange of survivors only -> final rank,
@@ -2243,6 +2250,8 @@ object SparkEntry {
     "q52_incremental_dedup" -> OracleSql.incrementalDedup,
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q233_exact_decontam" -> OracleSql.exactNgramDecontam,
+    "q235_dup_histogram" -> OracleSql.gramDupHistogram,
+    "q236_top_dup_grams" -> OracleSql.topDuplicatedGrams,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,
     // Sketch bounds oracle: the exact aggregates are recomputed, the

@@ -926,11 +926,13 @@ object Dedup {
     * row-local shingle kernel at n=13 (digests only — the text
     * never leaves its row); the single exchange is the per-doc hit
     * count. */
-  def exactNgramDecontam(docs: DataFrame, benchBelowId: Long = 20L,
-      n: Int = ExactDecontamN): DataFrame = {
+  /** Per-doc DISTINCT n-token-gram digest arrays — the q233/q235/
+    * q236 kernel (the q5 shingle pipeline at arbitrary n; digests
+    * only, the text never leaves its row). */
+  private def ngramDigests(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, WordShingles}
     val w = split(col("text"), " ")
-    val grams = docs
+    docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -938,6 +940,11 @@ object Dedup {
           WordShingles(Bridge.expression(col("w")), n))).as("shingles"))
       .select(col("doc_id"),
         array_distinct(digest60Array(col("shingles"))).as("gs"))
+  }
+
+  def exactNgramDecontam(docs: DataFrame, benchBelowId: Long = 20L,
+      n: Int = ExactDecontamN): DataFrame = {
+    val grams = ngramDigests(docs, n)
     val bench = grams.filter(col("doc_id") < benchBelowId)
       .select(explode(col("gs")).as("g")).distinct()
     val corpusGrams = grams.filter(col("doc_id") >= benchBelowId)
@@ -955,6 +962,59 @@ object Dedup {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** Rows returned by [[topDuplicatedGrams]]. */
+  val MemAuditTopK = 50
+
+  /** GRAM-DUPLICATION HISTOGRAM (q235) — the published
+    * memorization-risk profile (Lee et al. 2022; Carlini et al.'s
+    * duplication→memorization curve): how many distinct
+    * [[ExactDecontamN]]-token grams occur in exactly 1 document, in
+    * 2–3, 4–7, 8–15, 16+ — the corpus-health report a curation run
+    * reads BEFORE deciding how aggressive dedup must be (sequences
+    * duplicated ≥ ~10× are the ones models regurgitate). Buckets are
+    * INTEGER threshold cases (no log2 — a transcendental at an exact
+    * power-of-two boundary is an engine-divergence hazard), counts
+    * exact longs.
+    *
+    * Scale design (100 TB): the corpus collapses to the distinct
+    * (gram, doc) digest stream row-locally; ONE map-side-combinable
+    * df aggregation, then a ≤5-row rollup. Nothing downstream of the
+    * df frame scales with the corpus. */
+  def gramDupHistogram(docs: DataFrame,
+      n: Int = ExactDecontamN): DataFrame = {
+    val dfreq = ngramDigests(docs, n)
+      .select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    dfreq
+      .select(when(col("df") === 1, "1")
+        .when(col("df") <= 3, "2-3")
+        .when(col("df") <= 7, "4-7")
+        .when(col("df") <= 15, "8-15")
+        .otherwise("16+").as("bucket"), col("df"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("n_occurrences"))
+  }
+
+  /** TOP DUPLICATED GRAMS (q236) — q235's drill-down: the
+    * [[MemAuditTopK]] most-duplicated [[ExactDecontamN]]-token gram
+    * digests by document frequency (df DESC, gram ASC tie-break),
+    * the concrete "what exactly is being memorized" list (in
+    * production the digests key back to example documents). Ranking
+    * runs through the TopKPerGroup heap — the df frame is
+    * gram-vocabulary-sized, exactly the q220/q221 hazard class, so
+    * no single-partition sort. */
+  def topDuplicatedGrams(docs: DataFrame,
+      n: Int = ExactDecontamN, k: Int = MemAuditTopK): DataFrame = {
+    // "gram", not "g": globalTopK synthesizes a group column named
+    // "g" internally and drops it on the way out
+    val dfreq = ngramDigests(docs, n)
+      .select(explode(col("gs")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    TextAnalysis.globalTopK(dfreq,
+      Seq("df" -> false, "gram" -> true), k)
+      .select(col("gram"), col("df"), col("rank"))
   }
 
   /** Span-level duplication constants (q58): [[DupSpanK]]-char

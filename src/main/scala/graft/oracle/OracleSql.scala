@@ -243,8 +243,9 @@ FROM documents"""
     * the 13-token gram CTEs (exactly the 3-gram shingle pipeline at
     * n = 13), the benchmark's distinct digests, one membership join,
     * short/clean corpus docs carried with zero counts. */
-  def exactNgramDecontam: String = {
-    val n = graft.operators.Dedup.ExactDecontamN
+  /** The q233/q235/q236 shared n-gram digest CTEs (d, s, h →
+    * h(doc_id, gs)). */
+  private def ngramCtes(n: Int): String = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
     s"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -258,7 +259,48 @@ FROM documents"""
          list_distinct(list_transform(shingles,
            x -> ${digest60Sql("x")})) AS gs
   FROM s
-), bench AS MATERIALIZED (
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Dedup.gramDupHistogram]] (q235):
+    * exact df per gram digest, integer-threshold buckets, BIGINT
+    * casts on the sums (DuckDB's SUM over BIGINT widens to
+    * HUGEINT). */
+  def gramDupHistogram: String =
+    s"""${ngramCtes(graft.operators.Dedup.ExactDecontamN)}
+, dfq AS (
+  SELECT g, COUNT(*) AS df FROM (
+    SELECT unnest(gs) AS g FROM h) GROUP BY g
+)
+SELECT CASE WHEN df = 1 THEN '1'
+            WHEN df <= 3 THEN '2-3'
+            WHEN df <= 7 THEN '4-7'
+            WHEN df <= 15 THEN '8-15'
+            ELSE '16+' END AS bucket,
+       COUNT(*) AS n_grams,
+       CAST(SUM(df) AS BIGINT) AS n_occurrences
+FROM dfq
+GROUP BY 1"""
+
+  /** Mirror of [[graft.operators.Dedup.topDuplicatedGrams]] (q236):
+    * (df DESC, g ASC) top-k off the same df frame. */
+  def topDuplicatedGrams: String =
+    s"""${ngramCtes(graft.operators.Dedup.ExactDecontamN)}
+, dfq AS (
+  SELECT gram, COUNT(*) AS df FROM (
+    SELECT unnest(gs) AS gram FROM h) GROUP BY gram
+)
+SELECT gram, df, rank FROM (
+  SELECT gram, df,
+         CAST(row_number() OVER (ORDER BY df DESC, gram ASC) AS BIGINT)
+           AS rank
+  FROM dfq)
+WHERE rank <= ${graft.operators.Dedup.MemAuditTopK}"""
+
+  def exactNgramDecontam: String = {
+    val n = graft.operators.Dedup.ExactDecontamN
+    s"""${ngramCtes(n)}
+, bench AS MATERIALIZED (
   SELECT DISTINCT unnest(gs) AS g FROM h WHERE doc_id < 20
 ), cg AS (
   SELECT doc_id, unnest(gs) AS g FROM h WHERE doc_id >= 20

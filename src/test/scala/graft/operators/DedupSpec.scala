@@ -786,4 +786,46 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(s100 == 1L, s"one embedded 13-run = one shared gram: $s100")
     assert(g100 == (3 + 13 + 2) - 12, s"gram count: $g100")
   }
+
+  test("gramDupHistogram / topDuplicatedGrams (q235/q236): a gram " +
+      "planted in 20 documents lands in the 16+ bucket and ranks " +
+      "first with df exactly 20; singleton grams fill the 1 bucket; " +
+      "bucket gram-counts partition the distinct-gram vocabulary") {
+    import spark.implicits._
+    val run = (1 to 13).map(i => s"r$i").mkString(" ")
+    // 20 docs embed the SAME 13-run at different offsets with unique
+    // tails; 10 docs are entirely unique
+    val carriers = (0 until 20).map { i =>
+      (i.toLong, s"u${i}a u${i}b $run u${i}c u${i}d u${i}e")
+    }
+    val unique = (0 until 10).map { i =>
+      (100L + i, (1 to 18).map(j => s"q$i-$j").mkString(" "))
+    }
+    val docs = (carriers ++ unique).toDF("doc_id", "text")
+    val hist = Dedup.gramDupHistogram(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the planted gram is the ONLY one in 16+ (20 occurrences);
+    // every other gram carries a unique token, so df = 1
+    assert(hist("16+") == ((1L, 20L)), s"16+: ${hist.get("16+")}")
+    assert(hist.keySet == Set("1", "16+"), s"buckets: ${hist.keySet}")
+    // carriers: 18 tokens -> 6 grams each, 1 shared + 5 unique;
+    // unique docs: 6 grams each
+    assert(hist("1") == ((20L * 5 + 10L * 6, 20L * 5 + 10L * 6)),
+      s"singletons: ${hist("1")}")
+    val top = Dedup.topDuplicatedGrams(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.length == math.min(Dedup.MemAuditTopK,
+      20 * 5 + 10 * 6 + 1))
+    val first = top.minBy(_._3)
+    assert(first._3 == 1L && first._2 == 20L,
+      s"rank 1 must be the planted gram at df 20: $first")
+    // ranks contiguous, df non-increasing
+    assert(top.map(_._3).sorted.toSeq ==
+      (1L to top.length.toLong).toSeq)
+    val byRank = top.sortBy(_._3)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "df must be non-increasing in rank")
+    }
+  }
 }
