@@ -625,8 +625,14 @@ object Sampling {
     val ref = perSrc.filter(col("source") === targetSource)
       .select(col("loss").as("ref_loss"))
     val ex = perSrc.crossJoin(broadcast(ref))
+      // the TARGET's excess is 0 BY DEFINITION — computing it as
+      // loss − ref_loss re-derives the same aggregate through two
+      // plan branches whose partial-sum orders may differ by an ulp
+      // (caught as a 1.3e-15 excess flickering against the exact 0
+      // in one of four sf0.1 oracle runs); pin it structurally
       .withColumn("excess",
-        greatest(lit(0.0), col("loss") - col("ref_loss")))
+        when(col("source") === targetSource, lit(0.0))
+          .otherwise(greatest(lit(0.0), col("loss") - col("ref_loss"))))
       .withColumn("ew", exp(lit(eta) * col("excess")))
     val z = ex
       .agg(sort_array(collect_list(struct(col("source"), col("ew"))))

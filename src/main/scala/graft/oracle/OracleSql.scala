@@ -1222,7 +1222,7 @@ FROM j GROUP BY doc_id"""
   SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
          -SUM(n * logp) / SUM(n) AS cross_entropy
   FROM j GROUP BY doc_id
-), src AS (
+), src AS MATERIALIZED (
   SELECT dd.source, COUNT(*) AS n_docs,
          CAST(SUM(q.n_bigrams) AS BIGINT) AS n_bigrams,
          SUM(q.n_bigrams * q.cross_entropy) / SUM(q.n_bigrams) AS loss
@@ -1231,10 +1231,13 @@ FROM j GROUP BY doc_id"""
 ), ref AS (
   SELECT loss AS ref_loss FROM src WHERE source = '$TargetLmSource'
 ), ex AS (
-  SELECT s.source, s.n_docs, s.n_bigrams, s.loss,
-         greatest(0.0, s.loss - r.ref_loss) AS excess,
-         exp($DoremiEta * greatest(0.0, s.loss - r.ref_loss)) AS ew
-  FROM src s, ref r
+  SELECT source, n_docs, n_bigrams, loss, excess,
+         exp($DoremiEta * excess) AS ew
+  FROM (
+    SELECT s.source, s.n_docs, s.n_bigrams, s.loss,
+           CASE WHEN s.source = '$TargetLmSource' THEN 0.0
+                ELSE greatest(0.0, s.loss - r.ref_loss) END AS excess
+    FROM src s, ref r)
 ), zz AS (
   SELECT list_reduce(list_prepend(0.0, list(ew ORDER BY source)),
            (a, b) -> a + b) AS z,
