@@ -492,6 +492,24 @@ object ScaleProbe {
           graft.operators.TextAnalysis.prfExpandedTopDocs(docs))
         spark.catalog.clearCache(); docs.persist(); docs.count()
       }
+      // exact 13-gram decontamination (q233): row-local digest
+      // kernel + broadcast membership join + one per-doc count
+      // exchange — the curve must be one linear scan (the benchmark
+      // side is fixed-size)
+      if (wanted("exact_decontam")) {
+        time(factor, "exact_decontam")(
+          Dedup.exactNgramDecontam(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      // gram-duplication histogram (q235): one map-side-combined df
+      // aggregation over the digest stream, then a 5-row rollup —
+      // linear, with the salted replicas keeping the distinct-gram
+      // vocabulary growing linearly too (the adversarial regime for
+      // the df exchange)
+      if (wanted("dup_histogram")) {
+        time(factor, "dup_histogram")(Dedup.gramDupHistogram(docs))
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
       // in-engine logistic training (q231): 8 five-long gradient
       // aggregations over the cached feature pass + the scoring scan
       // — the curve must be ~9 linear scans, the gradient exchange
