@@ -223,6 +223,48 @@ object SparkEntry {
     // threshold — the exactness corner the winnow screen can't state.
     "q233_exact_decontam" -> ((s, dir) =>
       Dedup.exactNgramDecontam(documents(s, dir))),
+    // STREAMING exact decontamination (q233's on-arrival twin): the
+    // benchmark gram set is static/broadcast; training docs arrive
+    // as three waves and each micro-batch runs the per-document
+    // screen — stateless, so the streamed union IS the batch answer
+    // and the q233 oracle grades it unchanged.
+    "q237_stream_decontam" -> ((s, dir) => {
+      val all = documents(s, dir)
+      val bench = Dedup.benchGramSet(all)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bench.count()
+      val docs = all.filter(col("doc_id") >= 20L)
+        .select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-decontam-q237")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val outDir = s"$wh/out"
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.exactDecontamScreen(batch, bench)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$wh/cp").start()
+      try q.processAllAvailable() finally q.stop()
+      bench.unpersist()
+      s.read.parquet(outDir)
+    }),
     // Memorization-risk profile: distinct 13-gram counts by
     // duplication bucket — the corpus-health report before dedup.
     "q235_dup_histogram" -> ((s, dir) =>
@@ -2251,6 +2293,8 @@ object SparkEntry {
     "q43_contamination" -> OracleSql.benchmarkContamination,
     "q233_exact_decontam" -> OracleSql.exactNgramDecontam,
     "q235_dup_histogram" -> OracleSql.gramDupHistogram,
+    // stateless per-document screen: streamed union == batch exactly
+    "q237_stream_decontam" -> OracleSql.exactNgramDecontam,
     "q236_top_dup_grams" -> OracleSql.topDuplicatedGrams,
     "q38_unpivot" -> OracleSql.langScoresUnpivot,
     "q39_rolling_window" -> OracleSql.rollingUserStats,

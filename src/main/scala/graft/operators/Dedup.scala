@@ -943,16 +943,31 @@ object Dedup {
   }
 
   def exactNgramDecontam(docs: DataFrame, benchBelowId: Long = 20L,
-      n: Int = ExactDecontamN): DataFrame = {
-    val grams = ngramDigests(docs, n)
-    val bench = grams.filter(col("doc_id") < benchBelowId)
+      n: Int = ExactDecontamN): DataFrame =
+    exactDecontamScreen(docs.filter(col("doc_id") >= benchBelowId),
+      benchGramSet(docs, benchBelowId, n), n)
+
+  /** The benchmark's distinct gram-digest frame (one column `g`) —
+    * the broadcastable side of the q233/q237 screen. */
+  def benchGramSet(docs: DataFrame, benchBelowId: Long = 20L,
+      n: Int = ExactDecontamN): DataFrame =
+    ngramDigests(docs.filter(col("doc_id") < benchBelowId), n)
       .select(explode(col("gs")).as("g")).distinct()
-    val corpusGrams = grams.filter(col("doc_id") >= benchBelowId)
+
+  /** The q233 screen over an EXPLICIT benchmark gram frame — shared
+    * by the batch operator and the STREAMING twin (q237): the screen
+    * is per-document against a static benchmark, so micro-batch
+    * arrival order is irrelevant and the streamed union equals the
+    * batch output EXACTLY (no state, no watermark — the one
+    * decontamination stage that streams for free). */
+  def exactDecontamScreen(corpus: DataFrame, bench: DataFrame,
+      n: Int = ExactDecontamN): DataFrame = {
+    val corpusGrams = ngramDigests(corpus, n)
     val shared = corpusGrams
       .select(col("doc_id"), explode(col("gs")).as("g"))
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    docs.filter(col("doc_id") >= benchBelowId)
+    corpus
       .select(col("doc_id"))
       .join(corpusGrams.select(col("doc_id"),
         size(col("gs")).cast("long").as("n_grams")),
