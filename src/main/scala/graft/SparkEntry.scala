@@ -1536,6 +1536,10 @@ object SparkEntry {
     // tokens; row-local, token-multiset preserving.
     "q234_fim_transform" -> ((s, dir) =>
       operators.Pipeline.fimTransform(documents(s, dir))),
+    // T5 span corruption: aligned-block masking with ordinal
+    // sentinels -> (inputs, targets) denoising pairs; row-local.
+    "q238_span_corrupt" -> ((s, dir) =>
+      operators.Pipeline.spanCorrupt(documents(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2276,6 +2280,7 @@ object SparkEntry {
     "q223_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
     "q234_fim_transform" -> OracleSql.fimTransform,
+    "q238_span_corrupt" -> OracleSql.spanCorrupt,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

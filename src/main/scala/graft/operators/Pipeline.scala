@@ -338,6 +338,62 @@ object Pipeline {
         .otherwise(col("text")).as("text"))
   }
 
+  /** Span-corruption knobs (q238): aligned block width and the
+    * 1-in-[[CorruptDen]] block-mask rate (≈14% of tokens — the
+    * T5 recipe's ~15% with mean span 3). */
+  val CorruptBlock = 3
+  val CorruptDen = 7
+
+  /** SPAN-CORRUPTION transform (q238) — the T5 denoising objective's
+    * data pass (Raffel et al. 2020), the sibling of q234's FIM:
+    * token positions partition into aligned [[CorruptBlock]]-token
+    * blocks, a deterministic 1-in-[[CorruptDen]] of blocks (house
+    * Knuth mix on (doc_id, block), ids masked < 2³¹) is masked, the
+    * INPUT replaces each masked block with its ordinal sentinel
+    * `<extra_id_k>`, and the TARGET lists each sentinel followed by
+    * the tokens it hides — the (inputs, targets) pair a denoising
+    * trainer consumes. Aligned blocks make the mask per-position
+    * independent (no sequential "already in a span" state), so both
+    * engines derive identical spans from pure arithmetic; sentinel
+    * ordinals are the running count of masked blocks before each
+    * block (a bounded per-row list fold, row-local).
+    *
+    * Scale design (100 TB): one projection over per-row list
+    * kernels — no shuffle, no state; block count per doc is
+    * len/3, and the ordinal fold is O(blocks²) on ≤ tens of blocks
+    * per document, constant per row. */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    import Sampling.HashMult
+    // per-block mask flag: mixed high bits of (doc_id, block)
+    val staged = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nb",
+        ceil(size(col("w")) / lit(CorruptBlock.toDouble)).cast("int"))
+      .withColumn("flags", expr(
+        s"""transform(sequence(0, nb - 1), b ->
+           ((((doc_id * 97 + b) & 2147483647) * ${HashMult}L)
+             DIV 1048576) % $CorruptDen = 0)"""))
+      // ordinal of each masked block = masked blocks strictly before
+      .withColumn("ord", expr(
+        """transform(sequence(0, nb - 1), b ->
+           size(filter(slice(flags, 1, b), x -> x)))"""))
+    staged.select(col("doc_id"),
+      // NOTE: Spark's arr[i] is 0-based (DuckDB's is 1-based; the
+      // oracle mirrors with [b + 1])
+      expr(s"""array_join(transform(sequence(0, nb - 1), b ->
+          CASE WHEN flags[b]
+               THEN concat('<extra_id_', ord[b], '>')
+               ELSE array_join(slice(w, b * $CorruptBlock + 1,
+                 $CorruptBlock), ' ') END), ' ')""").as("input_text"),
+      expr(s"""array_join(transform(
+          filter(sequence(0, nb - 1), b -> flags[b]), b ->
+          concat('<extra_id_', ord[b], '> ',
+            array_join(slice(w, b * $CorruptBlock + 1,
+              $CorruptBlock), ' '))), ' ')""").as("targets_text"),
+      expr("size(filter(flags, x -> x))").cast("long")
+        .as("n_masked_blocks"))
+  }
+
   /** Added-column table READ (q230): buckets written before an ADD
     * COLUMN physically lack it (schema evolution rewrites no cold
     * data), so the table read is schema-MERGED and null-fills files

@@ -2099,6 +2099,48 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.spanCorrupt]] (q238):
+    * identical aligned-block mask arithmetic, ordinal fold, sentinel
+    * concatenation; DuckDB's NULL from array_to_string on the empty
+    * targets list coalesced to Spark's ''. */
+  def spanCorrupt: String = {
+    import graft.operators.Sampling.HashMult
+    import graft.operators.Pipeline.{CorruptBlock, CorruptDen}
+    val mask = s"((((doc_id * 97 + b) & 2147483647) * $HashMult) " +
+      s"// 1048576) % $CorruptDen = 0"
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         CAST(ceil(len(w) / $CorruptBlock.0) AS INT) AS nb
+  FROM d
+), f AS (
+  SELECT doc_id, w, nb,
+         list_transform(range(0, nb), b -> $mask) AS flags
+  FROM c
+), o AS (
+  SELECT doc_id, w, nb, flags,
+         list_transform(range(0, nb), b ->
+           len(list_filter(list_slice(flags, 1, b), x -> x))) AS ord
+  FROM f
+)
+SELECT doc_id,
+  COALESCE(array_to_string(list_transform(range(0, nb), b ->
+    CASE WHEN flags[b + 1]
+         THEN '<extra_id_' || CAST(ord[b + 1] AS VARCHAR) || '>'
+         ELSE COALESCE(array_to_string(list_slice(w,
+           b * $CorruptBlock + 1, b * $CorruptBlock + $CorruptBlock),
+           ' '), '') END), ' '), '') AS input_text,
+  COALESCE(array_to_string(list_transform(
+    list_filter(range(0, nb), b -> flags[b + 1]), b ->
+    '<extra_id_' || CAST(ord[b + 1] AS VARCHAR) || '> ' ||
+    COALESCE(array_to_string(list_slice(w, b * $CorruptBlock + 1,
+      b * $CorruptBlock + $CorruptBlock), ' '), '')), ' '), '')
+    AS targets_text,
+  CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked_blocks
+FROM o"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.fimTransform]] (q234):
     * the same masked Knuth-mix selection and cut points, LEAST/
     * GREATEST ordering, 1-based inclusive slices, and the PSM

@@ -188,6 +188,58 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
     assert(again == out.map { case (k, v) => k -> v._5 })
   }
 
+  test("spanCorrupt (q238): substituting each sentinel's target span " +
+      "back into the input reconstructs the original exactly; " +
+      "sentinel ordinals are contiguous; masked-block rate tracks " +
+      "1-in-7; deterministic across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val orig = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    val out = Pipeline.spanCorrupt(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(out.keySet == orig.keySet)
+    var blocksTotal = 0L
+    var maskedTotal = 0L
+    val Sent = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, (input, targets, nMasked)) =>
+      val w = orig(id).split(" ", -1)
+      blocksTotal += (w.length + 2) / 3
+      maskedTotal += nMasked
+      // parse targets into ordinal -> span map
+      val spans: Map[Int, String] =
+        if (targets.isEmpty) Map.empty
+        else {
+          val parts = Sent.findAllMatchIn(targets).toVector
+          parts.zipWithIndex.map { case (m, i) =>
+            val end = if (i + 1 < parts.length) parts(i + 1).start
+              else targets.length
+            m.group(1).toInt ->
+              targets.substring(m.end + 1, end).stripSuffix(" ")
+          }.toMap
+        }
+      assert(spans.keySet == (0 until nMasked.toInt).toSet,
+        s"doc $id: ordinals ${spans.keySet} != 0..${nMasked - 1}")
+      // substitute back and compare
+      val rebuilt = Sent.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      assert(rebuilt == orig(id),
+        s"doc $id reconstruction failed\n got: $rebuilt\n" +
+          s" want: ${orig(id)}")
+    }
+    val rate = maskedTotal.toDouble / blocksTotal
+    assert(rate > 0.09 && rate < 0.20,
+      s"mask rate $rate off the 1/7 design point")
+    val again = Pipeline.spanCorrupt(docs).collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+  }
+
   test("kAnonymize: every released cohort has >= k members, levels " +
       "escalate exactly when finer cohorts are small, stragglers " +
       "of a drained coarse group cannot ride out 1-anonymous") {
