@@ -649,21 +649,29 @@ object H264Intra {
 
   /** Chroma DC prediction (8.3.4, mode 0) for the 4x4 chroma block
     * at plane position (x, y): the corner blocks of the 8x8 use both
-    * edges, the off-corner blocks the single adjacent one. */
+    * edges, the off-corner blocks the single adjacent one. Per
+    * 8.3.4 the neighbor samples are MB-EXTERNAL — the left samples
+    * are the column p[-1, yO..yO+3] at the macroblock's left edge
+    * and the top samples the row p[xO..xO+3, -1] above the
+    * macroblock, never reconstructed samples inside the same MB —
+    * so availability is decided by the MACROBLOCK's position, not
+    * the sub-block's. */
   private def chromaDcPredict(recon: Array[Int], stride: Int, x: Int,
       y: Int): Int = {
-    val hasLeft = x > 0
-    val hasTop = y > 0
+    val mbx0 = x - (x % 8) // plane x of the MB's first chroma sample
+    val mby0 = y - (y % 8)
+    val hasLeft = mbx0 > 0
+    val hasTop = mby0 > 0
     val xInMb = (x % 8) / 4
     val yInMb = (y % 8) / 4
     def sumLeft: Int = {
       var s = 0; var i = 0
-      while (i < 4) { s += recon((y + i) * stride + x - 1); i += 1 }
+      while (i < 4) { s += recon((y + i) * stride + mbx0 - 1); i += 1 }
       s
     }
     def sumTop: Int = {
       var s = 0; var i = 0
-      while (i < 4) { s += recon((y - 1) * stride + x + i); i += 1 }
+      while (i < 4) { s += recon((mby0 - 1) * stride + x + i); i += 1 }
       s
     }
     (xInMb, yInMb) match {

@@ -1542,11 +1542,21 @@ object Dedup {
     * the small factors where running it is even feasible. */
   def setSimJoinCapped(docs: DataFrame,
       tau: Double = SetJoinTau,
-      dfCap: Long = SetJoinDfCap): DataFrame = {
+      dfCap: Long = SetJoinDfCap): DataFrame =
+    setSimJoinCappedWithHandle(docs, tau, dfCap)._1
+
+  /** [[setSimJoinCapped]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted token frame the df-count and the
+    * prefix self-join share. */
+  def setSimJoinCappedWithHandle(docs: DataFrame,
+      tau: Double = SetJoinTau,
+      dfCap: Long = SetJoinDfCap)
+      : (DataFrame, graft.util.CacheHandle) = {
     val toks = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hashes")).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    setSimPairsOnToks(toks, tau, Some(dfCap))
+    (setSimPairsOnToks(toks, tau, Some(dfCap)),
+      graft.util.CacheHandle(toks))
   }
 
   /** DUPLICATE-COLLAPSED exact set-similarity join (q226) — q192's
@@ -1582,7 +1592,17 @@ object Dedup {
     * `setsim_zipf` measures the curve on the planted-flood corpus
     * where the uncollapsed core is quadratic. */
   def setSimJoinCollapsed(docs: DataFrame,
-      tau: Double = SetJoinTau): DataFrame = {
+      tau: Double = SetJoinTau): DataFrame =
+    setSimJoinCollapsedWithHandle(docs, tau)._1
+
+  /** [[setSimJoinCollapsed]] plus the [[graft.util.CacheHandle]]
+    * releasing the persisted class table (read by intra-expansion,
+    * both membership joins AND the representative token explode)
+    * and the representative token frame the core's df-count and
+    * prefix self-join share. */
+  def setSimJoinCollapsedWithHandle(docs: DataFrame,
+      tau: Double = SetJoinTau)
+      : (DataFrame, graft.util.CacheHandle) = {
     val sets = shingleHashes(docs)
       .select(col("doc_id"), array_sort(col("hashes")).as("s"))
       .filter(size(col("s")) > 0)
@@ -1616,7 +1636,8 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"),
         col("inter"), col("jaccard"))
-    intra.unionByName(cross)
+    (intra.unionByName(cross),
+      graft.util.CacheHandle(classes, repToks))
   }
 
   /** The per-doc novelty arithmetic over an already-known

@@ -1035,11 +1035,12 @@ object EventsQueries {
           sort_array(collect_list(struct(col("ts_ms"), col("event_id"),
             col("event_type")))),
           x => x.getField("event_type")), ">").as("path"))
-    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_sessions").desc, col("path").asc))
-        .cast("long"))
-      .filter(col("rank") <= k)
+    // the distinct-path frame grows with session count (corpus-
+    // sized) — the top-k pick rides globalTopK's bounded heaps,
+    // never a single-partition rank (the q176/q220 discipline)
+    TextAnalysis.globalTopK(
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions")),
+      Seq("n_sessions" -> false, "path" -> true), k)
   }
 
   /** Attribution lookback window of [[attributionCredits]] (7 days

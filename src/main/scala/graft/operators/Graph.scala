@@ -556,18 +556,25 @@ object Graph {
     * which is exactly what the operator verifies).
     *
     * Determinism: degrees are exact integers; the top-k order
-    * statistics come off a rank window whose input is the DEGREE
-    * frame (|V|-bounded, never edge- or corpus-sized; the
-    * TopKPerGroup heaps are the swap-in at web-scale |V|) under a
-    * (degree DESC, node ASC) total order, and the k log-terms fold
-    * SEQUENTIALLY in that same order (q103 ordered-fold pattern:
-    * sort_array + aggregate ≡ list(ORDER BY) + list_reduce), so α̂
-    * is bit-identical in the mirror with no rounding.
+    * statistics come through [[TextAnalysis.globalTopK]]'s bounded
+    * per-partition heaps (node count is CORPUS-sized for a mutual
+    * k-NN graph, so the degree frame is never single-partition
+    * ranked) under a (degree DESC, node ASC) total order, and the k
+    * log-terms fold SEQUENTIALLY in that same order (q103
+    * ordered-fold pattern: sort_array + aggregate ≡
+    * list(ORDER BY) + list_reduce), so α̂ is bit-identical in the
+    * mirror with no rounding.
     *
     * Scale design (100 TB): one map-side-combined degree
     * aggregation; extremes and counts are constant-size reductions;
     * only k rows reach the fold. */
-  def degreeProfile(knnEdges: DataFrame, k: Int = HillK): DataFrame = {
+  def degreeProfile(knnEdges: DataFrame, k: Int = HillK): DataFrame =
+    degreeProfileWithHandle(knnEdges, k)._1
+
+  /** [[degreeProfile]] plus the [[graft.util.CacheHandle]] releasing
+    * the persisted degree frame (read twice: totals + top-k heap). */
+  def degreeProfileWithHandle(knnEdges: DataFrame, k: Int = HillK)
+      : (DataFrame, graft.util.CacheHandle) = {
     val deg = degreesOf(mutualEdges(knnEdges))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = deg.agg(
@@ -575,10 +582,9 @@ object Graph {
       (sum(col("degree")) / 2).cast("long").as("n_edges"),
       min(col("degree")).as("min_degree"),
       max(col("degree")).as("max_degree"))
-    val topk = deg
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("degree").desc, col("node_id").asc)))
-      .filter(col("rk") <= k)
+    val topk = TextAnalysis.globalTopK(deg,
+        Seq("degree" -> false, "node_id" -> true), k)
+      .withColumnRenamed("rank", "rk")
     val hill = topk
       .agg(sort_array(collect_list(struct(col("rk"), col("degree"))))
         .as("a"))
@@ -596,7 +602,7 @@ object Graph {
         when(col("logsum") > 0.0,
           lit(1.0) + col("hill_k") / col("logsum"))
           .otherwise(lit(null).cast("double")).as("hill_alpha"))
-    totals.crossJoin(broadcast(hill))
+    (totals.crossJoin(broadcast(hill)), graft.util.CacheHandle(deg))
   }
 
   /** Core order and peel-round bound of the graded [[kCore]] query

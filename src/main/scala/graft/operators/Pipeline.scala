@@ -314,7 +314,7 @@ object Pipeline {
       .withColumn("mixA",
         expr(s"((doc_id & 2147483647) * ${HashMult}L) DIV 1048576"))
       .withColumn("mixB", expr(
-        s"(((doc_id * 31 + 7) & 2147483647) * ${HashMult}L) DIV 1048576"))
+        s"((((doc_id & 2147483647) * 31 + 7) & 2147483647) * ${HashMult}L) DIV 1048576"))
       .withColumn("fim", col("mixA") % 2 === 0 && col("n") >= 3)
       .withColumn("m1", col("mixA") % (col("n") + 1))
       .withColumn("m2", col("mixB") % (col("n") + 1))
@@ -371,7 +371,7 @@ object Pipeline {
         ceil(size(col("w")) / lit(CorruptBlock.toDouble)).cast("int"))
       .withColumn("flags", expr(
         s"""transform(sequence(0, nb - 1), b ->
-           ((((doc_id * 97 + b) & 2147483647) * ${HashMult}L)
+           (((((doc_id & 2147483647) * 97 + b) & 2147483647) * ${HashMult}L)
              DIV 1048576) % $CorruptDen = 0)"""))
       // ordinal of each masked block = masked blocks strictly before
       .withColumn("ord", expr(

@@ -486,18 +486,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("ic"))
     val nRow = broadcast(baskets
       .agg(countDistinct(col("oid")).as("n_baskets")))
-    pairs
-      .join(broadcast(items.select(col("item").as("ia"),
-        col("ic").as("ca"))), "ia")
-      .join(broadcast(items.select(col("item").as("ib"),
-        col("ic").as("cb"))), "ib")
-      .crossJoin(nRow)
-      .select(col("ia"), col("ib"), col("support"),
-        (col("n_baskets").cast("double") * col("support") /
-          col("ca") / col("cb")).as("lift"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("support").desc, col("ia").asc,
-          col("ib").asc)).cast("long"))
-      .filter(col("rank") <= k)
+    // the supported-pair frame is catalog²-bounded at worst — still
+    // a top-k pick, so it rides globalTopK's bounded heaps rather
+    // than a single-partition rank (the q176/q220 discipline)
+    TextAnalysis.globalTopK(
+      pairs
+        .join(broadcast(items.select(col("item").as("ia"),
+          col("ic").as("ca"))), "ia")
+        .join(broadcast(items.select(col("item").as("ib"),
+          col("ic").as("cb"))), "ib")
+        .crossJoin(nRow)
+        .select(col("ia"), col("ib"), col("support"),
+          (col("n_baskets").cast("double") * col("support") /
+            col("ca") / col("cb")).as("lift")),
+      Seq("support" -> false, "ia" -> true, "ib" -> true), k)
   }
 }

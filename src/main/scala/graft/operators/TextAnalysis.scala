@@ -174,6 +174,8 @@ object TextAnalysis {
     * of `n` rows. Each iteration is ONE map-side-combined 5-long
     * aggregation (a documented bounded collect). */
   private def logRegTrain(f: DataFrame, n: Long): Array[Double] = {
+    require(n > 0, "logRegTrain: empty corpus — the per-step " +
+      "division by n would silently yield NaN weights")
     var w = Array.fill(5)(0.0)
     for (_ <- 1 to LogRegIters) {
       val d = logRegResidual(w)
@@ -2000,28 +2002,44 @@ object TextAnalysis {
     *
     * Scale design: one map-side-combined type-count exchange (the
     * corpus collapses to its vocabulary before anything else), then
-    * a rank over the TYPE table — vocabulary-bounded, the q59/q135
-    * bounded-frame window contract — and one k-keyed aggregation of
-    * |V|·|ks| skinny rows. */
+    * the top-max(ks) pick through [[globalTopK]]'s bounded
+    * per-partition heaps — the type vocabulary is CORPUS-sized under
+    * Heaps growth (the hazard q135 measures), so it is never
+    * single-partition ranked — one constant-size total over the
+    * cached type table, and one k-keyed aggregation of
+    * max(ks)·|ks| skinny rows. */
   def vocabCoverage(docs: DataFrame,
-      ks: Seq[Int] = CoverageKs): DataFrame = {
+      ks: Seq[Int] = CoverageKs): DataFrame =
+    vocabCoverageWithHandle(docs, ks)._1
+
+  /** [[vocabCoverage]] plus the [[graft.util.CacheHandle]] releasing
+    * the persisted type-frequency table (read twice: once for the
+    * corpus-wide token total, once for the top-max(ks) heap pick —
+    * without the persist each branch re-tokenizes the corpus). */
+  def vocabCoverageWithHandle(docs: DataFrame,
+      ks: Seq[Int] = CoverageKs)
+      : (DataFrame, graft.util.CacheHandle) = {
     import docs.sparkSession.implicits._
     val types = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-    // vocabulary-bounded frame: the window ranks types, not tokens
-    val ranked = types.withColumn("rnk", row_number().over(
-      Window.orderBy(col("cnt").desc, col("word").asc)))
-    ranked.crossJoin(broadcast(ks.map(_.toLong).toDF("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = types.agg(sum(col("cnt")).as("total_tokens"))
+    // only ranks <= max(ks) are ever consumed: the heap pick bounds
+    // the ranked frame at max(ks) rows, never the full vocabulary
+    val top = globalTopK(types,
+      Seq("cnt" -> false, "word" -> true), ks.max)
+    val out = top.crossJoin(broadcast(ks.map(_.toLong).toDF("k")))
       .groupBy(col("k"))
-      .agg(sum(when(col("rnk") <= col("k"), 1L).otherwise(0L))
+      .agg(sum(when(col("rank") <= col("k"), 1L).otherwise(0L))
           .as("n_types_kept"),
-        sum(when(col("rnk") <= col("k"), col("cnt")).otherwise(0L))
-          .as("covered_tokens"),
-        sum(col("cnt")).as("total_tokens"))
+        sum(when(col("rank") <= col("k"), col("cnt")).otherwise(0L))
+          .as("covered_tokens"))
+      .crossJoin(broadcast(totals))
       .withColumn("coverage", col("covered_tokens").cast("double") /
         col("total_tokens").cast("double"))
+    (out, graft.util.CacheHandle(types))
   }
 }

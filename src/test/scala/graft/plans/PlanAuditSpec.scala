@@ -922,6 +922,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       "influence ranking fell back to an unpartitioned window sort")
   }
 
+  test("q176 vocab coverage: the top-max(ks) type pick runs through " +
+      "the TopKPerGroup heaps — the corpus-sized vocabulary is never " +
+      "single-partition ranked") {
+    val df = q("q176_vocab_coverage")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "type rank pick must use the heap operator")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "),
+      "coverage rank fell back to an unpartitioned window sort")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      // the single-row token total is a scalar fold — allow ONLY the
+      // final single-row aggregates, never a sort/window funnel
+      !plan.contains("Sort ["),
+      "vocabulary funneled through a single-partition sort")
+  }
+
+  test("q148 degree profile: the Hill top-k runs through the " +
+      "TopKPerGroup heaps — the node-sized degree frame is never " +
+      "single-partition ranked") {
+    val df = q("q148_degree_profile")
+    val topk = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+    }
+    assert(topk.nonEmpty, "Hill top-k must use the heap operator")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window "),
+      "degree rank fell back to an unpartitioned window sort")
+  }
+
+  test("q142 session paths / q146 item pairs: the top-k picks run " +
+      "through the TopKPerGroup heaps (sweep fixes — the path and " +
+      "pair frames are corpus-/catalog²-sized)") {
+    for (name <- Seq("q142_session_paths", "q146_item_pairs")) {
+      val df = q(name)
+      val topk = df.queryExecution.sparkPlan.collect {
+        case t: org.apache.spark.sql.graft.TopKPerGroupExec => t
+      }
+      assert(topk.nonEmpty, s"$name top-k must use the heap operator")
+    }
+  }
+
   test("q224 schema-evolved reconstruction: the log window is " +
       "doc_id-partitioned and nothing funnels through a single " +
       "partition") {
