@@ -116,6 +116,10 @@ object ScaleProbe {
     time("contamination")(Dedup.benchmarkContamination(docs,
       benchBelowId = 20L * factor))
     time("dup_spans")(Dedup.duplicatedSpans(docs))
+    // log2(k) hash self-joins of the (id, pos, digest) stream — the
+    // rung verifies the doubling chain stays linear in corpus size
+    time("exact_substr")(
+      graft.operators.ExactSubstr.exactSubstrSpans(docs))
     time("heavy_hitters")(TextAnalysis.heavyHitters(docs))
     time("global_index")(operators.GlobalIndex.docGlobalIndex(
       docs.withColumn("n_chars", length(col("text")).cast("long"))))

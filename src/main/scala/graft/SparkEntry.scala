@@ -255,15 +255,25 @@ object SparkEntry {
       val outDir = s"$wh/out"
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      // batch-id-named subdirectories make the sink idempotent: a
+      // retried micro-batch OVERWRITES its own directory instead of
+      // appending duplicate rows (the others use memory tables or
+      // the idempotent mergeApplyTable; this is the file-sink twin)
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           Dedup.exactDecontamScreen(batch, bench)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(f"$outDir/b$batchId%05d")
         }
         .option("checkpointLocation", s"$wh/cp").start()
       try q.processAllAvailable() finally q.stop()
       bench.unpersist()
-      s.read.parquet(outDir)
+      // enumerate the batch directories explicitly (no glob): the
+      // committed batches are exactly the b* children, and a literal
+      // path list sidesteps glob-vs-sink-metadata resolution races
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getPath).sorted
+      s.read.parquet(batchDirs: _*)
     }),
     // Memorization-risk profile: distinct 13-gram counts by
     // duplication bucket — the corpus-health report before dedup.
@@ -1540,6 +1550,27 @@ object SparkEntry {
     // sentinels -> (inputs, targets) denoising pairs; row-local.
     "q238_span_corrupt" -> ((s, dir) =>
       operators.Pipeline.spanCorrupt(documents(s, dir))),
+    // HTML -> text extraction over deterministically synthesized
+    // markup: script/style/comment drop, block-tag newline rule,
+    // inline-tag removal, entity decode — one row-local codegen'd
+    // RegExpReplace chain, no shuffle.
+    "q239_html_extract" -> ((s, dir) =>
+      operators.HtmlExtract.htmlExtracted(documents(s, dir))),
+    // ... and the extraction-headed cleaning funnel: extract ->
+    // flatten -> q200 boilerplate strip -> q6 quality score. The
+    // first stage of a real web pipeline, composed end to end.
+    "q240_html_funnel" -> ((s, dir) =>
+      operators.HtmlExtract.htmlFunnel(documents(s, dir))),
+    // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
+    // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
+    // window identity (log2 k hash self-joins) — the exact rule the
+    // stride-sampled q58/q102 spans approximate.
+    "q241_exact_substr" -> ((s, dir) =>
+      operators.ExactSubstr.exactSubstrSpans(documents(s, dir))),
+    // ... and its removal action: every covered token cut (all
+    // copies, the published tool's rule), row-local rebuild.
+    "q242_substr_removal" -> ((s, dir) =>
+      operators.ExactSubstr.exactSubstrRemoval(documents(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2281,6 +2312,10 @@ object SparkEntry {
     "q224_schema_evolution" -> OracleSql.schemaEvolution,
     "q234_fim_transform" -> OracleSql.fimTransform,
     "q238_span_corrupt" -> OracleSql.spanCorrupt,
+    "q239_html_extract" -> OracleSql.htmlExtract,
+    "q240_html_funnel" -> OracleSql.htmlFunnel,
+    "q241_exact_substr" -> OracleSql.exactSubstrSpans,
+    "q242_substr_removal" -> OracleSql.exactSubstrRemoval,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

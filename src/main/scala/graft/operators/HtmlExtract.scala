@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/markup → text extraction (q239) + the extraction-headed
+  * cleaning funnel (q240) — the stage every real web corpus
+  * (CommonCrawl-shaped) runs BEFORE any of the graded text
+  * operators: the boilerplate stripper (q200), the quality gates
+  * (q36/q41/q129), the dedup families — all assume extracted text
+  * already exists. The reference consumes pre-structured JSON
+  * (TaxiEventReader.java:84-118), so this is an LLM-pipeline
+  * operator, not a parity row.
+  *
+  * The kernel implements a PRECISELY SPEC'D HTML subset (the q81/
+  * q182/q228 scoping discipline — narrow, stated, enforced by the
+  * fixture rather than silently approximated on arbitrary markup):
+  *   1. `<script ...>...</script>` and `<style ...>...</style>`
+  *      containers are dropped WITH their content (non-greedy to
+  *      the first matching close tag; content may contain `<`/`&`);
+  *   2. `<!-- ... -->` comments are dropped;
+  *   3. block-level tags ([[BlockTags]], open or close, any
+  *      attributes, self-closing `<hr/>` included) become a
+  *      NEWLINE — the block-boundary rule that keeps "headingpara"
+  *      from fusing;
+  *   4. every remaining tag (`<b>`, `<a href=..>`, `<em>`, …) is
+  *      INLINE: removed with no separator, so markup inside a word
+  *      never splits it;
+  *   5. the five named entities + `&#39;` decode AFTER tag
+  *      stripping (so `&lt;tag&gt;` yields literal text, never a
+  *      tag), `&amp;` strictly LAST (so `&amp;lt;` → `&lt;`);
+  *   6. whitespace normalization: runs of spaces/tabs collapse to
+  *      one space, spaces around newlines drop, newline runs
+  *      collapse to one, leading/trailing whitespace trims.
+  * Attribute values inside tags must not contain `>` — the one
+  * stated subset constraint (true of the fixture by construction).
+  *
+  * Every pattern/literal below is SHARED VERBATIM with the DuckDB
+  * oracle and restricted to the regex intersection both engines
+  * parse identically (no `\s`/`\b` classes — Java and RE2 disagree
+  * on `\s` at `\x0B`; explicit `[ \t\n/]` classes instead; `(?s)`
+  * inline dotall; non-greedy `.*?`; `(?:…)` groups).
+  *
+  * The graded input is SYNTHESIZED markup (the q44/q54 trick): each
+  * documents row is wrapped in a deterministic HTML skeleton
+  * ([[htmlWrapCol]] — title/style/script/comment/h1/p/div with
+  * inline tags, entities, and a list), built from the SAME string
+  * pieces in both engines, so extraction is graded against a fixture
+  * that exercises every rule above on every row.
+  *
+  * Scale design (100 TB): wrap and extract are both ROW-LOCAL
+  * codegen'd string expressions (RegExpReplace chains — functions,
+  * not UDFs) — one projection, no shuffle, no state; the operator
+  * composes at scan cost anywhere in a funnel, exactly like q234/
+  * q238. The funnel (q240) flattens extracted newlines and hands
+  * off to the UNCHANGED q200 boilerplate plan (one digest exchange)
+  * and the row-local q6 quality score. */
+object HtmlExtract {
+
+  /** Elements whose open/close tags are block boundaries (→ '\n'). */
+  val BlockTags: Seq[String] = Seq(
+    "html", "head", "body", "title", "h1", "h2", "h3", "p", "div",
+    "ul", "ol", "li", "table", "tr", "td", "br", "hr")
+
+  /** Containers dropped with their content. Non-greedy: stops at
+    * the FIRST close tag, content may contain `<`, `&`, newlines. */
+  val ScriptPat = "(?s)<script[^>]*>.*?</script>"
+  val StylePat = "(?s)<style[^>]*>.*?</style>"
+  val CommentPat = "(?s)<!--.*?-->"
+
+  /** One block-level tag, open or close, with optional attributes
+    * or self-closing slash. The `(?:[ \t\n/][^>]*)?` boundary keeps
+    * `<p…>` from matching `<pre…>` while accepting `<p>`, `<p a=b>`,
+    * `</p>` and `<hr/>`. */
+  val BlockPat: String =
+    "</?(?:" + BlockTags.mkString("|") + ")(?:[ \\t\\n/][^>]*)?>"
+
+  /** Any remaining (inline) tag — removed with NO separator. */
+  val InlinePat = "<[^>]*>"
+
+  /** Entity decode table, IN ORDER — `&amp;` last so producing `&`
+    * can never re-trigger an earlier entity. Plain string replace
+    * in both engines (the literals are regex-inert, so the Spark
+    * side may ride regexp_replace codegen). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Whitespace normalization patterns (applied in this order). */
+  val SpaceRunPat = "[\\t ]+"
+  val AroundNlPat = " *\\n *"
+  val NlRunPat = "\\n+"
+  val TrimPat = "^[\\n ]+|[\\n ]+$"
+
+  // ---- the synthesized-markup fixture skeleton (shared verbatim
+  // with the oracle; no single quotes anywhere so the SQL literals
+  // embed unescaped) ----
+  val F0 = "<html lang=\"en\"><head><title>Doc "
+  val F1 = "</title><style type=\"text/css\">p { margin: 0; } " +
+    ".c > a { color: #fff; }</style>" +
+    "<script type=\"text/javascript\">" +
+    "if (a<b && c>d) { alert(\"x<y>\"); }</script></head>" +
+    "<body><!-- doc "
+  val F2 = " --><h1 class=\"t\">Heading &amp; no. "
+  val F3 = "</h1><p id=\"x\">"
+  val F4 = "</p><div class=\"c\">"
+  val F5 = " <b>bold&nbsp;t</b> <a href=\"/x?a=1&amp;b=2\">link "
+  val F6 = "</a> &lt;raw&gt; &quot;q&quot; &#39;s&#39;</div>" +
+    "<ul><li>item A</li><li>item "
+  val F7 = "</li></ul><hr/></body></html>"
+
+  /** Deterministic HTML wrap of a (doc_id, text) row: the document's
+    * first half of words lands in the `<p>`, the second half in the
+    * `<div>` beside inline markup and entities. */
+  def htmlWrapCol(docId: Column, text: Column): Column = {
+    val w = split(text, " ")
+    val n = size(w)
+    // n DIV 2, exact for any non-negative int (mirrors len(w) // 2)
+    val n1 = floor(n / lit(2.0)).cast("int")
+    val t1 = array_join(slice(w, lit(1), n1), " ")
+    val t2 = array_join(slice(w, n1 + lit(1), n - n1), " ")
+    val d = docId.cast("string")
+    concat(lit(F0), d, lit(F1), d, lit(F2), (docId % 7).cast("string"),
+      lit(F3), t1, lit(F4), t2, lit(F5), (docId % 3).cast("string"),
+      lit(F6), (docId % 5).cast("string"), lit(F7))
+  }
+
+  /** documents → (doc_id, html) via [[htmlWrapCol]]. */
+  def htmlWrap(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      htmlWrapCol(col("doc_id"), col("text")).as("html"))
+
+  /** The extraction kernel as one row-local Column chain (rules
+    * 1–6 of the object scaladoc, in order). */
+  def htmlTextCol(html: Column): Column = {
+    val noScript = regexp_replace(html, ScriptPat, "")
+    val noStyle = regexp_replace(noScript, StylePat, "")
+    val noComment = regexp_replace(noStyle, CommentPat, "")
+    val blocks = regexp_replace(noComment, BlockPat, "\n")
+    val noTags = regexp_replace(blocks, InlinePat, "")
+    val decoded = Entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    val spaced = regexp_replace(decoded, SpaceRunPat, " ")
+    val nl = regexp_replace(
+      regexp_replace(spaced, AroundNlPat, "\n"), NlRunPat, "\n")
+    regexp_replace(nl, TrimPat, "")
+  }
+
+  /** (doc_id, html) → (doc_id, text, n_lines, n_chars) — q239's
+    * graded shape. */
+  def htmlTextExtract(html: DataFrame): DataFrame =
+    html
+      .select(col("doc_id"), htmlTextCol(col("html")).as("text"))
+      .withColumn("n_lines",
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise((length(col("text")) -
+            length(regexp_replace(col("text"), "\\n", "")) + 1L)
+            .cast("long")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** q239: documents → wrap → extract. */
+  def htmlExtracted(docs: DataFrame): DataFrame =
+    htmlTextExtract(htmlWrap(docs))
+
+  /** q240: the extraction-headed cleaning funnel — extract (q239
+    * kernel), flatten line breaks to the corpus word stream, strip
+    * corpus-frequent boilerplate paragraphs (the UNCHANGED q200
+    * plan), then the q6 quality score over the cleaned text. The
+    * first stage of a real web pipeline, composed end to end. */
+  def htmlFunnel(docs: DataFrame): DataFrame = {
+    val flat = htmlExtracted(docs)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\n", " ").as("text"))
+    Dedup.boilerplateStrip(flat)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        TextAnalysis.qualityScoreCol(col("clean_text"))
+          .as("quality_score"))
+  }
+}

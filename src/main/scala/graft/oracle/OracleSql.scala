@@ -2106,7 +2106,7 @@ WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   def spanCorrupt: String = {
     import graft.operators.Sampling.HashMult
     import graft.operators.Pipeline.{CorruptBlock, CorruptDen}
-    val mask = s"((((doc_id * 97 + b) & 2147483647) * $HashMult) " +
+    val mask = s"(((((doc_id & 2147483647) * 97 + b) & 2147483647) * $HashMult) " +
       s"// 1048576) % $CorruptDen = 0"
     s"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2156,7 +2156,7 @@ FROM o"""
 ), c AS (
   SELECT doc_id, text, w, n,
          ((doc_id & 2147483647) * $HashMult) // 1048576 AS mixA,
-         (((doc_id * 31 + 7) & 2147483647) * $HashMult) // 1048576
+         ((((doc_id & 2147483647) * 31 + 7) & 2147483647) * $HashMult) // 1048576
            AS mixB
   FROM d
 ), s AS (
@@ -6983,7 +6983,17 @@ FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
     import graft.operators.Dedup.{BoilerplateDfCap, ParaWords => P}
     s"""WITH b AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), base AS (
+), ${boilerplateTailCtes(BoilerplateDfCap, P)}"""
+  }
+
+  /** The q200 chain AFTER tokenization (expects a CTE `b` providing
+    * (doc_id, w)) — shared by the direct mirror above and q240's
+    * extraction-headed funnel, which swaps the `b` source for
+    * extracted text. CTEs base/p/boiler/kept plus the rebuild
+    * SELECT, which [[boilerplateStrip]] uses directly and the
+    * funnel wraps as a subquery. */
+  private def boilerplateTailCtes(dfCap: Long, P: Int): String =
+    s"""base AS (
   SELECT doc_id, w, (len(w) + ${P - 1}) // $P AS n_paras FROM b
 ), p AS (
   SELECT doc_id, i AS pos,
@@ -6992,7 +7002,7 @@ FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
   FROM base, LATERAL (SELECT unnest(range(0, n_paras)) AS i) t
 ), boiler AS (
   SELECT phash FROM p GROUP BY phash
-  HAVING COUNT(*) > $BoilerplateDfCap
+  HAVING COUNT(*) > $dfCap
 ), kept AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          list_sort(list(pos)) AS keep_pos
@@ -7005,6 +7015,165 @@ SELECT base.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
          i -> array_to_string(list_slice(w, $P * i + 1, $P * i + $P), ' ')),
          ' '), '') AS clean_text
 FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id"""
+
+  /** Shared CTEs of the q241/q242 ExactSubstr mirrors — these state
+    * the Lee et al. rule DIRECTLY: the duplicate key is the literal
+    * k-token window TEXT (the engine's md5 prefix-doubling digests
+    * are its scalable stand-in; a digest collision would fail this
+    * gate). Maximal spans = runs of duplicated window starts merged
+    * while each start is ≤ k past the previous (union of length-k
+    * intervals). */
+  private def exactSubstrCtes(k: Int): String =
+    s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), win AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i + 1, i + $k), ' ') AS s
+  FROM t, LATERAL (SELECT unnest(range(0, len(w) - ${k - 1})) AS i) u
+), dup AS (
+  SELECT s FROM win GROUP BY s HAVING COUNT(*) >= 2
+), starts AS (
+  SELECT doc_id, pos FROM win SEMI JOIN dup USING (s)
+), g AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id
+                ORDER BY pos) > $k
+              THEN 1 ELSE 0 END AS brk
+  FROM starts
+), runs AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM g
+), spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $k AS span_end
+  FROM runs GROUP BY doc_id, rid
+)"""
+
+  /** Mirror of [[graft.operators.ExactSubstr.exactSubstrSpans]]
+    * (q241). */
+  def exactSubstrSpans: String = {
+    import graft.operators.ExactSubstr.ExactSubstrK
+    s"""${exactSubstrCtes(ExactSubstrK)}
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start AS BIGINT) AS n_tokens
+FROM spans"""
+  }
+
+  /** Mirror of [[graft.operators.ExactSubstr.exactSubstrRemoval]]
+    * (q242): every covered token cut (all copies — the published
+    * tool's behavior), text rebuilt from survivors. */
+  def exactSubstrRemoval: String = {
+    import graft.operators.ExactSubstr.ExactSubstrK
+    s"""${exactSubstrCtes(ExactSubstrK)}, covered AS (
+  SELECT DISTINCT doc_id, pos + j AS i
+  FROM starts, LATERAL (SELECT unnest(range(0, $ExactSubstrK)) AS j) v
+), toks AS (
+  SELECT doc_id, i, w[CAST(i AS INT) + 1] AS tk
+  FROM t, LATERAL (SELECT unnest(range(0, len(w))) AS i) u
+), keptt AS (
+  SELECT doc_id, i, tk FROM toks ANTI JOIN covered USING (doc_id, i)
+), rb AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(list(tk ORDER BY i), ' '), '')
+           AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM keptt GROUP BY doc_id
+), ns AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(clean_text, '') AS clean_text,
+       COALESCE(n_spans, 0) AS n_spans,
+       CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
+       LEFT JOIN ns ON ns.doc_id = t.doc_id"""
+  }
+
+  /** SQL string literal with single-quote escaping (for regex
+    * patterns / entity replacements embedded in the HTML mirrors). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** Shared wrap+extract CTEs of q239/q240 — the byte-for-byte
+    * mirror of [[graft.operators.HtmlExtract]]: the fixture skeleton
+    * is built from the SAME F0..F7 string constants, and the
+    * extraction chain applies the SAME pattern literals in the same
+    * order (RE2 and Java regex agree on every construct used:
+    * inline (?s), non-greedy .*?, explicit char classes — the
+    * operator scaladoc states the intersection discipline).
+    * Newlines are produced as chr(10) (DuckDB quoted strings do not
+    * interpret escapes); patterns carry backslash-n, which BOTH
+    * regex engines read as the newline escape. Yields CTE `x` =
+    * (doc_id, text). */
+  private def htmlCtes: String = {
+    import graft.operators.HtmlExtract._
+    val wrap = s"""${sqlLit(F0)} || CAST(doc_id AS VARCHAR) ||
+      ${sqlLit(F1)} || CAST(doc_id AS VARCHAR) ||
+      ${sqlLit(F2)} || CAST(doc_id % 7 AS VARCHAR) ||
+      ${sqlLit(F3)} ||
+      COALESCE(array_to_string(list_slice(w, 1, n1), ' '), '') ||
+      ${sqlLit(F4)} ||
+      COALESCE(array_to_string(list_slice(w, n1 + 1, n), ' '), '') ||
+      ${sqlLit(F5)} || CAST(doc_id % 3 AS VARCHAR) ||
+      ${sqlLit(F6)} || CAST(doc_id % 5 AS VARCHAR) || ${sqlLit(F7)}"""
+    var e = "html"
+    for (p <- Seq(ScriptPat, StylePat, CommentPat))
+      e = s"regexp_replace($e, ${sqlLit(p)}, '', 'g')"
+    e = s"regexp_replace($e, ${sqlLit(BlockPat)}, chr(10), 'g')"
+    e = s"regexp_replace($e, ${sqlLit(InlinePat)}, '', 'g')"
+    for ((k, v) <- Entities)
+      e = s"replace($e, ${sqlLit(k)}, ${sqlLit(v)})"
+    e = s"regexp_replace($e, ${sqlLit(SpaceRunPat)}, ' ', 'g')"
+    e = s"regexp_replace($e, ${sqlLit(AroundNlPat)}, chr(10), 'g')"
+    e = s"regexp_replace($e, ${sqlLit(NlRunPat)}, chr(10), 'g')"
+    e = s"regexp_replace($e, ${sqlLit(TrimPat)}, '', 'g')"
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n, len(w) // 2 AS n1 FROM d
+), wrapped AS (
+  SELECT doc_id, $wrap AS html FROM sized
+), x AS (
+  SELECT doc_id, $e AS text FROM wrapped
+)"""
+  }
+
+  /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
+    * (q239). */
+  def htmlExtract: String =
+    s"""$htmlCtes
+SELECT doc_id, text,
+       CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(length(text) -
+                      length(replace(text, chr(10), '')) + 1 AS BIGINT)
+       END AS n_lines,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM x"""
+
+  /** Mirror of [[graft.operators.HtmlExtract.htmlFunnel]] (q240):
+    * extract → flatten line breaks → the UNCHANGED q200 boilerplate
+    * chain → the q6 quality-score expression over the cleaned
+    * text. */
+  def htmlFunnel: String = {
+    import graft.operators.Dedup.{BoilerplateDfCap, ParaWords => P}
+    val stops = sqlList(graft.operators.TextAnalysis.stopwords)
+      .replace("(", "[").replace(")", "]")
+    s"""$htmlCtes, b AS (
+  SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS w
+  FROM x
+), rebuilt AS (
+  ${boilerplateTailCtes(BoilerplateDfCap, P).replaceFirst("^base", "WITH base")}
+)
+SELECT doc_id, n_paras, n_kept,
+       LEAST(len(w2) / 50.0, 1.0) *
+         (CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2)) *
+         (1.0 - 0.5 * CAST(len(list_filter(w2,
+            t -> list_contains($stops, t))) AS DOUBLE) / len(w2))
+         AS quality_score
+FROM (SELECT *, string_split(clean_text, ' ') AS w2 FROM rebuilt)"""
   }
 
   /** Mirror of

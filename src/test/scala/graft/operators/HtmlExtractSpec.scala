@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins of the q239 HTML→text kernel's rules (each rule of the
+  * HtmlExtract scaladoc gets an explicit fixture) and the q240
+  * funnel composition. */
+class HtmlExtractSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(HtmlExtract.htmlTextCol(col("h")).as("t"))
+      .head().getString(0)
+  }
+
+  test("script and style containers drop WITH content — including " +
+      "the <, >, && and quote characters inside them") {
+    assert(extract(
+      "<p>a</p><script>if (x<y && y>z) { f(\"</b>\"); }</script>" +
+        "<style>p > em { color: #fff; }</style><p>b</p>") == "a\nb")
+  }
+
+  test("comments drop, including multi-line and markup inside") {
+    assert(extract("<p>a</p><!-- <p>hidden</p>\nstill hidden --><p>b</p>")
+      == "a\nb")
+  }
+
+  test("block tags become line breaks; inline tags are removed " +
+      "without splitting the surrounding word") {
+    assert(extract("<h1>Title</h1><p>one <b>two</b> thr<em>ee</em></p>")
+      == "Title\none two three")
+  }
+
+  test("a block-tag prefix does not match a longer unknown tag " +
+      "(<pre> is not <p>) — unknown tags are inline") {
+    assert(extract("<p>a<pre>b</pre>c</p>") == "abc")
+  }
+
+  test("self-closing and attributed block tags break lines " +
+      "(<hr/>, <p class=..>)") {
+    assert(extract("<p class=\"x\">a</p><hr/><p>b</p>") == "a\nb")
+  }
+
+  test("entities decode AFTER tag stripping — &lt;b&gt; is literal " +
+      "text, never a tag; &amp; decodes last so &amp;lt; yields &lt;") {
+    assert(extract("<p>x &lt;b&gt;not-bold&lt;/b&gt; y</p>")
+      == "x <b>not-bold</b> y")
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+    assert(extract("<p>a&nbsp;b &quot;q&quot; &#39;s&#39;</p>")
+      == "a b \"q\" 's'")
+  }
+
+  test("whitespace normalizes: space/tab runs collapse, spaces " +
+      "around breaks drop, break runs collapse, ends trim") {
+    assert(extract("<div>  a \t b  </div>\n\n<div> c </div>")
+      == "a b\nc")
+    assert(extract("<p></p><p></p>") == "")
+  }
+
+  test("the synthesized fixture round-trips every rule on a real " +
+      "row: title/h1/p/div/li lines, inline markup fused, entities " +
+      "decoded") {
+    import spark.implicits._
+    val out = HtmlExtract.htmlExtracted(
+      Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+      .head()
+    assert(out.getAs[String]("text") ==
+      "Doc 3\nHeading & no. 3\nalpha beta\ngamma delta bold t link 0" +
+        " <raw> \"q\" 's'\nitem A\nitem 3")
+    assert(out.getAs[Long]("n_lines") == 6L)
+  }
+
+  test("an empty document still yields the skeleton lines (title, " +
+      "heading, entities, items) — the p/div halves are empty") {
+    import spark.implicits._
+    val out = HtmlExtract.htmlExtracted(
+      Seq((0L, "")).toDF("doc_id", "text")).head()
+    assert(out.getAs[String]("text") ==
+      "Doc 0\nHeading & no. 0\nbold t link 0 <raw> \"q\" 's'\n" +
+        "item A\nitem 0")
+  }
+
+  test("q240 funnel composes: one row per document, n_kept <= " +
+      "n_paras, quality in [0,1]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta"),
+      (2L, "alpha beta gamma delta eps zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val out = HtmlExtract.htmlFunnel(docs).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_paras"))
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("the extraction plan is shuffle-free — one row-local " +
+      "projection (the q234/q238 contract)") {
+    import spark.implicits._
+    val df = HtmlExtract.htmlExtracted(
+      Seq((1L, "a b")).toDF("doc_id", "text"))
+    val shuffles = "Exchange".r.findAllIn(
+      df.queryExecution.executedPlan.toString).size
+    assert(shuffles == 0, "extraction must not shuffle")
+  }
+}
