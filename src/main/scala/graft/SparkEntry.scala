@@ -1571,6 +1571,15 @@ object SparkEntry {
     // copies, the published tool's rule), row-local rebuild.
     "q242_substr_removal" -> ((s, dir) =>
       operators.ExactSubstr.exactSubstrRemoval(documents(s, dir))),
+    // URL canonicalization: scheme/host case, default ports,
+    // fragments, tracking params, param order, trailing slash —
+    // one row-local projection over synthesized messy URLs.
+    "q243_url_canonical" -> ((s, dir) =>
+      operators.UrlCanonical.urlCanonical(documents(s, dir))),
+    // ... feeding host-level quotas: the q34 quota operator,
+    // unchanged, keyed on the canonical host.
+    "q244_host_quota" -> ((s, dir) =>
+      operators.UrlCanonical.hostQuota(documents(s, dir))),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2316,6 +2325,8 @@ object SparkEntry {
     "q240_html_funnel" -> OracleSql.htmlFunnel,
     "q241_exact_substr" -> OracleSql.exactSubstrSpans,
     "q242_substr_removal" -> OracleSql.exactSubstrRemoval,
+    "q243_url_canonical" -> OracleSql.urlCanonical,
+    "q244_host_quota" -> OracleSql.hostQuota,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

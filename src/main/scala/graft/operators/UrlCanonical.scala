@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host-level quota (q243/q244) — the
+  * web-corpus companion the domain blocklist (q113) and host-quality
+  * weighting (q104) ASSUME already ran: crawl URLs arrive in many
+  * spellings of the same resource (scheme/host case, default ports,
+  * trailing slashes, tracking params, fragments, query-param order),
+  * and every host-keyed operator is wrong until they collapse.
+  * Reference N/A (no URLs in the taxi stream) — an LLM-pipeline
+  * operator like q239.
+  *
+  * The canonicalization RULES, stated precisely (each a row-local
+  * string expression; the fixture exercises all of them on every
+  * row):
+  *   1. scheme and host lowercase; PATH CASE IS KEPT (paths are
+  *      case-sensitive per RFC 3986 — only the authority is not);
+  *   2. the scheme's default port drops (http:80 / https:443);
+  *      any other explicit port is kept;
+  *   3. the fragment (`#…`) drops — it never reaches the server;
+  *   4. query params whose NAME is in [[StripParams]] (tracking
+  *      params) drop;
+  *   5. surviving params sort by their full `k=v` segment
+  *      (deterministic total order, duplicate keys preserved);
+  *   6. trailing slashes on the path drop (`/a/` ≡ `/a`, root `/`
+  *      ≡ empty) and an emptied query drops its `?`.
+  * The stated subset: URLs are `scheme://host[:port][path][?q][#f]`
+  * with no userinfo and no percent-encoding differences (encoding
+  * normalization is a separate rule family).
+  *
+  * Graded input is SYNTHESIZED per doc_id (the q239/q44 trick) from
+  * shared string pieces, covering: upper/mixed scheme+host case,
+  * matching AND non-default explicit ports, trailing slash or not,
+  * two param orders with two different tracking params, fragments
+  * on a quarter of rows.
+  *
+  * Scale design (100 TB): canonicalization is ONE row-local
+  * projection (regexp_extract/filter/sort over ≤ a handful of query
+  * params — codegen'd functions, no UDF, no shuffle); the host
+  * quota (q244) is the UNCHANGED q34 operator keyed on the
+  * canonical host — one partitioned exchange on host, per-host rank
+  * by the house hash (the window is host-PARTITIONED, never a
+  * single-partition funnel), exactly the plan q34 already audits. */
+object UrlCanonical {
+
+  /** Tracking-param names stripped by rule 4. */
+  val StripParams: Seq[String] =
+    Seq("utm_source", "utm_medium", "utm_campaign", "ref", "fbclid")
+
+  /** Per-host keep quota of [[hostQuota]] (q244). */
+  val HostQuota = 50
+
+  // fixture pieces (shared verbatim with the oracle)
+  val U0 = "://WWW.Site"
+  val U1 = ".Example.COM"
+  val U2 = "/Cat"
+  val U3 = "/page"
+
+  /** Deterministic messy-URL fixture for a doc_id. */
+  def urlFixtureCol(d: Column): Column = {
+    val scheme = when(d % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val port = when(d % 3 === 0,
+        when(d % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .when(d % 3 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit(U2), (d % 5).cast("string"), lit(U3),
+      (d % 11).cast("string"),
+      when(d % 2 === 0, lit("/")).otherwise(lit("")))
+    val query = when(d % 2 === 0,
+        concat(lit("?b=2&utm_source=news&a="), (d % 4).cast("string")))
+      .otherwise(
+        concat(lit("?a="), (d % 4).cast("string"), lit("&fbclid=xyz&b=2")))
+    val frag = when(d % 4 === 0,
+      concat(lit("#sec"), (d % 3).cast("string"))).otherwise(lit(""))
+    concat(scheme, lit(U0), (d % 7).cast("string"), lit(U1),
+      port, path, query, frag)
+  }
+
+  /** The canonicalization kernel: url → (canonical_url, host) as
+    * two row-local Columns. */
+  def canonicalCols(url: Column): (Column, Column) = {
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(nofrag, "^[A-Za-z]+://([^/?]+)", 1)
+    val host = lower(regexp_replace(hostport, ":[0-9]+$", ""))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_extract(nofrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1)
+    val pathN = regexp_replace(path, "/+$", "")
+    val query = regexp_extract(nofrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !array_contains(
+        typedLit(StripParams), element_at(split(p, "="), 1))))
+    val canonical = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      pathN,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    (canonical, host)
+  }
+
+  /** q243: documents → synthesized messy URL → canonical form:
+    * (doc_id, url, canonical_url, host). */
+  def urlCanonical(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"),
+      urlFixtureCol(col("doc_id")).as("url"))
+    val (canonical, host) = canonicalCols(col("url"))
+    withUrl.select(col("doc_id"), col("url"),
+      canonical.as("canonical_url"), host.as("host"))
+  }
+
+  /** q244: host-level quota — the q34 quota operator, UNCHANGED,
+    * keyed on the canonical host: at most [[HostQuota]] documents
+    * per host, chosen by the house hash order. */
+  def hostQuota(docs: DataFrame,
+      quota: Int = HostQuota): DataFrame =
+    Sampling.quotaSample(
+      urlCanonical(docs).select(col("doc_id"), col("host")),
+      "host", quota)
+}

@@ -7092,6 +7092,84 @@ FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
        LEFT JOIN ns ON ns.doc_id = t.doc_id"""
   }
 
+  /** Shared CTEs of the q243/q244 URL mirrors — fixture built from
+    * [[graft.operators.UrlCanonical]]'s U0..U3 pieces, then the six
+    * canonicalization rules applied with the SAME regex literals.
+    * Yields CTE `norm` = (doc_id, url, canonical_url, host). */
+  private def urlCtes: String = {
+    import graft.operators.UrlCanonical._
+    val strip = StripParams.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+    '$U0' || CAST(doc_id % 7 AS VARCHAR) || '$U1' ||
+    CASE WHEN doc_id % 3 = 0 THEN
+           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+         WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+    '$U2' || CAST(doc_id % 5 AS VARCHAR) ||
+    '$U3' || CAST(doc_id % 11 AS VARCHAR) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '?b=2&utm_source=news&a=' || CAST(doc_id % 4 AS VARCHAR)
+         ELSE '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&fbclid=xyz&b=2'
+    END ||
+    CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE '' END AS url
+  FROM documents
+), nf AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM u
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1) AS hostport,
+    regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+    regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+  FROM nf
+), np AS (
+  SELECT doc_id, url, scheme,
+    lower(regexp_replace(hostport, ':[0-9]+$$', '')) AS host,
+    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+    regexp_replace(path, '/+$$', '') AS pathn,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> length(p) > 0 AND NOT list_contains($strip,
+        string_split(p, '=')[1]))) AS kept
+  FROM parts
+), norm AS (
+  SELECT doc_id, url,
+    scheme || '://' || host ||
+    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+         THEN ':' || port ELSE '' END ||
+    pathn ||
+    CASE WHEN len(kept) > 0
+         THEN '?' || array_to_string(kept, '&') ELSE '' END
+      AS canonical_url,
+    host
+  FROM np
+)"""
+  }
+
+  /** Mirror of [[graft.operators.UrlCanonical.urlCanonical]]
+    * (q243). */
+  def urlCanonical: String =
+    s"""$urlCtes
+SELECT doc_id, url, canonical_url, host FROM norm"""
+
+  /** Mirror of [[graft.operators.UrlCanonical.hostQuota]] (q244):
+    * the q34 quota logic keyed on the canonical host. */
+  def hostQuota: String = {
+    import graft.operators.Sampling.mixedSql
+    import graft.operators.UrlCanonical.HostQuota
+    s"""$urlCtes, h AS (
+  SELECT doc_id, host, ${mixedSql("doc_id")} % 1048576 AS h FROM norm
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY host ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+  FROM h
+)
+SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
+  }
+
   /** SQL string literal with single-quote escaping (for regex
     * patterns / entity replacements embedded in the HTML mirrors). */
   private def sqlLit(s: String): String =

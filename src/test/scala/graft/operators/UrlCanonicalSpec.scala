@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rule-by-rule pins of the q243 URL canonicalization kernel and
+  * the q244 host-quota composition. */
+class UrlCanonicalSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def canon(url: String): (String, String) = {
+    import spark.implicits._
+    val (c, h) = UrlCanonical.canonicalCols(col("url"))
+    val r = Seq(url).toDF("url").select(c.as("c"), h.as("h")).head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("scheme and host lowercase; PATH case is kept (RFC 3986: " +
+      "only the authority is case-insensitive)") {
+    assert(canon("HTTP://WWW.Ex.COM/CaseSensitive/Path")._1 ==
+      "http://www.ex.com/CaseSensitive/Path")
+  }
+
+  test("default ports drop per scheme; non-default ports are kept") {
+    assert(canon("http://a.com:80/x")._1 == "http://a.com/x")
+    assert(canon("https://a.com:443/x")._1 == "https://a.com/x")
+    assert(canon("http://a.com:8080/x")._1 == "http://a.com:8080/x")
+    // the OTHER scheme's default is not this scheme's default
+    assert(canon("http://a.com:443/x")._1 == "http://a.com:443/x")
+  }
+
+  test("fragments drop; trailing slashes drop (root path included)") {
+    assert(canon("https://a.com/x#frag")._1 == "https://a.com/x")
+    assert(canon("https://a.com/x/")._1 == "https://a.com/x")
+    assert(canon("https://a.com/")._1 == "https://a.com")
+  }
+
+  test("tracking params strip by NAME, survivors sort by full k=v " +
+      "segment, an emptied query drops its '?'") {
+    assert(canon("https://a.com/x?b=2&utm_source=n&a=1")._1 ==
+      "https://a.com/x?a=1&b=2")
+    assert(canon("https://a.com/x?fbclid=z&ref=t")._1 ==
+      "https://a.com/x")
+    // a value that LOOKS like a tracking name does not strip
+    assert(canon("https://a.com/x?q=utm_source")._1 ==
+      "https://a.com/x?q=utm_source")
+  }
+
+  test("host output strips the port and lowercases whatever the " +
+      "canonical URL keeps") {
+    assert(canon("HTTP://A.Com:8080/x")._2 == "a.com")
+  }
+
+  test("q244 host quota: exactly min(quota, host size) rows per " +
+      "canonical host, q34's operator unchanged") {
+    import spark.implicits._
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      lit("t").as("text"))
+    val out = UrlCanonical.hostQuota(docs.toDF())
+      .groupBy(col("host")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(out.length == 7) // doc_id % 7 hosts
+    // every host holds 71-72 docs (500 over 7), all above the quota,
+    // so each is cut to exactly HostQuota
+    out.foreach(r =>
+      assert(r.getAs[Long]("n") == UrlCanonical.HostQuota.toLong))
+  }
+
+  test("the q243 plan is one row-local projection — no shuffle") {
+    import spark.implicits._
+    val df = UrlCanonical.urlCanonical(
+      Seq((1L, "t")).toDF("doc_id", "text"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "canonicalization must not shuffle")
+  }
+}
