@@ -1580,6 +1580,95 @@ object SparkEntry {
     // unchanged, keyed on the canonical host.
     "q244_host_quota" -> ((s, dir) =>
       operators.UrlCanonical.hostQuota(documents(s, dir))),
+    // STREAMING decontaminated funnel (q223's incremental twin): the
+    // benchmark sides are STATIC (fingerprint set + benchmark
+    // vectors, built once — the q237 broadcast discipline); three
+    // ascending-id waves flow through the stateful flag/pair queries
+    // (the q105 harness) while each micro-batch runs the stateless
+    // ng/semantic screens in foreachBatch (batch-id-named sink dirs
+    // keep retries idempotent); the finalize is the q223 rollup and
+    // the gate IS q223's oracle.
+    "q246_stream_decontam_funnel" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val emb = Similarity.embeddings(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val benchFps = operators.Dedup.benchFingerprintSet(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      benchFps.count()
+      val wh = graft.util.TempDirs.create("graft-funnel-q246")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val b1 = maxId / 3; val b2 = 2 * maxId / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2,
+        col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      Seq("graft_q246_flags", "graft_q246_pairs")
+        .foreach(s.catalog.dropTempView(_))
+      val hitsDir = s"$wh/hits"
+      val qf = streaming.StreamingFunnel.docFlags(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cpf")
+        .format("memory").queryName("graft_q246_flags").start()
+      val qp = streaming.StreamingDedup.nearDupPairs(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cpp")
+        .format("memory").queryName("graft_q246_pairs").start()
+      val qh = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          streaming.StreamingFunnel.decontamScreen(batch, benchFps, emb)
+            .write.mode("overwrite").parquet(f"$hitsDir/b$batchId%05d")
+        }
+        .option("checkpointLocation", s"$wh/cph").start()
+      try {
+        qf.processAllAvailable(); qp.processAllAvailable()
+        qh.processAllAvailable()
+      } finally { qf.stop(); qp.stop(); qh.stop() }
+      benchFps.unpersist(); emb.unpersist()
+      val hitDirs = new java.io.File(hitsDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getPath).sorted
+      val hits =
+        if (hitDirs.nonEmpty) s.read.parquet(hitDirs: _*)
+        else s.range(0).select(col("id").as("doc_id"),
+          lit(false).as("ng_hit"), lit(false).as("sem_hit"))
+      streaming.StreamingFunnel.finalizeDecontam(
+        s.table("graft_q246_flags"), s.table("graft_q246_pairs"), hits)
+    }),
+    // PARTITION-SPEC evolution (Iceberg lazy migration): v1 written
+    // under spec 0 (doc_id % 4), batch 1 merged under spec 0, the
+    // respec COMMIT (metadata only, zero data movement), batch 2
+    // merged under spec 1 (doc_id % 8) — old-layout buckets migrate
+    // exactly when touched; cold spec-0 buckets stay byte-identical
+    // (PipelineSpec pins bytes+mtimes and the as-of boundary).
+    "q245_partition_evolution" -> ((s, dir) => {
+      import operators.Pipeline
+      val docs = documents(s, dir)
+      val wh = graft.util.TempDirs.create("graft-respec-q245")
+      val tableDir = s"$wh/table"
+      val (v1, v2, v3) = Pipeline.timeTravelVersions(docs)
+      v1.withColumn("spec", lit(0))
+        .withColumn("bucket", col("doc_id") % Pipeline.RespecBuckets(0))
+        .write.partitionBy("spec", "bucket").parquet(tableDir)
+      Pipeline.mergeApplyTableRespec(s, tableDir,
+        Pipeline.cdcBetween(v1, v2), activeSpec = 0)
+      // ---- the partition-spec commit: active spec 0 -> 1 ----
+      Pipeline.mergeApplyTableRespec(s, tableDir,
+        Pipeline.cdcBetween(v2, v3), activeSpec = 1)
+      Pipeline.readRespecTable(s, tableDir)
+    }),
     // Zipf rank-frequency fit: closed-form log-log least squares
     // over the top ranks — the corpus-naturalness smell test.
     "q221_zipf_fit" -> ((s, dir) =>
@@ -2327,6 +2416,10 @@ object SparkEntry {
     "q242_substr_removal" -> OracleSql.exactSubstrRemoval,
     "q243_url_canonical" -> OracleSql.urlCanonical,
     "q244_host_quota" -> OracleSql.hostQuota,
+    "q245_partition_evolution" -> OracleSql.partitionEvolution,
+    // the streaming twin is graded by the BATCH funnel's oracle —
+    // wave-harness parity is the contract
+    "q246_stream_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

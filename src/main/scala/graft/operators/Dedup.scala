@@ -884,12 +884,22 @@ object Dedup {
     val bench = fp.filter(col("doc_id") < benchBelowId)
       .select(explode(col("fps")).as("g")).distinct()
     val corpus = fp.filter(col("doc_id") >= benchBelowId)
-    val shared = corpus
+    (contaminationAgainst(corpus, bench), graft.util.CacheHandle(fp))
+  }
+
+  /** The q43 frac-shared screen against an ALREADY-BUILT benchmark
+    * fingerprint set — shared by [[benchmarkContamination]] (which
+    * derives the set from the same corpus) and the q246 streaming
+    * funnel (which builds it ONCE, statically, and screens each
+    * arriving micro-batch — the q237 static-broadcast discipline).
+    * `fp` = (doc_id, fps); `bench` = distinct (g). */
+  def contaminationAgainst(fp: DataFrame, bench: DataFrame): DataFrame = {
+    val shared = fp
       .select(col("doc_id"), explode(col("fps")).as("g"))
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-    val out = corpus
+    fp
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"))
       .join(shared, Seq("doc_id"), "left")
       .select(
@@ -898,8 +908,14 @@ object Dedup {
         col("n_fps"),
         (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fps"))
           .as("frac_shared"))
-    (out, graft.util.CacheHandle(fp))
   }
+
+  /** The static benchmark fingerprint set of the q43/q246 screens:
+    * distinct winnow fingerprints of the benchmark documents. */
+  def benchFingerprintSet(docs: DataFrame,
+      benchBelowId: Long = 20L): DataFrame =
+    winnowFingerprints(docs.filter(col("doc_id") < benchBelowId))
+      .select(explode(col("fps")).as("g")).distinct()
 
   /** Width of the exact decontamination n-gram — the published
     * GPT-3 appendix-C rule (13 consecutive tokens). */

@@ -490,6 +490,124 @@ object Pipeline {
     }
   }
 
+  /** Bucket counts per partition-spec generation of the q245
+    * respec table: spec 0 writes doc_id % 4, the respec commit
+    * moves the ACTIVE spec to doc_id % 8. */
+  val RespecBuckets: Seq[Int] = Seq(4, 8)
+
+  /** PARTITION-SPEC evolution merge (q245) — the Iceberg sibling of
+    * q224/q230's schema evolution: a bucket-count change mid-log is
+    * a METADATA commit; existing files keep their old layout
+    * (`spec=<id>/bucket=<b>` directories), new/rewritten data is
+    * written under the ACTIVE spec, and old-layout data migrates
+    * LAZILY — exactly the files a merge touches, never a table
+    * rewrite (Iceberg's copy-on-write rule: a rewritten file adopts
+    * the current spec). Readers resolve BOTH layouts; a row's
+    * physical home is wherever its last rewrite put it.
+    *
+    * One merge under `activeSpec`:
+    * (1) the CDC keys locate their buckets under EVERY spec
+    *     generation (bounded collects, ≤ Σ bucket counts longs);
+    * (2) touched OLD-spec buckets are read WHOLE — their co-resident
+    *     untouched rows ride along and MIGRATE (the copy-on-write
+    *     file rewrite), so each old-spec directory is consumed
+    *     exactly once and deleted after the write;
+    * (3) the output active-spec buckets (cdc keys ∪ migrating rows)
+    *     are read too — dynamic overwrite replaces whole partitions,
+    *     so any partition the write lands in must carry its prior
+    *     rows through the merge;
+    * (4) latest-wins merge (the unchanged [[mergeApplyTable]] rule),
+    *     one dynamic-overwrite write under `spec=activeSpec`, then
+    *     the consumed old-spec directories drop and emptied active
+    *     buckets clear.
+    * Cold buckets — any spec — are never listed, read, staged, or
+    * touched: PipelineSpec pins their bytes AND mtimes across a
+    * post-respec merge (the q230 discipline).
+    *
+    * Scale design (100 TB): cost is |cdc| + |touched buckets|, never
+    * |table|; the spec change itself costs ZERO data movement (a
+    * constant in this function's arguments — the metadata commit),
+    * and migration debt is paid per-bucket exactly when a bucket is
+    * next written, the Iceberg lazy-migration contract. */
+  def mergeApplyTableRespec(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cdc: DataFrame, activeSpec: Int,
+      specBuckets: Seq[Int] = RespecBuckets): Unit = {
+    val bAct = specBuckets(activeSpec)
+    val cdcB = cdc.select(col("doc_id"), col("op"), col("new_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = cdcB.select(col("doc_id")).distinct()
+    // (1) touched buckets per OLD spec — bounded collect each
+    val oldSpecPaths: Seq[(Int, Long, String)] =
+      specBuckets.indices.filterNot(_ == activeSpec).flatMap { s =>
+        keys.select((col("doc_id") % specBuckets(s)).as("b"))
+          .distinct().collect().map(_.getLong(0)).sorted
+          .map(b => (s, b, s"$dir/spec=$s/bucket=$b"))
+          .filter(t => new java.io.File(t._3).exists())
+      }
+    def readParts(paths: Seq[String]): DataFrame =
+      if (paths.nonEmpty)
+        spark.read.option("basePath", dir).parquet(paths: _*)
+          .select(col("doc_id"), col("text"))
+      else spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text"))
+    // (2) old-layout rows — co-residents migrate with this write
+    val oldRows = readParts(oldSpecPaths.map(_._3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (3) every active bucket this write can land in (bounded ≤ bAct)
+    val outBuckets = keys.select((col("doc_id") % bAct).as("b"))
+      .unionByName(oldRows.select((col("doc_id") % bAct).as("b")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (outBuckets.isEmpty) {
+      oldRows.unpersist(); cdcB.unpersist(); return
+    }
+    val activePaths = outBuckets
+      .map(b => s"$dir/spec=$activeSpec/bucket=$b")
+      .filter(p => new java.io.File(p).exists())
+    val existing = oldRows.unionByName(readParts(activePaths.toSeq))
+    val merged = existing
+      .join(cdcB, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col("doc_id"), (col("doc_id") % bAct).as("bucket"),
+        when(col("op") === "upsert", col("new_text"))
+          .otherwise(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surviving = merged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    merged.withColumn("spec", lit(activeSpec))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("spec", "bucket")
+      .parquet(dir)
+    merged.unpersist(); oldRows.unpersist(); cdcB.unpersist()
+    // consumed old-layout directories: their rows migrated above
+    oldSpecPaths.foreach { case (_, _, p) =>
+      val d = new java.io.File(p)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        if (!d.delete())
+          throw new java.io.IOException(s"could not drop migrated $d")
+      }
+    }
+    // emptied active buckets (every row deleted) must not stay stale
+    outBuckets.filterNot(surviving).foreach { b =>
+      val dead = new java.io.File(s"$dir/spec=$activeSpec/bucket=$b")
+      if (dead.exists()) {
+        dead.listFiles().foreach(_.delete())
+        if (!dead.delete())
+          throw new java.io.IOException(s"could not clear emptied $dead")
+      }
+    }
+  }
+
+  /** Read a respec table across ALL spec layouts:
+    * (doc_id, spec, bucket, text). */
+  def readRespecTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir)
+      .select(col("doc_id"), col("spec").cast("long").as("spec"),
+        col("bucket").cast("long").as("bucket"), col("text"))
+
   /** CDC batch between ANY two snapshot versions (generalizes
     * [[cdcFromDiff]], whose derivation is hardwired to the graded
     * v1→v2 pair): added/changed → upsert carrying the TARGET text,
@@ -762,6 +880,16 @@ object Pipeline {
     val sem = Similarity.semanticContamination(emb)
       .select(col("corpus_vec").as("doc_id")).distinct()
       .withColumn("sem_hit", lit(true))
+    decontamRollup(flags, nd, ng, sem)
+  }
+
+  /** The q223 one-row rollup over already-computed stage flags —
+    * shared by the batch funnel above and the q246 streaming
+    * finalize (whose flags/hits arrive from the wave queries).
+    * `flags` = (doc_id, keep_dedup, keep_quality, keep_lang, split);
+    * `nd` = (doc_id, keep_nd); `ng`/`sem` = hit doc_ids. */
+  def decontamRollup(flags: DataFrame, nd: DataFrame, ng: DataFrame,
+      sem: DataFrame): DataFrame = {
     val keepNd = col("keep_dedup") && coalesce(col("keep_nd"), lit(true))
     val kept = keepNd && col("keep_quality") && col("keep_lang")
     val clean = kept &&

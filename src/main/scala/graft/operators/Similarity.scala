@@ -322,21 +322,34 @@ object Similarity {
   def semanticContamination(emb0: DataFrame,
       benchBelow: Long = SemDecontamBenchBelow,
       threshold: Double = SemDecontamCosine,
+      bitsPerBand: Int = DedupBitsPerBand): DataFrame =
+    semanticContaminationAgainst(
+      emb0.filter(col("vec_id") >= benchBelow),
+      emb0.filter(col("vec_id") < benchBelow),
+      threshold, bitsPerBand)
+
+  /** The q219 semantic screen against an ALREADY-SPLIT benchmark
+    * side — shared by [[semanticContamination]] (which splits one
+    * frame by id) and the q246 streaming funnel (static benchmark
+    * embeddings, arriving corpus vectors — the q237 broadcast
+    * discipline). Both sides carry (vec_id, v, norm). */
+  def semanticContaminationAgainst(corpusEmb: DataFrame,
+      benchEmb: DataFrame,
+      threshold: Double = SemDecontamCosine,
       bitsPerBand: Int = DedupBitsPerBand): DataFrame = {
-    val emb = emb0
-    val bands = emb.select(col("vec_id"),
+    def bandsOf(e: DataFrame) = e.select(col("vec_id"),
       posexplode(dedupBandKeysArray(col("v"), bitsPerBand))
         .as(Seq("band", "key")))
-    val bench = bands.filter(col("vec_id") < benchBelow).alias("a")
-    val corpus = bands.filter(col("vec_id") >= benchBelow).alias("b")
+    val bench = bandsOf(benchEmb).alias("a")
+    val corpus = bandsOf(corpusEmb).alias("b")
     val candIds = corpus.join(broadcast(bench),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("b.vec_id").as("corpus_vec"),
         col("a.vec_id").as("bench_vec"))
       .distinct()
-    val vq = emb.select(col("vec_id").as("bench_vec"),
+    val vq = benchEmb.select(col("vec_id").as("bench_vec"),
       col("v").as("qv"), col("norm").as("qnorm"))
-    val vc = emb.select(col("vec_id").as("corpus_vec"), col("v"),
+    val vc = corpusEmb.select(col("vec_id").as("corpus_vec"), col("v"),
       col("norm"))
     candIds.join(broadcast(vq), "bench_vec").join(vc, "corpus_vec")
       .withColumn("cosine", cosine)

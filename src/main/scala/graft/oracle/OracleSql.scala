@@ -2334,6 +2334,40 @@ FROM documents
 WHERE doc_id % 10 <> $DiffRemovedMod AND doc_id % 10 <> $DiffChangedMod"""
   }
 
+  /** Mirror of the q245 respec closure
+    * ([[graft.operators.Pipeline.mergeApplyTableRespec]]): content
+    * is v3 (the q171/q188 closure discipline); a row's physical
+    * home follows the lazy-migration rule — batch 2's keys are the
+    * docs whose v2/v3 rows differ (ChangedMod deletes, AddedMod
+    * upserts), the spec-0 buckets THOSE keys live in migrate WHOLE
+    * (co-resident rows ride the copy-on-write rewrite into spec 1 at
+    * doc_id % 8), every other row stays in its spec-0 bucket. */
+  def partitionEvolution: String = {
+    import graft.operators.Pipeline.{DiffAddedMod, DiffChangedMod,
+      DiffRemovedMod, RespecBuckets}
+    val b0 = RespecBuckets(0)
+    val b1 = RespecBuckets(1)
+    s"""WITH t0 AS (
+  SELECT DISTINCT doc_id % $b0 AS b FROM documents
+  WHERE doc_id % 10 = $DiffChangedMod OR doc_id % 10 = $DiffAddedMod
+), v3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = $DiffAddedMod THEN text || ' v3'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 10 <> $DiffRemovedMod
+    AND doc_id % 10 <> $DiffChangedMod
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % $b0 IN (SELECT b FROM t0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS spec,
+       CAST(CASE WHEN doc_id % $b0 IN (SELECT b FROM t0)
+                 THEN doc_id % $b1 ELSE doc_id % $b0 END AS BIGINT)
+         AS bucket,
+       text
+FROM v3"""
+  }
+
   /** Mirror of [[graft.operators.Pipeline.vacuumDerived]] (q215):
     * checkpoint = v2 rebuilt directly from the documents arithmetic
     * (version 0, op 'base'), retained tail = the v2→v3 CDC rows

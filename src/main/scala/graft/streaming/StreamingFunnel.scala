@@ -73,4 +73,50 @@ object StreamingFunnel {
     * streamed outputs — the corpus is never re-scanned. */
   def finalizeCounts(flags: DataFrame, pairs: DataFrame): DataFrame =
     Pipeline.funnelRollup(flags, Pipeline.clusterKeepFlags(pairs))
+
+  /** Per-micro-batch DECONTAMINATION screens (q246) — the q223
+    * stages that stream for free because their benchmark sides are
+    * STATIC (the q237 broadcast discipline): the q43 frac-shared
+    * n-gram screen against a once-built broadcast fingerprint set,
+    * and the q219 semantic screen of the batch's embeddings against
+    * the broadcast benchmark vectors. Both are per-document
+    * STATELESS decisions, so running them on each arriving batch in
+    * foreachBatch is exact — no watermark, no state store, no order
+    * sensitivity. Returns the batch's hit flags:
+    * (doc_id, ng_hit, sem_hit). */
+  def decontamScreen(batch: DataFrame, benchFps: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import graft.operators.{Dedup, Pipeline, Similarity}
+    val ids = batch.select(col("doc_id"))
+    val ng = Dedup.contaminationAgainst(
+        Dedup.winnowFingerprints(batch.filter(
+          col("doc_id") >= Similarity.SemDecontamBenchBelow)),
+        benchFps)
+      .filter(col("frac_shared") >= Pipeline.ContamFracThreshold)
+      .select(col("doc_id"), lit(true).as("ng_hit"))
+    val sem = Similarity.semanticContaminationAgainst(
+        emb.join(ids.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+          .filter(col("vec_id") >= Similarity.SemDecontamBenchBelow),
+        emb.filter(col("vec_id") < Similarity.SemDecontamBenchBelow))
+      .select(col("corpus_vec").as("doc_id")).distinct()
+      .withColumn("sem_hit", lit(true))
+    ids.join(ng, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng_hit"), lit(false)).as("ng_hit"),
+        coalesce(col("sem_hit"), lit(false)).as("sem_hit"))
+      .filter(col("ng_hit") || col("sem_hit"))
+  }
+
+  /** Checkpoint finalize of the DECONTAMINATED funnel (q246): the
+    * q223 rollup over the streamed flag/pair/hit outputs — grading
+    * against q223's own oracle is the parity contract. */
+  def finalizeDecontam(flags: DataFrame, pairs: DataFrame,
+      hits: DataFrame): DataFrame =
+    Pipeline.decontamRollup(flags,
+      Pipeline.clusterKeepFlags(pairs),
+      hits.filter(col("ng_hit")).select(col("doc_id"),
+        lit(true).as("ng_hit")),
+      hits.filter(col("sem_hit")).select(col("doc_id"),
+        lit(true).as("sem_hit")))
 }
