@@ -157,6 +157,18 @@ object Bench {
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
       println(detail) // keep the data recoverable from scrollback at worst
     }
+    // quiet-box batteries are adjudication EVIDENCE and must survive
+    // the next (possibly contended) Bench run overwriting
+    // BENCH_DETAIL.json — the r13 verdict's process finding. Setting
+    // SPARK_GRAFT_QUIET_OUT=BENCH_QUIET_r14.json copies the same
+    // artifact to a per-round tracked file the judge can diff.
+    sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $p write failed: ${e.getMessage}")
+      }
+    }
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     spark.stop()
     // FINAL stdout line = the driver-parsed artifact. It is a BOUNDED

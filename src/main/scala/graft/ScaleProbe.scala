@@ -88,7 +88,12 @@ object ScaleProbe {
     val nVec = emb.count()
     println(s"[scale] embeddings: -> $nVec rows")
 
+    // dev-only stage filter (SPARK_GRAFT_STAGES=exact_substr,...):
+    // a single rung can be measured without paying the whole ladder
+    val stagesFilter = sys.env.get("SPARK_GRAFT_STAGES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def time(name: String)(df: => DataFrame): Double = {
+      if (stagesFilter.exists(!_.contains(name))) return 0.0
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9

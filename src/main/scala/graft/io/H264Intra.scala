@@ -60,7 +60,24 @@ package graft.io
   * Scale design (100 TB): the codec is row-local bytes-in/planes-out
   * (the q68/q182 economics — one document's stream never crosses an
   * exchange); the graded operator maps it over the corpus with the
-  * corpus collapsed to per-doc stats before any shuffle. */
+  * corpus collapsed to per-doc stats before any shuffle.
+  *
+  * AC-residual extension, round-14 adjudication: lifting the
+  * constraint to ≥2-coefficient blocks needs the nC∈[2,4) column of
+  * Table 9-5 (62 codewords) and the TotalCoeff≥2 rows of the
+  * total_zeros tables (run_before is avoidable while total_zeros=0)
+  * — dense arbitrary VLC tables whose only trustworthy source is
+  * the published spec text itself. This build environment carries
+  * no copy of those tables (no spec, no codec sources on the box —
+  * verified), and the working protocol explicitly forbids
+  * reconstructing them from memory (a single silently-wrong
+  * codeword round-trips fine in a self-paired codec while breaking
+  * the conformance claim — the failure mode the chroma fix in this
+  * file just removed). The extension therefore stays OUT until a
+  * round ships the spec tables as data; everything around them
+  * (level machinery at any magnitude, nC context propagation,
+  * zig-zag/dequant/inverse transform for arbitrary coefficient
+  * vectors) is already general. */
 object H264Intra {
 
   // ---------------------------------------------------------------

@@ -964,6 +964,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("q241 exact-substring: the doubling self-joins are hash " +
+      "joins on (doc_id, pos) — no cartesian, no broadcast of the " +
+      "corpus-sized digest stream, scans pruned to doc_id+text") {
+    val df = q("q241_exact_substr")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop join in the doubling chain")
+    val s = scans(df)
+    assert(s.nonEmpty)
+    s.foreach(scan => assert(
+      scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}"))
+  }
+
+  test("q239/q243 kernels are shuffle-free row-local projections " +
+      "with pruned scans") {
+    for (name <- Seq("q239_html_extract", "q243_url_canonical")) {
+      val df = q(name)
+      assert(shuffleCount(df) == 0, s"$name must not shuffle")
+      scans(df).foreach(scan => assert(
+        scan.requiredSchema.fieldNames.toSet.subsetOf(
+          Set("doc_id", "text")),
+        s"$name scan reads " +
+          scan.requiredSchema.fieldNames.mkString(",")))
+    }
+  }
+
   test("q224 schema-evolved reconstruction: the log window is " +
       "doc_id-partitioned and nothing funnels through a single " +
       "partition") {
