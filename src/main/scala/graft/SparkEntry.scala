@@ -1561,6 +1561,15 @@ object SparkEntry {
     // first stage of a real web pipeline, composed end to end.
     "q240_html_funnel" -> ((s, dir) =>
       operators.HtmlExtract.htmlFunnel(documents(s, dir))),
+    // WARC response-record parsing: version/headers/Content-Length
+    // framing + the HTTP envelope, one row-local projection over
+    // synthesized captures (404s planted every 13th doc).
+    "q247_warc_parse" -> ((s, dir) =>
+      operators.Warc.warcParsed(documents(s, dir))),
+    // ... and the FULL web funnel: WARC -> keep valid 200 text/html
+    // -> q239 extraction -> q6 quality, composed end to end.
+    "q248_web_funnel" -> ((s, dir) =>
+      operators.Warc.webFunnel(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2420,6 +2429,8 @@ object SparkEntry {
     // the streaming twin is graded by the BATCH funnel's oracle —
     // wave-harness parity is the contract
     "q246_stream_decontam_funnel" -> OracleSql.decontaminatedFunnel,
+    "q247_warc_parse" -> OracleSql.warcParsed,
+    "q248_web_funnel" -> OracleSql.webFunnel,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC response-record parsing (q247) + the full web-corpus funnel
+  * (q248) — the stage one EARLIER than q239's HTML extraction: real
+  * web corpora (CommonCrawl-shaped) arrive as WARC captures, and
+  * everything downstream (HTML extract → boilerplate → quality)
+  * assumes someone already unwrapped the record framing and the HTTP
+  * envelope. Reference N/A (no web fetches in the taxi stream) — an
+  * LLM-pipeline operator like q239/q243.
+  *
+  * The PARSED SUBSET, stated precisely (ISO 28500 WARC/1.0 response
+  * records over ASCII content, one record per row — multi-record
+  * framing by repeated Content-Length hops is pinned in the spec,
+  * not graded):
+  *   1. version line `WARC/1.0` terminated by CRLF — anything else
+  *      marks the row invalid (never a silent wrong answer);
+  *   2. WARC headers (`Name: value` CRLF lines, names matched
+  *      case-insensitively per the spec) up to the first blank line;
+  *      WARC-Target-URI, WARC-Date and Content-Length are read;
+  *   3. the record BLOCK is exactly Content-Length octets after the
+  *      blank line, followed by the record separator CRLF CRLF —
+  *      the total-length equation is CHECKED and mismatches mark
+  *      the row invalid (content is ASCII by contract, so octet
+  *      length == char length — stated, and true of the fixture);
+  *   4. a response block is an HTTP/1.x message: status code from
+  *      the status line, Content-Type from the HTTP headers
+  *      (case-insensitive), payload = everything after the HTTP
+  *      blank line.
+  *
+  * The graded input is SYNTHESIZED per doc_id (the q239/q243
+  * discipline): a deterministic capture URL + date, an HTTP 200
+  * text/html response wrapping [[HtmlExtract.htmlWrapCol]]'s markup
+  * for most rows, and an HTTP 404 text/plain response for the
+  * doc_id % 13 == 0 rows — so the funnel's status/type gates do real
+  * work on every run. The q248 funnel composes the whole web chain
+  * end to end: WARC parse → keep valid 200 text/html → q239's
+  * extraction kernel → flatten → q6 quality score.
+  *
+  * Scale design (100 TB): both operators are ONE row-local
+  * projection each (substring arithmetic + the q239 regexp chain —
+  * codegen'd functions, no UDF, no shuffle, no state); a capture
+  * never crosses an exchange, and the funnel output carries stats
+  * and digests, never the payload. */
+object Warc {
+
+  private val CRLF = "\r\n"
+  private val Sep = "\r\n\r\n"
+
+  /** Deterministic capture URL of the fixture. */
+  private def urlCol(d: Column): Column =
+    concat(lit("https://site"), (d % 7).cast("string"),
+      lit(".example.com/doc"), d.cast("string"))
+
+  /** Deterministic WARC-Date of the fixture (zero-padded). */
+  private def dateCol(d: Column): Column =
+    concat(lit("2024-01-"), lpad((d % 28 + 1).cast("string"), 2, "0"),
+      lit("T"), lpad((d % 24).cast("string"), 2, "0"), lit(":00:00Z"))
+
+  /** The HTTP response block: 200 text/html wrapping the q239
+    * markup, or 404 text/plain on the doc_id % 13 == 0 rows. */
+  private def httpBlockCol(d: Column, text: Column): Column = {
+    val ok = concat(
+      lit("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF),
+      lit("X-Served-By: w"), (d % 3).cast("string"), lit(CRLF + CRLF),
+      HtmlExtract.htmlWrapCol(d, text))
+    val notFound = concat(
+      lit("HTTP/1.1 404 Not Found" + CRLF +
+        "Content-Type: text/plain" + CRLF + CRLF + "not found "),
+      d.cast("string"))
+    when(d % 13 === 0, notFound).otherwise(ok)
+  }
+
+  /** One synthesized WARC/1.0 response record for a (doc_id, text)
+    * row — Content-Length covers the whole HTTP block (the spec's
+    * rule), and the record ends with the CRLF CRLF separator. */
+  def warcFixtureCol(d: Column, text: Column): Column = {
+    val block = httpBlockCol(d, text)
+    concat(
+      lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+        "WARC-Target-URI: "), urlCol(d),
+      lit(CRLF + "WARC-Date: "), dateCol(d),
+      lit(CRLF + "Content-Length: "),
+      length(block).cast("string"),
+      lit(Sep), block, lit(Sep))
+  }
+
+  /** documents → (doc_id, warc). */
+  def warcRecords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      warcFixtureCol(col("doc_id"), col("text")).as("warc"))
+
+  /** The parse kernel over a (doc_id, warc) frame — q247's graded
+    * shape plus the payload column the funnel consumes:
+    * (doc_id, target_uri, warc_date, status, content_type,
+    * n_payload_chars, payload_md5, valid, payload). */
+  def parseWarc(records: DataFrame): DataFrame = {
+    val warc = col("warc")
+    val version = warc.substr(lit(1), instr(warc, CRLF) - 1)
+    // h = 1-based index of the header-terminating blank line
+    val h = instr(warc, Sep)
+    val clen = regexp_extract(warc,
+      "(?i)\\r\\nContent-Length: ([0-9]+)\\r\\n", 1).cast("long")
+    val block = warc.substr(h + lit(4), clen)
+    val valid = version === "WARC/1.0" && h > 0 &&
+      clen.isNotNull &&
+      length(warc) === h + lit(7) + clen &&
+      warc.substr(length(warc) - 3, lit(4)) === Sep
+    val hp = instr(col("block"), Sep)
+    records
+      .select(col("doc_id"), warc,
+        regexp_extract(warc,
+          "(?i)\\r\\nWARC-Target-URI: ([^\\r]*)\\r\\n", 1)
+          .as("target_uri"),
+        regexp_extract(warc,
+          "(?i)\\r\\nWARC-Date: ([^\\r]*)\\r\\n", 1).as("warc_date"),
+        block.as("block"), valid.as("valid"))
+      .select(col("doc_id"), col("target_uri"), col("warc_date"),
+        regexp_extract(col("block"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1)
+          .cast("long").as("status"),
+        regexp_extract(col("block"),
+          "(?i)\\r\\nContent-Type: ([^\\r]*)\\r\\n", 1)
+          .as("content_type"),
+        col("block").substr(hp + lit(4),
+          greatest(length(col("block")) - hp - lit(3), lit(0)))
+          .as("payload"),
+        col("valid"))
+      .select(col("doc_id"), col("target_uri"), col("warc_date"),
+        col("status"), col("content_type"),
+        length(col("payload")).cast("long").as("n_payload_chars"),
+        md5(col("payload")).as("payload_md5"),
+        col("valid"), col("payload"))
+  }
+
+  /** q247: documents → synthesized WARC record → parsed fields
+    * (payload carried as a digest, never as output text). */
+  def warcParsed(docs: DataFrame): DataFrame =
+    parseWarc(warcRecords(docs)).drop("payload")
+
+  /** q248: the FULL web funnel — WARC parse → keep valid HTTP 200
+    * text/html captures → the q239 extraction kernel → flatten →
+    * q6 quality score: (doc_id, n_lines, n_chars, quality_score). */
+  def webFunnel(docs: DataFrame): DataFrame = {
+    val kept = parseWarc(warcRecords(docs))
+      .filter(col("valid") && col("status") === 200 &&
+        col("content_type") === "text/html")
+    val extracted = kept.select(col("doc_id"),
+      HtmlExtract.htmlTextCol(col("payload")).as("text"))
+    extracted.select(col("doc_id"),
+      when(length(col("text")) === 0, lit(0L))
+        .otherwise((length(col("text")) -
+          length(regexp_replace(col("text"), "\\n", "")) + 1L)
+          .cast("long")).as("n_lines"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextAnalysis.qualityScoreCol(
+        regexp_replace(col("text"), "\\n", " ")).as("quality_score"))
+  }
+}

@@ -7220,9 +7220,11 @@ SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
     * interpret escapes); patterns carry backslash-n, which BOTH
     * regex engines read as the newline escape. Yields CTE `x` =
     * (doc_id, text). */
-  private def htmlCtes: String = {
+  /** The q239 fixture-wrap expression over a CTE exposing
+    * (doc_id, w, n, n1) — shared by the HTML and WARC mirrors. */
+  private def htmlWrapSql: String = {
     import graft.operators.HtmlExtract._
-    val wrap = s"""${sqlLit(F0)} || CAST(doc_id AS VARCHAR) ||
+    s"""${sqlLit(F0)} || CAST(doc_id AS VARCHAR) ||
       ${sqlLit(F1)} || CAST(doc_id AS VARCHAR) ||
       ${sqlLit(F2)} || CAST(doc_id % 7 AS VARCHAR) ||
       ${sqlLit(F3)} ||
@@ -7231,7 +7233,13 @@ SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
       COALESCE(array_to_string(list_slice(w, n1 + 1, n), ' '), '') ||
       ${sqlLit(F5)} || CAST(doc_id % 3 AS VARCHAR) ||
       ${sqlLit(F6)} || CAST(doc_id % 5 AS VARCHAR) || ${sqlLit(F7)}"""
-    var e = "html"
+  }
+
+  /** The q239 extraction chain applied to the given SQL expr —
+    * shared by the HTML mirrors and q248's web funnel. */
+  private def htmlChainSql(src: String): String = {
+    import graft.operators.HtmlExtract._
+    var e = src
     for (p <- Seq(ScriptPat, StylePat, CommentPat))
       e = s"regexp_replace($e, ${sqlLit(p)}, '', 'g')"
     e = s"regexp_replace($e, ${sqlLit(BlockPat)}, chr(10), 'g')"
@@ -7241,16 +7249,124 @@ SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
     e = s"regexp_replace($e, ${sqlLit(SpaceRunPat)}, ' ', 'g')"
     e = s"regexp_replace($e, ${sqlLit(AroundNlPat)}, chr(10), 'g')"
     e = s"regexp_replace($e, ${sqlLit(NlRunPat)}, chr(10), 'g')"
-    e = s"regexp_replace($e, ${sqlLit(TrimPat)}, '', 'g')"
+    s"regexp_replace($e, ${sqlLit(TrimPat)}, '', 'g')"
+  }
+
+  private def htmlCtes: String =
     s"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sized AS (
   SELECT doc_id, w, len(w) AS n, len(w) // 2 AS n1 FROM d
 ), wrapped AS (
-  SELECT doc_id, $wrap AS html FROM sized
+  SELECT doc_id, $htmlWrapSql AS html FROM sized
 ), x AS (
-  SELECT doc_id, $e AS text FROM wrapped
+  SELECT doc_id, ${htmlChainSql("html")} AS text FROM wrapped
 )"""
+
+  /** Shared CTEs of the q247/q248 WARC mirrors — fixture and parse
+    * rules mirror [[graft.operators.Warc]] verbatim (CRLFs as E''
+    * escape strings, same regex literals, same total-length
+    * equation). Yields CTE `parsed` = (doc_id, target_uri,
+    * warc_date, status, content_type, payload, valid). */
+  private def warcCtes: String = {
+    val crlf = "E'\\r\\n'"
+    val sep = "E'\\r\\n\\r\\n'"
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n, len(w) // 2 AS n1 FROM d
+), blocked AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN
+      'HTTP/1.1 404 Not Found' || $crlf ||
+      'Content-Type: text/plain' || $sep ||
+      'not found ' || CAST(doc_id AS VARCHAR)
+    ELSE
+      'HTTP/1.1 200 OK' || $crlf || 'Content-Type: text/html' ||
+      $crlf || 'X-Served-By: w' || CAST(doc_id % 3 AS VARCHAR) ||
+      $sep || $htmlWrapSql
+    END AS block
+  FROM sized
+), wrec AS (
+  SELECT doc_id,
+    'WARC/1.0' || $crlf || 'WARC-Type: response' || $crlf ||
+    'WARC-Target-URI: https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+    '.example.com/doc' || CAST(doc_id AS VARCHAR) || $crlf ||
+    'WARC-Date: 2024-01-' ||
+    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' ||
+    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00Z' ||
+    $crlf || 'Content-Length: ' ||
+    CAST(length(block) AS VARCHAR) || $sep || block || $sep AS warc
+  FROM blocked
+), hdr AS (
+  SELECT doc_id, warc,
+    substr(warc, 1, strpos(warc, $crlf) - 1) AS version,
+    strpos(warc, $sep) AS h,
+    TRY_CAST(regexp_extract(warc,
+      '(?i)\\r\\nContent-Length: ([0-9]+)\\r\\n', 1) AS BIGINT)
+      AS clen
+  FROM wrec
+), rec AS (
+  SELECT doc_id,
+    regexp_extract(warc,
+      '(?i)\\r\\nWARC-Target-URI: ([^\\r]*)\\r\\n', 1) AS target_uri,
+    regexp_extract(warc,
+      '(?i)\\r\\nWARC-Date: ([^\\r]*)\\r\\n', 1) AS warc_date,
+    substr(warc, h + 4, CAST(clen AS INT)) AS block,
+    version = 'WARC/1.0' AND h > 0 AND clen IS NOT NULL
+      AND length(warc) = h + 7 + clen
+      AND substr(warc, length(warc) - 3, 4) = $sep AS valid
+  FROM hdr
+), parsed AS (
+  SELECT doc_id, target_uri, warc_date,
+    TRY_CAST(regexp_extract(block, '^HTTP/1\\.[01] ([0-9]{3}) ', 1)
+      AS BIGINT) AS status,
+    regexp_extract(block,
+      '(?i)\\r\\nContent-Type: ([^\\r]*)\\r\\n', 1) AS content_type,
+    CASE WHEN strpos(block, $sep) > 0
+         THEN substr(block, strpos(block, $sep) + 4)
+         ELSE '' END AS payload,
+    valid
+  FROM rec
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Warc.warcParsed]] (q247). */
+  def warcParsed: String =
+    s"""$warcCtes
+SELECT doc_id, target_uri, warc_date, status, content_type,
+       CAST(length(payload) AS BIGINT) AS n_payload_chars,
+       md5(payload) AS payload_md5, valid
+FROM parsed"""
+
+  /** Mirror of [[graft.operators.Warc.webFunnel]] (q248): keep
+    * valid 200 text/html captures, run the q239 extraction chain on
+    * the payload, score with the q6 quality expression over the
+    * flattened text. */
+  def webFunnel: String = {
+    val stops = sqlList(graft.operators.TextAnalysis.stopwords)
+      .replace("(", "[").replace(")", "]")
+    s"""$warcCtes, x AS (
+  SELECT doc_id, ${htmlChainSql("payload")} AS text
+  FROM parsed
+  WHERE valid AND status = 200 AND content_type = 'text/html'
+), f AS (
+  SELECT doc_id, text,
+    string_split(replace(text, chr(10), ' '), ' ') AS w2
+  FROM x
+)
+SELECT doc_id,
+       CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(length(text) -
+                      length(replace(text, chr(10), '')) + 1 AS BIGINT)
+       END AS n_lines,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       LEAST(len(w2) / 50.0, 1.0) *
+         (CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2)) *
+         (1.0 - 0.5 * CAST(len(list_filter(w2,
+            t -> list_contains($stops, t))) AS DOUBLE) / len(w2))
+         AS quality_score
+FROM f"""
   }
 
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]

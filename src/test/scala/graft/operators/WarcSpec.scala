@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins of the q247 WARC parse rules — including the invalidity
+  * paths the fixture never exercises — and the q248 funnel gates.
+  * Also pins the SPEC'd (ungraded) multi-record framing rule: the
+  * Content-Length hop lands exactly on the next record's version
+  * line. */
+class WarcSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def mk(d: Long, text: String): String = {
+    import spark.implicits._
+    Seq((d, text)).toDF("doc_id", "text")
+      .select(Warc.warcFixtureCol(col("doc_id"), col("text")).as("w"))
+      .head().getString(0)
+  }
+
+  private def parse(warcs: Seq[String]) = {
+    import spark.implicits._
+    Warc.parseWarc(warcs.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "warc"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("a 200 capture parses: URI, date, status, type, payload " +
+      "equals the q239 markup, total-length equation holds") {
+    val r = parse(Seq(mk(6L, "alpha beta gamma")))(0L)
+    assert(r.getAs[String]("target_uri") ==
+      "https://site6.example.com/doc6")
+    assert(r.getAs[String]("warc_date") == "2024-01-07T06:00:00Z")
+    assert(r.getAs[Long]("status") == 200L)
+    assert(r.getAs[String]("content_type") == "text/html")
+    assert(r.getAs[Boolean]("valid"))
+    import spark.implicits._
+    val html = Seq((6L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select(HtmlExtract.htmlWrapCol(col("doc_id"), col("text"))
+        .as("h")).head().getString(0)
+    assert(r.getAs[String]("payload") == html)
+  }
+
+  test("a 404 capture parses as text/plain with its short body — " +
+      "the q248 gate drops it") {
+    val r = parse(Seq(mk(13L, "x y")))(0L)
+    assert(r.getAs[Long]("status") == 404L)
+    assert(r.getAs[String]("content_type") == "text/plain")
+    assert(r.getAs[String]("payload") == "not found 13")
+    assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("invalidity is explicit, never a silent wrong answer: bad " +
+      "version, truncated block, and a corrupted Content-Length " +
+      "all mark the row invalid") {
+    val good = mk(1L, "a b c d")
+    val badVersion = "XARC/9.9" + good.drop(8)
+    val truncated = good.dropRight(6) // eats into block + separator
+    val badLen = good.replaceFirst("Content-Length: ", "Content-Length: 9")
+    val rs = parse(Seq(badVersion, truncated, badLen))
+    assert(!rs(0L).getAs[Boolean]("valid"), "version must be checked")
+    assert(!rs(1L).getAs[Boolean]("valid"), "length equation must hold")
+    assert(!rs(2L).getAs[Boolean]("valid"), "bad length must not pass")
+  }
+
+  test("WARC header names match case-insensitively (the spec rule)") {
+    val lower = mk(2L, "p q")
+      .replaceFirst("WARC-Target-URI", "warc-target-uri")
+    val r = parse(Seq(lower))(0L)
+    assert(r.getAs[String]("target_uri") ==
+      "https://site2.example.com/doc2")
+  }
+
+  test("multi-record framing (spec'd, ungraded): the Content-Length " +
+      "hop from record 1 lands exactly on record 2's version line") {
+    val r1 = mk(3L, "a b")
+    val r2 = mk(4L, "c d")
+    val blob = r1 + r2
+    // hop: headers end + 4 + Content-Length + 4 == start of next
+    val h = blob.indexOf("\r\n\r\n")
+    val clen = "\r\nContent-Length: ([0-9]+)\r\n".r
+      .findFirstMatchIn(blob).get.group(1).toInt
+    val next = h + 4 + clen + 4
+    assert(blob.substring(next).startsWith("WARC/1.0\r\n"))
+    assert(blob.substring(next) == r2)
+  }
+
+  test("q248 funnel: 404 rows and invalid rows are gone, survivors " +
+      "carry the q239 extraction's line counts and a quality score " +
+      "in [0,1]") {
+    import spark.implicits._
+    val docs = Seq((13L, "a b c"), (6L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Warc.webFunnel(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(6L))
+    val r = out.head
+    assert(r.getAs[Long]("n_lines") == 6L) // title/h1/p/div/li/li
+    val q = r.getAs[Double]("quality_score")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("the q247 plan is one row-local projection — no shuffle, " +
+      "pruned scan") {
+    import spark.implicits._
+    val df = Warc.warcParsed(Seq((1L, "t")).toDF("doc_id", "text"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "WARC parse must not shuffle")
+  }
+}
