@@ -1561,6 +1561,11 @@ object SparkEntry {
     // first stage of a real web pipeline, composed end to end.
     "q240_html_funnel" -> ((s, dir) =>
       operators.HtmlExtract.htmlFunnel(documents(s, dir))),
+    // robots.txt gate (RFC 9309 longest-prefix semantics, Allow
+    // wins ties): host rules broadcast as arrays, winner picked by
+    // a row-local struct-max fold — the corpus never shuffles.
+    "q249_robots_gate" -> ((s, dir) =>
+      operators.Robots.robotsGate(documents(s, dir))),
     // WARC response-record parsing: version/headers/Content-Length
     // framing + the HTTP envelope, one row-local projection over
     // synthesized captures (404s planted every 13th doc).
@@ -2431,6 +2436,7 @@ object SparkEntry {
     "q246_stream_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q247_warc_parse" -> OracleSql.warcParsed,
     "q248_web_funnel" -> OracleSql.webFunnel,
+    "q249_robots_gate" -> OracleSql.robotsGate,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

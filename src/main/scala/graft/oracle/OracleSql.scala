@@ -7189,6 +7189,37 @@ FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
     s"""$urlCtes
 SELECT doc_id, url, canonical_url, host FROM norm"""
 
+  /** Mirror of [[graft.operators.Robots.robotsGate]] (q249): the
+    * REP longest-prefix rule over the SHARED RuleTuples (rendered as
+    * a VALUES list so the rule set cannot drift), Allow winning
+    * length ties, default allow. */
+  def robotsGate: String = {
+    val values = graft.operators.Robots.RuleTuples
+      .map { case (h, a, p) => s"('$h', $a, '$p')" }
+      .mkString(",\n    ")
+    s"""$urlCtes, pages AS (
+  SELECT doc_id, host,
+         regexp_extract(canonical_url,
+           '^[a-z]+://[^/?]+([^?]*)', 1) AS path
+  FROM norm
+), rules(host, is_allow, prefix) AS (
+  VALUES
+    $values
+), m AS (
+  SELECT p.doc_id, r.is_allow, r.prefix,
+         row_number() OVER (PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC,
+                    r.prefix ASC) AS rn
+  FROM pages p
+  JOIN rules r ON r.host = p.host AND starts_with(p.path, r.prefix)
+)
+SELECT p.doc_id, p.host, p.path,
+       COALESCE(m.prefix, '') AS rule,
+       COALESCE(m.is_allow = 1, TRUE) AS allowed
+FROM pages p
+LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.doc_id = p.doc_id"""
+  }
+
   /** Mirror of [[graft.operators.UrlCanonical.hostQuota]] (q244):
     * the q34 quota logic keyed on the canonical host. */
   def hostQuota: String = {

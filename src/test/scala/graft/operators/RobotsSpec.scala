@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins of the q249 REP semantics: longest-prefix specificity, the
+  * Allow-wins tie-break, default allow, and the broadcast-only plan
+  * shape. */
+class RobotsSpec extends AnyFunSuite with SparkSessionSpec {
+
+  private def gate(ids: Seq[Long]) = {
+    import spark.implicits._
+    Robots.robotsGate(ids.map(i => (i, "t")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("the longest matching prefix wins: /Cat<h>/page<h> re-ALLOWS " +
+      "a page inside the disallowed /Cat<h>") {
+    // doc 0: host 0, path /Cat0/page0 — both rules match, Allow longer
+    // doc 35: host 0 (35%7=0), Cat 0 (35%5=0), page 2 (35%11=2) —
+    //         only the Disallow matches
+    val r = gate(Seq(0L, 35L))
+    assert(r(0L).getAs[String]("path") == "/Cat0/page0")
+    assert(r(0L).getAs[Boolean]("allowed"))
+    assert(r(0L).getAs[String]("rule") == "/Cat0/page0")
+    assert(r(35L).getAs[String]("path") == "/Cat0/page2")
+    assert(!r(35L).getAs[Boolean]("allowed"))
+    assert(r(35L).getAs[String]("rule") == "/Cat0")
+  }
+
+  test("no matching rule means allowed with an empty rule") {
+    // doc 1: host 1 (1%7), Cat 1 (1%5)... both host and cat 1 match;
+    // doc 2: host 2, Cat 2 — matches its host's /Cat2 disallow; pick
+    // doc 8: host 1 (8%7=1), Cat 3 (8%5=3) — no rule matches /Cat3
+    val r = gate(Seq(8L))
+    assert(r(8L).getAs[String]("rule") == "")
+    assert(r(8L).getAs[Boolean]("allowed"))
+  }
+
+  test("on a LENGTH TIE the Allow wins (the published tie-break)") {
+    import spark.implicits._
+    // synthetic rule pair of equal length on one host
+    val pages = Seq((1L, "www.x.com", "/a/b")).toDF("doc_id", "host", "path")
+    val rules = Seq(("www.x.com", 0, "/a/b"), ("www.x.com", 1, "/a/b"),
+      ("www.x.com", 0, "/a"))
+      .toDF("host", "is_allow", "prefix")
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("is_allow"), col("prefix")))
+        .as("rules"))
+    val out = pages.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("matches", filter(col("rules"), r =>
+        col("path").startsWith(r.getField("prefix"))))
+      .withColumn("win", array_max(transform(col("matches"), r =>
+        struct(length(r.getField("prefix")).as("l"),
+          r.getField("is_allow").as("a"),
+          r.getField("prefix").as("p")))))
+      .select(coalesce(col("win.a") === 1, lit(true)).as("allowed"))
+      .head()
+    assert(out.getAs[Boolean]("allowed"),
+      "equal-length Allow must beat the Disallow")
+  }
+
+  test("plan shape: the corpus never shuffles — the only hash " +
+      "exchange is the host-cardinality rule-table rollup feeding " +
+      "the broadcast") {
+    import spark.implicits._
+    val df = Robots.robotsGate(
+      Seq((1L, "t")).toDF("doc_id", "text"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one exchange: the rule-table collect_list rollup")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the rule table must broadcast into the corpus join")
+    // the rule exchange keys on host (21 rows), never on doc_id
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      "no corpus-keyed exchange may exist")
+  }
+}
