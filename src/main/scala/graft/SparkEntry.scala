@@ -1575,6 +1575,10 @@ object SparkEntry {
     // -> q239 extraction -> q6 quality, composed end to end.
     "q248_web_funnel" -> ((s, dir) =>
       operators.Warc.webFunnel(documents(s, dir))),
+    // ... rolled up per capture host: the crawl-health report
+    // (mean quality through the q231 exact micros sum).
+    "q250_web_host_report" -> ((s, dir) =>
+      operators.Warc.webHostReport(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2437,6 +2441,7 @@ object SparkEntry {
     "q247_warc_parse" -> OracleSql.warcParsed,
     "q248_web_funnel" -> OracleSql.webFunnel,
     "q249_robots_gate" -> OracleSql.robotsGate,
+    "q250_web_host_report" -> OracleSql.webHostReport,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -139,6 +139,45 @@ object Warc {
   def warcParsed(docs: DataFrame): DataFrame =
     parseWarc(warcRecords(docs)).drop("payload")
 
+  /** q250: the per-host crawl-health report — the rollup a crawl
+    * operator reads per ingest batch, composed from q247's parse and
+    * q248's funnel: captures, ok-rate (valid 200 text/html), payload
+    * volume, extracted line totals, and the MEAN quality of the ok
+    * pages. The mean rides the q231 exact-sum discipline: per-doc
+    * quality (a bit-identical fixed-order double in both engines)
+    * quantizes to 2^0-scaled MICROS longs (floor(q·10⁶ + 0.5)), the
+    * sum is an exact order-free integer, and the mean is one
+    * fixed-order division — never a shuffle-ordered double sum.
+    *
+    * Scale design (100 TB): two row-local passes over the captures
+    * (parse; parse+extract — scan-cost, stated) and ONE host-keyed
+    * map-side-combined rollup; hosts are dimension-sized. */
+  def webHostReport(docs: DataFrame): DataFrame = {
+    val parsed = parseWarc(warcRecords(docs))
+      .withColumn("host",
+        regexp_extract(col("target_uri"), "^https://([^/]+)/", 1))
+    val ok = col("valid") && col("status") === 200 &&
+      col("content_type") === "text/html"
+    val f = webFunnel(docs)
+      .select(col("doc_id"), col("n_lines"),
+        floor(col("quality_score") * 1000000.0 + 0.5).cast("long")
+          .as("qmicros"))
+    parsed
+      .join(f, Seq("doc_id"), "left")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_captures"),
+        sum(ok.cast("long")).as("n_ok"),
+        sum(when(ok, col("n_payload_chars")).otherwise(0L))
+          .as("sum_payload_chars"),
+        sum(coalesce(col("n_lines"), lit(0L))).as("n_lines_total"),
+        sum(coalesce(col("qmicros"), lit(0L))).as("qsum"))
+      .select(col("host"), col("n_captures"), col("n_ok"),
+        col("sum_payload_chars"), col("n_lines_total"),
+        when(col("n_ok") > 0,
+          col("qsum").cast("double") / 1000000.0 / col("n_ok"))
+          .otherwise(lit(null).cast("double")).as("mean_quality"))
+  }
+
   /** q248: the FULL web funnel — WARC parse → keep valid HTTP 200
     * text/html captures → the q239 extraction kernel → flatten →
     * q6 quality score: (doc_id, n_lines, n_chars, quality_score). */

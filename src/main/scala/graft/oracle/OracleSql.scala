@@ -7400,6 +7400,52 @@ SELECT doc_id,
 FROM f"""
   }
 
+  /** Mirror of [[graft.operators.Warc.webHostReport]] (q250): the
+    * q247 parse + q248 funnel rolled up per capture host; the mean
+    * quality mirrors the micros quantizer exactly (exact integer
+    * sum, one fixed-order division). */
+  def webHostReport: String = {
+    val stops = sqlList(graft.operators.TextAnalysis.stopwords)
+      .replace("(", "[").replace(")", "]")
+    s"""$warcCtes, x AS (
+  SELECT doc_id, ${htmlChainSql("payload")} AS text
+  FROM parsed
+  WHERE valid AND status = 200 AND content_type = 'text/html'
+), f AS (
+  SELECT doc_id,
+    CASE WHEN text = '' THEN CAST(0 AS BIGINT)
+         ELSE CAST(length(text) -
+                   length(replace(text, chr(10), '')) + 1 AS BIGINT)
+    END AS n_lines,
+    CAST(FLOOR(
+      LEAST(len(w2) / 50.0, 1.0) *
+        (CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2)) *
+        (1.0 - 0.5 * CAST(len(list_filter(w2,
+           t -> list_contains($stops, t))) AS DOUBLE) / len(w2))
+      * 1000000.0 + 0.5) AS BIGINT) AS qmicros
+  FROM (SELECT doc_id, text,
+          string_split(replace(text, chr(10), ' '), ' ') AS w2
+        FROM x)
+), cap AS (
+  SELECT p.doc_id,
+    regexp_extract(p.target_uri, '^https://([^/]+)/', 1) AS host,
+    p.valid AND p.status = 200 AND p.content_type = 'text/html'
+      AS ok,
+    length(p.payload) AS plen, f.n_lines, f.qmicros
+  FROM parsed p LEFT JOIN f ON f.doc_id = p.doc_id
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN ok THEN plen ELSE 0 END) AS BIGINT)
+         AS sum_payload_chars,
+       CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS n_lines_total,
+       CASE WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(COALESCE(qmicros, 0)) AS DOUBLE) /
+                 1000000.0 / SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+            ELSE CAST(NULL AS DOUBLE) END AS mean_quality
+FROM cap GROUP BY host"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =

@@ -99,6 +99,26 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
     assert(q >= 0.0 && q <= 1.0)
   }
 
+  test("q250 host report: counts split 200s from 404s per host, " +
+      "and the mean quality equals the exact micros-sum mean of the " +
+      "ok pages") {
+    import spark.implicits._
+    // doc 13 is the 404 on host site6 (13 % 7 = 6); doc 6 is a 200
+    // on the same host — one host row with n_captures 2, n_ok 1
+    val docs = Seq((13L, "a b c"), (6L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r = Warc.webHostReport(docs).collect()
+      .map(x => x.getAs[String]("host") -> x).toMap
+    val h = r("site6.example.com")
+    assert(h.getAs[Long]("n_captures") == 2L)
+    assert(h.getAs[Long]("n_ok") == 1L)
+    val q = Warc.webFunnel(docs).head().getAs[Double]("quality_score")
+    val expected = math.floor(q * 1000000.0 + 0.5) / 1000000.0
+    assert(h.getAs[Double]("mean_quality") == expected,
+      "mean must be the quantized exact-sum mean")
+    assert(h.getAs[Long]("n_lines_total") == 6L)
+  }
+
   test("the q247 plan is one row-local projection — no shuffle, " +
       "pruned scan") {
     import spark.implicits._
