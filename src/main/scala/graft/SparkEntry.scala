@@ -1579,6 +1579,16 @@ object SparkEntry {
     // (mean quality through the q231 exact micros sum).
     "q250_web_host_report" -> ((s, dir) =>
       operators.Warc.webHostReport(documents(s, dir))),
+    // CDX capture index: SURT urlkey, 14-digit timestamp, and
+    // FILE-LOCAL byte offsets (prefix sum partitioned by the
+    // bounded warc_file band — no global sort anywhere).
+    "q251_cdx_index" -> ((s, dir) =>
+      operators.Warc.cdxIndex(documents(s, dir))),
+    // WARC revisit records: two-run recrawl, recaptures with an
+    // unchanged payload digest stored as `revisit` pointers; the
+    // only window is per-URI, bounded at the recrawl depth.
+    "q252_warc_revisit" -> ((s, dir) =>
+      operators.Warc.warcRevisits(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2442,6 +2452,8 @@ object SparkEntry {
     "q248_web_funnel" -> OracleSql.webFunnel,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
+    "q251_cdx_index" -> OracleSql.cdxIndex,
+    "q252_warc_revisit" -> OracleSql.warcRevisits,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** WARC response-record parsing (q247) + the full web-corpus funnel
@@ -111,6 +112,7 @@ object Warc {
     val hp = instr(col("block"), Sep)
     records
       .select(col("doc_id"), warc,
+        length(warc).cast("long").as("record_len"),
         regexp_extract(warc,
           "(?i)\\r\\nWARC-Target-URI: ([^\\r]*)\\r\\n", 1)
           .as("target_uri"),
@@ -126,18 +128,110 @@ object Warc {
         col("block").substr(hp + lit(4),
           greatest(length(col("block")) - hp - lit(3), lit(0)))
           .as("payload"),
-        col("valid"))
+        col("valid"), col("record_len"))
       .select(col("doc_id"), col("target_uri"), col("warc_date"),
         col("status"), col("content_type"),
         length(col("payload")).cast("long").as("n_payload_chars"),
         md5(col("payload")).as("payload_md5"),
-        col("valid"), col("payload"))
+        col("valid"), col("payload"), col("record_len"))
   }
 
   /** q247: documents → synthesized WARC record → parsed fields
     * (payload carried as a digest, never as output text). */
   def warcParsed(docs: DataFrame): DataFrame =
-    parseWarc(warcRecords(docs)).drop("payload")
+    parseWarc(warcRecords(docs)).drop("payload", "record_len")
+
+  /** Records per synthesized WARC file — the file grouping the CDX
+    * offsets are relative to (real crawls cap records per .warc.gz
+    * the same way, so offset arithmetic never needs a global
+    * ordering). */
+  val CdxRecordsPerFile = 100L
+
+  /** q251: the CDX(J)-style capture index — the standard web-archive
+    * lookup artifact (urlkey + timestamp + locator) every wayback-
+    * style reader resolves captures through. Per capture: the SURT
+    * urlkey (host labels reversed and comma-joined, path appended
+    * after `)`), the 14-digit timestamp from WARC-Date, original
+    * URI, mime, status, payload digest, and the LOCATOR — which
+    * synthesized .warc file the record lives in (doc_id-banded,
+    * [[CdxRecordsPerFile]] records each) and its byte offset inside
+    * that file (the running sum of the preceding records' lengths;
+    * ASCII fixture, so char length == octet length — the q247
+    * contract).
+    *
+    * Scale design (100 TB): one row-local projection plus ONE
+    * window prefix-sum partitioned by warc_file — partitions are
+    * bounded at [[CdxRecordsPerFile]] rows by construction (exactly
+    * as real per-file offsets are file-local), so no global sort and
+    * no single-reducer rank anywhere. */
+  def cdxIndex(docs: DataFrame): DataFrame = {
+    val parsed = parseWarc(warcRecords(docs))
+    val host = regexp_extract(col("target_uri"), "^https://([^/]+)/", 1)
+    val path = regexp_extract(col("target_uri"), "^https://[^/]+(/.*)$", 1)
+    val fileW = Window.partitionBy(col("warc_file"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parsed
+      .withColumn("urlkey",
+        concat(array_join(reverse(split(host, "\\.")), ","),
+          lit(")"), path))
+      .withColumn("ts14",
+        regexp_replace(col("warc_date"), "[-T:Z]", ""))
+      .withColumn("warc_file",
+        concat(lit("crawl-"),
+          lpad(floor(col("doc_id") / CdxRecordsPerFile)
+            .cast("string"), 5, "0"),
+          lit(".warc")))
+      .withColumn("offset",
+        coalesce(sum(col("record_len")).over(fileW), lit(0L)))
+      .select(col("doc_id"), col("urlkey"), col("ts14"),
+        col("target_uri").as("original"),
+        col("content_type").as("mime"), col("status"),
+        col("payload_md5").as("digest"), col("record_len"),
+        col("warc_file"), col("offset"))
+  }
+
+  /** Snapshots per URL in the q252 recrawl fixture. */
+  val RevisitRuns = 2
+
+  /** q252: WARC revisit records — the crawl-side content dedup the
+    * WARC spec defines (a recapture whose payload digest matches a
+    * prior capture of the same URI is stored as a `revisit` record
+    * referring to the original, saving the payload bytes). The
+    * fixture is a two-run recrawl of every page: run 1 recaptures
+    * run 0's text unchanged except on the doc_id % 3 == 0 pages
+    * (edited between crawls), so both outcomes occur on every run.
+    * Per capture: (doc_id, run, target_uri, capture_ts, digest,
+    * record_type response|revisit, saved_chars).
+    *
+    * Scale design (100 TB): the only non-row-local step is the
+    * per-URI first-capture digest — a window partitioned by doc_id
+    * whose partitions are bounded at [[RevisitRuns]] rows (the
+    * recrawl depth, an operator constant), never corpus-sized. */
+  def warcRevisits(docs: DataFrame): DataFrame = {
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("run"))
+    docs
+      .select(col("doc_id"),
+        explode(array((0 until RevisitRuns).map(lit): _*)).as("run"),
+        col("text"))
+      .withColumn("snap_text",
+        when(col("run") > 0 && col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" updated v2")))
+          .otherwise(col("text")))
+      .withColumn("digest", md5(col("snap_text")))
+      .withColumn("first_digest", first(col("digest")).over(runW))
+      .select(col("doc_id"), col("run").cast("long").as("run"),
+        urlCol(col("doc_id")).as("target_uri"),
+        concat(lit("2024-02-0"), (col("run") + 1).cast("string"),
+          lit("T00:00:00Z")).as("capture_ts"),
+        col("digest"),
+        when(col("run") > 0 && col("digest") === col("first_digest"),
+          lit("revisit")).otherwise(lit("response"))
+          .as("record_type"),
+        when(col("run") > 0 && col("digest") === col("first_digest"),
+          length(col("snap_text")).cast("long")).otherwise(lit(0L))
+          .as("saved_chars"))
+  }
 
   /** q250: the per-host crawl-health report — the rollup a crawl
     * operator reads per ingest batch, composed from q247's parse and

@@ -7446,6 +7446,68 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_captures,
 FROM cap GROUP BY host"""
   }
 
+  /** Mirror of [[graft.operators.Warc.cdxIndex]] (q251): the
+    * capture index recomputed from the same WARC CTEs — SURT
+    * urlkey, 14-digit timestamp, and file-local offsets as the
+    * partitioned prefix sum of record lengths. */
+  def cdxIndex: String = {
+    val per = graft.operators.Warc.CdxRecordsPerFile
+    s"""$warcCtes, lens AS (
+  SELECT doc_id, CAST(length(warc) AS BIGINT) AS record_len,
+         'crawl-' || lpad(CAST(doc_id // $per AS VARCHAR), 5, '0')
+           || '.warc' AS warc_file
+  FROM wrec
+), loc AS (
+  SELECT doc_id, record_len, warc_file,
+         COALESCE(SUM(record_len) OVER (PARTITION BY warc_file
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS "offset"
+  FROM lens
+)
+SELECT p.doc_id,
+       array_to_string(list_reverse(string_split(
+         regexp_extract(p.target_uri, '^https://([^/]+)/', 1), '.')),
+         ',') || ')' ||
+         regexp_extract(p.target_uri, '^https://[^/]+(/.*)$$', 1)
+         AS urlkey,
+       regexp_replace(p.warc_date, '[-T:Z]', '', 'g') AS ts14,
+       p.target_uri AS original, p.content_type AS mime, p.status,
+       md5(p.payload) AS digest, l.record_len, l.warc_file,
+       CAST(l."offset" AS BIGINT) AS "offset"
+FROM parsed p JOIN loc l ON l.doc_id = p.doc_id"""
+  }
+
+  /** Mirror of [[graft.operators.Warc.warcRevisits]] (q252): the
+    * two-run recrawl with digest-addressed revisit records. */
+  def warcRevisits: String = {
+    val runs = graft.operators.Warc.RevisitRuns
+    s"""WITH s AS (
+  SELECT doc_id, r.run,
+    CASE WHEN r.run > 0 AND doc_id % 3 = 0
+         THEN text || ' updated v2' ELSE text END AS snap_text
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, $runs)) AS run) r
+), d AS (
+  SELECT doc_id, run, md5(snap_text) AS digest,
+         CAST(length(snap_text) AS BIGINT) AS len,
+         first_value(md5(snap_text)) OVER (PARTITION BY doc_id
+           ORDER BY run) AS first_digest
+  FROM s
+)
+SELECT doc_id, CAST(run AS BIGINT) AS run,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com/doc' || CAST(doc_id AS VARCHAR) AS target_uri,
+       '2024-02-0' || CAST(run + 1 AS VARCHAR) || 'T00:00:00Z'
+         AS capture_ts,
+       digest,
+       CASE WHEN run > 0 AND digest = first_digest THEN 'revisit'
+            ELSE 'response' END AS record_type,
+       CASE WHEN run > 0 AND digest = first_digest THEN len
+            ELSE CAST(0 AS BIGINT) END AS saved_chars
+FROM d"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =

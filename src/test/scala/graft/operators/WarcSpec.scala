@@ -119,6 +119,75 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
     assert(h.getAs[Long]("n_lines_total") == 6L)
   }
 
+  test("q251 CDX: SURT urlkey, 14-digit timestamp, and offsets " +
+      "that are exact file-local prefix sums of record lengths") {
+    import spark.implicits._
+    // docs 0..2 share crawl-00000.warc; doc 100 starts crawl-00001
+    val docs = Seq((0L, "a b"), (1L, "c d e"), (2L, "f"),
+      (100L, "g h")).toDF("doc_id", "text")
+    val rows = Warc.cdxIndex(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[String]("urlkey") ==
+      "com,example,site1)/doc1")
+    assert(rows(1L).getAs[String]("ts14") == "20240102010000")
+    assert(rows(1L).getAs[String]("warc_file") == "crawl-00000.warc")
+    assert(rows(100L).getAs[String]("warc_file") == "crawl-00001.warc")
+    // offsets: file-local prefix sums, first record at 0
+    val lens = Warc.warcRecords(docs)
+      .select(col("doc_id"), length(col("warc")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(0L).getAs[Long]("offset") == 0L)
+    assert(rows(1L).getAs[Long]("offset") == lens(0L))
+    assert(rows(2L).getAs[Long]("offset") == lens(0L) + lens(1L))
+    assert(rows(100L).getAs[Long]("offset") == 0L,
+      "a new warc file restarts its offsets")
+    assert(rows(2L).getAs[Long]("record_len") == lens(2L))
+    // the 404 capture indexes too (CDX carries every record)
+    val all = Warc.cdxIndex(Seq((13L, "x")).toDF("doc_id", "text"))
+      .head()
+    assert(all.getAs[Long]("status") == 404L)
+    assert(all.getAs[String]("mime") == "text/plain")
+  }
+
+  test("q252 revisit: an unchanged recapture is a revisit record " +
+      "saving its payload chars; an edited page recaptures as a " +
+      "full response") {
+    import spark.implicits._
+    // doc 7 (% 3 != 0): unchanged across runs -> run 1 a revisit;
+    // doc 9 (% 3 == 0): edited -> run 1 is a fresh response
+    val docs = Seq((7L, "alpha beta"), (9L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val rows = Warc.warcRevisits(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run")) -> r)
+      .toMap
+    assert(rows.size == 4)
+    assert(rows((7L, 0L)).getAs[String]("record_type") == "response")
+    assert(rows((7L, 1L)).getAs[String]("record_type") == "revisit")
+    assert(rows((7L, 1L)).getAs[Long]("saved_chars") ==
+      "alpha beta".length.toLong)
+    assert(rows((7L, 1L)).getAs[String]("digest") ==
+      rows((7L, 0L)).getAs[String]("digest"))
+    assert(rows((9L, 1L)).getAs[String]("record_type") == "response")
+    assert(rows((9L, 1L)).getAs[Long]("saved_chars") == 0L)
+    assert(rows((9L, 1L)).getAs[String]("digest") !=
+      rows((9L, 0L)).getAs[String]("digest"))
+    assert(rows((7L, 0L)).getAs[String]("capture_ts") ==
+      "2024-02-01T00:00:00Z")
+    assert(rows((7L, 1L)).getAs[String]("capture_ts") ==
+      "2024-02-02T00:00:00Z")
+  }
+
+  test("the q251/q252 windows are partitioned — no single-partition " +
+      "exchange in either plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "t")).toDF("doc_id", "text")
+    for (df <- Seq(Warc.cdxIndex(docs), Warc.warcRevisits(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"unpartitioned window in:\n$plan")
+    }
+  }
+
   test("the q247 plan is one row-local projection — no shuffle, " +
       "pruned scan") {
     import spark.implicits._
