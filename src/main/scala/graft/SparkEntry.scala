@@ -1589,6 +1589,16 @@ object SparkEntry {
     // only window is per-URI, bounded at the recrawl depth.
     "q252_warc_revisit" -> ((s, dir) =>
       operators.Warc.warcRevisits(documents(s, dir))),
+    // Sitemap (sitemaps.org 0.9) parse: one row per <url> block
+    // with loc/lastmod/changefreq/priority — row-local regexp
+    // split + posexplode, a sitemap never crosses an exchange.
+    "q253_sitemap_parse" -> ((s, dir) =>
+      operators.Sitemap.sitemapEntries(documents(s, dir))),
+    // ... composed into the crawl frontier head: robots-gated,
+    // URL-collapsed (best hints win), and politeness-scheduled per
+    // host through the bounded TopKPerGroup heap.
+    "q254_crawl_frontier" -> ((s, dir) =>
+      operators.Sitemap.crawlFrontier(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2454,6 +2464,8 @@ object SparkEntry {
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,
     "q252_warc_revisit" -> OracleSql.warcRevisits,
+    "q253_sitemap_parse" -> OracleSql.sitemapEntries,
+    "q254_crawl_frontier" -> OracleSql.crawlFrontier,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sitemap parsing (q253) + the robots-gated crawl frontier (q254)
+  * — the discovery side of the web-corpus chain: q247 parses what a
+  * crawler FETCHED, q249 decides what it MAY fetch, and these two
+  * decide what it fetches NEXT. Reference N/A (no web fetches in the
+  * taxi stream) — LLM-pipeline operators like q239/q243/q249.
+  *
+  * The PARSED SUBSET of the sitemap protocol (sitemaps.org 0.9),
+  * stated precisely: one `<urlset>` document per row, `<url>` blocks
+  * in document order, each carrying `<loc>` (required) and the
+  * optional `<lastmod>`/`<changefreq>`/`<priority>` hints; entities
+  * and CDATA are out of the stated subset (the fixture's URLs need
+  * neither). Parsing is regexp over the block list — the non-greedy
+  * constructs used are in the stated RE2/Java intersection (the
+  * q239 discipline).
+  *
+  * The graded fixture is SYNTHESIZED per doc_id: each row is a
+  * 3-entry sitemap on the doc's host (www.site{d%7}.example.com —
+  * the q249 rule hosts): the doc's own page `/Cat{d%5}/page{d%11}`,
+  * its category page `/Cat{d%5}`, and the host's `/about`, with
+  * per-entry lastmod/changefreq/priority derived from d+i so every
+  * hint value occurs on every run.
+  *
+  * The FRONTIER (q254) composes the chain end to end: parse →
+  * robots gate ([[Robots]]'s broadcast rules, longest-prefix /
+  * Allow-wins) → URL-level collapse (a page listed by many sitemaps
+  * keeps its best hints: max priority, freshest lastmod, a ref
+  * count) → POLITENESS SCHEDULING: per host, the next
+  * [[FrontierSlots]] fetches picked by (priority desc, loc) through
+  * the TopKPerGroup heap, each slot [[CrawlDelayMs]] apart — the
+  * per-host serialization a real crawler enforces, emitted as the
+  * frontier HEAD (the next batch), never a rank over the whole
+  * future.
+  *
+  * Scale design (100 TB): q253 is row-local (one regexp block split
+  * + posexplode — a sitemap never crosses an exchange). q254's
+  * rule join is broadcast (host-cardinality metadata); the URL
+  * collapse is one map-side-combined rollup keyed on (host, loc);
+  * the schedule is TopKPerGroup — per-partition bounded heaps
+  * forwarding ≤ k rows per host, never a corpus-sized per-host
+  * window sort (the window remains only as the bare-session
+  * fixture fallback, the [[TextAnalysis.globalTopK]] pattern). */
+object Sitemap {
+
+  /** Entries per synthesized sitemap. */
+  val EntriesPerMap = 3
+
+  /** Frontier head size per host (q254). */
+  val FrontierSlots = 20
+
+  /** Politeness delay between same-host fetches (q254), ms. */
+  val CrawlDelayMs = 500L
+
+  // fixture pieces (shared verbatim with the oracle)
+  val X0 = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+    "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+  val X1 = "</urlset>"
+
+  private def hostCol(d: Column): Column =
+    concat(lit("https://www.site"), (d % 7).cast("string"),
+      lit(".example.com"))
+
+  /** Path of entry i for doc d (i in 0 until [[EntriesPerMap]]). */
+  private def pathCol(d: Column, i: Int): Column = i match {
+    case 0 => concat(lit("/Cat"), (d % 5).cast("string"),
+      lit("/page"), (d % 11).cast("string"))
+    case 1 => concat(lit("/Cat"), (d % 5).cast("string"))
+    case _ => lit("/about")
+  }
+
+  /** One `<url>` block for doc d, entry i. */
+  private def entryCol(d: Column, i: Int): Column = {
+    val k = d + lit(i)
+    val lastmod = concat(lit("2024-03-"),
+      lpad((k % 28 + 1).cast("string"), 2, "0"))
+    val cf = when(k % 3 === 0, lit("daily"))
+      .when(k % 3 === 1, lit("weekly")).otherwise(lit("monthly"))
+    val pr = concat(lit("0."), (k % 10).cast("string"))
+    concat(lit("<url><loc>"), hostCol(d), pathCol(d, i),
+      lit("</loc><lastmod>"), lastmod,
+      lit("</lastmod><changefreq>"), cf,
+      lit("</changefreq><priority>"), pr,
+      lit("</priority></url>\n"))
+  }
+
+  /** The complete synthesized sitemap document for a doc_id. */
+  def sitemapFixtureCol(d: Column): Column =
+    concat(lit(X0) +: (0 until EntriesPerMap).map(entryCol(d, _)) :+
+      lit(X1): _*)
+
+  /** q253: documents → synthesized sitemap → one row per `<url>`
+    * entry: (doc_id, entry_idx, loc, lastmod, changefreq,
+    * priority). */
+  def sitemapEntries(docs: DataFrame): DataFrame = {
+    val withXml = docs.select(col("doc_id"),
+      sitemapFixtureCol(col("doc_id")).as("xml"))
+    withXml
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("xml"),
+          lit("(?s)<url>(.*?)</url>"), lit(1)))
+          .as(Seq("entry_idx", "block")))
+      .select(col("doc_id"), col("entry_idx").cast("long")
+          .as("entry_idx"),
+        regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("block"), "<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("block"),
+          "<changefreq>(.*?)</changefreq>", 1).as("changefreq"),
+        regexp_extract(col("block"), "<priority>(.*?)</priority>", 1)
+          .cast("double").as("priority"))
+  }
+
+  /** q254: the crawl frontier head — q253's entries, robots-gated,
+    * URL-collapsed, and politeness-scheduled: per host the top
+    * [[FrontierSlots]] allowed pages by (priority desc, loc), each
+    * assigned a fetch slot [[CrawlDelayMs]] apart:
+    * (host, slot, loc, path, priority, lastmod, n_refs,
+    * fetch_at_ms). */
+  def crawlFrontier(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val entries = sitemapEntries(docs)
+      .withColumn("host",
+        regexp_extract(col("loc"), "^https://([^/]+)/", 1))
+      .withColumn("path",
+        regexp_extract(col("loc"), "^https://[^/]+(/.*)$", 1))
+    val hostRules = Robots.rulesFor(spark)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("is_allow"), col("prefix")))
+        .as("rules"))
+    val gated = entries
+      .join(broadcast(hostRules), Seq("host"), "left")
+      .withColumn("matches", filter(col("rules"), r =>
+        col("path").startsWith(r.getField("prefix"))))
+      .withColumn("win", array_max(transform(col("matches"), r =>
+        struct(length(r.getField("prefix")).as("l"),
+          r.getField("is_allow").as("a"),
+          r.getField("prefix").as("p")))))
+      .filter(coalesce(col("win.a") === 1, lit(true)))
+    val collapsed = gated
+      .groupBy(col("host"), col("loc"), col("path"))
+      .agg(max(col("priority")).as("priority"),
+        max(col("lastmod")).as("lastmod"),
+        count(lit(1)).as("n_refs"))
+    val ranked = topKPerHost(collapsed,
+      Seq("priority" -> false, "loc" -> true), FrontierSlots)
+    ranked
+      .select(col("host"), (col("rank") - 1).as("slot"), col("loc"),
+        col("path"), col("priority"), col("lastmod"), col("n_refs"),
+        ((col("rank") - 1) * CrawlDelayMs).as("fetch_at_ms"))
+  }
+
+  /** Per-host top-k through the TopKPerGroup heap when the session
+    * carries [[graft.plans.GraftExtensions]]; host-partitioned
+    * window fallback for bare fixture sessions (the
+    * [[TextAnalysis.globalTopK]] pattern). */
+  private def topKPerHost(df: DataFrame,
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val extensionsActive = df.sparkSession.sessionState.planner
+      .extraPlanningStrategies
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.TopKStrategy.type])
+    if (extensionsActive)
+      org.apache.spark.sql.graft.TopK.perGroup(
+        df, Seq("host"), orderCols, k)
+    else {
+      val sorted = orderCols.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }
+      df.withColumn("rank",
+          row_number().over(Window.partitionBy(col("host"))
+            .orderBy(sorted: _*)).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
+}

@@ -7508,6 +7508,106 @@ SELECT doc_id, CAST(run AS BIGINT) AS run,
 FROM d"""
   }
 
+  /** Shared CTEs of the q253/q254 sitemap mirrors — the fixture is
+    * rebuilt from [[graft.operators.Sitemap]]'s shared constants and
+    * arithmetic, then split and field-parsed with the SAME regex
+    * literals. Yields CTE `ent` = (doc_id, entry_idx, loc, lastmod,
+    * changefreq, priority). */
+  private def sitemapCtes: String = {
+    import graft.operators.Sitemap._
+    s"""WITH e AS (
+  SELECT doc_id, r.i,
+    '<url><loc>https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+    '.example.com' ||
+    CASE r.i WHEN 0 THEN '/Cat' || CAST(doc_id % 5 AS VARCHAR) ||
+                        '/page' || CAST(doc_id % 11 AS VARCHAR)
+             WHEN 1 THEN '/Cat' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '/about' END ||
+    '</loc><lastmod>2024-03-' ||
+    lpad(CAST((doc_id + r.i) % 28 + 1 AS VARCHAR), 2, '0') ||
+    '</lastmod><changefreq>' ||
+    CASE (doc_id + r.i) % 3 WHEN 0 THEN 'daily'
+                            WHEN 1 THEN 'weekly'
+                            ELSE 'monthly' END ||
+    '</changefreq><priority>0.' ||
+    CAST((doc_id + r.i) % 10 AS VARCHAR) ||
+    '</priority></url>' || chr(10) AS block
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, $EntriesPerMap)) AS i) r
+), x AS (
+  SELECT doc_id, ${sqlLit(X0)} || string_agg(block, '' ORDER BY i) ||
+         ${sqlLit(X1)} AS xml
+  FROM e GROUP BY doc_id
+), sp AS (
+  SELECT doc_id,
+         regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS blocks
+  FROM x
+), u AS (
+  SELECT doc_id, r.i AS entry_idx, blocks[r.i + 1] AS block
+  FROM sp, LATERAL (SELECT unnest(range(0, len(blocks))) AS i) r
+), ent AS (
+  SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx,
+         regexp_extract(block, '<loc>(.*?)</loc>', 1) AS loc,
+         regexp_extract(block, '<lastmod>(.*?)</lastmod>', 1)
+           AS lastmod,
+         regexp_extract(block, '<changefreq>(.*?)</changefreq>', 1)
+           AS changefreq,
+         CAST(regexp_extract(block, '<priority>(.*?)</priority>', 1)
+           AS DOUBLE) AS priority
+  FROM u
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Sitemap.sitemapEntries]] (q253). */
+  def sitemapEntries: String =
+    s"""$sitemapCtes
+SELECT doc_id, entry_idx, loc, lastmod, changefreq, priority
+FROM ent"""
+
+  /** Mirror of [[graft.operators.Sitemap.crawlFrontier]] (q254):
+    * robots gate (the q249 longest-prefix/Allow-wins rules), URL
+    * collapse with best-hint semantics, per-host top-k politeness
+    * schedule. */
+  def crawlFrontier: String = {
+    import graft.operators.Sitemap.{CrawlDelayMs, FrontierSlots}
+    val values = graft.operators.Robots.RuleTuples
+      .map { case (h, a, p) => s"('$h', $a, '$p')" }
+      .mkString(",\n    ")
+    s"""$sitemapCtes, g AS (
+  SELECT doc_id, entry_idx, loc, lastmod, priority,
+         regexp_extract(loc, '^https://([^/]+)/', 1) AS host,
+         regexp_extract(loc, '^https://[^/]+(/.*)$$', 1) AS path
+  FROM ent
+), rules(host, is_allow, prefix) AS (
+  VALUES
+    $values
+), m AS (
+  SELECT g.doc_id, g.entry_idx, r.is_allow,
+         row_number() OVER (PARTITION BY g.doc_id, g.entry_idx
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC,
+                    r.prefix ASC) AS rn
+  FROM g JOIN rules r
+    ON r.host = g.host AND starts_with(g.path, r.prefix)
+), allowed AS (
+  SELECT g.* FROM g
+  LEFT JOIN (SELECT doc_id, entry_idx, is_allow FROM m WHERE rn = 1) w
+    ON w.doc_id = g.doc_id AND w.entry_idx = g.entry_idx
+  WHERE COALESCE(w.is_allow = 1, TRUE)
+), c AS (
+  SELECT host, loc, path, MAX(priority) AS priority,
+         MAX(lastmod) AS lastmod,
+         CAST(COUNT(*) AS BIGINT) AS n_refs
+  FROM allowed GROUP BY host, loc, path
+), rk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY host
+    ORDER BY priority DESC, loc ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT host, rank - 1 AS slot, loc, path, priority, lastmod, n_refs,
+       (rank - 1) * $CrawlDelayMs AS fetch_at_ms
+FROM rk WHERE rank <= $FrontierSlots"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =
