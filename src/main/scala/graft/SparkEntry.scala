@@ -1599,6 +1599,16 @@ object SparkEntry {
     // host through the bounded TopKPerGroup heap.
     "q254_crawl_frontier" -> ((s, dir) =>
       operators.Sitemap.crawlFrontier(documents(s, dir))),
+    // WebVTT cue parse: blank-line blocks, HH:MM:SS.mmm timing
+    // inverted by real field arithmetic — row-local, a subtitle
+    // file never crosses an exchange.
+    "q255_vtt_cues" -> ((s, dir) =>
+      operators.Subtitles.vttCues(documents(s, dir))),
+    // ... aligned to the video frame clock: an EQUI-join on doc_id
+    // with containment residual — co-partitioned video-local work,
+    // gap frames kept as NULL-caption rows (counted, not dropped).
+    "q256_frame_cue_align" -> ((s, dir) =>
+      operators.Subtitles.frameCueAlign(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2466,6 +2476,8 @@ object SparkEntry {
     "q252_warc_revisit" -> OracleSql.warcRevisits,
     "q253_sitemap_parse" -> OracleSql.sitemapEntries,
     "q254_crawl_frontier" -> OracleSql.crawlFrontier,
+    "q255_vtt_cues" -> OracleSql.vttCues,
+    "q256_frame_cue_align" -> OracleSql.frameCueAlign,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

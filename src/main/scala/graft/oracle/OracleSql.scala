@@ -7608,6 +7608,88 @@ SELECT host, rank - 1 AS slot, loc, path, priority, lastmod, n_refs,
 FROM rk WHERE rank <= $FrontierSlots"""
   }
 
+  /** HH:MM:SS.mmm formatter over a BIGINT-ms SQL expression —
+    * the q255 fixture's timestamp writer, mirrored. */
+  private def vttTsSql(ms: String): String =
+    s"""lpad(CAST(($ms) // 3600000 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(($ms) % 3600000 // 60000 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(($ms) % 60000 // 1000 AS VARCHAR), 2, '0') || '.' ||
+    lpad(CAST(($ms) % 1000 AS VARCHAR), 3, '0')"""
+
+  /** One parsed timing-line field group re-weighted to ms — the
+    * q255 parse arithmetic, mirrored. */
+  private def vttParseSql(line: String, base: Int): String = {
+    val pat = "'^([0-9]{2}):([0-9]{2}):([0-9]{2})\\.([0-9]{3}) --> " +
+      "([0-9]{2}):([0-9]{2}):([0-9]{2})\\.([0-9]{3})$'"
+    s"""CAST(regexp_extract($line, $pat, $base) AS BIGINT) * 3600000 +
+    CAST(regexp_extract($line, $pat, ${base + 1}) AS BIGINT) * 60000 +
+    CAST(regexp_extract($line, $pat, ${base + 2}) AS BIGINT) * 1000 +
+    CAST(regexp_extract($line, $pat, ${base + 3}) AS BIGINT)"""
+  }
+
+  /** Shared CTEs of the q255/q256 WebVTT mirrors — fixture rebuilt
+    * from [[graft.operators.Subtitles]]'s arithmetic, re-split and
+    * re-parsed with the same regex. Yields CTE `cues` = (doc_id,
+    * cue_idx, t_start_ms, t_end_ms, text). */
+  private def vttCtes: String = {
+    val nl = "chr(10)"
+    s"""WITH c AS (
+  SELECT doc_id, r.i,
+         r.i * (1000 + (doc_id % 5) * 100) AS s,
+         600 + ((doc_id + r.i) % 5) * 100 AS dur
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, 2 + doc_id % 4)) AS i) r
+), b AS (
+  SELECT doc_id, i,
+    CAST(i AS VARCHAR) || $nl ||
+    ${vttTsSql("s")} || ' --> ' || ${vttTsSql("s + dur")} || $nl ||
+    'cue ' || CAST(i AS VARCHAR) || ' line one' || $nl ||
+    'doc ' || CAST(doc_id AS VARCHAR) || ' line two' AS block
+  FROM c
+), v AS (
+  SELECT doc_id,
+         'WEBVTT' || string_agg($nl || $nl || block, '' ORDER BY i)
+           AS vtt
+  FROM b GROUP BY doc_id
+), sp AS (
+  SELECT doc_id, string_split(vtt, $nl || $nl) AS blocks FROM v
+), u AS (
+  SELECT doc_id, r.i - 2 AS cue_idx,
+         string_split(blocks[r.i], $nl) AS lines
+  FROM sp, LATERAL (SELECT unnest(range(2, len(blocks) + 1)) AS i) r
+), cues AS (
+  SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx,
+         ${vttParseSql("lines[2]", 1)} AS t_start_ms,
+         ${vttParseSql("lines[2]", 5)} AS t_end_ms,
+         array_to_string(list_slice(lines, 3, len(lines)), ' ')
+           AS text
+  FROM u
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Subtitles.vttCues]] (q255). */
+  def vttCues: String =
+    s"""$vttCtes
+SELECT doc_id, cue_idx, t_start_ms, t_end_ms, text FROM cues"""
+
+  /** Mirror of [[graft.operators.Subtitles.frameCueAlign]] (q256):
+    * the frame clock LEFT-joined to the parsed cues on
+    * containment. */
+  def frameCueAlign: String = {
+    val step = graft.operators.Subtitles.FrameStepMs
+    s"""$vttCtes, fr AS (
+  SELECT doc_id, CAST(r.f AS BIGINT) AS frame_idx,
+         r.f * $step AS frame_ms
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, 2 + doc_id % 5)) AS f) r
+)
+SELECT fr.doc_id, fr.frame_idx, fr.frame_ms, q.cue_idx,
+       q.text AS caption, q.cue_idx IS NOT NULL AS aligned
+FROM fr LEFT JOIN cues q
+  ON q.doc_id = fr.doc_id AND fr.frame_ms >= q.t_start_ms
+     AND fr.frame_ms < q.t_end_ms"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =
