@@ -1609,6 +1609,12 @@ object SparkEntry {
     // gap frames kept as NULL-caption rows (counted, not dropped).
     "q256_frame_cue_align" -> ((s, dir) =>
       operators.Subtitles.frameCueAlign(documents(s, dir))),
+    // Voice-activity segmentation over the q213 frame features:
+    // exact-integer energy gate, hangover smoothing, gaps-and-
+    // islands collapse — every window doc-partitioned and
+    // audio-duration-bounded.
+    "q257_vad_segments" -> ((s, dir) =>
+      operators.Multimodal.vadSegments(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2478,6 +2484,7 @@ object SparkEntry {
     "q254_crawl_frontier" -> OracleSql.crawlFrontier,
     "q255_vtt_cues" -> OracleSql.vttCues,
     "q256_frame_cue_align" -> OracleSql.frameCueAlign,
+    "q257_vad_segments" -> OracleSql.vadSegments,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -1437,6 +1437,61 @@ object Multimodal {
       .toDF("doc_id", "frame", "n", "sumsq", "zc", "rms")
   }
 
+  /** Per-sample energy threshold of [[vadSegments]] — the mean
+    * square of a uniform ±1024 signal (2048²/12), so roughly half
+    * of all frames sit on each side and both VAD branches do real
+    * work on every run. */
+  val VadEnergyPerSample = 349525L
+
+  /** Hangover of [[vadSegments]]: a frame within this many frames
+    * after raw speech stays speech (the classic VAD smoothing that
+    * bridges short intra-utterance dips). */
+  val VadHangoverFrames = 2
+
+  /** Energy-based voice-activity segmentation (q257) — the stage
+    * between q213's frame features and any speech-model consumer:
+    * raw speech = exact-integer energy test (Σs² > n·threshold —
+    * never a float compare), smoothed by a [[VadHangoverFrames]]
+    * hangover (windowed max over the trailing frames), and runs of
+    * speech frames collapsed to segments by the gaps-and-islands
+    * identity (frame − rank is constant within a run). Per segment:
+    * start/end frame, frame count, nominal start/end ms (the exact
+    * 2 ms/frame clock: [[AudioFrameLen]]·1000/[[WavRate]]), and the
+    * exact summed energy.
+    *
+    * Scale design (100 TB): every window is partitioned by doc_id
+    * and bounded by frames-per-blob (audio-duration-bounded — never
+    * corpus-sized); the collapse is one map-side-combined rollup on
+    * (doc, island). No single-partition exchange anywhere. */
+  def vadSegments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frameMs = AudioFrameLen * 1000L / WavRate
+    val hangW = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+      .rowsBetween(-VadHangoverFrames, 0)
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    val segW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("start_frame"))
+    audioFrameFeatures(docs)
+      .withColumn("raw",
+        (col("sumsq") > col("n") * VadEnergyPerSample).cast("int"))
+      .withColumn("speech", max(col("raw")).over(hangW) === 1)
+      .filter(col("speech"))
+      .withColumn("island",
+        col("frame") - row_number().over(rankW))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("frame")).as("start_frame"),
+        max(col("frame")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sumsq")).as("energy"))
+      .withColumn("seg_idx",
+        (row_number().over(segW) - 1).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        (col("start_frame") * frameMs).as("start_ms"),
+        ((col("end_frame") + 1) * frameMs).as("end_ms"),
+        col("energy"))
+  }
+
   /** Graded PPM decode + resize (q55): synthesize a real P6 file,
     * decode it, nearest-neighbor downscale ×2, re-ENCODE, re-DECODE,
     * and report per-channel sums of both rasters. The resized raster

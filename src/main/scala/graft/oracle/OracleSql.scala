@@ -6643,6 +6643,54 @@ SELECT doc_id, CAST(i // $fl AS BIGINT) AS frame,
 FROM s GROUP BY doc_id, i // $fl"""
   }
 
+  /** Mirror of [[graft.operators.Multimodal.vadSegments]] (q257):
+    * frames from the q213 arithmetic, the same integer energy
+    * test, hangover max, and gaps-and-islands collapse. */
+  def vadSegments: String = {
+    import graft.operators.Multimodal.{AudioFrameLen => FL,
+      VadEnergyPerSample => T, VadHangoverFrames => H, WavRate}
+    val frameMs = FL * 1000L / WavRate
+    s"""WITH au AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), s AS (
+  SELECT a.doc_id, r.i,
+         ((a.doc_id * 31 + r.i * 7) % 2048) - 1024 AS s
+  FROM au a, LATERAL (SELECT unnest(range(0, a.n)) AS i) r
+), fr AS (
+  SELECT doc_id, CAST(i // $FL AS BIGINT) AS frame,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s * s) AS BIGINT) AS sumsq
+  FROM s GROUP BY doc_id, i // $FL
+), raw AS (
+  SELECT doc_id, frame, sumsq,
+         CASE WHEN sumsq > n * $T THEN 1 ELSE 0 END AS raw
+  FROM fr
+), sm AS (
+  SELECT doc_id, frame, sumsq,
+         MAX(raw) OVER (PARTITION BY doc_id ORDER BY frame
+           ROWS BETWEEN $H PRECEDING AND CURRENT ROW) AS speech
+  FROM raw
+), isl AS (
+  SELECT doc_id, frame, sumsq,
+         frame - row_number() OVER (PARTITION BY doc_id
+           ORDER BY frame) AS island
+  FROM sm WHERE speech = 1
+), seg AS (
+  SELECT doc_id, island, MIN(frame) AS start_frame,
+         MAX(frame) AS end_frame,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(sumsq) AS BIGINT) AS energy
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+         ORDER BY start_frame) - 1 AS BIGINT) AS seg_idx,
+       start_frame, end_frame, n_frames,
+       start_frame * $frameMs AS start_ms,
+       (end_frame + 1) * $frameMs AS end_ms, energy
+FROM seg"""
+  }
+
   /** q55 oracle — recomputes the PPM decode + ×2 nearest-neighbor
     * resize facts from [[graft.operators.Multimodal.ppmOf]]'s pixel
     * arithmetic: w = 4 + id%8, h = 3 + id%5, channel c of pixel

@@ -611,4 +611,67 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     val framedZc = out.values.map(_._3).sum
     assert(framedZc <= globalZc)
   }
+
+  test("q257 VAD: segments are the hangover-smoothed islands of the " +
+      "exact integer energy test, with 2 ms/frame clock and exact " +
+      "summed energy") {
+    import spark.implicits._
+    val ids = Seq(1L, 5L, 17L, 40L)
+    val docs = ids.map((_, "x")).toDF("doc_id", "text")
+    val out = Multimodal.vadSegments(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    for (id <- ids) {
+      // reference recomputation straight from the synthesis
+      val frames = Multimodal.wavSamplesOf(id)
+        .grouped(Multimodal.AudioFrameLen).toVector
+        .map(fr => (fr.length.toLong, fr.map(s => s.toLong * s).sum))
+      val raw = frames.map { case (n, sq) =>
+        sq > n * Multimodal.VadEnergyPerSample }
+      val speech = raw.indices.map(i =>
+        (math.max(0, i - Multimodal.VadHangoverFrames) to i)
+          .exists(raw))
+      // islands of consecutive speech frames
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var i = 0
+      while (i < speech.length) {
+        if (speech(i)) {
+          val start = i
+          while (i + 1 < speech.length && speech(i + 1)) i += 1
+          val e = (start to i).map(f => frames(f)._2).sum
+          segs += ((start.toLong, i.toLong,
+            (i - start + 1).toLong, e))
+        }
+        i += 1
+      }
+      val got = out.getOrElse(id, Array.empty)
+        .sortBy(_.getAs[Long]("seg_idx"))
+        .map(r => (r.getAs[Long]("start_frame"),
+          r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames"),
+          r.getAs[Long]("energy"))).toSeq
+      assert(got == segs.toSeq, s"doc $id segments mismatch")
+      for (r <- out.getOrElse(id, Array.empty)) {
+        assert(r.getAs[Long]("start_ms") ==
+          r.getAs[Long]("start_frame") * 2L)
+        assert(r.getAs[Long]("end_ms") ==
+          (r.getAs[Long]("end_frame") + 1L) * 2L)
+      }
+    }
+    // the fixture must exercise both branches somewhere
+    val total = ids.map(id => Multimodal.wavSamplesOf(id)
+      .grouped(Multimodal.AudioFrameLen).size).sum
+    val inSeg = out.values.flatten.map(_.getAs[Long]("n_frames")).sum
+    assert(inSeg > 0L && inSeg < total.toLong,
+      s"VAD must keep some and drop some frames ($inSeg of $total)")
+  }
+
+  test("the q257 plan has no single-partition exchange — every " +
+      "window is doc-partitioned") {
+    import spark.implicits._
+    val plan = Multimodal.vadSegments(Seq((1L, "t"))
+        .toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"unpartitioned window in:\n$plan")
+  }
 }
