@@ -1615,6 +1615,11 @@ object SparkEntry {
     // audio-duration-bounded.
     "q257_vad_segments" -> ((s, dir) =>
       operators.Multimodal.vadSegments(documents(s, dir))),
+    // EXIF/TIFF metadata: real Exif-in-JPEG blobs (marker walk,
+    // BOTH byte orders every run, inline + offset-indirected IFD
+    // values) round-tripped row-locally.
+    "q258_exif_parse" -> ((s, dir) =>
+      operators.Multimodal.exifStats(documents(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2485,6 +2490,7 @@ object SparkEntry {
     "q255_vtt_cues" -> OracleSql.vttCues,
     "q256_frame_cue_align" -> OracleSql.frameCueAlign,
     "q257_vad_segments" -> OracleSql.vadSegments,
+    "q258_exif_parse" -> OracleSql.exifStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -6643,6 +6643,24 @@ SELECT doc_id, CAST(i // $fl AS BIGINT) AS frame,
 FROM s GROUP BY doc_id, i // $fl"""
   }
 
+  /** Mirror of [[graft.operators.Multimodal.exifStats]] (q258):
+    * recomputes the expected EXIF fields from
+    * [[graft.operators.Multimodal.exifFieldsOf]]'s arithmetic (the
+    * q54 discipline — the engine side must round-trip the real
+    * marker/IFD byte stream to match). */
+  def exifStats: String =
+    """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+       CAST(5 AS BIGINT) AS n_entries,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'Model-' || CAST(doc_id % 13 AS VARCHAR) AS model,
+       1 + doc_id % 8 AS orientation,
+       640 + doc_id % 1024 AS width,
+       '2024:04:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+         ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+         ':00:00' AS datetime
+FROM documents"""
+
   /** Mirror of [[graft.operators.Multimodal.vadSegments]] (q257):
     * frames from the q213 arithmetic, the same integer energy
     * test, hangover max, and gaps-and-islands collapse. */

@@ -674,4 +674,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"unpartitioned window in:\n$plan")
   }
+
+  test("q258 EXIF: both byte orders round-trip; the marker walk " +
+      "hops the JFIF APP0; inline SHORT/LONG and offset ASCII all " +
+      "invert the writer") {
+    for (le <- Seq(true, false)) {
+      val bytes = Multimodal.encodeExifJpeg(le, "CamX", "Model-7",
+        orientation = 6, width = 1234L, dateTime = "2024:04:05 09:00:00")
+      val info = Multimodal.parseExif(bytes).get
+      assert(info.endian == (if (le) "II" else "MM"))
+      assert(info.nEntries == 5)
+      assert(info.make == "CamX")
+      assert(info.model == "Model-7")
+      assert(info.orientation == 6)
+      assert(info.width == 1234L)
+      assert(info.dateTime == "2024:04:05 09:00:00")
+    }
+    // no Exif APP1 -> None, never a wrong answer
+    assert(Multimodal.parseExif(
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte))
+      .isEmpty)
+    assert(Multimodal.parseExif(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("q258: unknown IFD tags are skipped, not errors (the TIFF " +
+      "rule); a corrupted TIFF magic fails loudly") {
+    val good = Multimodal.encodeExifJpeg(true, "A", "B", 1, 1L,
+      "2024:01:01 00:00:00")
+    // corrupt the magic (tiff starts after SOI+APP0(18)+APP1 hdr(4)
+    // + Exif id(6) = 30; magic at +2)
+    val bad = good.clone()
+    bad(32) = 0x13
+    val e = intercept[Exception](Multimodal.parseExif(bad))
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("q258 graded frame matches the per-doc field arithmetic") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 12L, 1023L)
+    val out = Multimodal.exifStats(ids.map((_, "x"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- ids) {
+      val (le, make, model, orient, width, dt) =
+        Multimodal.exifFieldsOf(id)
+      val r = out(id)
+      assert(r.getAs[String]("endian") == (if (le) "II" else "MM"))
+      assert(r.getAs[String]("make") == make)
+      assert(r.getAs[String]("model") == model)
+      assert(r.getAs[Long]("orientation") == orient.toLong)
+      assert(r.getAs[Long]("width") == width)
+      assert(r.getAs[String]("datetime") == dt)
+    }
+  }
 }
