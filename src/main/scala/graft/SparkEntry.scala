@@ -1620,6 +1620,12 @@ object SparkEntry {
     // values) round-tripped row-locally.
     "q258_exif_parse" -> ((s, dir) =>
       operators.Multimodal.exifStats(documents(s, dir))),
+    // Page-Hinkley drift screen: the self-referenced complement of
+    // q150's CUSUM (running-mean deviation, prefix-min alarm) over
+    // the same type-partitioned hourly frame.
+    "q259_page_hinkley" -> ((s, dir) =>
+      operators.EventsQueries.pageHinkley(
+        operators.EventsQueries.events(s, dir))),
     // ExactSubstr (Lee et al. 2022): maximal >=16-token substrings
     // occurring >=2 times corpus-wide, PROVEN via prefix-doubled
     // window identity (log2 k hash self-joins) — the exact rule the
@@ -2491,6 +2497,7 @@ object SparkEntry {
     "q256_frame_cue_align" -> OracleSql.frameCueAlign,
     "q257_vad_segments" -> OracleSql.vadSegments,
     "q258_exif_parse" -> OracleSql.exifStats,
+    "q259_page_hinkley" -> OracleSql.pageHinkley,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

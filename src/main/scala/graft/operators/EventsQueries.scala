@@ -924,6 +924,53 @@ object EventsQueries {
         (col("cusum") > lit(CusumH) * col("sigma")).as("alarm"))
   }
 
+  /** Page–Hinkley tolerance (δ = 0.1σ) and alarm (λ = 5σ)
+    * multipliers — shared literals with the oracle. */
+  val PhDelta = 0.1
+  val PhLambda = 5.0
+
+  /** Page–Hinkley drift screen over hourly event volumes (q259) —
+    * the SELF-REFERENCED complement of q150's CUSUM: CUSUM tests
+    * against a trained (μ, σ) baseline, while Page–Hinkley tracks
+    * the deviation from the series' OWN running mean (m_t =
+    * Σ_{i≤t}(x_i − x̄_i − δ), alarm when m_t − min_{j≤t} m_j > λσ),
+    * so it adapts to slow level changes and fires only on abrupt
+    * sustained shifts — the standard pairing in drift-detection
+    * practice (Page 1954; the PH variant as used by the MOA/river
+    * stream-mining literature).
+    *
+    * Determinism discipline: the running mean is explicit — the
+    * exact-LONG running count sum divided by the ordered row index
+    * (never an incremental window AVG), deviations and prefix
+    * sums/mins are then fixed-order doubles in the ordered frame —
+    * bit-identical in the mirror (the q150 discipline). σ comes
+    * from the q150 exact integer moments.
+    *
+    * Scale design (100 TB): identical shape to q150 — one
+    * map-side-combined (type, hour) rollup, a type-bounded stats
+    * broadcast, and type-partitioned ordered windows over the
+    * HOURLY frame (types × hours, never events). */
+  def pageHinkley(events: DataFrame): DataFrame = {
+    val hourly = cusumHourly(events)
+    val stats = cusumStatsFrame(hourly)
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("rsum", sum(col("n_events")).over(run))
+      .withColumn("dev",
+        col("n_events").cast("double") -
+          col("rsum").cast("double") / col("i") -
+          lit(PhDelta) * col("sigma"))
+      .withColumn("m", sum(col("dev")).over(run))
+      .withColumn("ph", col("m") - min(col("m")).over(run))
+      .select(col("event_type"), col("hour_id"), col("n_events"),
+        col("ph"),
+        (col("ph") > lit(PhLambda) * col("sigma")).as("alarm"))
+  }
+
   /** Hour-of-day seasonality profile (q147) — the time-series
     * decomposition table behind load forecasting and anomaly
     * baselines: per (event_type, hour-of-day), event count and mean

@@ -4704,6 +4704,55 @@ SELECT event_type, hour_id, n_events, cusum,
 FROM cs"""
   }
 
+  /** Mirror of [[graft.operators.EventsQueries.pageHinkley]]
+    * (q259): the same hourly/σ CTEs as q150, then the explicit
+    * running mean (exact running LONG sum over the ordered row
+    * index), prefix sum and prefix min of the deviations. */
+  def pageHinkley: String = {
+    import graft.operators.EventsQueries.{PhDelta, PhLambda}
+    """WITH h AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000) // 3600000 AS hour_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, hour_id
+), st AS (
+  SELECT event_type, COUNT(*) AS n_h,
+         CAST(SUM(n_events) AS BIGINT) AS sx,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+  FROM h GROUP BY event_type
+), mu AS (
+  SELECT event_type,
+         sqrt(CAST(n_h * sq - sx * sx AS DOUBLE)) / n_h AS sigma
+  FROM st
+), o AS (
+  SELECT h.event_type, h.hour_id, h.n_events, mu.sigma,
+         CAST(row_number() OVER (PARTITION BY h.event_type
+           ORDER BY h.hour_id) AS BIGINT) AS i,
+         CAST(SUM(h.n_events) OVER (PARTITION BY h.event_type
+           ORDER BY h.hour_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS rsum
+  FROM h JOIN mu USING (event_type)
+), dv AS (
+  SELECT *,
+         CAST(n_events AS DOUBLE) - CAST(rsum AS DOUBLE) / i -
+           """ + PhDelta + """ * sigma AS dev
+  FROM o
+), pm AS (
+  SELECT *,
+    SUM(dev) OVER (PARTITION BY event_type ORDER BY hour_id
+      ROWS UNBOUNDED PRECEDING) AS m
+  FROM dv
+), px AS (
+  SELECT *,
+    m - MIN(m) OVER (PARTITION BY event_type ORDER BY hour_id
+      ROWS UNBOUNDED PRECEDING) AS ph
+  FROM pm
+)
+SELECT event_type, hour_id, n_events, ph,
+       ph > """ + PhLambda + """ * sigma AS alarm
+FROM px"""
+  }
+
   /** Mirror of [[graft.streaming.StreamingCusum.monitor]] (q156):
     * the batch q150 derivation restricted to CLOSED hours — each
     * type's final observed hour is still open in state (the q143
