@@ -1269,6 +1269,44 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q156_hours")
     }),
+    // Streaming Page-Hinkley twin: sigma trained batch-side, state
+    // per type carries the open hour + the PH accumulator triple;
+    // graded against the batch q259 rows minus each type's open
+    // final hour (the q156 closed-rows contract).
+    "q260_stream_page_hinkley" -> ((s, dir) => {
+      val evAll = operators.EventsQueries.events(s, dir)
+      val stats = operators.EventsQueries.cusumStats(evAll)
+      val ev = evAll.select(col("ts_ms"), col("event_type"))
+      val wh = graft.util.TempDirs
+        .create("graft-ph-q260")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"),
+        max(col("ts_ms")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("ts_ms") <= b1,
+        col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q260_hours")
+      val q = streaming.StreamingPageHinkley.monitor(stream, stats)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q260_hours").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q260_hours")
+    }),
     // Wald SPRT over the daily purchase share: sequential testing
     // with priced-in peeking — running LLR walk, prefix-extreme
     // decision state.
@@ -2498,6 +2536,7 @@ object SparkEntry {
     "q257_vad_segments" -> OracleSql.vadSegments,
     "q258_exif_parse" -> OracleSql.exifStats,
     "q259_page_hinkley" -> OracleSql.pageHinkley,
+    "q260_stream_page_hinkley" -> OracleSql.pageHinkleyClosed,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

@@ -4753,6 +4753,21 @@ SELECT event_type, hour_id, n_events, ph,
 FROM px"""
   }
 
+  /** Mirror of [[graft.streaming.StreamingPageHinkley.monitor]]
+    * (q260): the batch q259 derivation restricted to CLOSED hours —
+    * each type's final observed hour is still open in state (the
+    * q156 emission contract). */
+  def pageHinkleyClosed: String =
+    s"""WITH allhours AS (
+  SELECT * FROM ($pageHinkley)
+), mx AS (
+  SELECT event_type, MAX(hour_id) AS mh
+  FROM allhours GROUP BY event_type
+)
+SELECT f.event_type, f.hour_id, f.n_events, f.ph, f.alarm
+FROM allhours f JOIN mx USING (event_type)
+WHERE f.hour_id < mx.mh"""
+
   /** Mirror of [[graft.streaming.StreamingCusum.monitor]] (q156):
     * the batch q150 derivation restricted to CLOSED hours — each
     * type's final observed hour is still open in state (the q143
