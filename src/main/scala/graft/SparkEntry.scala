@@ -1658,6 +1658,15 @@ object SparkEntry {
     // values) round-tripped row-locally.
     "q258_exif_parse" -> ((s, dir) =>
       operators.Multimodal.exifStats(documents(s, dir))),
+    // Content-defined chunking: Rabin-style boundary hash (cuts
+    // where the rolling window hash vanishes mod 32) -> per-chunk
+    // offsets + digests, one row-local projection.
+    "q261_cdc_chunks" -> ((s, dir) =>
+      operators.Dedup.cdcChunks(documents(s, dir))),
+    // ... and the content-addressed-store savings report: chunks
+    // sharing a digest collapse; one digest-keyed rollup.
+    "q262_cdc_dedup" -> ((s, dir) =>
+      operators.Dedup.cdcDedupStats(documents(s, dir))),
     // Page-Hinkley drift screen: the self-referenced complement of
     // q150's CUSUM (running-mean deviation, prefix-min alarm) over
     // the same type-partitioned hourly frame.
@@ -2537,6 +2546,8 @@ object SparkEntry {
     "q258_exif_parse" -> OracleSql.exifStats,
     "q259_page_hinkley" -> OracleSql.pageHinkley,
     "q260_stream_page_hinkley" -> OracleSql.pageHinkleyClosed,
+    "q261_cdc_chunks" -> OracleSql.cdcChunks,
+    "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,
     "q232_gradient_influence" -> OracleSql.gradientInfluence,

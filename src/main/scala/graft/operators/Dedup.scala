@@ -1672,4 +1672,84 @@ object Dedup {
         (coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_shingles")).as("novelty_rate"))
   }
+
+  // ---------------------------------------------------------------
+  // Content-defined chunking (q261) + chunk-level dedup (q262)
+  // ---------------------------------------------------------------
+
+  /** Rolling-window width of [[cdcChunks]]'s boundary hash. */
+  val CdcK = 8
+
+  /** Boundary modulus: a window whose rolling hash ≡ 0 (mod this)
+    * cuts — expected chunk length ≈ CdcMod + CdcK chars. */
+  val CdcMod = 32L
+
+  /** Content-defined chunking (q261) — the storage-layer dedup
+    * primitive (the Rabin/FastCDC family, here the STATED SUBSET:
+    * pure content-defined cuts with no min/max clamps, which are
+    * the sequential part real CDC adds on top): a chunk boundary
+    * falls after every [[CdcK]]-char window whose rolling
+    * polynomial hash ≡ 0 mod [[CdcMod]], so boundaries depend only
+    * on LOCAL content — insert a byte early in a document and every
+    * later chunk boundary re-synchronizes, which is exactly why CDC
+    * beats fixed-size blocking for dedup. Per chunk: index, start
+    * offset, length, and the md5 digest (text never leaves the
+    * row).
+    *
+    * Scale design (100 TB): one row-local projection — the
+    * codegen'd [[org.apache.spark.sql.graft.RollingHashes]] O(len)
+    * pass, a cut-set array build, and one posexplode; a document
+    * never crosses an exchange. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, RollingHashes}
+    docs
+      .filter(length(col("text")) >= CdcK)
+      .select(col("doc_id"), col("text"),
+        Bridge.column(RollingHashes(
+          Bridge.expression(col("text")), CdcK, WinnowBase, P))
+          .as("hs"))
+      .withColumn("cuts",
+        array_sort(array_distinct(concat(
+          array(lit(0L)),
+          filter(transform(col("hs"), (h, i) =>
+            when(h % CdcMod === 0L, (i + CdcK).cast("long"))),
+            c => c.isNotNull),
+          array(length(col("text")).cast("long"))))))
+      .select(col("doc_id"), col("text"),
+        posexplode(transform(
+          sequence(lit(0), size(col("cuts")) - 2),
+          i => struct(
+            element_at(col("cuts"), i + 1).as("start"),
+            element_at(col("cuts"), i + 2).as("end"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long")
+          .as("chunk_idx"),
+        col("c.start").as("start"),
+        (col("c.end") - col("c.start")).as("n_chars"),
+        md5(col("text").substr((col("c.start") + 1).cast("int"),
+          (col("c.end") - col("c.start")).cast("int"))).as("digest"))
+  }
+
+  /** Chunk-level dedup stats (q262) — what a content-addressed
+    * store saves on this corpus: chunks sharing a digest collapse
+    * to one stored copy, so each digest with n ≥ 2 occurrences
+    * reports its occurrence count, distinct-document spread, chunk
+    * size, and the saved chars (n − 1)·size. CDC's
+    * re-synchronization makes duplicated PASSAGES (the q130
+    * paragraph dups) share interior chunks even under shifted
+    * offsets — the effect fixed blocking misses.
+    *
+    * Scale design (100 TB): one map-side-combined rollup keyed on
+    * the digest (chunk-cardinality, skinny rows), then a ≥ 2
+    * filter; no joins, no windows. */
+  def cdcDedupStats(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_chars")).as("n_chars"))
+      .filter(col("n_occ") >= 2)
+      .select(col("digest"), col("n_occ"), col("n_docs"),
+        col("n_chars"),
+        ((col("n_occ") - 1) * col("n_chars")).as("saved_chars"))
 }

@@ -366,6 +366,61 @@ FROM base b LEFT JOIN nv USING (doc_id)"""
 )"""
   }
 
+  /** Shared CTEs of the q261/q262 CDC mirrors — the same polynomial
+    * window hash as [[ngramCtes]] at stride 1, the cut-set identity,
+    * and per-chunk digests. Yields CTE `chunks` = (doc_id,
+    * chunk_idx, start, n_chars, digest). */
+  private def cdcCtes: String = {
+    val k = Dedup.CdcK
+    val b = Dedup.WinnowBase
+    val m = Dedup.P
+    val cm = Dedup.CdcMod
+    s"""WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= $k
+), h AS (
+  SELECT doc_id, text,
+    list_transform(range(0, length(text) - $k + 1),
+      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, ${k + 1}),
+          j -> CAST(ord(substr(text, CAST(i + j AS INT), 1))
+            AS BIGINT))),
+        (a, c) -> (a * $b + c) % $m)) AS hs
+  FROM d
+), cu AS (
+  SELECT doc_id, text,
+    list_sort(list_distinct(
+      [CAST(0 AS BIGINT)] ||
+      list_transform(list_filter(range(0, len(hs)),
+        i -> hs[i + 1] % $cm = 0), i -> CAST(i + $k AS BIGINT)) ||
+      [CAST(length(text) AS BIGINT)])) AS cuts
+  FROM h
+), ch AS (
+  SELECT doc_id, r.i - 1 AS chunk_idx, cuts[r.i] AS s,
+         cuts[r.i + 1] AS e, text
+  FROM cu, LATERAL (SELECT unnest(range(1, len(cuts))) AS i) r
+), chunks AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         s AS "start", e - s AS n_chars,
+         md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT)))
+           AS digest
+  FROM ch
+)"""
+  }
+
+  /** Mirror of [[graft.operators.Dedup.cdcChunks]] (q261). */
+  def cdcChunks: String =
+    s"""$cdcCtes
+SELECT doc_id, chunk_idx, "start", n_chars, digest FROM chunks"""
+
+  /** Mirror of [[graft.operators.Dedup.cdcDedupStats]] (q262). */
+  def cdcDedupStats: String =
+    s"""$cdcCtes
+SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MAX(n_chars) AS n_chars,
+       (CAST(COUNT(*) AS BIGINT) - 1) * MAX(n_chars) AS saved_chars
+FROM chunks GROUP BY digest HAVING COUNT(*) >= 2"""
+
   /** Mirror of [[graft.operators.Dedup.minhashNearDups]] — identical
     * permutation constants ([[Dedup.perms]]), banding and Jaccard cut. */
   def dedupMinhash: String = minhashPipeline(shingleCtes)

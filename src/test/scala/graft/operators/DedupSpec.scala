@@ -828,4 +828,65 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       assert(a._2 >= b._2, "df must be non-increasing in rank")
     }
   }
+
+  test("q261 CDC: chunks tile the document exactly and boundaries " +
+      "re-synchronize after an insertion (the content-defined " +
+      "property fixed blocking lacks)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark woods tonight"
+    val shifted = "Z" + base // one-char insertion at the front
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // tiling: offsets contiguous from 0 to len, lengths positive
+    for ((id, rows) <- out) {
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      val len = if (id == 1L) base.length else shifted.length
+      var pos = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start") == pos, s"gap in doc $id")
+        assert(r.getAs[Long]("n_chars") > 0)
+        pos += r.getAs[Long]("n_chars")
+      }
+      assert(pos == len.toLong, s"doc $id chunks must cover the text")
+    }
+    // re-synchronization: past the first boundary after the
+    // insertion point, both docs produce identical chunk digests
+    val d1 = out(1L).map(_.getAs[String]("digest")).toSet
+    val d2 = out(2L).map(_.getAs[String]("digest")).toSet
+    val shared = d1.intersect(d2)
+    assert(shared.nonEmpty,
+      "a one-char insertion must not change every chunk digest")
+  }
+
+  test("q262: duplicated chunks report occurrence counts, document " +
+      "spread, and the content-addressed savings") {
+    import spark.implicits._
+    val t = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj " +
+      "kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss tttt"
+    val docs = Seq((1L, t), (2L, t), (3L, "zzzz " + t))
+      .toDF("doc_id", "text")
+    val stats = Dedup.cdcDedupStats(docs).collect()
+    assert(stats.nonEmpty, "identical docs must share chunks")
+    for (r <- stats) {
+      assert(r.getAs[Long]("n_occ") >= 2L)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("saved_chars") ==
+        (r.getAs[Long]("n_occ") - 1L) * r.getAs[Long]("n_chars"))
+    }
+    // docs 1 and 2 are identical: every one of their chunks occurs
+    // at least twice, so total occurrences cover both docs' chunks
+    val chunks1 = Dedup.cdcChunks(docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L))
+      .count()
+    assert(stats.map(_.getAs[Long]("n_occ")).sum >= 2 * chunks1)
+  }
+
+  test("the q261 plan is one row-local projection — no shuffle") {
+    import spark.implicits._
+    val plan = Dedup.cdcChunks(Seq((1L, "abcdefghij"))
+        .toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"CDC must not shuffle:\n$plan")
+  }
 }
