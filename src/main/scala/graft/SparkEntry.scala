@@ -1658,6 +1658,11 @@ object SparkEntry {
     // values) round-tripped row-locally.
     "q258_exif_parse" -> ((s, dir) =>
       operators.Multimodal.exifStats(documents(s, dir))),
+    // Tokenizer fertility per language: the q7 guess x q24 token
+    // counts rolled to <= |langs| rows — tokens/word and
+    // chars/token from exact integer sums.
+    "q263_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(documents(s, dir))),
     // Content-defined chunking: Rabin-style boundary hash (cuts
     // where the rolling window hash vanishes mod 32) -> per-chunk
     // offsets + digests, one row-local projection.
@@ -2547,6 +2552,7 @@ object SparkEntry {
     "q259_page_hinkley" -> OracleSql.pageHinkley,
     "q260_stream_page_hinkley" -> OracleSql.pageHinkleyClosed,
     "q261_cdc_chunks" -> OracleSql.cdcChunks,
+    "q263_tokenizer_fertility" -> OracleSql.tokenizerFertility,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,

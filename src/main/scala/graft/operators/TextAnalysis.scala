@@ -555,6 +555,38 @@ object TextAnalysis {
       size(tokens).cast("long").as("ws_tokens"),
       regexTokenCountCol.as("regex_tokens"))
 
+  /** Tokenizer fertility per language (q263) — the
+    * tokenizer-health lens multilingual corpus reports lead with
+    * (the UniMax/NLLB-era observation that a tokenizer trained on
+    * one distribution over-fragments the others): per [[langId]]
+    * language, fertility = BPE-ish tokens per whitespace word and
+    * compression = chars per token, from exact integer sums (one
+    * fixed-order division each — the q231 discipline). A language
+    * whose fertility runs far above the corpus norm is getting more
+    * sequence positions per word — the signal that drives
+    * vocabulary rebalancing before training.
+    *
+    * Scale design (100 TB): lang guess and both token counts are
+    * row-local columns (the q7/q24 kernels unchanged); the only
+    * exchange is one map-side-combined rollup to ≤ |languages|
+    * rows. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(langGuessCol(col("text")).as("lang"), col("source"),
+        size(tokens).cast("long").as("ws"),
+        regexTokenCountCol.as("tok"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_words"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") /
+          col("n_tokens").cast("double")).as("chars_per_token"))
+
   /** SimHash bit width (matches the 60-bit digest; top bits unused),
     * band split and the Hamming cut for the pair search. 4 bands of
     * 15 bits ⇒ guaranteed capture of every pair with Hamming ≤ 3. */

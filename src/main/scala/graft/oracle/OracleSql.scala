@@ -1436,29 +1436,69 @@ SELECT t.doc_id,
 FROM toks t, mdl, pri p, dflt d"""
   }
 
-  /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
-  def langId: String = {
-    val scoreCols = TextAnalysis.langProfiles.map { case (code, words) =>
+  /** The per-language score column list of the q7 mirror. */
+  private def langScoreColsSql: String =
+    TextAnalysis.langProfiles.map { case (code, words) =>
       val lst = sqlList(words).replace("(", "[").replace(")", "]")
       s"CAST(len(list_filter(w, t -> list_contains($lst, t))) AS DOUBLE) " +
         s"/ len(w) AS score_$code"
     }.mkString(",\n    ")
+
+  /** The winner CASE of the q7 mirror (profile-order tie
+    * precedence). */
+  private def langGuessSql: String = {
     val codes = TextAnalysis.langProfiles.map(_._1)
-    val guess = codes.init.zipWithIndex.map { case (code, i) =>
+    codes.init.zipWithIndex.map { case (code, i) =>
       val cond = codes.drop(i + 1)
         .map(c => s"score_$code >= score_$c").mkString(" AND ")
       s"WHEN $cond THEN '$code'"
     }.mkString("CASE ", " ", s" ELSE '${codes.last}' END")
+  }
+
+  /** Mirror of [[TextAnalysis.langId]] (profile-order tie precedence). */
+  def langId: String = {
+    val codes = TextAnalysis.langProfiles.map(_._1)
     s"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), scored AS (
   SELECT doc_id,
-    $scoreCols
+    $langScoreColsSql
   FROM d
 )
 SELECT doc_id, ${codes.map(c => s"score_$c").mkString(", ")},
-       $guess AS lang_guess
+       $langGuessSql AS lang_guess
 FROM scored"""
+  }
+
+  /** Mirror of [[TextAnalysis.tokenizerFertility]] (q263): the q7
+    * guess and the q24 token counts re-derived, exact integer sums,
+    * one fixed-order division per ratio. */
+  def tokenizerFertility: String = {
+    val pat = TextAnalysis.TokenPattern
+    s"""WITH d AS (
+  SELECT doc_id, text, source, string_split(text, ' ') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, w, source,
+    $langScoreColsSql
+  FROM d
+), g AS (
+  SELECT $langGuessSql AS lang, source,
+         CAST(len(w) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(lower(text), '$pat'))
+           AS BIGINT) AS tok,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM scored
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS n_words,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(tok) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(chars) AS DOUBLE) / CAST(SUM(tok) AS DOUBLE)
+         AS chars_per_token
+FROM g GROUP BY lang, source"""
   }
 
   /** Mirror of [[graft.operators.Sampling.ucbAllocation]] (q208):

@@ -875,4 +875,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out.exists(o => o._1 % 2 == 1),
       "non-reference prose must surface through alignment alone")
   }
+
+  test("q263 fertility: exact integer sums per (lang, source) and " +
+      "fixed-order ratio divisions match a direct recomputation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog run 42 times!", "web"),
+      (2L, "the the the and and of", "web"),
+      (3L, "short one", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))
+        -> r).toMap
+    val counts = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ws_tokens"), r.getAs[Long]("regex_tokens"))))
+      .toMap
+    val langs = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("lang_guess")).toMap
+    val expected = Seq(1L -> "web", 2L -> "web", 3L -> "books")
+      .groupBy { case (id, src) => (langs(id), src) }
+    for (((lang, src), members) <- expected) {
+      val r = out((lang, src))
+      val ws = members.map { case (id, _) => counts(id)._1 }.sum
+      val tok = members.map { case (id, _) => counts(id)._2 }.sum
+      assert(r.getAs[Long]("n_docs") == members.size.toLong)
+      assert(r.getAs[Long]("n_words") == ws)
+      assert(r.getAs[Long]("n_tokens") == tok)
+      assert(r.getAs[Double]("fertility") ==
+        tok.toDouble / ws.toDouble)
+      assert(r.getAs[Double]("chars_per_token") ==
+        r.getAs[Long]("n_chars").toDouble / tok.toDouble)
+    }
+  }
 }
