@@ -1658,6 +1658,16 @@ object SparkEntry {
     // values) round-tripped row-locally.
     "q258_exif_parse" -> ((s, dir) =>
       operators.Multimodal.exifStats(documents(s, dir))),
+    // Hyperlink extraction: href + anchor per page (row-local
+    // regexp zip), absolute/relative resolution against the page
+    // host, external split.
+    "q264_link_extract" -> ((s, dir) =>
+      operators.WebGraph.linkExtract(documents(s, dir))),
+    // ... feeding the anchor-text index: per TARGET host the top-k
+    // anchor terms through the bounded TopKPerGroup heap (anchors
+    // describe the target — the classic retrieval signal).
+    "q265_anchor_index" -> ((s, dir) =>
+      operators.WebGraph.anchorIndex(documents(s, dir))),
     // Tokenizer fertility per language: the q7 guess x q24 token
     // counts rolled to <= |langs| rows — tokens/word and
     // chars/token from exact integer sums.
@@ -2553,6 +2563,8 @@ object SparkEntry {
     "q260_stream_page_hinkley" -> OracleSql.pageHinkleyClosed,
     "q261_cdc_chunks" -> OracleSql.cdcChunks,
     "q263_tokenizer_fertility" -> OracleSql.tokenizerFertility,
+    "q264_link_extract" -> OracleSql.linkExtract,
+    "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,
     "q231_logreg_quality" -> OracleSql.logRegQuality,

@@ -7915,6 +7915,74 @@ FROM fr LEFT JOIN cues q
      AND fr.frame_ms < q.t_end_ms"""
   }
 
+  /** Shared CTEs of the q264/q265 link mirrors — the fixture
+    * rebuilt from [[graft.operators.WebGraph]]'s arithmetic, parsed
+    * with the same regex, resolved with the same rule. Yields CTE
+    * `res` = (doc_id, page_host, link_idx, href, anchor, url). */
+  private def linkCtes: String = {
+    val pat = """<a href="([^"]*)">(.*?)</a>"""
+    s"""WITH d AS (
+  SELECT doc_id,
+    'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      AS page_host,
+    '<html><body><p>intro ' || CAST(doc_id AS VARCHAR) || '</p> ' ||
+    '<a href="https://www.site' || CAST((doc_id + 2) % 7 AS VARCHAR)
+      || '.example.com/Cat' || CAST((doc_id + 1) % 5 AS VARCHAR) ||
+      '">read site ' || CAST((doc_id + 2) % 7 AS VARCHAR) ||
+      ' category ' || CAST((doc_id + 1) % 5 AS VARCHAR) || '</a> ' ||
+    '<a href="/Cat' || CAST(doc_id % 5 AS VARCHAR) || '/page' ||
+      CAST((doc_id + 7) % 11 AS VARCHAR) || '">more page ' ||
+      CAST((doc_id + 7) % 11 AS VARCHAR) || '</a> ' ||
+    '<a href="https://www.site' || CAST((doc_id + 4) % 7 AS VARCHAR)
+      || '.example.com/about">about site ' ||
+      CAST((doc_id + 4) % 7 AS VARCHAR) || '</a></body></html>'
+      AS html
+  FROM documents
+), x AS (
+  SELECT doc_id, page_host,
+    regexp_extract_all(html, '$pat', 1) AS hrefs,
+    regexp_extract_all(html, '$pat', 2) AS anchors
+  FROM d
+), u AS (
+  SELECT doc_id, page_host, r.i AS link_idx, hrefs[r.i + 1] AS href,
+         anchors[r.i + 1] AS anchor
+  FROM x, LATERAL (SELECT unnest(range(0, len(hrefs))) AS i) r
+), res AS (
+  SELECT doc_id, page_host, link_idx, href, anchor,
+    CASE WHEN starts_with(href, 'https://') THEN href
+         ELSE 'https://' || page_host || href END AS url
+  FROM u
+)"""
+  }
+
+  /** Mirror of [[graft.operators.WebGraph.linkExtract]] (q264). */
+  def linkExtract: String =
+    s"""$linkCtes
+SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, page_host,
+       href, anchor, url,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS target_host,
+       regexp_extract(url, '^https://([^/]+)/', 1) <> page_host
+         AS is_external
+FROM res"""
+
+  /** Mirror of [[graft.operators.WebGraph.anchorIndex]] (q265). */
+  def anchorIndex: String = {
+    val k = graft.operators.WebGraph.AnchorTopK
+    s"""$linkCtes, t AS (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS target_host,
+         unnest(string_split(anchor, ' ')) AS term
+  FROM res
+), tc AS (
+  SELECT target_host, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t WHERE length(term) > 0 GROUP BY target_host, term
+), rk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY target_host
+    ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+  FROM tc
+)
+SELECT target_host, term, cnt, rank FROM rk WHERE rank <= $k"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =
