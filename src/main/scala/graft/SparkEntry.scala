@@ -1668,6 +1668,16 @@ object SparkEntry {
     // describe the target — the classic retrieval signal).
     "q265_anchor_index" -> ((s, dir) =>
       operators.WebGraph.anchorIndex(documents(s, dir))),
+    // ... rolled up to the host link graph: (src, dst) edge counts
+    // and per-source transition shares — the frame a host PageRank
+    // consumes.
+    "q266_host_graph" -> ((s, dir) =>
+      operators.WebGraph.hostGraph(documents(s, dir))),
+    // Character-encoding sniff (the HTML-standard order: BOM, meta
+    // declaration, utf-8 default) over real synthesized bytes,
+    // decoded row-locally; digest of the decoded text graded.
+    "q267_charset_sniff" -> ((s, dir) =>
+      operators.Charset.charsetStats(documents(s, dir))),
     // Tokenizer fertility per language: the q7 guess x q24 token
     // counts rolled to <= |langs| rows — tokens/word and
     // chars/token from exact integer sums.
@@ -2564,6 +2574,8 @@ object SparkEntry {
     "q261_cdc_chunks" -> OracleSql.cdcChunks,
     "q263_tokenizer_fertility" -> OracleSql.tokenizerFertility,
     "q264_link_extract" -> OracleSql.linkExtract,
+    "q266_host_graph" -> OracleSql.hostGraph,
+    "q267_charset_sniff" -> OracleSql.charsetStats,
     "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,

@@ -112,6 +112,33 @@ object WebGraph {
         col("rank"))
   }
 
+  /** q266: the host-level link graph — q264's resolved links rolled
+    * up to (source host, target host) edges with link and page
+    * counts, plus each edge's share of its source's outlinks (the
+    * transition probability a host-graph PageRank — the q99/q104
+    * kernel — consumes directly).
+    *
+    * Scale design (100 TB): one map-side-combined edge rollup
+    * (host² bounded, dimension-sized), then a broadcast join of the
+    * per-source totals — the corpus-sized link table shuffles
+    * once, the host-sized frames never matter. */
+  def hostGraph(docs: DataFrame): DataFrame = {
+    val links = linkExtract(docs)
+      .select(col("page_host").as("src_host"), col("target_host"),
+        col("doc_id"))
+    val edges = links
+      .groupBy(col("src_host"), col("target_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val totals = edges.groupBy(col("src_host"))
+      .agg(sum(col("n_links")).as("out_total"))
+    edges.join(broadcast(totals), Seq("src_host"))
+      .select(col("src_host"), col("target_host"), col("n_links"),
+        col("n_docs"),
+        (col("n_links").cast("double") /
+          col("out_total").cast("double")).as("out_share"))
+  }
+
   /** Per-group top-k through the TopKPerGroup heap when the session
     * carries [[graft.plans.GraftExtensions]]; group-partitioned
     * window fallback for bare fixture sessions (the

@@ -7983,6 +7983,48 @@ FROM res"""
 SELECT target_host, term, cnt, rank FROM rk WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.Charset.charsetStats]] (q267):
+    * the expected sniff verdicts and the md5 of the decoded text
+    * recomputed from the fixture arithmetic — the engine side must
+    * round-trip real BOM'd bytes to match. */
+  def charsetStats: String =
+    """WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 3
+         THEN '<html><head><meta charset="iso-8859-1"></head>' ||
+              '<body>charset doc ' || CAST(doc_id AS VARCHAR) ||
+              '</body></html>'
+         ELSE 'charset doc ' || CAST(doc_id AS VARCHAR) END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+            WHEN 2 THEN 'utf-16be' ELSE 'iso-8859-1' END AS encoding,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 3 THEN 0 ELSE 2 END
+         AS BIGINT) AS bom_bytes,
+       CASE WHEN doc_id % 4 = 3 THEN 'iso-8859-1' ELSE '' END
+         AS declared,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       md5(txt) AS digest
+FROM t"""
+
+  /** Mirror of [[graft.operators.WebGraph.hostGraph]] (q266). */
+  def hostGraph: String =
+    s"""$linkCtes, e AS (
+  SELECT page_host AS src_host,
+         regexp_extract(url, '^https://([^/]+)/', 1) AS target_host,
+         CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM res GROUP BY src_host, target_host
+), t AS (
+  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS out_total
+  FROM e GROUP BY src_host
+)
+SELECT e.src_host, e.target_host, e.n_links, e.n_docs,
+       CAST(e.n_links AS DOUBLE) / CAST(t.out_total AS DOUBLE)
+         AS out_share
+FROM e JOIN t USING (src_host)"""
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =

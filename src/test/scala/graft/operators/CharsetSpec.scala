@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSessionSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins of the q267 sniffing order (BOM wins, meta fallback, utf-8
+  * default), BOM stripping, and byte-order correctness. */
+class CharsetSpec extends AnyFunSuite with SparkSessionSpec {
+
+  test("every BOM variant decodes to the same body text and the " +
+      "BOM never leaks into it") {
+    for (id <- Seq(0L, 1L, 2L)) {
+      val (enc, bom, declared, text) =
+        Charset.decode(Charset.payloadOf(id))
+      assert(text == Charset.bodyOf(id), s"variant $id decode")
+      assert(bom == (if (id == 0L) 3 else 2))
+      assert(declared == "")
+      assert(enc == Seq("utf-8", "utf-16le", "utf-16be")(id.toInt))
+    }
+  }
+
+  test("a BOM-less payload falls back to the meta declaration; no " +
+      "declaration means utf-8") {
+    val (enc, bom, declared, text) =
+      Charset.decode(Charset.payloadOf(3L))
+    assert(enc == "iso-8859-1" && declared == "iso-8859-1" && bom == 0)
+    assert(text == Charset.metaHtmlOf(3L))
+    val (enc2, _, dec2, t2) =
+      Charset.decode("plain bytes".getBytes("US-ASCII"))
+    assert(enc2 == "utf-8" && dec2 == "" && t2 == "plain bytes")
+  }
+
+  test("a BOM beats a contradicting meta declaration (the " +
+      "standard's precedence)") {
+    val bytes = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<meta charset=\"utf-16le\"> x".getBytes("UTF-8")
+    val (enc, bom, _, text) = Charset.decode(bytes)
+    assert(enc == "utf-8" && bom == 3)
+    assert(text.startsWith("<meta"))
+  }
+
+  test("byte order genuinely matters: swapping the UTF-16 BOM " +
+      "produces different decoded text") {
+    val le = Charset.decode(Charset.payloadOf(1L))._4
+    // reinterpret the LE payload as BE by flipping the BOM
+    val flipped = Charset.payloadOf(1L).clone()
+    flipped(0) = 0xFE.toByte; flipped(1) = 0xFF.toByte
+    val be = Charset.decode(flipped)._4
+    assert(le != be, "LE/BE must not decode identically")
+  }
+}

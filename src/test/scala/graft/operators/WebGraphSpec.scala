@@ -83,4 +83,24 @@ class WebGraphSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!p265.contains("Exchange SinglePartition"),
       s"q265 must have no single-partition exchange:\n$p265")
   }
+
+  test("q266: edges roll up with exact counts and per-source " +
+      "transition shares summing to 1") {
+    import spark.implicits._
+    val docs = (0L until 35L).map((_, "x")).toDF("doc_id", "text")
+    val edges = WebGraph.hostGraph(docs).collect()
+    // every page emits 3 links -> total links = 3 * docs
+    assert(edges.map(_.getAs[Long]("n_links")).sum == 105L)
+    val bySrc = edges.groupBy(_.getAs[String]("src_host"))
+    for ((_, es) <- bySrc) {
+      val share = es.map(_.getAs[Double]("out_share")).sum
+      assert(math.abs(share - 1.0) < 1e-12,
+        "out_shares must sum to 1 per source")
+    }
+    // the relative link always self-loops: every host has a
+    // (h, h) edge
+    for ((src, es) <- bySrc)
+      assert(es.exists(_.getAs[String]("target_host") == src),
+        s"missing self-edge for $src")
+  }
 }
