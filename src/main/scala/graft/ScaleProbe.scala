@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, SimilarityParams, TextAnalysis}
+import graft.operators.{Dedup, Similarity, SimilarityParams, Sitemap, TextAnalysis, Warc, WebGraph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,15 @@ object ScaleProbe {
     time("exact_substr")(
       graft.operators.ExactSubstr.exactSubstrSpans(docs))
     time("heavy_hitters")(TextAnalysis.heavyHitters(docs))
+    // round-14 web/storage families: all row-local or
+    // bounded-rollup by design — the rung checks the claim
+    time("cdc_chunks")(Dedup.cdcChunks(docs))
+    time("cdc_dedup")(Dedup.cdcDedupStats(docs))
+    time("web_funnel")(Warc.webFunnel(docs))
+    time("cdx_index")(Warc.cdxIndex(docs))
+    time("crawl_frontier")(Sitemap.crawlFrontier(docs))
+    time("link_extract")(WebGraph.linkExtract(docs))
+    time("anchor_index")(WebGraph.anchorIndex(docs))
     time("global_index")(operators.GlobalIndex.docGlobalIndex(
       docs.withColumn("n_chars", length(col("text")).cast("long"))))
     // bloom join replicated with re-keyed orderkeys (join selectivity

@@ -1678,6 +1678,11 @@ object SparkEntry {
     // decoded row-locally; digest of the decoded text graded.
     "q267_charset_sniff" -> ((s, dir) =>
       operators.Charset.charsetStats(documents(s, dir))),
+    // Exact-phrase search: the corpus's top bigrams (through the
+    // bounded heap) broadcast back into the bigram stream — phrase
+    // posting lists with adjacency-exact occurrence counts.
+    "q268_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(documents(s, dir))),
     // Tokenizer fertility per language: the q7 guess x q24 token
     // counts rolled to <= |langs| rows — tokens/word and
     // chars/token from exact integer sums.
@@ -2576,6 +2581,7 @@ object SparkEntry {
     "q264_link_extract" -> OracleSql.linkExtract,
     "q266_host_graph" -> OracleSql.hostGraph,
     "q267_charset_sniff" -> OracleSql.charsetStats,
+    "q268_phrase_search" -> OracleSql.phraseSearch,
     "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,

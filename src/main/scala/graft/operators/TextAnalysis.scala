@@ -587,6 +587,41 @@ object TextAnalysis {
         (col("n_chars").cast("double") /
           col("n_tokens").cast("double")).as("chars_per_token"))
 
+  /** Phrases carried by [[phraseSearch]]'s query set (q268). */
+  val PhraseTopK = 5
+
+  /** Exact-phrase search (q268) — the positional complement of the
+    * bag-of-words BM25 family (q83/q89): a phrase matches only
+    * where its words are ADJACENT, which document-frequency scoring
+    * cannot express. The query set is the corpus's own top
+    * [[PhraseTopK]] bigrams (count desc, phrase asc — through the
+    * [[globalTopK]] heap, since the bigram vocabulary is
+    * corpus-sized), and the result is the phrase posting list:
+    * (doc_id, phrase, n_occ) for every document containing a query
+    * phrase, with exact adjacency occurrence counts.
+    *
+    * Scale design (100 TB): one map-side-combined bigram rollup
+    * feeds the bounded heap; the query set is then BROADCAST back
+    * into the exploded bigram stream (a per-doc row-local explode),
+    * so matching is one broadcast hash join + one (doc, phrase)
+    * rollup — the corpus never self-joins. */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))"""
+          .stripMargin)).as("phrase"))
+    val top = globalTopK(
+      bg.groupBy(col("phrase")).agg(count(lit(1)).as("cnt")),
+      Seq("cnt" -> false, "phrase" -> true), PhraseTopK)
+      .select(col("phrase"))
+    bg.join(broadcast(top), Seq("phrase"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), col("phrase"), col("n_occ"))
+  }
+
   /** SimHash bit width (matches the 60-bit digest; top bits unused),
     * band split and the Hamming cut for the pair search. 4 bands of
     * 15 bits ⇒ guaranteed capture of every pair with Hamming ≤ 3. */

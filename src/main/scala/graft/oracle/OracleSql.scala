@@ -7983,6 +7983,26 @@ FROM res"""
 SELECT target_host, term, cnt, rank FROM rk WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.phraseSearch]]
+    * (q268): same bigram stream, same (count desc, phrase asc)
+    * top-k, same posting rollup. */
+  def phraseSearch: String = {
+    val k = TextAnalysis.PhraseTopK
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[r.i] || ' ' || w[r.i + 1] AS phrase
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+), cnt AS (
+  SELECT phrase, COUNT(*) AS c FROM bg GROUP BY phrase
+), top AS (
+  SELECT phrase FROM cnt ORDER BY c DESC, phrase ASC LIMIT $k
+)
+SELECT b.doc_id, b.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM bg b JOIN top USING (phrase)
+GROUP BY b.doc_id, b.phrase"""
+  }
+
   /** Mirror of [[graft.operators.Charset.charsetStats]] (q267):
     * the expected sniff verdicts and the md5 of the decoded text
     * recomputed from the fixture arithmetic — the engine side must

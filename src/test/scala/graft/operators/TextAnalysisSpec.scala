@@ -909,4 +909,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
         r.getAs[Long]("n_chars").toDouble / tok.toDouble)
     }
   }
+
+  test("q268 phrase search: only adjacency matches count, the top " +
+      "bigrams are the query set, and occurrence counts are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox red fox red"),    // "red fox" x2, "fox red" x2
+      (2L, "fox red blue sky"),       // "fox red" x1
+      (3L, "red and fox are words"))  // red..fox NOT adjacent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase"))
+        -> r.getAs[Long]("n_occ")).toMap
+    // top-5 bigrams of this corpus include "red fox" (2) and
+    // "fox red" (3 total)
+    assert(out((1L, "red fox")) == 2L)
+    assert(out((1L, "fox red")) == 2L)
+    assert(out((2L, "fox red")) == 1L)
+    // doc 3 has neither phrase adjacent
+    assert(!out.keySet.exists { case (d, p) =>
+      d == 3L && (p == "red fox" || p == "fox red") })
+  }
+
+  test("the q268 plan broadcasts the query set — no corpus " +
+      "self-join, no single-partition exchange") {
+    import spark.implicits._
+    val plan = TextAnalysis.phraseSearch(
+        Seq((1L, "a b a b")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the phrase set must broadcast")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"unpartitioned sort in:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
 }
