@@ -1678,6 +1678,15 @@ object SparkEntry {
     // decoded row-locally; digest of the decoded text graded.
     "q267_charset_sniff" -> ((s, dir) =>
       operators.Charset.charsetStats(documents(s, dir))),
+    // robots.txt TEXT parser: directive lines group-attributed by
+    // the last User-agent rule, comments/unknowns skipped, Sitemap
+    // global — the stage that PRODUCES q249's rule tuples.
+    "q269_robots_parse" -> ((s, dir) =>
+      operators.Robots.robotsParse(documents(s, dir))),
+    // ... and the frontier re-timed by each host's parsed
+    // crawl-delay (parse -> schedule composition).
+    "q270_frontier_delayed" -> ((s, dir) =>
+      operators.Sitemap.crawlFrontierDelayed(documents(s, dir))),
     // Exact-phrase search: the corpus's top bigrams (through the
     // bounded heap) broadcast back into the bigram stream — phrase
     // posting lists with adjacency-exact occurrence counts.
@@ -2582,6 +2591,8 @@ object SparkEntry {
     "q266_host_graph" -> OracleSql.hostGraph,
     "q267_charset_sniff" -> OracleSql.charsetStats,
     "q268_phrase_search" -> OracleSql.phraseSearch,
+    "q269_robots_parse" -> OracleSql.robotsParse,
+    "q270_frontier_delayed" -> OracleSql.crawlFrontierDelayed,
     "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,
     "q230_stream_schema_evolution" -> OracleSql.schemaEvolutionMerge,

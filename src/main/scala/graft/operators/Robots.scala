@@ -47,6 +47,78 @@ object Robots {
     RuleTuples.toDF("host", "is_allow", "prefix")
   }
 
+  /** q269: the robots.txt TEXT parser — q249 evaluates pre-parsed
+    * rule tuples; this is the stage that produces them from the
+    * file a crawler actually fetches. The PARSED SUBSET (RFC 9309
+    * syntax): `Name: value` directive lines grouped under the most
+    * recent `User-agent:` line, names matched case-insensitively,
+    * `#` comment lines and blank lines skipped, unknown directives
+    * ignored (the spec's rule), and `Sitemap:` attributed to no
+    * group (it is global per the spec — agent ''). Values keep
+    * their case; the first `:` splits, so sitemap URLs with their
+    * own colons survive intact.
+    *
+    * The fixture synthesizes one robots.txt per q243 host carrying
+    * the EXACT q249 rule set plus a crawl-delay, a global Sitemap
+    * line, a comment, and a second (badbot) group — so group
+    * attribution, the comment/blank skips, and the global-sitemap
+    * rule all do real work (and a spec pins that the parsed `*`
+    * rules equal [[RuleTuples]] verbatim — the two stages cannot
+    * drift).
+    *
+    * Scale design (100 TB): hosts are dimension-sized and the parse
+    * is row-local array work over ≤ tens of lines per file; the
+    * only exchange is the distinct-host rollup feeding the
+    * synthesis. */
+  def robotsParse(docs: DataFrame): DataFrame = {
+    val hosts = docs
+      .select(((col("doc_id") % 7) + 0L).as("h")).distinct()
+      .select(col("h"),
+        concat(lit("www.site"), col("h").cast("string"),
+          lit(".example.com")).as("host"))
+    val txt = concat(
+      lit("# robots for "), col("host"), lit("\n"),
+      lit("User-agent: *\n"),
+      lit("Disallow: /Cat"), col("h").cast("string"), lit("\n"),
+      lit("Allow: /Cat"), col("h").cast("string"), lit("/page"),
+      col("h").cast("string"), lit("\n"),
+      lit("Crawl-delay: "), (col("h") % 5 + 1).cast("string"),
+      lit("\n"),
+      lit("Disallow: /private\n"),
+      lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n"),
+      lit("\n"),
+      lit("User-agent: badbot\n"),
+      lit("Disallow: /"))
+    val withTxt = hosts.select(col("host"), txt.as("txt"))
+    val NamePat = "^([A-Za-z-]+):\\s*(.*)$"
+    withTxt
+      .withColumn("l", split(col("txt"), "\n"))
+      .select(col("host"),
+        posexplode(expr(
+          """transform(sequence(1, size(l)), i -> struct(
+            |  CAST(i - 1 AS BIGINT) AS line_no,
+            |  element_at(l, i) AS line,
+            |  element_at(l, array_max(filter(sequence(1, i), j ->
+            |    startswith(lower(element_at(l, j)), 'user-agent:'))))
+            |    AS ua_line))""".stripMargin))
+          .as(Seq("pos", "r")))
+      .select(col("host"), col("r.line_no").as("line_no"),
+        col("r.line").as("line"),
+        when(col("r.ua_line").isNotNull,
+          trim(regexp_extract(col("r.ua_line"), NamePat, 2)))
+          .otherwise(lit("")).as("group_agent"))
+      .withColumn("name",
+        lower(regexp_extract(col("line"), NamePat, 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), NamePat, 2)))
+      .filter(col("name").isin("disallow", "allow", "crawl-delay",
+        "sitemap"))
+      .select(col("host"),
+        when(col("name") === "sitemap", lit(""))
+          .otherwise(col("group_agent")).as("agent"),
+        col("name").as("directive"), col("value"), col("line_no"))
+  }
+
   /** q249: each document's canonical URL (q243) evaluated against
     * its host's rules: (doc_id, host, path, rule, allowed) — `rule`
     * is the winning prefix ('' when no rule matched). */

@@ -154,6 +154,27 @@ object Sitemap {
         ((col("rank") - 1) * CrawlDelayMs).as("fetch_at_ms"))
   }
 
+  /** q270: the frontier re-timed by each host's PARSED crawl-delay
+    * (q269's `Crawl-delay` directive, cast and broadcast) instead
+    * of the constant [[CrawlDelayMs]] — the composition a real
+    * scheduler runs: parse robots → schedule within the host's own
+    * politeness budget. Hosts with no directive fall back to 1 s
+    * (the conservative default). Adds the delay column so the
+    * budget is auditable per row. */
+  def crawlFrontierDelayed(docs: DataFrame): DataFrame = {
+    val delays = Robots.robotsParse(docs)
+      .filter(col("directive") === "crawl-delay")
+      .select(col("host"), col("value").cast("long").as("delay_s"))
+    crawlFrontier(docs)
+      .drop("fetch_at_ms")
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(1L)))
+      .select(col("host"), col("slot"), col("loc"), col("path"),
+        col("priority"), col("lastmod"), col("n_refs"),
+        col("delay_s"),
+        (col("slot") * col("delay_s") * 1000L).as("fetch_at_ms"))
+  }
+
   /** Per-host top-k through the TopKPerGroup heap when the session
     * carries [[graft.plans.GraftExtensions]]; host-partitioned
     * window fallback for bare fixture sessions (the

@@ -8003,6 +8003,106 @@ FROM bg b JOIN top USING (phrase)
 GROUP BY b.doc_id, b.phrase"""
   }
 
+  /** Mirror of [[graft.operators.Robots.robotsParse]] (q269): the
+    * fixture text rebuilt per host, re-split, group-attributed with
+    * the same last-User-agent rule, same directive filter. */
+  def robotsParse: String = {
+    val pat = """^([A-Za-z-]+):\s*(.*)$"""
+    s"""WITH hs AS (
+  SELECT DISTINCT doc_id % 7 AS h FROM documents
+), r AS (
+  SELECT h, 'www.site' || CAST(h AS VARCHAR) || '.example.com'
+    AS host
+  FROM hs
+), t AS (
+  SELECT host,
+    '# robots for ' || host || chr(10) ||
+    'User-agent: *' || chr(10) ||
+    'Disallow: /Cat' || CAST(h AS VARCHAR) || chr(10) ||
+    'Allow: /Cat' || CAST(h AS VARCHAR) || '/page' ||
+      CAST(h AS VARCHAR) || chr(10) ||
+    'Crawl-delay: ' || CAST(h % 5 + 1 AS VARCHAR) || chr(10) ||
+    'Disallow: /private' || chr(10) ||
+    'Sitemap: https://' || host || '/sitemap.xml' || chr(10) ||
+    chr(10) ||
+    'User-agent: badbot' || chr(10) ||
+    'Disallow: /' AS txt
+  FROM r
+), lx AS (
+  SELECT host, string_split(txt, chr(10)) AS l FROM t
+), e AS (
+  SELECT host, l, CAST(q.i - 1 AS BIGINT) AS line_no,
+         l[q.i] AS line,
+         list_max(list_filter(range(1, q.i + 1),
+           j -> starts_with(lower(l[j]), 'user-agent:'))) AS ua_i
+  FROM lx, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) q
+), g AS (
+  SELECT host, line_no, line,
+    CASE WHEN ua_i IS NOT NULL
+         THEN trim(regexp_extract(l[CAST(ua_i AS INT)], '$pat', 2))
+         ELSE '' END AS group_agent,
+    lower(regexp_extract(line, '$pat', 1)) AS name,
+    trim(regexp_extract(line, '$pat', 2)) AS value
+  FROM e
+)
+SELECT host,
+       CASE WHEN name = 'sitemap' THEN '' ELSE group_agent END
+         AS agent,
+       name AS directive, value, line_no
+FROM g
+WHERE name IN ('disallow', 'allow', 'crawl-delay', 'sitemap')"""
+  }
+
+  /** Mirror of [[graft.operators.Sitemap.crawlFrontierDelayed]]
+    * (q270): the q254 schedule re-timed by the per-host
+    * crawl-delay (arithmetic recompute — the engine must PARSE the
+    * directive to match it). */
+  def crawlFrontierDelayed: String = {
+    import graft.operators.Sitemap.FrontierSlots
+    val values = graft.operators.Robots.RuleTuples
+      .map { case (h, a, p) => s"('$h', $a, '$p')" }
+      .mkString(",\n    ")
+    s"""$sitemapCtes, g AS (
+  SELECT doc_id, entry_idx, loc, lastmod, priority,
+         regexp_extract(loc, '^https://([^/]+)/', 1) AS host,
+         regexp_extract(loc, '^https://[^/]+(/.*)$$', 1) AS path
+  FROM ent
+), rules(host, is_allow, prefix) AS (
+  VALUES
+    $values
+), m AS (
+  SELECT g.doc_id, g.entry_idx, r.is_allow,
+         row_number() OVER (PARTITION BY g.doc_id, g.entry_idx
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC,
+                    r.prefix ASC) AS rn
+  FROM g JOIN rules r
+    ON r.host = g.host AND starts_with(g.path, r.prefix)
+), allowed AS (
+  SELECT g.* FROM g
+  LEFT JOIN (SELECT doc_id, entry_idx, is_allow FROM m WHERE rn = 1) w
+    ON w.doc_id = g.doc_id AND w.entry_idx = g.entry_idx
+  WHERE COALESCE(w.is_allow = 1, TRUE)
+), c AS (
+  SELECT host, loc, path, MAX(priority) AS priority,
+         MAX(lastmod) AS lastmod,
+         CAST(COUNT(*) AS BIGINT) AS n_refs
+  FROM allowed GROUP BY host, loc, path
+), rk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY host
+    ORDER BY priority DESC, loc ASC) AS BIGINT) AS rank
+  FROM c
+), dl AS (
+  SELECT 'www.site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         CAST(h % 5 + 1 AS BIGINT) AS delay_s
+  FROM (SELECT DISTINCT doc_id % 7 AS h FROM documents)
+)
+SELECT rk.host, rank - 1 AS slot, loc, path, priority, lastmod,
+       n_refs, COALESCE(dl.delay_s, 1) AS delay_s,
+       (rank - 1) * COALESCE(dl.delay_s, 1) * 1000 AS fetch_at_ms
+FROM rk LEFT JOIN dl ON dl.host = rk.host
+WHERE rank <= $FrontierSlots"""
+  }
+
   /** Mirror of [[graft.operators.Charset.charsetStats]] (q267):
     * the expected sniff verdicts and the md5 of the decoded text
     * recomputed from the fixture arithmetic — the engine side must

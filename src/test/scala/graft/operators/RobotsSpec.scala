@@ -76,4 +76,59 @@ class RobotsSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!plan.contains("Exchange hashpartitioning(doc_id"),
       "no corpus-keyed exchange may exist")
   }
+
+  test("q269: the parsed '*' rules equal the q249 rule tuples " +
+      "verbatim — the two stages cannot drift") {
+    import spark.implicits._
+    val docs = (0L until 7L).map((_, "x")).toDF("doc_id", "text")
+    val parsed = Robots.robotsParse(docs).collect()
+    val starRules = parsed
+      .filter(r => r.getAs[String]("agent") == "*" &&
+        Set("allow", "disallow")(r.getAs[String]("directive")))
+      .map(r => (r.getAs[String]("host"),
+        if (r.getAs[String]("directive") == "allow") 1 else 0,
+        r.getAs[String]("value")))
+      .toSet
+    assert(starRules == Robots.RuleTuples.toSet,
+      "parse output must reproduce the evaluation rule set")
+  }
+
+  test("q269: comments and blanks skip, unknown directives drop, " +
+      "Sitemap is global, badbot group attributes correctly, and " +
+      "values keep sitemap-URL colons intact") {
+    import spark.implicits._
+    val docs = Seq((3L, "x")).toDF("doc_id", "text")
+    val rows = Robots.robotsParse(docs).collect()
+    assert(rows.length == 6) // 4 star rules + sitemap + badbot
+    val sm = rows.filter(_.getAs[String]("directive") == "sitemap")
+    assert(sm.length == 1)
+    assert(sm.head.getAs[String]("agent") == "",
+      "Sitemap must be group-independent")
+    assert(sm.head.getAs[String]("value") ==
+      "https://www.site3.example.com/sitemap.xml")
+    val bad = rows.filter(_.getAs[String]("agent") == "badbot")
+    assert(bad.length == 1 &&
+      bad.head.getAs[String]("value") == "/")
+    val cd = rows.filter(_.getAs[String]("directive") == "crawl-delay")
+    assert(cd.head.getAs[String]("value") == "4") // 3 % 5 + 1
+    assert(!rows.exists(_.getAs[String]("directive") == "user-agent"))
+  }
+
+  test("q270: fetch times step by the host's OWN parsed " +
+      "crawl-delay, not the constant default") {
+    import spark.implicits._
+    val docs = (0L until 40L).map((_, "x")).toDF("doc_id", "text")
+    val rows = Sitemap.crawlFrontierDelayed(docs).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val h = r.getAs[String]("host")
+        .stripPrefix("www.site").takeWhile(_.isDigit).toLong
+      assert(r.getAs[Long]("delay_s") == h % 5 + 1,
+        s"delay for $h")
+      assert(r.getAs[Long]("fetch_at_ms") ==
+        r.getAs[Long]("slot") * r.getAs[Long]("delay_s") * 1000L)
+    }
+    // at least two different delays must occur across hosts
+    assert(rows.map(_.getAs[Long]("delay_s")).distinct.length >= 2)
+  }
 }
