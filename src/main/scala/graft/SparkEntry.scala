@@ -1678,6 +1678,39 @@ object SparkEntry {
     // decoded row-locally; digest of the decoded text graded.
     "q267_charset_sniff" -> ((s, dir) =>
       operators.Charset.charsetStats(documents(s, dir))),
+    // Streaming CDX twin: per-file byte-offset state, every record
+    // emits immediately; graded against the full batch q251 oracle
+    // (offsets are final on arrival — exact parity).
+    "q271_stream_cdx" -> ((s, dir) => {
+      val recs = operators.Warc.warcRecords(documents(s, dir))
+      val wh = graft.util.TempDirs.create("graft-cdx-q271")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = recs.agg(min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        recs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q271_cdx")
+      val q = streaming.StreamingCdx.index(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q271_cdx").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q271_cdx")
+    }),
     // robots.txt TEXT parser: directive lines group-attributed by
     // the last User-agent rule, comments/unknowns skipped, Sitemap
     // global — the stage that PRODUCES q249's rule tuples.
@@ -2592,6 +2625,7 @@ object SparkEntry {
     "q267_charset_sniff" -> OracleSql.charsetStats,
     "q268_phrase_search" -> OracleSql.phraseSearch,
     "q269_robots_parse" -> OracleSql.robotsParse,
+    "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q270_frontier_delayed" -> OracleSql.crawlFrontierDelayed,
     "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,

@@ -165,13 +165,21 @@ object Warc {
     * as real per-file offsets are file-local), so no global sort and
     * no single-reducer rank anywhere. */
   def cdxIndex(docs: DataFrame): DataFrame = {
-    val parsed = parseWarc(warcRecords(docs))
-    val host = regexp_extract(col("target_uri"), "^https://([^/]+)/", 1)
-    val path = regexp_extract(col("target_uri"), "^https://[^/]+(/.*)$", 1)
     val fileW = Window.partitionBy(col("warc_file"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    parsed
+    cdxProjected(warcRecords(docs))
+      .withColumn("offset",
+        coalesce(sum(col("record_len")).over(fileW), lit(0L)))
+  }
+
+  /** The row-local half of [[cdxIndex]] — everything except the
+    * offset assignment (shared with the streaming twin, which folds
+    * offsets from per-file state instead of a window). */
+  private[graft] def cdxProjected(records: DataFrame): DataFrame = {
+    val host = regexp_extract(col("target_uri"), "^https://([^/]+)/", 1)
+    val path = regexp_extract(col("target_uri"), "^https://[^/]+(/.*)$", 1)
+    parseWarc(records)
       .withColumn("urlkey",
         concat(array_join(reverse(split(host, "\\.")), ","),
           lit(")"), path))
@@ -182,13 +190,11 @@ object Warc {
           lpad(floor(col("doc_id") / CdxRecordsPerFile)
             .cast("string"), 5, "0"),
           lit(".warc")))
-      .withColumn("offset",
-        coalesce(sum(col("record_len")).over(fileW), lit(0L)))
       .select(col("doc_id"), col("urlkey"), col("ts14"),
         col("target_uri").as("original"),
         col("content_type").as("mime"), col("status"),
         col("payload_md5").as("digest"), col("record_len"),
-        col("warc_file"), col("offset"))
+        col("warc_file"))
   }
 
   /** Snapshots per URL in the q252 recrawl fixture. */
