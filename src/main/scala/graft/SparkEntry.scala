@@ -1678,6 +1678,40 @@ object SparkEntry {
     // decoded row-locally; digest of the decoded text graded.
     "q267_charset_sniff" -> ((s, dir) =>
       operators.Charset.charsetStats(documents(s, dir))),
+    // Streaming revisit twin: per-URI first-digest state, captures
+    // classify response-vs-revisit on arrival; graded against the
+    // full batch q252 oracle (exact parity).
+    "q272_stream_revisit" -> ((s, dir) => {
+      val snaps = documents(s, dir)
+        .select(col("doc_id"),
+          explode(array(lit(0), lit(1))).as("run"), col("text"))
+        .withColumn("snap_text",
+          when(col("run") > 0 && col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" updated v2")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("run"), col("snap_text"))
+      val wh = graft.util.TempDirs.create("graft-revisit-q272")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val base = System.currentTimeMillis() - 60000L
+      Seq(0, 1).foreach { w =>
+        val tmp = s"$wh/w$w"
+        snaps.filter(col("run") === w).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(snaps.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q272_revisit")
+      val q = streaming.StreamingRevisit.detect(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q272_revisit").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q272_revisit")
+    }),
     // Streaming CDX twin: per-file byte-offset state, every record
     // emits immediately; graded against the full batch q251 oracle
     // (offsets are final on arrival — exact parity).
@@ -2626,6 +2660,7 @@ object SparkEntry {
     "q268_phrase_search" -> OracleSql.phraseSearch,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
+    "q272_stream_revisit" -> OracleSql.warcRevisits,
     "q270_frontier_delayed" -> OracleSql.crawlFrontierDelayed,
     "q265_anchor_index" -> OracleSql.anchorIndex,
     "q262_cdc_dedup" -> OracleSql.cdcDedupStats,

@@ -55,3 +55,43 @@ class StreamingCdxSpec extends AnyFunSuite with SparkSessionSpec {
     assert(f0.count(_._2 > 0L) == 3)
   }
 }
+
+/** Online/batch parity of the streaming revisit detector. */
+class StreamingRevisitSpec extends AnyFunSuite with SparkSessionSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx2: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  test("captures classify on arrival from per-URI digest state and " +
+      "equal the batch q252 rows exactly across batch boundaries") {
+    val docs = Seq((7L, "alpha beta"), (9L, "gamma delta"))
+    val snaps = docs.flatMap { case (id, t) =>
+      Seq((id, 0, t),
+        (id, 1, if (id % 3 == 0) t + " updated v2" else t))
+    }
+    val ms = MemoryStream[(Long, Int, String)]
+    val q = StreamingRevisit.detect(
+        ms.toDF().toDF("doc_id", "run", "snap_text"))
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("rev-cp").toString)
+      .format("memory").queryName("rev_span").start()
+    // run 0 in batch 1, run 1 in batch 2 (the recrawl order)
+    ms.addData(snaps.filter(_._2 == 0): _*); q.processAllAvailable()
+    ms.addData(snaps.filter(_._2 == 1): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rev_span").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run"),
+        r.getAs[String]("record_type"), r.getAs[Long]("saved_chars"),
+        r.getAs[String]("digest"))).sorted
+    val batch = graft.operators.Warc.warcRevisits(
+        docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run"),
+        r.getAs[String]("record_type"), r.getAs[Long]("saved_chars"),
+        r.getAs[String]("digest"))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.exists(_._3 == "revisit"))
+    assert(streamed.exists(r => r._2 == 1L && r._3 == "response"))
+  }
+}
