@@ -1754,6 +1754,11 @@ object SparkEntry {
     // crawl-delay (parse -> schedule composition).
     "q270_frontier_delayed" -> ((s, dir) =>
       operators.Sitemap.crawlFrontierDelayed(documents(s, dir))),
+    // Registrable-domain (eTLD+1) extraction: the PSL longest-match
+    // rule over a constant suffix list — row-local, no join; the
+    // correction every host-keyed operator actually needs.
+    "q273_registrable_domain" -> ((s, dir) =>
+      operators.UrlCanonical.registrableDomain(documents(s, dir))),
     // Exact-phrase search: the corpus's top bigrams (through the
     // bounded heap) broadcast back into the bigram stream — phrase
     // posting lists with adjacency-exact occurrence counts.
@@ -2658,6 +2663,7 @@ object SparkEntry {
     "q266_host_graph" -> OracleSql.hostGraph,
     "q267_charset_sniff" -> OracleSql.charsetStats,
     "q268_phrase_search" -> OracleSql.phraseSearch,
+    "q273_registrable_domain" -> OracleSql.registrableDomain,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -113,6 +113,60 @@ object UrlCanonical {
       canonical.as("canonical_url"), host.as("host"))
   }
 
+  /** The stated-subset public-suffix list of [[registrableDomain]]
+    * (q273) — a literal constant shared with the oracle, covering
+    * the rule shapes the real PSL has: single-label TLDs,
+    * multi-label public suffixes (co.uk, ac.uk, co.jp), and a
+    * private-section entry (blogspot.com) that sits UNDER a public
+    * TLD. */
+  val PslSuffixes: Seq[String] = Seq(
+    "com", "net", "org", "io", "uk", "co.uk", "ac.uk", "jp",
+    "co.jp", "blogspot.com")
+
+  /** Host shapes of the q273 fixture (picked by doc_id % 8) —
+    * shared with the oracle's CASE. */
+  val PslHosts: Seq[String] = Seq(
+    "www.news.example.com", "blog.shop.co.uk", "example.com",
+    "foo.blogspot.com", "static.cdn.example.org",
+    "university.ac.uk", "api.service.co.jp", "data.example.io")
+
+  /** q273: registrable-domain (eTLD+1) extraction — the correction
+    * every "host-level" operator (q104 host quality, q113
+    * blocklist, q244 quotas, q250 crawl health) actually needs:
+    * `a.example.co.uk` and `b.example.co.uk` are the SAME
+    * registrant, while `foo.blogspot.com` and `bar.blogspot.com`
+    * are DIFFERENT ones — facts only a public-suffix list encodes.
+    * The rule is the published PSL algorithm on the stated-subset
+    * list: the winning suffix is the LONGEST match (by label count,
+    * then length), and the registrable domain is the winner plus
+    * one preceding label; a host that IS a bare suffix has no
+    * registrable domain (NULL).
+    *
+    * Scale design (100 TB): the list is an operator constant
+    * (typedLit array — no join at all); matching is a row-local
+    * filter + struct-max fold over ≤ |list| candidates. */
+  def registrableDomain(docs: DataFrame): DataFrame = {
+    val host = element_at(typedLit(PslHosts),
+      (col("doc_id") % 8).cast("int") + 1)
+    val cands = filter(typedLit(PslSuffixes), s =>
+      host === s || host.endsWith(concat(lit("."), s)))
+    val win = array_max(transform(cands, s =>
+      struct(size(split(s, "\\.")).as("nl"),
+        length(s).as("len"), s.as("sfx"))))
+    docs
+      .select(col("doc_id"), host.as("host"), win.as("w"),
+        split(host, "\\.").as("labels"))
+      .select(col("doc_id"), col("host"),
+        col("w.sfx").as("public_suffix"),
+        when(col("host") === col("w.sfx"),
+          lit(null).cast("string"))
+          .otherwise(array_join(
+            slice(col("labels"),
+              size(col("labels")) - col("w.nl"),
+              col("w.nl") + 1), "."))
+          .as("registrable_domain"))
+  }
+
   /** q244: host-level quota — the q34 quota operator, UNCHANGED,
     * keyed on the canonical host: at most [[HostQuota]] documents
     * per host, chosen by the house hash order. */

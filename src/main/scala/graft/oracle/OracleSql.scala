@@ -7983,6 +7983,39 @@ FROM res"""
 SELECT target_host, term, cnt, rank FROM rk WHERE rank <= $k"""
   }
 
+  /** Mirror of [[graft.operators.UrlCanonical.registrableDomain]]
+    * (q273): same host fixture, same suffix list, same longest-
+    * match rule (label count, then length), same +1-label
+    * registrable rule. */
+  def registrableDomain: String = {
+    import graft.operators.UrlCanonical.{PslHosts, PslSuffixes}
+    val hostCase = PslHosts.zipWithIndex
+      .map { case (h, i) => s"WHEN $i THEN '$h'" }
+      .mkString("CASE doc_id % 8 ", " ", " END")
+    val values = PslSuffixes.map(s => s"('$s')").mkString(", ")
+    s"""WITH d AS (
+  SELECT doc_id, $hostCase AS host FROM documents
+), c AS (
+  SELECT doc_id, host, s.sfx,
+         len(string_split(s.sfx, '.')) AS nl,
+         length(s.sfx) AS l
+  FROM d, (VALUES $values) s(sfx)
+  WHERE host = s.sfx OR ends_with(host, '.' || s.sfx)
+), w AS (
+  SELECT doc_id, host, sfx, nl,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY nl DESC, l DESC, sfx DESC) AS rn
+  FROM c
+)
+SELECT doc_id, host, sfx AS public_suffix,
+       CASE WHEN host = sfx THEN NULL
+            ELSE array_to_string(list_slice(string_split(host, '.'),
+              len(string_split(host, '.')) - nl,
+              len(string_split(host, '.'))), '.') END
+         AS registrable_domain
+FROM w WHERE rn = 1"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.phraseSearch]]
     * (q268): same bigram stream, same (count desc, phrase asc)
     * top-k, same posting rollup. */

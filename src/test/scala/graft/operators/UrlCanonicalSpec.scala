@@ -73,4 +73,42 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       "canonicalization must not shuffle")
   }
+
+  test("q273: the PSL longest-match rule — multi-label suffixes " +
+      "beat their parent TLD, the private blogspot entry splits " +
+      "sibling subdomains, and a bare suffix has no registrable " +
+      "domain") {
+    import spark.implicits._
+    val docs = (0L until 8L).map((_, "x")).toDF("doc_id", "text")
+    val out = UrlCanonical.registrableDomain(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def check(d: Long, sfx: String, reg: String): Unit = {
+      assert(out(d).getAs[String]("public_suffix") == sfx,
+        s"doc $d suffix")
+      assert(out(d).getAs[String]("registrable_domain") == reg,
+        s"doc $d registrable")
+    }
+    check(0L, "com", "example.com")        // www.news.example.com
+    check(1L, "co.uk", "shop.co.uk")       // co.uk beats uk
+    check(2L, "com", "example.com")        // already eTLD+1
+    check(3L, "blogspot.com", "foo.blogspot.com") // private entry
+    check(4L, "org", "example.org")
+    check(5L, "ac.uk", "university.ac.uk")
+    check(6L, "co.jp", "service.co.jp")
+    check(7L, "io", "example.io")
+    // blogspot siblings are DIFFERENT registrants under the private
+    // entry, same registrant under a naive com+1 rule
+    assert(out(3L).getAs[String]("registrable_domain") !=
+      "blogspot.com")
+  }
+
+  test("the q273 plan is row-local — a constant list, no join, no " +
+      "shuffle") {
+    import spark.implicits._
+    val plan = UrlCanonical.registrableDomain(
+        Seq((1L, "t")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PSL matching must be row-local:\n$plan")
+  }
 }
