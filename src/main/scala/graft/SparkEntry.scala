@@ -1759,6 +1759,11 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Sentence segmentation: boundary after [.!?]+space (replace-
+    // then-split — both dialects lack a common lookbehind), over a
+    // re-punctuated fixture with cycling lengths and terminators.
+    "q274_sentence_segments" -> ((s, dir) =>
+      TextAnalysis.sentenceSegments(documents(s, dir))),
     // Exact-phrase search: the corpus's top bigrams (through the
     // bounded heap) broadcast back into the bigram stream — phrase
     // posting lists with adjacency-exact occurrence counts.
@@ -2664,6 +2669,7 @@ object SparkEntry {
     "q267_charset_sniff" -> OracleSql.charsetStats,
     "q268_phrase_search" -> OracleSql.phraseSearch,
     "q273_registrable_domain" -> OracleSql.registrableDomain,
+    "q274_sentence_segments" -> OracleSql.sentenceSegments,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

