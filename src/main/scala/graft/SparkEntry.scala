@@ -1759,6 +1759,11 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Corpus datasheet: the one-row dataset card (volume, exact
+    // dup rate, mean quality, language mix, source HHI) — three
+    // map-side-combined aggregations crossed as 1-row frames.
+    "q275_corpus_datasheet" -> ((s, dir) =>
+      TextAnalysis.corpusDatasheet(documents(s, dir))),
     // Sentence segmentation: boundary after [.!?]+space (replace-
     // then-split — both dialects lack a common lookbehind), over a
     // re-punctuated fixture with cycling lengths and terminators.
@@ -2670,6 +2675,7 @@ object SparkEntry {
     "q268_phrase_search" -> OracleSql.phraseSearch,
     "q273_registrable_domain" -> OracleSql.registrableDomain,
     "q274_sentence_segments" -> OracleSql.sentenceSegments,
+    "q275_corpus_datasheet" -> OracleSql.corpusDatasheet,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

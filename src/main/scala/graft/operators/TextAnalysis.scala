@@ -643,6 +643,60 @@ object TextAnalysis {
           .as("terminator"))
   }
 
+  /** Corpus datasheet (q275) — the one-row dataset card a curation
+    * run publishes with a release (the "datasheets for datasets"
+    * practice): volume (docs/words/chars), exact duplicate rate
+    * (distinct text digests), mean quality (the q6 kernel through
+    * the q231 exact-micros sum), language mix (count, modal
+    * language and its share via the q207 struct-min modal pick),
+    * and source concentration (HHI over doc shares, the q169
+    * ordered-fold FP discipline — the Σp² fold runs in source
+    * order, bit-identical in the mirror).
+    *
+    * Scale design (100 TB): three map-side-combined aggregations
+    * (one full, one ≤ |langs| rows, one ≤ |sources| rows) crossed
+    * as 1-row frames — the corpus is scanned once per aggregate and
+    * nothing corpus-sized shuffles. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"),
+      langGuessCol(col("text")).as("lang"),
+      md5(col("text")).as("digest"),
+      size(tokens).cast("long").as("ws"),
+      length(col("text")).cast("long").as("chars"),
+      floor(qualityScoreCol(col("text")) * 1000000.0 + 0.5)
+        .cast("long").as("qmicros"))
+    val tot = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("ws")).as("n_words"), sum(col("chars")).as("n_chars"),
+      countDistinct(col("digest")).as("n_unique_texts"),
+      sum(col("qmicros")).as("qsum"))
+    val langs = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("c")).as("neg"), col("lang").as("lang")))
+          .as("m"))
+    val srcs = base.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"),
+        collect_list(struct(col("source").as("source"),
+          col("c").as("c"))).as("cs"))
+    tot.crossJoin(langs).crossJoin(srcs)
+      .select(col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_unique_texts"),
+        (lit(1.0) - col("n_unique_texts").cast("double") /
+          col("n_docs").cast("double")).as("exact_dup_rate"),
+        (col("qsum").cast("double") / 1000000.0 /
+          col("n_docs").cast("double")).as("mean_quality"),
+        col("n_langs"), col("m.lang").as("modal_lang"),
+        ((-col("m.neg")).cast("double") /
+          col("n_docs").cast("double")).as("modal_lang_share"),
+        col("n_sources"),
+        aggregate(
+          transform(array_sort(col("cs")), x =>
+            (x.getField("c").cast("double") /
+              col("n_docs").cast("double")) *
+              (x.getField("c").cast("double") /
+                col("n_docs").cast("double"))),
+          lit(0.0), (a, b) => a + b).as("source_hhi"))
+  }
+
   /** Phrases carried by [[phraseSearch]]'s query set (q268). */
   val PhraseTopK = 5
 

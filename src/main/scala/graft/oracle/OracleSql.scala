@@ -8016,6 +8016,67 @@ SELECT doc_id, host, sfx AS public_suffix,
 FROM w WHERE rn = 1"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.corpusDatasheet]]
+    * (q275): same kernels, exact sums, the q169 ordered HHI fold,
+    * modal language by (count desc, lang asc). */
+  def corpusDatasheet: String = {
+    val stops = sqlList(TextAnalysis.stopwords)
+      .replace("(", "[").replace(")", "]")
+    s"""WITH d AS (
+  SELECT doc_id, text, source, string_split(text, ' ') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, source, w,
+    $langScoreColsSql
+  FROM d
+), base AS (
+  SELECT source, $langGuessSql AS lang, md5(text) AS digest,
+         CAST(len(w) AS BIGINT) AS ws,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(FLOOR(
+           LEAST(len(w) / 50.0, 1.0) *
+             (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
+             (1.0 - 0.5 * CAST(len(list_filter(w,
+                t -> list_contains($stops, t))) AS DOUBLE) / len(w))
+           * 1000000.0 + 0.5) AS BIGINT) AS qmicros
+  FROM scored
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ws) AS BIGINT) AS n_words,
+         CAST(SUM(chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+         CAST(SUM(qmicros) AS BIGINT) AS qsum
+  FROM base
+), lc AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY lang
+), ln AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM lc
+), lm AS (
+  SELECT lang AS modal_lang, c AS modal_c
+  FROM lc ORDER BY c DESC, lang ASC LIMIT 1
+), sc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY source
+), sa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list((CAST(c AS DOUBLE) / t.n_docs) *
+                (CAST(c AS DOUBLE) / t.n_docs) ORDER BY source)),
+           (a, b) -> a + b) AS source_hhi
+  FROM sc CROSS JOIN tot t GROUP BY t.n_docs
+)
+SELECT t.n_docs, t.n_words, t.n_chars, t.n_unique_texts,
+       1.0 - CAST(t.n_unique_texts AS DOUBLE) /
+             CAST(t.n_docs AS DOUBLE) AS exact_dup_rate,
+       CAST(t.qsum AS DOUBLE) / 1000000.0 /
+         CAST(t.n_docs AS DOUBLE) AS mean_quality,
+       ln.n_langs, lm.modal_lang,
+       CAST(lm.modal_c AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+         AS modal_lang_share,
+       sa.n_sources, sa.source_hhi
+FROM tot t, ln, lm, sa"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.sentenceSegments]]
     * (q274): same index-arithmetic fixture, same replace-then-split
     * rule (backreference spelled per-dialect: \\1 here, $$1 in the

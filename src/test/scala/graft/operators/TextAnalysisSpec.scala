@@ -971,4 +971,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!plan.contains("Exchange"),
       s"segmentation must not shuffle:\n$plan")
   }
+
+  test("q275 datasheet: exact counts, dup rate from distinct " +
+      "digests, micros-exact mean quality, modal language, and the " +
+      "ordered HHI fold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "web"), (2L, "the cat sat", "web"),
+      (3L, "a different doc entirely", "books"),
+      (4L, "short", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusDatasheet(docs).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_unique_texts") == 3L)
+    assert(r.getAs[Double]("exact_dup_rate") == 1.0 - 3.0 / 4.0)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    // HHI over doc shares: web 3/4, books 1/4 -> 9/16 + 1/16
+    assert(math.abs(r.getAs[Double]("source_hhi") - 10.0 / 16.0)
+      < 1e-12)
+    assert(r.getAs[Double]("modal_lang_share") >= 0.25)
+    val qs = docs.select(
+      org.apache.spark.sql.functions.floor(
+        TextAnalysis.qualityScoreCol(
+          org.apache.spark.sql.functions.col("text")) * 1000000.0
+          + 0.5).cast("long")).as[Long].collect()
+    assert(r.getAs[Double]("mean_quality") ==
+      qs.sum.toDouble / 1000000.0 / 4.0)
+  }
 }
