@@ -1759,6 +1759,11 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Adaptive recrawl scheduling: change rates from digest
+    // lag-compares over an accumulated-edit recrawl, mapped to
+    // next-visit intervals (the crawl-freshness policy).
+    "q276_recrawl_schedule" -> ((s, dir) =>
+      operators.Warc.recrawlSchedule(documents(s, dir))),
     // Corpus datasheet: the one-row dataset card (volume, exact
     // dup rate, mean quality, language mix, source HHI) — three
     // map-side-combined aggregations crossed as 1-row frames.
@@ -2676,6 +2681,7 @@ object SparkEntry {
     "q273_registrable_domain" -> OracleSql.registrableDomain,
     "q274_sentence_segments" -> OracleSql.sentenceSegments,
     "q275_corpus_datasheet" -> OracleSql.corpusDatasheet,
+    "q276_recrawl_schedule" -> OracleSql.recrawlSchedule,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -239,6 +239,55 @@ object Warc {
           .as("saved_chars"))
   }
 
+  /** Snapshots per URL in the q276 adaptive-recrawl fixture. */
+  val RecrawlRuns = 4
+
+  /** q276: adaptive recrawl scheduling — the freshness policy of
+    * the crawl literature (Cho & Garcia-Molina): pages that change
+    * often get short revisit intervals, static pages long ones. The
+    * fixture is a [[RecrawlRuns]]-run recrawl whose edits ACCUMULATE
+    * (snapshot r carries every edit made at runs ≤ r, edits planted
+    * by (doc·7 + run·3) % 5 < 2 so per-URL change counts span
+    * 0..3); the operator derives changes from payload DIGESTS (the
+    * signal a real store has — lag-compare per URL), estimates the
+    * change rate, and assigns the next interval
+    * floor(24 / (2·rate + 0.5)) hours — 48 h for static pages down
+    * to 9.6 h for always-changing ones.
+    *
+    * Scale design (100 TB): the digest lag window is per-URL and
+    * bounded at [[RecrawlRuns]] rows; the rollup is one
+    * map-side-combined URL-keyed aggregation. */
+  def recrawlSchedule(docs: DataFrame): DataFrame = {
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("run"))
+    docs
+      .select(col("doc_id"),
+        explode(array((0 until RecrawlRuns).map(lit): _*)).as("run"),
+        col("text"))
+      .withColumn("snap_text", concat(col("text"),
+        // sequence(1, 0) DESCENDS in Spark, so the run-0 range is
+        // built 0-based and the k >= 1 bound lives in the filter
+        array_join(transform(
+          filter(sequence(lit(0), col("run")), k =>
+            k >= 1 && (col("doc_id") * 7 + k * 3) % 5 < 2),
+          k => concat(lit(" edit "), k.cast("string"))), "")))
+      .withColumn("digest", md5(col("snap_text")))
+      .withColumn("changed",
+        (col("run") > 0 &&
+          col("digest") =!= lag(col("digest"), 1).over(runW))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_captures"),
+        sum(col("changed")).as("n_changes"))
+      .select(col("doc_id"), urlCol(col("doc_id")).as("target_uri"),
+        col("n_captures"), col("n_changes"),
+        (col("n_changes").cast("double") /
+          (RecrawlRuns - 1).toDouble).as("change_rate"),
+        floor(lit(24.0) /
+          (lit(2.0) * (col("n_changes").cast("double") /
+            (RecrawlRuns - 1).toDouble) + lit(0.5)))
+          .cast("long").as("next_interval_h"))
+  }
+
   /** q250: the per-host crawl-health report — the rollup a crawl
     * operator reads per ingest batch, composed from q247's parse and
     * q248's funnel: captures, ok-rate (valid 200 text/html), payload

@@ -8275,6 +8275,43 @@ SELECT e.src_host, e.target_host, e.n_links, e.n_docs,
          AS out_share
 FROM e JOIN t USING (src_host)"""
 
+  /** Mirror of [[graft.operators.Warc.recrawlSchedule]] (q276):
+    * same accumulated-edit snapshots, digest lag-compare, rate and
+    * interval arithmetic. */
+  def recrawlSchedule: String = {
+    val runs = graft.operators.Warc.RecrawlRuns
+    s"""WITH s AS (
+  SELECT doc_id, r.run,
+    text || COALESCE(array_to_string(list_transform(
+      list_filter(range(1, r.run + 1),
+        k -> (doc_id * 7 + k * 3) % 5 < 2),
+      k -> ' edit ' || CAST(k AS VARCHAR)), ''), '') AS snap_text
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, $runs)) AS run) r
+), dg AS (
+  SELECT doc_id, run, md5(snap_text) AS digest,
+         lag(md5(snap_text), 1) OVER (PARTITION BY doc_id
+           ORDER BY run) AS prev_digest
+  FROM s
+), ch AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_captures,
+         CAST(SUM(CASE WHEN run > 0 AND digest <> prev_digest
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM dg GROUP BY doc_id
+)
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com/doc' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       n_captures, n_changes,
+       CAST(n_changes AS DOUBLE) / ${runs - 1}.0 AS change_rate,
+       CAST(FLOOR(24.0 / (2.0 *
+         (CAST(n_changes AS DOUBLE) / ${runs - 1}.0) + 0.5))
+         AS BIGINT) AS next_interval_h
+FROM ch"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =

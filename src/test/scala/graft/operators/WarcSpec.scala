@@ -195,4 +195,29 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       "WARC parse must not shuffle")
   }
+
+  test("q276: change rates come from digest lag-compares over the " +
+      "accumulated-edit recrawl, and intervals shrink as rates " +
+      "grow") {
+    import spark.implicits._
+    val docs = (0L until 20L).map((_, "base text")).toDF("doc_id", "text")
+    val out = Warc.recrawlSchedule(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- out) {
+      // reference: edits at k in 1..3 where (id*7 + 3k) % 5 < 2
+      val edits = (1 to 3).count(k => (id * 7 + 3 * k) % 5 < 2)
+      assert(r.getAs[Long]("n_changes") == edits.toLong,
+        s"doc $id changes")
+      assert(r.getAs[Long]("n_captures") == 4L)
+      val rate = edits / 3.0
+      assert(r.getAs[Double]("change_rate") == rate)
+      assert(r.getAs[Long]("next_interval_h") ==
+        math.floor(24.0 / (2.0 * rate + 0.5)).toLong)
+    }
+    val rates = out.values.map(_.getAs[Long]("n_changes")).toSet
+    assert(rates.size >= 2, "the fixture must span change counts")
+    // a static page waits 48h; an always-changing one under 10h
+    assert(out.values.filter(_.getAs[Long]("n_changes") == 0L)
+      .forall(_.getAs[Long]("next_interval_h") == 48L))
+  }
 }
