@@ -1759,6 +1759,11 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Chunk-based near-dup pairs: CDC digests as the blocking key
+    // (rare-chunk buckets, bounded), exact chunk-set Jaccard verify
+    // — the storage-informed dedup family member.
+    "q277_cdc_near_dup" -> ((s, dir) =>
+      operators.Dedup.cdcNearDups(documents(s, dir))),
     // Adaptive recrawl scheduling: change rates from digest
     // lag-compares over an accumulated-edit recrawl, mapped to
     // next-visit intervals (the crawl-freshness policy).
@@ -2682,6 +2687,7 @@ object SparkEntry {
     "q274_sentence_segments" -> OracleSql.sentenceSegments,
     "q275_corpus_datasheet" -> OracleSql.corpusDatasheet,
     "q276_recrawl_schedule" -> OracleSql.recrawlSchedule,
+    "q277_cdc_near_dup" -> OracleSql.cdcNearDups,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -1752,4 +1752,42 @@ object Dedup {
       .select(col("digest"), col("n_occ"), col("n_docs"),
         col("n_chars"),
         ((col("n_occ") - 1) * col("n_chars")).as("saved_chars"))
+
+  /** Candidate-bucket cap and verify threshold of [[cdcNearDups]]
+    * (q277). */
+  val CdcPairMaxBucket = 10
+  val CdcJaccard = 0.5
+
+  /** Chunk-based near-dup pairs (q277) — the STORAGE-informed
+    * member of the dedup family: where MinHash (q5) samples shingle
+    * space and winnowing (q26) samples gram minima, CDC chunk
+    * digests (q261) partition the byte stream itself, so two
+    * documents sharing most of their content share most of their
+    * chunks even under insertions (the q261 re-synchronization
+    * property). Candidates share a rare chunk (df in
+    * [2, [[CdcPairMaxBucket]]] — the boilerplate cut), verified
+    * with exact Jaccard over the full per-doc chunk-digest sets at
+    * [[CdcJaccard]].
+    *
+    * Scale design (100 TB): the identical shape the winnow family
+    * audits — bounded-bucket candidate generation (one shuffle,
+    * never all-pairs), the verify join moving doc-bounded digest
+    * sets only for candidates. */
+  def cdcNearDups(docs: DataFrame): DataFrame = {
+    val ch = cdcChunks(docs).select(col("doc_id"), col("digest"))
+      .distinct()
+    val sets = ch.groupBy(col("doc_id"))
+      .agg(collect_set(col("digest")).as("cs"))
+    val cand = boundedBucketPairs(ch, "digest", CdcPairMaxBucket)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("cs").as("ca")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("cs").as("cb")), Seq("doc_b"))
+      .withColumn("cjaccard",
+        size(array_intersect(col("ca"), col("cb"))).cast("double") /
+          size(array_union(col("ca"), col("cb"))).cast("double"))
+      .filter(col("cjaccard") >= CdcJaccard)
+      .select(col("doc_a"), col("doc_b"), col("cjaccard"))
+  }
 }

@@ -421,6 +421,35 @@ SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_occ,
        (CAST(COUNT(*) AS BIGINT) - 1) * MAX(n_chars) AS saved_chars
 FROM chunks GROUP BY digest HAVING COUNT(*) >= 2"""
 
+  /** Mirror of [[graft.operators.Dedup.cdcNearDups]] (q277): same
+    * chunk digests, bounded-bucket candidates, exact chunk-set
+    * Jaccard. */
+  def cdcNearDups: String = {
+    val cap = Dedup.CdcPairMaxBucket
+    val thr = Dedup.CdcJaccard
+    s"""$cdcCtes, cd AS (
+  SELECT DISTINCT doc_id, digest FROM chunks
+), bkt AS (
+  SELECT digest FROM cd GROUP BY digest
+  HAVING COUNT(*) BETWEEN 2 AND $cap
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cd a JOIN bkt USING (digest)
+  JOIN cd b ON a.digest = b.digest AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(list(digest)) AS cs
+  FROM cd GROUP BY doc_id
+), j AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_intersect(sa.cs, sb.cs)) AS DOUBLE) /
+           (len(sa.cs) + len(sb.cs) -
+            len(list_intersect(sa.cs, sb.cs))) AS cjaccard
+  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+            JOIN sets sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, cjaccard FROM j WHERE cjaccard >= $thr"""
+  }
+
   /** Mirror of [[graft.operators.Dedup.minhashNearDups]] — identical
     * permutation constants ([[Dedup.perms]]), banding and Jaccard cut. */
   def dedupMinhash: String = minhashPipeline(shingleCtes)

@@ -889,4 +889,28 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"CDC must not shuffle:\n$plan")
   }
+
+  test("q277: CDC chunk sharing catches an insertion-shifted " +
+      "near-dup (where fixed blocking would miss) and scores exact " +
+      "chunk-set Jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark woods tonight while " +
+      "owls watch from the tall trees above the silent river bend"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX INSERTED " + base), // shifted near-dup
+      (3L, "totally unrelated content about spark query planning " +
+        "and catalyst optimizer rules for distributed execution"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDups(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cjaccard")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"the shifted near-dup must be found, got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    val j = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j >= Dedup.CdcJaccard && j < 1.0,
+      s"shifted dup must score high but below 1.0, got $j")
+  }
 }
