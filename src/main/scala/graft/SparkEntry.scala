@@ -1764,6 +1764,15 @@ object SparkEntry {
     // — the storage-informed dedup family member.
     "q277_cdc_near_dup" -> ((s, dir) =>
       operators.Dedup.cdcNearDups(documents(s, dir))),
+    // Wayback-style closest-capture lookup: per-URI struct-min over
+    // the capture clock, midpoint ties to the earlier capture.
+    "q278_wayback_lookup" -> ((s, dir) =>
+      operators.Warc.waybackLookup(documents(s, dir))),
+    // Redirect-chain resolution: MaxHops equi self-joins on the URL
+    // key; chains 0..3 hops plus a planted 2-cycle flagged
+    // non-terminal (never a silent wrong answer).
+    "q279_redirect_resolve" -> ((s, dir) =>
+      operators.Redirects.resolveRedirects(documents(s, dir))),
     // Adaptive recrawl scheduling: change rates from digest
     // lag-compares over an accumulated-edit recrawl, mapped to
     // next-visit intervals (the crawl-freshness policy).
@@ -2688,6 +2697,8 @@ object SparkEntry {
     "q275_corpus_datasheet" -> OracleSql.corpusDatasheet,
     "q276_recrawl_schedule" -> OracleSql.recrawlSchedule,
     "q277_cdc_near_dup" -> OracleSql.cdcNearDups,
+    "q278_wayback_lookup" -> OracleSql.waybackLookup,
+    "q279_redirect_resolve" -> OracleSql.resolveRedirects,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -239,6 +239,43 @@ object Warc {
           .as("saved_chars"))
   }
 
+  /** q278: wayback-style closest-capture lookup — THE web-archive
+    * read path: given (URI, wanted time), serve the capture whose
+    * timestamp is temporally closest (ties to the earlier capture —
+    * the struct-min tie-break, stated). Captures are the q252
+    * two-run recrawl on a relative clock (run r at r·86400 s);
+    * each URI is queried at (doc_id % 3)·43200 s, so all three
+    * regimes occur on every run: clearly-run-0, the exact midpoint
+    * tie (earlier wins), and clearly-run-1.
+    *
+    * Scale design (100 TB): one equi-join on the URI key and a
+    * per-URI struct-min rollup bounded at the capture count — the
+    * lookup shards with the archive, no sort, no window. */
+  def waybackLookup(docs: DataFrame): DataFrame = {
+    val caps = docs
+      .select(col("doc_id"),
+        explode(array((0 until RevisitRuns).map(lit): _*)).as("run"),
+        col("text"))
+      .withColumn("snap_text",
+        when(col("run") > 0 && col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" updated v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("run").cast("long").as("run"),
+        (col("run") * 86400L).as("cap_ts"),
+        md5(col("snap_text")).as("digest"))
+    val queries = docs.select(col("doc_id"),
+      ((col("doc_id") % 3) * 43200L).as("q_ts"))
+    queries.join(caps, Seq("doc_id"))
+      .withColumn("dt_s", abs(col("cap_ts") - col("q_ts")))
+      .groupBy(col("doc_id"), col("q_ts"))
+      .agg(min(struct(col("dt_s").as("dt"), col("run").as("run"),
+        col("cap_ts").as("ts"), col("digest").as("dg"))).as("m"))
+      .select(col("doc_id"), urlCol(col("doc_id")).as("target_uri"),
+        col("q_ts"), col("m.run").as("best_run"),
+        col("m.ts").as("best_ts"), col("m.dt").as("dt_s"),
+        col("m.dg").as("digest"))
+  }
+
   /** Snapshots per URL in the q276 adaptive-recrawl fixture. */
   val RecrawlRuns = 4
 

@@ -8341,6 +8341,75 @@ SELECT doc_id,
 FROM ch"""
   }
 
+  /** Mirror of [[graft.operators.Warc.waybackLookup]] (q278): same
+    * capture clock, same (dt, run) closest pick. */
+  def waybackLookup: String = {
+    val runs = graft.operators.Warc.RevisitRuns
+    s"""WITH caps AS (
+  SELECT doc_id, r.run,
+    CASE WHEN r.run > 0 AND doc_id % 3 = 0
+         THEN text || ' updated v2' ELSE text END AS snap_text
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, $runs)) AS run) r
+), c2 AS (
+  SELECT doc_id, CAST(run AS BIGINT) AS run,
+         CAST(run * 86400 AS BIGINT) AS cap_ts,
+         md5(snap_text) AS digest
+  FROM caps
+), q AS (
+  SELECT doc_id, CAST((doc_id % 3) * 43200 AS BIGINT) AS q_ts
+  FROM documents
+), j AS (
+  SELECT q.doc_id, q.q_ts, c.run, c.cap_ts, c.digest,
+         CAST(abs(c.cap_ts - q.q_ts) AS BIGINT) AS dt_s,
+         row_number() OVER (PARTITION BY q.doc_id
+           ORDER BY abs(c.cap_ts - q.q_ts), c.run) AS rn
+  FROM q JOIN c2 c USING (doc_id)
+)
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com/doc' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       q_ts, run AS best_run, cap_ts AS best_ts, dt_s, digest
+FROM j WHERE rn = 1"""
+  }
+
+  /** Mirror of [[graft.operators.Redirects.resolveRedirects]]
+    * (q279): same redirect table, [[graft.operators.Redirects.MaxHops]]
+    * unrolled left-join steps, same terminal verdict. */
+  def resolveRedirects: String = {
+    def u(e: String) =
+      s"'https://www.site' || CAST(($e) % 7 AS VARCHAR) || " +
+        s"'.example.com/r/' || CAST($e AS VARCHAR)"
+    val steps = (1 to graft.operators.Redirects.MaxHops).map { i =>
+      s"""s$i AS (
+  SELECT p.doc_id, p.src_url, COALESCE(r.target, p.cur) AS cur,
+         p.hops + CASE WHEN r.target IS NULL THEN 0 ELSE 1 END
+           AS hops
+  FROM s${i - 1} p LEFT JOIN r ON r.url = p.cur
+)"""
+    }.mkString(", ")
+    val last = s"s${graft.operators.Redirects.MaxHops}"
+    s"""WITH r AS (
+  SELECT * FROM (
+    SELECT ${u("doc_id")} AS url,
+      CASE WHEN doc_id % 100 = 98 THEN ${u("doc_id + 1")}
+           WHEN doc_id % 100 = 99 THEN ${u("doc_id - 1")}
+           WHEN doc_id % 4 <> 0 THEN ${u("doc_id - 1")}
+           ELSE NULL END AS target
+    FROM documents
+  ) WHERE target IS NOT NULL
+), s0 AS (
+  SELECT doc_id, ${u("doc_id")} AS src_url, ${u("doc_id")} AS cur,
+         CAST(0 AS BIGINT) AS hops
+  FROM documents
+), $steps
+SELECT f.doc_id, f.src_url, f.cur AS final_url,
+       CAST(f.hops AS BIGINT) AS hops,
+       r2.url IS NULL AS terminal
+FROM $last f LEFT JOIN r r2 ON r2.url = f.cur"""
+  }
+
   /** Mirror of [[graft.operators.HtmlExtract.htmlExtracted]]
     * (q239). */
   def htmlExtract: String =
