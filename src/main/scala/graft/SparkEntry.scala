@@ -1653,6 +1653,11 @@ object SparkEntry {
     // audio-duration-bounded.
     "q257_vad_segments" -> ((s, dir) =>
       operators.Multimodal.vadSegments(documents(s, dir))),
+    // Shot-boundary detection: exact integer inter-frame step test
+    // over the decoded lossless raw-RGB track, per-shot ids — all
+    // inside one typed map per video, no window at any scale.
+    "q280_shot_boundaries" -> ((s, dir) =>
+      operators.Multimodal.shotBoundaries(documents(s, dir))),
     // EXIF/TIFF metadata: real Exif-in-JPEG blobs (marker walk,
     // BOTH byte orders every run, inline + offset-indirected IFD
     // values) round-tripped row-locally.
@@ -2699,6 +2704,7 @@ object SparkEntry {
     "q277_cdc_near_dup" -> OracleSql.cdcNearDups,
     "q278_wayback_lookup" -> OracleSql.waybackLookup,
     "q279_redirect_resolve" -> OracleSql.resolveRedirects,
+    "q280_shot_boundaries" -> OracleSql.shotBoundaries,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

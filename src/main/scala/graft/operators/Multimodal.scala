@@ -1613,6 +1613,56 @@ object Multimodal {
         "orientation", "width", "datetime")
   }
 
+  /** Per-pixel cut threshold of [[shotBoundaries]]: a cut's
+    * brightness step is 50/pixel, within-shot drift 1/pixel — the
+    * threshold sits between them, so the integer compare is exact
+    * on every frame. */
+  val ShotCutPerPixel = 25L
+
+  /** Shot-boundary detection (q280) — the video preprocessing stage
+    * between frame extraction (q81) and any frame-sampling policy:
+    * training pipelines sample per SHOT, not per fixed stride, so
+    * cuts must be found first. The detector is the classic
+    * inter-frame difference test: decode the (lossless raw-RGB)
+    * track, fold each frame to its exact integer byte sum, and cut
+    * where |Δsum| exceeds [[ShotCutPerPixel]]·pixels — all LONG
+    * arithmetic, so the verdict is exact (the q228 rather than the
+    * q68 grading class). The fixture plants a brightness step of
+    * 50/pixel every 5 frames (offset per doc) over within-shot
+    * drift of 1/pixel, values bounded < 256 so no wrap exists.
+    * Per frame: (doc_id, frame, frame_sum, is_cut, shot_id).
+    *
+    * Scale design (100 TB): decode, sums, cuts, and shot ids all
+    * happen inside ONE typed map per video blob — a video never
+    * crosses an exchange and no window exists at any scale. */
+  def shotBoundaries(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val r = (id % 5).toInt
+        val w = (4 + id % 4).toInt
+        val h = (4 + id % 3).toInt
+        val n = (8 + id % 5).toInt
+        val npx = w * h * 3
+        val frames = Vector.tabulate(n)(f =>
+          Array.tabulate(npx)(p =>
+            (((f + r) / 5) * 50 + f + (p % 7)).toByte))
+        val track = extractMp4Frames(encodeMp4RawVideo(w, h, frames))
+          .getOrElse(sys.error(s"unextractable track for doc $id"))
+        require(track.frames.size == n, s"frame count for doc $id")
+        val sums = track.frames
+          .map(_.map(b => (b & 0xff).toLong).sum)
+        var shot = 0L
+        sums.zipWithIndex.map { case (s, f) =>
+          val cut = f > 0 &&
+            math.abs(s - sums(f - 1)) > ShotCutPerPixel * npx
+          if (cut) shot += 1
+          (id, f.toLong, s, cut, shot)
+        }
+      }
+      .toDF("doc_id", "frame", "frame_sum", "is_cut", "shot_id")
+  }
+
   /** Per-sample energy threshold of [[vadSegments]] — the mean
     * square of a uniform ±1024 signal (2048²/12), so roughly half
     * of all frames sit on each side and both VAD branches do real

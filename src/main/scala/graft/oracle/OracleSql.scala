@@ -6849,6 +6849,27 @@ FROM s GROUP BY doc_id, i // $fl"""
          ':00:00' AS datetime
 FROM documents"""
 
+  /** Mirror of [[graft.operators.Multimodal.shotBoundaries]]
+    * (q280): frame sums recomputed in closed form from the fixture
+    * arithmetic (the engine must round-trip the real raw-RGB track
+    * to match), cuts and shot ids from the same step rule. */
+  def shotBoundaries: String =
+    """WITH d AS (
+  SELECT doc_id, doc_id % 5 AS r, 4 + doc_id % 4 AS w,
+         4 + doc_id % 3 AS h, 8 + doc_id % 5 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, r, w * h * 3 AS npx, q.f
+  FROM d, LATERAL (SELECT unnest(range(0, n)) AS f) q
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame,
+       CAST(npx * (50 * ((f + r) // 5) + f) +
+            (npx // 7) * 21 +
+            (npx % 7) * (npx % 7 - 1) // 2 AS BIGINT) AS frame_sum,
+       f > 0 AND (f + r) % 5 = 0 AS is_cut,
+       CAST((f + r) // 5 AS BIGINT) AS shot_id
+FROM fr"""
+
   /** Mirror of [[graft.operators.Multimodal.vadSegments]] (q257):
     * frames from the q213 arithmetic, the same integer energy
     * test, hangover max, and gaps-and-islands collapse. */

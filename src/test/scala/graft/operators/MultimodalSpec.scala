@@ -727,4 +727,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
       assert(r.getAs[String]("datetime") == dt)
     }
   }
+
+  test("q280 shots: cuts land exactly on the planted 5-frame steps " +
+      "(offset per doc), shot ids are cumulative, and the verdict " +
+      "is an exact integer compare on decoded bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L)
+    val out = Multimodal.shotBoundaries(ids.map((_, "x"))
+        .toDF("doc_id", "text")).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    for (id <- ids) {
+      val r = (id % 5).toInt
+      val rows = out(id).sortBy(_.getAs[Long]("frame"))
+      assert(rows.length == (8 + id % 5).toInt)
+      for (row <- rows) {
+        val f = row.getAs[Long]("frame").toInt
+        assert(row.getAs[Boolean]("is_cut") ==
+          (f > 0 && (f + r) % 5 == 0), s"doc $id frame $f cut")
+        assert(row.getAs[Long]("shot_id") == (f + r) / 5,
+          s"doc $id frame $f shot")
+      }
+      assert(rows.exists(_.getAs[Boolean]("is_cut")),
+        s"doc $id must contain at least one cut")
+    }
+  }
 }
