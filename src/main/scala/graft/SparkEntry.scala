@@ -1658,6 +1658,11 @@ object SparkEntry {
     // inside one typed map per video, no window at any scale.
     "q280_shot_boundaries" -> ((s, dir) =>
       operators.Multimodal.shotBoundaries(documents(s, dir))),
+    // ... and the per-shot sampling policy: one middle frame per
+    // shot (temporal diversity instead of fixed stride); (doc,
+    // shot)-keyed rollup + a doc-local equi-join, video-local.
+    "q281_shot_sampling" -> ((s, dir) =>
+      operators.Multimodal.shotSampledFrames(documents(s, dir))),
     // EXIF/TIFF metadata: real Exif-in-JPEG blobs (marker walk,
     // BOTH byte orders every run, inline + offset-indirected IFD
     // values) round-tripped row-locally.
@@ -2705,6 +2710,7 @@ object SparkEntry {
     "q278_wayback_lookup" -> OracleSql.waybackLookup,
     "q279_redirect_resolve" -> OracleSql.resolveRedirects,
     "q280_shot_boundaries" -> OracleSql.shotBoundaries,
+    "q281_shot_sampling" -> OracleSql.shotSampledFrames,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -1663,6 +1663,36 @@ object Multimodal {
       .toDF("doc_id", "frame", "frame_sum", "is_cut", "shot_id")
   }
 
+  /** Per-shot frame sampling (q281) — the policy q280 exists for:
+    * one representative frame per shot (the temporal-diversity rule
+    * multimodal pipelines use instead of fixed-stride sampling,
+    * which over-samples long static shots and misses short ones).
+    * The representative is the shot's MIDDLE frame
+    * ((first + last) DIV 2 — deterministic, stated). Per shot:
+    * (doc_id, shot_id, first/last frame, n_frames, sampled_frame,
+    * sampled_sum).
+    *
+    * Scale design (100 TB): one (doc, shot)-keyed map-side-combined
+    * rollup over q280's frame rows plus a self-equi-join to fetch
+    * the sampled frame's stats — both keyed by doc, video-local. */
+  def shotSampledFrames(docs: DataFrame): DataFrame = {
+    val frames = shotBoundaries(docs)
+    val shots = frames
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("frame")).as("first_frame"),
+        max(col("frame")).as("last_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("sampled_frame",
+        ((col("first_frame") + col("last_frame")) / 2).cast("long"))
+    shots.join(frames
+        .select(col("doc_id"), col("frame").as("sampled_frame"),
+          col("frame_sum").as("sampled_sum")),
+      Seq("doc_id", "sampled_frame"))
+      .select(col("doc_id"), col("shot_id"), col("first_frame"),
+        col("last_frame"), col("n_frames"), col("sampled_frame"),
+        col("sampled_sum"))
+  }
+
   /** Per-sample energy threshold of [[vadSegments]] — the mean
     * square of a uniform ±1024 signal (2048²/12), so roughly half
     * of all frames sit on each side and both VAD branches do real

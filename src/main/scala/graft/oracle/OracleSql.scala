@@ -6870,6 +6870,24 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame,
        CAST((f + r) // 5 AS BIGINT) AS shot_id
 FROM fr"""
 
+  /** Mirror of [[graft.operators.Multimodal.shotSampledFrames]]
+    * (q281): the q280 frame CTE rolled up per shot, middle frame
+    * sampled. */
+  def shotSampledFrames: String =
+    s"""WITH fr0 AS ($shotBoundaries
+), sh AS (
+  SELECT doc_id, shot_id, MIN(frame) AS first_frame,
+         MAX(frame) AS last_frame,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST((MIN(frame) + MAX(frame)) // 2 AS BIGINT)
+           AS sampled_frame
+  FROM fr0 GROUP BY doc_id, shot_id
+)
+SELECT sh.doc_id, sh.shot_id, sh.first_frame, sh.last_frame,
+       sh.n_frames, sh.sampled_frame, f2.frame_sum AS sampled_sum
+FROM sh JOIN fr0 f2
+  ON f2.doc_id = sh.doc_id AND f2.frame = sh.sampled_frame"""
+
   /** Mirror of [[graft.operators.Multimodal.vadSegments]] (q257):
     * frames from the q213 arithmetic, the same integer energy
     * test, hangover max, and gaps-and-islands collapse. */

@@ -751,4 +751,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
         s"doc $id must contain at least one cut")
     }
   }
+
+  test("q281: exactly one sampled frame per shot, the middle one, " +
+      "with its exact frame sum") {
+    import spark.implicits._
+    val docs = Seq((3L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.shotBoundaries(docs).collect()
+      .map(r => r.getAs[Long]("frame") ->
+        ((r.getAs[Long]("shot_id"), r.getAs[Long]("frame_sum"))))
+      .toMap
+    val shots = Multimodal.shotSampledFrames(docs).collect()
+      .sortBy(_.getAs[Long]("shot_id"))
+    val nShots = frames.values.map(_._1).toSet.size
+    assert(shots.length == nShots, "one row per shot")
+    for (r <- shots) {
+      val first = r.getAs[Long]("first_frame")
+      val last = r.getAs[Long]("last_frame")
+      val mid = r.getAs[Long]("sampled_frame")
+      assert(mid == (first + last) / 2)
+      assert(frames(mid)._1 == r.getAs[Long]("shot_id"),
+        "the sampled frame must belong to its shot")
+      assert(frames(mid)._2 == r.getAs[Long]("sampled_sum"))
+      assert(r.getAs[Long]("n_frames") == last - first + 1)
+    }
+  }
 }
