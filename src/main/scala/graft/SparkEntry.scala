@@ -1663,6 +1663,11 @@ object SparkEntry {
     // shot)-keyed rollup + a doc-local equi-join, video-local.
     "q281_shot_sampling" -> ((s, dir) =>
       operators.Multimodal.shotSampledFrames(documents(s, dir))),
+    // Multimodal sequence interleaving: sentences + sampled frames
+    // merged in time order with per-item token costs and a running
+    // budget — per-doc windows bounded by items-per-document.
+    "q282_interleave" -> ((s, dir) =>
+      operators.Multimodal.interleaveMultimodal(documents(s, dir))),
     // EXIF/TIFF metadata: real Exif-in-JPEG blobs (marker walk,
     // BOTH byte orders every run, inline + offset-indirected IFD
     // values) round-tripped row-locally.
@@ -1783,6 +1788,11 @@ object SparkEntry {
     // non-terminal (never a silent wrong answer).
     "q279_redirect_resolve" -> ((s, dir) =>
       operators.Redirects.resolveRedirects(documents(s, dir))),
+    // Crawl-budget allocation across registrable domains: sqrt-pages
+    // shares made to sum EXACTLY to the budget by largest-remainder
+    // rounding, the +1 ranks through the bounded heap.
+    "q283_crawl_budget" -> ((s, dir) =>
+      operators.UrlCanonical.crawlBudgetAllocation(documents(s, dir))),
     // Adaptive recrawl scheduling: change rates from digest
     // lag-compares over an accumulated-edit recrawl, mapped to
     // next-visit intervals (the crawl-freshness policy).
@@ -2711,6 +2721,8 @@ object SparkEntry {
     "q279_redirect_resolve" -> OracleSql.resolveRedirects,
     "q280_shot_boundaries" -> OracleSql.shotBoundaries,
     "q281_shot_sampling" -> OracleSql.shotSampledFrames,
+    "q282_interleave" -> OracleSql.interleaveMultimodal,
+    "q283_crawl_budget" -> OracleSql.crawlBudgetAllocation,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

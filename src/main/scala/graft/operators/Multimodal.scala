@@ -1693,6 +1693,49 @@ object Multimodal {
         col("sampled_sum"))
   }
 
+  /** Token cost charged per interleaved image (q282). */
+  val ImageTokenCost = 32L
+
+  /** Multimodal sequence interleaving (q282) — the layout pass that
+    * turns a document's text and its video's sampled frames into ONE
+    * training sequence (the interleaved image-text format the
+    * Flamingo/MMC4-style corpora feed): sentences (q274) on a
+    * 500 ms narration clock and per-shot sampled frames (q281) on
+    * the 700 ms frame clock merge in time order (ties by modality
+    * then ref — deterministic, stated), each item carrying its
+    * token cost (words for text, [[ImageTokenCost]] per image) and
+    * the running total a packer budgets against.
+    *
+    * Scale design (100 TB): both sides are the existing row-local
+    * kernels; the merge is a per-DOC window bounded by
+    * items-per-document (sentences + shots — document-sized, never
+    * corpus-sized), and the running sum rides the same frame. */
+  def interleaveMultimodal(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = TextAnalysis.sentenceSegments(docs)
+      .select(col("doc_id"),
+        (col("sent_idx") * 500L).as("t_ms"),
+        lit("text").as("modality"), col("sentence").as("ref"),
+        col("n_words").as("n_tokens"))
+    val frames = shotSampledFrames(docs)
+      .select(col("doc_id"),
+        (col("sampled_frame") * 700L).as("t_ms"),
+        lit("image").as("modality"),
+        concat(lit("frame:"), col("sampled_frame").cast("string"))
+          .as("ref"),
+        lit(ImageTokenCost).as("n_tokens"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("t_ms"), col("modality"), col("ref"))
+    val run = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    sents.unionByName(frames)
+      .withColumn("seq_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+      .select(col("doc_id"), col("seq_idx"), col("t_ms"),
+        col("modality"), col("ref"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Per-sample energy threshold of [[vadSegments]] — the mean
     * square of a uniform ±1024 signal (2048²/12), so roughly half
     * of all frames sit on each side and both VAD branches do real

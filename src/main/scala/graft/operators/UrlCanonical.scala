@@ -167,6 +167,62 @@ object UrlCanonical {
           .as("registrable_domain"))
   }
 
+  /** Total fetch slots of [[crawlBudgetAllocation]] (q283). */
+  val CrawlBudget = 1000L
+
+  /** q283: crawl-budget allocation across registrable domains — the
+    * planning step between q273's domain extraction and the q254
+    * frontier: a global fetch budget splits across domains
+    * proportionally to √pages (the sublinear crawl-budget rule —
+    * big sites get more, but not linearly more), made to sum
+    * EXACTLY to the budget by largest-remainder rounding. The
+    * weight total is an ordered fold over the domain list (the
+    * q169/q275 FP discipline) and the remainder ranks run through
+    * the [[TextAnalysis.globalTopK]] heap with k = the budget —
+    * registrable domains are corpus-scale on a real web corpus
+    * (tens of millions), exactly the single-reducer hazard class,
+    * and only ranks ≤ budget are ever consumed.
+    *
+    * Scale design (100 TB): one domain rollup, a 1-row ordered-fold
+    * total and a 1-row remainder (both broadcast), the bounded heap
+    * for the +1 ranks, and one broadcast join back — nothing sorts
+    * globally. */
+  def crawlBudgetAllocation(docs: DataFrame): DataFrame = {
+    val domains = registrableDomain(docs)
+      .filter(col("registrable_domain").isNotNull)
+      .groupBy(col("registrable_domain"))
+      .agg(count(lit(1)).as("n_pages"))
+      .withColumn("weight", sqrt(col("n_pages").cast("double")))
+    val tot = domains
+      .agg(collect_list(struct(
+        col("registrable_domain").as("d"),
+        col("weight").as("w"))).as("ws"))
+      .select(aggregate(
+        transform(array_sort(col("ws")), x => x.getField("w")),
+        lit(0.0), (a, b) => a + b).as("w_total"))
+    val alloc = domains.crossJoin(broadcast(tot))
+      .withColumn("share", col("weight") / col("w_total"))
+      .withColumn("ideal",
+        col("weight") / col("w_total") * CrawlBudget.toDouble)
+      .withColumn("base", floor(col("ideal")))
+      .withColumn("frac", col("ideal") - floor(col("ideal")))
+    val rem = alloc.agg((lit(CrawlBudget) - sum(col("base")))
+      .as("rem"))
+    val ranked = TextAnalysis.globalTopK(
+      alloc.select(col("registrable_domain"), col("frac")),
+      Seq("frac" -> false, "registrable_domain" -> true),
+      CrawlBudget.toInt)
+      .select(col("registrable_domain"), col("rank"))
+    alloc.crossJoin(broadcast(rem))
+      .join(broadcast(ranked), Seq("registrable_domain"), "left")
+      .withColumn("extra",
+        when(col("rank").isNotNull && col("rank") <= col("rem"), 1L)
+          .otherwise(0L))
+      .select(col("registrable_domain").as("domain"),
+        col("n_pages"), col("weight"), col("share"), col("base"),
+        col("extra"), (col("base") + col("extra")).as("budget_slots"))
+  }
+
   /** q244: host-level quota — the q34 quota operator, UNCHANGED,
     * keyed on the canonical host: at most [[HostQuota]] documents
     * per host, chosen by the house hash order. */

@@ -6888,6 +6888,34 @@ SELECT sh.doc_id, sh.shot_id, sh.first_frame, sh.last_frame,
 FROM sh JOIN fr0 f2
   ON f2.doc_id = sh.doc_id AND f2.frame = sh.sampled_frame"""
 
+  /** Mirror of [[graft.operators.Multimodal.interleaveMultimodal]]
+    * (q282): the q274 and q281 mirrors unioned on the same clocks,
+    * same (t, modality, ref) order, running token sum. */
+  def interleaveMultimodal: String = {
+    val cost = graft.operators.Multimodal.ImageTokenCost
+    s"""WITH tx AS (
+  SELECT doc_id, CAST(sent_idx * 500 AS BIGINT) AS t_ms,
+         'text' AS modality, sentence AS ref, n_words AS n_tokens
+  FROM ($sentenceSegments)
+), im AS (
+  SELECT doc_id, CAST(sampled_frame * 700 AS BIGINT) AS t_ms,
+         'image' AS modality,
+         'frame:' || CAST(sampled_frame AS VARCHAR) AS ref,
+         CAST($cost AS BIGINT) AS n_tokens
+  FROM ($shotSampledFrames)
+), u AS (
+  SELECT * FROM tx UNION ALL SELECT * FROM im
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+         ORDER BY t_ms, modality, ref) - 1 AS BIGINT) AS seq_idx,
+       t_ms, modality, ref, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY doc_id
+         ORDER BY t_ms, modality, ref
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM u"""
+  }
+
   /** Mirror of [[graft.operators.Multimodal.vadSegments]] (q257):
     * frames from the q213 arithmetic, the same integer energy
     * test, hangover max, and gaps-and-islands collapse. */
@@ -8180,6 +8208,51 @@ SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
        substr(sentence, CAST(length(sentence) AS INT), 1)
          AS terminator
 FROM u WHERE length(sentence) > 0"""
+
+  /** Mirror of
+    * [[graft.operators.UrlCanonical.crawlBudgetAllocation]] (q283):
+    * same √pages weights, ordered-fold total, largest-remainder
+    * ranks by (frac desc, domain asc). */
+  def crawlBudgetAllocation: String = {
+    val b = graft.operators.UrlCanonical.CrawlBudget
+    s"""WITH dom AS (
+  SELECT registrable_domain AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM ($registrableDomain)
+  WHERE registrable_domain IS NOT NULL
+  GROUP BY registrable_domain
+), w AS (
+  SELECT domain, n_pages,
+         sqrt(CAST(n_pages AS DOUBLE)) AS weight
+  FROM dom
+), t AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(weight ORDER BY domain)), (a, b) -> a + b)
+           AS w_total
+  FROM w
+), a AS (
+  SELECT w.domain, w.n_pages, w.weight,
+         w.weight / t.w_total AS share,
+         w.weight / t.w_total * $b.0 AS ideal
+  FROM w, t
+), bs AS (
+  SELECT *, CAST(FLOOR(ideal) AS BIGINT) AS base,
+         ideal - FLOOR(ideal) AS frac
+  FROM a
+), r AS (
+  SELECT $b - CAST(SUM(base) AS BIGINT) AS rem FROM bs
+), rk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY frac DESC, domain ASC)
+    AS BIGINT) AS rnk
+  FROM bs
+)
+SELECT rk.domain, rk.n_pages, rk.weight, rk.share, rk.base,
+       CAST(CASE WHEN rk.rnk <= r.rem THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       rk.base + CASE WHEN rk.rnk <= r.rem THEN 1 ELSE 0 END
+         AS budget_slots
+FROM rk, r"""
+  }
 
   /** Mirror of [[graft.operators.TextAnalysis.phraseSearch]]
     * (q268): same bigram stream, same (count desc, phrase asc)

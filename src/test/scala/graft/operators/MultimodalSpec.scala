@@ -775,4 +775,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
       assert(r.getAs[Long]("n_frames") == last - first + 1)
     }
   }
+
+  test("q282 interleave: items merge in time order with the " +
+      "image-before-text tie-break, token costs and the running " +
+      "budget are exact") {
+    import spark.implicits._
+    val docs = Seq((3L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.interleaveMultimodal(docs).collect()
+      .sortBy(_.getAs[Long]("seq_idx"))
+    assert(rows.nonEmpty)
+    // seq order equals (t_ms, modality, ref) order
+    val keys = rows.map(r => (r.getAs[Long]("t_ms"),
+      r.getAs[String]("modality"), r.getAs[String]("ref"))).toSeq
+    assert(keys == keys.sorted, "sequence must be time-ordered")
+    assert(rows.map(_.getAs[Long]("seq_idx")).toSeq ==
+      (0L until rows.length.toLong))
+    // both modalities present; image cost constant; text cost words
+    assert(rows.exists(_.getAs[String]("modality") == "image"))
+    assert(rows.exists(_.getAs[String]("modality") == "text"))
+    for (r <- rows if r.getAs[String]("modality") == "image")
+      assert(r.getAs[Long]("n_tokens") == Multimodal.ImageTokenCost)
+    // running budget is the exact prefix sum
+    var cum = 0L
+    for (r <- rows) {
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum)
+    }
+  }
 }

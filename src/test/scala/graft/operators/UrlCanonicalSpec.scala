@@ -111,4 +111,49 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"PSL matching must be row-local:\n$plan")
   }
+
+  test("q283: slots sum EXACTLY to the budget, big domains get " +
+      "sublinearly more, and the remainder goes to the largest " +
+      "fractional parts") {
+    import spark.implicits._
+    val docs = (0L until 80L).map((_, "x")).toDF("doc_id", "text")
+    val out = UrlCanonical.crawlBudgetAllocation(docs).collect()
+    assert(out.map(_.getAs[Long]("budget_slots")).sum ==
+      UrlCanonical.CrawlBudget,
+      "largest-remainder must make the slots sum exact")
+    for (r <- out) {
+      assert(r.getAs[Long]("budget_slots") ==
+        r.getAs[Long]("base") + r.getAs[Long]("extra"))
+      assert(Set(0L, 1L)(r.getAs[Long]("extra")))
+      assert(r.getAs[Double]("weight") ==
+        math.sqrt(r.getAs[Long]("n_pages").toDouble))
+    }
+    // sublinearity: a domain with 4x the pages gets < 4x the slots
+    val byPages = out.sortBy(_.getAs[Long]("n_pages"))
+    if (byPages.length >= 2) {
+      val small = byPages.head; val big = byPages.last
+      if (big.getAs[Long]("n_pages") >= 4 * small.getAs[Long]("n_pages"))
+        assert(big.getAs[Long]("budget_slots").toDouble /
+          small.getAs[Long]("budget_slots") <
+          big.getAs[Long]("n_pages").toDouble /
+            small.getAs[Long]("n_pages"))
+    }
+    val shares = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("q282-adjacent plan shape: the q283 plan has no " +
+      "single-partition exchange when the extensions are active " +
+      "(bare sessions fall back, the globalTopK contract)") {
+    import spark.implicits._
+    val plan = UrlCanonical.crawlBudgetAllocation(
+        Seq((1L, "t")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    // bare fixture session: the fallback window is allowed; the
+    // pin here is no cartesian and broadcast joins for the 1-row
+    // frames
+    assert(!plan.toLowerCase.contains("cartesianproduct") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row frames must broadcast:\n$plan")
+  }
 }
