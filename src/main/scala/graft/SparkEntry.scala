@@ -1788,6 +1788,11 @@ object SparkEntry {
     // non-terminal (never a silent wrong answer).
     "q279_redirect_resolve" -> ((s, dir) =>
       operators.Redirects.resolveRedirects(documents(s, dir))),
+    // RAG context assembly: q89's ranked retrieval packed into the
+    // context window in rank order under the prefix-budget rule;
+    // per-query windows bounded at the retrieval depth.
+    "q284_rag_contexts" -> ((s, dir) =>
+      TextAnalysis.ragContexts(documents(s, dir))),
     // Crawl-budget allocation across registrable domains: sqrt-pages
     // shares made to sum EXACTLY to the budget by largest-remainder
     // rounding, the +1 ranks through the bounded heap.
@@ -2723,6 +2728,7 @@ object SparkEntry {
     "q281_shot_sampling" -> OracleSql.shotSampledFrames,
     "q282_interleave" -> OracleSql.interleaveMultimodal,
     "q283_crawl_budget" -> OracleSql.crawlBudgetAllocation,
+    "q284_rag_contexts" -> OracleSql.ragContexts,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

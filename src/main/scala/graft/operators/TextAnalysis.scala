@@ -1410,6 +1410,34 @@ object TextAnalysis {
       col("score"), col("rank"))
   }
 
+  /** Context token budget of [[ragContexts]] (q284). */
+  val RagContextBudget = 400L
+
+  /** RAG context assembly (q284) — the serving step AFTER retrieval
+    * (q89's multi-query BM25): each query's ranked documents pack
+    * into its context window in rank order until the budget is
+    * exhausted — the PREFIX rule (stop at the first overflow,
+    * stated; skip-and-continue is the sequential refinement), so
+    * inclusion is one monotone prefix-sum compare. Per candidate:
+    * (query_id, rank, doc_id, score, n_tok, cum_tokens, included).
+    *
+    * Scale design (100 TB): retrieval is the UNCHANGED q89 plan
+    * (broadcast query join + per-query heaps); assembly adds one
+    * doc-token join and a per-QUERY window bounded at the
+    * retrieval depth (topK rows) — never corpus-sized. */
+  def ragContexts(docs: DataFrame): DataFrame = {
+    val ranked = bm25TopDocsMulti(docs)
+    val toks = docs.select(col("doc_id"),
+      regexTokenCountCol.as("n_tok"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(toks, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_tok"), col("cum_tokens"),
+        (col("cum_tokens") <= RagContextBudget).as("included"))
+  }
+
   /** Quality-filter funnel thresholds (q94) — Gopher/C4-family rules
     * scaled to the fixture's short synthetic documents (production
     * corpora retune these; the RULES and their precedence are the

@@ -5665,6 +5665,29 @@ WHERE rank <= $Bm25TopK"""
     * vocabulary, df/N/avgdl shared across queries (they are corpus
     * properties), contribs fanned out per (query, term), top-k
     * PARTITIONed by query. */
+  /** Mirror of [[graft.operators.TextAnalysis.ragContexts]] (q284):
+    * the q89 mirror wrapped with the doc-token join and the
+    * per-query prefix-budget rule. */
+  def ragContexts: String = {
+    val budget = TextAnalysis.RagContextBudget
+    val pat = TextAnalysis.TokenPattern
+    s"""WITH ranked AS ($bm25TopDocsMulti
+), tk AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$pat'))
+           AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT r.query_id, r.rank, r.doc_id, r.score, tk.n_tok,
+       CAST(SUM(tk.n_tok) OVER (PARTITION BY r.query_id
+         ORDER BY r.rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(tk.n_tok) OVER (PARTITION BY r.query_id
+         ORDER BY r.rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         <= $budget AS included
+FROM ranked r JOIN tk USING (doc_id)"""
+  }
+
   def bm25TopDocsMulti: String = {
     import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25QuerySet, Bm25TopK, WordPattern}
     val vocab = Bm25QuerySet.flatMap(_._2).distinct

@@ -998,4 +998,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(r.getAs[Double]("mean_quality") ==
       qs.sum.toDouble / 1000000.0 / 4.0)
   }
+
+  test("q284 RAG contexts: inclusion is the monotone prefix-budget " +
+      "rule in rank order — once over budget, never included again") {
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextAnalysis.ragContexts(d2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(rows.nonEmpty)
+    for ((_, qs) <- rows) {
+      val sorted = qs.sortBy(_.getAs[Long]("rank"))
+      var cum = 0L
+      var over = false
+      for (r <- sorted) {
+        cum += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        val included = r.getAs[Boolean]("included")
+        assert(included == (cum <= TextAnalysis.RagContextBudget))
+        if (over) assert(!included, "monotone: no re-inclusion")
+        if (!included) over = true
+      }
+      assert(sorted.head.getAs[Boolean]("included") ||
+        sorted.head.getAs[Long]("n_tok") >
+          TextAnalysis.RagContextBudget,
+        "the top document is included unless it alone overflows")
+    }
+  }
 }
