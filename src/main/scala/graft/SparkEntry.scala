@@ -1793,6 +1793,12 @@ object SparkEntry {
     // per-query windows bounded at the retrieval depth.
     "q284_rag_contexts" -> ((s, dir) =>
       TextAnalysis.ragContexts(documents(s, dir))),
+    // ... and its near-dup-aware refinement: candidates that are
+    // q5 near-dups of a higher-ranked candidate demote before
+    // packing — the context never wastes budget on redundant
+    // evidence.
+    "q285_rag_dedup_contexts" -> ((s, dir) =>
+      TextAnalysis.ragDedupContexts(documents(s, dir))),
     // Crawl-budget allocation across registrable domains: sqrt-pages
     // shares made to sum EXACTLY to the budget by largest-remainder
     // rounding, the +1 ranks through the bounded heap.
@@ -2729,6 +2735,7 @@ object SparkEntry {
     "q282_interleave" -> OracleSql.interleaveMultimodal,
     "q283_crawl_budget" -> OracleSql.crawlBudgetAllocation,
     "q284_rag_contexts" -> OracleSql.ragContexts,
+    "q285_rag_dedup_contexts" -> OracleSql.ragDedupContexts,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

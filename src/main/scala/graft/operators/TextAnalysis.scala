@@ -1438,6 +1438,56 @@ object TextAnalysis {
         (col("cum_tokens") <= RagContextBudget).as("included"))
   }
 
+  /** Near-dup-aware RAG context dedup (q285) — the context-quality
+    * rule RAG serving adds on top of q284: retrieving two
+    * near-duplicates wastes budget on redundant evidence, so any
+    * candidate that is a q5 near-dup of a HIGHER-ranked candidate
+    * of the same query is demoted before packing (the stated rule:
+    * demotion keys on retrieval rank, not inclusion — the
+    * sequential include-aware variant is the refinement). Survivors
+    * re-rank densely and pack under the q284 prefix-budget rule.
+    *
+    * Scale design (100 TB): the near-dup pair set is the UNCHANGED
+    * q5 operator (banded, bounded) and joins the per-query
+    * candidate lists BROADCAST (pairs are dup-density-sized);
+    * every window stays per-query and retrieval-depth-bounded. */
+  def ragDedupContexts(docs: DataFrame): DataFrame = {
+    val cands = bm25TopDocsMulti(docs)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").as("orig_rank"))
+    val pairs = Dedup.minhashNearDups(docs)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // a candidate is demoted iff some higher-ranked candidate of the
+    // SAME query is its near-dup
+    val demoted = cands.as("c")
+      .join(broadcast(sym), col("c.doc_id") === col("doc_b"))
+      .join(cands.as("h"),
+        col("h.query_id") === col("c.query_id") &&
+          col("h.doc_id") === col("doc_a") &&
+          col("h.orig_rank") < col("c.orig_rank"))
+      .select(col("c.query_id").as("query_id"),
+        col("c.doc_id").as("doc_id"))
+      .distinct()
+      .withColumn("demote", lit(true))
+    val survivors = cands
+      .join(demoted, Seq("query_id", "doc_id"), "left")
+      .filter(col("demote").isNull)
+    val toks = docs.select(col("doc_id"),
+      regexTokenCountCol.as("n_tok"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("orig_rank"))
+    val run = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    survivors.join(toks, Seq("doc_id"))
+      .withColumn("new_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(run))
+      .select(col("query_id"), col("new_rank"), col("orig_rank"),
+        col("doc_id"), col("score"), col("n_tok"), col("cum_tokens"),
+        (col("cum_tokens") <= RagContextBudget).as("included"))
+  }
+
   /** Quality-filter funnel thresholds (q94) — Gopher/C4-family rules
     * scaled to the fixture's short synthetic documents (production
     * corpora retune these; the RULES and their precedence are the

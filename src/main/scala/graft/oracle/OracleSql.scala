@@ -5665,6 +5665,49 @@ WHERE rank <= $Bm25TopK"""
     * vocabulary, df/N/avgdl shared across queries (they are corpus
     * properties), contribs fanned out per (query, term), top-k
     * PARTITIONed by query. */
+  /** Mirror of [[graft.operators.TextAnalysis.ragDedupContexts]]
+    * (q285): the q89 candidates, the q5 pair mirror for demotion,
+    * dense re-rank, the q284 budget rule. */
+  def ragDedupContexts: String = {
+    val budget = TextAnalysis.RagContextBudget
+    val pat = TextAnalysis.TokenPattern
+    s"""WITH ranked AS ($bm25TopDocsMulti
+), prs AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhash)
+), sym AS (
+  SELECT doc_a, doc_b FROM prs
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs
+), dem AS (
+  SELECT DISTINCT c.query_id, c.doc_id
+  FROM ranked c
+  JOIN sym ON c.doc_id = sym.doc_b
+  JOIN ranked h ON h.query_id = c.query_id
+    AND h.doc_id = sym.doc_a AND h.rank < c.rank
+), surv AS (
+  SELECT r.* FROM ranked r
+  LEFT JOIN dem ON dem.query_id = r.query_id
+    AND dem.doc_id = r.doc_id
+  WHERE dem.doc_id IS NULL
+), tk AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '$pat'))
+           AS BIGINT) AS n_tok
+  FROM documents
+), fin AS (
+  SELECT s.query_id,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.rank) AS BIGINT) AS new_rank,
+         s.rank AS orig_rank, s.doc_id, s.score, tk.n_tok,
+         CAST(SUM(tk.n_tok) OVER (PARTITION BY s.query_id
+           ORDER BY s.rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM surv s JOIN tk USING (doc_id)
+)
+SELECT query_id, new_rank, orig_rank, doc_id, score, n_tok,
+       cum_tokens, cum_tokens <= $budget AS included
+FROM fin"""
+  }
+
   /** Mirror of [[graft.operators.TextAnalysis.ragContexts]] (q284):
     * the q89 mirror wrapped with the doc-token join and the
     * per-query prefix-budget rule. */

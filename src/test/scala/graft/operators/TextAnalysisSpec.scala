@@ -1024,4 +1024,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
         "the top document is included unless it alone overflows")
     }
   }
+
+  test("q285: a candidate that near-dups a higher-ranked candidate " +
+      "of the same query demotes; survivors re-rank densely and " +
+      "pack under the budget") {
+    val d2 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = TextAnalysis.ragContexts(d2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+      .toSet
+    val rows = TextAnalysis.ragDedupContexts(d2).collect()
+    assert(rows.length <= base.size)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((_, qs) <- byQ) {
+      val sorted = qs.sortBy(_.getAs[Long]("new_rank"))
+      assert(sorted.map(_.getAs[Long]("new_rank")).toSeq ==
+        (1L to sorted.length.toLong), "dense re-rank")
+      val origs = sorted.map(_.getAs[Long]("orig_rank")).toSeq
+      assert(origs == origs.sorted, "orig order preserved")
+      var cum = 0L
+      for (r <- sorted) {
+        cum += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        assert(r.getAs[Boolean]("included") ==
+          (cum <= TextAnalysis.RagContextBudget))
+      }
+    }
+    // the sf0.001 fixture genuinely demotes someone (97 of 100)
+    assert(rows.length < base.size,
+      "the near-dup demotion must do real work on this corpus")
+  }
 }
