@@ -1774,6 +1774,15 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Within-document paragraph dedup: the self-repetition cut
+    // (header/footer shapes) — first occurrence stays, in-doc
+    // repeats drop, ordered rebuild; strictly row-local.
+    "q286_withindoc_dedup" -> ((s, dir) =>
+      operators.Dedup.withinDocParagraphDedup(documents(s, dir))),
+    // Per-source contamination report: the unchanged q233 screen
+    // joined to sources and rolled to <= |sources| rows.
+    "q287_source_contamination" -> ((s, dir) =>
+      operators.Dedup.sourceContamination(documents(s, dir))),
     // Chunk-based near-dup pairs: CDC digests as the blocking key
     // (rare-chunk buckets, bounded), exact chunk-set Jaccard verify
     // — the storage-informed dedup family member.
@@ -2736,6 +2745,8 @@ object SparkEntry {
     "q283_crawl_budget" -> OracleSql.crawlBudgetAllocation,
     "q284_rag_contexts" -> OracleSql.ragContexts,
     "q285_rag_dedup_contexts" -> OracleSql.ragDedupContexts,
+    "q286_withindoc_dedup" -> OracleSql.withinDocParagraphDedup,
+    "q287_source_contamination" -> OracleSql.sourceContamination,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

@@ -1790,4 +1790,67 @@ object Dedup {
       .filter(col("cjaccard") >= CdcJaccard)
       .select(col("doc_a"), col("doc_b"), col("cjaccard"))
   }
+
+  /** Within-document paragraph dedup (q286) — the SELF-repetition
+    * cut (headers/footers/boilerplate re-appearing INSIDE one
+    * document) that the cross-document q130 pass deliberately does
+    * not make: the first occurrence of each paragraph stays, later
+    * repeats within the same document drop, and the text rebuilds
+    * in order. The fixture plants the classic shape — every third
+    * document's FIRST paragraph re-appears at its end — so the drop
+    * path runs on every invocation.
+    *
+    * Scale design (100 TB): strictly row-local — the paragraph
+    * split, the first-occurrence filter (a bounded O(paras²) scan
+    * inside one row), and the rebuild are one projection; a
+    * document never crosses an exchange. */
+  def withinDocParagraphDedup(docs: DataFrame): DataFrame = {
+    val P = ParaWords
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n0",
+        expr(s"CAST((size(w) + ${P - 1}) DIV $P AS BIGINT)"))
+      .withColumn("paras0", expr(
+        s"""transform(sequence(0, CAST(n0 AS INT) - 1),
+           |  i -> array_join(slice(w, $P * i + 1, $P), ' '))"""
+          .stripMargin))
+      .withColumn("paras", expr(
+        """CASE WHEN doc_id % 3 = 0
+          |  THEN concat(paras0, array(element_at(paras0, 1)))
+          |  ELSE paras0 END""".stripMargin))
+      .withColumn("kept", expr(
+        """filter(sequence(0, size(paras) - 1),
+          |  i -> NOT array_contains(slice(paras, 1, i),
+          |         element_at(paras, i + 1)))""".stripMargin))
+      .withColumn("clean", expr(
+        "array_join(transform(kept, i -> element_at(paras, i + 1)), ' ')"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("paras")) - size(col("kept"))).cast("long")
+          .as("n_dropped"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  /** Per-source contamination report (q287) — q233's exact 13-gram
+    * screen rolled up the way a curation review reads it: per
+    * source, how many training documents share a benchmark gram and
+    * at what rate (one fixed-order division over exact counts).
+    * The screen itself is UNCHANGED (broadcast benchmark grams, the
+    * corpus never shuffles for membership).
+    *
+    * Scale design (100 TB): the q233 plan plus one source join and
+    * a ≤ |sources| rollup. */
+  def sourceContamination(docs: DataFrame): DataFrame =
+    exactNgramDecontam(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        sum(col("n_shared")).as("n_shared_grams"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("n_shared_grams"),
+        (col("n_contaminated").cast("double") /
+          col("n_docs").cast("double")).as("contamination_rate"))
 }

@@ -421,6 +421,58 @@ SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_occ,
        (CAST(COUNT(*) AS BIGINT) - 1) * MAX(n_chars) AS saved_chars
 FROM chunks GROUP BY digest HAVING COUNT(*) >= 2"""
 
+  /** Mirror of [[graft.operators.Dedup.withinDocParagraphDedup]]
+    * (q286): same paragraph split, planted first-paragraph repeat,
+    * first-occurrence filter, ordered rebuild. */
+  def withinDocParagraphDedup: String = {
+    val p = Dedup.ParaWords
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), p0 AS (
+  SELECT doc_id,
+    list_transform(range(0, (len(w) + ${p - 1}) // $p),
+      i -> array_to_string(list_slice(w, $p * i + 1,
+        LEAST($p * i + $p, len(w))), ' ')) AS paras0
+  FROM d
+), pp AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN list_append(paras0, paras0[1]) ELSE paras0 END AS paras
+  FROM p0
+), k AS (
+  SELECT doc_id, paras,
+    list_filter(range(0, len(paras)),
+      i -> NOT list_contains(list_slice(paras, 1, CAST(i AS INT)),
+             paras[CAST(i + 1 AS INT)])) AS kept
+  FROM pp
+), c AS (
+  SELECT doc_id, paras, kept,
+    COALESCE(array_to_string(list_transform(kept,
+      i -> paras[CAST(i + 1 AS INT)]), ' '), '') AS clean
+  FROM k
+)
+SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(paras) - len(kept) AS BIGINT) AS n_dropped,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5
+FROM c"""
+  }
+
+  /** Mirror of [[graft.operators.Dedup.sourceContamination]]
+    * (q287): the q233 mirror joined to sources and rolled up. */
+  def sourceContamination: String =
+    s"""WITH scr AS ($exactNgramDecontam
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN scr.contaminated THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_contaminated,
+       CAST(SUM(scr.n_shared) AS BIGINT) AS n_shared_grams,
+       CAST(SUM(CASE WHEN scr.contaminated THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM scr JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
   /** Mirror of [[graft.operators.Dedup.cdcNearDups]] (q277): same
     * chunk digests, bounded-bucket candidates, exact chunk-set
     * Jaccard. */

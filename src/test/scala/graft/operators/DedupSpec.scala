@@ -913,4 +913,43 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(j >= Dedup.CdcJaccard && j < 1.0,
       s"shifted dup must score high but below 1.0, got $j")
   }
+
+  test("q286: a repeated in-doc paragraph drops (first occurrence " +
+      "stays, order kept); unique docs pass through untouched") {
+    import spark.implicits._
+    val p = Dedup.ParaWords
+    val words = (1 to 2 * p).map(i => s"w$i")
+    // doc 3 (%3==0): the fixture re-appends paragraph 0 -> dropped;
+    // doc 4: untouched
+    val docs = Seq((3L, words.mkString(" ")), (4L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.withinDocParagraphDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(3L).getAs[Long]("n_paras") == 3L)
+    assert(out(3L).getAs[Long]("n_kept") == 2L)
+    assert(out(3L).getAs[Long]("n_dropped") == 1L)
+    assert(out(4L).getAs[Long]("n_dropped") == 0L)
+    // the clean text of doc 3 equals doc 4's clean text (both are
+    // the original two paragraphs, order kept)
+    assert(out(3L).getAs[String]("clean_md5") ==
+      out(4L).getAs[String]("clean_md5"))
+    assert(out(3L).getAs[Long]("n_chars_clean") ==
+      words.mkString(" ").length.toLong)
+  }
+
+  test("q287: per-source rates are exact-count divisions and sum " +
+      "consistency holds against the q233 screen") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val screen = Dedup.exactNgramDecontam(docs).collect()
+    val report = Dedup.sourceContamination(docs).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == screen.length)
+    assert(report.map(_.getAs[Long]("n_contaminated")).sum ==
+      screen.count(_.getAs[Boolean]("contaminated")))
+    for (r <- report)
+      assert(r.getAs[Double]("contamination_rate") ==
+        r.getAs[Long]("n_contaminated").toDouble /
+          r.getAs[Long]("n_docs").toDouble)
+  }
 }
