@@ -1774,6 +1774,11 @@ object SparkEntry {
     // correction every host-keyed operator actually needs.
     "q273_registrable_domain" -> ((s, dir) =>
       operators.UrlCanonical.registrableDomain(documents(s, dir))),
+    // Dedup-family consensus: five independent detectors' pair sets
+    // full-outer-joined on the pair key with agreement counts — the
+    // method-agreement audit.
+    "q288_dedup_consensus" -> ((s, dir) =>
+      operators.Dedup.dedupConsensus(documents(s, dir))),
     // Within-document paragraph dedup: the self-repetition cut
     // (header/footer shapes) — first occurrence stays, in-doc
     // repeats drop, ordered rebuild; strictly row-local.
@@ -2747,6 +2752,7 @@ object SparkEntry {
     "q285_rag_dedup_contexts" -> OracleSql.ragDedupContexts,
     "q286_withindoc_dedup" -> OracleSql.withinDocParagraphDedup,
     "q287_source_contamination" -> OracleSql.sourceContamination,
+    "q288_dedup_consensus" -> OracleSql.dedupConsensus,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
     "q272_stream_revisit" -> OracleSql.warcRevisits,

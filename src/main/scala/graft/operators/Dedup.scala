@@ -1853,4 +1853,38 @@ object Dedup {
         col("n_shared_grams"),
         (col("n_contaminated").cast("double") /
           col("n_docs").cast("double")).as("contamination_rate"))
+
+  /** Dedup-family consensus audit (q288) — the method-agreement
+    * table a curation run reads before trusting any single family:
+    * the pair sets of FIVE independent near-dup detectors (MinHash
+    * q5, character n-gram q18, winnowing q26, SimHash q8, CDC
+    * chunks q277) full-outer-joined on the pair key, each pair
+    * reporting which methods found it and the agreement count. A
+    * pair found by one family only is the review queue; found by
+    * all five, a certainty.
+    *
+    * Scale design (100 TB): each input is its UNCHANGED bounded
+    * operator; the joins are over pair sets (dup-density-sized,
+    * orders of magnitude below the corpus), keyed on (doc_a,
+    * doc_b). */
+  def dedupConsensus(docs: DataFrame): DataFrame = {
+    def flagged(name: String, df: DataFrame): DataFrame =
+      df.select(col("doc_a"), col("doc_b"))
+        .distinct().withColumn(name, lit(true))
+    val families = Seq(
+      flagged("minhash", minhashNearDups(docs)),
+      flagged("ngram", ngramNearDups(docs)),
+      flagged("winnow", winnowNearDups(docs)),
+      flagged("simhash", TextAnalysis.simhashDups(docs)),
+      flagged("cdc", cdcNearDups(docs)))
+    val names = Seq("minhash", "ngram", "winnow", "simhash", "cdc")
+    val joined = families.reduce((a, b) =>
+      a.join(b, Seq("doc_a", "doc_b"), "full_outer"))
+    val flags = names.map(n => coalesce(col(n), lit(false)).as(n))
+    joined
+      .select(Seq(col("doc_a"), col("doc_b")) ++ flags: _*)
+      .withColumn("n_methods",
+        names.map(n => col(n).cast("int")).reduce(_ + _)
+          .cast("long"))
+  }
 }

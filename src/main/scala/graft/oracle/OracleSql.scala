@@ -473,6 +473,40 @@ SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM scr JOIN documents d USING (doc_id)
 GROUP BY d.source"""
 
+  /** Mirror of [[graft.operators.Dedup.dedupConsensus]] (q288):
+    * the five family mirrors full-outer-joined on the pair key. */
+  def dedupConsensus: String =
+    s"""WITH m AS (SELECT DISTINCT doc_a, doc_b FROM ($dedupMinhash)),
+ng AS (SELECT DISTINCT doc_a, doc_b FROM ($dedupNgram)),
+wn AS (SELECT DISTINCT doc_a, doc_b FROM ($dedupWinnow)),
+sh AS (SELECT DISTINCT doc_a, doc_b FROM ($simhashDups)),
+cc AS (SELECT DISTINCT doc_a, doc_b FROM ($cdcNearDups)),
+keys AS (
+  SELECT doc_a, doc_b FROM m
+  UNION SELECT doc_a, doc_b FROM ng
+  UNION SELECT doc_a, doc_b FROM wn
+  UNION SELECT doc_a, doc_b FROM sh
+  UNION SELECT doc_a, doc_b FROM cc
+)
+SELECT k.doc_a, k.doc_b,
+       m.doc_a IS NOT NULL AS minhash,
+       ng.doc_a IS NOT NULL AS ngram,
+       wn.doc_a IS NOT NULL AS winnow,
+       sh.doc_a IS NOT NULL AS simhash,
+       cc.doc_a IS NOT NULL AS cdc,
+       CAST(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN ng.doc_a IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN wn.doc_a IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN cc.doc_a IS NOT NULL THEN 1 ELSE 0 END
+         AS BIGINT) AS n_methods
+FROM keys k
+LEFT JOIN m ON m.doc_a = k.doc_a AND m.doc_b = k.doc_b
+LEFT JOIN ng ON ng.doc_a = k.doc_a AND ng.doc_b = k.doc_b
+LEFT JOIN wn ON wn.doc_a = k.doc_a AND wn.doc_b = k.doc_b
+LEFT JOIN sh ON sh.doc_a = k.doc_a AND sh.doc_b = k.doc_b
+LEFT JOIN cc ON cc.doc_a = k.doc_a AND cc.doc_b = k.doc_b"""
+
   /** Mirror of [[graft.operators.Dedup.cdcNearDups]] (q277): same
     * chunk digests, bounded-bucket candidates, exact chunk-set
     * Jaccard. */

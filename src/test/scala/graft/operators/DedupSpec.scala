@@ -952,4 +952,33 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
         r.getAs[Long]("n_contaminated").toDouble /
           r.getAs[Long]("n_docs").toDouble)
   }
+
+  test("q288 consensus: pair flags agree with each family's own " +
+      "output and n_methods counts them exactly") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.dedupConsensus(docs).collect()
+    assert(out.nonEmpty)
+    val names = Seq("minhash", "ngram", "winnow", "simhash", "cdc")
+    for (r <- out) {
+      val flags = names.map(r.getAs[Boolean])
+      assert(flags.exists(identity), "a keyless pair cannot exist")
+      assert(r.getAs[Long]("n_methods") ==
+        flags.count(identity).toLong)
+    }
+    // cross-check one family end to end: every minhash pair is
+    // flagged minhash, and no non-pair is
+    val mh = Dedup.minhashNearDups(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    val flagged = out.filter(_.getAs[Boolean]("minhash"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(flagged == mh)
+    // the corpus's true dups are multi-method: some pair reaches
+    // full or near-full agreement
+    assert(out.map(_.getAs[Long]("n_methods")).max >= 4L,
+      "true dups should be found by most families")
+  }
 }
