@@ -67,18 +67,26 @@ object Charset {
     }
   }
 
-  /** Decode a payload per its sniffed encoding (BOM stripped). */
+  /** Decode a payload per its sniffed encoding (BOM stripped).
+    * A meta-declared charset outside the carried set does NOT
+    * throw: one odd document must not kill the task (the Redirects
+    * flagged-verdict discipline — a crash is the opposite failure
+    * mode of a silent wrong answer). The row comes back FLAGGED
+    * instead: encoding = "unknown", empty decoded text, with the
+    * declaration preserved so the verdict is auditable per row. */
   def decode(bytes: Array[Byte]): (String, Int, String, String) = {
     val (enc, bom, declared) = sniff(bytes)
     val body = bytes.drop(bom)
-    val cs = enc match {
-      case "utf-8" => "UTF-8"
-      case "utf-16le" => "UTF-16LE"
-      case "utf-16be" => "UTF-16BE"
-      case "iso-8859-1" => "ISO-8859-1"
-      case other => sys.error(s"unsupported declared charset $other")
+    enc match {
+      case "utf-8" => (enc, bom, declared, new String(body, "UTF-8"))
+      case "utf-16le" =>
+        (enc, bom, declared, new String(body, "UTF-16LE"))
+      case "utf-16be" =>
+        (enc, bom, declared, new String(body, "UTF-16BE"))
+      case "iso-8859-1" =>
+        (enc, bom, declared, new String(body, "ISO-8859-1"))
+      case _ => ("unknown", bom, declared, "")
     }
-    (enc, bom, declared, new String(body, cs))
   }
 
   /** q267: documents → synthesized payload bytes → sniff + decode:

@@ -136,6 +136,12 @@ object Robots {
       .join(broadcast(hostRules), Seq("host"), "left")
       .withColumn("matches", filter(col("rules"), r =>
         col("path").startsWith(r.getField("prefix"))))
+      // winner = longest prefix, Allow beats Disallow on equal
+      // length, and on a FULL (len, is_allow) tie the
+      // lexicographically LARGEST prefix — array_max's struct order;
+      // the oracle mirrors order `prefix DESC` to pin the identical
+      // tie-break (an arbitrary choice the robots longest-match rule
+      // leaves open; aligned because q249 emits the winning prefix)
       .withColumn("win", array_max(transform(col("matches"), r =>
         struct(length(r.getField("prefix")).as("l"),
           r.getField("is_allow").as("a"),

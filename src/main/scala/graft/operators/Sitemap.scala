@@ -136,6 +136,8 @@ object Sitemap {
       .join(broadcast(hostRules), Seq("host"), "left")
       .withColumn("matches", filter(col("rules"), r =>
         col("path").startsWith(r.getField("prefix"))))
+      // tie-break pinned to q249's: largest prefix on a full
+      // (len, is_allow) tie, mirrored as `prefix DESC` in the oracle
       .withColumn("win", array_max(transform(col("matches"), r =>
         struct(length(r.getField("prefix")).as("l"),
           r.getField("is_allow").as("a"),

@@ -716,12 +716,19 @@ object TextAnalysis {
     * so matching is one broadcast hash join + one (doc, phrase)
     * rollup — the corpus never self-joins. */
   def phraseSearch(docs: DataFrame): DataFrame = {
+    // guard the bigram build for 1-word (or empty) documents:
+    // sequence(1, 0) in Spark generates the DESCENDING [1, 0] (not
+    // an empty list like DuckDB's range), so index 0 would throw
+    // INVALID_ARRAY_INDEX — the same pitfall Warc.recrawlSchedule
+    // pins; an explicit empty array keeps explode dropping the row,
+    // matching the oracle's range(1, len) semantics
     val bg = docs.select(col("doc_id"),
       explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))"""
-          .stripMargin)).as("phrase"))
+        """case when size(split(text, ' ')) >= 2 then
+          |  transform(sequence(1, size(split(text, ' ')) - 1),
+          |    i -> concat(element_at(split(text, ' '), i), ' ',
+          |                element_at(split(text, ' '), i + 1)))
+          |else array() end""".stripMargin)).as("phrase"))
     val top = globalTopK(
       bg.groupBy(col("phrase")).agg(count(lit(1)).as("cnt")),
       Seq("cnt" -> false, "phrase" -> true), PhraseTopK)

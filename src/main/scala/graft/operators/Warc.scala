@@ -112,7 +112,11 @@ object Warc {
     val hp = instr(col("block"), Sep)
     records
       .select(col("doc_id"), warc,
-        length(warc).cast("long").as("record_len"),
+        // record_len feeds the CDX byte offsets (q251/q271), and the
+        // CDX format is BYTE-addressed — octet_length, not the
+        // UTF-16 char count, so the locator stays byte-accurate
+        // beyond the ASCII fixture (where the two coincide)
+        octet_length(warc).cast("long").as("record_len"),
         regexp_extract(warc,
           "(?i)\\r\\nWARC-Target-URI: ([^\\r]*)\\r\\n", 1)
           .as("target_uri"),

@@ -7682,7 +7682,7 @@ SELECT doc_id, url, canonical_url, host FROM norm"""
   SELECT p.doc_id, r.is_allow, r.prefix,
          row_number() OVER (PARTITION BY p.doc_id
            ORDER BY length(r.prefix) DESC, r.is_allow DESC,
-                    r.prefix ASC) AS rn
+                    r.prefix DESC) AS rn
   FROM pages p
   JOIN rules r ON r.host = p.host AND starts_with(p.path, r.prefix)
 )
@@ -7926,7 +7926,7 @@ FROM cap GROUP BY host"""
   def cdxIndex: String = {
     val per = graft.operators.Warc.CdxRecordsPerFile
     s"""$warcCtes, lens AS (
-  SELECT doc_id, CAST(length(warc) AS BIGINT) AS record_len,
+  SELECT doc_id, CAST(strlen(warc) AS BIGINT) AS record_len,
          'crawl-' || lpad(CAST(doc_id // $per AS VARCHAR), 5, '0')
            || '.warc' AS warc_file
   FROM wrec
@@ -8058,7 +8058,7 @@ FROM ent"""
   SELECT g.doc_id, g.entry_idx, r.is_allow,
          row_number() OVER (PARTITION BY g.doc_id, g.entry_idx
            ORDER BY length(r.prefix) DESC, r.is_allow DESC,
-                    r.prefix ASC) AS rn
+                    r.prefix DESC) AS rn
   FROM g JOIN rules r
     ON r.host = g.host AND starts_with(g.path, r.prefix)
 ), allowed AS (
@@ -8497,7 +8497,7 @@ WHERE name IN ('disallow', 'allow', 'crawl-delay', 'sitemap')"""
   SELECT g.doc_id, g.entry_idx, r.is_allow,
          row_number() OVER (PARTITION BY g.doc_id, g.entry_idx
            ORDER BY length(r.prefix) DESC, r.is_allow DESC,
-                    r.prefix ASC) AS rn
+                    r.prefix DESC) AS rn
   FROM g JOIN rules r
     ON r.host = g.host AND starts_with(g.path, r.prefix)
 ), allowed AS (

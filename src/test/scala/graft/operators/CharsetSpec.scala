@@ -39,6 +39,16 @@ class CharsetSpec extends AnyFunSuite with SparkSessionSpec {
     assert(text.startsWith("<meta"))
   }
 
+  test("an unsupported meta-declared charset yields a FLAGGED row " +
+      "(encoding=unknown, empty text), never a task-killing throw") {
+    val bytes = ("<html><head><meta charset=\"koi8-r\"></head>" +
+      "<body>x</body></html>").getBytes("US-ASCII")
+    val (enc, bom, declared, text) = Charset.decode(bytes)
+    assert(enc == "unknown" && bom == 0)
+    assert(declared == "koi8-r", "the declaration stays auditable")
+    assert(text == "")
+  }
+
   test("byte order genuinely matters: swapping the UTF-16 BOM " +
       "produces different decoded text") {
     val le = Charset.decode(Charset.payloadOf(1L))._4

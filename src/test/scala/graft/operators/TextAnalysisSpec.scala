@@ -931,6 +931,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
       d == 3L && (p == "red fox" || p == "fox red") })
   }
 
+  test("q268 phrase search survives 1-word and empty documents " +
+      "(sequence(1,0) is DESCENDING in Spark — the guarded branch " +
+      "must yield no bigrams, not an INVALID_ARRAY_INDEX crash)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox red fox"),
+      (2L, "solo"),   // 1 word: unguarded transform indexes w[0]
+      (3L, ""))       // split('') = [""], also size 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L),
+      "1-word docs must contribute no phrases")
+    assert(out.nonEmpty)
+  }
+
   test("the q268 plan broadcasts the query set — no corpus " +
       "self-join, no single-partition exchange") {
     import spark.implicits._
