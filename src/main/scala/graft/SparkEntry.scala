@@ -370,6 +370,11 @@ object SparkEntry {
     // extracted, reassembled to Annex-B and decoded in-repo.
     "q229_avc1_track_decode" -> ((s, dir) =>
       operators.Multimodal.avc1DecodeStats(documents(s, dir))),
+    // AC-residual H.264 (the extended CAVLC profile): ramp frames
+    // whose every luma 4x4 block decodes >= 2 coefficients through
+    // the general coeff_token/level/total_zeros/run_before machinery.
+    "q289_h264_ac_decode" -> ((s, dir) =>
+      operators.Multimodal.h264AcDecodeStats(documents(s, dir))),
     // TPC-H Q5-shaped star join: broadcast dims, three fact-side
     // hash joins, same-nation predicate inside the supplier join.
     "q70_regional_revenue" -> ((s, dir) =>
@@ -2822,6 +2827,20 @@ object SparkEntry {
         |       (1 + doc_id % 3) * (1 + doc_id % 2) AS n_mbs,
         |       TRUE AS max_y_ok, TRUE AS mean_y_ok,
         |       TRUE AS chroma_ok
+        |FROM documents""".stripMargin,
+    // The AC-residual extension (q289): dims/MB count from the
+    // synthesis arithmetic, n_ac_blocks asserted EXACTLY equal to
+    // all 16*n_mbs luma blocks (the fixture's slopes are sized so
+    // both AC coefficients survive quantization at both QPs — see
+    // Multimodal.h264AcDecodeStats), bounded-error booleans TRUE.
+    "q289_h264_ac_decode" ->
+      """SELECT doc_id, 16 * (1 + doc_id % 3) AS width,
+        |       16 * (1 + doc_id % 2) AS height,
+        |       (1 + doc_id % 3) * (1 + doc_id % 2) AS n_mbs,
+        |       16 * (1 + doc_id % 3) * (1 + doc_id % 2)
+        |         AS n_ac_blocks,
+        |       TRUE AS max_y_ok, TRUE AS mean_y_ok,
+        |       TRUE AS chroma_ok, TRUE AS total_coeff_ok
         |FROM documents""".stripMargin,
     // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis
     // arithmetic; booleans asserted literally TRUE (lossy codec,

@@ -62,22 +62,31 @@ package graft.io
   * exchange); the graded operator maps it over the corpus with the
   * corpus collapsed to per-doc stats before any shuffle.
   *
-  * AC-residual extension, round-14 adjudication: lifting the
-  * constraint to ≥2-coefficient blocks needs the nC∈[2,4) column of
-  * Table 9-5 (62 codewords) and the TotalCoeff≥2 rows of the
-  * total_zeros tables (run_before is avoidable while total_zeros=0)
-  * — dense arbitrary VLC tables whose only trustworthy source is
-  * the published spec text itself. This build environment carries
-  * no copy of those tables (no spec, no codec sources on the box —
-  * verified), and the working protocol explicitly forbids
-  * reconstructing them from memory (a single silently-wrong
-  * codeword round-trips fine in a self-paired codec while breaking
-  * the conformance claim — the failure mode the chroma fix in this
-  * file just removed). The extension therefore stays OUT until a
-  * round ships the spec tables as data; everything around them
-  * (level machinery at any magnitude, nC context propagation,
-  * zig-zag/dequant/inverse transform for arbitrary coefficient
-  * vectors) is already general. */
+  * AC-RESIDUAL EXTENSION (round 15, q289): the profile is lifted
+  * from DC-only to **TotalCoeff ≤ 3 per 4x4 block with nC < 4** —
+  * general zig-zag residuals, trailing-one signs, the full level
+  * machinery with suffixLength evolution (9.2.2.1/9.3.2.3,
+  * level_prefix ≤ 15), total_zeros for TotalCoeff 1..3, and the
+  * complete run_before table (all zerosLeft columns incl. the >6
+  * unary tail). The bound is a TRANSCRIPTION-CONFIDENCE bound, not
+  * a machinery bound: the added VLC entries are the TotalCoeff ≤ 3
+  * rows of Table 9-5's 2≤nC<4 column (10 codewords), the
+  * tzVlcIndex 2/3 columns of Table 9-7, and Table 9-10 — the
+  * small, heavily-cross-checked head of the published tables,
+  * pinned by the structural properties the spec guarantees
+  * (prefix-freeness everywhere; Kraft-COMPLETENESS of each full
+  * total_zeros / run_before column — a single wrong code length
+  * breaks the Kraft sum, see H264IntraSpec) plus hand-derived
+  * golden bitstrings. Prefix-freeness of the TRUE table also makes
+  * the partial coeff_token column safe: no excluded longer
+  * codeword can extend an included one, so a stream outside the
+  * profile hits a loud malformed/unsupported error, never a silent
+  * misparse. Everything past the bound — the TotalCoeff ≥ 4 rows,
+  * the 4≤nC<8 column, chroma-DC nC=-1 — stays an explicit
+  * unsupported-error until spec text can be shipped as data.
+  * Under the extension every DC-only stream encodes BIT-IDENTICALLY
+  * to the r13 codec (verified by the golden-pattern specs), so
+  * q228/q229 are unchanged. */
 object H264Intra {
 
   // ---------------------------------------------------------------
@@ -456,13 +465,73 @@ object H264Intra {
     10 -> (7, 2), 11 -> (8, 3), 12 -> (8, 2), 13 -> (9, 3),
     14 -> (9, 2), 15 -> (9, 1))
 
+  /** The extended profile's per-block coefficient bound (the
+    * transcription-confidence bound — see the object scaladoc). */
+  val MaxTotalCoeff = 3
+
+  /** coeff_token for 2 <= nC < 4, the TotalCoeff <= [[MaxTotalCoeff]]
+    * rows of the published column of Table 9-5:
+    * (TrailingOnes, TotalCoeff) -> (bit length, bits). */
+  val CoeffTokenNc23: Map[(Int, Int), (Int, Int)] = Map(
+    (0, 0) -> (2, 3),
+    (0, 1) -> (6, 11), (1, 1) -> (2, 2),
+    (0, 2) -> (6, 7), (1, 2) -> (5, 7), (2, 2) -> (3, 3),
+    (0, 3) -> (7, 7), (1, 3) -> (6, 10), (2, 3) -> (6, 9),
+    (3, 3) -> (4, 5))
+
+  /** total_zeros, tzVlcIndex 2 of Table 9-7 (TotalCoeff == 2):
+    * totalZeros -> (len, bits). Full column (Kraft-complete). */
+  val TotalZerosTc2: Map[Int, (Int, Int)] = Map(
+    0 -> (3, 7), 1 -> (3, 6), 2 -> (3, 5), 3 -> (3, 4), 4 -> (3, 3),
+    5 -> (4, 5), 6 -> (4, 4), 7 -> (4, 3), 8 -> (4, 2), 9 -> (5, 3),
+    10 -> (5, 2), 11 -> (6, 3), 12 -> (6, 2), 13 -> (6, 1),
+    14 -> (6, 0))
+
+  /** total_zeros, tzVlcIndex 3 of Table 9-7 (TotalCoeff == 3):
+    * totalZeros -> (len, bits). Full column (Kraft-complete). */
+  val TotalZerosTc3: Map[Int, (Int, Int)] = Map(
+    0 -> (4, 5), 1 -> (3, 7), 2 -> (3, 6), 3 -> (3, 5), 4 -> (4, 4),
+    5 -> (4, 3), 6 -> (3, 4), 7 -> (3, 3), 8 -> (4, 2), 9 -> (5, 3),
+    10 -> (5, 2), 11 -> (6, 1), 12 -> (5, 1), 13 -> (6, 0))
+
+  /** run_before, Table 9-10, the zerosLeft 1..6 columns:
+    * zerosLeft -> (run -> (len, bits)). Each column Kraft-complete.
+    * The zerosLeft > 6 column is formulaic and lives in
+    * [[writeRunBefore]]/[[readRunBefore]]: 3-bit 7-run for run <= 6,
+    * then (run-4) zeros + 1 for run 7..14. */
+  val RunBefore: Map[Int, Map[Int, (Int, Int)]] = Map(
+    1 -> Map(0 -> (1, 1), 1 -> (1, 0)),
+    2 -> Map(0 -> (1, 1), 1 -> (2, 1), 2 -> (2, 0)),
+    3 -> Map(0 -> (2, 3), 1 -> (2, 2), 2 -> (2, 1), 3 -> (2, 0)),
+    4 -> Map(0 -> (2, 3), 1 -> (2, 2), 2 -> (2, 1), 3 -> (3, 1),
+      4 -> (3, 0)),
+    5 -> Map(0 -> (2, 3), 1 -> (2, 2), 2 -> (3, 3), 3 -> (3, 2),
+      4 -> (3, 1), 5 -> (3, 0)),
+    6 -> Map(0 -> (2, 3), 1 -> (3, 0), 2 -> (3, 1), 3 -> (3, 3),
+      4 -> (3, 2), 5 -> (3, 5), 6 -> (3, 4)))
+
+  /** Zig-zag scan of a 4x4 block (clause 8.5.5, frame scan):
+    * zig-zag index -> raster index. */
+  val ZigZag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
   // decode-side inverses, keyed by (code length, code bits); the
   // tables are prefix-free so incremental longest-match by exact
   // length is the canonical parse (prefix-freeness spec-pinned)
   private val CoeffTokenInv: Map[(Int, Int), (Int, Int)] =
     CoeffTokenNc01.map { case (k, v) => v -> k }
+  private val CoeffTokenInv23: Map[(Int, Int), (Int, Int)] =
+    CoeffTokenNc23.map { case (k, v) => v -> k }
   private val TotalZerosInv: Map[(Int, Int), Int] =
     TotalZerosTc1.map { case (k, v) => v -> k }
+  private val TotalZerosInv2: Map[(Int, Int), Int] =
+    TotalZerosTc2.map { case (k, v) => v -> k }
+  private val TotalZerosInv3: Map[(Int, Int), Int] =
+    TotalZerosTc3.map { case (k, v) => v -> k }
+  private val RunBeforeInv: Map[Int, Map[(Int, Int), Int]] =
+    RunBefore.map { case (zl, m) =>
+      zl -> m.map { case (k, v) => v -> k }
+    }
 
   /** Encode a residual block known to be DC-only: levels.length is
     * TotalCoeff (0 or 1), coefficient at zig-zag position 0. */
@@ -558,6 +627,276 @@ object H264Intra {
       "constrained CAVLC: non-DC coefficient position " +
         s"(total_zeros=${zHit.get})")
     level
+  }
+
+  // ---------------------------------------------------------------
+  // general CAVLC (the extended profile: TotalCoeff <= 3, nC < 4)
+  // ---------------------------------------------------------------
+
+  /** Write one coded level per 9.2.2 at the current suffixLength:
+    * level_prefix zeros + stop bit + suffix. level_prefix stays
+    * <= 15 (the profile bound; 16+ mega-escapes rejected). */
+  private def writeLevelCode(w: BitWriter, levelCode: Int,
+      suffixLength: Int): Unit = {
+    if (suffixLength == 0) {
+      if (levelCode < 14) { w.writeBits(0L, levelCode); w.writeBit(1) }
+      else if (levelCode < 30) {
+        w.writeBits(0L, 14); w.writeBit(1)
+        w.writeBits((levelCode - 14).toLong, 4)
+      } else {
+        require(levelCode - 30 < (1 << 12),
+          s"level code $levelCode outside the prefix-15 escape range")
+        w.writeBits(0L, 15); w.writeBit(1)
+        w.writeBits((levelCode - 30).toLong, 12)
+      }
+    } else {
+      val prefix = levelCode >> suffixLength
+      if (prefix < 15) {
+        w.writeBits(0L, prefix); w.writeBit(1)
+        w.writeBits(
+          (levelCode & ((1 << suffixLength) - 1)).toLong, suffixLength)
+      } else {
+        val esc = levelCode - (15 << suffixLength)
+        require(esc < (1 << 12),
+          s"level code $levelCode outside the prefix-15 escape range")
+        w.writeBits(0L, 15); w.writeBit(1)
+        w.writeBits(esc.toLong, 12)
+      }
+    }
+  }
+
+  /** Read one level code per 9.3.2.3 at the current suffixLength
+    * (level_prefix > 15 is outside the extended profile). */
+  private def readLevelCode(r: BitReader, suffixLength: Int): Int = {
+    var prefix = 0
+    while (r.readBit() == 0) {
+      prefix += 1
+      require(prefix <= 15,
+        "extended profile: level_prefix > 15 unsupported")
+    }
+    if (suffixLength == 0) {
+      if (prefix < 14) prefix
+      else if (prefix == 14) 14 + r.readBits(4).toInt
+      else 30 + r.readBits(12).toInt
+    } else {
+      if (prefix < 15)
+        (prefix << suffixLength) + r.readBits(suffixLength).toInt
+      else (15 << suffixLength) + r.readBits(12).toInt
+    }
+  }
+
+  /** Write run_before for `run` zeros below a coefficient given
+    * `zerosLeft` (Table 9-10; the >6 column's unary tail for
+    * run >= 7). */
+  def writeRunBefore(w: BitWriter, run: Int, zerosLeft: Int): Unit = {
+    require(zerosLeft >= 1 && run >= 0 && run <= zerosLeft,
+      s"run_before out of range: run=$run zerosLeft=$zerosLeft")
+    if (zerosLeft <= 6) {
+      val (len, bits) = RunBefore(zerosLeft)(run)
+      w.writeBits(bits.toLong, len)
+    } else if (run <= 6) {
+      w.writeBits((7 - run).toLong, 3)
+    } else {
+      require(run <= 14, s"run_before $run exceeds the 4x4 maximum")
+      w.writeBits(0L, run - 4); w.writeBit(1)
+    }
+  }
+
+  /** Read run_before given `zerosLeft` (Table 9-10). */
+  def readRunBefore(r: BitReader, zerosLeft: Int): Int = {
+    require(zerosLeft >= 1, "run_before read with no zeros left")
+    if (zerosLeft <= 6) {
+      val inv = RunBeforeInv(zerosLeft)
+      var len = 0
+      var acc = 0
+      var hit: Option[Int] = None
+      while (hit.isEmpty) {
+        require(len < 4, "malformed run_before")
+        acc = (acc << 1) | r.readBit()
+        len += 1
+        hit = inv.get((len, acc))
+      }
+      hit.get
+    } else {
+      val v = r.readBits(3).toInt
+      if (v > 0) 7 - v
+      else {
+        var run = 7
+        while (r.readBit() == 0) {
+          run += 1
+          require(run <= 14, "malformed run_before unary tail")
+        }
+        run
+      }
+    }
+  }
+
+  private def totalZerosTable(tc: Int): Map[Int, (Int, Int)] =
+    tc match {
+      case 1 => TotalZerosTc1
+      case 2 => TotalZerosTc2
+      case 3 => TotalZerosTc3
+      case n => sys.error(
+        s"extended profile: total_zeros tzVlcIndex $n unsupported " +
+          s"(TotalCoeff <= $MaxTotalCoeff)")
+    }
+
+  private def totalZerosInv(tc: Int): Map[(Int, Int), Int] =
+    tc match {
+      case 1 => TotalZerosInv
+      case 2 => TotalZerosInv2
+      case 3 => TotalZerosInv3
+      case n => sys.error(
+        s"extended profile: total_zeros tzVlcIndex $n unsupported " +
+          s"(TotalCoeff <= $MaxTotalCoeff)")
+    }
+
+  /** Encode one general 4x4 residual block from its ZIG-ZAG level
+    * vector (16 entries). The extended profile: at most
+    * [[MaxTotalCoeff]] nonzero levels, nC < 4 — loud reject beyond.
+    * Returns TotalCoeff (the caller's nC bookkeeping). DC-only
+    * vectors encode BIT-IDENTICALLY to [[writeCavlcDcOnly]]. */
+  def writeCavlc(w: BitWriter, zz: Array[Int], nC: Int): Int = {
+    require(zz.length == 16, "zig-zag vector must carry 16 levels")
+    require(nC >= 0 && nC < 4,
+      s"extended profile: nC=$nC unsupported (nC < 4)")
+    val nzAsc = (0 until 16).filter(zz(_) != 0)
+    val totalCoeff = nzAsc.size
+    require(totalCoeff <= MaxTotalCoeff,
+      s"extended profile: TotalCoeff=$totalCoeff per 4x4 block " +
+        s"(<= $MaxTotalCoeff)")
+    val table = if (nC < 2) CoeffTokenNc01 else CoeffTokenNc23
+    if (totalCoeff == 0) {
+      val (len, bits) = table((0, 0))
+      w.writeBits(bits.toLong, len)
+      return 0
+    }
+    val nzDesc = nzAsc.reverse // decode order: highest frequency first
+    // trailing ones: consecutive |1|s from the high-frequency end
+    var t1 = 0
+    while (t1 < math.min(3, totalCoeff) &&
+        math.abs(zz(nzDesc(t1))) == 1) t1 += 1
+    val (len, bits) = table((t1, totalCoeff))
+    w.writeBits(bits.toLong, len)
+    var i = 0
+    while (i < t1) { // trailing_ones_sign_flag, high freq first
+      w.writeBit(if (zz(nzDesc(i)) < 0) 1 else 0)
+      i += 1
+    }
+    var suffixLength = 0 // TotalCoeff <= 10, so the init-1 rule is out
+    var first = true
+    i = t1
+    while (i < totalCoeff) {
+      val level = zz(nzDesc(i))
+      var levelCode =
+        if (level > 0) 2 * level - 2 else -2 * level - 1
+      // 9.2.2.1: the first coded level after < 3 trailing ones
+      // cannot be ±1, so its code space shifts down by 2
+      if (first && t1 < 3) levelCode -= 2
+      first = false
+      writeLevelCode(w, levelCode, suffixLength)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) &&
+          suffixLength < 6) suffixLength += 1
+      i += 1
+    }
+    // total_zeros (always coded here: TotalCoeff <= 3 < 16)
+    val totalZeros = nzDesc.head + 1 - totalCoeff
+    val (zl, zb) = totalZerosTable(totalCoeff)(totalZeros)
+    w.writeBits(zb.toLong, zl)
+    // run_before for every coefficient but the lowest-frequency one,
+    // while zeros remain
+    var zerosLeft = totalZeros
+    i = 0
+    while (i < totalCoeff - 1 && zerosLeft > 0) {
+      val run = nzDesc(i) - nzDesc(i + 1) - 1
+      writeRunBefore(w, run, zerosLeft)
+      zerosLeft -= run
+      i += 1
+    }
+    totalCoeff
+  }
+
+  /** Decode one general 4x4 residual block under the extended
+    * profile. Returns the 16-entry ZIG-ZAG level vector. Loud
+    * rejects: nC >= 4, TotalCoeff > [[MaxTotalCoeff]],
+    * level_prefix > 15. */
+  def readCavlc(r: BitReader, nC: Int): Array[Int] = {
+    require(nC >= 0 && nC < 4,
+      s"extended profile: nC=$nC unsupported (nC < 4)")
+    val inv = if (nC < 2) CoeffTokenInv else CoeffTokenInv23
+    var len = 0
+    var acc = 0
+    var hit: Option[(Int, Int)] = None
+    while (hit.isEmpty) {
+      require(len < 16,
+        "malformed or outside-profile coeff_token (the carried " +
+          s"column stops at TotalCoeff $MaxTotalCoeff)")
+      acc = (acc << 1) | r.readBit()
+      len += 1
+      hit = inv.get((len, acc))
+    }
+    val (t1s, totalCoeff) = hit.get
+    val zz = new Array[Int](16)
+    if (totalCoeff == 0) return zz
+    require(totalCoeff <= MaxTotalCoeff,
+      s"extended profile: TotalCoeff=$totalCoeff (<= $MaxTotalCoeff)")
+    val levels = new Array[Int](totalCoeff) // high freq first
+    var i = 0
+    while (i < t1s) {
+      levels(i) = if (r.readBit() == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = 0
+    var first = true
+    i = t1s
+    while (i < totalCoeff) {
+      var levelCode = readLevelCode(r, suffixLength)
+      if (first && t1s < 3) levelCode += 2
+      first = false
+      val level =
+        if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      levels(i) = level
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) &&
+          suffixLength < 6) suffixLength += 1
+      i += 1
+    }
+    // total_zeros
+    val tzInv = totalZerosInv(totalCoeff)
+    var zLen = 0
+    var zAcc = 0
+    var zHit: Option[Int] = None
+    while (zHit.isEmpty) {
+      require(zLen < 10, "malformed total_zeros")
+      zAcc = (zAcc << 1) | r.readBit()
+      zLen += 1
+      zHit = tzInv.get((zLen, zAcc))
+    }
+    val totalZeros = zHit.get
+    // runs below each coefficient, high freq first
+    val runs = new Array[Int](totalCoeff)
+    var zerosLeft = totalZeros
+    i = 0
+    while (i < totalCoeff - 1) {
+      val run = if (zerosLeft > 0) readRunBefore(r, zerosLeft) else 0
+      runs(i) = run
+      zerosLeft -= run
+      i += 1
+    }
+    runs(totalCoeff - 1) = zerosLeft
+    // placement: highest-frequency coefficient sits at zig-zag
+    // position TotalCoeff - 1 + totalZeros; each run of zeros
+    // separates it from the next lower one
+    var pos = totalCoeff - 1 + totalZeros
+    i = 0
+    while (i < totalCoeff) {
+      zz(pos) = levels(i)
+      pos -= 1 + runs(i)
+      i += 1
+    }
+    zz
   }
 
   // ---------------------------------------------------------------
@@ -725,11 +1064,17 @@ object H264Intra {
   }
 
   /** Encode one IDR frame as a complete Annex-B stream (SPS + PPS +
-    * IDR slice). REQUIRE-fails unless every 4x4 residual is DC-only
-    * after quantization and chroma residual is exactly zero — the
-    * constrained profile this codec decodes. */
-  def encodeIdr(src: Yuv, qp: Int): Array[Byte] = {
-    val (sps, pps, idr) = encodeIdrRbsps(src, qp)
+    * IDR slice). REQUIRE-fails unless every 4x4 luma residual
+    * quantizes to at most [[MaxTotalCoeff]] coefficients and the
+    * chroma residual is exactly zero — the extended profile this
+    * codec decodes. `vhRotation = false` predicts every block in
+    * DC mode (spec-conformant; the AC fixture uses it so the
+    * residual structure stays provably 3-sparse — a V/H prediction
+    * from a reconstructed ramp would fold requantization noise into
+    * the residual and could push a block past the profile bound). */
+  def encodeIdr(src: Yuv, qp: Int,
+      vhRotation: Boolean = true): Array[Byte] = {
+    val (sps, pps, idr) = encodeIdrRbsps(src, qp, vhRotation)
     nalUnit(NalSps, sps) ++ nalUnit(NalPps, pps) ++ nalUnit(NalIdr, idr)
   }
 
@@ -737,7 +1082,8 @@ object H264Intra {
     * avc1 MP4 boxing (q229) needs: SPS/PPS go into the avcC
     * configuration record, the slice into a length-prefixed
     * sample. */
-  def encodeIdrRbsps(src: Yuv, qp: Int)
+  def encodeIdrRbsps(src: Yuv, qp: Int,
+      vhRotation: Boolean = true)
       : (Array[Byte], Array[Byte], Array[Byte]) = {
     require(src.w % 16 == 0 && src.h % 16 == 0, "MB-aligned only")
     require(qp >= 0 && qp <= 51, "QP out of range")
@@ -781,7 +1127,7 @@ object H264Intra {
         val bx = x / 4
         val by = y / 4
         val mode =
-          if (x > 0 && y > 0)
+          if (vhRotation && x > 0 && y > 0)
             Array(IntraModeDc, IntraModeVertical,
               IntraModeHorizontal)((bx + 2 * by) % 3)
           else IntraModeDc
@@ -813,22 +1159,37 @@ object H264Intra {
           i += 1
         }
         val coeffs = forward4x4(resid)
-        val dcLevel = quantCoeff(coeffs(0), 0, 0, qp)
-        // the constrained profile: every AC must quantize to zero
-        i = 1
+        // quantize all 16 positions into the zig-zag level vector;
+        // writeCavlc loud-rejects blocks past the profile bound
+        // (TotalCoeff <= MaxTotalCoeff) with a block-located message
+        val zz = new Array[Int](16)
+        i = 0
         while (i < 16) {
-          require(quantCoeff(coeffs(i), i / 4, i % 4, qp) == 0,
-            s"constrained encoder: AC coefficient at block ($x,$y) " +
-              "— source must be per-4x4-block constant")
+          val raster = ZigZag4x4(i)
+          zz(i) = quantCoeff(coeffs(raster), raster / 4, raster % 4,
+            qp)
           i += 1
         }
         val bx = x / 4
         val by = y / 4
-        writeCavlcDcOnly(w, dcLevel, ncOf(tcGrid, blocksW, bx, by))
-        tcGrid(by * blocksW + bx) = if (dcLevel == 0) 0 else 1
+        val tc =
+          try writeCavlc(w, zz, ncOf(tcGrid, blocksW, bx, by))
+          catch {
+            case e: IllegalArgumentException => throw
+              new IllegalArgumentException(
+                s"extended encoder at block ($x,$y): ${e.getMessage}",
+                e)
+          }
+        tcGrid(by * blocksW + bx) = tc
         // reconstruct exactly as the decoder will
         val deq = new Array[Int](16)
-        deq(0) = dequantCoeff(dcLevel, 0, 0, qp)
+        i = 0
+        while (i < 16) {
+          val raster = ZigZag4x4(i)
+          deq(raster) =
+            dequantCoeff(zz(i), raster / 4, raster % 4, qp)
+          i += 1
+        }
         val rec = inverse4x4(deq)
         i = 0
         while (i < 16) {
@@ -948,9 +1309,14 @@ object H264Intra {
   }
 
   /** Decode a complete SPS+PPS+IDR Annex-B stream back to 4:2:0
-    * planes. Rejects anything outside the constrained profile with
+    * planes. Rejects anything outside the extended profile with
     * explicit errors (never a silent wrong answer). */
-  def decodeIdr(stream: Array[Byte]): Yuv = {
+  def decodeIdr(stream: Array[Byte]): Yuv = decodeIdrStats(stream)._1
+
+  /** [[decodeIdr]] plus the residual census q289 grades: the frame,
+    * the number of luma 4x4 blocks whose decoded TotalCoeff >= 2
+    * (the AC evidence), and the maximum TotalCoeff seen. */
+  def decodeIdrStats(stream: Array[Byte]): (Yuv, Int, Int) = {
     val nals = splitNals(stream)
     val sps = parseSps(nals.collectFirst {
       case (NalSps, rbsp) => rbsp
@@ -971,6 +1337,8 @@ object H264Intra {
     val blocksW = w / 4
     val tcGrid = new Array[Int](blocksW * (h / 4))
     val modeGrid = Array.fill(blocksW * (h / 4))(-1)
+    var acBlocks = 0
+    var maxTc = 0
 
     val r = new BitReader(slice)
     require(r.readUe() == 0, "first_mb_in_slice != 0")
@@ -1032,14 +1400,22 @@ object H264Intra {
         val yy = mbY + oy
         val bx = x / 4
         val by = yy / 4
-        val dcLevel =
-          readCavlcDcOnly(r, ncOf(tcGrid, blocksW, bx, by))
-        tcGrid(by * blocksW + bx) = if (dcLevel == 0) 0 else 1
+        val zz = readCavlc(r, ncOf(tcGrid, blocksW, bx, by))
+        val tc = zz.count(_ != 0)
+        tcGrid(by * blocksW + bx) = tc
+        if (tc >= 2) acBlocks += 1
+        if (tc > maxTc) maxTc = tc
         val pred = predictBlock(y, stride, x, yy, mbModes(b))
         val deq = new Array[Int](16)
-        deq(0) = dequantCoeff(dcLevel, 0, 0, qp)
-        val rec = inverse4x4(deq)
         var i = 0
+        while (i < 16) {
+          val raster = ZigZag4x4(i)
+          deq(raster) =
+            dequantCoeff(zz(i), raster / 4, raster % 4, qp)
+          i += 1
+        }
+        val rec = inverse4x4(deq)
+        i = 0
         while (i < 16) {
           y((yy + i / 4) * stride + x + i % 4) =
             clip255(pred(i) + rec(i))
@@ -1063,6 +1439,6 @@ object H264Intra {
       }
       mb += 1
     }
-    Yuv(w, h, y, cb, cr)
+    (Yuv(w, h, y, cb, cr), acBlocks, maxTc)
   }
 }

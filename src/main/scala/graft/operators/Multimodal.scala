@@ -1313,6 +1313,63 @@ object Multimodal {
         "max_y_ok", "mean_y_ok", "chroma_ok")
   }
 
+  /** Graded AC-residual H.264 decode (q289) — the close-out of the
+    * one media gap q228 carried: its DC-only constraint is lifted to
+    * the EXTENDED profile (TotalCoeff ≤ 3 per 4x4 block, nC < 4 —
+    * [[graft.io.H264Intra]]'s round-15 scaladoc states the bound and
+    * its table provenance). Per document: a doc_id-parameterized
+    * per-block RAMP frame (dims, QP ∈ {10,16}, slope ∈ {5,6,7}, and
+    * orientation all doc_id-derived; a ramp against the flat DC
+    * prediction transforms to exactly one DC + two AC coefficients,
+    * and the slopes are sized so BOTH ACs survive quantization at
+    * both QPs), encoded with DC prediction modes, decoded back
+    * through the general CAVLC machinery (coeff_token in both
+    * carried nC columns, trailing-one signs, suffixLength-evolving
+    * levels, total_zeros tz2/tz3, run_before incl. the >6 tail for
+    * vertical ramps), and graded the q228 way PLUS the AC census:
+    * n_ac_blocks — the count of luma 4x4 blocks whose DECODED
+    * TotalCoeff ≥ 2 — must equal ALL 16·n_mbs blocks, which the
+    * oracle asserts from arithmetic (the judge's ≥2-coefficient
+    * gate, exact, not a boolean). H264IntraSpec pins what the gate
+    * can't see: golden AC bitstrings, Kraft-completeness of the new
+    * tables, exhaustive sparse round-trips, the reconstruction
+    * fixpoint. Row-local end-to-end (the q68/q182 economics). */
+  def h264AcDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 16 * (1 + id % 3).toInt
+        val h = 16 * (1 + id % 2).toInt
+        val qp = 10 + 6 * (id % 2).toInt
+        val slope = 5 + (id % 3).toInt
+        val horizontal = (id / 2) % 2 == 0
+        val y = Array.tabulate(w * h) { i =>
+          val x = i % w; val yy = i / w
+          val base = 40 + (((x / 4) + 3 * (yy / 4)) % 16) * 8
+          base + slope * (if (horizontal) x % 4 else yy % 4)
+        }
+        val src = H264Intra.Yuv(w, h, y,
+          Array.fill(w / 2 * (h / 2))(128),
+          Array.fill(w / 2 * (h / 2))(128))
+        val (dec, acBlocks, maxTc) = H264Intra.decodeIdrStats(
+          H264Intra.encodeIdr(src, qp, vhRotation = false))
+        require(dec.w == w && dec.h == h,
+          s"decoded dims mismatch for doc $id")
+        val absErr = y.indices.map(i => math.abs(dec.y(i) - y(i)))
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        val maxOk = absErr.max <= qstep * 1.5 + 2
+        val meanOk = absErr.sum.toDouble / absErr.size <= qstep * 0.75
+        val chromaOk = dec.cb.forall(_ == 128) &&
+          dec.cr.forall(_ == 128)
+        val tcOk = maxTc >= 2 && maxTc <= 3
+        (id, w.toLong, h.toLong, (w / 16).toLong * (h / 16),
+          acBlocks.toLong, maxOk, meanOk, chromaOk, tcOk)
+      }
+      .toDF("doc_id", "width", "height", "n_mbs", "n_ac_blocks",
+        "max_y_ok", "mean_y_ok", "chroma_ok", "total_coeff_ok")
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC

@@ -197,7 +197,8 @@ class H264IntraSpec extends AnyFunSuite {
       Yuv(16, 16, y, Array.fill(64)(128), Array.fill(64)(128))
     }
     val e = intercept[IllegalArgumentException](encodeIdr(bad, 20))
-    assert(e.getMessage.contains("AC coefficient"))
+    assert(e.getMessage.contains("TotalCoeff"),
+      s"profile bound must name the census: ${e.getMessage}")
     val good = checker(16, 16, 60, 196)
     val stream = encodeIdr(good, 20)
     intercept[Exception](decodeIdr(stream.take(stream.length / 2)))
@@ -206,5 +207,170 @@ class H264IntraSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       encodeIdr(badChroma, 20))
     assert(e2.getMessage.contains("chroma"))
+  }
+
+  // -----------------------------------------------------------------
+  // the AC-residual extension (q289): structural table pins, golden
+  // bits, exhaustive round-trips, end-to-end ramp frames
+  // -----------------------------------------------------------------
+
+  private def kraft(codes: Iterable[(Int, Int)]): Double =
+    codes.map { case (len, _) => math.pow(2.0, -len) }.sum
+
+  private def prefixFree(codes: Iterable[(Int, Int)]): Unit = {
+    val seq = codes.toSeq
+    assert(seq.distinct.size == seq.size, "duplicate codes")
+    for {
+      (l1, b1) <- seq
+      (l2, b2) <- seq
+      if l1 < l2
+    } assert((b2 >>> (l2 - l1)) != b1,
+      s"($l1,$b1) is a prefix of ($l2,$b2)")
+  }
+
+  test("AC tables carry the spec's structural signature: every " +
+      "table prefix-free; total_zeros tz2/tz3 and every run_before " +
+      "column Kraft-COMPLETE (a single wrong code length breaks " +
+      "the sum); tz1's one spare codeword pinned at exactly 1/512") {
+    prefixFree(CoeffTokenNc23.values)
+    prefixFree(TotalZerosTc2.values)
+    prefixFree(TotalZerosTc3.values)
+    RunBefore.values.foreach(m => prefixFree(m.values))
+    assert(kraft(TotalZerosTc2.values) == 1.0, "tz2 incomplete")
+    assert(kraft(TotalZerosTc3.values) == 1.0, "tz3 incomplete")
+    for ((zl, m) <- RunBefore)
+      assert(kraft(m.values) == 1.0, s"run_before zerosLeft=$zl")
+    assert(kraft(TotalZerosTc1.values) == 1.0 - 1.0 / 512,
+      "tz1 spare-codeword signature")
+    assert(kraft(CoeffTokenNc23.values) < 1.0,
+      "partial column must be incomplete")
+    // domain shape: totalZeros 0..16-tc, run 0..zerosLeft
+    assert(TotalZerosTc2.keySet == (0 to 14).toSet)
+    assert(TotalZerosTc3.keySet == (0 to 13).toSet)
+    for ((zl, m) <- RunBefore) assert(m.keySet == (0 to zl).toSet)
+  }
+
+  test("golden AC bitstring, hand-derived from the tables: " +
+      "levels {3, -5, +1} at zig-zag {0, 1, 6}, nC=0 -> " +
+      "coeff_token(1,3) | sign | level -5 (shift-2) | level 3 at " +
+      "suffixLength 2 | total_zeros 4 | run_before 4-of-4") {
+    val zz = new Array[Int](16)
+    zz(0) = 3; zz(1) = -5; zz(6) = 1
+    val w = new BitWriter
+    val tc = writeCavlc(w, zz, 0)
+    assert(tc == 3)
+    val bytes = w.finishRbsp() // 28 payload bits + stop + pad
+    assert(bytes.length == 4)
+    assert((bytes(0) & 0xFF) == 0x06, f"b0 ${bytes(0)}%02x")
+    assert((bytes(1) & 0xFF) == 0x00, f"b1 ${bytes(1)}%02x")
+    assert((bytes(2) & 0xFF) == 0xA2, f"b2 ${bytes(2)}%02x")
+    assert((bytes(3) & 0xFF) == 0x08, f"b3 ${bytes(3)}%02x")
+    val r = new BitReader(bytes)
+    assert(readCavlc(r, 0).toSeq == zz.toSeq)
+  }
+
+  test("general CAVLC round-trips EXHAUSTIVELY over all 1-, 2- and " +
+      "3-coefficient position sets x cycling level magnitudes " +
+      "(trailing ones, both escapes, suffixLength evolution) x all " +
+      "four carried nC contexts") {
+    val mags = Array(1, -1, 2, -3, 7, -15, 16, -64, 255, -1024, 2047)
+    var caseNo = 0
+    def levelAt(k: Int): Int = { caseNo += 1; mags((caseNo * 7 + k) % mags.length) }
+    for (nC <- Seq(0, 1, 2, 3)) {
+      val positionSets =
+        (0 until 16).map(Seq(_)) ++
+          (for (a <- 0 until 16; b <- a + 1 until 16) yield Seq(a, b)) ++
+          (for (a <- 0 until 16; b <- a + 1 until 16;
+                c <- b + 1 until 16) yield Seq(a, b, c))
+      for (ps <- positionSets) {
+        val zz = new Array[Int](16)
+        ps.zipWithIndex.foreach { case (p, k) => zz(p) = levelAt(k) }
+        val w = new BitWriter
+        writeCavlc(w, zz, nC)
+        w.writeBit(1) // sentinel
+        val r = new BitReader(w.finishRbsp())
+        assert(readCavlc(r, nC).toSeq == zz.toSeq,
+          s"nC=$nC positions=$ps levels=${ps.map(zz(_))}")
+        assert(r.readBit() == 1, s"sentinel clobbered: nC=$nC $ps")
+      }
+    }
+  }
+
+  test("run_before round-trips for every (zerosLeft 1..14, run) " +
+      "pair including the >6 unary tail") {
+    for (zl <- 1 to 14; run <- 0 to math.min(zl, 14)) {
+      val w = new BitWriter
+      writeRunBefore(w, run, zl)
+      w.writeBit(1)
+      val r = new BitReader(w.finishRbsp())
+      assert(readRunBefore(r, zl) == run, s"zl=$zl run=$run")
+      assert(r.readBit() == 1)
+    }
+  }
+
+  /** Per-4x4-block ramp frame: horizontal or vertical slope b with
+    * per-block base — after flat (DC) prediction the residual is a
+    * ramp whose transform is exactly {DC, one-AC, one-AC}. */
+  private def ramp(w: Int, h: Int, slope: Int,
+      horizontal: Boolean): Yuv = {
+    val y = Array.tabulate(w * h) { i =>
+      val x = i % w; val yy = i / w
+      val base = 40 + (((x / 4) + 3 * (yy / 4)) % 16) * 8
+      base + slope * (if (horizontal) x % 4 else yy % 4)
+    }
+    Yuv(w, h, y, Array.fill(w / 2 * (h / 2))(128),
+      Array.fill(w / 2 * (h / 2))(128))
+  }
+
+  test("end-to-end AC frames: ramp sources encode (DC modes), " +
+      "decode within the quantization bound, EVERY luma block " +
+      "carries TotalCoeff >= 2, and the decode is the encoder's " +
+      "bit-exact reconstruction") {
+    for {
+      (w, h) <- Seq((16, 16), (48, 32))
+      qp <- Seq(10, 16)
+      horizontal <- Seq(true, false)
+    } {
+      val slope = 5 + (w + qp) % 3
+      val src = ramp(w, h, slope, horizontal)
+      val stream = encodeIdr(src, qp, vhRotation = false)
+      val (dec, acBlocks, maxTc) = decodeIdrStats(stream)
+      assert(dec.w == w && dec.h == h)
+      assert(acBlocks == (w / 4) * (h / 4),
+        s"every luma block must carry AC: $acBlocks of " +
+          s"${(w / 4) * (h / 4)} ($w x $h qp=$qp h=$horizontal)")
+      assert(maxTc >= 2 && maxTc <= 3, s"maxTc=$maxTc")
+      val qstep = math.pow(2, qp / 6.0) * 0.625
+      val errs = src.y.indices.map(i => math.abs(dec.y(i) - src.y(i)))
+      assert(errs.max <= qstep * 1.5 + 2,
+        s"max err ${errs.max} at qp=$qp (qstep $qstep)")
+      assert(dec.cb.forall(_ == 128) && dec.cr.forall(_ == 128))
+      // fixpoint: re-encoding the decode yields the identical stream
+      assert(java.util.Arrays.equals(
+        encodeIdr(dec, qp, vhRotation = false), stream))
+    }
+  }
+
+  test("extended-profile violations fail loud: a 4-coefficient " +
+      "block at encode, nC >= 4 on both sides, and a foreign " +
+      "TotalCoeff > 3 codeword at decode") {
+    val zz4 = new Array[Int](16)
+    zz4(0) = 5; zz4(1) = 4; zz4(2) = 3; zz4(3) = 2
+    val e = intercept[IllegalArgumentException] {
+      writeCavlc(new BitWriter, zz4, 0)
+    }
+    assert(e.getMessage.contains("TotalCoeff"))
+    val zz1 = new Array[Int](16); zz1(0) = 1
+    intercept[IllegalArgumentException](
+      writeCavlc(new BitWriter, zz1, 4))
+    intercept[IllegalArgumentException](
+      readCavlc(new BitReader(Array[Byte](0x55)), 4))
+    // a stream carrying coeff_token(0,4) of the nC<2 column
+    // ('0000100' is outside the carried nC 2..3 rows) must reject,
+    // never silently misparse, when read in the 2<=nC<4 context
+    val w = new BitWriter
+    w.writeBits(7L, 10) // (0,4) nC<2: len 10? use known (3,4)=(6,3)
+    val r = new BitReader(w.finishRbsp())
+    intercept[Exception](readCavlc(r, 2))
   }
 }
