@@ -1622,6 +1622,21 @@ object SparkEntry {
     // (mean quality through the q231 exact micros sum).
     "q250_web_host_report" -> ((s, dir) =>
       operators.Warc.webHostReport(documents(s, dir))),
+    // Multi-record .warc.gz framing: concatenated gzip members
+    // (3 responses + a warcinfo to skip per blob), gunzipped and
+    // hopped by repeated Content-Length jumps — the CommonCrawl
+    // file shape the q247 scaladoc pinned but did not grade.
+    "q290_warcgz_multirecord" -> ((s, dir) =>
+      operators.Warc.warcGzParsed(documents(s, dir))),
+    // ... and the q248 funnel fed from the gzip path: framing
+    // composes, output must equal q248 row for row (same oracle).
+    "q291_warcgz_funnel" -> ((s, dir) =>
+      operators.Warc.webFunnelFromGz(documents(s, dir))),
+    // Charset-aware WARC payloads: byte-level framing (octet
+    // Content-Length) + the q267 sniffing composed — UTF-8 /
+    // Latin-1 / UTF-16LE bodies where octet length != char length.
+    "q292_warc_charset" -> ((s, dir) =>
+      operators.Warc.warcIntlParsed(documents(s, dir))),
     // CDX capture index: SURT urlkey, 14-digit timestamp, and
     // FILE-LOCAL byte offsets (prefix sum partitioned by the
     // bounded warc_file band — no global sort anywhere).
@@ -2724,6 +2739,10 @@ object SparkEntry {
     "q246_stream_decontam_funnel" -> OracleSql.decontaminatedFunnel,
     "q247_warc_parse" -> OracleSql.warcParsed,
     "q248_web_funnel" -> OracleSql.webFunnel,
+    "q290_warcgz_multirecord" -> OracleSql.warcGzParsed,
+    // the gzip-path funnel must EQUAL q248 — same oracle, verbatim
+    "q291_warcgz_funnel" -> OracleSql.webFunnel,
+    "q292_warc_charset" -> OracleSql.warcIntl,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

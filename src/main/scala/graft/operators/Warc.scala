@@ -97,7 +97,15 @@ object Warc {
     * shape plus the payload column the funnel consumes:
     * (doc_id, target_uri, warc_date, status, content_type,
     * n_payload_chars, payload_md5, valid, payload). */
-  def parseWarc(records: DataFrame): DataFrame = {
+  def parseWarc(records: DataFrame): DataFrame =
+    parseWarcKeeping(records, Nil)
+
+  /** [[parseWarc]] with extra pass-through columns preserved (the
+    * gz path carries its blob bookkeeping through the parse without
+    * a re-join — the parse stays ONE row-local projection). */
+  private[graft] def parseWarcKeeping(records: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
     val warc = col("warc")
     val version = warc.substr(lit(1), instr(warc, CRLF) - 1)
     // h = 1-based index of the header-terminating blank line
@@ -111,7 +119,7 @@ object Warc {
       warc.substr(length(warc) - 3, lit(4)) === Sep
     val hp = instr(col("block"), Sep)
     records
-      .select(col("doc_id"), warc,
+      .select(kept ++ Seq(col("doc_id"), warc,
         // record_len feeds the CDX byte offsets (q251/q271), and the
         // CDX format is BYTE-addressed — octet_length, not the
         // UTF-16 char count, so the locator stays byte-accurate
@@ -122,8 +130,9 @@ object Warc {
           .as("target_uri"),
         regexp_extract(warc,
           "(?i)\\r\\nWARC-Date: ([^\\r]*)\\r\\n", 1).as("warc_date"),
-        block.as("block"), valid.as("valid"))
-      .select(col("doc_id"), col("target_uri"), col("warc_date"),
+        block.as("block"), valid.as("valid")): _*)
+      .select(kept ++ Seq(col("doc_id"), col("target_uri"),
+        col("warc_date"),
         regexp_extract(col("block"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1)
           .cast("long").as("status"),
         regexp_extract(col("block"),
@@ -132,12 +141,13 @@ object Warc {
         col("block").substr(hp + lit(4),
           greatest(length(col("block")) - hp - lit(3), lit(0)))
           .as("payload"),
-        col("valid"), col("record_len"))
-      .select(col("doc_id"), col("target_uri"), col("warc_date"),
+        col("valid"), col("record_len")): _*)
+      .select(kept ++ Seq(col("doc_id"), col("target_uri"),
+        col("warc_date"),
         col("status"), col("content_type"),
         length(col("payload")).cast("long").as("n_payload_chars"),
         md5(col("payload")).as("payload_md5"),
-        col("valid"), col("payload"), col("record_len"))
+        col("valid"), col("payload"), col("record_len")): _*)
   }
 
   /** q247: documents → synthesized WARC record → parsed fields
@@ -368,11 +378,166 @@ object Warc {
           .otherwise(lit(null).cast("double")).as("mean_quality"))
   }
 
+  // ---------------------------------------------------------------
+  // multi-record gzip framing (q290/q291) — the subset the q247
+  // scaladoc pinned but did not grade: real CommonCrawl .warc.gz
+  // files are CONCATENATED GZIP MEMBERS (one record per member),
+  // and a reader that can only handle one record per blob hits
+  // this on its first real crawl file
+  // ---------------------------------------------------------------
+
+  /** Response records packed per synthesized .warc.gz blob (plus
+    * one warcinfo record every blob carries and a reader must
+    * skip). */
+  val GzRecordsPerBlob = 3L
+
+  /** One gzip member (a complete gzip stream) for a record's
+    * bytes. */
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a whole concatenated-member gzip stream (JDK
+    * GZIPInputStream reads across member boundaries natively). */
+  private def gunzipAll(gz: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** The warcinfo record of a blob — the non-response record a
+    * reader must hop over without emitting. */
+  private def warcinfoRecord(blobId: Long): String = {
+    val body = s"software: graft\r\nblob: $blobId\r\n"
+    "WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
+      s"WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
+      s"Content-Length: ${body.length}" + Sep + body + Sep
+  }
+
+  /** documents → (blob_id, gz): [[GzRecordsPerBlob]] consecutive
+    * docs' response records (built by the SAME column arithmetic as
+    * q247, so no fixture drift) plus the leading warcinfo record,
+    * each record its own gzip member, members concatenated — the
+    * CommonCrawl file shape. Blob assembly is one bounded
+    * collect_list per blob (≤ [[GzRecordsPerBlob]] rows by
+    * construction). */
+  def warcGzBlobs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    warcRecords(docs)
+      .groupBy(floor(col("doc_id") / GzRecordsPerBlob).as("blob_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("warc")))).as("rs"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (blobId, rs) =>
+        val members = warcinfoRecord(blobId) +: rs.map(_._2)
+        (blobId,
+          members.map(r => gzMember(r.getBytes("ISO-8859-1")))
+            .reduce(_ ++ _))
+      }
+      .toDF("blob_id", "gz")
+  }
+
+  /** The REAL reader: gunzip the whole blob, then hop records by
+    * repeated Content-Length jumps (the ISO 28500 total-length
+    * equation), skipping non-response records. Emits one row per
+    * RESPONSE record: (blob_id, rec_idx 1-based in read order,
+    * n_records incl. skipped, n_skipped, warc). Framing is done on
+    * an ISO-8859-1 view (1 byte = 1 char, so the char arithmetic IS
+    * octet arithmetic for arbitrary payload bytes). Malformed
+    * framing fails LOUD (a wrong hop would silently shear every
+    * later record in the file). */
+  def warcGzRecords(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val clenRe = "(?i)\\r\\nContent-Length: ([0-9]+)".r
+    val typeRe = "(?i)\\r\\nWARC-Type: ([^\\r]*)".r
+    blobs.select(col("blob_id"), col("gz"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (blobId, gz) =>
+        val text = new String(gunzipAll(gz), "ISO-8859-1")
+        val recs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        var n = 0L
+        var skipped = 0L
+        while (pos < text.length) {
+          val hEnd = text.indexOf(Sep, pos)
+          require(hEnd >= 0, s"blob $blobId: unterminated header")
+          val header = text.substring(pos, hEnd)
+          val clen = clenRe.findFirstMatchIn(header)
+            .getOrElse(sys.error(
+              s"blob $blobId: record without Content-Length"))
+            .group(1).toInt
+          val recEnd = hEnd + 4 + clen + 4
+          require(recEnd <= text.length &&
+            text.substring(recEnd - 4, recEnd) == Sep,
+            s"blob $blobId: record separator missing at $recEnd")
+          n += 1
+          val wtype = typeRe.findFirstMatchIn(header)
+            .map(_.group(1)).getOrElse("")
+          if (wtype == "response") recs += text.substring(pos, recEnd)
+          else skipped += 1
+          pos = recEnd
+        }
+        recs.zipWithIndex.map { case (rec, i) =>
+          (blobId, i + 1L, n, skipped, rec)
+        }
+      }
+      .toDF("blob_id", "rec_idx", "n_records", "n_skipped", "warc")
+  }
+
+  /** q290: documents → .warc.gz blobs → member-wise gunzip +
+    * Content-Length hops → the q247 parse kernel, identity
+    * recovered FROM THE RECORD (the capture URL), never threaded
+    * through: (doc_id, blob_id, rec_idx, n_records, n_skipped,
+    * parsed fields). Scale design (100 TB): blob assembly is the
+    * fixture; the READ path is one row-local flatMap per blob +
+    * the row-local parse — a real crawl file never crosses an
+    * exchange. */
+  def warcGzParsed(docs: DataFrame): DataFrame = {
+    val recs = warcGzRecords(warcGzBlobs(docs))
+      .withColumn("doc_id",
+        regexp_extract(col("warc"),
+          "WARC-Target-URI: https://site[0-9]+\\.example\\.com/doc([0-9]+)\\r",
+          1).cast("long"))
+    parseWarcKeeping(recs,
+      Seq("blob_id", "rec_idx", "n_records", "n_skipped"))
+      .select(col("doc_id"), col("blob_id"), col("rec_idx"),
+        col("n_records"), col("n_skipped"), col("target_uri"),
+        col("warc_date"), col("status"), col("content_type"),
+        col("n_payload_chars"), col("payload_md5"), col("valid"))
+  }
+
+  /** q291: the q248 funnel fed from the GZIP path — proof the
+    * multi-record framing composes: gunzip + hop + parse, then the
+    * identical keep/extract/score stages; the output must EQUAL
+    * q248's row for row (same oracle). */
+  def webFunnelFromGz(docs: DataFrame): DataFrame = {
+    val recs = warcGzRecords(warcGzBlobs(docs))
+      .withColumn("doc_id",
+        regexp_extract(col("warc"),
+          "WARC-Target-URI: https://site[0-9]+\\.example\\.com/doc([0-9]+)\\r",
+          1).cast("long"))
+    webFunnelStages(parseWarc(recs))
+  }
+
   /** q248: the FULL web funnel — WARC parse → keep valid HTTP 200
     * text/html captures → the q239 extraction kernel → flatten →
     * q6 quality score: (doc_id, n_lines, n_chars, quality_score). */
-  def webFunnel(docs: DataFrame): DataFrame = {
-    val kept = parseWarc(warcRecords(docs))
+  def webFunnel(docs: DataFrame): DataFrame =
+    webFunnelStages(parseWarc(warcRecords(docs)))
+
+  /** The keep → extract → score stages of [[webFunnel]] over an
+    * already-parsed capture frame (shared with the gzip-path twin
+    * q291 and the streaming twin). */
+  private[graft] def webFunnelStages(parsed: DataFrame): DataFrame = {
+    val kept = parsed
       .filter(col("valid") && col("status") === 200 &&
         col("content_type") === "text/html")
     val extracted = kept.select(col("doc_id"),
@@ -385,5 +550,80 @@ object Warc {
       length(col("text")).cast("long").as("n_chars"),
       TextAnalysis.qualityScoreCol(
         regexp_replace(col("text"), "\\n", " ")).as("quality_score"))
+  }
+
+  // ---------------------------------------------------------------
+  // charset-aware payloads (q292) — the q247 ASCII contract lifted:
+  // real captures carry non-ASCII bodies where octet length ≠ char
+  // length, so the framing must run on OCTETS and the payload must
+  // go through the q267 sniffing before any text stage sees it
+  // ---------------------------------------------------------------
+
+  /** The non-ASCII body of the q292 fixture — every character in
+    * Latin-1's repertoire so ONE logical text round-trips through
+    * all three encodings («, é, ° are 2-byte in UTF-8, 1-byte in
+    * ISO-8859-1, 2-byte in UTF-16). */
+  def intlBodyOf(id: Long): String = s"«café n° $id»"
+
+  /** The full HTML the capture carries (meta-declared charset). */
+  def intlHtmlOf(id: Long, cs: String): String =
+    "<html><head><meta charset=\"" + cs + "\"></head><body>" +
+      intlBodyOf(id) + "</body></html>"
+
+  /** One complete WARC response record as BYTES for the q292
+    * fixture: ASCII WARC + HTTP envelope, body encoded per
+    * doc_id % 3 (UTF-8 via meta, ISO-8859-1 via meta, UTF-16LE via
+    * BOM — every q267 sniffing branch), Content-Length in OCTETS
+    * per the spec. */
+  def warcIntlRecord(id: Long): Array[Byte] = {
+    val bodyBytes = (id % 3) match {
+      case 0 => intlHtmlOf(id, "utf-8").getBytes("UTF-8")
+      case 1 => intlHtmlOf(id, "iso-8859-1").getBytes("ISO-8859-1")
+      case _ => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        intlHtmlOf(id, "utf-16le").getBytes("UTF-16LE")
+    }
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + Sep).getBytes("US-ASCII")
+    val clen = http.length + bodyBytes.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ bodyBytes ++ Sep.getBytes("US-ASCII")
+  }
+
+  /** q292: byte-level WARC parse + q267 charset sniffing composed —
+    * framing on octets (an ISO-8859-1 view, 1 byte = 1 char), the
+    * total-length equation checked in OCTETS, then the payload
+    * BYTES sniffed and decoded by [[Charset.decode]]: (doc_id,
+    * encoding, n_payload_octets, n_payload_chars, multibyte,
+    * text_md5, valid). `multibyte` is the proof row: TRUE exactly
+    * where octet length ≠ char length (the rows the old ASCII
+    * contract would have sheared). Strictly row-local. */
+  def warcIntlParsed(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = warcIntlRecord(id)
+        val view = new String(bytes, "ISO-8859-1")
+        val h = view.indexOf(Sep)
+        val clen = "(?i)\\r\\nContent-Length: ([0-9]+)".r
+          .findFirstMatchIn(view.substring(0, h + 2))
+          .get.group(1).toInt
+        val valid = view.startsWith("WARC/1.0\r\n") && h > 0 &&
+          bytes.length == h + 8 + clen &&
+          view.endsWith(Sep)
+        val block = bytes.slice(h + 4, h + 4 + clen)
+        val blockView = new String(block, "ISO-8859-1")
+        val hp = blockView.indexOf(Sep)
+        val payload = block.slice(hp + 4, block.length)
+        val (enc, _, _, text) = Charset.decode(payload)
+        (id, enc, payload.length.toLong, text.length.toLong,
+          payload.length != text.length, text, valid)
+      }
+      .toDF("doc_id", "encoding", "n_payload_octets",
+        "n_payload_chars", "multibyte", "t", "valid")
+      .select(col("doc_id"), col("encoding"),
+        col("n_payload_octets"), col("n_payload_chars"),
+        col("multibyte"), md5(col("t")).as("text_md5"), col("valid"))
   }
 }

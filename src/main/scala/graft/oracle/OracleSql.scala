@@ -7843,6 +7843,59 @@ SELECT doc_id, target_uri, warc_date, status, content_type,
        md5(payload) AS payload_md5, valid
 FROM parsed"""
 
+  /** Mirror of [[graft.operators.Warc.warcGzParsed]] (q290): the
+    * gzip member framing is TRANSPARENT to the parsed field values
+    * (the engine side does the real gunzip + Content-Length hops;
+    * what must come out is q247's parse of each member), so the
+    * mirror is the q247 CTEs plus the blob bookkeeping arithmetic:
+    * blob = doc_id // 3, rec_idx = position within the blob, and
+    * every blob carries exactly one skipped warcinfo record. */
+  def warcGzParsed: String = {
+    val per = graft.operators.Warc.GzRecordsPerBlob
+    s"""$warcCtes, blobs AS (
+  SELECT doc_id // $per AS blob_id,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_records
+  FROM documents GROUP BY 1
+)
+SELECT p.doc_id, p.doc_id // $per AS blob_id,
+       p.doc_id % $per + 1 AS rec_idx,
+       b.n_records, CAST(1 AS BIGINT) AS n_skipped,
+       p.target_uri, p.warc_date, p.status, p.content_type,
+       CAST(length(p.payload) AS BIGINT) AS n_payload_chars,
+       md5(p.payload) AS payload_md5, p.valid
+FROM parsed p JOIN blobs b ON b.blob_id = p.doc_id // $per"""
+  }
+
+  /** Mirror of [[graft.operators.Warc.warcIntlParsed]] (q292): the
+    * decoded text, octet counts and sniffed encoding recomputed
+    * from the fixture arithmetic — DuckDB strlen counts UTF-8
+    * octets (exactly variant 0's payload bytes), Latin-1 octets =
+    * char count, UTF-16LE octets = 2 per BMP char + the 2-byte
+    * BOM. */
+  def warcIntl: String =
+    """WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+              WHEN 1 THEN 'iso-8859-1' ELSE 'utf-16le' END AS enc
+  FROM documents
+), h AS (
+  SELECT doc_id, enc,
+         '<html><head><meta charset="' || enc ||
+         '"></head><body>«café n° ' || CAST(doc_id AS VARCHAR) ||
+         '»</body></html>' AS html
+  FROM v
+)
+SELECT doc_id, enc AS encoding,
+       CASE doc_id % 3
+         WHEN 0 THEN CAST(strlen(html) AS BIGINT)
+         WHEN 1 THEN CAST(length(html) AS BIGINT)
+         ELSE CAST(2 + 2 * length(html) AS BIGINT)
+       END AS n_payload_octets,
+       CAST(length(html) AS BIGINT) AS n_payload_chars,
+       doc_id % 3 <> 1 AS multibyte,
+       md5(html) AS text_md5, TRUE AS valid
+FROM h"""
+
   /** Mirror of [[graft.operators.Warc.webFunnel]] (q248): keep
     * valid 200 text/html captures, run the q239 extraction chain on
     * the payload, score with the q6 quality expression over the

@@ -71,6 +71,78 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
       "https://site2.example.com/doc2")
   }
 
+  test("q290 gzip blobs: >= 3 records per blob including a " +
+      "warcinfo the reader skips; identity recovered from the " +
+      "record; parsed fields equal the single-record q247 parse") {
+    import spark.implicits._
+    val docs = (0L until 7L).map(d => (d, s"alpha beta doc $d words"))
+      .toDF("doc_id", "text")
+    val out = Warc.warcGzParsed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 7)
+    for ((d, r) <- out) {
+      assert(r.getAs[Long]("blob_id") == d / 3)
+      assert(r.getAs[Long]("rec_idx") == d % 3 + 1)
+      assert(r.getAs[Long]("n_records") ==
+        (if (d < 6) 4L else 2L), s"doc $d") // tail blob: 1 doc + info
+      assert(r.getAs[Long]("n_skipped") == 1L)
+    }
+    val single = Warc.warcParsed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (d <- 0L until 7L) {
+      val (a, b) = (out(d), single(d))
+      for (c <- Seq("target_uri", "warc_date", "content_type",
+          "payload_md5"))
+        assert(a.getAs[String](c) == b.getAs[String](c), s"$d/$c")
+      assert(a.getAs[Long]("status") == b.getAs[Long]("status"))
+      assert(a.getAs[Boolean]("valid") && b.getAs[Boolean]("valid"))
+    }
+  }
+
+  test("q290 framing fails LOUD on a corrupted blob (a wrong hop " +
+      "would silently shear every later record)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "c d"), (2L, "e f"))
+      .toDF("doc_id", "text")
+    val blobs = Warc.warcGzBlobs(docs).collect()
+    assert(blobs.length == 1)
+    val gz = blobs.head.getAs[Array[Byte]]("gz")
+    // truncating the final member breaks either the gzip stream or
+    // the record separator equation — never a silent partial parse
+    val cut = gz.take(gz.length - 6)
+    val bad = Seq((0L, cut)).toDF("blob_id", "gz")
+    intercept[Exception] {
+      Warc.warcGzRecords(bad).collect()
+    }
+  }
+
+  test("q292 charset captures: octet Content-Length framing, every " +
+      "sniffing branch, multibyte exactly where octets != chars, " +
+      "and the decoded digest matches the logical text") {
+    import spark.implicits._
+    val docs = (0L until 6L).map(d => (d, "x")).toDF("doc_id", "text")
+    val out = Warc.warcIntlParsed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((d, r) <- out) {
+      val enc = Seq("utf-8", "iso-8859-1", "utf-16le")((d % 3).toInt)
+      assert(r.getAs[String]("encoding") == enc, s"doc $d")
+      val html = Warc.intlHtmlOf(d, enc)
+      assert(r.getAs[Long]("n_payload_chars") == html.length)
+      val expOctets = (d % 3) match {
+        case 0 => html.getBytes("UTF-8").length
+        case 1 => html.length
+        case _ => 2 + 2 * html.length
+      }
+      assert(r.getAs[Long]("n_payload_octets") == expOctets)
+      assert(r.getAs[Boolean]("multibyte") == (d % 3 != 1))
+      assert(r.getAs[Boolean]("valid"))
+    }
+    // the UTF-8 variant really is multibyte (the old ASCII contract
+    // would have sheared it): « é ° » are 2 bytes each
+    assert(out(0L).getAs[Long]("n_payload_octets") ==
+      out(0L).getAs[Long]("n_payload_chars") + 4)
+  }
+
   test("multi-record framing (spec'd, ungraded): the Content-Length " +
       "hop from record 1 lands exactly on record 2's version line") {
     val r1 = mk(3L, "a b")
