@@ -1897,6 +1897,16 @@ object SparkEntry {
     // unchanged, keyed on the canonical host.
     "q244_host_quota" -> ((s, dir) =>
       operators.UrlCanonical.hostQuota(documents(s, dir))),
+    // Percent-encoding normalization (RFC 3986 6.2.2.2): decode
+    // unreserved %XX, uppercase remaining escapes, then the q243
+    // kernel — %7Euser and ~user collapse, %2F stays escaped.
+    "q293_url_pct_canonical" -> ((s, dir) =>
+      operators.UrlCanonical.urlPctCanonical(documents(s, dir))),
+    // ... and the host-quota composition row: per host, the
+    // additional collapse the pct rules buy (n_canonical = n_raw/2
+    // on the paired fixture) and the q244-style kept count.
+    "q294_url_pct_collapse" -> ((s, dir) =>
+      operators.UrlCanonical.urlPctCollapse(documents(s, dir))),
     // STREAMING decontaminated funnel (q223's incremental twin): the
     // benchmark sides are STATIC (fingerprint set + benchmark
     // vectors, built once — the q237 broadcast discipline); three
@@ -2733,6 +2743,8 @@ object SparkEntry {
     "q242_substr_removal" -> OracleSql.exactSubstrRemoval,
     "q243_url_canonical" -> OracleSql.urlCanonical,
     "q244_host_quota" -> OracleSql.hostQuota,
+    "q293_url_pct_canonical" -> OracleSql.urlPctCanonical,
+    "q294_url_pct_collapse" -> OracleSql.urlPctCollapse,
     "q245_partition_evolution" -> OracleSql.partitionEvolution,
     // the streaming twin is graded by the BATCH funnel's oracle —
     // wave-harness parity is the contract

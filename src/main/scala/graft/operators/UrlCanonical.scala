@@ -231,4 +231,83 @@ object UrlCanonical {
     Sampling.quotaSample(
       urlCanonical(docs).select(col("doc_id"), col("host")),
       "host", quota)
+
+  // ---------------------------------------------------------------
+  // percent-encoding normalization (q293/q294) — the rule family
+  // the q243 scaladoc deferred, closed: without it `%7Euser` and
+  // `~user` stay distinct spellings of one resource and every
+  // host-keyed collapse under-counts
+  // ---------------------------------------------------------------
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization as ONE
+    * row-local expression: decode any %XX whose octet is an
+    * UNRESERVED character (ALPHA / DIGIT / `-` `.` `_` `~`),
+    * uppercase the hex of every remaining escape (§6.2.2.1 applied
+    * to escapes). Reserved escapes stay escaped — %2F is NOT a
+    * path slash. Stated subset: every `%` begins a well-formed
+    * two-hex-digit escape (the fixture's contract; a real crawl
+    * pre-screens with a validity regex). Implementation: split at
+    * `%`, per piece decide decode-vs-uppercase from the decoded
+    * char class (chr(conv(hex,16,10)) — codegen'd functions, no
+    * UDF, no shuffle). */
+  def pctNormalizeCol(url: Column): Column = {
+    val parts = split(url, "%")
+    val head = element_at(parts, 1)
+    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val fixed = transform(tail, p => {
+      val hex = upper(p.substr(lit(1), lit(2)))
+      val rest = p.substr(lit(3), greatest(length(p) - 2, lit(0)))
+      val ch = chr(conv(hex, 16, 10).cast("long"))
+      when(ch.rlike("^[A-Za-z0-9._~-]$"), concat(ch, rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    })
+    concat(head, array_join(fixed, ""))
+  }
+
+  /** Deterministic pct-fixture: consecutive doc pairs (2k, 2k+1)
+    * spell ONE resource two ways — literal `~` + lowercase reserved
+    * escapes + `%41` vs `%7e`-escaped tilde + uppercase escapes +
+    * literal `A` — on a shared host, so the collapse is measurable:
+    * exactly two raw spellings per canonical URL. */
+  def urlPctFixtureCol(d: Column): Column = {
+    val k = floor(d / 2)
+    concat(lit("https://www.pct"), (k % 7).cast("string"),
+      lit(".example.com"),
+      when(d % 2 === 0, lit("/~user")).otherwise(lit("/%7euser")),
+      (k % 5).cast("string"), lit("/f"),
+      when(d % 2 === 0, lit("%2fx?q=%41&x=%2f"))
+        .otherwise(lit("%2Fx?q=A&x=%2F")))
+  }
+
+  /** q293: documents → pct-messy URL → percent-normalized form →
+    * the UNCHANGED q243 canonical kernel on the normalized string:
+    * (doc_id, url, pct_url, canonical_url, host). The composition
+    * order is RFC 6.2.2's: case/percent normalization first, then
+    * the scheme-based rules. Row-local end to end. */
+  def urlPctCanonical(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"),
+      urlPctFixtureCol(col("doc_id")).as("url"))
+      .withColumn("pct_url", pctNormalizeCol(col("url")))
+    val (canonical, host) = canonicalCols(col("pct_url"))
+    withUrl.select(col("doc_id"), col("url"), col("pct_url"),
+      canonical.as("canonical_url"), host.as("host"))
+  }
+
+  /** q294: the host-quota composition row — per canonical host, how
+    * much ADDITIONAL collapse the pct rules buy (n_canonical is
+    * half of n_raw on the fixture: every resource had two
+    * spellings) and the q244-style quota the host would then keep:
+    * (host, n_urls, n_raw, n_canonical, n_quota_kept). One
+    * host-partitioned rollup; distinct counts are per-host
+    * bounded. */
+  def urlPctCollapse(docs: DataFrame): DataFrame =
+    urlPctCanonical(docs)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw"),
+        countDistinct(col("canonical_url")).as("n_canonical"))
+      .select(col("host"), col("n_urls"), col("n_raw"),
+        col("n_canonical"),
+        least(col("n_canonical"), lit(HostQuota.toLong))
+          .as("n_quota_kept"))
 }

@@ -7656,6 +7656,82 @@ FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
 )"""
   }
 
+  /** Shared CTEs of the q293/q294 mirrors: the pct fixture, the
+    * RFC 6.2.2.2 normalization (decode unreserved %XX via
+    * chr(hex), uppercase the rest), and the q243 canonical
+    * arithmetic re-applied to the normalized string. Yields CTE
+    * `pnorm` = (doc_id, url, pct_url, canonical_url, host). */
+  private def urlPctCtes: String = {
+    import graft.operators.UrlCanonical._
+    val strip = StripParams.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH u AS (
+  SELECT doc_id,
+    'https://www.pct' || CAST((doc_id // 2) % 7 AS VARCHAR) ||
+    '.example.com' ||
+    CASE WHEN doc_id % 2 = 0 THEN '/~user' ELSE '/%7euser' END ||
+    CAST((doc_id // 2) % 5 AS VARCHAR) || '/f' ||
+    CASE WHEN doc_id % 2 = 0 THEN '%2fx?q=%41&x=%2f'
+         ELSE '%2Fx?q=A&x=%2F' END AS url
+  FROM documents
+), pct AS (
+  SELECT doc_id, url,
+    string_split(url, '%')[1] || array_to_string(
+      list_transform(string_split(url, '%')[2:], p ->
+        CASE WHEN chr(CAST('0x' || upper(p[1:2]) AS INT))
+                  SIMILAR TO '[A-Za-z0-9._~-]'
+             THEN chr(CAST('0x' || upper(p[1:2]) AS INT)) || p[3:]
+             ELSE '%' || upper(p[1:2]) || p[3:] END), '') AS pct_url
+  FROM u
+), pparts AS (
+  SELECT doc_id, url, pct_url,
+    lower(regexp_extract(pct_url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_extract(pct_url, '^[A-Za-z]+://([^/?]+)', 1) AS hostport,
+    regexp_extract(pct_url, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+    regexp_extract(pct_url, '\\?(.*)$$', 1) AS query
+  FROM pct
+), pnp AS (
+  SELECT doc_id, url, pct_url, scheme,
+    lower(regexp_replace(hostport, ':[0-9]+$$', '')) AS host,
+    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+    regexp_replace(path, '/+$$', '') AS pathn,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> length(p) > 0 AND NOT list_contains($strip,
+        string_split(p, '=')[1]))) AS kept
+  FROM pparts
+), pnorm AS (
+  SELECT doc_id, url, pct_url,
+    scheme || '://' || host ||
+    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+         THEN ':' || port ELSE '' END ||
+    pathn ||
+    CASE WHEN len(kept) > 0
+         THEN '?' || array_to_string(kept, '&') ELSE '' END
+      AS canonical_url,
+    host
+  FROM pnp
+)"""
+  }
+
+  /** Mirror of [[graft.operators.UrlCanonical.urlPctCanonical]]
+    * (q293). */
+  def urlPctCanonical: String =
+    s"""$urlPctCtes
+SELECT doc_id, url, pct_url, canonical_url, host FROM pnorm"""
+
+  /** Mirror of [[graft.operators.UrlCanonical.urlPctCollapse]]
+    * (q294). */
+  def urlPctCollapse: String = {
+    val quota = graft.operators.UrlCanonical.HostQuota
+    s"""$urlPctCtes
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(least(COUNT(DISTINCT canonical_url), $quota) AS BIGINT)
+         AS n_quota_kept
+FROM pnorm GROUP BY host"""
+  }
+
   /** Mirror of [[graft.operators.UrlCanonical.urlCanonical]]
     * (q243). */
   def urlCanonical: String =

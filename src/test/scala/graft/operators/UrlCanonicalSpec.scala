@@ -74,6 +74,56 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkSessionSpec {
       "canonicalization must not shuffle")
   }
 
+  private def pct(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("url")
+      .select(UrlCanonical.pctNormalizeCol(col("url")).as("p"))
+      .head().getString(0)
+  }
+
+  test("q293 pct rules: unreserved %XX decodes (alpha, digit, " +
+      "tilde, dash, dot, underscore), reserved escapes stay but " +
+      "uppercase, and a %-free URL passes through unchanged") {
+    assert(pct("https://h/%7Euser") == "https://h/~user")
+    assert(pct("https://h/%7euser") == "https://h/~user") // lc hex
+    assert(pct("https://h/a%41%62%39%2D%2e%5F") ==
+      "https://h/aAb9-._")
+    // reserved: / ? # & = space stay escaped, hex uppercased
+    assert(pct("https://h/a%2fb%3Fc%23%26%3d%20x") ==
+      "https://h/a%2Fb%3Fc%23%26%3D%20x")
+    assert(pct("https://h/plain?a=1") == "https://h/plain?a=1")
+    // adjacent escapes, escape at end of string
+    assert(pct("https://h/%41%42") == "https://h/AB")
+    assert(pct("https://h/x%7E") == "https://h/x~")
+  }
+
+  test("q293 composition: %7Euser and ~user spellings of one " +
+      "resource share ONE canonical URL, and q294 reports the " +
+      "halving per host") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val out = UrlCanonical.urlPctCanonical(docs).collect()
+    val byCanon = out.groupBy(_.getAs[String]("canonical_url"))
+    assert(byCanon.forall(_._2.length == 2),
+      "every canonical URL must be reached by exactly two spellings")
+    assert(out.map(_.getAs[String]("url")).distinct.length == 20)
+    val stats = UrlCanonical.urlPctCollapse(docs).collect()
+    for (r <- stats) {
+      assert(r.getAs[Long]("n_canonical") * 2 == r.getAs[Long]("n_raw"),
+        s"host ${r.getAs[String]("host")}")
+      assert(r.getAs[Long]("n_quota_kept") ==
+        math.min(r.getAs[Long]("n_canonical"), UrlCanonical.HostQuota))
+    }
+  }
+
+  test("the q293 plan is one row-local projection — no shuffle") {
+    import spark.implicits._
+    val plan = UrlCanonical.urlPctCanonical(
+        Seq(1L).toDF("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in:\n$plan")
+  }
+
   test("q273: the PSL longest-match rule — multi-label suffixes " +
       "beat their parent TLD, the private blogspot entry splits " +
       "sibling subdomains, and a bare suffix has no registrable " +
