@@ -1780,6 +1780,42 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q271_cdx")
     }),
+    // STREAMING web funnel (q248's incremental twin): every stage —
+    // WARC parse, keep-gate, q239 extraction, q6 scoring — is
+    // row-local, so the stream needs NO state at all: three arrival
+    // waves through the identical webFunnelStages code, graded
+    // against the batch q248 oracle (exact wave parity: a capture's
+    // funnel row is final the moment it lands).
+    "q295_stream_web_funnel" -> ((s, dir) => {
+      val recs = operators.Warc.warcRecords(documents(s, dir))
+      val wh = graft.util.TempDirs.create("graft-funnel-q295")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = recs.agg(min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        recs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q295_funnel")
+      val q = operators.Warc.streamWebFunnel(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q295_funnel").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q295_funnel")
+    }),
     // robots.txt TEXT parser: directive lines group-attributed by
     // the last User-agent rule, comments/unknowns skipped, Sitemap
     // global — the stage that PRODUCES q249's rule tuples.
@@ -2791,6 +2827,8 @@ object SparkEntry {
     "q288_dedup_consensus" -> OracleSql.dedupConsensus,
     "q269_robots_parse" -> OracleSql.robotsParse,
     "q271_stream_cdx" -> OracleSql.cdxIndex,
+    // the streaming funnel must EQUAL batch q248 — same oracle
+    "q295_stream_web_funnel" -> OracleSql.webFunnel,
     "q272_stream_revisit" -> OracleSql.warcRevisits,
     "q270_frontier_delayed" -> OracleSql.crawlFrontierDelayed,
     "q265_anchor_index" -> OracleSql.anchorIndex,

@@ -533,9 +533,19 @@ object Warc {
   def webFunnel(docs: DataFrame): DataFrame =
     webFunnelStages(parseWarc(warcRecords(docs)))
 
+  /** q295: the STREAMING web funnel — q248's incremental twin.
+    * Every stage is a row-local projection/filter, so the twin is
+    * the identical [[webFunnelStages]] code applied to a streaming
+    * (doc_id, warc) frame with NO state, no watermark, no holdback:
+    * a capture's funnel row is final the moment it lands (exact
+    * wave parity with the batch oracle). Scale design: stateless
+    * append — shards with the source, nothing accumulates. */
+  def streamWebFunnel(records: DataFrame): DataFrame =
+    webFunnelStages(parseWarc(records))
+
   /** The keep → extract → score stages of [[webFunnel]] over an
     * already-parsed capture frame (shared with the gzip-path twin
-    * q291 and the streaming twin). */
+    * q291 and the streaming twin q295). */
   private[graft] def webFunnelStages(parsed: DataFrame): DataFrame = {
     val kept = parsed
       .filter(col("valid") && col("status") === 200 &&
