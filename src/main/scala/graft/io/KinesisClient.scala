@@ -27,6 +27,15 @@ final case class GetRecordsResult(
     nextShardIterator: Option[String],
     millisBehindLatest: Long)
 
+/** One shard's listing metadata: resharding lineage (`parents` =
+  * ParentShardId + AdjacentParentShardId when present) and whether a
+  * reshard CLOSED the shard (EndingSequenceNumber present). */
+final case class ShardInfo(
+    id: String,
+    parents: Vector[String],
+    closed: Boolean,
+    startingHashKey: String)
+
 /** One record of a PutRecords REQUEST. `explicitHashKey` (a decimal
   * 128-bit hash-space position) overrides the MD5(partitionKey)
   * shard routing — the mechanism the reference's watermark broadcast
@@ -73,25 +82,48 @@ class KinesisHttpClient(
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** Every shard id, open AND closed — a batch scan must read closed
+    * parents too (their records live nowhere else within
+    * retention). */
   def listShards(stream: String): Vector[String] =
-    listShardRanges(stream).map(_._1)
+    listShardInfos(stream).map(_.id)
 
-  /** (shardId, startingHashKey) per shard — the starting hash key is
-    * what an ExplicitHashKey must equal to target that shard
-    * deterministically (the reference's watermark-broadcast trick). */
-  def listShardRanges(stream: String): Vector[(String, String)] = {
+  /** (shardId, startingHashKey) per OPEN shard — the starting hash
+    * key is what an ExplicitHashKey must equal to target that shard
+    * deterministically (the reference's watermark-broadcast trick);
+    * a closed shard rejects writes, so the broadcast set is the open
+    * topology. */
+  def listShardRanges(stream: String): Vector[(String, String)] =
+    listShardInfos(stream).filterNot(_.closed)
+      .map(i => (i.id, i.startingHashKey))
+
+  /** Full shard metadata incl. the RESHARDING LINEAGE: parent ids
+    * (ParentShardId + AdjacentParentShardId — a split child carries
+    * one, a merge child two) and closed-ness (the presence of
+    * SequenceNumberRange.EndingSequenceNumber, the public API's
+    * signal that a reshard sealed the shard). */
+  def listShardInfos(stream: String): Vector[ShardInfo] = {
     val body = JsonNodeFactory.instance.objectNode()
     body.put("StreamName", stream)
     val resp = post("ListShards", body.toString)
     val shards = resp.get("Shards")
     if (shards == null || !shards.isArray) Vector.empty
     else {
-      val out = Vector.newBuilder[(String, String)]
+      val out = Vector.newBuilder[ShardInfo]
       shards.forEach { s =>
         val start = Option(s.get("HashKeyRange"))
           .flatMap(r => Option(r.get("StartingHashKey")))
           .map(_.asText()).getOrElse("0")
-        out += ((s.get("ShardId").asText(), start))
+        val parents =
+          Option(s.get("ParentShardId")).filterNot(_.isNull)
+            .map(_.asText()).toVector ++
+          Option(s.get("AdjacentParentShardId")).filterNot(_.isNull)
+            .map(_.asText()).toVector
+        val closed = Option(s.get("SequenceNumberRange"))
+          .flatMap(r => Option(r.get("EndingSequenceNumber")))
+          .exists(!_.isNull)
+        out += ShardInfo(s.get("ShardId").asText(), parents, closed,
+          start)
       }
       out.result()
     }

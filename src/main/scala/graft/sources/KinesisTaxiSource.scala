@@ -95,11 +95,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - column pruning reaches the payload parser and pushed filters
   *    drop records before projection, both shared with the file-wire
   *    source ([[WireTaxiFilters]]);
-  *  - resharding (parent/child shard lineage) is out of scope: the
-  *    shard set is re-listed per trigger and new shards read from the
-  *    batch's opening timestamp, but ordering across a split is not
-  *    enforced. Documented divergence, matching the engine's other
-  *    single-writer simplifications.
+  *  - RESHARDING (parent/child shard lineage, round 15): the shard
+  *    set is re-listed per trigger WITH lineage
+  *    (ParentShardId/AdjacentParentShardId + EndingSequenceNumber —
+  *    [[graft.io.ShardInfo]]); a child shard is planned only once
+  *    every parent is in the offset's `ended` set (read through
+  *    SHARD_END — the null-NextShardIterator signal — with no
+  *    in-window skip), so parent records always commit before the
+  *    first child batch. A child's first partition reads
+  *    TRIM_HORIZON over (0, closedTs] — it was never read while
+  *    deferred, so the full-window read is exactly-once by
+  *    construction, and the `ended`/`shardSeqs` pair is WAL-pinned
+  *    so a replayed batch plans byte-identical partitions across
+  *    the reshard boundary. Batch scans read ALL listed shards
+  *    (closed parents included — their records live nowhere else),
+  *    so the q82 oracle is unchanged by a reshard.
   */
 class KinesisTaxiSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "kinesis-taxi"
@@ -211,15 +221,25 @@ class KinesisTaxiScan(config: KinesisSourceConfig, required: StructType,
     new KinesisReaderFactory(config, required, pushed, progressDir = None)
 }
 
-/** Stream offset: closing arrival-timestamp plus per-shard
-  * sequence-number positions (see the source scaladoc). */
+/** Stream offset: closing arrival-timestamp, per-shard
+  * sequence-number positions, and the RESHARD LINEAGE — `ended` is
+  * the set of shards read through their SHARD_END (closed by a
+  * split/merge and fully consumed); a child shard only becomes
+  * readable once every parent is in it, so parent records always
+  * commit before the first child batch (the ordering contract a
+  * reshard is supposed to preserve). See the source scaladoc. */
 final case class KinesisSourceOffset(
-    closedTsMs: Long, shardSeqs: Map[String, String]) extends Offset {
+    closedTsMs: Long, shardSeqs: Map[String, String],
+    ended: Set[String] = Set.empty) extends Offset {
   override def json(): String = {
     val node = JsonNodeFactory.instance.objectNode()
     node.put("closedTsMs", closedTsMs)
     val seqs = node.putObject("shardSeqs")
     shardSeqs.toSeq.sortBy(_._1).foreach { case (k, v) => seqs.put(k, v) }
+    if (ended.nonEmpty) {
+      val arr = node.putArray("ended")
+      ended.toSeq.sorted.foreach(arr.add)
+    }
     node.toString
   }
 }
@@ -232,7 +252,11 @@ object KinesisSourceOffset {
     val obj = n.get("shardSeqs")
     if (obj != null) obj.properties().asScala.foreach(e =>
       seqs += e.getKey -> e.getValue.asText())
-    KinesisSourceOffset(n.get("closedTsMs").asLong(), seqs.result())
+    val ended = Set.newBuilder[String]
+    val arr = n.get("ended") // absent in pre-reshard checkpoints
+    if (arr != null && arr.isArray) arr.forEach(e => ended += e.asText())
+    KinesisSourceOffset(n.get("closedTsMs").asLong(), seqs.result(),
+      ended.result())
   }
 
   /** Numeric order for decimal-digit sequence-number strings of any
@@ -254,9 +278,6 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
   }
 
   @transient private lazy val client = config.client()
-
-  // shard listing is re-fetched per planning round; cached per batch
-  private def shards(): Vector[String] = client.listShards(config.stream)
 
   private var availableNowTarget: Option[Long] = None
 
@@ -312,8 +333,8 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
         math.min(target, s.closedTsMs + cap)
       case _ => target
     }
-    KinesisSourceOffset(math.max(closed, s.closedTsMs),
-      mergeProgress(s.shardSeqs))
+    val (seqs, ended) = mergeProgress(s.shardSeqs, s.ended)
+    KinesisSourceOffset(math.max(closed, s.closedTsMs), seqs, ended)
   }
 
   override def reportLatestOffset(): Offset =
@@ -325,29 +346,53 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
   /** Fold completed-batch task positions into the per-shard
     * sequence-number map (newest sequence wins; a missing or stale
     * progress file keeps the prior position — correct, because a
-    * shard with no records in the prior batch kept its position). */
-  private def mergeProgress(prior: Map[String, String]): Map[String, String] = {
+    * shard with no records in the prior batch kept its position)
+    * and the ENDED set (a shard whose reader walked to SHARD_END
+    * stays ended forever). */
+  private def mergeProgress(prior: Map[String, String],
+      priorEnded: Set[String]): (Map[String, String], Set[String]) = {
     val merged = collection.mutable.Map(prior.toSeq: _*)
+    val ended = collection.mutable.Set(priorEnded.toSeq: _*)
     KinesisProgressFiles.readAll(progressDir).foreach { case (shard, p) =>
       if (p.lastSeq.nonEmpty &&
         merged.get(shard).forall(KinesisSourceOffset.seqGreater(p.lastSeq, _)))
         merged(shard) = p.lastSeq
+      if (p.shardEnd) ended += shard
     }
-    merged.toMap
+    (merged.toMap, ended.toSet)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KinesisSourceOffset]
     val e = end.asInstanceOf[KinesisSourceOffset]
     if (e.closedTsMs <= s.closedTsMs) return Array.empty
-    // end.shardSeqs names the position reached at start.closedTs (the
-    // one-batch lag in the offset model); it is WAL-pinned, so replay
-    // plans byte-identical partitions.
-    shards().map { shard =>
-      KinesisShardPartition(shard,
-        fromSeq = e.shardSeqs.get(shard),
-        fromTsMs = s.closedTsMs,
-        toTsMs = e.closedTsMs): InputPartition
+    // end.shardSeqs / end.ended name the positions reached at
+    // start.closedTs (the one-batch lag in the offset model); both
+    // are WAL-pinned, so replay plans byte-identical partitions.
+    //
+    // Reshard lineage gating: a CHILD shard is planned only once
+    // every parent is ENDED (read through SHARD_END) or expired out
+    // of the listing — consume the parent to its end sequence, THEN
+    // the children. A deferred child was never read, so its first
+    // partition reads TRIM_HORIZON with the full (0, toTs] window:
+    // records that arrived while it waited are picked up, none twice.
+    val infos = client.listShardInfos(config.stream)
+    val listed = infos.map(_.id).toSet
+    infos.flatMap { i =>
+      if (e.ended.contains(i.id)) None // fully consumed, stay done
+      else {
+        val parentsDone = i.parents.forall(p =>
+          e.ended.contains(p) || !listed.contains(p))
+        if (!parentsDone) None
+        else if (e.shardSeqs.contains(i.id) || i.parents.isEmpty)
+          Some(KinesisShardPartition(i.id,
+            fromSeq = e.shardSeqs.get(i.id),
+            fromTsMs = s.closedTsMs,
+            toTsMs = e.closedTsMs): InputPartition)
+        else // first read of a child: everything it has, up to toTs
+          Some(KinesisShardPartition(i.id, fromSeq = None,
+            fromTsMs = 0L, toTsMs = e.closedTsMs): InputPartition)
+      }
     }.toArray
   }
 
@@ -392,7 +437,8 @@ final case class KinesisShardPartition(
     fromTsMs: Long,
     toTsMs: Long) extends InputPartition
 
-final case class ShardProgress(lastSeq: String, lastTsMs: Long, millisBehind: Long)
+final case class ShardProgress(lastSeq: String, lastTsMs: Long,
+    millisBehind: Long, shardEnd: Boolean = false)
 
 /** Atomic per-shard progress files under the checkpoint — task-side
   * writer, driver-side reader (the executor/driver share the
@@ -410,7 +456,8 @@ object KinesisProgressFiles {
     // character outside [A-Za-z0-9._-] — every batch would silently
     // degrade to the AT_TIMESTAMP fallback for that shard
     java.nio.file.Files.write(tmp,
-      s"${p.lastSeq}\t${p.lastTsMs}\t${p.millisBehind}\t$shard"
+      (s"${p.lastSeq}\t${p.lastTsMs}\t${p.millisBehind}\t$shard\t" +
+        (if (p.shardEnd) "1" else "0"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, d.resolve(safe),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -428,9 +475,12 @@ object KinesisProgressFiles {
             val parts = new String(java.nio.file.Files.readAllBytes(f),
               java.nio.charset.StandardCharsets.UTF_8).split("\t", -1)
             // key by the raw shard id stored in the file (field 4);
-            // 3-field files from older checkpoints fall back to the
-            // filename for compatibility
-            if (parts.length == 4)
+            // field 5 is the SHARD_END flag (reshard lineage);
+            // 3-/4-field files from older checkpoints stay readable
+            if (parts.length == 5)
+              Some(parts(3) -> ShardProgress(parts(0),
+                parts(1).toLong, parts(2).toLong, parts(4) == "1"))
+            else if (parts.length == 4)
               Some(parts(3) ->
                 ShardProgress(parts(0), parts(1).toLong, parts(2).toLong))
             else if (parts.length == 3)
@@ -482,6 +532,7 @@ class KinesisShardReader(config: KinesisSourceConfig,
   private var lastTs: Long = 0L
   private var lastBehind: Long = 0L
   private var drained = false // set only on clean end-of-slice
+  private var sawEnd = false  // reached SHARD_END with no in-window skip
 
   override def next(): Boolean = {
     while (!buffered.hasNext) {
@@ -513,6 +564,11 @@ class KinesisShardReader(config: KinesisSourceConfig,
       }
       buffered = keep.result().iterator
       iterator = gr.nextShardIterator
+      // SHARD_END (null iterator) counts as "fully consumed" ONLY if
+      // no record beyond this batch's window was skipped on the way
+      // — otherwise a later batch still owes this shard a read, and
+      // marking it ended would silently lose that tail
+      if (gr.nextShardIterator.isEmpty && !pastEnd) sawEnd = true
       val atTip = gr.records.isEmpty && gr.millisBehindLatest <= 0
       emptyPolls = if (gr.records.isEmpty) emptyPolls + 1 else 0
       // clean drain ONLY on: past the batch's closing timestamp; shard
@@ -578,10 +634,12 @@ class KinesisShardReader(config: KinesisSourceConfig,
   override def close(): Unit =
     // progress is only recorded for a COMPLETE drain of the slice —
     // a failed/aborted attempt must not leak a partial position into
-    // the next offset's shardSeqs (see the offset-model scaladoc)
-    if (drained && lastSeq.nonEmpty)
+    // the next offset's shardSeqs (see the offset-model scaladoc).
+    // A SHARD_END drain records even with no rows read this batch:
+    // the ended flag is what admits the shard's children.
+    if (drained && (lastSeq.nonEmpty || sawEnd))
       progressDir.foreach(d => KinesisProgressFiles.write(d, part.shard,
-        ShardProgress(lastSeq, lastTs, lastBehind)))
+        ShardProgress(lastSeq, lastTs, lastBehind, sawEnd)))
 }
 
 object KinesisShardReader {

@@ -37,11 +37,26 @@ class StubKinesisServer(
   final case class Stored(
       seq: String, partitionKey: String, data: Array[Byte], arrivalMs: Long)
 
+  /** One shard's mutable topology state. A reshard CLOSES a shard
+    * (endingSeq set — the real service's EndingSequenceNumber
+    * signal) and creates children carrying the lineage
+    * (ParentShardId / AdjacentParentShardId). */
+  final class ShardMeta(
+      val id: String,
+      @volatile var rangeStart: BigInt,
+      @volatile var rangeEnd: BigInt,
+      val parent: Option[String],
+      val adjacentParent: Option[String],
+      @volatile var endingSeq: Option[String]) {
+    def closed: Boolean = endingSeq.isDefined
+  }
+
   val shardIds: Vector[String] =
     (0 until shardCount).map(i => f"shardId-$i%012d").toVector
-  private val shards: Map[String, ArrayBuffer[Stored]] =
-    shardIds.map(_ -> new ArrayBuffer[Stored]).toMap
+  private val shards =
+    new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[Stored]]()
   private val seqCounter = new AtomicLong(1000000L)
+  private val shardNum = new AtomicInteger(shardCount)
 
   /** Hash-key ranges: the 128-bit key space split evenly, exactly the
     * shape CreateStream produces — ExplicitHashKey routing and the
@@ -55,14 +70,74 @@ class StubKinesisServer(
       (start, end)
     }.toVector
   }
-  private def shardForHash(h: BigInt): Int =
-    hashRanges.indexWhere { case (s, e) => h >= s && h <= e } match {
-      case -1 => shardCount - 1
-      case i => i
-    }
-  def shardForPartitionKey(pk: String): Int = shardForHash(
-    BigInt(1, java.security.MessageDigest.getInstance("MD5")
-      .digest(pk.getBytes(StandardCharsets.UTF_8))))
+
+  /** Topology in creation order (listing order of the real API). */
+  private val metas = new java.util.LinkedHashMap[String, ShardMeta]()
+  shardIds.zip(hashRanges).foreach { case (id, (lo, hi)) =>
+    metas.put(id, new ShardMeta(id, lo, hi, None, None, None))
+    shards.put(id, new ArrayBuffer[Stored])
+  }
+
+  private def metaList: Vector[ShardMeta] = metas.synchronized {
+    import scala.jdk.CollectionConverters._
+    metas.values().asScala.toVector
+  }
+
+  /** All shard ids in creation order, children included. */
+  def allShardIds: Vector[String] = metaList.map(_.id)
+
+  private def openShardForHash(h: BigInt): String = metas.synchronized {
+    metaList.find(m => !m.closed && h >= m.rangeStart &&
+      h <= m.rangeEnd).map(_.id)
+      .getOrElse(metaList.filterNot(_.closed).last.id)
+  }
+
+  def shardForPartitionKey(pk: String): Int = {
+    val h = BigInt(1, java.security.MessageDigest.getInstance("MD5")
+      .digest(pk.getBytes(StandardCharsets.UTF_8)))
+    val id = openShardForHash(h)
+    val i = shardIds.indexOf(id)
+    if (i >= 0) i else allShardIds.indexOf(id)
+  }
+
+  /** SplitShard: close the parent at its current tip and create two
+    * children halving its hash range — the real admin operation's
+    * observable shape (the parent stays listed and readable to its
+    * end; new ingest routes to the children). Returns the child
+    * ids. */
+  def splitShard(parentId: String): (String, String) = metas.synchronized {
+    val p = Option(metas.get(parentId)).getOrElse(
+      sys.error(s"no shard $parentId"))
+    require(!p.closed, s"$parentId is already closed")
+    p.endingSeq = Some(f"${seqCounter.get() - 1}%020d")
+    val mid = p.rangeStart + (p.rangeEnd - p.rangeStart) / 2
+    val c1 = f"shardId-${shardNum.getAndIncrement()}%012d"
+    val c2 = f"shardId-${shardNum.getAndIncrement()}%012d"
+    metas.put(c1, new ShardMeta(c1, p.rangeStart, mid, Some(parentId),
+      None, None))
+    metas.put(c2, new ShardMeta(c2, mid + 1, p.rangeEnd, Some(parentId),
+      None, None))
+    shards.put(c1, new ArrayBuffer[Stored])
+    shards.put(c2, new ArrayBuffer[Stored])
+    (c1, c2)
+  }
+
+  /** MergeShards: close both adjacent parents and create the child
+    * covering their union (ParentShardId + AdjacentParentShardId).
+    * Returns the child id. */
+  def mergeShards(aId: String, bId: String): String = metas.synchronized {
+    val a = Option(metas.get(aId)).getOrElse(sys.error(s"no shard $aId"))
+    val b = Option(metas.get(bId)).getOrElse(sys.error(s"no shard $bId"))
+    require(!a.closed && !b.closed, "merge parents must be open")
+    a.endingSeq = Some(f"${seqCounter.get() - 1}%020d")
+    b.endingSeq = Some(f"${seqCounter.get() - 1}%020d")
+    val c = f"shardId-${shardNum.getAndIncrement()}%012d"
+    metas.put(c, new ShardMeta(c,
+      a.rangeStart.min(b.rangeStart), a.rangeEnd.max(b.rangeEnd),
+      Some(aId), Some(bId), None))
+    shards.put(c, new ArrayBuffer[Stored])
+    c
+  }
 
   val getRecordsCalls = new AtomicInteger(0)
   val putRecordsCalls = new AtomicInteger(0)
@@ -91,7 +166,16 @@ class StubKinesisServer(
       shard: Option[Int] = None, arrivalMs: Option[Long] = None): String = {
     val idx = shard.getOrElse(
       math.floorMod(partitionKey.hashCode, shardIds.size))
-    val buf = shards(shardIds(idx))
+    putRecordToShard(shardIds(idx), data, partitionKey, arrivalMs)
+  }
+
+  /** Ingest into a shard BY ID — the admin path reshard specs use to
+    * land records in child shards deterministically. */
+  def putRecordToShard(shardId: String, data: Array[Byte],
+      partitionKey: String = "pk",
+      arrivalMs: Option[Long] = None): String = {
+    val buf = Option(shards.get(shardId)).getOrElse(
+      sys.error(s"no shard $shardId"))
     buf.synchronized {
       val prev = if (buf.isEmpty) 0L else buf.last.arrivalMs
       val at = math.max(arrivalMs.getOrElse(clock()), prev)
@@ -101,12 +185,15 @@ class StubKinesisServer(
     }
   }
 
-  def recordCount: Int = shards.valuesIterator.map(_.length).sum
+  def recordCount: Int = {
+    import scala.jdk.CollectionConverters._
+    shards.values().asScala.map(_.length).sum
+  }
 
   /** Raw stored wire records of one shard — lets specs inspect
     * payload shapes the HTTP surface hides (e.g. KPL aggregation). */
   def storedRecords(shard: Int): Vector[Stored] = {
-    val buf = shards(shardIds(shard))
+    val buf = shards.get(shardIds(shard))
     buf.synchronized(buf.toVector)
   }
 
@@ -164,10 +251,23 @@ class StubKinesisServer(
       lastHeaders.contains("x-amz-date")
   }
 
+  /** Listing with the RESHARDING LINEAGE: ParentShardId /
+    * AdjacentParentShardId when present, and
+    * SequenceNumberRange.EndingSequenceNumber on closed shards —
+    * exactly the fields [[graft.io.KinesisHttpClient.listShardInfos]]
+    * reads. */
   private def listShardsJson(): String =
-    shardIds.zip(hashRanges).map { case (s, (lo, hi)) =>
-      s"""{"ShardId":"$s","HashKeyRange":""" +
-        s"""{"StartingHashKey":"$lo","EndingHashKey":"$hi"}}"""
+    metaList.map { m =>
+      val parent = m.parent
+        .map(p => s""","ParentShardId":"$p"""").getOrElse("")
+      val adj = m.adjacentParent
+        .map(p => s""","AdjacentParentShardId":"$p"""").getOrElse("")
+      val ending = m.endingSeq
+        .map(e => s""","EndingSequenceNumber":"$e"""").getOrElse("")
+      s"""{"ShardId":"${m.id}"$parent$adj,"HashKeyRange":""" +
+        s"""{"StartingHashKey":"${m.rangeStart}",""" +
+        s""""EndingHashKey":"${m.rangeEnd}"},""" +
+        s""""SequenceNumberRange":{"StartingSequenceNumber":"0"$ending}}"""
     }.mkString("""{"Shards":[""", ",", "]}")
 
   /** Service-faithful PutRecords: each record routes by
@@ -197,13 +297,17 @@ class StubKinesisServer(
         out += """{"ErrorCode":"ProvisionedThroughputExceededException",""" +
           """"ErrorMessage":"Rate exceeded"}"""
       } else {
-        val shardIdx = Option(r.get("ExplicitHashKey"))
-          .filterNot(_.isNull)
-          .map(e => shardForHash(BigInt(e.asText())))
-          .getOrElse(shardForPartitionKey(pk))
+        // route into the OPEN topology (a closed parent never takes
+        // new records — the real service's reshard contract)
+        val h = Option(r.get("ExplicitHashKey")).filterNot(_.isNull)
+          .map(e => BigInt(e.asText()))
+          .getOrElse(BigInt(1,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(pk.getBytes(StandardCharsets.UTF_8))))
+        val shardId = openShardForHash(h)
         val data = Base64.getDecoder.decode(r.get("Data").asText())
-        val seq = putRecordBytes(data, pk, shard = Some(shardIdx))
-        out += s"""{"SequenceNumber":"$seq","ShardId":"${shardIds(shardIdx)}"}"""
+        val seq = putRecordToShard(shardId, data, pk)
+        out += s"""{"SequenceNumber":"$seq","ShardId":"$shardId"}"""
       }
     }
     reply(ex, 200,
@@ -213,10 +317,10 @@ class StubKinesisServer(
   private def getShardIterator(ex: HttpExchange, body: String): Unit = {
     val n = mapper.readTree(body)
     val shard = n.get("ShardId").asText()
-    if (!shards.contains(shard)) {
+    if (!shards.containsKey(shard)) {
       reply(ex, 400, """{"__type":"ResourceNotFoundException"}"""); return
     }
-    val buf = shards(shard)
+    val buf = shards.get(shard)
     val index = buf.synchronized {
       n.get("ShardIteratorType").asText() match {
         case "TRIM_HORIZON" => 0
@@ -247,7 +351,7 @@ class StubKinesisServer(
     val n = mapper.readTree(body)
     val (shard, index) = parseToken(n.get("ShardIterator").asText())
     val limit = Option(n.get("Limit")).map(_.asInt()).getOrElse(10000)
-    val buf = shards(shard)
+    val buf = shards.get(shard)
     val (slice, nextIndex, behind) = buf.synchronized {
       val end = math.min(index + limit, buf.length)
       val s = buf.slice(index, end).toVector
@@ -260,9 +364,18 @@ class StubKinesisServer(
         s""""Data":"${Base64.getEncoder.encodeToString(r.data)}",""" +
         s""""ApproximateArrivalTimestamp":${r.arrivalMs / 1000.0}}"""
     }.mkString(",")
+    // a CLOSED shard read to its end answers a null NextShardIterator
+    // — the real service's SHARD_END signal, the only reliable
+    // "parent fully consumed" evidence a reshard-aware reader has
+    val closed = metas.synchronized {
+      Option(metas.get(shard)).exists(_.closed)
+    }
+    val nextIt =
+      if (closed && nextIndex >= buf.synchronized(buf.length)) "null"
+      else s""""${iteratorToken(shard, nextIndex)}""""
     reply(ex, 200,
       s"""{"Records":[$records],""" +
-        s""""NextShardIterator":"${iteratorToken(shard, nextIndex)}",""" +
+        s""""NextShardIterator":$nextIt,""" +
         s""""MillisBehindLatest":$behind}""")
   }
 

@@ -292,6 +292,121 @@ class KinesisTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     } finally srv.stop(0)
   }
 
+  // ---------------------------------------------------------------
+  // resharding lineage (round 15): split/merge mid-stream,
+  // parent-before-children consumption, exactly-once restarts
+  // across the boundary, and the batch read's invariance
+  // ---------------------------------------------------------------
+
+  private def trip(i: Int): String =
+    s"""{"type": "trip", "trip_id": $i, "total_amount": 1.0}"""
+
+  private def runOnce(srv: StubKinesisServer, cp: String,
+      sink: String): Seq[Long] = {
+    val q = StreamingTaxi.writer(
+        readStream(srv).select(col("trip_id")), cp,
+        Trigger.AvailableNow())
+      .format("parquet").option("path", sink).start()
+    q.awaitTermination()
+    spark.read.parquet(sink).collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  private def latestOffsetJson(cp: String): String = {
+    val files = Files.list(Paths.get(cp, "offsets"))
+    val latest = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toInt)
+    } finally files.close()
+    new String(Files.readAllBytes(latest), "UTF-8")
+  }
+
+  test("reshard SPLIT: children wait for the parent's SHARD_END, " +
+      "restarts across the boundary lose nothing and duplicate " +
+      "nothing, and the offset WAL carries the lineage") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 60000
+      (1 to 6).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      val cp = Files.createTempDirectory("kcp-split").toString
+      val sink = Files.createTempDirectory("ksink-split").toString
+      assert(runOnce(srv, cp, sink) == (1L to 6L))
+
+      // mid-stream reshard: split shard 0; its successors take the
+      // new records while the query is down
+      val parent = srv.shardIds(0)
+      val (c1, c2) = srv.splitShard(parent)
+      val t2 = System.currentTimeMillis() - 30000
+      (7 to 9).foreach(i => srv.putRecordToShard(c1,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(t2 + i)))
+      (10 to 12).foreach(i => srv.putRecordToShard(c2,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(t2 + i)))
+
+      // restart 1: drains the parent to SHARD_END (the children may
+      // stay deferred this run — lineage gating, not loss)
+      val got2 = runOnce(srv, cp, sink)
+      assert(got2.toSet.subsetOf((1L to 12L).toSet))
+      assert((1L to 6L).forall(got2.contains))
+      assert(got2.distinct == got2, s"duplicates after restart: $got2")
+
+      // restart 2: parent is in the WAL's ended set -> children
+      // admitted, their full backlog read exactly once
+      val got3 = runOnce(srv, cp, sink)
+      assert(got3 == (1L to 12L), s"after reshard read $got3")
+      val off = latestOffsetJson(cp)
+      assert(off.contains("\"ended\"") && off.contains(parent),
+        s"offset WAL must carry the reshard lineage: $off")
+
+      // restart 3: replay determinism — nothing new, nothing twice
+      assert(runOnce(srv, cp, sink) == (1L to 12L))
+    }
+  }
+
+  test("reshard MERGE: the child waits for BOTH parents, then " +
+      "reads its backlog exactly once") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 60000
+      (1 to 4).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      val cp = Files.createTempDirectory("kcp-merge").toString
+      val sink = Files.createTempDirectory("ksink-merge").toString
+      assert(runOnce(srv, cp, sink) == (1L to 4L))
+
+      val child = srv.mergeShards(srv.shardIds(0), srv.shardIds(1))
+      val t2 = System.currentTimeMillis() - 30000
+      (5 to 8).foreach(i => srv.putRecordToShard(child,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(t2 + i)))
+
+      runOnce(srv, cp, sink) // drains both parents to SHARD_END
+      val got = runOnce(srv, cp, sink)
+      assert(got == (1L to 8L), s"after merge read $got")
+      val off = latestOffsetJson(cp)
+      assert(off.contains(srv.shardIds(0)) &&
+        off.contains(srv.shardIds(1)),
+        s"both merge parents must be in the ended lineage: $off")
+      assert(runOnce(srv, cp, sink) == (1L to 8L))
+    }
+  }
+
+  test("a BATCH read over a resharded stream still returns every " +
+      "record exactly once (closed parents are read too — the q82 " +
+      "oracle is reshard-invariant)") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 60000
+      (1 to 6).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      val (c1, _) = srv.splitShard(srv.shardIds(0))
+      (7 to 9).foreach(i => srv.putRecordToShard(c1,
+        trip(i).getBytes("UTF-8")))
+      val got = read(srv).select("trip_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 9L), s"batch read over reshard: $got")
+      // one partition per LISTED shard: 2 roots + 2 children
+      assert(read(srv).rdd.getNumPartitions == 4)
+    }
+  }
+
   test("progress files key by the raw shard id, not the sanitized filename") {
     val dir = Files.createTempDirectory("kinesis-progress")
     // a shard name with characters outside [A-Za-z0-9._-]: the
