@@ -1933,6 +1933,12 @@ object SparkEntry {
     // unchanged, keyed on the canonical host.
     "q244_host_quota" -> ((s, dir) =>
       operators.UrlCanonical.hostQuota(documents(s, dir))),
+    // RFC 9309 WILDCARD robots rules: `*` runs and `$` end anchors
+    // with pattern-length precedence and the Allow-wins tie — the
+    // full matching rules real robots files use beyond q249's
+    // prefix subset.
+    "q296_robots_wildcard" -> ((s, dir) =>
+      operators.Robots.robotsWildcardGate(documents(s, dir))),
     // Percent-encoding normalization (RFC 3986 6.2.2.2): decode
     // unreserved %XX, uppercase remaining escapes, then the q243
     // kernel — %7Euser and ~user collapse, %2F stays escaped.
@@ -2779,6 +2785,7 @@ object SparkEntry {
     "q242_substr_removal" -> OracleSql.exactSubstrRemoval,
     "q243_url_canonical" -> OracleSql.urlCanonical,
     "q244_host_quota" -> OracleSql.hostQuota,
+    "q296_robots_wildcard" -> OracleSql.robotsWildcardGate,
     "q293_url_pct_canonical" -> OracleSql.urlPctCanonical,
     "q294_url_pct_collapse" -> OracleSql.urlPctCollapse,
     "q245_partition_evolution" -> OracleSql.partitionEvolution,

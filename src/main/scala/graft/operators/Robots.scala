@@ -150,4 +150,76 @@ object Robots {
         coalesce(col("win.p"), lit("")).as("rule"),
         coalesce(col("win.a") === 1, lit(true)).as("allowed"))
   }
+
+  // ---------------------------------------------------------------
+  // RFC 9309 WILDCARD rules (q296) — q249 evaluates the prefix-only
+  // subset; real robots files use `*` (any run of octets) and `$`
+  // (end-of-path anchor), and the precedence unit is the PATTERN's
+  // octet length, not a prefix length
+  // ---------------------------------------------------------------
+
+  /** The wildcard rule set, identical per q243 host — each rule
+    * shape does real work on the `/Cat{c}/page{p}` path fixture:
+    * leading-`*` with `$` anchor (R2/R4: `page1` allowed exactly,
+    * `page10` NOT swallowed by it and re-disallowed by the longer
+    * pattern), a mid-tail wildcard allow (R3), the base category
+    * disallow (R1), and an exact-length Allow/Disallow TIE (R5/R6 —
+    * the published Allow-wins rule). (host, is_allow, pattern). */
+  val WildcardRuleTuples: Seq[(String, Int, String)] =
+    (0 until 7).flatMap { h =>
+      val host = s"www.site$h.example.com"
+      Seq(
+        (host, 0, "/Cat*"),      // len 5: disallow every category
+        (host, 1, "*/page1$"),   // len 8: exact page1 re-allowed
+        (host, 1, "/Cat2/*"),    // len 7: category 2 re-allowed
+        (host, 0, "*/page10$"),  // len 9: exact page10 re-disallowed
+        (host, 0, "*/page7$"),   // len 8 vs len 8 tie with the next:
+        (host, 1, "*/page7$"))   //   Allow wins an equal-length tie
+    }
+
+  /** RFC 9309 pattern → anchored regex, shared verbatim by both
+    * engines (patterns carry only `[A-Za-z0-9/]`, `*` and a final
+    * `$`, so no escaping is needed): `*` → `.*`, implicit start
+    * anchor, and WITHOUT a final `$` the match is a PREFIX match
+    * (regex left unanchored at the end). */
+  def wildcardToRegex(pattern: String): String =
+    "^" + pattern.replace("*", ".*")
+
+  /** q296: the q249 gate under the FULL RFC 9309 matching rules:
+    * (doc_id, host, path, rule, allowed) where `rule` is the
+    * winning PATTERN ('' when none matched) and precedence is
+    * (pattern octet length DESC, Allow over Disallow, pattern DESC
+    * — the q249 tie-break discipline, oracle-aligned).
+    *
+    * Scale design (100 TB): rules are host-cardinality metadata
+    * (broadcast, ≤ a handful per host); the match is a row-local
+    * regexp_like fold over those candidates — the corpus never
+    * shuffles. The regex alternative to a bespoke glob kernel is
+    * deliberate: patterns are dimension-small, and the conversion
+    * is the standard published translation. */
+  def robotsWildcardGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pages = UrlCanonical.urlCanonical(docs)
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("canonical_url"),
+          "^[a-z]+://[^/?]+([^?]*)", 1).as("path"))
+    val hostRules = WildcardRuleTuples
+      .map { case (h, a, p) => (h, a, p, wildcardToRegex(p)) }
+      .toDF("host", "is_allow", "pattern", "rx")
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("is_allow"), col("pattern"),
+        col("rx"))).as("rules"))
+    pages
+      .join(broadcast(hostRules), Seq("host"), "left")
+      .withColumn("matches", filter(col("rules"), r =>
+        regexp_like(col("path"), r.getField("rx"))))
+      .withColumn("win", array_max(transform(col("matches"), r =>
+        struct(length(r.getField("pattern")).as("l"),
+          r.getField("is_allow").as("a"),
+          r.getField("pattern").as("p")))))
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("win.p"), lit("")).as("rule"),
+        coalesce(col("win.a") === 1, lit(true)).as("allowed"))
+  }
 }

@@ -7656,6 +7656,38 @@ FROM t LEFT JOIN rb ON rb.doc_id = t.doc_id
 )"""
   }
 
+  /** Mirror of [[graft.operators.Robots.robotsWildcardGate]]
+    * (q296): the same shared rule tuples, the same published
+    * pattern→regex translation, the q249 tie-break ordering over
+    * pattern length. */
+  def robotsWildcardGate: String = {
+    val values = graft.operators.Robots.WildcardRuleTuples
+      .map { case (h, a, p) =>
+        s"('$h', $a, '$p', '${graft.operators.Robots.wildcardToRegex(p)}')"
+      }.mkString(",\n    ")
+    s"""$urlCtes, pages AS (
+  SELECT doc_id, host,
+         regexp_extract(canonical_url,
+           '^[a-z]+://[^/?]+([^?]*)', 1) AS path
+  FROM norm
+), rules(host, is_allow, pattern, rx) AS (
+  VALUES
+    $values
+), m AS (
+  SELECT p.doc_id, r.is_allow, r.pattern,
+         row_number() OVER (PARTITION BY p.doc_id
+           ORDER BY length(r.pattern) DESC, r.is_allow DESC,
+                    r.pattern DESC) AS rn
+  FROM pages p
+  JOIN rules r ON r.host = p.host AND regexp_matches(p.path, r.rx)
+)
+SELECT p.doc_id, p.host, p.path,
+       COALESCE(m.pattern, '') AS rule,
+       COALESCE(m.is_allow = 1, TRUE) AS allowed
+FROM pages p
+LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.doc_id = p.doc_id"""
+  }
+
   /** Shared CTEs of the q293/q294 mirrors: the pct fixture, the
     * RFC 6.2.2.2 normalization (decode unreserved %XX via
     * chr(hex), uppercase the rest), and the q243 canonical

@@ -114,6 +114,42 @@ class RobotsSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!rows.exists(_.getAs[String]("directive") == "user-agent"))
   }
 
+  test("q296 wildcard rules: `*` runs, `$` anchors (page1 allowed " +
+      "but page10 NOT swallowed), pattern-length precedence, and " +
+      "the Allow-wins equal-length tie") {
+    import spark.implicits._
+    // doc ids chosen for (host=id%7, cat=id%5, page=id%11):
+    //   id 12 -> host 5, cat 2, page 1  : "*/page1$" (len 8) allows
+    //   id 21 -> host 0, cat 1, page 10 : "*/page10$" (len 9) disallows
+    //   id  7 -> host 0, cat 2, page 7  : len-8 tie -> Allow wins
+    //   id 17 -> host 3, cat 2, page 6  : "/Cat2/*" (len 7) allows
+    //   id  3 -> host 3, cat 3, page 3  : only "/Cat*" -> disallow
+    val out = Robots.robotsWildcardGate(
+        Seq(12L, 21L, 7L, 17L, 3L).map(i => (i, "t"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def check(id: Long, allowed: Boolean, rule: String): Unit = {
+      assert(out(id).getAs[Boolean]("allowed") == allowed, s"doc $id")
+      assert(out(id).getAs[String]("rule") == rule, s"doc $id rule")
+    }
+    check(12L, allowed = true, "*/page1$")
+    check(21L, allowed = false, "*/page10$")
+    check(7L, allowed = true, "*/page7$")
+    check(17L, allowed = true, "/Cat2/*")
+    check(3L, allowed = false, "/Cat*")
+  }
+
+  test("q296 pattern translation: prefix match without `$`, full " +
+      "anchor with it") {
+    assert(Robots.wildcardToRegex("/Cat*") == "^/Cat.*")
+    assert(Robots.wildcardToRegex("*/page1$") == "^.*/page1$")
+    // prefix semantics: /CatX matches /CatX/deeper (regex unanchored
+    // at the end), but the $ form does not
+    assert("/Cat0/page10".matches("^.*/page1$") == false)
+    assert(java.util.regex.Pattern.compile("^/Cat.*")
+      .matcher("/Cat3/page9").find())
+  }
+
   test("q270: fetch times step by the host's OWN parsed " +
       "crawl-delay, not the constant default") {
     import spark.implicits._
