@@ -1933,6 +1933,12 @@ object SparkEntry {
     // unchanged, keyed on the canonical host.
     "q244_host_quota" -> ((s, dir) =>
       operators.UrlCanonical.hostQuota(documents(s, dir))),
+    // IDN host normalization (RFC 3492 punycode): Unicode and ACE
+    // spellings of one host map to one key — the ascii forms are
+    // computed by the published algorithm, the oracle asserts them
+    // against independent literals.
+    "q297_idn_hosts" -> ((s, dir) =>
+      operators.Idn.idnHosts(documents(s, dir))),
     // RFC 9309 WILDCARD robots rules: `*` runs and `$` end anchors
     // with pattern-length precedence and the Allow-wins tie — the
     // full matching rules real robots files use beyond q249's
@@ -2786,6 +2792,34 @@ object SparkEntry {
     "q243_url_canonical" -> OracleSql.urlCanonical,
     "q244_host_quota" -> OracleSql.hostQuota,
     "q296_robots_wildcard" -> OracleSql.robotsWildcardGate,
+    // IDN: fixture hosts and EXPECTED ACE forms both literal in the
+    // oracle; the engine side computes the ACE via RFC 3492
+    "q297_idn_hosts" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'münchen.example.com'
+        |    WHEN 2 THEN 'bücher.de'
+        |    WHEN 3 THEN 'shop.köln.de'
+        |    WHEN 4 THEN 'mañana.example.org'
+        |    ELSE 'api.example.io' END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'xn--mnchen-3ya.example.com'
+        |    WHEN 2 THEN 'xn--bcher-kva.de'
+        |    WHEN 3 THEN 'shop.xn--kln-sna.de'
+        |    WHEN 4 THEN 'xn--maana-pta.example.org'
+        |    ELSE 'api.example.io' END AS ascii_host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'münchen.example.com'
+        |    WHEN 2 THEN 'bücher.de'
+        |    WHEN 3 THEN 'shop.köln.de'
+        |    WHEN 4 THEN 'mañana.example.org'
+        |    ELSE 'api.example.io' END AS unicode_host,
+        |  doc_id % 6 IN (1, 2, 3, 4) AS is_idn,
+        |  TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
     "q293_url_pct_canonical" -> OracleSql.urlPctCanonical,
     "q294_url_pct_collapse" -> OracleSql.urlPctCollapse,
     "q245_partition_evolution" -> OracleSql.partitionEvolution,
