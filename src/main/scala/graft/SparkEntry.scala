@@ -1632,6 +1632,15 @@ object SparkEntry {
     // composes, output must equal q248 row for row (same oracle).
     "q291_warcgz_funnel" -> ((s, dir) =>
       operators.Warc.webFunnelFromGz(documents(s, dir))),
+    // gzip Content-Encoding bodies: real compressed payloads
+    // gunzipped back to the q239 wrap text (digest-graded against
+    // an independent plain reconstruction).
+    "q298_warc_gzip_body" -> ((s, dir) =>
+      operators.Warc.warcGzipBodies(documents(s, dir))),
+    // chunked Transfer-Encoding bodies: hex size lines dechunked,
+    // coded octet count exact-mirrored.
+    "q299_warc_chunked_body" -> ((s, dir) =>
+      operators.Warc.warcChunkedBodies(documents(s, dir))),
     // Charset-aware WARC payloads: byte-level framing (octet
     // Content-Length) + the q267 sniffing composed — UTF-8 /
     // Latin-1 / UTF-16LE bodies where octet length != char length.
@@ -2832,6 +2841,8 @@ object SparkEntry {
     // the gzip-path funnel must EQUAL q248 — same oracle, verbatim
     "q291_warcgz_funnel" -> OracleSql.webFunnel,
     "q292_warc_charset" -> OracleSql.warcIntl,
+    "q298_warc_gzip_body" -> OracleSql.warcGzipBodies,
+    "q299_warc_chunked_body" -> OracleSql.warcChunkedBodies,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

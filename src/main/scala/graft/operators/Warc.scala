@@ -601,6 +601,152 @@ object Warc {
     header ++ http ++ bodyBytes ++ Sep.getBytes("US-ASCII")
   }
 
+  // ---------------------------------------------------------------
+  // HTTP body codings (q298/q299) — the two transfer shapes a real
+  // capture carries that the plain q247 parse cannot see through:
+  // Content-Encoding: gzip bodies and Transfer-Encoding: chunked
+  // framing. Both decoders are row-local; the PROOF is digest
+  // equality with q247's plain payload for the same document.
+  // ---------------------------------------------------------------
+
+  /** One WARC record whose HTTP body is GZIPPED (Content-Encoding:
+    * gzip), as bytes — octet-accurate Content-Length per the
+    * spec. */
+  private def warcGzipBodyRecord(id: Long,
+      html: String): Array[Byte] = {
+    val body = gzMember(html.getBytes("US-ASCII"))
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      "Content-Encoding: gzip" + Sep).getBytes("US-ASCII")
+    val clen = http.length + body.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ body ++ Sep.getBytes("US-ASCII")
+  }
+
+  /** One WARC record whose HTTP body is CHUNKED (Transfer-Encoding:
+    * chunked): hex-size lines, [[ChunkSize]]-byte chunks, the
+    * 0-chunk terminator. */
+  val ChunkSize = 100
+
+  private def warcChunkedRecord(id: Long,
+      html: String): Array[Byte] = {
+    val bytes = html.getBytes("US-ASCII")
+    val sb = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      val n = math.min(ChunkSize, bytes.length - pos)
+      sb.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+      sb.write(bytes, pos, n)
+      sb.write(CRLF.getBytes("US-ASCII"))
+      pos += n
+    }
+    sb.write("0\r\n\r\n".getBytes("US-ASCII"))
+    val body = sb.toByteArray
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      "Transfer-Encoding: chunked" + Sep).getBytes("US-ASCII")
+    val clen = http.length + body.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ body ++ Sep.getBytes("US-ASCII")
+  }
+
+  /** Byte-level record parse shared by q298/q299: returns (valid,
+    * headers-view, payload bytes). */
+  private def parseRecordBytes(bytes: Array[Byte])
+      : (Boolean, String, Array[Byte]) = {
+    val view = new String(bytes, "ISO-8859-1")
+    val h = view.indexOf(Sep)
+    val clen = "(?i)\\r\\nContent-Length: ([0-9]+)".r
+      .findFirstMatchIn(view.substring(0, h + 2)).get.group(1).toInt
+    val valid = view.startsWith("WARC/1.0\r\n") && h > 0 &&
+      bytes.length == h + 8 + clen && view.endsWith(Sep)
+    val block = bytes.slice(h + 4, h + 4 + clen)
+    val blockView = new String(block, "ISO-8859-1")
+    val hp = blockView.indexOf(Sep)
+    (valid, blockView.substring(0, hp + 2),
+      block.slice(hp + 4, block.length))
+  }
+
+  /** Dechunk a Transfer-Encoding: chunked body: hex size line, that
+    * many octets, CRLF, repeat; the 0-chunk ends it. Malformed
+    * framing fails LOUD (a mis-read size shears the rest). */
+  def dechunk(body: Array[Byte]): Array[Byte] = {
+    val view = new String(body, "ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var done = false
+    while (!done) {
+      val nl = view.indexOf(CRLF, pos)
+      require(nl >= 0, "chunked: missing size line terminator")
+      val size = Integer.parseInt(view.substring(pos, nl).trim, 16)
+      pos = nl + 2
+      if (size == 0) done = true
+      else {
+        require(pos + size + 2 <= body.length,
+          "chunked: chunk runs past the body")
+        out.write(body, pos, size)
+        require(view.substring(pos + size, pos + size + 2) == CRLF,
+          "chunked: missing chunk terminator")
+        pos += size + 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** q298/q299 core: documents → html (the SAME q239 wrap column
+    * q247's payload carries) → a record with the coded body →
+    * byte-level parse → decode per the declared coding →
+    * (doc_id, coding, n_coded_octets, n_payload_chars, payload_md5,
+    * valid). payload_md5 must equal q247's digest for the same doc
+    * — the oracle asserts exactly that, so the decoder is graded
+    * against an INDEPENDENT plain-text reconstruction. */
+  private def codedPayloadFrame(docs: DataFrame, coding: String,
+      mk: (Long, String) => Array[Byte]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+      HtmlExtract.htmlWrapCol(col("doc_id"), col("text")).as("html"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val bytes = mk(id, html)
+        val (valid, httpHeaders, payload) = parseRecordBytes(bytes)
+        val declared =
+          if (httpHeaders.toLowerCase.contains("content-encoding: gzip"))
+            "gzip"
+          else if (httpHeaders.toLowerCase
+            .contains("transfer-encoding: chunked")) "chunked"
+          else "identity"
+        val decoded = declared match {
+          case "gzip" => gunzipAll(payload)
+          case "chunked" => dechunk(payload)
+          case _ => payload
+        }
+        (id, declared, payload.length.toLong,
+          new String(decoded, "US-ASCII"), valid)
+      }
+      .toDF("doc_id", "coding", "n_coded_octets", "t", "valid")
+      .select(col("doc_id"), col("coding"), col("n_coded_octets"),
+        length(col("t")).cast("long").as("n_payload_chars"),
+        md5(col("t")).as("payload_md5"), col("valid"))
+  }
+
+  /** q298: gzip Content-Encoding bodies decoded back to the q247
+    * payload (digest-graded against an independent plain-text
+    * reconstruction; the compressed octet count is not
+    * SQL-mirrorable, so it stays out of the graded frame). */
+  def warcGzipBodies(docs: DataFrame): DataFrame =
+    codedPayloadFrame(docs, "gzip", warcGzipBodyRecord)
+      .drop("n_coded_octets")
+
+  /** q299: chunked Transfer-Encoding bodies dechunked back to the
+    * q247 payload; the CODED octet count (size lines + chunk CRLFs
+    * + terminator) is exact fixture arithmetic, mirrored. */
+  def warcChunkedBodies(docs: DataFrame): DataFrame =
+    codedPayloadFrame(docs, "chunked", warcChunkedRecord)
+
   /** q292: byte-level WARC parse + q267 charset sniffing composed —
     * framing on octets (an ISO-8859-1 view, 1 byte = 1 char), the
     * total-length equation checked in OCTETS, then the payload

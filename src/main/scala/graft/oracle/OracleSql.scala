@@ -7875,6 +7875,36 @@ SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
   SELECT doc_id, ${htmlChainSql("html")} AS text FROM wrapped
 )"""
 
+  /** Mirror of [[graft.operators.Warc.warcGzipBodies]] (q298): the
+    * engine gunzips real compressed bytes; what must come out is
+    * the q239 wrap text, reconstructed here independently. */
+  def warcGzipBodies: String =
+    s"""$htmlCtes
+SELECT doc_id, 'gzip' AS coding,
+       CAST(length(html) AS BIGINT) AS n_payload_chars,
+       md5(html) AS payload_md5, TRUE AS valid
+FROM wrapped"""
+
+  /** Mirror of [[graft.operators.Warc.warcChunkedBodies]] (q299):
+    * dechunked text plus the exact coded size — full chunks cost
+    * hexlen(100)=2 + CRLF + 100 + CRLF = 106 octets, the remainder
+    * chunk hexlen(rem) + 4 + rem, the 0-terminator 5. */
+  def warcChunkedBodies: String = {
+    val cs = graft.operators.Warc.ChunkSize
+    s"""$htmlCtes, sz AS (
+  SELECT doc_id, html, strlen(html) AS len FROM wrapped
+)
+SELECT doc_id, 'chunked' AS coding,
+       CAST(len // $cs * 106 +
+            CASE WHEN len % $cs > 0
+                 THEN (CASE WHEN len % $cs < 16 THEN 1 ELSE 2 END)
+                      + 4 + len % $cs
+                 ELSE 0 END + 5 AS BIGINT) AS n_coded_octets,
+       CAST(length(html) AS BIGINT) AS n_payload_chars,
+       md5(html) AS payload_md5, TRUE AS valid
+FROM sz"""
+  }
+
   /** Shared CTEs of the q247/q248 WARC mirrors — fixture and parse
     * rules mirror [[graft.operators.Warc]] verbatim (CRLFs as E''
     * escape strings, same regex literals, same total-length

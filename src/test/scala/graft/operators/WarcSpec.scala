@@ -143,6 +143,53 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
       out(0L).getAs[Long]("n_payload_chars") + 4)
   }
 
+  test("q299 dechunk: exact multi-chunk reassembly across the " +
+      "100-byte boundary, and malformed framing fails LOUD") {
+    val text = ("x" * 250) + "tail"
+    // build the chunked body by the fixture's own rule
+    val body = {
+      val sb = new java.io.ByteArrayOutputStream()
+      val bytes = text.getBytes("US-ASCII")
+      var pos = 0
+      while (pos < bytes.length) {
+        val n = math.min(100, bytes.length - pos)
+        sb.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+        sb.write(bytes, pos, n)
+        sb.write("\r\n".getBytes("US-ASCII"))
+        pos += n
+      }
+      sb.write("0\r\n\r\n".getBytes("US-ASCII"))
+      sb.toByteArray
+    }
+    assert(new String(Warc.dechunk(body), "US-ASCII") == text)
+    // a lying size line shears the framing -> loud, never partial
+    val bad = body.clone()
+    bad(0) = 'f' // "64" -> "f4": claims 244 where 100 follow
+    intercept[Exception](Warc.dechunk(bad))
+    intercept[Exception](Warc.dechunk(body.take(body.length - 3)))
+  }
+
+  test("q298/q299: decoded digests equal the PLAIN q247 payload " +
+      "digest for the same document (the composition proof)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val plain = HtmlExtract.htmlWrap(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getAs[String]("html").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toMap
+    for (frame <- Seq(Warc.warcGzipBodies(docs),
+        Warc.warcChunkedBodies(docs))) {
+      frame.collect().foreach { r =>
+        assert(r.getAs[String]("payload_md5") ==
+          plain(r.getAs[Long]("doc_id")),
+          s"digest mismatch for ${r.getAs[String]("coding")}")
+        assert(r.getAs[Boolean]("valid"))
+      }
+    }
+  }
+
   test("multi-record framing (spec'd, ungraded): the Content-Length " +
       "hop from record 1 lands exactly on record 2's version line") {
     val r1 = mk(3L, "a b")
