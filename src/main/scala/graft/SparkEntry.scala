@@ -1632,6 +1632,11 @@ object SparkEntry {
     // composes, output must equal q248 row for row (same oracle).
     "q291_warcgz_funnel" -> ((s, dir) =>
       operators.Warc.webFunnelFromGz(documents(s, dir))),
+    // sitemap INDEX files: the protocol's own sharding — parse the
+    // <sitemapindex>, resolve each ref to its child urlset, parse
+    // the children with the unchanged q253 entry kernel.
+    "q300_sitemap_index" -> ((s, dir) =>
+      operators.Sitemap.sitemapIndexResolved(documents(s, dir))),
     // gzip Content-Encoding bodies: real compressed payloads
     // gunzipped back to the q239 wrap text (digest-graded against
     // an independent plain reconstruction).
@@ -2841,6 +2846,7 @@ object SparkEntry {
     // the gzip-path funnel must EQUAL q248 — same oracle, verbatim
     "q291_warcgz_funnel" -> OracleSql.webFunnel,
     "q292_warc_charset" -> OracleSql.warcIntl,
+    "q300_sitemap_index" -> OracleSql.sitemapIndexResolved,
     "q298_warc_gzip_body" -> OracleSql.warcGzipBodies,
     "q299_warc_chunked_body" -> OracleSql.warcChunkedBodies,
     "q249_robots_gate" -> OracleSql.robotsGate,

@@ -115,6 +115,101 @@ object Sitemap {
           .cast("double").as("priority"))
   }
 
+  // ---------------------------------------------------------------
+  // sitemap INDEX files (q300) — the protocol's own sharding: a
+  // urlset caps at 50k URLs / 50 MB, so any real site of size
+  // publishes a <sitemapindex> of child sitemap locs, and discovery
+  // must resolve TWO levels before it has a single page URL
+  // ---------------------------------------------------------------
+
+  /** Child sitemaps per synthesized index / url entries per child. */
+  val IndexChildren = 2
+  val EntriesPerChild = 2
+
+  val XI0 = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+    "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+  val XI1 = "</sitemapindex>"
+
+  private def childLocCol(d: Column, j: Int): Column =
+    concat(hostCol(d), lit("/sitemap-"), d.cast("string"),
+      lit(s"-$j.xml"))
+
+  /** The synthesized `<sitemapindex>` document for a doc_id:
+    * [[IndexChildren]] `<sitemap>` refs with lastmod hints. */
+  def sitemapIndexFixtureCol(d: Column): Column = {
+    val refs = (0 until IndexChildren).map { j =>
+      val k = d + lit(7 * j)
+      concat(lit("<sitemap><loc>"), childLocCol(d, j),
+        lit("</loc><lastmod>2024-04-"),
+        lpad((k % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod></sitemap>\n"))
+    }
+    concat(lit(XI0) +: refs :+ lit(XI1): _*)
+  }
+
+  /** The child urlset a ref RESOLVES to — synthesized from the
+    * (doc, child) identity parsed OUT OF THE REF URL (the fixture's
+    * stand-in for the fetch; the q239 deterministic-corpus
+    * discipline). */
+  private def childXmlCol(d: Column, j: Column): Column = {
+    val entries = (0 until EntriesPerChild).map { i =>
+      val k = d + j * 3 + lit(i)
+      val cf = when(k % 3 === 0, lit("daily"))
+        .when(k % 3 === 1, lit("weekly")).otherwise(lit("monthly"))
+      concat(lit("<url><loc>"), hostCol(d),
+        lit("/Cat"), (d % 5).cast("string"),
+        lit("/s"), j.cast("string"),
+        lit("/p"), (k % 11).cast("string"),
+        lit("</loc><lastmod>2024-05-"),
+        lpad((k % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod><changefreq>"), cf,
+        lit("</changefreq><priority>0."), (k % 10).cast("string"),
+        lit("</priority></url>\n"))
+    }
+    concat(lit(X0) +: entries :+ lit(X1): _*)
+  }
+
+  /** q300: the TWO-LEVEL resolution — parse the `<sitemapindex>`,
+    * resolve each ref to its child urlset, parse the children with
+    * the UNCHANGED q253 entry regex: (doc_id, sitemap_idx,
+    * sitemap_loc, sitemap_lastmod, entry_idx, loc, lastmod,
+    * changefreq, priority). Both levels are row-local regexp
+    * splits; a sitemap never crosses an exchange. */
+  def sitemapIndexResolved(docs: DataFrame): DataFrame = {
+    val refs = docs
+      .select(col("doc_id"),
+        sitemapIndexFixtureCol(col("doc_id")).as("xml"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+          .as(Seq("sitemap_idx", "ref")))
+      .select(col("doc_id"),
+        col("sitemap_idx").cast("long").as("sitemap_idx"),
+        regexp_extract(col("ref"), "<loc>(.*?)</loc>", 1)
+          .as("sitemap_loc"),
+        regexp_extract(col("ref"), "<lastmod>(.*?)</lastmod>", 1)
+          .as("sitemap_lastmod"))
+    refs
+      .withColumn("child_xml", childXmlCol(col("doc_id"),
+        regexp_extract(col("sitemap_loc"), "-([0-9]+)\\.xml$", 1)
+          .cast("long")))
+      .select(col("doc_id"), col("sitemap_idx"), col("sitemap_loc"),
+        col("sitemap_lastmod"),
+        posexplode(regexp_extract_all(col("child_xml"),
+          lit("(?s)<url>(.*?)</url>"), lit(1)))
+          .as(Seq("entry_idx", "block")))
+      .select(col("doc_id"), col("sitemap_idx"), col("sitemap_loc"),
+        col("sitemap_lastmod"),
+        col("entry_idx").cast("long").as("entry_idx"),
+        regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("block"), "<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("block"),
+          "<changefreq>(.*?)</changefreq>", 1).as("changefreq"),
+        regexp_extract(col("block"), "<priority>(.*?)</priority>", 1)
+          .cast("double").as("priority"))
+  }
+
   /** q254: the crawl frontier head — q253's entries, robots-gated,
     * URL-collapsed, and politeness-scheduled: per host the top
     * [[FrontierSlots]] allowed pages by (priority desc, loc), each

@@ -7875,6 +7875,37 @@ SELECT doc_id, host, h, rn FROM r WHERE rn <= $HostQuota"""
   SELECT doc_id, ${htmlChainSql("html")} AS text FROM wrapped
 )"""
 
+  /** Mirror of [[graft.operators.Sitemap.sitemapIndexResolved]]
+    * (q300): both levels recomputed from the fixture arithmetic —
+    * (doc × child j × entry i) cross join, k = doc + 3j + i. */
+  def sitemapIndexResolved: String =
+    """WITH j AS (SELECT * FROM (VALUES (0), (1)) AS t(j)),
+  i AS (SELECT * FROM (VALUES (0), (1)) AS t(i)),
+  x AS (
+  SELECT d.doc_id, j.j, i.i,
+         d.doc_id + 3 * j.j + i.i AS k,
+         d.doc_id + 7 * j.j AS kr,
+         'https://www.site' || CAST(d.doc_id % 7 AS VARCHAR) ||
+           '.example.com' AS h
+  FROM documents d CROSS JOIN j CROSS JOIN i
+)
+SELECT doc_id, CAST(j AS BIGINT) AS sitemap_idx,
+       h || '/sitemap-' || CAST(doc_id AS VARCHAR) || '-' ||
+         CAST(j AS VARCHAR) || '.xml' AS sitemap_loc,
+       '2024-04-' || lpad(CAST(kr % 28 + 1 AS VARCHAR), 2, '0')
+         AS sitemap_lastmod,
+       CAST(i AS BIGINT) AS entry_idx,
+       h || '/Cat' || CAST(doc_id % 5 AS VARCHAR) || '/s' ||
+         CAST(j AS VARCHAR) || '/p' || CAST(k % 11 AS VARCHAR)
+         AS loc,
+       '2024-05-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       CASE WHEN k % 3 = 0 THEN 'daily'
+            WHEN k % 3 = 1 THEN 'weekly' ELSE 'monthly' END
+         AS changefreq,
+       CAST('0.' || CAST(k % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM x"""
+
   /** Mirror of [[graft.operators.Warc.warcGzipBodies]] (q298): the
     * engine gunzips real compressed bytes; what must come out is
     * the q239 wrap text, reconstructed here independently. */

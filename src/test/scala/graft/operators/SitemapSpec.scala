@@ -101,4 +101,28 @@ class SitemapSpec extends AnyFunSuite with SparkSessionSpec {
     assert(p254.contains("BroadcastExchange"),
       "the rule join must broadcast")
   }
+
+  test("q300 sitemap index: two-level resolution — every index ref " +
+      "resolves to a child whose entries parse through the q253 " +
+      "kernel, identity recovered FROM the ref URL; plan row-local") {
+    import spark.implicits._
+    val out = Sitemap.sitemapIndexResolved(
+        Seq(4L, 11L).toDF("doc_id")).collect()
+    assert(out.length == 2 * Sitemap.IndexChildren *
+      Sitemap.EntriesPerChild)
+    for (r <- out) {
+      val d = r.getAs[Long]("doc_id")
+      val j = r.getAs[Long]("sitemap_idx")
+      val i = r.getAs[Long]("entry_idx")
+      val k = d + 3 * j + i
+      assert(r.getAs[String]("sitemap_loc") ==
+        s"https://www.site${d % 7}.example.com/sitemap-$d-$j.xml")
+      assert(r.getAs[String]("loc") ==
+        s"https://www.site${d % 7}.example.com/Cat${d % 5}/s$j/p${k % 11}")
+      assert(r.getAs[Double]("priority") == (k % 10) / 10.0)
+    }
+    val plan = Sitemap.sitemapIndexResolved(Seq(1L).toDF("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in:\n$plan")
+  }
 }
