@@ -133,6 +133,19 @@ object ScaleProbe {
     time("web_funnel")(Warc.webFunnel(docs))
     time("cdx_index")(Warc.cdxIndex(docs))
     time("crawl_frontier")(Sitemap.crawlFrontier(docs))
+    // round-15 additions: gzip-member framing (real compression
+    // work per blob), coded HTTP bodies, charset decode, pct/IDN
+    // normalization, the two-level sitemap resolve — every kernel
+    // row-local (blob assembly is the fixture's groupBy; the READ
+    // path is the flatMap), so the rung checks linearity
+    time("warcgz_framing")(Warc.warcGzParsed(docs))
+    time("warc_gzip_body")(Warc.warcGzipBodies(docs))
+    time("warc_chunked")(Warc.warcChunkedBodies(docs))
+    time("warc_charset")(Warc.warcIntlParsed(docs))
+    time("url_pct")(operators.UrlCanonical.urlPctCanonical(docs))
+    time("idn_hosts")(operators.Idn.idnHosts(docs))
+    time("sitemap_index")(Sitemap.sitemapIndexResolved(docs))
+    time("robots_wildcard")(operators.Robots.robotsWildcardGate(docs))
     time("link_extract")(WebGraph.linkExtract(docs))
     time("anchor_index")(WebGraph.anchorIndex(docs))
     time("global_index")(operators.GlobalIndex.docGlobalIndex(
