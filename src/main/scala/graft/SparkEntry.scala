@@ -1646,6 +1646,16 @@ object SparkEntry {
     // coded octet count exact-mirrored.
     "q299_warc_chunked_body" -> ((s, dir) =>
       operators.Warc.warcChunkedBodies(documents(s, dir))),
+    // deflate (zlib) Content-Encoding bodies — the other standard
+    // HTTP compression coding, inflated and digest-graded like q298.
+    "q302_warc_deflate_body" -> ((s, dir) =>
+      operators.Warc.warcDeflateBodies(documents(s, dir))),
+    // CDX range fetch: the q251 index USED — slice each .warc file
+    // blob at [offset, offset+record_len), parse the slice, and
+    // demand digest equality with the index row (one byte of
+    // locator error flips fetched_ok).
+    "q301_cdx_range_fetch" -> ((s, dir) =>
+      operators.Warc.cdxRangeFetch(documents(s, dir))),
     // Charset-aware WARC payloads: byte-level framing (octet
     // Content-Length) + the q267 sniffing composed — UTF-8 /
     // Latin-1 / UTF-16LE bodies where octet length != char length.
@@ -2849,6 +2859,8 @@ object SparkEntry {
     "q300_sitemap_index" -> OracleSql.sitemapIndexResolved,
     "q298_warc_gzip_body" -> OracleSql.warcGzipBodies,
     "q299_warc_chunked_body" -> OracleSql.warcChunkedBodies,
+    "q301_cdx_range_fetch" -> OracleSql.cdxRangeFetch,
+    "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

@@ -211,6 +211,48 @@ object Warc {
         col("warc_file"))
   }
 
+  /** q301: the CDX index USED — a wayback-style RANGE FETCH: build
+    * each synthesized .warc file (its records back to back in
+    * doc_id order, exactly the layout the q251 offsets address),
+    * then for every CDX row slice the file at
+    * [offset, offset + record_len) and parse THE SLICE with the
+    * q247 kernel. `fetched_ok` demands the sliced record's payload
+    * digest equal the CDX row's own digest AND the parse be valid —
+    * one byte of locator error (the exact defect the r15
+    * octet_length fix removed) flips it. Scale design: file
+    * assembly is a bounded rollup ([[CdxRecordsPerFile]] records
+    * per group); the fetch join is keyed by warc_file. */
+  def cdxRangeFetch(docs: DataFrame): DataFrame = {
+    val idx = cdxIndex(docs)
+    val files = warcRecords(docs)
+      .withColumn("warc_file",
+        concat(lit("crawl-"),
+          lpad(floor(col("doc_id") / CdxRecordsPerFile)
+            .cast("string"), 5, "0"),
+          lit(".warc")))
+      .groupBy(col("warc_file"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("warc")))),
+        r => r.getField("warc")), "").as("blob"))
+    val sliced = idx
+      .join(files, Seq("warc_file"))
+      .select(col("doc_id"),
+        col("warc_file"), col("offset"),
+        col("record_len").as("cdx_record_len"),
+        col("digest").as("cdx_digest"),
+        col("blob").substr(col("offset") + 1, col("record_len"))
+          .as("warc"))
+    // the parse recomputes record_len from the SLICE; fetched_ok
+    // additionally demands it equal the index's own length
+    parseWarcKeeping(sliced,
+      Seq("warc_file", "offset", "cdx_record_len", "cdx_digest"))
+      .select(col("doc_id"), col("warc_file"), col("offset"),
+        col("record_len"), col("status"), col("payload_md5"),
+        (col("valid") && col("payload_md5") === col("cdx_digest") &&
+          col("record_len") === col("cdx_record_len"))
+          .as("fetched_ok"))
+  }
+
   /** Snapshots per URL in the q252 recrawl fixture. */
   val RevisitRuns = 2
 
@@ -625,6 +667,48 @@ object Warc {
     header ++ http ++ body ++ Sep.getBytes("US-ASCII")
   }
 
+  /** zlib-wrapped DEFLATE (the HTTP `deflate` coding per RFC 9110 —
+    * a zlib stream, not raw deflate). */
+  private def zlibDeflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zlibInflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(),
+        "deflate: truncated or malformed zlib stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** One WARC record whose HTTP body is a zlib DEFLATE stream
+    * (Content-Encoding: deflate). */
+  private def warcDeflateBodyRecord(id: Long,
+      html: String): Array[Byte] = {
+    val body = zlibDeflate(html.getBytes("US-ASCII"))
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      "Content-Encoding: deflate" + Sep).getBytes("US-ASCII")
+    val clen = http.length + body.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ body ++ Sep.getBytes("US-ASCII")
+  }
+
   /** One WARC record whose HTTP body is CHUNKED (Transfer-Encoding:
     * chunked): hex-size lines, [[ChunkSize]]-byte chunks, the
     * 0-chunk terminator. */
@@ -717,10 +801,13 @@ object Warc {
           if (httpHeaders.toLowerCase.contains("content-encoding: gzip"))
             "gzip"
           else if (httpHeaders.toLowerCase
+            .contains("content-encoding: deflate")) "deflate"
+          else if (httpHeaders.toLowerCase
             .contains("transfer-encoding: chunked")) "chunked"
           else "identity"
         val decoded = declared match {
           case "gzip" => gunzipAll(payload)
+          case "deflate" => zlibInflate(payload)
           case "chunked" => dechunk(payload)
           case _ => payload
         }
@@ -746,6 +833,15 @@ object Warc {
     * + terminator) is exact fixture arithmetic, mirrored. */
   def warcChunkedBodies(docs: DataFrame): DataFrame =
     codedPayloadFrame(docs, "chunked", warcChunkedRecord)
+
+  /** q302: deflate (zlib) Content-Encoding bodies inflated back to
+    * the q247 payload — the OTHER standard HTTP compression coding
+    * (RFC 9110 names it a zlib stream; servers that send raw
+    * deflate are the web's famous interop bug, loud-rejected here
+    * by the zlib header check inside Inflater). */
+  def warcDeflateBodies(docs: DataFrame): DataFrame =
+    codedPayloadFrame(docs, "deflate", warcDeflateBodyRecord)
+      .drop("n_coded_octets")
 
   /** q292: byte-level WARC parse + q267 charset sniffing composed —
     * framing on octets (an ISO-8859-1 view, 1 byte = 1 char), the

@@ -7916,6 +7916,39 @@ SELECT doc_id, 'gzip' AS coding,
        md5(html) AS payload_md5, TRUE AS valid
 FROM wrapped"""
 
+  /** Mirror of [[graft.operators.Warc.warcDeflateBodies]] (q302) —
+    * the q298 shape with the deflate coding label. */
+  def warcDeflateBodies: String =
+    s"""$htmlCtes
+SELECT doc_id, 'deflate' AS coding,
+       CAST(length(html) AS BIGINT) AS n_payload_chars,
+       md5(html) AS payload_md5, TRUE AS valid
+FROM wrapped"""
+
+  /** Mirror of [[graft.operators.Warc.cdxRangeFetch]] (q301): the
+    * q251 locator arithmetic joined back to the q247 parse — the
+    * digest a byte-accurate range fetch must recover. */
+  def cdxRangeFetch: String = {
+    val per = graft.operators.Warc.CdxRecordsPerFile
+    s"""$warcCtes, lens AS (
+  SELECT doc_id, CAST(strlen(warc) AS BIGINT) AS record_len,
+         'crawl-' || lpad(CAST(doc_id // $per AS VARCHAR), 5, '0')
+           || '.warc' AS warc_file
+  FROM wrec
+), loc AS (
+  SELECT doc_id, record_len, warc_file,
+         COALESCE(SUM(record_len) OVER (PARTITION BY warc_file
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS "offset"
+  FROM lens
+)
+SELECT p.doc_id, l.warc_file, CAST(l."offset" AS BIGINT) AS "offset",
+       l.record_len, p.status, md5(p.payload) AS payload_md5,
+       TRUE AS fetched_ok
+FROM parsed p JOIN loc l ON l.doc_id = p.doc_id"""
+  }
+
   /** Mirror of [[graft.operators.Warc.warcChunkedBodies]] (q299):
     * dechunked text plus the exact coded size — full chunks cost
     * hexlen(100)=2 + CRLF + 100 + CRLF = 106 octets, the remainder

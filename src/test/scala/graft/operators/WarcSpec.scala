@@ -190,6 +190,50 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("q301 range fetch: every CDX row's slice parses valid with " +
+      "the index's own digest, and a ONE-BYTE locator error flips " +
+      "fetched_ok (the byte-accuracy sensitivity)") {
+    import spark.implicits._
+    val docs = (0L until 9L).map(d => (d, s"range fetch doc $d"))
+      .toDF("doc_id", "text")
+    val out = Warc.cdxRangeFetch(docs).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Boolean]("fetched_ok")))
+    // corrupt the locator: shift every offset by one byte
+    val idx = Warc.cdxIndex(docs)
+      .withColumn("offset", col("offset") + 1)
+    val blob = Warc.warcRecords(docs)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("warc")))),
+        r => r.getField("warc")), "").as("blob")).head().getString(0)
+    val bad = idx.collect().map { r =>
+      val off = r.getAs[Long]("offset").toInt
+      val len = r.getAs[Long]("record_len").toInt
+      val slice = blob.substring(
+        math.min(off, blob.length),
+        math.min(off + len, blob.length))
+      slice.startsWith("WARC/1.0\r\n")
+    }
+    assert(bad.forall(_ == false),
+      "a one-byte shift must break the version line")
+  }
+
+  test("q302 deflate bodies: zlib round-trip digests match, and a " +
+      "RAW-deflate stream (the interop bug) fails loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "deflate body words here")).toDF("doc_id", "text")
+    val r = Warc.warcDeflateBodies(docs).head()
+    assert(r.getAs[Boolean]("valid") &&
+      r.getAs[String]("coding") == "deflate")
+    // raw deflate (nowrap) lacks the zlib header -> loud reject
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput("abc".getBytes("US-ASCII")); d.finish()
+    val buf = new Array[Byte](64)
+    val n = d.deflate(buf)
+    intercept[Exception](Warc.dechunk(buf.take(n))) // not chunked either
+  }
+
   test("multi-record framing (spec'd, ungraded): the Content-Length " +
       "hop from record 1 lands exactly on record 2's version line") {
     val r1 = mk(3L, "a b")
