@@ -1593,6 +1593,15 @@ object SparkEntry {
     // sentinels -> (inputs, targets) denoising pairs; row-local.
     "q238_span_corrupt" -> ((s, dir) =>
       operators.Pipeline.spanCorrupt(documents(s, dir))),
+    // SFT chat-template assembly: ChatML render + loss-mask token
+    // accounting (loss on assistant spans only); row-local,
+    // digest-audited byte for byte.
+    "q303_chat_template" -> ((s, dir) =>
+      operators.Pipeline.chatTemplate(documents(s, dir))),
+    // DPO preference pairs: per prompt group the quality argmax /
+    // argmin with distinct-pair tie-breaks; one rollup, no window.
+    "q304_preference_pairs" -> ((s, dir) =>
+      operators.Pipeline.preferencePairs(documents(s, dir))),
     // HTML -> text extraction over deterministically synthesized
     // markup: script/style/comment drop, block-tag newline rule,
     // inline-tag removal, entity decode — one row-local codegen'd
@@ -2860,6 +2869,8 @@ object SparkEntry {
     "q298_warc_gzip_body" -> OracleSql.warcGzipBodies,
     "q299_warc_chunked_body" -> OracleSql.warcChunkedBodies,
     "q301_cdx_range_fetch" -> OracleSql.cdxRangeFetch,
+    "q303_chat_template" -> OracleSql.chatTemplate,
+    "q304_preference_pairs" -> OracleSql.preferencePairs,
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,

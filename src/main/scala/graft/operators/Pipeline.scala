@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preprocessing funnel — the composition
@@ -1025,5 +1025,107 @@ object Pipeline {
         col("class_size") >= k && col("l_distinct") >= l &&
           col("modal_count") * AnonFreqDen <=
             col("class_size") * AnonFreqNum)
+  }
+
+  // ---------------------------------------------------------------
+  // SFT chat-template assembly (q303) — pretraining packs raw text;
+  // instruction tuning renders CONVERSATIONS into a template with
+  // control tokens and computes loss only on assistant spans. The
+  // render and the loss-mask accounting are the operator; both are
+  // row-local.
+  // ---------------------------------------------------------------
+
+  val ChatSystem = "You are a helpful assistant."
+  private val ImS = "<|im_start|>"
+  private val ImE = "<|im_end|>"
+
+  /** Whitespace token count of a possibly-empty span (split('')
+    * yields [''] — size 1 — so the empty case is explicit). */
+  private def spanTokens(s: Column): Column =
+    when(length(s) === 0, lit(0L))
+      .otherwise(size(split(s, " ")).cast("long"))
+
+  /** q303: documents → a ChatML-rendered conversation (the widely
+    * published `<|im_start|>role\n…<|im_end|>` template): docs with
+    * ≥ 4 words become TWO user/assistant exchanges (word quarters),
+    * shorter docs one (halves; a 1-word doc keeps an empty
+    * assistant span — rendered, zero loss tokens, never a crash).
+    * Output: (doc_id, n_turns, n_control, n_tokens_prompt,
+    * n_tokens_loss, loss_frac, n_chars, template_md5). The LOSS
+    * MASK rule, stated: loss tokens are the assistant spans'
+    * whitespace tokens ONLY — system/user text and every control
+    * token are masked (the standard SFT recipe). Row-local; the
+    * template digest makes the render auditable byte-for-byte. */
+  def chatTemplate(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val n4 = floor(n / lit(4)).cast("int")
+    val n2 = floor(n / lit(2)).cast("int")
+    val n34 = floor(n * lit(3) / lit(4)).cast("int")
+    val nc = ceil(n / lit(2.0)).cast("int")
+    def join(from: Column, to: Column): Column =
+      array_join(slice(w, from, greatest(to - from + 1, lit(0))), " ")
+    val two = n >= 4
+    val u1 = when(two, join(lit(1), n4)).otherwise(join(lit(1), nc))
+    val a1 = when(two, join(n4 + 1, n2)).otherwise(join(nc + 1, n))
+    val u2 = when(two, join(n2 + 1, n34)).otherwise(lit(""))
+    val a2 = when(two, join(n34 + 1, n)).otherwise(lit(""))
+    def turn(role: String, text: Column): Column =
+      concat(lit(ImS + role + "\n"), text, lit(ImE + "\n"))
+    val rendered = concat(
+      turn("system", lit(ChatSystem)),
+      turn("user", u1), turn("assistant", a1),
+      when(two, concat(turn("user", u2), turn("assistant", a2)))
+        .otherwise(lit("")))
+    val nTurns = when(two, lit(4L)).otherwise(lit(2L))
+    val prompt = spanTokens(lit(ChatSystem)) + spanTokens(u1) +
+      spanTokens(u2)
+    val loss = spanTokens(a1) + spanTokens(a2)
+    docs.select(col("doc_id"),
+      nTurns.as("n_turns"),
+      ((nTurns + 1) * 2).as("n_control"),
+      prompt.as("n_tokens_prompt"),
+      loss.as("n_tokens_loss"),
+      (loss.cast("double") /
+        greatest(prompt + loss, lit(1L)).cast("double"))
+        .as("loss_frac"),
+      length(rendered).cast("long").as("n_chars"),
+      md5(rendered).as("template_md5"))
+  }
+
+  // ---------------------------------------------------------------
+  // preference-pair construction (q304) — the DPO/RLHF data step:
+  // per prompt group, the best and worst candidate responses by the
+  // q6 quality score become the (chosen, rejected) pair
+  // ---------------------------------------------------------------
+
+  /** Prompt-group modulus of [[preferencePairs]]. */
+  val PromptGroups = 50L
+
+  /** q304: documents bucketed into [[PromptGroups]] prompt groups
+    * (doc_id % groups — the fixture's stand-in for "responses to
+    * one prompt"); per group the CHOSEN is the quality argmax
+    * (ties → lowest doc_id) and the REJECTED the argmin (ties →
+    * highest doc_id — so a fully-tied group still yields a distinct
+    * pair), groups of one are dropped: (prompt_id, chosen_id,
+    * rejected_id, chosen_q, rejected_q, margin, n_candidates).
+    * One map-side-combined rollup; no window, no self-join. */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScoreCol(col("text"))
+    docs.select((col("doc_id") % PromptGroups).as("prompt_id"),
+      col("doc_id"), q.as("q"))
+      .groupBy(col("prompt_id"))
+      .agg(
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("c"),
+        min(struct(col("q"), (-col("doc_id")).as("nid"))).as("r"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("n_candidates") >= 2)
+      .select(col("prompt_id"),
+        (-col("c.nid")).as("chosen_id"),
+        (-col("r.nid")).as("rejected_id"),
+        col("c.q").as("chosen_q"),
+        col("r.q").as("rejected_q"),
+        (col("c.q") - col("r.q")).as("margin"),
+        col("n_candidates"))
   }
 }

@@ -1164,6 +1164,89 @@ SELECT * EXCLUDE (distinct_ratio),
 FROM ratios"""
   }
 
+  /** Mirror of [[graft.operators.Pipeline.chatTemplate]] (q303):
+    * the ChatML render and the loss-mask token accounting rebuilt
+    * from the same word-quarter arithmetic. */
+  def chatTemplate: String = {
+    val nl = "chr(10)"
+    val sys = "'You are a helpful assistant.'"
+    def turn(role: String, txt: String): String =
+      s"'<|im_start|>$role' || $nl || $txt || '<|im_end|>' || $nl"
+    def toks(x: String): String =
+      s"CASE WHEN length($x) = 0 THEN 0 ELSE len(string_split($x, ' ')) END"
+    s"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n, n >= 4 AS two,
+    CASE WHEN n >= 4
+         THEN array_to_string(list_slice(w, 1, n // 4), ' ')
+         ELSE array_to_string(list_slice(w, 1,
+           CAST(ceil(n / 2.0) AS INT)), ' ') END AS u1,
+    CASE WHEN n >= 4
+         THEN array_to_string(list_slice(w, n // 4 + 1, n // 2), ' ')
+         ELSE array_to_string(list_slice(w,
+           CAST(ceil(n / 2.0) AS INT) + 1, n), ' ') END AS a1,
+    CASE WHEN n >= 4
+         THEN array_to_string(list_slice(w, n // 2 + 1, 3 * n // 4), ' ')
+         ELSE '' END AS u2,
+    CASE WHEN n >= 4
+         THEN array_to_string(list_slice(w, 3 * n // 4 + 1, n), ' ')
+         ELSE '' END AS a2
+  FROM d
+), r AS (
+  SELECT doc_id, two,
+    ${turn("system", sys)} || ${turn("user", "u1")} ||
+      ${turn("assistant", "a1")} ||
+      CASE WHEN two
+           THEN ${turn("user", "u2")} || ${turn("assistant", "a2")}
+           ELSE '' END AS rendered,
+    CAST(${toks(sys)} + ${toks("u1")} + ${toks("u2")} AS BIGINT)
+      AS n_tokens_prompt,
+    CAST(${toks("a1")} + ${toks("a2")} AS BIGINT) AS n_tokens_loss
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN two THEN 4 ELSE 2 END AS n_turns,
+       CASE WHEN two THEN 10 ELSE 6 END AS n_control,
+       n_tokens_prompt, n_tokens_loss,
+       CAST(n_tokens_loss AS DOUBLE) /
+         greatest(n_tokens_prompt + n_tokens_loss, 1) AS loss_frac,
+       CAST(length(rendered) AS BIGINT) AS n_chars,
+       md5(rendered) AS template_md5
+FROM r"""
+  }
+
+  /** Mirror of [[graft.operators.Pipeline.preferencePairs]] (q304):
+    * the q6 quality expression, ordered-list argmax/argmin with the
+    * distinct-pair tie-breaks. */
+  def preferencePairs: String = {
+    val stops = sqlList(TextAnalysis.stopwords).replace("(", "[")
+      .replace(")", "]")
+    val g = graft.operators.Pipeline.PromptGroups
+    s"""WITH d AS (
+  SELECT doc_id, doc_id % $g AS prompt_id,
+         string_split(text, ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, prompt_id,
+         LEAST(len(w) / 50.0, 1.0) *
+           (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) *
+           (1.0 - 0.5 * (CAST(len(list_filter(w,
+              t -> list_contains($stops, t))) AS DOUBLE) / len(w)))
+           AS q
+  FROM d
+)
+SELECT prompt_id,
+       (list(doc_id ORDER BY q DESC, doc_id ASC))[1] AS chosen_id,
+       (list(doc_id ORDER BY q ASC, doc_id DESC))[1] AS rejected_id,
+       max(q) AS chosen_q, min(q) AS rejected_q,
+       max(q) - min(q) AS margin,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM s GROUP BY prompt_id HAVING COUNT(*) >= 2"""
+  }
+
   /** Mirror of [[graft.operators.Sampling.curriculumOrder]] (q177):
     * the q6 quality-score expression, per-source (quality DESC, id
     * ASC) rank, global position by row_number over (src_rank,

@@ -371,4 +371,53 @@ class PipelineSpec extends AnyFunSuite with SparkSessionSpec {
             r.getLong(2) * Pipeline.AnonFreqNum)
       }
   }
+
+  test("q303 chat template: token conservation (prompt + loss = " +
+      "system + doc words), loss only on assistant spans, the " +
+      "1-word edge keeps an empty assistant with zero loss tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 words -> two exchanges
+      (2L, "x y z"),           // 3 words -> one exchange (2 + 1)
+      (3L, "solo"))            // 1 word -> empty assistant span
+      .toDF("doc_id", "text")
+    val out = Pipeline.chatTemplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val sysTokens = Pipeline.ChatSystem.split(" ").length
+    assert(out(1L).getAs[Long]("n_turns") == 4)
+    assert(out(1L).getAs[Long]("n_control") == 10)
+    assert(out(1L).getAs[Long]("n_tokens_prompt") == sysTokens + 4)
+    assert(out(1L).getAs[Long]("n_tokens_loss") == 4)
+    assert(out(2L).getAs[Long]("n_turns") == 2)
+    assert(out(2L).getAs[Long]("n_tokens_prompt") == sysTokens + 2)
+    assert(out(2L).getAs[Long]("n_tokens_loss") == 1)
+    assert(out(3L).getAs[Long]("n_tokens_loss") == 0,
+      "a 1-word doc has an empty assistant span")
+    assert(out(3L).getAs[Double]("loss_frac") == 0.0)
+  }
+
+  test("q304 preference pairs: chosen is the quality argmax, " +
+      "rejected the argmin, a fully-TIED group still yields a " +
+      "distinct pair, and singleton groups drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // group 0: clear order (longer distinct text scores higher)
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (50L, "alpha alpha alpha alpha"),
+      // group 1: exact tie (identical texts)
+      (1L, "same text here"), (51L, "same text here"),
+      // group 2: singleton -> dropped
+      (2L, "lonely doc"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.preferencePairs(docs).collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r).toMap
+    assert(!out.contains(2L), "singleton groups must drop")
+    assert(out(0L).getAs[Long]("chosen_id") == 0L)
+    assert(out(0L).getAs[Long]("rejected_id") == 50L)
+    assert(out(0L).getAs[Double]("margin") > 0.0)
+    // tied group: chosen = lowest id, rejected = highest id
+    assert(out(1L).getAs[Long]("chosen_id") == 1L)
+    assert(out(1L).getAs[Long]("rejected_id") == 51L)
+    assert(out(1L).getAs[Double]("margin") == 0.0)
+  }
 }
