@@ -370,6 +370,11 @@ object SparkEntry {
     // extracted, reassembled to Annex-B and decoded in-repo.
     "q229_avc1_track_decode" -> ((s, dir) =>
       operators.Multimodal.avc1DecodeStats(documents(s, dir))),
+    // IMA-ADPCM 4:1 audio round trip: the published adaptive-delta
+    // codec over deterministic triangle waves, exact stream
+    // arithmetic + bounded post-attack error.
+    "q305_adpcm_roundtrip" -> ((s, dir) =>
+      operators.Multimodal.adpcmRoundTripStats(documents(s, dir))),
     // AC-residual H.264 (the extended CAVLC profile): ramp frames
     // whose every luma 4x4 block decodes >= 2 coefficients through
     // the general coeff_token/level/total_zeros/run_before machinery.
@@ -2870,6 +2875,13 @@ object SparkEntry {
     "q299_warc_chunked_body" -> OracleSql.warcChunkedBodies,
     "q301_cdx_range_fetch" -> OracleSql.cdxRangeFetch,
     "q303_chat_template" -> OracleSql.chatTemplate,
+    // ADPCM is lossy: counts exact from the synthesis arithmetic,
+    // error booleans literally TRUE (the q68/q228 pattern).
+    "q305_adpcm_roundtrip" ->
+      """SELECT doc_id, 256 + doc_id % 128 AS n_samples,
+        |       (256 + doc_id % 128 + 1) // 2 AS n_adpcm_bytes,
+        |       TRUE AS max_err_ok, TRUE AS mean_err_ok
+        |FROM documents""".stripMargin,
     "q304_preference_pairs" -> OracleSql.preferencePairs,
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
     "q249_robots_gate" -> OracleSql.robotsGate,

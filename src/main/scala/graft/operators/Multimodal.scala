@@ -1262,6 +1262,55 @@ object Multimodal {
         "mean_r_ok", "mean_g_ok", "mean_b_ok")
   }
 
+  /** Deterministic integer triangle wave for the q305 ADPCM
+    * fixture: amplitude/period/length doc-derived; integer
+    * arithmetic so the oracle shares nothing but the counts. */
+  def adpcmSamplesOf(id: Long): Array[Short] = {
+    val n = (256 + id % 128).toInt
+    val a = (1000 + (id % 8) * 400).toInt
+    val p = (16 + (id % 4) * 8).toInt
+    Array.tabulate(n) { i =>
+      val ph = i % p
+      val v =
+        if (ph < p / 2) -a + (4 * a * ph) / p
+        else a - (4 * a * (ph - p / 2)) / p
+      v.toShort
+    }
+  }
+
+  /** Samples skipped before measuring q305 error (the codec's
+    * documented attack: the step index climbs from 0 over the first
+    * couple of periods). */
+  val AdpcmAttack = 80
+
+  /** Graded IMA-ADPCM round trip (q305) — the compressed-audio
+    * member of the q54 WAV family ([[graft.io.AdpcmIma]]): per doc
+    * a deterministic triangle wave is encoded 4:1 to the nibble
+    * stream and decoded back; graded with exact stream arithmetic
+    * (n_adpcm_bytes = ceil(n/2)) plus post-attack error bounds
+    * (max ≤ 1/4 amplitude, mean ≤ 1/16 — lossy-codec booleans, the
+    * q68/q228 pattern; AdpcmImaSpec pins the published step/index
+    * tables' structural signature and tighter per-wave numbers).
+    * Row-local end to end. */
+  def adpcmRoundTripStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.AdpcmIma
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val src = adpcmSamplesOf(id)
+        val a = (1000 + (id % 8) * 400).toInt
+        val enc = AdpcmIma.encode(src)
+        val dec = AdpcmIma.decode(enc, src.length)
+        val errs = (AdpcmAttack until src.length)
+          .map(i => math.abs(dec(i) - src(i)))
+        val maxOk = errs.max <= a / 4
+        val meanOk = errs.sum.toDouble / errs.size <= a / 16.0
+        (id, src.length.toLong, enc.length.toLong, maxOk, meanOk)
+      }
+      .toDF("doc_id", "n_samples", "n_adpcm_bytes",
+        "max_err_ok", "mean_err_ok")
+  }
+
   /** Graded intra-only H.264 decode (q228) — the close-out of the
     * q182 gap (`avc1` has no JDK codec, so the entropy layer is
     * implemented, not delegated — [[graft.io.H264Intra]]): per

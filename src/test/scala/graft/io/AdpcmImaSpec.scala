@@ -1,0 +1,72 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins of the q305 IMA-ADPCM codec: the published tables'
+  * structural signature, stream arithmetic, convergence, and the
+  * error behavior the graded booleans summarize. */
+class AdpcmImaSpec extends AnyFunSuite {
+  import AdpcmIma._
+
+  test("the step table carries the spec's structural signature: " +
+      "89 entries, endpoints 7/32767, strictly increasing, every " +
+      "adjacent ratio inside the ~1.1 geometric band") {
+    assert(StepTable.length == 89)
+    assert(StepTable.head == 7 && StepTable.last == 32767)
+    for (i <- 1 until StepTable.length) {
+      assert(StepTable(i) > StepTable(i - 1), s"not increasing at $i")
+      val r = StepTable(i).toDouble / StepTable(i - 1)
+      assert(r >= 1.04 && r <= 1.15,
+        s"growth ratio $r at $i outside the spec's band")
+    }
+    assert(IndexTable.toSeq == Seq(-1, -1, -1, -1, 2, 4, 6, 8))
+  }
+
+  test("stream arithmetic: ceil(n/2) bytes, low nibble first, odd " +
+      "tails zero-padded") {
+    val s3 = Array[Short](100, -100, 500)
+    val enc = encode(s3)
+    assert(enc.length == 2)
+    // the pad nibble of the last byte is zero
+    assert(((enc(1) >> 4) & 0x0F) == 0)
+    assert(decode(enc, 3).length == 3)
+    intercept[IllegalArgumentException](decode(enc, 5))
+  }
+
+  test("a constant signal converges: after the attack the decoder " +
+      "tracks within the smallest steps") {
+    val src = Array.fill[Short](200)(1234)
+    val dec = decode(encode(src), 200)
+    val tail = (100 until 200).map(i => math.abs(dec(i) - 1234))
+    assert(tail.max <= 8, s"constant tail error ${tail.max}")
+  }
+
+  test("triangle waves round-trip within the graded bounds at " +
+      "every fixture shape, and the post-attack error is small " +
+      "relative to amplitude") {
+    for (id <- 0L until 32L) {
+      val src = graft.operators.Multimodal.adpcmSamplesOf(id)
+      val a = (1000 + (id % 8) * 400).toInt
+      val dec = decode(encode(src), src.length)
+      val errs = (graft.operators.Multimodal.AdpcmAttack
+        until src.length).map(i => math.abs(dec(i) - src(i)))
+      assert(errs.max <= a / 4, s"id $id max ${errs.max} amp $a")
+      assert(errs.sum.toDouble / errs.size <= a / 16.0,
+        s"id $id mean ${errs.sum.toDouble / errs.size} amp $a")
+    }
+  }
+
+  test("clamping: full-scale swings neither overflow nor wedge the " +
+      "index (the spec's clamp rules)") {
+    val src = Array.tabulate[Short](64)(i =>
+      if (i % 2 == 0) 32767 else -32768)
+    val dec = decode(encode(src), 64)
+    assert(dec.forall(v => v >= -32768 && v <= 32767))
+    // after the swing, a quiet tail re-converges
+    val quiet = Array.fill[Short](300)(0)
+    val both = src ++ quiet
+    val d2 = decode(encode(both), both.length)
+    val tail = (250 until 364).map(i => math.abs(d2(i).toInt))
+    assert(tail.max <= 32, s"re-convergence tail ${tail.max}")
+  }
+}
