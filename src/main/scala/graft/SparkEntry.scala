@@ -375,6 +375,10 @@ object SparkEntry {
     // arithmetic + bounded post-attack error.
     "q305_adpcm_roundtrip" -> ((s, dir) =>
       operators.Multimodal.adpcmRoundTripStats(documents(s, dir))),
+    // G.711 mu-law/A-law companding: exact byte counts + canonical
+    // re-encode identity + published logarithmic error bounds.
+    "q306_g711_roundtrip" -> ((s, dir) =>
+      operators.Multimodal.g711RoundTripStats(documents(s, dir))),
     // AC-residual H.264 (the extended CAVLC profile): ramp frames
     // whose every luma 4x4 block decodes >= 2 coefficients through
     // the general coeff_token/level/total_zeros/run_before machinery.
@@ -2881,6 +2885,14 @@ object SparkEntry {
       """SELECT doc_id, 256 + doc_id % 128 AS n_samples,
         |       (256 + doc_id % 128 + 1) // 2 AS n_adpcm_bytes,
         |       TRUE AS max_err_ok, TRUE AS mean_err_ok
+        |FROM documents""".stripMargin,
+    // G.711 is 1 byte/sample; exactness booleans literally TRUE.
+    "q306_g711_roundtrip" ->
+      """SELECT doc_id, 256 + doc_id % 128 AS n_samples,
+        |       256 + doc_id % 128 AS n_mulaw_bytes,
+        |       256 + doc_id % 128 AS n_alaw_bytes,
+        |       TRUE AS mulaw_err_ok, TRUE AS alaw_err_ok,
+        |       TRUE AS mulaw_canonical, TRUE AS alaw_canonical
         |FROM documents""".stripMargin,
     "q304_preference_pairs" -> OracleSql.preferencePairs,
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,

@@ -1311,6 +1311,42 @@ object Multimodal {
         "max_err_ok", "mean_err_ok")
   }
 
+  /** Graded G.711 companding (q306) — the telephony byte codecs
+    * ([[graft.io.G711]]) over the q305 triangle fixture: both laws
+    * encoded 2:1, decoded, re-encoded. Graded exactly where the
+    * codec is exact — byte counts (1 byte/sample) and the CANONICAL
+    * re-encode identity (encode∘decode∘encode = encode, byte for
+    * byte) — and with the published logarithmic error bounds where
+    * it is lossy. G711Spec pins the per-code identities, anchor
+    * codes and monotonicity. Row-local. */
+  def g711RoundTripStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.G711
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val src = adpcmSamplesOf(id)
+        val mu = G711.mulawEncodeAll(src)
+        val muDec = G711.mulawDecodeAll(mu)
+        val al = G711.alawEncodeAll(src)
+        val alDec = G711.alawDecodeAll(al)
+        def errOk(dec: Array[Short], slack: Int): Boolean =
+          src.indices.forall { i =>
+            math.abs(dec(i) - src(i)) <=
+              math.max(math.abs(src(i).toInt) / 16 + slack,
+                slack + 4)
+          }
+        val muCanon = java.util.Arrays.equals(
+          G711.mulawEncodeAll(muDec), mu)
+        val alCanon = java.util.Arrays.equals(
+          G711.alawEncodeAll(alDec), al)
+        (id, src.length.toLong, mu.length.toLong, al.length.toLong,
+          errOk(muDec, 132), errOk(alDec, 60), muCanon, alCanon)
+      }
+      .toDF("doc_id", "n_samples", "n_mulaw_bytes", "n_alaw_bytes",
+        "mulaw_err_ok", "alaw_err_ok", "mulaw_canonical",
+        "alaw_canonical")
+  }
+
   /** Graded intra-only H.264 decode (q228) — the close-out of the
     * q182 gap (`avc1` has no JDK codec, so the entropy layer is
     * implemented, not delegated — [[graft.io.H264Intra]]): per
