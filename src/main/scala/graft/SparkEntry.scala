@@ -375,6 +375,11 @@ object SparkEntry {
     // arithmetic + bounded post-attack error.
     "q305_adpcm_roundtrip" -> ((s, dir) =>
       operators.Multimodal.adpcmRoundTripStats(documents(s, dir))),
+    // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
+    // state headers + fact chunk) through the real RIFF walker —
+    // the q54 container family composed with the q305/q306 codecs.
+    "q307_coded_wav" -> ((s, dir) =>
+      operators.Multimodal.codedWavStats(documents(s, dir))),
     // G.711 mu-law/A-law companding: exact byte counts + canonical
     // re-encode identity + published logarithmic error bounds.
     "q306_g711_roundtrip" -> ((s, dir) =>
@@ -2885,6 +2890,14 @@ object SparkEntry {
       """SELECT doc_id, 256 + doc_id % 128 AS n_samples,
         |       (256 + doc_id % 128 + 1) // 2 AS n_adpcm_bytes,
         |       TRUE AS max_err_ok, TRUE AS mean_err_ok
+        |FROM documents""".stripMargin,
+    // Coded WAV: block count from the spec's ceil arithmetic
+    // (505 samples per 256-byte IMA block); booleans TRUE.
+    "q307_coded_wav" ->
+      """SELECT doc_id, 256 + doc_id % 128 AS n_samples,
+        |       TRUE AS pcm_exact, TRUE AS mulaw_transparent,
+        |       (256 + doc_id % 128 + 504) // 505 AS n_ima_blocks,
+        |       TRUE AS ima_heads_exact, TRUE AS ima_err_ok
         |FROM documents""".stripMargin,
     // G.711 is 1 byte/sample; exactness booleans literally TRUE.
     "q306_g711_roundtrip" ->

@@ -59,14 +59,22 @@ object AdpcmIma {
 
   /** Encode 16-bit PCM to the packed nibble stream (low nibble
     * first; odd tails pad with a zero nibble). */
-  def encode(samples: Array[Short]): Array[Byte] = {
-    var predictor = 0
-    var index = 0
-    val nibbles = new Array[Int](samples.length)
+  def encode(samples: Array[Short]): Array[Byte] =
+    encodeFrom(samples, 0, samples.length, 0, 0)._1
+
+  /** [[encode]] with explicit initial state over a sample window —
+    * the form the WAV 0x11 BLOCK framing needs (each block header
+    * carries the state the nibbles continue from). Returns the
+    * packed bytes plus the end (predictor, index). */
+  def encodeFrom(samples: Array[Short], from: Int, count: Int,
+      predictor0: Int, index0: Int): (Array[Byte], (Int, Int)) = {
+    var predictor = predictor0
+    var index = index0
+    val nibbles = new Array[Int](count)
     var i = 0
-    while (i < samples.length) {
+    while (i < count) {
       val step = StepTable(index)
-      var diff = samples(i) - predictor
+      var diff = samples(from + i) - predictor
       val sign = if (diff < 0) { diff = -diff; 8 } else 0
       var delta = 0
       if (diff >= step) { delta |= 4; diff -= step }
@@ -79,29 +87,36 @@ object AdpcmIma {
       nibbles(i) = sign | delta
       i += 1
     }
-    val out = new Array[Byte]((samples.length + 1) / 2)
+    val out = new Array[Byte]((count + 1) / 2)
     i = 0
-    while (i < samples.length) {
+    while (i < count) {
       if (i % 2 == 0) out(i / 2) = nibbles(i).toByte
       else out(i / 2) = (out(i / 2) | (nibbles(i) << 4)).toByte
       i += 1
     }
-    out
+    (out, (predictor, index))
   }
 
   /** Decode `n` samples from a packed nibble stream. */
-  def decode(bytes: Array[Byte], n: Int): Array[Short] = {
-    require((n + 1) / 2 <= bytes.length,
-      s"adpcm: $n samples need ${(n + 1) / 2} bytes, " +
+  def decode(bytes: Array[Byte], n: Int): Array[Short] =
+    decodeFrom(bytes, 0, n, 0, 0)._1
+
+  /** [[decode]] with explicit initial state over a byte window —
+    * the WAV 0x11 block form. Returns the samples plus the end
+    * (predictor, index). */
+  def decodeFrom(bytes: Array[Byte], off: Int, n: Int,
+      predictor0: Int, index0: Int): (Array[Short], (Int, Int)) = {
+    require(off + (n + 1) / 2 <= bytes.length,
+      s"adpcm: $n samples need ${(n + 1) / 2} bytes at $off, " +
         s"got ${bytes.length}")
-    var predictor = 0
-    var index = 0
+    var predictor = predictor0
+    var index = index0
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
       val nibble =
-        if (i % 2 == 0) bytes(i / 2) & 0x0F
-        else (bytes(i / 2) >> 4) & 0x0F
+        if (i % 2 == 0) bytes(off + i / 2) & 0x0F
+        else (bytes(off + i / 2) >> 4) & 0x0F
       val step = StepTable(index)
       val d = diffq(nibble & 7, step)
       predictor = clampSample(
@@ -110,6 +125,6 @@ object AdpcmIma {
       out(i) = predictor.toShort
       i += 1
     }
-    out
+    (out, (predictor, index))
   }
 }

@@ -56,6 +56,37 @@ class AdpcmImaSpec extends AnyFunSuite {
     }
   }
 
+  test("q307 multi-block IMA WAV: a 3-block clip round-trips " +
+      "through the container — every block header carries its first " +
+      "sample verbatim, the step index RUNS ON across blocks (no " +
+      "re-attack), and the fact chunk bounds the zero-padded tail") {
+    import graft.operators.Multimodal
+    val n = 1200 // > 2 * 505: three blocks, final one partial
+    val src = Array.tabulate[Short](n) { i =>
+      val p = 24; val a = 2600
+      val ph = i % p
+      (if (ph < p / 2) -a + (4 * a * ph) / p
+       else a - (4 * a * (ph - p / 2)) / p).toShort
+    }
+    val wav = Multimodal.encodeWavIma(8000, src)
+    val (fmt, rate, dec) = Multimodal.decodeWavCoded(wav).get
+    assert(fmt == 0x11 && rate == 8000)
+    assert(dec.length == n, "fact chunk must bound the tail")
+    val spb = Multimodal.ImaSamplesPerBlock
+    for (b <- 0 until (n + spb - 1) / spb)
+      assert(dec(b * spb) == src(b * spb), s"block $b header sample")
+    // index continuity: post-attack error stays small ACROSS block
+    // boundaries (a re-attacking index would spike right after each
+    // header)
+    val errs = (100 until n).map(i => math.abs(dec(i) - src(i)))
+    assert(errs.max <= 2600 / 4, s"cross-block max err ${errs.max}")
+    // mu-law container transparency at the same length
+    val muWav = Multimodal.encodeWavMulaw(8000, src)
+    val (f2, _, d2) = Multimodal.decodeWavCoded(muWav).get
+    assert(f2 == 7 && d2.sameElements(
+      G711.mulawDecodeAll(G711.mulawEncodeAll(src))))
+  }
+
   test("clamping: full-scale swings neither overflow nor wedge the " +
       "index (the spec's clamp rules)") {
     val src = Array.tabulate[Short](64)(i =>
