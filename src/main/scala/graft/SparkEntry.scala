@@ -375,6 +375,11 @@ object SparkEntry {
     // arithmetic + bounded post-attack error.
     "q305_adpcm_roundtrip" -> ((s, dir) =>
       operators.Multimodal.adpcmRoundTripStats(documents(s, dir))),
+    // Mojibake detection + EXACT repair (double-encoded UTF-8):
+    // Latin-1 re-encode, strict UTF-8 re-decode; the repaired
+    // digest must equal the clean twin's.
+    "q308_mojibake_repair" -> ((s, dir) =>
+      operators.Charset.mojibakeStats(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -2891,6 +2896,31 @@ object SparkEntry {
         |       (256 + doc_id % 128 + 1) // 2 AS n_adpcm_bytes,
         |       TRUE AS max_err_ok, TRUE AS mean_err_ok
         |FROM documents""".stripMargin,
+    // Mojibake: the corrupted literals are HAND-derived from the
+    // UTF-8 table (« -> Â«, é -> Ã©, ° -> Â°, » -> Â»), so the
+    // engine's repair is graded against an independent derivation.
+    "q308_mojibake_repair" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'plain doc ' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '«café n° ' || CAST(doc_id AS VARCHAR)
+        |        || '»'
+        |      ELSE 'Â«cafÃ© nÂ° ' || CAST(doc_id AS VARCHAR)
+        |        || 'Â»' END AS t_in,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'plain doc ' || CAST(doc_id AS VARCHAR)
+        |      ELSE '«café n° ' || CAST(doc_id AS VARCHAR) || '»'
+        |      END AS t_out
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'mojibake' ELSE 'clean' END
+        |    AS verdict,
+        |  CAST(length(t_in) AS BIGINT) AS n_chars_in,
+        |  CAST(length(t_out) AS BIGINT) AS n_chars_out,
+        |  md5(t_out) AS text_md5
+        |FROM v""".stripMargin,
     // Coded WAV: block count from the spec's ceil arithmetic
     // (505 samples per 256-byte IMA block); booleans TRUE.
     "q307_coded_wav" ->

@@ -89,6 +89,63 @@ object Charset {
     }
   }
 
+  // ---------------------------------------------------------------
+  // mojibake repair (q308) — the data-cleaning twin of q267: a
+  // double-encoded document (UTF-8 bytes once mis-decoded as
+  // Latin-1 and re-saved) is textually valid but garbled
+  // ("café" → "cafÃ©"), and the repair is EXACT: re-encode as
+  // Latin-1, strictly re-decode as UTF-8
+  // ---------------------------------------------------------------
+
+  /** Attempt the classic repair. Some(fixed) iff the Latin-1 bytes
+    * of `text` form STRICTLY valid UTF-8 that differs from the
+    * input (ASCII round-trips identically — not mojibake; real
+    * Latin-1 text fails the strict decode — not repairable). */
+  def repairMojibake(text: String): Option[String] = {
+    val bytes = text.getBytes("ISO-8859-1")
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(
+        java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (fixed != text) Some(fixed) else None
+    } catch { case _: java.nio.charset.CharacterCodingException =>
+      None
+    }
+  }
+
+  /** The clean body / its mojibake twin of the q308 fixture. */
+  def cleanBodyOf(id: Long): String = s"«café n° $id»"
+  def mojibakeBodyOf(id: Long): String =
+    new String(cleanBodyOf(id).getBytes("UTF-8"), "ISO-8859-1")
+
+  /** q308: documents → three text shapes (ASCII clean, real Unicode
+    * clean, DOUBLE-ENCODED mojibake) → detect + repair: (doc_id,
+    * verdict, n_chars_in, n_chars_out, text_md5). The repaired
+    * mojibake row's digest equals the clean twin's — the oracle
+    * asserts it from HAND-DERIVED corrupted literals (Â«/Ã©/Â°
+    * straight from the UTF-8 table), never from this code. Strictly
+    * row-local. */
+  def mojibakeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val text = (id % 3) match {
+          case 0 => s"plain doc $id"
+          case 1 => cleanBodyOf(id)
+          case _ => mojibakeBodyOf(id)
+        }
+        val repaired = repairMojibake(text)
+        val out = repaired.getOrElse(text)
+        (id, if (repaired.isDefined) "mojibake" else "clean",
+          text.length.toLong, out.length.toLong, out)
+      }
+      .toDF("doc_id", "verdict", "n_chars_in", "n_chars_out", "t")
+      .select(col("doc_id"), col("verdict"), col("n_chars_in"),
+        col("n_chars_out"), md5(col("t")).as("text_md5"))
+  }
+
   /** q267: documents → synthesized payload bytes → sniff + decode:
     * (doc_id, encoding, bom_bytes, declared, n_chars, digest). */
   def charsetStats(docs: DataFrame): DataFrame = {

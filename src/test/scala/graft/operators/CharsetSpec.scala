@@ -49,6 +49,22 @@ class CharsetSpec extends AnyFunSuite with SparkSessionSpec {
     assert(text == "")
   }
 
+  test("q308 mojibake: the double-encoded twin repairs EXACTLY to " +
+      "the clean text; ASCII and genuine Latin-1-ish text stay " +
+      "untouched; a twice-garbled text peels one layer per pass") {
+    val clean = Charset.cleanBodyOf(7L)
+    val bad = Charset.mojibakeBodyOf(7L)
+    assert(bad != clean && bad.contains("Ã©"))
+    assert(Charset.repairMojibake(bad).contains(clean))
+    assert(Charset.repairMojibake("plain ascii").isEmpty)
+    // genuine single é: its Latin-1 byte E9 is not valid UTF-8 here
+    assert(Charset.repairMojibake("café x").isEmpty)
+    // double corruption peels exactly one layer per repair
+    val twice = new String(bad.getBytes("UTF-8"), "ISO-8859-1")
+    assert(Charset.repairMojibake(twice).contains(bad))
+    assert(Charset.repairMojibake(bad).contains(clean))
+  }
+
   test("byte order genuinely matters: swapping the UTF-16 BOM " +
       "produces different decoded text") {
     val le = Charset.decode(Charset.payloadOf(1L))._4
