@@ -1867,7 +1867,17 @@ object Multimodal {
     * either byte order, and decode the IFD0 entries ([[ExifInfo]]'s
     * fields; unknown tags are skipped, the TIFF rule). Returns None
     * when no Exif APP1 exists. */
-  def parseExif(bytes: Array[Byte]): Option[ExifInfo] = {
+  def parseExif(bytes: Array[Byte]): Option[ExifInfo] =
+    // one malformed TIFF must yield a None VERDICT, not a task
+    // kill (the r15 flagged-row discipline, matching
+    // Charset.decode): the structural requires below stay as the
+    // precise diagnosis, and this boundary converts them to None
+    try parseExifStrict(bytes)
+    catch { case _: IllegalArgumentException | _: RuntimeException =>
+      None
+    }
+
+  private def parseExifStrict(bytes: Array[Byte]): Option[ExifInfo] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
     // marker walk

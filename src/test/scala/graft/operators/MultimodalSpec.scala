@@ -698,15 +698,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionSpec {
   }
 
   test("q258: unknown IFD tags are skipped, not errors (the TIFF " +
-      "rule); a corrupted TIFF magic fails loudly") {
+      "rule); a corrupted TIFF magic yields a None VERDICT — one " +
+      "odd document must not kill the task (the r15 flagged-row " +
+      "discipline)") {
     val good = Multimodal.encodeExifJpeg(true, "A", "B", 1, 1L,
       "2024:01:01 00:00:00")
     // corrupt the magic (tiff starts after SOI+APP0(18)+APP1 hdr(4)
     // + Exif id(6) = 30; magic at +2)
     val bad = good.clone()
     bad(32) = 0x13
-    val e = intercept[Exception](Multimodal.parseExif(bad))
-    assert(e.getMessage.contains("magic"))
+    assert(Multimodal.parseExif(bad).isEmpty)
+    // a bad byte-order mark is likewise a verdict, not a crash
+    val bad2 = good.clone()
+    bad2(30) = 'X'.toByte; bad2(31) = 'X'.toByte
+    assert(Multimodal.parseExif(bad2).isEmpty)
   }
 
   test("q258 graded frame matches the per-doc field arithmetic") {
