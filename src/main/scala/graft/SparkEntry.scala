@@ -1997,6 +1997,15 @@ object SparkEntry {
     // prefix subset.
     "q296_robots_wildcard" -> ((s, dir) =>
       operators.Robots.robotsWildcardGate(documents(s, dir))),
+    // ... and the same gate fed by PARSED rules: wildcard robots.txt
+    // files through the unchanged q269 parser — must equal q296
+    // row for row (same oracle).
+    "q310_robots_wildcard_parsed" -> ((s, dir) =>
+      operators.Robots.robotsWildcardParsedGate(documents(s, dir))),
+    // Data-URI images: RFC 2397 extraction + base64 + the REAL q67
+    // PNG decode — pixels_exact is a lossless byte-for-byte gate.
+    "q309_data_uri_images" -> ((s, dir) =>
+      operators.Multimodal.dataUriImages(documents(s, dir))),
     // Percent-encoding normalization (RFC 3986 6.2.2.2): decode
     // unreserved %XX, uppercase remaining escapes, then the q243
     // kernel — %7Euser and ~user collapse, %2F stays escaped.
@@ -2844,6 +2853,16 @@ object SparkEntry {
     "q243_url_canonical" -> OracleSql.urlCanonical,
     "q244_host_quota" -> OracleSql.hostQuota,
     "q296_robots_wildcard" -> OracleSql.robotsWildcardGate,
+    // the parsed-rules gate must EQUAL q296 — same oracle, verbatim
+    "q310_robots_wildcard_parsed" -> OracleSql.robotsWildcardGate,
+    // data-URI images: dims from the q67 synthesis arithmetic; the
+    // lossless byte-exact raster gate asserted literally TRUE
+    "q309_data_uri_images" ->
+      """SELECT doc_id, 1 AS n_data_uris, 1 AS n_external_refs,
+        |       'image/png' AS mime,
+        |       4 + doc_id % 7 AS width, 5 + doc_id % 6 AS height,
+        |       TRUE AS pixels_exact
+        |FROM documents""".stripMargin,
     // IDN: fixture hosts and EXPECTED ACE forms both literal in the
     // oracle; the engine side computes the ACE via RFC 3492
     "q297_idn_hosts" ->

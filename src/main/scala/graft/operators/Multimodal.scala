@@ -1519,6 +1519,44 @@ object Multimodal {
         "max_err_ok", "mean_err_ok")
   }
 
+  /** Graded DATA-URI image extraction (q309) — the inline-asset
+    * path real HTML carries (`<img src="data:image/png;base64,…">`)
+    * composed with the in-repo PNG codec: per doc, an html page
+    * embeds the q67 PNG as a base64 data URI beside an EXTERNAL
+    * image ref (which must NOT decode); the operator finds the data
+    * URIs by the RFC 2397 shape, base64-decodes, and runs the REAL
+    * q67 decoder — `pixels_exact` demands the decoded raster equal
+    * the synthesis byte for byte (PNG is lossless, so this is an
+    * exact gate, not a bound). Row-local. */
+  def dataUriImages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val png = encodePng(pngOf(id))
+        val b64 = java.util.Base64.getEncoder.encodeToString(png)
+        val html =
+          s"""<html><body><p>doc $id</p>""" +
+            s"""<img src="data:image/png;base64,$b64" alt="x">""" +
+            s"""<img src="https://cdn.example.com/img${id % 9}.png">""" +
+            "</body></html>"
+        val re = "data:([a-z+/.-]+);base64,([A-Za-z0-9+/=]+)".r
+        val found = re.findAllMatchIn(html).toSeq
+        val nExt = "src=\"https?://".r.findAllIn(html).length
+        val (mime, w, h, exact) = found.headOption.map { m =>
+          val bytes = java.util.Base64.getDecoder.decode(m.group(2))
+          val img = decodePng(bytes).getOrElse(
+            sys.error(s"embedded PNG failed to decode for doc $id"))
+          val ref = pngOf(id)
+          (m.group(1), img.width.toLong, img.height.toLong,
+            img.width == ref.width && img.height == ref.height &&
+              java.util.Arrays.equals(img.pixels, ref.pixels))
+        }.getOrElse(("", 0L, 0L, false))
+        (id, found.size.toLong, nExt.toLong, mime, w, h, exact)
+      }
+      .toDF("doc_id", "n_data_uris", "n_external_refs", "mime",
+        "width", "height", "pixels_exact")
+  }
+
   /** Graded G.711 companding (q306) — the telephony byte codecs
     * ([[graft.io.G711]]) over the q305 triangle fixture: both laws
     * encoded 2:1, decoded, re-encoded. Graded exactly where the

@@ -90,6 +90,12 @@ object Robots {
       lit("User-agent: badbot\n"),
       lit("Disallow: /"))
     val withTxt = hosts.select(col("host"), txt.as("txt"))
+    parseRobotsTxt(withTxt)
+  }
+
+  /** The q269 parse KERNEL over any (host, txt) frame — shared with
+    * the q310 wildcard-composition path. */
+  private[graft] def parseRobotsTxt(withTxt: DataFrame): DataFrame = {
     val NamePat = "^([A-Za-z-]+):\\s*(.*)$"
     withTxt
       .withColumn("l", split(col("txt"), "\n"))
@@ -200,13 +206,50 @@ object Robots {
   def robotsWildcardGate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    wildcardGateFrom(docs, WildcardRuleTuples
+      .map { case (h, a, p) => (h, a, p, wildcardToRegex(p)) }
+      .toDF("host", "is_allow", "pattern", "rx"))
+  }
+
+  /** q310: the q296 gate fed by PARSED rules — the wildcard tuples
+    * serialized as real robots.txt files per host, parsed by the
+    * UNCHANGED q269 kernel, translated, and gated: the output must
+    * EQUAL q296 row for row (same oracle — the q291 composition
+    * discipline). */
+  def robotsWildcardParsedGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hostTxt = WildcardRuleTuples.groupBy(_._1).toSeq
+      .map { case (host, rules) =>
+        val lines = rules.map { case (_, a, p) =>
+          (if (a == 1) "Allow: " else "Disallow: ") + p
+        }
+        (host, "# wildcard rules\nUser-agent: *\n" +
+          lines.mkString("\n"))
+      }
+      .toDF("host", "txt")
+    val parsed = parseRobotsTxt(hostTxt)
+      .filter(col("agent") === "*" &&
+        col("directive").isin("allow", "disallow"))
+      .select(col("host"),
+        when(col("directive") === "allow", 1).otherwise(0)
+          .as("is_allow"),
+        col("value").as("pattern"))
+    val withRx = parsed.as[(String, Int, String)]
+      .map { case (h, a, p) => (h, a, p, wildcardToRegex(p)) }
+      .toDF("host", "is_allow", "pattern", "rx")
+    wildcardGateFrom(docs, withRx)
+  }
+
+  /** The q296/q310 shared gate core over a (host, is_allow,
+    * pattern, rx) rule frame. */
+  private def wildcardGateFrom(docs: DataFrame,
+      ruleRows: DataFrame): DataFrame = {
     val pages = UrlCanonical.urlCanonical(docs)
       .select(col("doc_id"), col("host"),
         regexp_extract(col("canonical_url"),
           "^[a-z]+://[^/?]+([^?]*)", 1).as("path"))
-    val hostRules = WildcardRuleTuples
-      .map { case (h, a, p) => (h, a, p, wildcardToRegex(p)) }
-      .toDF("host", "is_allow", "pattern", "rx")
+    val hostRules = ruleRows
       .groupBy(col("host"))
       .agg(collect_list(struct(col("is_allow"), col("pattern"),
         col("rx"))).as("rules"))
