@@ -375,6 +375,11 @@ object SparkEntry {
     // arithmetic + bounded post-attack error.
     "q305_adpcm_roundtrip" -> ((s, dir) =>
       operators.Multimodal.adpcmRoundTripStats(documents(s, dir))),
+    // Cross-source duplicate-flow matrix: the q5 pair set
+    // source-attributed per unordered source pair — the "who
+    // mirrors whom" curation table.
+    "q311_cross_source_dups" -> ((s, dir) =>
+      operators.Dedup.crossSourceDups(documents(s, dir))),
     // Mojibake detection + EXACT repair (double-encoded UTF-8):
     // Latin-1 re-encode, strict UTF-8 re-decode; the repaired
     // digest must equal the clean twin's.
@@ -2855,6 +2860,7 @@ object SparkEntry {
     "q296_robots_wildcard" -> OracleSql.robotsWildcardGate,
     // the parsed-rules gate must EQUAL q296 — same oracle, verbatim
     "q310_robots_wildcard_parsed" -> OracleSql.robotsWildcardGate,
+    "q311_cross_source_dups" -> OracleSql.crossSourceDups,
     // data-URI images: dims from the q67 synthesis arithmetic; the
     // lossless byte-exact raster gate asserted literally TRUE
     "q309_data_uri_images" ->

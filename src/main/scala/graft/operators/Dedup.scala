@@ -1854,6 +1854,30 @@ object Dedup {
         (col("n_contaminated").cast("double") /
           col("n_docs").cast("double")).as("contamination_rate"))
 
+  /** Cross-source duplicate-flow matrix (q311) — the "who mirrors
+    * whom" table a curation run reads when deciding per-source
+    * dedup priorities: the UNCHANGED q5 near-dup pair set
+    * attributed to both documents' sources, rolled to one row per
+    * unordered source pair (lexicographic (lo, hi) so A→B and B→A
+    * flows land in one cell; the diagonal is within-source
+    * duplication).
+    *
+    * Scale design (100 TB): the q5 plan plus two skinny
+    * (doc_id, source) joins over the dup-density-sized pair set and
+    * a ≤ |sources|² rollup. */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val pairs = minhashNearDups(docs).select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Dedup-family consensus audit (q288) — the method-agreement
     * table a curation run reads before trusting any single family:
     * the pair sets of FIVE independent near-dup detectors (MinHash

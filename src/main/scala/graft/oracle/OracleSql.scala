@@ -894,6 +894,28 @@ JOIN h y ON y.doc_id = c.doc_b
 WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
         len(list_distinct(list_concat(x.hashes, y.hashes))) >= ${Dedup.JaccardThreshold}"""
 
+  /** Mirror of [[graft.operators.Dedup.crossSourceDups]] (q311):
+    * the q5 pair chain, verified pairs source-attributed and rolled
+    * per unordered source pair. */
+  def crossSourceDups: String =
+    s"""${minhashCandCtes(shingleCtes)}
+, ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN h x ON x.doc_id = c.doc_a
+  JOIN h y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE) /
+          len(list_distinct(list_concat(x.hashes, y.hashes)))
+        >= ${graft.operators.Dedup.JaccardThreshold}
+), srcmap AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ver
+JOIN srcmap a ON a.doc_id = ver.doc_a
+JOIN srcmap b ON b.doc_id = ver.doc_b
+GROUP BY 1, 2"""
+
   /** Mirror of [[graft.operators.Dedup.dupRateAudit]] (q216): the
     * full q5 candidate chain, the same masked-mix pair sample, exact
     * verification of the sample only, and the extrapolated count. */
