@@ -981,4 +981,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionSpec {
     assert(out.map(_.getAs[Long]("n_methods")).max >= 4L,
       "true dups should be found by most families")
   }
+
+  test("q311 cross-source flows: a planted cross-source mirror " +
+      "lands in ONE unordered cell, within-source dups on the " +
+      "diagonal, pair totals conserved") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    val docs = Seq(
+      (1L, text, "web"), (2L, text, "books"),   // cross-source pair
+      (3L, text + " tail", "web"),              // near-dup of 1 (web)
+      (4L, "totally different words entirely here now", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDups(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(out.getOrElse(("books", "web"), 0L) >= 1L,
+      s"cross-source cell missing: $out")
+    assert(!out.contains(("web", "books")),
+      "cells must be unordered (lo, hi)")
+    val totalPairs = Dedup.minhashNearDups(docs).count()
+    assert(out.values.sum == totalPairs, "pair totals conserved")
+  }
 }
