@@ -385,6 +385,15 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Batched BPE training (the distributed-BPE scale shape): 3
+    // rounds × up to 4 invariance-filtered acceptances from the
+    // ranked candidate prefix — 3 pair-count jobs instead of 12.
+    "q312_bpe_batched" -> ((s, dir) =>
+      operators.Bpe.batchedMergeTable(s, documents(s, dir))),
+    // Batched BPE apply-side: per-doc token budgets under the q312
+    // merges — the q101 broadcast apply at the batched step count.
+    "q313_bpe_batched_segment" -> ((s, dir) =>
+      operators.Bpe.batchedTrainAndCount(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -2861,6 +2870,8 @@ object SparkEntry {
     // the parsed-rules gate must EQUAL q296 — same oracle, verbatim
     "q310_robots_wildcard_parsed" -> OracleSql.robotsWildcardGate,
     "q311_cross_source_dups" -> OracleSql.crossSourceDups,
+    "q312_bpe_batched" -> OracleSql.bpeBatchedMerges,
+    "q313_bpe_batched_segment" -> OracleSql.bpeBatchedSegmentCounts,
     // data-URI images: dims from the q67 synthesis arithmetic; the
     // lossless byte-exact raster gate asserted literally TRUE
     "q309_data_uri_images" ->

@@ -100,8 +100,14 @@ object Charset {
   /** Attempt the classic repair. Some(fixed) iff the Latin-1 bytes
     * of `text` form STRICTLY valid UTF-8 that differs from the
     * input (ASCII round-trips identically — not mojibake; real
-    * Latin-1 text fails the strict decode — not repairable). */
+    * Latin-1 text fails the strict decode — not repairable).
+    * Chars above U+00FF bail out FIRST: only Latin-1-representable
+    * text can be the product of a Latin-1 mis-decode, and
+    * getBytes("ISO-8859-1") would silently map a clean CJK/'€' char
+    * to '?' — valid UTF-8 that differs from the input, i.e. a clean
+    * document destructively "repaired" (the r15 ADVICE finding). */
   def repairMojibake(text: String): Option[String] = {
+    if (text.exists(_ > 0xFF)) return None
     val bytes = text.getBytes("ISO-8859-1")
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

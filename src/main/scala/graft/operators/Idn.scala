@@ -136,15 +136,28 @@ object Idn {
         require(pos < input.length, "punycode: truncated digit run")
         val digit = decodeDigit(input.charAt(pos))
         pos += 1
+        // RFC 3492 §6.4 overflow guards (r15 ADVICE): on an
+        // adversarially long digit run, i += digit*w and w *= Base-t
+        // can wrap Int and yield a WRONG decode silently — the
+        // opposite of this file's loud-reject contract
+        require(digit <= (Int.MaxValue - i) / math.max(w, 1) &&
+          w > 0, "punycode: overflow in variable-length integer")
         i += digit * w
         val t =
           if (k <= bias) TMin
           else if (k >= bias + TMax) TMax
           else k - bias
         if (digit < t) done = true
-        else { w *= Base - t; k += Base }
+        else {
+          require(w <= Int.MaxValue / (Base - t),
+            "punycode: overflow in weight")
+          w *= Base - t
+          k += Base
+        }
       }
       bias = adapt(i - oldi, output.length + 1, oldi == 0)
+      require(i / (output.length + 1) <= Int.MaxValue - n,
+        "punycode: overflow in code point")
       n += i / (output.length + 1)
       i %= output.length + 1
       output.insert(i, n)

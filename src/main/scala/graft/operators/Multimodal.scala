@@ -322,23 +322,37 @@ object Multimodal {
         case 1 =>
           Array.tabulate(len / 2)(i => buf.getShort(off + 2 * i))
         case 7 =>
+          // container metadata is UNTRUSTED: a fact count past the
+          // data chunk would read out of bounds (r15 ADVICE) — the
+          // contract here is None, never an ArrayIndexOutOfBounds
           val n = fact.getOrElse(len)
+          if (n < 0 || n > len) return None
           val bytes = new Array[Byte](n)
           System.arraycopy(payload, off, bytes, 0, n)
           G711.mulawDecodeAll(bytes)
         case 0x11 =>
           val total = fact.getOrElse(0)
+          // blockAlign < 4 cannot hold the 4-byte block header (and
+          // 0 would never advance); both are malformed containers
+          if (total < 0 || blockAlign < 4) return None
           val out = new Array[Short](total)
           var emitted = 0
           var pos = off
           while (emitted < total && pos + 4 <= off + len) {
             val first = buf.getShort(pos)
             val index = payload(pos + 2) & 0xFF
+            // the step index seeds AdpcmIma.StepTable (89 entries);
+            // a corrupt header must verdict None, not throw
+            if (index > 88) return None
             out(emitted) = first
             emitted += 1
             val want = math.min(ImaSamplesPerBlock - 1,
               total - emitted)
             if (want > 0) {
+              // the nibbles must fit INSIDE the data chunk — a fact
+              // count larger than the chunk holds must not spill the
+              // decode into whatever chunk follows
+              if (pos + 4 + (want + 1) / 2 > off + len) return None
               val (dec, _) = AdpcmIma.decodeFrom(payload, pos + 4,
                 want, first, index)
               System.arraycopy(dec, 0, out, emitted, want)
@@ -346,6 +360,10 @@ object Multimodal {
             }
             pos += blockAlign
           }
+          // a fact count promising more samples than the data
+          // chunk's blocks carry is a malformed container — None,
+          // not a silently zero-padded tail
+          if (emitted < total) return None
           out
         case _ => return None
       }

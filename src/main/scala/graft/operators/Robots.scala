@@ -184,12 +184,30 @@ object Robots {
     }
 
   /** RFC 9309 pattern → anchored regex, shared verbatim by both
-    * engines (patterns carry only `[A-Za-z0-9/]`, `*` and a final
-    * `$`, so no escaping is needed): `*` → `.*`, implicit start
-    * anchor, and WITHOUT a final `$` the match is a PREFIX match
-    * (regex left unanchored at the end). */
-  def wildcardToRegex(pattern: String): String =
-    "^" + pattern.replace("*", ".*")
+    * engines: `*` → `.*`, a FINAL `$` → the end anchor, implicit
+    * start anchor, and WITHOUT a final `$` the match is a PREFIX
+    * match (regex left unanchored at the end). Every literal
+    * character is metachar-escaped (r15 ADVICE: a real-web pattern
+    * carrying '.', '+', '(' must keep its literal meaning, not
+    * silently become a regex operator) — escaping is per-character
+    * backslash, not \\Q…\\E, so the SAME string stays valid under
+    * both java.util.regex and DuckDB's RE2. On `[A-Za-z0-9/]`
+    * fixtures the escape is the identity, so q296/q310 rows are
+    * unchanged. */
+  def wildcardToRegex(pattern: String): String = {
+    val (body, anchor) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), "$")
+      else (pattern, "")
+    val sb = new StringBuilder("^")
+    body.foreach { c =>
+      if (c == '*') sb.append(".*")
+      else {
+        if (!c.isLetterOrDigit && c != '/' && c != '_') sb.append('\\')
+        sb.append(c)
+      }
+    }
+    sb.append(anchor).toString
+  }
 
   /** q296: the q249 gate under the FULL RFC 9309 matching rules:
     * (doc_id, host, path, rule, allowed) where `rule` is the

@@ -819,6 +819,122 @@ GROUP BY d.doc_id"""
     ctes.result().mkString(",\n")
   }
 
+  /** Mirror of [[graft.operators.Bpe.batchedMergeTable]] (q312):
+    * the batched trainer's fixed-round shape unrolled — per round a
+    * weighted pair count over the current vocab, the rank-ordered
+    * candidate prefix (row_number over the SAME (c DESC, l, r)
+    * tiebreak, capped at 4×batchSize like the Spark collect), a
+    * GREEDY accept chain (each link picks the lowest-rank candidate
+    * that neither repeats an accepted rank nor conflicts under the
+    * exact invariance condition: r = accepted.l, l = accepted.r, or
+    * either symbol equals an accepted merge), and the batch applied
+    * as a sequence of NULL-guarded merge folds in acceptance order.
+    * Greedy-scan ≡ iterated-argmin: a candidate skipped against a
+    * smaller accepted set still conflicts against every superset, so
+    * "lowest non-conflicting rank after the previous acceptance" is
+    * exactly the sequential scan's next accept. */
+  def bpeBatchedMerges: String = {
+    val rounds = graft.operators.Bpe.BatchedRounds
+    val sel = (0 until rounds).map { i =>
+      s"SELECT $i AS b, rn, l, r, merged, c FROM acc${i}_${graft.operators.Bpe.BatchedBatchSize}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeBatchedCtes()}
+, allacc AS ($sel)
+SELECT CAST(row_number() OVER (ORDER BY b, rn) - 1 AS INTEGER)
+         AS step,
+       l AS left_sym, r AS right_sym, merged, c AS pair_count
+FROM allacc"""
+  }
+
+  /** Mirror of [[graft.operators.Bpe.batchedTrainAndCount]] (q313):
+    * the batched-trained vocabulary's final symbol sequences joined
+    * back to the corpus word stream — the q101 apply under the q312
+    * merges. */
+  def bpeBatchedSegmentCounts: String = {
+    val rounds = graft.operators.Bpe.BatchedRounds
+    s"""WITH ${bpeBatchedCtes()}
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(m.syms)) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN vb$rounds m ON d.word = m.word
+WHERE len(d.word) > 0
+GROUP BY d.doc_id"""
+  }
+
+  /** Shared CTE chain of the batched-BPE mirrors: vocabulary vb0,
+    * then per round i the pair counts pb_i, ranked candidate prefix
+    * cand_i, the greedy accept chain acc_i_1..acc_i_B, the per-slot
+    * acceptances sel_i_k (ORDER BY rn OFFSET k — acceptance order IS
+    * ascending rank, see [[bpeBatchedMerges]]), and the folded
+    * vocabulary vb_{i+1} = vb_i_f_B. */
+  private def bpeBatchedCtes(): String = {
+    val rounds = graft.operators.Bpe.BatchedRounds
+    val bs = graft.operators.Bpe.BatchedBatchSize
+    val prefix = bs * 4
+    def fold(bl: String, br: String, merged: String): String =
+      s"""list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $bl AND x[1] = $br
+                THEN list_append(acc[:len(acc)-1], $merged)
+                ELSE list_append(acc, x[1]) END)"""
+    val ctes = Seq.newBuilder[String]
+    ctes += """vb0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0
+  GROUP BY word
+)"""
+    (0 until rounds).foreach { i =>
+      ctes += s"""cand$i AS MATERIALIZED (
+  SELECT l, r, c, rn FROM (
+    SELECT l, r, c,
+           row_number() OVER (ORDER BY c DESC, l, r) AS rn
+    FROM (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, syms[j] AS l, syms[j+1] AS r
+        FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+              FROM vb$i))
+      GROUP BY l, r))
+  WHERE rn <= $prefix
+)"""
+      ctes += s"""acc${i}_1 AS MATERIALIZED (
+  SELECT rn, l, r, l || r AS merged, c FROM cand$i ORDER BY rn LIMIT 1
+)"""
+      (2 to bs).foreach { k =>
+        ctes += s"""acc${i}_$k AS MATERIALIZED (
+  SELECT * FROM acc${i}_${k - 1}
+  UNION ALL
+  SELECT * FROM (
+    SELECT c2.rn, c2.l, c2.r, c2.l || c2.r AS merged, c2.c
+    FROM cand$i c2
+    WHERE c2.rn NOT IN (SELECT rn FROM acc${i}_${k - 1})
+      AND NOT EXISTS (
+        SELECT 1 FROM acc${i}_${k - 1} a
+        WHERE c2.r = a.l OR c2.l = a.r
+           OR c2.l = a.merged OR c2.r = a.merged)
+    ORDER BY c2.rn LIMIT 1)
+)"""
+      }
+      (1 to bs).foreach { k =>
+        ctes += s"""sel${i}_$k AS (
+  SELECT l, r, merged FROM acc${i}_$bs
+  ORDER BY rn LIMIT 1 OFFSET ${k - 1}
+)"""
+        val src = if (k == 1) s"vb$i" else s"vb${i}_f${k - 1}"
+        val tgt = if (k == bs) s"vb${i + 1}" else s"vb${i}_f$k"
+        ctes += s"""$tgt AS (
+  SELECT word, cnt,
+         CASE WHEN s.l IS NULL THEN syms
+              ELSE ${fold("s.l", "s.r", "s.merged")} END AS syms
+  FROM $src LEFT JOIN sel${i}_$k s ON TRUE
+)"""
+      }
+    }
+    ctes.result().mkString(",\n")
+  }
+
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
     * same shingle digests and permutation constants; the per-source
     * MIN over per-doc signature coordinates equals the union-set min

@@ -87,6 +87,48 @@ class AdpcmImaSpec extends AnyFunSuite {
       G711.mulawDecodeAll(G711.mulawEncodeAll(src))))
   }
 
+  test("corrupt coded-WAV containers verdict None, never throw " +
+      "(r15 ADVICE: metadata is untrusted — step index > 88, fact " +
+      "count past the data chunk, sub-header blockAlign)") {
+    import graft.operators.Multimodal
+    val src = Array.tabulate[Short](600)(i => (i * 11 % 997).toShort)
+    def find(hay: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      hay.indices.find(i => i + 4 <= hay.length &&
+        hay(i) == t(0) && hay(i + 1) == t(1) &&
+        hay(i + 2) == t(2) && hay(i + 3) == t(3)).get
+    }
+    // IMA: poison the first block's step-index byte (offset data+8+2)
+    val ima = Multimodal.encodeWavIma(8000, src)
+    val dataOff = find(ima, "data")
+    val poisoned = ima.clone()
+    poisoned(dataOff + 8 + 2) = 200.toByte // StepTable has 89 entries
+    assert(Multimodal.decodeWavCoded(poisoned).isEmpty)
+    // IMA: blockAlign too small to hold the 4-byte state header
+    val fmtOff = find(ima, "fmt ")
+    val badAlign = ima.clone()
+    badAlign(fmtOff + 8 + 12) = 2.toByte // nBlockAlign LE16 := 2
+    badAlign(fmtOff + 8 + 13) = 0.toByte
+    assert(Multimodal.decodeWavCoded(badAlign).isEmpty)
+    // mu-law: fact count far past the data chunk
+    val mu = Multimodal.encodeWavMulaw(8000, src)
+    val factOff = find(mu, "fact")
+    val badFact = mu.clone()
+    badFact(factOff + 8) = 0xFF.toByte // fact := huge LE32
+    badFact(factOff + 9) = 0xFF.toByte
+    badFact(factOff + 10) = 0x7F.toByte
+    assert(Multimodal.decodeWavCoded(badFact).isEmpty)
+    // IMA: fact count past what the data chunk's blocks can carry
+    val imaFactOff = find(ima, "fact")
+    val badImaFact = ima.clone()
+    badImaFact(imaFactOff + 8) = 0xFF.toByte
+    badImaFact(imaFactOff + 9) = 0xFF.toByte
+    assert(Multimodal.decodeWavCoded(badImaFact).isEmpty)
+    // untouched containers still decode
+    assert(Multimodal.decodeWavCoded(ima).nonEmpty)
+    assert(Multimodal.decodeWavCoded(mu).nonEmpty)
+  }
+
   test("clamping: full-scale swings neither overflow nor wedge the " +
       "index (the spec's clamp rules)") {
     val src = Array.tabulate[Short](64)(i =>

@@ -212,6 +212,65 @@ class BpeSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("q312 fixed-round twin == trainMergesBatched when every " +
+      "round fills its batch, and shrinks (never extends) when the " +
+      "corpus exhausts") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rounds = Bpe.trainMergesBatchedRounds(docs,
+      Bpe.BatchedRounds, Bpe.BatchedBatchSize)
+    val quota = Bpe.trainMergesBatched(docs,
+      Bpe.BatchedRounds * Bpe.BatchedBatchSize, Bpe.BatchedBatchSize)
+    assert(rounds == quota, "full batches: the twins are identical")
+    // exhaustion: one learnable merge, then nothing — the rounds
+    // variant must not loop extra rounds into empty pair counts
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.trainMergesBatchedRounds(tiny, 3, 4)
+    assert(m.map(x => (x.left_sym, x.right_sym)) == Seq(("a", "b")))
+  }
+
+  test("BASELINE ladder: the batched trainer's Spark-JOB count " +
+      "scales with ROUNDS, the serial trainer's with MERGES — the " +
+      "removed driver-round-trip axis, measured") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart)
+            : Unit = { counter.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async: poll until the count is stable
+        // (bounded), instead of the private waitUntilEmpty
+        var last = -1
+        var spins = 0
+        while (counter.get() != last && spins < 20) {
+          last = counter.get(); Thread.sleep(150); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val serialJobs = jobsDuring {
+      assert(Bpe.trainMerges(docs, 12).size == 12)
+    }
+    val batchedJobs = jobsDuring {
+      assert(Bpe.trainMergesBatchedRounds(docs, 3, 4).size == 12)
+    }
+    // serial: >= one pair-count job per merge (12); batched: one per
+    // round (3) plus bounded checkpoint jobs — strictly fewer, and
+    // under half at this shape (measured figures live in BASELINE.md)
+    info(s"12 merges: serial=$serialJobs jobs, " +
+      s"batched(3x4)=$batchedJobs jobs")
+    assert(serialJobs >= 12, s"serial ran $serialJobs jobs")
+    assert(batchedJobs * 2 <= serialJobs,
+      s"batched=$batchedJobs vs serial=$serialJobs")
+  }
+
   test("segmentCounts shuffle-join fallback is row-identical to the " +
       "broadcast form") {
     val docs = spark.read

@@ -63,6 +63,13 @@ class CharsetSpec extends AnyFunSuite with SparkSessionSpec {
     val twice = new String(bad.getBytes("UTF-8"), "ISO-8859-1")
     assert(Charset.repairMojibake(twice).contains(bad))
     assert(Charset.repairMojibake(bad).contains(clean))
+    // chars above U+00FF can never be the product of a Latin-1
+    // mis-decode — a clean CJK/'€' doc must NOT be flagged (its
+    // Latin-1 bytes would be '?' — valid UTF-8 differing from the
+    // input, the r15 ADVICE silent-corruption path)
+    assert(Charset.repairMojibake("€ 42 off").isEmpty)
+    assert(Charset.repairMojibake("日本語のテキスト").isEmpty)
+    assert(Charset.repairMojibake("mixed café 中").isEmpty)
   }
 
   test("byte order genuinely matters: swapping the UTF-16 BOM " +

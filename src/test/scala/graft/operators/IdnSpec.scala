@@ -55,6 +55,23 @@ class IdnSpec extends AnyFunSuite with SparkSessionSpec {
     intercept[RuntimeException](Idn.punycodeDecode("kln-z"))
   }
 
+  test("RFC 3492 §6.4 overflow guards fire LOUD on adversarially " +
+      "long digit runs (r15 ADVICE: i += digit*w / w *= Base-t must " +
+      "never wrap Int into a silent wrong decode)") {
+    // a run of max digits ('9' = 35 >= every threshold t) keeps the
+    // inner loop multiplying w by ~(36-t) — Int wraps within ~8
+    // digits unguarded; the guard must reject, not decode
+    val e1 = intercept[IllegalArgumentException](
+      Idn.punycodeDecode("a-" + "9" * 24))
+    assert(e1.getMessage.contains("overflow"))
+    val e2 = intercept[IllegalArgumentException](
+      Idn.punycodeDecode("z9" * 40)) // delimiter-free: all extended
+    assert(e2.getMessage.contains("overflow") ||
+      e2.getMessage.contains("punycode"))
+    // well-formed labels still decode after the guards
+    assert(Idn.punycodeDecode("mnchen-3ya") == "münchen")
+  }
+
   test("q297 frame: computed ACE forms equal the oracle's literal " +
       "expectations and every round-trip closes") {
     import spark.implicits._

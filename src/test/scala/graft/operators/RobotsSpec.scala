@@ -148,6 +148,19 @@ class RobotsSpec extends AnyFunSuite with SparkSessionSpec {
     assert("/Cat0/page10".matches("^.*/page1$") == false)
     assert(java.util.regex.Pattern.compile("^/Cat.*")
       .matcher("/Cat3/page9").find())
+    // regex metachars in the PATTERN are literals (RFC 9309 knows
+    // only '*' and a final '$') — r15 ADVICE: '.', '+', '(' must not
+    // change match semantics
+    assert(Robots.wildcardToRegex("/a.php$") == "^/a\\.php$")
+    assert("/a.php".matches(Robots.wildcardToRegex("/a.php$")))
+    assert(!"/aXphp".matches(Robots.wildcardToRegex("/a.php$")))
+    val plus = Robots.wildcardToRegex("/c++/docs*")
+    assert(java.util.regex.Pattern.compile(plus)
+      .matcher("/c++/docs/intro").find())
+    // a mid-pattern '$' is a literal dollar, only the FINAL one
+    // anchors
+    assert(java.util.regex.Pattern.compile(
+      Robots.wildcardToRegex("/p$q*")).matcher("/p$q/r").find())
   }
 
   test("q270: fetch times step by the host's OWN parsed " +
