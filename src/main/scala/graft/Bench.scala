@@ -1,6 +1,107 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** The driver-loop block (r15 brief #3): BPE/IVF/PQ trainers, the
+    * label-propagation span remover, host PageRank and the stream
+    * funnel — queries whose cost is a driver-paced loop of small
+    * jobs. Measured across r14/r15 quiet batteries, the block swings
+    * 1.5–2.2× with BATTERY POSITION alone (JIT/GC/page-cache state
+    * left behind by ~100 prior queries), polluting the drift signal.
+    * The battery therefore runs it in its OWN child JVM slot (the
+    * q309/q310 isolated-bench discipline, automated); gate rows for
+    * these queries are recorded from that slot. */
+  val IsolatedBlock: Set[String] = Set(
+    "q100_bpe_merges", "q101_bpe_segment", "q102_span_removal",
+    "q103_ivf_cells", "q104_host_quality", "q105_stream_funnel",
+    "q106_ann_pq", "q312_bpe_batched", "q313_bpe_batched_segment")
+
+  /** Gate-ratio above which a battery row is automatically
+    * re-measured in an isolated child JVM (r15 brief #2: the
+    * artifact chain must carry its own adjudication — a 2.9× row
+    * that only a judge's manual A/B exonerates is a process bug). */
+  val AbThreshold = 1.5
+
+  /** Upper bound on auto-A/B children per run: a CONTENDED box can
+    * push dozens of rows past 1.5× at once, and re-running them all
+    * isolated would double the battery; the worst offenders carry
+    * the adjudication signal. */
+  val AbMaxChildren = 8
+
+  private def isChild = sys.env.contains("SPARK_GRAFT_AB_CHILD")
+
+  /** Spawn a child Bench JVM over exactly `queries` and return its
+    * per-query seconds. The child inherits this JVM's flags (minus
+    * debug agents) and classpath; its stdout is diverted to a temp
+    * file so the DRIVER's final-stdout-line parse only ever sees the
+    * parent. None = spawn/parse failure or timeout (caller falls
+    * back to in-process measurement). */
+  private def runChild(queries: Seq[String], sfDir: String,
+      cpus: String, timeoutSec: Long): Option[Map[String, Double]] = {
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"),
+        "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val keep = new java.util.ArrayList[String]()
+      keep.add(javaBin)
+      jvmArgs.forEach { a =>
+        if (!a.startsWith("-agentlib") && !a.startsWith("-javaagent") &&
+            !a.startsWith("-Xrunjdwp")) keep.add(a)
+      }
+      keep.add("-cp")
+      keep.add(System.getProperty("java.class.path"))
+      keep.add("graft.Bench")
+      val detailOut = java.io.File.createTempFile("bench_child", ".json")
+      detailOut.deleteOnExit()
+      val outLog = java.io.File.createTempFile("bench_child", ".out")
+      outLog.deleteOnExit()
+      val pb = new ProcessBuilder(keep)
+      pb.directory(new java.io.File(System.getProperty("user.dir")))
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_AB_CHILD", "1")
+      env.put("SPARK_GRAFT_QUERIES", queries.mkString(","))
+      env.put("SPARK_GRAFT_DETAIL_OUT", detailOut.getAbsolutePath)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.remove("SPARK_GRAFT_QUIET_OUT")
+      pb.redirectOutput(outLog)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        p.destroyForcibly()
+        System.err.println(
+          s"[bench] child (${queries.size} queries) timed out after ${timeoutSec}s")
+        return None
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (p.exitValue() != 0) {
+        System.err.println(
+          s"[bench] child exited ${p.exitValue()} (${queries.mkString(",")})")
+        return None
+      }
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(detailOut)
+      val qs = node.get("queries")
+      if (qs == null) return None
+      val b = Map.newBuilder[String, Double]
+      val it = qs.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asDouble()
+      }
+      System.err.println(f"[bench] child ok: ${queries.size} queries in $wall%.1f s wall")
+      Some(b.result())
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] child spawn failed: ${e.getMessage}")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     graft.util.HostLoad.record()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,15 +159,46 @@ object Bench {
     // Dev-only subset filter (unset in the driver's run = all queries).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // Consolidated per-query gate rows (BASELINE.md quiet batteries,
+    // maintained as tools/gate_rows.json). Gate rows are sf0.1
+    // in-battery figures — diffing them against a different scale
+    // factor (or a dev subset run) would manufacture breaches, so
+    // the diff only arms on sf0.1.
+    val gatesArmed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val gates: Map[String, Double] =
+      try {
+        val f = new java.io.File("tools/gate_rows.json")
+        if (!gatesArmed || !f.exists()) Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(f)
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] gate rows unreadable: ${e.getMessage}")
+        Map.empty
+      }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // the driver-loop block runs in its own child JVM slot on gated
+    // (sf0.1) parent runs; everything else is the in-process battery
+    val isolateBlock = gatesArmed && !isChild &&
+      selected.exists { case (n, _) => IsolatedBlock(n) }
+    val (blockQs, batteryQs) =
+      if (isolateBlock) selected.partition { case (n, _) => IsolatedBlock(n) }
+      else (Seq.empty, selected)
     // Per-query host context: the r8 driver run showed a contiguous
     // q72–q77 breach block caused by a MID-battery load window that
     // the single per-RUN canary could not see (load1_pre 3.57, later
     // adjudicated as contention on a quiet re-run). Sampling loadavg
     // and steal around EVERY query makes a contended measurement
     // self-evident in the JSON line itself.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double, Double, Double) = {
       val (load1, _, _) = graft.util.HostLoad.loadAvg()
       val (s0, j0) = graft.util.HostLoad.cpuJiffies()
       // ~1 ms of fixed single-thread work per query: effective CPU
@@ -85,7 +217,7 @@ object Bench {
       val steal = if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else Double.NaN
       // operators persist intermediates (hashed corpora, normed
       // embeddings) scoped to their own query; release them so caches
-      // don't pile up across the 21-query session and evict each other
+      // don't pile up across the battery and evict each other
       spark.catalog.clearCache()
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
         val rdds = spark.sparkContext.getPersistentRDDs
@@ -94,73 +226,117 @@ object Bench {
       }
       (name, if (ok) sec else -1.0, load1, steal, canary)
     }
+    val batteryResults = batteryQs.map { case (n, f) => measure(n, f) }
+    // isolated block slot: one child JVM over the block, merged into
+    // the same artifact tagged with its slot; on spawn failure the
+    // block falls back to the in-process tail (slot says so)
+    var blockIsolatedOk = false
+    val blockResults: Seq[(String, Double, Double, Double, Double)] =
+      if (blockQs.isEmpty) Seq.empty
+      else runChild(blockQs.map(_._1), sfDir, cpus, 2400) match {
+        case Some(times) =>
+          blockIsolatedOk = true
+          blockQs.map { case (n, _) =>
+            (n, times.getOrElse(n, -1.0), Double.NaN, Double.NaN, Double.NaN)
+          }
+        case None => blockQs.map { case (n, f) => measure(n, f) }
+      }
+    val results = (batteryResults ++ blockResults).sortBy(_._1)
+    val slotOf: Map[String, String] = results.map { case (k, _, _, _, _) =>
+      k -> (if (blockIsolatedOk && IsolatedBlock(k)) "isolated_block"
+            else "battery")
+    }.toMap
+    val ratioOf: Map[String, Double] = results.collect {
+      case (k, v, _, _, _) if v >= 0 && gates.contains(k) => k -> v / gates(k)
+    }.toMap
+    // auto-A/B (r15 brief #2): every gated row past AbThreshold is
+    // re-measured in its OWN child JVM and both numbers ship in the
+    // artifact — the q53/q67 manual adjudication discipline,
+    // automated. Rows already measured in the isolated block slot
+    // ARE isolated readings; re-running them would measure nothing
+    // new. Worst offenders first, bounded by AbMaxChildren.
+    val abTargets =
+      if (!gatesArmed || isChild) Seq.empty
+      else results.collect {
+        case (k, v, _, _, _) if v >= 0 &&
+          ratioOf.get(k).exists(_ > AbThreshold) &&
+          slotOf(k) == "battery" => (k, v)
+      }.sortBy { case (k, _) => -ratioOf(k) }.take(AbMaxChildren)
+    val ab: Seq[(String, Double, Option[Double])] = abTargets.map {
+      case (k, battSec) =>
+        val iso = runChild(Seq(k), sfDir, cpus, 900)
+          .flatMap(_.get(k)).filter(_ >= 0)
+        (k, battSec, iso)
+    }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def num(d: Double) = if (d.isNaN) "null"
       else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ctx = results.map { case (k, _, l1, st, cn) =>
       "\"" + k + "\":{\"load1\":" + num(l1) + ",\"steal_pct\":" + num(st) +
-        ",\"canary_ms\":" + num(cn) + "}"
+        ",\"canary_ms\":" + num(cn) +
+        ",\"slot\":\"" + slotOf(k) + "\"" +
+        ratioOf.get(k).map(r => ",\"gate_ratio\":" + num(r)).getOrElse("") +
+        "}"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     def num3(d: Double) = if (d.isNaN) "null"
       else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    // Consolidated per-query gate rows (BASELINE.md r11 closing battery +
-    // mini-batteries, maintained as tools/gate_rows.json). Diffed
-    // automatically every run: a query over 2x its gate row is a breach
-    // the bench self-reports, so host-contention windows are visible in
-    // the artifact itself instead of needing a post-hoc adjudication.
-    // Gate rows are sf0.1 in-battery figures — diffing them against a
-    // different scale factor (or a dev subset run) would manufacture
-    // breaches, so the diff only arms on the driver's sf0.1 battery.
-    val gatesArmed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val gates: Map[String, Double] =
-      try {
-        val f = new java.io.File("tools/gate_rows.json")
-        if (!gatesArmed || !f.exists()) Map.empty
-        else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val node = om.readTree(f)
-          val it = node.fields()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-          b.result()
-        }
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] gate rows unreadable: ${e.getMessage}")
-        Map.empty
-      }
+    // a >2× row whose ISOLATED re-run lands under 2× is contention,
+    // not regression — the ab block carries the exoneration; rows
+    // without an isolated reading stay plain breaches
+    val abIso: Map[String, Double] = ab.collect {
+      case (k, _, Some(i)) => k -> i
+    }.toMap
     val breaches = results.collect {
       case (k, v, l1, st, cn) if v >= 0 && gates.get(k).exists(g => v > 2.0 * g) =>
         (k, gates(k), v, v / gates(k), l1, st, cn)
     }.sortBy(-_._4)
     breaches.foreach { case (k, g, v, r, l1, st, cn) =>
-      System.err.println(f"[bench] BREACH $k%s gate=$g%.2f now=$v%.2f ratio=$r%.2f (load1=$l1%.2f steal=$st%.2f%% canary=$cn%.1fms)")
+      val isoNote = abIso.get(k)
+        .map(i => f" isolated=$i%.2f (${i / g}%.2fx)").getOrElse("")
+      System.err.println(f"[bench] BREACH $k%s gate=$g%.2f now=$v%.2f ratio=$r%.2f (load1=$l1%.2f steal=$st%.2f%% canary=$cn%.1fms)$isoNote")
     }
     val breachJson = breaches.map { case (k, g, v, r, _, _, _) =>
-      s"""{"query":"$k","gate":${num3(g)},"now":${num3(v)},"ratio":${num3(r)}}"""
+      s"""{"query":"$k","gate":${num3(g)},"now":${num3(v)},"ratio":${num3(r)}${
+        abIso.get(k).map(i => s""","isolated":${num3(i)},"isolated_ratio":${num3(i / g)}""").getOrElse("")}}"""
     }.mkString("[", ",", "]")
-    // FULL artifact — per-query seconds, per-query host context, gate
-    // ratios, breaches — written to a tracked file. Rounds 1-12 proved any
-    // final-LINE design whose length grows with query count eventually
-    // overflows the driver's 2000-char tail window (11 of 12 rounds landed
-    // `parsed: null`), so the per-query map lives here, never on stdout's
-    // last line.
+    val abJson = ab.map { case (k, batt, iso) =>
+      s""""$k":{"battery":${num3(batt)},"isolated":${iso.map(num3).getOrElse("null")},"gate":${num3(gates(k))},"battery_ratio":${num3(ratioOf(k))},"isolated_ratio":${iso.map(i => num3(i / gates(k))).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    // FULL artifact — per-query seconds, per-query host context +
+    // slot + gate ratio, the auto-A/B block, breaches — written to a
+    // tracked file. Rounds 1-12 proved any final-LINE design whose
+    // length grows with query count eventually overflows the
+    // driver's 2000-char tail window (11 of 12 rounds landed
+    // `parsed: null`), so the per-query map lives here, never on
+    // stdout's last line.
     val detail =
-      s"""{"metric":"total_verbose","value":${num3(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qs,"query_ctx":$ctx,"gate_breaches":$breachJson,"gate_rows_known":${gates.size},${graft.util.HostLoad.jsonFragment()}}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total_verbose","value":${num3(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qs,"query_ctx":$ctx,"gate_breaches":$breachJson,"ab":$abJson,"isolated_block_ok":$blockIsolatedOk,"gate_rows_known":${gates.size},${graft.util.HostLoad.jsonFragment()}}"""
+    if (!isChild) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          (detail + "\n").getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+        println(detail) // keep the data recoverable from scrollback at worst
+      }
+    }
+    // a CHILD writes its artifact where the parent asked, and only
+    // there — a child must never clobber the parent's tracked file
+    sys.env.get("SPARK_GRAFT_DETAIL_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detail + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
-      println(detail) // keep the data recoverable from scrollback at worst
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $p write failed: ${e.getMessage}")
+      }
     }
     // quiet-box batteries are adjudication EVIDENCE and must survive
     // the next (possibly contended) Bench run overwriting
     // BENCH_DETAIL.json — the r13 verdict's process finding. Setting
-    // SPARK_GRAFT_QUIET_OUT=BENCH_QUIET_r14.json copies the same
+    // SPARK_GRAFT_QUIET_OUT=BENCH_QUIET_r16.json copies the same
     // artifact to a per-round tracked file the judge can diff.
     sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -176,7 +352,7 @@ object Bench {
     // only the last 2000 chars of output, so the line must never grow with
     // the query battery. The two reference-baseline headline queries
     // (BASELINE.md B1/B2) ride along as the fixed-size `queries` map; the
-    // full 222-query map is in BENCH_DETAIL.json (tracked, committed).
+    // full per-query map is in BENCH_DETAIL.json (tracked, committed).
     def head(k: String) = results.find(_._1 == k).map(_._2).getOrElse(-1.0)
     val headline = Seq("q1_pickup_hotspots", "q2_airport_durations")
       .filter(k => results.exists(_._1 == k))
