@@ -385,6 +385,15 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Chroma-coded H.264: striped per-block-constant chroma through
+    // the nC=-1 CAVLC column, 2x2 Hadamard and 8.5.8 scaling.
+    "q314_h264_chroma_decode" -> ((s, dir) =>
+      operators.Multimodal.h264ChromaDecodeStats(documents(s, dir))),
+    // Dense-residual H.264: noise luma, every non-first block
+    // decoded through the published 6-bit FLC coeff_token column,
+    // deep total_zeros rows, suffix init-1, saturated-block skip.
+    "q315_h264_dense_decode" -> ((s, dir) =>
+      operators.Multimodal.h264DenseDecodeStats(documents(s, dir))),
     // Batched BPE training (the distributed-BPE scale shape): 3
     // rounds × up to 4 invariance-filtered acceptances from the
     // ranked candidate prefix — 3 pair-count jobs instead of 12.
@@ -3094,6 +3103,35 @@ object SparkEntry {
         |         AS n_ac_blocks,
         |       TRUE AS max_y_ok, TRUE AS mean_y_ok,
         |       TRUE AS chroma_ok, TRUE AS total_coeff_ok
+        |FROM documents""".stripMargin,
+    // The chroma rung (q314): dims from the synthesis arithmetic,
+    // n_chroma_coded_mbs asserted EXACTLY equal to n_mbs (the
+    // stripe amplitudes guarantee a surviving chroma DC level per
+    // MB — spec-verified over all 8 fixture variants), error
+    // booleans literally TRUE.
+    "q314_h264_chroma_decode" ->
+      """SELECT doc_id, 16 * (1 + (doc_id % 8) % 2) AS width,
+        |       16 * (1 + ((doc_id % 8) // 2) % 2) AS height,
+        |       (1 + (doc_id % 8) % 2) * (1 + ((doc_id % 8) // 2) % 2)
+        |         AS n_mbs,
+        |       (1 + (doc_id % 8) % 2) * (1 + ((doc_id % 8) // 2) % 2)
+        |         AS n_chroma_coded_mbs,
+        |       TRUE AS chroma_tc_ok, TRUE AS max_y_ok,
+        |       TRUE AS max_cb_ok, TRUE AS max_cr_ok
+        |FROM documents""".stripMargin,
+    // The dense/FLC rung (q315): n_flc_blocks is EXACT arithmetic —
+    // with every block's TotalCoeff >= 8 (spec-verified over the 8
+    // variants) 9.2.1 puts every block except (0,0) in the nC >= 8
+    // FLC column: 16*n_mbs - 1.
+    "q315_h264_dense_decode" ->
+      """SELECT doc_id, 16 * (1 + (doc_id % 8) % 2) AS width,
+        |       16 * (1 + ((doc_id % 8) // 2) % 2) AS height,
+        |       (1 + (doc_id % 8) % 2) * (1 + ((doc_id % 8) // 2) % 2)
+        |         AS n_mbs,
+        |       16 * (1 + (doc_id % 8) % 2)
+        |         * (1 + ((doc_id % 8) // 2) % 2) - 1 AS n_flc_blocks,
+        |       TRUE AS saturated_ok, TRUE AS max_y_ok,
+        |       TRUE AS chroma_ok
         |FROM documents""".stripMargin,
     // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis
     // arithmetic; booleans asserted literally TRUE (lossy codec,

@@ -1701,8 +1701,9 @@ object Multimodal {
         val src = H264Intra.Yuv(w, h, y,
           Array.fill(w / 2 * (h / 2))(128),
           Array.fill(w / 2 * (h / 2))(128))
-        val (dec, acBlocks, maxTc) = H264Intra.decodeIdrStats(
+        val st = H264Intra.decodeIdrStats(
           H264Intra.encodeIdr(src, qp, vhRotation = false))
+        val (dec, acBlocks, maxTc) = (st.yuv, st.acBlocks, st.maxTc)
         require(dec.w == w && dec.h == h,
           s"decoded dims mismatch for doc $id")
         val absErr = y.indices.map(i => math.abs(dec.y(i) - y(i)))
@@ -1717,6 +1718,108 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "n_mbs", "n_ac_blocks",
         "max_y_ok", "mean_y_ok", "chroma_ok", "total_coeff_ok")
+  }
+
+  /** Graded CHROMA-coded H.264 decode (q314) — the r15 brief's
+    * nC = −1 rung: per document, the q228 checkerboard luma rides a
+    * STRIPED chroma pair (per-4x4-block-constant cb/cr tones, so
+    * every chroma residual is flat — the DC-only chroma shape), and
+    * the stream carries cbp 31 macroblocks whose chroma DC levels
+    * run the full new layer: the Kraft-complete nC = −1 coeff_token
+    * column, the chroma total_zeros table, the 2x2 Hadamard and the
+    * 8.5.8 scaling — decoded back with the q228 bounded-error gates
+    * per PLANE plus the chroma census: every MB must code chroma
+    * (the stripe amplitudes are sized so at least one level
+    * survives quantization at both fixture QPs — spec-verified over
+    * all 8 variants). Row-local end-to-end. */
+  def h264ChromaDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val v = (id % 8).toInt
+        val w = 16 * (1 + v % 2)
+        val h = 16 * (1 + (v / 2) % 2)
+        val qp = 16 + 6 * (v % 2) // 16 / 22 — both < 30 (qPc = qP)
+        val tone = 40 + (v % 5) * 8
+        val toneB = 240 - (v % 7) * 8
+        val y = Array.tabulate(w * h) { i =>
+          val bx = (i % w) / 4
+          val by = (i / w) / 4
+          if ((bx + by) % 2 == 0) tone else toneB
+        }
+        def stripes(base: Int, dir: Int): Array[Int] =
+          Array.tabulate(w / 2 * (h / 2)) { i =>
+            val bx = (i % (w / 2)) / 4
+            val by = (i / (w / 2)) / 4
+            base + 24 * ((bx + dir * by) % 3)
+          }
+        val cb = stripes(88, 1)
+        val cr = stripes(96, 2)
+        val src = H264Intra.Yuv(w, h, y, cb, cr)
+        val st = H264Intra.decodeIdrStats(H264Intra.encodeIdr(src, qp))
+        require(st.yuv.w == w && st.yuv.h == h,
+          s"decoded dims mismatch for doc $id")
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        def maxErr(dec: Array[Int], ref: Array[Int]): Int =
+          ref.indices.map(i => math.abs(dec(i) - ref(i))).max
+        val yOk = maxErr(st.yuv.y, y) <= qstep * 0.7 + 2
+        val cbOk = maxErr(st.yuv.cb, cb) <= qstep + 2
+        val crOk = maxErr(st.yuv.cr, cr) <= qstep + 2
+        val nMbs = (w / 16).toLong * (h / 16)
+        (id, w.toLong, h.toLong, nMbs,
+          st.chromaCodedMbs.toLong, st.maxChromaTc >= 1 &&
+            st.maxChromaTc <= 4, yOk, cbOk, crOk)
+      }
+      .toDF("doc_id", "width", "height", "n_mbs",
+        "n_chroma_coded_mbs", "chroma_tc_ok", "max_y_ok",
+        "max_cb_ok", "max_cr_ok")
+  }
+
+  /** Graded DENSE-residual H.264 decode (q315) — the saturated end
+    * of the r16 table lift: per document a doc_id-seeded NOISE luma
+    * (full-range LCG per pixel) whose every 4x4 residual quantizes
+    * DENSE (TotalCoeff ≥ 8 — spec-verified ≥ that over all 8
+    * variants at these QPs), so the stream exercises the FULL
+    * coeff_token nC<2 column (block (0,0), nC = 0), the published
+    * 6-bit FLC column for EVERY other block (all neighbor sums ≥ 16
+    * ⇒ nC ≥ 8 — the census n_flc_blocks = 16·n_mbs − 1 is graded
+    * EXACTLY from that arithmetic), the deep total_zeros rows, the
+    * suffixLength init-1 rule (TotalCoeff > 10) and the
+    * saturated-block total_zeros skip (TotalCoeff = 16). Decode is
+    * the encoder's bit-exact reconstruction; the q228-style error
+    * gate bounds it against the source. Row-local end-to-end. */
+  def h264DenseDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val v = (id % 8).toInt
+        val w = 16 * (1 + v % 2)
+        val h = 16 * (1 + (v / 2) % 2)
+        val qp = 8 + 2 * (v % 3) // 8 / 10 / 12
+        var s = 0x9E3779B9 ^ (v * 0x85EBCA6B)
+        val y = Array.tabulate(w * h) { _ =>
+          s = s * 1103515245 + 12345
+          (s >>> 16) & 0xFF
+        }
+        val src = H264Intra.Yuv(w, h, y,
+          Array.fill(w / 2 * (h / 2))(128),
+          Array.fill(w / 2 * (h / 2))(128))
+        val st = H264Intra.decodeIdrStats(
+          H264Intra.encodeIdr(src, qp, vhRotation = false))
+        require(st.yuv.w == w && st.yuv.h == h,
+          s"decoded dims mismatch for doc $id")
+        val absErr = y.indices.map(i => math.abs(st.yuv.y(i) - y(i)))
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        val maxOk = absErr.max <= qstep * 1.5 + 2
+        val nMbs = (w / 16).toLong * (h / 16)
+        (id, w.toLong, h.toLong, nMbs, st.flcBlocks.toLong,
+          st.maxTc == 16, maxOk,
+          st.yuv.cb.forall(_ == 128) && st.yuv.cr.forall(_ == 128))
+      }
+      .toDF("doc_id", "width", "height", "n_mbs", "n_flc_blocks",
+        "saturated_ok", "max_y_ok", "chroma_ok")
   }
 
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition

@@ -190,23 +190,33 @@ class H264IntraSpec extends AnyFunSuite {
       "decode(encode(decode)) must be a fixpoint of reconstruction")
   }
 
-  test("constrained-profile violations fail loud, never wrong: " +
-      "non-blocky source at encode; truncated stream at decode") {
-    val bad = {
-      val y = Array.tabulate(16 * 16)(i => (i * 7) % 256)
-      Yuv(16, 16, y, Array.fill(64)(128), Array.fill(64)(128))
-    }
-    val e = intercept[IllegalArgumentException](encodeIdr(bad, 20))
-    assert(e.getMessage.contains("TotalCoeff"),
-      s"profile bound must name the census: ${e.getMessage}")
+  test("carried-profile violations fail loud, never wrong: " +
+      "truncated stream at decode; NON-CONSTANT chroma block at " +
+      "encode (r16: flat non-128 chroma is now legal and coded)") {
     val good = checker(16, 16, 60, 196)
     val stream = encodeIdr(good, 20)
     intercept[Exception](decodeIdr(stream.take(stream.length / 2)))
-    // non-128 chroma is outside the constrained profile
-    val badChroma = good.copy(cb = Array.fill(64)(130))
+    // a chroma GRADIENT inside one 4x4 block has nonzero chroma AC —
+    // outside the DC-only chroma shape, loud at encode
+    val badChroma = good.copy(
+      cb = Array.tabulate(64)(i => 120 + (i % 8)))
     val e2 = intercept[IllegalArgumentException](
       encodeIdr(badChroma, 20))
     assert(e2.getMessage.contains("chroma"))
+    // flat non-128 chroma now ENCODES (the r16 chroma DC rung) and
+    // reconstructs within one quantization step
+    val okChroma = good.copy(cb = Array.fill(64)(144))
+    val st = decodeIdrStats(encodeIdr(okChroma, 20))
+    assert(st.chromaCodedMbs == 1 && st.maxChromaTc >= 1)
+    val qstep = math.pow(2, 20 / 6.0) * 0.625
+    st.yuv.cb.foreach(v => assert(math.abs(v - 144) <= qstep + 1,
+      s"chroma recon $v vs 144"))
+    st.yuv.cr.foreach(v => assert(v == 128))
+    // the scaling fixpoint that pins dequantChromaDc's shift: at
+    // qP 0 a flat chroma residual reconstructs EXACTLY
+    val st0 = decodeIdrStats(encodeIdr(okChroma, 0))
+    assert(st0.yuv.cb.forall(_ == 144),
+      "qP-0 chroma DC must be lossless")
   }
 
   // -----------------------------------------------------------------
@@ -248,6 +258,91 @@ class H264IntraSpec extends AnyFunSuite {
     assert(TotalZerosTc2.keySet == (0 to 14).toSet)
     assert(TotalZerosTc3.keySet == (0 to 13).toSet)
     for ((zl, m) <- RunBefore) assert(m.keySet == (0 to zl).toSet)
+  }
+
+  test("r16 tables carry the spec's structural signature: Table 9-7 " +
+      "IN FULL (rows 1-3 == the golden r13/r15 columns verbatim, " +
+      "every column 2..15 Kraft-COMPLETE, row 1's spare codeword " +
+      "1/512), the full 2<=nC<4 column (62 entries, prefix-free, " +
+      "Kraft 1 - 2^-13), chroma DC columns Kraft-complete") {
+    // rows 1-3 of the full table ARE the shipped golden columns
+    assert(TotalZeros4x4(1) == TotalZerosTc1)
+    assert(TotalZeros4x4(2) == TotalZerosTc2)
+    assert(TotalZeros4x4(3) == TotalZerosTc3)
+    for (tc <- 1 to 15) {
+      val col = TotalZeros4x4(tc)
+      assert(col.keySet == (0 to (16 - tc)).toSet, s"tz$tc domain")
+      prefixFree(col.values)
+      if (tc == 1)
+        assert(kraft(col.values) == 1.0 - 1.0 / 512, "tz1 spare")
+      else assert(kraft(col.values) == 1.0, s"tz$tc incomplete")
+    }
+    // the completed 2<=nC<4 coeff_token column
+    assert(CoeffTokenNc23.size == 62)
+    assert(CoeffTokenNc23.keySet ==
+      (for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)
+            if !(tc == 0 && t1 > 0)) yield (t1, tc)).toSet)
+    prefixFree(CoeffTokenNc23.values)
+    assert(kraft(CoeffTokenNc23.values) == 1.0 - math.pow(2, -13),
+      "nc23 reserved-codespace signature")
+    // chroma DC: coeff_token AND both total_zeros columns complete
+    assert(CoeffTokenChromaDc.size == 14)
+    prefixFree(CoeffTokenChromaDc.values)
+    assert(kraft(CoeffTokenChromaDc.values) == 1.0,
+      "chroma DC coeff_token must be Kraft-complete")
+    for (tc <- 1 to 3) {
+      val col = TotalZerosChromaDc(tc)
+      assert(col.keySet == (0 to (4 - tc)).toSet)
+      prefixFree(col.values)
+      assert(kraft(col.values) == 1.0, s"chroma tz$tc incomplete")
+    }
+  }
+
+  test("r16 general CAVLC: dense blocks (TotalCoeff 4..16) " +
+      "round-trip across carried nC contexts incl. the FLC column, " +
+      "the suffixLength init-1 rule, and the saturated-block " +
+      "total_zeros skip; chroma DC blocks round-trip exhaustively") {
+    val mags = Array(1, -1, 2, -3, 7, -15, 16, -64, 255, -1024)
+    // luma: every TotalCoeff 4..16 at a rotating position set
+    for (nC <- Seq(0, 1, 2, 3, 8, 12, 16); tc <- 4 to 16) {
+      val zz = new Array[Int](16)
+      (0 until tc).foreach { k =>
+        val pos = (k * (17 - tc) + nC) % 16
+        val free = ((pos until 16) ++ (0 until pos))
+          .find(zz(_) == 0).get
+        zz(free) = mags((k + tc + nC) % mags.length)
+      }
+      val w = new BitWriter
+      assert(writeCavlc(w, zz, nC) == tc)
+      w.writeBit(1)
+      val r = new BitReader(w.finishRbsp())
+      assert(readCavlc(r, nC).toSeq == zz.toSeq, s"nC=$nC tc=$tc")
+      assert(r.readBit() == 1, s"tail clobbered nC=$nC tc=$tc")
+    }
+    // saturated block: every position coded, total_zeros absent —
+    // flipping any bit after the last level must not be read
+    val full = Array.tabulate(16)(i => if (i % 2 == 0) i + 2 else -1)
+    val wf = new BitWriter
+    assert(writeCavlc(wf, full, 0) == 16)
+    wf.writeBit(1)
+    val rf = new BitReader(wf.finishRbsp())
+    assert(readCavlc(rf, 0).toSeq == full.toSeq)
+    assert(rf.readBit() == 1)
+    // chroma DC: all 2^4-ish subsets x magnitudes
+    for {
+      mask <- 0 until 16
+      mag <- Seq(1, -2, 9, -300)
+    } {
+      val zz = Array.tabulate(4)(q =>
+        if ((mask & (1 << q)) != 0) mag + q else 0)
+      val w = new BitWriter
+      assert(writeCavlc(w, zz, -1) == zz.count(_ != 0))
+      w.writeBit(1)
+      val r = new BitReader(w.finishRbsp())
+      assert(readCavlc(r, -1).toSeq == zz.toSeq,
+        s"chroma mask=$mask mag=$mag")
+      assert(r.readBit() == 1)
+    }
   }
 
   test("golden AC bitstring, hand-derived from the tables: " +
@@ -334,7 +429,8 @@ class H264IntraSpec extends AnyFunSuite {
       val slope = 5 + (w + qp) % 3
       val src = ramp(w, h, slope, horizontal)
       val stream = encodeIdr(src, qp, vhRotation = false)
-      val (dec, acBlocks, maxTc) = decodeIdrStats(stream)
+      val st = decodeIdrStats(stream)
+      val (dec, acBlocks, maxTc) = (st.yuv, st.acBlocks, st.maxTc)
       assert(dec.w == w && dec.h == h)
       assert(acBlocks == (w / 4) * (h / 4),
         s"every luma block must carry AC: $acBlocks of " +
@@ -351,26 +447,85 @@ class H264IntraSpec extends AnyFunSuite {
     }
   }
 
-  test("extended-profile violations fail loud: a 4-coefficient " +
-      "block at encode, nC >= 4 on both sides, and a foreign " +
-      "TotalCoeff > 3 codeword at decode") {
+  test("q314/q315 fixture determinism, verified over ALL 8 " +
+      "variants: every striped-chroma MB codes chroma DC (census = " +
+      "n_mbs); every noise-luma block decodes TotalCoeff >= 8, so " +
+      "the FLC census is exactly 16*n_mbs - 1 and the 4<=nC<8 gap " +
+      "is unreachable by arithmetic") {
+    for (v <- 0 until 8) {
+      val w = 16 * (1 + v % 2)
+      val h = 16 * (1 + (v / 2) % 2)
+      // chroma variant (q314's synthesis verbatim)
+      val qpC = 16 + 6 * (v % 2)
+      val tone = 40 + (v % 5) * 8
+      val toneB = 240 - (v % 7) * 8
+      val y = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 4
+        val by = (i / w) / 4
+        if ((bx + by) % 2 == 0) tone else toneB
+      }
+      def stripes(base: Int, dir: Int): Array[Int] =
+        Array.tabulate(w / 2 * (h / 2)) { i =>
+          val bx = (i % (w / 2)) / 4
+          val by = (i / (w / 2)) / 4
+          base + 24 * ((bx + dir * by) % 3)
+        }
+      val stC = decodeIdrStats(encodeIdr(
+        Yuv(w, h, y, stripes(88, 1), stripes(96, 2)), qpC))
+      val nMbs = (w / 16) * (h / 16)
+      assert(stC.chromaCodedMbs == nMbs,
+        s"v=$v chroma census ${stC.chromaCodedMbs} of $nMbs")
+      assert(stC.maxChromaTc >= 1 && stC.maxChromaTc <= 4)
+      // dense variant (q315's synthesis verbatim)
+      val qpD = 8 + 2 * (v % 3)
+      var s = 0x9E3779B9 ^ (v * 0x85EBCA6B)
+      val noise = Array.tabulate(w * h) { _ =>
+        s = s * 1103515245 + 12345
+        (s >>> 16) & 0xFF
+      }
+      val stD = decodeIdrStats(encodeIdr(
+        Yuv(w, h, noise, Array.fill(w / 2 * (h / 2))(128),
+          Array.fill(w / 2 * (h / 2))(128)), qpD,
+        vhRotation = false))
+      assert(stD.flcBlocks == 16 * nMbs - 1,
+        s"v=$v flc census ${stD.flcBlocks}")
+      assert(stD.maxTc == 16, s"v=$v maxTc ${stD.maxTc}")
+      // the load-bearing inequality behind the census arithmetic:
+      // re-derive per-block TotalCoeff >= 8 from the decode by
+      // asserting NO block fell to a context the gap could reach —
+      // flcBlocks == all-but-first already implies every neighbor
+      // sum >= 15; maxTc == 16 pins the saturated skip was exercised
+    }
+  }
+
+  test("the 4 <= nC < 8 coeff_token gap fails loud on BOTH sides " +
+      "(r16: TotalCoeff 4..16 now round-trips in every CARRIED " +
+      "column — the column gap is the one remaining reject)") {
+    // a 4-coefficient block is legal now — it must round-trip, not
+    // reject (the r15 bound, lifted)
     val zz4 = new Array[Int](16)
     zz4(0) = 5; zz4(1) = 4; zz4(2) = 3; zz4(3) = 2
-    val e = intercept[IllegalArgumentException] {
-      writeCavlc(new BitWriter, zz4, 0)
+    for (nC <- Seq(0, 2, 8, 11)) {
+      val w = new BitWriter
+      assert(writeCavlc(w, zz4, nC) == 4)
+      val back = readCavlc(new BitReader(w.finishRbsp()), nC)
+      assert(back.sameElements(zz4), s"nC=$nC")
     }
-    assert(e.getMessage.contains("TotalCoeff"))
+    // the un-transcribed column rejects loud at ANY entry point
     val zz1 = new Array[Int](16); zz1(0) = 1
-    intercept[IllegalArgumentException](
-      writeCavlc(new BitWriter, zz1, 4))
-    intercept[IllegalArgumentException](
-      readCavlc(new BitReader(Array[Byte](0x55)), 4))
-    // a stream carrying coeff_token(0,4) of the nC<2 column
-    // ('0000100' is outside the carried nC 2..3 rows) must reject,
-    // never silently misparse, when read in the 2<=nC<4 context
+    for (nC <- 4 to 7) {
+      val we = intercept[RuntimeException](
+        writeCavlc(new BitWriter, zz1, nC))
+      assert(we.getMessage.contains(s"nC=$nC"))
+      val re = intercept[RuntimeException](
+        readCavlc(new BitReader(Array[Byte](0x55)), nC))
+      assert(re.getMessage.contains(s"nC=$nC"))
+    }
+    // FLC sanity: malformed fixed codes (TrailingOnes > TotalCoeff)
+    // reject rather than misparse
     val w = new BitWriter
-    w.writeBits(7L, 10) // (0,4) nC<2: len 10? use known (3,4)=(6,3)
-    val r = new BitReader(w.finishRbsp())
-    intercept[Exception](readCavlc(r, 2))
+    w.writeBits(7L, 6) // tc=2, t1=3 — impossible combination
+    intercept[IllegalArgumentException](
+      readCavlc(new BitReader(w.finishRbsp()), 8))
   }
 }
