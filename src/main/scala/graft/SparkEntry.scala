@@ -385,6 +385,16 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Composed HTTP coding stack: identity / gzip / chunked /
+    // chunked-wrapping-gzip mixed per doc; transfer coding peeled
+    // before content coding, digest-graded against the plain text.
+    "q316_http_coding_stack" -> ((s, dir) =>
+      operators.Warc.httpCodingStack(documents(s, dir))),
+    // WARC request/response pairing: paired .warc.gz blobs walked
+    // by the q290 hops, requests parsed and joined to responses by
+    // WARC-Concurrent-To, in-blob (row-local).
+    "q317_warc_req_resp" -> ((s, dir) =>
+      operators.Warc.warcGzPaired(documents(s, dir))),
     // Chroma-coded H.264: striped per-block-constant chroma through
     // the nC=-1 CAVLC column, 2x2 Hadamard and 8.5.8 scaling.
     "q314_h264_chroma_decode" -> ((s, dir) =>
@@ -2984,6 +2994,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q304_preference_pairs" -> OracleSql.preferencePairs,
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
+    "q316_http_coding_stack" -> OracleSql.httpCodingStack,
+    "q317_warc_req_resp" -> OracleSql.warcGzPaired,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

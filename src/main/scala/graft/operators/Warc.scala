@@ -714,9 +714,10 @@ object Warc {
     * 0-chunk terminator. */
   val ChunkSize = 100
 
-  private def warcChunkedRecord(id: Long,
-      html: String): Array[Byte] = {
-    val bytes = html.getBytes("US-ASCII")
+  /** Apply the chunked transfer coding to arbitrary octets:
+    * hex-size lines, [[ChunkSize]]-byte chunks, the 0-chunk
+    * terminator. */
+  private def chunkify(bytes: Array[Byte]): Array[Byte] = {
     val sb = new java.io.ByteArrayOutputStream()
     var pos = 0
     while (pos < bytes.length) {
@@ -727,9 +728,48 @@ object Warc {
       pos += n
     }
     sb.write("0\r\n\r\n".getBytes("US-ASCII"))
-    val body = sb.toByteArray
+    sb.toByteArray
+  }
+
+  private def warcChunkedRecord(id: Long,
+      html: String): Array[Byte] = {
+    val body = chunkify(html.getBytes("US-ASCII"))
     val http = ("HTTP/1.1 200 OK" + CRLF +
       "Content-Type: text/html" + CRLF +
+      "Transfer-Encoding: chunked" + Sep).getBytes("US-ASCII")
+    val clen = http.length + body.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ body ++ Sep.getBytes("US-ASCII")
+  }
+
+  /** One WARC record whose HTTP body carries an IDENTITY payload —
+    * the uncoded control shape of the q316 mix. */
+  private def warcIdentityRecord(id: Long,
+      html: String): Array[Byte] = {
+    val body = html.getBytes("US-ASCII")
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + Sep).getBytes("US-ASCII")
+    val clen = http.length + body.length
+    val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: $clen" + Sep).getBytes("US-ASCII")
+    header ++ http ++ body ++ Sep.getBytes("US-ASCII")
+  }
+
+  /** One WARC record stacking BOTH codings the way the real web
+    * wires them (RFC 9112 §6 over RFC 9110 §8.4): Content-Encoding
+    * gzip is a property of the REPRESENTATION (applied first);
+    * Transfer-Encoding chunked frames the TRANSFER (applied last) —
+    * on the wire the chunks carry gzip octets, and a decoder must
+    * peel transfer-then-content or it shears. */
+  private def warcChunkedGzipRecord(id: Long,
+      html: String): Array[Byte] = {
+    val body = chunkify(gzMember(html.getBytes("US-ASCII")))
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      "Content-Encoding: gzip" + CRLF +
       "Transfer-Encoding: chunked" + Sep).getBytes("US-ASCII")
     val clen = http.length + body.length
     val header = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
@@ -842,6 +882,185 @@ object Warc {
   def warcDeflateBodies(docs: DataFrame): DataFrame =
     codedPayloadFrame(docs, "deflate", warcDeflateBodyRecord)
       .drop("n_coded_octets")
+
+  /** q316: the COMPOSED HTTP coding stack over a MIXED fixture —
+    * per doc_id % 4 the body ships identity / gzip / chunked /
+    * chunked-WRAPPING-gzip (the common real-web stack q298/q299
+    * graded only separately), and the decoder peels the layers in
+    * WIRE order: the transfer coding (chunked) first, then the
+    * content coding (gzip) — recovering the q247 payload digest in
+    * all four shapes. Headers decide the path (never the fixture
+    * arithmetic), so a header/decoder disagreement flips `valid` or
+    * the digest. Row-local. */
+  def httpCodingStack(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+      HtmlExtract.htmlWrapCol(col("doc_id"), col("text")).as("html"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val bytes = (id % 4) match {
+          case 0 => warcIdentityRecord(id, html)
+          case 1 => warcGzipBodyRecord(id, html)
+          case 2 => warcChunkedRecord(id, html)
+          case _ => warcChunkedGzipRecord(id, html)
+        }
+        val (valid, httpHeaders, payload) = parseRecordBytes(bytes)
+        val hl = httpHeaders.toLowerCase
+        val chunked = hl.contains("transfer-encoding: chunked")
+        val ce =
+          if (hl.contains("content-encoding: gzip")) "gzip"
+          else if (hl.contains("content-encoding: deflate")) "deflate"
+          else "identity"
+        val afterTransfer = if (chunked) dechunk(payload) else payload
+        val decoded = ce match {
+          case "gzip" => gunzipAll(afterTransfer)
+          case "deflate" => zlibInflate(afterTransfer)
+          case _ => afterTransfer
+        }
+        val coding =
+          if (chunked && ce != "identity") s"chunked+$ce"
+          else if (chunked) "chunked"
+          else ce
+        (id, coding, new String(decoded, "US-ASCII"), valid)
+      }
+      .toDF("doc_id", "coding", "t", "valid")
+      .select(col("doc_id"), col("coding"),
+        length(col("t")).cast("long").as("n_payload_chars"),
+        md5(col("t")).as("payload_md5"), col("valid"))
+  }
+
+  // ---------------------------------------------------------------
+  // request/response pairing (q317) — the record type q290's walker
+  // skips: real CommonCrawl files carry a request record per
+  // capture, joined to its response by WARC-Concurrent-To
+  // ---------------------------------------------------------------
+
+  private def requestRecordId(id: Long): String =
+    s"<urn:uuid:req-$id>"
+
+  /** The REQUEST record of a capture: the HTTP request line +
+    * headers as the block, WARC-Record-ID carrying the urn the
+    * response's WARC-Concurrent-To cites. */
+  private def warcRequestRecord(id: Long): String = {
+    val body = s"GET /doc$id HTTP/1.1" + CRLF +
+      s"Host: site${id % 7}.example.com" + CRLF +
+      s"User-Agent: graftbot/1.0 (+crawl${id % 3})" + CRLF +
+      "Accept: text/html" + Sep
+    "WARC/1.0" + CRLF + "WARC-Type: request" + CRLF +
+      s"WARC-Record-ID: ${requestRecordId(id)}" + CRLF +
+      s"WARC-Target-URI: https://site${id % 7}.example.com/doc$id" +
+      CRLF + s"Content-Length: ${body.length}" + Sep + body + Sep
+  }
+
+  /** documents → paired .warc.gz blobs: warcinfo, then per doc its
+    * REQUEST record immediately followed by its RESPONSE record
+    * (the q247/q290 response bytes with one added header:
+    * WARC-Concurrent-To citing the request's record id) — each
+    * record its own gzip member, the CC file shape. */
+  def warcGzBlobsPaired(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    warcRecords(docs)
+      .groupBy(floor(col("doc_id") / GzRecordsPerBlob).as("blob_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("warc")))).as("rs"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (blobId, rs) =>
+        val members = warcinfoRecord(blobId) +: rs.flatMap {
+          case (id, resp) =>
+            val withCt = resp.replaceFirst("\r\n",
+              CRLF + "WARC-Concurrent-To: " + requestRecordId(id) +
+                "\r\n")
+            Seq(warcRequestRecord(id), withCt)
+        }
+        (blobId,
+          members.map(r => gzMember(r.getBytes("ISO-8859-1")))
+            .reduce(_ ++ _))
+      }
+      .toDF("blob_id", "gz")
+  }
+
+  /** q317: the q290 walker WIDENED to request records — gunzip +
+    * Content-Length hops over the paired blob, REQUESTS parsed
+    * (method, path, User-Agent from the HTTP request block) and
+    * indexed by WARC-Record-ID, responses joined to their request
+    * by WARC-Concurrent-To, IN-BLOB (a capture and its request
+    * travel in the same file in real crawls — the join is
+    * row-local, nothing crosses an exchange). One row per response:
+    * the q247 parse fields plus the request metadata and the
+    * `paired` proof bit. warcinfo is still skipped. */
+  def warcGzPaired(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val clenRe = "(?i)\\r\\nContent-Length: ([0-9]+)".r
+    val typeRe = "(?i)\\r\\nWARC-Type: ([^\\r]*)".r
+    val ridRe = "(?i)\\r\\nWARC-Record-ID: ([^\\r]*)".r
+    val ctRe = "(?i)\\r\\nWARC-Concurrent-To: ([^\\r]*)".r
+    val reqLineRe = "\\A([A-Z]+) ([^ ]+) HTTP/1\\.1\\r\\n".r
+    val uaRe = "(?i)\\r\\nUser-Agent: ([^\\r]*)".r
+    val recs = warcGzBlobsPaired(docs)
+      .select(col("blob_id"), col("gz"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (blobId, gz) =>
+        val text = new String(gunzipAll(gz), "ISO-8859-1")
+        val reqs = scala.collection.mutable.Map
+          .empty[String, (String, String, String)]
+        val resps = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String)] // (concurrent-to, record)
+        var pos = 0
+        var n = 0L
+        while (pos < text.length) {
+          val hEnd = text.indexOf(Sep, pos)
+          require(hEnd >= 0, s"blob $blobId: unterminated header")
+          val header = text.substring(pos, hEnd)
+          val clen = clenRe.findFirstMatchIn(header)
+            .getOrElse(sys.error(
+              s"blob $blobId: record without Content-Length"))
+            .group(1).toInt
+          val recEnd = hEnd + 4 + clen + 4
+          require(recEnd <= text.length &&
+            text.substring(recEnd - 4, recEnd) == Sep,
+            s"blob $blobId: record separator missing at $recEnd")
+          n += 1
+          val wtype = typeRe.findFirstMatchIn(header)
+            .map(_.group(1)).getOrElse("")
+          if (wtype == "request") {
+            val rid = ridRe.findFirstMatchIn(header)
+              .getOrElse(sys.error(
+                s"blob $blobId: request without WARC-Record-ID"))
+              .group(1)
+            val block = text.substring(hEnd + 4, hEnd + 4 + clen)
+            val m = reqLineRe.findFirstMatchIn(block).getOrElse(
+              sys.error(s"blob $blobId: malformed request line"))
+            val ua = uaRe.findFirstMatchIn(block)
+              .map(_.group(1)).getOrElse("")
+            reqs(rid) = (m.group(1), m.group(2), ua)
+          } else if (wtype == "response") {
+            val ct = ctRe.findFirstMatchIn(header)
+              .map(_.group(1)).getOrElse("")
+            resps += ((ct, text.substring(pos, recEnd)))
+          }
+          pos = recEnd
+        }
+        resps.map { case (ct, rec) =>
+          val req = reqs.get(ct)
+          (blobId, n, rec, req.isDefined,
+            req.map(_._1).getOrElse(""), req.map(_._2).getOrElse(""),
+            req.map(_._3).getOrElse(""))
+        }
+      }
+      .toDF("blob_id", "n_records", "warc", "paired",
+        "req_method", "req_path", "req_user_agent")
+      .withColumn("doc_id",
+        regexp_extract(col("warc"),
+          "WARC-Target-URI: https://site[0-9]+\\.example\\.com/doc([0-9]+)\\r",
+          1).cast("long"))
+    parseWarcKeeping(recs,
+      Seq("blob_id", "n_records", "paired", "req_method",
+        "req_path", "req_user_agent"))
+      .select(col("doc_id"), col("blob_id"), col("n_records"),
+        col("paired"), col("req_method"), col("req_path"),
+        col("req_user_agent"), col("status"),
+        col("n_payload_chars"), col("payload_md5"), col("valid"))
+  }
 
   /** q292: byte-level WARC parse + q267 charset sniffing composed —
     * framing on octets (an ISO-8859-1 view, 1 byte = 1 char), the

@@ -8146,6 +8146,46 @@ SELECT doc_id, 'deflate' AS coding,
        md5(html) AS payload_md5, TRUE AS valid
 FROM wrapped"""
 
+  /** Mirror of [[graft.operators.Warc.httpCodingStack]] (q316): the
+    * coding label from the doc_id % 4 mix arithmetic; the decoded
+    * payload must equal the q239 wrap text, reconstructed
+    * independently — one digest gate across all four wire shapes
+    * (incl. chunked WRAPPING gzip). */
+  def httpCodingStack: String =
+    s"""$htmlCtes
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'chunked' ELSE 'chunked+gzip' END AS coding,
+       CAST(length(html) AS BIGINT) AS n_payload_chars,
+       md5(html) AS payload_md5, TRUE AS valid
+FROM wrapped"""
+
+  /** Mirror of [[graft.operators.Warc.warcGzPaired]] (q317): one
+    * row per response — request fields from the fixture arithmetic
+    * (method GET, path /doc<id>, the crawl-sharded User-Agent),
+    * `paired` literally TRUE (a broken Concurrent-To join flips
+    * it), blob bookkeeping recomputed (1 warcinfo + 2 records per
+    * capture in the blob), and the q247 parse fields from the
+    * shared `parsed` mirror. */
+  def warcGzPaired: String = {
+    val per = graft.operators.Warc.GzRecordsPerBlob
+    s"""$warcCtes, blobbed AS (
+  SELECT doc_id, doc_id // $per AS blob_id,
+         1 + 2 * COUNT(*) OVER (PARTITION BY doc_id // $per)
+           AS n_records
+  FROM documents
+)
+SELECT p.doc_id, b.blob_id, CAST(b.n_records AS BIGINT) AS n_records,
+       TRUE AS paired, 'GET' AS req_method,
+       '/doc' || CAST(p.doc_id AS VARCHAR) AS req_path,
+       'graftbot/1.0 (+crawl' || CAST(p.doc_id % 3 AS VARCHAR) || ')'
+         AS req_user_agent,
+       p.status,
+       CAST(length(p.payload) AS BIGINT) AS n_payload_chars,
+       md5(p.payload) AS payload_md5, TRUE AS valid
+FROM parsed p JOIN blobbed b ON b.doc_id = p.doc_id"""
+  }
+
   /** Mirror of [[graft.operators.Warc.cdxRangeFetch]] (q301): the
     * q251 locator arithmetic joined back to the q247 parse — the
     * digest a byte-accurate range fetch must recover. */
