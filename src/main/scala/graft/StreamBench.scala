@@ -39,6 +39,13 @@ object StreamBench {
     // queries through the kinesis-taxi source — the B3 measurement
     // with the protocol path in place of the file path (BASELINE.md
     // records both; the delta IS the protocol overhead).
+    // SPARK_GRAFT_STREAM_MODE=kinesis-reshard is the protocol
+    // measurement ACROSS a mid-stream reshard: half the events land
+    // on the original 8 shards, then shard 0 is SPLIT and shards
+    // 1+2 MERGED (the two lineage shapes), the remaining half lands
+    // on the post-reshard topology, and both queries consume the
+    // whole stream through the parent-before-children source —
+    // BASELINE.md's r15-brief row pricing the reshard lineage.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "file")
     val wireDir = graft.util.TempDirs.create("wire")
     val replayDir = graft.util.TempDirs.create("replay")
@@ -49,14 +56,58 @@ object StreamBench {
       .coalesce(4).write.mode("overwrite").text(wireDir)
 
     val stub =
-      if (mode == "kinesis") Some(new graft.sources.StubKinesisServer(
-        streamName = "bench", shardCount = 8))
+      if (mode.startsWith("kinesis"))
+        Some(new graft.sources.StubKinesisServer(
+          streamName = "bench", shardCount = 8))
       else None
 
     // replay (R1/R3/R6) at max speed: 8 partition files, or the
     // 8-shard protocol stream via the KPL-shaped producer
     val t0 = System.nanoTime()
+    var reshardJson = ""
     val events = stub match {
+      case Some(srv) if mode == "kinesis-reshard" =>
+        // split the wire EVENTS into two halves around the reshard
+        // (file-count splits are skew-prone: coalesce can leave
+        // empty partitions and stack every event on one side)
+        val parts = new java.io.File(wireDir).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val lines = parts.toVector.flatMap { f =>
+          val s = scala.io.Source.fromFile(f)
+          try s.getLines().toVector finally s.close()
+        }
+        val wireA = graft.util.TempDirs.create("wireA")
+        val wireB = graft.util.TempDirs.create("wireB")
+        val (la, lb) = lines.splitAt(lines.length / 2)
+        Files.write(java.nio.file.Paths.get(wireA, "half-a.jsonl"),
+          la.mkString("\n").getBytes("UTF-8"))
+        Files.write(java.nio.file.Paths.get(wireB, "half-b.jsonl"),
+          lb.mkString("\n").getBytes("UTF-8"))
+        def replayHalf(dir: String): Long = {
+          val w = new graft.replay.AsyncKinesisWriter(
+            new graft.io.KinesisHttpClient(srv.endpoint),
+            srv.streamName)
+          try new StreamPopulator(dir, replayDir,
+            partitions = 8, speedup = 1e12, sleep = _ => (),
+            statsEveryMs = Long.MaxValue,
+            kinesisSink = Some(w)).populate()._1
+          finally w.close()
+        }
+        val pre = replayHalf(wireA)
+        val before = srv.allShardIds.size
+        val t = System.nanoTime()
+        val open = srv.allShardIds
+        srv.splitShard(open(0))
+        srv.mergeShards(open(1), open(2))
+        val reshardMs = (System.nanoTime() - t) / 1e6
+        val post = replayHalf(wireB)
+        reshardJson =
+          s""""reshard":{"splits":1,"merges":1,""" +
+            s""""shards_open_before":$before,""" +
+            s""""shards_listed_after":${srv.allShardIds.size},""" +
+            s""""events_pre":$pre,"events_post":$post,""" +
+            s""""reshard_ms":$reshardMs},"""
+        pre + post
       case Some(srv) =>
         val w = new graft.replay.AsyncKinesisWriter(
           new graft.io.KinesisHttpClient(srv.endpoint), srv.streamName)
@@ -165,6 +216,7 @@ object StreamBench {
     // wall second (the job-level SLO view, not a per-query sum)
     val evPerSec = math.min(rows1, rows2) / streamWallSec
     println(s"""{"metric":"stream_events_per_sec","value":$evPerSec,""" +
+      reshardJson +
       s""""unit":"events/sec","replay_events":$events,""" +
       s""""replay_sec":$replaySec,"stream_wall_sec":$streamWallSec,""" +
       s""""q1_rows":$rows1,"q1_batches":$batches1,"q1_max_batch_ms":$maxMs1,""" +

@@ -96,23 +96,51 @@ object Sitemap {
   /** q253: documents → synthesized sitemap → one row per `<url>`
     * entry: (doc_id, entry_idx, loc, lastmod, changefreq,
     * priority). */
-  def sitemapEntries(docs: DataFrame): DataFrame = {
-    val withXml = docs.select(col("doc_id"),
-      sitemapFixtureCol(col("doc_id")).as("xml"))
+  def sitemapEntries(docs: DataFrame): DataFrame =
+    parseUrlset(docs.select(col("doc_id"),
+      sitemapFixtureCol(col("doc_id")).as("xml")), Seq("doc_id"))
+
+  /** The q253 `<url>`-entry parse kernel over any (keys..., xml)
+    * frame — shared with the q319 discovery path so the two stages
+    * cannot drift. */
+  private[graft] def parseUrlset(withXml: DataFrame,
+      keys: Seq[String]): DataFrame =
     withXml
-      .select(col("doc_id"),
+      .select(keys.map(col) :+
         posexplode(regexp_extract_all(col("xml"),
           lit("(?s)<url>(.*?)</url>"), lit(1)))
-          .as(Seq("entry_idx", "block")))
-      .select(col("doc_id"), col("entry_idx").cast("long")
-          .as("entry_idx"),
+          .as(Seq("entry_idx", "block")): _*)
+      .select(keys.map(col) ++ Seq(
+        col("entry_idx").cast("long").as("entry_idx"),
         regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"),
         regexp_extract(col("block"), "<lastmod>(.*?)</lastmod>", 1)
           .as("lastmod"),
         regexp_extract(col("block"),
           "<changefreq>(.*?)</changefreq>", 1).as("changefreq"),
         regexp_extract(col("block"), "<priority>(.*?)</priority>", 1)
-          .cast("double").as("priority"))
+          .cast("double").as("priority")): _*)
+
+  /** Sitemap DISCOVERY (q319) — the crawl bootstrap step BETWEEN
+    * q269 and q253 that neither grades alone: the robots.txt
+    * parse's GLOBAL `Sitemap:` directive (attributed to agent ''
+    * per RFC 9309 §2.3 — the q269 kernel, unchanged) yields each
+    * host's sitemap URL; the discovered URL is then FETCHED (the
+    * host id recovered FROM the URL — the q290 identity
+    * discipline, never threaded through) and parsed by the
+    * UNCHANGED q253 entry kernel. One row per discovered entry.
+    *
+    * Scale design (100 TB): hosts are dimension-sized (the q269
+    * economics — the only exchange is the distinct-host rollup
+    * inside the robots synthesis); discovery is a parsed-directive
+    * filter and the fetch + parse are row-local per host. */
+  def sitemapDiscovery(docs: DataFrame): DataFrame = {
+    val discovered = Robots.robotsParse(docs)
+      .filter(col("directive") === "sitemap")
+      .select(col("host"), col("value").as("sitemap_url"))
+    val fetched = discovered.withColumn("xml",
+      sitemapFixtureCol(regexp_extract(col("sitemap_url"),
+        "www\\.site([0-9]+)\\.", 1).cast("long")))
+    parseUrlset(fetched, Seq("host", "sitemap_url"))
   }
 
   // ---------------------------------------------------------------

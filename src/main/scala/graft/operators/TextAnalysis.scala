@@ -292,6 +292,64 @@ object TextAnalysis {
     }
   }
 
+  /** Per-paragraph language identification + CODE-SWITCHING verdict
+    * (q318) — the document-level q7 guess hides exactly the
+    * failure mode multilingual curation cares about: a document
+    * whose paragraphs alternate languages (forum threads, parallel
+    * corpora leaks, boilerplate-translated pages) averages into one
+    * confident wrong label. Per document the fixture synthesizes
+    * 2..4 paragraphs; each paragraph carries one profile's stopword
+    * run plus a non-profile token, docs with doc_id ≡ 0 (mod 5)
+    * stay MONOLINGUAL (every paragraph the same language), all
+    * others rotate languages per paragraph. The operator scores
+    * every paragraph with the UNCHANGED q7 kernels
+    * ([[langGuessCol]]) and rolls up per document: paragraph count,
+    * distinct-language count, the MAJORITY language (count DESC,
+    * profile order ASC on ties — the q7 precedence applied to the
+    * rollup), and the is_mixed verdict. The oracle re-derives every
+    * column from the fixture arithmetic (profiles are pairwise
+    * token-disjoint, so paragraph j's guess is provably its planted
+    * language — the q315 census discipline), while q7's own oracle
+    * keeps grading the scoring kernel itself.
+    *
+    * Scale design (100 TB): paragraph explode is row-local; the
+    * rollup is two map-side-combined aggregations keyed (doc, lang)
+    * then doc — per-doc paragraph counts are bounded, nothing
+    * corpus-wide shuffles beyond the doc key. */
+  def codeSwitchStats(docs: DataFrame): DataFrame = {
+    val profArr = array(langProfiles.map(p => lit(p._2.mkString(" "))): _*)
+    val codesArr = array(langProfiles.map(p => lit(p._1)): _*)
+    val nParas = (col("doc_id") % 3 + 2).cast("int")
+    val mono = col("doc_id") % 5 === 0
+    val paras = transform(sequence(lit(0), nParas - 1), j => {
+      val langIdx =
+        (col("doc_id") + when(mono, lit(0L))
+          .otherwise(j.cast("long"))) % 4
+      concat(element_at(profArr, (langIdx + 1).cast("int")),
+        lit(" x"), col("doc_id").cast("string"))
+    })
+    val perPara = docs
+      .select(col("doc_id"),
+        posexplode(paras).as(Seq("para_idx", "ptext")))
+      .select(col("doc_id"), col("para_idx"),
+        langGuessCol(col("ptext")).as("para_lang"))
+    perPara
+      .groupBy(col("doc_id"), col("para_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_paras"),
+        count(lit(1)).cast("long").as("n_langs"),
+        // majority: count DESC, then profile ORDER asc — encoded as
+        // max(struct(c, -profileIdx, lang))
+        max(struct(col("c"),
+          -array_position(codesArr, col("para_lang")),
+          col("para_lang"))).getField("para_lang")
+          .as("majority_lang"))
+      .select(col("doc_id"), col("n_paras"), col("n_langs"),
+        col("majority_lang"), (col("n_langs") > 1).as("is_mixed"))
+  }
+
   /** Global (single-group) top-k by `orderCols`, emitting a 1-based
     * long `rank` column — routed through the
     * [[org.apache.spark.sql.graft.TopKPerGroup]] operator under a

@@ -365,7 +365,17 @@ class KinesisMicroBatchStream(config: KinesisSourceConfig,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KinesisSourceOffset]
     val e = end.asInstanceOf[KinesisSourceOffset]
-    if (e.closedTsMs <= s.closedTsMs) return Array.empty
+    // A batch does real work when stream-time advanced OR when a
+    // parent newly ENDED (its children become readable). The second
+    // disjunct is what makes Trigger.AvailableNow complete across a
+    // reshard: the prepared target pins closedTs, so the
+    // children-unlocking batch arrives with e.closedTs == s.closedTs
+    // and the old `<=` guard silently dropped every child shard's
+    // data (found by the r16 reshard bench row: 18k of 96k events
+    // never delivered). Plan stays a pure function of (start, end) —
+    // WAL replay is byte-identical.
+    if (e.closedTsMs <= s.closedTsMs &&
+      e.ended.subsetOf(s.ended)) return Array.empty
     // end.shardSeqs / end.ended name the positions reached at
     // start.closedTs (the one-batch lag in the offset model); both
     // are WAL-pinned, so replay plans byte-identical partitions.

@@ -407,6 +407,35 @@ class KinesisTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("a SINGLE AvailableNow run delivers EVERYTHING across a " +
+      "reshard: newly-ended parents unlock their children within " +
+      "the same run (r16 fix — the fixed-target closedTs guard was " +
+      "silently dropping all child-shard data, found by the reshard " +
+      "bench row)") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 60000
+      (1 to 6).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      // reshard BEFORE the query ever starts: one fresh AvailableNow
+      // run must read parents to SHARD_END and then, with the
+      // prepared target's closedTs unchanged, still plan the
+      // children and drain their backlog
+      val (c1, c2) = srv.splitShard(srv.shardIds(0))
+      val t2 = System.currentTimeMillis() - 30000
+      (7 to 9).foreach(i => srv.putRecordToShard(c1,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(t2 + i)))
+      (10 to 12).foreach(i => srv.putRecordToShard(c2,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(t2 + i)))
+      val cp = Files.createTempDirectory("kcp-one").toString
+      val sink = Files.createTempDirectory("ksink-one").toString
+      val got = runOnce(srv, cp, sink)
+      assert(got == (1L to 12L),
+        s"one AvailableNow run across a reshard must be complete: $got")
+      // and stay exactly-once on replay
+      assert(runOnce(srv, cp, sink) == (1L to 12L))
+    }
+  }
+
   test("progress files key by the raw shard id, not the sanitized filename") {
     val dir = Files.createTempDirectory("kinesis-progress")
     // a shard name with characters outside [A-Za-z0-9._-]: the
