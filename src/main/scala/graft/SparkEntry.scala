@@ -385,6 +385,14 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Per-paragraph language ID + code-switching verdict: the q7
+    // kernel per paragraph, majority/mixed rollup per doc.
+    "q318_code_switching" -> ((s, dir) =>
+      operators.TextAnalysis.codeSwitchStats(documents(s, dir))),
+    // Sitemap discovery: robots.txt's global Sitemap directive
+    // (q269 parse) fetched and parsed by the q253 entry kernel.
+    "q319_sitemap_discovery" -> ((s, dir) =>
+      operators.Sitemap.sitemapDiscovery(documents(s, dir))),
     // Composed HTTP coding stack: identity / gzip / chunked /
     // chunked-wrapping-gzip mixed per doc; transfer coding peeled
     // before content coding, digest-graded against the plain text.
@@ -2996,6 +3004,8 @@ object SparkEntry {
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
     "q316_http_coding_stack" -> OracleSql.httpCodingStack,
     "q317_warc_req_resp" -> OracleSql.warcGzPaired,
+    "q318_code_switching" -> OracleSql.codeSwitchStats,
+    "q319_sitemap_discovery" -> OracleSql.sitemapDiscovery,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

@@ -8547,6 +8547,77 @@ FROM d"""
 )"""
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.codeSwitchStats]]
+    * (q318): every column re-derived from the fixture arithmetic —
+    * profiles are pairwise token-disjoint, so paragraph j's guess
+    * is provably its planted language index (doc_id + j (mod 4),
+    * with j pinned to 0 for the monolingual doc_id ≡ 0 (mod 5)
+    * docs); majority = count DESC then profile order ASC. */
+  def codeSwitchStats: String = {
+    val codes = TextAnalysis.langProfiles.map(_._1)
+    val codeArr = codes.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH p AS (
+  SELECT d.doc_id, r.j,
+         CAST((d.doc_id + CASE WHEN d.doc_id % 5 = 0 THEN 0
+                               ELSE r.j END) % 4 AS INTEGER) AS li
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, 4)) AS j) r
+  WHERE r.j < d.doc_id % 3 + 2
+), lc AS (
+  SELECT doc_id, li, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p GROUP BY doc_id, li
+), m AS (
+  SELECT doc_id, li,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY c DESC, li ASC) AS rn
+  FROM lc
+)
+SELECT l.doc_id,
+       CAST(SUM(l.c) AS BIGINT) AS n_paras,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       MAX(CASE WHEN m.rn = 1
+                THEN $codeArr[m.li + 1] END) AS majority_lang,
+       COUNT(*) > 1 AS is_mixed
+FROM lc l JOIN m ON m.doc_id = l.doc_id AND m.li = l.li
+GROUP BY l.doc_id"""
+  }
+
+  /** Mirror of [[graft.operators.Sitemap.sitemapDiscovery]] (q319):
+    * hosts from the distinct doc_id % 7 rollup, each host's
+    * discovered sitemap URL from the q269 fixture's global Sitemap
+    * line, entries re-derived with the q253 arithmetic keyed by the
+    * HOST id. */
+  def sitemapDiscovery: String = {
+    import graft.operators.Sitemap._
+    s"""WITH hosts AS (
+  SELECT DISTINCT doc_id % 7 AS h FROM documents
+), e AS (
+  SELECT h,
+         'www.site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         'https://www.site' || CAST(h AS VARCHAR) ||
+           '.example.com/sitemap.xml' AS sitemap_url,
+         r.i,
+         'https://www.site' || CAST(h % 7 AS VARCHAR) ||
+         '.example.com' ||
+         CASE r.i WHEN 0 THEN '/Cat' || CAST(h % 5 AS VARCHAR) ||
+                             '/page' || CAST(h % 11 AS VARCHAR)
+                  WHEN 1 THEN '/Cat' || CAST(h % 5 AS VARCHAR)
+                  ELSE '/about' END AS loc,
+         '2024-03-' || lpad(CAST((h + r.i) % 28 + 1 AS VARCHAR),
+           2, '0') AS lastmod,
+         CASE (h + r.i) % 3 WHEN 0 THEN 'daily'
+                            WHEN 1 THEN 'weekly'
+                            ELSE 'monthly' END AS changefreq,
+         CAST('0.' || CAST((h + r.i) % 10 AS VARCHAR) AS DOUBLE)
+           AS priority
+  FROM hosts,
+       LATERAL (SELECT unnest(range(0, $EntriesPerMap)) AS i) r
+)
+SELECT host, sitemap_url, CAST(i AS BIGINT) AS entry_idx,
+       loc, lastmod, changefreq, priority
+FROM e"""
+  }
+
   /** Mirror of [[graft.operators.Sitemap.sitemapEntries]] (q253). */
   def sitemapEntries: String =
     s"""$sitemapCtes

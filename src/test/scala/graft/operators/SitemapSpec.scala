@@ -125,4 +125,30 @@ class SitemapSpec extends AnyFunSuite with SparkSessionSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"shuffle in:\n$plan")
   }
+
+  test("q319 discovery: every q243 host's robots Sitemap line " +
+      "resolves to its sitemap and parses to the q253 entry shapes " +
+      "(kernel shared — the entries EQUAL sitemapEntries keyed by " +
+      "the host id)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map((_, "x")).toDF("doc_id", "text")
+    val rows = Sitemap.sitemapDiscovery(docs).collect()
+    assert(rows.length == 7 * Sitemap.EntriesPerMap)
+    for (r <- rows) {
+      val host = r.getAs[String]("host")
+      assert(r.getAs[String]("sitemap_url") ==
+        s"https://$host/sitemap.xml")
+      assert(r.getAs[String]("loc").startsWith(s"https://$host/"))
+    }
+    // kernel parity: host h's entries == sitemapEntries for doc_id h
+    val viaDoc = Sitemap.sitemapEntries(
+      Seq((3L, "x")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("entry_idx"), r.getAs[String]("loc"),
+        r.getAs[String]("lastmod"))).toSet
+    val viaDiscovery = rows
+      .filter(_.getAs[String]("host") == "www.site3.example.com")
+      .map(r => (r.getAs[Long]("entry_idx"), r.getAs[String]("loc"),
+        r.getAs[String]("lastmod"))).toSet
+    assert(viaDiscovery == viaDoc)
+  }
 }

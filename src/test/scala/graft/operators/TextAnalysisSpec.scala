@@ -1069,4 +1069,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionSpec {
     assert(rows.length < base.size,
       "the near-dup demotion must do real work on this corpus")
   }
+
+  test("q318 code-switching: monolingual docs (id % 5 == 0) roll up " +
+      "to one language; rotating docs detect EVERY planted language " +
+      "and pick the majority by count-then-profile-order") {
+    import spark.implicits._
+    val docs = (0L until 30L).map((_, "unused")).toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitchStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 30)
+    val codes = TextAnalysis.langProfiles.map(_._1)
+    for ((id, r) <- out) {
+      val nParas = (id % 3 + 2).toInt
+      assert(r.getAs[Long]("n_paras") == nParas, s"doc $id")
+      if (id % 5 == 0) {
+        assert(r.getAs[Long]("n_langs") == 1L, s"doc $id mono")
+        assert(!r.getAs[Boolean]("is_mixed"))
+        assert(r.getAs[String]("majority_lang") ==
+          codes((id % 4).toInt))
+      } else {
+        assert(r.getAs[Long]("n_langs") == nParas, s"doc $id mixed")
+        assert(r.getAs[Boolean]("is_mixed"))
+        // all counts tie at 1 -> majority = the EARLIEST profile
+        // among the planted (id + j) % 4 indices
+        val planted = (0 until nParas).map(j => ((id + j) % 4).toInt)
+        assert(r.getAs[String]("majority_lang") ==
+          codes(planted.min), s"doc $id planted=$planted")
+      }
+    }
+    // the guess is computed by SCORING, not threaded: a paragraph of
+    // German stopwords must guess 'de' through the q7 kernel
+    val de = TextAnalysis.langProfiles.toMap.apply("de").mkString(" ")
+    val guessed = Seq((0L, de)).toDF("doc_id", "text")
+      .select(TextAnalysis.langGuessCol(col("text"))).head.getString(0)
+    assert(guessed == "de")
+  }
 }
