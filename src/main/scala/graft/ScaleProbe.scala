@@ -146,6 +146,18 @@ object ScaleProbe {
     time("idn_hosts")(operators.Idn.idnHosts(docs))
     time("sitemap_index")(Sitemap.sitemapIndexResolved(docs))
     time("robots_wildcard")(operators.Robots.robotsWildcardGate(docs))
+    // round-16 additions: the composed coding stack and the paired
+    // request/response walk (both row-local per record/blob — real
+    // gzip+chunk work per row, so the rung checks linearity), the
+    // per-paragraph language rollup (two bounded exchanges), the
+    // dense/chroma H.264 codecs (row-local bytes->planes), sitemap
+    // discovery (dimension-sized hosts — must stay ~flat)
+    time("http_coding_stack")(Warc.httpCodingStack(docs))
+    time("warc_req_resp")(Warc.warcGzPaired(docs))
+    time("code_switching")(TextAnalysis.codeSwitchStats(docs))
+    time("h264_dense")(operators.Multimodal.h264DenseDecodeStats(docs))
+    time("h264_chroma")(operators.Multimodal.h264ChromaDecodeStats(docs))
+    time("sitemap_discovery")(Sitemap.sitemapDiscovery(docs))
     time("link_extract")(WebGraph.linkExtract(docs))
     time("anchor_index")(WebGraph.anchorIndex(docs))
     time("global_index")(operators.GlobalIndex.docGlobalIndex(
