@@ -385,6 +385,31 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Cross-snapshot novelty: fraction of paragraph hashes never
+    // seen in earlier snapshots of the same url — additions vs
+    // edits distinguished; (doc, hash)-keyed min-run rollup.
+    "q324_snapshot_novelty" -> ((s, dir) =>
+      operators.Warc.snapshotNovelty(documents(s, dir))),
+    // Heading outline: h1>h2>h3 paths per content block via a
+    // per-doc last_value ancestor window — the section-aware
+    // chunking signal flat extraction discards.
+    "q323_heading_outline" -> ((s, dir) =>
+      operators.HtmlExtract.headingOutline(documents(s, dir))),
+    // RSS 2.0 / Atom feeds: format detected from the root element,
+    // entries extracted per format, RFC 822 pubDates normalized to
+    // ISO through the real month-name mapping.
+    "q321_feed_entries" -> ((s, dir) =>
+      operators.Sitemap.feedEntries(documents(s, dir))),
+    // HTTP cache/freshness planning: max-age vs the RFC 9111
+    // heuristic vs validator-only, parsed from real header fields;
+    // the serve/revalidate/refetch plan with conditional headers.
+    "q322_http_cache_plan" -> ((s, dir) =>
+      operators.Warc.httpCachePlan(documents(s, dir))),
+    // JSON-LD structured data: ld+json blocks located by type
+    // attribute, parsed by the engine's JSON parser; nested
+    // aggregateRating fields + escaped-quote-correct name.
+    "q320_jsonld_extract" -> ((s, dir) =>
+      operators.HtmlExtract.jsonLdExtract(documents(s, dir))),
     // Per-paragraph language ID + code-switching verdict: the q7
     // kernel per paragraph, majority/mixed rollup per doc.
     "q318_code_switching" -> ((s, dir) =>
@@ -3006,6 +3031,11 @@ object SparkEntry {
     "q317_warc_req_resp" -> OracleSql.warcGzPaired,
     "q318_code_switching" -> OracleSql.codeSwitchStats,
     "q319_sitemap_discovery" -> OracleSql.sitemapDiscovery,
+    "q320_jsonld_extract" -> OracleSql.jsonLdExtract,
+    "q321_feed_entries" -> OracleSql.feedEntries,
+    "q322_http_cache_plan" -> OracleSql.httpCachePlan,
+    "q323_heading_outline" -> OracleSql.headingOutline,
+    "q324_snapshot_novelty" -> OracleSql.snapshotNovelty,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

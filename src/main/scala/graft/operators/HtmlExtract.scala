@@ -163,6 +163,163 @@ object HtmlExtract {
   def htmlExtracted(docs: DataFrame): DataFrame =
     htmlTextExtract(htmlWrap(docs))
 
+  // ---------------------------------------------------------------
+  // JSON-LD structured data (q320) — the schema.org machine-readable
+  // layer real pages embed in <script type="application/ld+json">
+  // blocks; the metadata every serious web-curation pipeline mines
+  // (titles, canonical urls, dates, ratings) WITHOUT text heuristics
+  // ---------------------------------------------------------------
+
+  /** The declared schema.org types of the q320 fixture. */
+  val LdTypes: Seq[String] = Seq("Article", "Product", "NewsArticle")
+
+  /** One synthesized page carrying TWO ld+json blocks (the graded
+    * Article/Product object with a NESTED aggregateRating, and a
+    * BreadcrumbList decoy a reader must not conflate) plus a plain
+    * javascript block (must not parse as data). Escaping matters:
+    * the name carries a QUOTED `"deal"` — a reader that splits on
+    * naive quotes shears here. */
+  def jsonLdWrapCol(docId: Column): Column = {
+    val d = docId.cast("string")
+    val typ = element_at(array(LdTypes.map(lit): _*),
+      (docId % 3 + 1).cast("int"))
+    val rating = concat((docId % 4 + 1).cast("string"), lit("."),
+      (docId % 10).cast("string"))
+    concat(
+      lit("<html><head><title>ld "), d, lit("</title>"),
+      lit("<script type=\"application/ld+json\">" +
+        "{\"@context\":\"https://schema.org\",\"@type\":\""),
+      typ,
+      lit("\",\"name\":\"Item \\\"deal\\\" "), d,
+      lit("\",\"url\":\"https://www.site"), (docId % 7).cast("string"),
+      lit(".example.com/doc"), d,
+      lit("\",\"datePublished\":\"2024-06-"),
+      lpad((docId % 28 + 1).cast("string"), 2, "0"),
+      lit("\",\"aggregateRating\":{\"@type\":\"AggregateRating\"," +
+        "\"ratingValue\":"), rating,
+      lit(",\"reviewCount\":"), (docId % 50 + 1).cast("string"),
+      lit("}}</script>"),
+      lit("<script type=\"application/ld+json\">" +
+        "{\"@context\":\"https://schema.org\"," +
+        "\"@type\":\"BreadcrumbList\",\"numberOfItems\":"),
+      (docId % 5 + 1).cast("string"),
+      lit("}</script>"),
+      lit("<script type=\"text/javascript\">var x = " +
+        "{\"@type\": \"NotData\"};</script>"),
+      lit("</head><body><p>body "), d, lit("</p></body></html>"))
+  }
+
+  /** q320: documents → ld+json pages → REAL extraction: every
+    * `application/ld+json` block regex-located (the type attribute
+    * decides — the decoy javascript block carries JSON-shaped text
+    * and must not be read), then parsed by the engine's JSON parser
+    * (get_json_object — codegen'd, not a UDF): the graded frame is
+    * the FIRST block whose @type is a [[LdTypes]] member, its name
+    * (escaped-quote correct), url, datePublished, and the NESTED
+    * aggregateRating fields; n_ld_blocks counts all data blocks.
+    * The oracle reconstructs the same page and parses it with
+    * DuckDB's OWN json machinery — two independent JSON parsers
+    * must agree. Row-local. */
+  def jsonLdExtract(docs: DataFrame): DataFrame = {
+    val html = docs.select(col("doc_id"),
+      jsonLdWrapCol(col("doc_id")).as("html"))
+    val blocks = expr(
+      """regexp_extract_all(html,
+        |'(?s)<script type="application/ld\\+json">(.*?)</script>',
+        |1)""".stripMargin.replace("\n", " "))
+    val withBlocks = html.withColumn("blocks", blocks)
+      .withColumn("main", filter(col("blocks"), b =>
+        get_json_object(b, "$['@type']")
+          .isin(LdTypes.map(x => x: Any): _*))(0))
+    withBlocks.select(
+      col("doc_id"),
+      size(col("blocks")).cast("long").as("n_ld_blocks"),
+      get_json_object(col("main"), "$['@type']").as("ld_type"),
+      get_json_object(col("main"), "$['name']").as("name"),
+      get_json_object(col("main"), "$['url']").as("url"),
+      get_json_object(col("main"), "$['datePublished']")
+        .as("date_published"),
+      get_json_object(col("main"),
+        "$['aggregateRating']['ratingValue']").cast("double")
+        .as("rating_value"),
+      get_json_object(col("main"),
+        "$['aggregateRating']['reviewCount']").cast("long")
+        .as("review_count"))
+  }
+
+  // ---------------------------------------------------------------
+  // heading outline (q323) — the document STRUCTURE the flat q239
+  // extraction discards: section-aware chunkers (RAG, long-context
+  // packing) key on the h1>h2>h3 path of each content block, not on
+  // blind token windows
+  // ---------------------------------------------------------------
+
+  /** One synthesized sectioned page per doc: an h1 title, 1..3 h2
+    * sections each with a paragraph, and an h3 subsection under
+    * every ODD h2 — so the path builder must track BOTH ancestor
+    * levels, not just the last heading. */
+  def outlineWrapCol(docId: Column): Column = {
+    val d = docId.cast("string")
+    def sec(s: Int): Column = {
+      val words = concat(lit("body "), d, lit(" s"),
+        lit(s).cast("string"),
+        when((docId + lit(s)) % 3 === 0, lit(" extra words here"))
+          .otherwise(lit(" w")))
+      val h3 = if (s % 2 == 1)
+        concat(lit(s"<h3>Sub $s of doc "), d, lit("</h3><p>deep "),
+          d, lit(s"-$s</p>"))
+      else lit("")
+      concat(lit(s"<h2>Sec $s doc "), d, lit("</h2><p>"), words,
+        lit("</p>"), h3)
+    }
+    val nSecs = docId % 3 + 1
+    concat(
+      lit("<html><body><h1>Title "), d, lit("</h1>"),
+      concat((0 until 3).map(s =>
+        when(lit(s) < nSecs, sec(s)).otherwise(lit(""))): _*),
+      lit("</body></html>"))
+  }
+
+  /** q323: documents → sectioned pages → the OUTLINE: every heading
+    * extracted in document order with its level, the heading PATH
+    * built from the running h1/h2 ancestors (a last_value window
+    * per doc — per-doc bounded), and each heading's own paragraph
+    * word count. One row per heading: (doc_id, sec_idx, level,
+    * heading, path, n_words). The oracle mirrors the window with
+    * DuckDB's last_value IGNORE NULLS over the same extraction. */
+  def headingOutline(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val html = docs.select(col("doc_id"),
+      outlineWrapCol(col("doc_id")).as("html"))
+    val chunks = html.select(col("doc_id"),
+      posexplode(expr(
+        "regexp_extract_all(html, '<h([123])>.*?</h[123]>(?:<p>.*?</p>)?', 0)"))
+        .as(Seq("sec_idx", "chunk")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sec_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("level",
+        regexp_extract(col("chunk"), "^<h([123])>", 1).cast("int"))
+      .withColumn("heading",
+        regexp_extract(col("chunk"), "^<h[123]>(.*?)</h[123]>", 1))
+      .withColumn("para",
+        regexp_extract(col("chunk"), "<p>(.*?)</p>", 1))
+      .withColumn("h1",
+        last(when(col("level") === 1, col("heading")), true).over(w))
+      .withColumn("h2",
+        last(when(col("level") === 2, col("heading")), true).over(w))
+      .select(col("doc_id"), col("sec_idx").cast("long").as("sec_idx"),
+        col("level").cast("long").as("level"), col("heading"),
+        when(col("level") === 1, col("heading"))
+          .when(col("level") === 2,
+            concat_ws(" > ", col("h1"), col("heading")))
+          .otherwise(concat_ws(" > ", col("h1"), col("h2"),
+            col("heading"))).as("path"),
+        when(col("para") === "", lit(0L))
+          .otherwise(size(split(col("para"), " ")).cast("long"))
+          .as("n_words"))
+  }
+
   /** q240: the extraction-headed cleaning funnel — extract (q239
     * kernel), flatten line breaks to the corpus word stream, strip
     * corpus-frequent boilerplate paragraphs (the UNCHANGED q200

@@ -238,6 +238,135 @@ object Sitemap {
           .cast("double").as("priority"))
   }
 
+  // ---------------------------------------------------------------
+  // RSS 2.0 / Atom feeds (q321) — the OTHER discovery channel next
+  // to sitemaps: news/blog acquisition reads feeds, and the two
+  // wire formats differ in structure AND date convention (RFC 822
+  // vs RFC 3339), so normalization is real work
+  // ---------------------------------------------------------------
+
+  /** RFC 822 month names in wire order — the mapping the RSS date
+    * normalizer must actually perform. */
+  val Rfc822Months: Seq[String] = Seq("Jan", "Feb", "Mar", "Apr",
+    "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  private val Rfc822Days: Seq[String] =
+    Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+
+  /** Entries per feed for doc d. */
+  private def feedEntriesCol(d: Column): Column = d % 3 + 1
+
+  /** One synthesized feed per doc: RSS 2.0 for even doc_ids (items
+    * with RFC 822 pubDate + guid), Atom for odd (entries with
+    * RFC 3339 updated + id, link as an ATTRIBUTE — the structural
+    * difference a reader must handle). */
+  def feedFixtureCol(d: Column): Column = {
+    val host = concat(lit("https://www.site"), (d % 7).cast("string"),
+      lit(".example.com"))
+    def entry(k: Int): Column = {
+      val kk = d + lit(k)
+      val title = concat(lit("Post "), d.cast("string"), lit("-"),
+        lit(k).cast("string"))
+      val link = concat(host, lit("/p/"), d.cast("string"), lit("-"),
+        lit(k).cast("string"))
+      val guid = concat(lit("urn:p:"), d.cast("string"), lit("-"),
+        lit(k).cast("string"))
+      val dd = lpad((kk % 28 + 1).cast("string"), 2, "0")
+      val mon = element_at(array(Rfc822Months.map(lit): _*),
+        (kk % 12 + 1).cast("int"))
+      val mm = lpad((kk % 12 + 1).cast("string"), 2, "0")
+      val mins = lpad((kk % 60).cast("string"), 2, "0")
+      val wd = element_at(array(Rfc822Days.map(lit): _*),
+        (kk % 7 + 1).cast("int"))
+      when(d % 2 === 0,
+        concat(lit("<item><title>"), title, lit("</title><link>"),
+          link, lit("</link><pubDate>"), wd, lit(", "), dd, lit(" "),
+          mon, lit(" 2024 10:"), mins, lit(":00 GMT</pubDate>"),
+          lit("<guid>"), guid, lit("</guid></item>\n")))
+        .otherwise(
+          concat(lit("<entry><title>"), title,
+            lit("</title><link href=\""), link, lit("\"/>"),
+            lit("<updated>2024-"), mm, lit("-"), dd, lit("T10:"),
+            mins, lit(":00Z</updated><id>"), guid,
+            lit("</id></entry>\n")))
+    }
+    val n = feedEntriesCol(d)
+    val body = concat((0 until 3).map(k =>
+      when(lit(k) < n, entry(k)).otherwise(lit(""))): _*)
+    when(d % 2 === 0,
+      concat(lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\">" +
+        "<channel><title>Chan "), d.cast("string"),
+        lit("</title><link>"), host, lit("/</link>\n"), body,
+        lit("</channel></rss>")))
+      .otherwise(
+        concat(lit("<?xml version=\"1.0\"?>\n" +
+          "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>Feed "),
+          d.cast("string"), lit("</title>\n"), body, lit("</feed>")))
+  }
+
+  /** q321: documents → synthesized feed → format DETECTED from the
+    * root element (never the fixture arithmetic), entries extracted
+    * per format (RSS `<item>` children as elements; Atom `<entry>`
+    * with the link in an href attribute), and publish times
+    * NORMALIZED to one ISO form — RSS's RFC 822 `03 Jun 2024`
+    * through the real month-name mapping, Atom's RFC 3339 passed
+    * through. One row per entry: (doc_id, format, entry_idx, title,
+    * link, guid, published_iso). Row-local regexp work; the oracle
+    * re-derives every field including the month mapping. */
+  def feedEntries(docs: DataFrame): DataFrame = {
+    val withXml = docs.select(col("doc_id"),
+      feedFixtureCol(col("doc_id")).as("xml"))
+    val fmt = when(col("xml").contains("<rss "), lit("rss"))
+      .when(col("xml").contains("<feed "), lit("atom"))
+      .otherwise(lit("unknown"))
+    val monthNum = Rfc822Months.zipWithIndex
+      .foldLeft(lit("00")) { case (acc, (m, i)) =>
+        when(col("mon") === m,
+          lit(f"${i + 1}%02d")).otherwise(acc)
+      }
+    withXml
+      .withColumn("format", fmt)
+      .select(col("doc_id"), col("format"),
+        posexplode(expr(
+          """CASE WHEN format = 'rss'
+            |THEN regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1)
+            |ELSE regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1)
+            |END""".stripMargin.replace("\n", " ")))
+          .as(Seq("entry_idx", "block")))
+      .select(col("doc_id"), col("format"),
+        col("entry_idx").cast("long").as("entry_idx"),
+        regexp_extract(col("block"), "<title>(.*?)</title>", 1)
+          .as("title"),
+        when(col("format") === "rss",
+          regexp_extract(col("block"), "<link>(.*?)</link>", 1))
+          .otherwise(regexp_extract(col("block"),
+            "<link href=\"(.*?)\"/>", 1)).as("link"),
+        when(col("format") === "rss",
+          regexp_extract(col("block"), "<guid>(.*?)</guid>", 1))
+          .otherwise(regexp_extract(col("block"), "<id>(.*?)</id>", 1))
+          .as("guid"),
+        when(col("format") === "rss",
+          regexp_extract(col("block"),
+            "<pubDate>[A-Za-z]+, ([0-9]+ [A-Za-z]+ [0-9]+ " +
+              "[0-9:]+) GMT</pubDate>", 1))
+          .otherwise(lit(null)).as("rssdt"),
+        when(col("format") === "atom",
+          regexp_extract(col("block"), "<updated>(.*?)</updated>", 1))
+          .otherwise(lit(null)).as("atomdt"))
+      .withColumn("mon",
+        regexp_extract(col("rssdt"), " ([A-Za-z]+) ", 1))
+      .select(col("doc_id"), col("format"), col("entry_idx"),
+        col("title"), col("link"), col("guid"),
+        when(col("format") === "atom", col("atomdt"))
+          .otherwise(concat(
+            regexp_extract(col("rssdt"), " ([0-9]{4}) ", 1),
+            lit("-"), monthNum, lit("-"),
+            regexp_extract(col("rssdt"), "^([0-9]+) ", 1),
+            lit("T"),
+            regexp_extract(col("rssdt"), " ([0-9:]+)$", 1),
+            lit("Z"))).as("published_iso"))
+  }
+
   /** q254: the crawl frontier head — q253's entries, robots-gated,
     * URL-collapsed, and politeness-scheduled: per host the top
     * [[FrontierSlots]] allowed pages by (priority desc, loc), each

@@ -335,6 +335,64 @@ object Warc {
   /** Snapshots per URL in the q276 adaptive-recrawl fixture. */
   val RecrawlRuns = 4
 
+  /** Snapshots per URL in the q324 novelty fixture. */
+  val NoveltyRuns = 4
+
+  /** q324: CROSS-SNAPSHOT novelty rate — the curation metric behind
+    * "how much NEW content did this crawl actually bring": per
+    * (url, snapshot), the fraction of paragraph hashes never seen
+    * in any EARLIER snapshot of the same url. The fixture gives
+    * every doc 3 base paragraphs (real text thirds, index-prefixed
+    * so short docs cannot alias), each snapshot ADDS one paragraph,
+    * and snapshot 2 REWRITES paragraph 0 for doc_id ≡ 0 (mod 4)
+    * docs — so the metric must distinguish additions from edits.
+    * first-seen is a (doc, hash)-keyed min(run) rollup joined back
+    * — bounded at runs × paragraphs per doc, no window, no
+    * corpus-sized state. (doc_id, run, n_paras, n_novel, novelty).
+    * The oracle re-derives the counts from the fixture structure
+    * (hashes of DISTINCT texts are distinct). */
+  def snapshotNovelty(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val third = floor(n / lit(3.0)).cast("int")
+    def basePara(j: Int): Column = {
+      val from = lit(j) * third + 1
+      val len = if (j == 2) n - lit(2) * third else third
+      concat(lit(s"p$j:"), array_join(slice(w, from, len), " "))
+    }
+    val paras = docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        explode(array((0 until NoveltyRuns).map(lit): _*)).as("run"),
+        col("text"))
+      .select(col("doc_id"), col("run"),
+        posexplode(array(
+          (0 until 3).map(basePara) ++
+            (3 until 3 + NoveltyRuns).map(j =>
+              concat(lit(s"added $j to "),
+                col("doc_id").cast("string"))): _*))
+          .as(Seq("para_idx", "ptext")))
+      // snapshot r carries base paragraphs + the first r additions
+      .filter(col("para_idx") < col("run") + 3)
+      // the snapshot-2 rewrite of paragraph 0
+      .withColumn("ptext",
+        when(col("para_idx") === 0 && col("run") >= 2 &&
+          col("doc_id") % 4 === 0,
+          concat(col("ptext"), lit(" (rev2)")))
+          .otherwise(col("ptext")))
+      .withColumn("phash", md5(col("ptext")))
+    val firstSeen = paras.groupBy(col("doc_id"), col("phash"))
+      .agg(min(col("run")).as("first_run"))
+    paras.join(firstSeen, Seq("doc_id", "phash"))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("first_run") === col("run"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("run").cast("long").as("run"),
+        col("n_paras"), col("n_novel"),
+        (col("n_novel").cast("double") /
+          col("n_paras").cast("double")).as("novelty"))
+  }
+
   /** q276: adaptive recrawl scheduling — the freshness policy of
     * the crawl literature (Cho & Garcia-Molina): pages that change
     * often get short revisit intervals, static pages long ones. The
@@ -1060,6 +1118,99 @@ object Warc {
         col("paired"), col("req_method"), col("req_path"),
         col("req_user_agent"), col("status"),
         col("n_payload_chars"), col("payload_md5"), col("valid"))
+  }
+
+  // ---------------------------------------------------------------
+  // HTTP cache/freshness planning (q322) — the RFC 9111 decision a
+  // recrawler makes per URL before spending a fetch: serve cached,
+  // revalidate conditionally, or refetch. Composes with q276's
+  // change-rate scheduling; this is the HEADER-driven half.
+  // ---------------------------------------------------------------
+
+  /** q322: per doc a stored response's caching headers (three real
+    * shapes: explicit `Cache-Control: max-age`, `Last-Modified`
+    * only — the RFC 9111 §4.2.2 heuristic, lifetime = 10% of the
+    * Date−Last-Modified distance — and `ETag` with no freshness
+    * info at all), parsed by REGEX from the header block (headers
+    * decide, never the arithmetic), the freshness lifetime and the
+    * stored response's current age compared, and the plan emitted:
+    * serve-cached while fresh; stale-with-validator → revalidate
+    * with the right conditional header (If-None-Match beats
+    * If-Modified-Since when both exist — §13.1.2); stale without
+    * any validator → refetch. Row-local; the oracle re-derives the
+    * arithmetic and the plan CASE. */
+  def httpCachePlan(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    // synthesized stored-response header block per doc; every shape
+    // carries a real Date header, the heuristic shape a real
+    // Last-Modified whose distance from Date is a day-of-month
+    // difference inside one month (so the parse does real RFC 822
+    // field work without a calendar library)
+    val maxAge = (d % 10 + 1) * 60
+    val lmDay = lit(28) - (d % 27 + 1)
+    val datePart = lit("Date: Fri, 28 Jun 2024 10:00:00 GMT\r\n")
+    val headers = when(d % 3 === 0,
+      concat(lit("HTTP/1.1 200 OK\r\n"), datePart,
+        lit("Cache-Control: max-age="), maxAge.cast("string"),
+        lit(", public\r\nContent-Type: text/html\r\n\r\n")))
+      .when(d % 3 === 1,
+        concat(lit("HTTP/1.1 200 OK\r\n"), datePart,
+          lit("Last-Modified: Mon, "),
+          lpad(lmDay.cast("string"), 2, "0"),
+          lit(" Jun 2024 10:00:00 GMT\r\n" +
+            "Content-Type: text/html\r\n\r\n")))
+      .otherwise(
+        concat(lit("HTTP/1.1 200 OK\r\n"), datePart,
+          lit("ETag: \"v"), (d % 9).cast("string"),
+          lit("\"\r\nContent-Type: text/html\r\n\r\n")))
+    // stored-response current age (what a cache would compute from
+    // its own clock; carried as data so the plan is deterministic)
+    val ageS = when(d % 3 === 0, (d % 7) * 90L)
+      .otherwise((d % 5) * 3600L)
+    // ANSI-safe numeric pull: a header that is absent extracts ''
+    // and must become NULL, not a cast error
+    def num(pattern: String): Column = {
+      val raw = regexp_extract(col("headers"), pattern, 1)
+      when(raw === "", lit(null)).otherwise(raw).cast("long")
+    }
+    docs.select(d, headers.as("headers"), ageS.as("age_s"))
+      .withColumn("max_age", num("(?i)Cache-Control: max-age=([0-9]+)"))
+      .withColumn("date_day",
+        num("(?i)\\r\\nDate: [A-Za-z]+, ([0-9]+) "))
+      .withColumn("lm_day",
+        num("(?i)Last-Modified: [A-Za-z]+, ([0-9]+) "))
+      .withColumn("lm_age_s",
+        when(col("lm_day").isNotNull,
+          (col("date_day") - col("lm_day")) * 86400L))
+      .withColumn("etag",
+        regexp_extract(col("headers"), "(?i)ETag: (\"[^\"]*\")", 1))
+      .withColumn("freshness_s",
+        when(col("max_age").isNotNull && col("max_age") > 0,
+          col("max_age"))
+          .when(col("lm_age_s").isNotNull && col("lm_age_s") > 0,
+            col("lm_age_s") / 10)
+          .otherwise(lit(0L)))
+      .withColumn("policy",
+        when(col("max_age").isNotNull && col("max_age") > 0,
+          lit("max-age"))
+          .when(col("lm_age_s").isNotNull && col("lm_age_s") > 0,
+            lit("heuristic"))
+          .otherwise(lit("none")))
+      .withColumn("plan",
+        when(col("age_s") < col("freshness_s"), lit("serve-cached"))
+          .when(length(col("etag")) > 0, lit("revalidate"))
+          .when(col("policy") === "heuristic", lit("revalidate"))
+          .otherwise(lit("refetch")))
+      .withColumn("conditional_header",
+        when(col("plan") =!= "revalidate", lit(""))
+          .when(length(col("etag")) > 0,
+            concat(lit("If-None-Match: "), col("etag")))
+          .otherwise(concat(lit("If-Modified-Since: "),
+            regexp_extract(col("headers"),
+              "(?i)Last-Modified: ([^\\r]+)", 1))))
+      .select(col("doc_id"), col("policy"),
+        col("freshness_s").cast("long").as("freshness_s"),
+        col("age_s"), col("plan"), col("conditional_header"))
   }
 
   /** q292: byte-level WARC parse + q267 charset sniffing composed —

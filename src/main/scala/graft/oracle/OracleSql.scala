@@ -8618,6 +8618,209 @@ SELECT host, sitemap_url, CAST(i AS BIGINT) AS entry_idx,
 FROM e"""
   }
 
+  /** Mirror of [[graft.operators.HtmlExtract.jsonLdExtract]]
+    * (q320): the page reconstructed from the same arithmetic, the
+    * ld+json blocks located by the same regex, and the JSON parsed
+    * by DuckDB's OWN json machinery — two independent JSON parsers
+    * (Jackson inside Spark's get_json_object, yyjson inside DuckDB)
+    * must agree on every field, escaped quotes included. */
+  def jsonLdExtract: String =
+    s"""WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>ld ' || CAST(doc_id AS VARCHAR) ||
+    '</title><script type="application/ld+json">' ||
+    '{"@context":"https://schema.org","@type":"' ||
+    CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
+         ELSE 'NewsArticle' END ||
+    '","name":"Item \\"deal\\" ' || CAST(doc_id AS VARCHAR) ||
+    '","url":"https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+    '.example.com/doc' || CAST(doc_id AS VARCHAR) ||
+    '","datePublished":"2024-06-' ||
+    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+    '","aggregateRating":{"@type":"AggregateRating","ratingValue":' ||
+    CAST(doc_id % 4 + 1 AS VARCHAR) || '.' ||
+    CAST(doc_id % 10 AS VARCHAR) || ',"reviewCount":' ||
+    CAST(doc_id % 50 + 1 AS VARCHAR) || '}}</script>' ||
+    '<script type="application/ld+json">' ||
+    '{"@context":"https://schema.org","@type":"BreadcrumbList",' ||
+    '"numberOfItems":' || CAST(doc_id % 5 + 1 AS VARCHAR) ||
+    '}</script>' ||
+    '<script type="text/javascript">var x = ' ||
+    '{"@type": "NotData"};</script>' ||
+    '</head><body><p>body ' || CAST(doc_id AS VARCHAR) ||
+    '</p></body></html>' AS html
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    regexp_extract_all(html,
+      '(?s)<script type="application/ld\\+json">(.*?)</script>', 1)
+      AS blocks
+  FROM h
+), m AS (
+  SELECT doc_id, blocks,
+    list_filter(blocks, x -> json_extract_string(x, '$$."@type"') IN
+      ('Article', 'Product', 'NewsArticle'))[1] AS main
+  FROM b
+)
+SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_ld_blocks,
+       json_extract_string(main, '$$."@type"') AS ld_type,
+       json_extract_string(main, '$$.name') AS name,
+       json_extract_string(main, '$$.url') AS url,
+       json_extract_string(main, '$$.datePublished') AS date_published,
+       CAST(json_extract(main, '$$.aggregateRating.ratingValue')
+         AS DOUBLE) AS rating_value,
+       CAST(json_extract(main, '$$.aggregateRating.reviewCount')
+         AS BIGINT) AS review_count
+FROM m"""
+
+  /** Mirror of [[graft.operators.Sitemap.feedEntries]] (q321):
+    * every field re-derived from the fixture arithmetic; the RSS
+    * month-name normalization collapses back to the same ISO form
+    * the Atom side carries (mm == the month index by
+    * construction — the engine must PROVE it by mapping the name). */
+  def feedEntries: String =
+    """WITH e AS (
+  SELECT doc_id, r.k, doc_id + r.k AS kk
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, 3)) AS k) r
+  WHERE r.k < doc_id % 3 + 1
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS format,
+       CAST(k AS BIGINT) AS entry_idx,
+       'Post ' || CAST(doc_id AS VARCHAR) || '-' ||
+         CAST(k AS VARCHAR) AS title,
+       'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com/p/' || CAST(doc_id AS VARCHAR) || '-' ||
+         CAST(k AS VARCHAR) AS link,
+       'urn:p:' || CAST(doc_id AS VARCHAR) || '-' ||
+         CAST(k AS VARCHAR) AS guid,
+       '2024-' || lpad(CAST(kk % 12 + 1 AS VARCHAR), 2, '0') ||
+         '-' || lpad(CAST(kk % 28 + 1 AS VARCHAR), 2, '0') ||
+         'T10:' || lpad(CAST(kk % 60 AS VARCHAR), 2, '0') ||
+         ':00Z' AS published_iso
+FROM e"""
+
+  /** Mirror of [[graft.operators.Warc.httpCachePlan]] (q322): the
+    * RFC 9111 arithmetic and plan CASE re-derived; the engine side
+    * must read the same numbers out of real header fields. */
+  def httpCachePlan: String =
+    """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'max-age'
+            WHEN 1 THEN 'heuristic' ELSE 'none' END AS policy,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (doc_id % 10 + 1) * 60
+            WHEN 1 THEN (doc_id % 27 + 1) * 8640
+            ELSE 0 END AS BIGINT) AS freshness_s,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 90
+            ELSE (doc_id % 5) * 3600 END AS BIGINT) AS age_s,
+       CASE
+         WHEN (CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 90
+                    ELSE (doc_id % 5) * 3600 END) <
+              (CASE doc_id % 3 WHEN 0 THEN (doc_id % 10 + 1) * 60
+                    WHEN 1 THEN (doc_id % 27 + 1) * 8640
+                    ELSE 0 END)
+           THEN 'serve-cached'
+         WHEN doc_id % 3 = 2 THEN 'revalidate'
+         WHEN doc_id % 3 = 1 THEN 'revalidate'
+         ELSE 'refetch' END AS plan,
+       CASE
+         WHEN (CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 90
+                    ELSE (doc_id % 5) * 3600 END) <
+              (CASE doc_id % 3 WHEN 0 THEN (doc_id % 10 + 1) * 60
+                    WHEN 1 THEN (doc_id % 27 + 1) * 8640
+                    ELSE 0 END) THEN ''
+         WHEN doc_id % 3 = 2
+           THEN 'If-None-Match: "v' || CAST(doc_id % 9 AS VARCHAR) || '"'
+         WHEN doc_id % 3 = 1
+           THEN 'If-Modified-Since: Mon, ' ||
+                lpad(CAST(28 - (doc_id % 27 + 1) AS VARCHAR), 2, '0') ||
+                ' Jun 2024 10:00:00 GMT'
+         ELSE '' END AS conditional_header
+FROM documents"""
+
+  /** Mirror of [[graft.operators.HtmlExtract.headingOutline]]
+    * (q323): the page reconstructed from the same arithmetic, the
+    * SAME chunk regex, and the ancestor tracking mirrored with
+    * DuckDB's last_value IGNORE NULLS window. */
+  def headingOutline: String =
+    """WITH h AS (
+  SELECT doc_id,
+    '<html><body><h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+    '<h2>Sec 0 doc ' || CAST(doc_id AS VARCHAR) || '</h2><p>body ' ||
+      CAST(doc_id AS VARCHAR) || ' s0' ||
+      (CASE WHEN doc_id % 3 = 0 THEN ' extra words here'
+            ELSE ' w' END) || '</p>' ||
+    (CASE WHEN doc_id % 3 + 1 > 1 THEN
+      '<h2>Sec 1 doc ' || CAST(doc_id AS VARCHAR) || '</h2><p>body ' ||
+        CAST(doc_id AS VARCHAR) || ' s1' ||
+        (CASE WHEN (doc_id + 1) % 3 = 0 THEN ' extra words here'
+              ELSE ' w' END) || '</p>' ||
+      '<h3>Sub 1 of doc ' || CAST(doc_id AS VARCHAR) ||
+        '</h3><p>deep ' || CAST(doc_id AS VARCHAR) || '-1</p>'
+     ELSE '' END) ||
+    (CASE WHEN doc_id % 3 + 1 > 2 THEN
+      '<h2>Sec 2 doc ' || CAST(doc_id AS VARCHAR) || '</h2><p>body ' ||
+        CAST(doc_id AS VARCHAR) || ' s2' ||
+        (CASE WHEN (doc_id + 2) % 3 = 0 THEN ' extra words here'
+              ELSE ' w' END) || '</p>'
+     ELSE '' END) ||
+    '</body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id,
+    regexp_extract_all(html,
+      '<h([123])>.*?</h[123]>(?:<p>.*?</p>)?', 0) AS chunks
+  FROM h
+), c AS (
+  SELECT doc_id, r.i AS sec_idx, chunks[r.i + 1] AS chunk
+  FROM x, LATERAL (SELECT unnest(range(0, len(chunks))) AS i) r
+), p AS (
+  SELECT doc_id, sec_idx,
+    CAST(regexp_extract(chunk, '^<h([123])>', 1) AS INTEGER)
+      AS level,
+    regexp_extract(chunk, '^<h[123]>(.*?)</h[123]>', 1) AS heading,
+    regexp_extract(chunk, '<p>(.*?)</p>', 1) AS para
+  FROM c
+), q AS (
+  SELECT *,
+    last_value(CASE WHEN level = 1 THEN heading END IGNORE NULLS)
+      OVER w AS h1,
+    last_value(CASE WHEN level = 2 THEN heading END IGNORE NULLS)
+      OVER w AS h2
+  FROM p
+  WINDOW w AS (PARTITION BY doc_id ORDER BY sec_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, CAST(sec_idx AS BIGINT) AS sec_idx,
+       CAST(level AS BIGINT) AS level, heading,
+       CASE level WHEN 1 THEN heading
+            WHEN 2 THEN h1 || ' > ' || heading
+            ELSE h1 || ' > ' || h2 || ' > ' || heading END AS path,
+       CAST(CASE WHEN para = '' THEN 0
+            ELSE len(string_split(para, ' ')) END AS BIGINT)
+         AS n_words
+FROM q"""
+
+  /** Mirror of [[graft.operators.Warc.snapshotNovelty]] (q324):
+    * counts re-derived from the fixture structure — run r carries
+    * 3 + r paragraphs; novel = all 3 at run 0, the one addition per
+    * later run, +1 at run 2 for the doc_id ≡ 0 (mod 4) rewrite
+    * (hashes of distinct texts are distinct; the index prefixes
+    * make base paragraphs distinct even on degenerate docs). */
+  def snapshotNovelty: String =
+    """WITH r AS (SELECT unnest(range(0, 4)) AS run)
+SELECT d.doc_id, CAST(r.run AS BIGINT) AS run,
+       CAST(3 + r.run AS BIGINT) AS n_paras,
+       CAST(CASE WHEN r.run = 0 THEN 3
+            WHEN r.run = 2 AND d.doc_id % 4 = 0 THEN 2
+            ELSE 1 END AS BIGINT) AS n_novel,
+       CAST(CASE WHEN r.run = 0 THEN 3
+            WHEN r.run = 2 AND d.doc_id % 4 = 0 THEN 2
+            ELSE 1 END AS DOUBLE) /
+         CAST(3 + r.run AS DOUBLE) AS novelty
+FROM documents d CROSS JOIN r"""
+
   /** Mirror of [[graft.operators.Sitemap.sitemapEntries]] (q253). */
   def sitemapEntries: String =
     s"""$sitemapCtes

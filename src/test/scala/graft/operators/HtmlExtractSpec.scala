@@ -109,4 +109,49 @@ class HtmlExtractSpec extends AnyFunSuite with SparkSessionSpec {
       df.queryExecution.executedPlan.toString).size
     assert(shuffles == 0, "extraction must not shuffle")
   }
+
+  test("q320 JSON-LD: the typed block wins, the BreadcrumbList and " +
+      "the JSON-shaped javascript decoy do not; escaped quotes in " +
+      "the name survive the parse; the nested rating extracts") {
+    import spark.implicits._
+    val docs = (0L until 12L).map((_, "x")).toDF("doc_id", "text")
+    val out = HtmlExtract.jsonLdExtract(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 12)
+    for ((id, r) <- out) {
+      // exactly TWO data blocks (main + breadcrumb); the js decoy
+      // carries ld-shaped text but the type attribute excludes it
+      assert(r.getAs[Long]("n_ld_blocks") == 2L, s"doc $id")
+      assert(r.getAs[String]("ld_type") ==
+        HtmlExtract.LdTypes((id % 3).toInt))
+      assert(r.getAs[String]("name") == s"""Item "deal" $id""",
+        s"doc $id escaped-quote name")
+      assert(r.getAs[String]("url") ==
+        s"https://www.site${id % 7}.example.com/doc$id")
+      assert(r.getAs[Double]("rating_value") ==
+        (id % 4 + 1) + (id % 10) / 10.0)
+      assert(r.getAs[Long]("review_count") == id % 50 + 1)
+    }
+  }
+
+  test("q323 outline: every h3 path carries BOTH ancestors, h2 " +
+      "paths carry the h1, and word counts come from the section's " +
+      "own paragraph") {
+    import spark.implicits._
+    val docs = Seq((5L, "x")).toDF("doc_id", "text") // 3 sections
+    val rows = HtmlExtract.headingOutline(docs).collect()
+      .sortBy(_.getAs[Long]("sec_idx"))
+    // h1, (h2 s0), (h2 s1), (h3 under s1), (h2 s2)
+    assert(rows.map(_.getAs[Long]("level")).toSeq ==
+      Seq(1L, 2L, 2L, 3L, 2L))
+    assert(rows(0).getAs[String]("path") == "Title 5")
+    assert(rows(1).getAs[String]("path") == "Title 5 > Sec 0 doc 5")
+    assert(rows(3).getAs[String]("path") ==
+      "Title 5 > Sec 1 doc 5 > Sub 1 of doc 5")
+    // s2's h2 path must NOT inherit the h3
+    assert(rows(4).getAs[String]("path") == "Title 5 > Sec 2 doc 5")
+    // title has no paragraph
+    assert(rows(0).getAs[Long]("n_words") == 0L)
+    assert(rows(3).getAs[Long]("n_words") == 2L) // "deep 5-1"
+  }
 }

@@ -126,6 +126,32 @@ class SitemapSpec extends AnyFunSuite with SparkSessionSpec {
     assert(!plan.contains("Exchange"), s"shuffle in:\n$plan")
   }
 
+  test("q321 feeds: RSS month-name dates normalize to the SAME iso " +
+      "instant the Atom twin carries; link comes from an element in " +
+      "RSS, an href attribute in Atom; entry counts follow the " +
+      "fixture") {
+    import spark.implicits._
+    val docs = (0L until 12L).map((_, "x")).toDF("doc_id", "text")
+    val rows = Sitemap.feedEntries(docs).collect()
+    assert(rows.length == (0L until 12L).map(i => 1 + i % 3).sum)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val k = r.getAs[Long]("entry_idx")
+      val kk = id + k
+      assert(r.getAs[String]("format") ==
+        (if (id % 2 == 0) "rss" else "atom"))
+      assert(r.getAs[String]("title") == s"Post $id-$k")
+      assert(r.getAs[String]("link") ==
+        s"https://www.site${id % 7}.example.com/p/$id-$k")
+      assert(r.getAs[String]("guid") == s"urn:p:$id-$k")
+      // the ISO instant is format-INDEPENDENT: the RSS side must
+      // have mapped 'Jun' -> 06 etc. to reach it
+      assert(r.getAs[String]("published_iso") ==
+        f"2024-${kk % 12 + 1}%02d-${kk % 28 + 1}%02dT10:${kk % 60}%02d:00Z",
+        s"doc $id entry $k")
+    }
+  }
+
   test("q319 discovery: every q243 host's robots Sitemap line " +
       "resolves to its sitemap and parses to the q253 entry shapes " +
       "(kernel shared — the entries EQUAL sitemapEntries keyed by " +

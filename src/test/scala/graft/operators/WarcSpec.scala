@@ -429,6 +429,66 @@ class WarcSpec extends AnyFunSuite with SparkSessionSpec {
       .startsWith(""))
   }
 
+  test("q322 cache plan: fresh max-age serves cached, stale " +
+      "heuristic revalidates with If-Modified-Since, validator-only " +
+      "revalidates with If-None-Match, and the freshness arithmetic " +
+      "is the RFC 9111 10% rule") {
+    import spark.implicits._
+    val docs = (0L until 30L).map((_, "x")).toDF("doc_id", "text")
+    val out = Warc.httpCachePlan(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- out) {
+      (id % 3) match {
+        case 0 =>
+          assert(r.getAs[String]("policy") == "max-age")
+          assert(r.getAs[Long]("freshness_s") == (id % 10 + 1) * 60)
+          val fresh = (id % 7) * 90 < (id % 10 + 1) * 60
+          assert(r.getAs[String]("plan") ==
+            (if (fresh) "serve-cached" else "refetch"), s"doc $id")
+        case 1 =>
+          assert(r.getAs[String]("policy") == "heuristic")
+          // 10% of the Date - Last-Modified distance
+          assert(r.getAs[Long]("freshness_s") ==
+            (id % 27 + 1) * 8640, s"doc $id")
+          if (r.getAs[String]("plan") == "revalidate")
+            assert(r.getAs[String]("conditional_header")
+              .startsWith("If-Modified-Since: Mon, "))
+        case _ =>
+          assert(r.getAs[String]("policy") == "none")
+          assert(r.getAs[String]("plan") == "revalidate")
+          assert(r.getAs[String]("conditional_header") ==
+            s"""If-None-Match: "v${id % 9}"""")
+      }
+    }
+    // both plan outcomes of the max-age shape occur on the fixture
+    val maxAgePlans = out.collect {
+      case (id, r) if id % 3 == 0 => r.getAs[String]("plan")
+    }.toSet
+    assert(maxAgePlans == Set("serve-cached", "refetch"))
+  }
+
+  test("q324 novelty: run 0 is all-novel, later runs carry exactly " +
+      "the addition, and the snapshot-2 rewrite registers as NEW " +
+      "content for mod-4 docs only") {
+    import spark.implicits._
+    val docs = Seq((4L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "one two three")).toDF("doc_id", "text")
+    val out = Warc.snapshotNovelty(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run")) -> r)
+      .toMap
+    def nov(id: Long, run: Long): (Long, Long) = {
+      val r = out((id, run))
+      (r.getAs[Long]("n_paras"), r.getAs[Long]("n_novel"))
+    }
+    for (id <- Seq(4L, 5L)) {
+      assert(nov(id, 0) == (3L, 3L))
+      assert(nov(id, 1) == (4L, 1L))
+      assert(nov(id, 3) == (6L, 1L))
+    }
+    assert(nov(4L, 2) == (5L, 2L), "rewrite + addition for mod-4")
+    assert(nov(5L, 2) == (5L, 1L), "addition only otherwise")
+  }
+
   test("q317 pairing: every response row joins its request by " +
       "WARC-Concurrent-To (method/path/UA from the request BLOCK), " +
       "blob bookkeeping counts warcinfo + both record types") {
