@@ -385,6 +385,14 @@ object SparkEntry {
     // digest must equal the clean twin's.
     "q308_mojibake_repair" -> ((s, dir) =>
       operators.Charset.mojibakeStats(documents(s, dir))),
+    // Section-aware chunk packing: q323 outline sections bucketed
+    // into training chunks with heading-path provenance.
+    "q325_section_chunks" -> ((s, dir) =>
+      operators.HtmlExtract.sectionChunks(documents(s, dir))),
+    // Metadata resolution ladder: JSON-LD > og:title > <title>,
+    // each rung really parsed; the chosen source graded.
+    "q326_meta_resolution" -> ((s, dir) =>
+      operators.HtmlExtract.metaResolution(documents(s, dir))),
     // Cross-snapshot novelty: fraction of paragraph hashes never
     // seen in earlier snapshots of the same url — additions vs
     // edits distinguished; (doc, hash)-keyed min-run rollup.
@@ -3036,6 +3044,8 @@ object SparkEntry {
     "q322_http_cache_plan" -> OracleSql.httpCachePlan,
     "q323_heading_outline" -> OracleSql.headingOutline,
     "q324_snapshot_novelty" -> OracleSql.snapshotNovelty,
+    "q325_section_chunks" -> OracleSql.sectionChunks,
+    "q326_meta_resolution" -> OracleSql.metaResolution,
     "q249_robots_gate" -> OracleSql.robotsGate,
     "q250_web_host_report" -> OracleSql.webHostReport,
     "q251_cdx_index" -> OracleSql.cdxIndex,

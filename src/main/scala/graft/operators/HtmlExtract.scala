@@ -320,6 +320,83 @@ object HtmlExtract {
           .as("n_words"))
   }
 
+  /** Word budget of one packed training chunk (q325). */
+  val SectionChunkBudget = 5L
+
+  /** q325: SECTION-AWARE chunk packing — q323's outline composed
+    * with the packing family: content sections (outline rows that
+    * own a paragraph) pack into training chunks under a DECLARED
+    * cumulative-bucketing rule — chunk_id = floor(words-before /
+    * budget) over the doc's section order — so every chunk boundary
+    * is derivable and the heading PATH rides along as the chunk's
+    * provenance metadata (what a RAG index stores next to the
+    * text). Oversized sections keep their own overflow flag (the
+    * split queue). Per-doc bounded window; the oracle mirrors the
+    * same running sum. */
+  def sectionChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val secs = headingOutline(docs).filter(col("n_words") > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sec_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    secs
+      .withColumn("words_before",
+        coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .select(col("doc_id"), col("sec_idx"), col("path"),
+        col("n_words"),
+        floor(col("words_before") / SectionChunkBudget).cast("long")
+          .as("chunk_id"),
+        (col("n_words") > SectionChunkBudget).as("overflow"))
+  }
+
+  /** q326: the METADATA RESOLUTION ladder — the canonical-title
+    * fallback every indexer runs: prefer JSON-LD (q320's machinery),
+    * else Open Graph `og:title` meta, else the `<title>` element.
+    * The fixture varies which sources EXIST per doc (all three /
+    * og+title / title-only / ld+title), so every ladder rung wins
+    * somewhere and the chosen SOURCE is part of the graded row.
+    * Extraction is real per source (JSON parse, attribute regex,
+    * element regex); row-local. */
+  def metaResolution(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val ld = concat(
+      lit("<script type=\"application/ld+json\">" +
+        "{\"@type\":\"Article\",\"headline\":\"LD title "), ds,
+      lit("\"}</script>"))
+    val og = concat(
+      lit("<meta property=\"og:title\" content=\"OG title "), ds,
+      lit("\"/>"))
+    val titleEl = concat(lit("<title>Page "), ds, lit("</title>"))
+    val html = concat(
+      lit("<html><head>"),
+      when(d % 4 === 0, concat(titleEl, og, ld))
+        .when(d % 4 === 1, concat(titleEl, og))
+        .when(d % 4 === 2, titleEl)
+        .otherwise(concat(titleEl, ld)),
+      lit("</head><body>b</body></html>"))
+    docs.select(d, html.as("html"))
+      .withColumn("ld_block",
+        regexp_extract(col("html"),
+          "<script type=\"application/ld\\+json\">(.*?)</script>", 1))
+      .withColumn("ld_title",
+        when(col("ld_block") =!= "",
+          get_json_object(col("ld_block"), "$['headline']")))
+      .withColumn("og_title",
+        regexp_extract(col("html"),
+          "<meta property=\"og:title\" content=\"(.*?)\"/>", 1))
+      .withColumn("el_title",
+        regexp_extract(col("html"), "<title>(.*?)</title>", 1))
+      .select(col("doc_id"),
+        when(col("ld_title").isNotNull, lit("jsonld"))
+          .when(col("og_title") =!= "", lit("og"))
+          .otherwise(lit("title")).as("source"),
+        coalesce(col("ld_title"),
+          when(col("og_title") =!= "", col("og_title")),
+          col("el_title")).as("resolved_title"),
+        (col("ld_title").isNotNull).as("has_jsonld"),
+        (col("og_title") =!= "").as("has_og"))
+  }
+
   /** q240: the extraction-headed cleaning funnel — extract (q239
     * kernel), flatten line breaks to the corpus word stream, strip
     * corpus-frequent boilerplate paragraphs (the UNCHANGED q200

@@ -8821,6 +8821,46 @@ SELECT d.doc_id, CAST(r.run AS BIGINT) AS run,
          CAST(3 + r.run AS DOUBLE) AS novelty
 FROM documents d CROSS JOIN r"""
 
+  /** Mirror of [[graft.operators.HtmlExtract.sectionChunks]]
+    * (q325): the q323 mirror's content sections + the same
+    * cumulative-bucketing window. */
+  def sectionChunks: String = {
+    val budget = graft.operators.HtmlExtract.SectionChunkBudget
+    // reuse the q323 mirror as a subquery and bucket it
+    s"""WITH outline AS (${headingOutline}),
+sec AS (
+  SELECT doc_id, sec_idx, path, n_words FROM outline WHERE n_words > 0
+), run AS (
+  SELECT doc_id, sec_idx, path, n_words,
+    COALESCE(SUM(n_words) OVER (PARTITION BY doc_id ORDER BY sec_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS words_before
+  FROM sec
+)
+SELECT doc_id, sec_idx, path, n_words,
+       CAST(words_before // $budget AS BIGINT) AS chunk_id,
+       n_words > $budget AS overflow
+FROM run"""
+  }
+
+  /** Mirror of [[graft.operators.HtmlExtract.metaResolution]]
+    * (q326): ladder CASE + titles re-derived from the fixture
+    * arithmetic (the engine must REACH them through a JSON parse /
+    * attribute regex / element regex). */
+  def metaResolution: String =
+    """SELECT doc_id,
+       CASE WHEN doc_id % 4 IN (0, 3) THEN 'jsonld'
+            WHEN doc_id % 4 = 1 THEN 'og' ELSE 'title' END AS source,
+       CASE WHEN doc_id % 4 IN (0, 3)
+              THEN 'LD title ' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 4 = 1
+              THEN 'OG title ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Page ' || CAST(doc_id AS VARCHAR) END
+         AS resolved_title,
+       doc_id % 4 IN (0, 3) AS has_jsonld,
+       doc_id % 4 IN (0, 1) AS has_og
+FROM documents"""
+
   /** Mirror of [[graft.operators.Sitemap.sitemapEntries]] (q253). */
   def sitemapEntries: String =
     s"""$sitemapCtes

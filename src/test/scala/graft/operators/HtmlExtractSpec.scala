@@ -134,6 +134,47 @@ class HtmlExtractSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("q325 section chunks: bucketing follows the declared " +
+      "words-before rule, paths ride along, oversized sections " +
+      "flag for split") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (5L, "x")).toDF("doc_id", "text")
+    val rows = HtmlExtract.sectionChunks(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 0: one section, 5 words ("body 0 s0 extra words here" is
+    // 6 -> overflow)  — wait: words = "body 0 s0 extra words here"
+    for ((id, rs) <- rows; r <- rs) {
+      val before = rs.filter(_.getAs[Long]("sec_idx") <
+        r.getAs[Long]("sec_idx")).map(_.getAs[Long]("n_words")).sum
+      assert(r.getAs[Long]("chunk_id") ==
+        before / HtmlExtract.SectionChunkBudget, s"doc $id")
+      assert(r.getAs[Boolean]("overflow") ==
+        (r.getAs[Long]("n_words") > HtmlExtract.SectionChunkBudget))
+      assert(r.getAs[String]("path").startsWith(s"Title $id"))
+    }
+    // doc 5 has 4 content sections (3 h2 + 1 h3) spanning 2+ chunks
+    assert(rows(5L).length == 4)
+    assert(rows(5L).map(_.getAs[Long]("chunk_id")).distinct.length >= 2)
+  }
+
+  test("q326 resolution ladder: every rung wins where higher rungs " +
+      "are absent, and the winning title came from a REAL parse of " +
+      "that source") {
+    import spark.implicits._
+    val docs = (0L until 8L).map((_, "x")).toDF("doc_id", "text")
+    val out = HtmlExtract.metaResolution(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- out) {
+      val (src, title) = (id % 4) match {
+        case 0 | 3 => ("jsonld", s"LD title $id")
+        case 1 => ("og", s"OG title $id")
+        case _ => ("title", s"Page $id")
+      }
+      assert(r.getAs[String]("source") == src, s"doc $id")
+      assert(r.getAs[String]("resolved_title") == title, s"doc $id")
+    }
+  }
+
   test("q323 outline: every h3 path carries BOTH ancestors, h2 " +
       "paths carry the h1, and word counts come from the section's " +
       "own paragraph") {
