@@ -445,6 +445,11 @@ object SparkEntry {
     // deep total_zeros rows, suffix init-1, saturated-block skip.
     "q315_h264_dense_decode" -> ((s, dir) =>
       operators.Multimodal.h264DenseDecodeStats(documents(s, dir))),
+    // Mid-density H.264 (r17): every non-first block decoded through
+    // the 4 <= nC < 8 coeff_token column — the CAVLC table set's
+    // last gap, closed with neighbor TotalCoeff sums in 8..14.
+    "q327_h264_mid_decode" -> ((s, dir) =>
+      operators.Multimodal.h264MidDecodeStats(documents(s, dir))),
     // Batched BPE training (the distributed-BPE scale shape): 3
     // rounds × up to 4 invariance-filtered acceptances from the
     // ranked candidate prefix — 3 pair-count jobs instead of 12.
@@ -3193,6 +3198,21 @@ object SparkEntry {
         |       16 * (1 + (doc_id % 8) % 2)
         |         * (1 + ((doc_id % 8) // 2) % 2) - 1 AS n_flc_blocks,
         |       TRUE AS saturated_ok, TRUE AS max_y_ok,
+        |       TRUE AS chroma_ok
+        |FROM documents""".stripMargin,
+    // The mid-column rung (q327): with every block's TotalCoeff in
+    // 4..7 (spec-verified over the 8 variants) 9.2.1 puts every
+    // block except (0,0) in the 4 <= nC < 8 column: n_mid_blocks =
+    // 16*n_mbs - 1 exactly, and no block reaches the FLC column.
+    "q327_h264_mid_decode" ->
+      """SELECT doc_id, 16 * (1 + (doc_id % 8) % 2) AS width,
+        |       16 * (1 + ((doc_id % 8) // 2) % 2) AS height,
+        |       (1 + (doc_id % 8) % 2) * (1 + ((doc_id % 8) // 2) % 2)
+        |         AS n_mbs,
+        |       16 * (1 + (doc_id % 8) % 2)
+        |         * (1 + ((doc_id % 8) // 2) % 2) - 1 AS n_mid_blocks,
+        |       0 AS n_flc_blocks,
+        |       TRUE AS mid_tc_ok, TRUE AS max_y_ok,
         |       TRUE AS chroma_ok
         |FROM documents""".stripMargin,
     // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis

@@ -77,25 +77,24 @@ package graft.io
   * transcription-confidence bound (TotalCoeff ≤ 3, nC < 4) is
   * lifted almost everywhere. Carried in FULL: Table 9-7
   * ([[TotalZeros4x4]] — columns 2..15 Kraft-complete, column 1's
-  * one reserved 9-bit word pinned), the 0≤nC<2 and 2≤nC<4
-  * coeff_token columns (62 entries each), the published 6-bit FLC
-  * column for nC ≥ 8 (formulaic), the chroma-DC nC=−1 column
-  * (Kraft-complete) with its own total_zeros table, 9.3.2.3's
-  * suffixLength init-1 rule (TotalCoeff > 10), the saturated-block
-  * total_zeros skip (TotalCoeff = maxNumCoeff), and the chroma DC
-  * layer itself — cbp 31, the 2x2 Hadamard, and the 8.5.8 scaling
-  * (qP < 30, where the chroma-QP mapping is the identity; beyond
-  * that is a loud reject, not a mis-scale). The ONE remaining gap
-  * is the 4 ≤ nC < 8 coeff_token column: a draft transcription
-  * FAILED the Kraft audit (lengths summed past 1 — provably wrong),
-  * so per the house rule it stays an explicit unsupported-error
-  * ([[coeffTokenUnsupported]]) rather than shipped from
-  * unverifiable memory; 9.2.1's derivation makes the gap
-  * unreachable for sparse-or-saturated streams (neighbor TotalCoeff
-  * sums outside 7..14), which both graded fixtures satisfy by
-  * arithmetic. Every r13/r15 stream (DC-only and TotalCoeff ≤ 3)
-  * encodes BIT-IDENTICALLY (golden-pattern specs), so
-  * q228/q229/q289 are unchanged. */
+  * one reserved 9-bit word pinned), ALL FIVE coeff_token columns of
+  * Table 9-5 — 0≤nC<2, 2≤nC<4, and (r17) 4≤nC<8 (62 entries each),
+  * the published 6-bit FLC column for nC ≥ 8 (formulaic), and the
+  * chroma-DC nC=−1 column (Kraft-complete) — with the chroma
+  * total_zeros table, 9.3.2.3's suffixLength init-1 rule
+  * (TotalCoeff > 10), the saturated-block total_zeros skip
+  * (TotalCoeff = maxNumCoeff), and the chroma DC layer itself —
+  * cbp 31, the 2x2 Hadamard, the 8.5.8 scaling, and (r17) the FULL
+  * Table 8-15 chroma-QP mapping ([[chromaQp]] — identity below 30,
+  * the published compressive tail through 51). The r16 gap — the
+  * 4 ≤ nC < 8 coeff_token column, whose first draft transcription
+  * FAILED the Kraft audit and was therefore not shipped — is closed
+  * by [[CoeffTokenNc47]]: two independent transcriptions agreeing
+  * entry-for-entry, structurally audited (prefix-free, Kraft
+  * 1 − 2⁻¹⁰, cardinality, golden bitstrings, roundtrip). Every
+  * r13/r15 stream (DC-only and TotalCoeff ≤ 3) encodes
+  * BIT-IDENTICALLY (golden-pattern specs), so q228/q229/q289 are
+  * unchanged, as are q314/q315 (their columns untouched). */
 object H264Intra {
 
   // ---------------------------------------------------------------
@@ -428,12 +427,28 @@ object H264Intra {
 
   // ---------------------------------------------------------------
   // chroma DC 2x2 (clause 8.5.8, 4:2:0): the four chroma blocks' DC
-  // coefficients ride their own 2x2 Hadamard + quant layer. The
-  // carried profile pins qP < 30, where the published chroma-QP
-  // mapping (Table 8-15) is the identity for offset 0 — the mapping
-  // table's >29 tail is not shipped, and the encoder loud-rejects
-  // rather than mis-scale.
+  // coefficients ride their own 2x2 Hadamard + quant layer. r17
+  // lifts the qP < 30 pin: the published chroma-QP mapping
+  // (Table 8-15) is carried in full — identity below 30, the
+  // compressive tail 30..51 as the spec's table values. Both quant
+  // directions map identically, so the qP-ladder losslessness spec
+  // extends past 30 unchanged.
   // ---------------------------------------------------------------
+
+  /** Table 8-15: QPc as a function of qPi (chroma_qp_index_offset is
+    * pinned 0 in this profile, so qPi = slice QP). Identity below
+    * 30; the published compressive tail above. Spec-pinned by the
+    * qP-ladder losslessness test across 0..51 (H264IntraSpec). */
+  private val ChromaQpTail: Array[Int] = Array(
+    // qPi:  30  31  32  33  34  35  36  37  38  39  40
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+    // qPi:  41  42  43  44  45  46  47  48  49  50  51
+    36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+
+  def chromaQp(qp: Int): Int = {
+    require(qp >= 0 && qp <= 51, s"qP $qp out of range")
+    if (qp < 30) qp else ChromaQpTail(qp - 30)
+  }
 
   /** 2x2 Hadamard, f = [[1,1],[1,-1]] applied both sides — its own
     * inverse up to the ×4 gain the quant layers absorb. Input and
@@ -450,11 +465,10 @@ object H264Intra {
     * row at qbits+1 (the Hadamard's extra gain), intra deadzone
     * doubled to match. */
   def quantChromaDc(f: Int, qp: Int): Int = {
-    require(qp >= 0 && qp < 30,
-      s"carried profile: chroma-coded stream needs qP < 30 (got $qp)")
-    val qbits = 15 + qp / 6
+    val qc = chromaQp(qp)
+    val qbits = 15 + qc / 6
     val dead = ((1 << qbits) / 3) * 2
-    val mf = Mf(qp % 6)(0)
+    val mf = Mf(qc % 6)(0)
     val lvl = ((math.abs(f).toLong * mf + dead) >> (qbits + 1)).toInt
     if (f < 0) -lvl else lvl
   }
@@ -467,9 +481,8 @@ object H264Intra {
     * spec's own fixpoint: a flat chroma residual k at qP 0 must
     * reconstruct to k exactly (H264IntraSpec). */
   def dequantChromaDc(f: Int, qp: Int): Int = {
-    require(qp >= 0 && qp < 30,
-      s"carried profile: chroma-coded stream needs qP < 30 (got $qp)")
-    ((f * Vs(qp % 6)(0)) << (qp / 6)) >> 1
+    val qc = chromaQp(qp)
+    ((f * Vs(qc % 6)(0)) << (qc / 6)) >> 1
   }
 
   // ---------------------------------------------------------------
@@ -522,11 +535,10 @@ object H264Intra {
 
   /** Round-15's per-block coefficient bound, kept as the named
     * constant the DC/AC fixtures and their specs still reference.
-    * ROUND 16 LIFTS THE MACHINERY BOUND: with Table 9-7 carried in
-    * full ([[TotalZeros4x4]]) and the nC<2 / 2≤nC<4 / nC≥8 / nC=−1
-    * coeff_token columns complete, any TotalCoeff 0..16 en/decodes —
-    * the one remaining loud reject is the 4≤nC<8 coeff_token column
-    * (see [[coeffTokenUnsupported]]). */
+    * ROUND 16 LIFTED THE MACHINERY BOUND (Table 9-7 in full, the
+    * nC<2 / 2≤nC<4 / nC≥8 / nC=−1 coeff_token columns); ROUND 17
+    * closes the table set with [[CoeffTokenNc47]] — any TotalCoeff
+    * 0..16 en/decodes in every derivable nC context. */
   val MaxTotalCoeff = 3
 
   /** coeff_token for 2 <= nC < 4 — the FULL published column of
@@ -568,6 +580,52 @@ object H264Intra {
     (3, 15) -> (13, 1),
     (0, 16) -> (14, 7), (1, 16) -> (14, 6), (2, 16) -> (14, 5),
     (3, 16) -> (14, 4))
+
+  /** coeff_token for 4 <= nC < 8 — the FULL published middle column
+    * of Table 9-5 (r17): (TrailingOnes, TotalCoeff) -> (bit length,
+    * bits). LIFTED FROM TWO INDEPENDENT TRANSCRIPTIONS that agree
+    * entry-for-entry: the spec table's codeword strings (e.g.
+    * (0,0) -> 1111, (1,2) -> 01111, (3,8) -> 01101) and the
+    * len/bits array layout common to open decoders. Structurally
+    * pinned by H264IntraSpec: prefix-free, Kraft sum 1 − 2⁻¹⁰
+    * (this column reserves ONE 10-bit word — coeff_token columns,
+    * unlike total_zeros, need not be complete), correct cardinality
+    * (62 entries), length profile 8×4b + 8×5b + 8×6b + 8×7b + 8×8b
+    * + 9×9b + 13×10b, golden bitstrings, and full encode/decode
+    * roundtrip. This closes the last CAVLC column: every nC
+    * context −1, [0,2), [2,4), [4,8), ≥8 now en/decodes. */
+  val CoeffTokenNc47: Map[(Int, Int), (Int, Int)] = Map(
+    (0, 0) -> (4, 15),
+    (0, 1) -> (6, 15), (1, 1) -> (4, 14),
+    (0, 2) -> (6, 11), (1, 2) -> (5, 15), (2, 2) -> (4, 13),
+    (0, 3) -> (6, 8), (1, 3) -> (5, 12), (2, 3) -> (5, 14),
+    (3, 3) -> (4, 12),
+    (0, 4) -> (7, 15), (1, 4) -> (5, 10), (2, 4) -> (5, 11),
+    (3, 4) -> (4, 11),
+    (0, 5) -> (7, 11), (1, 5) -> (5, 8), (2, 5) -> (5, 9),
+    (3, 5) -> (4, 10),
+    (0, 6) -> (7, 9), (1, 6) -> (6, 14), (2, 6) -> (6, 13),
+    (3, 6) -> (4, 9),
+    (0, 7) -> (7, 8), (1, 7) -> (6, 10), (2, 7) -> (6, 9),
+    (3, 7) -> (4, 8),
+    (0, 8) -> (8, 15), (1, 8) -> (7, 14), (2, 8) -> (7, 13),
+    (3, 8) -> (5, 13),
+    (0, 9) -> (8, 11), (1, 9) -> (8, 14), (2, 9) -> (7, 10),
+    (3, 9) -> (6, 12),
+    (0, 10) -> (9, 15), (1, 10) -> (8, 10), (2, 10) -> (8, 13),
+    (3, 10) -> (7, 12),
+    (0, 11) -> (9, 11), (1, 11) -> (9, 14), (2, 11) -> (8, 9),
+    (3, 11) -> (8, 12),
+    (0, 12) -> (9, 8), (1, 12) -> (9, 10), (2, 12) -> (9, 13),
+    (3, 12) -> (8, 8),
+    (0, 13) -> (10, 13), (1, 13) -> (9, 7), (2, 13) -> (9, 9),
+    (3, 13) -> (9, 12),
+    (0, 14) -> (10, 9), (1, 14) -> (10, 12), (2, 14) -> (10, 11),
+    (3, 14) -> (10, 10),
+    (0, 15) -> (10, 5), (1, 15) -> (10, 8), (2, 15) -> (10, 7),
+    (3, 15) -> (10, 6),
+    (0, 16) -> (10, 1), (1, 16) -> (10, 4), (2, 16) -> (10, 3),
+    (3, 16) -> (10, 2))
 
   /** coeff_token for nC == −1 (the CHROMA DC 2x2 block, 4:2:0) —
     * the full published column of Table 9-5: (TrailingOnes,
@@ -685,6 +743,8 @@ object H264Intra {
     CoeffTokenNc01.map { case (k, v) => v -> k }
   private val CoeffTokenInv23: Map[(Int, Int), (Int, Int)] =
     CoeffTokenNc23.map { case (k, v) => v -> k }
+  private val CoeffTokenInv47: Map[(Int, Int), (Int, Int)] =
+    CoeffTokenNc47.map { case (k, v) => v -> k }
   private val CoeffTokenInvCdc: Map[(Int, Int), (Int, Int)] =
     CoeffTokenChromaDc.map { case (k, v) => v -> k }
   private val TotalZerosInv: Map[(Int, Int), Int] =
@@ -922,18 +982,17 @@ object H264Intra {
     * draft transcription of it FAILED this file's Kraft audit (the
     * recalled lengths summed past 1 — a provably wrong table), so
     * per the house rule (spec tables as data, never unverifiable
-    * memory) the column stays an explicit unsupported-error. The
-    * carried profile covers nC < 4, nC ≥ 8 (the published 6-bit FLC,
-    * formulaic) and nC = −1 (chroma DC) in full; 9.2.1's nC
-    * derivation means 4 ≤ nC < 8 arises only when the two neighbor
-    * blocks' TotalCoeffs sum to 7..14 — the "sparse-or-saturated"
-    * fixtures stay outside it BY arithmetic, and any other stream
-    * fails HERE, loudly, never as a misparse (no other column's
-    * codeword is consulted). */
+    * memory) the column stayed an explicit unsupported-error through
+    * r16. ROUND 17 LIFTS IT: [[CoeffTokenNc47]] carries the middle
+    * column from two independent transcriptions that agree
+    * entry-for-entry, audited (prefix-free, Kraft 1 − 2⁻¹⁰, 62
+    * entries, golden bitstrings, full roundtrip — H264IntraSpec).
+    * Every nC context the 9.2.1 derivation can produce now
+    * dispatches to a carried column; a context outside −1..16+ is
+    * a caller bug and still errors loudly. */
   private def coeffTokenUnsupported(nC: Int): Nothing = sys.error(
-    s"carried profile: coeff_token column for nC=$nC unsupported " +
-      "(4 <= nC < 8 — transcription below confidence bar; " +
-      "nC < 4, nC >= 8 and nC == -1 are carried in full)")
+    s"coeff_token: nC=$nC outside the 9.2.1 derivation range " +
+      "(-1, or 0..; every derivable column is carried)")
 
   /** Encode-side coeff_token dispatch over the carried Table 9-5
     * columns. nC ≥ 8 is the published fixed-length code: 6 bits,
@@ -948,6 +1007,7 @@ object H264Intra {
         if (nC == -1) CoeffTokenChromaDc
         else if (nC >= 0 && nC < 2) CoeffTokenNc01
         else if (nC >= 2 && nC < 4) CoeffTokenNc23
+        else if (nC >= 4 && nC < 8) CoeffTokenNc47
         else coeffTokenUnsupported(nC)
       val (len, bits) = table.getOrElse((t1, tc), sys.error(
         s"coeff_token ($t1, $tc) outside the nC=$nC column"))
@@ -974,6 +1034,7 @@ object H264Intra {
         if (nC == -1) CoeffTokenInvCdc
         else if (nC >= 0 && nC < 2) CoeffTokenInv
         else if (nC >= 2 && nC < 4) CoeffTokenInv23
+        else if (nC >= 4 && nC < 8) CoeffTokenInv47
         else coeffTokenUnsupported(nC)
       var len = 0
       var acc = 0
@@ -990,9 +1051,9 @@ object H264Intra {
 
   /** Encode one general residual block from its SCAN-order level
     * vector: 16 entries (luma 4x4 zig-zag) or 4 entries (chroma DC
-    * raster, nC = −1). Any TotalCoeff up to maxNumCoeff encodes; the
-    * one loud reject is the 4 ≤ nC < 8 coeff_token column
-    * ([[coeffTokenUnsupported]]). Returns TotalCoeff (the caller's
+    * raster, nC = −1). Any TotalCoeff up to maxNumCoeff encodes, in
+    * every nC context (all five Table 9-5 columns carried as of
+    * r17). Returns TotalCoeff (the caller's
     * nC bookkeeping). DC-only vectors encode BIT-IDENTICALLY to
     * [[writeCavlcDcOnly]]; every r15 TotalCoeff ≤ 3 stream is
     * bit-identical too (spec-pinned). */
@@ -1060,8 +1121,7 @@ object H264Intra {
 
   /** Decode one general residual block. Returns the SCAN-order level
     * vector (16 entries for luma 4x4, 4 for chroma DC at nC = −1).
-    * Loud rejects: 4 ≤ nC < 8, malformed codewords,
-    * level_prefix > 15. */
+    * Loud rejects: malformed codewords, level_prefix > 15. */
   def readCavlc(r: BitReader, nC: Int): Array[Int] = {
     val maxNumCoeff = if (nC == -1) 4 else 16
     val (t1s, totalCoeff) = readCoeffToken(r, nC)
@@ -1297,10 +1357,10 @@ object H264Intra {
   }
 
   /** Encode one IDR frame as a complete Annex-B stream (SPS + PPS +
-    * IDR slice). REQUIRE-fails unless every 4x4 luma residual
-    * quantizes to at most [[MaxTotalCoeff]] coefficients and the
-    * chroma residual is exactly zero — the extended profile this
-    * codec decodes. `vhRotation = false` predicts every block in
+    * IDR slice). Any luma TotalCoeff 0..16 encodes in every nC
+    * context (r17 — all Table 9-5 columns carried); the chroma
+    * residual must be constant per 4x4 block (the DC-layer profile,
+    * loud-rejected otherwise). `vhRotation = false` predicts every block in
     * DC mode (spec-conformant; the AC fixture uses it so the
     * residual structure stays provably 3-sparse — a V/H prediction
     * from a reconstructed ramp would fold requantization noise into
@@ -1609,12 +1669,14 @@ object H264Intra {
   /** [[decodeIdrStats]]'s census: the frame; the number of luma 4x4
     * blocks whose decoded TotalCoeff ≥ 2 (q289's AC evidence) and
     * the max luma TotalCoeff; the number of luma blocks decoded
-    * through the nC ≥ 8 FLC coeff_token column (q315's evidence);
-    * and the chroma side — macroblocks carrying a coded chroma DC
-    * block (cbp 31) and the max chroma DC TotalCoeff (q314's
-    * evidence). */
+    * through the nC ≥ 8 FLC coeff_token column (q315's evidence)
+    * and through the 4 ≤ nC < 8 middle column (q327's evidence,
+    * r17); and the chroma side — macroblocks carrying a coded
+    * chroma DC block (cbp 31) and the max chroma DC TotalCoeff
+    * (q314's evidence). */
   final case class IdrStats(yuv: Yuv, acBlocks: Int, maxTc: Int,
-      flcBlocks: Int, chromaCodedMbs: Int, maxChromaTc: Int)
+      flcBlocks: Int, chromaCodedMbs: Int, maxChromaTc: Int,
+      midBlocks: Int)
 
   def decodeIdrStats(stream: Array[Byte]): IdrStats = {
     val nals = splitNals(stream)
@@ -1640,6 +1702,7 @@ object H264Intra {
     var acBlocks = 0
     var maxTc = 0
     var flcBlocks = 0
+    var midBlocks = 0
     var chromaCodedMbs = 0
     var maxChromaTc = 0
 
@@ -1706,6 +1769,7 @@ object H264Intra {
         val by = yy / 4
         val nC = ncOf(tcGrid, blocksW, bx, by)
         if (nC >= 8) flcBlocks += 1
+        else if (nC >= 4) midBlocks += 1
         val zz = readCavlc(r, nC)
         val tc = zz.count(_ != 0)
         tcGrid(by * blocksW + bx) = tc
@@ -1775,6 +1839,6 @@ object H264Intra {
       mb += 1
     }
     IdrStats(Yuv(w, h, y, cb, cr), acBlocks, maxTc, flcBlocks,
-      chromaCodedMbs, maxChromaTc)
+      chromaCodedMbs, maxChromaTc, midBlocks)
   }
 }

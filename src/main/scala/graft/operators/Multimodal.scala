@@ -1822,6 +1822,58 @@ object Multimodal {
         "saturated_ok", "max_y_ok", "chroma_ok")
   }
 
+  /** Graded MID-DENSITY H.264 decode (q327) — the r17 closure of
+    * the CAVLC table set: per document a tiled 4x4 edge pattern
+    * (in-block vertical + horizontal step edges plus one
+    * variant-positioned impulse) whose every 4x4 residual quantizes
+    * to a MID TotalCoeff (4..7 at qp 24 — spec-verified over all 8
+    * variants), so 9.2.1's neighbor derivation puts EVERY block
+    * except (0,0) in the previously-unreachable 4 ≤ nC < 8
+    * coeff_token column (neighbor TotalCoeff sums 8..14). The
+    * census n_mid_blocks = 16·n_mbs − 1 is graded EXACTLY from that
+    * arithmetic and n_flc_blocks is graded EXACTLY 0 (no block
+    * saturates); decode is the encoder's bit-exact reconstruction
+    * and the q228-style error gate bounds it against the source.
+    * Row-local end-to-end. */
+  def h264MidDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.H264Intra
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val v = (id % 8).toInt
+        val w = 16 * (1 + v % 2)
+        val h = 16 * (1 + (v / 2) % 2)
+        val qp = 24
+        val amp = 26 + 2 * (v % 3)
+        val base = 120 + 4 * (v % 5)
+        val bump = v % 4
+        val y = Array.tabulate(w * h) { i =>
+          val jx = (i % w) % 4
+          val jy = (i / w) % 4
+          base + (if (jx == 0) amp else 0) +
+            (if (jy == 0) -amp else 0) +
+            (if (jx == 1 + bump % 2 && jy == 1 + bump / 2) amp / 2
+             else 0)
+        }
+        val src = H264Intra.Yuv(w, h, y,
+          Array.fill(w / 2 * (h / 2))(128),
+          Array.fill(w / 2 * (h / 2))(128))
+        val st = H264Intra.decodeIdrStats(
+          H264Intra.encodeIdr(src, qp, vhRotation = false))
+        require(st.yuv.w == w && st.yuv.h == h,
+          s"decoded dims mismatch for doc $id")
+        val absErr = y.indices.map(i => math.abs(st.yuv.y(i) - y(i)))
+        val qstep = math.pow(2, qp / 6.0) * 0.625
+        val maxOk = absErr.max <= qstep * 1.5 + 2
+        val nMbs = (w / 16).toLong * (h / 16)
+        (id, w.toLong, h.toLong, nMbs, st.midBlocks.toLong,
+          st.flcBlocks.toLong, st.maxTc >= 4 && st.maxTc <= 7, maxOk,
+          st.yuv.cb.forall(_ == 128) && st.yuv.cr.forall(_ == 128))
+      }
+      .toDF("doc_id", "width", "height", "n_mbs", "n_mid_blocks",
+        "n_flc_blocks", "mid_tc_ok", "max_y_ok", "chroma_ok")
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC

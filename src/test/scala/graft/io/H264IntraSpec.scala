@@ -498,34 +498,186 @@ class H264IntraSpec extends AnyFunSuite {
     }
   }
 
-  test("the 4 <= nC < 8 coeff_token gap fails loud on BOTH sides " +
-      "(r16: TotalCoeff 4..16 now round-trips in every CARRIED " +
-      "column — the column gap is the one remaining reject)") {
-    // a 4-coefficient block is legal now — it must round-trip, not
-    // reject (the r15 bound, lifted)
-    val zz4 = new Array[Int](16)
-    zz4(0) = 5; zz4(1) = 4; zz4(2) = 3; zz4(3) = 2
-    for (nC <- Seq(0, 2, 8, 11)) {
-      val w = new BitWriter
-      assert(writeCavlc(w, zz4, nC) == 4)
-      val back = readCavlc(new BitReader(w.finishRbsp()), nC)
-      assert(back.sameElements(zz4), s"nC=$nC")
-    }
-    // the un-transcribed column rejects loud at ANY entry point
-    val zz1 = new Array[Int](16); zz1(0) = 1
-    for (nC <- 4 to 7) {
-      val we = intercept[RuntimeException](
-        writeCavlc(new BitWriter, zz1, nC))
-      assert(we.getMessage.contains(s"nC=$nC"))
-      val re = intercept[RuntimeException](
-        readCavlc(new BitReader(Array[Byte](0x55)), nC))
-      assert(re.getMessage.contains(s"nC=$nC"))
-    }
-    // FLC sanity: malformed fixed codes (TrailingOnes > TotalCoeff)
-    // reject rather than misparse
+  test("FLC sanity: malformed fixed coeff_token codes (TrailingOnes " +
+      "> TotalCoeff) reject rather than misparse") {
     val w = new BitWriter
     w.writeBits(7L, 6) // tc=2, t1=3 — impossible combination
     intercept[IllegalArgumentException](
       readCavlc(new BitReader(w.finishRbsp()), 8))
+  }
+
+  // -----------------------------------------------------------------
+  // r17: the 4 <= nC < 8 coeff_token column (the last CAVLC gap,
+  // closed) + the full Table 8-15 chroma-QP mapping
+  // -----------------------------------------------------------------
+
+  test("r17 CoeffTokenNc47 carries the middle column's structural " +
+      "signature: 62 entries over the full (t1, tc) domain, " +
+      "prefix-free, Kraft EXACTLY 1 - 2^-10 (one reserved 10-bit " +
+      "word), and the published length profile 8x4b 8x5b 8x6b 8x7b " +
+      "8x8b 9x9b 13x10b — a single wrong code length breaks BOTH " +
+      "the sum and the profile") {
+    assert(CoeffTokenNc47.size == 62)
+    assert(CoeffTokenNc47.keySet ==
+      (for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)
+            if !(tc == 0 && t1 > 0)) yield (t1, tc)).toSet)
+    prefixFree(CoeffTokenNc47.values)
+    assert(kraft(CoeffTokenNc47.values) == 1.0 - math.pow(2, -10),
+      "nc47 reserved-codespace signature")
+    val hist = CoeffTokenNc47.values.groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    assert(hist == Map(4 -> 8, 5 -> 8, 6 -> 8, 7 -> 8, 8 -> 8,
+      9 -> 9, 10 -> 13), s"length profile $hist")
+  }
+
+  test("r17 golden middle-column bitstrings, pinned from the " +
+      "independent transcription's codeword strings (not this " +
+      "file's data): (0,0)=1111, (1,1)=1110, (1,2)=01111, " +
+      "(3,3)=1100, (3,7)=1000, (3,8)=01101, (0,8)=00001111, " +
+      "(1,13)=000000111, (0,16)=0000000001, (3,16)=0000000010") {
+    def bitsOf(t1: Int, tc: Int): String = {
+      val (len, v) = CoeffTokenNc47((t1, tc))
+      String.format("%" + len + "s", v.toBinaryString).replace(' ', '0')
+    }
+    assert(bitsOf(0, 0) == "1111")
+    assert(bitsOf(1, 1) == "1110")
+    assert(bitsOf(1, 2) == "01111")
+    assert(bitsOf(3, 3) == "1100")
+    assert(bitsOf(3, 7) == "1000")
+    assert(bitsOf(3, 8) == "01101")
+    assert(bitsOf(0, 8) == "00001111")
+    assert(bitsOf(1, 13) == "000000111")
+    assert(bitsOf(0, 16) == "0000000001")
+    assert(bitsOf(3, 16) == "0000000010")
+  }
+
+  test("r17 general CAVLC round-trips in the 4 <= nC < 8 contexts " +
+      "for every TotalCoeff 1..16 (the r16 loud reject, lifted); " +
+      "the reserved 10-bit word rejects as malformed rather than " +
+      "misparsing") {
+    val mags = Array(1, -1, 2, -3, 7, -15, 16, -64, 255, -1024)
+    for (nC <- 4 to 7; tc <- 1 to 16) {
+      val zz = new Array[Int](16)
+      (0 until tc).foreach { k =>
+        val pos = (k * (17 - tc) + nC) % 16
+        val free = ((pos until 16) ++ (0 until pos))
+          .find(zz(_) == 0).get
+        zz(free) = mags((k + tc + nC) % mags.length)
+      }
+      val w = new BitWriter
+      assert(writeCavlc(w, zz, nC) == tc)
+      w.writeBit(1)
+      val r = new BitReader(w.finishRbsp())
+      assert(readCavlc(r, nC).toSeq == zz.toSeq, s"nC=$nC tc=$tc")
+      assert(r.readBit() == 1, s"tail clobbered nC=$nC tc=$tc")
+    }
+    // the one reserved codeword (0000000000 is nobody's code, and
+    // the only 10-bit word absent is 0000000000): a stream of zeros
+    // must fail the length-16 guard, not decode to anything
+    intercept[IllegalArgumentException](
+      readCavlc(new BitReader(Array[Byte](0, 0, 0)), 4))
+  }
+
+  test("r17 Table 8-15 chroma-QP mapping: identity below 30, the " +
+      "published compressive tail 30..51 (golden pins), monotone " +
+      "non-decreasing, and high-qP flat chroma (the r16 reject, " +
+      "lifted) reconstructs within the qPc-derived quantization " +
+      "step — the mapping, not the slice QP, sets the bound") {
+    for (qp <- 0 until 30) assert(chromaQp(qp) == qp)
+    assert(chromaQp(30) == 29)
+    assert(chromaQp(33) == 32)
+    assert(chromaQp(34) == 32)
+    assert(chromaQp(37) == 34)
+    assert(chromaQp(39) == 35)
+    assert(chromaQp(43) == 37)
+    assert(chromaQp(45) == 38)
+    assert(chromaQp(48) == 39)
+    assert(chromaQp(51) == 39)
+    (1 to 51).foreach(q => assert(chromaQp(q) >= chromaQp(q - 1)))
+    intercept[IllegalArgumentException](chromaQp(52))
+    intercept[IllegalArgumentException](chromaQp(-1))
+    // high-qP chroma now ENCODES (the r16 reject, lifted): a flat
+    // non-128 chroma at slice QP 34..51 reconstructs within the
+    // CHROMA qstep (set by qPc, not qP — the mapping is the bound)
+    val good = checker(16, 16, 60, 196)
+    for (qp <- Seq(30, 34, 40, 51)) {
+      val okChroma = good.copy(cb = Array.fill(64)(176))
+      val st = decodeIdrStats(encodeIdr(okChroma, qp))
+      assert(st.chromaCodedMbs == 1 && st.maxChromaTc >= 1, s"qp=$qp")
+      val qstepC = math.pow(2, chromaQp(qp) / 6.0) * 0.625
+      st.yuv.cb.foreach(v => assert(math.abs(v - 176) <= qstepC + 1,
+        s"qp=$qp chroma recon $v vs 176 (qstepC $qstepC)"))
+    }
+  }
+
+  test("r17 q327 fixture determinism, verified over ALL 8 variants: " +
+      "every tiled-edge block quantizes TotalCoeff 4..7, so the " +
+      "mid-column census is exactly 16*n_mbs - 1, the FLC census 0, " +
+      "and decode is the encoder's bit-exact reconstruction") {
+    for (v <- 0 until 8) {
+      val w = 16 * (1 + v % 2)
+      val h = 16 * (1 + (v / 2) % 2)
+      val qp = 24
+      val amp = 26 + 2 * (v % 3)
+      val base = 120 + 4 * (v % 5)
+      val bump = v % 4
+      val y = Array.tabulate(w * h) { i =>
+        val jx = (i % w) % 4
+        val jy = (i / w) % 4
+        base + (if (jx == 0) amp else 0) +
+          (if (jy == 0) -amp else 0) +
+          (if (jx == 1 + bump % 2 && jy == 1 + bump / 2) amp / 2
+           else 0)
+      }
+      val src = Yuv(w, h, y, Array.fill(w / 2 * (h / 2))(128),
+        Array.fill(w / 2 * (h / 2))(128))
+      val stream = encodeIdr(src, qp, vhRotation = false)
+      val st = decodeIdrStats(stream)
+      val nMbs = (w / 16) * (h / 16)
+      assert(st.midBlocks == 16 * nMbs - 1,
+        s"v=$v mid census ${st.midBlocks} of ${16 * nMbs - 1}")
+      assert(st.flcBlocks == 0, s"v=$v flc ${st.flcBlocks}")
+      assert(st.maxTc >= 4 && st.maxTc <= 7, s"v=$v maxTc ${st.maxTc}")
+      val qstep = math.pow(2, qp / 6.0) * 0.625
+      val errMax =
+        y.indices.map(i => math.abs(st.yuv.y(i) - y(i))).max
+      assert(errMax <= qstep * 1.5 + 2, s"v=$v errMax $errMax")
+      assert(java.util.Arrays.equals(
+        encodeIdr(st.yuv, qp, vhRotation = false), stream),
+        s"v=$v not a fixpoint")
+    }
+  }
+
+  test("r17 leaves prior streams bit-identical: the q314 striped " +
+      "chroma and q315 noise fixtures' first variants encode to the " +
+      "same bytes as before the column lift (their nC contexts never " +
+      "touch the new table, and qPc is identity below 30)") {
+    // q315 v=0 synthesis verbatim
+    var s = 0x9E3779B9 ^ (0 * 0x85EBCA6B)
+    val noise = Array.tabulate(256) { _ =>
+      s = s * 1103515245 + 12345
+      (s >>> 16) & 0xFF
+    }
+    val dense = Yuv(16, 16, noise, Array.fill(64)(128),
+      Array.fill(64)(128))
+    val stD = decodeIdrStats(encodeIdr(dense, 8, vhRotation = false))
+    assert(stD.flcBlocks == 15 && stD.midBlocks == 0 &&
+      stD.maxTc == 16)
+    // q314 v=0 synthesis verbatim
+    val tone = 40; val toneB = 240
+    val y = Array.tabulate(256) { i =>
+      val bx = (i % 16) / 4
+      val by = (i / 16) / 4
+      if ((bx + by) % 2 == 0) tone else toneB
+    }
+    def stripes(base: Int, dir: Int): Array[Int] =
+      Array.tabulate(64) { i =>
+        val bx = (i % 8) / 4
+        val by = (i / 8) / 4
+        base + 24 * ((bx + dir * by) % 3)
+      }
+    val stC = decodeIdrStats(encodeIdr(
+      Yuv(16, 16, y, stripes(88, 1), stripes(96, 2)), 16))
+    assert(stC.chromaCodedMbs == 1 && stC.midBlocks == 0)
   }
 }
