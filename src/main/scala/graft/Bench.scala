@@ -183,6 +183,23 @@ object Bench {
       }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // r17 (r16 verdict "what's wrong" #2): a child JVM used to measure
+    // with COLD JIT — every r16h A/B "isolated" reading came out 3.5 to
+    // 4.8× of gate while the same queries sat at 0.3–1.9× in quiet
+    // batteries, so the instrument could neither exonerate nor convict.
+    // A child now runs its full query set ONCE, unmeasured, before the
+    // measured loop: the isolated reading is warm-JIT like the
+    // in-battery gate rows it adjudicates. (Failures are ignored here —
+    // the measured loop reports them as -1 sentinels.)
+    if (isChild) {
+      selected.foreach { case (_, f) =>
+        try f(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      System.err.println(
+        s"[bench] child warm-JIT pass done (${selected.size} queries)")
+    }
     // the driver-loop block runs in its own child JVM slot on gated
     // (sf0.1) parent runs; everything else is the in-process battery
     val isolateBlock = gatesArmed && !isChild &&

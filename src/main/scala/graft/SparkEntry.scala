@@ -459,6 +459,14 @@ object SparkEntry {
     // merges — the q101 broadcast apply at the batched step count.
     "q313_bpe_batched_segment" -> ((s, dir) =>
       operators.Bpe.batchedTrainAndCount(documents(s, dir))),
+    // WordPiece training (r17): the likelihood-scored tokenizer —
+    // merges ranked by c/(u(l)*u(r)) per round, batched under
+    // blanket symbol disjointness (the score-invariance condition).
+    "q328_wordpiece_merges" -> ((s, dir) =>
+      operators.WordPiece.mergeTable(s, documents(s, dir))),
+    // WordPiece apply-side: per-doc token budgets under q328 merges.
+    "q329_wordpiece_segment" -> ((s, dir) =>
+      operators.WordPiece.trainAndCount(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -2937,6 +2945,8 @@ object SparkEntry {
     "q311_cross_source_dups" -> OracleSql.crossSourceDups,
     "q312_bpe_batched" -> OracleSql.bpeBatchedMerges,
     "q313_bpe_batched_segment" -> OracleSql.bpeBatchedSegmentCounts,
+    "q328_wordpiece_merges" -> OracleSql.wordPieceMerges,
+    "q329_wordpiece_segment" -> OracleSql.wordPieceSegmentCounts,
     // data-URI images: dims from the q67 synthesis arithmetic; the
     // lossless byte-exact raster gate asserted literally TRUE
     "q309_data_uri_images" ->

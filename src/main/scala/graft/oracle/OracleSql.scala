@@ -935,6 +935,126 @@ GROUP BY d.doc_id"""
     ctes.result().mkString(",\n")
   }
 
+  /** Mirror of [[graft.operators.WordPiece.mergeTable]] (q328): the
+    * batched-BPE CTE chain with LIKELIHOOD scoring — per round the
+    * pair counts AND the symbol unit counts, candidates ranked by
+    * score = c / (u(l)·u(r)) (same double arithmetic as the Spark
+    * side: exact BIGINTs cast to DOUBLE, one multiply, one divide),
+    * the greedy accept chain under BLANKET symbol disjointness
+    * (WordPiece's stricter invariance — the denominator moves when
+    * any shared symbol's unit count drops), and the batch folds in
+    * acceptance order. */
+  def wordPieceMerges: String = {
+    val rounds = graft.operators.WordPiece.Rounds
+    val sel = (0 until rounds).map { i =>
+      s"SELECT $i AS b, rn, l, r, merged, c, score FROM accw${i}_${graft.operators.WordPiece.BatchSize}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${wordPieceCtes()}
+, allaccw AS ($sel)
+SELECT CAST(row_number() OVER (ORDER BY b, rn) - 1 AS INTEGER)
+         AS step,
+       l AS left_sym, r AS right_sym, merged, c AS pair_count, score
+FROM allaccw"""
+  }
+
+  /** Mirror of [[graft.operators.WordPiece.trainAndCount]] (q329):
+    * the WordPiece-trained vocabulary's final symbol sequences
+    * joined back to the corpus word stream — the q101/q313 apply
+    * under the q328 merges. */
+  def wordPieceSegmentCounts: String = {
+    val rounds = graft.operators.WordPiece.Rounds
+    s"""WITH ${wordPieceCtes()}
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(m.syms)) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN vw$rounds m ON d.word = m.word
+WHERE len(d.word) > 0
+GROUP BY d.doc_id"""
+  }
+
+  /** Shared CTE chain of the WordPiece mirrors — [[bpeBatchedCtes]]
+    * with a unit-count CTE per round, score-ordered candidate ranks,
+    * and the blanket-disjointness accept filter. */
+  private def wordPieceCtes(): String = {
+    val rounds = graft.operators.WordPiece.Rounds
+    val bs = graft.operators.WordPiece.BatchSize
+    val prefix = bs * 4
+    def fold(bl: String, br: String, merged: String): String =
+      s"""list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $bl AND x[1] = $br
+                THEN list_append(acc[:len(acc)-1], $merged)
+                ELSE list_append(acc, x[1]) END)"""
+    val ctes = Seq.newBuilder[String]
+    ctes += """vw0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0
+  GROUP BY word
+)"""
+    (0 until rounds).foreach { i =>
+      ctes += s"""uw$i AS MATERIALIZED (
+  SELECT s, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+    SELECT cnt, unnest(syms) AS s FROM vw$i)
+  GROUP BY s
+)"""
+      ctes += s"""candw$i AS MATERIALIZED (
+  SELECT l, r, c, score, rn FROM (
+    SELECT l, r, c, score,
+           row_number() OVER (ORDER BY score DESC, l, r) AS rn
+    FROM (
+      SELECT p.l, p.r, p.c,
+             CAST(p.c AS DOUBLE) /
+               (CAST(ul.u AS DOUBLE) * CAST(ur.u AS DOUBLE)) AS score
+      FROM (
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+          SELECT cnt, syms[j] AS l, syms[j+1] AS r
+          FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+                FROM vw$i))
+        GROUP BY l, r) p
+      JOIN uw$i ul ON p.l = ul.s
+      JOIN uw$i ur ON p.r = ur.s))
+  WHERE rn <= $prefix
+)"""
+      ctes += s"""accw${i}_1 AS MATERIALIZED (
+  SELECT rn, l, r, l || r AS merged, c, score FROM candw$i
+  ORDER BY rn LIMIT 1
+)"""
+      (2 to bs).foreach { k =>
+        ctes += s"""accw${i}_$k AS MATERIALIZED (
+  SELECT * FROM accw${i}_${k - 1}
+  UNION ALL
+  SELECT * FROM (
+    SELECT c2.rn, c2.l, c2.r, c2.l || c2.r AS merged, c2.c, c2.score
+    FROM candw$i c2
+    WHERE c2.rn NOT IN (SELECT rn FROM accw${i}_${k - 1})
+      AND NOT EXISTS (
+        SELECT 1 FROM accw${i}_${k - 1} a
+        WHERE c2.l IN (a.l, a.r, a.merged)
+           OR c2.r IN (a.l, a.r, a.merged))
+    ORDER BY c2.rn LIMIT 1)
+)"""
+      }
+      (1 to bs).foreach { k =>
+        ctes += s"""selw${i}_$k AS (
+  SELECT l, r, merged FROM accw${i}_$bs
+  ORDER BY rn LIMIT 1 OFFSET ${k - 1}
+)"""
+        val src = if (k == 1) s"vw$i" else s"vw${i}_f${k - 1}"
+        val tgt = if (k == bs) s"vw${i + 1}" else s"vw${i}_f$k"
+        ctes += s"""$tgt AS (
+  SELECT word, cnt,
+         CASE WHEN s.l IS NULL THEN syms
+              ELSE ${fold("s.l", "s.r", "s.merged")} END AS syms
+  FROM $src LEFT JOIN selw${i}_$k s ON TRUE
+)"""
+      }
+    }
+    ctes.result().mkString(",\n")
+  }
+
   /** Mirror of [[graft.operators.Dedup.sourceSimilarity]] (q95):
     * same shingle digests and permutation constants; the per-source
     * MIN over per-doc signature coordinates equals the union-set min

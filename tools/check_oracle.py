@@ -76,7 +76,13 @@ def main(sf_dir, out_dir, pre=False):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written tables (e.g. the GenScale sf1 fixture) are
+            # DIRECTORIES of part files, not single-file parquet
+            p = os.path.join(p, "*.parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
