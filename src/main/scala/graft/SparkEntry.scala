@@ -1955,6 +1955,40 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q295_funnel")
     }),
+    // STREAMING coding stack (q316's incremental twin, r17): the
+    // composed chunked/gzip peel is row-local, so the stream needs
+    // no state — three arrival waves through the identical
+    // httpCodingStack code, graded against the batch q316 oracle.
+    "q330_stream_coding_stack" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val wh = graft.util.TempDirs.create("graft-coding-q330")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = docs.agg(min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        docs.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q330_coding")
+      val q = operators.Warc.streamCodingStack(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q330_coding").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q330_coding")
+    }),
     // robots.txt TEXT parser: directive lines group-attributed by
     // the last User-agent rule, comments/unknowns skipped, Sitemap
     // global — the stage that PRODUCES q249's rule tuples.
@@ -3051,6 +3085,8 @@ object SparkEntry {
     "q304_preference_pairs" -> OracleSql.preferencePairs,
     "q302_warc_deflate_body" -> OracleSql.warcDeflateBodies,
     "q316_http_coding_stack" -> OracleSql.httpCodingStack,
+    // the streaming twin must EQUAL q316 — same oracle, verbatim
+    "q330_stream_coding_stack" -> OracleSql.httpCodingStack,
     "q317_warc_req_resp" -> OracleSql.warcGzPaired,
     "q318_code_switching" -> OracleSql.codeSwitchStats,
     "q319_sitemap_discovery" -> OracleSql.sitemapDiscovery,

@@ -987,6 +987,18 @@ object Warc {
         md5(col("t")).as("payload_md5"), col("valid"))
   }
 
+  /** q330: the STREAMING twin of the composed coding stack — real
+    * ingest is a stream, and every q316 stage (record synthesis,
+    * parse, transfer-then-content peel, digest) is a row-local
+    * projection/map, so the twin IS [[httpCodingStack]] applied to a
+    * streaming (doc_id, text) frame: no state, no watermark, no
+    * holdback — a capture's decoded row is final the moment it lands
+    * (exact wave parity with the batch q316 oracle, pinned by
+    * StreamingCodingStackSpec). Scale design: stateless append —
+    * shards with the source, nothing accumulates. */
+  def streamCodingStack(docs: DataFrame): DataFrame =
+    httpCodingStack(docs)
+
   // ---------------------------------------------------------------
   // request/response pairing (q317) — the record type q290's walker
   // skips: real CommonCrawl files carry a request record per

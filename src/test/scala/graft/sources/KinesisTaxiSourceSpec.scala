@@ -436,6 +436,87 @@ class KinesisTaxiSourceSpec extends AnyFunSuite with SparkSessionSpec {
     }
   }
 
+  test("DEEP reshard lineage (r17): a 3-generation chain " +
+      "(split -> merge -> split) built BEFORE the query starts is " +
+      "drained COMPLETELY by one AvailableNow run — the " +
+      "children-unlock batch must cascade transitively, one " +
+      "generation per planned batch, not stop at depth 1") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 90000
+      (1 to 4).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      // gen 1: split root 0 into (a, b), records 5..8
+      val (a, b) = srv.splitShard(srv.shardIds(0))
+      (5 to 6).foreach(i => srv.putRecordToShard(a,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 1000 + i)))
+      (7 to 8).foreach(i => srv.putRecordToShard(b,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 1000 + i)))
+      // gen 2: merge the split's own children into c, records 9..10
+      val c = srv.mergeShards(a, b)
+      (9 to 10).foreach(i => srv.putRecordToShard(c,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 2000 + i)))
+      // gen 3: split the merge child into (d, e), records 11..14
+      val (d, e) = srv.splitShard(c)
+      (11 to 12).foreach(i => srv.putRecordToShard(d,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 3000 + i)))
+      (13 to 14).foreach(i => srv.putRecordToShard(e,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 3000 + i)))
+      val cp = Files.createTempDirectory("kcp-deep1").toString
+      val sink = Files.createTempDirectory("ksink-deep1").toString
+      val got = runOnce(srv, cp, sink)
+      assert(got == (1L to 14L),
+        s"one AvailableNow run across 3 generations: $got")
+      // replay determinism across the whole chain
+      assert(runOnce(srv, cp, sink) == (1L to 14L))
+      // the WAL's ended set carries every closed ancestor
+      val off = latestOffsetJson(cp)
+      Seq(srv.shardIds(0), a, b, c).foreach(id =>
+        assert(off.contains(id),
+          s"ended lineage must carry $id: $off"))
+    }
+  }
+
+  test("DEEP reshard lineage (r17): restarts placed BETWEEN " +
+      "generations — each AvailableNow run ends the newly-closed " +
+      "ancestors AND drains their descendants in the same run, " +
+      "exactly-once row accounting pinned at every boundary") {
+    withStub(new StubKinesisServer(shardCount = 2)) { srv =>
+      val base = System.currentTimeMillis() - 90000
+      (1 to 4).foreach(i => srv.putRecord(trip(i),
+        shard = Some(i % 2), arrivalMs = Some(base + i)))
+      val cp = Files.createTempDirectory("kcp-deep2").toString
+      val sink = Files.createTempDirectory("ksink-deep2").toString
+      assert(runOnce(srv, cp, sink) == (1L to 4L))
+      // generation 1 happens while the query is DOWN; the next run
+      // must end the root and drain (a, b) in one go
+      val (a, b) = srv.splitShard(srv.shardIds(0))
+      (5 to 6).foreach(i => srv.putRecordToShard(a,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 1000 + i)))
+      (7 to 8).foreach(i => srv.putRecordToShard(b,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 1000 + i)))
+      assert(runOnce(srv, cp, sink) == (1L to 8L),
+        "gen-1 restart must deliver the split children's backlog")
+      // generation 2: merge both gen-1 children (the child waits for
+      // BOTH parents, whose SHARD_END is itself discovered this run)
+      val c = srv.mergeShards(a, b)
+      (9 to 10).foreach(i => srv.putRecordToShard(c,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 2000 + i)))
+      assert(runOnce(srv, cp, sink) == (1L to 10L),
+        "gen-2 restart must deliver the merge child's backlog")
+      // generation 3: split the merge child again
+      val (d, e) = srv.splitShard(c)
+      (11 to 12).foreach(i => srv.putRecordToShard(d,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 3000 + i)))
+      (13 to 14).foreach(i => srv.putRecordToShard(e,
+        trip(i).getBytes("UTF-8"), arrivalMs = Some(base + 3000 + i)))
+      assert(runOnce(srv, cp, sink) == (1L to 14L),
+        "gen-3 restart must deliver the deepest generation")
+      // the degenerate same-offset replay (the case the r16 bug's
+      // spec gap left unpinned): nothing new, nothing twice
+      assert(runOnce(srv, cp, sink) == (1L to 14L))
+    }
+  }
+
   test("progress files key by the raw shard id, not the sanitized filename") {
     val dir = Files.createTempDirectory("kinesis-progress")
     // a shard name with characters outside [A-Za-z0-9._-]: the
