@@ -25,16 +25,26 @@ object StreamingQuality {
 
   def nbScore(docs: DataFrame,
       model: TextAnalysis.NbModel): DataFrame = {
-    val m = typedLit(model.lpdiff)
+    // r17: the model rides as a reference-object hash map
+    // (O(1)/token lookups) instead of a typedLit map literal whose
+    // element_at was a LINEAR |V| scan per token and whose literal
+    // tree re-serialized with every task — the q118 gate creep. The
+    // margin fold (0.0 + Δlogp per token in sequence order, prior
+    // last) is bit-identical to the old column and to the DuckDB
+    // mirror's list_reduce (NbServeParitySpec pins both).
+    val terms = model.lpdiff.keys.toArray
+    val serve = new org.apache.spark.sql.graft.NbServeModel(
+      terms, terms.map(model.lpdiff), model.lpdiff0, model.priorDiff)
     docs
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '" +
           TextAnalysis.WordPattern + "', 0)").as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tok"),
-        (lit(model.priorDiff) + aggregate(col("w"), lit(0.0),
-          (acc, t) => acc +
-            coalesce(element_at(m, t), lit(model.lpdiff0)))).as("margin"))
+        org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.graft.NbMargin(
+            org.apache.spark.sql.graft.Bridge.expression(col("w")),
+            serve)).as("margin"))
       .withColumn("keep", col("margin") > 0)
   }
 }

@@ -1581,6 +1581,71 @@ case class UnigramSegment(child: Expression, model: UnigramOps.Model)
     copy(child = c)
 }
 
+/** The serve-side NB quality model as a REAL hash map (r17): the
+  * r14–r16 serve column carried the term→Δlogp table as a
+  * `typedLit` map literal, where Catalyst's `element_at` does a
+  * LINEAR key scan per lookup — O(|V|) per token, and the whole
+  * literal tree re-serializes with every task. Profiled as the
+  * q118 drift the r16 verdict flagged (the gate creep tracked
+  * vocabulary growth). This class ships the same table once per
+  * task as a reference object with O(1) UTF8String-keyed lookups;
+  * the margin fold is the IDENTICAL left-to-right double sum
+  * (0.0, +Δlogp per token in sequence order, prior added last), so
+  * results are bit-identical to the literal-map column and the
+  * DuckDB mirror's list_reduce. */
+final class NbServeModel(terms: Array[String], vals: Array[Double],
+    val lpdiff0: Double, val priorDiff: Double) extends Serializable {
+  @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      terms.length * 2)
+    var i = 0
+    while (i < terms.length) {
+      m.put(UTF8String.fromString(terms(i)), vals(i))
+      i += 1
+    }
+    m
+  }
+
+  def margin(w: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = w.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = map.get(w.getUTF8String(i))
+      acc += (if (v == null) lpdiff0 else v.doubleValue())
+      i += 1
+    }
+    priorDiff + acc
+  }
+}
+
+/** `nb_margin(tokens)` — the serve-side NB quality margin under a
+  * constant trained model: prior + Σ Δlogp(token) in token order,
+  * OOV tokens at the floor. Row-local, zero shuffle, O(1) per-token
+  * lookups (see [[NbServeModel]]). */
+case class NbMargin(child: Expression, model: NbServeModel)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nb_margin"
+
+  override def nullSafeEval(w: Any): Any =
+    model.margin(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("nbServeModel", model,
+      "org.apache.spark.sql.graft.NbServeModel")
+    defineCodeGen(ctx, ev, w => s"$mRef.margin($w)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NbMargin =
+    copy(child = c)
+}
+
 /** Column <-> Expression bridging for graft code. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -65,4 +65,40 @@ class StreamingQualitySpec extends AnyFunSuite with SparkSessionSpec {
       q.lastProgress.stateOperators.isEmpty ||
       q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
   }
+
+  test("r17 hash-map serve model is BIT-identical to the r14 " +
+      "literal-map column it replaced (same left fold, same OOV " +
+      "floor, same prior placement) — the q118 speedup changed " +
+      "nothing observable") {
+    import org.apache.spark.sql.functions._
+    val docsBatch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = TextAnalysis.trainNbModel(docsBatch)
+    val docs = docsBatch.select(col("doc_id"), col("text"))
+    // the r14 column, verbatim
+    val m = typedLit(model.lpdiff)
+    val legacy = docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '" +
+          TextAnalysis.WordPattern + "', 0)").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        (lit(model.priorDiff) + aggregate(col("w"), lit(0.0),
+          (acc, t) => acc + coalesce(element_at(m, t),
+            lit(model.lpdiff0)))).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val got = StreamingQuality.nbScore(docs, model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet == legacy.keySet)
+    got.foreach { case (id, (n, margin, keep)) =>
+      val (ln, lm, lk) = legacy(id)
+      assert(n == ln && keep == lk, s"doc $id")
+      assert(java.lang.Double.doubleToLongBits(margin) ==
+        java.lang.Double.doubleToLongBits(lm),
+        s"doc $id margin must be BIT-identical: $margin vs $lm")
+    }
+  }
 }
