@@ -467,6 +467,15 @@ object SparkEntry {
     // WordPiece apply-side: per-doc token budgets under q328 merges.
     "q329_wordpiece_segment" -> ((s, dir) =>
       operators.WordPiece.trainAndCount(documents(s, dir))),
+    // MIME/EML mail-corpus acquisition (r17): multipart boundary
+    // walking, header unfolding, QP/base64 part decode, RFC 2047
+    // subject words — the WARC-family discipline on the mail format.
+    "q331_mime_parse" -> ((s, dir) =>
+      operators.Mail.mimeParse(documents(s, dir))),
+    // GIF87a (r17): the real GIF LZW (variable-width, LSB-first,
+    // clear/EOI, 12-bit cap) + container walk, pixel-lossless.
+    "q332_gif_decode" -> ((s, dir) =>
+      operators.Multimodal.gifDecodeStats(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -2981,6 +2990,29 @@ object SparkEntry {
     "q313_bpe_batched_segment" -> OracleSql.bpeBatchedSegmentCounts,
     "q328_wordpiece_merges" -> OracleSql.wordPieceMerges,
     "q329_wordpiece_segment" -> OracleSql.wordPieceSegmentCounts,
+    // MIME synthesis arithmetic mirrored; the engine side recovers
+    // every value by PARSING the message (headers -> boundary ->
+    // per-part decode), and the decoded text digest must equal the
+    // original document's — a wrong unfold/dechunk/decode flips it.
+    "q331_mime_parse" ->
+      """SELECT doc_id,
+        |       2 + doc_id % 2 AS n_parts,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN 'Report_' || CAST(doc_id AS VARCHAR)
+        |            ELSE 'Report ' || CAST(doc_id AS VARCHAR)
+        |       END AS subject,
+        |       1 + doc_id % 3 AS n_recipients,
+        |       md5(text) AS text_md5,
+        |       TRUE AS html_ok,
+        |       CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 32
+        |            ELSE 0 END AS att_n_bytes,
+        |       CASE WHEN doc_id % 2 = 1 THEN
+        |         CAST(list_sum(list_transform(
+        |           range(16 + doc_id % 32),
+        |           i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT)
+        |       ELSE 0 END AS att_byte_sum,
+        |       TRUE AS valid
+        |FROM documents""".stripMargin,
     // data-URI images: dims from the q67 synthesis arithmetic; the
     // lossless byte-exact raster gate asserted literally TRUE
     "q309_data_uri_images" ->
@@ -3260,6 +3292,24 @@ object SparkEntry {
         |       0 AS n_flc_blocks,
         |       TRUE AS mid_tc_ok, TRUE AS max_y_ok,
         |       TRUE AS chroma_ok
+        |FROM documents""".stripMargin,
+    // The GIF rung (q332): LZW is LOSSLESS, so the decoded
+    // pixel-index sum is EXACT synthesis arithmetic, as is the
+    // first palette entry; `lossless` asserted literally TRUE.
+    "q332_gif_decode" ->
+      """SELECT doc_id,
+        |       8 + (doc_id % 5) * 4 AS width,
+        |       8 + ((doc_id // 5) % 4) * 4 AS height,
+        |       (8 + (doc_id % 5) * 4) * (8 + ((doc_id // 5) % 4) * 4)
+        |         AS n_pixels,
+        |       CAST(list_sum(list_transform(
+        |         range((8 + (doc_id % 5) * 4)
+        |               * (8 + ((doc_id // 5) % 4) * 4)),
+        |         i -> (doc_id + i * 7) % 4)) AS BIGINT) AS idx_sum,
+        |       ((doc_id % 256) * 65536
+        |        + ((doc_id * 3) % 256) * 256
+        |        + (doc_id * 5) % 256) AS palette0,
+        |       TRUE AS lossless
         |FROM documents""".stripMargin,
     // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis
     // arithmetic; booleans asserted literally TRUE (lossy codec,

@@ -1874,6 +1874,38 @@ object Multimodal {
         "n_flc_blocks", "mid_tc_ok", "max_y_ok", "chroma_ok")
   }
 
+  /** Graded GIF87a decode (q332) — the LOSSLESS dictionary codec of
+    * the still-image family (r17; PNG q67 is filter+deflate, JPEG
+    * q68 transform coding): per document a 4-color paletted raster
+    * with arithmetic pixel indices, encoded through the real GIF LZW
+    * (variable-width codes, LSB-first packing, clear/EOI) into a
+    * full GIF87a container, parsed and decoded back. The pixel-index
+    * SUM is graded as exact arithmetic — LZW is lossless, so one
+    * wrong code anywhere flips the sum or the loud length check.
+    * Row-local end-to-end. */
+  def gifDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.GifLzw
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 8 + (id % 5).toInt * 4
+        val h = 8 + ((id / 5) % 4).toInt * 4
+        val palette = Array.tabulate(4)(c =>
+          (((id + c) % 256).toInt << 16) |
+            (((id * 3 + c * 7) % 256).toInt << 8) |
+            ((id * 5 + c * 11) % 256).toInt)
+        val px = Array.tabulate(w * h)(i => ((id + i * 7) % 4).toInt)
+        val g = GifLzw.parseGif(GifLzw.buildGif(w, h, palette, px))
+        require(g.w == w && g.h == h, s"dims mismatch for doc $id")
+        (id, w.toLong, h.toLong, (w * h).toLong,
+          g.indices.map(_.toLong).sum,
+          g.palette.head.toLong,
+          g.indices.sameElements(px) && g.palette.sameElements(palette))
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "idx_sum",
+        "palette0", "lossless")
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC

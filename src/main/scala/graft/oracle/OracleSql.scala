@@ -786,7 +786,12 @@ GROUP BY d.doc_id"""
                 THEN list_append(acc[:len(acc)-1], $merged)
                 ELSE list_append(acc, x[1]) END)"""
     val ctes = Seq.newBuilder[String]
-    ctes += """m0 AS (
+    // MATERIALIZED (r17): each m_i is referenced twice (by p_i and by
+    // m_{i+1}); without materialization DuckDB re-inlines the chain,
+    // recomputing m0's word unnest 2^steps times — harmless at
+    // sf0.01, a disk-filling spill at the sf1 rung. Same discipline
+    // as [[bpeBatchedCtes]]; results are identical.
+    ctes += """m0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
          list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -799,7 +804,7 @@ GROUP BY d.doc_id"""
     SELECT cnt, syms[i] AS l, syms[i+1] AS r
     FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM m$i))
   GROUP BY l, r
-), b$i AS (
+), b$i AS MATERIALIZED (
   SELECT l, r, l || r AS merged, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
 )"""
       // LEFT JOIN ON TRUE + NULL-guarded CASE: when training exhausts
@@ -809,7 +814,7 @@ GROUP BY d.doc_id"""
       // merges; the guard passes the prior symbols through unchanged
       // (exactly what an exhausted serial trainer does)
       if (i < steps - 1 || includeFinalApply)
-        ctes += s"""m${i + 1} AS (
+        ctes += s"""m${i + 1} AS MATERIALIZED (
   SELECT word, cnt,
          CASE WHEN b.l IS NULL THEN syms
               ELSE ${fold("b.l", "b.r", "b.merged")} END AS syms
@@ -924,7 +929,10 @@ GROUP BY d.doc_id"""
 )"""
         val src = if (k == 1) s"vb$i" else s"vb${i}_f${k - 1}"
         val tgt = if (k == bs) s"vb${i + 1}" else s"vb${i}_f$k"
-        ctes += s"""$tgt AS (
+        // round-final vocab is read twice (next round's pair count +
+        // next fold chain): materialize to keep the plan linear (r17)
+        val mat = if (k == bs) " MATERIALIZED" else ""
+        ctes += s"""$tgt AS$mat (
   SELECT word, cnt,
          CASE WHEN s.l IS NULL THEN syms
               ELSE ${fold("s.l", "s.r", "s.merged")} END AS syms
@@ -1044,7 +1052,10 @@ GROUP BY d.doc_id"""
 )"""
         val src = if (k == 1) s"vw$i" else s"vw${i}_f${k - 1}"
         val tgt = if (k == bs) s"vw${i + 1}" else s"vw${i}_f$k"
-        ctes += s"""$tgt AS (
+        // round-final vocab is read twice (unit count + pair count of
+        // the next round): materialize to keep the plan linear (r17)
+        val mat = if (k == bs) " MATERIALIZED" else ""
+        ctes += s"""$tgt AS$mat (
   SELECT word, cnt,
          CASE WHEN s.l IS NULL THEN syms
               ELSE ${fold("s.l", "s.r", "s.merged")} END AS syms

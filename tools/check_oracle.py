@@ -72,8 +72,11 @@ def preflight(con, oracle):
     sys.exit(1 if bad else 0)
 
 
-def main(sf_dir, out_dir, pre=False):
+def main(sf_dir, out_dir, pre=False, only=None):
     con = duckdb.connect()
+    # Bound DuckDB's spill: a mis-shaped oracle (e.g. a re-inlined CTE
+    # chain at the sf1 rung) must error loudly, never fill the disk.
+    con.execute("SET max_temp_directory_size='30GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
@@ -90,6 +93,8 @@ def main(sf_dir, out_dir, pre=False):
         preflight(con, oracle)
     names = [d for d in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, d))]
+    if only:
+        names = [n for n in names if n in only]
     n_pass = n_fail = 0
     for name in names:
         got_tbl = pq.read_table(os.path.join(out_dir, name))
@@ -134,4 +139,8 @@ def main(sf_dir, out_dir, pre=False):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(args[0], args[1], pre="--preflight" in sys.argv)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    main(args[0], args[1], pre="--preflight" in sys.argv, only=only)
