@@ -476,6 +476,10 @@ object SparkEntry {
     // clear/EOI, 12-bit cap) + container walk, pixel-lossless.
     "q332_gif_decode" -> ((s, dir) =>
       operators.Multimodal.gifDecodeStats(documents(s, dir))),
+    // FLAC (r17): real bit format at the stated profile — Rice-coded
+    // fixed-predictor subframes, CRC-8/CRC-16, STREAMINFO MD5.
+    "q333_flac_decode" -> ((s, dir) =>
+      operators.Multimodal.flacDecodeStats(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -3311,6 +3315,26 @@ object SparkEntry {
         |        + (doc_id * 5) % 256) AS palette0,
         |       TRUE AS lossless
         |FROM documents""".stripMargin,
+    // The FLAC rung (q333): losslessness makes the decoded sample
+    // sum EXACT three-segment arithmetic; the frame census is
+    // ceil(n/4096); md5_ok/lossless asserted literally TRUE.
+    "q333_flac_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 5000 + (doc_id % 7) * 1000 AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_samples,
+        |       (n + 4095) // 4096 AS n_frames,
+        |       CAST(list_sum(list_transform(range(n), i ->
+        |         CASE WHEN i < 1500 THEN (doc_id % 2000) - 1000
+        |              WHEN i < 3000 THEN (i - 1500) * 3 - 2250
+        |                                 + (doc_id % 11)
+        |              ELSE ((doc_id * 31 + i * 2654435761)
+        |                    % 65536) - 32768
+        |         END)) AS BIGINT) AS sample_sum,
+        |       44100 AS sample_rate,
+        |       TRUE AS md5_ok, TRUE AS lossless
+        |FROM p""".stripMargin,
     // avc1 boxing mirrors Multimodal.avc1DecodeStats's synthesis
     // arithmetic; booleans asserted literally TRUE (lossy codec,
     // bounded error — the q68/q182/q228 pattern).

@@ -1906,6 +1906,39 @@ object Multimodal {
         "palette0", "lossless")
   }
 
+  /** Graded FLAC decode (q333) — the lossless AUDIO codec rung
+    * (r17; WAV q54 is raw PCM, ADPCM/G.711 are lossy): per document
+    * a three-segment 16-bit waveform (constant head, ramp, stateless
+    * pseudo-noise tail — every sample an arithmetic function of
+    * (doc_id, i), so the SQL mirror recomputes the exact sum),
+    * encoded through the real FLAC bit format (STREAMINFO + MD5,
+    * frame sync/CRC-8/CRC-16, CONSTANT/VERBATIM/FIXED subframes,
+    * Rice residuals) and decoded back. Losslessness makes sample_sum
+    * EXACT arithmetic; md5_ok re-verifies the spec's own
+    * decoded-audio digest. Row-local end-to-end. */
+  def flacDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.Flac
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 5000 + (id % 7).toInt * 1000
+        val x = Array.tabulate(n) { i =>
+          if (i < 1500) (id % 2000).toInt - 1000
+          else if (i < 3000) (i - 1500) * 3 - 2250 + (id % 11).toInt
+          else ((id * 31 + i.toLong * 2654435761L) % 65536).toInt -
+            32768
+        }
+        val dec = Flac.decode(Flac.encode(x))
+        require(dec.samples.length == n, s"length mismatch doc $id")
+        (id, n.toLong, dec.nFrames.toLong,
+          dec.samples.map(_.toLong).sum,
+          dec.sampleRate.toLong, dec.md5Ok,
+          dec.samples.sameElements(x))
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "sample_sum",
+        "sample_rate", "md5_ok", "lossless")
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC
