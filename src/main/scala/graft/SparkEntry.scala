@@ -480,6 +480,18 @@ object SparkEntry {
     // fixed-predictor subframes, CRC-8/CRC-16, STREAMINFO MD5.
     "q333_flac_decode" -> ((s, dir) =>
       operators.Multimodal.flacDecodeStats(documents(s, dir))),
+    // Unicode script census + homoglyph-confusable words (r17):
+    // real codepoint-range classification over a deterministically
+    // transliterated fixture; mixed Latin/Cyrillic words flagged.
+    "q334_script_mix" -> ((s, dir) =>
+      operators.TextAnalysis.scriptMixProfile(documents(s, dir))),
+    // ZIP central-directory walk (r17): stored+deflate entries,
+    // CRC-32 verified, content digest against the oracle's slices.
+    "q335_zip_walk" -> ((s, dir) =>
+      operators.Multimodal.zipWalkStats(documents(s, dir))),
+    // POSIX ustar walk (r17): header checksums, padding arithmetic.
+    "q336_tar_walk" -> ((s, dir) =>
+      operators.Multimodal.tarWalkStats(documents(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -3315,6 +3327,101 @@ object SparkEntry {
         |        + (doc_id * 5) % 256) AS palette0,
         |       TRUE AS lossless
         |FROM documents""".stripMargin,
+    // The script-mix rung (q334): the oracle recomputes the census
+    // from the transliteration arithmetic — word j of doc d is
+    // script (d+j)%4 over its [a-z] letters, except (d+j)%13==0
+    // words interleave Cyrillic (even letter positions, ceil(n/2))
+    // with Latin (odd, floor(n/2)); non-letters and spaces are
+    // Common. Dominant-script tie precedence is the fixed
+    // latin > cyrillic > greek > cjk order.
+    "q334_script_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(text) AS tot
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id, tot,
+        |    list_transform(range(len(w)), j -> struct_pack(
+        |      s := (doc_id + j) % 4,
+        |      m := CASE WHEN (doc_id + j) % 13 = 0 THEN 1 ELSE 0 END,
+        |      n := len(regexp_replace(w[j + 1], '[^a-z]', '', 'g'))
+        |    )) AS ws
+        |  FROM d
+        |), agg AS (
+        |  SELECT doc_id, tot,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |      CASE WHEN x.m = 1 THEN x.n // 2
+        |           WHEN x.s = 0 THEN x.n ELSE 0 END)), 0) AS BIGINT)
+        |      AS n_latin,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |      CASE WHEN x.m = 1 THEN (x.n + 1) // 2
+        |           WHEN x.s = 1 THEN x.n ELSE 0 END)), 0) AS BIGINT)
+        |      AS n_cyrillic,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |      CASE WHEN x.m = 0 AND x.s = 2 THEN x.n ELSE 0 END)),
+        |      0) AS BIGINT) AS n_greek,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |      CASE WHEN x.m = 0 AND x.s = 3 THEN x.n ELSE 0 END)),
+        |      0) AS BIGINT) AS n_cjk,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x -> x.n)), 0)
+        |      AS BIGINT) AS letters,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x ->
+        |      CASE WHEN x.m = 1 AND x.n >= 2 THEN 1 ELSE 0 END)),
+        |      0) AS BIGINT) AS n_mixed
+        |  FROM per
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+        |       tot - letters AS n_common,
+        |       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+        |                 AND n_latin >= n_cjk THEN 'latin'
+        |            WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+        |                 THEN 'cyrillic'
+        |            WHEN n_greek >= n_cjk THEN 'greek'
+        |            ELSE 'cjk' END AS dominant_script,
+        |       n_mixed AS n_mixed_words,
+        |       n_mixed > 0 AS spoof_suspect
+        |FROM agg""".stripMargin,
+    // The archive rungs (q335/q336): entry k of doc d carries
+    // text[37k, 37k+100+13k) — the oracle recomputes the slices,
+    // their total length and their concatenated md5 directly from
+    // `text`; the engine recovers them by WALKING the container
+    // (central directory + CRC-32 for ZIP, checksummed ustar
+    // headers for TAR). TAR's archive_bytes is exact padding
+    // arithmetic: 512-byte header + content padded to 512 per
+    // entry + the 1024-byte terminator.
+    "q335_zip_walk" ->
+      """WITH s AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS n,
+        |    list_transform(range(CAST(1 + doc_id % 4 AS BIGINT)),
+        |      k -> substring(text, CAST(k * 37 + 1 AS BIGINT),
+        |                     CAST(100 + 13 * k AS BIGINT))) AS sl
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_entries,
+        |       CAST(COALESCE(list_sum(list_transform(sl,
+        |         x -> len(x))), 0) AS BIGINT) AS total_bytes,
+        |       (n + 1) // 2 AS n_stored,
+        |       n // 2 AS n_deflated,
+        |       md5(list_reduce(sl, (a, b) -> a || b)) AS content_md5,
+        |       TRUE AS names_ok
+        |FROM s""".stripMargin,
+    "q336_tar_walk" ->
+      """WITH s AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS n,
+        |    list_transform(range(CAST(1 + doc_id % 4 AS BIGINT)),
+        |      k -> substring(text, CAST(k * 37 + 1 AS BIGINT),
+        |                     CAST(100 + 13 * k AS BIGINT))) AS sl
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_entries,
+        |       CAST(COALESCE(list_sum(list_transform(sl,
+        |         x -> len(x))), 0) AS BIGINT) AS total_bytes,
+        |       CAST(COALESCE(list_sum(list_transform(sl,
+        |         x -> 512 + ((len(x) + 511) // 512) * 512)), 0)
+        |         + 1024 AS BIGINT) AS archive_bytes,
+        |       md5(list_reduce(sl, (a, b) -> a || b)) AS content_md5,
+        |       TRUE AS names_ok
+        |FROM s""".stripMargin,
     // The FLAC rung (q333): losslessness makes the decoded sample
     // sum EXACT three-segment arithmetic; the frame census is
     // ceil(n/4096); md5_ok/lossless asserted literally TRUE.

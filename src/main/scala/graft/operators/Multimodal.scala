@@ -1939,6 +1939,82 @@ object Multimodal {
         "sample_rate", "md5_ok", "lossless")
   }
 
+  /** Graded ZIP walk (q335, r17) — the archive format training
+    * corpora actually arrive in: per document a ZIP of
+    * 1 + doc_id % 4 entries (entry k carries the document text's
+    * slice [37k, 37k + 100 + 13k), alternating stored/deflate),
+    * walked back via the CENTRAL DIRECTORY with local-header
+    * cross-checks and per-entry CRC-32 verification. The
+    * concatenated-content digest must equal md5 of the same slices
+    * recomputed by the oracle directly from `text` — a wrong offset,
+    * a bad inflate, or a skipped entry flips it. Row-local. */
+  def zipWalkStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.Archives
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val n = 1 + (id % 4).toInt
+        val slices = (0 until n).map { k =>
+          val start = math.min(k * 37, text.length)
+          text.substring(start,
+            math.min(start + 100 + 13 * k, text.length))
+        }
+        val es = slices.zipWithIndex.map { case (s, k) =>
+          s"doc$id/part$k.txt" -> s.getBytes("US-ASCII")
+        }
+        val got = Archives.walkZip(Archives.buildZip(es))
+        require(got.size == n, s"entry census for doc $id")
+        val namesOk = got.map(_.name) == es.map(_._1)
+        val content = got.map(g =>
+          new String(g.data, "US-ASCII")).mkString
+        (id, n.toLong,
+          got.map(_.data.length.toLong).sum,
+          got.count(_.method == 0).toLong,
+          got.count(_.method == 8).toLong,
+          content, namesOk)
+      }
+      .toDF("doc_id", "n_entries", "total_bytes", "n_stored",
+        "n_deflated", "c", "names_ok")
+      .select(col("doc_id"), col("n_entries"), col("total_bytes"),
+        col("n_stored"), col("n_deflated"),
+        md5(col("c")).as("content_md5"), col("names_ok"))
+  }
+
+  /** Graded TAR walk (q336, r17) — the q335 fixture shipped as a
+    * POSIX ustar archive instead: header checksums validated, names
+    * and sizes recovered, and the ARCHIVE SIZE graded as exact
+    * arithmetic (512-byte header + padded content per entry + the
+    * two-zero-block terminator — a padding bug flips the size, a
+    * checksum bug kills the walk). Row-local. */
+  def tarWalkStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.Archives
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val n = 1 + (id % 4).toInt
+        val slices = (0 until n).map { k =>
+          val start = math.min(k * 37, text.length)
+          text.substring(start,
+            math.min(start + 100 + 13 * k, text.length))
+        }
+        val es = slices.zipWithIndex.map { case (s, k) =>
+          s"doc$id/part$k.txt" -> s.getBytes("US-ASCII")
+        }
+        val tar = Archives.buildTar(es)
+        val got = Archives.walkTar(tar)
+        require(got.size == n, s"entry census for doc $id")
+        (id, n.toLong, got.map(_.data.length.toLong).sum,
+          tar.length.toLong,
+          got.map(g => new String(g.data, "US-ASCII")).mkString,
+          got.map(_.name) == es.map(_._1))
+      }
+      .toDF("doc_id", "n_entries", "total_bytes", "archive_bytes",
+        "c", "names_ok")
+      .select(col("doc_id"), col("n_entries"), col("total_bytes"),
+        col("archive_bytes"), md5(col("c")).as("content_md5"),
+        col("names_ok"))
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC

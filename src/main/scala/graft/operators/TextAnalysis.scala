@@ -2362,4 +2362,82 @@ object TextAnalysis {
         col("total_tokens").cast("double"))
     (out, graft.util.CacheHandle(types))
   }
+
+  /** Graded Unicode script-mix profile + confusable detection
+    * (q334, r17) — the curation gates a multilingual crawl needs:
+    * per-script character census (real codepoint-range
+    * classification: Basic Latin letters, Cyrillic U+0400–04FF,
+    * Greek U+0370–03FF, CJK U+4E00–9FFF), dominant script with
+    * fixed tie precedence, and MIXED-SCRIPT word detection — a word
+    * carrying both Latin and Cyrillic letters is the classic
+    * homoglyph-spoof shape (the ICU "spoof checker" signal) and a
+    * strong junk/adversarial-content flag.
+    *
+    * The corpus is ASCII, so the fixture TRANSLITERATES
+    * deterministically (the codec-family synthesis pattern): word j
+    * of doc d maps to script (d+j)%4, except every (d+j)%13==0 word
+    * interleaves Cyrillic at even letter positions with Latin at odd
+    * — a synthesized confusable. The CLASSIFIER sees only the
+    * transliterated string; the oracle recomputes the census from
+    * the synthesis arithmetic, so a wrong range boundary or a missed
+    * mixed word flips a count. Row-local, zero shuffle. */
+  def scriptMixProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // synthesis: deterministic per-word transliteration
+        val words = text.split(" ", -1)
+        val sb = new StringBuilder
+        words.zipWithIndex.foreach { case (w0, j) =>
+          if (j > 0) sb.append(' ')
+          val mixed = (id + j) % 13 == 0
+          val script = ((id + j) % 4).toInt
+          var li = 0
+          w0.foreach { c =>
+            if (c >= 'a' && c <= 'z') {
+              val k = c - 'a'
+              val out: Char =
+                if (mixed) {
+                  if (li % 2 == 0) (0x0430 + k).toChar else c
+                } else script match {
+                  case 0 => c
+                  case 1 => (0x0430 + k).toChar
+                  case 2 => (0x03B1 + k).toChar
+                  case _ => (0x4E00 + k).toChar
+                }
+              sb.append(out); li += 1
+            } else sb.append(c)
+          }
+        }
+        val t = sb.toString
+        // the operator: real codepoint-range classification
+        def scriptOf(c: Char): Int =
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 0
+          else if (c >= 0x0400 && c <= 0x04FF) 1
+          else if (c >= 0x0370 && c <= 0x03FF) 2
+          else if (c >= 0x4E00 && c <= 0x9FFF) 3
+          else 4
+        var nLat = 0L; var nCyr = 0L; var nGrk = 0L; var nCjk = 0L
+        var nCommon = 0L
+        t.foreach { c =>
+          scriptOf(c) match {
+            case 0 => nLat += 1
+            case 1 => nCyr += 1
+            case 2 => nGrk += 1
+            case 3 => nCjk += 1
+            case _ => nCommon += 1
+          }
+        }
+        val nMixed = t.split(" ", -1).count { w =>
+          w.exists(scriptOf(_) == 0) && w.exists(scriptOf(_) == 1)
+        }.toLong
+        val dominant = Seq("latin" -> nLat, "cyrillic" -> nCyr,
+          "greek" -> nGrk, "cjk" -> nCjk).maxBy(_._2)._1
+        (id, nLat, nCyr, nGrk, nCjk, nCommon, dominant, nMixed,
+          nMixed > 0)
+      }
+      .toDF("doc_id", "n_latin", "n_cyrillic", "n_greek", "n_cjk",
+        "n_common", "dominant_script", "n_mixed_words",
+        "spoof_suspect")
+  }
 }
