@@ -492,6 +492,13 @@ object SparkEntry {
     // POSIX ustar walk (r17): header checksums, padding arithmetic.
     "q336_tar_walk" -> ((s, dir) =>
       operators.Multimodal.tarWalkStats(documents(s, dir))),
+    // Mergeable MRL quantile sketch as a Catalyst
+    // TypedImperativeAggregate (r17): binary buffers cross the
+    // exchange; estimates graded by rank error against the exact
+    // distribution (q40 discipline for sketch outputs).
+    "q337_quantile_sketch" -> ((s, dir) =>
+      RelationalQueries.typeQuantileSketch(
+        EventsQueries.events(s, dir))),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -3381,6 +3388,14 @@ object SparkEntry {
         |       n_mixed AS n_mixed_words,
         |       n_mixed > 0 AS spoof_suspect
         |FROM agg""".stripMargin,
+    // The sketch rung (q337): exact per-type counts beside
+    // rank-error booleans (the estimates themselves are
+    // merge-tree-dependent; the BOUND is not) — q40's discipline.
+    "q337_quantile_sketch" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       TRUE AS p10_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+        |       TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // The archive rungs (q335/q336): entry k of doc d carries
     // text[37k, 37k+100+13k) — the oracle recomputes the slices,
     // their total length and their concatenated md5 directly from

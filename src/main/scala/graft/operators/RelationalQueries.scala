@@ -501,4 +501,52 @@ object RelationalQueries {
             col("ca") / col("cb")).as("lift")),
       Seq("support" -> false, "ia" -> true, "ib" -> true), k)
   }
+
+  /** Graded mergeable-quantile-sketch aggregation (q337, r17): the
+    * custom Catalyst [[org.apache.spark.sql.graft.QuantileSketchAgg]]
+    * (a TypedImperativeAggregate with a binary MRL-sketch buffer —
+    * the §4.3 aggregate-function rung the typed-Aggregator
+    * AvgDurationAggregator cannot show) builds per-event-type
+    * sketches map-side; only sketch BYTES cross the exchange.
+    * Grading is the q40 discipline for sketch outputs: the exact
+    * count rides beside RANK-ERROR booleans — each estimate's true
+    * rank in the exact distribution must sit within p ± 3% (the
+    * deterministic MRL bound at k=1024 with wide margin; the bound
+    * holds for ANY merge tree, so task-finish order cannot flip a
+    * boolean). */
+  def typeQuantileSketch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, QuantileSketchAgg}
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val agg = Bridge.column(
+      QuantileSketchAgg(Bridge.expression(col("value")), 1024, probs)
+        .toAggregateExpression())
+    val sk = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), agg.as("q"))
+      .select(col("event_type"), col("n_events"),
+        col("q")(0).as("e1"), col("q")(1).as("e2"),
+        col("q")(2).as("e3"), col("q")(3).as("e4"))
+    val eps = 0.03
+    val ranked = events.select(col("event_type"), col("value"))
+      .join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("e1"),
+        col("e2"), col("e3"), col("e4"))
+      .agg(
+        (sum(when(col("value") <= col("e1"), 1L).otherwise(0L)) /
+          col("n_events")).as("le1"),
+        (0 until 4).flatMap { i =>
+          val e = col(s"e${i + 1}")
+          val lt = Seq((sum(when(col("value") < e, 1L).otherwise(0L)) /
+            col("n_events")).as(s"lt${i + 1}"))
+          if (i == 0) lt
+          else lt :+ (sum(when(col("value") <= e, 1L).otherwise(0L)) /
+            col("n_events")).as(s"le${i + 1}")
+        }: _*)
+    ranked.select(
+      col("event_type") +: col("n_events") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          (col(s"le${i + 1}") >= p - eps &&
+            col(s"lt${i + 1}") <= p + eps)
+            .as(s"p${(p * 100).toInt}_ok")
+        }: _*)
+  }
 }
