@@ -499,6 +499,50 @@ object SparkEntry {
     "q337_quantile_sketch" -> ((s, dir) =>
       RelationalQueries.typeQuantileSketch(
         EventsQueries.events(s, dir))),
+    // Unicode NFC census (r17): the real normalizer vs DuckDB's own
+    // nfc_normalize — two independent UAX #15 implementations must
+    // agree on digest, length and composed-pair count.
+    "q338_nfc_normalize" -> ((s, dir) =>
+      operators.TextAnalysis.nfcNormalizeStats(documents(s, dir))),
+    // STREAMING quantile sketch (q337's incremental twin, r17): the
+    // SAME TypedImperativeAggregate runs as a streaming aggregation
+    // in complete mode — the binary MRL buffer IS the state
+    // Structured Streaming carries and merges across micro-batches;
+    // the rank-error bound holds for any merge tree, so wave
+    // boundaries cannot flip a boolean. Graded by the q337 oracle.
+    "q339_stream_quantiles" -> ((s, dir) => {
+      val ev = EventsQueries.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = graft.util.TempDirs.create("graft-sketch-q339")
+      val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
+      val bounds = ev.agg(min(col("event_id")).as("mn"),
+        max(col("event_id")).as("mx")).head()
+      val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+      val b1 = mn + (mx - mn) / 3; val b2 = mn + 2 * (mx - mn) / 3
+      val waves = Seq(col("event_id") <= b1,
+        col("event_id") > b1 && col("event_id") <= b2,
+        col("event_id") > b2)
+      val base = System.currentTimeMillis() - 60000L
+      waves.zipWithIndex.foreach { case (p, w) =>
+        val tmp = s"$wh/w$w"
+        ev.filter(p).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"wave$w%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(base + w * 2000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
+      s.catalog.dropTempView("graft_q339_sketch")
+      val q = RelationalQueries.sketchQuantiles(stream)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$wh/cp")
+        .format("memory").queryName("graft_q339_sketch").start()
+      try q.processAllAvailable() finally q.stop()
+      RelationalQueries.sketchRankChecked(
+        s.table("graft_q339_sketch"), ev)
+    }),
     // Coded WAV containers: mu-law 0x0007 and IMA 0x0011 (per-block
     // state headers + fact chunk) through the real RIFF walker —
     // the q54 container family composed with the q305/q306 codecs.
@@ -3388,10 +3432,41 @@ object SparkEntry {
         |       n_mixed AS n_mixed_words,
         |       n_mixed > 0 AS spoof_suspect
         |FROM agg""".stripMargin,
+    // The NFC rung (q338): the oracle synthesizes the identical
+    // decomposed salting (chr(769) = U+0301 acute, chr(768) =
+    // U+0300 grave) and runs DuckDB's OWN nfc_normalize — an
+    // independent UAX #15 implementation — over it.
+    "q338_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(range(len(w)), j ->
+        |      CASE WHEN (doc_id + j) % 7 = 0
+        |           THEN 'a' || chr(768) ELSE '' END
+        |      || w[j + 1] ||
+        |      CASE WHEN (doc_id + j) % 5 = 0
+        |           THEN 'e' || chr(769) ELSE '' END), ' ') AS salted
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       CAST(len(salted) AS BIGINT) AS n_before,
+        |       CAST(len(nfc_normalize(salted)) AS BIGINT) AS n_after,
+        |       CAST(len(salted) - len(nfc_normalize(salted))
+        |         AS BIGINT) AS n_composed,
+        |       md5(nfc_normalize(salted)) AS norm_md5
+        |FROM s""".stripMargin,
     // The sketch rung (q337): exact per-type counts beside
     // rank-error booleans (the estimates themselves are
     // merge-tree-dependent; the BOUND is not) — q40's discipline.
     "q337_quantile_sketch" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       TRUE AS p10_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+        |       TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the streaming twin must satisfy the SAME contract — q337's
+    // oracle verbatim (the q296/q310 equal-oracle discipline)
+    "q339_stream_quantiles" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |       TRUE AS p10_ok, TRUE AS p50_ok, TRUE AS p90_ok,
         |       TRUE AS p99_ok

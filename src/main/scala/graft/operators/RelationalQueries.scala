@@ -514,17 +514,33 @@ object RelationalQueries {
     * deterministic MRL bound at k=1024 with wide margin; the bound
     * holds for ANY merge tree, so task-finish order cannot flip a
     * boolean). */
-  def typeQuantileSketch(events: DataFrame): DataFrame = {
+  def typeQuantileSketch(events: DataFrame): DataFrame =
+    sketchRankChecked(sketchQuantiles(events), events)
+
+  /** The sketch aggregation alone: per event_type, exact count +
+    * the four quantile estimates (e1..e4 at [[SketchProbs]]). Works
+    * unchanged on a STREAMING frame (q339 twin — the binary sketch
+    * buffer is the aggregation state Structured Streaming carries
+    * across micro-batches). */
+  def sketchQuantiles(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, QuantileSketchAgg}
-    val probs = Seq(0.1, 0.5, 0.9, 0.99)
     val agg = Bridge.column(
-      QuantileSketchAgg(Bridge.expression(col("value")), 1024, probs)
-        .toAggregateExpression())
-    val sk = events.groupBy(col("event_type"))
+      QuantileSketchAgg(Bridge.expression(col("value")), 1024,
+        SketchProbs).toAggregateExpression())
+    events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), agg.as("q"))
       .select(col("event_type"), col("n_events"),
         col("q")(0).as("e1"), col("q")(1).as("e2"),
         col("q")(2).as("e3"), col("q")(3).as("e4"))
+  }
+
+  val SketchProbs: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)
+
+  /** Rank-check the estimates against the exact distribution (the
+    * q40 discipline): each estimate's true rank within p ± 3%. */
+  def sketchRankChecked(sk: DataFrame,
+      events: DataFrame): DataFrame = {
+    val probs = SketchProbs
     val eps = 0.03
     val ranked = events.select(col("event_type"), col("value"))
       .join(broadcast(sk), "event_type")

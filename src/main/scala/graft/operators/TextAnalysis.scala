@@ -2440,4 +2440,39 @@ object TextAnalysis {
         "n_common", "dominant_script", "n_mixed_words",
         "spoof_suspect")
   }
+
+  /** Graded Unicode NFC normalization census (q338, r17) — the
+    * canonicalization step every dedup/quality pipeline needs before
+    * hashing text (the same logical string can arrive composed
+    * U+00E9 or decomposed e+U+0301; unnormalized corpora hash-split
+    * identical documents). The ASCII corpus is salted with
+    * DETERMINISTIC decomposed sequences (word j of doc d gains a
+    * trailing e+COMBINING-ACUTE when (d+j)%5==0 and a leading
+    * a+COMBINING-GRAVE when (d+j)%7==0); the operator runs the REAL
+    * normalizer (java.text.Normalizer NFC) and the oracle runs
+    * DuckDB's OWN nfc_normalize over the identically-synthesized
+    * string — two independent UAX #15 implementations must agree on
+    * the digest, the post-NFC length, and the composed-pair count.
+    * Row-local, zero shuffle. */
+  def nfcNormalizeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ", -1)
+        val salted = words.zipWithIndex.map { case (w, j) =>
+          val suffix = // DECOMPOSED e + U+0301 (combining acute)
+            if ((id + j) % 5 == 0) "e\u0301" else ""
+          val prefix = // DECOMPOSED a + U+0300 (combining grave)
+            if ((id + j) % 7 == 0) "a\u0300" else ""
+          prefix + w + suffix
+        }.mkString(" ")
+        val norm = java.text.Normalizer.normalize(
+          salted, java.text.Normalizer.Form.NFC)
+        (id, salted.length.toLong, norm.length.toLong,
+          (salted.length - norm.length).toLong, norm)
+      }
+      .toDF("doc_id", "n_before", "n_after", "n_composed", "t")
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        col("n_composed"), md5(col("t")).as("norm_md5"))
+  }
 }
