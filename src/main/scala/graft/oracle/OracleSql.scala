@@ -587,8 +587,13 @@ FROM c WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= $thr"""
     * interpolated from the SAME Scala double Spark multiplies by. */
   def pageRank: String = {
     import graft.operators.Graph.{Damping, OneMinusDamping, PageRankIters}
+    // MATERIALIZED throughout (r17): edges/deg/n are referenced by
+    // EVERY unrolled iteration — un-materialized, DuckDB re-inlines
+    // the lineitem⋈orders DISTINCT once per reference (the q104
+    // mirror's 2^k lesson; at the sf1 rung this one timed out where
+    // q104's materialized twin passed in seconds)
     def iterCte(k: Int): String =
-      s"""r${k + 1} AS (
+      s"""r${k + 1} AS MATERIALIZED (
   SELECT e.dst AS node,
          $OneMinusDamping / n.n + $Damping * SUM(r$k.rank / dg.deg) AS rank
   FROM edges e
@@ -597,18 +602,18 @@ FROM c WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= $thr"""
   GROUP BY e.dst, n.n
 )"""
     val iters = (0 until PageRankIters).map(iterCte).mkString(", ")
-    s"""WITH co AS (
+    s"""WITH co AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT c * 2 AS src, s * 2 + 1 AS dst FROM co
   UNION ALL
   SELECT s * 2 + 1 AS src, c * 2 AS dst FROM co
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
-), n AS (
+), n AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT src AS node, 1.0 / n.n AS rank FROM deg, n
 ), $iters
 SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
