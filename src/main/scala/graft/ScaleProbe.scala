@@ -160,6 +160,25 @@ object ScaleProbe {
     time("sitemap_discovery")(Sitemap.sitemapDiscovery(docs))
     time("link_extract")(WebGraph.linkExtract(docs))
     time("anchor_index")(WebGraph.anchorIndex(docs))
+    // round-17 additions: the mid-density H.264 rung (the closed
+    // 4<=nC<8 column — per-row codec work like h264_dense), the
+    // MIME/GIF/FLAC/ZIP/TAR/TFRecord container+codec walks (all
+    // row-local synthesize→encode→walk→decode kernels — the rung
+    // checks per-row cost stays flat), script-mix and NFC (row-local
+    // char kernels), WordPiece (vocabulary-sized training — must
+    // stay ~FLAT in corpus size like BPE: the vocab barely grows
+    // under replication), and the sketch aggregation (one exchange
+    // of sketch BYTES — near-flat reduce cost)
+    time("h264_mid")(operators.Multimodal.h264MidDecodeStats(docs))
+    time("mime_parse")(operators.Mail.mimeParse(docs))
+    time("gif_decode")(operators.Multimodal.gifDecodeStats(docs))
+    time("flac_decode")(operators.Multimodal.flacDecodeStats(docs))
+    time("zip_walk")(operators.Multimodal.zipWalkStats(docs))
+    time("tar_walk")(operators.Multimodal.tarWalkStats(docs))
+    time("tfrecord_walk")(operators.Multimodal.tfrecordWalkStats(docs))
+    time("script_mix")(TextAnalysis.scriptMixProfile(docs))
+    time("nfc_normalize")(TextAnalysis.nfcNormalizeStats(docs))
+    time("wordpiece_train")(operators.WordPiece.mergeTable(spark, docs))
     time("global_index")(operators.GlobalIndex.docGlobalIndex(
       docs.withColumn("n_chars", length(col("text")).cast("long"))))
     // bloom join replicated with re-keyed orderkeys (join selectivity
@@ -202,6 +221,13 @@ object ScaleProbe {
       ev.persist(); ev.count()
       time("cohort_retention")(
         graft.operators.EventsQueries.cohortRetention(ev))
+      ev.persist(); ev.count()
+      // r17: sketch agg alone (no rank-check join — that re-scans
+      // the input by design and would measure the exact pass, not
+      // the sketch); per-type sketch bytes are the only exchange
+      time("quantile_sketch")(
+        graft.operators.RelationalQueries.sketchQuantiles(
+          ev.withColumn("event_id", col("user_id"))))
     }
     time("ann_ivf")(Similarity.ivfTopK(emb))
     // fixture banding (8-bit: constant ~2.3% random-pair collision →

@@ -504,6 +504,11 @@ object SparkEntry {
     // agree on digest, length and composed-pair count.
     "q338_nfc_normalize" -> ((s, dir) =>
       operators.TextAnalysis.nfcNormalizeStats(documents(s, dir))),
+    // TFRecord + tf.train.Example (r17): the trainer-side container
+    // — masked CRC-32C framing, protobuf wire walking, packed
+    // int64 features.
+    "q340_tfrecord_walk" -> ((s, dir) =>
+      operators.Multimodal.tfrecordWalkStats(documents(s, dir))),
     // STREAMING quantile sketch (q337's incremental twin, r17): the
     // SAME TypedImperativeAggregate runs as a streaming aggregation
     // in complete mode — the binary MRL buffer IS the state
@@ -3432,6 +3437,25 @@ object SparkEntry {
         |       n_mixed AS n_mixed_words,
         |       n_mixed > 0 AS spoof_suspect
         |FROM agg""".stripMargin,
+    // The TFRecord rung (q340): q335's slice arithmetic at
+    // 1 + doc_id % 3 records; token_sum = per-slice word count
+    // (split on ' ', empty-string convention shared by both
+    // engines) + char count.
+    "q340_tfrecord_walk" ->
+      """WITH s AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS n,
+        |    list_transform(range(CAST(1 + doc_id % 3 AS BIGINT)),
+        |      k -> substring(text, CAST(k * 37 + 1 AS BIGINT),
+        |                     CAST(100 + 13 * k AS BIGINT))) AS sl
+        |  FROM documents
+        |)
+        |SELECT doc_id, n AS n_records,
+        |       md5(list_reduce(sl, (a, b) -> a || b)) AS content_md5,
+        |       TRUE AS ids_ok,
+        |       CAST(COALESCE(list_sum(list_transform(sl, x ->
+        |         len(string_split(x, ' ')) + len(x))), 0) AS BIGINT)
+        |         AS token_sum
+        |FROM s""".stripMargin,
     // The NFC rung (q338): the oracle synthesizes the identical
     // decomposed salting (chr(769) = U+0301 acute, chr(768) =
     // U+0300 grave) and runs DuckDB's OWN nfc_normalize — an

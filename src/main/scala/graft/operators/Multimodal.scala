@@ -2015,6 +2015,54 @@ object Multimodal {
         col("names_ok"))
   }
 
+  /** Graded TFRecord walk (q340, r17) — the TRAINER-side container:
+    * per document a TFRecord file of 1 + doc_id % 3 tf.train.Example
+    * records (record r: "text" → the q335 slice r as a BytesList,
+    * "doc_id" → Int64List [id], "tokens" → PACKED Int64List
+    * [word count, char count]), framed with the published masked
+    * CRC-32C pair per record, walked and protobuf-decoded back.
+    * Both CRCs verify per record; the digest of the concatenated
+    * decoded text features must equal md5 of the oracle's own
+    * slices, and token_sum is exact split arithmetic. Row-local. */
+  def tfrecordWalkStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.io.TfRecord
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val n = 1 + (id % 3).toInt
+        val slices = (0 until n).map { k =>
+          val start = math.min(k * 37, text.length)
+          text.substring(start,
+            math.min(start + 100 + 13 * k, text.length))
+        }
+        val recs = slices.map { s =>
+          TfRecord.encodeExample(Seq(
+            "text" -> TfRecord.BytesFeature(s.getBytes("UTF-8")),
+            "doc_id" -> TfRecord.Int64Feature(Seq(id)),
+            "tokens" -> TfRecord.Int64Feature(Seq(
+              s.split(" ", -1).length.toLong, s.length.toLong))))
+        }
+        val decoded = TfRecord.readFile(TfRecord.writeFile(recs))
+          .map(TfRecord.decodeExample)
+        require(decoded.size == n, s"record census for doc $id")
+        val texts = decoded.map(_.collectFirst {
+          case ("text", TfRecord.BytesFeature(b)) =>
+            new String(b, "UTF-8")
+        }.get)
+        val idsOk = decoded.forall(_.collectFirst {
+          case ("doc_id", TfRecord.Int64Feature(vs)) => vs
+        }.get == Seq(id))
+        val tokenSum = decoded.map(_.collectFirst {
+          case ("tokens", TfRecord.Int64Feature(vs)) => vs.sum
+        }.get).sum
+        (id, n.toLong, texts.mkString, idsOk, tokenSum)
+      }
+      .toDF("doc_id", "n_records", "c", "ids_ok", "token_sum")
+      .select(col("doc_id"), col("n_records"),
+        md5(col("c")).as("content_md5"), col("ids_ok"),
+        col("token_sum"))
+  }
+
   /** Graded avc1-BOXED intra H.264 decode (q229) — the composition
     * q228's scaladoc scoped out, now closed: the per-frame IDR
     * slices ride a REAL ISO-BMFF 'avc1' track (SPS/PPS in the avcC
