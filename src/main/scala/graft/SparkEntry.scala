@@ -509,6 +509,14 @@ object SparkEntry {
     // int64 features.
     "q340_tfrecord_walk" -> ((s, dir) =>
       operators.Multimodal.tfrecordWalkStats(documents(s, dir))),
+    // Bencode/.torrent metainfo (r17): strict canonical bencode —
+    // sorted dict keys, no leading-zero integers — parsed back.
+    "q341_torrent_meta" -> ((s, dir) =>
+      operators.Bencode.torrentMeta(documents(s, dir))),
+    // robots META + X-Robots-Tag gate (r17): page-level indexing
+    // directives from BOTH channels, most-restrictive union.
+    "q342_robots_meta" -> ((s, dir) =>
+      operators.Robots.robotsMetaGate(documents(s, dir))),
     // STREAMING quantile sketch (q337's incremental twin, r17): the
     // SAME TypedImperativeAggregate runs as a streaming aggregation
     // in complete mode — the binary MRL buffer IS the state
@@ -3437,6 +3445,39 @@ object SparkEntry {
         |       n_mixed AS n_mixed_words,
         |       n_mixed > 0 AS spoof_suspect
         |FROM agg""".stripMargin,
+    // The torrent rung (q341): every field closed-form — pieces is
+    // ceil(n_chars/64) blocks of 20 arithmetic bytes, summed.
+    "q341_torrent_meta" ->
+      """SELECT doc_id,
+        |       'http://tracker' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '.example.com/announce' AS announce,
+        |       CAST(len(text) AS BIGINT) AS length,
+        |       'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |       64 AS piece_length,
+        |       (len(text) + 63) // 64 AS n_pieces,
+        |       CAST(COALESCE(list_sum(list_transform(
+        |         range((len(text) + 63) // 64), p ->
+        |           list_sum(list_transform(range(20), j ->
+        |             (doc_id * 7 + p * 13 + j) % 256)))), 0)
+        |         AS BIGINT) AS pieces_byte_sum
+        |FROM documents""".stripMargin,
+    // The robots-meta rung (q342): the meta channel by doc_id%4
+    // ({}, noindex, nofollow, both), the header channel by doc_id%3
+    // ({}, noarchive, noindex); union size subtracts the one
+    // possible overlap (noindex in both).
+    "q342_robots_meta" ->
+      """SELECT doc_id,
+        |       (CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2
+        |             ELSE 1 END)
+        |       + (CASE doc_id % 3 WHEN 0 THEN 0 ELSE 1 END)
+        |       - (CASE WHEN doc_id % 3 = 2
+        |               AND (doc_id % 4 = 1 OR doc_id % 4 = 3)
+        |               THEN 1 ELSE 0 END) AS n_directives,
+        |       NOT (doc_id % 4 IN (1, 3) OR doc_id % 3 = 2)
+        |         AS indexable,
+        |       NOT (doc_id % 4 IN (2, 3)) AS followable,
+        |       NOT (doc_id % 3 = 1) AS archivable
+        |FROM documents""".stripMargin,
     // The TFRecord rung (q340): q335's slice arithmetic at
     // 1 + doc_id % 3 records; token_sum = per-slice word count
     // (split on ' ', empty-string convention shared by both

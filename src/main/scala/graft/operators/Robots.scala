@@ -283,4 +283,67 @@ object Robots {
         coalesce(col("win.p"), lit("")).as("rule"),
         coalesce(col("win.a") === 1, lit(true)).as("allowed"))
   }
+
+  /** Graded robots-META / X-Robots-Tag indexability gate (q342,
+    * r17) — the PAGE-level robots layer robots.txt cannot express
+    * (RFC 9309 governs FETCHING; the meta tag and the X-Robots-Tag
+    * response header govern INDEXING). Per capture both channels
+    * are parsed — the HTTP header from the synthesized response
+    * head, the `<meta name="robots" content="...">` from the HTML —
+    * and combined under the documented MOST-RESTRICTIVE rule (a
+    * directive from either channel applies; Google's published
+    * combination semantics). The fixture varies which channel
+    * carries which directive so every combination row is exercised;
+    * headers/markup decide, never the arithmetic (a parser bug
+    * flips a boolean against the oracle's closed-form CASE).
+    * Row-local. */
+  def robotsMetaGate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // synthesis: meta channel by id%4, header channel by id%3
+        val metaContent = (id % 4) match {
+          case 0 => None
+          case 1 => Some("noindex")
+          case 2 => Some("nofollow")
+          case _ => Some("noindex, nofollow")
+        }
+        val headerTag = (id % 3) match {
+          case 0 => None
+          case 1 => Some("noarchive")
+          case _ => Some("noindex")
+        }
+        val metaTag = metaContent.map(c =>
+          s"""<meta name="robots" content="$c">""").getOrElse("")
+        val html = s"<!DOCTYPE html><html><head><title>d$id</title>" +
+          s"$metaTag</head><body><p>${text.take(80)}</p></body></html>"
+        val head = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html\r\n" +
+          headerTag.map(t => s"X-Robots-Tag: $t\r\n").getOrElse("") +
+          "Content-Length: " + html.length + "\r\n\r\n"
+        val response = head + html
+        // THE OPERATOR: parse both channels from the response bytes
+        val (headPart, body) = response.indexOf("\r\n\r\n") match {
+          case i if i >= 0 => (response.substring(0, i),
+            response.substring(i + 4))
+          case _ => sys.error("no header/body separator")
+        }
+        val headerDirs = headPart.split("\r\n")
+          .filter(_.toLowerCase.startsWith("x-robots-tag:"))
+          .flatMap(_.split(":", 2)(1).split(",").map(_.trim.toLowerCase))
+          .toSet
+        val MetaRe =
+          """(?i)<meta\s+name="robots"\s+content="([^"]*)"\s*/?>""".r
+        val metaDirs = MetaRe.findFirstMatchIn(body)
+          .map(_.group(1).split(",").map(_.trim.toLowerCase).toSet)
+          .getOrElse(Set.empty)
+        val dirs = headerDirs ++ metaDirs // most-restrictive union
+        (id, dirs.size.toLong,
+          !dirs.contains("noindex"),
+          !dirs.contains("nofollow"),
+          !dirs.contains("noarchive"))
+      }
+      .toDF("doc_id", "n_directives", "indexable", "followable",
+        "archivable")
+  }
 }
