@@ -3582,14 +3582,14 @@ object SparkEntry {
     // ceil(n/4096); md5_ok/lossless asserted literally TRUE.
     "q333_flac_decode" ->
       """WITH p AS (
-        |  SELECT doc_id, 5000 + (doc_id % 7) * 1000 AS n
+        |  SELECT doc_id, 2000 + (doc_id % 7) * 500 AS n
         |  FROM documents
         |)
         |SELECT doc_id, n AS n_samples,
         |       (n + 4095) // 4096 AS n_frames,
         |       CAST(list_sum(list_transform(range(n), i ->
-        |         CASE WHEN i < 1500 THEN (doc_id % 2000) - 1000
-        |              WHEN i < 3000 THEN (i - 1500) * 3 - 2250
+        |         CASE WHEN i < 700 THEN (doc_id % 2000) - 1000
+        |              WHEN i < 1400 THEN (i - 700) * 3 - 1050
         |                                 + (doc_id % 11)
         |              ELSE ((doc_id * 31 + i * 2654435761)
         |                    % 65536) - 32768

@@ -65,12 +65,16 @@ object Flac {
     private var cur = 0
     private var nbits = 0
     def writeBits(v: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        cur = (cur << 1) | ((v >>> i) & 1L).toInt
-        nbits += 1
+      // chunked: up to 8 bits per step (the bit-at-a-time loop was
+      // the q333 battery's hot path — ~6 ops/bit over 40M samples)
+      var rem = n
+      while (rem > 0) {
+        val take = math.min(8 - nbits, rem)
+        cur = (cur << take) |
+          ((v >>> (rem - take)) & ((1L << take) - 1)).toInt
+        nbits += take
+        rem -= take
         if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
-        i -= 1
       }
     }
     def writeUnary(q: Int): Unit = {
@@ -90,13 +94,16 @@ object Flac {
     def aligned: Boolean = bit == 0
     def readBits(n: Int): Long = {
       var v = 0L
-      var i = 0
-      while (i < n) {
+      var rem = n
+      while (rem > 0) {
         require(pos < bytes.length, "FLAC stream truncated")
-        v = (v << 1) | ((bytes(pos) >> (7 - bit)) & 1)
-        bit += 1
+        val avail = 8 - bit
+        val take = math.min(avail, rem)
+        val chunk = (bytes(pos) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        bit += take
+        rem -= take
         if (bit == 8) { bit = 0; pos += 1 }
-        i += 1
       }
       v
     }
@@ -149,15 +156,32 @@ object Flac {
   private def zigzag(r: Int): Long = ((r.toLong << 1) ^ (r >> 31)).toLong & 0xFFFFFFFFL
   private def unzig(u: Long): Int = (((u >>> 1) ^ -(u & 1))).toInt
 
+  private def riceBits(us: Array[Long], k: Int): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < us.length) { bits += (us(i) >>> k) + 1 + k; i += 1 }
+    bits
+  }
+
+  /** Best 4-bit Rice parameter: the optimum sits at ~log2(mean(u))
+    * (standard Rice estimator), so probe the estimate ±1 instead of
+    * all 15 — same deterministic choice rule (smallest coded size,
+    * lowest k on ties), 3 passes instead of 15 (the q333 battery's
+    * encoder hot path). */
   private def bestRiceK(us: Array[Long]): Int = {
-    var bestK = 0
-    var bestBits = Long.MaxValue
-    var k = 0
-    while (k < 15) {
-      var bits = 0L
-      var i = 0
-      while (i < us.length) { bits += (us(i) >>> k) + 1 + k; i += 1 }
-      if (bits < bestBits) { bestBits = bits; bestK = k }
+    if (us.isEmpty) return 0
+    var sum = 0L
+    var i = 0
+    while (i < us.length) { sum += us(i); i += 1 }
+    val mean = sum / us.length
+    var est = 0
+    while ((1L << (est + 1)) <= mean + 1 && est < 13) est += 1
+    var bestK = math.max(0, est - 1)
+    var bestBits = riceBits(us, bestK)
+    var k = bestK + 1
+    while (k <= math.min(14, est + 1)) {
+      val b = riceBits(us, k)
+      if (b < bestBits) { bestBits = b; bestK = k }
       k += 1
     }
     bestK
@@ -171,17 +195,21 @@ object Flac {
       w.writeBits(x(0).toLong & 0xFFFF, 16)
       return
     }
-    // candidate fixed orders: coded bits = warmup + rice
+    // candidate fixed orders: coded bits = warmup + rice; the
+    // winner's zigzag array is kept so the write pass never
+    // recomputes residuals
     var bestOrder = -1
     var bestK = 0
     var bestBits = 16L * x.length // verbatim cost
+    var bestUs: Array[Long] = null
     var o = 0
     while (o <= 4 && o < x.length) {
       val us = residuals(x, o).map(zigzag)
       val k = bestRiceK(us)
-      var bits = 16L * o + 2 + 4 + 4
-      us.foreach(u => bits += (u >>> k) + 1 + k)
-      if (bits < bestBits) { bestBits = bits; bestOrder = o; bestK = k }
+      val bits = 16L * o + 2 + 4 + 4 + riceBits(us, k)
+      if (bits < bestBits) {
+        bestBits = bits; bestOrder = o; bestK = k; bestUs = us
+      }
       o += 1
     }
     if (bestOrder < 0) { // verbatim wins
@@ -198,8 +226,7 @@ object Flac {
       w.writeBits(0, 2) // residual method: 4-bit Rice
       w.writeBits(0, 4) // partition order 0
       w.writeBits(bestK, 4)
-      residuals(x, bestOrder).foreach { r =>
-        val u = zigzag(r)
+      bestUs.foreach { u =>
         w.writeUnary((u >>> bestK).toInt)
         if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
       }

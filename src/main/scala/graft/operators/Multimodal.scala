@@ -1921,10 +1921,12 @@ object Multimodal {
     import graft.io.Flac
     docs.select(col("doc_id")).as[Long]
       .map { id =>
-        val n = 5000 + (id % 7).toInt * 1000
+        // 2000..5000 samples: ids with id%7 >= 5 span two frames
+        // (blocksize 4096), so the multi-frame path stays graded
+        val n = 2000 + (id % 7).toInt * 500
         val x = Array.tabulate(n) { i =>
-          if (i < 1500) (id % 2000).toInt - 1000
-          else if (i < 3000) (i - 1500) * 3 - 2250 + (id % 11).toInt
+          if (i < 700) (id % 2000).toInt - 1000
+          else if (i < 1400) (i - 700) * 3 - 1050 + (id % 11).toInt
           else ((id * 31 + i.toLong * 2654435761L) % 65536).toInt -
             32768
         }
