@@ -1001,4 +1001,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionSpec {
       "reconstruction funneled through one partition")
     assert(!plan.contains("CartesianProduct"), "no cartesian")
   }
+
+  test("r17 q337: the custom MRL sketch aggregate plans PARTIAL + " +
+      "FINAL around one hash exchange — map-side sketches build " +
+      "before the shuffle, so only sketch bytes cross it (the " +
+      "TypedImperativeAggregate contract this operator exists for)") {
+    spark.catalog.clearCache()
+    val sk = graft.operators.RelationalQueries.sketchQuantiles(
+      graft.operators.EventsQueries.events(spark, sf))
+    val plan = sk.queryExecution.executedPlan.toString
+    // ObjectHashAggregate carries the binary-buffer aggregate; the
+    // partial/final pair must surface with the exchange between
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch agg must plan as ObjectHashAggregate:\n$plan")
+    assert("quantile_sketch".r.findAllIn(plan).size >= 2,
+      "partial AND final sketch aggregation must both appear")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one exchange between partial and final")
+  }
+
+  test("r17 row-local codec queries keep a pruned scan and ZERO " +
+      "exchanges before their map kernels (q331 mail, q332 gif, " +
+      "q340 tfrecord): a shuffle here would mean the codec left " +
+      "the scan pipeline") {
+    for (name <- Seq("q331_mime_parse", "q332_gif_decode",
+        "q340_tfrecord_walk")) {
+      val df = q(name)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name shuffles")
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian")
+    }
+    // pruning: gif reads only doc_id; mail/tfrecord read doc_id+text
+    scans(q("q332_gif_decode")).foreach(s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id"),
+        s"gif scan reads ${s.requiredSchema.fieldNames.mkString(",")}"))
+    scans(q("q331_mime_parse")).foreach(s =>
+      assert(s.requiredSchema.fieldNames.toSet ==
+        Set("doc_id", "text")))
+  }
 }
