@@ -118,6 +118,55 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only attribution instruments (r17 optimization round): with
+    // SPARK_GRAFT_BENCH_DEBUG set, every micro-batch's progress line
+    // (batch id, rows, triggerExecution/addBatch/walCommit/
+    // stateStoreCommit ms) and every Spark job's wall+description go
+    // to stderr — the per-query seconds say WHICH query is slow,
+    // these say WHERE inside it (wave prep vs trigger loop vs
+    // per-iteration jobs). Never armed in the driver's run.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val d = p.durationMs
+            def ms(k: String) =
+              Option(d.get(k)).map(_.toString).getOrElse("-")
+            System.err.println(
+              s"[bench-debug] stream=${p.name} batch=${p.batchId} " +
+              s"rows=${p.numInputRows} trigger=${ms("triggerExecution")} " +
+              s"addBatch=${ms("addBatch")} getBatch=${ms("getBatch")} " +
+              s"latestOffset=${ms("latestOffset")} " +
+              s"queryPlanning=${ms("queryPlanning")} " +
+              s"walCommit=${ms("walCommit")} commitOffsets=${ms("commitOffsets")} " +
+              s"stateRows=${p.stateOperators.map(_.numRowsTotal).sum} " +
+              s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).sum}")
+          }
+        })
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(),
+              Option(j.properties)
+                .map(_.getProperty("spark.job.description", "")).getOrElse("")))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null) {
+              val sec = (System.nanoTime() - s._1) / 1e9
+              if (sec >= 0.05) System.err.println(
+                f"[bench-debug] job=${j.jobId} $sec%.2fs ${s._2.take(80)}")
+            }
+          }
+        })
+    }
     // Absorb one-time session warmup (parquet reader init, codegen
     // compiler, first shuffle, first window) OUTSIDE the measured
     // loop — otherwise the alphabetically-first query is billed ~5 s

@@ -548,10 +548,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q339_sketch")
-      val q = RelationalQueries.sketchQuantiles(stream)
-        .writeStream.outputMode("complete")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q339_sketch").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        RelationalQueries.sketchQuantiles(stream)
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q339_sketch").start()
+      }
       try q.processAllAvailable() finally q.stop()
       RelationalQueries.sketchRankChecked(
         s.table("graft_q339_sketch"), ev)
@@ -895,14 +897,17 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       Seq("graft_q105_flags", "graft_q105_pairs")
         .foreach(s.catalog.dropTempView(_))
-      val qf = streaming.StreamingFunnel.docFlags(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cpf")
-        .format("memory").queryName("graft_q105_flags").start()
-      val qp = streaming.StreamingDedup.nearDupPairs(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cpp")
-        .format("memory").queryName("graft_q105_pairs").start()
+      val (qf, qp) = graft.util.StreamScale
+        .withStatePartitions(s, s"$wh/in") {
+          (streaming.StreamingFunnel.docFlags(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$wh/cpf")
+            .format("memory").queryName("graft_q105_flags").start(),
+          streaming.StreamingDedup.nearDupPairs(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$wh/cpp")
+            .format("memory").queryName("graft_q105_pairs").start())
+        }
       try { qf.processAllAvailable(); qp.processAllAvailable() }
       finally { qf.stop(); qp.stop() }
       streaming.StreamingFunnel.finalizeCounts(
@@ -1004,9 +1009,11 @@ object SparkEntry {
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.sql("DROP TABLE IF EXISTS graft_knn_idx_q123")
-      val q = streaming.StreamingKnnGraph.maintain(stream,
-        "graft_knn_idx_q123", s"$wh/idx", s"$wh/edges", emb,
-        checkpoint = s"$wh/cp")
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingKnnGraph.maintain(stream,
+          "graft_knn_idx_q123", s"$wh/idx", s"$wh/edges", emb,
+          checkpoint = s"$wh/cp")
+      }
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$wh/edges")
         .select(col("src"), col("neighbor_id"), col("rank"),
@@ -1087,10 +1094,12 @@ object SparkEntry {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q118_scores")
-      val q = streaming.StreamingQuality.nbScore(stream, model)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q118_scores").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingQuality.nbScore(stream, model)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q118_scores").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q118_scores")
     }),
@@ -1159,10 +1168,12 @@ object SparkEntry {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q183_kept")
-      val q = streaming.StreamingDedup.paragraphFirstOccurrences(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q183_kept").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingDedup.paragraphFirstOccurrences(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q183_kept").start()
+      }
       try q.processAllAvailable() finally q.stop()
       Dedup.paragraphRebuild(Dedup.paragraphBase(docs),
         s.table("graft_q183_kept"))
@@ -1194,10 +1205,12 @@ object SparkEntry {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q191_claims")
-      val q = streaming.StreamingDedup.shingleFirstOccurrences(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q191_claims").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingDedup.shingleFirstOccurrences(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q191_claims").start()
+      }
       try q.processAllAvailable() finally q.stop()
       Dedup.noveltyRollup(Dedup.shingleHashes(docs),
         s.table("graft_q191_claims")
@@ -1331,10 +1344,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q143_dim")
-      val q = streaming.StreamingScd2.dimension(stream).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q143_dim").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingScd2.dimension(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q143_dim").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q143_dim")
     }),
@@ -1416,10 +1431,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q153_pairs")
-      val q = streaming.StreamingMarkov.transitions(stream).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q153_pairs").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingMarkov.transitions(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q153_pairs").start()
+      }
       try q.processAllAvailable() finally q.stop()
       operators.EventsQueries.markovMatrixFromPairs(
         s.table("graft_q153_pairs"))
@@ -1462,10 +1479,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q156_hours")
-      val q = streaming.StreamingCusum.monitor(stream, stats).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q156_hours").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingCusum.monitor(stream, stats).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q156_hours").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q156_hours")
     }),
@@ -1499,11 +1518,13 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q260_hours")
-      val q = streaming.StreamingPageHinkley.monitor(stream, stats)
-        .toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q260_hours").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingPageHinkley.monitor(stream, stats)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q260_hours").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q260_hours")
     }),
@@ -1566,10 +1587,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q162_serve")
-      val q = streaming.StreamingScd2.serveFetch(stream).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q162_serve").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingScd2.serveFetch(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q162_serve").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q162_serve")
     }),
@@ -1666,11 +1689,15 @@ object SparkEntry {
         s.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$wh/in"))
       s.catalog.dropTempView("graft_q187_pairs")
-      val q = streaming.StreamingIntervalJoin.clickPurchasePairs(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q187_pairs").start()
-      try q.processAllAvailable() finally q.stop()
+      // state partitions sized from the wave bytes, not the core
+      // count (StreamScale — the r17 stateCommit profile)
+      graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        val q = streaming.StreamingIntervalJoin.clickPurchasePairs(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q187_pairs").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_q187_pairs")
     }),
     // LEFT OUTER stream-stream join (q187's twin): unmatched clicks
@@ -1722,11 +1749,13 @@ object SparkEntry {
         s.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$wh/in"))
       s.catalog.dropTempView("graft_q196_pairs")
-      val q = streaming.StreamingIntervalJoin
-        .clickPurchasePairsOuter(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q196_pairs").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingIntervalJoin
+          .clickPurchasePairsOuter(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q196_pairs").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q196_pairs").filter(col("user_id") >= 0)
     }),
@@ -1968,10 +1997,12 @@ object SparkEntry {
       val stream = s.readStream.schema(snaps.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q272_revisit")
-      val q = streaming.StreamingRevisit.detect(stream).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q272_revisit").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingRevisit.detect(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q272_revisit").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q272_revisit")
     }),
@@ -2001,10 +2032,12 @@ object SparkEntry {
       val stream = s.readStream.schema(recs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q271_cdx")
-      val q = streaming.StreamingCdx.index(stream).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q271_cdx").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingCdx.index(stream).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q271_cdx").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_q271_cdx")
     }),
@@ -2264,14 +2297,20 @@ object SparkEntry {
       Seq("graft_q246_flags", "graft_q246_pairs")
         .foreach(s.catalog.dropTempView(_))
       val hitsDir = s"$wh/hits"
-      val qf = streaming.StreamingFunnel.docFlags(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cpf")
-        .format("memory").queryName("graft_q246_flags").start()
-      val qp = streaming.StreamingDedup.nearDupPairs(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cpp")
-        .format("memory").queryName("graft_q246_pairs").start()
+      // qf/qp are stateful (state-store commits dominate) — sized by
+      // StreamScale; qh's per-batch work is a real batch join job, so
+      // it keeps the session's batch partitioning
+      val (qf, qp) = graft.util.StreamScale
+        .withStatePartitions(s, s"$wh/in") {
+          (streaming.StreamingFunnel.docFlags(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$wh/cpf")
+            .format("memory").queryName("graft_q246_flags").start(),
+          streaming.StreamingDedup.nearDupPairs(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$wh/cpp")
+            .format("memory").queryName("graft_q246_pairs").start())
+        }
       val qh = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           streaming.StreamingFunnel.decontamScreen(batch, benchFps, emb)
@@ -2379,10 +2418,12 @@ object SparkEntry {
       val stream = s.readStream.schema(waveFrames.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q222_kept")
-      val q = streaming.StreamingDedup.paragraphCanonicalDeferred(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q222_kept").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingDedup.paragraphCanonicalDeferred(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q222_kept").start()
+      }
       try q.processAllAvailable() finally q.stop()
       Dedup.paragraphRebuild(Dedup.paragraphBase(docs),
         s.table("graft_q222_kept").filter(col("doc_id") >= 0))
@@ -2463,10 +2504,12 @@ object SparkEntry {
       val stream = s.readStream.schema(cols.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       val m = new streaming.StreamingSchedule.EpochPlanMaintainer(s)
-      val q = operators.Sampling.sourceTokenCounts(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(m.update _)
-        .option("checkpointLocation", s"$wh/cp").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        operators.Sampling.sourceTokenCounts(stream)
+          .writeStream.outputMode("update")
+          .foreachBatch(m.update _)
+          .option("checkpointLocation", s"$wh/cp").start()
+      }
       try q.processAllAvailable() finally q.stop()
       m.currentPlan()
     }),
@@ -2544,10 +2587,12 @@ object SparkEntry {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       s.catalog.dropTempView("graft_q206_cuts")
-      val q = streaming.StreamingDedup.paragraphBoilerplateCuts(stream)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$wh/cp")
-        .format("memory").queryName("graft_q206_cuts").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingDedup.paragraphBoilerplateCuts(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$wh/cp")
+          .format("memory").queryName("graft_q206_cuts").start()
+      }
       try q.processAllAvailable() finally q.stop()
       val paras = Dedup.paragraphHashes(Dedup.paragraphBase(docs))
       val kept = paras
@@ -2649,11 +2694,13 @@ object SparkEntry {
       val stream = s.readStream.schema(
           "doc_id BIGINT, op STRING, new_text STRING")
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Pipeline.mergeApplyTable(s, tableDir, batch)
-        }
-        .option("checkpointLocation", s"$wh/cp").start()
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Pipeline.mergeApplyTable(s, tableDir, batch)
+          }
+          .option("checkpointLocation", s"$wh/cp").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(tableDir).select(col("doc_id"),
         col("bucket").cast("long").as("bucket"), col("text"))
