@@ -243,7 +243,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -536,7 +536,7 @@ object SparkEntry {
         col("event_id") > b1 && col("event_id") <= b2,
         col("event_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -884,7 +884,7 @@ object SparkEntry {
       // order (the source sorts by modification time) — arrival order
       // IS the parity contract, so it must not hang on write timing
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -996,7 +996,7 @@ object SparkEntry {
         .create("graft-knn-q123")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val base = System.currentTimeMillis() - 60000L
-      (0 until 3).foreach { w =>
+      graft.util.Par.foreach(0 until 3) { w =>
         val tmp = s"$wh/w$w"
         emb.filter(col("vec_id") % 3 === w).coalesce(1)
           .write.parquet(tmp)
@@ -1082,7 +1082,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1156,7 +1156,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1193,7 +1193,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1332,7 +1332,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= b1,
         col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1419,7 +1419,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= b1,
         col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1467,7 +1467,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= b1,
         col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1506,7 +1506,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= b1,
         col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1575,7 +1575,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= b1,
         col("ts_ms") > b1 && col("ts_ms") <= b2, col("ts_ms") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1675,7 +1675,7 @@ object SparkEntry {
       val waves = Seq(col("ts_ms") <= t1,
         col("ts_ms") > t1 && col("ts_ms") <= t2, col("ts_ms") > t2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).select(raw.columns.map(col).toIndexedSeq: _*)
           .coalesce(1).write.parquet(tmp)
@@ -1736,7 +1736,7 @@ object SparkEntry {
         ev.filter(col("ts_ms") > t2)).map(
           _.select(raw.columns.map(col).toIndexedSeq: _*)) :+ flush
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (w, i) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (w, i) =>
         val tmp = s"$wh/w$i"
         w.coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -1985,7 +1985,7 @@ object SparkEntry {
       val wh = graft.util.TempDirs.create("graft-revisit-q272")
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val base = System.currentTimeMillis() - 60000L
-      Seq(0, 1).foreach { w =>
+      graft.util.Par.foreach(Seq(0, 1)) { w =>
         val tmp = s"$wh/w$w"
         snaps.filter(col("run") === w).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2020,7 +2020,7 @@ object SparkEntry {
       val waves = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         recs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2058,7 +2058,7 @@ object SparkEntry {
       val waves = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         recs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2092,7 +2092,7 @@ object SparkEntry {
       val waves = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2283,7 +2283,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2406,7 +2406,7 @@ object SparkEntry {
         Seq(row).toDF("doc_id", "text", "ts")
           .select(col("doc_id"), col("text"), col("ts"))
       }
-      waveFrames.zipWithIndex.foreach { case (df, w) =>
+      graft.util.Par.foreach(waveFrames.zipWithIndex) { case (df, w) =>
         val tmp = s"$wh/w$w"
         df.coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2492,7 +2492,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         cols.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2575,7 +2575,7 @@ object SparkEntry {
         col("doc_id") > b1 && col("doc_id") <= b2,
         col("doc_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         docs.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2646,7 +2646,7 @@ object SparkEntry {
         col("event_id") > b1 && col("event_id") <= b2,
         col("event_id") > b2)
       val base = System.currentTimeMillis() - 60000L
-      waves.zipWithIndex.foreach { case (p, w) =>
+      graft.util.Par.foreach(waves.zipWithIndex) { case (p, w) =>
         val tmp = s"$wh/w$w"
         ev.filter(p).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2682,7 +2682,7 @@ object SparkEntry {
       val cdc = Pipeline.cdcFromDiff(docs)
       val inDir = new java.io.File(s"$wh/in"); inDir.mkdirs()
       val base = System.currentTimeMillis() - 60000L
-      (0 until 3).foreach { w =>
+      graft.util.Par.foreach(0 until 3) { w =>
         val tmp = s"$wh/w$w"
         cdc.filter(col("doc_id") % 3 === w).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -2725,7 +2725,7 @@ object SparkEntry {
       val base = System.currentTimeMillis() - 60000L
       def waves(inDir: String, cdc: DataFrame): Unit = {
         val in = new java.io.File(inDir); in.mkdirs()
-        (0 until 2).foreach { w =>
+        graft.util.Par.foreach(0 until 2) { w =>
           val tmp = s"$inDir-w$w"
           cdc.filter(col("doc_id") % 2 === w).coalesce(1)
             .write.parquet(tmp)
