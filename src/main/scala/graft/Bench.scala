@@ -413,16 +413,16 @@ object Bench {
     }
     if (failed > 0) System.err.println(s"[bench] $failed queries failed")
     spark.stop()
-    // FINAL stdout line = the driver-parsed artifact. It is a BOUNDED
-    // summary (~220 chars, independent of query count): the driver keeps
-    // only the last 2000 chars of output, so the line must never grow with
-    // the query battery. The two reference-baseline headline queries
-    // (BASELINE.md B1/B2) ride along as the fixed-size `queries` map; the
-    // full per-query map is in BENCH_DETAIL.json (tracked, committed).
-    def head(k: String) = results.find(_._1 == k).map(_._2).getOrElse(-1.0)
-    val headline = Seq("q1_pickup_hotspots", "q2_airport_durations")
-      .filter(k => results.exists(_._1 == k))
-      .map(k => "\"" + k + "\":" + num3(head(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","n":${results.size},"failed":$failed,"breaches":${breaches.size},"sf":"$sfDir","queries":$headline,"detail":"BENCH_DETAIL.json"}""")
+    // FINAL stdout line = the driver-parsed artifact, carrying the FULL
+    // per-query map (r17 verdict item 2: the 2-entry headline map left
+    // the driver's regression and scaling analysis blind — PERF could
+    // compare only 2 of 343 queries). ~9 KB for 343 entries; the r1-r10
+    // parsed:null failures were the sbt "[info] " prefix (fixed by
+    // run/outputStrategy), not line length. Host context, gate ratios,
+    // breaches and the A/B block stay in BENCH_DETAIL.json (tracked).
+    val qline = results.map { case (k, v, _, _, _) =>
+      "\"" + k + "\":" + num3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","n":${results.size},"failed":$failed,"breaches":${breaches.size},"sf":"$sfDir","queries":$qline,"detail":"BENCH_DETAIL.json"}""")
   }
 }

@@ -51,20 +51,32 @@ object StreamScale {
   /** State-partition count for a streaming query fed from `inputDir`:
     * explicit conf override if set, else ceil(bytes/64 MB) clamped to
     * [MinPartitions, current session shuffle partitions]. */
+  /** Parse an override value: must be a positive int (clamped to
+    * >= 1); anything unparseable fails loudly with the source named
+    * rather than surfacing later as an invalid shuffle-partitions
+    * setting at stream start. */
+  private def parseOverride(src: String, v: String): Int =
+    try math.max(v.trim.toInt, 1)
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$src must be a positive integer, got '$v'")
+    }
+
   def statePartitions(spark: SparkSession, inputDir: String): Int = {
     val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // dev-only A/B override (mirrors SPARK_GRAFT_EXTENSIONS=off):
-    // unset in the driver's run
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").foreach { v =>
-      return v.toInt
-    }
-    spark.conf.getOption("spark.graft.stream.statePartitions") match {
-      case Some(v) => v.toInt
-      case None =>
+    // env override is dev-only A/B (mirrors SPARK_GRAFT_EXTENSIONS=off;
+    // unset in the driver's run); the conf override is the ops knob.
+    // Expression-shaped (no return-inside-lambda, which compiles to a
+    // fragile NonLocalReturnControl throw).
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .map(parseOverride("SPARK_GRAFT_STREAM_PARTITIONS", _))
+      .orElse(spark.conf.getOption("spark.graft.stream.statePartitions")
+        .map(parseOverride("spark.graft.stream.statePartitions", _)))
+      .getOrElse {
         val want = math.ceil(
           dirBytes(inputDir).toDouble / BytesPerPartition).toInt
         math.min(math.max(want, MinPartitions), math.max(cur, 1))
-    }
+      }
   }
 
   /** Run `f` (which must START the streaming queries — a stream

@@ -28,6 +28,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkSessionSpec {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(n > 0, s"$name returned 0 rows at sf0.001")
+      // a harness that leaks a running stream poisons every later
+      // query sharing the session (r17 driver run died mid-loop with
+      // "SparkContext has been shutdown"); catch the leak AT the
+      // offending query, not three suites later
+      assert(spark.streams.active.isEmpty,
+        s"$name leaked ${spark.streams.active.length} active stream(s)")
     }
   }
 }
