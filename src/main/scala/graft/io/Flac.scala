@@ -23,19 +23,52 @@ object Flac {
   val BlockSize = 4096
 
   // ---- CRCs (FLAC polynomials) ----------------------------------
+  // Table-driven (one 256-entry table per polynomial, the standard
+  // byte-at-a-time construction): every frame's bytes are CRC'd on
+  // encode AND re-checked on decode, so the former 8-steps-per-byte
+  // inner loop was ~16 shift/xor ops per corpus byte on the q333
+  // battery path. Same polynomials, same init, bit-identical CRCs.
 
-  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0. */
-  def crc8(bytes: Array[Byte], len: Int): Int = {
-    var crc = 0
-    var i = 0
-    while (i < len) {
-      crc ^= bytes(i) & 0xFF
+  private val Crc8Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var crc = n
       var b = 0
       while (b < 8) {
         crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF
               else (crc << 1) & 0xFF
         b += 1
       }
+      t(n) = crc
+      n += 1
+    }
+    t
+  }
+
+  private val Crc16Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var crc = n << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        b += 1
+      }
+      t(n) = crc
+      n += 1
+    }
+    t
+  }
+
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0. */
+  def crc8(bytes: Array[Byte], len: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      crc = Crc8Table(crc ^ (bytes(i) & 0xFF))
       i += 1
     }
     crc
@@ -46,13 +79,8 @@ object Flac {
     var crc = 0
     var i = 0
     while (i < len) {
-      crc ^= (bytes(i) & 0xFF) << 8
-      var b = 0
-      while (b < 8) {
-        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
-              else (crc << 1) & 0xFFFF
-        b += 1
-      }
+      crc = (Crc16Table(((crc >> 8) ^ (bytes(i) & 0xFF)) & 0xFF) ^
+        (crc << 8)) & 0xFFFF
       i += 1
     }
     crc
@@ -116,6 +144,23 @@ object Flac {
       q
     }
     def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+  }
+
+  /** The decoded audio as little-endian 16-bit bytes — the exact
+    * byte stream STREAMINFO's MD5 is defined over. One bulk array
+    * per call: the former two single-byte MessageDigest.update calls
+    * PER SAMPLE (4 per sample across encode+decode) were the q333
+    * battery's top allocation-free hot path. */
+  private def samplesLe(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      out(i * 2) = (s & 0xFF).toByte
+      out(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
   }
 
   // ---- fixed predictors -----------------------------------------
@@ -275,9 +320,7 @@ object Flac {
     si.writeBits(15, 5) // bps - 1
     si.writeBits(samples.length.toLong, 36)
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    samples.foreach { s =>
-      md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte)
-    }
+    md5.update(samplesLe(samples))
     val siBytes = si.toBytes
     out.write(0x80) // last metadata block, type STREAMINFO
     out.write(0); out.write(0); out.write(34)
@@ -404,9 +447,7 @@ object Flac {
       nFrames += 1
     }
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    samples.foreach { s =>
-      md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte)
-    }
+    md5.update(samplesLe(samples))
     FlacAudio(samples, nFrames,
       java.util.Arrays.equals(md5.digest(), wantMd5), rate)
   }

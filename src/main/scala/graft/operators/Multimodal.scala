@@ -752,19 +752,18 @@ object Multimodal {
   def encodeJpeg(img: PpmImage, quality: Float = 0.9f): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(
       img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.height) {
-      var x = 0
-      while (x < img.width) {
-        val i = 3 * (y * img.width + x)
-        bi.setRGB(x, y,
-          ((img.pixels(i) & 0xff) << 16) |
-            ((img.pixels(i + 1) & 0xff) << 8) |
-            (img.pixels(i + 2) & 0xff))
-        x += 1
-      }
-      y += 1
+    // ONE bulk setRGB: the per-pixel call pays color-model dispatch
+    // per pixel (the q182/q68 encode hot path); same packed values
+    val n = img.width * img.height
+    val rgbs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      rgbs(i) = ((img.pixels(3 * i) & 0xff) << 16) |
+        ((img.pixels(3 * i + 1) & 0xff) << 8) |
+        (img.pixels(3 * i + 2) & 0xff)
+      i += 1
     }
+    bi.setRGB(0, 0, img.width, img.height, rgbs, 0, img.width)
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpg").next()
     val param = writer.getDefaultWriteParam
@@ -786,18 +785,15 @@ object Multimodal {
     if (bi == null) return None
     val (w, h) = (bi.getWidth, bi.getHeight)
     val px = new Array[Byte](3 * w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = bi.getRGB(x, y)
-        val i = 3 * (y * w + x)
-        px(i) = ((rgb >> 16) & 0xff).toByte
-        px(i + 1) = ((rgb >> 8) & 0xff).toByte
-        px(i + 2) = (rgb & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    // ONE bulk getRGB (the setRGB note above, decode side)
+    val rgbs = bi.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < rgbs.length) {
+      val rgb = rgbs(i)
+      px(3 * i) = ((rgb >> 16) & 0xff).toByte
+      px(3 * i + 1) = ((rgb >> 8) & 0xff).toByte
+      px(3 * i + 2) = (rgb & 0xff).toByte
+      i += 1
     }
     Some(PpmImage(w, h, px))
   }
@@ -1932,8 +1928,12 @@ object Multimodal {
         }
         val dec = Flac.decode(Flac.encode(x))
         require(dec.samples.length == n, s"length mismatch doc $id")
-        (id, n.toLong, dec.nFrames.toLong,
-          dec.samples.map(_.toLong).sum,
+        var sampleSum = 0L
+        var si = 0
+        while (si < dec.samples.length) {
+          sampleSum += dec.samples(si); si += 1
+        }
+        (id, n.toLong, dec.nFrames.toLong, sampleSum,
           dec.sampleRate.toLong, dec.md5Ok,
           dec.samples.sameElements(x))
       }

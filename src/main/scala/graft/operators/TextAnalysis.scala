@@ -672,12 +672,16 @@ object TextAnalysis {
     // cycling lengths 4/7/3/9/5 (cycle width 28; sentence ends at
     // cycle offsets 4/11/14/23/28 and at the document end) with
     // cycling . ! ? terminators — all index arithmetic, no fold
+    // `w` materialized once per row in its own projection (the q268/
+    // simhashDocs CollapseProject discipline) — the previous spelling
+    // re-split the text inside the transform lambda, O(words²) chars
+    // per document
     val fixture = expr(
-      """array_join(transform(sequence(1, size(split(text, ' '))),
+      """array_join(transform(sequence(1, size(w)),
         |  i -> concat(
-        |    element_at(split(text, ' '), i),
+        |    element_at(w, i),
         |    IF((i - 1) % 28 + 1 IN (4, 11, 14, 23, 28)
-        |         OR i = size(split(text, ' ')),
+        |         OR i = size(w),
         |      element_at(array('.', '!', '?'),
         |        CAST(((i - 1) DIV 28) * 5 +
         |          CASE WHEN (i - 1) % 28 + 1 <= 4 THEN 0
@@ -687,6 +691,7 @@ object TextAnalysis {
         |               ELSE 4 END AS INT) % 3 + 1),
         |      ''))), ' ')""".stripMargin)
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), fixture.as("punct"))
       .select(col("doc_id"),
         posexplode(split(
@@ -780,13 +785,20 @@ object TextAnalysis {
     // INVALID_ARRAY_INDEX — the same pitfall Warc.recrawlSchedule
     // pins; an explicit empty array keeps explode dropping the row,
     // matching the oracle's range(1, len) semantics
-    val bg = docs.select(col("doc_id"),
-      explode(expr(
-        """case when size(split(text, ' ')) >= 2 then
-          |  transform(sequence(1, size(split(text, ' ')) - 1),
-          |    i -> concat(element_at(split(text, ' '), i), ' ',
-          |                element_at(split(text, ' '), i + 1)))
-          |else array() end""".stripMargin)).as("phrase"))
+    // the word array is materialized ONCE per row in its own
+    // projection (the simhashDocs CollapseProject discipline): the
+    // previous spelling re-evaluated split(text) inside the transform
+    // lambda — element_at(split(..), i) per element, O(words²) chars
+    // re-scanned per document (guide §1.2 "per-task work")
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          """case when size(w) >= 2 then
+            |  transform(sequence(1, size(w) - 1),
+            |    i -> concat(element_at(w, i), ' ',
+            |                element_at(w, i + 1)))
+            |else array() end""".stripMargin)).as("phrase"))
     val top = globalTopK(
       bg.groupBy(col("phrase")).agg(count(lit(1)).as("cnt")),
       Seq("cnt" -> false, "phrase" -> true), PhraseTopK)
