@@ -22,6 +22,16 @@ object SparkEntry {
   private def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
+  /** Iteration-loop scope: declares the named input tables' bytes so
+    * the fixed-point kernels size their ROUND-loop shuffle partitions
+    * from data, not the session's core-count default
+    * (graft.util.BatchScale — the StreamScale §2.2 rule; the kernels
+    * scope exactly their loops, builds keep full parallelism). */
+  private def iterScoped[T](s: SparkSession, dir: String,
+      tables: String*)(f: => T): T =
+    graft.util.BatchScale.withInputScope(s,
+      tables.map(t => s"$dir/$t.parquet"))(f)
+
   /** Shared Q1/Q2 prefix: synthetic trip events (SURVEY.md §1.2 wire
     * schema) filtered to valid NYC trips (operators F1/F2/F3). */
   private def nycTrips(s: SparkSession, dir: String): DataFrame =
@@ -921,9 +931,14 @@ object SparkEntry {
     "q104_host_quality" -> ((s, dir) => {
       val cp = graft.util.TempDirs
         .create("graft-pr-q104")
-      operators.Graph.hostQualityWeights(documents(s, dir),
-        lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet"),
-        checkpointDir = Some(cp))
+      // iteration-loop shuffle partitions derived from the graph
+      // inputs' bytes, not the core count (BatchScale — the
+      // StreamScale rule applied to the batch fixed-point kernels)
+      iterScoped(s, dir, "lineitem", "orders") {
+        operators.Graph.hostQualityWeights(documents(s, dir),
+          lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet"),
+          checkpointDir = Some(cp))
+      }
     }),
     // The DISTRIBUTED k-means codebook graded directly: corpus→cell
     // assignment under centroids trained with zero driver-side
@@ -1032,7 +1047,9 @@ object SparkEntry {
     // graph — hops*beam*k edge lookups per query, corpus-size-
     // independent once the graph exists.
     "q124_graph_search" -> ((s, dir) =>
-      Similarity.graphSearchTopK(Similarity.embeddings(s, dir))),
+      iterScoped(s, dir, "embeddings") {
+        Similarity.graphSearchTopK(Similarity.embeddings(s, dir))
+      }),
     // Binary sign embeddings: 32x-compressed Hamming scan (one
     // xor+popcount per comparison), exact cosine re-rank of the pool
     // — the codebook-free end of the compression ladder.
@@ -1277,13 +1294,15 @@ object SparkEntry {
     // k-core of the mutual k-NN graph: iterative peel (checkpointed
     // per round), surviving nodes with within-core degree.
     "q141_kcore" -> ((s, dir) =>
-      operators.Graph.kCore(Similarity.knnGraph(
-        Similarity.embeddings(s, dir)))),
+      iterScoped(s, dir, "embeddings") {
+        operators.Graph.kCore(Similarity.knnGraph(
+          Similarity.embeddings(s, dir)))
+      }),
     // Synchronous label propagation over the mutual k-NN graph: the
     // majority-vote community detector (min-label tie-break, fixed
     // rounds) — splits components along sparse cuts where CC keeps
     // them whole.
-    "q189_label_prop" -> ((s, dir) => {
+    "q189_label_prop" -> ((s, dir) => iterScoped(s, dir, "embeddings") {
       val emb = Similarity.embeddings(s, dir)
       operators.Graph.labelPropagation(Similarity.knnGraph(emb),
         emb.select(col("vec_id").as("node_id")))
@@ -1296,14 +1315,14 @@ object SparkEntry {
     // SYMMETRIC co-purchase graph: restart + dangling mass return to
     // the seeds — rank measures seed proximity, and a seedless
     // component scores exactly 0 (spec-pinned).
-    "q195_ppr" -> ((s, dir) => {
+    "q195_ppr" -> ((s, dir) => iterScoped(s, dir, "lineitem", "orders") {
       val e = operators.Graph.directedEdges(lineitem(s, dir),
         s.read.parquet(s"$dir/orders.parquet"))
       operators.Graph.personalizedPageRank(
         e.unionByName(e.select(col("dst").as("src"),
           col("src").as("dst"))))
     }),
-    "q194_modularity" -> ((s, dir) => {
+    "q194_modularity" -> ((s, dir) => iterScoped(s, dir, "embeddings") {
       val emb = Similarity.embeddings(s, dir)
       operators.Graph.modularity(Similarity.knnGraph(emb),
         emb.select(col("vec_id").as("node_id")))
@@ -1357,8 +1376,10 @@ object SparkEntry {
     // unnormalized integer iterations — exact BIGINT scores, no
     // rounding needed in the compare.
     "q144_hits" -> ((s, dir) =>
-      operators.Graph.hits(operators.Graph.directedEdges(
-        lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet")))),
+      iterScoped(s, dir, "lineitem", "orders") {
+        operators.Graph.hits(operators.Graph.directedEdges(
+          lineitem(s, dir), s.read.parquet(s"$dir/orders.parquet")))
+      }),
     // Two-proportion chi-square conversion test: exact integer 2x2
     // cells, fixed-order (O-E)^2/E statistic, shared critical-value
     // literal.
@@ -1652,11 +1673,15 @@ object SparkEntry {
     // layer with its own kNN+spoke edges, walk there first, then
     // descend — the upper beam seeds the base walk.
     "q186_layered_search" -> ((s, dir) =>
-      Similarity.layeredGraphSearchTopK(Similarity.embeddings(s, dir))),
+      iterScoped(s, dir, "embeddings") {
+        Similarity.layeredGraphSearchTopK(Similarity.embeddings(s, dir))
+      }),
     // THREE-level layered serving: stride^2 top layer, stride middle,
     // full base — two descends; proves q186's levels compose.
     "q225_layered3_search" -> ((s, dir) =>
-      Similarity.layeredGraphSearchTopK3(Similarity.embeddings(s, dir))),
+      iterScoped(s, dir, "embeddings") {
+        Similarity.layeredGraphSearchTopK3(Similarity.embeddings(s, dir))
+      }),
     // STREAM-STREAM watermarked interval join (the two-unbounded-
     // inputs join Structured Streaming exists for): clicks ⋈
     // purchases on user within the 24 h attribution horizon, state
@@ -1690,14 +1715,17 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(s"$wh/in"))
       s.catalog.dropTempView("graft_q187_pairs")
       // state partitions sized from the wave bytes, not the core
-      // count (StreamScale — the r17 stateCommit profile)
-      graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
-        val q = streaming.StreamingIntervalJoin.clickPurchasePairs(stream)
+      // count (StreamScale — the r17 stateCommit profile); the block
+      // wraps ONLY start() like every other harness (a stream clones
+      // the session conf at start) so the trigger loop runs with the
+      // session's batch setting restored
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        streaming.StreamingIntervalJoin.clickPurchasePairs(stream)
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$wh/cp")
           .format("memory").queryName("graft_q187_pairs").start()
-        try q.processAllAvailable() finally q.stop()
       }
+      try q.processAllAvailable() finally q.stop()
       s.table("graft_q187_pairs")
     }),
     // LEFT OUTER stream-stream join (q187's twin): unmatched clicks
@@ -2540,7 +2568,9 @@ object SparkEntry {
     // NN-descent round: hashed random init graph refined by one
     // neighbors-of-neighbors pass — LSH-free kNN-graph construction.
     "q201_nn_descent" -> ((s, dir) =>
-      Similarity.nnDescentGraph(Similarity.embeddings(s, dir))),
+      iterScoped(s, dir, "embeddings") {
+        Similarity.nnDescentGraph(Similarity.embeddings(s, dir))
+      }),
     // Adamic-Adar link prediction: 2-hop non-edges scored by
     // 1/ln(deg) over common neighbors — the banded graph's recall
     // patch.

@@ -222,6 +222,10 @@ object Graph {
       var prevChk: DataFrame = null
       var iter = 0
       var converged = false
+      // round loop under the harness-declared loop-partition scope
+      // (BatchScale: the |V|-row rank vector is kilobytes at bench
+      // scale; builds above keep the session's parallelism)
+      graft.util.BatchScale.withLoopPartitions(edges0.sparkSession) {
       while (iter < iters && !converged) {
         // Dₖ as an eager one-row scalar (the BPE-argmax driver
         // contract): the job that computes it is ALSO the round's
@@ -290,6 +294,7 @@ object Graph {
         onRound(iter, delta)
         ranks = next
       }
+      } // withLoopPartitions
       // checkpointed frames must NOT go in the handle — unpersisting a
       // localCheckpoint destroys truncated-lineage data, and reliable
       // checkpoint files are reclaimed with the checkpoint dir
@@ -519,6 +524,8 @@ object Graph {
     var h = nodes.select(col("node"), lit(1L).as("hub"))
     var a = nodes.select(col("node"), lit(0L).as("auth"))
     var i = 0
+    // round loop under the harness loop-partition scope (BatchScale)
+    graft.util.BatchScale.withLoopPartitions(edges0.sparkSession) {
     while (i < iters) {
       val hs = h.select(col("node").as("src"), col("hub"))
       a = nodes.join(
@@ -538,6 +545,7 @@ object Graph {
         .localCheckpoint()
       i += 1
     }
+    } // withLoopPartitions
     h.join(a, "node").select(col("node"), col("hub"), col("auth"))
   }
 
@@ -664,6 +672,8 @@ object Graph {
       .localCheckpoint()
     var labels = nodes.select(col("node_id"),
       col("node_id").as("label"))
+    // round loop under the harness loop-partition scope (BatchScale)
+    graft.util.BatchScale.withLoopPartitions(knnEdges.sparkSession) {
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labels.withColumnRenamed("node_id", "nbr"), "nbr")
@@ -679,6 +689,7 @@ object Graph {
           coalesce(col("new_label"), col("label")).as("label"))
         .localCheckpoint()
     }
+    } // withLoopPartitions
     labels
   }
 
@@ -730,6 +741,8 @@ object Graph {
         when(col("is_seed"), lit(1.0) / ns).otherwise(lit(0.0))
           .as("rank"))
       .localCheckpoint()
+    // round loop under the harness loop-partition scope (BatchScale)
+    graft.util.BatchScale.withLoopPartitions(edges0.sparkSession) {
     for (_ <- 1 to iters) {
       val dm = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
@@ -745,6 +758,7 @@ object Graph {
             .as("rank"))
         .localCheckpoint()
     }
+    } // withLoopPartitions
     val out = ranks.select(col("node"), col("is_seed"),
       round(col("rank"), RankRoundDigits).as("rank"))
     Seq(ew, deg, edges, nodes).foreach(_.unpersist())
@@ -801,6 +815,8 @@ object Graph {
       rounds: Int = KCoreRounds): DataFrame = {
     var edges = mutualEdges(knnEdges).localCheckpoint()
     var r = 0
+    // peel loop under the harness loop-partition scope (BatchScale)
+    graft.util.BatchScale.withLoopPartitions(knnEdges.sparkSession) {
     while (r < rounds) {
       val deg = degreesOf(edges)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -814,6 +830,7 @@ object Graph {
       deg.unpersist()
       r += 1
     }
+    } // withLoopPartitions
     degreesOf(edges).select(col("node_id"),
       col("degree").as("core_degree"))
   }

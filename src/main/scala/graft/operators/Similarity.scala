@@ -849,6 +849,10 @@ object Similarity {
     // 2^hops times (the deep-PageRank recompute cascade, measured
     // 68 s at the 100× ladder rung vs ~11 s cached)
     var prevCache: Option[DataFrame] = None
+    // hop loop under the harness loop-partition scope (BatchScale):
+    // each hop's frames are queries×beam rows — kilobytes — while
+    // the graph BUILDS above this loop keep the session parallelism
+    graft.util.BatchScale.withLoopPartitions(q.sparkSession) {
     for (_ <- 1 to hops) {
       val cand = beam
         .union(beam.join(edges, beam("node") === edges("src"))
@@ -873,6 +877,7 @@ object Similarity {
         .filter(col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
     }
+    } // withLoopPartitions
     (scored, beam,
       prevCache.map(graft.util.CacheHandle(_))
         .getOrElse(graft.util.CacheHandle.none))
