@@ -285,11 +285,18 @@ object Bench {
       // embeddings) scoped to their own query; release them so caches
       // don't pile up across the battery and evict each other
       spark.catalog.clearCache()
-      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
-        val rdds = spark.sparkContext.getPersistentRDDs
-        System.err.println(s"[bench-debug] $name leakedRdds=${rdds.size} " +
-          rdds.values.take(5).map(r => s"${r.id}:${r.name}").mkString(","))
-      }
+      // clearCache only reaches the SQL cache — locally-checkpointed
+      // RDDs a query could not release inline (final loop states,
+      // lineage-cut build frames feeding the lazy result) otherwise
+      // survive to ContextCleaner GC and pile storage pressure onto
+      // every later query (guide §5). The query is over; sweep them.
+      // Runs AFTER the timed region — measurement methodology
+      // unchanged.
+      val leftovers = spark.sparkContext.getPersistentRDDs
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(s"[bench-debug] $name leakedRdds=${leftovers.size} " +
+          leftovers.values.take(5).map(r => s"${r.id}:${r.name}").mkString(","))
+      leftovers.values.foreach(_.unpersist(blocking = false))
       (name, if (ok) sec else -1.0, load1, steal, canary)
     }
     val batteryResults = batteryQs.map { case (n, f) => measure(n, f) }

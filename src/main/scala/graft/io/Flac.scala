@@ -201,59 +201,60 @@ object Flac {
   private def zigzag(r: Int): Long = ((r.toLong << 1) ^ (r >> 31)).toLong & 0xFFFFFFFFL
   private def unzig(u: Long): Int = (((u >>> 1) ^ -(u & 1))).toInt
 
-  private def riceBits(us: Array[Long], k: Int): Long = {
-    var bits = 0L
-    var i = 0
-    while (i < us.length) { bits += (us(i) >>> k) + 1 + k; i += 1 }
-    bits
-  }
-
-  /** Best 4-bit Rice parameter: the optimum sits at ~log2(mean(u))
-    * (standard Rice estimator), so probe the estimate ±1 instead of
-    * all 15 — same deterministic choice rule (smallest coded size,
-    * lowest k on ties), 3 passes instead of 15 (the q333 battery's
-    * encoder hot path). */
-  private def bestRiceK(us: Array[Long]): Int = {
-    if (us.isEmpty) return 0
-    var sum = 0L
-    var i = 0
-    while (i < us.length) { sum += us(i); i += 1 }
-    val mean = sum / us.length
-    var est = 0
-    while ((1L << (est + 1)) <= mean + 1 && est < 13) est += 1
-    var bestK = math.max(0, est - 1)
-    var bestBits = riceBits(us, bestK)
-    var k = bestK + 1
-    while (k <= math.min(14, est + 1)) {
-      val b = riceBits(us, k)
-      if (b < bestBits) { bestBits = b; bestK = k }
-      k += 1
-    }
-    bestK
-  }
-
   /** Encode one subframe (chooses CONSTANT / best FIXED order /
-    * VERBATIM by exact coded size). */
+    * VERBATIM by exact coded size).
+    *
+    * The order search exploits the fixed-predictor identity
+    * res_{o+1}(j) = res_o(j+1) − res_o(j): all five candidate
+    * residual sets come from successive in-place differences of ONE
+    * Int scratch buffer instead of five fresh tabulate+map pairs
+    * (order-4 alone was 4 multiplies/sample plus an Int and a Long
+    * array per frame), and each order's exact Rice cost folds its
+    * ≤3 candidate k's in the same pass that diffs to the next order.
+    * Selection rule (smallest coded size, lowest order then lowest k
+    * on ties) is unchanged — the emitted stream is bit-identical. */
   private def writeSubframe(w: MsbWriter, x: Array[Int]): Unit = {
     if (x.forall(_ == x(0))) {
       w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
       w.writeBits(x(0).toLong & 0xFFFF, 16)
       return
     }
-    // candidate fixed orders: coded bits = warmup + rice; the
-    // winner's zigzag array is kept so the write pass never
-    // recomputes residuals
+    val n = x.length
+    val r = java.util.Arrays.copyOf(x, n)
     var bestOrder = -1
     var bestK = 0
-    var bestBits = 16L * x.length // verbatim cost
-    var bestUs: Array[Long] = null
+    var bestBits = 16L * n // verbatim cost
     var o = 0
-    while (o <= 4 && o < x.length) {
-      val us = residuals(x, o).map(zigzag)
-      val k = bestRiceK(us)
-      val bits = 16L * o + 2 + 4 + 4 + riceBits(us, k)
+    while (o <= 4 && o < n) {
+      val len = n - o // r(0..len-1) holds the order-o residuals
+      var sum = 0L
+      var i = 0
+      while (i < len) { sum += zigzag(r(i)); i += 1 }
+      // standard Rice estimator: optimum k ≈ log2(mean(u)), so probe
+      // k ∈ [est−1, est+1] clamped to [0, 14] instead of all 15
+      val mean = sum / len
+      var est = 0
+      while ((1L << (est + 1)) <= mean + 1 && est < 13) est += 1
+      val kLo = math.max(0, est - 1)
+      val kHi = math.min(14, est + 1)
+      var bits0 = 0L; var bits1 = 0L; var bits2 = 0L
+      val diffLen = len - 1 // order-(o+1) residuals, written in place
+      var j = 0
+      while (j < len) {
+        val u = zigzag(r(j))
+        bits0 += (u >>> kLo) + 1 + kLo
+        if (kLo + 1 <= kHi) bits1 += (u >>> (kLo + 1)) + 2 + kLo
+        if (kLo + 2 <= kHi) bits2 += (u >>> (kLo + 2)) + 3 + kLo
+        if (j < diffLen) r(j) = r(j + 1) - r(j)
+        j += 1
+      }
+      var selK = kLo
+      var selBits = bits0
+      if (kLo + 1 <= kHi && bits1 < selBits) { selBits = bits1; selK = kLo + 1 }
+      if (kLo + 2 <= kHi && bits2 < selBits) { selBits = bits2; selK = kLo + 2 }
+      val bits = 16L * o + 2 + 4 + 4 + selBits
       if (bits < bestBits) {
-        bestBits = bits; bestOrder = o; bestK = k; bestUs = us
+        bestBits = bits; bestOrder = o; bestK = selK
       }
       o += 1
     }
@@ -271,9 +272,23 @@ object Flac {
       w.writeBits(0, 2) // residual method: 4-bit Rice
       w.writeBits(0, 4) // partition order 0
       w.writeBits(bestK, 4)
-      bestUs.foreach { u =>
+      // winner's residuals: re-diff the scratch buffer (≤4 subtract
+      // passes) — cheaper than keeping a copy per improved candidate
+      System.arraycopy(x, 0, r, 0, n)
+      var d = 0
+      while (d < bestOrder) {
+        val dl = n - d - 1
+        var t = 0
+        while (t < dl) { r(t) = r(t + 1) - r(t); t += 1 }
+        d += 1
+      }
+      val len = n - bestOrder
+      var j = 0
+      while (j < len) {
+        val u = zigzag(r(j))
         w.writeUnary((u >>> bestK).toInt)
         if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
+        j += 1
       }
     }
   }

@@ -528,6 +528,7 @@ object Graph {
     graft.util.BatchScale.withLoopPartitions(edges0.sparkSession) {
     while (i < iters) {
       val hs = h.select(col("node").as("src"), col("hub"))
+      val aOld = a
       a = nodes.join(
           edges.join(hs, "src").groupBy(col("dst"))
             .agg(sum(col("hub")).as("auth"))
@@ -535,7 +536,12 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
         .localCheckpoint()
+      // previous round's auth vector is read by nothing past this
+      // point (only the FINAL a joins the output) — release it
+      // (no-op on the round-0 non-checkpoint initializer)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(aOld)
       val as = a.select(col("node").as("dst"), col("auth"))
+      val hOld = h
       h = nodes.join(
           edges.join(as, "dst").groupBy(col("src"))
             .agg(sum(col("auth")).as("hub"))
@@ -543,6 +549,8 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
         .localCheckpoint()
+      // same for the hub vector this round's auth update consumed
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(hOld)
       i += 1
     }
     } // withLoopPartitions
@@ -684,12 +692,19 @@ object Graph {
             .orderBy(col("n").desc, col("label").asc)))
         .filter(col("rn") === 1)
         .select(col("node").as("node_id"), col("label").as("new_label"))
-      labels = labels.join(best, Seq("node_id"), "left")
+      val next = labels.join(best, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("new_label"), col("label")).as("label"))
         .localCheckpoint()
+      // superseded round's label blocks die with the eager
+      // checkpoint above (no-op on the round-0 non-checkpoint)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(labels)
+      labels = next
     }
     } // withLoopPartitions
+    // the adjacency checkpoint fed only the rounds; the returned
+    // frame is the final round's own checkpoint — adj is dead
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(adj)
     labels
   }
 
@@ -749,7 +764,7 @@ object Graph {
       val contrib = ew.join(ranks.select(col("node"), col("rank")),
           col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("rank") / col("deg")).as("mass"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("has_out"), col("is_seed"),
           (when(col("is_seed"), lit(OneMinusDamping) / ns)
             .otherwise(lit(0.0)) +
@@ -757,6 +772,12 @@ object Graph {
               when(col("is_seed"), lit(dm) / ns).otherwise(lit(0.0))))
             .as("rank"))
         .localCheckpoint()
+      // localCheckpoint is eager: the superseded round's blocks are
+      // dead the moment `next` materializes — release them NOW
+      // instead of leaking every round's |V|-row cache to
+      // ContextCleaner GC (storage pressure with no upper bound)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(ranks)
+      ranks = next
     }
     } // withLoopPartitions
     val out = ranks.select(col("node"), col("is_seed"),
@@ -782,8 +803,10 @@ object Graph {
     * Q_c); the scalar Q is the caller's one-row sum. */
   def modularity(knnEdges: DataFrame, nodes: DataFrame,
       rounds: Int = LabelPropRounds): DataFrame = {
+    // labelPropagation already returns its final round's eager
+    // localCheckpoint — re-checkpointing it here was one more full
+    // |V|-row copy job for an identically-shaped plan
     val labels = labelPropagation(knnEdges, nodes, rounds)
-      .localCheckpoint()
     val edges = mutualEdges(knnEdges).localCheckpoint()
     val m = edges.count()
     val lu = labels.select(col("node_id").as("u"),
@@ -821,13 +844,17 @@ object Graph {
       val deg = degreesOf(edges)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = deg.filter(col("degree") >= k).select(col("node_id"))
-      edges = edges
+      val next = edges
         .join(keep.withColumnRenamed("node_id", "u"), Seq("u"),
           "left_semi")
         .join(keep.withColumnRenamed("node_id", "v"), Seq("v"),
           "left_semi")
         .localCheckpoint()
       deg.unpersist()
+      // the superseded peel's blocks are dead once `next` (eager)
+      // materializes — release instead of leaking to ContextCleaner
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(edges)
+      edges = next
       r += 1
     }
     } // withLoopPartitions
