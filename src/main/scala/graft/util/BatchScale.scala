@@ -88,10 +88,24 @@ object BatchScale {
     }
   }
 
+  /** Ops override to keep AQE on inside the round loops (see
+    * [[withLoopPartitions]]); unset = AQE disabled for the loop. */
+  val AdaptiveKey = "spark.graft.batch.iterAdaptive"
+
   /** Kernel-side: run `f` — the round loop, whose per-round actions
     * (scalar aggregates, checkpoint/persist materializations) plan
     * at action time — with `spark.sql.shuffle.partitions` set to the
-    * [[ConfKey]] value when one is in scope; no-op otherwise. */
+    * [[ConfKey]] value when one is in scope; no-op otherwise.
+    *
+    * AQE is additionally DISABLED for the loop (restored after):
+    * with the partition count already derived from input bytes, the
+    * coalescing AQE would do is redundant, and its per-shuffle stage
+    * materialization turns every round's small action into a chain
+    * of separately-scheduled jobs — fixed overhead multiplied by the
+    * round count (guide §1.2/§2: per-round latency is the loops'
+    * floor once the state vectors are kilobytes). Skew-sensitive
+    * deployments set [[AdaptiveKey]]=true to keep AQE's runtime
+    * join re-planning inside loops. */
   def withLoopPartitions[T](spark: SparkSession)(f: => T): T =
     spark.conf.getOption(ConfKey) match {
       case None => f
@@ -102,9 +116,18 @@ object BatchScale {
             throw new IllegalArgumentException(
               s"$ConfKey must be a positive integer, got '$v'")
           }
+        val keepAqe = spark.conf.getOption(AdaptiveKey)
+          .exists(_.trim.equalsIgnoreCase("true"))
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        if (!keepAqe)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
         try f
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          if (!keepAqe)
+            spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
     }
 }
