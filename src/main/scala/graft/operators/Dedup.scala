@@ -1471,27 +1471,37 @@ object Dedup {
     // text makes word sets wildly overlapping (73k word-level pairs
     // at tau=0.6 over 500 docs -- measured), while shingles carry
     // order and give the prefix filter something rare to anchor on
-    val toks = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hashes")).as("tok"))
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), col("hashes").as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    setSimPairsOnToks(toks, tau)
+    setSimPairsOnSets(sets, tau)
   }
 
-  /** The q192 prefix-filter core over an exploded (doc_id, tok)
-    * SET frame — shared by [[setSimJoin]], the duplicate-collapsed
-    * [[setSimJoinCollapsed]] (which runs it over class
-    * representatives only), and the df-capped [[setSimJoinCapped]]
-    * (dfCap = Some(c): prefix tokens with document frequency above c
-    * anchor no candidates). */
-  private def setSimPairsOnToks(toks: DataFrame, tau: Double,
+  /** The q192 prefix-filter core over a per-doc (doc_id, s) SET
+    * frame (`s` = the distinct token array) — shared by
+    * [[setSimJoin]], the duplicate-collapsed [[setSimJoinCollapsed]]
+    * (which runs it over class representatives only), and the
+    * df-capped [[setSimJoinCapped]] (dfCap = Some(c): prefix tokens
+    * with document frequency above c anchor no candidates).
+    *
+    * Keeping the set as an ARRAY column buys two shuffles back from
+    * the exploded-token formulation (guide §2.3): set size is
+    * `size(s)` row-locally instead of a second window over the
+    * exploded stream, and the verify step joins each candidate pair
+    * to its two arrays and intersects THEM row-locally
+    * (`array_intersect` over distinct arrays ≡ the shared-token
+    * count) instead of re-exploding every candidate's tokens through
+    * a (doc, tok)-keyed join and a wide groupBy. Candidates — not
+    * token occurrences — are what cross the verify exchanges. */
+  private def setSimPairsOnSets(sets: DataFrame, tau: Double,
       dfCap: Option[Long] = None): DataFrame = {
+    val toks = sets.select(col("doc_id"), size(col("s")).as("sz"),
+      explode(col("s")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("tok").asc)))
-      .withColumn("sz", count(lit(1)).over(
-        Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .filter(dfCap.map(c => col("df") <= c).getOrElse(lit(true)))
@@ -1506,11 +1516,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .distinct()
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("ha")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("hb")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -1568,11 +1579,11 @@ object Dedup {
       tau: Double = SetJoinTau,
       dfCap: Long = SetJoinDfCap)
       : (DataFrame, graft.util.CacheHandle) = {
-    val toks = shingleHashes(docs)
-      .select(col("doc_id"), explode(col("hashes")).as("tok"))
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), col("hashes").as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (setSimPairsOnToks(toks, tau, Some(dfCap)),
-      graft.util.CacheHandle(toks))
+    (setSimPairsOnSets(sets, tau, Some(dfCap)),
+      graft.util.CacheHandle(sets))
   }
 
   /** DUPLICATE-COLLAPSED exact set-similarity join (q226) — q192's
@@ -1626,10 +1637,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"),
         array_sort(collect_list(col("doc_id"))).as("members"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repToks = classes
-      .select(col("rep").as("doc_id"), explode(col("s")).as("tok"))
+    val repSets = classes
+      .select(col("rep").as("doc_id"), col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repPairs = setSimPairsOnToks(repToks, tau)
+    val repPairs = setSimPairsOnSets(repSets, tau)
     // within-class pairs: identical sets, J = 1 — pure expansion
     val intra = classes.filter(size(col("members")) >= 2)
       .select(size(col("s")).cast("long").as("inter"),
@@ -1653,7 +1664,7 @@ object Dedup {
         greatest(col("a"), col("b")).as("doc_b"),
         col("inter"), col("jaccard"))
     (intra.unionByName(cross),
-      graft.util.CacheHandle(classes, repToks))
+      graft.util.CacheHandle(classes, repSets))
   }
 
   /** The per-doc novelty arithmetic over an already-known
