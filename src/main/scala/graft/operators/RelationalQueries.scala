@@ -460,32 +460,43 @@ object RelationalQueries {
     * instead of adjacent text). Baskets are an order's DISTINCT
     * parts.
     *
-    * Scale design (100 TB): the pair build is a self-join
-    * CO-PARTITIONED on the basket key — fan-out is Σ basket_size²,
-    * bounded because real baskets are small (the fixture caps at 7
-    * lineitems; a web-scale variant caps or samples mega-baskets
-    * first, the same guard as q58's df cap); support counting and
-    * the item-frequency table are map-side-combined; item counts and
-    * the basket total join back BROADCAST; only the support-floored
-    * pair frame (bounded by the floor) ranks through the q14-style
-    * single-partition top-k window. Lift is exact-integer division
-    * in a fixed operand order — identical doubles, no rounding. */
+    * Scale design (100 TB): baskets materialize as one
+    * ONE-EXCHANGE groupBy on the basket key (collect_set — the
+    * distinct ride the same shuffle), and pairs expand ROW-LOCALLY
+    * from each sorted basket array (the q226 intra-class pattern) —
+    * fan-out is Σ basket_size², bounded because real baskets are
+    * small (the fixture caps at 7 lineitems; a web-scale variant
+    * caps or samples mega-baskets first, the same guard as q58's df
+    * cap), and no basket ever crosses a join to meet itself;
+    * support counting and the item-frequency table are
+    * map-side-combined; item counts and the basket total join back
+    * BROADCAST; only the support-floored pair frame (bounded by the
+    * floor) ranks through the q14-style single-partition top-k
+    * window. Lift is exact-integer division in a fixed operand
+    * order — identical doubles, no rounding. */
   def frequentItemPairs(lineitem: DataFrame,
       k: Int = BasketTopK): DataFrame = {
     val baskets = lineitem
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct()
+      .groupBy(col("oid"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = baskets.select(col("oid"), col("item").as("ia"))
-    val b = baskets.select(col("oid"), col("item").as("ib"))
-    val pairs = a.join(b, Seq("oid")).filter(col("ia") < col("ib"))
+    // ascending basket array ⇒ every generated (ia, ib) already has
+    // ia < ib — the old self-join's filter, by construction
+    val pairs = baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("ia"), y.as("ib")))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= BasketMinSupport)
-    val items = baskets.groupBy(col("item"))
+    val items = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item"))
       .agg(count(lit(1)).as("ic"))
     val nRow = broadcast(baskets
-      .agg(countDistinct(col("oid")).as("n_baskets")))
+      .agg(count(lit(1)).as("n_baskets")))
     // the supported-pair frame is catalog²-bounded at worst — still
     // a top-k pick, so it rides globalTopK's bounded heaps rather
     // than a single-partition rank (the q176/q220 discipline)
