@@ -2688,10 +2688,17 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/in")
       val m = new streaming.StreamingTrend.TrendMaintainer(s)
-      val q = operators.EventsQueries.dailyCents(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(m.update _)
-        .option("checkpointLocation", s"$wh/cp").start()
+      // state partitions sized from wave bytes (StreamScale): the
+      // update-mode daily-cents aggregate keeps ~|types|×|days| state
+      // rows, and this foreachBatch is a bounded driver collect — it
+      // has no batch-job parallelism for the smaller count to cut
+      // (unlike the q178/q230 merge sinks, which stay unscoped)
+      val q = graft.util.StreamScale.withStatePartitions(s, s"$wh/in") {
+        operators.EventsQueries.dailyCents(stream)
+          .writeStream.outputMode("update")
+          .foreachBatch(m.update _)
+          .option("checkpointLocation", s"$wh/cp").start()
+      }
       try q.processAllAvailable() finally q.stop()
       m.currentTrend()
     }),
