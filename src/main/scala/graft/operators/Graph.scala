@@ -253,7 +253,11 @@ object Graph {
               (coalesce(col("mass"), lit(0.0)) + lit(dmVal) / lit(n)))
               .as("rank"))
         iter += 1
-        if (iter % checkpointEvery == 0) {
+        // a checkpoint landing on the FINAL round buys nothing — its
+        // only purpose is truncating lineage for rounds that never
+        // come; skipping it saves the staged count + file write and
+        // the caller's action reads the persisted round directly
+        if (iter % checkpointEvery == 0 && iter < iters) {
           // persist-before-checkpoint: the reliable variant's file
           // write is a SECOND job over the round's plan unless it
           // reads a populated cache; localCheckpoint materializes
